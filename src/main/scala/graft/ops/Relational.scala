@@ -1,0 +1,364 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+
+/** Relational operator catalog — SURVEY.md §2 rows P1-P8, J1-J3, A1-A3,
+  * O1-O4 re-expressed over the testdata star schema, each with a DuckDB
+  * oracle in [[Relational.oracle]].
+  *
+  * Scale notes (100 TB thinking):
+  *  - dims (region/nation/customer-subsets) are always `broadcast()` — no
+  *    shuffle of the fact side for semi/inner joins against small universes,
+  *    mirroring the reference's 4,116-company universe semi-join
+  *    (`load_filings_idx.py:45,48`).
+  *  - aggregations are plain `groupBy` → map-side partial agg + single
+  *    shuffle on the group keys; no repartition calls that would add one.
+  *  - every query's filter/projection sits directly over the parquet scan so
+  *    Catalyst pushes predicates + prunes columns into the reader.
+  *  - ORDER BY on small (grouped/limited) outputs only; the one full-output
+  *    sort (q05) is the determinism price for oracle hashing, not a pattern
+  *    to copy at scale.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary (SURVEY §2.4; exercises A1-class agg +
+    * predicate pushdown + exact decimal arithmetic). */
+  private val q01PricingSummary: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-01 00:00:00")))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        money(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        money(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))).as("sum_disc_price"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** P1/P2: column projection (pruned down to 2 columns at the scan). */
+  private val q02Projection: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_custkey", $"c_mktsegment").orderBy($"c_custkey")
+  }
+
+  /** P3: bulk column rename (pandas `df.columns = [...]` analog). */
+  private val q03Rename: Q = (s, d) =>
+    Tables.nation(s, d).toDF("nation_key", "nation_name", "region_key")
+      .orderBy("nation_key")
+
+  /** P5: equality filter (filing_types[keep == 1] analog). */
+  private val q04FilterEq: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  /** P6/J2: universe filtering as broadcast left-semi join
+    * (idx rows whose cik ∈ companies.cik — `load_filings_idx.py:45`). */
+  private val q05SemiJoin: Q = (s, d) => {
+    import s.implicits._
+    val universe = Tables.customer(s, d)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    Tables.orders(s, d)
+      .join(broadcast(universe), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey")
+      .orderBy($"o_orderkey")
+  }
+
+  /** P7/J2: second semi-join universe (filing-type keep-list analog). */
+  private val q06SemiJoinType: Q = (s, d) => {
+    import s.implicits._
+    val keepTypes = Tables.supplier(s, d)
+      .filter($"s_nationkey" < 10).select($"s_suppkey")
+    Tables.lineitem(s, d)
+      .join(broadcast(keepTypes), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_suppkey").agg(count(lit(1)).as("n_lines"))
+      .orderBy($"l_suppkey")
+  }
+
+  /** P8 + F4/O4: null-state work queue — rows with text IS NULL are the
+    * remaining work (`monitor_scraper_progress.py:6`); queue recompute is a
+    * filter, not a trigger. */
+  private val q07NullQueue: Q = (s, d) => {
+    import s.implicits._
+    val filings = Tables.documents(s, d)
+      .withColumn("text", when($"doc_id" % 3 === 0, lit(null)).otherwise($"text"))
+    filings.filter($"text".isNull).select($"doc_id").orderBy($"doc_id")
+  }
+
+  /** O4: set difference as anti-join (queue = filings ∖ scraped,
+    * `load_filings_idx.py:75-93` trigger semantics at batch granularity). */
+  private val q08AntiJoin: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** J1: inner equi-join, small side broadcast
+    * (`scrape_all_filings.py:128-133`). */
+  private val q09InnerJoin: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d).select($"c_custkey", $"c_name")),
+        $"o_custkey" === $"c_custkey", "inner")
+      .select($"o_orderkey", $"o_custkey", $"c_name")
+      .orderBy($"o_orderkey")
+  }
+
+  /** J3: analytical star join (README.md:70-87 research-join analog) —
+    * revenue per nation through lineitem→orders→customer→nation→region.
+    * Fact side shuffles once per join key; dims broadcast. */
+  private val q10StarJoin: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+    val c  = Tables.customer(s, d).select($"c_custkey", $"c_nationkey")
+    val n  = Tables.nation(s, d)
+    val r  = Tables.region(s, d)
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(money(sum(dec($"l_extendedprice") * (dec(lit(1)) - dec($"l_discount")))).as("revenue"),
+           count(lit(1)).as("n_lines"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** A1: COUNT(*) with predicate (rows left to scrape analog). */
+  private val q11CountFiltered: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate" > to_timestamp(lit("1997-01-01 00:00:00")))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** A: exact + grouped distinct aggregation. */
+  private val q12GroupDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_custs"),
+           count(lit(1)).as("n_orders"),
+           money(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** O2-adjacent: global top-k (sort + limit with deterministic tiebreak). */
+  private val q13TopK: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Window top-k per group (the scale-path for "top matches per query"). */
+  private val q14WindowTopK: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  /** O3: cross product (years × quarters grid analog on real tables). */
+  private val q15CrossJoin: Q = (s, d) => {
+    import s.implicits._
+    val statuses = Tables.orders(s, d).select($"o_orderstatus").distinct()
+    Tables.region(s, d).select($"r_name").crossJoin(statuses)
+      .orderBy($"r_name", $"o_orderstatus")
+  }
+
+  /** Set op: UNION (distinct). */
+  private val q16Union: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .union(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .distinct()
+      .orderBy($"nationkey")
+  }
+
+  /** Set op: EXCEPT. */
+  private val q17Except: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .except(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  /** S11: seeded table sampling (TABLESAMPLE parity; no oracle —
+    * sampling RNGs differ across engines, driver does a rows-only check). */
+  private val q18Sample: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d).sample(withReplacement = false, 0.01, seed = 42L)
+      .select($"l_orderkey", $"l_linenumber")
+  }
+
+  /** O1+O3+T9+T11: the (year × quarter) URL grid from
+    * `load_filings_idx.py:17-29`, fully declarative. */
+  private val q19UrlGrid: Q = (s, d) => {
+    import s.implicits._
+    val years = s.range(2018, 2021).select($"id".as("year"))
+    val qtrs  = s.range(1, 5).select($"id".as("qtr"))
+    years.crossJoin(qtrs)
+      .select($"year", $"qtr",
+        concat(lit("https://www.sec.gov/Archives/edgar/full-index/"),
+          $"year", lit("/QTR"), $"qtr", lit("/master.idx")).as("url"))
+      .orderBy($"year", $"qtr")
+  }
+
+  /** A3-adjacent + streaming-shaped: hourly event rollup (batch form of the
+    * monitor's throughput window; streaming twin lives in graft.streaming). */
+  private val q20EventsWindow: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), money(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** T10: date parse from string (idx `date` column → DATE,
+    * `load_filings_idx.py:57`). */
+  private val q21DateParse: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        date_format($"o_orderdate", "yyyy-MM-dd").as("date_str"))
+      .select($"o_orderkey", to_date($"date_str", "yyyy-MM-dd").as("date"))
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_projection"      -> q02Projection,
+    "q03_rename"          -> q03Rename,
+    "q04_filter_eq"       -> q04FilterEq,
+    "q05_semijoin"        -> q05SemiJoin,
+    "q06_semijoin_type"   -> q06SemiJoinType,
+    "q07_null_queue"      -> q07NullQueue,
+    "q08_antijoin"        -> q08AntiJoin,
+    "q09_inner_join"      -> q09InnerJoin,
+    "q10_star_join"       -> q10StarJoin,
+    "q11_count_filtered"  -> q11CountFiltered,
+    "q12_group_distinct"  -> q12GroupDistinct,
+    "q13_topk"            -> q13TopK,
+    "q14_window_topk"     -> q14WindowTopK,
+    "q15_crossjoin"       -> q15CrossJoin,
+    "q16_union"           -> q16Union,
+    "q17_except"          -> q17Except,
+    "q18_sample"          -> q18Sample,
+    "q19_url_grid"        -> q19UrlGrid,
+    "q20_events_window"   -> q20EventsWindow,
+    "q21_date_parse"      -> q21DateParse)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         sum(l_quantity) / count(*) AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_projection" ->
+      "SELECT c_custkey, c_mktsegment FROM customer ORDER BY c_custkey",
+    "q03_rename" ->
+      """SELECT n_nationkey AS nation_key, n_name AS nation_name,
+         n_regionkey AS region_key FROM nation ORDER BY nation_key""",
+    "q04_filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderstatus = 'F' ORDER BY o_orderkey""",
+    "q05_semijoin" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q06_semijoin_type" ->
+      """SELECT l_suppkey, count(*) AS n_lines FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey < 10)
+         GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q07_null_queue" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
+    "q08_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "q09_inner_join" ->
+      """SELECT o_orderkey, o_custkey, c_name FROM orders
+         JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""",
+    "q10_star_join" ->
+      """SELECT r_name, n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_lines
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey  = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q11_count_filtered" ->
+      """SELECT count(*) AS n FROM lineitem
+         WHERE l_shipdate > TIMESTAMP '1997-01-01 00:00:00'""",
+    "q12_group_distinct" ->
+      """SELECT o_orderpriority,
+         count(DISTINCT o_custkey) AS n_custs,
+         count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q13_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q14_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) t
+         WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "q15_crossjoin" ->
+      """SELECT r_name, o_orderstatus FROM region
+         CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+         ORDER BY r_name, o_orderstatus""",
+    "q16_union" ->
+      """SELECT DISTINCT nationkey FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           UNION ALL SELECT s_nationkey FROM supplier) t
+         ORDER BY nationkey""",
+    "q17_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q19_url_grid" ->
+      """SELECT y.year, q.qtr,
+         'https://www.sec.gov/Archives/edgar/full-index/' || y.year ||
+         '/QTR' || q.qtr || '/master.idx' AS url
+         FROM (SELECT unnest(range(2018, 2021)) AS year) y
+         CROSS JOIN (SELECT unnest(range(1, 5)) AS qtr) q
+         ORDER BY y.year, q.qtr""",
+    "q20_events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q21_date_parse" ->
+      """SELECT o_orderkey,
+         CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date
+         FROM orders ORDER BY o_orderkey""")
+}

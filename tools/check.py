@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage:  python3 tools/check.py [sfDir] [outDir]
+
+Assumes `graft.Verify` was already run (sbt "runMain graft.Verify <sfDir>
+<outDir>").  Registers the testdata parquet as DuckDB views, runs each
+oracle_sql.json entry, and compares against the Spark-written parquet:
+columns sorted by name, rows sorted by all columns, exact value equality
+(floats compared bit-exactly — the engine is designed for exact aggregates).
+"""
+import duckdb, json, math, os, sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cells_equal(x, y) for x, y in zip(la, lb))
+    try:
+        if a != a and b != b:  # NaN-ish
+            return True
+    except Exception:
+        pass
+    return a == b or str(a) == str(b)
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    results = {}
+    produced = {d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))}
+    for name in sorted(produced | set(oracle)):
+        if name not in produced:
+            results[name] = "MISSING-OUTPUT"
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{out}/{name}/*.parquet'").df()
+        except Exception as e:
+            results[name] = f"READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only ({len(got)} rows)" if len(got) > 0 else "ZERO-ROWS"
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-FAIL {str(e).splitlines()[0][:160]}"
+            continue
+        g, e = norm(got), norm(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"
+            continue
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} oracle={len(e)}"
+            continue
+        bad = None
+        for col in g.columns:
+            gv, ev = g[col].tolist(), e[col].tolist()
+            for i, (x, y) in enumerate(zip(gv, ev)):
+                if not cells_equal(x, y):
+                    bad = f"VALUE-MISMATCH col={col} row={i} spark={x!r} oracle={y!r}"
+                    break
+            if bad:
+                break
+        results[name] = bad or "OK"
+    n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
+    for k, v in results.items():
+        mark = "PASS" if (v == "OK" or v.startswith("rows-only")) else "FAIL"
+        print(f"{mark}  {k}: {v}")
+    print(f"\n{n_ok}/{len(results)} pass")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+if __name__ == "__main__":
+    main()
