@@ -11,16 +11,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    ops.Relational.queries("q10_star_join")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the SURVEY §7.3 end-to-end slice — sanitize → tokenize → full-text
+    * match → aggregate, exercising schema/io/text/ops in one DAG. */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    io.Tables.documents(spark, d)
+      .select($"doc_id", $"lang", text.TextOps.tokenize(text.TextOps.sanitizeText($"text")).as("tokens"))
+      .filter(text.TextOps.tsMatchAll($"tokens", Seq("spark", "join")))
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++ ops.TextQueries.oracle
 }

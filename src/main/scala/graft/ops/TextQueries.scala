@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.text.{Porter, TextOps}
+
+/** Text-pipeline operator catalog — SURVEY.md §2.6 (T-chain), §2.7 (F1/F3)
+  * over the `documents` table, each with a DuckDB oracle built from the SAME
+  * Scala constants (stopword list, Porter stems of the corpus vocabulary) so
+  * engine and oracle can't drift.
+  *
+  * Scale: every transform is a per-row expression over a parquet scan — no
+  * shuffle at all until an aggregate/sort; at 100 TB these queries are
+  * embarrassingly parallel map stages.
+  */
+object TextQueries {
+
+  /** Distinct lowercase vocabulary of the synthetic documents corpus
+    * (verified against sf0.01; oracle CASE mapping covers exactly these). */
+  private val corpusVocab: Seq[String] = Seq(
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+
+  private def sqlQuote(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  private lazy val stopListSql: String =
+    TextOps.englishStopWords.map(sqlQuote).mkString(", ")
+
+  /** CASE expression replicating Porter.stem over the corpus vocabulary —
+    * lets DuckDB (which has no offline stemmer) oracle-check the full
+    * tokenize pipeline. */
+  private lazy val stemCaseSql: String =
+    "CASE w " +
+      corpusVocab.map(w => s"WHEN ${sqlQuote(w)} THEN ${sqlQuote(Porter.stem(w))}").mkString(" ") +
+      " ELSE w END"
+
+  /** DuckDB twin of TextOps.sanitizeText. */
+  private val sanitizeSql: String =
+    """trim(regexp_replace(
+       array_to_string(list_filter(string_split(
+         regexp_replace(translate(regexp_replace(lower(text), '<.+?>', ' ', 'g'),
+                        chr(10)||chr(9)||chr(147)||chr(148), '  ""'),
+                        '&#160;|&nbsp;', ' ', 'g'),
+         ' '), w -> length(w) < 20), ' '),
+       '\s+', ' ', 'g'))"""
+
+  /** DuckDB twin of TextOps.tokenizeBasic. */
+  private val tokenizeBasicSql: String =
+    """list_sort(list_distinct(list_filter(
+         string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)))"""
+
+  /** DuckDB twin of TextOps.tokenize (stopwords + vocab-stem CASE). */
+  private lazy val tokenizeSql: String =
+    s"""list_sort(list_distinct(list_transform(
+          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                      w -> length(w) > 0 AND w NOT IN ($stopListSql)),
+          w -> $stemCaseSql)))"""
+
+  /** SGML wrapper used by q35 — a filing-shaped envelope with one keepable
+    * .htm section around the document text and one binary .pdf section that
+    * the T2/T3 segmentation must drop (fixture shape from FIXTURES.md §B). */
+  private val sgmlPrefix = "<document><type>10-k<filename>main.htm<text> "
+  private val sgmlSuffix =
+    " wwwwwwwwwwwwwwwwwwwwwwwwwwwww </text></document>" +
+      "<document><type>graphic<filename>img.pdf<text>begin 644 img.pdf " +
+      "m1234567890qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq end</text></document>"
+
+  // ------------------------------------------------------------------ queries
+
+  private val q30Sanitize: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.sanitizeText($"text").as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  private val q31TokenizeBasic: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.tokenizeBasic($"text").as("tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q32TsMatch: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.tokenizeBasic($"text").as("tokens"))
+      .filter(TextOps.tsMatchAllBasic($"tokens", Seq("spark", "join")))
+      .select($"doc_id")
+      .orderBy($"doc_id")
+  }
+
+  private val q33TextStats: Q = (s, d) => {
+    import s.implicits._
+    val ws = TextOps.words($"text")
+    Tables.documents(s, d)
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_uniq"),
+        coalesce(array_max(transform(ws, w => length(w))), lit(0))
+          .cast("long").as("max_word_len"))
+      .orderBy($"doc_id")
+  }
+
+  private val q34Tokenize: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextOps.tokenize($"text").as("tokens"))
+      .orderBy($"doc_id")
+  }
+
+  private val q35SanitizeFiling: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        TextOps.sanitizeFiling(
+          concat(lit(sgmlPrefix), $"text", lit(sgmlSuffix))).as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  private val q36TsSearchStemmed: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang", TextOps.tokenize($"text").as("tokens"))
+      .filter(TextOps.tsMatchAll($"tokens", Seq("merges", "joining")))
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q30_sanitize"          -> q30Sanitize,
+    "q31_tokenize_basic"    -> q31TokenizeBasic,
+    "q32_ts_match"          -> q32TsMatch,
+    "q33_text_stats"        -> q33TextStats,
+    "q34_tokenize"          -> q34Tokenize,
+    "q35_sanitize_filing"   -> q35SanitizeFiling,
+    "q36_ts_search_stemmed" -> q36TsSearchStemmed)
+
+  lazy val oracle: Map[String, String] = Map(
+    "q30_sanitize" ->
+      s"SELECT doc_id, $sanitizeSql AS clean FROM documents ORDER BY doc_id",
+    "q31_tokenize_basic" ->
+      s"SELECT doc_id, $tokenizeBasicSql AS tokens FROM documents ORDER BY doc_id",
+    "q32_ts_match" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeBasicSql AS toks FROM documents) t
+          WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+          ORDER BY doc_id""",
+    "q33_text_stats" ->
+      """SELECT doc_id,
+         n_chars,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+         CAST(coalesce(list_max(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS max_word_len
+         FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  w -> length(w) > 0) AS ws
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q34_tokenize" ->
+      s"SELECT doc_id, $tokenizeSql AS tokens FROM documents ORDER BY doc_id",
+    "q35_sanitize_filing" ->
+      """SELECT doc_id,
+         trim(regexp_replace('10-k main.htm ' || lower(text), '\s+', ' ', 'g')) AS clean
+         FROM documents ORDER BY doc_id""",
+    "q36_ts_search_stemmed" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, $tokenizeSql AS toks FROM documents) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""")
+}

@@ -1,0 +1,127 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.NfkdNormalize
+
+/** The sec_dl text-sanitization + tokenization pipeline as composable
+  * `Column => Column` transforms (SURVEY.md §2.6/§2.7; reference
+  * `sec_dl/utils/scrape_all_filings.py:42-114` and the tsvector trigger at
+  * `sec_dl/utils/init_tables.py:59-67`).
+  *
+  * Everything except Porter stemming is built from Spark SQL built-in
+  * functions (regexp/translate/higher-order array ops) so the whole chain
+  * stays inside whole-stage codegen — no UDF boundary in the hot path. NFKD
+  * is a native Catalyst expression with codegen ([[NfkdNormalize]]).
+  */
+object TextOps {
+
+  /** T1: lowercase (reference `response.content.lower()`, :157). */
+  def lowerText(c: Column): Column = lower(c)
+
+  /** Binary-attachment filename extensions dropped by the reference
+    * (`scrape_all_filings.py:89-103`). */
+  val binaryExtensions: Seq[String] =
+    Seq("pdf", "gif", "jpg", "zip", "rar", "jpeg", "bmp", "xlsx", "xls", "css", "js")
+
+  private val binarySectionPattern =
+    s"<filename>[^<]*\\.(${binaryExtensions.mkString("|")})"
+
+  /** T2+T3: SGML document segmentation + embedded-binary removal. Splits a
+    * filing on `<document>` boundaries, drops sections whose `<filename>`
+    * matches a binary extension (those are base64 payloads), rejoins.
+    * Regex segmentation replaces BeautifulSoup — EDGAR SGML is predictable. */
+  def dropBinarySections(c: Column): Column =
+    array_join(
+      filter(split(c, "<document>"), s => !s.rlike(binarySectionPattern)),
+      " ")
+
+  /** T4: Unicode NFKD normalization (native codegen expression). */
+  def nfkd(c: Column): Column = NfkdNormalize(c)
+
+  /** T5: HTML tag strip — `re.sub(r'<.+?>', ' ', s)` (:42-48). Same
+    * non-greedy, non-DOTALL semantics as the reference. */
+  def stripTags(c: Column): Column = regexp_replace(c, "<.+?>", " ")
+
+  /** T6: control-char + Windows-1252 smart-quote + entity replacement
+    * (:105-110): \n,\t → space; , → '"'; &#160;,&nbsp; → space. */
+  def replaceEntities(c: Column): Column =
+    regexp_replace(translate(c, "\n\t\u0093\u0094", "  \"\""), "&#160;|&nbsp;", " ")
+
+  /** T7: drop words of length >= n (kills leftover base64/garbage tokens,
+    * :57-65). Pure higher-order functions — codegen'd. */
+  def dropLongWords(c: Column, n: Int = 20): Column =
+    array_join(filter(split(c, " "), w => length(w) < n), " ")
+
+  /** T8: whitespace collapse (`re.sub(r'\s+', ' ', s)`, :51-54) + trim. */
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** The full filing sanitization chain in reference order
+    * T1 → T2/T3 → T4 → T5 → T6 → T7 → T8 (`scrape_all_filings.py:157-160`,
+    * body :83-114). One codegen'd expression tree per row. */
+  def sanitizeFiling(c: Column): Column =
+    collapseWhitespace(
+      dropLongWords(
+        replaceEntities(
+          stripTags(
+            nfkd(
+              dropBinarySections(
+                lowerText(c)))))))
+
+  /** Sanitization without SGML segmentation — for plain-text corpora like
+    * the `documents` table (and the DuckDB-expressible oracle twin). */
+  def sanitizeText(c: Column): Column =
+    collapseWhitespace(
+      dropLongWords(
+        replaceEntities(
+          stripTags(
+            lowerText(c)))))
+
+  // ---------------------------------------------------------------- tokenize
+
+  /** Default english stopword list (Spark MLlib's list, same role as the
+    * Postgres english dictionary's stopwords). */
+  lazy val englishStopWords: Seq[String] =
+    org.apache.spark.ml.feature.StopWordsRemover.loadDefaultStopWords("english").toSeq
+
+  /** Word extraction: lowercase, split on non-alphanumeric runs, drop empties. */
+  def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** Basic lexemes: sorted, deduped words — no stopwords/stemming. The
+    * DuckDB-oracle-checkable half of tsvector. */
+  def tokenizeBasic(c: Column): Column =
+    array_sort(array_distinct(words(c)))
+
+  private val stemArrayUdf =
+    udf((ws: Seq[String]) => if (ws == null) null else ws.map(Porter.stem))
+
+  /** Full tsvector analog (F1): words → stopword removal → Porter stem →
+    * dedupe → sort. Matches `to_tsvector('english', text)` lexeme semantics
+    * (positions dropped — SURVEY §2.7 allows this simplification).
+    * Stopword removal via `array_except` stays codegen'd; only the stemmer
+    * crosses a UDF boundary (array-at-a-time, one call per row). */
+  def tokenize(c: Column): Column =
+    array_sort(
+      array_distinct(
+        stemArrayUdf(
+          array_except(words(c), lit(englishStopWords.toArray)))))
+
+  // ---------------------------------------------------------------- search
+
+  /** F3: full-text match, AND-of-terms (`token @@ to_tsquery('a & b')`).
+    * Terms are stemmed with the same stemmer the index side used. */
+  def tsMatchAll(tokens: Column, terms: Seq[String]): Column =
+    terms.map(t => array_contains(tokens, Porter.stem(t.toLowerCase)))
+      .reduce(_ && _)
+
+  /** F3: OR-of-terms (`to_tsquery('a | b')`) via arrays_overlap. */
+  def tsMatchAny(tokens: Column, terms: Seq[String]): Column =
+    arrays_overlap(tokens, lit(terms.map(t => Porter.stem(t.toLowerCase)).toArray))
+
+  /** Unstemmed variants for the basic tokenizer. */
+  def tsMatchAllBasic(tokens: Column, terms: Seq[String]): Column =
+    terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ && _)
+}

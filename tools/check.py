@@ -14,9 +14,18 @@ import duckdb, json, math, os, sys
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def to_cmp(v):
+    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+        return tuple(to_cmp(x) for x in v)
+    return v
+
 def norm(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(to_cmp)
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.map(lambda v: str(v)) if s.dtype == object else s)
     return df
 
 def cells_equal(a, b):
