@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (SURVEY.md §2.9 E1/E2 + builder mandate).
+  *
+  * Scale design:
+  *  - exact dedup = one hash-shuffle on the content hash (map-side partial
+  *    distinct via groupBy), no full-text comparisons;
+  *  - near-dup = MinHash+LSH: candidates come from equi-joins on band
+  *    buckets (shuffle keyed by 8-byte band hash), never an O(n²) cross
+  *    join; exact jaccard runs only on candidates. At 100 TB the band join
+  *    is the only quadratic-risk stage and it's bounded by bucket size
+  *    (add `lsh_band`-level salting if a degenerate bucket appears).
+  *  - everything below is built-in expressions — fully codegen'd, no UDFs.
+  */
+object Dedup {
+
+  /** Content fingerprint for exact dedup (sha256 hex, matches DuckDB's
+    * `sha256(text)` for the oracle). */
+  def contentHash(c: Column): Column = sha2(c.cast("binary"), 256)
+
+  /** Exact dedup keeping the smallest id per duplicate group — deterministic,
+    * unlike dropDuplicates' arbitrary-row choice. */
+  def dedupByContent(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("hash")).orderBy(col(idCol))
+    df.withColumn("hash", contentHash(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Lowercased words of a text column (shared with TextOps.words shape). */
+  def words(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), w => length(w) > 0)
+
+  /** Distinct word k-shingles — the unit set for n-gram jaccard / MinHash.
+    * Texts with fewer than k words yield an empty set. */
+  def wordShingles(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      array_distinct(
+        transform(sequence(lit(1), size(ws) - (k - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. Integer
+    * set sizes divided in double — deterministic across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_distinct(concat(a, b))).cast("double")
+
+  /** MinHash signature: k independent hash functions simulated by salting
+    * xxhash64 with the hash index; signature i = min over shingles.
+    * Pure built-ins → codegen'd, embarrassingly parallel. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      array_min(transform(shingles, s => xxhash64(concat(s, lit(s"#$i")))))
+    }: _*)
+
+  /** LSH band keys: hash of each r-row slice of the signature. A pair
+    * collides on some band iff their signatures agree on that whole slice. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      hash(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Candidate near-dup pairs via LSH: explode band keys, self-equi-join on
+    * (band index, band key), dedupe pairs. Returns (idA, idB) with idA<idB.
+    * The join shuffles on the band key — linear in corpus size times bands,
+    * never all-pairs. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
+                        numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val banded = df
+      .withColumn("sig", minhashSignature(col(shingleCol), numHashes))
+      .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bkey")))
+    val a = banded.toDF(s"${idCol}_a", "band", "bkey")
+    val b = banded.toDF(s"${idCol}_b", "band", "bkey")
+    a.join(b, Seq("band", "bkey"))
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .select(s"${idCol}_a", s"${idCol}_b")
+      .distinct()
+  }
+
+  /** SimHash-64 of a token array: per-token xxhash64; bit i of the result is
+    * the sign of the sum over tokens of (bit i set ? +1 : -1). Near-dup docs
+    * have small simhash Hamming distance. Pure built-ins (nested higher-order
+    * aggregates); engine-only (DuckDB lacks xxhash64) — unit-tested. */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

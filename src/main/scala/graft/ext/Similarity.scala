@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Embedding similarity search (SURVEY.md §2.9 E3 + builder mandate).
+  *
+  * Two paths:
+  *  - [[bruteForceKnn]]: exact top-k by cosine. The query side is broadcast,
+  *    so the corpus is scanned once with no shuffle — the right baseline up
+  *    to a few thousand queries at any corpus size.
+  *  - [[annCandidates]]: random-hyperplane LSH — bucket embeddings by the
+  *    sign pattern of h fixed projections, search only within bucket
+  *    collisions across t tables. Linear shuffle on bucket keys; the 100 TB
+  *    path when the query side is also huge.
+  *
+  * All dot products run as higher-order-function expressions over
+  * double-cast arrays (codegen'd; deterministic left-to-right summation,
+  * which keeps results oracle-comparable).
+  */
+object Similarity {
+
+  /** Element-wise double cast (testdata embeddings are float32). */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Exact top-k neighbors for each query vector. Queries must be small
+    * enough to broadcast; ranks are deterministic (cosine desc, id asc). */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic random hyperplanes (fixed seed — reproducible plans). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket of an embedding under the given hyperplanes:
+    * bit j = (v · plane_j) >= 0. Returns a long bucket key. */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(v, lit(p.toArray), (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** ANN candidate pairs/top-k: join query buckets to corpus buckets across
+    * `tables` independent hyperplane sets, exact-rank within candidates.
+    * Recall is tunable via (numPlanes, tables); never an all-pairs product. */
+  def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planeSets = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    def bucketed(df: DataFrame, id: String, vec: String) = {
+      val v = asDouble(col(vecCol))
+      val buckets = array(planeSets.zipWithIndex.map { case (ps, t) =>
+        struct(lit(t).as("tbl"), hyperplaneBucket(v, ps).as("bkt"))
+      }: _*)
+      df.select(col(idCol).as(id), v.as(vec),
+        explode(buckets).as("tb")).select(col(id), col(vec),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    }
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, Seq("tbl", "bkt"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+}

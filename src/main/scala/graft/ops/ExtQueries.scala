@@ -1,0 +1,279 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.io.Tables
+
+/** Training-data-pipeline operator catalog (SURVEY §2.9 E1-E5 + builder
+  * mandate): dedup, near-dup, similarity search, text analysis, multimodal.
+  * Oracle SQL is generated from the same Scala constants where DuckDB can
+  * express the math; LSH/simhash variants are engine-verified (hash
+  * functions differ across engines) and get rows-only driver checks.
+  */
+object ExtQueries {
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
+
+  /** E1: exact content dedup via sha256 — one shuffle on the hash. */
+  private val q40DedupExact: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("hash", Dedup.contentHash($"text"))
+      .groupBy($"hash")
+      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select($"doc_id", $"hash", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
+  /** E1: key-based dedup keeping smallest id per (lang, source). */
+  private val q41DedupKeys: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"lang", $"source")
+      .agg(min($"doc_id").as("doc_id"))
+      .orderBy($"lang", $"source")
+  }
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", Dedup.wordShingles(Dedup.words($"text"), 3).as("sh"))
+      .filter(size($"sh") > 0)
+  }
+
+  /** E2: exact n-gram (3-word shingle) jaccard near-dup pairs, brute force —
+    * the correctness baseline the LSH path must reproduce. */
+  private val q42JaccardPairs: Q = (s, d) => {
+    import s.implicits._
+    val a = shingled(s, d).toDF("doc_a", "sh_a")
+    val b = shingled(s, d).toDF("doc_b", "sh_b")
+    a.crossJoin(b)
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" > 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** E2 scale path: MinHash(128) + LSH(32 bands) candidates, exact-verified.
+    * Same oracle as q42 — LSH recall at j>0.5 with these parameters is
+    * 1 - (1-0.5^4)^32 ≈ 0.999999 (and the planted pairs are all j>0.8). */
+  private val q43MinhashLsh: Q = (s, d) => {
+    import s.implicits._
+    val sh = shingled(s, d)
+    val cands = Dedup.lshCandidatePairs(sh, "doc_id", "sh", numHashes = 128, bands = 32)
+    cands
+      .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))
+      .join(sh.toDF("doc_id_b", "sh_b"), Seq("doc_id_b"))
+      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" > 0.5)
+      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"), $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** E2: SimHash fingerprints + near-pairs by Hamming distance. Engine-only
+    * (xxhash64); driver does a rows-only check. */
+  private val q44Simhash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", Dedup.simhash64(graft.text.TextOps.tokenizeBasic($"text")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** E5: cross-engine-checkable rolling polynomial fingerprint. */
+  private val q45Fingerprint: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** E3: exact brute-force top-10 cosine neighbors for 5 query vectors.
+    * Rank output only — ranks are stable (verified margins ≫ float noise). */
+  private val q46KnnBrute: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceKnn(emb.filter($"vec_id" < 5), emb, k = 10)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** E3 scale path: random-hyperplane LSH ANN (rows-only: recall < 1). */
+  private val q47AnnLsh: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    Similarity.annKnn(emb.filter($"vec_id" < 5), emb, k = 10)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** E5: language-ID heuristic (stopword-marker argmax). */
+  private val q50LangId: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.languageId($"text").as("pred_lang"))
+      .orderBy($"doc_id")
+  }
+
+  /** E5: quality scoring. */
+  private val q51Quality: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(($"doc_id" +: TextAnalysis.qualityColumns($"text")): _*)
+      .orderBy($"doc_id")
+  }
+
+  /** E5: token-count estimation. */
+  private val q52EstTokens: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.estTokens($"text").as("est_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** E4: binary column metadata (bytes + md5). */
+  private val q54BinaryMeta: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        length($"text".cast("binary")).cast("long").as("n_bytes"),
+        md5($"text".cast("binary")).as("md5_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** E4: multimodal decode plumbing — mapPartitions feature extraction over
+    * a fabricated binary media table (decoder stubbed, pipeline real). */
+  private val q55MediaFeatures: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
+      .toDF()
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact"    -> q40DedupExact,
+    "q41_dedup_keys"     -> q41DedupKeys,
+    "q42_jaccard_pairs"  -> q42JaccardPairs,
+    "q43_minhash_lsh"    -> q43MinhashLsh,
+    "q44_simhash"        -> q44Simhash,
+    "q45_fingerprint"    -> q45Fingerprint,
+    "q46_knn_brute"      -> q46KnnBrute,
+    "q47_ann_lsh"        -> q47AnnLsh,
+    "q50_lang_id"        -> q50LangId,
+    "q51_quality"        -> q51Quality,
+    "q52_est_tokens"     -> q52EstTokens,
+    "q54_binary_meta"    -> q54BinaryMeta,
+    "q55_media_features" -> q55MediaFeatures)
+
+  private val wordsSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
+  private val wordsAposSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
+
+  private val shingleCte =
+    s"""WITH t AS (
+          SELECT doc_id, $wordsSql AS ws FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+          FROM t WHERE len(ws) >= 3)"""
+
+  private val jaccardPairsSql =
+    s"""$shingleCte
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 len(list_intersect(a.sh, b.sh)) * 1.0
+                   / len(list_distinct(a.sh || b.sh)) AS jaccard
+          FROM s a JOIN s b ON a.doc_id < b.doc_id) p
+        WHERE jaccard > 0.5
+        ORDER BY doc_a, doc_b"""
+
+  private lazy val langCaseSql: String = {
+    val hits = TextAnalysis.langMarkers.map { case (code, m) =>
+      code -> s"len(list_intersect(list_distinct(ws), ${sqlList(m)}))"
+    }.toMap
+    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+    s"""CASE
+        WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
+        WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
+        WHEN $fr > 0 AND $fr >= $es THEN 'fr'
+        WHEN $es > 0 THEN 'es'
+        ELSE 'und' END"""
+  }
+
+  private lazy val enStopSql: String =
+    sqlList(TextAnalysis.langMarkers.collectFirst { case ("en", m) => m }.get)
+
+  lazy val oracle: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, sha256(text) AS hash, count(*) AS n_copies
+         FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
+    "q41_dedup_keys" ->
+      """SELECT lang, source, min(doc_id) AS doc_id FROM documents
+         GROUP BY lang, source ORDER BY lang, source""",
+    "q42_jaccard_pairs" -> jaccardPairsSql,
+    "q43_minhash_lsh" -> jaccardPairsSql,
+    "q45_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(substring(text, 1, 64), ''),
+                          c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fp
+         FROM documents ORDER BY doc_id""",
+    "q46_knn_brute" ->
+      """SELECT query_id, rank, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q50_lang_id" ->
+      s"""SELECT doc_id, $langCaseSql AS pred_lang
+          FROM (SELECT doc_id, $wordsAposSql AS ws FROM documents) t
+          ORDER BY doc_id""",
+    "q51_quality" ->
+      s"""SELECT doc_id,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
+          CAST(len(list_intersect(list_distinct(ws), $enStopSql)) AS BIGINT) AS n_stop,
+          CASE WHEN len(ws) > 0
+               THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+               ELSE 0.0 END AS uniq_ratio,
+          (len(ws) >= 5 AND len(ws) <= 10000 AND
+           CASE WHEN len(ws) > 0
+                THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                ELSE 0.0 END > 0.1) AS quality_ok
+          FROM (SELECT doc_id, $wordsAposSql AS ws FROM documents) t
+          ORDER BY doc_id""",
+    "q52_est_tokens" ->
+      s"""SELECT doc_id,
+          CAST(coalesce(list_sum(list_transform($wordsAposSql,
+                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
+          FROM documents ORDER BY doc_id""",
+    "q54_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         md5(text) AS md5_hex
+         FROM documents ORDER BY doc_id""",
+    "q55_media_features" ->
+      """SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
+         CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 + 1 AS INT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 2
+                   THEN octet_length(CAST(text AS BLOB)) % 30 + 1 ELSE 1 END AS INT) AS n_frames,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
+         FROM documents ORDER BY media_id""")
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "der schnelle braune fuchs springt und das ist ein deutscher satz mit der die und"))
+
+  lazy val shingled = docs.toDF("doc_id", "text")
+    .select($"doc_id", Dedup.wordShingles(Dedup.words($"text"), 3).as("sh"))
+
+  test("wordShingles: n-k+1 shingles, short text -> empty") {
+    val n = Seq("a b c d e").toDF("t")
+      .select(size(Dedup.wordShingles(Dedup.words($"t"), 3))).as[Int].head()
+    assert(n == 3)
+    val empty = Seq("a b").toDF("t")
+      .select(Dedup.wordShingles(Dedup.words($"t"), 3)).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("jaccard: identity 1.0, disjoint 0.0") {
+    val j = shingled.as("a").crossJoin(shingled.as("b"))
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
+        Dedup.jaccard($"a.sh", $"b.sh").as("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 1L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+    assert(j((1L, 2L)) > 0.5 && j((1L, 2L)) < 1.0)
+  }
+
+  test("LSH candidates find the planted near-dup and verify exactly") {
+    val cands = Dedup.lshCandidatePairs(shingled, "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) || true) // candidates may include FPs; exact verify filters
+  }
+
+  test("simhash: near-dups land close in Hamming space") {
+    val sims = docs.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhash64(graft.text.TextOps.tokenizeBasic($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+    assert(ham(sims(1L), sims(1L)) == 0)
+  }
+
+  test("dedupByContent keeps smallest id per duplicate text") {
+    val dup = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByContent(dup, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("cosine: self=1, orthogonal=0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 2.0f))).toDF("a", "b")
+    val (self, orth) = df.select(
+      Similarity.cosine(Similarity.asDouble($"a"), Similarity.asDouble($"a")),
+      Similarity.cosine(Similarity.asDouble($"a"), Similarity.asDouble($"b")))
+      .as[(Double, Double)].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(orth == 0.0)
+  }
+
+  test("bruteForceKnn: rank 1 is the query itself") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(top.forall { case (q, n) => q == n })
+  }
+
+  test("languageId: obvious english vs german") {
+    val preds = Seq(("the quick brown fox and the lazy dog are in a house"),
+                    ("der hund und die katze sind nicht im haus aber das ist gut"))
+      .toDF("text").select(TextAnalysis.languageId($"text")).as[String].collect()
+    assert(preds(0) == "en")
+    assert(preds(1) == "de")
+  }
+
+  test("fingerprint: deterministic, discriminating, empty-safe") {
+    val fps = Seq("hello world", "hello world", "hello worle", "")
+      .toDF("text").select(TextAnalysis.fingerprint($"text")).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+    assert(fps(3) == 0L)
+  }
+
+  test("multimodal stub decoder: features deterministic, one per row") {
+    val docs01 = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(spark, docs01))
+    assert(feats.count() == docs01.count())
+    val r = feats.filter($"media_id" === 0L).head()
+    assert(r.n_bytes > 0 && r.width >= 1 && r.width <= 640 && r.n_frames == 1)
+  }
+}
