@@ -26,10 +26,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.TextQueries.queries ++ ops.ExtQueries.queries
+    ops.Relational.queries ++ ops.TextQueries.queries ++
+      ops.ExtQueries.queries ++ ops.IoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.TextQueries.oracle ++ ops.ExtQueries.oracle
+    ops.Relational.oracle ++ ops.TextQueries.oracle ++
+      ops.ExtQueries.oracle ++ ops.IoQueries.oracle
 }

@@ -52,13 +52,28 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_distinct(concat(a, b))).cast("double")
 
-  /** MinHash signature: k independent hash functions simulated by salting
-    * xxhash64 with the hash index; signature i = min over shingles.
-    * Pure built-ins → codegen'd, embarrassingly parallel. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(concat(s, lit(s"#$i")))))
+  private val MersenneP = 2147483647L // 2^31 - 1
+
+  /** Base hash of each shingle in [0, 2^31) — computed ONCE per shingle;
+    * the k MinHash functions are then cheap affine transforms. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, s => pmod(xxhash64(s), lit(MersenneP)))
+
+  /** MinHash signature over pre-hashed shingles: hash function i is
+    * h → (a_i·h + b_i) mod P with a_i,b_i < 2^31 and P = 2^31-1 (classic
+    * universal hashing; products stay < 2^62, so no ANSI-mode long
+    * overflow). The final mod is essential — without it the map is
+    * monotonic in h and every "hash function" would select the same
+    * min-shingle. One string hash per shingle total, then pure long math —
+    * ~100× cheaper than salting the string hash per function. */
+  def minhashSignature(hashes: Column, numHashes: Int): Column = {
+    val rnd = new scala.util.Random(0x5EED)
+    array((0 until numHashes).map { _ =>
+      val a = (rnd.nextLong() & 0x7FFFFFFEL) | 1L
+      val b = rnd.nextLong() & 0x7FFFFFFFL
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(MersenneP))))
     }: _*)
+  }
 
   /** LSH band keys: hash of each r-row slice of the signature. A pair
     * collides on some band iff their signatures agree on that whole slice. */
@@ -75,7 +90,8 @@ object Dedup {
                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val rowsPerBand = numHashes / bands
     val banded = df
-      .withColumn("sig", minhashSignature(col(shingleCol), numHashes))
+      .withColumn("hs", shingleHashes(col(shingleCol)))
+      .withColumn("sig", minhashSignature(col("hs"), numHashes))
       .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bkey")))
     val a = banded.toDF(s"${idCol}_a", "band", "bkey")

@@ -1,0 +1,44 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** CSV / EDGAR-index sources (SURVEY §2.1 S1-S3).
+  *
+  * The EDGAR reader is deliberately NOT "skip 9 lines": positional skipping
+  * is a driver-side, single-file idea. Instead data rows are recognized by
+  * predicate (numeric CIK + pipe count), which distributes over any number
+  * of files/partitions unchanged — the faithful port of
+  * `load_filings_idx.py:39-42` (skiprows=9 + drop(labels=[0])) whose intent
+  * is "keep only the pipe-delimited data rows".
+  */
+object Csv {
+
+  /** S1/S2: plain CSV with header + explicit schema. Spark handles the
+    * UTF-8 BOM in the first header cell natively (univocity parser). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .schema(schema)
+      .csv(path)
+
+  /** S3: EDGAR master.idx — pipe-delimited with a 9-line preamble, a
+    * `CIK|Company Name|...` header and a dashed separator row. Returns
+    * columns (cik, business_name, type, date, path) with `date` parsed.
+    * Non-data lines are dropped by predicate: a data row starts with a
+    * numeric CIK followed by a pipe. */
+  def readEdgarIdx(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.textFile(path)
+      .filter($"value".rlike("^[0-9]+\\|"))
+      .select(from_csv($"value",
+        StructType.fromDDL(
+          "cik LONG, business_name STRING, type STRING, date_str STRING, path STRING"),
+        Map("sep" -> "|")).as("r"))
+      .select(
+        $"r.cik", $"r.business_name", $"r.type",
+        to_date($"r.date_str", "yyyy-MM-dd").as("date"), $"r.path")
+  }
+}

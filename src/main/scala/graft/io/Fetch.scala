@@ -1,0 +1,68 @@
+package graft.io
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.time.Duration
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** Distributed document fetch (SURVEY §2.1 S4/S5 + §2.8 X1): the reference's
+  * 20-process `Pool.map_async(dl_filing)` becomes a partitioned
+  * `mapPartitions` fetch stage — Spark tasks replace worker processes, one
+  * client per partition, politeness rate limit per task.
+  *
+  * HTTP lives behind [[Fetcher]] so the zero-egress test environment injects
+  * [[FileFetcher]] (file:// corpus) without touching pipeline code.
+  */
+object Fetch {
+
+  trait Fetcher extends Serializable {
+    /** Returns the document body, or None on failure (failed rows keep
+      * text=NULL and stay in the work queue — reference semantics). */
+    def fetch(url: String): Option[String]
+  }
+
+  /** S4/S5: real HTTP fetcher (latin-1 decode per
+    * `scrape_all_filings.py:85`; politeness delay per request). */
+  final class HttpFetcher(delayMillis: Long = 100L,
+                          timeout: Duration = Duration.ofSeconds(30)) extends Fetcher {
+    @transient private lazy val client =
+      HttpClient.newBuilder().connectTimeout(timeout).build()
+    def fetch(url: String): Option[String] = {
+      try {
+        if (delayMillis > 0) Thread.sleep(delayMillis)
+        val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+        if (resp.statusCode() / 100 == 2)
+          Some(new String(resp.body(), StandardCharsets.ISO_8859_1))
+        else None
+      } catch { case _: Exception => None }
+    }
+  }
+
+  /** Local-file fetcher for tests/fixtures ("url" = filesystem path). */
+  final class FileFetcher extends Fetcher {
+    def fetch(url: String): Option[String] = {
+      val p = Paths.get(url.stripPrefix("file://"))
+      if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      else None
+    }
+  }
+
+  /** The fetch stage: (id, url) rows → (id, url, body) with one Fetcher per
+    * partition. `parallelism` replaces CONCURRENT_WORKERS
+    * (`config/CONSTANTS.py:12`); failed fetches yield null body. */
+  def fetchStage(df: DataFrame, idCol: String, urlCol: String,
+                 fetcher: Fetcher, parallelism: Int = 20): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val in: Dataset[(Long, String)] =
+      df.select(col(idCol).cast("long"), col(urlCol).cast("string")).as[(Long, String)]
+    in.repartition(parallelism)
+      .mapPartitions { rows => rows.map { case (id, url) => (id, url, fetcher.fetch(url).orNull) } }
+      .toDF(idCol, urlCol, "body")
+  }
+}

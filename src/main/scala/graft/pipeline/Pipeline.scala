@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{Csv, Fetch}
+import graft.schema.Schemas
+import graft.text.TextOps
+
+/** The three reference entry points (SURVEY §3 EP1-EP3) re-composed as lazy
+  * DataFrame DAGs. Storage is caller-supplied (parquet dirs in tests, JDBC
+  * in a production deployment via graft.io.Jdbc) — each stage takes and
+  * returns DataFrames.
+  */
+object Pipeline {
+
+  /** EP1 (bootstrap): load the dimension tables from CSV
+    * (`init_tables.py:72-100`). BOM + quoted names handled by the reader. */
+  def loadDims(spark: SparkSession, companiesCsv: String,
+               filingTypesCsv: String): (DataFrame, DataFrame) =
+    (Csv.readCsv(spark, companiesCsv, Schemas.companies),
+      Csv.readCsv(spark, filingTypesCsv, Schemas.filingTypes))
+
+  /** EP2 (index load): parse master.idx files, filter to the company /
+    * kept-filing-type universe via broadcast semi-joins
+    * (`load_filings_idx.py:37-48`), assign filing ids. One lazy DAG; at
+    * scale the fact side streams through two broadcast semi-joins with no
+    * shuffle. */
+  def indexLoad(idx: DataFrame, companies: DataFrame, filingTypes: DataFrame): DataFrame = {
+    val universe = broadcast(companies.select("cik").where(col("cik").isNotNull).distinct())
+    val keptTypes = broadcast(
+      filingTypes.filter(col("keep") === 1).select("type").distinct())
+    idx
+      .join(universe, Seq("cik"), "left_semi")
+      .join(keptTypes, Seq("type"), "left_semi")
+      .withColumn("filing_id", xxhash64(col("path")))  // deterministic id from the unique path
+      .withColumn("text", lit(null).cast("string"))
+      .withColumn("token", lit(null).cast("array<string>"))
+      .select("filing_id", "cik", "business_name", "type", "path", "date", "text", "token")
+  }
+
+  /** The work queue: rows not yet scraped (null-text semantics drive the
+    * queue exactly as in the reference — `load_filings_idx.py:68-72`). */
+  def workQueue(filings: DataFrame): DataFrame =
+    filings.filter(col("text").isNull).select("filing_id", "path")
+
+  /** EP3 (scrape): fetch every queued document, run the sanitize chain,
+    * tokenize, and merge results back — the batch-atomic port of the
+    * UPDATE-plus-triggers loop (`scrape_all_filings.py:117-183`;
+    * tokenization moves from a Postgres trigger into this explicit
+    * write-path transform). Failed fetches keep text NULL and simply stay
+    * queued; re-running a batch is idempotent. */
+  def scrape(filings: DataFrame, fetcher: Fetch.Fetcher,
+             urlFor: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+             parallelism: Int = 20): DataFrame = {
+    val queue = workQueue(filings).withColumn("url", urlFor(col("path")))
+    val fetched = Fetch.fetchStage(queue, "filing_id", "url", fetcher, parallelism)
+      .filter(col("body").isNotNull)
+      .select(col("filing_id"),
+        TextOps.sanitizeFiling(col("body")).as("new_text"))
+      .withColumn("new_token", TextOps.tokenize(col("new_text")))
+    mergeScraped(filings, fetched)
+  }
+
+  /** Batch MERGE: apply (filing_id, new_text, new_token) onto filings.
+    * Equivalent of Delta `MERGE INTO ... WHEN MATCHED UPDATE`; against plain
+    * parquet it's a left join + coalesce, one shuffle on the key. */
+  def mergeScraped(filings: DataFrame, scraped: DataFrame): DataFrame =
+    filings.join(scraped, Seq("filing_id"), "left")
+      .withColumn("text", coalesce(col("new_text"), col("text")))
+      .withColumn("token", coalesce(col("new_token"), col("token")))
+      .drop("new_text", "new_token")
+
+  /** X2 (monitor): progress snapshot + rate/ETA from two snapshots
+    * (`monitor_scraper_progress.py:14-29`) — pure arithmetic, testable. */
+  case class Progress(done: Long, remaining: Long)
+
+  def progress(filings: DataFrame): Progress = {
+    val agg = filings.agg(
+      sum(when(col("text").isNotNull, 1L).otherwise(0L)).as("done"),
+      sum(when(col("text").isNull, 1L).otherwise(0L)).as("remaining"))
+      .head()
+    Progress(Option(agg.getLong(0)).getOrElse(0L), Option(agg.getLong(1)).getOrElse(0L))
+  }
+
+  /** Rows/sec + ETA-seconds between two snapshots dt seconds apart. */
+  def rateAndEta(prev: Progress, cur: Progress, dtSeconds: Double): (Double, Double) = {
+    val rate = (cur.done - prev.done) / dtSeconds
+    val eta = if (rate > 0) cur.remaining / rate else Double.PositiveInfinity
+    (rate, eta)
+  }
+}
