@@ -1,9 +1,11 @@
 package graft.io
 
-import java.sql.DriverManager
+import java.sql.{Connection, DriverManager, PreparedStatement, Types}
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.jdbc.{JdbcDialect, JdbcDialects}
+import org.apache.spark.sql.types._
 
 /** JDBC source/sink wrappers (SURVEY §2.1 S6/S7/S10).
   *
@@ -33,24 +35,37 @@ object Jdbc {
   /** S10: batched point-UPDATE by key — the trigger-free port of
     * `filings.update().where(filing_id==id)` (`scrape_all_filings.py:169-171`).
     * One prepared statement per partition, executeBatch per `batchSize` —
-    * distributed, idempotent (same update re-applied is a no-op). */
+    * distributed, idempotent (same update re-applied is a no-op).
+    *
+    * Identifier quoting and value binding go through Spark's own
+    * `JdbcDialect` for the url (overridable via `dialect`), so the statement
+    * agrees with whatever `df.write.jdbc` produced on the same connection:
+    * columns are dialect-quoted; the table name is passed through verbatim
+    * exactly like Spark's writer (callers quote it themselves if they created
+    * a case-sensitive name), or dialect-quoted with `quoteTable = true`.
+    * Values bind through type-directed setters derived from the DataFrame
+    * schema (dates/timestamps/decimals/arrays included) instead of relying
+    * on driver-specific `setObject` coercion.
+    */
   def updateByKey(df: DataFrame, url: String, table: String,
                   keyCol: String, valueCols: Seq[String],
-                  batchSize: Int = 1000): Unit = {
-    // Spark's JDBC writer quotes COLUMN names (case-preserved) but passes the
-    // table name through unquoted — mirror that here or refs case-fold apart.
-    def q(id: String) = "\"" + id + "\""
-    val sets = valueCols.map(c => s"${q(c)} = ?").mkString(", ")
-    val sql = s"UPDATE $table SET $sets WHERE ${q(keyCol)} = ?"
+                  batchSize: Int = 1000,
+                  quoteTable: Boolean = false,
+                  dialect: JdbcDialect = null): Unit = {
+    val dl = Option(dialect).getOrElse(JdbcDialects.get(url))
+    val tableRef = if (quoteTable) dl.quoteIdentifier(table) else table
+    val sets = valueCols.map(c => s"${dl.quoteIdentifier(c)} = ?").mkString(", ")
+    val sql = s"UPDATE $tableRef SET $sets WHERE ${dl.quoteIdentifier(keyCol)} = ?"
     val cols = valueCols :+ keyCol
-    val projected = df.selectExpr(cols: _*)
-    projected.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    val projected = df.selectExpr(cols.map(dialectFree): _*)
+    val types = projected.schema.fields.map(_.dataType)
+    projected.foreachPartition { (rows: Iterator[Row]) =>
       val conn = DriverManager.getConnection(url)
       try {
         val st = conn.prepareStatement(sql)
         var n = 0
         rows.foreach { r =>
-          cols.zipWithIndex.foreach { case (_, i) => st.setObject(i + 1, r.get(i)) }
+          types.zipWithIndex.foreach { case (dt, i) => bind(conn, st, i + 1, dt, r) }
           st.addBatch()
           n += 1
           if (n % batchSize == 0) st.executeBatch()
@@ -59,5 +74,68 @@ object Jdbc {
         st.close()
       } finally conn.close()
     }
+  }
+
+  /** Column names reach selectExpr as quoted identifiers so reserved words
+    * ("order", "group") survive as plain column references. */
+  private def dialectFree(c: String): String = s"`${c.replace("`", "``")}`"
+
+  /** Type-directed JDBC bind — the subset of Spark's writer setters the
+    * engine's tables need, driven by the DataFrame schema rather than
+    * runtime-class sniffing in setObject. */
+  private def bind(conn: Connection, st: PreparedStatement, pos: Int,
+                   dt: DataType, r: Row): Unit = {
+    val i = pos - 1
+    if (r.isNullAt(i)) { st.setNull(pos, sqlType(dt)); return }
+    dt match {
+      case IntegerType    => st.setInt(pos, r.getInt(i))
+      case LongType       => st.setLong(pos, r.getLong(i))
+      case ShortType      => st.setShort(pos, r.getShort(i))
+      case ByteType       => st.setByte(pos, r.getByte(i))
+      case DoubleType     => st.setDouble(pos, r.getDouble(i))
+      case FloatType      => st.setFloat(pos, r.getFloat(i))
+      case BooleanType    => st.setBoolean(pos, r.getBoolean(i))
+      case StringType     => st.setString(pos, r.getString(i))
+      case BinaryType     => st.setBytes(pos, r.getAs[Array[Byte]](i))
+      case DateType       => st.setDate(pos, r.getAs[java.sql.Date](i))
+      case TimestampType  => st.setTimestamp(pos, r.getAs[java.sql.Timestamp](i))
+      case _: DecimalType => st.setBigDecimal(pos, r.getAs[java.math.BigDecimal](i))
+      case ArrayType(et, _) =>
+        val arr = conn.createArrayOf(arrayBaseTypeName(et),
+          r.getSeq[Any](i).map(_.asInstanceOf[AnyRef]).toArray)
+        st.setArray(pos, arr)
+      case other =>
+        throw new IllegalArgumentException(s"updateByKey: unsupported type $other")
+    }
+  }
+
+  private def sqlType(dt: DataType): Int = dt match {
+    case IntegerType    => Types.INTEGER
+    case LongType       => Types.BIGINT
+    case ShortType      => Types.SMALLINT
+    case ByteType       => Types.TINYINT
+    case DoubleType     => Types.DOUBLE
+    case FloatType      => Types.FLOAT
+    case BooleanType    => Types.BOOLEAN
+    case StringType     => Types.VARCHAR
+    case BinaryType     => Types.BINARY
+    case DateType       => Types.DATE
+    case TimestampType  => Types.TIMESTAMP
+    case _: DecimalType => Types.DECIMAL
+    case _: ArrayType   => Types.ARRAY
+    case _              => Types.OTHER
+  }
+
+  private def arrayBaseTypeName(et: DataType): String = et match {
+    case IntegerType   => "integer"
+    case LongType      => "bigint"
+    case DoubleType    => "double"
+    case FloatType     => "real"
+    case BooleanType   => "boolean"
+    case StringType    => "varchar"
+    case DateType      => "date"
+    case TimestampType => "timestamp"
+    case other =>
+      throw new IllegalArgumentException(s"updateByKey: unsupported array of $other")
   }
 }

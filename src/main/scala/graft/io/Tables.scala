@@ -26,9 +26,17 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
     * ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos-epoch long and floor-convert
     * to a microsecond timestamp — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP, so oracles stay bit-identical. */
+    * casting TIMESTAMP_NS → TIMESTAMP, so oracles stay bit-identical.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session construction (`GraftSession`) — this loader deliberately does
+    * NOT set it itself: the flag changes how every later nanos-parquet read
+    * in the session behaves, so flipping it as a table-load side effect
+    * would be a silent session-wide mutation. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true; " +
+        "build the session via graft.GraftSession (events.parquet is TIMESTAMP(NANOS))")
     val raw = apply(s, d, "events")
     raw.withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(

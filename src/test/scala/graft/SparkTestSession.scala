@@ -2,13 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** One shared local session for all suites (cheap to reuse, UTC-pinned). */
+/** One shared local session for all suites (cheap to reuse, UTC-pinned),
+  * built through the canonical GraftSession factory. */
 object SparkTestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName("graft-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession =
+    GraftSession.builder("local[4]", 4).appName("graft-test").getOrCreate()
 }
