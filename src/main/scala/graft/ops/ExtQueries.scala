@@ -36,10 +36,22 @@ object ExtQueries {
       .orderBy($"lang", $"source")
   }
 
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** Shingled corpus with the compute spread across all cores: any doc_id
+    * slice is pushed into the parquet scan FIRST, then rows are
+    * hash-repartitioned BEFORE the shingle projection. The repartition
+    * matters at both ends of the scale: locally a tiny corpus arrives as a
+    * single scan split (one small file = one task) and would serialize the
+    * compute-dense higher-order shingle/minhash expressions onto one core;
+    * on a 1000-executor cluster the same repartition bounds per-task work
+    * independent of row-group layout. Shuffling (doc_id, text) here is
+    * cheap — text is the column the next stage consumes anyway. */
+  private def shingled(s: org.apache.spark.sql.SparkSession, d: String,
+                       maxDocId: Option[Int] = None) = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", Dedup.wordShingles(Dedup.words($"text"), 3).as("sh"))
+    val docs = Tables.documents(s, d)
+    maxDocId.fold(docs)(m => docs.filter($"doc_id" < m))
+      .repartition($"doc_id")
+      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
       .filter(size($"sh") > 0)
   }
 
@@ -64,10 +76,15 @@ object ExtQueries {
     * full-corpus path. */
   private val q42JaccardPairs: Q = (s, d) => {
     import s.implicits._
-    val slice = shingled(s, d).filter($"doc_id" < BruteForceSlice)
+    // cache: the slice feeds BOTH sides of the product — uncached it would
+    // be recomputed once per side (and once more for the broadcast build)
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
     val a = slice.toDF("doc_a", "sh_a")
     val b = slice.toDF("doc_b", "sh_b")
-    a.crossJoin(b)
+    // broadcast: a bounded slice always fits; without the hint the computed
+    // side has no size stats and Spark falls back to CartesianProductExec
+    // (n_part² tiny tasks — pure scheduling overhead at this cardinality)
+    a.crossJoin(broadcast(b))
       .filter($"doc_a" < $"doc_b")
       .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
       .filter($"jaccard" > 0.5)
@@ -114,7 +131,9 @@ object ExtQueries {
     * Rank output only — ranks are stable (verified margins ≫ float noise). */
   private val q46KnnBrute: Q = (s, d) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    // repartition: the corpus-side cosine scan is compute-dense and the
+    // testdata arrives as one scan split (see `shingled` for the rationale)
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
     Similarity.bruteForceKnn(emb.filter($"vec_id" < 5), emb, k = 10)
       .select($"query_id", $"rank", $"neighbor_id")
       .orderBy($"query_id", $"rank")
@@ -123,7 +142,7 @@ object ExtQueries {
   /** E3 scale path: random-hyperplane LSH ANN (rows-only: recall < 1). */
   private val q47AnnLsh: Q = (s, d) => {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
     Similarity.annKnn(emb.filter($"vec_id" < 5), emb, k = 10)
       .select($"query_id", $"rank", $"neighbor_id")
       .orderBy($"query_id", $"rank")

@@ -27,6 +27,18 @@ class ExtSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("shingleSet UDF matches the wordShingles expression as a set") {
+    val texts = docs.map(_._2) ++ Seq(
+      "", "a b", "A  B--C d!e f", "x x x x x x", "Tab\tand\nnewline 42 mixed9CASE")
+    val df = texts.toDF("text")
+    val got = df.select(Dedup.shingleSet($"text", 3)).as[Seq[String]].collect()
+    val want = df.select(Dedup.wordShingles(Dedup.words($"text"), 3)).as[Seq[String]].collect()
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g.toSet == w.toSet, s"mismatch on input ${texts(i)}")
+      assert(g.length == g.toSet.size, "shingleSet must be distinct")
+    }
+  }
+
   test("jaccard: identity 1.0, disjoint 0.0") {
     val j = shingled.as("a").crossJoin(shingled.as("b"))
       .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"),
