@@ -243,6 +243,111 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Grouping sets: ROLLUP with GROUPING() disambiguators (so NULL group
+    * keys and subtotal rows can't be confused). Same single-shuffle plan as
+    * a plain groupBy — Spark expands grouping sets map-side. */
+  private val q22Rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .rollup($"o_orderpriority", $"o_orderstatus")
+      .agg(
+        grouping($"o_orderpriority").cast("long").as("g_prio"),
+        grouping($"o_orderstatus").cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        money(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  /** Grouping sets: CUBE over the q01 grouping keys. */
+  private val q23Cube: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"),
+        count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** Set op: INTERSECT (distinct semantics, same as SQL). */
+  private val q24Intersect: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(s, d).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  /** Scalar subquery: rows above the global average, via a broadcast
+    * 1-row aggregate instead of a second scan per row. The predicate is
+    * price·n > Σprice in EXACT decimal (equivalent to price > avg) so the
+    * threshold can't flip on float summation order in either engine. */
+  private val q25ScalarSubquery: Q = (s, d) => {
+    import s.implicits._
+    val totals = Tables.orders(s, d)
+      .agg(sum(dec($"o_totalprice")).as("total"), count(lit(1)).as("n_rows"))
+    Tables.orders(s, d).crossJoin(broadcast(totals))
+      .filter(dec($"o_totalprice") * $"n_rows" > $"total")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** PIVOT: status columns per priority (explicit value list keeps the
+    * plan static — no extra distinct-values job at scale). */
+  private val q26Pivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("F"),
+        coalesce($"O", lit(0L)).as("O"),
+        coalesce($"P", lit(0L)).as("P"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Range (theta) join: fact rows into literal value bands. The band table
+    * is broadcast, so the non-equi condition never triggers a cartesian
+    * shuffle — the scalable shape for banding/bucketing joins. */
+  private val q27RangeJoin: Q = (s, d) => {
+    import s.implicits._
+    val bands = Seq(
+      ("p900", 900.0, 925.0), ("p925", 925.0, 950.0),
+      ("p950", 950.0, 975.0), ("p975", 975.0, 1000.0))
+      .toDF("band", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_parts"), money(sum(dec($"p_retailprice"))).as("sum_price"))
+      .orderBy($"band")
+  }
+
+  /** As-of join via [[AsofJoin]] (Spark has no native one): for each error
+    * event, the most recent click at-or-before it by the same user. */
+  private val q28AsofJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    AsofJoin(errors, clicks, keyCol = "user_id", tsCol = "ts")
+      .select($"event_id", $"user_id", $"ts".as("error_ts"), $"ts_r".as("click_ts"))
+      .orderBy($"event_id")
+  }
+
+  /** Semi-structured payloads: JSON path extraction + typed aggregation
+    * over the events `props` column (per-row codegen'd get_json_object). */
+  private val q29JsonExtract: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_projection"      -> q02Projection,
@@ -264,7 +369,15 @@ object Relational {
     "q18_sample"          -> q18Sample,
     "q19_url_grid"        -> q19UrlGrid,
     "q20_events_window"   -> q20EventsWindow,
-    "q21_date_parse"      -> q21DateParse)
+    "q21_date_parse"      -> q21DateParse,
+    "q22_rollup"          -> q22Rollup,
+    "q23_cube"            -> q23Cube,
+    "q24_intersect"       -> q24Intersect,
+    "q25_scalar_subquery" -> q25ScalarSubquery,
+    "q26_pivot"           -> q26Pivot,
+    "q27_range_join"      -> q27RangeJoin,
+    "q28_asof_join"       -> q28AsofJoin,
+    "q29_json_extract"    -> q29JsonExtract)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -360,5 +473,59 @@ object Relational {
     "q21_date_parse" ->
       """SELECT o_orderkey,
          CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS date
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    "q22_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus,
+         CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+         CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+         count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+         ORDER BY o_orderpriority, o_orderstatus""",
+    "q23_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+         CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+         count(*) AS n,
+         sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "q24_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+         ORDER BY nationkey""",
+    "q25_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT count(*) FROM orders)
+               > (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+         ORDER BY o_orderkey""",
+    "q26_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+         count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+         count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q27_range_join" ->
+      """SELECT b.band, count(*) AS n_parts,
+         CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM part p
+         JOIN (VALUES ('p900', 900.0, 925.0), ('p925', 925.0, 950.0),
+                      ('p950', 950.0, 975.0), ('p975', 975.0, 1000.0)) b(band, lo, hi)
+           ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+         GROUP BY b.band ORDER BY b.band""",
+    "q28_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+         CAST(e.ts AS TIMESTAMP) AS error_ts,
+         CAST(c.ts AS TIMESTAMP) AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'error') e
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON e.user_id = c.user_id AND e.ts >= c.ts
+         ORDER BY e.event_id""",
+    "q29_json_extract" ->
+      """SELECT event_type,
+         count(*) AS n,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+         min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+         max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""")
 }
