@@ -195,4 +195,40 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash-60 with an md5-derived token hash (value of the first 15 hex
+    * chars of md5(token)) instead of xxhash64 — chosen because md5 is the
+    * one hash both this engine and DuckDB compute identically, which makes
+    * the fingerprint ORACLE-CHECKABLE end to end (xxhash64 variant above
+    * stays engine-only). One JVM pass per row; empty token list → 0. */
+  def simhashMd5(tokens: Column): Column = simhashMd5Udf(tokens)
+
+  private val simhashMd5Udf = udf((toks: Seq[String]) => {
+    if (toks == null) 0L
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bitSums = new Array[Int](60)
+      toks.foreach { t =>
+        md.reset()
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // value of the first 15 hex chars: nibbles high-to-low per byte
+        var h = 0L
+        var i = 0
+        while (i < 15) {
+          val nib = if (i % 2 == 0) (digest(i / 2) >> 4) & 0xF else digest(i / 2) & 0xF
+          h = (h << 4) | nib
+          i += 1
+        }
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) bitSums(j) += 1 else bitSums(j) -= 1
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 60) { if (bitSums(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+  })
 }

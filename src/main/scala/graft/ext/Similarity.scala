@@ -84,6 +84,54 @@ object Similarity {
   /** ANN candidate pairs/top-k: join query buckets to corpus buckets across
     * `tables` independent hyperplane sets, exact-rank within candidates.
     * Recall is tunable via (numPlanes, tables); never an all-pairs product. */
+  /** Embedding-cosine near-dup pairs over a bounded slice: all pairs with
+    * cosine above `threshold`, ids ordered a<b. Brute force is the right
+    * algorithm for a bounded subset (the caller slices); at corpus scale
+    * use [[annKnn]]/[[ivfKnn]] to generate candidates instead. The slice
+    * feeds both sides, so callers should pass it cached. */
+  def cosineNearDupPairs(slice: DataFrame, threshold: Double,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = slice.select(col(idCol).as("vec_a"), col(vecCol).as("va"))
+    val b = slice.select(col(idCol).as("vec_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineF(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (the first
+    * `numCentroids` corpus vectors) partitions the corpus into cells by
+    * argmax-cosine; each query probes its `nprobe` closest cells and ranks
+    * exactly within them. The 100 TB shape: cell assignment is one
+    * broadcast-join scan, search shuffles only on cell id — no all-pairs
+    * stage anywhere — and recall/cost trades off via (numCentroids, nprobe).
+    * Fully deterministic (centroid choice, argmax tiebreak by centroid id),
+    * hence oracle-checkable, unlike random-hyperplane LSH. */
+  def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             numCentroids: Int = 8, nprobe: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(broadcast(cent))
+        .withColumn("ccos", cosineF(col(vec), col("cv")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= keep)
+        .select(col(id), col(vec), col("cid"))
+    }
+    val cells = assign(corpus, "neighbor_id", "cvec", keep = 1)
+    val probes = assign(queries, "query_id", "qv", keep = nprobe)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cid"))
+      .withColumn("cos", cosineF(col("qv"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -110,13 +110,43 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  /** E2: SimHash fingerprints + near-pairs by Hamming distance. Engine-only
-    * (xxhash64); driver does a rows-only check. */
+  /** E2: SimHash fingerprints over the basic-tokenized documents. Uses the
+    * md5-derived 60-bit token hash ([[Dedup.simhashMd5]]) so DuckDB can
+    * replicate the fingerprint bit-for-bit — a full oracle check, not just
+    * rows-only (the xxhash64 variant stays as engine API). */
   private val q44Simhash: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", Dedup.simhash64(graft.text.TextOps.tokenizeBasic($"text")).as("simhash"))
+      .repartition($"doc_id")
+      .select($"doc_id", Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text")).as("simhash"))
       .orderBy($"doc_id")
+  }
+
+  /** Slice bound for q48 shared by engine and oracle (scale-independent
+    * brute force, same pattern as q42). */
+  private[ops] val CosineSlice = 500
+
+  /** E2/E3: embedding-cosine near-dup pairs over a bounded slice. The
+    * testdata vectors are near-orthogonal (max pairwise cosine ≈ 0.51), so
+    * the 0.45 threshold keeps the output small while sitting far from any
+    * pair's value — the float comparison can't flip across engines. */
+  private val q48CosinePairs: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
+    Similarity.cosineNearDupPairs(emb, threshold = 0.45)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** E3 scale path #2: IVF ANN (deterministic coarse quantizer → probe
+    * nprobe cells → exact rank within). Fully oracle-checked, unlike the
+    * LSH path q47. */
+  private val q49IvfKnn: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    Similarity.ivfKnn(emb.filter($"vec_id" < 5), emb, k = 10, numCentroids = 8, nprobe = 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
   }
 
   /** E5: cross-engine-checkable rolling polynomial fingerprint. */
@@ -201,6 +231,8 @@ object ExtQueries {
     "q45_fingerprint"    -> q45Fingerprint,
     "q46_knn_brute"      -> q46KnnBrute,
     "q47_ann_lsh"        -> q47AnnLsh,
+    "q48_cosine_pairs"   -> q48CosinePairs,
+    "q49_ivf_knn"        -> q49IvfKnn,
     "q50_lang_id"        -> q50LangId,
     "q51_quality"        -> q51Quality,
     "q52_est_tokens"     -> q52EstTokens,
@@ -259,6 +291,56 @@ object ExtQueries {
       jaccardPairsSql(s"WHERE doc_id < $BruteForceSlice", 0.5),
     "q43_minhash_lsh" ->
       jaccardPairsSql("", LshJaccardThreshold),
+    "q44_simhash" ->
+      """WITH t AS (
+           SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))) AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             list_transform(toks, w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs
+           FROM t)
+         SELECT doc_id,
+           CAST(coalesce(list_sum(
+             [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]), 0) AS BIGINT) AS simhash
+         FROM h ORDER BY doc_id""",
+    "q48_cosine_pairs" ->
+      s"""SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice) p
+          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
+    "q49_ivf_knn" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8),
+         assign AS (
+           SELECT v.vec_id, v.embedding, cid,
+                  row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(v.embedding, x -> CAST(x AS DOUBLE)), cv) DESC,
+                             cid) AS crk
+           FROM embeddings v CROSS JOIN cent),
+         cells AS (SELECT vec_id AS neighbor_id, embedding AS cvec, cid FROM assign WHERE crk = 1),
+         probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign
+                    WHERE vec_id < 5 AND crk <= 2),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(qv, x -> CAST(x AS DOUBLE)),
+                               list_transform(cvec, x -> CAST(x AS DOUBLE))) DESC,
+                             neighbor_id) AS rank
+           FROM probes JOIN cells USING (cid))
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank""",
     "q45_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -65,6 +65,33 @@ class ExtSpec extends AnyFunSuite {
     assert(ham(sims(1L), sims(1L)) == 0)
   }
 
+  test("simhashMd5: deterministic, near-dups closer than strangers, empty=0") {
+    val sims = (docs :+ (5L, "")).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(1L), sims(2L)) < ham(sims(1L), sims(3L)))
+    assert(sims(5L) == 0L)
+    // 60-bit fingerprint: top 4 bits clear
+    assert(sims.values.forall(v => (v >>> 60) == 0L))
+  }
+
+  test("ivfKnn: rank 1 is the query itself (queries are corpus members)") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val top = Similarity.ivfKnn(emb.filter($"vec_id" < 3), emb, k = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(top.nonEmpty && top.forall { case (q, n) => q == n })
+  }
+
+  test("cosineNearDupPairs: planted duplicate vector found at cos≈1") {
+    val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
+    val withDup = base :+ (99L, base(1)._2.map(_ * 2.0f)) // scaled copy of vec 1 -> cos 1
+    val pairs = Similarity.cosineNearDupPairs(withDup.toDF("vec_id", "embedding"), 0.999)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 99L)))
+  }
+
   test("dedupByContent keeps smallest id per duplicate text") {
     val dup = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
     val kept = Dedup.dedupByContent(dup, "text", "doc_id")
