@@ -27,11 +27,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TextQueries.queries ++
-      ops.ExtQueries.queries ++ ops.IoQueries.queries
+      ops.ExtQueries.queries ++ ops.IoQueries.queries ++
+      ops.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.TextQueries.oracle ++
-      ops.ExtQueries.oracle ++ ops.IoQueries.oracle
+      ops.ExtQueries.oracle ++ ops.IoQueries.oracle ++
+      ops.StreamQueries.oracle
 }

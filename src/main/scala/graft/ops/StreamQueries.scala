@@ -1,0 +1,109 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.io.Tables
+import graft.streaming.Streams
+
+/** Structured Streaming operator catalog. Each query lands the events table
+  * in a temp directory, streams it back with Trigger.AvailableNow, runs the
+  * streaming operator to completion, and returns the materialized result —
+  * so the SAME DuckDB oracles that check batch queries check the streaming
+  * path. The temp-dir round-trip is test scaffolding; the operators under
+  * test (file source, watermarked agg, stateful dedup, sessionization,
+  * checkpointed file sink) are the production shapes.
+  */
+object StreamQueries {
+
+  /** Land events (micros ts, post nanos conversion) for the file source. */
+  private def landEvents(s: org.apache.spark.sql.SparkSession, d: String): (String, DataFrame) = {
+    val dir = Files.createTempDirectory("graft_stream_src_").toString
+    val ev = Tables.events(s, d)
+    ev.write.mode("overwrite").parquet(dir)
+    (dir, ev)
+  }
+
+  /** Watermarked hourly windowed aggregation (streaming twin of q20).
+    * Complete output mode so the final (not-yet-watermark-closed) windows
+    * are still emitted — which is what makes the result comparable to the
+    * batch oracle; append-mode finalization semantics are spec-tested. */
+  private val q70StreamHourly: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+    Streams.runToMemory(s, Streams.hourlyCounts(stream), OutputMode.Complete())
+      .orderBy($"hour", $"event_type")
+  }
+
+  /** Streaming exact dedup: per-key state drops repeats across the stream. */
+  private val q71StreamDedup: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+    Streams.runToMemory(s, Streams.dedupKeys(stream, Seq("user_id", "event_type")))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** Gap-based sessionization via flatMapGroupsWithState (30-minute gap). */
+  private val q72StreamSessionize: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+      .select($"user_id", $"ts").as[Streams.Ev]
+    Streams.runToMemory(s, Streams.sessionize(stream, gapMinutes = 30).toDF())
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** Checkpointed parquet file sink — the production output path (append
+    * mode, exactly-once via the checkpoint manifest), read back as batch. */
+  private val q73StreamSink: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val outDir = Files.createTempDirectory("graft_stream_out_").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck_").toString
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    Streams.runToParquet(stream, outDir, ckDir)
+    s.read.parquet(outDir).orderBy($"event_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q70_stream_hourly"     -> q70StreamHourly,
+    "q71_stream_dedup"      -> q71StreamDedup,
+    "q72_stream_sessionize" -> q72StreamSessionize,
+    "q73_stream_sink"       -> q73StreamSink)
+
+  val oracle: Map[String, String] = Map(
+    "q70_stream_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+         count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q71_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "q72_stream_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM y GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    "q73_stream_sink" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         ORDER BY event_id""")
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("watermark: append mode finalizes windows and drops late data") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val agg = Streams.hourlyCounts(input.toDF().toDF("ts", "event_type"),
+      watermarkDelay = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // hour 00 gets two events; an event at 02:31 will push the watermark
+      input.addData((ts("00:05"), "a"), (ts("00:15"), "a"))
+      q.processAllAvailable()
+      input.addData((ts("02:31"), "a")) // watermark -> 02:21 > hour-00 end
+      q.processAllAvailable()
+      val afterFinalize = spark.table("wm_test").as[(Timestamp, String, Long)].collect()
+      assert(afterFinalize.exists { case (h, _, n) => h == ts("00:00") && n == 2 },
+        s"hour-00 window should be finalized, got ${afterFinalize.mkString(",")}")
+
+      // late event for hour 00 arrives behind the watermark -> dropped
+      input.addData((ts("00:20"), "a"))
+      q.processAllAvailable()
+      // advance watermark past hour 02 to flush remaining state
+      input.addData((ts("04:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test").as[(Timestamp, String, Long)].collect()
+      val hour0 = rows.filter(_._1 == ts("00:00"))
+      assert(hour0.map(_._3).sum == 2, "late event must NOT be added to hour 00")
+      assert(rows.exists { case (h, _, n) => h == ts("02:00") && n == 1 })
+    } finally q.stop()
+  }
+
+  test("checkpointed parquet sink is exactly-once across re-runs") {
+    val src = Files.createTempDirectory("graft_eo_src_").toString
+    val out = Files.createTempDirectory("graft_eo_out_").toString
+    val ck = Files.createTempDirectory("graft_eo_ck_").toString
+    val data = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    data.write.mode("overwrite").parquet(src)
+
+    def run(): Unit =
+      Streams.runToParquet(Streams.parquetStream(spark, src, data.schema), out, ck)
+
+    run()
+    assert(spark.read.parquet(out).count() == 3)
+    run() // same checkpoint, no new files -> nothing reprocessed
+    assert(spark.read.parquet(out).count() == 3)
+  }
+
+  test("sessionize: gap splits, tight sequence stays one session") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val sessions = Streams.sessionize(input.toDS(), gapMinutes = 30)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        Streams.Ev(1L, ts("00:00")), Streams.Ev(1L, ts("00:10")), Streams.Ev(1L, ts("00:25")),
+        Streams.Ev(1L, ts("01:30")), // 65-min gap -> new session
+        Streams.Ev(2L, ts("00:00")))
+      q.processAllAvailable()
+      val got = spark.table("sess_test")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(got == Set(
+        (1L, ts("00:00"), ts("00:25"), 3L),
+        (1L, ts("01:30"), ts("01:30"), 1L),
+        (2L, ts("00:00"), ts("00:00"), 1L)))
+    } finally q.stop()
+  }
+}
