@@ -154,7 +154,94 @@ object IoQueries {
           FROM parquet.`$d/documents.parquet` ORDER BY doc_id""")
   }
 
+  /** S-series: JSON source/sink round-trip — documents land as JSON lines
+    * and come back bit-identical through an explicit schema read. */
+  private val q68JsonRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_json_").toString
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite").json(dir)
+    s.read.schema(docs.schema).json(dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** E4/S-series: whole-file binary source (`binaryFile`) — the multimodal
+    * ingestion path: opaque payload bytes + file metadata columns, doc id
+    * recovered from the filename. */
+  private val q69BinaryFiles: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" < 50)
+    val dir = Files.createTempDirectory("graft_bin_")
+    docs.select($"doc_id", $"text").collect().foreach { r =>
+      Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
+        r.getString(1).getBytes(StandardCharsets.UTF_8))
+    }
+    s.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(element_at(split($"path", "/"), -1), "doc_(\\d+)\\.bin", 1)
+          .cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("md5_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Skew pattern: salted join of lineitem against a deliberately skewed
+    * key (75% of rows collapse onto one key). Salting changes placement
+    * only, so the plain SQL join is the oracle. */
+  private val q74SaltedJoin: Q = (s, d) => {
+    import s.implicits._
+    val skewed = Tables.lineitem(s, d)
+      .select(when($"l_suppkey" % 4 =!= 0, lit(0L)).otherwise($"l_suppkey").as("skey"),
+        $"l_quantity")
+    val dim = Tables.supplier(s, d).select($"s_suppkey".as("skey"), $"s_nationkey")
+    SkewJoin.saltedInnerJoin(skewed, dim, "skey", salts = 16)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** Bucketing: co-located join — both sides bucketed by the join key into
+    * the session catalog, so the join needs NO exchange (verified in
+    * PlanSpec); the scalable shape for repeated fact-fact joins. */
+  private val q75BucketedJoin: Q = (s, d) => {
+    import s.implicits._
+    graft.io.Catalog.dropManaged(s, "graft_bkt_orders")
+    graft.io.Catalog.dropManaged(s, "graft_bkt_customer")
+    Tables.orders(s, d).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bkt_orders")
+    Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), money(sum(dec($"o_totalprice"))).as("sum_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** Partition pruning: events written partitioned by event_type; the
+    * 'click' read touches ONE partition directory (PartitionFilters in the
+    * scan, verified in PlanSpec) — the layout that turns a 100 TB scan into
+    * a per-category one. */
+  private val q76PartitionPruning: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_part_").toString
+    Tables.events(s, d).write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter($"event_type" === "click")
+      .groupBy(date_trunc("hour", $"ts").as("hour"))
+      .agg(count(lit(1)).as("n"), money(sum(dec($"value"))).as("sum_value"))
+      .orderBy($"hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q68_json_roundtrip"  -> q68JsonRoundtrip,
+    "q69_binary_files"    -> q69BinaryFiles,
+    "q74_salted_join"     -> q74SaltedJoin,
+    "q75_bucketed_join"   -> q75BucketedJoin,
+    "q76_partition_pruning" -> q76PartitionPruning,
     "q60_idx_ingest"      -> q60IdxIngest,
     "q61_scrape_pipeline" -> q61ScrapePipeline,
     "q62_upsert"          -> q62Upsert,
@@ -176,6 +263,31 @@ object IoQueries {
        '\s+', ' ', 'g'))"""
 
   val oracle: Map[String, String] = Map(
+    "q68_json_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    "q69_binary_files" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         md5(text) AS md5_hex
+         FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q74_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM (SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 0 ELSE l_suppkey END AS skey,
+                      l_quantity
+               FROM lineitem) l
+         JOIN supplier ON skey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q75_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q76_partition_pruning" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events WHERE event_type = 'click'
+         GROUP BY 1 ORDER BY hour""",
     "q60_idx_ingest" ->
       """SELECT * FROM (VALUES
            (CAST(43350 AS BIGINT), 'GAS NATURAL INC', '10-K', DATE '2018-03-14',

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.text.{Porter, TextOps}
+import graft.text.{Porter, PostingIndex, TextOps}
 
 /** Text-pipeline operator catalog — SURVEY.md §2.6 (T-chain), §2.7 (F1/F3)
   * over the `documents` table, each with a DuckDB oracle built from the SAME
@@ -137,6 +137,49 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F2/F3 scale path: the same stemmed AND-search as q36 but through the
+    * posting-table inverted index (GIN equivalent) instead of a corpus
+    * scan — must return exactly q36's doc set. */
+  private val q37PostingSearch: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text"))
+    PostingIndex.searchAll(postings, "doc_id", Seq("merges", "joining"))
+      .orderBy($"doc_id")
+  }
+
+  /** E5: tf-idf term statistics over the corpus vocabulary: document
+    * frequency, total term frequency, idf = ln(N/df) (rounded to 6dp so the
+    * single float op can't hash-flip across engines). */
+  private val q38TermStats: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs.select($"doc_id", explode(TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"w")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("sum_tf"))
+      .crossJoin(broadcast(nDocs))
+      .select($"w", $"df", $"sum_tf",
+        round(log($"n_docs".cast("double") / $"df".cast("double")), 6).as("idf"))
+      .orderBy($"w")
+  }
+
+  /** Per-doc top term by raw term frequency (integer ordering — tf desc,
+    * then lexicographic — so the rank is exact in any engine). */
+  private val q39TopTerm: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"tf".desc, $"w".asc)
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"w".as("top_term"), $"tf")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -144,7 +187,10 @@ object TextQueries {
     "q33_text_stats"        -> q33TextStats,
     "q34_tokenize"          -> q34Tokenize,
     "q35_sanitize_filing"   -> q35SanitizeFiling,
-    "q36_ts_search_stemmed" -> q36TsSearchStemmed)
+    "q36_ts_search_stemmed" -> q36TsSearchStemmed,
+    "q37_posting_search"    -> q37PostingSearch,
+    "q38_term_stats"        -> q38TermStats,
+    "q39_top_term"          -> q39TopTerm)
 
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
@@ -178,5 +224,35 @@ object TextQueries {
             SELECT doc_id, lang, $tokenizeSql AS toks FROM documents) t
           WHERE list_contains(toks, '${Porter.stem("merges")}')
             AND list_contains(toks, '${Porter.stem("joining")}')
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "q37_posting_search" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""",
+    "q38_term_stats" ->
+      """WITH tf AS (
+           SELECT doc_id, w, count(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS w
+                 FROM documents) t
+           GROUP BY doc_id, w)
+         SELECT w, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf,
+                round(ln((SELECT count(*) FROM documents) * 1.0 / count(*)), 6) AS idf
+         FROM tf GROUP BY w ORDER BY w""",
+    "q39_top_term" ->
+      """WITH tf AS (
+           SELECT doc_id, w, count(*) AS tf
+           FROM (SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '[^a-z0-9]+'),
+                   x -> length(x) > 0)) AS w
+                 FROM documents) t
+           GROUP BY doc_id, w)
+         SELECT doc_id, w AS top_term, tf FROM (
+           SELECT doc_id, w, tf,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rk
+           FROM tf) r
+         WHERE rk = 1 ORDER BY doc_id""")
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.io.Tables
+
+/** Plan-quality assertions: the properties that make these operators hold
+  * at 100 TB (scan pushdown, column pruning, broadcast dims, shuffle-free
+  * bucketed joins, partition pruning) are locked in here so a refactor
+  * can't silently regress them. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan string. */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("parquet scan: predicate pushed down, columns pruned") {
+    val df = Tables.documents(spark, sf).filter($"doc_id" < 100).select($"doc_id", $"lang")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") && plan.contains("LessThan(doc_id,100)"),
+      s"predicate not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"columns not pruned to (doc_id, lang):\n$plan")
+  }
+
+  test("semi-join against a small universe broadcasts the dim") {
+    val universe = Tables.customer(spark, sf)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val df = Tables.orders(spark, sf)
+      .join(broadcast(universe), $"o_custkey" === $"c_custkey", "left_semi")
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$plan")
+  }
+
+  test("bucketed co-located join runs with zero shuffle exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.io.Catalog.dropManaged(spark, "plan_bkt_a")
+      graft.io.Catalog.dropManaged(spark, "plan_bkt_b")
+      Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+        .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("plan_bkt_a")
+      Tables.customer(spark, sf).select($"c_custkey", $"c_mktsegment")
+        .write.bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("plan_bkt_b")
+      val joined = spark.table("plan_bkt_a")
+        .join(spark.table("plan_bkt_b"), $"o_custkey" === $"c_custkey")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("partitioned layout prunes to the filtered partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_planspec_").toString
+    Tables.events(spark, sf).write.mode("overwrite")
+      .partitionBy("event_type").parquet(dir)
+    val df = spark.read.parquet(dir).filter($"event_type" === "click")
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters:") && plan.contains("event_type"),
+      s"expected partition filters on event_type:\n$plan")
+  }
+
+  test("exact dedup aggregates map-side (partial_ before the exchange)") {
+    val df = Tables.documents(spark, sf)
+      .groupBy(sha2($"text".cast("binary"), 256).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"),
+      s"expected map-side partial aggregation:\n$plan")
+  }
+}
