@@ -17,6 +17,12 @@ object Bench {
     }
     try graft.io.Tables.events(spark, sfDir).limit(1).count()
     catch { case _: Throwable => () }
+    // first use of the text pipeline loads the stemmer + compiles the
+    // tokenize codegen — session constants, same rationale as above
+    spark.range(1).select(
+      graft.text.TextOps.tokenize(
+        org.apache.spark.sql.functions.lit("warming the stemmer udf path")))
+      .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

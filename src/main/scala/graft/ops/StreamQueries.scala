@@ -19,11 +19,17 @@ import graft.streaming.Streams
   */
 object StreamQueries {
 
-  /** Land events (micros ts, post nanos conversion) for the file source. */
+  /** Land events (micros ts, post nanos conversion) for the file source —
+    * memoized per sf dir so the four streaming queries share one landing
+    * instead of rewriting the same input each. */
+  private val landed = scala.collection.concurrent.TrieMap.empty[String, String]
   private def landEvents(s: org.apache.spark.sql.SparkSession, d: String): (String, DataFrame) = {
-    val dir = Files.createTempDirectory("graft_stream_src_").toString
     val ev = Tables.events(s, d)
-    ev.write.mode("overwrite").parquet(dir)
+    val dir = landed.getOrElseUpdate(d, {
+      val out = Files.createTempDirectory("graft_stream_src_").toString
+      ev.write.mode("overwrite").parquet(out)
+      out
+    })
     (dir, ev)
   }
 
