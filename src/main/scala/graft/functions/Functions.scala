@@ -1,15 +1,40 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.text.Porter
+import graft.ext.Dedup
+import graft.text.{Porter, TextOps}
 
 /** SQL-surface registration (EP4 parity: `spark.sql` over registered tables
-  * + engine functions — SURVEY §3 EP4). Idempotent per session. */
+  * + engine functions — SURVEY §3 EP4). Idempotent per session.
+  *
+  * Column-level transforms (which compile to built-in expression trees, no
+  * UDF boundary) are exposed to SQL by unwrapping the Column they build —
+  * so `graft_sanitize(text)` in SQL runs the exact same codegen'd plan as
+  * `TextOps.sanitizeText($"text")` in Scala.
+  */
 object Functions {
+
+  private def colFn(f: Column => Column): Seq[Expression] => Expression =
+    exprs => ColumnBridge.unwrap(f(ColumnBridge.wrap(exprs.head)))
+
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_nfkd", exprs => NfkdNormalize(exprs.head), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_nfkd", exprs => NfkdNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sanitize", colFn(TextOps.sanitizeText), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sanitize_filing", colFn(TextOps.sanitizeFiling), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokenize", colFn(TextOps.tokenize), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokenize_basic", colFn(TextOps.tokenizeBasic), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      colFn(c => Dedup.simhashMd5(TextOps.tokenizeBasic(c))), "scala_udf")
+    // graft_ts_match(tokens, 'space separated terms') — terms must be a
+    // literal (they are stemmed at plan time, like to_tsquery parsing)
+    reg.createOrReplaceTempFunction("graft_ts_match", exprs => {
+      val terms = exprs(1).eval().toString.split("\\s+").toSeq.filter(_.nonEmpty)
+      ColumnBridge.unwrap(TextOps.tsMatchAll(ColumnBridge.wrap(exprs.head), terms))
+    }, "scala_udf")
     spark.udf.register("graft_stem", (s: String) => if (s == null) null else Porter.stem(s))
   }
 }

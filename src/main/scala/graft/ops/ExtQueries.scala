@@ -212,6 +212,27 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E4: base64 attachment extraction — the payloads the reference's T3
+    * throws away, kept as typed binary: wrap each doc in an SGML envelope
+    * with a base64 section, regexp-extract the section, unbase64 to bytes.
+    * The oracle checks the decoded payload's length+md5 against the source
+    * text, so the whole encode→extract→decode path must be lossless. */
+  private val q56AttachmentDecode: Q = (s, d) => {
+    import s.implicits._
+    val sgml = concat(
+      lit("<document><filename>payload.b64<text>"),
+      base64($"text".cast("binary")),
+      lit("</text></document>"))
+    Tables.documents(s, d)
+      .select($"doc_id", sgml.as("sgml"))
+      .select($"doc_id",
+        unbase64(regexp_extract($"sgml", "<text>([A-Za-z0-9+/=\\r\\n]*)</text>", 1)).as("payload"))
+      .select($"doc_id",
+        length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("md5_hex"))
+      .orderBy($"doc_id")
+  }
+
   /** E4: multimodal decode plumbing — mapPartitions feature extraction over
     * a fabricated binary media table (decoder stubbed, pipeline real). */
   private val q55MediaFeatures: Q = (s, d) => {
@@ -237,7 +258,8 @@ object ExtQueries {
     "q51_quality"        -> q51Quality,
     "q52_est_tokens"     -> q52EstTokens,
     "q54_binary_meta"    -> q54BinaryMeta,
-    "q55_media_features" -> q55MediaFeatures)
+    "q55_media_features" -> q55MediaFeatures,
+    "q56_attachment_decode" -> q56AttachmentDecode)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -384,6 +406,11 @@ object ExtQueries {
                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
           FROM documents ORDER BY doc_id""",
     "q54_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+         md5(text) AS md5_hex
+         FROM documents ORDER BY doc_id""",
+    "q56_attachment_decode" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
          md5(text) AS md5_hex

@@ -146,11 +146,16 @@ object IoQueries {
   }
 
   /** EP4: the SQL surface — registered engine functions usable from
-    * spark.sql over parquet-backed tables. */
+    * spark.sql over parquet-backed tables (sanitize, tokenize, full-text
+    * match compile to the same codegen'd plans as the Column API). */
   private val q67SqlSurface: Q = (s, d) => {
     graft.functions.Functions.registerAll(s)
     s.sql(
-      s"""SELECT doc_id, graft_nfkd(text) AS norm, graft_stem('merges') AS stemmed
+      s"""SELECT doc_id,
+          graft_nfkd(text) AS norm,
+          graft_stem('merges') AS stemmed,
+          graft_sanitize(text) AS clean,
+          graft_ts_match(graft_tokenize(text), 'merges joining') AS matched
           FROM parquet.`$d/documents.parquet` ORDER BY doc_id""")
   }
 
@@ -314,5 +319,9 @@ object IoQueries {
                       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS remaining
                FROM documents) t""",
     "q67_sql_surface" ->
-      "SELECT doc_id, text AS norm, 'merg' AS stemmed FROM documents ORDER BY doc_id")
+      s"""SELECT doc_id, text AS norm, '${graft.text.Porter.stem("merges")}' AS stemmed,
+          ${TextQueries.sanitizeSql} AS clean,
+          list_contains(${TextQueries.tokenizeSql}, '${graft.text.Porter.stem("merges")}')
+            AND list_contains(${TextQueries.tokenizeSql}, '${graft.text.Porter.stem("joining")}') AS matched
+          FROM documents ORDER BY doc_id""")
 }

@@ -348,6 +348,33 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Sketch: HLL distinct-count with a VERIFIED accuracy bound — the
+    * approx value itself is engine-specific, so the oracle-checked output
+    * is the exact count plus the contract "approx within 5% of exact". */
+  private val q77ApproxDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .agg(
+        approx_count_distinct($"o_custkey", rsd = 0.01).as("n_approx"),
+        countDistinct($"o_custkey").as("n_exact"))
+      .select(
+        (abs($"n_approx" - $"n_exact").cast("double") / $"n_exact" <= 0.05).as("approx_ok"),
+        $"n_exact")
+  }
+
+  /** Exact percentiles per group (continuous interpolation — DuckDB
+    * quantile_cont twin); 6dp rounding absorbs the engines' differing but
+    * ulp-equivalent interpolation expressions. */
+  private val q78Quantiles: Q = (s, d) => {
+    import s.implicits._
+    def pct(p: Double, name: String) =
+      round(expr(s"percentile(o_totalprice, $p)"), 6).as(name)
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_projection"      -> q02Projection,
@@ -377,7 +404,9 @@ object Relational {
     "q26_pivot"           -> q26Pivot,
     "q27_range_join"      -> q27RangeJoin,
     "q28_asof_join"       -> q28AsofJoin,
-    "q29_json_extract"    -> q29JsonExtract)
+    "q29_json_extract"    -> q29JsonExtract,
+    "q77_approx_distinct" -> q77ApproxDistinct,
+    "q78_quantiles"       -> q78Quantiles)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -527,5 +556,13 @@ object Relational {
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-         FROM events GROUP BY event_type ORDER BY event_type""")
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q77_approx_distinct" ->
+      """SELECT true AS approx_ok, count(DISTINCT o_custkey) AS n_exact FROM orders""",
+    "q78_quantiles" ->
+      """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+         round(quantile_cont(o_totalprice, 0.75), 6) AS p75
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
 }

@@ -38,7 +38,7 @@ object TextQueries {
       " ELSE w END"
 
   /** DuckDB twin of TextOps.sanitizeText. */
-  private val sanitizeSql: String =
+  private[ops] val sanitizeSql: String =
     """trim(regexp_replace(
        array_to_string(list_filter(string_split(
          regexp_replace(translate(regexp_replace(lower(text), '<.+?>', ' ', 'g'),
@@ -53,7 +53,7 @@ object TextQueries {
          string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)))"""
 
   /** DuckDB twin of TextOps.tokenize (stopwords + vocab-stem CASE). */
-  private lazy val tokenizeSql: String =
+  private[ops] lazy val tokenizeSql: String =
     s"""list_sort(list_distinct(list_transform(
           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                       w -> length(w) > 0 AND w NOT IN ($stopListSql)),

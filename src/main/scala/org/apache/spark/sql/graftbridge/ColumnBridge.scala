@@ -11,5 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
   */
 object ColumnBridge {
   def wrap(e: Expression): Column = ExpressionUtils.column(e)
-  def unwrap(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly converts the Column's node tree to a catalyst Expression
+    * (function Columns become catalyst UnresolvedFunctions the analyzer can
+    * resolve). The lazy `ExpressionUtils.expression` wrapper only resolves
+    * inside Dataset operations — a tree handed to the function registry
+    * must already be catalyst, or codegen meets an unresolvable
+    * ColumnNodeExpression. */
+  def unwrap(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
