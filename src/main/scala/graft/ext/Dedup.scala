@@ -56,12 +56,11 @@ object Dedup {
     * insertion-ordered dedupe). Semantically identical to
     * `wordShingles(words(c), k)` — property-tested against it — but ~1000×
     * cheaper per row than the interpreted higher-order expression chain,
-    * which dominates near-dup wall time at any scale. */
-  def shingleSet(c: Column, k: Int): Column = {
-    val kk = k
-    val f = udf((text: String) => shingleSetImpl(text, kk))
-    f(c)
-  }
+    * which dominates near-dup wall time at any scale. Backed by the native
+    * codegen expression [[graft.functions.WordShinglesExpr]] (no UDF
+    * boundary — the projection stays inside WholeStageCodegen). */
+  def shingleSet(c: Column, k: Int): Column =
+    graft.functions.WordShinglesExpr(c, k)
 
   private[graft] def shingleSetImpl(text: String, k: Int): Array[String] = {
     if (text == null) return Array.empty[String]

@@ -27,6 +27,11 @@ object Functions {
     reg.createOrReplaceTempFunction("graft_sanitize_filing", colFn(TextOps.sanitizeFiling), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokenize", colFn(TextOps.tokenize), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokenize_basic", colFn(TextOps.tokenizeBasic), "scala_udf")
+    // graft_shingles(text[, k]) — k defaults to 3, literal when given
+    reg.createOrReplaceTempFunction("graft_shingles", exprs => {
+      val k = if (exprs.length > 1) exprs(1).eval().toString.toInt else 3
+      WordShinglesExpr(exprs.head, k)
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
       colFn(c => Dedup.simhashMd5(TextOps.tokenizeBasic(c))), "scala_udf")
     // graft_ts_match(tokens, 'space separated terms') — terms must be a

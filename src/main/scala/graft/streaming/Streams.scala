@@ -71,6 +71,43 @@ object Streams {
   def dedupKeys(stream: DataFrame, cols: Seq[String]): DataFrame =
     stream.select(cols.map(col): _*).dropDuplicates(cols)
 
+  /** F4 trigger-maintenance port in streaming mode: each micro-batch of
+    * results MERGEs into a parquet base table by key (last-writer-wins
+    * within this batch), batch-atomically via write-to-temp + swap — the
+    * local stand-in for a Delta `MERGE INTO` on a real deployment. The
+    * derived work queue is whatever anti-joins against the base afterwards,
+    * exactly like the batch path (SURVEY §2.7 F4).
+    *
+    * Restartable: the checkpoint makes each source file process exactly
+    * once, and re-merging an already-applied batch is a no-op (same keys,
+    * same values), so the swap is idempotent across failures. */
+  def incrementalMerge(stream: DataFrame, targetDir: String, keyCol: String,
+                       checkpointDir: String): Unit = {
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target = new java.io.File(targetDir)
+        val merged =
+          if (!target.exists() || target.listFiles().forall(_.getName.startsWith("_")))
+            batch
+          else
+            spark.read.parquet(targetDir)
+              .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+              .unionByName(batch)
+        val tmp = targetDir + "_tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fresh = spark.read.parquet(tmp).cache()
+        fresh.count() // materialize before the old files disappear
+        fresh.write.mode("overwrite").parquet(targetDir)
+        fresh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   case class Ev(user_id: Long, ts: Timestamp)
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)

@@ -61,6 +61,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 3)
   }
 
+  test("incrementalMerge: per-batch upsert by key, exactly-once on re-run") {
+    val src = Files.createTempDirectory("graft_im_src_").toString
+    val tgt = Files.createTempDirectory("graft_im_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_im_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+
+    // batch 1: initial rows
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/f1")
+    Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+
+    // batch 2: update id=2, insert id=3 — trigger-style maintenance
+    Seq((2L, "B2"), (3L, "c")).toDF("id", "v").write.parquet(s"$src/f2")
+    Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+
+    // re-run with nothing new: checkpoint makes it a no-op
+    Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+    assert(spark.read.parquet(tgt).count() == 3)
+  }
+
   test("sessionize: gap splits, tight sequence stays one session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Streams.Ev]
