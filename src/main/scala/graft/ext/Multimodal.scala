@@ -61,6 +61,48 @@ object Multimodal {
     }
   }
 
+  case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long, md5_hex: String)
+
+  /** Frame sampling for video payloads: the stub "codec" treats the payload
+    * as `n_frames` equal byte chunks (the real decoder would emit actual
+    * frames); every `everyN`-th frame is materialized with its byte length
+    * and md5. Row-to-many-rows decode = flatMap inside mapPartitions — the
+    * same shape a real frame extractor (or a mapInPandas batch in PySpark)
+    * would use, streaming frames out without collecting a video. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int,
+                   decoder: MediaDecoder = StubDecoder): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.filter(_.kind == "video").flatMap { r =>
+        val (_, _, frames) = decoder.decode(r.kind, r.payload)
+        val chunk = r.payload.length / frames
+        (0 until frames by everyN).iterator.filter(_ => chunk > 0).map { i =>
+          val slice = java.util.Arrays.copyOfRange(r.payload, i * chunk, (i + 1) * chunk)
+          md.reset()
+          FrameRow(r.media_id, i, chunk.toLong,
+            md.digest(slice).map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** Stub resize: byte-stride downsampling (every `stride`-th payload byte).
+    * A real implementation swaps the body for an image scaler; the
+    * partition-parallel plumbing, typed schema, and determinism contract
+    * stay identical. */
+  def resizeStub(media: Dataset[MediaRow], stride: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = new Array[Byte]((r.payload.length + stride - 1) / stride)
+        var i = 0
+        while (i < out.length) { out(i) = r.payload(i * stride); i += 1 }
+        MediaRow(r.media_id, r.kind, out)
+      }
+    }
+  }
+
   /** Fabricate a binary media table from the documents corpus (UTF-8 payload
     * bytes) — stands in for `spark.read.format("binaryFile")` in this
     * parquet-only test environment. */

@@ -233,6 +233,18 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E4: video frame sampling — every 5th stub-frame of each video payload
+    * (row-to-frames flatMap decode); oracle re-slices the same chunks in
+    * SQL, so chunking, indexing, and digests must all agree. */
+  private val q57FrameSample: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.mediaFromDocuments(s, Tables.documents(s, d).repartition($"doc_id")),
+        everyN = 5)
+      .toDF()
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   /** E4: multimodal decode plumbing — mapPartitions feature extraction over
     * a fabricated binary media table (decoder stubbed, pipeline real). */
   private val q55MediaFeatures: Q = (s, d) => {
@@ -259,7 +271,8 @@ object ExtQueries {
     "q52_est_tokens"     -> q52EstTokens,
     "q54_binary_meta"    -> q54BinaryMeta,
     "q55_media_features" -> q55MediaFeatures,
-    "q56_attachment_decode" -> q56AttachmentDecode)
+    "q56_attachment_decode" -> q56AttachmentDecode,
+    "q57_frame_sample"   -> q57FrameSample)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -415,6 +428,21 @@ object ExtQueries {
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
          md5(text) AS md5_hex
          FROM documents ORDER BY doc_id""",
+    "q57_frame_sample" ->
+      """WITH v AS (
+           SELECT doc_id AS media_id, text,
+                  octet_length(CAST(text AS BLOB)) AS n,
+                  octet_length(CAST(text AS BLOB)) % 30 + 1 AS frames
+           FROM documents WHERE doc_id % 3 = 2),
+         f AS (
+           SELECT media_id, text, n // frames AS chunk,
+                  unnest(range(0, frames, 5)) AS frame_idx
+           FROM v)
+         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                CAST(chunk AS BIGINT) AS n_bytes,
+                md5(substring(text, CAST(frame_idx * chunk + 1 AS INT), CAST(chunk AS INT))) AS md5_hex
+         FROM f WHERE chunk > 0
+         ORDER BY media_id, frame_idx""",
     "q55_media_features" ->
       """SELECT doc_id AS media_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'

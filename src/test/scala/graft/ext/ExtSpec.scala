@@ -133,6 +133,24 @@ class ExtSpec extends AnyFunSuite {
     assert(fps(3) == 0L)
   }
 
+  test("multimodal resize + frame sampling: deterministic plumbing") {
+    val docs01 = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val media = Multimodal.mediaFromDocuments(spark, docs01)
+    val resized = Multimodal.resizeStub(media, stride = 4).collect()
+    val orig = media.collect().map(r => r.media_id -> r.payload.length).toMap
+    resized.foreach { r =>
+      assert(r.payload.length == (orig(r.media_id) + 3) / 4)
+    }
+    val frames = Multimodal.sampleFrames(media, everyN = 5).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx % 5 == 0))
+    assert(frames.forall(_.n_bytes > 0))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(media, everyN = 5).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.md5_hex)).toSet ==
+      again.map(f => (f.media_id, f.frame_idx, f.md5_hex)).toSet)
+  }
+
   test("multimodal stub decoder: features deterministic, one per row") {
     val docs01 = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(
