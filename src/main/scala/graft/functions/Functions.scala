@@ -40,6 +40,8 @@ object Functions {
       val terms = exprs(1).eval().toString.split("\\s+").toSeq.filter(_.nonEmpty)
       ColumnBridge.unwrap(TextOps.tsMatchAll(ColumnBridge.wrap(exprs.head), terms))
     }, "scala_udf")
+    reg.createOrReplaceTempFunction("graft_stem_array",
+      exprs => PorterStemArrayExpr(exprs.head), "scala_udf")
     spark.udf.register("graft_stem", (s: String) => if (s == null) null else Porter.stem(s))
   }
 }

@@ -95,18 +95,16 @@ object TextOps {
   def tokenizeBasic(c: Column): Column =
     array_sort(array_distinct(words(c)))
 
-  private val stemArrayUdf =
-    udf((ws: Seq[String]) => if (ws == null) null else ws.map(Porter.stem))
-
   /** Full tsvector analog (F1): words → stopword removal → Porter stem →
     * dedupe → sort. Matches `to_tsvector('english', text)` lexeme semantics
-    * (positions dropped — SURVEY §2.7 allows this simplification).
-    * Stopword removal via `array_except` stays codegen'd; only the stemmer
-    * crosses a UDF boundary (array-at-a-time, one call per row). */
+    * (positions dropped — SURVEY §2.7 allows this simplification). Every
+    * stage is codegen'd — stopword removal via `array_except`, stemming via
+    * the native [[graft.functions.PorterStemArrayExpr]] — so the whole
+    * chain is one WholeStageCodegen span, no UDF boundary. */
   def tokenize(c: Column): Column =
     array_sort(
       array_distinct(
-        stemArrayUdf(
+        graft.functions.PorterStemArrayExpr(
           array_except(words(c), lit(englishStopWords.toArray)))))
 
   // ---------------------------------------------------------------- search
