@@ -24,6 +24,19 @@ object Csv {
       .schema(schema)
       .csv(path)
 
+  /** S1 robustness: PERMISSIVE read that captures malformed rows in a
+    * `_corrupt_record` column instead of failing the job — the 100 TB
+    * posture (a crawl batch with a few broken lines must not kill the
+    * ingest; quarantine and continue). Pair with
+    * `.filter($"_corrupt_record".isNotNull)` to route rejects. */
+  def readCsvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", "string"))
+      .csv(path)
+
   /** S3: EDGAR master.idx — pipe-delimited with a 9-line preamble, a
     * `CIK|Company Name|...` header and a dashed separator row. Returns
     * columns (cik, business_name, type, date, path) with `date` parsed.

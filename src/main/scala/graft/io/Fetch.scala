@@ -26,20 +26,34 @@ object Fetch {
   }
 
   /** S4/S5: real HTTP fetcher (latin-1 decode per
-    * `scrape_all_filings.py:85`; politeness delay per request). */
+    * `scrape_all_filings.py:85`; politeness delay per request; bounded
+    * retries with exponential backoff on 5xx/transport errors — 4xx is
+    * permanent and returns immediately). A failed fetch returns None, so
+    * the row keeps text=NULL and stays in the work queue for the next
+    * batch, exactly like the reference's crashed-worker semantics. */
   final class HttpFetcher(delayMillis: Long = 100L,
-                          timeout: Duration = Duration.ofSeconds(30)) extends Fetcher {
+                          timeout: Duration = Duration.ofSeconds(30),
+                          retries: Int = 2,
+                          backoffMillis: Long = 500L) extends Fetcher {
     @transient private lazy val client =
       HttpClient.newBuilder().connectTimeout(timeout).build()
     def fetch(url: String): Option[String] = {
-      try {
-        if (delayMillis > 0) Thread.sleep(delayMillis)
-        val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
-        val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
-        if (resp.statusCode() / 100 == 2)
-          Some(new String(resp.body(), StandardCharsets.ISO_8859_1))
-        else None
-      } catch { case _: Exception => None }
+      var attempt = 0
+      while (attempt <= retries) {
+        if (attempt > 0) Thread.sleep(backoffMillis << (attempt - 1))
+        else if (delayMillis > 0) Thread.sleep(delayMillis)
+        try {
+          val req = HttpRequest.newBuilder(URI.create(url)).GET().build()
+          val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
+          resp.statusCode() / 100 match {
+            case 2 => return Some(new String(resp.body(), StandardCharsets.ISO_8859_1))
+            case 4 => return None // permanent — retrying won't help
+            case _ => ()          // 5xx/3xx-unfollowed: retry with backoff
+          }
+        } catch { case _: Exception => () } // transport error: retry
+        attempt += 1
+      }
+      None
     }
   }
 

@@ -35,6 +35,45 @@ class IoPipelineSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(2))          // empty cik -> null
   }
 
+  test("permissive CSV: malformed rows quarantined, good rows survive") {
+    val path = tmpFile("mixed.csv",
+      "permno,ticker,cik,business_name\n" +
+        "10001,EGAS,43350,Gas Natural Inc.\n" +
+        "NOT_A_NUMBER,BAD,xx,Broken Row\n" +
+        "10044,RMCF,1616262,Rocky Mountain\n")
+    val df = Csv.readCsvPermissive(spark, path, Schemas.companies).cache()
+    val good = df.filter($"_corrupt_record".isNull)
+    val bad = df.filter($"_corrupt_record".isNotNull)
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    assert(bad.select("_corrupt_record").as[String].head().contains("NOT_A_NUMBER"))
+  }
+
+  test("HttpFetcher: 2xx decoded latin-1, 4xx permanent, 5xx retried") {
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val flakyHits = new java.util.concurrent.atomic.AtomicInteger(0)
+    def handler(f: HttpExchange => Unit): HttpHandler = (ex: HttpExchange) => { f(ex); ex.close() }
+    server.createContext("/ok", handler { ex =>
+      val body = "café filing".getBytes(StandardCharsets.ISO_8859_1)
+      ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
+    })
+    server.createContext("/gone", handler { ex => ex.sendResponseHeaders(404, -1) })
+    server.createContext("/flaky", handler { ex =>
+      if (flakyHits.incrementAndGet() < 2) ex.sendResponseHeaders(503, -1)
+      else { val b = "recovered".getBytes; ex.sendResponseHeaders(200, b.length); ex.getResponseBody.write(b) }
+    })
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    try {
+      val f = new Fetch.HttpFetcher(delayMillis = 0, retries = 2, backoffMillis = 10)
+      assert(f.fetch(s"$base/ok").contains("café filing"))
+      assert(f.fetch(s"$base/gone").isEmpty)
+      assert(f.fetch(s"$base/flaky").contains("recovered"))
+      assert(flakyHits.get() == 2) // one 503, one success — retried exactly once
+    } finally server.stop(0)
+  }
+
   test("EDGAR idx reader: preamble/header/separator dropped, date parsed") {
     val path = tmpFile("master.idx",
       "Description: x\nJunk line\n\nCIK|Company Name|Form Type|Date Filed|Filename\n" +
