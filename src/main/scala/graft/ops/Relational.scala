@@ -348,6 +348,38 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Entity resolution (the reference README's identifier-QA concern,
+    * README.md:79-87): fuzzy identifier matching via edit distance over a
+    * bounded slice — the brute-force baseline; at corpus scale the same
+    * predicate runs on LSH/blocking candidates instead of all pairs. */
+  private val q58FuzzyNames: Q = (s, d) => {
+    import s.implicits._
+    val slice = Tables.customer(s, d).filter($"c_custkey" < 100)
+      .select($"c_custkey", $"c_name").cache()
+    val a = slice.toDF("key_a", "name_a")
+    val b = slice.toDF("key_b", "name_b")
+    a.crossJoin(broadcast(b))
+      .filter($"key_a" < $"key_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 1)
+      .select($"key_a", $"key_b", $"dist".cast("long").as("dist"))
+      .orderBy($"key_a", $"key_b")
+  }
+
+  /** Full outer join (the one outer variant not implied elsewhere in the
+    * catalog), null-tolerant aggregation on both sides. */
+  private val q59FullOuter: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, d).groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    c.join(p, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(
+        coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
   /** Sketch: HLL distinct-count with a VERIFIED accuracy bound — the
     * approx value itself is engine-specific, so the oracle-checked output
     * is the exact count plus the contract "approx within 5% of exact". */
@@ -405,6 +437,8 @@ object Relational {
     "q27_range_join"      -> q27RangeJoin,
     "q28_asof_join"       -> q28AsofJoin,
     "q29_json_extract"    -> q29JsonExtract,
+    "q58_fuzzy_names"     -> q58FuzzyNames,
+    "q59_full_outer"      -> q59FullOuter,
     "q77_approx_distinct" -> q77ApproxDistinct,
     "q78_quantiles"       -> q78Quantiles)
 
@@ -557,6 +591,20 @@ object Relational {
          min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
          max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q58_fuzzy_names" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+         FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+         WHERE a.c_custkey < 100 AND b.c_custkey < 100
+           AND levenshtein(a.c_name, b.c_name) <= 1
+         ORDER BY key_a, key_b""",
+    "q59_full_outer" ->
+      """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+         coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+         FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+         FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) p
+           ON c_nationkey = s_nationkey
+         ORDER BY nationkey""",
     "q77_approx_distinct" ->
       """SELECT true AS approx_ok, count(DISTINCT o_custkey) AS n_exact FROM orders""",
     "q78_quantiles" ->
