@@ -191,6 +191,29 @@ object IoQueries {
       .orderBy($"doc_id")
   }
 
+  /** S-series: ORC source/sink round-trip (the second columnar format the
+    * engine reads/writes; date + string + integer types preserved). */
+  private val q79OrcRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_totalprice")
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy($"o_orderkey")
+  }
+
+  /** UDAF surface: custom typed Aggregator (deterministic mode) used from
+    * the DataFrame API — merges map-side like built-in aggregates. */
+  private val q80GroupMode: Q = (s, d) => {
+    import s.implicits._
+    val mode = udaf(Aggregators.ModeAgg)
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(mode($"o_orderpriority").as("mode_priority"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** Skew pattern: salted join of lineitem against a deliberately skewed
     * key (75% of rows collapse onto one key). Salting changes placement
     * only, so the plain SQL join is the oracle. */
@@ -244,6 +267,8 @@ object IoQueries {
   val queries: Map[String, Q] = Map(
     "q68_json_roundtrip"  -> q68JsonRoundtrip,
     "q69_binary_files"    -> q69BinaryFiles,
+    "q79_orc_roundtrip"   -> q79OrcRoundtrip,
+    "q80_group_mode"      -> q80GroupMode,
     "q74_salted_join"     -> q74SaltedJoin,
     "q75_bucketed_join"   -> q75BucketedJoin,
     "q76_partition_pruning" -> q76PartitionPruning,
@@ -275,6 +300,18 @@ object IoQueries {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
          md5(text) AS md5_hex
          FROM documents WHERE doc_id < 50 ORDER BY doc_id""",
+    "q79_orc_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
+         FROM orders ORDER BY o_orderkey""",
+    "q80_group_mode" ->
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+           SELECT o_orderstatus, o_orderpriority,
+                  CAST(sum(cnt) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rk
+           FROM (SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+                 FROM orders GROUP BY 1, 2) c) t
+         WHERE rk = 1 ORDER BY o_orderstatus""",
     "q74_salted_join" ->
       """SELECT s_nationkey, count(*) AS n, sum(l_quantity) AS sum_qty
          FROM (SELECT CASE WHEN l_suppkey % 4 <> 0 THEN 0 ELSE l_suppkey END AS skey,
