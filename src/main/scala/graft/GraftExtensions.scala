@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{NfkdNormalize, PorterStemArrayExpr, WordShinglesExpr}
+
+/** Spark-native packaging of the engine's Catalyst expressions: set
+  *
+  * {{{ spark.sql.extensions=graft.GraftExtensions }}}
+  *
+  * on any cluster (or `SparkSession.builder().withExtensions(new
+  * GraftExtensions)`) and the native functions are available in every
+  * session's SQL without per-session registration — the deployment story
+  * for the SQL surface (`Functions.registerAll` remains the per-session
+  * programmatic path and covers the composite Column-built functions).
+  *
+  * Only the true Catalyst expressions are injected here: injection happens
+  * before any session state exists, so each builder must construct an
+  * Expression directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfkd"),
+      info("graft_nfkd", "graft_nfkd(str) - Unicode NFKD normalization"),
+      (exprs: Seq[Expression]) => NfkdNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(str[, k]) - distinct word k-shingles (k defaults to 3)"),
+      (exprs: Seq[Expression]) => {
+        val k = if (exprs.length > 1) exprs(1).eval().toString.toInt else 3
+        WordShinglesExpr(exprs.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_stem_array"),
+      info("graft_stem_array", "graft_stem_array(arr) - Porter-stem every array element"),
+      (exprs: Seq[Expression]) => PorterStemArrayExpr(exprs.head)))
+  }
+}
