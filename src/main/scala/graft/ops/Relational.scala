@@ -407,6 +407,86 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** SQL surface: correlated LATERAL subquery (top-2 orders per customer) —
+    * the SQL twin of the q14 window pattern. */
+  private val q81Lateral: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("graft_q81_customer")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q81_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM graft_q81_customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM graft_q81_orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 100
+         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""")
+  }
+
+  /** Window-function suite: lag/lead/rank/dense_rank/ntile/running sum over
+    * one pass (per-customer order history). */
+  private val q82WindowSuite: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 200)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        lag($"o_orderkey", 1).over(w).as("prev_order"),
+        lead($"o_orderkey", 1).over(w).as("next_order"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        money(sum(dec($"o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("run_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** Datetime-function suite incl. the reference's quarter arithmetic T11
+    * (`load_filings_idx.py:18-19`), on a deterministic date column. */
+  private val q83DatetimeSuite: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .withColumn("od", $"o_orderdate".cast("date"))
+      .select($"o_orderkey",
+        year($"od").cast("long").as("y"),
+        quarter($"od").cast("long").as("q"),
+        month($"od").cast("long").as("m"),
+        dayofmonth($"od").cast("long").as("dom"),
+        last_day($"od").as("month_end"),
+        date_add($"od", 30).as("plus30"),
+        datediff($"od", lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** String-function suite (T9 formatting family). */
+  private val q84StringSuite: Q = (s, d) => {
+    import s.implicits._
+    Tables.nation(s, d)
+      .select($"n_nationkey",
+        concat_ws("-", $"n_name", $"n_regionkey").as("tagged"),
+        lpad($"n_name", 12, ".").as("padded"),
+        substring($"n_name", 1, 3).as("prefix"),
+        reverse($"n_name").as("rev"),
+        length($"n_name").cast("long").as("len"),
+        upper($"n_name").as("up"),
+        replace($"n_name", lit("A"), lit("@")).as("replaced"))
+      .orderBy($"n_nationkey")
+  }
+
+  /** Conditional/null-handling suite: nullif/coalesce/greatest/least/CASE. */
+  private val q85NullSuite: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey",
+        nullif($"o_orderstatus", lit("P")).as("status_or_null"),
+        coalesce(nullif($"o_orderstatus", lit("P")), lit("PENDING")).as("status_filled"),
+        greatest($"o_totalprice", lit(100000.0)).as("floor_price"),
+        least($"o_custkey" % 7, lit(3L)).as("cap_prio"),
+        when($"o_totalprice" > 250000, "high")
+          .when($"o_totalprice" > 100000, "mid")
+          .otherwise("low").as("band"))
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_projection"      -> q02Projection,
@@ -440,7 +520,12 @@ object Relational {
     "q58_fuzzy_names"     -> q58FuzzyNames,
     "q59_full_outer"      -> q59FullOuter,
     "q77_approx_distinct" -> q77ApproxDistinct,
-    "q78_quantiles"       -> q78Quantiles)
+    "q78_quantiles"       -> q78Quantiles,
+    "q81_lateral"         -> q81Lateral,
+    "q82_window_suite"    -> q82WindowSuite,
+    "q83_datetime_suite"  -> q83DatetimeSuite,
+    "q84_string_suite"    -> q84StringSuite,
+    "q85_null_suite"      -> q85NullSuite)
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -612,5 +697,54 @@ object Relational {
          round(quantile_cont(o_totalprice, 0.25), 6) AS p25,
          round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
          round(quantile_cont(o_totalprice, 0.75), 6) AS p75
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q81_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         WHERE c.c_custkey < 100
+         ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""",
+    "q82_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_orderkey, 1) OVER w AS prev_order,
+         lead(o_orderkey, 1) OVER w AS next_order,
+         CAST(rank() OVER w AS INT) AS rnk,
+         CAST(dense_rank() OVER w AS INT) AS drnk,
+         CAST(ntile(4) OVER w AS INT) AS quartile,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_total
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q83_datetime_suite" ->
+      """SELECT o_orderkey,
+         year(od) AS y, quarter(od) AS q, month(od) AS m, day(od) AS dom,
+         last_day(od) AS month_end,
+         od + 30 AS plus30,
+         CAST(od - DATE '1995-01-01' AS BIGINT) AS days_since
+         FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders) t
+         ORDER BY o_orderkey""",
+    "q84_string_suite" ->
+      """SELECT n_nationkey,
+         concat_ws('-', n_name, n_regionkey) AS tagged,
+         lpad(n_name, 12, '.') AS padded,
+         substring(n_name, 1, 3) AS prefix,
+         reverse(n_name) AS rev,
+         length(n_name) AS len,
+         upper(n_name) AS up,
+         replace(n_name, 'A', '@') AS replaced
+         FROM nation ORDER BY n_nationkey""",
+    "q85_null_suite" ->
+      """SELECT o_orderkey,
+         nullif(o_orderstatus, 'P') AS status_or_null,
+         coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+         greatest(o_totalprice, 100000.0) AS floor_price,
+         least(o_custkey % 7, 3) AS cap_prio,
+         CASE WHEN o_totalprice > 250000 THEN 'high'
+              WHEN o_totalprice > 100000 THEN 'mid'
+              ELSE 'low' END AS band
+         FROM orders ORDER BY o_orderkey""")
 }
