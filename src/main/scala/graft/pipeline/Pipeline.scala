@@ -21,6 +21,24 @@ object Pipeline {
     (Csv.readCsv(spark, companiesCsv, Schemas.companies),
       Csv.readCsv(spark, filingTypesCsv, Schemas.filingTypes))
 
+  /** EP1 destructive re-init gate (X4): the reference asks Y/N on stdin
+    * before dropping tables (`init_tables.py:13-22`); the engine port is a
+    * `force` flag — re-initializing a non-empty store without `force=true`
+    * throws instead of silently destroying it. Returns the dim frames and
+    * (over)writes them to the store. */
+  def bootstrap(spark: SparkSession, storeDir: String,
+                companiesCsv: String, filingTypesCsv: String,
+                force: Boolean = false): (DataFrame, DataFrame) = {
+    val marker = new java.io.File(storeDir, "companies")
+    require(force || !marker.exists(),
+      s"bootstrap would overwrite existing store at $storeDir — pass force=true " +
+        "(the reference's interactive Y/N gate, init_tables.py:13-22)")
+    val (companies, filingTypes) = loadDims(spark, companiesCsv, filingTypesCsv)
+    companies.write.mode("overwrite").parquet(s"$storeDir/companies")
+    filingTypes.write.mode("overwrite").parquet(s"$storeDir/filing_types")
+    (companies, filingTypes)
+  }
+
   /** EP2 (index load): parse master.idx files, filter to the company /
     * kept-filing-type universe via broadcast semi-joins
     * (`load_filings_idx.py:37-48`), assign filing ids. One lazy DAG; at

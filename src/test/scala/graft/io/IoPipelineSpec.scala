@@ -99,6 +99,22 @@ class IoPipelineSpec extends AnyFunSuite {
     assert(back == Seq((1L, "alpha"), (2L, "BETA2"), (3L, "GAMMA2")))
   }
 
+  test("bootstrap: refuses destructive re-init without force") {
+    val store = Files.createTempDirectory("graft_boot_").toString
+    val companies = tmpFile("companies.csv",
+      "permno,ticker,cik,business_name\n1,T,100,Co\n")
+    val types = tmpFile("filing_types.csv", "type_id,type,keep\n1,10-K,1\n")
+    val (c1, _) = Pipeline.bootstrap(spark, store, companies, types)
+    assert(c1.count() == 1)
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.bootstrap(spark, store, companies, types)
+    }
+    assert(ex.getMessage.contains("force"))
+    val (c2, _) = Pipeline.bootstrap(spark, store, companies, types, force = true)
+    assert(c2.count() == 1)
+    assert(spark.read.parquet(s"$store/companies").count() == 1)
+  }
+
   test("pipeline e2e: index load -> scrape -> search finds the planted doc") {
     val dir = Files.createTempDirectory("graft_e2e_")
     Files.write(dir.resolve("f1.txt"),
