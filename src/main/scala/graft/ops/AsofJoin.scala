@@ -56,8 +56,12 @@ object AsofJoin {
       l.withColumn("asof_r", lit(null).cast(rType))
         .unionByName(r.withColumn("asof_l", lit(null).cast(lType)))
 
+    // asof_r as the final sort key gives DUPLICATE right timestamps a
+    // deterministic total order (struct comparison), so `last` can't pick a
+    // different payload run-to-run; left rows (asof_r null) sort last at
+    // equal ts, after every right they may match.
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("asof_side").asc)
+      .orderBy(col(tsCol).asc, col("asof_side").asc, col("asof_r").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("asof_match", last(col("asof_r"), ignoreNulls = true).over(w))

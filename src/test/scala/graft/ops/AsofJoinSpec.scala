@@ -43,6 +43,16 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got.size == 5)
   }
 
+  test("duplicate right timestamps resolve deterministically (greatest payload)") {
+    val dupRight = Seq((1L, ts(10), "rA"), (1L, ts(10), "rB")).toDF("user_id", "ts", "tag")
+    val l = Seq((7L, 1L, ts(11))).toDF("event_id", "user_id", "ts")
+    val got = (1 to 5).map { _ =>
+      AsofJoin(l, dupRight, "user_id", "ts", Seq("tag"))
+        .select($"tag").as[String].head()
+    }
+    assert(got.distinct == Seq("rB"), s"nondeterministic tie-break: $got")
+  }
+
   test("carried right column colliding with a left name gets the suffix") {
     val r2 = right.withColumnRenamed("tag", "event_id") // collides with left
     val out = AsofJoin(left, r2, "user_id", "ts", valueCols = Seq("event_id"))
