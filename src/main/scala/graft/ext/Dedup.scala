@@ -96,7 +96,9 @@ object Dedup {
   def shingleHashes(shingles: Column): Column =
     transform(shingles, s => pmod(xxhash64(s), lit(MersenneP)))
 
-  /** MinHash signature over pre-hashed shingles: hash function i is
+  /** REFERENCE-ONLY expression form (see bandKeysUdf for the operator hot
+    * path — the two produce different buckets and must not be mixed).
+    * MinHash signature over pre-hashed shingles: hash function i is
     * h → (a_i·h + b_i) mod P with a_i,b_i < 2^31 and P = 2^31-1 (classic
     * universal hashing; products stay < 2^62, so no ANSI-mode long
     * overflow). The final mod is essential — without it the map is
@@ -120,8 +122,11 @@ object Dedup {
     }: _*)
 
   /** Fused shingles → minhash signature → band keys in ONE JVM pass per
-    * row. Same math as the expression chain (xxhash64 via Spark's XXH64,
-    * mod-P affine minhash), but the chain's higher-order expressions are
+    * row. Same CONSTRUCTION as the expression chain above (xxhash64 via
+    * Spark's XXH64, mod-P affine minhash) but NOT bucket-compatible with
+    * it: coefficients are drawn in a different order from the seed and band
+    * keys use a polynomial mix instead of Murmur3, so never mix the two
+    * paths for one index. The chain's higher-order expressions are
     * CodegenFallback (interpreted) and dominated near-dup wall time; the
     * fused loop is ~100× cheaper and touches each shingle exactly once. */
   private def bandKeysUdf(numHashes: Int, bands: Int) = {
@@ -163,7 +168,12 @@ object Dedup {
     * never all-pairs. */
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
                         numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val banded = df
+    // shingle-less docs have no candidates BY DEFINITION — and without this
+    // guard they would all share the degenerate [MaxValue×k] signature and
+    // collapse into ONE bucket (an O(n²) blowup on crawl data full of short
+    // docs); null arrays are excluded for the same reason
+    val eligible = df.filter(col(shingleCol).isNotNull && size(col(shingleCol)) > 0)
+    val banded = eligible
       .select(col(idCol), posexplode(bandKeysUdf(numHashes, bands)(col(shingleCol)))
         .as(Seq("band", "bkey")))
     val a = banded.toDF(s"${idCol}_a", "band", "bkey")

@@ -42,13 +42,16 @@ object Similarity {
     * CodegenFallback — interpreted per row — which made it the dominant
     * cost of the kNN scan; the fused loop is ~100× cheaper. */
   private val cosineF = udf((a: Seq[Float], b: Seq[Float]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y; i += 1
+    if (a == null || b == null) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   })
 
   /** Exact top-k neighbors for each query vector. Queries must be small
@@ -142,20 +145,23 @@ object Similarity {
     val planeArr: Array[Array[Array[Double]]] =
       planeSets.map(_.map(_.toArray).toArray).toArray
     val bucketsF = udf((v: Seq[Float]) => {
-      val out = new Array[Long](planeArr.length)
-      var t = 0
-      while (t < planeArr.length) {
-        val ps = planeArr(t); var key = 0L; var j = 0
-        while (j < ps.length) {
-          val p = ps(j); var proj = 0.0; var i = 0
-          val n = math.min(v.length, p.length)
-          while (i < n) { proj += v(i).toDouble * p(i); i += 1 }
-          if (proj >= 0) key |= (1L << j)
-          j += 1
+      if (v == null) null
+      else {
+        val out = new Array[Long](planeArr.length)
+        var t = 0
+        while (t < planeArr.length) {
+          val ps = planeArr(t); var key = 0L; var j = 0
+          while (j < ps.length) {
+            val p = ps(j); var proj = 0.0; var i = 0
+            val n = math.min(v.length, p.length)
+            while (i < n) { proj += v(i).toDouble * p(i); i += 1 }
+            if (proj >= 0) key |= (1L << j)
+            j += 1
+          }
+          out(t) = key; t += 1
         }
-        out(t) = key; t += 1
+        out
       }
-      out
     })
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),

@@ -27,8 +27,11 @@ object Csv {
   /** S1 robustness: PERMISSIVE read that captures malformed rows in a
     * `_corrupt_record` column instead of failing the job — the 100 TB
     * posture (a crawl batch with a few broken lines must not kill the
-    * ingest; quarantine and continue). Pair with
-    * `.filter($"_corrupt_record".isNotNull)` to route rejects. */
+    * ingest; quarantine and continue).
+    *
+    * NOTE: Spark refuses queries that reference ONLY the corrupt-record
+    * column of a raw CSV scan — use [[quarantine]] (which caches first, the
+    * supported pattern) rather than filtering this frame directly. */
   def readCsvPermissive(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read
       .option("header", "true")
@@ -36,6 +39,15 @@ object Csv {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(schema.add("_corrupt_record", "string"))
       .csv(path)
+
+  /** Split a permissive read into (good rows, quarantined raw lines).
+    * Caches the scan — required by Spark before corrupt-record-only
+    * filters, and it's read twice anyway. */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    val cached = df.cache()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull).select("_corrupt_record"))
+  }
 
   /** S3: EDGAR master.idx — pipe-delimited with a 9-line preamble, a
     * `CIK|Company Name|...` header and a dashed separator row. Returns

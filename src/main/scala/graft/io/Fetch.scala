@@ -47,10 +47,17 @@ object Fetch {
           val resp = client.send(req, HttpResponse.BodyHandlers.ofByteArray())
           resp.statusCode() / 100 match {
             case 2 => return Some(new String(resp.body(), StandardCharsets.ISO_8859_1))
-            case 4 => return None // permanent — retrying won't help
-            case _ => ()          // 5xx/3xx-unfollowed: retry with backoff
+            // 3xx: the client never follows redirects, so retrying can't
+            // help either — both are permanent from this fetcher's view
+            case 3 | 4 => return None
+            case _ => () // 5xx: retry with backoff
           }
-        } catch { case _: Exception => () } // transport error: retry
+        } catch {
+          case _: InterruptedException =>
+            Thread.currentThread().interrupt() // task kill: stop retrying
+            return None
+          case _: Exception => () // transport error: retry
+        }
         attempt += 1
       }
       None

@@ -235,7 +235,13 @@ object ExtQueries {
 
   /** E4: video frame sampling — every 5th stub-frame of each video payload
     * (row-to-frames flatMap decode); oracle re-slices the same chunks in
-    * SQL, so chunking, indexing, and digests must all agree. */
+    * SQL, so chunking, indexing, and digests must all agree.
+    *
+    * Oracle caveat: DuckDB has no BLOB substring, so the oracle slices by
+    * CHARACTER; the engine slices payload BYTES. They agree because the
+    * documents corpus is verified pure ASCII at every sf (byte length ==
+    * char length, checked 2026-08-12) — a non-ASCII corpus would need an
+    * engine-only check here. */
   private val q57FrameSample: Q = (s, d) => {
     import s.implicits._
     Multimodal.sampleFrames(

@@ -84,8 +84,20 @@ object Streams {
   def incrementalMerge(stream: DataFrame, targetDir: String, keyCol: String,
                        checkpointDir: String): Unit = {
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        // one row per key even WITHIN a batch (a micro-batch can carry the
+        // same key from several source files, and rows have no intra-batch
+        // order) — the greatest full-row struct wins, which is arbitrary
+        // but DETERMINISTIC; pass a version column as the key's last struct
+        // field upstream for true last-writer-wins
+        val cols = rawBatch.columns
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol))
+          .orderBy(struct(cols.map(col): _*).desc)
+        val batch = rawBatch
+          .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(w))
+          .filter(col("graft_rn") === 1).drop("graft_rn")
         val target = new java.io.File(targetDir)
         val merged =
           if (!target.exists() || target.listFiles().forall(_.getName.startsWith("_")))
@@ -112,36 +124,103 @@ object Streams {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
-  /** Gap-based sessionization via flatMapGroupsWithState — the custom-state
-    * operator the reference's trigger machinery has no analog for. Events
-    * are sorted inside each group (micro-batch iterators carry no time
-    * order); gap comparison runs at microsecond precision to match the SQL
-    * (gaps-and-islands) twin exactly. State times out per key in continuous
-    * operation; under availableNow each key arrives in one group call. */
+  private def micros(t: Timestamp): Long =
+    t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+  /** Pure per-key sessionization of a sorted timestamp array: closed
+    * sessions plus the still-open tail. Micro-second gap math matches the
+    * SQL gaps-and-islands twin exactly. */
+  private def splitSessions(uid: Long, ts: Array[Timestamp], gapMicros: Long)
+      : (Seq[Session], Session) = {
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var start = ts(0); var end = ts(0); var n = 1L
+    var i = 1
+    while (i < ts.length) {
+      if (micros(ts(i)) - micros(end) > gapMicros) {
+        closed += Session(uid, start, end, n)
+        start = ts(i); n = 0L
+      }
+      end = ts(i); n += 1L
+      i += 1
+    }
+    (closed.toSeq, Session(uid, start, end, n))
+  }
+
+  /** Gap-based sessionization of a BOUNDED stream: complete and correct
+    * when each key's full history arrives within one micro-batch (the
+    * availableNow single-batch shape q72 uses, or any batch Dataset).
+    * Events are sorted inside each group (micro-batch iterators carry no
+    * time order). For a continuous stream whose keys span batches, use
+    * [[sessionizeStateful]] — this variant deliberately carries no state,
+    * so cross-batch sessions would NOT merge. */
   def sessionize(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
-    def micros(t: Timestamp): Long = t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) => {
+        (uid: Long, evs: Iterator[Ev], _: GroupState[Session]) => {
           val ts = evs.map(_.ts).toArray.sortBy(micros)
           if (ts.isEmpty) Iterator.empty
           else {
-            val sessions = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var start = ts(0); var end = ts(0); var n = 1L
-            var i = 1
-            while (i < ts.length) {
-              if (micros(ts(i)) - micros(end) > gapMicros) {
-                sessions += Session(uid, start, end, n)
-                start = ts(i); n = 0L
+            val (closed, open) = splitSessions(uid, ts, gapMicros)
+            (closed :+ open).iterator
+          }
+        })
+  }
+
+  /** Cross-batch sessionization with real per-key state: the open session
+    * is carried in GroupState and merged with each batch's events; sessions
+    * close either because a later event exceeds the gap, or via EVENT-TIME
+    * TIMEOUT when the watermark passes (session end + gap) — so the final
+    * session of an idle key is still emitted, exactly once. State per key
+    * is one (start, end, n) triple — bounded regardless of history length. */
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int,
+                         watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Session]) => {
+          if (!evs.hasNext && state.hasTimedOut) {
+            // watermark passed end+gap: nothing can extend this session
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else if (!evs.hasNext) Iterator.empty
+          else {
+            val batchTs = evs.map(_.ts).toArray.sortBy(micros)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var open: Option[Session] = state.getOption
+            batchTs.foreach { t =>
+              open match {
+                case None =>
+                  open = Some(Session(uid, t, t, 1L))
+                case Some(s) =>
+                  val tm = micros(t)
+                  if (tm > micros(s.session_end) + gapMicros) {
+                    closed += s // a later event proves the gap — session closed
+                    open = Some(Session(uid, t, t, 1L))
+                  } else if (tm >= micros(s.session_end)) {
+                    open = Some(s.copy(session_end = t, n_events = s.n_events + 1))
+                  } else if (tm >= micros(s.session_start)) {
+                    open = Some(s.copy(n_events = s.n_events + 1)) // interior late event
+                  } else if (micros(s.session_start) - tm <= gapMicros) {
+                    open = Some(s.copy(session_start = t, n_events = s.n_events + 1))
+                  } else {
+                    // older than (open start − gap): a very-late straggler —
+                    // emit as its own singleton session (watermark makes
+                    // this rare; merging it would need dropped history)
+                    closed += Session(uid, t, t, 1L)
+                  }
               }
-              end = ts(i); n += 1L
-              i += 1
             }
-            sessions += Session(uid, start, end, n)
-            sessions.iterator
+            val o = open.get
+            state.update(o)
+            state.setTimeoutTimestamp(micros(o.session_end) / 1000L + gapMinutes * 60L * 1000L)
+            closed.iterator
           }
         })
   }

@@ -41,12 +41,11 @@ class IoPipelineSpec extends AnyFunSuite {
         "10001,EGAS,43350,Gas Natural Inc.\n" +
         "NOT_A_NUMBER,BAD,xx,Broken Row\n" +
         "10044,RMCF,1616262,Rocky Mountain\n")
-    val df = Csv.readCsvPermissive(spark, path, Schemas.companies).cache()
-    val good = df.filter($"_corrupt_record".isNull)
-    val bad = df.filter($"_corrupt_record".isNotNull)
+    val (good, bad) = Csv.quarantine(Csv.readCsvPermissive(spark, path, Schemas.companies))
     assert(good.count() == 2)
+    assert(!good.columns.contains("_corrupt_record"))
     assert(bad.count() == 1)
-    assert(bad.select("_corrupt_record").as[String].head().contains("NOT_A_NUMBER"))
+    assert(bad.as[String].head().contains("NOT_A_NUMBER"))
   }
 
   test("HttpFetcher: 2xx decoded latin-1, 4xx permanent, 5xx retried") {

@@ -87,6 +87,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).count() == 3)
   }
 
+  test("incrementalMerge: duplicate keys WITHIN one batch collapse to one row") {
+    val src = Files.createTempDirectory("graft_imdup_src_").toString
+    val tgt = Files.createTempDirectory("graft_imdup_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imdup_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    // two files, same key, read in ONE availableNow batch
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$src/f1")
+    Seq((2L, "B2"), (3L, "c")).toDF("id", "v").write.parquet(s"$src/f2")
+    Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+    val rows = spark.read.parquet(tgt).as[(Long, String)].collect().toList
+    assert(rows.map(_._1).sorted == List(2L, 3L), s"duplicate key survived: $rows")
+    // deterministic winner: greatest struct => "b" > "B2" lexicographically
+    assert(rows.toMap.apply(2L) == "b")
+  }
+
+  test("sessionizeStateful: sessions merge across batches, timeout flushes the tail") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Streams.Ev]
+    val sessions = Streams.sessionizeStateful(input.toDS(), gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess_stateful")
+      .outputMode(OutputMode.Append()).start()
+    def rows() = spark.table("sess_stateful")
+      .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+    try {
+      // batch 1: open session for user 1
+      input.addData(Streams.Ev(1L, ts("00:00")), Streams.Ev(1L, ts("00:10")))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "open session must not emit yet")
+
+      // batch 2: extends the SAME session across the batch boundary,
+      // then a far event closes it in-batch
+      input.addData(Streams.Ev(1L, ts("00:20")), Streams.Ev(1L, ts("02:00")))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, ts("00:00"), ts("00:20"), 3L)),
+        s"cross-batch merge failed: ${rows()}")
+
+      // batch 3+4: advance the watermark past 02:00 + gap via another key;
+      // the timeout fires on the NEXT trigger after the watermark moves
+      input.addData(Streams.Ev(2L, ts("05:00")))
+      q.processAllAvailable()
+      input.addData(Streams.Ev(2L, ts("05:01")))
+      q.processAllAvailable()
+      assert(rows().contains((1L, ts("02:00"), ts("02:00"), 1L)),
+        s"timeout flush missing: ${rows()}")
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits, tight sequence stays one session") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Streams.Ev]
