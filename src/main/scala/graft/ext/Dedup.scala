@@ -205,6 +205,40 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Duplicate CLUSTERS from near-dup pairs: connected components by
+    * min-label propagation — each node converges to the smallest doc id
+    * reachable from it, which becomes the canonical id of its duplicate
+    * group (the step after q42/q43 in a real dedup pipeline: keep one doc
+    * per component). Iterative joins, O(diameter) rounds; components of
+    * near-dup graphs are tiny (diameter ≤ a few hops), so the loop
+    * converges in 2-4 rounds. `localCheckpoint` truncates lineage each
+    * round — without it the plan doubles per iteration. Only nodes that
+    * appear in some pair are returned (singletons are their own canonical
+    * doc by definition). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
   /** SimHash-60 with an md5-derived token hash (value of the first 15 hex
     * chars of md5(token)) instead of xxhash64 — chosen because md5 is the
     * one hash both this engine and DuckDB compute identically, which makes

@@ -110,6 +110,23 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** E2: duplicate clusters — connected components over the q42 near-dup
+    * pair graph; each doc maps to its component's canonical (minimum) id.
+    * Oracle recomputes the closure with a recursive CTE. */
+  private val q86DupClusters: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
+      .select($"doc_a", $"doc_b")
+    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .select($"node".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
   /** E2: SimHash fingerprints over the basic-tokenized documents. Uses the
     * md5-derived 60-bit token hash ([[Dedup.simhashMd5]]) so DuckDB can
     * replicate the fingerprint bit-for-bit — a full oracle check, not just
@@ -278,7 +295,8 @@ object ExtQueries {
     "q54_binary_meta"    -> q54BinaryMeta,
     "q55_media_features" -> q55MediaFeatures,
     "q56_attachment_decode" -> q56AttachmentDecode,
-    "q57_frame_sample"   -> q57FrameSample)
+    "q57_frame_sample"   -> q57FrameSample,
+    "q86_dup_clusters"   -> q86DupClusters)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -332,6 +350,22 @@ object ExtQueries {
       jaccardPairsSql(s"WHERE doc_id < $BruteForceSlice", 0.5),
     "q43_minhash_lsh" ->
       jaccardPairsSql("", LshJaccardThreshold),
+    "q86_dup_clusters" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice").replaceFirst("WITH", "WITH RECURSIVE")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(a.sh || b.sh)) > 0.5),
+          e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          reach(node, label) AS (
+            SELECT node, node FROM n
+            UNION
+            SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+          SELECT node AS doc_id, min(label) AS component
+          FROM reach GROUP BY node ORDER BY doc_id""",
     "q44_simhash" ->
       """WITH t AS (
            SELECT doc_id,

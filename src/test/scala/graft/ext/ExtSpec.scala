@@ -92,6 +92,14 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 99L)))
   }
 
+  test("connectedComponents: chains merge, disjoint clusters stay apart") {
+    // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton pairs none
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("dedupByContent keeps smallest id per duplicate text") {
     val dup = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
     val kept = Dedup.dedupByContent(dup, "text", "doc_id")
