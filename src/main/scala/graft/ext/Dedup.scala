@@ -222,16 +222,22 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var changed = 1L
+    // labels only ever DECREASE, so Σlabel is a strictly-monotone progress
+    // measure — change detection is one cheap agg on the checkpointed
+    // frame instead of a self-join per round
+    def labelSum(df: DataFrame): Long =
+      Option(df.agg(sum("label")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
+    var prevSum = Long.MaxValue
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var curSum = labelSum(labels)
+    while (curSum != prevSum && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
+      prevSum = curSum
+      curSum = labelSum(next)
       labels = next
       i += 1
     }

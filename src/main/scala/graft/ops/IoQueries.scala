@@ -202,6 +202,33 @@ object IoQueries {
     s.read.orc(dir).orderBy($"o_orderkey")
   }
 
+  /** S-series: XML source/sink round-trip (Spark 4's built-in XML data
+    * source — the format family EDGAR's SGML is adjacent to). */
+  private val q87XmlRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_xml_").toString
+    val docs = Tables.documents(s, d)
+    docs.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .format("xml").save(dir)
+    s.read.schema(docs.schema)
+      .option("rowTag", "doc")
+      .format("xml").load(dir)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  /** Multiset set ops: INTERSECT ALL / EXCEPT ALL (duplicate-preserving
+    * variants of q16/q17/q24), tagged and unioned into one result. */
+  private val q88MultisetOps: Q = (s, d) => {
+    import s.implicits._
+    val c = Tables.customer(s, d).select($"c_nationkey".as("nationkey"))
+    val p = Tables.supplier(s, d).select($"s_nationkey".as("nationkey"))
+    c.intersectAll(p).withColumn("op", lit("intersect_all"))
+      .unionByName(c.exceptAll(p).withColumn("op", lit("except_all")))
+      .orderBy($"op", $"nationkey")
+  }
+
   /** UDAF surface: custom typed Aggregator (deterministic mode) used from
     * the DataFrame API — merges map-side like built-in aggregates. */
   private val q80GroupMode: Q = (s, d) => {
@@ -269,6 +296,8 @@ object IoQueries {
     "q69_binary_files"    -> q69BinaryFiles,
     "q79_orc_roundtrip"   -> q79OrcRoundtrip,
     "q80_group_mode"      -> q80GroupMode,
+    "q87_xml_roundtrip"   -> q87XmlRoundtrip,
+    "q88_multiset_ops"    -> q88MultisetOps,
     "q74_salted_join"     -> q74SaltedJoin,
     "q75_bucketed_join"   -> q75BucketedJoin,
     "q76_partition_pruning" -> q76PartitionPruning,
@@ -303,6 +332,18 @@ object IoQueries {
     "q79_orc_roundtrip" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate, o_totalprice
          FROM orders ORDER BY o_orderkey""",
+    "q87_xml_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         ORDER BY doc_id""",
+    "q88_multiset_ops" ->
+      """SELECT nationkey, 'intersect_all' AS op FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           INTERSECT ALL SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'except_all' AS op FROM (
+           SELECT c_nationkey AS nationkey FROM customer
+           EXCEPT ALL SELECT s_nationkey FROM supplier)
+         ORDER BY op, nationkey""",
     "q80_group_mode" ->
       """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
            SELECT o_orderstatus, o_orderpriority,
