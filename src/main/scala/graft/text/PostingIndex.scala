@@ -49,4 +49,26 @@ object PostingIndex {
     postings.filter(col("lexeme").isin(stemmed: _*))
       .select(col(idCol)).distinct()
   }
+
+  /** AND-search against an index written by [[write]]: the query terms'
+    * bucket ids are computed with the SAME hash the writer used (via a
+    * one-row Spark job, so the two can't drift), and the scan filters on
+    * `lexeme_bucket` FIRST — partition pruning reads only the matching
+    * bucket directories, the on-disk analog of walking one GIN posting
+    * list instead of the whole index. */
+  def searchAllIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                       idCol: String, terms: Seq[String], buckets: Int = 64): DataFrame = {
+    import spark.implicits._
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val bucketIds = stemmed.toDF("lexeme")
+      .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
+      .as[Int].collect().toSeq.distinct
+    spark.read.parquet(indexPath)
+      .filter(col("lexeme_bucket").isin(bucketIds: _*)) // partition-pruned
+      .filter(col("lexeme").isin(stemmed: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+      .filter(col("n_hit") === stemmed.length)
+      .select(col(idCol))
+  }
 }

@@ -71,6 +71,22 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition filters on event_type:\n$plan")
   }
 
+  test("posting-index search prunes to the terms' lexeme-bucket partitions") {
+    import graft.text.{PostingIndex, TextOps}
+    val dir = java.nio.file.Files.createTempDirectory("graft_postidx_").toString + "/idx"
+    val docs = Tables.documents(spark, sf)
+    val postings = PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text"))
+    PostingIndex.write(postings, dir, buckets = 16)
+    val viaIndex = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merges", "joining"), buckets = 16)
+    val viaScan = PostingIndex.searchAll(postings, "doc_id", Seq("merges", "joining"))
+    assert(viaIndex.collect().map(_.getLong(0)).sorted.toSeq ==
+      viaScan.collect().map(_.getLong(0)).sorted.toSeq)
+    val plan = planOf(viaIndex)
+    assert(plan.contains("PartitionFilters:") && plan.contains("lexeme_bucket"),
+      s"bucket partition pruning missing:\n$plan")
+  }
+
   test("exact dedup aggregates map-side (partial_ before the exchange)") {
     val df = Tables.documents(spark, sf)
       .groupBy(sha2($"text".cast("binary"), 256).as("h"))

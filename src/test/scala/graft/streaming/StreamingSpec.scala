@@ -103,6 +103,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toMap.apply(2L) == "b")
   }
 
+  test("streaming dedup runs on the RocksDB state store (large keyed-state path)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    // provider is captured at query START; restored right after, so no
+    // other query in the shared session can observe the change
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val q = Streams.dedupKeys(input.toDF().toDF("k", "v"), Seq("k"))
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData((1L, "a"), (1L, "b"), (2L, "c"))
+        q.processAllAvailable()
+        input.addData((1L, "d"), (3L, "e")) // 1 must stay deduped across batches
+        q.processAllAvailable()
+        val keys = spark.table("rocks_dedup").select("k").as[Long].collect().sorted
+        assert(keys.toSeq == Seq(1L, 2L, 3L))
+        assert(Option(q.lastProgress).exists(_.toString.contains("rocksdb")),
+          "RocksDB provider metrics missing — provider not in use")
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("sessionizeStateful: sessions merge across batches, timeout flushes the tail") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[Streams.Ev]
