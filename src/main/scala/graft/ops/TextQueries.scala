@@ -148,6 +148,20 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F2 on-disk: the same search as q37 but through a WRITTEN index —
+    * build postings, persist partitioned by lexeme bucket, search with
+    * partition pruning (PlanSpec asserts the pruning; this query pins the
+    * result equivalence into the oracle gate). */
+  private val q89IndexedSearch: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q89_idx_").toString + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 16)
+    PostingIndex.searchAllIndexed(s, dir, "doc_id", Seq("merges", "joining"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   /** E5: tf-idf term statistics over the corpus vocabulary: document
     * frequency, total term frequency, idf = ln(N/df) (rounded to 6dp so the
     * single float op can't hash-flip across engines). */
@@ -190,7 +204,8 @@ object TextQueries {
     "q36_ts_search_stemmed" -> q36TsSearchStemmed,
     "q37_posting_search"    -> q37PostingSearch,
     "q38_term_stats"        -> q38TermStats,
-    "q39_top_term"          -> q39TopTerm)
+    "q39_top_term"          -> q39TopTerm,
+    "q89_indexed_search"    -> q89IndexedSearch)
 
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
@@ -226,6 +241,12 @@ object TextQueries {
             AND list_contains(toks, '${Porter.stem("joining")}')
           ORDER BY doc_id""",
     "q37_posting_search" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""",
+    "q89_indexed_search" ->
       s"""SELECT doc_id FROM (
             SELECT doc_id, $tokenizeSql AS toks FROM documents) t
           WHERE list_contains(toks, '${Porter.stem("merges")}')
