@@ -222,26 +222,29 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    // labels only ever DECREASE, so Σlabel is a strictly-monotone progress
-    // measure — change detection is one cheap agg on the checkpointed
-    // frame instead of a self-join per round
-    def labelSum(df: DataFrame): Long =
-      Option(df.agg(sum("label")).first().get(0)).fold(0L)(_.asInstanceOf[Long])
-    var prevSum = Long.MaxValue
+      .localCheckpoint()
+    var changed = 1L
     var i = 0
-    var curSum = labelSum(labels)
-    while (curSum != prevSum && i < maxIter) {
+    while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint()
-      prevSum = curSum
-      curSum = labelSum(next)
+      // change detection joins two CHECKPOINTED frames — cheap, and works
+      // for any orderable id type (strings, hash longs) with no overflow,
+      // unlike a sum-of-labels progress metric
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") < col("old")).count()
       labels = next
       i += 1
     }
     edges.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — the " +
+          "component diameter exceeds maxIter; raise it (labels move one hop " +
+          "per round). Returning partial labels would silently split groups.")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -42,7 +42,10 @@ object Csv {
 
   /** Split a permissive read into (good rows, quarantined raw lines).
     * Caches the scan — required by Spark before corrupt-record-only
-    * filters, and it's read twice anyway. */
+    * filters, and it's read twice anyway. Long-lived callers should
+    * `df.unpersist()` the frame THEY passed in once both sides are
+    * consumed (the cache is on that frame), or clear the session cache
+    * periodically. */
   def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
     val cached = df.cache()
     (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),

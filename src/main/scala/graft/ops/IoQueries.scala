@@ -213,6 +213,9 @@ object IoQueries {
       .format("xml").save(dir)
     s.read.schema(docs.schema)
       .option("rowTag", "doc")
+      // default trims surrounding whitespace in element text — lossless
+      // round-trips need it off
+      .option("ignoreSurroundingSpaces", "false")
       .format("xml").load(dir)
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
       .orderBy($"doc_id")

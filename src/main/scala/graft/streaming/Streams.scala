@@ -88,13 +88,19 @@ object Streams {
         val spark = rawBatch.sparkSession
         // one row per key even WITHIN a batch (a micro-batch can carry the
         // same key from several source files, and rows have no intra-batch
-        // order) — the greatest full-row struct wins, which is arbitrary
-        // but DETERMINISTIC; pass a version column as the key's last struct
-        // field upstream for true last-writer-wins
-        val cols = rawBatch.columns
+        // order) — the greatest row struct over the ORDERABLE columns wins:
+        // arbitrary but DETERMINISTIC (rows differing only in non-orderable
+        // columns like maps tie arbitrarily); pass a version column
+        // upstream for true last-writer-wins
+        val orderable = rawBatch.schema.fields
+          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(f => col(f.name))
+        val ordKey = if (orderable.nonEmpty) struct(orderable.toIndexedSeq: _*).desc
+                     else col(keyCol).desc
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
-          .orderBy(struct(cols.map(col): _*).desc)
+          .orderBy(ordKey)
         val batch = rawBatch
           .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("graft_rn") === 1).drop("graft_rn")
@@ -194,7 +200,20 @@ object Streams {
             val batchTs = evs.map(_.ts).toArray.sortBy(micros)
             val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
             var open: Option[Session] = state.getOption
-            batchTs.foreach { t =>
+            // very-late stragglers (older than open start − gap, so they
+            // can't merge into the open session) are sessionized AMONG
+            // THEMSELVES and emitted closed — not as per-event singletons.
+            // Sorted ascending, they form a prefix of the batch.
+            val (stragglers, current) = open match {
+              case Some(s) =>
+                batchTs.span(t => micros(s.session_start) - micros(t) > gapMicros)
+              case None => (Array.empty[Timestamp], batchTs)
+            }
+            if (stragglers.nonEmpty) {
+              val (done, tail) = splitSessions(uid, stragglers, gapMicros)
+              closed ++= done += tail // nothing later can extend these
+            }
+            current.foreach { t =>
               open match {
                 case None =>
                   open = Some(Session(uid, t, t, 1L))
@@ -207,19 +226,17 @@ object Streams {
                     open = Some(s.copy(session_end = t, n_events = s.n_events + 1))
                   } else if (tm >= micros(s.session_start)) {
                     open = Some(s.copy(n_events = s.n_events + 1)) // interior late event
-                  } else if (micros(s.session_start) - tm <= gapMicros) {
-                    open = Some(s.copy(session_start = t, n_events = s.n_events + 1))
                   } else {
-                    // older than (open start − gap): a very-late straggler —
-                    // emit as its own singleton session (watermark makes
-                    // this rare; merging it would need dropped history)
-                    closed += Session(uid, t, t, 1L)
+                    open = Some(s.copy(session_start = t, n_events = s.n_events + 1))
                   }
               }
             }
             val o = open.get
             state.update(o)
-            state.setTimeoutTimestamp(micros(o.session_end) / 1000L + gapMinutes * 60L * 1000L)
+            // ceil to millis: firing 1 ms late keeps "timeout ⇒ gap fully
+            // elapsed" true; flooring could close a session up to 999 µs
+            // before the µs-precision gap math would have
+            state.setTimeoutTimestamp((micros(o.session_end) + gapMicros + 999L) / 1000L)
             closed.iterator
           }
         })

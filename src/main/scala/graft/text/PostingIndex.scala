@@ -63,12 +63,11 @@ object PostingIndex {
     val bucketIds = stemmed.toDF("lexeme")
       .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
       .as[Int].collect().toSeq.distinct
-    spark.read.parquet(indexPath)
-      .filter(col("lexeme_bucket").isin(bucketIds: _*)) // partition-pruned
-      .filter(col("lexeme").isin(stemmed: _*))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit"))
-      .filter(col("n_hit") === stemmed.length)
-      .select(col(idCol))
+    // bucket-prune the scan, then delegate — ONE implementation of the
+    // AND semantics, so indexed and in-memory search can't drift
+    searchAll(
+      spark.read.parquet(indexPath)
+        .filter(col("lexeme_bucket").isin(bucketIds: _*)), // partition-pruned
+      idCol, terms)
   }
 }
