@@ -25,7 +25,11 @@ object Bench {
       .collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: materializes EVERY query column (count() would let the
+      // optimizer prune computed projections and under-measure map-only
+      // queries), writes nothing
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that self-cache (near-dup slices) must not pin storage
       // memory for the rest of the run — drop between queries, untimed
