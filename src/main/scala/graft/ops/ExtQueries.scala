@@ -199,7 +199,7 @@ object ExtQueries {
   private val q50LangId: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.languageId($"text").as("pred_lang"))
+      .select($"doc_id", TextAnalysis.languageIdFast($"text").as("pred_lang"))
       .orderBy($"doc_id")
   }
 
@@ -207,7 +207,9 @@ object ExtQueries {
   private val q51Quality: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select(($"doc_id" +: TextAnalysis.qualityColumns($"text")): _*)
+      .select($"doc_id", TextAnalysis.qualityFast($"text").as("q"))
+      .select($"doc_id", $"q.n_words", $"q.n_uniq", $"q.n_stop",
+        $"q.uniq_ratio", $"q.quality_ok")
       .orderBy($"doc_id")
   }
 
@@ -215,7 +217,7 @@ object ExtQueries {
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.estTokens($"text").as("est_tokens"))
+      .select($"doc_id", TextAnalysis.estTokensFast($"text").as("est_tokens"))
       .orderBy($"doc_id")
   }
 
