@@ -15,7 +15,10 @@ import org.apache.spark.sql.functions._
   *    join; exact jaccard runs only on candidates. At 100 TB the band join
   *    is the only quadratic-risk stage and it's bounded by bucket size
   *    (add `lsh_band`-level salting if a degenerate bucket appears).
-  *  - everything below is built-in expressions — fully codegen'd, no UDFs.
+  *  - hot paths (shingling, minhash→band-keys) run as native codegen
+  *    expressions or fused single-pass functions — the composable
+  *    higher-order-expression forms are kept for reference but are
+  *    interpreted (CodegenFallback) and ~1000× slower per row.
   */
 object Dedup {
 

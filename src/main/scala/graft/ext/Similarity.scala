@@ -12,7 +12,7 @@ import scala.util.Random
   *  - [[bruteForceKnn]]: exact top-k by cosine. The query side is broadcast,
   *    so the corpus is scanned once with no shuffle — the right baseline up
   *    to a few thousand queries at any corpus size.
-  *  - [[annCandidates]]: random-hyperplane LSH — bucket embeddings by the
+  *  - [[annKnn]]: random-hyperplane LSH — bucket embeddings by the
   *    sign pattern of h fixed projections, search only within bucket
   *    collisions across t tables. Linear shuffle on bucket keys; the 100 TB
   *    path when the query side is also huge.
