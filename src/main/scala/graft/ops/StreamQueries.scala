@@ -77,11 +77,38 @@ object StreamQueries {
     s.read.parquet(outDir).orderBy($"event_id")
   }
 
+  /** F4 at scale: copy-on-write bucketed MERGE. Three availableNow runs
+    * against one checkpoint: (1) full orders as the initial base, (2) an
+    * update batch (every 10th key gets o_custkey+1000000) that must rewrite
+    * only the buckets it touches, (3) a re-run with no new files — the
+    * checkpoint makes it a no-op, so the oracle equality also proves
+    * idempotence. Bucket layout + touched-bucket physical assertion are
+    * spec-tested (`StreamingSpec`); this gates the merged RESULT. */
+  private val q90MergeBucketed: Q = (s, d) => {
+    import s.implicits._
+    val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+    val src = Files.createTempDirectory("graft_imb90_src_").toString
+    val tgt = Files.createTempDirectory("graft_imb90_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imb90_ck_").toString
+    def merge(): Unit = Streams.incrementalMergeBucketed(
+      Streams.parquetStream(s, s"$src/*", orders.schema), tgt, "o_orderkey", ck,
+      numBuckets = 16)
+    orders.write.parquet(s"$src/f1")
+    merge()
+    orders.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey"))
+      .write.parquet(s"$src/f2")
+    merge()
+    merge() // no new files: exactly-once no-op
+    Streams.readMergedBase(s, tgt).orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
-    "q73_stream_sink"       -> q73StreamSink)
+    "q73_stream_sink"       -> q73StreamSink,
+    "q90_merge_bucketed"    -> q90MergeBucketed)
 
   val oracle: Map[String, String] = Map(
     "q70_stream_hourly" ->
@@ -111,5 +138,10 @@ object StreamQueries {
          ORDER BY user_id, session_start""",
     "q73_stream_sink" ->
       """SELECT event_id, user_id, event_type, value FROM events
-         ORDER BY event_id""")
+         ORDER BY event_id""",
+    "q90_merge_bucketed" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                     ELSE o_custkey END AS o_custkey
+         FROM orders ORDER BY o_orderkey""")
 }

@@ -71,12 +71,36 @@ object Streams {
   def dedupKeys(stream: DataFrame, cols: Seq[String]): DataFrame =
     stream.select(cols.map(col): _*).dropDuplicates(cols)
 
-  /** F4 trigger-maintenance port in streaming mode: each micro-batch of
-    * results MERGEs into a parquet base table by key (last-writer-wins
-    * within this batch), batch-atomically via write-to-temp + swap — the
-    * local stand-in for a Delta `MERGE INTO` on a real deployment. The
-    * derived work queue is whatever anti-joins against the base afterwards,
-    * exactly like the batch path (SURVEY §2.7 F4).
+  /** One row per key even WITHIN a batch (a micro-batch can carry the same
+    * key from several source files, and rows have no intra-batch order) —
+    * the greatest row struct over the ORDERABLE columns wins: arbitrary but
+    * DETERMINISTIC (rows differing only in non-orderable columns like maps
+    * tie arbitrarily); pass a version column upstream for true
+    * last-writer-wins. */
+  private def latestPerKey(rawBatch: DataFrame, keyCol: String): DataFrame = {
+    val orderable = rawBatch.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name))
+    val ordKey = if (orderable.nonEmpty) struct(orderable.toIndexedSeq: _*).desc
+                 else col(keyCol).desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(ordKey)
+    rawBatch
+      .withColumn("graft_rn", row_number().over(w))
+      .filter(col("graft_rn") === 1).drop("graft_rn")
+  }
+
+  /** F4 trigger-maintenance port in streaming mode, SMALL-BASE variant:
+    * each micro-batch of results MERGEs into a flat parquet base table by
+    * key (last-writer-wins within this batch), batch-atomically via
+    * write-to-temp + swap. Rewrites the WHOLE base per batch — fine for the
+    * reference's dimension-sized tables, wrong for a large base; use
+    * [[incrementalMergeBucketed]] (copy-on-write on touched buckets) when
+    * the base outgrows a single batch's write budget. The derived work
+    * queue is whatever anti-joins against the base afterwards, exactly like
+    * the batch path (SURVEY §2.7 F4).
     *
     * Restartable: the checkpoint makes each source file process exactly
     * once, and re-merging an already-applied batch is a no-op (same keys,
@@ -86,24 +110,7 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         val spark = rawBatch.sparkSession
-        // one row per key even WITHIN a batch (a micro-batch can carry the
-        // same key from several source files, and rows have no intra-batch
-        // order) — the greatest row struct over the ORDERABLE columns wins:
-        // arbitrary but DETERMINISTIC (rows differing only in non-orderable
-        // columns like maps tie arbitrarily); pass a version column
-        // upstream for true last-writer-wins
-        val orderable = rawBatch.schema.fields
-          .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
-            .isOrderable(f.dataType))
-          .map(f => col(f.name))
-        val ordKey = if (orderable.nonEmpty) struct(orderable.toIndexedSeq: _*).desc
-                     else col(keyCol).desc
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol))
-          .orderBy(ordKey)
-        val batch = rawBatch
-          .withColumn("graft_rn", org.apache.spark.sql.functions.row_number().over(w))
-          .filter(col("graft_rn") === 1).drop("graft_rn")
+        val batch = latestPerKey(rawBatch, keyCol)
         val target = new java.io.File(targetDir)
         val merged =
           if (!target.exists() || target.listFiles().forall(_.getName.startsWith("_")))
@@ -118,6 +125,80 @@ object Streams {
         fresh.count() // materialize before the old files disappear
         fresh.write.mode("overwrite").parquet(targetDir)
         fresh.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Partition column of a bucketed merge base (hash bucket of the merge
+    * key). Part of the on-disk layout contract, hence public. */
+  val BucketCol = "graft_bucket"
+
+  private def bucketOf(keyCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
+
+  /** Read a bucketed merge base back as a plain table (bucket column
+    * dropped — it's layout, not data). */
+  def readMergedBase(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop(BucketCol)
+
+  /** F4 trigger-maintenance at scale: copy-on-write MERGE into a
+    * hash-bucketed parquet base. The base is laid out as
+    * `targetDir/graft_bucket=N/…` (N = xxhash64(key) mod numBuckets); each
+    * micro-batch rewrites ONLY the buckets its keys hash into, via dynamic
+    * partition overwrite — per-batch write cost is O(touched buckets ×
+    * bucket size), not O(base). This is the Delta-`MERGE INTO`-shaped
+    * replacement for [[incrementalMerge]]'s full rewrite: at a 100 TB base
+    * with numBuckets sized so a bucket ≈ a few GB, a batch touching k keys
+    * rewrites ≤ k buckets regardless of base size.
+    *
+    * Mechanics per batch: (1) collapse the batch to one row per key;
+    * (2) compute its touched-bucket set (≤ numBuckets ints — driver-side by
+    * construction, not data-sized); (3) read ONLY those buckets from the
+    * base (partition pruning on the bucket column); (4) anti-join + union;
+    * (5) `localCheckpoint` the merged slice (materializes just the touched
+    * buckets, and detaches the plan from the files about to be replaced);
+    * (6) overwrite with `partitionOverwriteMode=dynamic`, which replaces
+    * exactly the partitions present in the written frame.
+    *
+    * Restartable like the flat variant: the checkpoint makes each source
+    * file process exactly once, and re-merging an applied batch rewrites
+    * the same buckets to the same contents. */
+  def incrementalMergeBucketed(stream: DataFrame, targetDir: String, keyCol: String,
+                               checkpointDir: String, numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    val q = stream.writeStream
+      .foreachBatch { (rawBatch: DataFrame, _: Long) =>
+        val spark = rawBatch.sparkSession
+        val batch = latestPerKey(rawBatch, keyCol)
+          .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
+        val target = new java.io.File(targetDir)
+        val baseExists = target.exists() &&
+          target.listFiles().exists(_.getName.startsWith(s"$BucketCol="))
+        if (!baseExists) {
+          batch.write.partitionBy(BucketCol).mode("overwrite").parquet(targetDir)
+        } else {
+          val touched = batch.select(BucketCol).distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val base = spark.read.parquet(targetDir)
+            .filter(col(BucketCol).isin(touched: _*))
+          val merged = base
+            .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+            .unionByName(batch.select(base.columns.map(col).toIndexedSeq: _*))
+          // materialize the touched slice off the files we're about to
+          // replace (also lifts Spark's overwrite-what-you-read guard)
+          val snap = merged.localCheckpoint(true)
+          val conf = "spark.sql.sources.partitionOverwriteMode"
+          val prev = spark.conf.getOption(conf)
+          try {
+            spark.conf.set(conf, "dynamic")
+            snap.write.partitionBy(BucketCol).mode("overwrite").parquet(targetDir)
+          } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+          snap.unpersist()
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -103,6 +103,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toMap.apply(2L) == "b")
   }
 
+  test("incrementalMergeBucketed: upserts by key, rewrites ONLY touched buckets") {
+    val src = Files.createTempDirectory("graft_imb_src_").toString
+    val tgt = Files.createTempDirectory("graft_imb_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imb_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    val buckets = 8
+
+    // batch 1: keys spread over several buckets
+    Seq.tabulate(32)(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(s"$src/f1")
+    Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, buckets)
+    val base0 = Streams.readMergedBase(spark, tgt)
+    assert(base0.count() == 32)
+    val bucketDirs = new java.io.File(tgt).listFiles()
+      .filter(_.getName.startsWith(s"${Streams.BucketCol}="))
+    assert(bucketDirs.length > 1, "keys should spread over several buckets")
+
+    def filesPerBucket(): Map[String, Set[String]] =
+      new java.io.File(tgt).listFiles()
+        .filter(_.getName.startsWith(s"${Streams.BucketCol}="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filterNot(_.startsWith(".")).toSet)
+        .toMap
+
+    val before = filesPerBucket()
+
+    // batch 2: ONE key (update id=2) -> exactly one bucket may change
+    Seq((2L, "B2")).toDF("id", "v").write.parquet(s"$src/f2")
+    Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, buckets)
+    val after = filesPerBucket()
+
+    val changed = before.keySet.union(after.keySet)
+      .filter(b => before.get(b) != after.get(b))
+    assert(changed.size == 1,
+      s"a 1-key batch must rewrite exactly 1 bucket, changed: $changed")
+
+    val rows = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
+    assert(rows.size == 32 && rows(2L) == "B2" && rows(3L) == "v3",
+      s"merge result wrong: ${rows.toSeq.sortBy(_._1).take(5)}")
+
+    // batch 3: insert a NEW key + re-run exactly-once
+    Seq((100L, "new")).toDF("id", "v").write.parquet(s"$src/f3")
+    Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, buckets)
+    Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, buckets)
+    val fin = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
+    assert(fin.size == 33 && fin(100L) == "new")
+  }
+
   test("streaming dedup runs on the RocksDB state store (large keyed-state path)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
