@@ -23,13 +23,20 @@ object Bench {
       graft.text.TextOps.tokenize(
         org.apache.spark.sql.functions.lit("warming the stemmer udf path")))
       .collect()
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes EVERY query column (count() would let the
       // optimizer prune computed projections and under-measure map-only
       // queries), writes nothing
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch {
+        // a throwing query must not bench as ~0s and flatter the total:
+        // surface it on stderr and count it in the JSON
+        case e: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+          failed ::= name
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries that self-cache (near-dup slices) must not pin storage
       // memory for the rest of the run — drop between queries, untimed
@@ -39,7 +46,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,9 +22,12 @@ object SearchCli {
       .filter(text.TextOps.tsMatchAll($"tokens", terms))
       .select($"doc_id", substring($"text", 1, 80).as("snippet"))
       .orderBy($"doc_id")
-    val rows = hits.collect()
-    println(s"query: ${terms.mkString(" & ")} -> ${rows.length} docs")
-    rows.take(20).foreach(r => println(f"${r.getLong(0)}%8d  ${r.getString(1)}"))
+    // count and head are separate jobs on purpose: collecting the full match
+    // set to the driver before take(20) would OOM at corpus scale
+    val total = hits.count()
+    println(s"query: ${terms.mkString(" & ")} -> $total docs")
+    hits.limit(20).collect()
+      .foreach(r => println(f"${r.getLong(0)}%8d  ${r.getString(1)}"))
     spark.stop()
   }
 }

@@ -59,14 +59,25 @@ object Csv {
     * numeric CIK followed by a pipe. */
   def readEdgarIdx(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    spark.read.textFile(path)
-      .filter($"value".rlike("^[0-9]+\\|"))
-      .select(from_csv($"value",
+    parseIdxLines(spark.read.textFile(path).toDF("value"))
+  }
+
+  /** S3 from fetched bodies: the same predicate-recognized parse as
+    * [[readEdgarIdx]], applied to whole master.idx files fetched in-cluster
+    * (one row per quarter file, e.g. the output of
+    * [[Fetch.fetchStage]]) — explode lines, keep data rows, from_csv. */
+  def parseEdgarIdxBody(df: DataFrame, bodyCol: org.apache.spark.sql.Column): DataFrame =
+    parseIdxLines(df.select(explode(split(bodyCol, "\r?\n")).as("value")))
+
+  /** The shared line→row parse: data rows recognized by predicate. */
+  private def parseIdxLines(lines: DataFrame): DataFrame =
+    lines
+      .filter(col("value").rlike("^[0-9]+\\|"))
+      .select(from_csv(col("value"),
         StructType.fromDDL(
           "cik LONG, business_name STRING, type STRING, date_str STRING, path STRING"),
         Map("sep" -> "|")).as("r"))
       .select(
-        $"r.cik", $"r.business_name", $"r.type",
-        to_date($"r.date_str", "yyyy-MM-dd").as("date"), $"r.path")
-  }
+        col("r.cik"), col("r.business_name"), col("r.type"),
+        to_date(col("r.date_str"), "yyyy-MM-dd").as("date"), col("r.path"))
 }

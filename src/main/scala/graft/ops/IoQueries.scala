@@ -45,6 +45,18 @@ object IoQueries {
   private val filingTypesCsv: String =
     "type_id,type,keep\n1,4,0\n2,8-K,1\n5,10-Q,1\n9,10-K,1\n"
 
+  /** Second-quarter idx fixture for q93: two universe rows (both 10-Q) and
+    * one out-of-universe CIK that must die in the semi-join. */
+  private val masterIdxQ2: String =
+    """Description:           Master Index of EDGAR Dissemination Feed
+      |
+      |CIK|Company Name|Form Type|Date Filed|Filename
+      |--------------------------------------------------------------------------------
+      |43350|GAS NATURAL INC|10-Q|2018-05-15|edgar/data/43350/0000043350-18-000020.txt
+      |1616262|ROCKY MOUNTAIN CHOCOLATE|10-Q|2018-06-01|edgar/data/1616262/0001616262-18-000011.txt
+      |999999|NOT IN UNIVERSE CORP|8-K|2018-04-05|edgar/data/999999/0000999999-18-000002.txt
+      |""".stripMargin
+
   private def writeTemp(prefix: String, files: (String, String)*): String = {
     val dir = Files.createTempDirectory(prefix)
     files.foreach { case (name, content) =>
@@ -88,6 +100,32 @@ object IoQueries {
       p => concat(lit(s"$dir/"), p), parallelism = 4)
     scraped.select($"filing_id".as("doc_id"), $"text".as("clean"))
       .orderBy($"doc_id")
+  }
+
+  /** EP2 multi-quarter orchestration (q19 grid → fetch → parse → universe
+    * filter → idempotent append, `load_filings_idx.py:37-57`): both fixture
+    * quarters are loaded, then quarter 2 is RE-RUN — the second pass must
+    * append nothing, so idempotence shows up directly in the oracle's row
+    * count (4, not 6). */
+  private val q93MultiQuarter: Q = (s, d) => {
+    import s.implicits._
+    val dir = writeTemp("graft_mq_",
+      "2018_QTR1.idx" -> masterIdx,
+      "2018_QTR2.idx" -> masterIdxQ2,
+      "companies.csv" -> companiesCsv,
+      "filing_types.csv" -> filingTypesCsv)
+    val store = Files.createTempDirectory("graft_mq_store_").toString
+    val (companies, filingTypes) =
+      Pipeline.loadDims(s, s"$dir/companies.csv", s"$dir/filing_types.csv")
+    val url = (y: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =>
+      concat(lit(s"$dir/"), y, lit("_QTR"), q, lit(".idx"))
+    val fetcher = new Fetch.FileFetcher()
+    Pipeline.loadFilings(s, store, Seq((2018, 1), (2018, 2)), url, fetcher,
+      companies, filingTypes)
+    Pipeline.loadFilings(s, store, Seq((2018, 2)), url, fetcher,
+      companies, filingTypes)
+      .select($"cik", $"business_name", $"type", $"date", $"path")
+      .orderBy($"path")
   }
 
   /** S10: batch upsert semantics (MERGE as left join + coalesce). */
@@ -305,6 +343,7 @@ object IoQueries {
     "q75_bucketed_join"   -> q75BucketedJoin,
     "q76_partition_pruning" -> q76PartitionPruning,
     "q60_idx_ingest"      -> q60IdxIngest,
+    "q93_multi_quarter"   -> q93MultiQuarter,
     "q61_scrape_pipeline" -> q61ScrapePipeline,
     "q62_upsert"          -> q62Upsert,
     "q63_jdbc_roundtrip"  -> q63JdbcRoundtrip,
@@ -381,6 +420,17 @@ object IoQueries {
            (CAST(1616262 AS BIGINT), 'ROCKY MOUNTAIN CHOCOLATE', '8-K', DATE '2018-02-01',
             'edgar/data/1616262/0001616262-18-000004.txt'))
          AS t(cik, business_name, type, date, path) ORDER BY cik""",
+    "q93_multi_quarter" ->
+      """SELECT * FROM (VALUES
+           (CAST(1616262 AS BIGINT), 'ROCKY MOUNTAIN CHOCOLATE', '8-K', DATE '2018-02-01',
+            'edgar/data/1616262/0001616262-18-000004.txt'),
+           (CAST(1616262 AS BIGINT), 'ROCKY MOUNTAIN CHOCOLATE', '10-Q', DATE '2018-06-01',
+            'edgar/data/1616262/0001616262-18-000011.txt'),
+           (CAST(43350 AS BIGINT), 'GAS NATURAL INC', '10-K', DATE '2018-03-14',
+            'edgar/data/43350/0000043350-18-000010.txt'),
+           (CAST(43350 AS BIGINT), 'GAS NATURAL INC', '10-Q', DATE '2018-05-15',
+            'edgar/data/43350/0000043350-18-000020.txt'))
+         AS t(cik, business_name, type, date, path) ORDER BY path""",
     "q61_scrape_pipeline" ->
       s"SELECT doc_id, $sanitizeSql AS clean FROM documents WHERE doc_id < 50 ORDER BY doc_id",
     "q62_upsert" ->

@@ -103,12 +103,54 @@ object StreamQueries {
     Streams.readMergedBase(s, tgt).orderBy($"o_orderkey")
   }
 
+  /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated
+    * against the same gaps-and-islands oracle as q72. Events land as three
+    * time-sliced files consumed one per micro-batch (maxFilesPerTrigger=1),
+    * so sessions spanning a slice boundary MUST merge in GroupState; two
+    * far-future sentinel batches then push the watermark past every
+    * session's end+gap so the event-time timeout flushes the final open
+    * sessions. Oracle equality therefore proves cross-batch merge AND
+    * timeout flush — not just single-batch math (which q72 already gates). */
+  private val q94StatefulSessions: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"ts")
+    val src = Files.createTempDirectory("graft_sess94_").toString
+    // scaffolding: one file per time slice (repartition(1)) so mod-time
+    // order == event-time order and each slice is exactly one micro-batch
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"ts")
+    val sliced = ev.withColumn("slice", ntile(3).over(w)).cache()
+    try {
+      (1 to 3).foreach { i =>
+        sliced.filter($"slice" === i).drop("slice")
+          .repartition(1).write.parquet(s"$src/f$i")
+      }
+      val maxTs = sliced.agg(max($"ts")).head().getTimestamp(0)
+      // watermark moves at batch END and timeouts fire on the NEXT batch —
+      // hence TWO sentinel files, both far past max+gap (gap=30m)
+      Seq(1, 2).foreach { i =>
+        Seq((-1L, new java.sql.Timestamp(maxTs.getTime + (60 + i) * 60000L)))
+          .toDF("user_id", "ts").repartition(1).write.parquet(s"$src/s$i")
+      }
+    } finally sliced.unpersist()
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .as[Streams.Ev]
+    // 1-minute delay covers equal-ts rows split across a slice boundary;
+    // sentinels sit 61 minutes past max so timeouts still fire under it
+    Streams.runToMemory(s,
+        Streams.sessionizeStateful(stream, gapMinutes = 30,
+          watermarkDelay = "1 minute").toDF())
+      .filter($"user_id" >= 0)
+      .orderBy($"user_id", $"session_start")
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
     "q73_stream_sink"       -> q73StreamSink,
-    "q90_merge_bucketed"    -> q90MergeBucketed)
+    "q90_merge_bucketed"    -> q90MergeBucketed,
+    "q94_stateful_sessions" -> q94StatefulSessions)
 
   val oracle: Map[String, String] = Map(
     "q70_stream_hourly" ->
@@ -139,6 +181,24 @@ object StreamQueries {
     "q73_stream_sink" ->
       """SELECT event_id, user_id, event_type, value FROM events
          ORDER BY event_id""",
+    "q94_stateful_sessions" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                count(*) AS n_events
+         FROM y GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q90_merge_bucketed" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000

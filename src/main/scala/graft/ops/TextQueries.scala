@@ -194,6 +194,28 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F1/F3 positional: phrase search (`hash <-> join`) through the
+    * positional posting table — the reference's headline "near real time
+    * full text search" semantics that the plain token array cannot express
+    * (positions dropped). Oracle rebuilds positions with parallel unnest. */
+  private val q91PhraseSearch: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    PostingIndex.phraseSearchQuery(postings, "doc_id", "hash <-> join")
+      .orderBy($"doc_id")
+  }
+
+  /** F1 ranking: ts_rank analog — tf-idf score per matching doc for an OR
+    * term set, rounded to 6dp (q38's float contract). */
+  private val q92TsRank: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    PostingIndex.tsRank(postings, "doc_id", Seq("spark", "join"), docs)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -205,7 +227,25 @@ object TextQueries {
     "q37_posting_search"    -> q37PostingSearch,
     "q38_term_stats"        -> q38TermStats,
     "q39_top_term"          -> q39TopTerm,
-    "q89_indexed_search"    -> q89IndexedSearch)
+    "q89_indexed_search"    -> q89IndexedSearch,
+    "q91_phrase_search"     -> q91PhraseSearch,
+    "q92_ts_rank"           -> q92TsRank)
+
+  /** Positional-lexeme CTE chain shared by the q91/q92 oracles — the DuckDB
+    * twin of PostingIndex.buildPositional: positions over ALL words
+    * (parallel unnest zips word with 1-based index), stopwords filtered
+    * after numbering, vocab-CASE stemming. */
+  private lazy val positionalLexSql: String =
+    s"""raw AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                     x -> length(x) > 0) AS ws
+          FROM documents),
+        wp AS (
+          SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos
+          FROM raw),
+        lex AS (
+          SELECT doc_id, $stemCaseSql AS lexeme, pos FROM wp
+          WHERE w NOT IN ($stopListSql))"""
 
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
@@ -275,5 +315,23 @@ object TextQueries {
            SELECT doc_id, w, tf,
                   row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rk
            FROM tf) r
-         WHERE rk = 1 ORDER BY doc_id""")
+         WHERE rk = 1 ORDER BY doc_id""",
+    "q91_phrase_search" ->
+      s"""WITH $positionalLexSql
+          SELECT DISTINCT a.doc_id AS doc_id
+          FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
+            AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
+          ORDER BY doc_id""",
+    "q92_ts_rank" ->
+      s"""WITH $positionalLexSql,
+          tf AS (SELECT doc_id, lexeme, count(*) AS tf FROM lex
+                 WHERE lexeme IN (${sqlQuote(Porter.stem("spark"))},
+                                  ${sqlQuote(Porter.stem("join"))})
+                 GROUP BY doc_id, lexeme),
+          df AS (SELECT lexeme, count(*) AS df FROM tf GROUP BY lexeme)
+          SELECT t.doc_id AS doc_id,
+                 round(sum(t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df)), 6) AS score
+          FROM tf t JOIN df d USING (lexeme)
+          GROUP BY t.doc_id ORDER BY doc_id""")
 }

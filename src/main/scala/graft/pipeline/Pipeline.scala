@@ -57,6 +57,53 @@ object Pipeline {
       .select("filing_id", "cik", "business_name", "type", "path", "date", "text", "token")
   }
 
+  /** EP2 orchestration, multi-quarter (`load_filings_idx.py:37-57`): the
+    * (year × quarter) URL grid → ONE partitioned fetch of every master.idx →
+    * parse → universe semi-joins → idempotent append into the filings store.
+    * The reference loops quarters sequentially because each is a driver-side
+    * download; Spark-first the whole grid is one fetch stage (a partition
+    * per quarter) and one append job.
+    *
+    * Idempotence is an anti-join on `filing_id` against what the store
+    * already holds: re-running any quarter — or the whole grid — appends
+    * zero duplicate rows, so crashed runs are simply re-run. A quarter whose
+    * fetch fails yields a null body, drops out of this batch, and is picked
+    * up by the next invocation (the same work-queue semantics as the scrape
+    * stage). Returns the refreshed store frame.
+    *
+    * At warehouse scale the store would be laid out by quarter
+    * (`partitionBy(year, qtr)`) or key-bucketed (see
+    * `Streams.incrementalMergeBucketed`); the append-only + anti-join shape
+    * is unchanged by the layout. */
+  def loadFilings(spark: SparkSession, storeDir: String,
+                  quarters: Seq[(Int, Int)],
+                  url: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column,
+                  fetcher: Fetch.Fetcher,
+                  companies: DataFrame, filingTypes: DataFrame): DataFrame = {
+    import spark.implicits._
+    val filingsDir = s"$storeDir/filings"
+    val grid = quarters.toDF("year", "qtr")
+      .select(($"year" * 10 + $"qtr").cast("long").as("qid"),
+        url($"year", $"qtr").as("url"))
+    val fetched = Fetch.fetchStage(grid, "qid", "url", fetcher,
+      parallelism = math.max(1, quarters.size))
+    val idx = Csv.parseEdgarIdxBody(fetched.filter(col("body").isNotNull), col("body"))
+    val incoming = indexLoad(idx, companies, filingTypes)
+    // schema-explicit read: an existing-but-empty store (all fetches failed
+    // on a previous first run) reads as an empty frame instead of failing
+    // parquet schema inference
+    def store = spark.read.schema(incoming.schema).parquet(filingsDir)
+    val novel =
+      (if (new java.io.File(filingsDir).exists())
+        incoming.join(store.select("filing_id"), Seq("filing_id"), "left_anti")
+      else incoming)
+        .dropDuplicates("filing_id") // overlapping grid entries within one call
+    // parquet append never rewrites existing files, so reading the store in
+    // `novel` while appending to it is safe (file listing is pre-append)
+    novel.write.mode("append").parquet(filingsDir)
+    store
+  }
+
   /** The work queue: rows not yet scraped (null-text semantics drive the
     * queue exactly as in the reference — `load_filings_idx.py:68-72`). */
   def workQueue(filings: DataFrame): DataFrame =

@@ -50,6 +50,73 @@ object PostingIndex {
       .select(col(idCol)).distinct()
   }
 
+  // ---------------------------------------------------- positional tsvector
+
+  /** F1 positional: Postgres `to_tsvector` keeps lexeme POSITIONS — words
+    * are numbered 1..n over ALL words (stopwords removed afterwards, so
+    * their positions remain as gaps), and `a <-> b` matches where
+    * pos(b) = pos(a)+1. Built as a posting TABLE `(id, lexeme, pos)` rather
+    * than a nested array column: rows are the Spark-native shape — the
+    * explode is codegen'd, the table prunes and joins by lexeme exactly like
+    * [[build]]'s index, and phrase adjacency becomes an equi-join on
+    * (id, pos) instead of per-row array walking (reference tsvector trigger:
+    * `sec_dl/utils/init_tables.py:59-67`). */
+  def buildPositional(docs: DataFrame, idCol: String, textCol: Column): DataFrame =
+    docs
+      .select(col(idCol), posexplode(TextOps.words(textCol)).as(Seq("pos0", "w")))
+      .filter(!col("w").isin(TextOps.englishStopWords: _*))
+      .select(col(idCol), TextOps.stemWord(col("w")).as("lexeme"),
+        (col("pos0") + 1).cast("int").as("pos"))
+
+  /** Phrase search (`to_tsquery('a <-> b <-> c')`): ids where the stemmed
+    * terms occupy strictly consecutive positions. Implemented as a chain of
+    * left-semi equi-joins on (id, pos-i): the accumulator holds candidate
+    * START positions, each further term keeps only starts it extends. Every
+    * per-term side is a lexeme-filtered slice of the posting table (pruned
+    * scan on an indexed store), so work is bounded by the terms' posting
+    * lists — never the corpus. */
+  def phraseSearch(postings: DataFrame, idCol: String, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val stemmed = phrase.map(t => Porter.stem(t.toLowerCase))
+    val head = postings.filter(col("lexeme") === stemmed.head)
+      .select(col(idCol), col("pos"))
+    stemmed.zipWithIndex.drop(1)
+      .foldLeft(head) { case (acc, (lex, i)) =>
+        acc.join(
+          postings.filter(col("lexeme") === lex)
+            .select(col(idCol), (col("pos") - i).as("pos")),
+          Seq(idCol, "pos"), "left_semi")
+      }
+      .select(col(idCol)).distinct()
+  }
+
+  /** Phrase search from tsquery-style syntax: `"hash <-> join"`. */
+  def phraseSearchQuery(postings: DataFrame, idCol: String, query: String): DataFrame =
+    phraseSearch(postings, idCol,
+      query.split("<->").map(_.trim).toSeq.filter(_.nonEmpty))
+
+  /** `ts_rank` analog: tf-idf relevance of each matching doc for an OR term
+    * set — score(doc) = Σ_t tf(t,doc) · ln(N / df(t)), rounded to 6dp (one
+    * float op chain, same contract as q38's idf). tf comes from POSITIONAL
+    * postings (occurrence counts, not the deduped [[build]] index); df is
+    * derived from the tf aggregate (docs containing the term), N from the
+    * corpus. Shuffles once on (id, lexeme) for tf; df and N are
+    * broadcast-sized by construction (≤ one row per query term). */
+  def tsRank(postings: DataFrame, idCol: String, terms: Seq[String],
+             corpus: DataFrame): DataFrame = {
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val tf = postings.filter(col("lexeme").isin(stemmed: _*))
+      .groupBy(col(idCol), col("lexeme")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("lexeme")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "lexeme")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") *
+        log(col("n_docs").cast("double") / col("df").cast("double"))), 6)
+        .as("score"))
+  }
+
   /** AND-search against an index written by [[write]]: the query terms'
     * bucket ids are computed with the SAME hash the writer used (via a
     * one-row Spark job, so the two can't drift), and the scan filters on

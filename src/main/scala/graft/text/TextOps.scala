@@ -107,6 +107,12 @@ object TextOps {
         graft.functions.PorterStemArrayExpr(
           array_except(words(c), lit(englishStopWords.toArray)))))
 
+  /** Scalar Porter stem of a single word column — the element form of
+    * [[graft.functions.PorterStemArrayExpr]] (wrap in a 1-element array,
+    * stem, unwrap; every step codegen'd). */
+  def stemWord(c: Column): Column =
+    element_at(graft.functions.PorterStemArrayExpr(array(c)), 1)
+
   // ---------------------------------------------------------------- search
 
   /** F3: full-text match, AND-of-terms (`token @@ to_tsquery('a & b')`).
