@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - near-dup = MinHash+LSH: candidates come from equi-joins on band
   *    buckets (shuffle keyed by 8-byte band hash), never an O(n²) cross
   *    join; exact jaccard runs only on candidates. At 100 TB the band join
-  *    is the only quadratic-risk stage and it's bounded by bucket size
-  *    (add `lsh_band`-level salting if a degenerate bucket appears).
+  *    is the only quadratic-risk stage, and buckets wider than
+  *    `maxBucketWidth` are split into bounded salt groups with head links
+  *    (see [[lshCandidatePairs]]) so one degenerate bucket can't go O(n²).
   *  - hot paths (shingling, minhash→band-keys) run as native codegen
   *    expressions or fused single-pass functions — the composable
   *    higher-order-expression forms are kept for reference but are
@@ -168,9 +169,25 @@ object Dedup {
   /** Candidate near-dup pairs via LSH: explode band keys, self-equi-join on
     * (band index, band key), dedupe pairs. Returns (idA, idB) with idA<idB.
     * The join shuffles on the band key — linear in corpus size times bands,
-    * never all-pairs. */
+    * never all-pairs.
+    *
+    * Degenerate-bucket guard: a band bucket wider than `maxBucketWidth`
+    * (adversarial crawl data — thousands of identical docs collide on every
+    * band) would make the self-join quadratic in that ONE bucket's width.
+    * Oversized buckets are split into id-ordered SALT GROUPS of ≤ the cap:
+    * all pairs are generated within each group, and each group's head (its
+    * smallest id) is additionally paired with the bucket's global head, so
+    * the bucket stays CONNECTED for downstream clustering while per-group
+    * pair counts are bounded by cap². The trade, documented: candidate
+    * pairs BETWEEN salt groups (beyond the head links) are not emitted —
+    * acceptable because a bucket only reaches such width when its members
+    * are near-identical, where connectivity (not the full pair list) is
+    * what dedup consumes. Buckets at or under the cap — every bucket on
+    * non-adversarial data — are emitted EXACTLY as without the guard. */
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
-                        numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                        numHashes: Int = 128, bands: Int = 32,
+                        maxBucketWidth: Int = 10000): DataFrame = {
+    require(maxBucketWidth > 1, s"maxBucketWidth must be > 1: $maxBucketWidth")
     // shingle-less docs have no candidates BY DEFINITION — and without this
     // guard they would all share the degenerate [MaxValue×k] signature and
     // collapse into ONE bucket (an O(n²) blowup on crawl data full of short
@@ -179,12 +196,27 @@ object Dedup {
     val banded = eligible
       .select(col(idCol), posexplode(bandKeysUdf(numHashes, bands)(col(shingleCol)))
         .as(Seq("band", "bkey")))
-    val a = banded.toDF(s"${idCol}_a", "band", "bkey")
-    val b = banded.toDF(s"${idCol}_b", "band", "bkey")
-    a.join(b, Seq("band", "bkey"))
+    val bw = Window.partitionBy(col("band"), col("bkey"))
+    val salted = banded
+      .withColumn("rn", row_number().over(bw.orderBy(col(idCol))))
+      .withColumn("salt", ((col("rn") - 1) / maxBucketWidth).cast("int"))
+    val a = salted.select(col(idCol).as(s"${idCol}_a"),
+      col("band"), col("bkey"), col("salt"))
+    val b = salted.select(col(idCol).as(s"${idCol}_b"),
+      col("band"), col("bkey"), col("salt"))
+    val withinGroup = a.join(b, Seq("band", "bkey", "salt"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(s"${idCol}_a", s"${idCol}_b")
-      .distinct()
+    // connectivity links: each later salt group's head joins the bucket head
+    // (rn=1). Id-ordered groups make bucketHead < groupHead by construction.
+    val heads = salted.filter((col("rn") - 1) % maxBucketWidth === 0)
+    val headLinks = heads.filter(col("salt") === 0)
+      .select(col(idCol).as(s"${idCol}_a"), col("band"), col("bkey"))
+      .join(heads.filter(col("salt") > 0)
+        .select(col(idCol).as(s"${idCol}_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(s"${idCol}_a", s"${idCol}_b")
+    withinGroup.union(headLinks).distinct()
   }
 
   /** SimHash-64 of a token array: per-token xxhash64; bit i of the result is

@@ -135,16 +135,37 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
-             numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** ANN near-dup CANDIDATE PAIRS corpus-wide: random-hyperplane bucketing
+    * (same construction as [[annKnn]]) followed by a self-equi-join on
+    * (table, bucket) — the embedding twin of `Dedup.lshCandidatePairs`, and
+    * the 100 TB path for cosine near-dup detection: candidates from bucket
+    * collisions, exact cosine only on candidates, never all-pairs. Returns
+    * (vec_a, vec_b) with a<b. Recall for pairs at angle θ is
+    * 1-(1-(1-θ/π)^planes)^tables — tune (numPlanes, tables) to the cosine
+    * band you must not miss; [[graft.ops.ExtQueries]] q47 gates a measured
+    * recall contract against the exact ground truth. */
+  def annCandidatePairs(corpus: DataFrame, numPlanes: Int, tables: Int,
+                        dim: Int = 64,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planeSets = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
-    // all t·h projections fused into one JVM pass per row (same reasoning as
-    // cosineF: per-plane higher-order expressions are interpreted and were
-    // the dominant cost of the bucketing scan)
     val planeArr: Array[Array[Array[Double]]] =
       planeSets.map(_.map(_.toArray).toArray).toArray
-    val bucketsF = udf((v: Seq[Float]) => {
+    val bucketsF = bucketsUdf(planeArr)
+    val banded = corpus.select(col(idCol),
+      posexplode(bucketsF(col(vecCol))).as(Seq("tbl", "bkt")))
+    val a = banded.toDF("vec_a", "tbl", "bkt")
+    val b = banded.toDF("vec_b", "tbl", "bkt")
+    a.join(b, Seq("tbl", "bkt"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+  }
+
+  /** All t·h hyperplane projections fused into one JVM pass per row (the
+    * per-plane higher-order expressions are interpreted and were the
+    * dominant cost of the bucketing scan). */
+  private def bucketsUdf(planeArr: Array[Array[Array[Double]]]) =
+    udf((v: Seq[Float]) => {
       if (v == null) null
       else {
         val out = new Array[Long](planeArr.length)
@@ -163,6 +184,14 @@ object Similarity {
         out
       }
     })
+
+  def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+             numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planeSets = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
+    val planeArr: Array[Array[Array[Double]]] =
+      planeSets.map(_.map(_.toArray).toArray).toArray
+    val bucketsF = bucketsUdf(planeArr)
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),
           posexplode(bucketsF(col(vecCol))).as(Seq("tbl", "bkt")))

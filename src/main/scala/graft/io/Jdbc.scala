@@ -76,16 +76,117 @@ object Jdbc {
     }
   }
 
+  /** S10+: idempotent UPSERT by key — the `INSERT ... ON CONFLICT (key) DO
+    * UPDATE` path of the reference's Postgres deployment
+    * (`init_tables.py:20-22` declares the Postgres store; BASELINE's
+    * approach line is "Spark + JDBC write to PostgreSQL"), behind the same
+    * dialect hook as [[updateByKey]]. On PostgreSQL URLs the statement is
+    * the native single-round-trip ON CONFLICT form ([[pgUpsertSql]] — pure,
+    * so the SQL is spec-asserted without a live server); on databases
+    * without it (the embedded Derby used in tests) a portable
+    * UPDATE-then-INSERT fallback preserves the semantics: batch the
+    * UPDATEs, read per-row update counts, INSERT exactly the rows that
+    * matched nothing. Re-running a batch is a no-op either way.
+    *
+    * Rows must be unique per key within the frame (dedupe upstream — same
+    * contract as Delta MERGE); the fallback additionally requires a driver
+    * that reports real per-row update counts (Derby and Postgres do; a
+    * driver returning SUCCESS_NO_INFO would mis-route rows to INSERT). */
+  def upsertByKey(df: DataFrame, url: String, table: String,
+                  keyCol: String, valueCols: Seq[String],
+                  batchSize: Int = 1000,
+                  quoteTable: Boolean = false,
+                  dialect: JdbcDialect = null): Unit = {
+    val dl = Option(dialect).getOrElse(JdbcDialects.get(url))
+    val tableRef = if (quoteTable) dl.quoteIdentifier(table) else table
+    val cols = keyCol +: valueCols
+    val projected = df.selectExpr(cols.map(dialectFree): _*)
+    val types = projected.schema.fields.map(_.dataType)
+    if (url.startsWith("jdbc:postgresql")) {
+      val sql = pgUpsertSql(tableRef, keyCol, valueCols, dl)
+      projected.foreachPartition { (rows: Iterator[Row]) =>
+        val conn = DriverManager.getConnection(url)
+        try {
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            types.zipWithIndex.foreach { case (dt, i) => bindAt(conn, st, i + 1, i, dt, r) }
+            st.addBatch()
+            n += 1
+            if (n % batchSize == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          st.close()
+        } finally conn.close()
+      }
+    } else {
+      val sets = valueCols.map(c => s"${dl.quoteIdentifier(c)} = ?").mkString(", ")
+      val updSql = s"UPDATE $tableRef SET $sets WHERE ${dl.quoteIdentifier(keyCol)} = ?"
+      val insSql = s"INSERT INTO $tableRef (${cols.map(dl.quoteIdentifier).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      projected.foreachPartition { (rows: Iterator[Row]) =>
+        val conn = DriverManager.getConnection(url)
+        try {
+          val upd = conn.prepareStatement(updSql)
+          val ins = conn.prepareStatement(insSql)
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](batchSize)
+          def flush(): Unit = if (buf.nonEmpty) {
+            buf.foreach { r =>
+              // UPDATE params: values first, key last; projected row is (key, values...)
+              valueCols.indices.foreach { j =>
+                bindAt(conn, upd, j + 1, j + 1, types(j + 1), r)
+              }
+              bindAt(conn, upd, valueCols.size + 1, 0, types(0), r)
+              upd.addBatch()
+            }
+            val counts = upd.executeBatch()
+            var misses = 0
+            counts.zipWithIndex.foreach { case (c, k) =>
+              if (c == 0) {
+                val r = buf(k)
+                types.zipWithIndex.foreach { case (dt, i) => bindAt(conn, ins, i + 1, i, dt, r) }
+                ins.addBatch()
+                misses += 1
+              }
+            }
+            if (misses > 0) ins.executeBatch()
+            buf.clear()
+          }
+          rows.foreach { r => buf += r; if (buf.size >= batchSize) flush() }
+          flush()
+          upd.close(); ins.close()
+        } finally conn.close()
+      }
+    }
+  }
+
+  /** The native Postgres upsert statement — pure, unit-testable without a
+    * live server: `INSERT ... ON CONFLICT (key) DO UPDATE SET c = EXCLUDED.c`. */
+  def pgUpsertSql(tableRef: String, keyCol: String, valueCols: Seq[String],
+                  dl: JdbcDialect): String = {
+    val cols = keyCol +: valueCols
+    s"INSERT INTO $tableRef (${cols.map(dl.quoteIdentifier).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${dl.quoteIdentifier(keyCol)}) DO UPDATE SET " +
+      valueCols.map(c => s"${dl.quoteIdentifier(c)} = EXCLUDED.${dl.quoteIdentifier(c)}")
+        .mkString(", ")
+  }
+
   /** Column names reach selectExpr as quoted identifiers so reserved words
     * ("order", "group") survive as plain column references. */
   private def dialectFree(c: String): String = s"`${c.replace("`", "``")}`"
 
   /** Type-directed JDBC bind — the subset of Spark's writer setters the
     * engine's tables need, driven by the DataFrame schema rather than
-    * runtime-class sniffing in setObject. */
+    * runtime-class sniffing in setObject. Statement position == row index+1
+    * (the updateByKey layout); [[bindAt]] is the general form. */
   private def bind(conn: Connection, st: PreparedStatement, pos: Int,
-                   dt: DataType, r: Row): Unit = {
-    val i = pos - 1
+                   dt: DataType, r: Row): Unit =
+    bindAt(conn, st, pos, pos - 1, dt, r)
+
+  /** [[bind]] with independent statement position and row index. */
+  private def bindAt(conn: Connection, st: PreparedStatement, pos: Int,
+                     i: Int, dt: DataType, r: Row): Unit = {
     if (r.isNullAt(i)) { st.setNull(pos, sqlType(dt)); return }
     dt match {
       case IntegerType    => st.setInt(pos, r.getInt(i))

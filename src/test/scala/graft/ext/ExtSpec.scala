@@ -56,6 +56,37 @@ class ExtSpec extends AnyFunSuite {
     assert(!cands.contains((1L, 3L)) || true) // candidates may include FPs; exact verify filters
   }
 
+  test("LSH bucket salting: pathological corpus stays bounded AND connected") {
+    // 2000 identical docs: every band bucket has width 2000. Unsalted this
+    // is C(2000,2) ≈ 2M candidate pairs from ONE bucket; with cap=100 the
+    // bucket splits into 20 salt groups → ≤ 20·C(100,2) + 19 head links.
+    val n = 2000
+    val cap = 100
+    val clones = spark.range(n).select($"id".as("doc_id"),
+      lit("all these documents carry exactly the same words forever").as("text"))
+      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
+    val cands = Dedup.lshCandidatePairs(clones, "doc_id", "sh",
+      maxBucketWidth = cap).cache()
+    try {
+      val nPairs = cands.count()
+      val bound = (n / cap) * (cap.toLong * (cap - 1) / 2) + (n / cap - 1)
+      assert(nPairs <= bound, s"pair count $nPairs exceeds salted bound $bound")
+      // connectivity survives the salt split: one component, min-label 0
+      val comp = Dedup.connectedComponents(cands, "doc_id_a", "doc_id_b")
+      assert(comp.select("component").distinct().count() == 1)
+      assert(comp.agg(min("component")).head().getLong(0) == 0L)
+    } finally { cands.unpersist(); () }
+  }
+
+  test("LSH bucket salting: no-op below the cap (q43 output unchanged)") {
+    val base = Dedup.lshCandidatePairs(shingled, "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = Dedup.lshCandidatePairs(shingled, "doc_id", "sh",
+      maxBucketWidth = 2) // every bucket here has width ≤ 2 docs
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == base)
+  }
+
   test("simhash: near-dups land close in Hamming space") {
     val sims = docs.toDF("doc_id", "text")
       .select($"doc_id", Dedup.simhash64(graft.text.TextOps.tokenizeBasic($"text")).as("s"))

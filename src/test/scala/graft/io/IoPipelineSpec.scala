@@ -98,6 +98,28 @@ class IoPipelineSpec extends AnyFunSuite {
     assert(back == Seq((1L, "alpha"), (2L, "BETA2"), (3L, "GAMMA2")))
   }
 
+  test("JDBC upsert: Derby fallback inserts misses, updates hits, idempotent") {
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_ups_")}/db;create=true"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "val")
+      .write.mode("overwrite").jdbc(url, "t", new java.util.Properties())
+    val batch = Seq((2L, "BETA2"), (3L, "gamma"), (4L, "delta")).toDF("id", "val")
+    Jdbc.upsertByKey(batch, url, "t", "id", Seq("val"), batchSize = 2)
+    def back() = Jdbc.readTable(spark, url, "t").toDF("id", "val")
+      .orderBy($"id").as[(Long, String)].collect().toSeq
+    val want = Seq((1L, "alpha"), (2L, "BETA2"), (3L, "gamma"), (4L, "delta"))
+    assert(back() == want)
+    Jdbc.upsertByKey(batch, url, "t", "id", Seq("val")) // re-run: no-op
+    assert(back() == want)
+  }
+
+  test("JDBC upsert: Postgres statement is the native ON CONFLICT form") {
+    val dl = org.apache.spark.sql.jdbc.JdbcDialects.get("jdbc:postgresql://h/db")
+    assert(Jdbc.pgUpsertSql("filings", "filing_id", Seq("text", "token"), dl) ==
+      """INSERT INTO filings ("filing_id", "text", "token") VALUES (?, ?, ?) """ +
+        """ON CONFLICT ("filing_id") DO UPDATE SET "text" = EXCLUDED."text", """ +
+        """"token" = EXCLUDED."token"""")
+  }
+
   test("bootstrap: refuses destructive re-init without force") {
     val store = Files.createTempDirectory("graft_boot_").toString
     val companies = tmpFile("companies.csv",
