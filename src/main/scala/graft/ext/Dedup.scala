@@ -262,16 +262,20 @@ object Dedup {
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
-        .groupBy("node").agg(min("label").as("label"))
+        .select(col("dst").as("node"), col("label"), lit(false).as("is_old"))
+      // change detection is FUSED into the propagation aggregate: each
+      // node's previous label rides along as min(label where is_old) —
+      // every node has exactly one is_old row, so `old` is never null —
+      // and "changed" is a filter on the checkpointed result instead of a
+      // second shuffle join. Works for any orderable id type with no
+      // overflow, unlike a sum-of-labels progress metric.
+      val next = labels.withColumn("is_old", lit(true)).union(prop)
+        .groupBy("node")
+        .agg(min("label").as("label"),
+          min(when(col("is_old"), col("label"))).as("old"))
         .localCheckpoint()
-      // change detection joins two CHECKPOINTED frames — cheap, and works
-      // for any orderable id type (strings, hash longs) with no overflow,
-      // unlike a sum-of-labels progress metric
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") < col("old")).count()
-      labels = next
+      changed = next.filter(col("label") < col("old")).count()
+      labels = next.select("node", "label")
       i += 1
     }
     edges.unpersist()

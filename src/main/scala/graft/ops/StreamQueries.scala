@@ -135,12 +135,22 @@ object StreamQueries {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
       .as[Streams.Ev]
-    // 1-minute delay covers equal-ts rows split across a slice boundary;
-    // sentinels sit 61 minutes past max so timeouts still fire under it
-    Streams.runToMemory(s,
-        Streams.sessionizeStateful(stream, gapMinutes = 30,
-          watermarkDelay = "1 minute").toDF())
-      .filter($"user_id" >= 0)
+    // state-store commits dominate this query's cost (5 micro-batches ×
+    // one commit per shuffle partition): size the state shuffle to the
+    // keyed-state volume, not the session default. Captured at query
+    // START, restored right after — no other query observes the change.
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev = s.conf.getOption(spKey)
+    val out =
+      try {
+        s.conf.set(spKey, "8")
+        // 1-minute delay covers equal-ts rows split across a slice boundary;
+        // sentinels sit 61 minutes past max so timeouts still fire under it
+        Streams.runToMemory(s,
+          Streams.sessionizeStateful(stream, gapMinutes = 30,
+            watermarkDelay = "1 minute").toDF())
+      } finally prev.fold(s.conf.unset(spKey))(v => s.conf.set(spKey, v))
+    out.filter($"user_id" >= 0)
       .orderBy($"user_id", $"session_start")
   }
 
