@@ -241,6 +241,30 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** The flagship training-corpus prep pipeline — E1+E5 composed end to
+    * end the way a pipeline user runs them: score every doc (language-ID,
+    * quality, token estimate) → quality/language gate → exact dedup (keep
+    * the smallest doc_id per content hash) → per-language corpus stats.
+    * The 100 TB shape: everything up to the gate is map-only over the
+    * pruned scan, the dedup is ONE shuffle on the content hash, and the
+    * final aggregate shuffles partial buffers keyed by language (4-ish
+    * groups). Filters run BEFORE the shuffle, so junk never moves. */
+  private val q95CorpusPipeline: Q = (s, d) => {
+    import s.implicits._
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        TextAnalysis.languageIdFast($"text").as("pred_lang"),
+        TextAnalysis.qualityFast($"text").as("q"),
+        TextAnalysis.estTokensFast($"text").as("est_tokens"))
+      .filter($"q.quality_ok" && $"pred_lang" =!= "und")
+    Dedup.dedupByContent(scored, "text", "doc_id")
+      .groupBy($"pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"est_tokens").as("total_tokens"),
+        sum($"q.n_words").as("total_words"))
+      .orderBy($"pred_lang")
+  }
+
   /** E4: binary column metadata (bytes + md5). */
   private val q54BinaryMeta: Q = (s, d) => {
     import s.implicits._
@@ -318,7 +342,8 @@ object ExtQueries {
     "q55_media_features" -> q55MediaFeatures,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
-    "q86_dup_clusters"   -> q86DupClusters)
+    "q86_dup_clusters"   -> q86DupClusters,
+    "q95_corpus_pipeline" -> q95CorpusPipeline)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -489,6 +514,32 @@ object ExtQueries {
           CAST(coalesce(list_sum(list_transform($wordsAposSql,
                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
           FROM documents ORDER BY doc_id""",
+    "q95_corpus_pipeline" ->
+      s"""WITH t AS (
+            SELECT doc_id, text, $wordsAposSql AS ws FROM documents),
+          scored AS (
+            SELECT doc_id, text,
+              $langCaseSql AS pred_lang,
+              CAST(len(ws) AS BIGINT) AS n_words,
+              CAST(coalesce(list_sum(list_transform(ws,
+                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens,
+              (len(ws) >= 5 AND len(ws) <= 10000 AND
+               CASE WHEN len(ws) > 0
+                    THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END > 0.1) AS quality_ok
+            FROM t),
+          kept AS (
+            SELECT * FROM scored WHERE quality_ok AND pred_lang <> 'und'),
+          dedup AS (
+            -- same-hash rows share identical text, hence identical derived
+            -- values: min() just picks the one row deterministically
+            SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
+                   min(est_tokens) AS est_tokens, min(n_words) AS n_words
+            FROM kept GROUP BY sha256(text))
+          SELECT pred_lang, count(*) AS n_docs,
+                 CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
+                 CAST(sum(n_words) AS BIGINT) AS total_words
+          FROM dedup GROUP BY pred_lang ORDER BY pred_lang""",
     "q54_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
