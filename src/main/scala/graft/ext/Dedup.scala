@@ -197,9 +197,15 @@ object Dedup {
       .select(col(idCol), posexplode(bandKeysUdf(numHashes, bands)(col(shingleCol)))
         .as(Seq("band", "bkey")))
     val bw = Window.partitionBy(col("band"), col("bkey"))
+    // localCheckpoint: the salted frame feeds FOUR consumers (two join
+    // sides + two head slices); without it each recomputes the explode +
+    // window shuffle, and the self-join's broadcast boundary defeats
+    // exchange reuse. Materializing once costs one pass over n×bands rows
+    // — the same data the shuffle moves anyway.
     val salted = banded
       .withColumn("rn", row_number().over(bw.orderBy(col(idCol))))
       .withColumn("salt", ((col("rn") - 1) / maxBucketWidth).cast("int"))
+      .localCheckpoint()
     val a = salted.select(col(idCol).as(s"${idCol}_a"),
       col("band"), col("bkey"), col("salt"))
     val b = salted.select(col(idCol).as(s"${idCol}_b"),

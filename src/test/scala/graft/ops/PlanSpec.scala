@@ -95,4 +95,19 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"),
       s"expected map-side partial aggregation:\n$plan")
   }
+
+  test("corpus pipeline (q95): filters sit below the dedup shuffle, 3 exchanges") {
+    val df = graft.SparkEntry.queries("q95_corpus_pipeline")(spark, sf)
+    // formatted (pre-execution) explain: the AQE executedPlan string prints
+    // initial AND final plans, double-counting exchanges
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // one hash-dedup shuffle + one per-lang agg shuffle + final orderBy —
+    // a fourth exchange would mean the gate stopped pruning before moving
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges:\n$plan")
+    // Spark 4 prunes each content-hash group to its top row map-side
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side window group limit for the dedup row_number:\n$plan")
+  }
 }
