@@ -41,7 +41,8 @@ object StreamQueries {
     import s.implicits._
     val (dir, ev) = landEvents(s, d)
     val stream = Streams.parquetStream(s, dir, ev.schema)
-    Streams.runToMemory(s, Streams.hourlyCounts(stream), OutputMode.Complete())
+    Streams.runToMemory(s, Streams.hourlyCounts(stream), OutputMode.Complete(),
+        statePartitions = 8)
       .orderBy($"hour", $"event_type")
   }
 
@@ -50,7 +51,8 @@ object StreamQueries {
     import s.implicits._
     val (dir, ev) = landEvents(s, d)
     val stream = Streams.parquetStream(s, dir, ev.schema)
-    Streams.runToMemory(s, Streams.dedupKeys(stream, Seq("user_id", "event_type")))
+    Streams.runToMemory(s, Streams.dedupKeys(stream, Seq("user_id", "event_type")),
+        statePartitions = 8)
       .orderBy($"user_id", $"event_type")
   }
 
@@ -60,7 +62,8 @@ object StreamQueries {
     val (dir, ev) = landEvents(s, d)
     val stream = Streams.parquetStream(s, dir, ev.schema)
       .select($"user_id", $"ts").as[Streams.Ev]
-    Streams.runToMemory(s, Streams.sessionize(stream, gapMinutes = 30).toDF())
+    Streams.runToMemory(s, Streams.sessionize(stream, gapMinutes = 30).toDF(),
+        statePartitions = 8)
       .orderBy($"user_id", $"session_start")
   }
 
@@ -135,22 +138,15 @@ object StreamQueries {
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
       .as[Streams.Ev]
-    // state-store commits dominate this query's cost (5 micro-batches ×
-    // one commit per shuffle partition): size the state shuffle to the
-    // keyed-state volume, not the session default. Captured at query
-    // START, restored right after — no other query observes the change.
-    val spKey = "spark.sql.shuffle.partitions"
-    val prev = s.conf.getOption(spKey)
-    val out =
-      try {
-        s.conf.set(spKey, "8")
-        // 1-minute delay covers equal-ts rows split across a slice boundary;
-        // sentinels sit 61 minutes past max so timeouts still fire under it
-        Streams.runToMemory(s,
-          Streams.sessionizeStateful(stream, gapMinutes = 30,
-            watermarkDelay = "1 minute").toDF())
-      } finally prev.fold(s.conf.unset(spKey))(v => s.conf.set(spKey, v))
-    out.filter($"user_id" >= 0)
+    // 1-minute delay covers equal-ts rows split across a slice boundary;
+    // sentinels sit 61 minutes past max so timeouts still fire under it.
+    // statePartitions: state-store commits dominate this query's cost
+    // (5 micro-batches × one commit per shuffle partition).
+    Streams.runToMemory(s,
+        Streams.sessionizeStateful(stream, gapMinutes = 30,
+          watermarkDelay = "1 minute").toDF(),
+        statePartitions = 8)
+      .filter($"user_id" >= 0)
       .orderBy($"user_id", $"session_start")
   }
 

@@ -30,16 +30,30 @@ object Streams {
   /** Run a stream to completion (availableNow) into an in-memory table and
     * return it as a batch DataFrame. Memory sink holds the full result on
     * the driver — a verification harness, not a production sink; use
-    * [[runToParquet]] for real output. */
+    * [[runToParquet]] for real output.
+    *
+    * `statePartitions` > 0 sizes the state shuffle to the keyed-state
+    * volume instead of the session default — stateful operators commit one
+    * state-store file per shuffle partition per micro-batch, which
+    * dominates small-state queries at the session's 32. Captured at query
+    * START and restored right after, so no other query observes it. */
   def runToMemory(spark: SparkSession, stream: DataFrame,
-                  mode: OutputMode = OutputMode.Append()): DataFrame = {
+                  mode: OutputMode = OutputMode.Append(),
+                  statePartitions: Int = 0): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = stream.writeStream
-      .format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val spKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(spKey)
+    try {
+      if (statePartitions > 0) spark.conf.set(spKey, statePartitions.toString)
+      val q = stream.writeStream
+        .format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // restore only after termination: micro-batches plan asynchronously
+      // and read the session conf while running
+      q.awaitTermination()
+    } finally prev.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
     spark.table(name)
   }
 
