@@ -143,22 +143,47 @@ object Similarity {
     * (vec_a, vec_b) with a<b. Recall for pairs at angle θ is
     * 1-(1-(1-θ/π)^planes)^tables — tune (numPlanes, tables) to the cosine
     * band you must not miss; [[graft.ops.ExtQueries]] q47 gates a measured
-    * recall contract against the exact ground truth. */
+    * recall contract against the exact ground truth.
+    *
+    * Degenerate-bucket guard, same design as `Dedup.lshCandidatePairs`: a
+    * bucket wider than `maxBucketWidth` (identical/zero embeddings
+    * colliding on every table) splits into id-ordered salt groups of ≤ the
+    * cap — all pairs within each group plus a head link from the bucket
+    * head to each later group head, so per-group pair counts stay ≤ cap²
+    * and the bucket stays connected for downstream clustering. Buckets at
+    * or under the cap are emitted exactly as without the guard. */
   def annCandidatePairs(corpus: DataFrame, numPlanes: Int, tables: Int,
                         dim: Int = 64,
-                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        maxBucketWidth: Int = 10000): DataFrame = {
+    require(maxBucketWidth > 1, s"maxBucketWidth must be > 1: $maxBucketWidth")
     val planeSets = (0 until tables).map(t => hyperplanes(numPlanes, dim, seed = 42L + t))
     val planeArr: Array[Array[Array[Double]]] =
       planeSets.map(_.map(_.toArray).toArray).toArray
     val bucketsF = bucketsUdf(planeArr)
     val banded = corpus.select(col(idCol),
       posexplode(bucketsF(col(vecCol))).as(Seq("tbl", "bkt")))
-    val a = banded.toDF("vec_a", "tbl", "bkt")
-    val b = banded.toDF("vec_b", "tbl", "bkt")
-    a.join(b, Seq("tbl", "bkt"))
+    val bw = Window.partitionBy(col("tbl"), col("bkt"))
+    // localCheckpoint: four consumers (both join sides + two head slices),
+    // and the broadcast boundary defeats exchange reuse — same reasoning
+    // as the Dedup twin
+    val salted = banded
+      .withColumn("rn", row_number().over(bw.orderBy(col(idCol))))
+      .withColumn("salt", ((col("rn") - 1) / maxBucketWidth).cast("int"))
+      .localCheckpoint()
+    val a = salted.select(col(idCol).as("vec_a"), col("tbl"), col("bkt"), col("salt"))
+    val b = salted.select(col(idCol).as("vec_b"), col("tbl"), col("bkt"), col("salt"))
+    val withinGroup = a.join(b, Seq("tbl", "bkt", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-      .distinct()
+    val heads = salted.filter((col("rn") - 1) % maxBucketWidth === 0)
+    val headLinks = heads.filter(col("salt") === 0)
+      .select(col(idCol).as("vec_a"), col("tbl"), col("bkt"))
+      .join(heads.filter(col("salt") > 0)
+        .select(col(idCol).as("vec_b"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .select("vec_a", "vec_b")
+    withinGroup.union(headLinks).distinct()
   }
 
   /** All t·h hyperplane projections fused into one JVM pass per row (the

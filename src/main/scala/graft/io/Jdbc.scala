@@ -90,8 +90,10 @@ object Jdbc {
     *
     * Rows must be unique per key within the frame (dedupe upstream — same
     * contract as Delta MERGE); the fallback additionally requires a driver
-    * that reports real per-row update counts (Derby and Postgres do; a
-    * driver returning SUCCESS_NO_INFO would mis-route rows to INSERT). */
+    * that reports real per-row update counts (Derby and Postgres do). A
+    * driver returning SUCCESS_NO_INFO would silently DROP unmatched rows
+    * (they'd look updated and never insert), so the fallback throws on it
+    * instead. */
   def upsertByKey(df: DataFrame, url: String, table: String,
                   keyCol: String, valueCols: Seq[String],
                   batchSize: Int = 1000,
@@ -142,6 +144,12 @@ object Jdbc {
             val counts = upd.executeBatch()
             var misses = 0
             counts.zipWithIndex.foreach { case (c, k) =>
+              if (c == java.sql.Statement.SUCCESS_NO_INFO)
+                throw new IllegalStateException(
+                  "upsertByKey fallback needs real per-row update counts; " +
+                    "this driver returned SUCCESS_NO_INFO — unmatched rows " +
+                    "would be silently dropped. Use a database with native " +
+                    "upsert or a driver that reports counts.")
               if (c == 0) {
                 val r = buf(k)
                 types.zipWithIndex.foreach { case (dt, i) => bindAt(conn, ins, i + 1, i, dt, r) }

@@ -141,7 +141,7 @@ object ExtQueries {
 
   /** Slice bound for q48 shared by engine and oracle (scale-independent
     * brute force, same pattern as q42). */
-  private[ops] val CosineSlice = 500
+  private[graft] val CosineSlice = 500
 
   /** E2/E3: embedding-cosine near-dup pairs over a bounded slice. The
     * testdata vectors are near-orthogonal (max pairwise cosine ≈ 0.51), so
@@ -211,7 +211,10 @@ object ExtQueries {
     val hit = truth.join(cands, Seq("vec_a", "vec_b"), "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+      // empty truth set ⇒ recall is vacuously perfect (n_hit/n_truth would
+      // be NULL under Spark's non-ANSI division, spuriously failing the gate)
+      .select(when($"n_truth" === 0, lit(true))
+        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
         $"n_truth")
   }
 

@@ -129,10 +129,15 @@ object Streams {
         val merged =
           if (!target.exists() || target.listFiles().forall(_.getName.startsWith("_")))
             batch
-          else
-            spark.read.parquet(targetDir)
-              .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+          else {
+            val base = spark.read.parquet(targetDir)
+            // null-safe (<=>) for the same reason as the bucketed variant:
+            // a null key must replace a null key, not duplicate per batch
+            base
+              .join(batch.select(col(keyCol).as("graft_mk")),
+                base(keyCol) <=> col("graft_mk"), "left_anti")
               .unionByName(batch)
+          }
         val tmp = targetDir + "_tmp"
         merged.write.mode("overwrite").parquet(tmp)
         val fresh = spark.read.parquet(tmp).cache()
@@ -187,8 +192,13 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         val spark = rawBatch.sparkSession
+        // localCheckpoint: the deduped batch feeds THREE consumers (the
+        // touched-bucket collect, the anti-join key side, the union side) —
+        // without it each re-reads the source files and re-runs the
+        // latestPerKey window shuffle
         val batch = latestPerKey(rawBatch, keyCol)
           .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
+          .localCheckpoint()
         val target = new java.io.File(targetDir)
         val baseExists = target.exists() &&
           target.listFiles().exists(_.getName.startsWith(s"$BucketCol="))
@@ -199,8 +209,13 @@ object Streams {
             .collect().map(_.getInt(0)).toSeq
           val base = spark.read.parquet(targetDir)
             .filter(col(BucketCol).isin(touched: _*))
+          val batchKeys = batch.select(col(keyCol).as("graft_mk"))
           val merged = base
-            .join(batch.select(keyCol), Seq(keyCol), "left_anti")
+            // null-safe (<=>): a plain equi-anti-join never matches NULL
+            // keys, so a null-key base row would survive every batch AND
+            // the batch's null-key row would union in — one duplicate per
+            // batch. <=> makes null replace null like any other key.
+            .join(batchKeys, base(keyCol) <=> batchKeys("graft_mk"), "left_anti")
             .unionByName(batch.select(base.columns.map(col).toIndexedSeq: _*))
           // materialize the touched slice off the files we're about to
           // replace (also lifts Spark's overwrite-what-you-read guard)

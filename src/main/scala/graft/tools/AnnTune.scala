@@ -17,7 +17,7 @@ object AnnTune {
     import spark.implicits._
     for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       val slice = graft.io.Tables.embeddings(spark, d)
-        .filter($"vec_id" < 500) // ExtQueries.CosineSlice
+        .filter($"vec_id" < graft.ops.ExtQueries.CosineSlice)
         .repartition($"vec_id").cache()
       val truth = Similarity.cosineNearDupPairs(slice, 0.45)
         .select("vec_a", "vec_b").cache()

@@ -115,6 +115,33 @@ class ExtSpec extends AnyFunSuite {
     assert(top.nonEmpty && top.forall { case (q, n) => q == n })
   }
 
+  test("annKnn: each query's bucket collisions include itself at rank 1") {
+    val emb = graft.io.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // a query vector always collides with itself in every table, so rank 1
+    // must be the query at cos 1 — exercises the bucketing + rank plumbing
+    val top = Similarity.annKnn(emb.filter($"vec_id" < 3), emb, k = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    assert(top.length == 3 && top.forall { case (q, n) => q == n })
+  }
+
+  test("annCandidatePairs: salting is a no-op under the cap, bounded over it") {
+    val vecs = Seq.tabulate(40)(i => (i.toLong, Array.fill(8)(1.0f))) // all identical
+      .toDF("vec_id", "embedding")
+    val base = Similarity.annCandidatePairs(vecs, numPlanes = 2, tables = 2, dim = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(base.size == 40 * 39 / 2) // identical vectors collide everywhere
+    val salted = Similarity.annCandidatePairs(vecs, numPlanes = 2, tables = 2, dim = 8,
+      maxBucketWidth = 10).as[(Long, Long)].collect().toSet
+    val bound = 4 * (10L * 9 / 2) + 3 // 4 salt groups of ≤10 + 3 head links
+    assert(salted.size <= bound, s"${salted.size} > $bound")
+    assert(salted.subsetOf(base))
+    // connectivity: every id reachable from the bucket head
+    val comp = Dedup.connectedComponents(
+      salted.toSeq.toDF("vec_a", "vec_b"), "vec_a", "vec_b")
+    assert(comp.select("component").distinct().count() == 1)
+  }
+
   test("cosineNearDupPairs: planted duplicate vector found at cos≈1") {
     val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
     val withDup = base :+ (99L, base(1)._2.map(_ * 2.0f)) // scaled copy of vec 1 -> cos 1
