@@ -133,6 +133,29 @@ object TextAnalysis {
       n
     }
 
+  /** Token-window chunking — the training-prep step that splits documents
+    * into model-context-sized pieces. Chunks start every `stride` words and
+    * span `size` words (overlap = size − stride; the final chunk may be
+    * shorter, and a trailing chunk fully inside the previous one is kept —
+    * both engines implement the same rule). One fused JVM pass per row;
+    * empty word lists yield no chunks (the doc drops out of a posexplode). */
+  def chunkWords(wordsCol: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
+    val f = udf { (ws: Seq[String]) =>
+      if (ws == null || ws.isEmpty) Seq.empty[String]
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var s = 0
+        while (s < ws.length) {
+          out += ws.slice(s, s + size).mkString(" ")
+          s += stride
+        }
+        out.toSeq
+      }
+    }
+    f(wordsCol)
+  }
+
   /** Rolling polynomial fingerprint (mod 1e9+7) over the first 64 chars —
     * identical integer arithmetic is expressible in DuckDB, so this hash is
     * oracle-checkable cross-engine (unlike xxhash64/sha variants). */

@@ -268,6 +268,37 @@ object ExtQueries {
       .orderBy($"pred_lang")
   }
 
+  /** Deterministic mixture sampling — reproducible corpus mixing with NO
+    * RNG state: each source keeps a fixed per-mille of its docs, selected
+    * by a content-stable hash (first 8 hex chars of md5(text) mod 1000).
+    * The same doc lands the same way at any cluster size or run count, and
+    * the selection is exactly oracle-able (unlike seeded sample(), q18/q65
+    * — engine-local RNG). Even-numbered sources keep 75%, odd 25% — the
+    * up/down-weighting shape of LLM data-mixture recipes. */
+  private val q96MixtureSample: Q = (s, d) => {
+    import s.implicits._
+    val rate = when(substring($"source", 4, 10).cast("int") % 2 === 0, 750)
+      .otherwise(250)
+    Tables.documents(s, d)
+      .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 1000 < rate)
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
+  /** Token-window chunking for training prep: 50-word chunks every 40
+    * words (10-word overlap). Map-only — explode of a fused single-pass
+    * chunker; at scale this is the sequence-packing precursor and shuffles
+    * nothing. */
+  private val q97Chunking: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        posexplode(TextAnalysis.chunkWords(graft.text.TextOps.words($"text"), 50, 40))
+          .as(Seq("pos0", "chunk")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("chunk_id"), $"chunk")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** E4: binary column metadata (bytes + md5). */
   private val q54BinaryMeta: Q = (s, d) => {
     import s.implicits._
@@ -346,7 +377,9 @@ object ExtQueries {
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
-    "q95_corpus_pipeline" -> q95CorpusPipeline)
+    "q95_corpus_pipeline" -> q95CorpusPipeline,
+    "q96_mixture_sample"  -> q96MixtureSample,
+    "q97_chunking"        -> q97Chunking)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -517,6 +550,21 @@ object ExtQueries {
           CAST(coalesce(list_sum(list_transform($wordsAposSql,
                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
           FROM documents ORDER BY doc_id""",
+    "q96_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000 <
+               CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
+                    THEN 750 ELSE 250 END
+         ORDER BY doc_id""",
+    "q97_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          c AS (SELECT doc_id,
+                  [array_to_string(ws[s+1 : s+50], ' ') for s in range(0, len(ws), 40)] AS chunks
+                FROM t WHERE len(ws) > 0)
+          SELECT doc_id,
+                 unnest(range(1, len(chunks)+1)) AS chunk_id,
+                 unnest(chunks) AS chunk
+          FROM c ORDER BY doc_id, chunk_id""",
     "q95_corpus_pipeline" ->
       s"""WITH t AS (
             SELECT doc_id, text, $wordsAposSql AS ws FROM documents),
