@@ -142,6 +142,26 @@ class ExtSpec extends AnyFunSuite {
     assert(comp.select("component").distinct().count() == 1)
   }
 
+  test("chunkWords: boundary semantics (exact multiple, trailing overlap, empty)") {
+    def chunks(nWords: Int, size: Int, stride: Int): Seq[String] = {
+      val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+      Seq(text).toDF("t")
+        .select(TextAnalysis.chunkWords(graft.text.TextOps.words($"t"), size, stride))
+        .as[Seq[String]].head()
+    }
+    // n == stride: one chunk, no empty trailing chunk
+    assert(chunks(40, 50, 40).length == 1)
+    // n = 45: second chunk starts at 41 even though chunk 1 covered it
+    // (trailing-overlap rule, shared with the DuckDB oracle)
+    val c45 = chunks(45, 50, 40)
+    assert(c45.length == 2 && c45(1) == (41 to 45).map("w" + _).mkString(" "))
+    // full window + remainder
+    val c90 = chunks(90, 50, 40)
+    assert(c90.length == 3 && c90.head.split(" ").length == 50 &&
+      c90(2).split(" ").length == 10)
+    assert(chunks(0, 50, 40).isEmpty)
+  }
+
   test("cosineNearDupPairs: planted duplicate vector found at cos≈1") {
     val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
     val withDup = base :+ (99L, base(1)._2.map(_ * 2.0f)) // scaled copy of vec 1 -> cos 1
