@@ -23,25 +23,32 @@ object Bench {
       graft.text.TextOps.tokenize(
         org.apache.spark.sql.functions.lit("warming the stemmer udf path")))
       .collect()
+    // best-of-N per query (default 2): damps machine-contention outliers —
+    // a single noisy run once showed 28s for a query that reproduces at
+    // 1.4s. min() is the steady-state number the baseline comparison wants.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink: materializes EVERY query column (count() would let the
-      // optimizer prune computed projections and under-measure map-only
-      // queries), writes nothing
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch {
-        // a throwing query must not bench as ~0s and flatter the total:
-        // surface it on stderr and count it in the JSON
-        case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-          failed ::= name
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink: materializes EVERY query column (count() would let the
+        // optimizer prune computed projections and under-measure map-only
+        // queries), writes nothing
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch {
+          // a throwing query must not bench as ~0s and flatter the total:
+          // surface it on stderr and count it in the JSON
+          case e: Throwable =>
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+            if (!failed.contains(name)) failed ::= name
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that self-cache (near-dup slices) must not pin storage
+        // memory for the rest of the run — drop between queries, untimed
+        spark.catalog.clearCache()
+        dt
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // queries that self-cache (near-dup slices) must not pin storage
-      // memory for the rest of the run — drop between queries, untimed
-      spark.catalog.clearCache()
-      name -> dt
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
