@@ -210,6 +210,35 @@ object Similarity {
       }
     })
 
+  /** Embedding near-dup pairs at corpus scale via IVF cells: the same
+    * deterministic coarse quantizer as [[ivfKnn]] assigns every vector to
+    * its argmax-cosine cell (tiebreak by centroid id), near-dup candidates
+    * are pairs WITHIN a cell, and exact cosine filters them. Shuffles on
+    * cell id only — never all-pairs. Cross-cell pairs are missed by
+    * construction (the IVF recall trade, same as ivfKnn's nprobe=1 cell
+    * walk); because the assignment is deterministic the WHOLE operator is
+    * exactly oracle-checkable, unlike the probabilistic hyperplane path
+    * (q47's contract). */
+  def ivfNearDupPairs(corpus: DataFrame, threshold: Double, numCentroids: Int = 8,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cent = corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    val cells = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosineF(col(vecCol), col("cv")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val a = cells.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("cid"))
+    val b = cells.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("cid"))
+    a.join(b, "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosineF(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
+  }
+
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

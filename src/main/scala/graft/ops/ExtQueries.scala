@@ -268,6 +268,18 @@ object ExtQueries {
       .orderBy($"pred_lang")
   }
 
+  /** E2/E3 composed — the deterministic embedding near-dup SCALE path:
+    * IVF cell assignment (q49's quantizer) → within-cell pairs → exact
+    * cosine filter, over the FULL corpus. Cell-id shuffle only, never
+    * all-pairs; deterministic, hence exactly oracle-checked (the
+    * probabilistic twin q47 needs a recall contract instead). */
+  private val q98IvfNearDup: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = 8)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
   /** Deterministic mixture sampling — reproducible corpus mixing with NO
     * RNG state: each source keeps a fixed per-mille of its docs, selected
     * by a content-stable hash (first 8 hex chars of md5(text) mod 1000).
@@ -379,7 +391,8 @@ object ExtQueries {
     "q86_dup_clusters"   -> q86DupClusters,
     "q95_corpus_pipeline" -> q95CorpusPipeline,
     "q96_mixture_sample"  -> q96MixtureSample,
-    "q97_chunking"        -> q97Chunking)
+    "q97_chunking"        -> q97Chunking,
+    "q98_ivf_near_dup"    -> q98IvfNearDup)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -550,6 +563,27 @@ object ExtQueries {
           CAST(coalesce(list_sum(list_transform($wordsAposSql,
                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
           FROM documents ORDER BY doc_id""",
+    "q98_ivf_near_dup" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT v.vec_id, v.embedding, cid,
+                    row_number() OVER (
+                      PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(
+                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                 cv) DESC, cid) AS rk
+             FROM embeddings v CROSS JOIN cent) t
+           WHERE rk = 1)
+         SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_cosine_similarity(
+                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
+           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
+         WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
     "q96_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000 <

@@ -46,13 +46,16 @@ object StreamQueries {
       .orderBy($"hour", $"event_type")
   }
 
-  /** Streaming exact dedup: per-key state drops repeats across the stream. */
+  /** Streaming exact dedup: per-key state drops repeats across the stream.
+    * Gated on the ROCKSDB state store — the 100 TB keyed-state provider
+    * (native memory + disk instead of on-heap), so the scale configuration
+    * itself is oracle-checked, not just spec-exercised. */
   private val q71StreamDedup: Q = (s, d) => {
     import s.implicits._
     val (dir, ev) = landEvents(s, d)
     val stream = Streams.parquetStream(s, dir, ev.schema)
     Streams.runToMemory(s, Streams.dedupKeys(stream, Seq("user_id", "event_type")),
-        statePartitions = 8)
+        statePartitions = 8, rocksDb = true)
       .orderBy($"user_id", $"event_type")
   }
 

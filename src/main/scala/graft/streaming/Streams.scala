@@ -35,16 +35,24 @@ object Streams {
     * `statePartitions` > 0 sizes the state shuffle to the keyed-state
     * volume instead of the session default — stateful operators commit one
     * state-store file per shuffle partition per micro-batch, which
-    * dominates small-state queries at the session's 32. Captured at query
-    * START and restored right after, so no other query observes it. */
+    * dominates small-state queries at the session's 32. `rocksDb` runs the
+    * query on the RocksDB state-store provider — the 100 TB keyed-state
+    * path (the default HDFS-backed store holds state on-heap; RocksDB
+    * spills to native memory + disk). Both are captured at query START and
+    * restored right after, so no other query observes them. */
   def runToMemory(spark: SparkSession, stream: DataFrame,
                   mode: OutputMode = OutputMode.Append(),
-                  statePartitions: Int = 0): DataFrame = {
+                  statePartitions: Int = 0,
+                  rocksDb: Boolean = false): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val spKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(spKey)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevSp = spark.conf.getOption(spKey)
+    val prevProv = spark.conf.getOption(provKey)
     try {
       if (statePartitions > 0) spark.conf.set(spKey, statePartitions.toString)
+      if (rocksDb) spark.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val q = stream.writeStream
         .format("memory").queryName(name)
         .outputMode(mode)
@@ -53,7 +61,10 @@ object Streams {
       // restore only after termination: micro-batches plan asynchronously
       // and read the session conf while running
       q.awaitTermination()
-    } finally prev.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
+    } finally {
+      prevSp.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
+      prevProv.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+    }
     spark.table(name)
   }
 
