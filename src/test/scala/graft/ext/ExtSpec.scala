@@ -170,6 +170,16 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 99L)))
   }
 
+  test("ivfNearDupPairs: scaled copy lands in its original's cell and pairs up") {
+    val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
+    val withDup = base :+ (99L, base(1)._2.map(_ * 2.0f)) // same direction as vec 1
+    val pairs = Similarity.ivfNearDupPairs(withDup.toDF("vec_id", "embedding"),
+        threshold = 0.999, numCentroids = 3)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    // identical direction -> identical argmax cell -> within-cell pair at cos 1
+    assert(pairs.contains((1L, 99L)))
+  }
+
   test("connectedComponents: chains merge, disjoint clusters stay apart") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton pairs none
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")
