@@ -224,12 +224,15 @@ object Similarity {
     val cent = corpus.filter(col(idCol) < numCentroids)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    // localCheckpoint: the assignment (broadcast scan + window) would
+    // otherwise run once per self-join side
     val cells = corpus.select(col(idCol), col(vecCol))
       .crossJoin(broadcast(cent))
       .withColumn("ccos", cosineF(col(vecCol), col("cv")))
       .withColumn("crk", row_number().over(w))
       .filter(col("crk") === 1)
       .select(col(idCol), col(vecCol), col("cid"))
+      .localCheckpoint()
     val a = cells.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("cid"))
     val b = cells.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("cid"))
     a.join(b, "cid")
