@@ -34,21 +34,28 @@ object Bench {
         // noop sink: materializes EVERY query column (count() would let the
         // optimizer prune computed projections and under-measure map-only
         // queries), writes nothing
-        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch {
-          // a throwing query must not bench as ~0s and flatter the total:
-          // surface it on stderr and count it in the JSON
-          case e: Throwable =>
-            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
-            if (!failed.contains(name)) failed ::= name
-        }
+        val ok =
+          try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
+          catch {
+            // a throwing query must not bench as ~0s and flatter the total:
+            // surface it on stderr and count it in the JSON
+            case e: Throwable =>
+              System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+              if (!failed.contains(name)) failed ::= name
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
-        // queries that self-cache (near-dup slices) must not pin storage
-        // memory for the rest of the run — drop between queries, untimed
+        // queries that self-cache or localCheckpoint must not pin storage
+        // memory for the rest of the run — drop both between queries,
+        // untimed (clearCache alone leaves checkpointed RDD blocks behind)
         spark.catalog.clearCache()
-        dt
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        (ok, dt)
       }
-      name -> times.min
+      // a fast failure must not undercut a successful run's time: min over
+      // the successful runs when any exist, else min over the failures
+      val good = times.collect { case (true, dt) => dt }
+      name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -111,22 +111,35 @@ object Similarity {
     * stage anywhere — and recall/cost trades off via (numCentroids, nprobe).
     * Fully deterministic (centroid choice, argmax tiebreak by centroid id),
     * hence oracle-checkable, unlike random-hyperplane LSH. */
+  /** The deterministic centroid set: the first `numCentroids` corpus
+    * vectors, as (cid, cv). */
+  private def centroids(corpus: DataFrame, numCentroids: Int,
+                        idCol: String, vecCol: String): DataFrame =
+    corpus.filter(col(idCol) < numCentroids)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+
+  /** Argmax-cosine cell assignment shared by [[ivfKnn]] and
+    * [[ivfNearDupPairs]] — the tiebreak (ccos desc, cid asc) and the
+    * centroid rule are part of BOTH operators' oracle contracts (q49, q98):
+    * change them together or not at all. `keep` = cells per vector (1 for
+    * corpus placement, nprobe for query probing). */
+  private def assignCells(df: DataFrame, cent: DataFrame, id: String, vec: String,
+                          keep: Int, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    df.select(col(idCol).as(id), col(vecCol).as(vec))
+      .crossJoin(broadcast(cent))
+      .withColumn("ccos", cosineF(col(vec), col("cv")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= keep)
+      .select(col(id), col(vec), col("cid"))
+  }
+
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numCentroids: Int = 8, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    def assign(df: DataFrame, id: String, vec: String, keep: Int) = {
-      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
-      df.select(col(idCol).as(id), col(vecCol).as(vec))
-        .crossJoin(broadcast(cent))
-        .withColumn("ccos", cosineF(col(vec), col("cv")))
-        .withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= keep)
-        .select(col(id), col(vec), col("cid"))
-    }
-    val cells = assign(corpus, "neighbor_id", "cvec", keep = 1)
-    val probes = assign(queries, "query_id", "qv", keep = nprobe)
+    val cent = centroids(corpus, numCentroids, idCol, vecCol)
+    val cells = assignCells(corpus, cent, "neighbor_id", "cvec", keep = 1, idCol, vecCol)
+    val probes = assignCells(queries, cent, "query_id", "qv", keep = nprobe, idCol, vecCol)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     probes.join(cells, Seq("cid"))
       .withColumn("cos", cosineF(col("qv"), col("cvec")))
@@ -221,20 +234,13 @@ object Similarity {
     * (q47's contract). */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double, numCentroids: Int = 8,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cid"))
+    val cent = centroids(corpus, numCentroids, idCol, vecCol)
     // localCheckpoint: the assignment (broadcast scan + window) would
     // otherwise run once per self-join side
-    val cells = corpus.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", cosineF(col(vecCol), col("cv")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") === 1)
-      .select(col(idCol), col(vecCol), col("cid"))
+    val cells = assignCells(corpus, cent, idCol, vecCol + "_v", keep = 1, idCol, vecCol)
       .localCheckpoint()
-    val a = cells.select(col(idCol).as("vec_a"), col(vecCol).as("va"), col("cid"))
-    val b = cells.select(col(idCol).as("vec_b"), col(vecCol).as("vb"), col("cid"))
+    val a = cells.select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"), col("cid"))
+    val b = cells.select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"), col("cid"))
     a.join(b, "cid")
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", cosineF(col("va"), col("vb")))

@@ -137,23 +137,32 @@ object TextAnalysis {
     * into model-context-sized pieces. Chunks start every `stride` words and
     * span `size` words (overlap = size − stride; the final chunk may be
     * shorter, and a trailing chunk fully inside the previous one is kept —
-    * both engines implement the same rule). One fused JVM pass per row;
-    * empty word lists yield no chunks (the doc drops out of a posexplode). */
-  def chunkWords(wordsCol: Column, size: Int, stride: Int): Column = {
+    * both engines implement the same rule). Takes the raw TEXT column and
+    * splits inside the UDF (the `[^a-z0-9]+` rule, `TextOps.words`' twin)
+    * so the whole row is ONE JVM pass — feeding a higher-order `filter`
+    * expression in would run interpreted per row, the repo's documented
+    * hot-path trap. Empty word lists yield no chunks (the doc drops out of
+    * a posexplode). */
+  def chunkText(text: Column, size: Int, stride: Int): Column = {
     require(size > 0 && stride > 0, s"size/stride must be positive: $size/$stride")
-    val f = udf { (ws: Seq[String]) =>
-      if (ws == null || ws.isEmpty) Seq.empty[String]
+    val f = udf { (t: String) =>
+      if (t == null) Seq.empty[String]
       else {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var s = 0
-        while (s < ws.length) {
-          out += ws.slice(s, s + size).mkString(" ")
-          s += stride
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.isEmpty) Seq.empty[String]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var s = 0
+          while (s < ws.length) {
+            out += ws.slice(s, s + size).mkString(" ")
+            s += stride
+          }
+          out.toSeq
         }
-        out.toSeq
       }
     }
-    f(wordsCol)
+    f(text)
   }
 
   /** Rolling polynomial fingerprint (mod 1e9+7) over the first 64 chars —

@@ -305,7 +305,7 @@ object ExtQueries {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id",
-        posexplode(TextAnalysis.chunkWords(graft.text.TextOps.words($"text"), 50, 40))
+        posexplode(TextAnalysis.chunkText($"text", 50, 40))
           .as(Seq("pos0", "chunk")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("chunk_id"), $"chunk")
       .orderBy($"doc_id", $"chunk_id")

@@ -142,11 +142,11 @@ class ExtSpec extends AnyFunSuite {
     assert(comp.select("component").distinct().count() == 1)
   }
 
-  test("chunkWords: boundary semantics (exact multiple, trailing overlap, empty)") {
+  test("chunkText: boundary semantics (exact multiple, trailing overlap, empty)") {
     def chunks(nWords: Int, size: Int, stride: Int): Seq[String] = {
       val text = (1 to nWords).map(i => s"w$i").mkString(" ")
       Seq(text).toDF("t")
-        .select(TextAnalysis.chunkWords(graft.text.TextOps.words($"t"), size, stride))
+        .select(TextAnalysis.chunkText($"t", size, stride))
         .as[Seq[String]].head()
     }
     // n == stride: one chunk, no empty trailing chunk
