@@ -231,18 +231,50 @@ object Similarity {
     * construction (the IVF recall trade, same as ivfKnn's nprobe=1 cell
     * walk); because the assignment is deterministic the WHOLE operator is
     * exactly oracle-checkable, unlike the probabilistic hyperplane path
-    * (q47's contract). */
+    * (q47's contract).
+    *
+    * Dense-cell guard, same design as [[annCandidatePairs]] /
+    * `Dedup.lshCandidatePairs`: a skewed embedding distribution (many
+    * identical or near-zero vectors sharing one argmax cell) would make the
+    * within-cell self-join O(width²). A cell wider than `maxCellWidth`
+    * therefore splits into id-ordered salt groups of ≤ the cap — all pairs
+    * within each group, plus head-link candidates from the cell head to
+    * each later group's head (scored through the same cosine filter) so a
+    * duplicate-heavy cell stays connected for downstream clustering. Cells
+    * at or under the cap (every cell at test scale, and every healthy cell
+    * of a sized quantizer) emit exactly the unguarded output: salt is 0
+    * everywhere and no head links exist. Cross-group pairs inside an
+    * over-cap cell are the deliberate recall trade that caps the cost —
+    * identical to the LSH twins' contract. */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double, numCentroids: Int = 8,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      maxCellWidth: Int = 10000): DataFrame = {
+    require(maxCellWidth > 1, s"maxCellWidth must be > 1: $maxCellWidth")
     val cent = centroids(corpus, numCentroids, idCol, vecCol)
-    // localCheckpoint: the assignment (broadcast scan + window) would
-    // otherwise run once per self-join side
+    val cw = Window.partitionBy(col("cid"))
+    // localCheckpoint: the assignment (broadcast scan + window) feeds both
+    // self-join sides plus the two head slices
     val cells = assignCells(corpus, cent, idCol, vecCol + "_v", keep = 1, idCol, vecCol)
+      .withColumn("rn", row_number().over(cw.orderBy(col(idCol))))
+      .withColumn("salt", ((col("rn") - 1) / maxCellWidth).cast("int"))
       .localCheckpoint()
-    val a = cells.select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"), col("cid"))
-    val b = cells.select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"), col("cid"))
-    a.join(b, "cid")
+    val a = cells.select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"),
+      col("cid"), col("salt"))
+    val b = cells.select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"),
+      col("cid"), col("salt"))
+    val withinGroup = a.join(b, Seq("cid", "salt"))
       .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
+    // group heads are id-ordered, so the cell head (salt 0) is the minimum
+    // id in the cell and every head link already satisfies vec_a < vec_b
+    val heads = cells.filter((col("rn") - 1) % maxCellWidth === 0)
+    val headLinks = heads.filter(col("salt") === 0)
+      .select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"), col("cid"))
+      .join(heads.filter(col("salt") > 0)
+        .select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"), col("cid")),
+        Seq("cid"))
+      .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
+    withinGroup.union(headLinks)
       .withColumn("cos", cosineF(col("va"), col("vb")))
       .filter(col("cos") > threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))

@@ -119,13 +119,24 @@ object Streams {
 
   /** F4 trigger-maintenance port in streaming mode, SMALL-BASE variant:
     * each micro-batch of results MERGEs into a flat parquet base table by
-    * key (last-writer-wins within this batch), batch-atomically via
-    * write-to-temp + swap. Rewrites the WHOLE base per batch — fine for the
-    * reference's dimension-sized tables, wrong for a large base; use
-    * [[incrementalMergeBucketed]] (copy-on-write on touched buckets) when
-    * the base outgrows a single batch's write budget. The derived work
-    * queue is whatever anti-joins against the base afterwards, exactly like
-    * the batch path (SURVEY §2.7 F4).
+    * key (last-writer-wins within this batch), crash-atomically via a
+    * write-tmp + rename-swap protocol. Rewrites the WHOLE base per batch —
+    * fine for the reference's dimension-sized tables, wrong for a large
+    * base; use [[incrementalMergeBucketed]] (copy-on-write on touched
+    * buckets) when the base outgrows a single batch's write budget. The
+    * derived work queue is whatever anti-joins against the base afterwards,
+    * exactly like the batch path (SURVEY §2.7 F4).
+    *
+    * Durability protocol (every transition is one filesystem rename —
+    * atomic on HDFS and local FS, so any crash leaves a recoverable state):
+    *   write merged → `<target>_tmp` (committer marks it with _SUCCESS)
+    *   rename target → `<target>_old`;  rename tmp → target;  delete old.
+    * [[recoverSwap]] runs before each batch: a missing target is restored
+    * from a COMPLETE tmp (it holds base ⊎ the crashed batch — the
+    * checkpoint re-delivers that batch and re-merging is a no-op) or, if
+    * the tmp never completed, from old. The base is therefore never the
+    * only copy while it is being replaced — closing the data-loss window a
+    * plain delete-then-rewrite swap has.
     *
     * Restartable: the checkpoint makes each source file process exactly
     * once, and re-merging an already-applied batch is a no-op (same keys,
@@ -135,11 +146,17 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         val spark = rawBatch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(targetDir)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val target = new org.apache.hadoop.fs.Path(targetDir)
+        val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+        val old = new org.apache.hadoop.fs.Path(targetDir + "_old")
+        recoverSwap(fs, target, tmp, old)
         val batch = latestPerKey(rawBatch, keyCol)
-        val target = new java.io.File(targetDir)
+        val hasBase = fs.exists(target) &&
+          fs.listStatus(target).exists(!_.getPath.getName.startsWith("_"))
         val merged =
-          if (!target.exists() || target.listFiles().forall(_.getName.startsWith("_")))
-            batch
+          if (!hasBase) batch
           else {
             val base = spark.read.parquet(targetDir)
             // null-safe (<=>) for the same reason as the bucketed variant:
@@ -149,18 +166,38 @@ object Streams {
                 base(keyCol) <=> col("graft_mk"), "left_anti")
               .unionByName(batch)
           }
-        val tmp = targetDir + "_tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fresh = spark.read.parquet(tmp).cache()
-        fresh.count() // materialize before the old files disappear
-        fresh.write.mode("overwrite").parquet(targetDir)
-        fresh.unpersist()
+        // reads base, writes tmp — distinct paths, so one write, no cache
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        if (fs.exists(target)) fs.rename(target, old)
+        fs.rename(tmp, target)
+        if (fs.exists(old)) fs.delete(old, true)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Crash recovery for [[incrementalMerge]]'s rename-swap: restore a
+    * missing base from the newest complete copy, and clear a stale backup.
+    * Public only transitively through incrementalMerge's contract — also
+    * lets operators repair a base by hand after a torn run. */
+  private[streaming] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     target: org.apache.hadoop.fs.Path,
+                                     tmp: org.apache.hadoop.fs.Path,
+                                     old: org.apache.hadoop.fs.Path): Unit = {
+    def complete(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!fs.exists(target)) {
+      // crashed between demoting the base and promoting tmp: prefer the
+      // merged tmp (base ⊎ crashed batch) if its commit completed
+      if (complete(tmp)) fs.rename(tmp, target)
+      else if (fs.exists(old)) fs.rename(old, target)
+    }
+    // crashed after promoting but before cleanup — old is stale; it must
+    // go now or the next demote-rename would collide with it
+    if (fs.exists(target) && fs.exists(old)) { fs.delete(old, true); () }
   }
 
   /** Partition column of a bucketed merge base (hash bucket of the merge

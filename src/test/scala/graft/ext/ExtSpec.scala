@@ -180,6 +180,41 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 99L)))
   }
 
+  test("ivfNearDupPairs cell salting: degenerate one-cell corpus stays bounded AND connected") {
+    // 1000 identical vectors: every one lands in cell 0 (identical ccos,
+    // tiebreak cid asc), so the unguarded within-cell join is C(1000,2) ≈
+    // 500k pairs from ONE cell. With cap=50 the cell splits into 20 salt
+    // groups → exactly 20·C(50,2) within-group pairs + 19 head links, all
+    // at cos 1 (identical vectors), so the scored output count is exact.
+    val n = 1000
+    val cap = 50
+    val clones = spark.range(n).select($"id".as("vec_id"),
+      array((1 to 8).map(j => lit(j.toFloat)): _*).as("embedding"))
+    val pairs = Similarity.ivfNearDupPairs(clones, threshold = 0.999,
+      numCentroids = 8, maxCellWidth = cap).cache()
+    try {
+      val groups = n / cap
+      val want = groups.toLong * (cap.toLong * (cap - 1) / 2) + (groups - 1)
+      assert(pairs.count() == want)
+      // connectivity survives the salt split: head links keep the cell one
+      // component with min-label 0 for downstream clustering
+      val comp = Dedup.connectedComponents(pairs.select("vec_a", "vec_b"), "vec_a", "vec_b")
+      assert(comp.select("component").distinct().count() == 1)
+      assert(comp.agg(min("component")).head().getLong(0) == 0L)
+    } finally { pairs.unpersist(); () }
+  }
+
+  test("ivfNearDupPairs cell salting: no-op below the cap (q98 output unchanged)") {
+    val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
+    val withDup = (base :+ (99L, base(1)._2.map(_ * 2.0f))).toDF("vec_id", "embedding")
+    def run(cap: Int) = Similarity.ivfNearDupPairs(withDup, threshold = 0.0,
+        numCentroids = 3, maxCellWidth = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // cap larger than any cell → salt 0 everywhere, no head links: identical
+    // output (threshold 0 keeps every within-cell pair, the widest surface)
+    assert(run(10000) == run(100))
+  }
+
   test("connectedComponents: chains merge, disjoint clusters stay apart") {
     // components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7}; singleton pairs none
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 7L)).toDF("a", "b")

@@ -103,6 +103,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toMap.apply(2L) == "b")
   }
 
+  test("incrementalMerge: crash between tmp-write and promote loses no key") {
+    val src = Files.createTempDirectory("graft_imcr_src_").toString
+    val tgt = Files.createTempDirectory("graft_imcr_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imcr_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    def run(): Unit = Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/f1")
+    run()
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$src/f2")
+    run() // base now {1,2,3}
+
+    // simulate the torn swap the old delete-then-rewrite had no answer to:
+    // the merged tmp is fully committed, the base is already gone
+    val fs = new org.apache.hadoop.fs.Path(tgt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tgt),
+      new org.apache.hadoop.fs.Path(tgt + "_tmp")))
+
+    // next batch: recovery must promote the tmp back to base FIRST, then
+    // merge — without it, {4} would silently become the whole base
+    Seq((4L, "d"), (2L, "B2")).toDF("id", "v").write.parquet(s"$src/f3")
+    run()
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tgt + "_tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tgt + "_old")))
+  }
+
+  test("incrementalMerge: crash after demote with incomplete tmp restores old base") {
+    val src = Files.createTempDirectory("graft_imcr2_src_").toString
+    val tgt = Files.createTempDirectory("graft_imcr2_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imcr2_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    def run(): Unit = Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/f1")
+    run()
+
+    // torn state: base demoted to _old, tmp exists but never committed
+    // (no _SUCCESS) — recovery must fall back to the old base
+    val fs = new org.apache.hadoop.fs.Path(tgt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tgt),
+      new org.apache.hadoop.fs.Path(tgt + "_old")))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tgt + "_tmp"))
+    fs.create(new org.apache.hadoop.fs.Path(tgt + "_tmp/part-incomplete")).close()
+
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$src/f2")
+    run()
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tgt + "_old")))
+  }
+
   test("incrementalMergeBucketed: upserts by key, rewrites ONLY touched buckets") {
     val src = Files.createTempDirectory("graft_imb_src_").toString
     val tgt = Files.createTempDirectory("graft_imb_tgt_").toString + "/base"
