@@ -148,9 +148,13 @@ object Streams {
         val spark = rawBatch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(targetDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
+        // siblings built off the normalized Path, not string concat: with a
+        // trailing slash in targetDir, "…/base/" + "_tmp" would be a CHILD
+        // of the base — the demote rename would carry it along and the final
+        // cleanup would delete the only copy
         val target = new org.apache.hadoop.fs.Path(targetDir)
-        val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
-        val old = new org.apache.hadoop.fs.Path(targetDir + "_old")
+        val tmp = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "_tmp")
+        val old = new org.apache.hadoop.fs.Path(target.getParent, target.getName + "_old")
         recoverSwap(fs, target, tmp, old)
         val batch = latestPerKey(rawBatch, keyCol)
         val hasBase = fs.exists(target) &&
@@ -168,8 +172,19 @@ object Streams {
           }
         // reads base, writes tmp — distinct paths, so one write, no cache
         merged.write.mode("overwrite").parquet(tmp.toString)
-        if (fs.exists(target)) fs.rename(target, old)
-        fs.rename(tmp, target)
+        // recoverSwap keys completeness on _SUCCESS; committers configured
+        // with marksuccessfuljobs=false skip it, so stamp it ourselves —
+        // the write above just finished synchronously, so tmp IS complete
+        val marker = new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")
+        if (!fs.exists(marker)) fs.create(marker).close()
+        // each rename must be verified: if the demote fails silently and we
+        // proceed, rename(tmp, target) moves tmp INTO the still-existing
+        // target (Hadoop rename-into-existing-dir semantics), corrupting
+        // the base. Failing loudly lets the checkpoint retry the batch.
+        if (fs.exists(target)) {
+          require(fs.rename(target, old), s"demote rename failed: $target -> $old")
+        }
+        require(fs.rename(tmp, target), s"promote rename failed: $tmp -> $target")
         if (fs.exists(old)) fs.delete(old, true)
         ()
       }
@@ -191,9 +206,12 @@ object Streams {
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     if (!fs.exists(target)) {
       // crashed between demoting the base and promoting tmp: prefer the
-      // merged tmp (base ⊎ crashed batch) if its commit completed
-      if (complete(tmp)) fs.rename(tmp, target)
-      else if (fs.exists(old)) fs.rename(old, target)
+      // merged tmp (base ⊎ crashed batch) if its commit completed.
+      // (incrementalMerge stamps _SUCCESS itself after the tmp write, so
+      // this holds even under marksuccessfuljobs=false; a hand-repair of a
+      // torn run from an EXTERNAL tmp must carry its own marker.)
+      if (complete(tmp)) require(fs.rename(tmp, target), s"recover rename failed: $tmp -> $target")
+      else if (fs.exists(old)) require(fs.rename(old, target), s"recover rename failed: $old -> $target")
     }
     // crashed after promoting but before cleanup — old is stale; it must
     // go now or the next demote-rename would collide with it

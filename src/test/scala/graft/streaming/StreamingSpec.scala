@@ -103,6 +103,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.toMap.apply(2L) == "b")
   }
 
+  test("incrementalMerge: trailing slash in targetDir must not lose the base") {
+    // regression: tmp/old built by string concat made ".../base/" + "_tmp"
+    // a CHILD of the base — the demote carried it along, the promote failed
+    // silently, and the old-cleanup deleted the only copy
+    val src = Files.createTempDirectory("graft_imsl_src_").toString
+    val tgt = Files.createTempDirectory("graft_imsl_tgt_").toString + "/base/"
+    val ck = Files.createTempDirectory("graft_imsl_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    def run(): Unit = Streams.incrementalMerge(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck)
+
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(s"$src/f1")
+    run()
+    Seq((2L, "B2"), (3L, "c")).toDF("id", "v").write.parquet(s"$src/f2")
+    run() // second batch exercises the demote/promote swap against a live base
+    assert(spark.read.parquet(tgt).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
   test("incrementalMerge: crash between tmp-write and promote loses no key") {
     val src = Files.createTempDirectory("graft_imcr_src_").toString
     val tgt = Files.createTempDirectory("graft_imcr_tgt_").toString + "/base"
