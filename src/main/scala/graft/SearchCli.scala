@@ -5,27 +5,33 @@ import org.apache.spark.sql.functions._
 /** The reference's Adminer ad-hoc search (EP4) as a CLI:
   *
   * {{{ sbt "runMain graft.SearchCli /root/testdata/sf0.001 merges joining" }}}
+  * {{{ sbt "runMain graft.SearchCli /root/testdata/sf0.001 merge & !(window | join) | vec:*" }}}
   *
-  * Tokenizes the corpus, runs the stemmed AND-query two ways — the array
-  * predicate and the posting-table path — and prints matching doc ids with
-  * a snippet. Mirrors `SELECT ... WHERE token @@ to_tsquery('a & b')`.
+  * Bare terms are an AND query; any to_tsquery operator (`& | ! ( ) :*`)
+  * switches to the full syntax (`graft.text.TsQuery`). Mirrors
+  * `SELECT ... WHERE token @@ to_tsquery('...')`.
   */
 object SearchCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SearchCli <sfDir> <term> [term ...]")
-    val (dir, terms) = (args.head, args.tail.toSeq)
+    require(args.length >= 2, "usage: SearchCli <sfDir> <term-or-tsquery> [more ...]")
+    val dir = args.head
+    val raw = args.tail.mkString(" ")
+    // bare term lists stay an AND — which IS a tsquery once joined with &
+    val query =
+      if (raw.exists("&|!():*<".contains(_))) raw
+      else args.tail.mkString(" & ")
     val spark = GraftSession.local(Runtime.getRuntime.availableProcessors())
     import spark.implicits._
     val docs = io.Tables.documents(spark, dir)
       .select($"doc_id", $"text", text.TextOps.tokenize($"text").as("tokens"))
     val hits = docs
-      .filter(text.TextOps.tsMatchAll($"tokens", terms))
+      .filter(text.TextOps.tsMatchQuery($"tokens", query))
       .select($"doc_id", substring($"text", 1, 80).as("snippet"))
       .orderBy($"doc_id")
     // count and head are separate jobs on purpose: collecting the full match
     // set to the driver before take(20) would OOM at corpus scale
     val total = hits.count()
-    println(s"query: ${terms.mkString(" & ")} -> $total docs")
+    println(s"query: $query -> $total docs")
     hits.limit(20).collect()
       .foreach(r => println(f"${r.getLong(0)}%8d  ${r.getString(1)}"))
     spark.stop()

@@ -40,6 +40,14 @@ object Functions {
       val terms = exprs(1).eval().toString.split("\\s+").toSeq.filter(_.nonEmpty)
       ColumnBridge.unwrap(TextOps.tsMatchAll(ColumnBridge.wrap(exprs.head), terms))
     }, "scala_udf")
+    // graft_ts_query(tokens, 'a & !(b | c) | d:*') — full to_tsquery
+    // boolean syntax; the query must be a literal (parsed + stemmed at
+    // plan time, like to_tsquery) and compiles to the same built-in
+    // expression tree as TextOps.tsMatchQuery: no UDF boundary
+    reg.createOrReplaceTempFunction("graft_ts_query", exprs => {
+      val query = exprs(1).eval().toString
+      ColumnBridge.unwrap(TextOps.tsMatchQuery(ColumnBridge.wrap(exprs.head), query))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_stem_array",
       exprs => PorterStemArrayExpr(exprs.head), "scala_udf")
     spark.udf.register("graft_stem", (s: String) => if (s == null) null else Porter.stem(s))

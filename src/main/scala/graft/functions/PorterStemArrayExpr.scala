@@ -25,10 +25,10 @@ case class PorterStemArrayExpr(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any =
-    PorterStemArrayExpr.eval(input.asInstanceOf[ArrayData])
+    PorterStemArrayExpr.stemAll(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PorterStemArrayExpr.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PorterStemArrayExpr.stemAll($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PorterStemArrayExpr =
     copy(child = newChild)
@@ -37,8 +37,12 @@ case class PorterStemArrayExpr(child: Expression) extends UnaryExpression {
 }
 
 object PorterStemArrayExpr {
-  /** Called from generated code — keep signature stable. */
-  def eval(a: ArrayData): ArrayData = {
+  /** Called from generated code — keep signature stable. Must NOT be named
+    * `eval`: a companion method shadowed by the class's inherited
+    * `Expression.eval(InternalRow)` gets no static forwarder, so the
+    * generated Java resolved the INSTANCE method, failed to compile, and
+    * the whole predicate silently fell back to interpreter mode. */
+  def stemAll(a: ArrayData): ArrayData = {
     val n = a.numElements()
     val out = new Array[Any](n)
     var i = 0

@@ -26,10 +26,10 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
       s"graft_shingles requires (STRING, k >= 1), got (${child.dataType.catalogString}, $k)")
 
   override def nullSafeEval(input: Any): Any =
-    WordShinglesExpr.eval(input.asInstanceOf[UTF8String], k)
+    WordShinglesExpr.shinglesOf(input.asInstanceOf[UTF8String], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesExpr.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShinglesExpr.shinglesOf($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
@@ -38,8 +38,11 @@ case class WordShinglesExpr(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object WordShinglesExpr {
-  /** Called from generated code — keep signature stable. */
-  def eval(s: UTF8String, k: Int): ArrayData = {
+  /** Called from generated code — keep signature stable. Named so it gets
+    * a static forwarder: a companion `eval` is shadowed by the inherited
+    * `Expression.eval(InternalRow)` and the generated Java would silently
+    * fall back to interpreter mode (see PorterStemArrayExpr.stemAll). */
+  def shinglesOf(s: UTF8String, k: Int): ArrayData = {
     val shingles = graft.ext.Dedup.shingleSetImpl(s.toString, k)
     val out = new Array[Any](shingles.length)
     var i = 0

@@ -216,6 +216,21 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F3 full to_tsquery surface: AND + grouped-OR-under-NOT + prefix in one
+    * query, evaluated through the posting-table path (semi/anti joins on
+    * posting lists — `graft.text.TsQuery` compiled by
+    * `PostingIndex.searchQuery`). The `!` lands as a LEFT-ANTI join against
+    * its positive conjunct, never against the corpus universe. Oracle is
+    * plain boolean algebra over `list_contains` on the same tokenization. */
+  private val q99TsQuerySearch: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text"))
+    PostingIndex.searchQuery(postings, "doc_id",
+      "(merge & !(window | join)) | vec:*", docs.select($"doc_id"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -229,7 +244,8 @@ object TextQueries {
     "q39_top_term"          -> q39TopTerm,
     "q89_indexed_search"    -> q89IndexedSearch,
     "q91_phrase_search"     -> q91PhraseSearch,
-    "q92_ts_rank"           -> q92TsRank)
+    "q92_ts_rank"           -> q92TsRank,
+    "q99_tsquery_search"    -> q99TsQuerySearch)
 
   /** Positional-lexeme CTE chain shared by the q91/q92 oracles — the DuckDB
     * twin of PostingIndex.buildPositional: positions over ALL words
@@ -333,5 +349,13 @@ object TextQueries {
           SELECT t.doc_id AS doc_id,
                  round(sum(t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df)), 6) AS score
           FROM tf t JOIN df d USING (lexeme)
-          GROUP BY t.doc_id ORDER BY doc_id""")
+          GROUP BY t.doc_id ORDER BY doc_id""",
+    "q99_tsquery_search" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+          WHERE (list_contains(toks, '${Porter.stem("merge")}')
+                 AND NOT (list_contains(toks, '${Porter.stem("window")}')
+                          OR list_contains(toks, '${Porter.stem("join")}')))
+             OR len(list_filter(toks, x -> x LIKE '${Porter.stem("vec")}%')) > 0
+          ORDER BY doc_id""")
 }

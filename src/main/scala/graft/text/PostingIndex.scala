@@ -75,9 +75,14 @@ object PostingIndex {
     * per-term side is a lexeme-filtered slice of the posting table (pruned
     * scan on an indexed store), so work is bounded by the terms' posting
     * lists — never the corpus. */
-  def phraseSearch(postings: DataFrame, idCol: String, phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "empty phrase")
-    val stemmed = phrase.map(t => Porter.stem(t.toLowerCase))
+  def phraseSearch(postings: DataFrame, idCol: String, phrase: Seq[String]): DataFrame =
+    phraseSearchLexemes(postings, idCol, phrase.map(t => Porter.stem(t.toLowerCase)))
+
+  /** [[phraseSearch]] over ALREADY-normalized lexemes (the tsquery compiler
+    * stems once, centrally, in `TsQuery.parseStemmed`). */
+  private def phraseSearchLexemes(postings: DataFrame, idCol: String,
+                                  stemmed: Seq[String]): DataFrame = {
+    require(stemmed.nonEmpty, "empty phrase")
     val head = postings.filter(col("lexeme") === stemmed.head)
       .select(col(idCol), col("pos"))
     stemmed.zipWithIndex.drop(1)
@@ -125,16 +130,106 @@ object PostingIndex {
     * list instead of the whole index. */
   def searchAllIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        idCol: String, terms: Seq[String], buckets: Int = 64): DataFrame = {
-    import spark.implicits._
     val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
-    val bucketIds = stemmed.toDF("lexeme")
-      .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
-      .as[Int].collect().toSeq.distinct
     // bucket-prune the scan, then delegate — ONE implementation of the
     // AND semantics, so indexed and in-memory search can't drift
     searchAll(
       spark.read.parquet(indexPath)
-        .filter(col("lexeme_bucket").isin(bucketIds: _*)), // partition-pruned
+        .filter(col("lexeme_bucket").isin(bucketIdsFor(spark, stemmed, buckets): _*)),
       idCol, terms)
+  }
+
+  /** The lexemes' bucket ids under the SAME hash the [[write]]r used,
+    * computed with a one-row Spark job so writer and reader can't drift. */
+  private def bucketIdsFor(spark: org.apache.spark.sql.SparkSession,
+                           lexemes: Seq[String], buckets: Int): Seq[Int] = {
+    import spark.implicits._
+    lexemes.toDF("lexeme")
+      .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
+      .as[Int].collect().toSeq.distinct
+  }
+
+  // ----------------------------------------------------- tsquery evaluation
+
+  /** Full `to_tsquery` search over the posting table: AND/OR/NOT/grouping/
+    * prefix/phrase, e.g. `searchQuery(p, "doc_id", "(merge & !join) | vec:*",
+    * docs)`. Boolean algebra compiles to joins on distinct doc-id sets:
+    *
+    *  - term → a lexeme-filtered slice of the postings (one posting list),
+    *  - AND → left-semi join chain; a negated conjunct becomes a direct
+    *    LEFT-ANTI join against its sibling set, so `a & !b` never touches
+    *    the corpus universe,
+    *  - OR → union + distinct,
+    *  - bare/naked NOT → anti-join against `universe` (the full doc-id set;
+    *    inherently corpus-sized, exactly like Postgres evaluating `!a`
+    *    without a positive conjunct — prefer `a & !b` forms),
+    *  - prefix (`t:*`) → a `startsWith` lexeme range scan,
+    *  - phrase (`a <-> b`) → [[phraseSearch]]'s consecutive-position joins;
+    *    requires POSITIONAL postings ([[buildPositional]]).
+    *
+    * Every positive leaf is bounded by its posting list, never the corpus;
+    * the join keys are all `idCol`, so AQE coalesces the chain. */
+  def searchQuery(postings: DataFrame, idCol: String, query: String,
+                  universe: DataFrame): DataFrame = {
+    val positional = postings.columns.contains("pos")
+    evalQuery(TsQuery.parseStemmed(query), idCol, universe.select(col(idCol)),
+      termDocs = t => {
+        val p = if (t.prefix) col("lexeme").startsWith(t.lexeme)
+                else col("lexeme") === t.lexeme
+        postings.filter(p).select(col(idCol)).distinct()
+      },
+      phraseDocs = ls => {
+        require(positional, "tsquery: <-> requires positional postings (buildPositional)")
+        phraseSearchLexemes(postings, idCol, ls)
+      })
+  }
+
+  /** [[searchQuery]] against an on-disk index written by [[write]]: exact
+    * lexemes prune the scan to their hash-bucket partitions (the GIN
+    * posting-list walk, as [[searchAllIndexed]]); prefix terms cannot name
+    * a hash bucket and fall back to a full-index lexeme range scan — the
+    * same trade Postgres makes (GIN prefix match walks the term tree).
+    * Phrase is rejected: [[write]]'s index stores no positions. */
+  def searchQueryIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                         idCol: String, query: String, universe: DataFrame,
+                         buckets: Int = 64): DataFrame = {
+    val ast = TsQuery.parseStemmed(query)
+    val exact = TsQuery.exactLexemes(ast).distinct
+    lazy val pruned = spark.read.parquet(indexPath)
+      .filter(col("lexeme_bucket").isin(bucketIdsFor(spark, exact, buckets): _*))
+    lazy val full = spark.read.parquet(indexPath)
+    evalQuery(ast, idCol, universe.select(col(idCol)),
+      termDocs = t =>
+        (if (t.prefix) full.filter(col("lexeme").startsWith(t.lexeme))
+         else pruned.filter(col("lexeme") === t.lexeme))
+          .select(col(idCol)).distinct(),
+      phraseDocs = _ => throw new IllegalArgumentException(
+        "tsquery: <-> needs positional postings — searchQuery over buildPositional"))
+  }
+
+  /** Shared tsquery evaluator: the two entry points differ only in how a
+    * term resolves to its doc-id set (in-memory slice vs pruned scan).
+    * Every node yields a DISTINCT one-column `idCol` frame. */
+  private def evalQuery(q: TsQuery, idCol: String, universe: DataFrame,
+                        termDocs: TsQuery.Term => DataFrame,
+                        phraseDocs: Seq[String] => DataFrame): DataFrame = {
+    def eval(n: TsQuery): DataFrame = n match {
+      case t: TsQuery.Term    => termDocs(t)
+      case TsQuery.Phrase(ls) => phraseDocs(ls)
+      case TsQuery.Not(x)     => universe.join(eval(x), Seq(idCol), "left_anti")
+      case TsQuery.And(qs) =>
+        val (negated, positive) = qs.partition(_.isInstanceOf[TsQuery.Not])
+        val base = positive.map(eval) match {
+          // all-negative conjunction (`!a & !b`): start from the universe
+          case Seq() => universe
+          case ds    => ds.reduce((a, b) => a.join(b, Seq(idCol), "left_semi"))
+        }
+        // `x & !y` = x ANTI y — never materializes y's complement
+        negated.collect { case TsQuery.Not(x) => x }.foldLeft(base) {
+          (acc, x) => acc.join(eval(x), Seq(idCol), "left_anti")
+        }
+      case TsQuery.Or(qs) => qs.map(eval).reduce(_ union _).distinct()
+    }
+    eval(q)
   }
 }

@@ -128,4 +128,29 @@ object TextOps {
   /** Unstemmed variants for the basic tokenizer. */
   def tsMatchAllBasic(tokens: Column, terms: Seq[String]): Column =
     terms.map(t => array_contains(tokens, t.toLowerCase)).reduce(_ && _)
+
+  /** F3 full surface: `token @@ to_tsquery('a & !(b | c) | d:*')` as a
+    * boolean Column over a [[tokenize]]d array — AND/OR/NOT/grouping/prefix
+    * compile to built-in expressions (codegen'd, no UDF boundary):
+    * exact terms via `array_contains`, prefix terms via a word-boundary
+    * LIKE over `array_join` (tokens are [a-z0-9]+, so the space-delimited
+    * join round-trips exactly and LIKE needs no escaping — and unlike
+    * `exists(tokens, …)`, LIKE stays inside whole-stage codegen).
+    *
+    * Phrase (`<->`) is rejected here: a token ARRAY has no positions —
+    * route phrase queries through `PostingIndex.searchQuery` over
+    * [[PostingIndex.buildPositional]] postings instead. */
+  def tsMatchQuery(tokens: Column, query: String): Column =
+    compileMatch(tokens, TsQuery.parseStemmed(query))
+
+  private def compileMatch(tokens: Column, q: TsQuery): Column = q match {
+    case TsQuery.Term(l, false) => array_contains(tokens, l)
+    case TsQuery.Term(l, true) =>
+      concat(lit(" "), array_join(tokens, " "), lit(" ")).like(s"% $l%")
+    case TsQuery.Not(x)  => !compileMatch(tokens, x)
+    case TsQuery.And(qs) => qs.map(compileMatch(tokens, _)).reduce(_ && _)
+    case TsQuery.Or(qs)  => qs.map(compileMatch(tokens, _)).reduce(_ || _)
+    case TsQuery.Phrase(_) => throw new IllegalArgumentException(
+      "tsquery: <-> needs positional postings — use PostingIndex.searchQuery over buildPositional")
+  }
 }

@@ -1,0 +1,171 @@
+package graft.text
+
+/** Postgres `to_tsquery` syntax (the reference's search surface: the GIN
+  * index + tsvector trigger of `sec_dl/utils/init_tables.py:56-67` is queried
+  * with `token @@ to_tsquery(...)`, reference `README.md:6-7`): a boolean
+  * query language over lexemes with
+  *
+  *   - `&` AND, `|` OR, `!` NOT, parenthesized grouping,
+  *   - `<->` phrase (adjacent positions),
+  *   - `term:*` prefix match,
+  *
+  * with Postgres precedence (tightest first): `!`, `<->`, `&`, `|`.
+  *
+  * [[TsQuery.parse]] produces the AST; [[TsQuery.parseStemmed]] additionally
+  * lowercases and Porter-stems every lexeme — the SAME normalization the
+  * tokenize/index side applies (`TextOps.tokenize`), so a parsed query is
+  * directly comparable against stored lexemes. Prefix lexemes are stemmed
+  * too, matching `to_tsquery`'s dictionary normalization of prefix terms.
+  *
+  * Compilers over this AST:
+  *  - `TextOps.tsMatchQuery` — boolean `Column` over a token array (corpus
+  *    scan path; phrase unsupported there, positions are dropped),
+  *  - `PostingIndex.searchQuery` / `searchQueryIndexed` — posting-table
+  *    evaluation with semi/anti joins (index path; phrase supported over
+  *    positional postings),
+  *  - SQL function `graft_ts_query(tokens, 'a & !(b | c)')` (registered in
+  *    `graft.functions.Functions`), which compiles the literal at plan time
+  *    into the same built-in expression tree as `tsMatchQuery`.
+  */
+sealed trait TsQuery
+
+object TsQuery {
+  /** A single lexeme; `prefix` is the `term:*` form. */
+  final case class Term(lexeme: String, prefix: Boolean = false) extends TsQuery
+  /** `a <-> b <-> c`: lexemes at strictly consecutive positions. */
+  final case class Phrase(lexemes: Seq[String]) extends TsQuery
+  final case class Not(q: TsQuery) extends TsQuery
+  final case class And(qs: Seq[TsQuery]) extends TsQuery
+  final case class Or(qs: Seq[TsQuery]) extends TsQuery
+
+  /** Parse without normalizing lexemes (pure syntax). */
+  def parse(input: String): TsQuery = {
+    val p = new Parser(lex(input), input)
+    val q = p.parseOr()
+    p.expectEnd()
+    q
+  }
+
+  /** Parse + lowercase + Porter-stem every lexeme — the form every compiler
+    * consumes. Stemming here (not per compiler) keeps the three evaluation
+    * paths drift-free by construction. */
+  def parseStemmed(input: String): TsQuery = stemmed(parse(input))
+
+  private def stemmed(q: TsQuery): TsQuery = q match {
+    case Term(l, p)  => Term(Porter.stem(l.toLowerCase), p)
+    case Phrase(ls)  => Phrase(ls.map(l => Porter.stem(l.toLowerCase)))
+    case Not(x)      => Not(stemmed(x))
+    case And(qs)     => And(qs.map(stemmed))
+    case Or(qs)      => Or(qs.map(stemmed))
+  }
+
+  /** Every exact (non-prefix) lexeme in the query — the set an indexed
+    * evaluation can bucket-prune its scan to. Prefix lexemes are excluded:
+    * a hash bucket cannot be derived from a prefix. */
+  def exactLexemes(q: TsQuery): Seq[String] = q match {
+    case Term(l, false) => Seq(l)
+    case Term(_, true)  => Nil
+    case Phrase(ls)     => ls
+    case Not(x)         => exactLexemes(x)
+    case And(qs)        => qs.flatMap(exactLexemes)
+    case Or(qs)         => qs.flatMap(exactLexemes)
+  }
+
+  // ------------------------------------------------------------------ lexer
+
+  private sealed trait Tok
+  private case object TAnd extends Tok
+  private case object TOr extends Tok
+  private case object TNot extends Tok
+  private case object TLParen extends Tok
+  private case object TRParen extends Tok
+  private case object TAdjacent extends Tok
+  private final case class TLex(s: String, prefix: Boolean) extends Tok
+
+  private def lex(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '&') { out += TAnd; i += 1 }
+      else if (c == '|') { out += TOr; i += 1 }
+      else if (c == '!') { out += TNot; i += 1 }
+      else if (c == '(') { out += TLParen; i += 1 }
+      else if (c == ')') { out += TRParen; i += 1 }
+      else if (c == '<') {
+        require(s.regionMatches(i, "<->", 0, 3),
+          s"tsquery: bad operator at position $i in <$s> (only <-> is supported)")
+        out += TAdjacent; i += 3
+      } else if (c.isLetterOrDigit || c == '_') {
+        val start = i
+        while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+        val word = s.substring(start, i)
+        if (s.regionMatches(i, ":*", 0, 2)) { out += TLex(word, prefix = true); i += 2 }
+        else out += TLex(word, prefix = false)
+      } else
+        throw new IllegalArgumentException(
+          s"tsquery: unexpected character '$c' at position $i in <$s>")
+    }
+    out.result()
+  }
+
+  // ----------------------------------------------- recursive-descent parser
+
+  private final class Parser(toks: Vector[Tok], input: String) {
+    private var i = 0
+    private def peek: Option[Tok] = if (i < toks.length) Some(toks(i)) else None
+    private def next(): Tok = { val t = toks(i); i += 1; t }
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"tsquery: $msg in <$input>")
+
+    def expectEnd(): Unit = if (i < toks.length) fail(s"trailing tokens after position $i")
+
+    // or := and ('|' and)*
+    def parseOr(): TsQuery = {
+      val parts = Seq.newBuilder[TsQuery]
+      parts += parseAnd()
+      var n = 1
+      while (peek.contains(TOr)) { next(); parts += parseAnd(); n += 1 }
+      if (n == 1) parts.result().head else Or(parts.result())
+    }
+
+    // and := phrase ('&' phrase)*
+    private def parseAnd(): TsQuery = {
+      val parts = Seq.newBuilder[TsQuery]
+      parts += parsePhrase()
+      var n = 1
+      while (peek.contains(TAnd)) { next(); parts += parsePhrase(); n += 1 }
+      if (n == 1) parts.result().head else And(parts.result())
+    }
+
+    // phrase := unary ('<->' unary)* — operands must be plain terms (the
+    // posting evaluator resolves phrases by exact (id, pos) equi-joins;
+    // prefix or nested operands inside <-> are rejected, not mis-evaluated)
+    private def parsePhrase(): TsQuery = {
+      val first = parseUnary()
+      if (!peek.contains(TAdjacent)) first
+      else {
+        val parts = Seq.newBuilder[TsQuery]
+        parts += first
+        while (peek.contains(TAdjacent)) { next(); parts += parseUnary() }
+        Phrase(parts.result().map {
+          case Term(l, false) => l
+          case other => fail(s"<-> operands must be plain terms, got $other")
+        })
+      }
+    }
+
+    // unary := '!' unary | '(' or ')' | term
+    private def parseUnary(): TsQuery = peek match {
+      case Some(TNot)    => next(); Not(parseUnary())
+      case Some(TLParen) =>
+        next()
+        val q = parseOr()
+        if (!peek.contains(TRParen)) fail("missing closing parenthesis")
+        next(); q
+      case Some(TLex(w, p)) => next(); Term(w, p)
+      case other => fail(s"expected a term, '!' or '(', got $other")
+    }
+  }
+}

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.text.TsQuery._
+
+/** to_tsquery parsing + the three evaluation paths (array predicate,
+  * in-memory postings, on-disk pruned index) agreeing on every operator
+  * combination — NOT, grouping, prefix, phrase. */
+class TsQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------------------ parse
+
+  test("precedence: | loosest, then &, then <->, then !") {
+    assert(parse("a & b | c & d") ==
+      Or(Seq(And(Seq(Term("a"), Term("b"))), And(Seq(Term("c"), Term("d"))))))
+    assert(parse("!a & b") == And(Seq(Not(Term("a")), Term("b"))))
+    assert(parse("a <-> b & c") ==
+      And(Seq(Phrase(Seq("a", "b")), Term("c"))))
+  }
+
+  test("grouping overrides precedence; prefix parses on the term") {
+    assert(parse("a & !(b | c)") ==
+      And(Seq(Term("a"), Not(Or(Seq(Term("b"), Term("c")))))))
+    assert(parse("vec:*") == Term("vec", prefix = true))
+    assert(parse("a | (b & c:*)") ==
+      Or(Seq(Term("a"), And(Seq(Term("b"), Term("c", prefix = true))))))
+  }
+
+  test("parseStemmed normalizes lexemes like the tokenize side") {
+    assert(parseStemmed("Merges & !JOINING") ==
+      And(Seq(Term(Porter.stem("merges")), Not(Term(Porter.stem("joining"))))))
+  }
+
+  test("malformed queries fail loudly") {
+    for (bad <- Seq("a &", "& a", "a !b", "(a | b", "a <- b", "a ~ b", "",
+                    "a <-> b:*", "a <-> (b | c)"))
+      assertThrows[IllegalArgumentException](parse(bad))
+  }
+
+  // ------------------------------------------- evaluation path equivalence
+
+  private val docs = Seq(
+    (1L, "merge the tables fast"),
+    (2L, "merge with window functions"),
+    (3L, "merge join strategies"),
+    (4L, "vector embeddings rule"),
+    (5L, "plain sort order"),
+    (6L, "window vector blend")).toDF("doc_id", "text")
+
+  private def viaColumn(q: String): Set[Long] =
+    docs.select($"doc_id", TextOps.tokenize($"text").as("toks"))
+      .filter(TextOps.tsMatchQuery($"toks", q))
+      .select($"doc_id").as[Long].collect().toSet
+
+  private lazy val postings =
+    PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text"))
+
+  private def viaPostings(q: String): Set[Long] =
+    PostingIndex.searchQuery(postings, "doc_id", q, docs.select($"doc_id"))
+      .as[Long].collect().toSet
+
+  private lazy val indexDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsq_idx_").toString + "/idx"
+    PostingIndex.write(postings, dir, buckets = 8)
+    dir
+  }
+
+  private def viaIndex(q: String): Set[Long] =
+    PostingIndex.searchQueryIndexed(spark, indexDir, "doc_id", q,
+      docs.select($"doc_id"), buckets = 8)
+      .as[Long].collect().toSet
+
+  private val cases = Seq(
+    "merge"                          -> Set(1L, 2L, 3L),
+    "merge & !(window | join)"       -> Set(1L),
+    "(merge & !window) | vec:*"      -> Set(1L, 3L, 4L, 6L),
+    "!merge"                         -> Set(4L, 5L, 6L), // bare NOT = complement
+    "!merge & !vector"               -> Set(5L),
+    "vec:*"                          -> Set(4L, 6L),     // prefix hits 'vector'
+    "merging | sorted"               -> Set(1L, 2L, 3L, 5L), // stemmed match
+    "!(merge | vec:*)"               -> Set(5L))
+
+  test("array-predicate, posting, and indexed paths agree on every operator mix") {
+    for ((q, expected) <- cases) {
+      assert(viaColumn(q) == expected, s"column path: <$q>")
+      assert(viaPostings(q) == expected, s"posting path: <$q>")
+      assert(viaIndex(q) == expected, s"indexed path: <$q>")
+    }
+  }
+
+  test("graft_ts_query SQL function compiles to the same semantics") {
+    graft.functions.Functions.registerAll(spark)
+    docs.createOrReplaceTempView("tsq_docs")
+    val got = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id, graft_tokenize(text) AS toks FROM tsq_docs)
+         WHERE graft_ts_query(toks, '(merge & !window) | vec:*')""")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L, 6L))
+  }
+
+  test("phrase inside a boolean tsquery works over positional postings") {
+    val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    val got = PostingIndex.searchQuery(pos, "doc_id",
+      "(merge <-> join) | vec:*", docs.select($"doc_id"))
+      .as[Long].collect().toSet
+    assert(got == Set(3L, 4L, 6L))
+    // phrase needs positions: the deduped posting table must refuse
+    assertThrows[IllegalArgumentException](viaPostings("merge <-> join"))
+  }
+
+  test("indexed NOT-query still prunes the scan to the exact terms' buckets") {
+    val df: DataFrame = PostingIndex.searchQueryIndexed(spark, indexDir, "doc_id",
+      "merge & !(window | join)", docs.select($"doc_id"), buckets = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("lexeme_bucket"),
+      s"bucket partition pruning missing from NOT-query plan:\n$plan")
+  }
+}
