@@ -171,19 +171,21 @@ object Dedup {
     * The join shuffles on the band key — linear in corpus size times bands,
     * never all-pairs.
     *
-    * Degenerate-bucket guard: a band bucket wider than `maxBucketWidth`
-    * (adversarial crawl data — thousands of identical docs collide on every
-    * band) would make the self-join quadratic in that ONE bucket's width.
-    * Oversized buckets are split into id-ordered SALT GROUPS of ≤ the cap:
-    * all pairs are generated within each group, and each group's head (its
-    * smallest id) is additionally paired with the bucket's global head, so
-    * the bucket stays CONNECTED for downstream clustering while per-group
-    * pair counts are bounded by cap². The trade, documented: candidate
-    * pairs BETWEEN salt groups (beyond the head links) are not emitted —
-    * acceptable because a bucket only reaches such width when its members
-    * are near-identical, where connectivity (not the full pair list) is
-    * what dedup consumes. Buckets at or under the cap — every bucket on
-    * non-adversarial data — are emitted EXACTLY as without the guard. */
+    * Degenerate-bucket guard ([[SaltGuard]]): a band bucket wider than
+    * `maxBucketWidth` (adversarial crawl data — thousands of identical docs
+    * collide on every band) would make the self-join quadratic in that ONE
+    * bucket's width. Oversized buckets are hash-split into ≈cap-sized salt
+    * groups: all pairs are generated within each group, and each group's
+    * head is additionally paired with the bucket's global head, so the
+    * bucket stays connected for downstream clustering (guaranteed when the
+    * head pairs clear the caller's score threshold — always true for the
+    * identical-duplicate skew that creates such buckets). The trade,
+    * documented: candidate pairs BETWEEN salt groups (beyond the head
+    * links) are not emitted — acceptable because a bucket only reaches
+    * such width when its members are near-identical, where connectivity
+    * (not the full pair list) is what dedup consumes. Buckets at or under
+    * the cap — every bucket on non-adversarial data — are emitted EXACTLY
+    * as without the guard. */
   def lshCandidatePairs(df: DataFrame, idCol: String, shingleCol: String,
                         numHashes: Int = 128, bands: Int = 32,
                         maxBucketWidth: Int = 10000): DataFrame = {
@@ -193,19 +195,17 @@ object Dedup {
     // collapse into ONE bucket (an O(n²) blowup on crawl data full of short
     // docs); null arrays are excluded for the same reason
     val eligible = df.filter(col(shingleCol).isNotNull && size(col(shingleCol)) > 0)
+    // localCheckpoint: the banded frame feeds the width aggregate plus the
+    // salted self-join sides and head slices; without it each consumer
+    // recomputes the minhash + band explode (the dominant cost), and the
+    // self-join's broadcast boundary defeats exchange reuse. Materializing
+    // once costs one pass over n×bands rows — the same data the join
+    // shuffle moves anyway.
     val banded = eligible
       .select(col(idCol), posexplode(bandKeysUdf(numHashes, bands)(col(shingleCol)))
         .as(Seq("band", "bkey")))
-    val bw = Window.partitionBy(col("band"), col("bkey"))
-    // localCheckpoint: the salted frame feeds FOUR consumers (two join
-    // sides + two head slices); without it each recomputes the explode +
-    // window shuffle, and the self-join's broadcast boundary defeats
-    // exchange reuse. Materializing once costs one pass over n×bands rows
-    // — the same data the shuffle moves anyway.
-    val salted = banded
-      .withColumn("rn", row_number().over(bw.orderBy(col(idCol))))
-      .withColumn("salt", ((col("rn") - 1) / maxBucketWidth).cast("int"))
       .localCheckpoint()
+    val salted = SaltGuard.hashSalt(banded, Seq("band", "bkey"), idCol, maxBucketWidth)
     val a = salted.select(col(idCol).as(s"${idCol}_a"),
       col("band"), col("bkey"), col("salt"))
     val b = salted.select(col(idCol).as(s"${idCol}_b"),
@@ -213,15 +213,8 @@ object Dedup {
     val withinGroup = a.join(b, Seq("band", "bkey", "salt"))
       .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
       .select(s"${idCol}_a", s"${idCol}_b")
-    // connectivity links: each later salt group's head joins the bucket head
-    // (rn=1). Id-ordered groups make bucketHead < groupHead by construction.
-    val heads = salted.filter((col("rn") - 1) % maxBucketWidth === 0)
-    val headLinks = heads.filter(col("salt") === 0)
-      .select(col(idCol).as(s"${idCol}_a"), col("band"), col("bkey"))
-      .join(heads.filter(col("salt") > 0)
-        .select(col(idCol).as(s"${idCol}_b"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
-      .select(s"${idCol}_a", s"${idCol}_b")
+    val headLinks = SaltGuard.headLinks(salted, Seq("band", "bkey"), idCol)
+      .select(col("id_a").as(s"${idCol}_a"), col("id_b").as(s"${idCol}_b"))
     withinGroup.union(headLinks).distinct()
   }
 

@@ -111,33 +111,82 @@ object Similarity {
     * stage anywhere — and recall/cost trades off via (numCentroids, nprobe).
     * Fully deterministic (centroid choice, argmax tiebreak by centroid id),
     * hence oracle-checkable, unlike random-hyperplane LSH. */
-  /** The deterministic centroid set: the first `numCentroids` corpus
-    * vectors, as (cid, cv). */
-  private def centroids(corpus: DataFrame, numCentroids: Int,
-                        idCol: String, vecCol: String): DataFrame =
+  /** The deterministic centroid set — the first `numCentroids` corpus
+    * vectors — collected driver-side: the quantizer is a driver-sized model
+    * constant exactly like the hyperplane matrix (sizing: `numCentroids ∝
+    * √n` keeps cells ≈√n wide AND the broadcast + per-vector argmax loop
+    * bounded; 10⁹ vectors → ~3·10⁴ centroids ≈ 8 MB at dim 64). The filter
+    * pushes to the scan (parquet min/max prunes to the head rows). */
+  private def collectCentroids(corpus: DataFrame, numCentroids: Int,
+                               idCol: String, vecCol: String): Array[(Long, Array[Float])] =
     corpus.filter(col(idCol) < numCentroids)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** Top-`keep` argmax-cosine cells of one vector over the broadcast
+    * centroid array — one fused JVM pass, the map-side replacement for the
+    * previous crossJoin + row_number window (which shuffled the whole
+    * corpus once per assignment). Semantics are the windowed version's,
+    * bit for bit: per-centroid cosine uses [[cosineF]]'s exact double
+    * summation order, and ranking replicates Spark's `ccos DESC, cid ASC`
+    * ordering via `java.lang.Double.compare` (NaN ranks above every
+    * number, as Spark sorts it; a null vector scores null against every
+    * centroid, which ranked all-ties-by-cid — the first `keep` cids). */
+  private[ext] def topCells(cs: Array[(Long, Array[Float])], v: Seq[Float],
+                            keep: Int): Array[Long] = {
+    val k = math.min(keep, cs.length)
+    if (v == null) return cs.take(k).map(_._1)
+    val topId = new Array[Long](k)
+    val topCos = new Array[Double](k)
+    var filled = 0
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)._2
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) {
+        val x = v(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      // insertion rank: strictly-better cosines move up; equal cosines keep
+      // ascending-cid order because centroids are visited cid-ascending
+      var j = filled
+      while (j > 0 && java.lang.Double.compare(cos, topCos(j - 1)) > 0) j -= 1
+      if (j < k) {
+        var m = math.min(filled, k - 1)
+        while (m > j) { topId(m) = topId(m - 1); topCos(m) = topCos(m - 1); m -= 1 }
+        topId(j) = cs(ci)._1; topCos(j) = cos
+        if (filled < k) filled += 1
+      }
+      ci += 1
+    }
+    topId.take(filled)
+  }
 
   /** Argmax-cosine cell assignment shared by [[ivfKnn]] and
     * [[ivfNearDupPairs]] — the tiebreak (ccos desc, cid asc) and the
     * centroid rule are part of BOTH operators' oracle contracts (q49, q98):
     * change them together or not at all. `keep` = cells per vector (1 for
-    * corpus placement, nprobe for query probing). */
-  private def assignCells(df: DataFrame, cent: DataFrame, id: String, vec: String,
-                          keep: Int, idCol: String, vecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+    * corpus placement, nprobe for query probing). Map-only: the centroids
+    * ride a broadcast variable and [[topCells]] fuses the argmax, so the
+    * assignment adds ZERO exchanges — the first shuffle an IVF operator
+    * ever does is its cell-id join (PlanSpec locks this). */
+  private def assignCells(df: DataFrame, cents: Array[(Long, Array[Float])],
+                          id: String, vec: String, keep: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(cents)
+    val f = udf((v: Seq[Float]) => topCells(bc.value, v, keep))
     df.select(col(idCol).as(id), col(vecCol).as(vec))
-      .crossJoin(broadcast(cent))
-      .withColumn("ccos", cosineF(col(vec), col("cv")))
-      .withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= keep)
-      .select(col(id), col(vec), col("cid"))
+      .withColumn("cid", explode(f(col(vec))))
   }
 
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numCentroids: Int = 8, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = centroids(corpus, numCentroids, idCol, vecCol)
+    val cent = collectCentroids(corpus, numCentroids, idCol, vecCol)
     val cells = assignCells(corpus, cent, "neighbor_id", "cvec", keep = 1, idCol, vecCol)
     val probes = assignCells(queries, cent, "query_id", "qv", keep = nprobe, idCol, vecCol)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -158,13 +207,15 @@ object Similarity {
     * band you must not miss; [[graft.ops.ExtQueries]] q47 gates a measured
     * recall contract against the exact ground truth.
     *
-    * Degenerate-bucket guard, same design as `Dedup.lshCandidatePairs`: a
-    * bucket wider than `maxBucketWidth` (identical/zero embeddings
-    * colliding on every table) splits into id-ordered salt groups of ≤ the
-    * cap — all pairs within each group plus a head link from the bucket
-    * head to each later group head, so per-group pair counts stay ≤ cap²
-    * and the bucket stays connected for downstream clustering. Buckets at
-    * or under the cap are emitted exactly as without the guard. */
+    * Degenerate-bucket guard ([[SaltGuard]], same design as
+    * `Dedup.lshCandidatePairs`): a bucket wider than `maxBucketWidth`
+    * (identical/zero embeddings colliding on every table) is hash-split
+    * into ≈cap-sized salt groups — all pairs within each group plus a head
+    * link from the bucket head to each other group head, keeping the
+    * bucket connected for downstream clustering (guaranteed when head
+    * pairs clear the caller's threshold — always true for identical-
+    * duplicate skew). Buckets at or under the cap are emitted exactly as
+    * without the guard. */
   def annCandidatePairs(corpus: DataFrame, numPlanes: Int, tables: Int,
                         dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding",
@@ -174,28 +225,20 @@ object Similarity {
     val planeArr: Array[Array[Array[Double]]] =
       planeSets.map(_.map(_.toArray).toArray).toArray
     val bucketsF = bucketsUdf(planeArr)
+    // localCheckpoint: the width aggregate, both join sides and the head
+    // slices all consume the bucketing scan; the broadcast boundary
+    // defeats exchange reuse — same reasoning as the Dedup twin
     val banded = corpus.select(col(idCol),
       posexplode(bucketsF(col(vecCol))).as(Seq("tbl", "bkt")))
-    val bw = Window.partitionBy(col("tbl"), col("bkt"))
-    // localCheckpoint: four consumers (both join sides + two head slices),
-    // and the broadcast boundary defeats exchange reuse — same reasoning
-    // as the Dedup twin
-    val salted = banded
-      .withColumn("rn", row_number().over(bw.orderBy(col(idCol))))
-      .withColumn("salt", ((col("rn") - 1) / maxBucketWidth).cast("int"))
       .localCheckpoint()
+    val salted = SaltGuard.hashSalt(banded, Seq("tbl", "bkt"), idCol, maxBucketWidth)
     val a = salted.select(col(idCol).as("vec_a"), col("tbl"), col("bkt"), col("salt"))
     val b = salted.select(col(idCol).as("vec_b"), col("tbl"), col("bkt"), col("salt"))
     val withinGroup = a.join(b, Seq("tbl", "bkt", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b")
-    val heads = salted.filter((col("rn") - 1) % maxBucketWidth === 0)
-    val headLinks = heads.filter(col("salt") === 0)
-      .select(col(idCol).as("vec_a"), col("tbl"), col("bkt"))
-      .join(heads.filter(col("salt") > 0)
-        .select(col(idCol).as("vec_b"), col("tbl"), col("bkt")),
-        Seq("tbl", "bkt"))
-      .select("vec_a", "vec_b")
+    val headLinks = SaltGuard.headLinks(salted, Seq("tbl", "bkt"), idCol)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"))
     withinGroup.union(headLinks).distinct()
   }
 
@@ -233,47 +276,41 @@ object Similarity {
     * exactly oracle-checkable, unlike the probabilistic hyperplane path
     * (q47's contract).
     *
-    * Dense-cell guard, same design as [[annCandidatePairs]] /
-    * `Dedup.lshCandidatePairs`: a skewed embedding distribution (many
+    * Dense-cell guard ([[SaltGuard]], same design as [[annCandidatePairs]]
+    * / `Dedup.lshCandidatePairs`): a skewed embedding distribution (many
     * identical or near-zero vectors sharing one argmax cell) would make the
-    * within-cell self-join O(width²). A cell wider than `maxCellWidth`
-    * therefore splits into id-ordered salt groups of ≤ the cap — all pairs
-    * within each group, plus head-link candidates from the cell head to
-    * each later group's head (scored through the same cosine filter) so a
-    * duplicate-heavy cell stays connected for downstream clustering. Cells
-    * at or under the cap (every cell at test scale, and every healthy cell
-    * of a sized quantizer) emit exactly the unguarded output: salt is 0
-    * everywhere and no head links exist. Cross-group pairs inside an
-    * over-cap cell are the deliberate recall trade that caps the cost —
-    * identical to the LSH twins' contract. */
+    * within-cell self-join O(width²). A cell wider than `maxCellWidth` is
+    * hash-split into ≈cap-sized salt groups — all pairs within each group,
+    * plus head-link candidates from the cell head to each other group's
+    * head. The head links pass through the same cosine threshold filter as
+    * real pairs, so a split cell is guaranteed to stay one component only
+    * when its head pairs clear the threshold — always true for the
+    * identical-duplicate skew that creates over-cap cells, approximate for
+    * mixed-content cells. Cells at or under the cap (every cell at test
+    * scale, and every healthy cell of a sized quantizer) emit exactly the
+    * unguarded output: salt is 0 everywhere and no head links exist.
+    * Cross-group pairs inside an over-cap cell are the deliberate recall
+    * trade that caps the cost — identical to the LSH twins' contract. */
   def ivfNearDupPairs(corpus: DataFrame, threshold: Double, numCentroids: Int = 8,
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       maxCellWidth: Int = 10000): DataFrame = {
     require(maxCellWidth > 1, s"maxCellWidth must be > 1: $maxCellWidth")
-    val cent = centroids(corpus, numCentroids, idCol, vecCol)
-    val cw = Window.partitionBy(col("cid"))
-    // localCheckpoint: the assignment (broadcast scan + window) feeds both
-    // self-join sides plus the two head slices
+    val cent = collectCentroids(corpus, numCentroids, idCol, vecCol)
+    // localCheckpoint: the map-side assignment feeds the width aggregate,
+    // both self-join sides and the head slices
     val cells = assignCells(corpus, cent, idCol, vecCol + "_v", keep = 1, idCol, vecCol)
-      .withColumn("rn", row_number().over(cw.orderBy(col(idCol))))
-      .withColumn("salt", ((col("rn") - 1) / maxCellWidth).cast("int"))
       .localCheckpoint()
-    val a = cells.select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"),
+    val salted = SaltGuard.hashSalt(cells, Seq("cid"), idCol, maxCellWidth)
+    val a = salted.select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"),
       col("cid"), col("salt"))
-    val b = cells.select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"),
+    val b = salted.select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"),
       col("cid"), col("salt"))
     val withinGroup = a.join(b, Seq("cid", "salt"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
-    // group heads are id-ordered, so the cell head (salt 0) is the minimum
-    // id in the cell and every head link already satisfies vec_a < vec_b
-    val heads = cells.filter((col("rn") - 1) % maxCellWidth === 0)
-    val headLinks = heads.filter(col("salt") === 0)
-      .select(col(idCol).as("vec_a"), col(vecCol + "_v").as("va"), col("cid"))
-      .join(heads.filter(col("salt") > 0)
-        .select(col(idCol).as("vec_b"), col(vecCol + "_v").as("vb"), col("cid")),
-        Seq("cid"))
-      .select(col("vec_a"), col("va"), col("vec_b"), col("vb"))
+    val headLinks = SaltGuard.headLinks(salted, Seq("cid"), idCol, Some(vecCol + "_v"))
+      .select(col("id_a").as("vec_a"), col("pay_a").as("va"),
+        col("id_b").as("vec_b"), col("pay_b").as("vb"))
     withinGroup.union(headLinks)
       .withColumn("cos", cosineF(col("va"), col("vb")))
       .filter(col("cos") > threshold)

@@ -59,7 +59,9 @@ class ExtSpec extends AnyFunSuite {
   test("LSH bucket salting: pathological corpus stays bounded AND connected") {
     // 2000 identical docs: every band bucket has width 2000. Unsalted this
     // is C(2000,2) ≈ 2M candidate pairs from ONE bucket; with cap=100 the
-    // bucket splits into 20 salt groups → ≤ 20·C(100,2) + 19 head links.
+    // bucket hash-splits into 20 salt groups of ≈100. Group sizes are
+    // ragged (hash salt — no sort, no window), so the bound is the
+    // balanced count with multinomial headroom, still ~7× under unguarded.
     val n = 2000
     val cap = 100
     val clones = spark.range(n).select($"id".as("doc_id"),
@@ -69,8 +71,10 @@ class ExtSpec extends AnyFunSuite {
       maxBucketWidth = cap).cache()
     try {
       val nPairs = cands.count()
-      val bound = (n / cap) * (cap.toLong * (cap - 1) / 2) + (n / cap - 1)
+      val balanced = (n / cap) * (cap.toLong * (cap - 1) / 2) + (n / cap - 1)
+      val bound = 3 * balanced // deterministic (xxhash64), so stable run to run
       assert(nPairs <= bound, s"pair count $nPairs exceeds salted bound $bound")
+      assert(nPairs < n.toLong * (n - 1) / 2 / 3, s"guard did not bite: $nPairs")
       // connectivity survives the salt split: one component, min-label 0
       val comp = Dedup.connectedComponents(cands, "doc_id_a", "doc_id_b")
       assert(comp.select("component").distinct().count() == 1)
@@ -133,8 +137,11 @@ class ExtSpec extends AnyFunSuite {
     assert(base.size == 40 * 39 / 2) // identical vectors collide everywhere
     val salted = Similarity.annCandidatePairs(vecs, numPlanes = 2, tables = 2, dim = 8,
       maxBucketWidth = 10).as[(Long, Long)].collect().toSet
-    val bound = 4 * (10L * 9 / 2) + 3 // 4 salt groups of ≤10 + 3 head links
+    // 4 hash-salt groups of ≈10 (ragged) + 3 head links, with headroom;
+    // must still sit well under the unguarded C(40,2) = 780
+    val bound = 3 * (4 * (10L * 9 / 2) + 3)
     assert(salted.size <= bound, s"${salted.size} > $bound")
+    assert(salted.size < 40 * 39 / 2, s"guard did not bite: ${salted.size}")
     assert(salted.subsetOf(base))
     // connectivity: every id reachable from the bucket head
     val comp = Dedup.connectedComponents(
@@ -183,9 +190,10 @@ class ExtSpec extends AnyFunSuite {
   test("ivfNearDupPairs cell salting: degenerate one-cell corpus stays bounded AND connected") {
     // 1000 identical vectors: every one lands in cell 0 (identical ccos,
     // tiebreak cid asc), so the unguarded within-cell join is C(1000,2) ≈
-    // 500k pairs from ONE cell. With cap=50 the cell splits into 20 salt
-    // groups → exactly 20·C(50,2) within-group pairs + 19 head links, all
-    // at cos 1 (identical vectors), so the scored output count is exact.
+    // 500k pairs from ONE cell. With cap=50 the cell hash-splits into 20
+    // salt groups of ≈50 (ragged — hash salt), all pairs at cos 1, so the
+    // count is bounded by the balanced 20·C(50,2) + 19 with multinomial
+    // headroom — still ~8× under the unguarded 500k.
     val n = 1000
     val cap = 50
     val clones = spark.range(n).select($"id".as("vec_id"),
@@ -194,14 +202,41 @@ class ExtSpec extends AnyFunSuite {
       numCentroids = 8, maxCellWidth = cap).cache()
     try {
       val groups = n / cap
-      val want = groups.toLong * (cap.toLong * (cap - 1) / 2) + (groups - 1)
-      assert(pairs.count() == want)
+      val balanced = groups.toLong * (cap.toLong * (cap - 1) / 2) + (groups - 1)
+      val nPairs = pairs.count()
+      assert(nPairs <= 3 * balanced, s"$nPairs > ${3 * balanced}")
+      assert(nPairs < n.toLong * (n - 1) / 2 / 3, s"guard did not bite: $nPairs")
       // connectivity survives the salt split: head links keep the cell one
       // component with min-label 0 for downstream clustering
       val comp = Dedup.connectedComponents(pairs.select("vec_a", "vec_b"), "vec_a", "vec_b")
       assert(comp.select("component").distinct().count() == 1)
       assert(comp.agg(min("component")).head().getLong(0) == 0L)
     } finally { pairs.unpersist(); () }
+  }
+
+  test("topCells replicates the windowed argmax ordering, ties broken by cid asc") {
+    // centroids engineered so some cosines tie exactly (scaled copies)
+    val cents = Array(
+      (0L, Array.tabulate(8)(j => (j + 1).toFloat)),
+      (1L, Array.tabulate(8)(j => (8 - j).toFloat)),
+      (2L, Array.tabulate(8)(j => 2f * (j + 1))), // scaled copy of cid 0 -> tie
+      (3L, Array.fill(8)(1f)),
+      (4L, Array.tabulate(8)(j => (j + 1).toFloat))) // exact copy of cid 0 -> tie
+    val v = Seq.tabulate(8)(j => (j + 1).toFloat)
+    def cos(c: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < 8) { val x = v(i).toDouble; val y = c(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // the windowed reference: ORDER BY ccos DESC, cid ASC
+    val ref = cents.map { case (cid, c) => (cid, cos(c)) }
+      .sortBy { case (cid, s) => (-s, cid) }.map(_._1)
+    for (keep <- 1 to cents.length)
+      assert(Similarity.topCells(cents, v, keep).toSeq == ref.take(keep).toSeq,
+        s"keep=$keep")
+    // null vector: all scores tie as null -> first `keep` cids (window parity)
+    assert(Similarity.topCells(cents, null, 2).toSeq == Seq(0L, 1L))
   }
 
   test("ivfNearDupPairs cell salting: no-op below the cap (q98 output unchanged)") {

@@ -87,6 +87,26 @@ class PlanSpec extends AnyFunSuite {
       s"bucket partition pruning missing:\n$plan")
   }
 
+  test("IVF assignment is map-side: only the top-k rank window remains") {
+    // the argmax cell assignment must add NO window (and so no per-vector
+    // shuffle): the sole Window in an ivfKnn plan is the query-side top-k
+    // rank — the first exchange any IVF operator does is its cell-id join
+    val emb = Tables.embeddings(spark, sf)
+    val knn = graft.ext.Similarity.ivfKnn(emb.filter($"vec_id" < 3), emb, k = 5)
+    val plan = knn.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // \b: don't count WindowGroupLimit (map-side rank pruning — desirable)
+    val windows = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly 1 Window (rank), got $windows:\n$plan")
+  }
+
+  test("q98 plan is window-free (hash salt, no row_number sort)") {
+    val df = graft.SparkEntry.queries("q98_ivf_near_dup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected Window in q98 plan:\n$plan")
+  }
+
   test("exact dedup aggregates map-side (partial_ before the exchange)") {
     val df = Tables.documents(spark, sf)
       .groupBy(sha2($"text".cast("binary"), 256).as("h"))
