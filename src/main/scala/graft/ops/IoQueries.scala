@@ -77,7 +77,9 @@ object IoQueries {
       Pipeline.loadDims(s, s"$dir/companies.csv", s"$dir/filing_types.csv")
     val idx = Csv.readEdgarIdx(s, s"$dir/master.idx")
     Pipeline.indexLoad(idx, companies, filingTypes)
-      .select($"cik", $"business_name", $"type", $"date", $"path")
+      // filing_id in the output gates the id rule itself: DuckDB's
+      // md5(path) must equal Spark's md5(path), hex for hex
+      .select($"filing_id", $"cik", $"business_name", $"type", $"date", $"path")
       .orderBy($"cik")
   }
 
@@ -414,7 +416,8 @@ object IoQueries {
          FROM events WHERE event_type = 'click'
          GROUP BY 1 ORDER BY hour""",
     "q60_idx_ingest" ->
-      """SELECT * FROM (VALUES
+      """SELECT md5(path) AS filing_id, cik, business_name, type, date, path
+         FROM (VALUES
            (CAST(43350 AS BIGINT), 'GAS NATURAL INC', '10-K', DATE '2018-03-14',
             'edgar/data/43350/0000043350-18-000010.txt'),
            (CAST(1616262 AS BIGINT), 'ROCKY MOUNTAIN CHOCOLATE', '8-K', DATE '2018-02-01',

@@ -51,7 +51,12 @@ object Pipeline {
     idx
       .join(universe, Seq("cik"), "left_semi")
       .join(keptTypes, Seq("type"), "left_semi")
-      .withColumn("filing_id", xxhash64(col("path")))  // deterministic id from the unique path
+      // deterministic 128-bit id from the unique path: md5 hex has no
+      // birthday ceiling at any realistic corpus size (10⁹ docs → collision
+      // odds ~10⁻²⁰, vs the old 64-bit xxhash64's ~2.7% at 10⁹), and DuckDB
+      // computes the identical value, so the id rule itself is oracle-gated
+      // (q60). The idempotent append (loadFilings) anti-joins on this id.
+      .withColumn("filing_id", md5(col("path")))
       .withColumn("text", lit(null).cast("string"))
       .withColumn("token", lit(null).cast("array<string>"))
       .select("filing_id", "cik", "business_name", "type", "path", "date", "text", "token")

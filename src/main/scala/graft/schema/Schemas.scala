@@ -23,7 +23,8 @@ object Schemas {
     StructField("keep", IntegerType, nullable = false)))
 
   val filings: StructType = StructType(Seq(
-    StructField("filing_id", LongType, nullable = false),
+    // md5(path) hex — 128-bit content-stable id (Pipeline.indexLoad)
+    StructField("filing_id", StringType, nullable = false),
     StructField("cik", LongType, nullable = false),
     StructField("business_name", StringType, nullable = true),
     StructField("type", StringType, nullable = true),
@@ -44,6 +45,6 @@ object Schemas {
 
 case class Company(permno: Long, ticker: String, cik: Option[Long], business_name: String)
 case class FilingType(type_id: Long, `type`: String, keep: Int)
-case class Filing(filing_id: Long, cik: Long, business_name: Option[String],
+case class Filing(filing_id: String, cik: Long, business_name: Option[String],
                   `type`: Option[String], path: Option[String], date: Option[Date],
                   text: Option[String], token: Option[Seq[String]])
