@@ -75,15 +75,22 @@ object Fetch {
 
   /** The fetch stage: (id, url) rows → (id, url, body) with one Fetcher per
     * partition. `parallelism` replaces CONCURRENT_WORKERS
-    * (`config/CONSTANTS.py:12`); failed fetches yield null body. */
+    * (`config/CONSTANTS.py:12`); failed fetches yield null body. The id
+    * column keeps its caller-side type (filing ids are md5-hex strings,
+    * q61's doc ids are longs — the stage never inspects it). */
   def fetchStage(df: DataFrame, idCol: String, urlCol: String,
                  fetcher: Fetcher, parallelism: Int = 20): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val in: Dataset[(Long, String)] =
-      df.select(col(idCol).cast("long"), col(urlCol).cast("string")).as[(Long, String)]
+    val in = df.select(col(idCol), col(urlCol).cast("string").as(urlCol))
+    val outSchema = org.apache.spark.sql.types.StructType(
+      in.schema.fields :+
+        org.apache.spark.sql.types.StructField("body",
+          org.apache.spark.sql.types.StringType, nullable = true))
     in.repartition(parallelism)
-      .mapPartitions { rows => rows.map { case (id, url) => (id, url, fetcher.fetch(url).orNull) } }
-      .toDF(idCol, urlCol, "body")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val url = r.getString(1)
+          org.apache.spark.sql.Row(r.get(0), url, fetcher.fetch(url).orNull)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }
