@@ -165,6 +165,47 @@ object TextAnalysis {
     f(text)
   }
 
+  /** Sequence packing on top of [[chunkText]] — the training-prep consumer
+    * of chunking: greedy bin-packing of each document's chunks (in chunk
+    * order) into packs of at most `budgetWords` words. A new pack opens
+    * when the next chunk would overflow the budget; a single chunk longer
+    * than the budget sits alone in its own pack (never split, never
+    * dropped — no chunk loss by construction). Returns one struct per
+    * chunk `(chunk_id, pack_id, n_words)`, both ids 1-based.
+    *
+    * Map-only like the chunker itself: packing is per document, so it
+    * needs NO groupBy — the greedy scan runs inside the same single JVM
+    * pass that splits the words. Cross-document packing at scale is this
+    * operator applied per partition after a cheap repartition — the same
+    * greedy rule, deterministic under a content-stable sort key (e.g.
+    * q96's md5 ordering). The greedy rule (`acc + w > budget` opens a
+    * pack) is replicated exactly by the q101 oracle's recursive CTE. */
+  def packChunks(text: Column, size: Int, stride: Int, budgetWords: Int): Column = {
+    require(size > 0 && stride > 0 && budgetWords > 0,
+      s"size/stride/budget must be positive: $size/$stride/$budgetWords")
+    val f = udf { (t: String) =>
+      if (t == null) Seq.empty[(Long, Long, Long)]
+      else {
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.isEmpty) Seq.empty[(Long, Long, Long)]
+        else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          var s = 0; var chunkId = 1L; var packId = 1L; var acc = 0L
+          while (s < ws.length) {
+            val w = math.min(ws.length - s, size).toLong
+            if (acc > 0 && acc + w > budgetWords) { packId += 1; acc = 0L }
+            acc += w
+            out += ((chunkId, packId, w))
+            chunkId += 1; s += stride
+          }
+          out.toSeq
+        }
+      }
+    }
+    f(text).cast("array<struct<chunk_id:bigint,pack_id:bigint,n_words:bigint>>")
+  }
+
   /** Rolling polynomial fingerprint (mod 1e9+7) over the first 64 chars —
     * identical integer arithmetic is expressible in DuckDB, so this hash is
     * oracle-checkable cross-engine (unlike xxhash64/sha variants). */

@@ -336,6 +336,21 @@ object ExtQueries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** Sequence packing (q97's consumer): greedy bin-pack each doc's 50/40
+    * chunks into ≤120-word packs, in chunk order. Map-only (the greedy
+    * scan runs inside the chunking UDF's JVM pass — no groupBy, no
+    * shuffle); the oracle replicates the greedy reset with a recursive
+    * CTE (q86's oracle pattern). Budget compliance + no chunk loss are
+    * spec-asserted; THIS query pins the exact pack assignment. */
+  private val q101SeqPacking: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        explode(TextAnalysis.packChunks($"text", 50, 40, 120)).as("p"))
+      .select($"doc_id", $"p.chunk_id", $"p.pack_id", $"p.n_words")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** E4: binary column metadata (bytes + md5). */
   private val q54BinaryMeta: Q = (s, d) => {
     import s.implicits._
@@ -418,7 +433,8 @@ object ExtQueries {
     "q96_mixture_sample"  -> q96MixtureSample,
     "q97_chunking"        -> q97Chunking,
     "q98_ivf_near_dup"    -> q98IvfNearDup,
-    "q100_ivf_recall"     -> q100IvfRecall)
+    "q100_ivf_recall"     -> q100IvfRecall,
+    "q101_seq_packing"    -> q101SeqPacking)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -629,6 +645,29 @@ object ExtQueries {
                CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
                     THEN 750 ELSE 250 END
          ORDER BY doc_id""",
+    "q101_seq_packing" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          c AS (SELECT doc_id,
+                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
+                FROM t WHERE len(ws) > 0),
+          ch AS (SELECT doc_id,
+                   unnest(range(1, len(wcs)+1)) AS chunk_id,
+                   unnest(wcs) AS w
+                 FROM c),
+          packed AS (
+            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
+                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
+            FROM ch WHERE chunk_id = 1
+            UNION ALL
+            SELECT c.doc_id, c.chunk_id,
+                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
+                        ELSE p.acc + c.w END,
+                   CAST(c.w AS BIGINT)
+            FROM packed p JOIN ch c
+              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
+          FROM packed ORDER BY doc_id, chunk_id""",
     "q97_chunking" ->
       s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
           c AS (SELECT doc_id,

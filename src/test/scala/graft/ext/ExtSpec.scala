@@ -169,6 +169,33 @@ class ExtSpec extends AnyFunSuite {
     assert(chunks(0, 50, 40).isEmpty)
   }
 
+  test("packChunks: budget compliance, oversized chunk alone, no chunk loss") {
+    def plan(nWords: Int, size: Int, stride: Int, budget: Int): Seq[(Long, Long, Long)] = {
+      val text = (1 to nWords).map(i => s"w$i").mkString(" ")
+      Seq(text).toDF("t")
+        .select(TextAnalysis.packChunks($"t", size, stride, budget))
+        .as[Seq[(Long, Long, Long)]].head()
+    }
+    // 90 words -> chunks (50, 50, 10) with the trailing-overlap rule;
+    // 110 total fits the 120 budget in one pack
+    assert(plan(90, 50, 40, 120).map(p => (p._2, p._3)) ==
+      Seq((1L, 50L), (1L, 50L), (1L, 10L)))
+    // 130 words -> chunks (50, 50, 50, 10): third overflows 120 -> pack 2
+    assert(plan(130, 50, 40, 120).map(_._2) == Seq(1L, 1L, 2L, 2L))
+    // budget smaller than one chunk: every chunk sits alone, none dropped
+    val tight = plan(130, 50, 40, 10)
+    assert(tight.map(_._2) == Seq(1L, 2L, 3L, 4L) &&
+      tight.map(_._3) == Seq(50L, 50L, 50L, 10L))
+    // no chunk loss: pack plan covers exactly the chunkText output
+    val nChunks = Seq((1 to 130).map(i => s"w$i").mkString(" ")).toDF("t")
+      .select(TextAnalysis.chunkText($"t", 50, 40)).as[Seq[String]].head().length
+    assert(plan(130, 50, 40, 120).length == nChunks)
+    // per-pack totals respect the budget unless the pack is a lone chunk
+    val packs = plan(450, 50, 40, 120).groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(packs.values.forall(_ <= 120), s"over budget: $packs")
+    assert(plan(0, 50, 40, 120).isEmpty)
+  }
+
   test("cosineNearDupPairs: planted duplicate vector found at cos≈1") {
     val base = Seq.tabulate(4)(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j + 1).toFloat)))
     val withDup = base :+ (99L, base(1)._2.map(_ * 2.0f)) // scaled copy of vec 1 -> cos 1
