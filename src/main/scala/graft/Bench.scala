@@ -23,10 +23,12 @@ object Bench {
       graft.text.TextOps.tokenize(
         org.apache.spark.sql.functions.lit("warming the stemmer udf path")))
       .collect()
-    // best-of-N per query (default 2): damps machine-contention outliers —
-    // a single noisy run once showed 28s for a query that reproduces at
-    // 1.4s. min() is the steady-state number the baseline comparison wants.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
+    // N runs per query (default 3): the JSON reports BOTH min and median —
+    // min is the steady-state number the baseline comparison wants (a
+    // single noisy run once showed 28s for a query that reproduces at
+    // 1.4s), and median makes machine contention visible INSIDE the
+    // artifact: a clean run has median ≈ min; a contaminated one doesn't.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
@@ -52,16 +54,22 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         (ok, dt)
       }
-      // a fast failure must not undercut a successful run's time: min over
-      // the successful runs when any exist, else min over the failures
+      // a fast failure must not undercut a successful run's time: stats over
+      // the successful runs when any exist, else over the failures
       val good = times.collect { case (true, dt) => dt }
-      name -> (if (good.nonEmpty) good.min else times.map(_._2).min)
+      val usable = if (good.nonEmpty) good else times.map(_._2)
+      val sorted = usable.sorted
+      val median = sorted((sorted.length - 1) / 2)
+      name -> (sorted.head, median)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val qsMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val totalMed = results.values.map(_._2).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
