@@ -76,20 +76,23 @@ object PostingIndex {
     * scan on an indexed store), so work is bounded by the terms' posting
     * lists — never the corpus. */
   def phraseSearch(postings: DataFrame, idCol: String, phrase: Seq[String]): DataFrame =
-    phraseSearchLexemes(postings, idCol, phrase.map(t => Porter.stem(t.toLowerCase)))
+    phraseSearchLexemes(postings, idCol,
+      phrase.map(t => Porter.stem(t.toLowerCase)), phrase.indices)
 
-  /** [[phraseSearch]] over ALREADY-normalized lexemes (the tsquery compiler
-    * stems once, centrally, in `TsQuery.parseStemmed`). */
+  /** [[phraseSearch]] over ALREADY-normalized lexemes at exact relative
+    * positions (the tsquery compiler stems once, centrally, in
+    * `TsQuery.parseStemmed`; `offsets(i)` is lexeme i's distance from the
+    * phrase head — consecutive for `<->`, wider for `<N>`). */
   private def phraseSearchLexemes(postings: DataFrame, idCol: String,
-                                  stemmed: Seq[String]): DataFrame = {
+                                  stemmed: Seq[String], offsets: Seq[Int]): DataFrame = {
     require(stemmed.nonEmpty, "empty phrase")
     val head = postings.filter(col("lexeme") === stemmed.head)
       .select(col(idCol), col("pos"))
-    stemmed.zipWithIndex.drop(1)
-      .foldLeft(head) { case (acc, (lex, i)) =>
+    stemmed.zip(offsets).drop(1)
+      .foldLeft(head) { case (acc, (lex, off)) =>
         acc.join(
           postings.filter(col("lexeme") === lex)
-            .select(col(idCol), (col("pos") - i).as("pos")),
+            .select(col(idCol), (col("pos") - off).as("pos")),
           Seq(idCol, "pos"), "left_semi")
       }
       .select(col(idCol)).distinct()
@@ -178,9 +181,9 @@ object PostingIndex {
                 else col("lexeme") === t.lexeme
         postings.filter(p).select(col(idCol)).distinct()
       },
-      phraseDocs = ls => {
+      phraseDocs = (ls, offs) => {
         require(positional, "tsquery: <-> requires positional postings (buildPositional)")
-        phraseSearchLexemes(postings, idCol, ls)
+        phraseSearchLexemes(postings, idCol, ls, offs)
       })
   }
 
@@ -203,7 +206,7 @@ object PostingIndex {
         (if (t.prefix) full.filter(col("lexeme").startsWith(t.lexeme))
          else pruned.filter(col("lexeme") === t.lexeme))
           .select(col(idCol)).distinct(),
-      phraseDocs = _ => throw new IllegalArgumentException(
+      phraseDocs = (_, _) => throw new IllegalArgumentException(
         "tsquery: <-> needs positional postings — searchQuery over buildPositional"))
   }
 
@@ -212,10 +215,10 @@ object PostingIndex {
     * Every node yields a DISTINCT one-column `idCol` frame. */
   private def evalQuery(q: TsQuery, idCol: String, universe: DataFrame,
                         termDocs: TsQuery.Term => DataFrame,
-                        phraseDocs: Seq[String] => DataFrame): DataFrame = {
+                        phraseDocs: (Seq[String], Seq[Int]) => DataFrame): DataFrame = {
     def eval(n: TsQuery): DataFrame = n match {
       case t: TsQuery.Term    => termDocs(t)
-      case TsQuery.Phrase(ls) => phraseDocs(ls)
+      case TsQuery.Phrase(ls, offs) => phraseDocs(ls, offs)
       case TsQuery.Not(x)     => universe.join(eval(x), Seq(idCol), "left_anti")
       case TsQuery.And(qs) =>
         val (negated, positive) = qs.partition(_.isInstanceOf[TsQuery.Not])

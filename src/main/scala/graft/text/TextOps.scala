@@ -150,7 +150,7 @@ object TextOps {
     case TsQuery.Not(x)  => !compileMatch(tokens, x)
     case TsQuery.And(qs) => qs.map(compileMatch(tokens, _)).reduce(_ && _)
     case TsQuery.Or(qs)  => qs.map(compileMatch(tokens, _)).reduce(_ || _)
-    case TsQuery.Phrase(_) => throw new IllegalArgumentException(
+    case TsQuery.Phrase(_, _) => throw new IllegalArgumentException(
       "tsquery: <-> needs positional postings — use PostingIndex.searchQuery over buildPositional")
   }
 }

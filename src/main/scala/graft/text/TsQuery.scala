@@ -6,10 +6,11 @@ package graft.text
   * query language over lexemes with
   *
   *   - `&` AND, `|` OR, `!` NOT, parenthesized grouping,
-  *   - `<->` phrase (adjacent positions),
+  *   - `<->` phrase (adjacent positions) and `<N>` distance (pos(b) =
+  *     pos(a) + N exactly, Postgres FOLLOWED BY semantics),
   *   - `term:*` prefix match,
   *
-  * with Postgres precedence (tightest first): `!`, `<->`, `&`, `|`.
+  * with Postgres precedence (tightest first): `!`, `<->`/`<N>`, `&`, `|`.
   *
   * [[TsQuery.parse]] produces the AST; [[TsQuery.parseStemmed]] additionally
   * lowercases and Porter-stems every lexeme — the SAME normalization the
@@ -32,8 +33,13 @@ sealed trait TsQuery
 object TsQuery {
   /** A single lexeme; `prefix` is the `term:*` form. */
   final case class Term(lexeme: String, prefix: Boolean = false) extends TsQuery
-  /** `a <-> b <-> c`: lexemes at strictly consecutive positions. */
-  final case class Phrase(lexemes: Seq[String]) extends TsQuery
+  /** `a <-> b <2> c`: lexemes at exact relative positions — `offsets(i)` is
+    * lexeme i's position relative to the phrase head (offsets.head == 0;
+    * `<->` contributes +1, `<N>` contributes +N). */
+  final case class Phrase(lexemes: Seq[String], offsets: Seq[Int]) extends TsQuery {
+    require(lexemes.length == offsets.length && offsets.headOption.contains(0),
+      s"malformed phrase: $lexemes / $offsets")
+  }
   final case class Not(q: TsQuery) extends TsQuery
   final case class And(qs: Seq[TsQuery]) extends TsQuery
   final case class Or(qs: Seq[TsQuery]) extends TsQuery
@@ -52,11 +58,11 @@ object TsQuery {
   def parseStemmed(input: String): TsQuery = stemmed(parse(input))
 
   private def stemmed(q: TsQuery): TsQuery = q match {
-    case Term(l, p)  => Term(Porter.stem(l.toLowerCase), p)
-    case Phrase(ls)  => Phrase(ls.map(l => Porter.stem(l.toLowerCase)))
-    case Not(x)      => Not(stemmed(x))
-    case And(qs)     => And(qs.map(stemmed))
-    case Or(qs)      => Or(qs.map(stemmed))
+    case Term(l, p)      => Term(Porter.stem(l.toLowerCase), p)
+    case Phrase(ls, off) => Phrase(ls.map(l => Porter.stem(l.toLowerCase)), off)
+    case Not(x)          => Not(stemmed(x))
+    case And(qs)         => And(qs.map(stemmed))
+    case Or(qs)          => Or(qs.map(stemmed))
   }
 
   /** Every exact (non-prefix) lexeme in the query — the set an indexed
@@ -65,7 +71,7 @@ object TsQuery {
   def exactLexemes(q: TsQuery): Seq[String] = q match {
     case Term(l, false) => Seq(l)
     case Term(_, true)  => Nil
-    case Phrase(ls)     => ls
+    case Phrase(ls, _)  => ls
     case Not(x)         => exactLexemes(x)
     case And(qs)        => qs.flatMap(exactLexemes)
     case Or(qs)         => qs.flatMap(exactLexemes)
@@ -79,7 +85,8 @@ object TsQuery {
   private case object TNot extends Tok
   private case object TLParen extends Tok
   private case object TRParen extends Tok
-  private case object TAdjacent extends Tok
+  /** `<->` (gap 1) or `<N>` (gap N). */
+  private final case class TFollowedBy(gap: Int) extends Tok
   private final case class TLex(s: String, prefix: Boolean) extends Tok
 
   private def lex(s: String): Vector[Tok] = {
@@ -94,9 +101,14 @@ object TsQuery {
       else if (c == '(') { out += TLParen; i += 1 }
       else if (c == ')') { out += TRParen; i += 1 }
       else if (c == '<') {
-        require(s.regionMatches(i, "<->", 0, 3),
-          s"tsquery: bad operator at position $i in <$s> (only <-> is supported)")
-        out += TAdjacent; i += 3
+        if (s.regionMatches(i, "<->", 0, 3)) { out += TFollowedBy(1); i += 3 }
+        else {
+          val close = s.indexOf('>', i + 1)
+          val digits = if (close > i + 1) s.substring(i + 1, close) else ""
+          require(digits.nonEmpty && digits.forall(_.isDigit),
+            s"tsquery: bad operator at position $i in <$s> (expected <-> or <N>)")
+          out += TFollowedBy(digits.toInt); i = close + 1
+        }
       } else if (c.isLetterOrDigit || c == '_') {
         val start = i
         while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
@@ -139,20 +151,26 @@ object TsQuery {
       if (n == 1) parts.result().head else And(parts.result())
     }
 
-    // phrase := unary ('<->' unary)* — operands must be plain terms (the
-    // posting evaluator resolves phrases by exact (id, pos) equi-joins;
+    // phrase := unary (('<->'|'<N>') unary)* — operands must be plain terms
+    // (the posting evaluator resolves phrases by exact (id, pos) equi-joins;
     // prefix or nested operands inside <-> are rejected, not mis-evaluated)
     private def parsePhrase(): TsQuery = {
+      def isFollowedBy = peek.exists(_.isInstanceOf[TFollowedBy])
       val first = parseUnary()
-      if (!peek.contains(TAdjacent)) first
+      if (!isFollowedBy) first
       else {
         val parts = Seq.newBuilder[TsQuery]
-        parts += first
-        while (peek.contains(TAdjacent)) { next(); parts += parseUnary() }
+        val offsets = Seq.newBuilder[Int]
+        parts += first; offsets += 0
+        var at = 0
+        while (isFollowedBy) {
+          at += next().asInstanceOf[TFollowedBy].gap
+          parts += parseUnary(); offsets += at
+        }
         Phrase(parts.result().map {
           case Term(l, false) => l
           case other => fail(s"<-> operands must be plain terms, got $other")
-        })
+        }, offsets.result())
       }
     }
 

@@ -20,7 +20,10 @@ class TsQuerySpec extends AnyFunSuite {
       Or(Seq(And(Seq(Term("a"), Term("b"))), And(Seq(Term("c"), Term("d"))))))
     assert(parse("!a & b") == And(Seq(Not(Term("a")), Term("b"))))
     assert(parse("a <-> b & c") ==
-      And(Seq(Phrase(Seq("a", "b")), Term("c"))))
+      And(Seq(Phrase(Seq("a", "b"), Seq(0, 1)), Term("c"))))
+    // <N> distance: offsets accumulate from the phrase head
+    assert(parse("a <2> b") == Phrase(Seq("a", "b"), Seq(0, 2)))
+    assert(parse("a <-> b <3> c") == Phrase(Seq("a", "b", "c"), Seq(0, 1, 4)))
   }
 
   test("grouping overrides precedence; prefix parses on the term") {
@@ -112,6 +115,19 @@ class TsQuerySpec extends AnyFunSuite {
     assert(got == Set(3L, 4L, 6L))
     // phrase needs positions: the deduped posting table must refuse
     assertThrows[IllegalArgumentException](viaPostings("merge <-> join"))
+  }
+
+  test("<N> distance: exact relative position, stopword gaps count") {
+    // doc 1: "merge the tables fast" -> merg@1, tabl@3 ('the' leaves a gap),
+    // fast@4: merge <2> tables matches, merge <-> tables does not
+    val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    def hits(q: String): Set[Long] =
+      PostingIndex.searchQuery(pos, "doc_id", q, docs.select($"doc_id"))
+        .as[Long].collect().toSet
+    assert(hits("merge <2> tables") == Set(1L))
+    assert(hits("merge <-> tables") == Set.empty[Long])
+    assert(hits("merge <2> tables <-> fast") == Set(1L))
+    assert(hits("merge <3> fast") == Set(1L))
   }
 
   test("indexed NOT-query still prunes the scan to the exact terms' buckets") {
