@@ -41,5 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_stem_array"),
       info("graft_stem_array", "graft_stem_array(arr) - Porter-stem every array element"),
       (exprs: Seq[Expression]) => PorterStemArrayExpr(exprs.head)))
+    // needs no session state either: the query literal is parsed at plan
+    // time and compiles to a built-in expression tree over the token array
+    ext.injectFunction((
+      FunctionIdentifier("graft_ts_query"),
+      info("graft_ts_query",
+        "graft_ts_query(tokens, 'a & !(b | c) | d:*') - full to_tsquery boolean match"),
+      (exprs: Seq[Expression]) => {
+        val query = exprs(1).eval().toString
+        org.apache.spark.sql.graftbridge.ColumnBridge.unwrap(
+          graft.text.TextOps.tsMatchQuery(
+            org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
+      }))
   }
 }

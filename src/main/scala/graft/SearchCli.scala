@@ -24,8 +24,16 @@ object SearchCli {
     import spark.implicits._
     val docs = io.Tables.documents(spark, dir)
       .select($"doc_id", $"text", text.TextOps.tokenize($"text").as("tokens"))
-    val hits = docs
-      .filter(text.TextOps.tsMatchQuery($"tokens", query))
+    // phrase/distance operators need positions: route through the positional
+    // posting table; pure boolean queries use the cheaper array predicate
+    val matched =
+      if (query.contains("<")) {
+        val postings = text.PostingIndex.buildPositional(docs, "doc_id", $"text")
+        docs.join(
+          text.PostingIndex.searchQuery(postings, "doc_id", query, docs.select($"doc_id")),
+          Seq("doc_id"), "left_semi")
+      } else docs.filter(text.TextOps.tsMatchQuery($"tokens", query))
+    val hits = matched
       .select($"doc_id", substring($"text", 1, 80).as("snippet"))
       .orderBy($"doc_id")
     // count and head are separate jobs on purpose: collecting the full match
