@@ -286,6 +286,68 @@ object Dedup {
     labels.withColumnRenamed("label", "component")
   }
 
+  /** Paragraph-level exact dedup (the CCNet shape): segment every document
+    * into consecutive `paraWords`-word paragraphs, keep only the FIRST
+    * occurrence of each paragraph corpus-wide (ordered by (id, position) —
+    * deterministic), and reassemble each document from its surviving
+    * paragraphs. Returns (id, n_paras, n_kept, text_dedup).
+    *
+    * 100 TB shape: two shuffles total — the keeper choice is a groupBy-min
+    * on the paragraph (map-side partial agg, so a boilerplate paragraph
+    * repeated 10⁹ times still reduces locally before moving), then the
+    * segments join the keeper set on the paragraph key (each segment matches
+    * exactly one keeper row, so the join output is linear; a hot paragraph
+    * is an AQE-skew-split case, not a blowup), and the per-document
+    * reassembly rides the second shuffle. A `row_number() OVER (PARTITION
+    * BY para)` window would put every copy of a hot paragraph in ONE task —
+    * that is exactly the shape this operator avoids. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      paraWords: Int): DataFrame = {
+    val segs = df
+      .select(col(idCol),
+        posexplode(TextAnalysis.chunkText(col(textCol), paraWords, paraWords))
+          .as(Seq("seg0", "para")))
+      .select(col(idCol), (col("seg0") + 1).cast("long").as("seg"), col("para"))
+    val keeper = segs.groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("seg"))).as("k"))
+    segs.join(keeper, Seq("para"))
+      .withColumn("kept", col(s"k.$idCol") === col(idCol) && col("k.seg") === col("seg"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("seg"), col("para"))))),
+            x => x("para")),
+          " ").as("text_dedup"))
+  }
+
+  /** Broadcastable Bloom filter over a column — the membership side of
+    * incremental dedup ("is this crawl batch's document already in the
+    * corpus?"). Built with Spark's own sketch aggregate (treeAggregate on
+    * the executors; only the bit array comes back to the driver), fully
+    * deterministic: fixed-seed Murmur3, and bit-OR construction makes the
+    * result independent of row order and partitioning.
+    *
+    * Scale contract: the filter replaces a full shuffle anti-join against
+    * the known corpus with a map-only probe — 10⁹ keys at 1% FPP is
+    * ~1.2 GB of bits, broadcastable where the key set itself is not. No
+    * false negatives ever (every known key probes true); false positives
+    * at ≈fpp must be re-checked by an exact join over the (tiny) surviving
+    * candidate set when exactness matters. */
+  def buildBloom(df: DataFrame, colName: String,
+                 expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(colName, expectedItems, fpp)
+
+  /** Probe column for [[buildBloom]]'s filter — explicitly broadcast so a
+    * 1000-executor cluster ships the bits once per executor, not per task. */
+  def mightContain(df: DataFrame, bf: org.apache.spark.util.sketch.BloomFilter,
+                   colName: String): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(bf)
+    udf((s: String) => bc.value.mightContainString(s)).apply(col(colName))
+  }
+
   /** SimHash-60 with an md5-derived token hash (value of the first 15 hex
     * chars of md5(token)) instead of xxhash64 — chosen because md5 is the
     * one hash both this engine and DuckDB compute identically, which makes

@@ -206,6 +206,86 @@ object TextAnalysis {
     f(text).cast("array<struct<chunk_id:bigint,pack_id:bigint,n_words:bigint>>")
   }
 
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII redaction patterns. Kept inside the common Java-regex / RE2 subset
+    * (no lookaround, no backrefs) so the engine (Java `regexp_replace`) and
+    * the DuckDB oracle (RE2) match the exact same spans. `\b` boundaries
+    * keep a phone/IP from matching inside longer digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{2,3}-\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, IPv4 addresses, and phone numbers (in that order: the
+    * email pattern is scrubbed first because `\b` matches at `@`, so a
+    * phone-shaped local part would otherwise leak a partial match; IP
+    * before phone keeps dotted quads from being half-eaten). Map-only,
+    * pure built-ins — stays inside WholeStageCodegen. */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Occurrences of `pattern` in `c` (counted on the ORIGINAL text — the
+    * audit column a redaction pipeline logs next to the scrubbed output). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0))).cast("long")
+
+  // ----------------------------------------------------- repetition metrics
+
+  /** Repetition-gate thresholds (the Gopher-rules family): chosen against
+    * the testdata distribution so the gate actually splits the corpus
+    * (dup-word p75 ≈ 0.64, p90 ≈ 0.68; top-bigram p95 ≈ 0.087, max 0.17)
+    * rather than passing or failing everything. Shared with the q104
+    * oracle SQL, so engine and oracle cannot drift. */
+  val DupWordFracMax = 0.65
+  val TopBigramFracMax = 0.10
+
+  /** The top-bigram statistic is floored at 1/n_bigrams even for perfectly
+    * clean text, so the gate only applies it once a document has enough
+    * bigrams for the fraction to be meaningful (20 ⇒ the floor is 0.05,
+    * well under the 0.10 threshold). Shorter docs pass the bigram leg
+    * vacuously — short-doc quality is q51's length gate's job. */
+  val MinBigramsForGate = 20L
+
+  case class Repetition(n_words: Long, n_bigrams: Long, top_bigram_n: Long,
+                        top_bigram_frac: Double, dup_word_frac: Double,
+                        repetition_ok: Boolean)
+
+  /** Gopher-style repetition metrics, one fused JVM pass per document:
+    * duplicate-word fraction (1 − unique/total) and the fraction of word
+    * bigrams taken by the single most frequent bigram. High values on
+    * either axis are the classic boilerplate/spam signature in web-scraped
+    * training text. All ratios are integer-over-integer double divisions —
+    * bit-identical in DuckDB, so q104 is a full-hash oracle check. */
+  val repetitionFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      val ws = wordsImpl(text)
+      val nWords = ws.length.toLong
+      val distinct = new java.util.HashSet[String]()
+      ws.foreach(distinct.add)
+      val dupFrac =
+        if (nWords > 0) 1.0 - distinct.size.toDouble / nWords.toDouble else 0.0
+      val nBigrams = math.max(0L, nWords - 1)
+      var topN = 0L
+      if (nBigrams > 0) {
+        val counts = new java.util.HashMap[String, Long]()
+        var i = 0
+        while (i < ws.length - 1) {
+          val bg = ws(i) + " " + ws(i + 1)
+          val n = counts.merge(bg, 1L, (a, b) => a + b)
+          if (n > topN) topN = n
+          i += 1
+        }
+      }
+      val topFrac = if (nBigrams > 0) topN.toDouble / nBigrams.toDouble else 0.0
+      Repetition(nWords, nBigrams, topN, topFrac, dupFrac,
+        dupFrac <= DupWordFracMax &&
+          (nBigrams < MinBigramsForGate || topFrac <= TopBigramFracMax))
+    }
+
   /** Rolling polynomial fingerprint (mod 1e9+7) over the first 64 chars —
     * identical integer arithmetic is expressible in DuckDB, so this hash is
     * oracle-checkable cross-engine (unlike xxhash64/sha variants). */

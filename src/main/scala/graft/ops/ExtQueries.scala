@@ -351,6 +351,96 @@ object ExtQueries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** E5: PII redaction over deterministic PII-bearing "support tickets"
+    * fabricated from customer columns (the testdata has no raw PII, so both
+    * engines BUILD the same text, then the engine's scrub must survive the
+    * oracle's independent regex pass). Map-only, pure `regexp_replace`
+    * built-ins — the standard pre-training privacy scrub at 100 TB is
+    * exactly this shape: zero shuffles, codegen end to end. */
+  private val q102PiiScrub: Q = (s, d) => {
+    import s.implicits._
+    val phone = format_string("%02d-%03d-%03d-%04d",
+      $"c_custkey" % 90 + 10, $"c_custkey" * 7 % 1000,
+      $"c_custkey" * 13 % 1000, $"c_custkey" * 31 % 10000)
+    val email = concat(
+      lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")), lit("@example.com"))
+    val ip = concat(lit("10.0."), ($"c_custkey" % 256).cast("string"), lit(".77"))
+    val ticket = concat(
+      lit("ticket "), $"c_mktsegment", lit(" customer "), $"c_name",
+      lit(" phone "), phone, lit(" email "), email,
+      lit(" ip "), ip, lit(" balance ok"))
+    Tables.customer(s, d)
+      .select($"c_custkey", ticket.as("ticket"))
+      .select($"c_custkey",
+        TextAnalysis.scrubPii($"ticket").as("scrubbed"),
+        TextAnalysis.piiCount($"ticket", TextAnalysis.EmailRe).as("n_email"),
+        TextAnalysis.piiCount($"ticket", TextAnalysis.PhoneRe).as("n_phone"),
+        TextAnalysis.piiCount($"ticket", TextAnalysis.Ipv4Re).as("n_ip"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Paragraph width for q103 — 8-word segments actually repeat across this
+    * corpus (sf0.01: 3609 segments, 3434 distinct), so the dedup genuinely
+    * drops text. Shared with the oracle SQL. */
+  private[ops] val ParaWords = 8
+
+  /** E1 at sub-document granularity: CCNet-style paragraph dedup — keep the
+    * first corpus-wide occurrence of every `ParaWords`-word segment and
+    * reassemble the documents. See [[Dedup.dedupParagraphs]] for the
+    * two-shuffle scale design (groupBy-min keeper + linear join; no
+    * per-paragraph window). */
+  private val q103ParaDedup: Q = (s, d) => {
+    import s.implicits._
+    Dedup.dedupParagraphs(
+        Tables.documents(s, d).repartition($"doc_id"), "doc_id", "text", ParaWords)
+      .orderBy($"doc_id")
+  }
+
+  /** E5: Gopher-style repetition metrics + gate (duplicate-word fraction,
+    * top-bigram fraction) — one fused JVM pass per document, map-only. */
+  private val q104Repetition: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", TextAnalysis.repetitionFast($"text").as("r"))
+      .select($"doc_id", $"r.n_words", $"r.n_bigrams", $"r.top_bigram_n",
+        $"r.top_bigram_frac", $"r.dup_word_frac", $"r.repetition_ok")
+      .orderBy($"doc_id")
+  }
+
+  /** Bloom false-positive gate for q105: incoming has 100 genuinely-new
+    * docs; at fpp=0.01 the expected FP count is ~1, so ≤5 is a stable
+    * deterministic bound (the filter is fixed-seed Murmur3 — the same
+    * bits on every run at any cluster size). */
+  private[ops] val BloomFpBound = 5L
+
+  /** E1 incremental: Bloom-filter membership dedup of a "new crawl batch"
+    * against the known corpus — the q47/q100 contract pattern: the engine
+    * measures its own no-false-negative and FP-bound contracts against the
+    * exact join, and ships booleans the oracle pins to true. Incoming =
+    * every known doc (500 real membership hits — the no-FN leg is NOT
+    * vacuous) plus a derived `text || ' v2'` batch (100 genuinely new).
+    * At scale the bloom probe is map-only over the batch; the exact join
+    * runs only to verify the contract (and, in production, only over the
+    * bloom's surviving candidates). */
+  private val q105BloomDedup: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val known = docs.select(Dedup.contentHash($"text").as("h")).cache()
+    val bf = Dedup.buildBloom(known, "h", expectedItems = 100000, fpp = 0.01)
+    val incoming = docs.select($"text")
+      .unionAll(docs.filter($"doc_id" % 5 === 0).select(concat($"text", lit(" v2")).as("text")))
+      .select(Dedup.contentHash($"text").as("h"))
+    val flagged = incoming
+      .join(known.distinct().withColumn("is_known", lit(true)), Seq("h"), "left_outer")
+      .withColumn("exact_dup", coalesce($"is_known", lit(false)))
+      .withColumn("bloom_hit", Dedup.mightContain(incoming, bf, "h"))
+    flagged.agg(
+      count(lit(1)).as("n_incoming"),
+      count(when($"exact_dup", lit(1))).as("n_exact_dup"),
+      (count(when($"exact_dup" && !$"bloom_hit", lit(1))) === 0).as("fn_zero"),
+      (count(when($"bloom_hit" && !$"exact_dup", lit(1))) <= BloomFpBound).as("fp_ok"))
+  }
+
   /** E4: binary column metadata (bytes + md5). */
   private val q54BinaryMeta: Q = (s, d) => {
     import s.implicits._
@@ -434,7 +524,11 @@ object ExtQueries {
     "q97_chunking"        -> q97Chunking,
     "q98_ivf_near_dup"    -> q98IvfNearDup,
     "q100_ivf_recall"     -> q100IvfRecall,
-    "q101_seq_packing"    -> q101SeqPacking)
+    "q101_seq_packing"    -> q101SeqPacking,
+    "q102_pii_scrub"      -> q102PiiScrub,
+    "q103_para_dedup"     -> q103ParaDedup,
+    "q104_repetition"     -> q104Repetition,
+    "q105_bloom_dedup"    -> q105BloomDedup)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -703,6 +797,86 @@ object ExtQueries {
                  CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
                  CAST(sum(n_words) AS BIGINT) AS total_words
           FROM dedup GROUP BY pred_lang ORDER BY pred_lang""",
+    "q102_pii_scrub" ->
+      s"""WITH t AS (
+            SELECT c_custkey,
+              'ticket ' || c_mktsegment || ' customer ' || c_name ||
+              ' phone ' || printf('%02d-%03d-%03d-%04d',
+                                  c_custkey % 90 + 10, c_custkey * 7 % 1000,
+                                  c_custkey * 13 % 1000, c_custkey * 31 % 10000) ||
+              ' email ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
+              '@example.com' ||
+              ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.77' ||
+              ' balance ok' AS ticket
+            FROM customer)
+          SELECT c_custkey,
+            regexp_replace(regexp_replace(regexp_replace(ticket,
+              '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
+              '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
+              '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed,
+            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
+            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ip
+          FROM t ORDER BY c_custkey""",
+    "q103_para_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          c AS (SELECT doc_id,
+                  [array_to_string(ws[s+1 : s+$ParaWords], ' ')
+                   for s in range(0, len(ws), $ParaWords)] AS paras
+                FROM t WHERE len(ws) > 0),
+          seg AS (SELECT doc_id,
+                    unnest(range(1, len(paras)+1)) AS seg,
+                    unnest(paras) AS para
+                  FROM c),
+          r AS (SELECT doc_id, seg, para,
+                  row_number() OVER (PARTITION BY para ORDER BY doc_id, seg) AS rn
+                FROM seg)
+          SELECT doc_id,
+            CAST(count(*) AS BIGINT) AS n_paras,
+            CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+            coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY seg), '')
+              AS text_dedup
+          FROM r GROUP BY doc_id ORDER BY doc_id""",
+    "q104_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          base AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS nw,
+                     CAST(len(list_distinct(ws)) AS BIGINT) AS nu
+                   FROM t),
+          w AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i FROM t),
+          b AS (SELECT doc_id,
+                  wd || ' ' || lead(wd) OVER (PARTITION BY doc_id ORDER BY i) AS bg
+                FROM w),
+          bc AS (SELECT doc_id, bg, count(*) AS c FROM b
+                 WHERE bg IS NOT NULL GROUP BY doc_id, bg),
+          top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n FROM bc GROUP BY doc_id),
+          m AS (
+            SELECT base.doc_id, nw AS n_words,
+              CAST(greatest(nw - 1, 0) AS BIGINT) AS n_bigrams,
+              CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
+              CASE WHEN nw > 1
+                   THEN CAST(coalesce(top_n, 0) AS DOUBLE) / CAST(nw - 1 AS DOUBLE)
+                   ELSE 0.0 END AS top_bigram_frac,
+              CASE WHEN nw > 0
+                   THEN 1.0 - CAST(nu AS DOUBLE) / CAST(nw AS DOUBLE)
+                   ELSE 0.0 END AS dup_word_frac
+            FROM base LEFT JOIN top ON base.doc_id = top.doc_id)
+          SELECT doc_id, n_words, n_bigrams, top_bigram_n, top_bigram_frac,
+                 dup_word_frac,
+                 (dup_word_frac <= ${TextAnalysis.DupWordFracMax}
+                  AND (n_bigrams < ${TextAnalysis.MinBigramsForGate}
+                       OR top_bigram_frac <= ${TextAnalysis.TopBigramFracMax}))
+                   AS repetition_ok
+          FROM m ORDER BY doc_id""",
+    "q105_bloom_dedup" ->
+      """WITH known AS (SELECT DISTINCT sha256(text) AS h FROM documents),
+         inc AS (SELECT sha256(text) AS h FROM documents
+                 UNION ALL
+                 SELECT sha256(text || ' v2') FROM documents WHERE doc_id % 5 = 0)
+         SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS n_incoming,
+                CAST((SELECT count(*) FROM inc WHERE h IN (SELECT h FROM known)) AS BIGINT)
+                  AS n_exact_dup,
+                true AS fn_zero, true AS fp_ok""",
     "q54_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -352,4 +352,72 @@ class ExtSpec extends AnyFunSuite {
     val r = feats.filter($"media_id" === 0L).head()
     assert(r.n_bytes > 0 && r.width >= 1 && r.width <= 640 && r.n_frames == 1)
   }
+
+  test("scrubPii: redacts every email/phone/IP occurrence, counts audit them") {
+    val text = "mail a.b-c_1@ex-ample.co.uk or x@y.io, call 25-989-741-2988 " +
+      "and 123-456-789-0123, from 10.0.255.7 and 192.168.1.1; keep 1234-5678 and v1.2"
+    val row = Seq(text).toDF("t")
+      .select(TextAnalysis.scrubPii($"t").as("s"),
+        TextAnalysis.piiCount($"t", TextAnalysis.EmailRe).as("ne"),
+        TextAnalysis.piiCount($"t", TextAnalysis.PhoneRe).as("np"),
+        TextAnalysis.piiCount($"t", TextAnalysis.Ipv4Re).as("ni"))
+      .head()
+    val s = row.getString(0)
+    assert(!s.contains("@") && !s.contains("2988") && !s.contains("255.7"), s)
+    assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[IP]"), s)
+    // non-PII survivors: a version string and a short digit pair
+    assert(s.contains("keep 1234-5678") && s.contains("v1.2"), s)
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((2L, 2L, 2L)))
+    // null-safe
+    assert(Seq[String](null).toDF("t").select(TextAnalysis.scrubPii($"t"))
+      .head().isNullAt(0))
+  }
+
+  test("dedupParagraphs: first corpus-wide occurrence wins, docs reassemble") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"),           // paras: "a b c d e" / "f g h i j"
+      (2L, "a b c d e x y z w v"),           // first para duplicates doc 1's
+      (3L, "p q r s t p q r s t"))           // within-doc duplicate paragraph
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", 5)
+      .orderBy($"doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq == Seq(
+      (1L, 2L, 2L, "a b c d e f g h i j"),
+      (2L, 2L, 1L, "x y z w v"),
+      (3L, 2L, 1L, "p q r s t")))
+  }
+
+  test("repetitionFast: hand-computed metrics and gate") {
+    val r = Seq("a a a a b").toDF("t")
+      .select(TextAnalysis.repetitionFast($"t").as("r")).select($"r.*").head()
+    // 5 words, 2 unique -> dup 0.6; bigrams: "a a"x3 + "a b" -> top 3/4
+    assert(r.getLong(0) == 5L && r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.75 && r.getDouble(4) == 0.6)
+    // 4 bigrams < MinBigramsForGate: the bigram leg is vacuous, dup 0.6 passes
+    assert(r.getBoolean(5))
+    val clean = Seq("one two three four five six").toDF("t")
+      .select(TextAnalysis.repetitionFast($"t").as("r")).select($"r.*").head()
+    assert(clean.getBoolean(5) && clean.getDouble(4) == 0.0)
+    // long doc with a hot bigram but mostly-unique words: ONLY the bigram
+    // leg can fail it — locks the gate's leg separation
+    val spam = Seq("x y a x y b x y c d e f g h i j k l m n o p q r s t").toDF("t")
+      .select(TextAnalysis.repetitionFast($"t").as("r")).select($"r.*").head()
+    assert(spam.getLong(1) >= TextAnalysis.MinBigramsForGate && spam.getLong(2) == 3L)
+    assert(spam.getDouble(4) <= TextAnalysis.DupWordFracMax)
+    assert(!spam.getBoolean(5))
+    val empty = Seq("").toDF("t")
+      .select(TextAnalysis.repetitionFast($"t").as("r")).select($"r.*").head()
+    assert(empty.getLong(0) == 0L && empty.getDouble(3) == 0.0 && empty.getBoolean(5))
+  }
+
+  test("bloom membership: zero false negatives, FP rate near fpp") {
+    val known = (0 until 2000).map(i => s"key_$i").toDF("k")
+    val bf = Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01)
+    // no-FN is a hard Bloom guarantee — every known key must probe true
+    val knownHits = known.filter(Dedup.mightContain(known, bf, "k")).count()
+    assert(knownHits == 2000L)
+    val fresh = (0 until 2000).map(i => s"other_$i").toDF("k")
+    val fp = fresh.filter(Dedup.mightContain(fresh, bf, "k")).count()
+    assert(fp <= 60L, s"FP count $fp far above fpp=0.01 on 2000 probes")
+  }
 }

@@ -107,6 +107,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected Window in q98 plan:\n$plan")
   }
 
+  test("paragraph dedup (q103) is window-free with a map-side keeper agg") {
+    // the keeper choice must be groupBy-min (partial agg before the
+    // paragraph shuffle) — a row_number window partitioned by paragraph
+    // would serialize every copy of a hot boilerplate paragraph onto one
+    // task, which is exactly the skew this operator is designed to avoid
+    val df = graft.SparkEntry.queries("q103_para_dedup")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"unexpected Window in q103 plan:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial_min keeper aggregation:\n$plan")
+  }
+
   test("exact dedup aggregates map-side (partial_ before the exchange)") {
     val df = Tables.documents(spark, sf)
       .groupBy(sha2($"text".cast("binary"), 256).as("h"))
