@@ -231,6 +231,28 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F2+F4 end to end — the reference's "near real time full text search":
+    * an index born from a third of the corpus, kept current by incremental
+    * batch appends ([[PostingIndex.appendToIndex]] — only touched lexeme
+    * buckets rewritten), then searched exactly like q89. The second batch
+    * is applied TWICE: a non-idempotent append would duplicate (lexeme,
+    * doc) rows, break the AND-count search semantics, and fail the oracle
+    * — so the gate pins both the merge and its re-run. */
+  private val q106IncrIndex: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q106_idx_").toString + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    def toks = TextOps.tokenize($"text")
+    PostingIndex.write(
+      PostingIndex.build(docs.filter($"doc_id" % 3 === 0), "doc_id", toks), dir, buckets = 16)
+    PostingIndex.appendToIndex(s, dir, docs.filter($"doc_id" % 3 === 1), "doc_id", toks, buckets = 16)
+    val late = docs.filter($"doc_id" % 3 === 2)
+    PostingIndex.appendToIndex(s, dir, late, "doc_id", toks, buckets = 16)
+    PostingIndex.appendToIndex(s, dir, late, "doc_id", toks, buckets = 16) // idempotent re-run
+    PostingIndex.searchAllIndexed(s, dir, "doc_id", Seq("merges", "joining"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -245,7 +267,8 @@ object TextQueries {
     "q89_indexed_search"    -> q89IndexedSearch,
     "q91_phrase_search"     -> q91PhraseSearch,
     "q92_ts_rank"           -> q92TsRank,
-    "q99_tsquery_search"    -> q99TsQuerySearch)
+    "q99_tsquery_search"    -> q99TsQuerySearch,
+    "q106_incr_index"       -> q106IncrIndex)
 
   /** Positional-lexeme CTE chain shared by the q91/q92 oracles — the DuckDB
     * twin of PostingIndex.buildPositional: positions over ALL words
@@ -303,6 +326,14 @@ object TextQueries {
             AND list_contains(toks, '${Porter.stem("joining")}')
           ORDER BY doc_id""",
     "q89_indexed_search" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""",
+    "q106_incr_index" ->
+      // the incrementally-maintained index must answer EXACTLY like a
+      // fresh full-corpus build — same oracle semantics as q89
       s"""SELECT doc_id FROM (
             SELECT doc_id, $tokenizeSql AS toks FROM documents) t
           WHERE list_contains(toks, '${Porter.stem("merges")}')

@@ -31,6 +31,55 @@ object PostingIndex {
       .partitionBy("lexeme_bucket")
       .parquet(path)
 
+  /** F2+F4 composed — near-real-time index maintenance, the Spark-native
+    * replacement for the reference's tsvector trigger keeping its GIN index
+    * current as new filings land (`sec_dl/utils/init_tables.py:59-67`):
+    * append a batch of NEW documents to an on-disk [[write]]-layout index
+    * by rewriting ONLY the lexeme-bucket partitions the batch's postings
+    * hash into (the `Streams.incrementalMergeBucketed` pattern at posting
+    * granularity). Per-batch cost is O(touched buckets × bucket size),
+    * never O(index) — at a 100 TB corpus with buckets sized to a few GB, a
+    * small batch rewrites a bounded set of partitions while searches keep
+    * pruning to their terms' buckets.
+    *
+    * Idempotent per bucket: a doc id already present in a touched bucket
+    * keeps its existing rows and the batch's recomputed rows for THAT
+    * bucket are dropped (anti-join on (id, bucket)), so re-running an
+    * applied batch rewrites identical contents, and a batch interrupted
+    * between partition commits heals on retry. Append-only by contract:
+    * EDITING a document would require removing its old postings from
+    * buckets this batch may not touch — that is a delete sweep over the
+    * doc's old lexeme set, not an append. */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    newDocs: DataFrame, idCol: String, tokens: Column,
+                    buckets: Int = 64): Unit = {
+    // localCheckpoint: the batch feeds three consumers (touched-bucket
+    // collect, anti-join probe, union side) — uncheckpointed, each would
+    // re-run the tokenize+explode
+    val batch = build(newDocs, idCol, tokens)
+      .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
+      .localCheckpoint()
+    val touched = batch.select(col("lexeme_bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val base = spark.read.parquet(indexPath)
+        .filter(col("lexeme_bucket").isin(touched: _*))
+      val fresh = batch.join(base.select(col(idCol), col("lexeme_bucket")),
+        Seq(idCol, "lexeme_bucket"), "left_anti")
+      // materialize the merged slice off the files about to be replaced
+      // (also lifts Spark's overwrite-what-you-read guard)
+      val snap = base.unionByName(fresh.select(base.columns.map(col).toIndexedSeq: _*))
+        .localCheckpoint(true)
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      try {
+        spark.conf.set(conf, "dynamic")
+        snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
+      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+      snap.unpersist()
+    }
+  }
+
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).
     * Terms are stemmed with the same stemmer the index side used. */
   def searchAll(postings: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {

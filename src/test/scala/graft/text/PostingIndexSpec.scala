@@ -1,0 +1,86 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[PostingIndex.appendToIndex]] invariants: an incrementally-maintained
+  * index is indistinguishable from a fresh full-corpus build, appends only
+  * rewrite touched bucket partitions, and re-applying a batch is a no-op. */
+class PostingIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_pidx_spec_").toString + "/idx"
+
+  private val docs = Seq(
+    (1L, "merge join scan"),
+    (2L, "merge sort spill"),
+    (3L, "vector join probe"),
+    (4L, "merge join vector"),
+    (5L, "window frame scan"),
+    (6L, "hash hash hash"))
+    .toDF("doc_id", "text")
+
+  private def indexRows(dir: String): Set[(String, Long, Int)] =
+    spark.read.parquet(dir)
+      .select($"lexeme", $"doc_id", $"lexeme_bucket".cast("int"))
+      .as[(String, Long, Int)].collect().toSet
+
+  test("incremental appends converge to the full-rebuild index, re-append is a no-op") {
+    val full = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), full, buckets = 4)
+
+    val incr = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs.filter($"doc_id" <= 2), "doc_id", TextOps.tokenize($"text")),
+      incr, buckets = 4)
+    PostingIndex.appendToIndex(spark, incr,
+      docs.filter($"doc_id" === 3 || $"doc_id" === 4), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+    PostingIndex.appendToIndex(spark, incr,
+      docs.filter($"doc_id" >= 5), "doc_id", TextOps.tokenize($"text"), buckets = 4)
+    assert(indexRows(incr) == indexRows(full))
+
+    // idempotence: re-applying an already-applied batch changes nothing
+    PostingIndex.appendToIndex(spark, incr,
+      docs.filter($"doc_id" >= 5), "doc_id", TextOps.tokenize($"text"), buckets = 4)
+    assert(indexRows(incr) == indexRows(full))
+
+    // and search through the incrementally-built index matches the in-memory path
+    val viaIncr = PostingIndex.searchAllIndexed(spark, incr, "doc_id",
+      Seq("merge", "join"), buckets = 4).as[Long].collect().sorted.toSeq
+    val viaMem = PostingIndex.searchAll(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")),
+      "doc_id", Seq("merge", "join")).as[Long].collect().sorted.toSeq
+    assert(viaIncr == viaMem && viaIncr.nonEmpty)
+  }
+
+  test("append rewrites only the touched bucket partitions") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lexeme_bucket="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(before.size > 1, "fixture must span several buckets")
+
+    // one new doc whose single lexeme touches exactly one bucket
+    Thread.sleep(1100) // parquet mtimes have second granularity on some filesystems
+    PostingIndex.appendToIndex(spark, dir,
+      Seq((7L, "zebra")).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lexeme_bucket="))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val rewritten = after.keys.filter(k => before.get(k).exists(_ != after(k))).toSeq
+    assert(rewritten.size <= 1,
+      s"single-lexeme append must touch at most one bucket, rewrote: $rewritten")
+    // the new posting is there
+    assert(spark.read.parquet(dir).filter($"doc_id" === 7L).count() == 1L)
+  }
+}
