@@ -197,6 +197,67 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** One spherical-k-means Lloyd round at the 100 TB shape — the path from
+    * the test-sized deterministic quantizer to a TRAINED one (the VERDICT
+    * r4 "quantizer quality" thread): map-side argmax assignment (broadcast
+    * centroids, zero exchanges — [[topCells]]) followed by per-(cell,
+    * component) means via posexplode + partial-aggregated `avg`, one
+    * shuffle keyed by (cid, component). Iterate until assignments
+    * stabilize, then hand the centroids to [[ivfKnn]]. Returns
+    * `(cid, n_assigned, centroid: array<double>)`.
+    *
+    * Cross-partition float-sum order is unordered here — statistically fine
+    * for TRAINING (and exact on integer-valued vectors, which is how the
+    * spec pins it); the catalog query q108 instead uses
+    * [[kmeansStepDeterministic]], whose vec_id-ordered fold is
+    * bit-reproducible cross-engine. */
+  def kmeansStep(corpus: DataFrame, numCentroids: Int,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
+    val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
+    val counts = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+    assign
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cid"), col("i"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        e => e("m")).as("centroid"))
+      .join(counts, Seq("cid"))
+      .select(col("cid"), col("n_assigned"), col("centroid"))
+  }
+
+  /** [[kmeansStep]] with a DETERMINISTIC mean: each cell's members are
+    * collected sorted by vec_id and folded sequentially in that order, so
+    * the double summation is bit-identical on any engine that folds the
+    * same ordered list (the q108 DuckDB oracle uses `list_reduce` over
+    * `list(... ORDER BY vec_id)`). Components are rounded to 6dp on output
+    * (q48's float-publishing contract). The per-cell collect is the
+    * determinism trade — cells are ≈n/numCentroids wide, so this is for
+    * oracle-gated validation at test scale; production training uses the
+    * partial-aggregated [[kmeansStep]]. Both variants are spec-asserted
+    * identical on integer-valued vectors. */
+  def kmeansStepDeterministic(corpus: DataFrame, numCentroids: Int,
+                              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
+    val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
+    val meanUdf = udf((vs: Seq[Seq[Float]]) => {
+      val dim = vs.head.length
+      val sums = new Array[Double](dim)
+      vs.foreach { v =>
+        var i = 0
+        while (i < dim) { sums(i) += v(i).toDouble; i += 1 }
+      }
+      sums.map(_ / vs.length).toSeq
+    })
+    assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_assigned"),
+        transform(array_sort(collect_list(struct(col("vid"), col("v")))),
+          e => e("v")).as("vs"))
+      .select(col("cid"), col("n_assigned"),
+        transform(meanUdf(col("vs")), x => round(x, 6)).as("centroid"))
+  }
+
   /** ANN near-dup CANDIDATE PAIRS corpus-wide: random-hyperplane bucketing
     * (same construction as [[annKnn]]) followed by a self-equi-join on
     * (table, bucket) — the embedding twin of `Dedup.lshCandidatePairs`, and

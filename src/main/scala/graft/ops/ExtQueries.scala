@@ -191,6 +191,19 @@ object ExtQueries {
         $"n_truth")
   }
 
+  /** E3: one spherical-k-means Lloyd round over the corpus from the
+    * deterministic seed centroids — the quantizer-TRAINING step that turns
+    * q49/q98's test-sized quantizer into a real one. Assignment is the
+    * shared q49/q98 argmax contract; the per-cell mean folds members in
+    * vec_id order so the double arithmetic is bit-identical to the
+    * oracle's `list_reduce` fold. */
+  private val q108KmeansStep: Q = (s, d) => {
+    import s.implicits._
+    Similarity.kmeansStepDeterministic(
+        Tables.embeddings(s, d).repartition($"vec_id"), numCentroids = 8)
+      .orderBy($"cid")
+  }
+
   /** E5: cross-engine-checkable rolling polynomial fingerprint. */
   private val q45Fingerprint: Q = (s, d) => {
     import s.implicits._
@@ -528,7 +541,8 @@ object ExtQueries {
     "q102_pii_scrub"      -> q102PiiScrub,
     "q103_para_dedup"     -> q103ParaDedup,
     "q104_repetition"     -> q104Repetition,
-    "q105_bloom_dedup"    -> q105BloomDedup)
+    "q105_bloom_dedup"    -> q105BloomDedup,
+    "q108_kmeans_step"    -> q108KmeansStep)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -733,6 +747,28 @@ object ExtQueries {
               FROM embeddings c
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
             WHERE rank <= 10) AS n_truth""",
+    "q108_kmeans_step" ->
+      """WITH cent AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT v.vec_id, v.embedding, cid,
+                    row_number() OVER (
+                      PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(
+                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                 cv) DESC, cid) AS rk
+             FROM embeddings v CROSS JOIN cent) t
+           WHERE rk = 1),
+         g AS (
+           SELECT cid, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
+           FROM cells GROUP BY cid)
+         SELECT cid, CAST(n AS BIGINT) AS n_assigned,
+           list_transform(range(1, len(vs[1]) + 1),
+             i -> round(list_reduce(list_transform(vs, v -> CAST(v[i] AS DOUBLE)),
+                                    (a, b) -> a + b) / n, 6)) AS centroid
+         FROM g ORDER BY cid""",
     "q96_mixture_sample" ->
       """SELECT doc_id, source FROM documents
          WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000 <

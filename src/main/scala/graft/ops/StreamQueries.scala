@@ -109,6 +109,34 @@ object StreamQueries {
     Streams.readMergedBase(s, tgt).orderBy($"o_orderkey")
   }
 
+  /** F2+F4 streaming e2e — near-real-time full-text search: documents
+    * stream in (availableNow file source), `Streams.maintainPostingIndex`
+    * keeps the on-disk bucketed index current (touched-bucket COW appends),
+    * and the final search must answer exactly like an index built fresh
+    * over the whole corpus (q89's oracle). The third run consumes no new
+    * files — checkpoint exactly-once makes it a no-op, so oracle equality
+    * also proves the no-duplicate-posting property (a dup would break the
+    * AND count). */
+  private val q107StreamIndex: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = Files.createTempDirectory("graft_sidx_src_").toString
+    val idx = Files.createTempDirectory("graft_sidx_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_sidx_ck_").toString
+    def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
+      graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 16)
+    docs.filter($"doc_id" % 3 === 0).write.parquet(s"$src/f1")
+    run()
+    docs.filter($"doc_id" % 3 === 1).write.parquet(s"$src/f2")
+    docs.filter($"doc_id" % 3 === 2).write.parquet(s"$src/f3")
+    run()
+    run() // no new files: exactly-once no-op
+    graft.text.PostingIndex.searchAllIndexed(s, idx, "doc_id",
+      Seq("merges", "joining"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated
     * against the same gaps-and-islands oracle as q72. Events land as three
     * time-sliced files consumed one per micro-batch (maxFilesPerTrigger=1),
@@ -159,9 +187,18 @@ object StreamQueries {
     "q72_stream_sessionize" -> q72StreamSessionize,
     "q73_stream_sink"       -> q73StreamSink,
     "q90_merge_bucketed"    -> q90MergeBucketed,
-    "q94_stateful_sessions" -> q94StatefulSessions)
+    "q94_stateful_sessions" -> q94StatefulSessions,
+    "q107_stream_index"     -> q107StreamIndex)
 
   val oracle: Map[String, String] = Map(
+    "q107_stream_index" ->
+      // the streamed-in, incrementally-maintained index must answer exactly
+      // like a fresh full-corpus build — q89's oracle semantics
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, ${TextQueries.tokenizeSql} AS toks FROM documents) t
+          WHERE list_contains(toks, '${graft.text.Porter.stem("merges")}')
+            AND list_contains(toks, '${graft.text.Porter.stem("joining")}')
+          ORDER BY doc_id""",
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          count(*) AS n

@@ -218,6 +218,42 @@ object Streams {
     if (fs.exists(target) && fs.exists(old)) { fs.delete(old, true); () }
   }
 
+  /** F2+F4 streaming — the reference's "near real time full text search"
+    * (`sec_dl/README.md:6-7`: filings land, the tsvector trigger keeps the
+    * GIN index current) as a Structured Streaming sink: each micro-batch of
+    * (id, text) documents appends its postings to the on-disk index via
+    * `PostingIndex.appendToIndex`, rewriting only the touched lexeme-bucket
+    * partitions. The first batch bootstraps the index layout. Exactly-once
+    * composition: the checkpoint replays only uncommitted epochs, and
+    * appendToIndex's per-bucket (id, bucket) anti-join makes a replayed
+    * epoch rewrite identical contents — so searches see each document
+    * exactly once at any crash point. Per-batch cost is O(touched buckets ×
+    * bucket size), independent of index size — the same bound as
+    * [[incrementalMergeBucketed]]. */
+  def maintainPostingIndex(stream: DataFrame, indexPath: String, idCol: String,
+                           textCol: String, checkpointDir: String,
+                           buckets: Int = 64): Unit = {
+    import graft.text.{PostingIndex, TextOps}
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = TextOps.tokenize(col(textCol))
+        val dir = new java.io.File(indexPath)
+        val bootstrapped = dir.exists() &&
+          dir.listFiles().exists(_.getName.startsWith("lexeme_bucket="))
+        if (!bootstrapped)
+          PostingIndex.write(PostingIndex.build(batch, idCol, toks), indexPath, buckets)
+        else
+          PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
+            idCol, toks, buckets)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .queryName(s"graft_idx_maintain_${nameCounter.incrementAndGet()}")
+      .start()
+    q.awaitTermination()
+  }
+
   /** Partition column of a bucketed merge base (hash bucket of the merge
     * key). Part of the on-disk layout contract, hence public. */
   val BucketCol = "graft_bucket"

@@ -410,6 +410,28 @@ class ExtSpec extends AnyFunSuite {
     assert(empty.getLong(0) == 0L && empty.getDouble(3) == 0.0 && empty.getBoolean(5))
   }
 
+  test("kmeansStep: both variants agree, hand-computed means on integer vectors") {
+    // centroids = vec 0 ([1,0]) and vec 1 ([0,1]); the rest split by axis.
+    // Integer components make float sums exact under ANY summation order,
+    // so the scalable avg-based variant must equal the deterministic fold.
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(2f, 0f)), (3L, Seq(4f, 0f)),
+      (4L, Seq(0f, 2f)), (5L, Seq(0f, 6f)))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"cid")
+        .select($"cid", $"n_assigned", $"centroid")
+        .as[(Long, Long, Seq[Double])].collect().toSeq
+    val det = rows(Similarity.kmeansStepDeterministic(emb, numCentroids = 2))
+    val fast = rows(Similarity.kmeansStep(emb, numCentroids = 2)
+      .select($"cid", $"n_assigned", transform($"centroid", x => round(x, 6)).as("centroid")))
+    assert(det == fast)
+    assert(det == Seq(
+      (0L, 3L, Seq(7.0 / 3, 0.0).map(x => math.rint(x * 1e6) / 1e6)),
+      (1L, 3L, Seq(0.0, 3.0))))
+  }
+
   test("bloom membership: zero false negatives, FP rate near fpp") {
     val known = (0 until 2000).map(i => s"key_$i").toDF("k")
     val bf = Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01)
