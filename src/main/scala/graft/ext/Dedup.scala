@@ -345,7 +345,8 @@ object Dedup {
   def mightContain(df: DataFrame, bf: org.apache.spark.util.sketch.BloomFilter,
                    colName: String): Column = {
     val bc = df.sparkSession.sparkContext.broadcast(bf)
-    udf((s: String) => bc.value.mightContainString(s)).apply(col(colName))
+    // null key ⇒ false (a null was never inserted), not an executor NPE
+    udf((s: String) => s != null && bc.value.mightContainString(s)).apply(col(colName))
   }
 
   /** SimHash-60 with an md5-derived token hash (value of the first 15 hex

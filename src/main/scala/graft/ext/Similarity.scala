@@ -215,15 +215,18 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
     val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
-    val counts = assign.groupBy(col("cid")).agg(count(lit(1)).as("n_assigned"))
+    // n_assigned rides the SAME aggregation as the means (the per-(cid,
+    // component) count equals the cell size — every member contributes all
+    // components) — a separate counts groupBy would re-run the broadcast
+    // argmax scan over the whole corpus a second time
     assign
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("cid"), col("i"))
-      .agg(avg(col("x").cast("double")).as("m"))
+      .agg(avg(col("x").cast("double")).as("m"), count(lit(1)).as("n"))
       .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-        e => e("m")).as("centroid"))
-      .join(counts, Seq("cid"))
+      .agg(max(col("n")).as("n_assigned"),
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          e => e("m")).as("centroid"))
       .select(col("cid"), col("n_assigned"), col("centroid"))
   }
 

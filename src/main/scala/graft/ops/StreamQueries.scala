@@ -191,14 +191,9 @@ object StreamQueries {
     "q107_stream_index"     -> q107StreamIndex)
 
   val oracle: Map[String, String] = Map(
-    "q107_stream_index" ->
-      // the streamed-in, incrementally-maintained index must answer exactly
-      // like a fresh full-corpus build — q89's oracle semantics
-      s"""SELECT doc_id FROM (
-            SELECT doc_id, ${TextQueries.tokenizeSql} AS toks FROM documents) t
-          WHERE list_contains(toks, '${graft.text.Porter.stem("merges")}')
-            AND list_contains(toks, '${graft.text.Porter.stem("joining")}')
-          ORDER BY doc_id""",
+    // the streamed-in, incrementally-maintained index must answer exactly
+    // like a fresh full-corpus build — q89's shared oracle string
+    "q107_stream_index" -> TextQueries.mergesJoiningOracle,
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          count(*) AS n

@@ -270,6 +270,18 @@ object TextQueries {
     "q99_tsquery_search"    -> q99TsQuerySearch,
     "q106_incr_index"       -> q106IncrIndex)
 
+  /** The full-corpus "merges AND joining" search oracle, shared verbatim by
+    * q37 (in-memory postings), q89 (written index), q106 (incrementally
+    * appended index) and q107 (stream-maintained index): all four paths are
+    * DEFINED to answer identically, so they must gate against one string —
+    * separate copies could drift. */
+  private[ops] lazy val mergesJoiningOracle: String =
+    s"""SELECT doc_id FROM (
+          SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+        WHERE list_contains(toks, '${Porter.stem("merges")}')
+          AND list_contains(toks, '${Porter.stem("joining")}')
+        ORDER BY doc_id"""
+
   /** Positional-lexeme CTE chain shared by the q91/q92 oracles — the DuckDB
     * twin of PostingIndex.buildPositional: positions over ALL words
     * (parallel unnest zips word with 1-based index), stopwords filtered
@@ -319,26 +331,12 @@ object TextQueries {
           WHERE list_contains(toks, '${Porter.stem("merges")}')
             AND list_contains(toks, '${Porter.stem("joining")}')
           ORDER BY doc_id""",
-    "q37_posting_search" ->
-      s"""SELECT doc_id FROM (
-            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
-          WHERE list_contains(toks, '${Porter.stem("merges")}')
-            AND list_contains(toks, '${Porter.stem("joining")}')
-          ORDER BY doc_id""",
-    "q89_indexed_search" ->
-      s"""SELECT doc_id FROM (
-            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
-          WHERE list_contains(toks, '${Porter.stem("merges")}')
-            AND list_contains(toks, '${Porter.stem("joining")}')
-          ORDER BY doc_id""",
-    "q106_incr_index" ->
-      // the incrementally-maintained index must answer EXACTLY like a
-      // fresh full-corpus build — same oracle semantics as q89
-      s"""SELECT doc_id FROM (
-            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
-          WHERE list_contains(toks, '${Porter.stem("merges")}')
-            AND list_contains(toks, '${Porter.stem("joining")}')
-          ORDER BY doc_id""",
+    "q37_posting_search" -> mergesJoiningOracle,
+    "q89_indexed_search" -> mergesJoiningOracle,
+    // the incrementally-maintained index must answer EXACTLY like a fresh
+    // full-corpus build — by construction the SAME oracle string as q89
+    // (q107, the streaming twin, shares it too)
+    "q106_incr_index" -> mergesJoiningOracle,
     "q38_term_stats" ->
       """WITH tf AS (
            SELECT doc_id, w, count(*) AS tf

@@ -237,9 +237,15 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val toks = TextOps.tokenize(col(textCol))
-        val dir = new java.io.File(indexPath)
-        val bootstrapped = dir.exists() &&
-          dir.listFiles().exists(_.getName.startsWith("lexeme_bucket="))
+        // Hadoop FS, not java.io.File: on a cluster store (hdfs://, s3a://,
+        // or even a file: URI) a local-File existence probe is ALWAYS false
+        // — every batch would re-bootstrap with mode(overwrite) and silently
+        // truncate the index to the last batch
+        val path = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = path.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        val bootstrapped = fs.exists(path) &&
+          fs.listStatus(path).exists(_.getPath.getName.startsWith("lexeme_bucket="))
         if (!bootstrapped)
           PostingIndex.write(PostingIndex.build(batch, idCol, toks), indexPath, buckets)
         else

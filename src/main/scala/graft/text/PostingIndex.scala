@@ -23,13 +23,51 @@ object PostingIndex {
     docs.select(explode(tokens).as("lexeme"), col(idCol))
 
   /** Persist the index partitioned by a lexeme hash bucket — term lookups
-    * prune to one partition; doc lists inside stay clustered per lexeme. */
-  def write(postings: DataFrame, path: String, buckets: Int = 64): Unit =
+    * prune to one partition; doc lists inside stay clustered per lexeme.
+    * The bucket count is stamped into a root-level layout marker so
+    * [[appendToIndex]] / the indexed searches can reject a mismatched
+    * `buckets` argument instead of silently hashing into the wrong
+    * partitions (dynamic partition overwrite leaves root-level files
+    * untouched, so the marker survives appends). */
+  def write(postings: DataFrame, path: String, buckets: Int = 64): Unit = {
     postings
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       .write.mode("overwrite")
       .partitionBy("lexeme_bucket")
       .parquet(path)
+    val p = new org.apache.hadoop.fs.Path(path, LayoutMarker)
+    val fs = p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Root-level file recording the bucket modulus the index was written
+    * with (underscore prefix: ignored by parquet directory listings). */
+  private val LayoutMarker = "_graft_index_buckets"
+
+  /** Reject a `buckets` argument that disagrees with the written layout:
+    * postings hashed with a different modulus would land in (or prune to)
+    * the wrong partitions — appended docs silently unfindable, and the
+    * (id, bucket) idempotence anti-join defeated. Indexes written before
+    * the marker existed are trusted as-called. */
+  private def requireLayout(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, LayoutMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val written =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      require(written == buckets,
+        s"index at $indexPath was written with $written lexeme buckets; " +
+          s"caller passed buckets=$buckets — postings would hash into the " +
+          "wrong partitions")
+    }
+  }
 
   /** F2+F4 composed — near-real-time index maintenance, the Spark-native
     * replacement for the reference's tsvector trigger keeping its GIN index
@@ -53,6 +91,7 @@ object PostingIndex {
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     newDocs: DataFrame, idCol: String, tokens: Column,
                     buckets: Int = 64): Unit = {
+    requireLayout(spark, indexPath, buckets)
     // localCheckpoint: the batch feeds three consumers (touched-bucket
     // collect, anti-join probe, union side) — uncheckpointed, each would
     // re-run the tokenize+explode
@@ -182,6 +221,7 @@ object PostingIndex {
     * list instead of the whole index. */
   def searchAllIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        idCol: String, terms: Seq[String], buckets: Int = 64): DataFrame = {
+    requireLayout(spark, indexPath, buckets)
     val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
     // bucket-prune the scan, then delegate — ONE implementation of the
     // AND semantics, so indexed and in-memory search can't drift
@@ -245,6 +285,7 @@ object PostingIndex {
   def searchQueryIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                          idCol: String, query: String, universe: DataFrame,
                          buckets: Int = 64): DataFrame = {
+    requireLayout(spark, indexPath, buckets)
     val ast = TsQuery.parseStemmed(query)
     val exact = TsQuery.exactLexemes(ast).distinct
     lazy val pruned = spark.read.parquet(indexPath)

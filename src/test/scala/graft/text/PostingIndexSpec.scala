@@ -59,6 +59,21 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(viaIncr == viaMem && viaIncr.nonEmpty)
   }
 
+  test("a bucket count disagreeing with the written layout is rejected") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
+    assertThrows[IllegalArgumentException](
+      PostingIndex.appendToIndex(spark, dir,
+        Seq((9L, "zebra")).toDF("doc_id", "text"), "doc_id",
+        TextOps.tokenize($"text"), buckets = 8))
+    assertThrows[IllegalArgumentException](
+      PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq("merge"), buckets = 8))
+    // the matching count still works
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq("merge"), buckets = 4)
+      .count() > 0)
+  }
+
   test("append rewrites only the touched bucket partitions") {
     val dir = freshDir()
     PostingIndex.write(
