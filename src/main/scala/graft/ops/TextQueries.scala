@@ -253,6 +253,35 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F3+F2 on-disk: the full tsquery surface INCLUDING phrase against a
+    * WRITTEN positional index — `write(buildPositional(...))` carries the
+    * pos column through the bucketed layout, so `a <-> b` runs its
+    * (id, pos) adjacency joins over the bucket-pruned scan (Postgres:
+    * phrase search against the GIN index + tsvector). */
+  private val q109IndexedPhrase: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q109_idx_").toString + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    PostingIndex.write(
+      PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 16)
+    PostingIndex.searchQueryIndexed(s, dir, "doc_id", "(hash <-> join) | vec:*",
+        docs.select($"doc_id"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
+  /** `websearch_to_tsquery` surface — the forgiving syntax a search box
+    * feeds the engine: `merge -window or "hash join"` ≡
+    * `(merge & !window) | (hash <-> join)`. Same posting evaluator as
+    * q99, so only the parser is new surface under this gate. */
+  private val q110Websearch: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    PostingIndex.searchWebsearch(pos, "doc_id", """merge -window or "hash join"""",
+        docs.select($"doc_id"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -268,7 +297,9 @@ object TextQueries {
     "q91_phrase_search"     -> q91PhraseSearch,
     "q92_ts_rank"           -> q92TsRank,
     "q99_tsquery_search"    -> q99TsQuerySearch,
-    "q106_incr_index"       -> q106IncrIndex)
+    "q106_incr_index"       -> q106IncrIndex,
+    "q109_indexed_phrase"   -> q109IndexedPhrase,
+    "q110_websearch"        -> q110Websearch)
 
   /** The full-corpus "merges AND joining" search oracle, shared verbatim by
     * q37 (in-memory postings), q89 (written index), q106 (incrementally
@@ -361,6 +392,29 @@ object TextQueries {
                   row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, w) AS rk
            FROM tf) r
          WHERE rk = 1 ORDER BY doc_id""",
+    "q109_indexed_phrase" ->
+      s"""WITH $positionalLexSql,
+          ph AS (SELECT DISTINCT a.doc_id AS doc_id
+                 FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                 WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
+                   AND b.lexeme = ${sqlQuote(Porter.stem("join"))}),
+          pref AS (SELECT DISTINCT doc_id FROM lex WHERE lexeme LIKE 'vec%')
+          SELECT doc_id FROM (SELECT doc_id FROM ph UNION SELECT doc_id FROM pref) t
+          ORDER BY doc_id""",
+    "q110_websearch" ->
+      s"""WITH $positionalLexSql,
+          m AS (SELECT DISTINCT doc_id FROM lex
+                WHERE lexeme = ${sqlQuote(Porter.stem("merge"))}),
+          w AS (SELECT DISTINCT doc_id FROM lex
+                WHERE lexeme = ${sqlQuote(Porter.stem("window"))}),
+          ph AS (SELECT DISTINCT a.doc_id AS doc_id
+                 FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                 WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
+                   AND b.lexeme = ${sqlQuote(Porter.stem("join"))})
+          SELECT doc_id FROM (
+            SELECT doc_id FROM m WHERE doc_id NOT IN (SELECT doc_id FROM w)
+            UNION SELECT doc_id FROM ph) t
+          ORDER BY doc_id""",
     "q91_phrase_search" ->
       s"""WITH $positionalLexSql
           SELECT DISTINCT a.doc_id AS doc_id

@@ -262,9 +262,19 @@ object PostingIndex {
     * Every positive leaf is bounded by its posting list, never the corpus;
     * the join keys are all `idCol`, so AQE coalesces the chain. */
   def searchQuery(postings: DataFrame, idCol: String, query: String,
-                  universe: DataFrame): DataFrame = {
+                  universe: DataFrame): DataFrame =
+    searchAst(postings, idCol, TsQuery.parseStemmed(query), universe)
+
+  /** [[searchQuery]] with `websearch_to_tsquery` input (`merge -window or
+    * "slow scan"`) — same evaluator, friendlier syntax. */
+  def searchWebsearch(postings: DataFrame, idCol: String, input: String,
+                      universe: DataFrame): DataFrame =
+    searchAst(postings, idCol, TsQuery.parseWebsearch(input), universe)
+
+  private def searchAst(postings: DataFrame, idCol: String, ast: TsQuery,
+                        universe: DataFrame): DataFrame = {
     val positional = postings.columns.contains("pos")
-    evalQuery(TsQuery.parseStemmed(query), idCol, universe.select(col(idCol)),
+    evalQuery(ast, idCol, universe.select(col(idCol)),
       termDocs = t => {
         val p = if (t.prefix) col("lexeme").startsWith(t.lexeme)
                 else col("lexeme") === t.lexeme
@@ -281,7 +291,11 @@ object PostingIndex {
     * posting-list walk, as [[searchAllIndexed]]); prefix terms cannot name
     * a hash bucket and fall back to a full-index lexeme range scan — the
     * same trade Postgres makes (GIN prefix match walks the term tree).
-    * Phrase is rejected: [[write]]'s index stores no positions. */
+    * Phrase works when the index was written from POSITIONAL postings
+    * (`write(buildPositional(...), ...)` — the bucketed layout carries the
+    * `pos` column along): its lexemes are exact, so the (id, pos)
+    * adjacency joins run over the same pruned scan. A positionless index
+    * rejects phrases. */
   def searchQueryIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                          idCol: String, query: String, universe: DataFrame,
                          buckets: Int = 64): DataFrame = {
@@ -291,13 +305,17 @@ object PostingIndex {
     lazy val pruned = spark.read.parquet(indexPath)
       .filter(col("lexeme_bucket").isin(bucketIdsFor(spark, exact, buckets): _*))
     lazy val full = spark.read.parquet(indexPath)
+    val positional = spark.read.parquet(indexPath).schema.fieldNames.contains("pos")
     evalQuery(ast, idCol, universe.select(col(idCol)),
       termDocs = t =>
         (if (t.prefix) full.filter(col("lexeme").startsWith(t.lexeme))
          else pruned.filter(col("lexeme") === t.lexeme))
           .select(col(idCol)).distinct(),
-      phraseDocs = (_, _) => throw new IllegalArgumentException(
-        "tsquery: <-> needs positional postings — searchQuery over buildPositional"))
+      phraseDocs = (ls, offs) => {
+        require(positional, "tsquery: <-> needs a positional index — " +
+          "write(buildPositional(...), ...)")
+        phraseSearchLexemes(pruned, idCol, ls, offs)
+      })
   }
 
   /** Shared tsquery evaluator: the two entry points differ only in how a

@@ -57,6 +57,65 @@ object TsQuery {
     * paths drift-free by construction. */
   def parseStemmed(input: String): TsQuery = stemmed(parse(input))
 
+  /** Postgres `websearch_to_tsquery`: the forgiving user-facing syntax.
+    * Unquoted words are ANDed, `"..."` is a phrase, a `-` prefix negates
+    * its word or phrase, the bare word `or` (any case) is OR at the lowest
+    * precedence; there are no parentheses or explicit operators, and bare
+    * punctuation is ignored rather than rejected. Quoted phrases drop
+    * stopwords but KEEP their positional gaps (`"merge the tables"` →
+    * `merge <2> tables`), matching to_tsvector's numbering; a phrase
+    * reduced to one word becomes a plain term, to zero words disappears.
+    * Returns a stemmed AST evaluable by every compiler. */
+  def parseWebsearch(input: String): TsQuery = {
+    // None = an OR separator; Some(q) = one conjunct
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Option[TsQuery]]
+    var i = 0
+    while (i < input.length) {
+      if (input(i).isWhitespace) i += 1
+      else {
+        val neg = input(i) == '-'
+        if (neg) i += 1
+        if (i < input.length && input(i) == '"') {
+          val close = input.indexOf('"', i + 1)
+          val body = if (close < 0) input.substring(i + 1) else input.substring(i + 1, close)
+          i = if (close < 0) input.length else close + 1
+          websearchPhrase(body).foreach(q => toks += Some(if (neg) Not(q) else q))
+        } else {
+          val start = i
+          while (i < input.length && !input(i).isWhitespace && input(i) != '"') i += 1
+          val raw = input.substring(start, i)
+            .filter(c => c.isLetterOrDigit || c == '_')
+          if (raw.isEmpty) ()                       // bare punctuation
+          else if (!neg && raw.equalsIgnoreCase("or")) toks += None
+          else toks += Some(if (neg) Not(Term(raw)) else Term(raw))
+        }
+      }
+    }
+    val groups = toks.foldLeft(List(List.empty[TsQuery])) {
+      case (acc, None)          => Nil :: acc
+      case (g :: rest, Some(q)) => (q :: g) :: rest
+      case (Nil, Some(q))       => List(List(q)) // unreachable: acc starts non-empty
+    }.map(_.reverse).reverse
+    val alts = groups.filter(_.nonEmpty)
+      .map(g => if (g.length == 1) g.head else And(g))
+    require(alts.nonEmpty, s"websearch: no searchable terms in <$input>")
+    stemmed(if (alts.length == 1) alts.head else Or(alts))
+  }
+
+  /** Quoted-phrase body → AST node: to_tsvector word numbering, stopwords
+    * removed AFTER numbering so their gaps survive as `<N>` distances. */
+  private def websearchPhrase(body: String): Option[TsQuery] = {
+    val ws = body.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+    val kept = ws.zipWithIndex
+      .filterNot { case (w, _) => TextOps.englishStopWords.contains(w) }
+    kept.toSeq match {
+      case Seq()         => None
+      case Seq((w, _))   => Some(Term(w))
+      case ks            => Some(Phrase(ks.map(_._1), ks.map(_._2 - ks.head._2)))
+    }
+  }
+
   private def stemmed(q: TsQuery): TsQuery = q match {
     case Term(l, p)      => Term(Porter.stem(l.toLowerCase), p)
     case Phrase(ls, off) => Phrase(ls.map(l => Porter.stem(l.toLowerCase)), off)

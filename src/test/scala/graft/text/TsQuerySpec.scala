@@ -130,6 +130,34 @@ class TsQuerySpec extends AnyFunSuite {
     assert(hits("merge <3> fast") == Set(1L))
   }
 
+  test("websearch: words AND, -negates, or alternates, quoted phrase keeps stopword gaps") {
+    import TsQuery._
+    assert(parseWebsearch("""merge -window or "merge the tables"""") ==
+      Or(Seq(
+        And(Seq(Term("merg"), Not(Term("window")))),
+        Phrase(Seq("merg", "tabl"), Seq(0, 2)))))
+    // one-word phrase degrades to a term; bare punctuation is ignored
+    assert(parseWebsearch("""+merge!! "sorted" """) ==
+      And(Seq(Term("merg"), Term("sort"))))
+    // OR is case-insensitive; a negated 'or' is a term
+    assert(parseWebsearch("merge OR window") == Or(Seq(Term("merg"), Term("window"))))
+    assert(parseWebsearch("-or merge") == And(Seq(Not(Term("or")), Term("merg"))))
+    assertThrows[IllegalArgumentException](parseWebsearch("  ... !! "))
+  }
+
+  test("websearch evaluation agrees with the equivalent tsquery") {
+    val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    def web(q: String): Set[Long] =
+      PostingIndex.searchWebsearch(pos, "doc_id", q, docs.select($"doc_id"))
+        .as[Long].collect().toSet
+    def tsq(q: String): Set[Long] =
+      PostingIndex.searchQuery(pos, "doc_id", q, docs.select($"doc_id"))
+        .as[Long].collect().toSet
+    assert(web("""merge -window""") == tsq("merge & !window"))
+    assert(web("""merge or vector""") == tsq("merge | vector"))
+    assert(web(""""merge join" or sorted""") == tsq("(merge <-> join) | sorted"))
+  }
+
   test("indexed NOT-query still prunes the scan to the exact terms' buckets") {
     val df: DataFrame = PostingIndex.searchQueryIndexed(spark, indexDir, "doc_id",
       "merge & !(window | join)", docs.select($"doc_id"), buckets = 8)
