@@ -53,5 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.text.TextOps.tsMatchQuery(
             org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_websearch"),
+      info("graft_websearch",
+        "graft_websearch(tokens, 'merge -window or fast') - websearch_to_tsquery match"),
+      (exprs: Seq[Expression]) => {
+        val query = exprs(1).eval().toString
+        org.apache.spark.sql.graftbridge.ColumnBridge.unwrap(
+          graft.text.TextOps.tsMatchWebsearch(
+            org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
+      }))
   }
 }

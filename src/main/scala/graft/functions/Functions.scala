@@ -48,6 +48,13 @@ object Functions {
       val query = exprs(1).eval().toString
       ColumnBridge.unwrap(TextOps.tsMatchQuery(ColumnBridge.wrap(exprs.head), query))
     }, "scala_udf")
+    // graft_websearch(tokens, 'merge -window or fast') — websearch_to_tsquery
+    // dialect over the same compiled expression tree (phrases need positions
+    // and are rejected, exactly like <-> in graft_ts_query)
+    reg.createOrReplaceTempFunction("graft_websearch", exprs => {
+      val query = exprs(1).eval().toString
+      ColumnBridge.unwrap(TextOps.tsMatchWebsearch(ColumnBridge.wrap(exprs.head), query))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_stem_array",
       exprs => PorterStemArrayExpr(exprs.head), "scala_udf")
     spark.udf.register("graft_stem", (s: String) => if (s == null) null else Porter.stem(s))

@@ -143,6 +143,13 @@ object TextOps {
   def tsMatchQuery(tokens: Column, query: String): Column =
     compileMatch(tokens, TsQuery.parseStemmed(query))
 
+  /** [[tsMatchQuery]] with `websearch_to_tsquery` input — same compiled
+    * expression tree, friendlier syntax. Phrases (quoted, multi-word after
+    * stopword removal) are rejected like `<->` is: arrays carry no
+    * positions. */
+  def tsMatchWebsearch(tokens: Column, input: String): Column =
+    compileMatch(tokens, TsQuery.parseWebsearch(input))
+
   private def compileMatch(tokens: Column, q: TsQuery): Column = q match {
     case TsQuery.Term(l, false) => array_contains(tokens, l)
     case TsQuery.Term(l, true) =>

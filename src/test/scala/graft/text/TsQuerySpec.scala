@@ -107,6 +107,17 @@ class TsQuerySpec extends AnyFunSuite {
     assert(got == Set(1L, 3L, 4L, 6L))
   }
 
+  test("graft_websearch SQL function matches the websearch semantics") {
+    graft.functions.Functions.registerAll(spark)
+    docs.createOrReplaceTempView("tsq_docs_web")
+    val got = spark.sql(
+      """SELECT doc_id FROM (
+           SELECT doc_id, graft_tokenize(text) AS toks FROM tsq_docs_web)
+         WHERE graft_websearch(toks, 'merge -window or vector')""")
+      .as[Long].collect().toSet
+    assert(got == viaColumn("(merge & !window) | vector"))
+  }
+
   test("phrase inside a boolean tsquery works over positional postings") {
     val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
     val got = PostingIndex.searchQuery(pos, "doc_id",
