@@ -282,6 +282,17 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** `ts_headline` — the snippet column of the reference's search UX:
+    * highlight the first cover of `merge | slow` in every matching doc.
+    * Map-only fused pass; non-matching docs drop out. */
+  private val q111Headline: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", TextOps.tsHeadline($"text", "merge | slow").as("headline"))
+      .filter($"headline".isNotNull)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -299,7 +310,8 @@ object TextQueries {
     "q99_tsquery_search"    -> q99TsQuerySearch,
     "q106_incr_index"       -> q106IncrIndex,
     "q109_indexed_phrase"   -> q109IndexedPhrase,
-    "q110_websearch"        -> q110Websearch)
+    "q110_websearch"        -> q110Websearch,
+    "q111_headline"         -> q111Headline)
 
   /** The full-corpus "merges AND joining" search oracle, shared verbatim by
     * q37 (in-memory postings), q89 (written index), q106 (incrementally
@@ -415,6 +427,25 @@ object TextQueries {
             SELECT doc_id FROM m WHERE doc_id NOT IN (SELECT doc_id FROM w)
             UNION SELECT doc_id FROM ph) t
           ORDER BY doc_id""",
+    "q111_headline" ->
+      s"""WITH t AS (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> length(x) > 0) AS ws
+                     FROM documents),
+          st AS (SELECT doc_id, ws, list_transform(ws, w -> $stemCaseSql) AS stems
+                 FROM t),
+          f AS (SELECT doc_id, ws, stems,
+                  least(nullif(list_position(stems, ${sqlQuote(Porter.stem("merge"))}), 0),
+                        nullif(list_position(stems, ${sqlQuote(Porter.stem("slow"))}), 0)) AS p
+                FROM st)
+          SELECT doc_id,
+            array_to_string(
+              list_transform(range(greatest(1, p - 2), least(len(ws), p + 5) + 1),
+                i -> CASE WHEN stems[i] IN (${sqlQuote(Porter.stem("merge"))},
+                                            ${sqlQuote(Porter.stem("slow"))})
+                          THEN '<b>' || ws[i] || '</b>' ELSE ws[i] END),
+              ' ') AS headline
+          FROM f WHERE p IS NOT NULL ORDER BY doc_id""",
     "q91_phrase_search" ->
       s"""WITH $positionalLexSql
           SELECT DISTINCT a.doc_id AS doc_id

@@ -150,6 +150,39 @@ object TextOps {
   def tsMatchWebsearch(tokens: Column, input: String): Column =
     compileMatch(tokens, TsQuery.parseWebsearch(input))
 
+  /** Simplified `ts_headline` — the snippet next to each search hit: find
+    * the FIRST word whose stem is one of the query's positive lexemes and
+    * emit the raw words from `before` ahead of it to `after` past it, every
+    * stem-matched word in the window wrapped in `<b></b>`. One fused pass
+    * per row (split, stem, scan — the per-word Porter stem is the cost the
+    * tokenize side already pays); docs with no match yield null. Postgres
+    * ts_headline's cover-selection heuristics are richer; this pins the
+    * deterministic core (first cover, fixed window) so it can be
+    * oracle-checked cross-engine. */
+  def tsHeadline(text: Column, query: String, before: Int = 2, after: Int = 5): Column = {
+    val lex = TsQuery.positiveLexemes(TsQuery.parseStemmed(query)).toSet
+    require(lex.nonEmpty, "ts_headline: query has no positive lexemes to highlight")
+    require(before >= 0 && after >= 0, s"window must be non-negative: $before/$after")
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val stems = ws.map(Porter.stem)
+        val p = stems.indexWhere(lex.contains)
+        if (p < 0) null
+        else {
+          val lo = math.max(0, p - before)
+          val hi = math.min(ws.length - 1, p + after)
+          (lo to hi).map(i =>
+            if (lex.contains(stems(i))) "<b>" + ws(i) + "</b>" else ws(i))
+            .mkString(" ")
+        }
+      }
+    }
+    f(text)
+  }
+
   private def compileMatch(tokens: Column, q: TsQuery): Column = q match {
     case TsQuery.Term(l, false) => array_contains(tokens, l)
     case TsQuery.Term(l, true) =>

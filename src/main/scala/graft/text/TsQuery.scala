@@ -124,6 +124,17 @@ object TsQuery {
     case Or(qs)          => Or(qs.map(stemmed))
   }
 
+  /** Exact lexemes NOT under a negation — the terms a headline/snippet
+    * should highlight (highlighting a `!term` would be nonsense). */
+  def positiveLexemes(q: TsQuery): Seq[String] = q match {
+    case Term(l, false) => Seq(l)
+    case Term(_, true)  => Nil
+    case Phrase(ls, _)  => ls
+    case Not(_)         => Nil
+    case And(qs)        => qs.flatMap(positiveLexemes)
+    case Or(qs)         => qs.flatMap(positiveLexemes)
+  }
+
   /** Every exact (non-prefix) lexeme in the query — the set an indexed
     * evaluation can bucket-prune its scan to. Prefix lexemes are excluded:
     * a hash bucket cannot be derived from a prefix. */

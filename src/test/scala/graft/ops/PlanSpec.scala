@@ -107,6 +107,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"unexpected Window in q98 plan:\n$plan")
   }
 
+  test("PII scrub (q102) is pure built-ins inside whole-stage codegen") {
+    val df = graft.SparkEntry.queries("q102_pii_scrub")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("UDF"), s"q102 must not cross a UDF boundary:\n$plan")
+    // executedPlan.toString marks whole-stage-codegen stages with a *(n) prefix
+    assert(plan.contains("*("), s"expected whole-stage-codegen spans:\n$plan")
+  }
+
   test("paragraph dedup (q103) is window-free with a map-side keeper agg") {
     // the keeper choice must be groupBy-min (partial agg before the
     // paragraph shuffle) — a row_number window partitioned by paragraph

@@ -82,4 +82,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(df.filter(TextOps.tsMatchAny($"tokens", Seq("spark", "joining")))
       .select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("tsHeadline: first cover, window clamped at edges, stem matches highlighted") {
+    val df = Seq(
+      (1L, "a b c d merged e f g h i j k"),  // interior match: 2 before, 5 after
+      (2L, "merge right at the start"),       // window clamps at the left edge
+      (3L, "nothing to see here"),            // no match -> null -> filtered
+      (4L, "x merged y merges z"))            // both covers in window highlighted
+      .toDF("id", "text")
+    val got = df.select($"id", TextOps.tsHeadline($"text", "merge | slow").as("h"))
+      .filter($"h".isNotNull).orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "c d <b>merged</b> e f g h i"),
+      (2L, "<b>merge</b> right at the start"),
+      (4L, "x <b>merged</b> y <b>merges</b> z")))
+    // a query with only negated terms has nothing to highlight
+    assertThrows[IllegalArgumentException](TextOps.tsHeadline($"text", "!merge"))
+  }
 }
