@@ -185,8 +185,18 @@ object Similarity {
 
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numCentroids: Int = 8, nprobe: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cent = collectCentroids(corpus, numCentroids, idCol, vecCol)
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfKnnWith(queries, corpus, k,
+      collectCentroids(corpus, numCentroids, idCol, vecCol), nprobe, idCol, vecCol)
+
+  /** [[ivfKnn]] against an EXPLICIT centroid set — the serving half of the
+    * train-then-search loop: feed it [[kmeansTrain]]'s output (or any
+    * pre-trained quantizer) instead of the deterministic first-N seed.
+    * Identical plan shape: broadcast centroids, map-side argmax, one
+    * cell-id shuffle. */
+  def ivfKnnWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                 cent: Array[(Long, Array[Float])], nprobe: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cells = assignCells(corpus, cent, "neighbor_id", "cvec", keep = 1, idCol, vecCol)
     val probes = assignCells(queries, cent, "query_id", "qv", keep = nprobe, idCol, vecCol)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
@@ -212,8 +222,14 @@ object Similarity {
     * [[kmeansStepDeterministic]], whose vec_id-ordered fold is
     * bit-reproducible cross-engine. */
   def kmeansStep(corpus: DataFrame, numCentroids: Int,
-                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    kmeansStepFrom(corpus, collectCentroids(corpus, numCentroids, idCol, vecCol),
+      idCol, vecCol)
+
+  /** [[kmeansStep]] from an arbitrary centroid set — the loop body of
+    * [[kmeansTrain]]. */
+  def kmeansStepFrom(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
     // n_assigned rides the SAME aggregation as the means (the per-(cid,
     // component) count equals the cell size — every member contributes all
@@ -228,6 +244,54 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("i"), col("m")))),
           e => e("m")).as("centroid"))
       .select(col("cid"), col("n_assigned"), col("centroid"))
+  }
+
+  /** Full Lloyd training loop: iterate [[kmeansStepFrom]] from the
+    * deterministic first-N seed until the largest per-centroid cosine
+    * movement drops below `tol` (or `maxIters`). The centroid set is a
+    * driver-sized model constant throughout (numCentroids ∝ √n — see
+    * [[collectCentroids]]), so each round is ONE distributed pass: map-side
+    * broadcast argmax + one (cid, component) shuffle, and only the
+    * numCentroids-row result is collected. Empty cells keep their previous
+    * centroid (the standard Lloyd empty-cell rule — a quantizer must never
+    * lose a cell, or downstream cell ids dangle). Assignment is argmax-
+    * COSINE, so the unnormalized mean is equivalent to the spherical-k-means
+    * normalized mean (scale-invariant) and the movement metric is cosine
+    * distance, also scale-invariant. Returns centroids in [[ivfKnnWith]] /
+    * [[ivfNearDupPairs]] quantizer form, float32 like the embeddings.
+    *
+    * Cross-partition summation order inside a round is unordered (training
+    * is statistical — the q112 contract gates the OUTCOME, measured recall,
+    * not the bits; bit-reproducible single rounds are
+    * [[kmeansStepDeterministic]]'s job). */
+  def kmeansTrain(corpus: DataFrame, numCentroids: Int, maxIters: Int = 10,
+                  tol: Double = 1e-4,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    var cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > tol) {
+      val stepped = kmeansStepFrom(corpus, cents, idCol, vecCol)
+        .select(col("cid"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+        .toMap
+      val next = cents.map { case (cid, old) => (cid, stepped.getOrElse(cid, old)) }
+      moved = cents.iterator.zip(next.iterator).map { case ((_, a), (_, b)) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) 0.0 else 1.0 - dot / denom
+      }.foldLeft(0.0)(math.max)
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** [[kmeansStep]] with a DETERMINISTIC mean: each cell's members are

@@ -204,6 +204,33 @@ object ExtQueries {
       .orderBy($"cid")
   }
 
+  /** E3: the TRAINED-quantizer recall contract — the end of the VERDICT r4
+    * quantizer-quality thread. [[Similarity.kmeansTrain]] runs the full
+    * Lloyd loop (seed = q49/q100's deterministic first-8, 5 rounds max,
+    * cosine-movement stop) and the TRAINED centroids serve q49's exact
+    * search shape via [[Similarity.ivfKnnWith]]; recall@10 for the 5 query
+    * vectors is measured in-query against the brute-force truth and gated
+    * ≥ 0.9 (q47/q100's contract pattern — training's unordered float sums
+    * make the centroids engine-specific, so the OUTCOME is what the oracle
+    * pins: a training regression that degrades the quantizer fails the
+    * gate even though only the boolean ships). */
+  private val q112IvfTrained: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("query_id", "neighbor_id")
+    val cents = Similarity.kmeansTrain(emb, numCentroids = 8, maxIters = 5)
+    val ann = Similarity.ivfKnnWith(q, emb, k = 10, cents, nprobe = 2)
+      .select("query_id", "neighbor_id")
+    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(when($"n_truth" === 0, lit(true))
+        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+        $"n_truth")
+  }
+
   /** E5: cross-engine-checkable rolling polynomial fingerprint. */
   private val q45Fingerprint: Q = (s, d) => {
     import s.implicits._
@@ -542,7 +569,8 @@ object ExtQueries {
     "q103_para_dedup"     -> q103ParaDedup,
     "q104_repetition"     -> q104Repetition,
     "q105_bloom_dedup"    -> q105BloomDedup,
-    "q108_kmeans_step"    -> q108KmeansStep)
+    "q108_kmeans_step"    -> q108KmeansStep,
+    "q112_ivf_trained"    -> q112IvfTrained)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -735,6 +763,19 @@ object ExtQueries {
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
     "q100_ivf_recall" ->
+      """SELECT true AS recall_ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+            WHERE rank <= 10) AS n_truth""",
+    "q112_ivf_trained" ->
       """SELECT true AS recall_ok,
            (SELECT CAST(count(*) AS BIGINT) FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

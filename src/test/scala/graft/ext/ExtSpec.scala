@@ -432,6 +432,40 @@ class ExtSpec extends AnyFunSuite {
       (1L, 3L, Seq(0.0, 3.0))))
   }
 
+  test("kmeansTrain: recovers separated clusters, keeps empty cells, converges") {
+    // Two tight clusters on orthogonal axes; seeds (vecs 0, 1) start inside
+    // them, so one Lloyd round lands the axis means and round two moves < tol
+    // — the loop must stop early (integer components ⇒ exact arithmetic).
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(2f, 0f)), (3L, Seq(4f, 0f)),
+      (4L, Seq(0f, 2f)), (5L, Seq(0f, 6f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansTrain(emb, numCentroids = 2, maxIters = 10)
+    assert(cents.map(_._1).toSeq == Seq(0L, 1L))
+    // converged centroids are the cluster means (cosine-collinear is enough,
+    // but integer input makes them exact)
+    assert(cents(0)._2.toSeq == Seq(7f / 3, 0f))
+    assert(cents(1)._2.toSeq == Seq(0f, 3f))
+    // trained quantizer serves ivfKnnWith: each vector's neighbors stay on
+    // its own axis (nprobe=1 ⇒ pure within-cluster search)
+    val knn = Similarity.ivfKnnWith(emb.filter($"vec_id" === 0L), emb, k = 3,
+      cents, nprobe = 1)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(knn == Set(0L, 2L, 3L))
+    // empty-cell rule: identical seed centroids make every vector tie on
+    // cosine, and the cid-ASC tiebreak routes them ALL to cell 0 — cell 1
+    // is empty from round one. The drained centroid must survive with its
+    // seed value, never vanish (downstream cell ids would dangle).
+    val tied = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(2f, 0f)), (3L, Seq(3f, 0f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.kmeansTrain(tied, numCentroids = 2, maxIters = 3)
+    assert(kept.length == 2 && kept.map(_._1).toSeq == Seq(0L, 1L))
+    assert(kept(1)._2.toSeq == Seq(1f, 0f))
+  }
+
   test("bloom membership: zero false negatives, FP rate near fpp") {
     val known = (0 until 2000).map(i => s"key_$i").toDF("k")
     val bf = Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01)
