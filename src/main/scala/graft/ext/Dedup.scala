@@ -349,6 +349,41 @@ object Dedup {
     udf((s: String) => s != null && bc.value.mightContainString(s)).apply(col(colName))
   }
 
+  /** Benchmark decontamination (the GPT-3/FineWeb training-prep step): flag
+    * every training document sharing at least one word `n`-gram with an
+    * eval/benchmark corpus, so contaminated documents can be dropped before
+    * training and the eval stays honest. Grams come from [[shingleSet]]
+    * (lowercase, non-alphanumeric split, distinct — the q42/q43 unit), so
+    * one vocabulary serves dedup AND decontamination.
+    *
+    * Scale contract: the benchmark side is SMALL by construction (eval sets
+    * are thousands of documents, not billions) — its distinct gram set is
+    * built once and broadcast, making the corpus side a map-only probe:
+    * explode grams, broadcast-semi-join, partial-agg count per doc. The
+    * only shuffle is the per-doc count of the HITS (contaminated grams are
+    * rare — the whole point), plus the fan-back left join to re-attach
+    * clean documents; both are keyed by `idCol` so AQE coalesces them at
+    * test scale. Never an all-pairs or corpus-gram shuffle.
+    *
+    * Returns every corpus row's id with `n_contaminated_grams` (distinct
+    * grams shared with the benchmark) and the `contaminated` flag. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(shingleSet(col(textCol), n)).as("gram"))
+      .distinct()
+    val hits = corpus
+      .select(col(idCol), explode(shingleSet(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"),
+        (coalesce(col("n_contaminated_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** SimHash-60 with an md5-derived token hash (value of the first 15 hex
     * chars of md5(token)) instead of xxhash64 — chosen because md5 is the
     * one hash both this engine and DuckDB compute identically, which makes

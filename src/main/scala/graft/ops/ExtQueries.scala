@@ -231,6 +231,22 @@ object ExtQueries {
         $"n_truth")
   }
 
+  /** E1: benchmark decontamination — the training-prep step that drops
+    * documents overlapping the eval set. The "benchmark" is the
+    * deterministic mod-10 slice of `documents` (both engines compute the
+    * identical split), the corpus is the rest, and a 7-gram collision
+    * flags contamination — at this corpus's lengths (10-99 words) that
+    * catches exactly the planted near-dups across the split, a sparse
+    * non-trivial signal. Engine shape: broadcast bench-gram set, map-only
+    * probe, hit-only count shuffle ([[Dedup.decontaminate]]). */
+  private val q113Decontaminate: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(
+        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0), n = 7)
+      .orderBy($"doc_id")
+  }
+
   /** E5: cross-engine-checkable rolling polynomial fingerprint. */
   private val q45Fingerprint: Q = (s, d) => {
     import s.implicits._
@@ -570,7 +586,8 @@ object ExtQueries {
     "q104_repetition"     -> q104Repetition,
     "q105_bloom_dedup"    -> q105BloomDedup,
     "q108_kmeans_step"    -> q108KmeansStep,
-    "q112_ivf_trained"    -> q112IvfTrained)
+    "q112_ivf_trained"    -> q112IvfTrained,
+    "q113_decontaminate"  -> q113Decontaminate)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -775,6 +792,22 @@ object ExtQueries {
               FROM embeddings c
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
             WHERE rank <= 10) AS n_truth""",
+    "q113_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         g AS (SELECT doc_id,
+                 list_distinct([array_to_string(ws[i:i+6], ' ')
+                                for i in range(1, len(ws) - 5)]) AS gs FROM t),
+         bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+         hits AS (
+           SELECT doc_id, count(DISTINCT gram) AS n FROM (
+             SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 != 0) cg
+           JOIN bg USING (gram) GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                coalesce(h.n, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+         LEFT JOIN hits h USING (doc_id)
+         ORDER BY doc_id""",
     "q112_ivf_trained" ->
       """SELECT true AS recall_ok,
            (SELECT CAST(count(*) AS BIGINT) FROM (

@@ -216,6 +216,19 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F1 ranking: ts_rank_cd analog — cover-density proximity scoring over
+    * the positional postings (Σ 1/width over minimal covers of {spark,
+    * join}). Engine = linear per-doc sweep; oracle = independent set-based
+    * recomputation of the same covers from the tight-window dual
+    * characterization, so the two derivations cross-check each other. */
+  private val q114TsRankCd: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    PostingIndex.tsRankCd(postings, "doc_id", Seq("spark", "join"))
+      .orderBy($"doc_id")
+  }
+
   /** F3 full to_tsquery surface: AND + grouped-OR-under-NOT + prefix in one
     * query, evaluated through the posting-table path (semi/anti joins on
     * posting lists — `graft.text.TsQuery` compiled by
@@ -311,7 +324,8 @@ object TextQueries {
     "q106_incr_index"       -> q106IncrIndex,
     "q109_indexed_phrase"   -> q109IndexedPhrase,
     "q110_websearch"        -> q110Websearch,
-    "q111_headline"         -> q111Headline)
+    "q111_headline"         -> q111Headline,
+    "q114_ts_rank_cd"       -> q114TsRankCd)
 
   /** The full-corpus "merges AND joining" search oracle, shared verbatim by
     * q37 (in-memory postings), q89 (written index), q106 (incrementally
@@ -464,6 +478,27 @@ object TextQueries {
                  round(sum(t.tf * ln((SELECT count(*) FROM documents) * 1.0 / d.df)), 6) AS score
           FROM tf t JOIN df d USING (lexeme)
           GROUP BY t.doc_id ORDER BY doc_id""",
+    "q114_ts_rank_cd" ->
+      s"""WITH $positionalLexSql,
+          p AS (SELECT doc_id, lexeme, pos FROM lex
+                WHERE lexeme IN (${sqlQuote(Porter.stem("spark"))},
+                                 ${sqlQuote(Porter.stem("join"))})),
+          re AS (SELECT DISTINCT doc_id, pos AS r FROM p),
+          lmax AS (SELECT e.doc_id, e.r, q.lexeme, max(q.pos) AS m
+                   FROM re e JOIN p q ON q.doc_id = e.doc_id AND q.pos <= e.r
+                   GROUP BY e.doc_id, e.r, q.lexeme),
+          lb AS (SELECT doc_id, r, min(m) AS l FROM lmax
+                 GROUP BY doc_id, r HAVING count(*) = 2),
+          rmin AS (SELECT w.doc_id, w.l, q.lexeme, min(q.pos) AS m
+                   FROM (SELECT DISTINCT doc_id, l FROM lb) w
+                   JOIN p q ON q.doc_id = w.doc_id AND q.pos >= w.l
+                   GROUP BY w.doc_id, w.l, q.lexeme),
+          rt AS (SELECT doc_id, l, max(m) AS r2 FROM rmin GROUP BY doc_id, l),
+          covers AS (SELECT lb.doc_id, lb.l, lb.r FROM lb
+                     JOIN rt ON rt.doc_id = lb.doc_id AND rt.l = lb.l
+                            AND rt.r2 = lb.r)
+          SELECT doc_id, round(sum(1.0 / (r - l + 1)), 6) AS score
+          FROM covers GROUP BY doc_id ORDER BY doc_id""",
     "q99_tsquery_search" ->
       s"""SELECT doc_id FROM (
             SELECT doc_id, $tokenizeSql AS toks FROM documents) t

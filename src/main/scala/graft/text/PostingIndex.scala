@@ -213,6 +213,66 @@ object PostingIndex {
         .as("score"))
   }
 
+  /** `ts_rank_cd` analog — cover-density ranking (Clarke/Cormack/Tudhope,
+    * the proximity family Postgres implements in tsrank.c): score(doc) =
+    * Σ over MINIMAL COVERS of 1/width, where a cover is a window [l, r]
+    * containing every query term and tight on both ends (no smaller window
+    * with the same endpoint contains them all). Nearby terms ⇒ narrow
+    * covers ⇒ high score — the proximity signal [[tsRank]]'s bag-of-words
+    * tf-idf cannot see. Unit term weights, no length normalization
+    * (Postgres `normalization=0` shape); a single-term query degenerates to
+    * tf, as in Postgres. 6dp rounding (q38's float-publishing contract).
+    *
+    * Algorithm: per doc, one linear sweep over its query-term positions in
+    * order, tracking each term's latest occurrence. When every term has
+    * been seen, the tight window ending at the current position `r` is
+    * [min lastOcc, r]; it is a minimal cover iff the current term's
+    * PREVIOUS occurrence predates that left bound (otherwise a narrower
+    * window ending earlier already covered — the right end isn't tight).
+    * The q114 oracle recomputes covers set-based from the dual
+    * characterization (l(r) = min over terms of max-occurrence ≤ r; cover
+    * iff r(l(r)) = r), so the sweep's emit rule is cross-checked by
+    * construction, not shared.
+    *
+    * Scale: postings are pruned to the query terms before the one groupBy-
+    * doc shuffle; the per-doc collect is bounded by the terms' occurrence
+    * counts in that doc (the phrase-search trade). Events ride one long
+    * (pos·k + termIdx) so the sweep sorts primitives, no row objects. */
+  def tsRankCd(postings: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val k = stemmed.length
+    val cdUdf = udf((evs: Seq[Long]) => {
+      val sorted = evs.toArray
+      java.util.Arrays.sort(sorted)
+      val lastOcc = Array.fill(k)(-1L)
+      var seen = 0
+      var score = 0.0
+      var e = 0
+      while (e < sorted.length) {
+        val pos = sorted(e) / k
+        val t = (sorted(e) % k).toInt
+        val prev = lastOcc(t)
+        if (prev < 0) seen += 1
+        lastOcc(t) = pos
+        if (seen == k) {
+          var l = Long.MaxValue
+          var i = 0
+          while (i < k) { if (lastOcc(i) < l) l = lastOcc(i); i += 1 }
+          if (prev < l) score += 1.0 / (pos - l + 1)
+        }
+        e += 1
+      }
+      score
+    })
+    postings.filter(col("lexeme").isin(stemmed: _*))
+      .select(col(idCol),
+        (col("pos").cast("long") * k +
+          (array_position(lit(stemmed.toArray), col("lexeme")) - 1)).as("ev"))
+      .groupBy(col(idCol))
+      .agg(round(cdUdf(collect_list(col("ev"))), 6).as("score"))
+      .filter(col("score") > 0)
+  }
+
   /** AND-search against an index written by [[write]]: the query terms'
     * bucket ids are computed with the SAME hash the writer used (via a
     * one-row Spark job, so the two can't drift), and the scan filters on

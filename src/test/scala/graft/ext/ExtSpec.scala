@@ -466,6 +466,19 @@ class ExtSpec extends AnyFunSuite {
     assert(kept(1)._2.toSeq == Seq(1f, 0f))
   }
 
+  test("decontaminate: gram collisions flag docs, clean docs keep zero count") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "xx alpha beta gamma yy"),       // one shared 3-gram
+      (2L, "totally different words here"), // clean — must still be emitted
+      (3L, "alpha beta gamma delta plus"),  // two shared 3-grams
+      (4L, "too short"))                    // < n words ⇒ no grams ⇒ clean
+      .toDF("doc_id", "text")
+    val r = Dedup.decontaminate(corpus, bench, n = 3).orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r == Seq((1L, 1L, true), (2L, 0L, false), (3L, 2L, true), (4L, 0L, false)))
+  }
+
   test("bloom membership: zero false negatives, FP rate near fpp") {
     val known = (0 until 2000).map(i => s"key_$i").toDF("k")
     val bf = Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01)

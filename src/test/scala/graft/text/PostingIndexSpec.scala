@@ -98,4 +98,22 @@ class PostingIndexSpec extends AnyFunSuite {
     // the new posting is there
     assert(spark.read.parquet(dir).filter($"doc_id" === 7L).count() == 1L)
   }
+
+  test("tsRankCd: hand-computed minimal covers, zero-cover docs dropped") {
+    val cds = Seq(
+      (1L, "alpha qq beta"),               // one cover [1,3] -> 1/3
+      (2L, "alpha beta"),                  // one cover [1,2] -> 1/2
+      (3L, "alpha qq qq qq beta alpha"),   // covers [1,5] + [5,6] -> 0.2 + 0.5
+      (4L, "alpha qq alpha"),              // beta absent -> no cover -> dropped
+      (5L, "beta alpha beta"))             // covers [1,2] + [2,3] -> 1.0
+      .toDF("doc_id", "text")
+    val postings = PostingIndex.buildPositional(cds, "doc_id", $"text")
+    val r = PostingIndex.tsRankCd(postings, "doc_id", Seq("alpha", "beta"))
+      .orderBy($"doc_id").as[(Long, Double)].collect().toSeq
+    assert(r == Seq((1L, 0.333333), (2L, 0.5), (3L, 0.7), (5L, 1.0)))
+    // single-term query degenerates to tf, as in Postgres
+    val single = PostingIndex.tsRankCd(postings, "doc_id", Seq("alpha"))
+      .orderBy($"doc_id").as[(Long, Double)].collect().toSeq
+    assert(single == Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0), (5L, 1.0)))
+  }
 }
