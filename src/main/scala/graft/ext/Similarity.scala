@@ -229,12 +229,17 @@ object Similarity {
   /** [[kmeansStep]] from an arbitrary centroid set — the loop body of
     * [[kmeansTrain]]. */
   def kmeansStepFrom(corpus: DataFrame, cents: Array[(Long, Array[Float])],
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
-    // n_assigned rides the SAME aggregation as the means (the per-(cid,
-    // component) count equals the cell size — every member contributes all
-    // components) — a separate counts groupBy would re-run the broadcast
-    // argmax scan over the whole corpus a second time
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    cellMeans(assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol))
+
+  /** Per-cell means of an assignment `(cid, v)` — the reduce half of one
+    * Lloyd round, shared by the cosine ([[kmeansStepFrom]]) and L2
+    * ([[kmeansStepFromL2]]) paths: posexplode to (cid, component), one
+    * partial-aggregated shuffle. n_assigned rides the SAME aggregation as
+    * the means (the per-(cid, component) count equals the cell size —
+    * every member contributes all components) — a separate counts groupBy
+    * would re-run the broadcast argmax scan over the whole corpus. */
+  private def cellMeans(assign: DataFrame): DataFrame =
     assign
       .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy(col("cid"), col("i"))
@@ -244,7 +249,6 @@ object Similarity {
         transform(array_sort(collect_list(struct(col("i"), col("m")))),
           e => e("m")).as("centroid"))
       .select(col("cid"), col("n_assigned"), col("centroid"))
-  }
 
   /** Full Lloyd training loop: iterate [[kmeansStepFrom]] from the
     * deterministic first-N seed until the largest per-centroid cosine
@@ -266,19 +270,12 @@ object Similarity {
     * [[kmeansStepDeterministic]]'s job). */
   def kmeansTrain(corpus: DataFrame, numCentroids: Int, maxIters: Int = 10,
                   tol: Double = 1e-4,
-                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] = {
-    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
-    var cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
-    var iter = 0
-    var moved = Double.MaxValue
-    while (iter < maxIters && moved > tol) {
-      val stepped = kmeansStepFrom(corpus, cents, idCol, vecCol)
-        .select(col("cid"), col("centroid"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toArray))
-        .toMap
-      val next = cents.map { case (cid, old) => (cid, stepped.getOrElse(cid, old)) }
-      moved = cents.iterator.zip(next.iterator).map { case ((_, a), (_, b)) =>
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] =
+    lloydLoop(collectCentroids(corpus, numCentroids, idCol, vecCol), maxIters, tol,
+      cents => kmeansStepFrom(corpus, cents, idCol, vecCol),
+      (a, b) => {
+        // cosine distance — scale-invariant, matching the argmax-cosine
+        // assignment (the unnormalized mean is spherical-equivalent)
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         val n = math.min(a.length, b.length)
         while (i < n) {
@@ -287,7 +284,29 @@ object Similarity {
         }
         val denom = math.sqrt(na) * math.sqrt(nb)
         if (denom == 0.0) 0.0 else 1.0 - dot / denom
-      }.foldLeft(0.0)(math.max)
+      })
+
+  /** The driver-side Lloyd iteration shared by the cosine and L2 trainers:
+    * run `step`, collect the numCentroids-row result, keep empty cells'
+    * previous centroids, stop when the largest per-centroid `movement`
+    * drops below `tol` or after `maxIters` rounds. */
+  private def lloydLoop(seed: Array[(Long, Array[Float])], maxIters: Int, tol: Double,
+                        step: Array[(Long, Array[Float])] => DataFrame,
+                        movement: (Array[Float], Array[Float]) => Double): Array[(Long, Array[Float])] = {
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
+    var cents = seed
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > tol) {
+      val stepped = step(cents)
+        .select(col("cid"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).map(_.toFloat).toArray))
+        .toMap
+      val next = cents.map { case (cid, old) => (cid, stepped.getOrElse(cid, old)) }
+      moved = cents.iterator.zip(next.iterator)
+        .map { case ((_, a), (_, b)) => movement(a, b) }
+        .foldLeft(0.0)(math.max)
       cents = next
       iter += 1
     }
@@ -323,6 +342,171 @@ object Similarity {
           e => e("v")).as("vs"))
       .select(col("cid"), col("n_assigned"),
         transform(meanUdf(col("vs")), x => round(x, 6)).as("centroid"))
+  }
+
+  // ---------------------------------------------------------- L2 k-means + PQ
+
+  /** Nearest centroid by SQUARED L2 (tiebreak cid asc — strict `<` keeps
+    * the lowest cid because centroids are visited cid-ascending) — the
+    * Euclidean twin of [[topCells]]'s cosine argmax, for PQ subspace
+    * training where reconstruction error, not angle, is the objective. */
+  private[ext] def nearestL2(cs: Array[(Long, Array[Float])], v: Seq[Float]): Long = {
+    if (v == null) return cs(0)._1
+    var best = 0L; var bestD = Double.MaxValue; var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)._2
+      var d = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val t = v(i).toDouble - c(i).toDouble; d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = cs(ci)._1 }
+      ci += 1
+    }
+    best
+  }
+
+  /** One Euclidean Lloyd round from an explicit centroid set — map-side
+    * broadcast argmin-L2 assignment + the shared [[cellMeans]] reduce
+    * (means minimize squared L2, so the same aggregation serves both
+    * metrics). */
+  def kmeansStepFromL2(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val f = udf((v: Seq[Float]) => nearestL2(bc.value, v))
+    cellMeans(corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("cid", f(col("v"))))
+  }
+
+  /** Euclidean [[kmeansTrain]]: same driver-side loop ([[lloydLoop]] —
+    * empty-cell keep rule, movement stop), argmin-L2 assignment, movement
+    * measured as squared L2 (the metric being optimized). */
+  def kmeansTrainL2(corpus: DataFrame, numCentroids: Int, maxIters: Int = 10,
+                    tol: Double = 1e-6,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Long, Array[Float])] =
+    lloydLoop(collectCentroids(corpus, numCentroids, idCol, vecCol), maxIters, tol,
+      cents => kmeansStepFromL2(corpus, cents, idCol, vecCol),
+      (a, b) => {
+        var d = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { val t = a(i).toDouble - b(i).toDouble; d += t * t; i += 1 }
+        d
+      })
+
+  /** Product-quantization codebooks (Jégou/Douze/Schmid 2011, the FAISS
+    * `PQm×log2(ksub)` shape): the embedding splits into `m` contiguous
+    * subspaces and each trains an independent L2 codebook of `ksub`
+    * centroids via [[kmeansTrainL2]]; a vector is then `m` codes (one byte
+    * each for ksub ≤ 256) instead of `dim` floats — 32× smaller at dim 64 /
+    * m 8, which is what lets a 100 TB corpus's ANN working set live in
+    * executor memory. Training cost is m driver-looped Lloyd runs; at
+    * corpus scale train on a SAMPLE (the FAISS norm — codebooks are
+    * statistics, a deterministic `filter(id < n)` or q96's stable-hash
+    * sample both work). Returns codebooks(j)(code) = subspace-j centroid,
+    * codes 0..ksub-1 (centroid seeds are the first `ksub` corpus rows'
+    * subvectors, so codes index the cid-sorted result). */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, maxIters: Int = 10,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256]: $ksub")
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).toArray.map { j =>
+      kmeansTrainL2(
+        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("subv")),
+        ksub, maxIters, idCol = idCol, vecCol = "subv")
+        .map(_._2)
+    }
+  }
+
+  /** PQ-encode the corpus: map-only, one fused pass per vector (argmin-L2
+    * per subspace against the broadcast codebooks), emitting `m` bytes as a
+    * BinaryType `codes` column — the compressed representation [[pqKnn]]
+    * scans. Codes are unsigned bytes (`& 0xFF` on read) so ksub up to 256
+    * fits. */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val enc = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else {
+        val cbs = bc.value
+        val m = cbs.length
+        val sub = v.length / m
+        val out = new Array[Byte](m)
+        var j = 0
+        while (j < m) {
+          val cb = cbs(j); var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cb.length) {
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = v(j * sub + i).toDouble - cb(c)(i).toDouble; d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          out(j) = best.toByte
+          j += 1
+        }
+        out
+      }
+    })
+    corpus.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** PQ ANN search — asymmetric distance (ADC) shortlist + exact re-rank,
+    * the IVF-PQ serving pattern: each query precomputes an (m × ksub) LUT
+    * of squared L2 to every codebook centroid, the ENCODED corpus is
+    * scanned once summing m byte-indexed lookups per vector (32× less
+    * memory traffic than raw floats, zero shuffle — queries and LUTs ride
+    * a broadcast), the per-query `shortlist` best ADC candidates fetch
+    * their original embeddings (broadcast semi-join — the corpus scan stays
+    * map-side) and exact cosine ranks the final top-k. On unit-norm
+    * embeddings L2² = 2 − 2·cos, so the ADC ordering approximates the
+    * cosine ordering and re-rank recovers the exact metric; q115 gates the
+    * measured recall. Composes with IVF cell routing ([[ivfKnnWith]]) for
+    * the full FAISS IVF-PQ shape — cells bound the scan, PQ bounds the
+    * bytes. */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+            codebooks: Array[Array[Array[Float]]], shortlist: Int = 50,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
+    val lutUdf = udf((qv: Seq[Float]) => {
+      val cbs = bc.value
+      val m = cbs.length
+      val sub = qv.length / m
+      cbs.zipWithIndex.map { case (cb, j) =>
+        cb.map { cent =>
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val t = qv(j * sub + i).toDouble - cent(i).toDouble; d += t * t; i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+    })
+    val adcUdf = udf((lut: Seq[Seq[Double]], codes: Array[Byte]) => {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j)(codes(j) & 0xFF); j += 1 }
+      s
+    })
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("lut", lutUdf(col("qv")))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = pqEncode(corpus, codebooks, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("lut"))))
+      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** ANN near-dup CANDIDATE PAIRS corpus-wide: random-hyperplane bucketing

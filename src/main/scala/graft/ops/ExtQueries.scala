@@ -231,6 +231,34 @@ object ExtQueries {
         $"n_truth")
   }
 
+  /** E3: product-quantization ANN (the FAISS IVF-PQ memory-compression
+    * path): PQ16×6 codebooks trained per-subspace by L2 k-means
+    * ([[Similarity.pqTrain]]), corpus scanned as 16-byte codes via
+    * asymmetric-distance lookup tables, shortlist exact-re-ranked
+    * ([[Similarity.pqKnn]]); recall@10 vs brute-force truth measured
+    * in-query, gated ≥ 0.9 (q47/q100/q112's contract pattern). Params
+    * measured by tools/AnnTune: m=16, ksub=64, shortlist=100 → recall 0.96
+    * at sf0.1 (this corpus is random unit vectors — the PQ-adversarial
+    * case; clustered real embeddings compress far better, and m trades
+    * bytes for recall: m=8 → 32× compression at 0.7-0.8, m=32 → 8× at
+    * 1.0). */
+  private val q115PqRecall: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("query_id", "neighbor_id")
+    val cb = Similarity.pqTrain(emb, m = 16, ksub = 64)
+    val pq = Similarity.pqKnn(q, emb, k = 10, cb, shortlist = 100)
+      .select("query_id", "neighbor_id")
+    val hit = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(when($"n_truth" === 0, lit(true))
+        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+        $"n_truth")
+  }
+
   /** E1: benchmark decontamination — the training-prep step that drops
     * documents overlapping the eval set. The "benchmark" is the
     * deterministic mod-10 slice of `documents` (both engines compute the
@@ -587,7 +615,8 @@ object ExtQueries {
     "q105_bloom_dedup"    -> q105BloomDedup,
     "q108_kmeans_step"    -> q108KmeansStep,
     "q112_ivf_trained"    -> q112IvfTrained,
-    "q113_decontaminate"  -> q113Decontaminate)
+    "q113_decontaminate"  -> q113Decontaminate,
+    "q115_pq_recall"      -> q115PqRecall)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -780,6 +809,19 @@ object ExtQueries {
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
     "q100_ivf_recall" ->
+      """SELECT true AS recall_ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+            WHERE rank <= 10) AS n_truth""",
+    "q115_pq_recall" ->
       """SELECT true AS recall_ok,
            (SELECT CAST(count(*) AS BIGINT) FROM (
               SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -4,7 +4,7 @@ import graft.GraftSession
 import graft.ext.Similarity
 
 /** Dev tool: measure ANN recall against exact ground truth — the evidence
-  * behind the two measured-recall contracts:
+  * behind the measured-recall contracts:
   *
   *  - LSH pair recall ([[Similarity.annCandidatePairs]] vs the q48 exact
   *    cosine pairs) for a grid of (numPlanes, tables) — behind q47.
@@ -14,6 +14,12 @@ import graft.ext.Similarity
   *    0.98 @ sf0.1; fewer centroids raise recall but widen cells (cost),
   *    more centroids need a higher nprobe to hold recall. Sizing at scale:
   *    numCentroids ∝ √n, nprobe 2-8 (see Similarity.collectCentroids).
+  *  - PQ recall@10 ([[Similarity.pqKnn]] ADC+re-rank vs the same truth)
+  *    for a grid of (m, ksub, shortlist) — behind q115. Measured @ sf0.1:
+  *    (16, 64, 100) = 0.96 (q115's params, 16× compression);
+  *    (8, 16, 50) = 0.66 (32×); (32, 16, 100) = 1.0 (8×). This corpus is
+  *    random unit vectors — the PQ-adversarial case; clustered real
+  *    embeddings compress far better.
   *
   * Deterministic (fixed hyperplane seeds, deterministic quantizer), so a
   * printed recall is THE recall at that SF, not a sample.
@@ -49,6 +55,13 @@ object AnnTune {
           .select("query_id", "neighbor_id")
         val hit = knnTruth.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
         println(s"TUNE sf=$d centroids=$nc nprobe=$np recall@10=$hit/$nKnn")
+      }
+      for ((m, ks, sl) <- Seq((16, 16, 100), (16, 16, 200), (16, 32, 100), (8, 16, 200), (16, 64, 100), (32, 16, 100))) {
+        val cb = Similarity.pqTrain(emb, m = m, ksub = ks)
+        val pq = Similarity.pqKnn(q, emb, k = 10, cb, shortlist = sl)
+          .select("query_id", "neighbor_id")
+        val hit = knnTruth.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(s"TUNE sf=$d pq m=$m ksub=$ks shortlist=$sl recall@10=$hit/$nKnn")
       }
       knnTruth.unpersist(); emb.unpersist()
     }

@@ -466,6 +466,35 @@ class ExtSpec extends AnyFunSuite {
     assert(kept(1)._2.toSeq == Seq(1f, 0f))
   }
 
+  test("pq: exact codebooks on cluster-structured subvectors, ADC+re-rank = exact knn") {
+    // dim 4, m=2: each subspace holds exactly 2 distinct subvectors, so the
+    // ksub=2 codebooks converge to those points (mean of identical points),
+    // encoding is LOSSLESS, and PQ search must reproduce the exact ranking.
+    val vs = Seq(
+      (0L, Seq(1f, 0f, 0f, 1f)),
+      (1L, Seq(0f, 1f, 1f, 0f)),
+      (2L, Seq(1f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 1f)),
+      (4L, Seq(1f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vs, m = 2, ksub = 2)
+    assert(cb.length == 2 && cb.forall(_.length == 2))
+    // lossless reconstruction: decode(encode(v)) == v for every vector
+    val codes = Similarity.pqEncode(vs, cb)
+      .as[(Long, Array[Byte])].collect().toMap
+    val orig = vs.as[(Long, Seq[Float])].collect().toMap
+    orig.foreach { case (id, v) =>
+      val rec = codes(id).zipWithIndex.flatMap { case (c, j) => cb(j)(c & 0xFF) }
+      assert(rec.toSeq == v, s"vec $id not reconstructed exactly")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id")
+        .as[(Long, Int, Long)].collect().toSet
+    val pq = rows(Similarity.pqKnn(vs.filter($"vec_id" < 2), vs, k = 3, cb, shortlist = 3))
+    val exact = rows(Similarity.bruteForceKnn(vs.filter($"vec_id" < 2), vs, k = 3))
+    assert(pq == exact)
+  }
+
   test("decontaminate: gram collisions flag docs, clean docs keep zero count") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(
