@@ -397,24 +397,91 @@ object Similarity {
     * centroids via [[kmeansTrainL2]]; a vector is then `m` codes (one byte
     * each for ksub ≤ 256) instead of `dim` floats — 32× smaller at dim 64 /
     * m 8, which is what lets a 100 TB corpus's ANN working set live in
-    * executor memory. Training cost is m driver-looped Lloyd runs; at
-    * corpus scale train on a SAMPLE (the FAISS norm — codebooks are
-    * statistics, a deterministic `filter(id < n)` or q96's stable-hash
-    * sample both work). Returns codebooks(j)(code) = subspace-j centroid,
-    * codes 0..ksub-1 (centroid seeds are the first `ksub` corpus rows'
-    * subvectors, so codes index the cid-sorted result). */
+    * executor memory. All m subspaces train together: one distributed job
+    * per Lloyd round over the (subspace, subvector)-exploded corpus with
+    * composite (j, code) keys — NOT m sequential trainings — so rounds,
+    * not subspaces, bound the job count. At corpus scale train on a SAMPLE
+    * (the FAISS norm — codebooks are statistics, a deterministic
+    * `filter(id < n)` or q96's stable-hash sample both work). Returns
+    * codebooks(j)(code) = subspace-j centroid, codes 0..ksub-1 (centroid
+    * seeds are the first `ksub` corpus rows' subvectors). */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, maxIters: Int = 10,
+              tol: Double = 1e-6,
               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1, 256]: $ksub")
+    require(maxIters >= 1, s"maxIters must be >= 1: $maxIters")
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
-    (0 until m).toArray.map { j =>
-      kmeansTrainL2(
-        corpus.select(col(idCol), slice(col(vecCol), j * sub + 1, sub).as("subv")),
-        ksub, maxIters, idCol = idCol, vecCol = "subv")
-        .map(_._2)
+    val spark = corpus.sparkSession
+    // All m subspaces train TOGETHER: the corpus explodes once per round
+    // into (j, subv) rows (same total bytes — m× rows of dim/m floats) and
+    // every Lloyd round is ONE distributed job with composite (j, cid)
+    // keys, not m driver-looped jobs per round. The per-subspace math is
+    // identical to m independent kmeansTrainL2 runs (per-subspace seeds,
+    // argmin-L2 assignment, mean update, empty-cell keep, max-movement
+    // stop over ALL subspaces).
+    val splitUdf = udf((v: Seq[Float]) => {
+      if (v == null) null
+      else (0 until m).map(j => v.slice(j * sub, (j + 1) * sub))
+    })
+    val exploded = corpus
+      .select(posexplode(splitUdf(col(vecCol))).as(Seq("j", "subv")))
+    // seeds: the first ksub rows' subvectors, per subspace (the
+    // collectCentroids rule applied subspace-wise)
+    var books: Array[Array[Array[Float]]] =
+      corpus.filter(col(idCol) < ksub)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map(r => r.getSeq[Float](1).toArray)
+        .toArray match {
+          case seeds => (0 until m).toArray.map(j =>
+            seeds.map(v => v.slice(j * sub, (j + 1) * sub)))
+        }
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIters && moved > tol) {
+      val bc = spark.sparkContext.broadcast(books)
+      val nearestUdf = udf((j: Int, subv: Seq[Float]) => {
+        val cb = bc.value(j)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cb.length) {
+          var d = 0.0; var i = 0
+          val n = math.min(subv.length, cb(c).length)
+          while (i < n) { val t = subv(i).toDouble - cb(c)(i).toDouble; d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      })
+      val stepped = exploded
+        .withColumn("cid", nearestUdf(col("j"), col("subv")))
+        .select(col("j"), col("cid"), posexplode(col("subv")).as(Seq("i", "x")))
+        .groupBy(col("j"), col("cid"), col("i"))
+        .agg(avg(col("x").cast("double")).as("mv"))
+        .groupBy(col("j"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("mv")))),
+          e => e("mv")).as("centroid"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).map(_.toFloat).toArray))
+        .toMap
+      var worst = 0.0
+      val next = books.zipWithIndex.map { case (cb, j) =>
+        cb.zipWithIndex.map { case (old, c) =>
+          val nw = stepped.getOrElse((j, c), old)
+          var d = 0.0; var i = 0
+          val n = math.min(old.length, nw.length)
+          while (i < n) { val t = old(i).toDouble - nw(i).toDouble; d += t * t; i += 1 }
+          if (d > worst) worst = d
+          nw
+        }
+      }
+      books = next
+      moved = worst
+      iter += 1
     }
+    books
   }
 
   /** PQ-encode the corpus: map-only, one fused pass per vector (argmin-L2
