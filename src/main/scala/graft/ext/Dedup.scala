@@ -377,8 +377,10 @@ object Dedup {
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+    // hits is small (contamination is rare by design) — broadcast it so the
+    // fan-back outer join never shuffles the corpus on id
     corpus.select(col(idCol))
-      .join(hits, Seq(idCol), "left")
+      .join(broadcast(hits), Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"),
         (coalesce(col("n_contaminated_grams"), lit(0L)) > 0).as("contaminated"))

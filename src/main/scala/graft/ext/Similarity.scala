@@ -490,9 +490,15 @@ object Similarity {
     * scans. Codes are unsigned bytes (`& 0xFF` on read) so ksub up to 256
     * fits. */
   def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Float]]],
-               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    val enc = udf((v: Seq[Float]) => {
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), pqEncodeUdf(corpus, codebooks)(col(vecCol)).as("codes"))
+
+  /** The fused per-vector PQ encoder (argmin-L2 per subspace against the
+    * broadcast codebooks) as a reusable UDF — shared by [[pqEncode]] and
+    * [[ivfPqKnn]] so the code assignment rule exists once. */
+  private def pqEncodeUdf(df: DataFrame, codebooks: Array[Array[Array[Float]]]) = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    udf((v: Seq[Float]) => {
       if (v == null) null
       else {
         val cbs = bc.value
@@ -516,7 +522,50 @@ object Similarity {
         out
       }
     })
-    corpus.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** Per-query ADC lookup table: luts(j)(code) = squared L2 from the
+    * query's subspace-j subvector to that code's centroid. */
+  private def pqLutUdf(df: DataFrame, codebooks: Array[Array[Array[Float]]]) = {
+    val bc = df.sparkSession.sparkContext.broadcast(codebooks)
+    udf((qv: Seq[Float]) => {
+      val cbs = bc.value
+      val m = cbs.length
+      val sub = qv.length / m
+      cbs.zipWithIndex.map { case (cb, j) =>
+        cb.map { cent =>
+          var d = 0.0; var i = 0
+          while (i < sub) {
+            val t = qv(j * sub + i).toDouble - cent(i).toDouble; d += t * t; i += 1
+          }
+          d
+        }.toSeq
+      }.toSeq
+    })
+  }
+
+  /** ADC distance: m byte-indexed lookups, no float math on the corpus
+    * vector at all. */
+  private val pqAdcUdf = udf((lut: Seq[Seq[Double]], codes: Array[Byte]) => {
+    var s = 0.0; var j = 0
+    while (j < codes.length) { s += lut(j)(codes(j) & 0xFF); j += 1 }
+    s
+  })
+
+  /** Exact-cosine re-rank of an ADC shortlist: originals are fetched for
+    * shortlist ids only (broadcast semi-join — the corpus scan stays
+    * map-side), then ranked per query. Shared tail of [[pqKnn]] and
+    * [[ivfPqKnn]]. */
+  private def rerankShortlist(corpus: DataFrame, q: DataFrame, short: DataFrame,
+                              k: Int, idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** PQ ANN search — asymmetric distance (ADC) shortlist + exact re-rank,
@@ -536,44 +585,49 @@ object Similarity {
             codebooks: Array[Array[Array[Float]]], shortlist: Int = 50,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
-    val bc = corpus.sparkSession.sparkContext.broadcast(codebooks)
-    val lutUdf = udf((qv: Seq[Float]) => {
-      val cbs = bc.value
-      val m = cbs.length
-      val sub = qv.length / m
-      cbs.zipWithIndex.map { case (cb, j) =>
-        cb.map { cent =>
-          var d = 0.0; var i = 0
-          while (i < sub) {
-            val t = qv(j * sub + i).toDouble - cent(i).toDouble; d += t * t; i += 1
-          }
-          d
-        }.toSeq
-      }.toSeq
-    })
-    val adcUdf = udf((lut: Seq[Seq[Double]], codes: Array[Byte]) => {
-      var s = 0.0; var j = 0
-      while (j < codes.length) { s += lut(j)(codes(j) & 0xFF); j += 1 }
-      s
-    })
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("lut", lutUdf(col("qv")))
+      .withColumn("lut", pqLutUdf(queries, codebooks)(col("qv")))
     val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
     val short = pqEncode(corpus, codebooks, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q.select(col("query_id"), col("lut"))))
-      .withColumn("adc", adcUdf(col("lut"), col("codes")))
+      .withColumn("adc", pqAdcUdf(col("lut"), col("codes")))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
       .select("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-      .join(broadcast(short), Seq("neighbor_id"))
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
-      .withColumn("cos", cosineF(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cos")
+    rerankShortlist(corpus, q, short, k, idCol, vecCol)
+  }
+
+  /** The full FAISS IVF-PQ serving shape, composed from the two halves:
+    * IVF cells bound WHICH vectors each query scans (its `nprobe` argmax
+    * cells — [[ivfKnnWith]]'s routing), PQ codes bound the BYTES per
+    * scanned vector (ADC lookups — [[pqKnn]]'s scan), and the exact
+    * re-rank recovers the true metric on the shortlist. Cell assignment
+    * and encoding are both map-only over broadcast model constants; the
+    * only shuffle is the cell-id equi-join — flat-ADC's corpus×queries
+    * product never appears. Recall compounds the two approximations
+    * (missed cells × ADC ordering error), so gate it measured, per
+    * corpus, exactly like q100/q115. */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+               cent: Array[(Long, Array[Float])],
+               codebooks: Array[Array[Array[Float]]],
+               nprobe: Int = 2, shortlist: Int = 50,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val cells = assignCells(corpus, cent, "neighbor_id", "cv", keep = 1, idCol, vecCol)
+      .withColumn("codes", pqEncodeUdf(corpus, codebooks)(col("cv")))
+      .select(col("cid"), col("neighbor_id"), col("codes"))
+    val probes = assignCells(queries, cent, "query_id", "qv", keep = nprobe, idCol, vecCol)
+      .withColumn("lut", pqLutUdf(queries, codebooks)(col("qv")))
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("adc"), col("neighbor_id"))
+    val short = probes.select(col("cid"), col("query_id"), col("lut"))
+      .join(cells, Seq("cid"))
+      .withColumn("adc", pqAdcUdf(col("lut"), col("codes")))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    rerankShortlist(corpus, q, short, k, idCol, vecCol)
   }
 
   /** ANN near-dup CANDIDATE PAIRS corpus-wide: random-hyperplane bucketing

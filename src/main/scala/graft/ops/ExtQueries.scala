@@ -435,6 +435,38 @@ object ExtQueries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** THE END-TO-END TRAINING-CORPUS EXPORT — every curation stage this
+    * catalog proves individually, composed in their production order:
+    * decontaminate (q113) → quality+language gate (q95) → exact dedup
+    * (q40/q95) → chunk+pack (q97/q101). Output is the packed training
+    * sequence layout (doc, chunk, pack, words) of the surviving corpus.
+    *
+    * The 100 TB shape, stage by stage: the contamination DROP-LIST is
+    * small (the clean majority must never be broadcast), so the filter is
+    * a broadcast ANTI-join on the few flagged ids; scoring and gating are
+    * map-only and run BEFORE the one content-hash dedup shuffle (junk
+    * never moves — q95's rule); chunking/packing are map-only explodes.
+    * Total: the q113 hit-count shuffle + one dedup shuffle, everything
+    * else pipelined. The oracle rebuilds all four stages independently
+    * (gram CTEs + quality CASE + sha256 group + recursive-CTE packer). */
+  private val q116CorpusExport: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter($"doc_id" % 10 === 0)
+    val train = docs.filter($"doc_id" % 10 =!= 0)
+    val contaminated = Dedup.decontaminate(train, bench, n = 7)
+      .filter($"contaminated").select($"doc_id")
+    val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val gated = clean.select($"doc_id", $"text",
+        TextAnalysis.languageIdFast($"text").as("pred_lang"),
+        TextAnalysis.qualityFast($"text").as("q"))
+      .filter($"q.quality_ok" && $"pred_lang" =!= "und")
+    Dedup.dedupByContent(gated, "text", "doc_id")
+      .select($"doc_id", explode(TextAnalysis.packChunks($"text", 50, 40, 120)).as("p"))
+      .select($"doc_id", $"p.chunk_id", $"p.pack_id", $"p.n_words")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** E5: PII redaction over deterministic PII-bearing "support tickets"
     * fabricated from customer columns (the testdata has no raw PII, so both
     * engines BUILD the same text, then the engine's scrub must survive the
@@ -616,7 +648,8 @@ object ExtQueries {
     "q108_kmeans_step"    -> q108KmeansStep,
     "q112_ivf_trained"    -> q112IvfTrained,
     "q113_decontaminate"  -> q113Decontaminate,
-    "q115_pq_recall"      -> q115PqRecall)
+    "q115_pq_recall"      -> q115PqRecall,
+    "q116_corpus_export"  -> q116CorpusExport)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -821,6 +854,54 @@ object ExtQueries {
               FROM embeddings c
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
             WHERE rank <= 10) AS n_truth""",
+    "q116_corpus_export" ->
+      s"""WITH RECURSIVE g0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          g AS (SELECT doc_id,
+                  list_distinct([array_to_string(ws[i:i+6], ' ')
+                                 for i in range(1, len(ws) - 5)]) AS gs FROM g0),
+          bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
+          contaminated AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 != 0) cg
+            JOIN bg USING (gram)),
+          t AS (SELECT doc_id, text, $wordsAposSql AS ws FROM documents
+                WHERE doc_id % 10 != 0
+                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+          scored AS (
+            SELECT doc_id, text,
+              $langCaseSql AS pred_lang,
+              (len(ws) >= 5 AND len(ws) <= 10000 AND
+               CASE WHEN len(ws) > 0
+                    THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                    ELSE 0.0 END > 0.1) AS quality_ok
+            FROM t),
+          kept AS (
+            SELECT * FROM scored WHERE quality_ok AND pred_lang <> 'und'),
+          dedup AS (
+            SELECT min(doc_id) AS doc_id, min(text) AS text
+            FROM kept GROUP BY sha256(text)),
+          dt AS (SELECT doc_id, $wordsSql AS ws FROM dedup),
+          c AS (SELECT doc_id,
+                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
+                FROM dt WHERE len(ws) > 0),
+          ch AS (SELECT doc_id,
+                   unnest(range(1, len(wcs)+1)) AS chunk_id,
+                   unnest(wcs) AS w
+                 FROM c),
+          packed AS (
+            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
+                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
+            FROM ch WHERE chunk_id = 1
+            UNION ALL
+            SELECT c.doc_id, c.chunk_id,
+                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
+                        ELSE p.acc + c.w END,
+                   CAST(c.w AS BIGINT)
+            FROM packed p JOIN ch c
+              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
+          FROM packed ORDER BY doc_id, chunk_id""",
     "q115_pq_recall" ->
       """SELECT true AS recall_ok,
            (SELECT CAST(count(*) AS BIGINT) FROM (

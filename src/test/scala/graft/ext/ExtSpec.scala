@@ -493,6 +493,12 @@ class ExtSpec extends AnyFunSuite {
     val pq = rows(Similarity.pqKnn(vs.filter($"vec_id" < 2), vs, k = 3, cb, shortlist = 3))
     val exact = rows(Similarity.bruteForceKnn(vs.filter($"vec_id" < 2), vs, k = 3))
     assert(pq == exact)
+    // IVF-PQ composition: with every cell probed (nprobe = numCentroids)
+    // and lossless codes, the composed path must ALSO equal exact search
+    val cents = Similarity.kmeansTrain(vs, numCentroids = 2, maxIters = 5)
+    val ivfpq = rows(Similarity.ivfPqKnn(vs.filter($"vec_id" < 2), vs, k = 3,
+      cents, cb, nprobe = 2, shortlist = 3))
+    assert(ivfpq == exact)
   }
 
   test("decontaminate: gram collisions flag docs, clean docs keep zero count") {

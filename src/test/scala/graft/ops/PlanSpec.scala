@@ -150,4 +150,23 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected map-side window group limit for the dedup row_number:\n$plan")
   }
+
+  test("decontamination (q113): both joins broadcast — the corpus never shuffles on grams or id") {
+    val df = graft.SparkEntry.queries("q113_decontaminate")(spark, sf)
+    val plan = planOf(df)
+    // gram probe = broadcast inner join; fan-back = broadcast left-outer.
+    // A SortMergeJoin would mean a full corpus shuffle on the join key.
+    assert(!plan.contains("SortMergeJoin"),
+      s"q113 must not sort-merge (corpus-wide shuffle):\n$plan")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected 2 broadcast joins (probe + fan-back), got $bhj:\n$plan")
+  }
+
+  test("ts_rank_cd (q114) is window-free: one groupBy-doc aggregation, no per-doc sort") {
+    val df = graft.SparkEntry.queries("q114_ts_rank_cd")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"unexpected Window in q114 plan:\n$plan")
+    assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"),
+      s"expected map-side partial collect for the sweep input:\n$plan")
+  }
 }
