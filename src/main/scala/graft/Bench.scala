@@ -59,7 +59,13 @@ object Bench {
       val good = times.collect { case (true, dt) => dt }
       val usable = if (good.nonEmpty) good else times.map(_._2)
       val sorted = usable.sorted
-      val median = sorted((sorted.length - 1) / 2)
+      // true median: mean of the middle two for even counts — the
+      // lower-middle element would equal min at runs=2, hiding exactly the
+      // contamination this field exists to expose
+      val n = sorted.length
+      val median =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
       name -> (sorted.head, median)
     }
     val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }

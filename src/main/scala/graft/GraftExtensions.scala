@@ -48,7 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_ts_query",
         "graft_ts_query(tokens, 'a & !(b | c) | d:*') - full to_tsquery boolean match"),
       (exprs: Seq[Expression]) => {
-        val query = exprs(1).eval().toString
+        val query = graft.functions.Functions.literalArg2("graft_ts_query", exprs, "query")
         org.apache.spark.sql.graftbridge.ColumnBridge.unwrap(
           graft.text.TextOps.tsMatchQuery(
             org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
@@ -58,7 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_websearch",
         "graft_websearch(tokens, 'merge -window or fast') - websearch_to_tsquery match"),
       (exprs: Seq[Expression]) => {
-        val query = exprs(1).eval().toString
+        val query = graft.functions.Functions.literalArg2("graft_websearch", exprs, "query")
         org.apache.spark.sql.graftbridge.ColumnBridge.unwrap(
           graft.text.TextOps.tsMatchWebsearch(
             org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))

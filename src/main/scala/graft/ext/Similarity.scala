@@ -525,31 +525,41 @@ object Similarity {
   }
 
   /** Per-query ADC lookup table: luts(j)(code) = squared L2 from the
-    * query's subspace-j subvector to that code's centroid. */
+    * query's subspace-j subvector to that code's centroid. Null query
+    * vector → null LUT (the caller filters — a null can't rank anything). */
   private def pqLutUdf(df: DataFrame, codebooks: Array[Array[Array[Float]]]) = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
     udf((qv: Seq[Float]) => {
-      val cbs = bc.value
-      val m = cbs.length
-      val sub = qv.length / m
-      cbs.zipWithIndex.map { case (cb, j) =>
-        cb.map { cent =>
-          var d = 0.0; var i = 0
-          while (i < sub) {
-            val t = qv(j * sub + i).toDouble - cent(i).toDouble; d += t * t; i += 1
-          }
-          d
+      if (qv == null) null
+      else {
+        val cbs = bc.value
+        val m = cbs.length
+        val sub = qv.length / m
+        cbs.zipWithIndex.map { case (cb, j) =>
+          cb.map { cent =>
+            var d = 0.0; var i = 0
+            while (i < sub) {
+              val t = qv(j * sub + i).toDouble - cent(i).toDouble; d += t * t; i += 1
+            }
+            d
+          }.toSeq
         }.toSeq
-      }.toSeq
+      }
     })
   }
 
   /** ADC distance: m byte-indexed lookups, no float math on the corpus
-    * vector at all. */
+    * vector at all. Null codes (a null embedding, which [[pqEncodeUdf]]
+    * passes through as null) → null distance; the scan filters such rows
+    * out rather than letting SQL's nulls-first ascending sort rank an
+    * unencodable vector into every shortlist. */
   private val pqAdcUdf = udf((lut: Seq[Seq[Double]], codes: Array[Byte]) => {
-    var s = 0.0; var j = 0
-    while (j < codes.length) { s += lut(j)(codes(j) & 0xFF); j += 1 }
-    s
+    if (lut == null || codes == null) null
+    else {
+      var s = 0.0; var j = 0
+      while (j < codes.length) { s += lut(j)(codes(j) & 0xFF); j += 1 }
+      java.lang.Double.valueOf(s)
+    }
   })
 
   /** Exact-cosine re-rank of an ADC shortlist: originals are fetched for
@@ -592,6 +602,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q.select(col("query_id"), col("lut"))))
       .withColumn("adc", pqAdcUdf(col("lut"), col("codes")))
+      .filter(col("adc").isNotNull) // null embedding / null query: unrankable
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
       .select("query_id", "neighbor_id")
@@ -623,6 +634,7 @@ object Similarity {
     val short = probes.select(col("cid"), col("query_id"), col("lut"))
       .join(cells, Seq("cid"))
       .withColumn("adc", pqAdcUdf(col("lut"), col("codes")))
+      .filter(col("adc").isNotNull) // null embedding / null query: unrankable
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= shortlist)
       .select("query_id", "neighbor_id")

@@ -20,6 +20,21 @@ object Functions {
   private def colFn(f: Column => Column): Seq[Expression] => Expression =
     exprs => ColumnBridge.unwrap(f(ColumnBridge.wrap(exprs.head)))
 
+  /** Second-argument string literal of a two-arg SQL function, with usable
+    * errors: wrong arity and non-foldable arguments would otherwise die in
+    * `exprs(1)` / `eval()` as IndexOutOfBounds/UnsupportedOperation with no
+    * mention of the function. Shared by the temp-function and
+    * SparkSessionExtensions registrations. */
+  private[graft] def literalArg2(fn: String, exprs: Seq[Expression], what: String): String = {
+    require(exprs.length == 2,
+      s"$fn expects 2 arguments (tokens, $what), got ${exprs.length}")
+    require(exprs(1).foldable,
+      s"$fn: the $what must be a string literal — it is parsed at plan time")
+    val v = exprs(1).eval()
+    require(v != null, s"$fn: the $what literal must not be null")
+    v.toString
+  }
+
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_nfkd", exprs => NfkdNormalize(exprs.head), "scala_udf")
@@ -37,7 +52,8 @@ object Functions {
     // graft_ts_match(tokens, 'space separated terms') — terms must be a
     // literal (they are stemmed at plan time, like to_tsquery parsing)
     reg.createOrReplaceTempFunction("graft_ts_match", exprs => {
-      val terms = exprs(1).eval().toString.split("\\s+").toSeq.filter(_.nonEmpty)
+      val terms = literalArg2("graft_ts_match", exprs, "terms")
+        .split("\\s+").toSeq.filter(_.nonEmpty)
       ColumnBridge.unwrap(TextOps.tsMatchAll(ColumnBridge.wrap(exprs.head), terms))
     }, "scala_udf")
     // graft_ts_query(tokens, 'a & !(b | c) | d:*') — full to_tsquery
@@ -45,14 +61,14 @@ object Functions {
     // plan time, like to_tsquery) and compiles to the same built-in
     // expression tree as TextOps.tsMatchQuery: no UDF boundary
     reg.createOrReplaceTempFunction("graft_ts_query", exprs => {
-      val query = exprs(1).eval().toString
+      val query = literalArg2("graft_ts_query", exprs, "query")
       ColumnBridge.unwrap(TextOps.tsMatchQuery(ColumnBridge.wrap(exprs.head), query))
     }, "scala_udf")
     // graft_websearch(tokens, 'merge -window or fast') — websearch_to_tsquery
     // dialect over the same compiled expression tree (phrases need positions
     // and are rejected, exactly like <-> in graft_ts_query)
     reg.createOrReplaceTempFunction("graft_websearch", exprs => {
-      val query = exprs(1).eval().toString
+      val query = literalArg2("graft_websearch", exprs, "query")
       ColumnBridge.unwrap(TextOps.tsMatchWebsearch(ColumnBridge.wrap(exprs.head), query))
     }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_stem_array",

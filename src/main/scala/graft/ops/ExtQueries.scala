@@ -166,6 +166,29 @@ object ExtQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The shared recall-contract harness behind q100/q112/q115 (q47's
+    * pattern, generalized): exact brute-force top-10 for the 5 query
+    * vectors is the ground truth, `ann`'s hits are counted by left-semi
+    * join, and ONLY the gate boolean (recall ≥ 0.9, vacuously true on
+    * empty truth — the NULL-division guard) plus the truth count publish.
+    * One harness, one gate rule: a tiebreak or k change cannot drift
+    * between the three contracts. */
+  private def recallGate(s: org.apache.spark.sql.SparkSession, d: String)(
+      ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
+      .select("query_id", "neighbor_id")
+    val hit = truth.join(ann(q, emb).select("query_id", "neighbor_id"),
+      Seq("query_id", "neighbor_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(when($"n_truth" === 0, lit(true))
+        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+        $"n_truth")
+  }
+
   /** E3: the IVF twin of q47's measured-recall contract — q49's quantizer
     * params (numCentroids=8, nprobe=2) are gated on recall@10 ≥ 0.9
     * against the exact brute-force top-10 (q46's ground truth), measured
@@ -174,22 +197,8 @@ object ExtQueries {
     * boolean ships. Measured by tools/AnnTune: recall@10 = 0.94 (sf0.01) /
     * 0.98 (sf0.1) at these params; sizing guidance in
     * `Similarity.collectCentroids` (numCentroids ∝ √n, nprobe 2-8). */
-  private val q100IvfRecall: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
-    val q = emb.filter($"vec_id" < 5)
-    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
-      .select("query_id", "neighbor_id")
-    val ann = Similarity.ivfKnn(q, emb, k = 10, numCentroids = 8, nprobe = 2)
-      .select("query_id", "neighbor_id")
-    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      // empty truth ⇒ vacuously perfect (q47's NULL-division guard)
-      .select(when($"n_truth" === 0, lit(true))
-        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
-        $"n_truth")
-  }
+  private val q100IvfRecall: Q = (s, d) => recallGate(s, d)((q, emb) =>
+    Similarity.ivfKnn(q, emb, k = 10, numCentroids = 8, nprobe = 2))
 
   /** E3: one spherical-k-means Lloyd round over the corpus from the
     * deterministic seed centroids — the quantizer-TRAINING step that turns
@@ -214,22 +223,9 @@ object ExtQueries {
     * make the centroids engine-specific, so the OUTCOME is what the oracle
     * pins: a training regression that degrades the quantizer fails the
     * gate even though only the boolean ships). */
-  private val q112IvfTrained: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
-    val q = emb.filter($"vec_id" < 5)
-    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
-      .select("query_id", "neighbor_id")
-    val cents = Similarity.kmeansTrain(emb, numCentroids = 8, maxIters = 5)
-    val ann = Similarity.ivfKnnWith(q, emb, k = 10, cents, nprobe = 2)
-      .select("query_id", "neighbor_id")
-    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(when($"n_truth" === 0, lit(true))
-        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
-        $"n_truth")
-  }
+  private val q112IvfTrained: Q = (s, d) => recallGate(s, d)((q, emb) =>
+    Similarity.ivfKnnWith(q, emb, k = 10,
+      Similarity.kmeansTrain(emb, numCentroids = 8, maxIters = 5), nprobe = 2))
 
   /** E3: product-quantization ANN (the FAISS IVF-PQ memory-compression
     * path): PQ16×6 codebooks trained per-subspace by L2 k-means
@@ -242,22 +238,9 @@ object ExtQueries {
     * case; clustered real embeddings compress far better, and m trades
     * bytes for recall: m=8 → 32× compression at 0.7-0.8, m=32 → 8× at
     * 1.0). */
-  private val q115PqRecall: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
-    val q = emb.filter($"vec_id" < 5)
-    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
-      .select("query_id", "neighbor_id")
-    val cb = Similarity.pqTrain(emb, m = 16, ksub = 64)
-    val pq = Similarity.pqKnn(q, emb, k = 10, cb, shortlist = 100)
-      .select("query_id", "neighbor_id")
-    val hit = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(when($"n_truth" === 0, lit(true))
-        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
-        $"n_truth")
-  }
+  private val q115PqRecall: Q = (s, d) => recallGate(s, d)((q, emb) =>
+    Similarity.pqKnn(q, emb, k = 10,
+      Similarity.pqTrain(emb, m = 16, ksub = 64), shortlist = 100))
 
   /** E1: benchmark decontamination — the training-prep step that drops
     * documents overlapping the eval set. The "benchmark" is the
@@ -692,6 +675,48 @@ object ExtQueries {
   private lazy val enStopSql: String =
     sqlList(TextAnalysis.langMarkers.collectFirst { case ("en", m) => m }.get)
 
+  /** The greedy-packer CTE chain (chunk word-counts -> recursive pack
+    * assignment) over a CTE named `src` holding (doc_id, ws) — shared by
+    * the q101 and q116 oracles so the packer definition exists once. The
+    * enclosing WITH must be RECURSIVE. */
+  private def packerSql(src: String): String =
+    s"""c AS (SELECT doc_id,
+                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
+                FROM $src WHERE len(ws) > 0),
+          ch AS (SELECT doc_id,
+                   unnest(range(1, len(wcs)+1)) AS chunk_id,
+                   unnest(wcs) AS w
+                 FROM c),
+          packed AS (
+            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
+                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
+            FROM ch WHERE chunk_id = 1
+            UNION ALL
+            SELECT c.doc_id, c.chunk_id,
+                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
+                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
+                        ELSE p.acc + c.w END,
+                   CAST(c.w AS BIGINT)
+            FROM packed p JOIN ch c
+              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)"""
+
+  /** One truth, one oracle: the q100/q112/q115 recall contracts all gate
+    * against THE SAME exact brute-force top-10 — the oracle SQL exists
+    * once so the ground-truth definition cannot drift between them. */
+  private val recallOracleSql: String =
+    """SELECT true AS recall_ok,
+           (SELECT CAST(count(*) AS BIGINT) FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                c.vec_id) AS rank
+              FROM embeddings c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+            WHERE rank <= 10) AS n_truth"""
+
   lazy val oracle: Map[String, String] = Map(
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS hash, count(*) AS n_copies
@@ -841,19 +866,7 @@ object ExtQueries {
                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
-    "q100_ivf_recall" ->
-      """SELECT true AS recall_ok,
-           (SELECT CAST(count(*) AS BIGINT) FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings c
-              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-            WHERE rank <= 10) AS n_truth""",
+    "q100_ivf_recall" -> recallOracleSql,
     "q116_corpus_export" ->
       s"""WITH RECURSIVE g0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
           g AS (SELECT doc_id,
@@ -881,40 +894,10 @@ object ExtQueries {
             SELECT min(doc_id) AS doc_id, min(text) AS text
             FROM kept GROUP BY sha256(text)),
           dt AS (SELECT doc_id, $wordsSql AS ws FROM dedup),
-          c AS (SELECT doc_id,
-                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
-                FROM dt WHERE len(ws) > 0),
-          ch AS (SELECT doc_id,
-                   unnest(range(1, len(wcs)+1)) AS chunk_id,
-                   unnest(wcs) AS w
-                 FROM c),
-          packed AS (
-            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
-                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
-            FROM ch WHERE chunk_id = 1
-            UNION ALL
-            SELECT c.doc_id, c.chunk_id,
-                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
-                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
-                        ELSE p.acc + c.w END,
-                   CAST(c.w AS BIGINT)
-            FROM packed p JOIN ch c
-              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)
+          ${packerSql("dt")}
           SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
           FROM packed ORDER BY doc_id, chunk_id""",
-    "q115_pq_recall" ->
-      """SELECT true AS recall_ok,
-           (SELECT CAST(count(*) AS BIGINT) FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings c
-              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-            WHERE rank <= 10) AS n_truth""",
+    "q115_pq_recall" -> recallOracleSql,
     "q113_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
          g AS (SELECT doc_id,
@@ -931,19 +914,7 @@ object ExtQueries {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
          LEFT JOIN hits h USING (doc_id)
          ORDER BY doc_id""",
-    "q112_ivf_trained" ->
-      """SELECT true AS recall_ok,
-           (SELECT CAST(count(*) AS BIGINT) FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings c
-              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-            WHERE rank <= 10) AS n_truth""",
+    "q112_ivf_trained" -> recallOracleSql,
     "q108_kmeans_step" ->
       """WITH cent AS (
            SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -974,25 +945,7 @@ object ExtQueries {
          ORDER BY doc_id""",
     "q101_seq_packing" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          c AS (SELECT doc_id,
-                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
-                FROM t WHERE len(ws) > 0),
-          ch AS (SELECT doc_id,
-                   unnest(range(1, len(wcs)+1)) AS chunk_id,
-                   unnest(wcs) AS w
-                 FROM c),
-          packed AS (
-            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
-                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
-            FROM ch WHERE chunk_id = 1
-            UNION ALL
-            SELECT c.doc_id, c.chunk_id,
-                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
-                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
-                        ELSE p.acc + c.w END,
-                   CAST(c.w AS BIGINT)
-            FROM packed p JOIN ch c
-              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)
+          ${packerSql("t")}
           SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
           FROM packed ORDER BY doc_id, chunk_id""",
     "q97_chunking" ->

@@ -90,12 +90,26 @@ object PostingIndex {
     * doc's old lexeme set, not an append. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     newDocs: DataFrame, idCol: String, tokens: Column,
-                    buckets: Int = 64): Unit = {
+                    buckets: Int = 64): Unit =
+    appendBatch(spark, indexPath, build(newDocs, idCol, tokens), idCol, buckets)
+
+  /** [[appendToIndex]] for a POSITIONAL index (one written from
+    * [[buildPositional]], q109's layout): the batch carries (lexeme, pos)
+    * rows so phrase search stays correct over the maintained index. Same
+    * touched-bucket rewrite and (id, bucket) idempotence — a doc's posting
+    * rows for a bucket ride together, positions included. */
+  def appendToIndexPositional(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                              newDocs: DataFrame, idCol: String, textCol: Column,
+                              buckets: Int = 64): Unit =
+    appendBatch(spark, indexPath, buildPositional(newDocs, idCol, textCol), idCol, buckets)
+
+  private def appendBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          built: DataFrame, idCol: String, buckets: Int): Unit = {
     requireLayout(spark, indexPath, buckets)
     // localCheckpoint: the batch feeds three consumers (touched-bucket
     // collect, anti-join probe, union side) — uncheckpointed, each would
     // re-run the tokenize+explode
-    val batch = build(newDocs, idCol, tokens)
+    val batch = built
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       .localCheckpoint()
     val touched = batch.select(col("lexeme_bucket")).distinct()
@@ -103,6 +117,11 @@ object PostingIndex {
     if (touched.nonEmpty) {
       val base = spark.read.parquet(indexPath)
         .filter(col("lexeme_bucket").isin(touched: _*))
+      require(base.columns.toSet == batch.columns.toSet,
+        s"index at $indexPath has columns ${base.columns.sorted.mkString(",")} but the " +
+          s"batch built ${batch.columns.sorted.mkString(",")} — positional indexes " +
+          "(pos column) must be appended with appendToIndexPositional, plain ones " +
+          "with appendToIndex")
       val fresh = batch.join(base.select(col(idCol), col("lexeme_bucket")),
         Seq(idCol, "lexeme_bucket"), "left_anti")
       // materialize the merged slice off the files about to be replaced
@@ -362,13 +381,17 @@ object PostingIndex {
     requireLayout(spark, indexPath, buckets)
     val ast = TsQuery.parseStemmed(query)
     val exact = TsQuery.exactLexemes(ast).distinct
-    lazy val pruned = spark.read.parquet(indexPath)
-      .filter(col("lexeme_bucket").isin(bucketIdsFor(spark, exact, buckets): _*))
-    lazy val full = spark.read.parquet(indexPath)
-    val positional = spark.read.parquet(indexPath).schema.fieldNames.contains("pos")
+    // ONE parquet relation serves all three uses (pruned slice, prefix
+    // full scan, positional check) — re-reading per use triples the file
+    // listing / footer I/O, which is three object-store round-trips per
+    // query on s3a-like stores
+    val idx = spark.read.parquet(indexPath)
+    lazy val pruned =
+      idx.filter(col("lexeme_bucket").isin(bucketIdsFor(spark, exact, buckets): _*))
+    lazy val positional = idx.schema.fieldNames.contains("pos")
     evalQuery(ast, idCol, universe.select(col(idCol)),
       termDocs = t =>
-        (if (t.prefix) full.filter(col("lexeme").startsWith(t.lexeme))
+        (if (t.prefix) idx.filter(col("lexeme").startsWith(t.lexeme))
          else pruned.filter(col("lexeme") === t.lexeme))
           .select(col(idCol)).distinct(),
       phraseDocs = (ls, offs) => {

@@ -186,7 +186,11 @@ object TextOps {
   private def compileMatch(tokens: Column, q: TsQuery): Column = q match {
     case TsQuery.Term(l, false) => array_contains(tokens, l)
     case TsQuery.Term(l, true) =>
-      concat(lit(" "), array_join(tokens, " "), lit(" ")).like(s"% $l%")
+      // escape LIKE metacharacters the lexer admits in lexemes: a literal
+      // `_` must not act as a single-char wildcard (startsWith semantics,
+      // matching the posting path)
+      val esc = l.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+      concat(lit(" "), array_join(tokens, " "), lit(" ")).like(s"% $esc%")
     case TsQuery.Not(x)  => !compileMatch(tokens, x)
     case TsQuery.And(qs) => qs.map(compileMatch(tokens, _)).reduce(_ && _)
     case TsQuery.Or(qs)  => qs.map(compileMatch(tokens, _)).reduce(_ || _)

@@ -135,6 +135,17 @@ object TsQuery {
     case Or(qs)         => qs.flatMap(positiveLexemes)
   }
 
+  /** True iff the query contains a phrase/distance node — the only node
+    * kind that needs POSITIONAL postings; phrase-free queries evaluate on
+    * the cheaper token-array or plain posting paths. */
+  def hasPhrase(q: TsQuery): Boolean = q match {
+    case _: Term    => false
+    case _: Phrase  => true
+    case Not(x)     => hasPhrase(x)
+    case And(qs)    => qs.exists(hasPhrase)
+    case Or(qs)     => qs.exists(hasPhrase)
+  }
+
   /** Every exact (non-prefix) lexeme in the query — the set an indexed
     * evaluation can bucket-prune its scan to. Prefix lexemes are excluded:
     * a hash bucket cannot be derived from a prefix. */

@@ -501,6 +501,25 @@ class ExtSpec extends AnyFunSuite {
     assert(ivfpq == exact)
   }
 
+  test("pq: a null embedding is unrankable — filtered, never a crash or a top hit") {
+    val vs = Seq(
+      (0L, Option(Seq(1f, 0f, 0f, 1f))),
+      (1L, Option(Seq(0f, 1f, 1f, 0f))),
+      (2L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(vs.filter($"embedding".isNotNull), m = 2, ksub = 2)
+    // flat ADC and the IVF-PQ composition must both survive the null row
+    // (nulls-first ascending ADC sort would otherwise shortlist it — or NPE)
+    val flat = Similarity.pqKnn(vs.filter($"vec_id" === 0L), vs, k = 2, cb, shortlist = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(flat == Set(0L, 1L))
+    val cents = Similarity.kmeansTrain(vs.filter($"embedding".isNotNull), 2, maxIters = 3)
+    val composed = Similarity.ivfPqKnn(vs.filter($"vec_id" === 0L), vs, k = 2,
+      cents, cb, nprobe = 2, shortlist = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!composed.contains(2L))
+  }
+
   test("decontaminate: gram collisions flag docs, clean docs keep zero count") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -99,6 +99,32 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).filter($"doc_id" === 7L).count() == 1L)
   }
 
+  test("positional append converges to full rebuild; layout mixing is rejected clearly") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.buildPositional(docs.filter($"doc_id" <= 3), "doc_id", $"text"),
+      dir, buckets = 4)
+    PostingIndex.appendToIndexPositional(spark, dir,
+      docs.filter($"doc_id" > 3), "doc_id", $"text", buckets = 4)
+    // the maintained positional index answers phrase search exactly like a
+    // fresh full-corpus build
+    val full = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    val viaIdx = PostingIndex.phraseSearchQuery(
+      spark.read.parquet(dir), "doc_id", "merge <-> join")
+      .as[Long].collect().toSet
+    val viaFull = PostingIndex.phraseSearchQuery(full, "doc_id", "merge <-> join")
+      .as[Long].collect().toSet
+    assert(viaIdx == viaFull && viaIdx.nonEmpty)
+    // plain append into a positional base must fail with a usable message,
+    // not an unresolved-column AnalysisException mid-rewrite
+    val e = intercept[IllegalArgumentException] {
+      PostingIndex.appendToIndex(spark, dir,
+        Seq((9L, "zebra")).toDF("doc_id", "text"), "doc_id",
+        TextOps.tokenize($"text"), buckets = 4)
+    }
+    assert(e.getMessage.contains("appendToIndexPositional"), e.getMessage)
+  }
+
   test("tsRankCd: hand-computed minimal covers, zero-cover docs dropped") {
     val cds = Seq(
       (1L, "alpha qq beta"),               // one cover [1,3] -> 1/3

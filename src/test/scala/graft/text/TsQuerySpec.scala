@@ -45,6 +45,25 @@ class TsQuerySpec extends AnyFunSuite {
       assertThrows[IllegalArgumentException](parse(bad))
   }
 
+  test("hasPhrase: true only for phrase/distance nodes, through any nesting") {
+    assert(!TsQuery.hasPhrase(parse("a & !(b | c:*)")))
+    assert(TsQuery.hasPhrase(parse("a <-> b")))
+    assert(TsQuery.hasPhrase(parse("x | (a <2> b)")))
+    assert(!TsQuery.hasPhrase(TsQuery.parseWebsearch("merge -window or fast")))
+    assert(TsQuery.hasPhrase(TsQuery.parseWebsearch("merge \"hash join\"")))
+  }
+
+  test("prefix match treats _ as a literal, not a LIKE wildcard") {
+    // a lexeme with an underscore can never start-with-match a token that
+    // has a different character in that position; the LIKE compilation
+    // must escape `_` or 'a_b:*' would match 'axb'
+    val t = Seq((1L, Seq("axb", "plain")), (2L, Seq("a_b_suffix", "x")))
+      .toDF("doc_id", "toks")
+    val hits = t.filter(TextOps.tsMatchQuery($"toks", "a_b:*"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(hits == Set(2L), s"underscore wildcarded: $hits")
+  }
+
   // ------------------------------------------- evaluation path equivalence
 
   private val docs = Seq(
