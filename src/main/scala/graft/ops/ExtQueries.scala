@@ -389,6 +389,46 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** Stratified EXACT-QUOTA sampling — the companion to q96's proportional
+    * mixture: each source contributes exactly `min(quota, size)` documents,
+    * chosen by content-stable md5 order (deterministic at any cluster size,
+    * exactly oracle-able — no RNG state). This is the "give me 10k docs per
+    * domain" mixture-building shape. Scale: one shuffle on source; Spark 4
+    * pushes the rank filter map-side (WindowGroupLimit — each task keeps
+    * only its partial top-30 before the exchange), so a billion-doc source
+    * moves ~30 rows per task, not the source. */
+  private val q117StratifiedSample: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"h", $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 30)
+      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
+      .orderBy($"source", $"rk")
+  }
+
+  /** Deterministic DISTRIBUTED shuffle order for training export: global
+    * document order = (hash bucket, within-bucket md5 rank) — the
+    * files-and-offsets shape a real exporter writes (bucket = output file),
+    * fully parallel (per-bucket windows, never a single global sort task)
+    * and reproducible from content alone at any cluster size. The
+    * training-side reader consumes buckets in id order for the same
+    * sequence every run. */
+  private val q118ShuffleOrder: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"h", $"doc_id")
+    Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("h"))
+      .withColumn("bucket",
+        pmod(conv(substring($"h", 1, 8), 16, 10).cast("long"), lit(16)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select($"doc_id", $"bucket", $"pos")
+      .orderBy($"bucket", $"pos")
+  }
+
   /** Token-window chunking for training prep: 50-word chunks every 40
     * words (10-word overlap). Map-only — explode of a fused single-pass
     * chunker; at scale this is the sequence-packing precursor and shuffles
@@ -632,7 +672,9 @@ object ExtQueries {
     "q112_ivf_trained"    -> q112IvfTrained,
     "q113_decontaminate"  -> q113Decontaminate,
     "q115_pq_recall"      -> q115PqRecall,
-    "q116_corpus_export"  -> q116CorpusExport)
+    "q116_corpus_export"  -> q116CorpusExport,
+    "q117_stratified"     -> q117StratifiedSample,
+    "q118_shuffle_order"  -> q118ShuffleOrder)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -867,6 +909,22 @@ object ExtQueries {
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
     "q100_ivf_recall" -> recallOracleSql,
+    "q117_stratified" ->
+      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
+           SELECT doc_id, source,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY md5(text), doc_id) AS rk
+           FROM documents) t
+         WHERE rk <= 30 ORDER BY source, rk""",
+    "q118_shuffle_order" ->
+      """SELECT doc_id, bucket, CAST(pos AS BIGINT) AS pos FROM (
+           SELECT doc_id,
+                  CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16 AS bucket,
+                  row_number() OVER (
+                    PARTITION BY CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16
+                    ORDER BY md5(text), doc_id) AS pos
+           FROM documents) t
+         ORDER BY bucket, pos""",
     "q116_corpus_export" ->
       s"""WITH RECURSIVE g0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
           g AS (SELECT doc_id,

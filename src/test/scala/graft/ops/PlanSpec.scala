@@ -162,6 +162,15 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 2, s"expected 2 broadcast joins (probe + fan-back), got $bhj:\n$plan")
   }
 
+  test("stratified quota (q117): rank filter pushed map-side (WindowGroupLimit)") {
+    // each task must keep only its partial per-source top-30 BEFORE the
+    // exchange — without the pushdown a billion-doc source moves whole
+    val df = graft.SparkEntry.queries("q117_stratified")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected map-side window group limit:\n$plan")
+  }
+
   test("ts_rank_cd (q114) is window-free: one groupBy-doc aggregation, no per-doc sort") {
     val df = graft.SparkEntry.queries("q114_ts_rank_cd")(spark, sf)
     val plan = planOf(df)
