@@ -137,6 +137,31 @@ object StreamQueries {
       .orderBy($"doc_id")
   }
 
+  /** q107's POSITIONAL twin — near-real-time search with PHRASE power: the
+    * streamed index carries per-posting positions
+    * (`Streams.maintainPostingIndex(positional = true)` →
+    * `PostingIndex.appendToIndexPositional`), so `hash <-> join` runs its
+    * adjacency joins over the bucket-pruned maintained index and must
+    * answer exactly like a fresh full-corpus positional build (q91's
+    * oracle — one truth for the phrase semantics on either path). */
+  private val q119StreamPhrase: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = Files.createTempDirectory("graft_spidx_src_").toString
+    val idx = Files.createTempDirectory("graft_spidx_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_spidx_ck_").toString
+    def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
+      graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 16, positional = true)
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
+    run()
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
+    run()
+    graft.text.PostingIndex.searchQueryIndexed(s, idx, "doc_id",
+      "hash <-> join", docs.select($"doc_id"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated
     * against the same gaps-and-islands oracle as q72. Events land as three
     * time-sliced files consumed one per micro-batch (maxFilesPerTrigger=1),
@@ -188,12 +213,16 @@ object StreamQueries {
     "q73_stream_sink"       -> q73StreamSink,
     "q90_merge_bucketed"    -> q90MergeBucketed,
     "q94_stateful_sessions" -> q94StatefulSessions,
-    "q107_stream_index"     -> q107StreamIndex)
+    "q107_stream_index"     -> q107StreamIndex,
+    "q119_stream_phrase"    -> q119StreamPhrase)
 
   val oracle: Map[String, String] = Map(
     // the streamed-in, incrementally-maintained index must answer exactly
     // like a fresh full-corpus build — q89's shared oracle string
     "q107_stream_index" -> TextQueries.mergesJoiningOracle,
+    // the streamed-in POSITIONAL index must answer phrase search exactly
+    // like a fresh full-corpus positional build — q91's shared oracle
+    "q119_stream_phrase" -> TextQueries.hashJoinPhraseOracle,
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          count(*) AS n

@@ -355,6 +355,18 @@ object TextQueries {
           SELECT doc_id, $stemCaseSql AS lexeme, pos FROM wp
           WHERE w NOT IN ($stopListSql))"""
 
+  /** The full-corpus `hash <-> join` phrase oracle, shared by q91
+    * (in-memory positional postings) and q119 (streaming-maintained
+    * positional index): one truth for the phrase semantics regardless of
+    * which path produced the postings. */
+  private[ops] lazy val hashJoinPhraseOracle: String =
+    s"""WITH $positionalLexSql
+          SELECT DISTINCT a.doc_id AS doc_id
+          FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
+            AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
+          ORDER BY doc_id"""
+
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
       s"SELECT doc_id, $sanitizeSql AS clean FROM documents ORDER BY doc_id",
@@ -460,13 +472,7 @@ object TextQueries {
                           THEN '<b>' || ws[i] || '</b>' ELSE ws[i] END),
               ' ') AS headline
           FROM f WHERE p IS NOT NULL ORDER BY doc_id""",
-    "q91_phrase_search" ->
-      s"""WITH $positionalLexSql
-          SELECT DISTINCT a.doc_id AS doc_id
-          FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-          WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
-            AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
-          ORDER BY doc_id""",
+    "q91_phrase_search" -> hashJoinPhraseOracle,
     "q92_ts_rank" ->
       s"""WITH $positionalLexSql,
           tf AS (SELECT doc_id, lexeme, count(*) AS tf FROM lex

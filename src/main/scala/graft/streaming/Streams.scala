@@ -232,11 +232,10 @@ object Streams {
     * [[incrementalMergeBucketed]]. */
   def maintainPostingIndex(stream: DataFrame, indexPath: String, idCol: String,
                            textCol: String, checkpointDir: String,
-                           buckets: Int = 64): Unit = {
+                           buckets: Int = 64, positional: Boolean = false): Unit = {
     import graft.text.{PostingIndex, TextOps}
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val toks = TextOps.tokenize(col(textCol))
         // Hadoop FS, not java.io.File: on a cluster store (hdfs://, s3a://,
         // or even a file: URI) a local-File existence probe is ALWAYS false
         // — every batch would re-bootstrap with mode(overwrite) and silently
@@ -246,11 +245,22 @@ object Streams {
           batch.sparkSession.sessionState.newHadoopConf())
         val bootstrapped = fs.exists(path) &&
           fs.listStatus(path).exists(_.getPath.getName.startsWith("lexeme_bucket="))
-        if (!bootstrapped)
-          PostingIndex.write(PostingIndex.build(batch, idCol, toks), indexPath, buckets)
+        // positional = phrase-searchable maintained index (positions carried
+        // per posting — q109's layout kept near-real-time); plain = the
+        // smaller boolean-search layout. One flag, same bootstrap/append
+        // lifecycle, and appendBatch's layout guard catches a flag flip
+        // against an existing index of the other kind.
+        if (!bootstrapped) {
+          val built =
+            if (positional) PostingIndex.buildPositional(batch, idCol, col(textCol))
+            else PostingIndex.build(batch, idCol, TextOps.tokenize(col(textCol)))
+          PostingIndex.write(built, indexPath, buckets)
+        } else if (positional)
+          PostingIndex.appendToIndexPositional(batch.sparkSession, indexPath, batch,
+            idCol, col(textCol), buckets)
         else
           PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
-            idCol, toks, buckets)
+            idCol, TextOps.tokenize(col(textCol)), buckets)
         ()
       }
       .option("checkpointLocation", checkpointDir)
