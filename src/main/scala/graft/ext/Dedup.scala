@@ -376,7 +376,10 @@ object Dedup {
       .select(col(idCol), explode(shingleSet(col(textCol), n)).as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gram")).as("n_contaminated_grams"))
+      // plain count IS the distinct-gram count: shingleSet dedupes grams
+      // within a doc and the bench side is distinct, so (id, gram) rows are
+      // unique — countDistinct would add a second full shuffle for nothing
+      .agg(count(lit(1)).as("n_contaminated_grams"))
     // hits is small (contamination is rare by design) — broadcast it so the
     // fan-back outer join never shuffles the corpus on id
     corpus.select(col(idCol))

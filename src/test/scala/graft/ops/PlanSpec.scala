@@ -162,6 +162,20 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 2, s"expected 2 broadcast joins (probe + fan-back), got $bhj:\n$plan")
   }
 
+  test("corpus export (q116): bounded shuffle count — filters and probes never move the corpus") {
+    val df = graft.SparkEntry.queries("q116_corpus_export")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // bench-gram distinct (small side, semantically required: 1) +
+    // decontamination hit-count keyed by doc (1) + dedup content-hash
+    // window (1) + final orderBy range (1); everything else — gram probe,
+    // drop-list anti-join, scoring, chunk+pack — rides broadcasts or stays
+    // map-side (q95's counting idiom: formatted mode, broadcast exchanges
+    // print as BroadcastExchange and don't match)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 4, s"expected 4 exchanges, got $exchanges:\n$plan")
+  }
+
   test("stratified quota (q117): rank filter pushed map-side (WindowGroupLimit)") {
     // each task must keep only its partial per-source top-30 BEFORE the
     // exchange — without the pushdown a billion-doc source moves whole

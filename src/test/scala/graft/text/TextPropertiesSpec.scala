@@ -98,4 +98,53 @@ class TextPropertiesSpec extends AnyFunSuite {
       assert(sh.toSet.subsetOf(more.toSet))
     }
   }
+
+  /** Independent reference for tsRankCd's cover set — the tight-window DUAL
+    * characterization the q114 DuckDB oracle uses (l(r) = min over terms of
+    * max-occurrence ≤ r; cover iff r(l(r)) = r), reimplemented directly.
+    * The engine's linear sweep must agree on random position sets — two
+    * derivations of "minimal cover" cross-checking each other in-process. */
+  private def refCoverScore(posA: Seq[Int], posB: Seq[Int]): Option[Double] = {
+    val rs = (posA ++ posB).distinct.sorted
+    def lOf(r: Int): Option[Int] = {
+      val la = posA.filter(_ <= r); val lb = posB.filter(_ <= r)
+      if (la.isEmpty || lb.isEmpty) None else Some(math.min(la.max, lb.max))
+    }
+    def r2Of(l: Int): Option[Int] = {
+      val ra = posA.filter(_ >= l); val rb = posB.filter(_ >= l)
+      if (ra.isEmpty || rb.isEmpty) None else Some(math.max(ra.min, rb.min))
+    }
+    val covers = rs.flatMap(r =>
+      lOf(r).flatMap(l => r2Of(l).filter(_ == r).map(_ => (l, r))))
+    if (covers.isEmpty) None
+    else Some(covers.map { case (l, r) => 1.0 / (r - l + 1) }.sum)
+  }
+
+  test("tsRankCd sweep agrees with the dual cover characterization on random position sets") {
+    val rnd = new Random(20260813L)
+    val docs = (0 until 40).map { i =>
+      val n = 4 + rnd.nextInt(12)
+      val words = Array.fill(n)("qq")
+      // scatter 1-3 occurrences of each term over distinct positions
+      val slots = rnd.shuffle((0 until n).toList)
+      val nA = 1 + rnd.nextInt(3)
+      val nB = 1 + rnd.nextInt(3)
+      val (aPos, rest) = slots.splitAt(nA)
+      val bPos = rest.take(nB)
+      aPos.foreach(p => words(p) = "alpha")
+      bPos.foreach(p => words(p) = "beta")
+      (i.toLong, words.mkString(" "),
+        aPos.map(_ + 1).sorted, bPos.map(_ + 1).sorted)
+    }
+    val df = docs.map { case (id, text, _, _) => (id, text) }.toDF("doc_id", "text")
+    val postings = PostingIndex.buildPositional(df, "doc_id", $"text")
+    val got = PostingIndex.tsRankCd(postings, "doc_id", Seq("alpha", "beta"))
+      .as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, text, aPos, bPos) =>
+      val expected = refCoverScore(aPos, bPos)
+        .map(x => math.rint(x * 1e6) / 1e6)
+      assert(got.get(id) == expected,
+        s"doc $id '$text': sweep=${got.get(id)} ref=$expected (a=$aPos b=$bPos)")
+    }
+  }
 }
