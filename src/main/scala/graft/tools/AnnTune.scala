@@ -20,6 +20,12 @@ import graft.ext.Similarity
   *    (8, 16, 50) = 0.66 (32×); (32, 16, 100) = 1.0 (8×). This corpus is
   *    random unit vectors — the PQ-adversarial case; clustered real
   *    embeddings compress far better.
+  *  - Composed IVF-PQ ([[Similarity.ivfPqKnn]], trained 8-cell quantizer +
+  *    the q115 codebooks): recall compounds cell misses × ADC error —
+  *    measured @ sf0.1: nprobe 1/2/4/8 → 0.94/0.94/0.96/0.96 at
+  *    shortlist=100 (@ sf0.01: 0.80/0.90/0.96/1.0). The cells bound the
+  *    scan, the codes bound the bytes; both approximations are visible
+  *    here separately (flat PQ above = no cell loss).
   *
   * Deterministic (fixed hyperplane seeds, deterministic quantizer), so a
   * printed recall is THE recall at that SF, not a sample.
@@ -62,6 +68,16 @@ object AnnTune {
           .select("query_id", "neighbor_id")
         val hit = knnTruth.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
         println(s"TUNE sf=$d pq m=$m ksub=$ks shortlist=$sl recall@10=$hit/$nKnn")
+      }
+      // composed IVF-PQ: recall compounds cell misses × ADC ordering error
+      val cents = Similarity.kmeansTrain(emb, numCentroids = 8, maxIters = 5)
+      val cb = Similarity.pqTrain(emb, m = 16, ksub = 64)
+      for ((np, sl) <- Seq((1, 100), (2, 100), (4, 100), (8, 100))) {
+        val ivfpq = Similarity.ivfPqKnn(q, emb, k = 10, cents, cb,
+          nprobe = np, shortlist = sl)
+          .select("query_id", "neighbor_id")
+        val hit = knnTruth.join(ivfpq, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(s"TUNE sf=$d ivfpq m=16 ksub=64 nprobe=$np shortlist=$sl recall@10=$hit/$nKnn")
       }
       knnTruth.unpersist(); emb.unpersist()
     }
