@@ -14,18 +14,13 @@ import duckdb, json, math, os, sys
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def to_cmp(v):
-    if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
-        return tuple(to_cmp(x) for x in v)
-    return v
-
 def norm(df):
+    # Mirror the driver's gate exactly: plain pandas sort_values with NO
+    # array coercion — an array/map/binary cell must FAIL here like it
+    # fails in the driver (round-5's q108 lesson; CatalogSchemaSpec bans
+    # such columns at the source).
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].map(to_cmp)
-    df = df.sort_values(by=list(df.columns), ignore_index=True,
-                        key=lambda s: s.map(lambda v: str(v)) if s.dtype == object else s)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
 def cells_equal(a, b):
