@@ -162,6 +162,39 @@ object StreamQueries {
       .orderBy($"doc_id")
   }
 
+  /** q107's UPDATE leg — the reference's actual steady state: the scrape
+    * loop lands a filing's text by UPDATE (`scrape_all_filings.py:169-171`)
+    * and the tsvector trigger must REPLACE its postings, not append
+    * (`init_tables.py:59-67` fires BEFORE UPDATE OR INSERT). Batch 1
+    * bootstraps the index from the corpus with the `%5==0` slice CORRUPTED
+    * (a " merges joining" suffix — every such doc a ghost search hit);
+    * batch 2 re-scrapes the slice with its TRUE text through
+    * `maintainPostingIndex(mode = "upsert")`, whose delete sweep must
+    * evict the ghosts; run 3 consumes nothing (checkpoint no-op). The
+    * final corpus is exactly `documents`, so the gate is the same shared
+    * fresh-build oracle as q37/q89/q106/q107 — ghosts are extra rows. */
+  private val q124StreamUpsert: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = Files.createTempDirectory("graft_suidx_src_").toString
+    val idx = Files.createTempDirectory("graft_suidx_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_suidx_ck_").toString
+    def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
+      graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 16, mode = "upsert")
+    docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text", lit(" merges joining")))
+      .unionByName(docs.filter($"doc_id" % 5 =!= 0))
+      .write.parquet(s"$src/f1")
+    run()
+    docs.filter($"doc_id" % 5 === 0).write.parquet(s"$src/f2") // the re-scrape
+    run()
+    run() // no new files: exactly-once no-op
+    graft.text.PostingIndex.searchAllIndexed(s, idx, "doc_id",
+      Seq("merges", "joining"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated
     * against the same gaps-and-islands oracle as q72. Events land as three
     * time-sliced files consumed one per micro-batch (maxFilesPerTrigger=1),
@@ -214,7 +247,8 @@ object StreamQueries {
     "q90_merge_bucketed"    -> q90MergeBucketed,
     "q94_stateful_sessions" -> q94StatefulSessions,
     "q107_stream_index"     -> q107StreamIndex,
-    "q119_stream_phrase"    -> q119StreamPhrase)
+    "q119_stream_phrase"    -> q119StreamPhrase,
+    "q124_stream_upsert"    -> q124StreamUpsert)
 
   val oracle: Map[String, String] = Map(
     // the streamed-in, incrementally-maintained index must answer exactly
@@ -223,6 +257,10 @@ object StreamQueries {
     // the streamed-in POSITIONAL index must answer phrase search exactly
     // like a fresh full-corpus positional build — q91's shared oracle
     "q119_stream_phrase" -> TextQueries.hashJoinPhraseOracle,
+    // upsert mode restores the corrupted slice's true text, so the final
+    // corpus IS `documents` — the same shared fresh-build oracle; a ghost
+    // posting the sweep missed shows up as an extra matching doc_id
+    "q124_stream_upsert" -> TextQueries.mergesJoiningOracle,
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          count(*) AS n

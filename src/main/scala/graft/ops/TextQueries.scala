@@ -306,6 +306,63 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** F2+F4 under document UPDATE — the reference's actual write pattern
+    * (the scrape loop UPDATEs each filing's text,
+    * `sec_dl/utils/scrape_all_filings.py:169-171`, and the tsvector
+    * trigger fires BEFORE UPDATE OR INSERT, `init_tables.py:59-67`): the
+    * v1 index is built with the `%5==0` slice CORRUPTED by a
+    * " merges joining" suffix — every such doc is a ghost hit for the
+    * search unless the upsert's delete sweep removes its old postings.
+    * The re-scrape then replaces the slice's text with a SHORT placeholder
+    * whose three lexemes touch almost none of the 16 buckets, so the
+    * ghosts sit in buckets the new batch alone would never rewrite — the
+    * doc→bucket sidecar sweep is what the gate exercises. Applied twice:
+    * idempotence. Must answer exactly like a fresh build over the final
+    * (placeholder-patched) corpus. */
+  private val q120UpsertIndex: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q120_idx_").toString + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    def toks = TextOps.tokenize($"text")
+    val corrupted = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text", lit(" merges joining")))
+    PostingIndex.write(
+      PostingIndex.build(
+        corrupted.unionByName(docs.filter($"doc_id" % 5 =!= 0)), "doc_id", toks),
+      dir, buckets = 16)
+    val rescraped = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", lit(UpsertPlaceholder))
+    PostingIndex.upsertIndex(s, dir, rescraped, "doc_id", toks, buckets = 16)
+    PostingIndex.upsertIndex(s, dir, rescraped, "doc_id", toks, buckets = 16) // idempotent re-run
+    PostingIndex.searchAllIndexed(s, dir, "doc_id", Seq("merges", "joining"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
+  /** q120's POSITIONAL twin: the corrupted v1 slice carries a trailing
+    * " hash join" ADJACENCY, so phrase search `hash <-> join` ghost-hits
+    * every edited doc until `upsertIndexPositional` sweeps its old
+    * (lexeme, pos) rows; the placeholder replacement contains neither
+    * term. Double-applied; must answer like a fresh positional build over
+    * the final corpus. */
+  private val q123UpsertPhrase: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q123_idx_").toString + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val corrupted = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text", lit(" hash join")))
+    PostingIndex.write(
+      PostingIndex.buildPositional(
+        corrupted.unionByName(docs.filter($"doc_id" % 5 =!= 0)), "doc_id", $"text"),
+      dir, buckets = 16)
+    val rescraped = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", lit(UpsertPlaceholder))
+    PostingIndex.upsertIndexPositional(s, dir, rescraped, "doc_id", $"text", buckets = 16)
+    PostingIndex.upsertIndexPositional(s, dir, rescraped, "doc_id", $"text", buckets = 16)
+    PostingIndex.searchQueryIndexed(s, dir, "doc_id", "hash <-> join",
+        docs.select($"doc_id"), buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -325,7 +382,15 @@ object TextQueries {
     "q109_indexed_phrase"   -> q109IndexedPhrase,
     "q110_websearch"        -> q110Websearch,
     "q111_headline"         -> q111Headline,
-    "q114_ts_rank_cd"       -> q114TsRankCd)
+    "q114_ts_rank_cd"       -> q114TsRankCd,
+    "q120_upsert_index"     -> q120UpsertIndex,
+    "q123_upsert_phrase"    -> q123UpsertPhrase)
+
+  /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
+    * (redact/placehold/document after stemming), none a search term, so an
+    * upsert batch touches ~3 of 16 buckets and the ghost sweep must come
+    * from the doc→bucket sidecar, not from incidental bucket overlap. */
+  private[ops] val UpsertPlaceholder = "redacted placeholder document"
 
   /** The full-corpus "merges AND joining" search oracle, shared verbatim by
     * q37 (in-memory postings), q89 (written index), q106 (incrementally
@@ -343,11 +408,15 @@ object TextQueries {
     * twin of PostingIndex.buildPositional: positions over ALL words
     * (parallel unnest zips word with 1-based index), stopwords filtered
     * after numbering, vocab-CASE stemming. */
-  private lazy val positionalLexSql: String =
+  private lazy val positionalLexSql: String = positionalLexSqlFrom("documents")
+
+  /** [[positionalLexSql]] over an arbitrary `(doc_id, text)` relation —
+    * q123 feeds it the upsert-patched corpus CTE. */
+  private def positionalLexSqlFrom(table: String): String =
     s"""raw AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                      x -> length(x) > 0) AS ws
-          FROM documents),
+          FROM $table),
         wp AS (
           SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws)+1)) AS pos
           FROM raw),
@@ -406,6 +475,33 @@ object TextQueries {
     // full-corpus build — by construction the SAME oracle string as q89
     // (q107, the streaming twin, shares it too)
     "q106_incr_index" -> mergesJoiningOracle,
+    // the upserted index must answer exactly like a fresh build over the
+    // FINAL corpus (the %5==0 slice carrying its re-scraped placeholder
+    // text); the corrupted v1 suffix never appears here — a surviving
+    // ghost posting is an extra row, a over-deleted doc a missing one
+    "q120_upsert_index" ->
+      s"""WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ${sqlQuote(UpsertPlaceholder)}
+                        ELSE text END AS text
+            FROM documents)
+          SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM corpus) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""",
+    "q123_upsert_phrase" ->
+      s"""WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ${sqlQuote(UpsertPlaceholder)}
+                        ELSE text END AS text
+            FROM documents),
+          ${positionalLexSqlFrom("corpus")}
+          SELECT DISTINCT a.doc_id AS doc_id
+          FROM lex a JOIN lex b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
+            AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
+          ORDER BY doc_id""",
     "q38_term_stats" ->
       """WITH tf AS (
            SELECT doc_id, w, count(*) AS tf

@@ -232,8 +232,17 @@ object Streams {
     * [[incrementalMergeBucketed]]. */
   def maintainPostingIndex(stream: DataFrame, indexPath: String, idCol: String,
                            textCol: String, checkpointDir: String,
-                           buckets: Int = 64, positional: Boolean = false): Unit = {
+                           buckets: Int = 64, positional: Boolean = false,
+                           mode: String = "append"): Unit = {
     import graft.text.{PostingIndex, TextOps}
+    // append = new documents only (the reference's INSERT leg); upsert =
+    // each batch's docs REPLACE their prior postings (the UPDATE leg —
+    // the scrape loop re-writing a filing's text must not leave ghost
+    // postings behind, PostingIndex.upsertIndex's delete sweep). Both
+    // compose exactly-once with the checkpoint: append dedupes on
+    // (id, bucket), upsert converges by construction.
+    require(mode == "append" || mode == "upsert",
+      s"maintainPostingIndex mode must be append|upsert, got '$mode'")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Hadoop FS, not java.io.File: on a cluster store (hdfs://, s3a://,
@@ -255,12 +264,20 @@ object Streams {
             if (positional) PostingIndex.buildPositional(batch, idCol, col(textCol))
             else PostingIndex.build(batch, idCol, TextOps.tokenize(col(textCol)))
           PostingIndex.write(built, indexPath, buckets)
-        } else if (positional)
-          PostingIndex.appendToIndexPositional(batch.sparkSession, indexPath, batch,
-            idCol, col(textCol), buckets)
-        else
-          PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
-            idCol, TextOps.tokenize(col(textCol)), buckets)
+        } else (positional, mode) match {
+          case (true, "upsert") =>
+            PostingIndex.upsertIndexPositional(batch.sparkSession, indexPath, batch,
+              idCol, col(textCol), buckets)
+          case (true, _) =>
+            PostingIndex.appendToIndexPositional(batch.sparkSession, indexPath, batch,
+              idCol, col(textCol), buckets)
+          case (false, "upsert") =>
+            PostingIndex.upsertIndex(batch.sparkSession, indexPath, batch,
+              idCol, TextOps.tokenize(col(textCol)), buckets)
+          case (false, _) =>
+            PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
+              idCol, TextOps.tokenize(col(textCol)), buckets)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)

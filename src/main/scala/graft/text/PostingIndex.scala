@@ -35,11 +35,24 @@ object PostingIndex {
       .write.mode("overwrite")
       .partitionBy("lexeme_bucket")
       .parquet(path)
+    // bootstrap the doc→bucket sidecar from the files just written (a
+    // two-column pruned read — far cheaper than re-tokenizing the corpus),
+    // so the upsert path is available from birth
+    bootstrapDocMap(postings.sparkSession, path, inferIdCol(postings), buckets)
     val p = new org.apache.hadoop.fs.Path(path, LayoutMarker)
     val fs = p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** The posting frame's doc-id column: whatever [[build]]/[[buildPositional]]
+    * carried alongside the fixed (lexeme[, pos]) columns. */
+  private def inferIdCol(postings: DataFrame): String = {
+    val cand = postings.columns.filterNot(Set("lexeme", "pos", "lexeme_bucket"))
+    require(cand.length == 1,
+      s"cannot infer the doc-id column of postings(${postings.columns.mkString(",")})")
+    cand.head
   }
 
   /** Root-level file recording the bucket modulus the index was written
@@ -69,6 +82,89 @@ object PostingIndex {
     }
   }
 
+  // ------------------------------------------------- doc→bucket sidecar
+
+  /** Root-level sidecar directory (underscore prefix: invisible to parquet
+    * reads of the index itself) holding the DISTINCT `(id, lexeme_bucket)`
+    * pairs of every indexed posting, partitioned by `id_bucket =
+    * pmod(hash(id), buckets)`. This is what makes document UPDATE scale:
+    * an edited doc's OLD postings live in the buckets of its OLD lexeme
+    * set — buckets the new text may never hash into — and without a
+    * doc-keyed map, finding them is an O(index) sweep (the main layout
+    * prunes by lexeme, not by doc). With it, [[upsertBatch]] prunes the
+    * sidecar to the batch ids' `id_bucket` partitions and reads back
+    * exactly the bucket set to sweep. The map is an OVER-approximation by
+    * contract: a stale pair (doc re-upserted away from a bucket) only adds
+    * a no-op bucket to a later sweep, never hides one — so sidecar
+    * maintenance can stay append-cheap. */
+  private val DocMapDir = "_docmap"
+  private val DocMapPartCol = "id_bucket"
+
+  private def docMapPath(indexPath: String) = s"$indexPath/$DocMapDir"
+
+  private def hasDocMap(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(docMapPath(indexPath))
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Write doc-map rows `(id, lexeme_bucket, id_bucket)`: the whole map on
+    * bootstrap, or (dynamic partition overwrite) just the touched
+    * `id_bucket` partitions on maintenance. */
+  private def writeDocMapSlice(pairs: DataFrame, indexPath: String,
+                               overwriteAll: Boolean): Unit = {
+    val spark = pairs.sparkSession
+    if (overwriteAll)
+      pairs.write.mode("overwrite").partitionBy(DocMapPartCol)
+        .parquet(docMapPath(indexPath))
+    else {
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      try {
+        spark.conf.set(conf, "dynamic")
+        pairs.write.mode("overwrite").partitionBy(DocMapPartCol)
+          .parquet(docMapPath(indexPath))
+      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+    }
+  }
+
+  /** Merge a batch's distinct `(id, lexeme_bucket)` pairs into the sidecar,
+    * rewriting only the batch ids' `id_bucket` partitions. Existing pairs
+    * for OTHER docs in those partitions are carried over; `replaceIds`
+    * drops the incoming ids' old pairs first (upsert) instead of unioning
+    * with them (append). */
+  private def maintainDocMap(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String, ids: DataFrame,
+                             newPairs: DataFrame, idCol: String, buckets: Int,
+                             replaceIds: Boolean): Unit = {
+    val withPart = newPairs
+      .withColumn(DocMapPartCol, pmod(hash(col(idCol)), lit(buckets)))
+    val idParts = ids
+      .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val base = spark.read.parquet(docMapPath(indexPath))
+      .filter(col(DocMapPartCol).isin(idParts: _*))
+    val kept =
+      if (replaceIds) base.join(ids, Seq(idCol), "left_anti")
+      else base.join(withPart,
+        Seq(idCol, "lexeme_bucket", DocMapPartCol), "left_anti")
+    val snap = kept.unionByName(withPart).distinct().localCheckpoint(true)
+    writeDocMapSlice(snap, indexPath, overwriteAll = false)
+    snap.unpersist()
+  }
+
+  /** One-time migration for an index written before the sidecar existed:
+    * derive the complete doc→bucket map from the index itself (the one
+    * unavoidable O(index) scan, paid once — every later upsert prunes). */
+  private def bootstrapDocMap(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, idCol: String,
+                              buckets: Int): Unit =
+    writeDocMapSlice(
+      spark.read.parquet(indexPath)
+        .select(col(idCol), col("lexeme_bucket")).distinct()
+        .withColumn(DocMapPartCol, pmod(hash(col(idCol)), lit(buckets))),
+      indexPath, overwriteAll = true)
+
   /** F2+F4 composed — near-real-time index maintenance, the Spark-native
     * replacement for the reference's tsvector trigger keeping its GIN index
     * current as new filings land (`sec_dl/utils/init_tables.py:59-67`):
@@ -85,9 +181,8 @@ object PostingIndex {
     * bucket are dropped (anti-join on (id, bucket)), so re-running an
     * applied batch rewrites identical contents, and a batch interrupted
     * between partition commits heals on retry. Append-only by contract:
-    * EDITING a document would require removing its old postings from
-    * buckets this batch may not touch — that is a delete sweep over the
-    * doc's old lexeme set, not an append. */
+    * EDITING a document requires removing its old postings from buckets
+    * this batch may not touch — that delete sweep is [[upsertIndex]]. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     newDocs: DataFrame, idCol: String, tokens: Column,
                     buckets: Int = 64): Unit =
@@ -135,7 +230,107 @@ object PostingIndex {
         snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
       } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
       snap.unpersist()
+      // keep the doc→bucket sidecar current (append semantics: merge the
+      // batch's pairs in). An index from before the sidecar existed stays
+      // sidecar-less here — a partial map would silently HIDE old buckets
+      // from a later upsert's sweep; upsertBatch bootstraps the complete
+      // map instead when it first needs one.
+      if (hasDocMap(spark, indexPath))
+        maintainDocMap(spark, indexPath,
+          ids = batch.select(col(idCol)).distinct(),
+          newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
+          idCol, buckets, replaceIds = false)
     }
+    batch.unpersist()
+  }
+
+  /** Document UPDATE against a written index — the Spark-native analog of
+    * the reference's `BEFORE UPDATE OR INSERT` tsvector trigger
+    * (`sec_dl/utils/init_tables.py:59-67`; the scrape loop's whole job is
+    * UPDATEs, `sec_dl/utils/scrape_all_filings.py:169-171`): each incoming
+    * doc's postings REPLACE whatever the index held for that id. The sweep
+    * visits the union of the docs' OLD buckets (recovered from the
+    * [[DocMapDir]] sidecar with an id-pruned scan, never an O(index) walk)
+    * and the new postings' buckets: old rows of the incoming ids are
+    * anti-joined away, new rows appended, and only that bucket set is
+    * rewritten. A doc that tokenizes to nothing is a pure DELETE.
+    * Idempotent: re-applying the batch deletes-then-reinserts identical
+    * rows, so contents converge (q120 double-applies to pin this). Cost is
+    * O(touched buckets × bucket size) + an id-bucket-pruned sidecar
+    * read — same bound as [[appendToIndex]], plus the old-bucket sweep the
+    * reference's UPDATE semantics require. */
+  def upsertIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                  docs: DataFrame, idCol: String, tokens: Column,
+                  buckets: Int = 64): Unit =
+    upsertBatch(spark, indexPath, build(docs, idCol, tokens),
+      docs.select(col(idCol)).distinct(), idCol, buckets)
+
+  /** [[upsertIndex]] for a POSITIONAL index ([[buildPositional]]'s layout):
+    * the replacement postings carry (lexeme, pos) so phrase search stays
+    * correct after the edit. */
+  def upsertIndexPositional(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                            docs: DataFrame, idCol: String, textCol: Column,
+                            buckets: Int = 64): Unit =
+    upsertBatch(spark, indexPath, buildPositional(docs, idCol, textCol),
+      docs.select(col(idCol)).distinct(), idCol, buckets)
+
+  private def upsertBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          built: DataFrame, docIds: DataFrame, idCol: String,
+                          buckets: Int): Unit = {
+    requireLayout(spark, indexPath, buckets)
+    if (!hasDocMap(spark, indexPath)) bootstrapDocMap(spark, indexPath, idCol, buckets)
+    val batch = built
+      .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
+      .localCheckpoint()
+    val ids = docIds.localCheckpoint()
+    // the sweep set: buckets the ids' OLD postings live in (sidecar,
+    // pruned to the ids' id_bucket partitions) ∪ the NEW postings' buckets
+    val idParts = ids
+      .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val oldBuckets = spark.read.parquet(docMapPath(indexPath))
+      .filter(col(DocMapPartCol).isin(idParts: _*))
+      .join(ids, Seq(idCol), "left_semi")
+      .select(col("lexeme_bucket"))
+    val touched = batch.select(col("lexeme_bucket")).union(oldBuckets)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.nonEmpty) {
+      val base = spark.read.parquet(indexPath)
+        .filter(col("lexeme_bucket").isin(touched: _*))
+      require(base.columns.toSet == batch.columns.toSet,
+        s"index at $indexPath has columns ${base.columns.sorted.mkString(",")} but the " +
+          s"batch built ${batch.columns.sorted.mkString(",")} — positional indexes " +
+          "(pos column) must be upserted with upsertIndexPositional, plain ones " +
+          "with upsertIndex")
+      // REPLACE semantics: drop every existing row of the incoming ids,
+      // then add the recomputed postings
+      val kept = base.join(ids, Seq(idCol), "left_anti")
+      val snap = kept.unionByName(batch.select(base.columns.map(col).toIndexedSeq: _*))
+        .localCheckpoint(true)
+      // dynamic overwrite skips partitions ABSENT from the output — a
+      // bucket whose last postings were just deleted must be removed by
+      // hand or its files survive as ghosts
+      val remaining = snap.select(col("lexeme_bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(conf)
+      try {
+        spark.conf.set(conf, "dynamic")
+        snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
+      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+      snap.unpersist()
+      val fs = new org.apache.hadoop.fs.Path(indexPath)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      touched.filterNot(remaining).foreach { b =>
+        val dir = new org.apache.hadoop.fs.Path(indexPath, s"lexeme_bucket=$b")
+        if (fs.exists(dir)) { fs.delete(dir, true); () }
+      }
+      maintainDocMap(spark, indexPath, ids,
+        newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
+        idCol, buckets, replaceIds = true)
+    }
+    batch.unpersist()
+    ids.unpersist()
   }
 
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).

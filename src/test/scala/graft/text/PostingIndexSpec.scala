@@ -125,6 +125,98 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("appendToIndexPositional"), e.getMessage)
   }
 
+  /** Bucket id of a lexeme under the write() layout hash. */
+  private def bucketOf(lex: String, buckets: Int): Int =
+    Seq(lex).toDF("lexeme")
+      .select(pmod(hash($"lexeme"), lit(buckets)).cast("int")).as[Int].head()
+
+  test("upsert sweeps ghost postings from buckets the new batch never touches") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
+    // a replacement word whose bucket differs from EVERY lexeme of doc 6's
+    // old text ("hash") — so the upsert batch alone cannot touch the
+    // ghost's bucket and only the sidecar sweep can evict it
+    val ghostBucket = bucketOf("hash", 4)
+    val word = Seq("zebra", "quark", "lemur", "otter", "raven")
+      .find(w => bucketOf(Porter.stem(w), 4) != ghostBucket).get
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((6L, word)).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+    // ghost gone, replacement present, everyone else untouched
+    val full = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(
+        docs.filter($"doc_id" =!= 6L).unionByName(Seq((6L, word)).toDF("doc_id", "text")),
+        "doc_id", TextOps.tokenize($"text")), full, buckets = 4)
+    assert(indexRows(dir) == indexRows(full))
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq("hash"), buckets = 4)
+      .count() == 0L)
+  }
+
+  test("upsert to empty text is a pure delete; an emptied bucket partition disappears") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
+    // doc 6 is the only holder of lexeme "hash"; if its bucket holds no
+    // other lexemes, the delete must remove the partition dir itself
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((6L, "")).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+    assert(spark.read.parquet(dir).filter($"doc_id" === 6L).count() == 0L)
+    val full = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs.filter($"doc_id" =!= 6L), "doc_id",
+        TextOps.tokenize($"text")), full, buckets = 4)
+    assert(indexRows(dir) == indexRows(full))
+    // idempotent: deleting an absent doc changes nothing and still works
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((6L, "")).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+    assert(indexRows(dir) == indexRows(full))
+  }
+
+  test("upsert on a pre-sidecar index bootstraps the doc map and still sweeps") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
+    // simulate an index written before the sidecar existed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_docmap"), true),
+      "fixture should have a sidecar to delete")
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((1L, "zebra")).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 4)
+    val full = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(
+        docs.filter($"doc_id" =!= 1L).unionByName(Seq((1L, "zebra")).toDF("doc_id", "text")),
+        "doc_id", TextOps.tokenize($"text")), full, buckets = 4)
+    assert(indexRows(dir) == indexRows(full))
+  }
+
+  test("positional upsert replaces (lexeme, pos) rows so phrase ghosts die") {
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 4)
+    // v1: doc 5 text is "window frame scan" (no merge<->join adjacency);
+    // corrupt doc 5 to carry the phrase, then upsert back the true text
+    PostingIndex.upsertIndexPositional(spark, dir,
+      Seq((5L, "merge join window")).toDF("doc_id", "text"), "doc_id", $"text", buckets = 4)
+    val hit = PostingIndex.phraseSearchQuery(
+      spark.read.parquet(dir), "doc_id", "merge <-> join").as[Long].collect().toSet
+    assert(hit.contains(5L))
+    PostingIndex.upsertIndexPositional(spark, dir,
+      Seq((5L, "window frame scan")).toDF("doc_id", "text"), "doc_id", $"text", buckets = 4)
+    val after = PostingIndex.phraseSearchQuery(
+      spark.read.parquet(dir), "doc_id", "merge <-> join").as[Long].collect().toSet
+    assert(!after.contains(5L), s"phrase ghost survived the upsert: $after")
+    val full = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    assert(after == PostingIndex.phraseSearchQuery(full, "doc_id", "merge <-> join")
+      .as[Long].collect().toSet)
+  }
+
   test("tsRankCd: hand-computed minimal covers, zero-cover docs dropped") {
     val cds = Seq(
       (1L, "alpha qq beta"),               // one cover [1,3] -> 1/3
