@@ -47,9 +47,9 @@ object PostingIndex {
   }
 
   /** The posting frame's doc-id column: whatever [[build]]/[[buildPositional]]
-    * carried alongside the fixed (lexeme[, pos]) columns. */
+    * carried alongside the fixed (lexeme[, pos, weight]) columns. */
   private def inferIdCol(postings: DataFrame): String = {
-    val cand = postings.columns.filterNot(Set("lexeme", "pos", "lexeme_bucket"))
+    val cand = postings.columns.filterNot(Set("lexeme", "pos", "weight", "lexeme_bucket"))
     require(cand.length == 1,
       s"cannot infer the doc-id column of postings(${postings.columns.mkString(",")})")
     cand.head
@@ -427,6 +427,129 @@ object PostingIndex {
         .as("score"))
   }
 
+  // ------------------------------------------- weighted ranking (setweight)
+
+  /** `setweight` analog (Postgres: `setweight(to_tsvector(title), 'A') ||
+    * setweight(to_tsvector(body), 'D')`, the title-vs-body relevance
+    * tuning of the reference's search surface): positional postings built
+    * from LABELED document fields, each posting carrying its field's
+    * weight class `(id, lexeme, pos, weight ∈ A..D)`. Positions number
+    * words continuously ACROSS the fields in declaration order — exactly
+    * the position shift tsvector `||` performs — with stopwords removed
+    * after numbering, so a multi-field doc ranks and phrase-matches as the
+    * one concatenated document it logically is. One codegen'd pass: the
+    * fields' word arrays concat into (word, label) structs before a single
+    * posexplode — no per-field scan, no UDF. */
+  def buildPositionalWeighted(docs: DataFrame, idCol: String,
+                              fields: Seq[(Column, String)]): DataFrame = {
+    require(fields.nonEmpty, "at least one (column, weight) field")
+    require(fields.forall(f => WeightLabels.contains(f._2)),
+      s"weight labels must be one of ${WeightLabels.mkString(",")}")
+    val labeled = concat(fields.map { case (c, lbl) =>
+      transform(TextOps.words(c), x => struct(x.as("w"), lit(lbl).as("lbl")))
+    }: _*)
+    docs
+      .select(col(idCol), posexplode(labeled).as(Seq("pos0", "s")))
+      .filter(!col("s.w").isin(TextOps.englishStopWords: _*))
+      .select(col(idCol), TextOps.stemWord(col("s.w")).as("lexeme"),
+        (col("pos0") + 1).cast("int").as("pos"), col("s.lbl").as("weight"))
+  }
+
+  private val WeightLabels = Seq("A", "B", "C", "D")
+
+  /** `ts_rank(weights, tsvector, query, normalization)` analog over
+    * [[buildPositionalWeighted]] postings (a plain positional/[[build]]
+    * frame ranks too — every posting then counts as class D, Postgres's
+    * unlabeled default): score(doc) = Σ_t wtf(t, doc) · ln(N / df(t)),
+    * where wtf sums each occurrence's class weight — `weights` indexed
+    * {D, C, B, A} like the Postgres array, default {0.1, 0.2, 0.4, 1.0}.
+    * Normalization is the Postgres bitmask (combinable): 1 ⇒ ÷(1 +
+    * ln(doc length)), 2 ⇒ ÷doc length, 8 ⇒ ÷distinct lexemes, 16 ⇒ ÷(1 +
+    * ln(distinct lexemes)), 32 ⇒ s/(s+1); flag 4 (extent distance) is
+    * rank_cd-only there and rejected here. Doc length = the doc's posting
+    * count (its lexeme occurrences, stopwords excluded).
+    *
+    * Float contract: wtf is an UNORDERED double sum, so oracle-exact gates
+    * should pass dyadic weights ({0.125, 0.25, 0.5, 1.0} — q121) whose
+    * sums are exact in binary; the Postgres default ranks identically but
+    * its 0.1 sums are order-sensitive at the last ulp.
+    *
+    * Scale shape: postings prune to the query terms before the one
+    * (id, lexeme) shuffle; df/N are broadcast-sized; the doc-stats pass
+    * (only when a normalization flag needs it) aggregates postings
+    * SEMI-JOINED to the matched ids — bounded by the terms' posting lists,
+    * never the corpus. */
+  def tsRankWeighted(postings: DataFrame, idCol: String, terms: Seq[String],
+                     corpus: DataFrame,
+                     weights: Seq[Double] = Seq(0.1, 0.2, 0.4, 1.0),
+                     normalization: Int = 0): DataFrame =
+    tsRankWeightedFrom(postings, postings, idCol, terms, corpus, weights, normalization)
+
+  /** [[tsRankWeighted]] with the doc-stats pass decoupled from the term
+    * pass — the indexed path feeds a bucket-pruned slice to the former and
+    * the whole index to the latter. */
+  private def tsRankWeightedFrom(postings: DataFrame, statsPostings: DataFrame,
+                                 idCol: String, terms: Seq[String],
+                                 corpus: DataFrame, weights: Seq[Double],
+                                 normalization: Int): DataFrame = {
+    require(weights.length == 4, "weights are {D, C, B, A} — exactly 4 values")
+    require((normalization & ~(1 | 2 | 8 | 16 | 32)) == 0,
+      s"normalization $normalization: ts_rank supports 1|2|8|16|32 " +
+        "(4 is ts_rank_cd's extent-distance flag)")
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val wExpr =
+      if (!postings.columns.contains("weight")) lit(weights(0))
+      else when(col("weight") === "A", weights(3))
+        .when(col("weight") === "B", weights(2))
+        .when(col("weight") === "C", weights(1))
+        .otherwise(weights(0))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    val wtf = postings.filter(col("lexeme").isin(stemmed: _*))
+      .groupBy(col(idCol), col("lexeme")).agg(sum(wExpr).as("wtf"))
+    val df = wtf.groupBy(col("lexeme")).agg(count(lit(1)).as("df"))
+    val raw = wtf.join(broadcast(df), "lexeme")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col(idCol))
+      .agg(sum(col("wtf") *
+        log(col("n_docs").cast("double") / col("df").cast("double"))).as("raw"))
+    val needsStats = (normalization & (1 | 2 | 8 | 16)) != 0
+    val scored =
+      if (!needsStats) raw
+      else raw.join(
+        statsPostings.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("doc_len"),
+            count_distinct(col("lexeme")).as("n_uniq")),
+        Seq(idCol))
+    var s: Column = col("raw")
+    if ((normalization & 1) != 0) s = s / (lit(1.0) + log(col("doc_len").cast("double")))
+    if ((normalization & 2) != 0) s = s / col("doc_len").cast("double")
+    if ((normalization & 8) != 0) s = s / col("n_uniq").cast("double")
+    if ((normalization & 16) != 0) s = s / (lit(1.0) + log(col("n_uniq").cast("double")))
+    if ((normalization & 32) != 0) s = s / (s + lit(1.0))
+    scored.select(col(idCol), round(s, 6).as("score"))
+  }
+
+  /** [[tsRankWeighted]] against an on-disk index written from
+    * [[buildPositionalWeighted]] postings (the `weight` column rides the
+    * bucketed layout like `pos` does): the wtf pass reads only the query
+    * terms' hash-bucket partitions; the doc-stats pass — needed only when
+    * a normalization flag asks for document length — must see ALL of a
+    * matched doc's postings and therefore scans the index column-pruned
+    * and semi-joined to the matched ids (the same full-posting fetch
+    * Postgres does against the heap when normalizing). */
+  def tsRankWeightedIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                            idCol: String, terms: Seq[String], corpus: DataFrame,
+                            weights: Seq[Double] = Seq(0.1, 0.2, 0.4, 1.0),
+                            normalization: Int = 0, buckets: Int = 64): DataFrame = {
+    requireLayout(spark, indexPath, buckets)
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val idx = spark.read.parquet(indexPath)
+    val pruned =
+      idx.filter(col("lexeme_bucket").isin(bucketIdsFor(spark, stemmed, buckets): _*))
+    tsRankWeightedFrom(pruned, idx, idCol, terms, corpus, weights, normalization)
+  }
+
   /** `ts_rank_cd` analog — cover-density ranking (Clarke/Cormack/Tudhope,
     * the proximity family Postgres implements in tsrank.c): score(doc) =
     * Σ over MINIMAL COVERS of 1/width, where a cover is a window [l, r]
@@ -513,6 +636,40 @@ object PostingIndex {
     lexemes.toDF("lexeme")
       .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
       .as[Int].collect().toSeq.distinct
+  }
+
+  // ----------------------------------------------------------------- ts_stat
+
+  /** `ts_stat` analog — the Adminer user's "what are the corpus's hot
+    * lexemes" query (reference `README.md:6-7` ad-hoc surface): per-lexeme
+    * `(ndoc, nentry)` where ndoc counts documents containing the lexeme
+    * and nentry its total occurrences (equal on a deduped [[build]] frame,
+    * ≥ on positional postings). Two narrowing partial-agg shuffles —
+    * (lexeme, id) then lexeme — instead of a count_distinct expand, so
+    * the reduce side only ever sees per-doc subtotals. */
+  def tsStat(postings: DataFrame, idCol: String): DataFrame =
+    postings
+      .groupBy(col("lexeme"), col(idCol)).agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("lexeme"))
+      .agg(count(lit(1)).as("ndoc"), sum(col("n_in_doc")).as("nentry"))
+
+  /** [[tsStat]] over a [[write]]-layout index, bucket-parallel: with
+    * `lexemes` given, the scan prunes to those lexemes' hash-bucket
+    * partitions (the GIN posting-list walk — PlanSpec asserts it); empty
+    * `lexemes` means whole-corpus stats, a one-pass full-index aggregate. */
+  def tsStatIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                    idCol: String, lexemes: Seq[String] = Nil,
+                    buckets: Int = 64): DataFrame = {
+    requireLayout(spark, indexPath, buckets)
+    val idx = spark.read.parquet(indexPath)
+    val slice =
+      if (lexemes.isEmpty) idx
+      else {
+        val stemmed = lexemes.map(t => Porter.stem(t.toLowerCase)).distinct
+        idx.filter(col("lexeme_bucket").isin(bucketIdsFor(spark, stemmed, buckets): _*))
+          .filter(col("lexeme").isin(stemmed: _*))
+      }
+    tsStat(slice, idCol)
   }
 
   // ----------------------------------------------------- tsquery evaluation

@@ -185,6 +185,41 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side window group limit:\n$plan")
   }
 
+  test("ts_stat with a lexeme filter prunes the index scan to the lexemes' buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_tsstat_").toString + "/idx"
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    graft.text.PostingIndex.write(
+      graft.text.PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 16)
+    val df = graft.text.PostingIndex.tsStatIndexed(spark, dir, "doc_id",
+      lexemes = Seq("merge"), buckets = 16)
+    val plan = planOf(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("lexeme_bucket"),
+      s"lexeme_bucket partition filter not pushed to the index scan:\n$plan")
+    // one lexeme hashes to one bucket: the scan must touch 1/16 partitions.
+    // Partition pruning is static, so read it off the pre-AQE plan — the
+    // executed plan's AdaptiveSparkPlanExec hides its leaves.
+    val scanned = df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.nonEmpty && scanned.forall(_ <= 1),
+      s"expected at most one scanned bucket partition, got $scanned")
+  }
+
+  test("PQ ADC shortlist (q115 shape): rank filter pushed map-side (WindowGroupLimit)") {
+    // both the ADC shortlist's row_number <= shortlist and the re-rank's
+    // top-k must prune per-task BEFORE the window exchange — without
+    // WindowGroupLimit every (query, candidate) ADC row shuffles whole
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+    val cb = graft.ext.Similarity.pqTrain(emb, m = 4, ksub = 8, maxIters = 2)
+    val df = graft.ext.Similarity.pqKnn(queries, emb, k = 5, cb, shortlist = 20)
+    val plan = planOf(df)
+    val limits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(limits >= 2,
+      s"expected WindowGroupLimit on both the ADC shortlist and the re-rank top-k:\n$plan")
+  }
+
   test("ts_rank_cd (q114) is window-free: one groupBy-doc aggregation, no per-doc sort") {
     val df = graft.SparkEntry.queries("q114_ts_rank_cd")(spark, sf)
     val plan = planOf(df)

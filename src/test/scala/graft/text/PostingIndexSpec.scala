@@ -217,6 +217,56 @@ class PostingIndexSpec extends AnyFunSuite {
       .as[Long].collect().toSet)
   }
 
+  test("setweight ranking: one title hit outranks many body hits; flags are arithmetic; indexed path agrees") {
+    // doc 1: three BODY hits of "merge"; doc 2: one TITLE hit — under the
+    // Postgres default weights (D=0.1, A=1.0) the weighted order must be
+    // the reverse of the unweighted (pure-tf) order
+    val fielded = Seq(
+      (1L, "alpha beta", "merge merge merge"),
+      (2L, "merge gamma", "delta epsilon"),
+      (3L, "zeta eta", "theta iota")) // no hit — keeps df < N so idf > 0
+      .toDF("doc_id", "title", "body")
+    val weighted = PostingIndex.buildPositionalWeighted(fielded, "doc_id",
+      Seq(($"title", "A"), ($"body", "D")))
+    // positions continue across the fields, like tsvector ||
+    assert(weighted.filter($"lexeme" === "merg").select($"doc_id", $"pos", $"weight")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 3, "D"), (1L, 4, "D"), (1L, 5, "D"), (2L, 1, "A")))
+
+    val corpus = fielded.select($"doc_id")
+    def scores(norm: Int, w: Seq[Double] = Seq(0.1, 0.2, 0.4, 1.0)): Map[Long, Double] =
+      PostingIndex.tsRankWeighted(weighted, "doc_id", Seq("merge"), corpus,
+        weights = w, normalization = norm)
+        .as[(Long, Double)].collect().toMap
+    val unweighted = PostingIndex.tsRank(
+      weighted.select($"doc_id", $"lexeme", $"pos"), "doc_id", Seq("merge"), corpus)
+      .as[(Long, Double)].collect().toMap
+    assert(unweighted(1L) > unweighted(2L), "tf alone must favor the body-hit doc")
+    val wScores = scores(0)
+    assert(wScores(2L) > wScores(1L), s"title weight must flip the order: $wScores")
+    // hand arithmetic on ratios (idf = ln(3/2) cancels): wtf(1) = 3·0.1,
+    // wtf(2) = 1·1.0 ⇒ s1/s2 = 0.3. Doc lengths (stopword-free postings):
+    // doc1 = 5, doc2 = 4 ⇒ flag 2 scales the ratio by 4/5.
+    assert(math.abs(wScores(1L) / wScores(2L) - 0.3) < 1e-4)
+    val n2 = scores(2)
+    assert(math.abs(n2(1L) / n2(2L) - 0.3 * 4.0 / 5.0) < 1e-4,
+      s"flag 2 must divide by doc length: $n2")
+    // flag 32 maps any positive score into (0, 1)
+    val n32 = scores(32)
+    assert(n32.values.forall(v => v >= 0 && v < 1))
+
+    // the written-index path ranks identically (weight column rides the layout)
+    val dir = freshDir()
+    PostingIndex.write(weighted, dir, buckets = 4)
+    val viaIdx = PostingIndex.tsRankWeightedIndexed(spark, dir, "doc_id",
+      Seq("merge"), corpus, normalization = 1 | 32, buckets = 4)
+      .as[(Long, Double)].collect().toMap
+    val viaMem = scores(1 | 32)
+    assert(viaIdx == viaMem, s"indexed $viaIdx vs in-memory $viaMem")
+    // unsupported flag 4 is rejected, not silently ignored
+    assertThrows[IllegalArgumentException](scores(4))
+  }
+
   test("tsRankCd: hand-computed minimal covers, zero-cover docs dropped") {
     val cds = Seq(
       (1L, "alpha qq beta"),               // one cover [1,3] -> 1/3
