@@ -340,14 +340,28 @@ object Dedup {
                  expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
     df.stat.bloomFilter(colName, expectedItems, fpp)
 
-  /** Probe column for [[buildBloom]]'s filter — explicitly broadcast so a
-    * 1000-executor cluster ships the bits once per executor, not per task. */
-  def mightContain(df: DataFrame, bf: org.apache.spark.util.sketch.BloomFilter,
-                   colName: String): Column = {
-    val bc = df.sparkSession.sparkContext.broadcast(bf)
-    // null key ⇒ false (a null was never inserted), not an executor NPE
-    udf((s: String) => s != null && bc.value.mightContainString(s)).apply(col(colName))
+  /** Probe handle over a [[buildBloom]] filter: owns the ONE broadcast of
+    * the bits (shipped once per executor, not per task) and lets the caller
+    * release it. An incremental-dedup loop probes many micro-batches with
+    * the same filter — a fresh broadcast per probe would accumulate
+    * driver/executor memory for the session's lifetime, so the broadcast
+    * is scoped to this handle instead and freed by [[unpersist]]. */
+  final class BloomProbe private[Dedup] (
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+    extends Serializable {
+    /** Membership column; null key ⇒ false (a null was never inserted),
+      * not an executor NPE. */
+    def apply(c: Column): Column =
+      udf((s: String) => s != null && bc.value.mightContainString(s)).apply(c)
+    /** Drop the cached bits from executors (and driver) once the probe
+      * loop is done; a later probe re-ships them on demand. */
+    def unpersist(): Unit = bc.unpersist()
   }
+
+  /** Broadcast `bf` once and return the owning [[BloomProbe]]. */
+  def bloomProbe(spark: org.apache.spark.sql.SparkSession,
+                 bf: org.apache.spark.util.sketch.BloomFilter): BloomProbe =
+    new BloomProbe(spark.sparkContext.broadcast(bf))
 
   /** Benchmark decontamination (the GPT-3/FineWeb training-prep step): flag
     * every training document sharing at least one word `n`-gram with an
@@ -365,10 +379,20 @@ object Dedup {
     * clean documents; both are keyed by `idCol` so AQE coalesces them at
     * test scale. Never an all-pairs or corpus-gram shuffle.
     *
+    * The "hits are rare" assumption is MEASURED, not trusted: the hit
+    * frame is persisted, counted, and broadcast into the fan-back only
+    * when at most `maxBroadcastHits` documents are contaminated — a
+    * majority-contaminated corpus degrades to a plain shuffled left join
+    * instead of collecting a corpus-sized frame onto the driver. (The
+    * persist makes the count reuse the one probe pass; it stays cached
+    * for the fan-back and is disk-backed, so the degenerate case spills
+    * rather than OOMs.)
+    *
     * Returns every corpus row's id with `n_contaminated_grams` (distinct
     * grams shared with the benchmark) and the `contaminated` flag. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, n: Int,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    maxBroadcastHits: Long = 5L * 1000 * 1000): DataFrame = {
     val benchGrams = bench
       .select(explode(shingleSet(col(textCol), n)).as("gram"))
       .distinct()
@@ -380,10 +404,11 @@ object Dedup {
       // within a doc and the bench side is distinct, so (id, gram) rows are
       // unique — countDistinct would add a second full shuffle for nothing
       .agg(count(lit(1)).as("n_contaminated_grams"))
-    // hits is small (contamination is rare by design) — broadcast it so the
-    // fan-back outer join never shuffles the corpus on id
+    val persisted = hits.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fanBack =
+      if (persisted.count() <= maxBroadcastHits) broadcast(persisted) else persisted
     corpus.select(col(idCol))
-      .join(broadcast(hits), Seq(idCol), "left")
+      .join(fanBack, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_contaminated_grams"), lit(0L)).as("n_contaminated_grams"),
         (coalesce(col("n_contaminated_grams"), lit(0L)) > 0).as("contaminated"))

@@ -570,14 +570,14 @@ object ExtQueries {
     import s.implicits._
     val docs = Tables.documents(s, d)
     val known = docs.select(Dedup.contentHash($"text").as("h")).cache()
-    val bf = Dedup.buildBloom(known, "h", expectedItems = 100000, fpp = 0.01)
+    val bf = Dedup.bloomProbe(s, Dedup.buildBloom(known, "h", expectedItems = 100000, fpp = 0.01))
     val incoming = docs.select($"text")
       .unionAll(docs.filter($"doc_id" % 5 === 0).select(concat($"text", lit(" v2")).as("text")))
       .select(Dedup.contentHash($"text").as("h"))
     val flagged = incoming
       .join(known.distinct().withColumn("is_known", lit(true)), Seq("h"), "left_outer")
       .withColumn("exact_dup", coalesce($"is_known", lit(false)))
-      .withColumn("bloom_hit", Dedup.mightContain(incoming, bf, "h"))
+      .withColumn("bloom_hit", bf($"h"))
     flagged.agg(
       count(lit(1)).as("n_incoming"),
       count(when($"exact_dup", lit(1))).as("n_exact_dup"),

@@ -61,11 +61,18 @@ object TsQuery {
     * Unquoted words are ANDed, `"..."` is a phrase, a `-` prefix negates
     * its word or phrase, the bare word `or` (any case) is OR at the lowest
     * precedence; there are no parentheses or explicit operators, and bare
-    * punctuation is ignored rather than rejected. Quoted phrases drop
-    * stopwords but KEEP their positional gaps (`"merge the tables"` →
-    * `merge <2> tables`), matching to_tsvector's numbering; a phrase
-    * reduced to one word becomes a plain term, to zero words disappears.
-    * Returns a stemmed AST evaluable by every compiler. */
+    * punctuation is ignored rather than rejected. Every word — bare or
+    * quoted — is split on the SAME `[^a-z0-9]+` delimiter the tokenizer
+    * uses and has stopwords dropped, so query terms can only ever be
+    * lexemes the index can actually hold: a bare stopword ("the")
+    * vanishes instead of ANDing an unmatchable term, and a hyphenated
+    * bare word ("state-of-the-art") becomes the same gap-preserving
+    * phrase a quoted `"state of the art"` does rather than one glued
+    * never-indexed token. Quoted phrases drop stopwords but KEEP their
+    * positional gaps (`"merge the tables"` → `merge <2> tables`),
+    * matching to_tsvector's numbering; a phrase reduced to one word
+    * becomes a plain term, to zero words disappears. Returns a stemmed
+    * AST evaluable by every compiler. */
   def parseWebsearch(input: String): TsQuery = {
     // None = an OR separator; Some(q) = one conjunct
     val toks = scala.collection.mutable.ArrayBuffer.empty[Option[TsQuery]]
@@ -84,10 +91,14 @@ object TsQuery {
           val start = i
           while (i < input.length && !input(i).isWhitespace && input(i) != '"') i += 1
           val raw = input.substring(start, i)
-            .filter(c => c.isLetterOrDigit || c == '_')
-          if (raw.isEmpty) ()                       // bare punctuation
-          else if (!neg && raw.equalsIgnoreCase("or")) toks += None
-          else toks += Some(if (neg) Not(Term(raw)) else Term(raw))
+          val pieces = raw.toLowerCase(java.util.Locale.ROOT)
+            .split("[^a-z0-9]+").filter(_.nonEmpty)
+          if (pieces.isEmpty) ()                    // bare punctuation
+          else if (!neg && pieces.sameElements(Array("or"))) toks += None
+          else
+            // tokenizer-identical split + stopword-with-gaps treatment,
+            // exactly as if the word run had been quoted
+            websearchPhrase(raw).foreach(q => toks += Some(if (neg) Not(q) else q))
         }
       }
     }

@@ -535,12 +535,29 @@ class ExtSpec extends AnyFunSuite {
 
   test("bloom membership: zero false negatives, FP rate near fpp") {
     val known = (0 until 2000).map(i => s"key_$i").toDF("k")
-    val bf = Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01)
-    // no-FN is a hard Bloom guarantee — every known key must probe true
-    val knownHits = known.filter(Dedup.mightContain(known, bf, "k")).count()
-    assert(knownHits == 2000L)
-    val fresh = (0 until 2000).map(i => s"other_$i").toDF("k")
-    val fp = fresh.filter(Dedup.mightContain(fresh, bf, "k")).count()
-    assert(fp <= 60L, s"FP count $fp far above fpp=0.01 on 2000 probes")
+    // ONE broadcast serves every probe; the handle releases it at the end
+    val bf = Dedup.bloomProbe(spark, Dedup.buildBloom(known, "k", expectedItems = 2000, fpp = 0.01))
+    try {
+      // no-FN is a hard Bloom guarantee — every known key must probe true
+      val knownHits = known.filter(bf($"k")).count()
+      assert(knownHits == 2000L)
+      val fresh = (0 until 2000).map(i => s"other_$i").toDF("k")
+      val fp = fresh.filter(bf($"k")).count()
+      assert(fp <= 60L, s"FP count $fp far above fpp=0.01 on 2000 probes")
+    } finally bf.unpersist()
+  }
+
+  test("decontaminate degrades to a shuffle join when hits exceed the broadcast cap") {
+    val bench = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    // every corpus doc is contaminated — the anti-contract case the
+    // broadcast cap exists for; results must be identical either way
+    val corpus = (1L to 20L).map(i => (i, s"alpha beta gamma tail$i"))
+      .toDF("doc_id", "text")
+    val viaShuffle = Dedup.decontaminate(corpus, bench, n = 3, maxBroadcastHits = 1)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    val viaBroadcast = Dedup.decontaminate(corpus, bench, n = 3)
+      .orderBy($"doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(viaShuffle == viaBroadcast)
+    assert(viaShuffle.forall(_._3) && viaShuffle.length == 20)
   }
 }

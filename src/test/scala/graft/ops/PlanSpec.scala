@@ -164,16 +164,41 @@ class PlanSpec extends AnyFunSuite {
 
   test("corpus export (q116): bounded shuffle count — filters and probes never move the corpus") {
     val df = graft.SparkEntry.queries("q116_corpus_export")(spark, sf)
-    val plan = df.queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // bench-gram distinct (small side, semantically required: 1) +
-    // decontamination hit-count keyed by doc (1) + dedup content-hash
-    // window (1) + final orderBy range (1); everything else — gram probe,
-    // drop-list anti-join, scoring, chunk+pack — rides broadcasts or stays
-    // map-side (q95's counting idiom: formatted mode, broadcast exchanges
-    // print as BroadcastExchange and don't match)
-    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
-    assert(exchanges == 4, s"expected 4 exchanges, got $exchanges:\n$plan")
+    // typed node counts (not string matching): broadcast exchanges are a
+    // different class and never miscount, and the persisted decontamination
+    // probe's cached plan is audited separately from the main plan
+    // shuffle count that sees through AQE wrappers and (executed) query
+    // stages — exchanges are inserted by EnsureRequirements, so
+    // queryExecution.sparkPlan has none, and a plan that already ran (the
+    // persisted probe's cache fill) hides its exchanges inside stage nodes
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def shuffles(p: SparkPlan): Int = nodes(p).count(_.isInstanceOf[ShuffleExchangeExec])
+    val main = df.queryExecution.executedPlan
+    // main plan: dedup content-hash window (1) + final orderBy range (1);
+    // everything else — gram probe, drop-list anti-join, scoring,
+    // chunk+pack — rides broadcasts or stays map-side
+    val cached = nodes(main).collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        s.relation.cachedPlan
+    }
+    assert(cached.nonEmpty, s"expected the hits to read from the persisted probe:\n$main")
+    val mainExchanges = shuffles(main) // InMemoryTableScan is a leaf: cache-fill not counted
+    assert(mainExchanges == 2, s"expected 2 main-plan exchanges, got $mainExchanges:\n$main")
+    // the persisted probe's one-time cache-fill job carries the remaining
+    // two shuffles: bench-gram distinct + hit-count keyed by doc
+    val cacheExchanges = cached.map(shuffles).sum
+    assert(cacheExchanges == 2,
+      s"expected 2 cache-fill exchanges (gram distinct + hit count), got $cacheExchanges")
   }
 
   test("stratified quota (q117): rank filter pushed map-side (WindowGroupLimit)") {

@@ -169,10 +169,21 @@ class TsQuerySpec extends AnyFunSuite {
     // one-word phrase degrades to a term; bare punctuation is ignored
     assert(parseWebsearch("""+merge!! "sorted" """) ==
       And(Seq(Term("merg"), Term("sort"))))
-    // OR is case-insensitive; a negated 'or' is a term
+    // OR is case-insensitive; a negated 'or' is a stopword and vanishes
     assert(parseWebsearch("merge OR window") == Or(Seq(Term("merg"), Term("window"))))
-    assert(parseWebsearch("-or merge") == And(Seq(Not(Term("or")), Term("merg"))))
+    assert(parseWebsearch("-or merge") == Term("merg"))
     assertThrows[IllegalArgumentException](parseWebsearch("  ... !! "))
+    // bare stopwords drop like quoted ones do: 'the merge' must not AND an
+    // unmatchable lexeme (the index never stores stopwords)
+    assert(parseWebsearch("the merge") == Term("merg"))
+    assert(parseWebsearch("merge -the fast") == And(Seq(Term("merg"), Term("fast"))))
+    assertThrows[IllegalArgumentException](parseWebsearch("the of a"))
+    // hyphenated bare words split on the tokenizer's delimiter and keep
+    // stopword gaps, same as the quoted form
+    assert(parseWebsearch("state-of-the-art") == Phrase(Seq("state", "art"), Seq(0, 3)))
+    assert(parseWebsearch("state-of-the-art") == parseWebsearch("\"state of the art\""))
+    assert(parseWebsearch("-state-of-the-art merge") ==
+      And(Seq(Not(Phrase(Seq("state", "art"), Seq(0, 3))), Term("merg"))))
   }
 
   test("websearch evaluation agrees with the equivalent tsquery") {
