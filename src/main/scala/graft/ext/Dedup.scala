@@ -293,24 +293,30 @@ object Dedup {
     * paragraphs. Returns (id, n_paras, n_kept, text_dedup).
     *
     * 100 TB shape: two shuffles total — the keeper choice is a groupBy-min
-    * on the paragraph (map-side partial agg, so a boilerplate paragraph
-    * repeated 10⁹ times still reduces locally before moving), then the
-    * segments join the keeper set on the paragraph key (each segment matches
-    * exactly one keeper row, so the join output is linear; a hot paragraph
-    * is an AQE-skew-split case, not a blowup), and the per-document
-    * reassembly rides the second shuffle. A `row_number() OVER (PARTITION
-    * BY para)` window would put every copy of a hot paragraph in ONE task —
-    * that is exactly the shape this operator avoids. */
+    * keyed on `md5(paragraph)` rather than the raw words (same keeper
+    * semantics — md5 is collision-free at corpus scale for this purpose —
+    * but the keeper shuffle moves a fixed 32-char key instead of whole
+    * paragraphs, several times narrower on realistic prose, and the join
+    * compares fixed-width keys). Map-side partial agg means a boilerplate
+    * paragraph repeated 10⁹ times still reduces locally before moving;
+    * then the segments join the keeper set on the hash key (each segment
+    * matches exactly one keeper row, so the join output is linear; a hot
+    * paragraph is an AQE-skew-split case, not a blowup), and the
+    * per-document reassembly rides the second shuffle. A `row_number()
+    * OVER (PARTITION BY para)` window would put every copy of a hot
+    * paragraph in ONE task — that is exactly the shape this operator
+    * avoids. */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
                       paraWords: Int): DataFrame = {
     val segs = df
       .select(col(idCol),
         posexplode(TextAnalysis.chunkText(col(textCol), paraWords, paraWords))
           .as(Seq("seg0", "para")))
-      .select(col(idCol), (col("seg0") + 1).cast("long").as("seg"), col("para"))
-    val keeper = segs.groupBy(col("para"))
+      .select(col(idCol), (col("seg0") + 1).cast("long").as("seg"), col("para"),
+        md5(col("para").cast("binary")).as("pkey"))
+    val keeper = segs.groupBy(col("pkey"))
       .agg(min(struct(col(idCol), col("seg"))).as("k"))
-    segs.join(keeper, Seq("para"))
+    segs.join(keeper, Seq("pkey"))
       .withColumn("kept", col(s"k.$idCol") === col(idCol) && col("k.seg") === col("seg"))
       .groupBy(col(idCol))
       .agg(

@@ -247,10 +247,10 @@ object TextQueries {
   /** F2+F4 end to end — the reference's "near real time full text search":
     * an index born from a third of the corpus, kept current by incremental
     * batch appends ([[PostingIndex.appendToIndex]] — only touched lexeme
-    * buckets rewritten), then searched exactly like q89. The second batch
-    * is applied TWICE: a non-idempotent append would duplicate (lexeme,
-    * doc) rows, break the AND-count search semantics, and fail the oracle
-    * — so the gate pins both the merge and its re-run. */
+    * buckets rewritten), then searched exactly like q89. The oracle pins
+    * the merged index against a fresh full build; double-apply idempotence
+    * is spec-covered (PostingIndexSpec) and exactly-once under a
+    * checkpoint is q107's gate, so this entry runs each batch once. */
   private val q106IncrIndex: Q = (s, d) => {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_q106_idx_").toString + "/idx"
@@ -259,9 +259,7 @@ object TextQueries {
     PostingIndex.write(
       PostingIndex.build(docs.filter($"doc_id" % 3 === 0), "doc_id", toks), dir, buckets = 16)
     PostingIndex.appendToIndex(s, dir, docs.filter($"doc_id" % 3 === 1), "doc_id", toks, buckets = 16)
-    val late = docs.filter($"doc_id" % 3 === 2)
-    PostingIndex.appendToIndex(s, dir, late, "doc_id", toks, buckets = 16)
-    PostingIndex.appendToIndex(s, dir, late, "doc_id", toks, buckets = 16) // idempotent re-run
+    PostingIndex.appendToIndex(s, dir, docs.filter($"doc_id" % 3 === 2), "doc_id", toks, buckets = 16)
     PostingIndex.searchAllIndexed(s, dir, "doc_id", Seq("merges", "joining"), buckets = 16)
       .orderBy($"doc_id")
   }
