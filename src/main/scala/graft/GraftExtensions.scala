@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{NfkdNormalize, PorterStemArrayExpr, WordShinglesExpr}
+import graft.functions.{NfkdNormalize, PorterStemArrayExpr, TrigramsExpr, WordShinglesExpr}
 
 /** Spark-native packaging of the engine's Catalyst expressions: set
   *
@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = if (exprs.length > 1) exprs(1).eval().toString.toInt else 3
         WordShinglesExpr(exprs.head, k)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_trigrams"),
+      info("graft_trigrams", "graft_trigrams(str) - pg_trgm padded character trigram set"),
+      (exprs: Seq[Expression]) => TrigramsExpr(exprs.head)))
     ext.injectFunction((
       FunctionIdentifier("graft_stem_array"),
       info("graft_stem_array", "graft_stem_array(arr) - Porter-stem every array element"),

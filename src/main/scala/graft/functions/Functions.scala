@@ -49,6 +49,15 @@ object Functions {
     }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_simhash",
       colFn(c => Dedup.simhashMd5(TextOps.tokenizeBasic(c))), "scala_udf")
+    // pg_trgm surface: show_trgm / similarity analogs (Trigram.scala)
+    reg.createOrReplaceTempFunction("graft_trigrams",
+      exprs => TrigramsExpr(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_trgm_similarity", exprs => {
+      require(exprs.length == 2,
+        s"graft_trgm_similarity expects 2 arguments (a, b), got ${exprs.length}")
+      ColumnBridge.unwrap(graft.text.Trigram.similarity(
+        ColumnBridge.wrap(exprs(0)), ColumnBridge.wrap(exprs(1))))
+    }, "scala_udf")
     // graft_ts_match(tokens, 'space separated terms') — terms must be a
     // literal (they are stemmed at plan time, like to_tsquery parsing)
     reg.createOrReplaceTempFunction("graft_ts_match", exprs => {

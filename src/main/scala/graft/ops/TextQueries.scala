@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.text.{Porter, PostingIndex, TextOps}
+import graft.text.{Porter, PostingIndex, TextOps, Trigram}
 
 /** Text-pipeline operator catalog — SURVEY.md §2.6 (T-chain), §2.7 (F1/F3)
   * over the `documents` table, each with a DuckDB oracle built from the SAME
@@ -400,6 +400,27 @@ object TextQueries {
       .orderBy($"lexeme")
   }
 
+  /** pg_trgm fuzzy identifier matching — the INDEXABLE companion of q58's
+    * levenshtein QA (Postgres answers `README.md:79-87`-style identifier
+    * drift with `similarity(a,b) >= 0.3` over a trigram GIN index): a
+    * dirty-probe worklist (part names with their 3rd character deleted)
+    * resolved against the part dimension via [[Trigram.similarJoin]] —
+    * broadcast probe grams, map-only corpus side, one hits-only shuffle
+    * (the GIN posting-probe movement shape; never corpus×corpus). The
+    * oracle rebuilds pad/extract/jaccard from scratch in SQL. */
+  private val q125TrigramFuzzy: Q = (s, d) => {
+    import s.implicits._
+    val parts = Tables.part(s, d).select($"p_partkey", $"p_name")
+    val probes = Tables.part(s, d).filter($"p_partkey" % 53 === 1)
+      .select($"p_partkey".as("probe_id"),
+        concat(substring($"p_name", 1, 2), substring($"p_name", 4, 1000000))
+          .as("probe_name"))
+    Trigram.similarJoin(parts, "p_partkey", "p_name",
+        probes, "probe_id", "probe_name", threshold = 0.3)
+      .withColumn("sim", round($"sim", 6))
+      .orderBy($"p_partkey", $"probe_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -423,7 +444,8 @@ object TextQueries {
     "q120_upsert_index"     -> q120UpsertIndex,
     "q121_weighted_rank"    -> q121WeightedRank,
     "q122_ts_stat"          -> q122TsStat,
-    "q123_upsert_phrase"    -> q123UpsertPhrase)
+    "q123_upsert_phrase"    -> q123UpsertPhrase,
+    "q125_trigram_fuzzy"    -> q125TrigramFuzzy)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -582,6 +604,37 @@ object TextQueries {
           WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
             AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
           ORDER BY doc_id""",
+    // independent rebuild of the pg_trgm pipeline: lowercase word split,
+    // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;
+    // CAST AS DOUBLE (not * 1.0 — DuckDB decimal division would round
+    // differently from the engine's IEEE division)
+    "q125_trigram_fuzzy" ->
+      """WITH probes AS (
+           SELECT p_partkey AS probe_id,
+                  substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name
+           FROM part WHERE p_partkey % 53 = 1),
+         cw AS (SELECT p_partkey, unnest(list_filter(
+                  string_split_regex(lower(p_name), '[^a-z0-9]+'),
+                  x -> length(x) > 0)) AS w FROM part),
+         cg AS (SELECT DISTINCT p_partkey, substr('  ' || w || ' ', CAST(i AS INT), 3) AS g
+                FROM cw, unnest(range(1, length(w) + 2)) AS t(i)),
+         cn AS (SELECT p_partkey, CAST(count(*) AS BIGINT) AS n_c FROM cg GROUP BY 1),
+         pw AS (SELECT probe_id, unnest(list_filter(
+                  string_split_regex(lower(probe_name), '[^a-z0-9]+'),
+                  x -> length(x) > 0)) AS w FROM probes),
+         pgr AS (SELECT DISTINCT probe_id, substr('  ' || w || ' ', CAST(i AS INT), 3) AS g
+                 FROM pw, unnest(range(1, length(w) + 2)) AS t(i)),
+         pn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_p FROM pgr GROUP BY 1),
+         shr AS (
+           SELECT c.p_partkey, p.probe_id, CAST(count(*) AS BIGINT) AS shared
+           FROM cg c JOIN pgr p ON c.g = p.g
+           GROUP BY 1, 2)
+         SELECT s.p_partkey, s.probe_id, s.shared,
+                round(CAST(s.shared AS DOUBLE) / (cn.n_c + pn.n_p - s.shared), 6) AS sim
+         FROM shr s JOIN cn ON s.p_partkey = cn.p_partkey
+                    JOIN pn ON s.probe_id = pn.probe_id
+         WHERE CAST(s.shared AS DOUBLE) / (cn.n_c + pn.n_p - s.shared) >= 0.3
+         ORDER BY s.p_partkey, s.probe_id""",
     "q38_term_stats" ->
       """WITH tf AS (
            SELECT doc_id, w, count(*) AS tf

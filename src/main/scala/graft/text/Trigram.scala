@@ -1,0 +1,99 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** pg_trgm analog — trigram fuzzy string matching (the Postgres extension
+  * the reference's identifier-QA concern would reach for next after exact
+  * joins: `README.md:79-87` worries about CIK/ticker drift, and
+  * `similarity(a,b) >= 0.3` / the `%` operator is the standard Postgres
+  * answer; q58 covers the levenshtein form, this is the indexable one).
+  *
+  * Semantics match pg_trgm's `show_trgm`/`similarity`:
+  *   - lowercase, words = maximal `[a-z0-9]+` runs (pg_trgm's ISWORDCHR),
+  *   - each word padded with TWO leading and ONE trailing space,
+  *   - all 3-char substrings of each padded word, de-duplicated across the
+  *     whole string (`show_trgm('word')` = {"  w"," wo","wor","ord","rd "}),
+  *   - similarity = |A∩B| / |A∪B| (set jaccard on trigram sets).
+  *
+  * Scale design: the all-pairs "find every similar pair" question is
+  * inherently quadratic on hot trigrams, and pg_trgm itself never answers
+  * it — its GIN index serves per-QUERY probes. [[similarJoin]] mirrors
+  * that: the PROBE side (dirty identifiers to resolve — small by nature)
+  * broadcasts as exploded (probe_id, gram) rows; the corpus side explodes
+  * map-only over the scan, the broadcast equi-join on the gram keeps only
+  * rows whose gram appears in SOME probe (the GIN posting-list
+  * intersection), and the single shuffle moves hit rows only, grouped by
+  * (corpus_id, probe_id) — decontaminate's movement shape (`Dedup.scala`),
+  * never a corpus×corpus stage.
+  */
+object Trigram {
+
+  /** pg_trgm trigram set of one string — insertion-ordered distinct.
+    * Called from [[graft.functions.TrigramsExpr]] generated code. */
+  private[graft] def trigramSetImpl(text: String): Array[String] = {
+    if (text == null) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var i = 0
+    val n = lower.length
+    val buf = new java.lang.StringBuilder()
+    while (i <= n) {
+      val ch = if (i < n) lower.charAt(i) else ' '
+      val isWord = (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')
+      if (isWord) buf.append(ch)
+      else if (buf.length() > 0) {
+        val padded = "  " + buf + " "
+        var j = 0
+        while (j + 3 <= padded.length) { seen.add(padded.substring(j, j + 3)); j += 1 }
+        buf.setLength(0)
+      }
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** Trigram set of a text column — native codegen expression (same
+    * preference order as shingleSet: Expression > interpreted HOF chain). */
+  def trigrams(c: Column): Column = graft.functions.TrigramsExpr(c)
+
+  /** pg_trgm `similarity(a, b)` — jaccard over the two trigram sets.
+    * For bounded pairwise use (the `%` operator is `similarity >= 0.3`). */
+  def similarity(a: Column, b: Column): Column =
+    Dedup.jaccard(trigrams(a), trigrams(b))
+
+  /** Fuzzy-match a small PROBE table against a corpus: rows of `corpus`
+    * whose `textCol` trigram-matches a probe's with similarity ≥
+    * `threshold`. Returns (corpusId, probeId, shared, sim).
+    *
+    * Movement: corpus explodes map-only; broadcast gram join keeps hit
+    * rows only; ONE shuffle on (corpusId, probeId) partial-agg counts.
+    * The probe side must be broadcast-small (identifier-resolution
+    * worklists are); corpus-side cost is linear in matched grams.
+    */
+  def similarJoin(corpus: DataFrame, corpusId: String, corpusText: String,
+                  probes: DataFrame, probeId: String, probeText: String,
+                  threshold: Double = 0.3): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0 (got $threshold): " +
+      "a zero threshold would ask for the full cross product, which the " +
+      "gram-intersection path by design never produces")
+    // set sizes ride the exploded gram rows (one Generate pass, no second
+    // corpus scan and no corpus-sized count join back onto the hits)
+    val cg = corpus
+      .select(col(corpusId), trigrams(col(corpusText)).as("tg"))
+      .select(col(corpusId), size(col("tg")).as("n_c"), explode(col("tg")).as("g"))
+    val pg = probes
+      .select(col(probeId), trigrams(col(probeText)).as("tg"))
+      .select(col(probeId), size(col("tg")).as("n_p"), explode(col("tg")).as("g"))
+    cg.join(broadcast(pg), Seq("g"))
+      .groupBy(col(corpusId), col(probeId))
+      .agg(count(lit(1)).as("shared"), max(col("n_c")).as("n_c"),
+        max(col("n_p")).as("n_p"))
+      .withColumn("sim",
+        col("shared").cast("double") / (col("n_c") + col("n_p") - col("shared")))
+      .filter(col("sim") >= threshold)
+      .select(col(corpusId), col(probeId), col("shared"), col("sim"))
+  }
+}

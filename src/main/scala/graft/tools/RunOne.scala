@@ -5,7 +5,7 @@ import graft.{GraftSession, SparkEntry}
 /** Dev tool: run ONE catalog query by name and show its head — fast
   * inner-loop feedback without dumping the whole catalog through Verify.
   *
-  * Usage: sbt "runMain graft.tools.RunOne q90_merge_bucketed [sfDir]"
+  * Usage: sbt "runMain graft.tools.RunOne q90_merge_bucketed [sfDir [outParquet]]"
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -14,6 +14,7 @@ object RunOne {
     val spark = GraftSession.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.show(10, truncate = false)
+    if (args.length > 2) df.write.mode("overwrite").parquet(args(2))
     println(s"ROWS=${df.count()}")
     spark.stop()
   }
