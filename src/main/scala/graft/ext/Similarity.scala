@@ -762,6 +762,31 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC dedup by
+    * embedding clustering, the step LLM corpus prep runs after exact/minhash
+    * dedup: cluster the corpus (the paper uses k-means; here the shared
+    * deterministic IVF quantizer so the result is exactly oracle-able),
+    * then inside each cluster drop every doc whose cosine to some LOWER-id
+    * doc exceeds `tau` (min-id keeper — the deterministic twin of the
+    * paper's keep-farthest-from-centroid rule; same greedy dominance shape).
+    * Cross-cluster near-dups are NOT compared — that is SemDeDup's defining
+    * approximation, which makes it linear-ish instead of quadratic.
+    *
+    * Returns the SURVIVING rows of `corpus` (all columns). Movement =
+    * [[ivfNearDupPairs]] (one salt-guarded cell shuffle, never all-pairs) +
+    * a distinct over dropped ids + one anti-join — the dropped side is a
+    * near-dup id list, small relative to the corpus for any sane `tau`, so
+    * AQE broadcasts it; a majority-duplicate corpus degrades to a shuffled
+    * anti-join rather than OOMing (no explicit broadcast hint, the
+    * decontaminate r6 lesson). */
+  def semDedup(corpus: DataFrame, tau: Double, numCentroids: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxCellWidth: Int = 10000): DataFrame = {
+    val dropped = ivfNearDupPairs(corpus, tau, numCentroids, idCol, vecCol, maxCellWidth)
+      .select(col("vec_b").as(idCol)).distinct()
+    corpus.join(dropped, Seq(idCol), "left_anti")
+  }
+
   def annKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numPlanes: Int = 12, tables: Int = 4, dim: Int = 64,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -274,6 +274,20 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E5: MOSS winnowing fingerprints (q45's production-grade sibling —
+    * the selection that GUARANTEES shared runs share a fingerprint): word
+    * 3-gram md5 hashes, window 4, per-window minimum with leftmost
+    * tiebreak. Map-only fused pass; the oracle re-derives gram hashes,
+    * windows, and the (hash, pos)-lexicographic minimum from scratch via
+    * a packed h·2^20+pos key (exact BIGINT arithmetic both engines). */
+  private val q128Winnowing: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(TextAnalysis.winnowFingerprints($"text", 3, 4)).as("f"))
+      .select($"doc_id", $"f.pos".as("pos"), $"f.gram_hash".as("gram_hash"))
+      .orderBy($"doc_id", $"pos")
+  }
+
   /** E3: exact brute-force top-10 cosine neighbors for 5 query vectors.
     * Rank output only — ranks are stable (verified margins ≫ float noise). */
   private val q46KnnBrute: Q = (s, d) => {
@@ -378,6 +392,19 @@ object ExtQueries {
     val emb = Tables.embeddings(s, d).repartition($"vec_id")
     Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = 8)
       .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** SemDeDup (q98's consumer — arXiv:2303.09540): SEMANTIC dedup by
+    * embedding clustering, the LLM-corpus step after exact/minhash dedup.
+    * Same quantizer, same 0.45 pair threshold as q98 so the two queries
+    * cross-check; survivors = corpus minus the min-id-dominated side of
+    * every within-cell near-dup pair. */
+  private val q126SemDedup: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    Similarity.semDedup(emb, tau = 0.45, numCentroids = 8)
+      .select($"vec_id")
+      .orderBy($"vec_id")
   }
 
   /** Deterministic mixture sampling — reproducible corpus mixing with NO
@@ -682,12 +709,33 @@ object ExtQueries {
     "q115_pq_recall"      -> q115PqRecall,
     "q116_corpus_export"  -> q116CorpusExport,
     "q117_stratified"     -> q117StratifiedSample,
-    "q118_shuffle_order"  -> q118ShuffleOrder)
+    "q118_shuffle_order"  -> q118ShuffleOrder,
+    "q126_sem_dedup"      -> q126SemDedup,
+    "q128_winnowing"      -> q128Winnowing)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
   private val wordsAposSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
+
+  /** Shared q98/q126 oracle CTE: the deterministic IVF quantizer (first-8
+    * centroids, argmax cosine with the (ccos desc, cid asc) tiebreak) and
+    * per-vector cell assignment — ONE string so the two oracles can't
+    * drift from each other (they already share the engine path). */
+  private val ivfCellsCteSql =
+    """cent AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8),
+         cells AS (
+           SELECT vec_id, embedding, cid FROM (
+             SELECT v.vec_id, v.embedding, cid,
+                    row_number() OVER (
+                      PARTITION BY v.vec_id
+                      ORDER BY list_cosine_similarity(
+                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                 cv) DESC, cid) AS rk
+             FROM embeddings v CROSS JOIN cent) t
+           WHERE rk = 1)"""
 
   /** Oracle twin of `shingled` — `where` mirrors the engine-side slice so
     * engine and oracle always scan the same document subset at any sf. */
@@ -896,19 +944,7 @@ object ExtQueries {
                  w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
           FROM documents ORDER BY doc_id""",
     "q98_ivf_near_dup" ->
-      """WITH cent AS (
-           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         cells AS (
-           SELECT vec_id, embedding, cid FROM (
-             SELECT v.vec_id, v.embedding, cid,
-                    row_number() OVER (
-                      PARTITION BY v.vec_id
-                      ORDER BY list_cosine_similarity(
-                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
-                                 cv) DESC, cid) AS rk
-             FROM embeddings v CROSS JOIN cent) t
-           WHERE rk = 1)
+      s"""WITH $ivfCellsCteSql
          SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                   list_cosine_similarity(
@@ -916,6 +952,41 @@ object ExtQueries {
                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
            FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
+    // q98's consumer: survivors after dropping the greater id of every
+    // within-cell pair above the threshold (SemDeDup min-id keeper)
+    "q126_sem_dedup" ->
+      s"""WITH $ivfCellsCteSql,
+         drops AS (
+           SELECT DISTINCT b.vec_id AS vec_id
+           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(
+                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45)
+         SELECT vec_id FROM embeddings
+         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+         ORDER BY vec_id""",
+    // winnowing from first principles: per-doc word 3-grams with 1-based
+    // positions, h = first 8 md5 hex chars as BIGINT, every window start j
+    // (one window when fewer than 4 grams), min over the packed key
+    // h*2^20+pos = lexicographic (hash, leftmost pos), then distinct
+    "q128_winnowing" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                      x -> length(x) > 0) AS ws
+           FROM documents),
+         g AS (
+           SELECT doc_id, CAST(i AS INT) AS pos,
+                  CAST('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT) AS h,
+                  len(ws) - 2 AS n
+           FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+         sel AS (
+           SELECT doc_id, j, min(h * 1048576 + pos) AS skey
+           FROM g, unnest(range(1, greatest(n - 3, 1) + 1)) AS v(j)
+           WHERE pos >= j AND pos <= j + 3
+           GROUP BY doc_id, j)
+         SELECT DISTINCT doc_id, CAST(skey % 1048576 AS INT) AS pos,
+                skey // 1048576 AS gram_hash
+         FROM sel ORDER BY doc_id, pos""",
     "q100_ivf_recall" -> recallOracleSql,
     "q117_stratified" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (

@@ -214,6 +214,32 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 99L)))
   }
 
+  test("semDedup: min-id keeper, partition property, no surviving within-cell pair") {
+    // one-hot basis: pairwise-orthogonal originals (the integer-ramp fixture
+    // of the neighboring tests is nearly parallel between consecutive ids —
+    // every base doc would be someone's near-dup at tau=0.999)
+    val base = Seq.tabulate(6)(i =>
+      (i.toLong, Array.tabulate(8)(j => if (j == i) 1.0f else 0.0f)))
+    // two scaled copies of vec 1 and one of vec 3: drops must be exactly the
+    // HIGHER ids of each near-dup pair (min-id keeper) — 98/99 (dups of 1,
+    // also of each other) and 97 (dup of 3); originals 1 and 3 survive
+    val corpus = (base ++ Seq(
+      (98L, base(1)._2.map(_ * 2.0f)), (99L, base(1)._2.map(_ * 3.0f)),
+      (97L, base(3)._2.map(_ * 2.0f)))).toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(corpus, tau = 0.999, numCentroids = 3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(survivors.intersect(Set(97L, 98L, 99L)).isEmpty)
+    assert(Set(1L, 3L).subsetOf(survivors))
+    // partition: survivors ∪ dropped = corpus, disjoint
+    val all = corpus.select($"vec_id").as[Long].collect().toSet
+    assert((all -- survivors) === Set(97L, 98L, 99L))
+    // fixed point: no within-cell pair above tau remains among survivors
+    val residual = Similarity.ivfNearDupPairs(
+      corpus.join(survivors.toSeq.toDF("vec_id"), Seq("vec_id")),
+      threshold = 0.999, numCentroids = 3).count()
+    assert(residual === 0L)
+  }
+
   test("ivfNearDupPairs cell salting: degenerate one-cell corpus stays bounded AND connected") {
     // 1000 identical vectors: every one lands in cell 0 (identical ccos,
     // tiebreak cid asc), so the unguarded within-cell join is C(1000,2) ≈
@@ -316,6 +342,34 @@ class ExtSpec extends AnyFunSuite {
       .toDF("text").select(TextAnalysis.languageId($"text")).as[String].collect()
     assert(preds(0) == "en")
     assert(preds(1) == "de")
+  }
+
+  test("winnowing: density bound, guarantee property, short-text windows") {
+    // 40 distinct words -> 38 grams, windows of 4
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    def fps(t: String): Seq[(Int, Long)] =
+      Seq(t).toDF("text")
+        .select(TextAnalysis.winnowFingerprints($"text", 3, 4).as("f"))
+        .collect().head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getInt(0), r.getLong(1)))
+    val sel = fps(words)
+    // selection is sorted-by-window hence non-decreasing in pos, distinct
+    assert(sel.map(_._1) === sel.map(_._1).sorted)
+    assert(sel.distinct === sel)
+    // winnowing guarantee: consecutive selected positions gap <= w (a
+    // window with no selection would violate the algorithm)
+    sel.map(_._1).sliding(2).foreach { case Seq(a, b) => assert(b - a <= 4); case _ => }
+    // density: at most one selection per window, far fewer than gram count
+    assert(sel.length <= 38 - 4 + 1 && sel.length < 38)
+    // guarantee property: a 10-word shared run (>= w+k-1 = 6) between two
+    // docs must share at least one fingerprint hash
+    val shared = (0 until 10).map(i => s"s$i").mkString(" ")
+    val a = fps(s"aaa bbb ccc $shared ddd eee")
+    val b = fps(s"xxx yyy $shared zzz")
+    assert(a.map(_._2).toSet.intersect(b.map(_._2).toSet).nonEmpty)
+    // fewer grams than the window -> exactly one (min) fingerprint
+    assert(fps("alpha beta gamma delta").length === 1) // 2 grams, one window
+    assert(fps("alpha beta").isEmpty)                  // < k words
   }
 
   test("fingerprint: deterministic, discriminating, empty-safe") {
