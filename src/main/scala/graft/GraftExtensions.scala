@@ -58,6 +58,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_plainto"),
+      info("graft_plainto",
+        "graft_plainto(tokens, 'The merges, joining!') - plainto_tsquery match"),
+      (exprs: Seq[Expression]) => {
+        val query = graft.functions.Functions.literalArg2("graft_plainto", exprs, "query")
+        org.apache.spark.sql.graftbridge.ColumnBridge.unwrap(
+          graft.text.TextOps.tsMatchPlainto(
+            org.apache.spark.sql.graftbridge.ColumnBridge.wrap(exprs.head), query))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_websearch"),
       info("graft_websearch",
         "graft_websearch(tokens, 'merge -window or fast') - websearch_to_tsquery match"),

@@ -296,4 +296,61 @@ object TextAnalysis {
       aggregate(codes, lit(0L), (acc, c) => (acc * 31L + c) % 1000000007L))
       .otherwise(lit(0L))
   }
+
+  /** One selected winnowing fingerprint: 1-based gram position + its hash. */
+  case class Winnow(pos: Int, gram_hash: Long)
+
+  /** MOSS winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) — the
+    * guarantee-density fingerprint selection used for plagiarism/overlap
+    * detection at corpus scale: hash every word k-gram, slide a w-gram
+    * window, keep each window's MINIMUM hash (ties to the leftmost
+    * position), emit the distinct selected (pos, hash) pairs. Any shared
+    * run of ≥ w+k-1 words between two documents is guaranteed to share a
+    * fingerprint — the property plain "every i-th gram" sampling lacks.
+    *
+    * Gram hash = first 8 hex chars of md5(gram) as an unsigned long — the
+    * engine's content-stable-hash idiom (q96/q117/q118), chosen so DuckDB
+    * can rebuild it bit-for-bit. Fewer than w grams winnow as one window;
+    * texts shorter than k words have no fingerprints. Fused single pass,
+    * map-only — at 100 TB this is an embarrassingly parallel scan whose
+    * output is ~2/(w+1) of the gram count per doc (the paper's density
+    * bound), ready for a fingerprint-equality self-join. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, s"k/w must be positive: $k/$w")
+    val f = udf { (t: String) =>
+      if (t == null) Seq.empty[Winnow]
+      else {
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val n = ws.length - k + 1
+        if (n <= 0) Seq.empty[Winnow]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hs = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            val gram = ws.slice(i, i + k).mkString(" ")
+            val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            hs(i) = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+              ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+            md.reset()
+            i += 1
+          }
+          val out = scala.collection.mutable.LinkedHashSet.empty[Winnow]
+          val lastStart = math.max(n - w + 1, 1)
+          var j = 0
+          while (j < lastStart) {
+            var best = j
+            var m = j + 1
+            val end = math.min(j + w, n)
+            while (m < end) { if (hs(m) < hs(best)) best = m; m += 1 }
+            out += Winnow(best + 1, hs(best))
+            j += 1
+          }
+          out.toSeq
+        }
+      }
+    }
+    f(text)
+  }
 }

@@ -80,6 +80,13 @@ object Functions {
       val query = literalArg2("graft_websearch", exprs, "query")
       ColumnBridge.unwrap(TextOps.tsMatchWebsearch(ColumnBridge.wrap(exprs.head), query))
     }, "scala_udf")
+    // graft_plainto(tokens, 'The merges, joining!') — plainto_tsquery
+    // dialect: words ANDed, stopwords/punctuation vanish; always
+    // array-compilable (no phrases), same plan-time-literal rule
+    reg.createOrReplaceTempFunction("graft_plainto", exprs => {
+      val query = literalArg2("graft_plainto", exprs, "query")
+      ColumnBridge.unwrap(TextOps.tsMatchPlainto(ColumnBridge.wrap(exprs.head), query))
+    }, "scala_udf")
     reg.createOrReplaceTempFunction("graft_stem_array",
       exprs => PorterStemArrayExpr(exprs.head), "scala_udf")
     spark.udf.register("graft_stem", (s: String) => if (s == null) null else Porter.stem(s))

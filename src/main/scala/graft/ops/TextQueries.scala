@@ -421,6 +421,26 @@ object TextQueries {
       .orderBy($"p_partkey", $"probe_id")
   }
 
+  /** The remaining to_tsquery parser family members — `plainto_tsquery`
+    * (words ANDed, stopwords/punctuation vanish) and `phraseto_tsquery`
+    * (the whole input as one gap-preserving phrase) — each gated against
+    * the catalog's SHARED truth string for its semantics: plainto('The
+    * merges, joining!') must equal the q37/q89/q106/q107 "merges AND
+    * joining" oracle, phraseto('hash join') the q91/q119 `hash <-> join`
+    * oracle. One output, dialect-tagged. */
+  private val q127PlaintoPhraseto: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val plain = docs
+      .filter(TextOps.tsMatchPlainto(TextOps.tokenize($"text"), "The merges, joining!"))
+      .select(lit("plainto").as("dialect"), $"doc_id")
+    val positional = PostingIndex.buildPositional(docs, "doc_id", $"text")
+    val phrase = PostingIndex
+      .searchPhraseto(positional, "doc_id", "hash join", docs.select($"doc_id"))
+      .select(lit("phraseto").as("dialect"), $"doc_id")
+    plain.unionByName(phrase).orderBy($"dialect", $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -445,7 +465,8 @@ object TextQueries {
     "q121_weighted_rank"    -> q121WeightedRank,
     "q122_ts_stat"          -> q122TsStat,
     "q123_upsert_phrase"    -> q123UpsertPhrase,
-    "q125_trigram_fuzzy"    -> q125TrigramFuzzy)
+    "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
+    "q127_plainto_phraseto" -> q127PlaintoPhraseto)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -604,6 +625,14 @@ object TextQueries {
           WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
             AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
           ORDER BY doc_id""",
+    // both dialects gate against the SAME truth strings their operator
+    // siblings use (q37's merges-AND-joining, q91's hash <-> join) — the
+    // parsers are new, the semantics must not be
+    "q127_plainto_phraseto" ->
+      s"""SELECT 'phraseto' AS dialect, doc_id FROM ($hashJoinPhraseOracle) p
+          UNION ALL
+          SELECT 'plainto' AS dialect, doc_id FROM ($mergesJoiningOracle) m
+          ORDER BY dialect, doc_id""",
     // independent rebuild of the pg_trgm pipeline: lowercase word split,
     // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;
     // CAST AS DOUBLE (not * 1.0 — DuckDB decimal division would round

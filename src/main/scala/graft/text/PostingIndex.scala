@@ -702,6 +702,17 @@ object PostingIndex {
                       universe: DataFrame): DataFrame =
     searchAst(postings, idCol, TsQuery.parseWebsearch(input), universe)
 
+  /** [[searchQuery]] with `plainto_tsquery` input — every word ANDed. */
+  def searchPlainto(postings: DataFrame, idCol: String, input: String,
+                    universe: DataFrame): DataFrame =
+    searchAst(postings, idCol, TsQuery.parsePlainto(input), universe)
+
+  /** [[searchQuery]] with `phraseto_tsquery` input — the whole input as one
+    * gap-preserving phrase; requires POSITIONAL postings. */
+  def searchPhraseto(postings: DataFrame, idCol: String, input: String,
+                     universe: DataFrame): DataFrame =
+    searchAst(postings, idCol, TsQuery.parsePhraseto(input), universe)
+
   private def searchAst(postings: DataFrame, idCol: String, ast: TsQuery,
                         universe: DataFrame): DataFrame = {
     val positional = postings.columns.contains("pos")

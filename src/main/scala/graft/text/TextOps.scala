@@ -150,6 +150,12 @@ object TextOps {
   def tsMatchWebsearch(tokens: Column, input: String): Column =
     compileMatch(tokens, TsQuery.parseWebsearch(input))
 
+  /** [[tsMatchQuery]] with `plainto_tsquery` input — every word ANDed,
+    * stopwords and punctuation vanish; no operators and no phrases, so it
+    * always compiles on a token ARRAY. */
+  def tsMatchPlainto(tokens: Column, input: String): Column =
+    compileMatch(tokens, TsQuery.parsePlainto(input))
+
   /** Simplified `ts_headline` — the snippet next to each search hit: find
     * the FIRST word whose stem is one of the query's positive lexemes and
     * emit the raw words from `before` ahead of it to `after` past it, every

@@ -113,6 +113,30 @@ object TsQuery {
     stemmed(if (alts.length == 1) alts.head else Or(alts))
   }
 
+  /** Postgres `plainto_tsquery`: no operators at all — tokenize the input
+    * exactly like to_tsvector (same `[^a-z0-9]+` delimiter, stopword drop,
+    * Porter stem) and AND every surviving lexeme. The remaining member of
+    * the to_tsquery parser family after to_tsquery (q99) and
+    * websearch_to_tsquery (q110). */
+  def parsePlainto(input: String): TsQuery = {
+    val ws = input.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
+      .filterNot(TextOps.englishStopWords.contains)
+    require(ws.nonEmpty, s"plainto: no searchable terms in <$input>")
+    stemmed(if (ws.length == 1) Term(ws.head) else And(ws.toSeq.map(Term(_))))
+  }
+
+  /** Postgres `phraseto_tsquery`: the whole input as ONE gap-preserving
+    * phrase — stopwords dropped AFTER position numbering exactly like a
+    * quoted websearch phrase ("merge the tables" → `merge <2> tables`); a
+    * single surviving word degrades to a plain term. Needs positional
+    * postings to evaluate, like any `<->` query. */
+  def parsePhraseto(input: String): TsQuery = {
+    val q = websearchPhrase(input)
+    require(q.nonEmpty, s"phraseto: no searchable terms in <$input>")
+    stemmed(q.get)
+  }
+
   /** Quoted-phrase body → AST node: to_tsvector word numbering, stopwords
     * removed AFTER numbering so their gaps survive as `<N>` distances. */
   private def websearchPhrase(body: String): Option[TsQuery] = {

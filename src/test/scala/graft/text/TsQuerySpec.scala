@@ -186,6 +186,27 @@ class TsQuerySpec extends AnyFunSuite {
       And(Seq(Not(Phrase(Seq("state", "art"), Seq(0, 3))), Term("merg"))))
   }
 
+  test("plainto: words AND, stopwords/punctuation vanish, stems applied") {
+    assert(parsePlainto("The merges, joining!") ==
+      And(Seq(Term(graft.text.Porter.stem("merges")), Term(graft.text.Porter.stem("joining")))))
+    assert(parsePlainto("Merge") == Term("merg"))
+    // operators are NOT operators here — plainto treats them as junk chars,
+    // and 'or' is a stopword (exactly Postgres: plainto_tsquery('a or b'))
+    assert(parsePlainto("merge -window or fast") ==
+      And(Seq(Term("merg"), Term("window"), Term("fast"))))
+    assertThrows[IllegalArgumentException](parsePlainto("the of a ..."))
+  }
+
+  test("phraseto: whole input is one gap-preserving phrase") {
+    assert(parsePhraseto("merge the tables") == Phrase(Seq("merg", "tabl"), Seq(0, 2)))
+    assert(parsePhraseto("hash join") == Phrase(Seq("hash", "join"), Seq(0, 1)))
+    // to one word -> plain term; to zero -> rejected
+    assert(parsePhraseto("the merges") == Term("merg"))
+    assertThrows[IllegalArgumentException](parsePhraseto("of the"))
+    // same rule as a quoted websearch phrase, by construction
+    assert(parsePhraseto("state of the art") == parseWebsearch("\"state of the art\""))
+  }
+
   test("websearch evaluation agrees with the equivalent tsquery") {
     val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
     def web(q: String): Set[Long] =
