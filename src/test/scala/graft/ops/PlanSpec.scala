@@ -162,6 +162,21 @@ class PlanSpec extends AnyFunSuite {
     assert(bhj >= 2, s"expected 2 broadcast joins (probe + fan-back), got $bhj:\n$plan")
   }
 
+  test("trigram fuzzy join (q125): probe side broadcasts, corpus aggregates map-side") {
+    val df = graft.SparkEntry.queries("q125_trigram_fuzzy")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the gram join must be broadcast (the GIN posting-probe shape) — a
+    // SortMergeJoin would shuffle the whole exploded corpus on gram text
+    assert(!plan.contains("SortMergeJoin"),
+      s"q125 must not sort-merge on grams:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast gram join:\n$plan")
+    // one pair-count shuffle + the output sort; partial agg runs map-side
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (agg + sort), got $exchanges:\n$plan")
+  }
+
   test("corpus export (q116): bounded shuffle count — filters and probes never move the corpus") {
     val df = graft.SparkEntry.queries("q116_corpus_export")(spark, sf)
     // typed node counts (not string matching): broadcast exchanges are a
