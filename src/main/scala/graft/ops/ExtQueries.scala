@@ -288,6 +288,76 @@ object ExtQueries {
       .orderBy($"doc_id", $"pos")
   }
 
+  /** The GPT-2-SHAPED pre-tokenizer regex, lookahead-free so it means the
+    * same thing in Java regex and RE2/DuckDB (the original's `\s+(?!\S)`
+    * branch needs lookahead; dropping it only changes how a trailing
+    * whitespace run groups). Apostrophe contractions, space-glued
+    * letter/digit/punctuation runs, residual whitespace runs. */
+  private[ops] val PreTokenRegex =
+    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  /** E5 token counting, the BPE-ish REGEX form (the brief's "whitespace +
+    * BPE-ish regex"; q52 is the cheap length/4 heuristic): count GPT-2
+    * pre-tokens — the units BPE merges start from, a far better sequence-
+    * length predictor than word count. Map-only codegen'd regex pass; the
+    * oracle runs the IDENTICAL pattern through DuckDB's RE2. */
+  private val q129PreTokens: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        size(regexp_extract_all($"text", lit(PreTokenRegex), lit(0)))
+          .cast("long").as("n_pretokens"))
+      .orderBy($"doc_id")
+  }
+
+  /** E5 MODEL-BASED quality filter (the FineWeb-Edu/fastText shape, vs
+    * q51's rule gate): a fixed linear classifier over per-doc features —
+    * z = b + w·(ln(1+n_words), uniq_frac, mean_word_len, digit_frac),
+    * score = σ(z) — with the keep decision taken on the LINEAR term
+    * (z ≥ 0 ⇔ σ ≥ ½) so the gate never sits on a transcendental-library
+    * boundary. Weights are deterministic model constants (a real
+    * deployment swaps in trained ones); both engines build z with the
+    * SAME operation order, so the float sums agree bit-for-bit. */
+  private val q130QualityModel: Q = (s, d) => {
+    import s.implicits._
+    val ws = Dedup.words($"text")
+    val nWords = size(ws).cast("double")
+    val f1 = log(lit(1.0) + nWords)
+    val f2 = size(array_distinct(ws)).cast("double") / nWords
+    val f3 = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
+    val f4 = size(filter(ws, w => w.rlike("[0-9]"))).cast("double") / nWords
+    val z = lit(-2.0) + lit(0.45) * f1 + lit(1.6) * f2 + lit(0.12) * f3 + lit(-2.5) * f4
+    Tables.documents(s, d)
+      .filter(size(Dedup.words($"text")) > 0)
+      .select($"doc_id", round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
+        (z >= 0).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** Deterministic size-budgeted SHARD MANIFEST (q118's consumer — the
+    * files-and-offsets layout a corpus exporter actually writes, the
+    * WebDataset/tar-stream shape): within each md5 hash bucket, docs in
+    * content-stable (md5, doc_id) order are laid out as a byte stream;
+    * the manifest records each doc's stream offset and the shard file
+    * `offset // budget` it starts in. Pure integer window arithmetic —
+    * exact in both engines; per-bucket windows with no global sort task,
+    * same scale story as q118. */
+  private val q131ShardManifest: Q = (s, d) => {
+    import s.implicits._
+    val budget = 2000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"h", $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select($"doc_id", $"n_chars", md5($"text").as("h"))
+      .withColumn("bucket",
+        pmod(conv(substring($"h", 1, 8), 16, 10).cast("long"), lit(16)))
+      .withColumn("byte_offset", coalesce(sum($"n_chars").over(w), lit(0L)))
+      .select($"doc_id", $"bucket", $"byte_offset",
+        floor($"byte_offset" / budget).cast("long").as("shard_idx"))
+      .orderBy($"bucket", $"byte_offset", $"doc_id")
+  }
+
   /** E3: exact brute-force top-10 cosine neighbors for 5 query vectors.
     * Rank output only — ranks are stable (verified margins ≫ float noise). */
   private val q46KnnBrute: Q = (s, d) => {
@@ -711,7 +781,10 @@ object ExtQueries {
     "q117_stratified"     -> q117StratifiedSample,
     "q118_shuffle_order"  -> q118ShuffleOrder,
     "q126_sem_dedup"      -> q126SemDedup,
-    "q128_winnowing"      -> q128Winnowing)
+    "q128_winnowing"      -> q128Winnowing,
+    "q129_pretokens"      -> q129PreTokens,
+    "q130_quality_model"  -> q130QualityModel,
+    "q131_shard_manifest" -> q131ShardManifest)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -987,6 +1060,47 @@ object ExtQueries {
          SELECT DISTINCT doc_id, CAST(skey % 1048576 AS INT) AS pos,
                 skey // 1048576 AS gram_hash
          FROM sel ORDER BY doc_id, pos""",
+    // the IDENTICAL lookahead-free pattern through DuckDB's RE2 — the
+    // pattern string itself is shared (apostrophes SQL-doubled), so the
+    // two engines can only disagree if their regex ENGINES disagree on
+    // the Java∩RE2 subset the pattern is restricted to
+    "q129_pretokens" ->
+      s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '${PreTokenRegex.replace("'", "''")}')) AS BIGINT)
+            AS n_pretokens
+          FROM documents ORDER BY doc_id""",
+    // same features, same operation ORDER (left-associated adds, one
+    // division per fraction) so z agrees bit-for-bit; only σ goes through
+    // each engine's exp(), absorbed by 6dp rounding — and the keep gate
+    // reads the sign of z, never σ
+    "q130_quality_model" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          f AS (SELECT doc_id,
+                  ln(1.0 + CAST(len(ws) AS DOUBLE)) AS f1,
+                  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS f2,
+                  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
+                    / CAST(len(ws) AS DOUBLE) AS f3,
+                  CAST(len(list_filter(ws, w -> regexp_matches(w, '[0-9]'))) AS DOUBLE)
+                    / CAST(len(ws) AS DOUBLE) AS f4
+                FROM t WHERE len(ws) > 0),
+          zt AS (SELECT doc_id,
+                   -2.0 + 0.45 * f1 + 1.6 * f2 + 0.12 * f3 + (-2.5) * f4 AS z
+                 FROM f)
+          SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score, z >= 0 AS keep
+          FROM zt ORDER BY doc_id""",
+    "q131_shard_manifest" ->
+      """SELECT doc_id, bucket, byte_offset,
+                CAST(byte_offset // 2000 AS BIGINT) AS shard_idx
+         FROM (
+           SELECT doc_id, bucket,
+                  CAST(coalesce(sum(n_chars) OVER (
+                    PARTITION BY bucket ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                    AS byte_offset
+           FROM (SELECT doc_id, n_chars, md5(text) AS h,
+                        CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16 AS bucket
+                 FROM documents) b) t
+         ORDER BY bucket, byte_offset, doc_id""",
     "q100_ivf_recall" -> recallOracleSql,
     "q117_stratified" ->
       """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
