@@ -484,6 +484,30 @@ object ExtQueries {
     * the selection is exactly oracle-able (unlike seeded sample(), q18/q65
     * — engine-local RNG). Even-numbered sources keep 75%, odd 25% — the
     * up/down-weighting shape of LLM data-mixture recipes. */
+  /** Temperature-scaled mixture sampling (the mT5/XLM-R multilingual
+    * REBALANCING step; q96 is the fixed-rate form): source shares are
+    * flattened to p^(1/T) with T=2, i.e. keep-rate_s = √(n_min/n_s), so
+    * the smallest source keeps everything and dominant sources shrink
+    * toward parity. T=2 keeps every float op IEEE-correctly-rounded
+    * (sqrt/div/mul only — no pow, whose libm rounding differs between
+    * engines), so the integer keep thresholds agree bit-for-bit and the
+    * content-stable md5 rule is exactly oracle-able. Movement: one tiny
+    * per-source count agg, rates broadcast back, map-only filter. */
+  private val q134TemperatureMix: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+    val nmin = counts.agg(min($"n").as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select($"source",
+        floor(sqrt($"nmin".cast("double")) / sqrt($"n".cast("double")) * 1000000)
+          .cast("long").as("thr"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 1000000 < $"thr")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   private val q96MixtureSample: Q = (s, d) => {
     import s.implicits._
     val rate = when(substring($"source", 4, 10).cast("int") % 2 === 0, 750)
@@ -784,7 +808,8 @@ object ExtQueries {
     "q128_winnowing"      -> q128Winnowing,
     "q129_pretokens"      -> q129PreTokens,
     "q130_quality_model"  -> q130QualityModel,
-    "q131_shard_manifest" -> q131ShardManifest)
+    "q131_shard_manifest" -> q131ShardManifest,
+    "q134_temperature_mix" -> q134TemperatureMix)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -1038,6 +1063,20 @@ object ExtQueries {
          SELECT vec_id FROM embeddings
          WHERE vec_id NOT IN (SELECT vec_id FROM drops)
          ORDER BY vec_id""",
+    // same integer thresholds from the same counts: sqrt and division are
+    // IEEE-correctly-rounded in both engines, so floor(√(nmin/n)·1e6)
+    // cannot disagree; the md5 keep rule is q96's
+    "q134_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT source,
+                      CAST(floor(sqrt(CAST(nmin AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))
+                                 * 1000000) AS BIGINT) AS thr
+               FROM c, m)
+         SELECT d.doc_id, d.source
+         FROM documents d JOIN r USING (source)
+         WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000000 < thr
+         ORDER BY doc_id""",
     // winnowing from first principles: per-doc word 3-grams with 1-based
     // positions, h = first 8 md5 hex chars as BIGINT, every window start j
     // (one window when fewer than 4 grams), min over the packed key

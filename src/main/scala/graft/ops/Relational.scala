@@ -407,6 +407,33 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** Sketch contract, the quantile sibling of q77's HLL: percentile_approx
+    * (the Greenwald-Khanna-style mergeable sketch — the only way to do
+    * quantiles in one pass at 100 TB) with a MEASURED rank-error gate.
+    * Approx values are engine-specific, so the oracle-checked output is
+    * the exact quantile plus "the approx answer's true rank is within the
+    * accuracy bound", measured in-query against the full column — the
+    * q47/q77/q100 contract pattern. accuracy=1000 ⇒ rank error ≤ n/1000. */
+  private val q132ApproxQuantiles: Q = (s, d) => {
+    import s.implicits._
+    val acc = 1000
+    val o = Tables.orders(s, d).select($"o_totalprice".as("x"))
+    val st = o.agg(
+      expr(s"percentile_approx(x, array(0.25D, 0.5D, 0.75D), $acc)").as("apx"),
+      expr("percentile(x, array(0.25D, 0.5D, 0.75D))").as("ext"),
+      count(lit(1)).as("n"))
+    o.crossJoin(broadcast(st))
+      .select($"x", $"n", $"ext", posexplode($"apx").as(Seq("qi", "av")))
+      .groupBy($"qi")
+      .agg(first($"n").as("n"), first($"ext").as("ext"), first($"av").as("av"),
+        sum(when($"x" <= $"av", 1L).otherwise(0L)).as("rank_le"))
+      .select($"qi".cast("long").as("qi"),
+        round(element_at($"ext", ($"qi" + 1).cast("int")), 6).as("exact"),
+        (abs($"rank_le".cast("double") - ($"qi" + 1).cast("double") * 0.25 * $"n") <=
+          $"n".cast("double") / acc + 1.0).as("rank_ok"))
+      .orderBy($"qi")
+  }
+
   /** SQL surface: correlated LATERAL subquery (top-2 orders per customer) —
     * the SQL twin of the q14 window pattern. */
   private val q81Lateral: Q = (s, d) => {
@@ -521,6 +548,7 @@ object Relational {
     "q59_full_outer"      -> q59FullOuter,
     "q77_approx_distinct" -> q77ApproxDistinct,
     "q78_quantiles"       -> q78Quantiles,
+    "q132_approx_quantiles" -> q132ApproxQuantiles,
     "q81_lateral"         -> q81Lateral,
     "q82_window_suite"    -> q82WindowSuite,
     "q83_datetime_suite"  -> q83DatetimeSuite,
@@ -698,6 +726,19 @@ object Relational {
          round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
          round(quantile_cont(o_totalprice, 0.75), 6) AS p75
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // like q77: the sketch value is engine-specific, so the oracle pins the
+    // exact quantiles and expects the measured rank contract to hold
+    "q132_approx_quantiles" ->
+      """SELECT CAST(0 AS BIGINT) AS qi,
+                round(quantile_cont(o_totalprice, 0.25), 6) AS exact, true AS rank_ok
+         FROM orders
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), round(quantile_cont(o_totalprice, 0.5), 6), true
+         FROM orders
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), round(quantile_cont(o_totalprice, 0.75), 6), true
+         FROM orders
+         ORDER BY qi""",
     "q81_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

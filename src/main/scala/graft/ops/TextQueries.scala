@@ -441,6 +441,23 @@ object TextQueries {
     plain.unionByName(phrase).orderBy($"dialect", $"doc_id")
   }
 
+  /** `ts_rewrite` query expansion (the Postgres query-side synonym /
+    * thesaurus mechanism, the natural next EP4 ask after weighted rank):
+    * the aliases-table rule `window → window | join` expands
+    * `merge & window` before it hits the posting lists — the oracle
+    * encodes the EXPANDED semantics (merge AND (window OR join)) from the
+    * tokenize truth, so a rewrite that fails to apply (or over-applies)
+    * breaks the gate. AST matching is commutativity-aware incl. subset
+    * match inside wider conjunctions (spec-pinned). */
+  private val q133TsRewrite: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val postings = PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text"))
+    PostingIndex.searchRewritten(postings, "doc_id", "merge & window",
+        rules = Seq("window" -> "window | join"), docs.select($"doc_id"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -466,7 +483,8 @@ object TextQueries {
     "q122_ts_stat"          -> q122TsStat,
     "q123_upsert_phrase"    -> q123UpsertPhrase,
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
-    "q127_plainto_phraseto" -> q127PlaintoPhraseto)
+    "q127_plainto_phraseto" -> q127PlaintoPhraseto,
+    "q133_ts_rewrite"       -> q133TsRewrite)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -633,6 +651,16 @@ object TextQueries {
           UNION ALL
           SELECT 'plainto' AS dialect, doc_id FROM ($mergesJoiningOracle) m
           ORDER BY dialect, doc_id""",
+    // the EXPANDED query's semantics from the tokenize truth: a rewrite
+    // that fails to apply would miss the join-only docs, one that
+    // over-applies would add window-less merge docs
+    "q133_ts_rewrite" ->
+      s"""SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM documents) t
+          WHERE list_contains(toks, '${Porter.stem("merge")}')
+            AND (list_contains(toks, '${Porter.stem("window")}')
+                 OR list_contains(toks, '${Porter.stem("join")}'))
+          ORDER BY doc_id""",
     // independent rebuild of the pg_trgm pipeline: lowercase word split,
     // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;
     // CAST AS DOUBLE (not * 1.0 — DuckDB decimal division would round

@@ -35,24 +35,19 @@ object PostingIndex {
       .write.mode("overwrite")
       .partitionBy("lexeme_bucket")
       .parquet(path)
-    // bootstrap the doc→bucket sidecar from the files just written (a
-    // two-column pruned read — far cheaper than re-tokenizing the corpus),
-    // so the upsert path is available from birth
-    bootstrapDocMap(postings.sparkSession, path, inferIdCol(postings), buckets)
+    // the doc→bucket sidecar the UPSERT path sweeps by is NOT built here:
+    // eagerly bootstrapping it taxed every index build (and, by existing,
+    // made every streamed append pay a sidecar maintenance write) with a
+    // full extra read+shuffle+write that search/append-only users never
+    // need — measured at +50-95% on the q89/q109/q119 family in round 6.
+    // upsertBatch bootstraps it lazily (one O(index) scan, paid once) the
+    // first time a document UPDATE actually needs the old-bucket sweep,
+    // and maintains it incrementally from then on.
     val p = new org.apache.hadoop.fs.Path(path, LayoutMarker)
     val fs = p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
     val out = fs.create(p, true)
     try out.write(buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-  }
-
-  /** The posting frame's doc-id column: whatever [[build]]/[[buildPositional]]
-    * carried alongside the fixed (lexeme[, pos, weight]) columns. */
-  private def inferIdCol(postings: DataFrame): String = {
-    val cand = postings.columns.filterNot(Set("lexeme", "pos", "weight", "lexeme_bucket"))
-    require(cand.length == 1,
-      s"cannot infer the doc-id column of postings(${postings.columns.mkString(",")})")
-    cand.head
   }
 
   /** Root-level file recording the bucket modulus the index was written
@@ -701,6 +696,17 @@ object PostingIndex {
   def searchWebsearch(postings: DataFrame, idCol: String, input: String,
                       universe: DataFrame): DataFrame =
     searchAst(postings, idCol, TsQuery.parseWebsearch(input), universe)
+
+  /** [[searchQuery]] with `ts_rewrite` query expansion applied first: each
+    * (target, substitute) rule — to_tsquery syntax — rewrites the parsed
+    * query in order (the Postgres aliases-table form), then the expanded
+    * query evaluates as usual on the posting lists. */
+  def searchRewritten(postings: DataFrame, idCol: String, query: String,
+                      rules: Seq[(String, String)], universe: DataFrame): DataFrame = {
+    val ast = TsQuery.rewriteAll(TsQuery.parseStemmed(query),
+      rules.map { case (t, s) => (TsQuery.parseStemmed(t), TsQuery.parseStemmed(s)) })
+    searchAst(postings, idCol, ast, universe)
+  }
 
   /** [[searchQuery]] with `plainto_tsquery` input — every word ANDed. */
   def searchPlainto(postings: DataFrame, idCol: String, input: String,

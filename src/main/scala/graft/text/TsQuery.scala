@@ -159,6 +159,58 @@ object TsQuery {
     case Or(qs)          => Or(qs.map(stemmed))
   }
 
+  /** Postgres `ts_rewrite(query, target, substitute)` — query expansion
+    * (the query-side synonym/thesaurus mechanism): every occurrence of
+    * `target` inside `query` is replaced by `substitute`. Matching is
+    * commutativity-aware for `&`/`|` exactly as Postgres's is: `b & a`
+    * matches target `a & b`, and a target that is a SUBSET of a wider
+    * conjunction/disjunction rewrites just that subset (`a & b & c` with
+    * target `a & b` → `to & c`). Operates on stemmed ASTs (rewrite after
+    * parseStemmed, like Postgres rewrites parsed tsqueries). */
+  def rewrite(query: TsQuery, target: TsQuery, substitute: TsQuery): TsQuery = {
+    def key(q: TsQuery): String = q match {
+      case Term(l, p)      => s"t:$l:$p"
+      case Phrase(ls, off) => s"p:${ls.mkString(",")}:${off.mkString(",")}"
+      case Not(x)          => s"n:(${key(x)})"
+      case And(qs)         => s"a:(${qs.map(key).sorted.mkString("&")})"
+      case Or(qs)          => s"o:(${qs.map(key).sorted.mkString("|")})"
+    }
+    val targetKey = key(target)
+    def targetParts(q: TsQuery): Option[Set[String]] = (q, target) match {
+      case (And(_), And(ts)) => Some(ts.map(key).toSet)
+      case (Or(_), Or(ts))   => Some(ts.map(key).toSet)
+      case _                 => None
+    }
+    def go(q: TsQuery): TsQuery =
+      if (key(q) == targetKey) substitute
+      else q match {
+        case Not(x) => Not(go(x))
+        case And(qs) =>
+          targetParts(q) match {
+            // subset match inside a wider conjunction
+            case Some(tks) if tks.subsetOf(qs.map(key).toSet) && tks.size < qs.length =>
+              val rest = qs.filterNot(c => tks.contains(key(c))).map(go)
+              And(substitute +: rest)
+            case _ => And(qs.map(go))
+          }
+        case Or(qs) =>
+          targetParts(q) match {
+            case Some(tks) if tks.subsetOf(qs.map(key).toSet) && tks.size < qs.length =>
+              val rest = qs.filterNot(c => tks.contains(key(c))).map(go)
+              Or(substitute +: rest)
+            case _ => Or(qs.map(go))
+          }
+        case leaf => leaf
+      }
+    go(query)
+  }
+
+  /** [[rewrite]] driven by a RULES TABLE (Postgres's
+    * `ts_rewrite(query, 'SELECT target, substitute FROM aliases')` form):
+    * rules apply in order, each to the result of the previous. */
+  def rewriteAll(query: TsQuery, rules: Seq[(TsQuery, TsQuery)]): TsQuery =
+    rules.foldLeft(query) { case (q, (t, s)) => rewrite(q, t, s) }
+
   /** Exact lexemes NOT under a negation — the terms a headline/snippet
     * should highlight (highlighting a `!term` would be nonsense). */
   def positiveLexemes(q: TsQuery): Seq[String] = q match {

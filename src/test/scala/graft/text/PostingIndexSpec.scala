@@ -176,15 +176,17 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(indexRows(dir) == indexRows(full))
   }
 
-  test("upsert on a pre-sidecar index bootstraps the doc map and still sweeps") {
+  test("upsert on a sidecar-less index bootstraps the doc map lazily and still sweeps") {
     val dir = freshDir()
     PostingIndex.write(
       PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 4)
-    // simulate an index written before the sidecar existed
+    // write() deliberately creates NO sidecar (search/append-only users
+    // never pay for it — the round-6 lesson); the first upsert must
+    // bootstrap it from the index and sweep correctly
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_docmap"), true),
-      "fixture should have a sidecar to delete")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_docmap")),
+      "write() must not build the sidecar eagerly")
     PostingIndex.upsertIndex(spark, dir,
       Seq((1L, "zebra")).toDF("doc_id", "text"), "doc_id",
       TextOps.tokenize($"text"), buckets = 4)
@@ -194,6 +196,8 @@ class PostingIndexSpec extends AnyFunSuite {
         docs.filter($"doc_id" =!= 1L).unionByName(Seq((1L, "zebra")).toDF("doc_id", "text")),
         "doc_id", TextOps.tokenize($"text")), full, buckets = 4)
     assert(indexRows(dir) == indexRows(full))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_docmap")),
+      "the first upsert should have bootstrapped the sidecar")
   }
 
   test("positional upsert replaces (lexeme, pos) rows so phrase ghosts die") {

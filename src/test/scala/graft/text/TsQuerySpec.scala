@@ -207,6 +207,27 @@ class TsQuerySpec extends AnyFunSuite {
     assert(parsePhraseto("state of the art") == parseWebsearch("\"state of the art\""))
   }
 
+  test("ts_rewrite: exact, commutative, and subset matches; rules in order") {
+    def q(s: String) = parse(s)
+    // exact node match
+    assert(rewrite(q("a & b"), q("a"), q("x | y")) == q("(x | y) & b"))
+    // commutative match: target 'a & b' matches 'b & a'
+    assert(rewrite(q("b & a"), q("a & b"), q("z")) == q("z"))
+    assert(rewrite(q("b | a"), q("a | b"), q("z")) == q("z"))
+    // subset match inside a wider conjunction (Postgres rewrites a & b & c
+    // with target a & b into z & c)
+    assert(rewrite(q("a & b & c"), q("a & b"), q("z")) == And(Seq(q("z"), q("c"))))
+    assert(rewrite(q("a | b | c"), q("b | c"), q("z")) == Or(Seq(q("z"), q("a"))))
+    // nested occurrences, incl. under NOT
+    assert(rewrite(q("!(a) | (a & c)"), q("a"), q("w")) == q("!(w) | (w & c)"))
+    // no match -> identity
+    assert(rewrite(q("a & b"), q("d"), q("z")) == q("a & b"))
+    // a phrase target matches structurally
+    assert(rewrite(q("(a <-> b) | c"), q("a <-> b"), q("p")) == q("p | c"))
+    // rules apply in order, each over the previous result
+    assert(rewriteAll(q("a"), Seq(q("a") -> q("b"), q("b") -> q("c"))) == q("c"))
+  }
+
   test("websearch evaluation agrees with the equivalent tsquery") {
     val pos = PostingIndex.buildPositional(docs, "doc_id", $"text")
     def web(q: String): Set[Long] =
