@@ -455,4 +455,107 @@ object Dedup {
       out
     }
   })
+
+  /** One k-word-gram occurrence: 1-based word position + the gram's md5. */
+  case class GramOcc(pos: Long, gkey: String)
+
+  /** Every k-word gram of a text with its 1-based start position and full
+    * md5 hex key, in one fused JVM pass (the [[shingleSet]] lesson: the
+    * transform/slice/concat_ws expression form is CodegenFallback and
+    * ~1000× slower per row). Same md5-of-space-joined-words key DuckDB's
+    * `md5(array_to_string(ws[i:i+k-1], ' '))` computes, so the oracle can
+    * rebuild the keys bit-for-bit. Texts shorter than k words yield none. */
+  def gramOccurrences(text: Column, k: Int): Column = {
+    require(k > 1, s"gram width must be > 1: $k")
+    val f = udf { (t: String) =>
+      if (t == null) Seq.empty[GramOcc]
+      else {
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        val n = ws.length - k + 1
+        if (n <= 0) Seq.empty[GramOcc]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val out = new Array[GramOcc](n)
+          var i = 0
+          while (i < n) {
+            val dig = md.digest(ws.slice(i, i + k).mkString(" ")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            val sb = new java.lang.StringBuilder(32)
+            var b = 0
+            while (b < 16) {
+              sb.append(Character.forDigit((dig(b) >> 4) & 0xF, 16))
+              sb.append(Character.forDigit(dig(b) & 0xF, 16))
+              b += 1
+            }
+            out(i) = GramOcc(i + 1L, sb.toString)
+            md.reset()
+            i += 1
+          }
+          out.toSeq
+        }
+      }
+    }
+    f(text)
+  }
+
+  /** ExactSubstr cross-document dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499): any
+    * k-word span whose exact text occurs MORE THAN ONCE corpus-wide
+    * (across documents or repeated within one) is removed from every
+    * occurrence except the first — ordered by (id, position), so the
+    * keeper is deterministic — and each document is reassembled from its
+    * surviving words. Returns (id, n_tokens, n_removed, text_dedup) for
+    * every input row; documents shorter than k words pass through whole.
+    * Overlapping duplicated k-grams merge back into maximal removed spans
+    * at reassembly, matching the paper's remove-matches-of-length-≥-k
+    * semantics; [[dedupParagraphs]] (q103) is the aligned-segment special
+    * case, this is the unaligned sliding-window general form.
+    *
+    * The paper builds a corpus-wide suffix array — a single-machine
+    * design. The distributed re-expression keys duplicated spans by their
+    * fixed-width gram md5 instead:
+    *  - ONE aggregation shuffle picks duplicates and keepers: groupBy on
+    *    the 32-char key with map-side partial agg (a boilerplate gram
+    *    repeated 10⁹× reduces locally before moving), keeper =
+    *    min(packed (id, pos)) — an integer min, never a per-gram window,
+    *    so a hot gram cannot land in one task;
+    *  - occurrences re-join the duplicate set on the same fixed-width key
+    *    (each occurrence matches ≤1 gram row → linear output; a hot key
+    *    is AQE-skew-split territory, not a blowup);
+    *  - covered positions explode ×k — bounded by the constant k — and
+    *    reduce per document (collect_set bounded by document length).
+    * No corpus suffix sort, no window over gram text, no driver state.
+    * The (id, pos) packing assumes documents under 10⁶ words — guarded
+    * cheaply on the exploded grams (a filter, no extra pass). */
+  def dedupSubstrings(df: DataFrame, idCol: String, textCol: String,
+                      k: Int): DataFrame = {
+    val grams = df
+      .select(col(idCol), explode(gramOccurrences(col(textCol), k)).as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.gkey").as("gkey"))
+      .withColumn("pos",
+        when(col("pos") >= 1000000L,
+          raise_error(lit("dedupSubstrings: document exceeds 10^6 words")))
+        .otherwise(col("pos")))
+    val packed = col(idCol).cast("long") * 1000000L + col("pos")
+    val dup = grams
+      .groupBy(col("gkey"))
+      .agg(count(lit(1)).as("c"), min(packed).as("k0"))
+      .filter(col("c") >= 2)
+      .select(col("gkey"), col("k0"))
+    val covered = grams.join(dup, Seq("gkey"))
+      .filter(packed =!= col("k0"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("cpos"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("cpos")).as("cov"))
+    df.select(col(idCol), words(col(textCol)).as("ws"))
+      .join(covered, Seq(idCol), "left")
+      .withColumn("cova", coalesce(col("cov"), array().cast("array<long>")))
+      .select(col(idCol),
+        size(col("ws")).cast("long").as("n_tokens"),
+        size(col("cova")).cast("long").as("n_removed"),
+        array_join(
+          filter(col("ws"), (w, i) => !array_contains(col("cova"), i.cast("long") + 1L)),
+          " ").as("text_dedup"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation (SURVEY §2.9 E5 +
@@ -352,5 +353,148 @@ object TextAnalysis {
       }
     }
     f(text)
+  }
+
+  /** Adjacent word pairs ("w1 w2") in document order WITH multiplicity —
+    * the event stream a bigram LM trains and scores on. Plain [a-z0-9]
+    * splitter (the oracle's wordsSql twin), fused single pass. */
+  val wordBigramsFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val ws = text.toLowerCase(java.util.Locale.ROOT)
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (ws.length < 2) Seq.empty[String]
+        else {
+          val out = new Array[String](ws.length - 1)
+          var i = 0
+          while (i < ws.length - 1) { out(i) = ws(i) + " " + ws(i + 1); i += 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        }
+      }
+    }
+
+  /** round(ln(n)·10⁶) as a BIGINT — a LOG-PROB IN INTEGER MICRO-NATS.
+    * This is the whole reason the perplexity filter is oracle-able: JVM
+    * `Math.log` and libm `log` differ by 1 ulp on some integers (measured:
+    * 4 of the first 200k), and float SUMS depend on accumulation order,
+    * so a raw double NLL can never hash-match across engines. Quantizing
+    * each TERM to an integer first (a) absorbs the ulp — a 2e-9 wiggle
+    * cannot move a round() at the 10⁻⁶ grid unless ln(n)·10⁶ sits within
+    * 2e-9 of a half-boundary, which no realistic count does — and (b)
+    * makes the per-document sum exact integer arithmetic, independent of
+    * partitioning and add order. (KenLM itself ships quantized log-probs;
+    * fixed-point scoring is the production norm, not a compromise.) */
+  private def lnMicro(c: Column): Column =
+    round(log(c.cast("double")) * 1e6).cast("long")
+
+  /** CCNet-style LM perplexity filter (Wenzek et al. 2020,
+    * arXiv:1911.00359): score every document under a bigram language
+    * model with add-one smoothing — here trained on the corpus itself,
+    * the monolingual-quality-proxy setup — and gate on negative
+    * log-likelihood per token. p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V), so each
+    * scored bigram contributes lnMicro(c(w1)+V) − lnMicro(c(w1 w2)+1)
+    * micro-nats (≥ 0 since c(bigram) ≤ c(unigram)). Returns (id, n_terms,
+    * nll_micronats, ppl_ok) for every row; documents with fewer than two
+    * words score 0 and pass.
+    *
+    * 100 TB shape: two count aggregations with map-side partial agg build
+    * the MODEL (unigram + bigram tables — the KenLM-file analog; at web
+    * scale you train them on a sample, the same documented norm as the
+    * k-means/PQ codebooks); scoring is the occurrence stream joined to
+    * those tables on fixed-width keys — deliberately UNHINTED joins, so
+    * AQE broadcasts a small model and shuffles a big one instead of
+    * OOMing on a forced broadcast (the decontaminate lesson) — then one
+    * integer-sum groupBy per document. The vocabulary size V is a 1-row
+    * driver scalar. No windows, no driver loops, no float accumulation. */
+  def lmPerplexityFilter(docs: DataFrame, idCol: String, textCol: String,
+                         maxNllPerTokenMicro: Long): DataFrame = {
+    val uni = docs.select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .cache()
+    val vocabSize = uni.count()
+    val bi = docs.select(explode(wordBigramsFast(col(textCol))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val occ = docs
+      .select(col(idCol), explode(wordBigramsFast(col(textCol))).as("bg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+    val scored = occ
+      .join(bi, Seq("bg"))
+      .join(uni, occ("w1") === uni("w"))
+      .select(col(idCol),
+        (lnMicro(col("cu") + vocabSize) - lnMicro(col("cb") + 1L)).as("t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("t")).as("nll"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"),
+        coalesce(col("nll"), lit(0L)).as("nll_micronats"),
+        (coalesce(col("nll"), lit(0L)) <=
+          coalesce(col("n_terms"), lit(0L)) * maxNllPerTokenMicro).as("ppl_ok"))
+  }
+
+  /** One BPE merge-training step (Sennrich et al. 2016, arXiv:1508.07909 —
+    * the vocabulary-learning loop of the GPT-2/RoBERTa tokenizers), from
+    * the character-level start state: count adjacent symbol pairs over the
+    * corpus vocabulary weighted by word frequency, pick the most frequent
+    * pair ((count desc, pair asc) — deterministic), apply the merge
+    * greedily left-to-right to every word, and recount. Returns the
+    * top-`topK` pair statistics before ("pre") and after ("post") the
+    * merge as (phase, rk, sym_l, sym_r, cnt). Full BPE training iterates
+    * this; ONE step is the oracle-able unit (the q108 single-Lloyd-step
+    * precedent), and q129's shared regex pre-tokenizer + this loop is the
+    * whole GPT-2 trainer shape.
+    *
+    * 100 TB shape — the classic BPE trick: the corpus token stream is
+    * touched exactly once (the word-frequency groupBy, map-side partial
+    * agg); pair counting, merging, and recounting all run on the word-TYPE
+    * table (~10⁶-10⁷ rows at web scale) weighted by `freq`, never on the
+    * 10¹¹-token stream. The chosen pair is a 1-row collect (a model
+    * constant, like centroids). The rank window is single-partition but
+    * over distinct symbol PAIRS — bounded by vocabulary, not data. The
+    * per-word higher-order expressions are interpreted, which costs
+    * microseconds at vocabulary size. */
+  def bpeMergeStep(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      // "a b c"-spaced symbol string: the textual BPE work state — a merge
+      // is replace("l r" -> "lr"), greedy-leftmost in both engines
+      .select($"freq", trim(regexp_replace($"w", "(.)", "$1 ")).as("sp"))
+      .cache()
+    def pairCounts(v: DataFrame): DataFrame = {
+      val syms = split(col("sp"), " ")
+      v.select(col("freq"),
+          explode(when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("sym_l"),
+                          element_at(syms, i + 1).as("sym_r"))))
+            .otherwise(array().cast("array<struct<sym_l:string,sym_r:string>>")))
+          .as("p"))
+        .select(col("freq"), col("p.sym_l").as("sym_l"), col("p.sym_r").as("sym_r"))
+        .groupBy($"sym_l", $"sym_r").agg(sum($"freq").as("cnt"))
+    }
+    def top(pc: DataFrame, phase: String): DataFrame = {
+      val w = Window.orderBy($"cnt".desc, $"sym_l", $"sym_r")
+      pc.withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= topK)
+        .select(lit(phase).as("phase"), $"rk", $"sym_l", $"sym_r", $"cnt")
+    }
+    val pre = pairCounts(vocab)
+    val best = pre.orderBy($"cnt".desc, $"sym_l", $"sym_r").limit(1).collect().headOption
+    best match {
+      case None =>
+        Seq.empty[(String, Long, String, String, Long)]
+          .toDF("phase", "rk", "sym_l", "sym_r", "cnt")
+      case Some(b) =>
+        val (bl, br) = (b.getString(0), b.getString(1))
+        val merged = vocab.select($"freq",
+          replace($"sp", lit(s"$bl $br"), lit(s"$bl$br")).as("sp"))
+        top(pre, "pre").unionByName(top(pairCounts(merged), "post"))
+          .orderBy($"phase", $"rk")
+    }
   }
 }

@@ -239,6 +239,25 @@ object StreamQueries {
       .orderBy($"user_id", $"session_start")
   }
 
+  /** Stream-stream INNER interval join (clicks ⋈ purchases within 30
+    * minutes per user) — the one Structured Streaming join shape the
+    * catalog lacked: two INDEPENDENT readStream sources (a genuine
+    * two-stream join, not a self-join rewrite), watermarks on both sides,
+    * range-bounded state eviction. The batch interval-join oracle pins
+    * completeness: a dropped buffered row would lose pairs, an eviction
+    * bug would duplicate them. See [[Streams.conversionPairs]]. */
+  private val q138StreamJoin: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val clicks = Streams.parquetStream(s, dir, ev.schema)
+      .filter($"event_type" === "click")
+    val buys = Streams.parquetStream(s, dir, ev.schema)
+      .filter($"event_type" === "purchase")
+    Streams.runToMemory(s, Streams.conversionPairs(clicks, buys, withinMinutes = 30),
+        statePartitions = 8)
+      .orderBy($"click_id", $"buy_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
@@ -248,7 +267,8 @@ object StreamQueries {
     "q94_stateful_sessions" -> q94StatefulSessions,
     "q107_stream_index"     -> q107StreamIndex,
     "q119_stream_phrase"    -> q119StreamPhrase,
-    "q124_stream_upsert"    -> q124StreamUpsert)
+    "q124_stream_upsert"    -> q124StreamUpsert,
+    "q138_stream_join"      -> q138StreamJoin)
 
   val oracle: Map[String, String] = Map(
     // the streamed-in, incrementally-maintained index must answer exactly
@@ -311,5 +331,17 @@ object StreamQueries {
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
                      ELSE o_custkey END AS o_custkey
-         FROM orders ORDER BY o_orderkey""")
+         FROM orders ORDER BY o_orderkey""",
+    // the plain batch interval join over the same events IS the complete
+    // answer the streaming inner join must reproduce
+    "q138_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts FROM events)
+         SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+                epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+         FROM e c, e p
+         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+           AND c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, buy_id""")
 }

@@ -96,6 +96,39 @@ object Streams {
   def dedupKeys(stream: DataFrame, cols: Seq[String]): DataFrame =
     stream.select(cols.map(col): _*).dropDuplicates(cols)
 
+  /** Stream-stream INNER interval join — the conversion-attribution shape:
+    * each click pairs with the same user's purchases whose timestamp falls
+    * in [click_ts, click_ts + withinMinutes]. Both sides carry watermarks
+    * and the join condition carries the time-range bound, which together
+    * let Spark EVICT buffered state: a click is dropped once the purchase
+    * watermark passes click_ts + withinMinutes, a purchase once the click
+    * watermark passes its ts — state stays O(window × arrival rate), not
+    * O(stream), which is what makes a stream-stream join runnable forever
+    * at 100 TB/day (an unbounded-state join would be refused or OOM).
+    * Inner mode emits exactly the batch join's rows under availableNow:
+    * watermarks gate state eviction and late data, never match
+    * completeness within retained state (spec-pinned; outer stream-stream
+    * joins DO depend on watermark passage to emit nulls, which is why the
+    * oracle-checked catalog entry is the inner form).
+    *
+    * Emits (user_id, click_id, buy_id, delay_us) with the delay as exact
+    * integer microseconds. */
+  def conversionPairs(clicks: DataFrame, purchases: DataFrame,
+                      withinMinutes: Int,
+                      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val r = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermarkDelay)
+    l.join(r, expr(
+        s"""user_id = p_user AND buy_ts >= click_ts
+            AND buy_ts <= click_ts + interval $withinMinutes minutes"""))
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+  }
+
   /** One row per key even WITHIN a batch (a micro-batch can carry the same
     * key from several source files, and rows have no intra-batch order) —
     * the greatest row struct over the ORDERABLE columns wins: arbitrary but

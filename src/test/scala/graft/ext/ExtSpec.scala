@@ -441,6 +441,70 @@ class ExtSpec extends AnyFunSuite {
       (3L, 2L, 1L, "p q r s t")))
   }
 
+  test("dedupSubstrings: unaligned spans cut everywhere but first, overlaps merge") {
+    val df = Seq(
+      // the shared 3-gram "c d e" sits at pos 3 in doc 1 and pos 1 in doc 2:
+      // NOT paragraph-aligned — the case q103 cannot catch
+      (1L, "a b c d e f g h"),
+      (2L, "c d e x y z w v"),
+      // within-doc repeat: "m n o" at pos 1 and pos 4 -> second cut; the
+      // overlapping duplicated grams ("m n o" ×2 only — "n o m" etc. occur
+      // once) leave a single maximal removed span
+      (3L, "m n o m n o q r"),
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8"), // unique: untouched
+      (5L, "t1 t2"))                   // shorter than k: passes whole
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(df, "doc_id", "text", k = 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (1L, 8L, 0L, "a b c d e f g h"),      // doc 1 holds the keeper occurrence
+      (2L, 8L, 3L, "x y z w v"),            // its copy of "c d e" is cut
+      (3L, 8L, 3L, "m n o q r"),            // positions 4-6 covered once
+      (4L, 8L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8"),
+      (5L, 2L, 0L, "t1 t2")))
+  }
+
+  test("lmPerplexityFilter: hand-computed micro-nat NLL, smoothing, edge docs") {
+    // corpus: "a b", "a b", "a c", "z" -> uni a:3 b:2 c:1 z:1, V=4
+    // bigrams: "a b":2, "a c":1
+    // doc1/doc2 term: lnq(3+4) - lnq(2+1) = 1945910 - 1098612 = 847298
+    // doc3 term:      lnq(3+4) - lnq(1+1) = 1945910 -  693147 = 1252763
+    // doc4: no bigram -> 0 terms, passes
+    def lnq(n: Int) = math.round(math.log(n) * 1e6)
+    assert(lnq(7) == 1945910L && lnq(3) == 1098612L && lnq(2) == 693147L)
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmPerplexityFilter(df, "doc_id", "text", 1000000L)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 847298L, true),
+      (2L, 1L, 847298L, true),
+      (3L, 1L, 1252763L, false),
+      (4L, 0L, 0L, true)))
+  }
+
+  test("bpeMergeStep: best pair by (cnt, pair), greedy merge, post recount") {
+    // corpus: "abab" x3, "ab" x2  ->  freqs {abab:3, ab:2}
+    // pre pairs: (a,b) 3*2+2*1 = 8, (b,a) 3*1 = 3 -> best = (a,b)
+    // merge "a b"->"ab": abab -> [ab, ab], ab -> [ab]
+    // post pairs: (ab,ab) x3
+    val df = Seq("abab abab abab ab ab").toDF("text")
+    val out = TextAnalysis.bpeMergeStep(df, "text", topK = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("post", 1L, "ab", "ab", 3L),
+      ("pre", 1L, "a", "b", 8L),
+      ("pre", 2L, "b", "a", 3L)))
+    // greedy-leftmost on odd runs: "aaa" with best (a,a) -> [aa, a], post pair (aa, a)
+    val odd = TextAnalysis.bpeMergeStep(Seq("aaa aaa").toDF("text"), "text", 5).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(odd.toSeq == Seq(("post", "aa", "a", 2L), ("pre", "a", "a", 4L)))
+    // empty corpus -> empty frame, not a crash
+    assert(TextAnalysis.bpeMergeStep(Seq.empty[String].toDF("text"), "text", 5).count() == 0L)
+  }
+
   test("repetitionFast: hand-computed metrics and gate") {
     val r = Seq("a a a a b").toDF("t")
       .select(TextAnalysis.repetitionFast($"t").as("r")).select($"r.*").head()

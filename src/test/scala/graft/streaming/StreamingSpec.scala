@@ -45,6 +45,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("conversionPairs: pairs across micro-batches, range and user bounds hold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Long, Timestamp)]
+    val joined = Streams.conversionPairs(
+      clicks.toDF().toDF("user_id", "event_id", "ts"),
+      buys.toDF().toDF("user_id", "event_id", "ts"), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("conv_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // the click arrives ALONE in its batch: the pair can only come from
+      // buffered join state, not intra-batch matching
+      clicks.addData((1L, 100L, ts("00:00")))
+      q.processAllAvailable()
+      buys.addData((1L, 200L, ts("00:10"))) // in window -> the one pair
+      buys.addData((1L, 201L, ts("00:45"))) // outside 30 min
+      buys.addData((2L, 202L, ts("00:05"))) // other user
+      q.processAllAvailable()
+      val rows = spark.table("conv_test")
+        .select("user_id", "click_id", "buy_id", "delay_us")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 200L, 600000000L)))
+    } finally q.stop()
+  }
+
   test("checkpointed parquet sink is exactly-once across re-runs") {
     val src = Files.createTempDirectory("graft_eo_src_").toString
     val out = Files.createTempDirectory("graft_eo_out_").toString
