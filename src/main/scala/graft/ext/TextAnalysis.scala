@@ -458,43 +458,98 @@ object TextAnalysis {
   def bpeMergeStep(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = docs
-      .select(explode(Dedup.words(col(textCol))).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("freq"))
-      // "a b c"-spaced symbol string: the textual BPE work state — a merge
-      // is replace("l r" -> "lr"), greedy-leftmost in both engines
-      .select($"freq", trim(regexp_replace($"w", "(.)", "$1 ")).as("sp"))
-      .cache()
-    def pairCounts(v: DataFrame): DataFrame = {
-      val syms = split(col("sp"), " ")
-      v.select(col("freq"),
-          explode(when(size(syms) >= 2,
-            transform(sequence(lit(1), size(syms) - 1),
-              i => struct(element_at(syms, i).as("sym_l"),
-                          element_at(syms, i + 1).as("sym_r"))))
-            .otherwise(array().cast("array<struct<sym_l:string,sym_r:string>>")))
-          .as("p"))
-        .select(col("freq"), col("p.sym_l").as("sym_l"), col("p.sym_r").as("sym_r"))
-        .groupBy($"sym_l", $"sym_r").agg(sum($"freq").as("cnt"))
-    }
+    val vocab = bpeVocab(docs, textCol).cache()
     def top(pc: DataFrame, phase: String): DataFrame = {
       val w = Window.orderBy($"cnt".desc, $"sym_l", $"sym_r")
       pc.withColumn("rk", row_number().over(w).cast("long"))
         .filter($"rk" <= topK)
         .select(lit(phase).as("phase"), $"rk", $"sym_l", $"sym_r", $"cnt")
     }
-    val pre = pairCounts(vocab)
-    val best = pre.orderBy($"cnt".desc, $"sym_l", $"sym_r").limit(1).collect().headOption
-    best match {
+    val pre = bpePairCounts(vocab)
+    bpeBestPair(pre) match {
       case None =>
         Seq.empty[(String, Long, String, String, Long)]
           .toDF("phase", "rk", "sym_l", "sym_r", "cnt")
-      case Some(b) =>
-        val (bl, br) = (b.getString(0), b.getString(1))
-        val merged = vocab.select($"freq",
-          replace($"sp", lit(s"$bl $br"), lit(s"$bl$br")).as("sp"))
-        top(pre, "pre").unionByName(top(pairCounts(merged), "post"))
+      case Some((bl, br)) =>
+        val merged = bpeApplyMerge(vocab, bl, br)
+        top(pre, "pre").unionByName(top(bpePairCounts(merged), "post"))
           .orderBy($"phase", $"rk")
     }
+  }
+
+  /** The BPE work state: one row per word TYPE with corpus frequency and
+    * the "a b c"-spaced symbol string (a merge is replace("l r" -> "lr"),
+    * greedy-leftmost in both engines). Keeps the original word for joins
+    * back to the token stream. */
+  private def bpeVocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Dedup.words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"), trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sp"))
+
+  /** Adjacent-pair counts over the spaced vocabulary, weighted by word
+    * frequency — vocabulary-sized work at any corpus size. */
+  private def bpePairCounts(v: DataFrame): DataFrame = {
+    val syms = split(col("sp"), " ")
+    v.select(col("freq"),
+        explode(when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("sym_l"),
+                        element_at(syms, i + 1).as("sym_r"))))
+          .otherwise(array().cast("array<struct<sym_l:string,sym_r:string>>")))
+        .as("p"))
+      .select(col("freq"), col("p.sym_l").as("sym_l"), col("p.sym_r").as("sym_r"))
+      .groupBy(col("sym_l"), col("sym_r")).agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** The deterministic merge choice: (cnt desc, pair asc); None on an
+    * empty vocabulary. A 1-row collect — a model constant. */
+  private def bpeBestPair(pc: DataFrame): Option[(String, String)] =
+    pc.orderBy(col("cnt").desc, col("sym_l"), col("sym_r")).limit(1)
+      .collect().headOption.map(b => (b.getString(0), b.getString(1)))
+
+  private def bpeApplyMerge(v: DataFrame, bl: String, br: String): DataFrame =
+    v.withColumn("sp", replace(col("sp"), lit(s"$bl $br"), lit(s"$bl$br")))
+
+  /** BPE tokenization — the APPLY side of [[bpeMergeStep]]'s trainer:
+    * learn `nMerges` merges by iterating the step (each round's best pair
+    * is a 1-row collect; the vocabulary stays cached between rounds),
+    * apply them in order to every word, and count each document's
+    * resulting BPE tokens. Returns (id, n_words, n_bpe_tokens, merges) —
+    * `merges` is the learned "l r"-formatted merge list, identical on
+    * every row (the model card riding along for the oracle gate).
+    *
+    * Same 100 TB split as the trainer: the corpus stream is touched once
+    * for the frequency table and once for the final per-document count;
+    * ALL merge learning/applying happens on the word-type table. The
+    * per-document count joins the token stream to the (word -> token
+    * count) table — unhinted, so AQE broadcasts a small vocabulary and
+    * shuffles a big one. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be >= 1: $nMerges")
+    var vocab = bpeVocab(docs, textCol).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    while (i < nMerges) {
+      bpeBestPair(bpePairCounts(vocab)).foreach { case (bl, br) =>
+        merges += ((bl, br))
+        val next = bpeApplyMerge(vocab, bl, br).cache()
+        next.count() // materialize before dropping the parent from cache
+        vocab.unpersist()
+        vocab = next
+      }
+      i += 1
+    }
+    val mergesLit = merges.map { case (l, r) => s"$l $r" }.mkString(", ")
+    val wtok = vocab.select(col("w"), size(split(col("sp"), " ")).cast("long").as("ntok"))
+    docs.select(col(idCol), explode(Dedup.words(col(textCol))).as("w"))
+      .join(wtok, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        lit(mergesLit).as("merges"))
   }
 }

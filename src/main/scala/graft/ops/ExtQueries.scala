@@ -686,6 +686,22 @@ object ExtQueries {
   private val q136BpeStep: Q = (s, d) =>
     TextAnalysis.bpeMergeStep(Tables.documents(s, d), "text", BpeTopK)
 
+  /** q139: how many BPE merges the tokenizer learns before counting. */
+  private[ops] val BpeMerges = 3
+
+  /** The APPLY side of q136's trainer — a small learned BPE tokenizer end
+    * to end: iterate the merge step `BpeMerges` times (the q115 precedent:
+    * it trains 3 Lloyd rounds in-query), apply the learned merge list to
+    * every word, count each document's BPE tokens. The oracle replays the
+    * identical 3-round chain, so a wrong best-pair choice in ANY round, a
+    * non-greedy apply, or a miscount all break the gate; the learned merge
+    * list itself rides along as a column. */
+  private val q139BpeTokenize: Q = (s, d) => {
+    import s.implicits._
+    TextAnalysis.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text", BpeMerges)
+      .orderBy($"doc_id")
+  }
+
   /** q137's gate: max NLL per scored token in integer micro-nats.
     * 3.4 nats/token ≈ perplexity 30 — the corpus median at sf0.01, so the
     * flag actually splits the data instead of being vacuously true. */
@@ -863,7 +879,8 @@ object ExtQueries {
     "q134_temperature_mix" -> q134TemperatureMix,
     "q135_exact_substr"   -> q135ExactSubstr,
     "q136_bpe_step"       -> q136BpeStep,
-    "q137_ppl_filter"     -> q137PerplexityFilter)
+    "q137_ppl_filter"     -> q137PerplexityFilter,
+    "q139_bpe_tokenize"   -> q139BpeTokenize)
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
@@ -1156,6 +1173,44 @@ object ExtQueries {
                      NOT coalesce(list_contains(cps, CAST(i AS BIGINT)), false)),
                    ' '), '') AS text_dedup
           FROM t LEFT JOIN a USING (doc_id)
+          ORDER BY doc_id""",
+    // the identical 3-round learn-then-apply chain: each round's pair
+    // counts, the same (cnt DESC, pair ASC) choice, the same greedy
+    // replace — then per-doc token counts off the final vocabulary
+    "q139_bpe_tokenize" ->
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+                 FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
+          v0 AS (SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM wf),
+          p0 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v0),
+                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+          b0 AS (SELECT l, r FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
+          v1 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b0),
+                                             (SELECT l || r FROM b0)) AS sp FROM v0),
+          p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v1),
+                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+          b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+          v2 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b1),
+                                             (SELECT l || r FROM b1)) AS sp FROM v1),
+          p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
+                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v2),
+                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
+          b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+          v3 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b2),
+                                             (SELECT l || r FROM b2)) AS sp FROM v2),
+          wt AS (SELECT w, CAST(len(string_split(sp, ' ')) AS BIGINT) AS ntok FROM v3),
+          tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+          sc AS (SELECT doc_id, count(*) AS n_words,
+                        CAST(sum(ntok) AS BIGINT) AS n_bpe FROM tok
+                 JOIN wt USING (w) GROUP BY doc_id)
+          SELECT d.doc_id,
+                 CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
+                 coalesce(n_bpe, 0) AS n_bpe_tokens,
+                 (SELECT l || ' ' || r FROM b0) || ', ' ||
+                 (SELECT l || ' ' || r FROM b1) || ', ' ||
+                 (SELECT l || ' ' || r FROM b2) AS merges
+          FROM documents d LEFT JOIN sc USING (doc_id)
           ORDER BY doc_id""",
     // the identical micro-nat quantization per TERM, then integer sums:
     // round(ln(n)*1e6) agrees bit-for-bit between the engines (a 1-ulp

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -394,6 +394,61 @@ object Relational {
         $"n_exact")
   }
 
+  /** Sketch contract #3 — the MERGEABLE leg q77/q132 imply but don't
+    * exercise: Apache DataSketches HLL built once per group
+    * (`hll_sketch_agg`), then combined with `hll_union_agg` WITHOUT
+    * touching the rows again. That split is the whole 100 TB
+    * distinct-count architecture: per-partition/per-day sketches persist
+    * as bytes, and any ad-hoc rollup is a union over kilobytes. The
+    * sketch bytes and the estimate are engine-specific (like q77's
+    * estimate), so the oracle pins the exact distinct count plus the
+    * measured union-estimate error contract. */
+  private val q140HllUnion: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val per = o.groupBy($"o_orderpriority").agg(hll_sketch_agg($"o_custkey").as("sk"))
+    val merged = per.agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+      count(lit(1)).as("n_groups"))
+    val exact = o.agg(countDistinct($"o_custkey").as("n_exact"))
+    merged.crossJoin(exact)
+      .select($"n_groups", $"n_exact",
+        (abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05).as("union_ok"))
+  }
+
+  /** Z-order bit interleave of two non-negative keys (`bits` each) — the
+    * multi-dimensional clustering value behind Delta/Iceberg `OPTIMIZE
+    * ZORDER`: range-partitioning files by z keeps rows close in EITHER
+    * dimension close in file order, so per-file min/max stats prune scans
+    * on either predicate column. Pure integer bit ops: codegen'd, exact,
+    * oracle-able. */
+  def zOrderValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Data-layout operator: Z-order clustering of orders on
+    * (o_custkey, o_orderdate) with the per-bucket min/max pruning stats a
+    * file-skipping scan would consult. Buckets are fixed z-ranges
+    * (z >> 16 over a 32-bit z-space — ~66 "files" at sf0.01, ~650 at sf0.1); the emitted stats
+    * ARE the demonstration — each bucket spans a narrow slice of BOTH
+    * dimensions, which single-column sorting cannot do. Map-only z
+    * computation + one bucket agg; at scale this is the repartitionByRange
+    * write key and the stats land in the format's footer metadata. */
+  private val q141ZOrderStats: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val z = zOrderValue($"o_custkey" % 65536L,
+      unix_date($"o_orderdate".cast("date")).cast("long") % 65536L, bits = 16)
+    o.select(shiftright(z, 16).as("bucket"), $"o_custkey", $"o_orderdate")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"),
+        min($"o_orderdate").as("min_date"), max($"o_orderdate").as("max_date"))
+      .orderBy($"bucket")
+  }
+
   /** Exact percentiles per group (continuous interpolation — DuckDB
     * quantile_cont twin); 6dp rounding absorbs the engines' differing but
     * ulp-equivalent interpolation expressions. */
@@ -549,11 +604,20 @@ object Relational {
     "q77_approx_distinct" -> q77ApproxDistinct,
     "q78_quantiles"       -> q78Quantiles,
     "q132_approx_quantiles" -> q132ApproxQuantiles,
+    "q140_hll_union"      -> q140HllUnion,
+    "q141_zorder_stats"   -> q141ZOrderStats,
     "q81_lateral"         -> q81Lateral,
     "q82_window_suite"    -> q82WindowSuite,
     "q83_datetime_suite"  -> q83DatetimeSuite,
     "q84_string_suite"    -> q84StringSuite,
     "q85_null_suite"      -> q85NullSuite)
+
+  /** q141's bit interleave, generated once for the oracle so the SQL
+    * cannot drift from [[zOrderValue]]'s loop. */
+  private val zOracleBits: String =
+    (0 until 16).map(i =>
+      s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -739,6 +803,27 @@ object Relational {
          SELECT CAST(2 AS BIGINT), round(quantile_cont(o_totalprice, 0.75), 6), true
          FROM orders
          ORDER BY qi""",
+    // the sketch/estimate are engine-specific; the oracle pins the exact
+    // counts and the measured union contract (q77's pattern, merge leg)
+    "q140_hll_union" ->
+      """SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                true AS union_ok
+         FROM orders""",
+    // the IDENTICAL generated bit-interleave (zOracleBits below): + is |
+    // here because the interleaved terms occupy disjoint bit positions
+    "q141_zorder_stats" ->
+      s"""WITH z AS (
+            SELECT o_custkey, o_orderdate, ($zOracleBits) AS z
+            FROM (SELECT o_custkey, o_orderdate,
+                         o_custkey % 65536 AS zx,
+                         date_diff('day', DATE '1970-01-01',
+                                   CAST(o_orderdate AS DATE)) % 65536 AS zy
+                  FROM orders))
+          SELECT z >> 16 AS bucket, CAST(count(*) AS BIGINT) AS n,
+                 min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+                 min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+          FROM z GROUP BY bucket ORDER BY bucket""",
     "q81_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

@@ -127,6 +127,30 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial_min keeper aggregation:\n$plan")
   }
 
+  test("ExactSubstr dedup (q135) is window-free with a map-side keeper agg") {
+    // same hot-gram skew argument as q103: the duplicate/keeper choice
+    // must be partial-agg min over the gram md5, never a per-gram window;
+    // a boilerplate 10-gram repeated 10^9 times must reduce map-side
+    val df = graft.SparkEntry.queries("q135_exact_substr")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"unexpected Window in q135 plan:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"expected map-side partial_min keeper aggregation:\n$plan")
+  }
+
+  test("LM perplexity filter (q137): integer partial sums, no float aggregation") {
+    // the whole oracle-ability argument is that the per-document NLL sum
+    // is INTEGER arithmetic — a sum(...double...) in the aggregate would
+    // silently reintroduce order-dependent float accumulation
+    val df = graft.SparkEntry.queries("q137_ppl_filter")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"),
+      s"expected map-side partial NLL sums:\n$plan")
+    assert(!plan.toLowerCase.contains("sum(cast") ||
+      !plan.toLowerCase.contains("as double)"),
+      s"NLL aggregation must stay integer-typed:\n$plan")
+  }
+
   test("exact dedup aggregates map-side (partial_ before the exchange)") {
     val df = Tables.documents(spark, sf)
       .groupBy(sha2($"text".cast("binary"), 256).as("h"))
