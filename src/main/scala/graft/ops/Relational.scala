@@ -232,6 +232,67 @@ object Relational {
       .orderBy($"hour", $"event_type")
   }
 
+  /** Event-sequence analytics #1: ORDERED conversion funnel
+    * view → click → purchase. A user counts for a stage only if the
+    * stage's FIRST qualifying event follows the previous stage's anchor
+    * WITHIN 24 hours (each stage anchored at its earliest valid
+    * timestamp — the standard product-analytics definition with a
+    * conversion window, not a bag-of-types count; on this data the
+    * window is what separates the stages, so a bag-of-types or
+    * unwindowed implementation fails the gate). Three
+    * stage-filtered per-user min-aggs chained by user-keyed joins: every
+    * agg is map-side partial on a type-pruned scan, every join is
+    * user-keyed on a shrinking stage set — no windows, no per-user event
+    * sorting, so one hyperactive user never serializes a task. The tiny
+    * per-user stage frames (v, c) are persisted (the q116 persisted-probe
+    * pattern): each event type is scanned exactly ONCE — without the
+    * cache the chained lineage would re-scan the event table once per
+    * downstream reference (6 scans, not 3). Because every stage frame
+    * leaves its agg hash-partitioned on user_id, the wide funnel join
+    * adds ZERO exchanges (plan-guarded): the only shuffle in the whole
+    * query is the final single-row count agg. */
+  private val q142Funnel: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    def stage(t: String) = ev.filter($"event_type" === t).select($"user_id", $"ts")
+    val v = stage("view").groupBy($"user_id").agg(min($"ts").as("v_ts")).persist()
+    val c = stage("click").join(v, Seq("user_id"))
+      .filter($"ts" >= $"v_ts" && $"ts" <= $"v_ts" + expr("interval 24 hours"))
+      .groupBy($"user_id").agg(min($"ts").as("c_ts")).persist()
+    val p = stage("purchase").join(c, Seq("user_id"))
+      .filter($"ts" >= $"c_ts" && $"ts" <= $"c_ts" + expr("interval 24 hours"))
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    // wide left-join funnel per user, ONE single-row agg, unpivot: later
+    // stages are subsets of earlier ones, so count(<stage>_ts) = stage size
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .agg(count($"v_ts").as("n_view"), count($"c_ts").as("n_click"),
+        count($"p_ts").as("n_purchase"))
+      .select(expr(
+        """stack(3, '1_view', n_view, '2_click', n_click,
+                    '3_purchase', n_purchase) AS (stage, n_users)"""))
+      .orderBy($"stage")
+  }
+
+  /** Event-sequence analytics #2: weekly cohort retention — users
+    * bucketed by their FIRST-ACTIVITY week, then (cohort, week-offset)
+    * distinct-user counts: the classic retention triangle. Week math is
+    * exact integers (Monday-truncated dates, day-diff / 7) so the matrix
+    * hash-matches. One per-user min-agg, a user-keyed fan-back join, one
+    * (cohort, offset) distinct-agg — Spark plans countDistinct as two
+    * partial-agg shuffles; nothing sorts the event stream. */
+  private val q143CohortRetention: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+    val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    ev.join(cohort, Seq("user_id"))
+      .select($"user_id", $"cohort_wk",
+        (datediff($"wk", $"cohort_wk") / 7).cast("long").as("week_offset"))
+      .groupBy($"cohort_wk", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"week_offset")
+  }
+
   /** T10: date parse from string (idx `date` column → DATE,
     * `load_filings_idx.py:57`). */
   private val q21DateParse: Q = (s, d) => {
@@ -606,6 +667,8 @@ object Relational {
     "q132_approx_quantiles" -> q132ApproxQuantiles,
     "q140_hll_union"      -> q140HllUnion,
     "q141_zorder_stats"   -> q141ZOrderStats,
+    "q142_funnel"         -> q142Funnel,
+    "q143_cohort_retention" -> q143CohortRetention,
     "q81_lateral"         -> q81Lateral,
     "q82_window_suite"    -> q82WindowSuite,
     "q83_datetime_suite"  -> q83DatetimeSuite,
@@ -824,6 +887,34 @@ object Relational {
                  min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
                  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
           FROM z GROUP BY bucket ORDER BY bucket""",
+    // the same three chained stage CTEs: each stage's first qualifying
+    // event must follow the previous stage's anchor
+    "q142_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         v AS (SELECT user_id, min(ts) AS v_ts FROM e
+               WHERE event_type = 'view' GROUP BY user_id),
+         c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND e.ts >= v.v_ts
+                 AND e.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY e.user_id),
+         p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND e.ts >= c.c_ts
+                 AND e.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY e.user_id)
+         SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+         UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+         UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p
+         ORDER BY stage""",
+    // Monday-truncated weeks and day-diff/7 are exact integers in both
+    // engines (the offsets are exact multiples of 7 by construction)
+    "q143_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+                  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+           FROM events),
+         ch AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id)
+         SELECT cohort_wk,
+                CAST(date_diff('day', cohort_wk, wk) // 7 AS BIGINT) AS week_offset,
+                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN ch USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""",
     "q81_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

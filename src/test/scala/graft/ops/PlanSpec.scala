@@ -284,6 +284,49 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit on both the ADC shortlist and the re-rank top-k:\n$plan")
   }
 
+  test("funnel (q142): stage frames cached — final assembly scans parquet once, no windows") {
+    val df = graft.SparkEntry.queries("q142_funnel")(spark, sf)
+    val plan = planOf(df)
+    // per-user sequencing must come from min-aggs + keyed joins, never a
+    // per-user sort: a hyperactive user must not serialize a task
+    assert(!plan.contains("Window"), s"unexpected Window in q142 plan:\n$plan")
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case other                    => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val main = nodes(df.queryExecution.executedPlan)
+    // v and c ride the cache (their one-time fills scanned view/click);
+    // the main assembly may touch the event parquet only for purchases
+    val cacheReads = main.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(cacheReads >= 2, s"expected v and c read from cache, got $cacheReads reads")
+    val parquetScans = main.count(_.isInstanceOf[FileSourceScanExec])
+    assert(parquetScans == 1,
+      s"expected exactly 1 parquet scan (purchase) in the assembly, got $parquetScans")
+    // the stage frames leave their aggs co-partitioned on user_id, so the
+    // wide funnel join is exchange-free (a sort-merge of co-partitioned
+    // caches, or a broadcast); the ONLY shuffle left is the single-row
+    // global count agg. A second exchange means a stage frame moved.
+    val shuffles = main.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 1,
+      s"expected 1 exchange (global count agg), got $shuffles:\n$plan")
+  }
+
+  test("cohort retention (q143) is window-free with map-side partial aggs") {
+    val df = graft.SparkEntry.queries("q143_cohort_retention")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Window"), s"unexpected Window in q143 plan:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"cohort min-agg must combine map-side:\n$plan")
+  }
+
   test("ts_rank_cd (q114) is window-free: one groupBy-doc aggregation, no per-doc sort") {
     val df = graft.SparkEntry.queries("q114_ts_rank_cd")(spark, sf)
     val plan = planOf(df)
