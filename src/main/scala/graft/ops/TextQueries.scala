@@ -458,6 +458,17 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Okapi BM25 over the corpus for `spark join` — the retrieval scorer
+    * next to q92's ts_rank (same two terms, so the two rankings are
+    * directly comparable): one map-only (dl, tf) pass, a single-row stats
+    * agg broadcast back, map-side scoring. See [[graft.text.Bm25]]. */
+  private val q144Bm25: Q = (s, d) => {
+    import s.implicits._
+    graft.text.Bm25.score(Tables.documents(s, d), "doc_id", $"text",
+        terms = Seq("spark", "join"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -484,7 +495,8 @@ object TextQueries {
     "q123_upsert_phrase"    -> q123UpsertPhrase,
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
-    "q133_ts_rewrite"       -> q133TsRewrite)
+    "q133_ts_rewrite"       -> q133TsRewrite,
+    "q144_bm25"             -> q144Bm25)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -660,6 +672,43 @@ object TextQueries {
           WHERE list_contains(toks, '${Porter.stem("merge")}')
             AND (list_contains(toks, '${Porter.stem("window")}')
                  OR list_contains(toks, '${Porter.stem("join")}'))
+          ORDER BY doc_id""",
+    // independent rebuild of the BM25 math in the engine's exact operation
+    // order (same left-assoc arithmetic, Lucene idf, k1=1.2 b=0.75 with
+    // 1-b=0.25 exact in binary) so the IEEE doubles replay bit-for-bit;
+    // lexemes are the NON-distinct tokenize (tf needs the multiset)
+    "q144_bm25" ->
+      s"""WITH lx AS (
+            SELECT doc_id, list_transform(
+              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          w -> length(w) > 0 AND w NOT IN ($stopListSql)),
+              w -> $stemCaseSql) AS ls
+            FROM documents),
+          base AS (
+            SELECT doc_id, CAST(len(ls) AS BIGINT) AS dl,
+                   CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("spark"))})) AS BIGINT) AS tf0,
+                   CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("join"))})) AS BIGINT) AS tf1
+            FROM lx),
+          stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(dl) AS DOUBLE) AS sumdl,
+                   CAST(count_if(tf0 > 0) AS DOUBLE) AS df0,
+                   CAST(count_if(tf1 > 0) AS DOUBLE) AS df1
+            FROM base)
+          SELECT doc_id,
+                 round(
+                   (CASE WHEN tf0 > 0
+                         THEN ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) *
+                              (CAST(tf0 AS DOUBLE) * 2.2 /
+                               (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
+                         ELSE 0.0 END)
+                 + (CASE WHEN tf1 > 0
+                         THEN ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) *
+                              (CAST(tf1 AS DOUBLE) * 2.2 /
+                               (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
+                         ELSE 0.0 END), 6) AS score
+          FROM base, stats
+          WHERE tf0 > 0 OR tf1 > 0
           ORDER BY doc_id""",
     // independent rebuild of the pg_trgm pipeline: lowercase word split,
     // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;

@@ -1,0 +1,79 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 relevance ranking — the standard full-text scorer the
+  * reference's Postgres side approximates with `ts_rank` (SURVEY §2.7 / F3;
+  * `ts_rank` is TF·IDF-shaped, BM25 adds TF saturation and document-length
+  * normalization — the default scorer in Lucene/Elasticsearch, and the
+  * ranking a retrieval-quality training-data pipeline actually wants).
+  *
+  * Computed in ONE corpus pass with no explode and no per-document shuffle:
+  *
+  *   1. a map-only projection derives each document's lexeme multiset
+  *      (words → stopword filter → Porter stem, all codegen'd — the
+  *      NON-distinct twin of [[TextOps.tokenize]], since BM25 needs term
+  *      FREQUENCY) and from it `dl` (doc length) plus one `tf` per query
+  *      term via `size(filter(...))` — never materializing posting rows;
+  *   2. one single-row global aggregate collects N, Σdl and per-term
+  *      document frequencies (map-side partial, a few bytes per task);
+  *   3. the stats row broadcasts back and scoring is again map-side.
+  *
+  * At 100 TB that is: one scan, one tiny all-reduce, one scan-free scoring
+  * projection — the same partial+broadcast architecture as the HLL/CMS
+  * sketch contracts. IDF uses the Lucene formulation
+  * `ln(1 + (N - df + 0.5)/(df + 0.5))` (never negative); per-term scores
+  * are summed in fixed query order as a plain expression chain, not an
+  * aggregation, so the float result is bit-deterministic and the DuckDB
+  * oracle can replay it exactly.
+  */
+object Bm25 {
+
+  /** Non-distinct lexeme sequence: lowercase words, stopwords dropped,
+    * Porter-stemmed — [[TextOps.tokenize]] without the dedupe/sort (term
+    * frequency needs the multiset). Stopword removal uses the same list
+    * the tokenizer and [[PostingIndex.buildPositional]] use; `isin` over
+    * the literal list optimizes to a hash-set probe (OptimizeIn). */
+  def lexemeSeq(textCol: Column): Column =
+    graft.functions.PorterStemArrayExpr(
+      filter(TextOps.words(textCol),
+        w => !w.isin(TextOps.englishStopWords: _*)))
+
+  /** Score every document containing at least one query term; returns
+    * `(idCol, score)` with `score` rounded to 6 decimals (the q92 oracle
+    * convention). `k1` (TF saturation) and `b` (length normalization)
+    * default to the standard Robertson parameters. */
+  def score(docs: DataFrame, idCol: String, textCol: Column,
+            terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val stemmed = terms.map(t => Porter.stem(t.toLowerCase))
+    val ls = lexemeSeq(textCol)
+    // pass 1 (map-only): per-doc length + one tf column per query term.
+    // Whole-stage codegen's subexpression elimination evaluates the
+    // stemmed-array expression once per row across all the size(filter())s.
+    val tfCols = stemmed.zipWithIndex.map { case (t, i) =>
+      size(filter(ls, x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    val base = docs.select(col(idCol) +: size(ls).cast("long").as("dl") +: tfCols: _*)
+    // pass 2: single-row corpus stats (partial-agg map-side, bytes moved)
+    val dfCols = stemmed.indices.map(i =>
+      count_if(col(s"tf$i") > 0).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      sum(col("dl")).as("sumdl") +: dfCols: _*)
+    // pass 3: broadcast the stats row, score map-side in fixed term order
+    val n = col("n").cast("double")
+    val avgdl = col("sumdl").cast("double") / n
+    val perTerm = stemmed.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfT = col(s"df$i").cast("double")
+      val idf = log(lit(1.0) + (n - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val sat = tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+      when(col(s"tf$i") > 0, idf * sat).otherwise(lit(0.0))
+    }
+    base.crossJoin(broadcast(stats))
+      .filter(stemmed.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), round(perTerm.reduce(_ + _), 6).as("score"))
+  }
+}
