@@ -469,6 +469,31 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** Hybrid retrieval — q144's BM25 top-20 and q46's exact-cosine kNN
+    * top-20 (query = vec 0's embedding) fused by reciprocal-rank fusion
+    * ([[graft.ext.Hybrid.rrfFuse]], k0=60): the lexical+vector combination
+    * every modern retrieval stack runs, here gated end-to-end because both
+    * rankings AND the fused doubles replay exactly in DuckDB. The corpus
+    * work is the two rankers (map-side BM25, broadcast-query kNN scan);
+    * ranking windows run on the bounded top-20 lists, so the only global
+    * sorts a 100 TB corpus would see are the two distributed TakeOrdereds. */
+  private val q145HybridRrf: Q = (s, d) => {
+    import s.implicits._
+    val bm = graft.text.Bm25.score(Tables.documents(s, d), "doc_id", $"text",
+      terms = Seq("spark", "join"))
+    val wBm = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val bmTop = bm.orderBy($"score".desc, $"doc_id").limit(20)
+      .withColumn("rank", row_number().over(wBm))
+      .select($"doc_id", $"rank")
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    val vecTop = graft.ext.Similarity
+      .bruteForceKnn(emb.filter($"vec_id" === 0), emb, k = 20)
+      .select($"neighbor_id".as("doc_id"), $"rank")
+    graft.ext.Hybrid.rrfFuse(Seq("bm25" -> bmTop, "vec" -> vecTop), "doc_id")
+      .orderBy($"rrf".desc, $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q30_sanitize"          -> q30Sanitize,
     "q31_tokenize_basic"    -> q31TokenizeBasic,
@@ -496,7 +521,8 @@ object TextQueries {
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
-    "q144_bm25"             -> q144Bm25)
+    "q144_bm25"             -> q144Bm25,
+    "q145_hybrid_rrf"       -> q145HybridRrf)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -547,6 +573,46 @@ object TextQueries {
           WHERE a.lexeme = ${sqlQuote(Porter.stem("hash"))}
             AND b.lexeme = ${sqlQuote(Porter.stem("join"))}
           ORDER BY doc_id"""
+
+  /** BM25 oracle CTE chain shared by q144 and q145 — the DuckDB twin of
+    * [[graft.text.Bm25.score]]'s three passes (lexeme multiset → per-doc
+    * (dl, tf) → single-row corpus stats → scored docs), ending in a `bm`
+    * relation of `(doc_id, score)` rounded to 6 decimals. One truth string:
+    * the standalone scorer and the fused hybrid ranking must agree on every
+    * digit or they'd drift apart silently. */
+  private[ops] lazy val bm25ScoredCtes: String =
+    s"""lx AS (
+          SELECT doc_id, list_transform(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        w -> length(w) > 0 AND w NOT IN ($stopListSql)),
+            w -> $stemCaseSql) AS ls
+          FROM documents),
+        base AS (
+          SELECT doc_id, CAST(len(ls) AS BIGINT) AS dl,
+                 CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("spark"))})) AS BIGINT) AS tf0,
+                 CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("join"))})) AS BIGINT) AS tf1
+          FROM lx),
+        stats AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(dl) AS DOUBLE) AS sumdl,
+                 CAST(count_if(tf0 > 0) AS DOUBLE) AS df0,
+                 CAST(count_if(tf1 > 0) AS DOUBLE) AS df1
+          FROM base),
+        bm AS (
+          SELECT doc_id,
+                 round(
+                   (CASE WHEN tf0 > 0
+                         THEN ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) *
+                              (CAST(tf0 AS DOUBLE) * 2.2 /
+                               (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
+                         ELSE 0.0 END)
+                 + (CASE WHEN tf1 > 0
+                         THEN ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) *
+                              (CAST(tf1 AS DOUBLE) * 2.2 /
+                               (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
+                         ELSE 0.0 END), 6) AS score
+          FROM base, stats
+          WHERE tf0 > 0 OR tf1 > 0)"""
 
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
@@ -678,38 +744,32 @@ object TextQueries {
     // 1-b=0.25 exact in binary) so the IEEE doubles replay bit-for-bit;
     // lexemes are the NON-distinct tokenize (tf needs the multiset)
     "q144_bm25" ->
-      s"""WITH lx AS (
-            SELECT doc_id, list_transform(
-              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                          w -> length(w) > 0 AND w NOT IN ($stopListSql)),
-              w -> $stemCaseSql) AS ls
-            FROM documents),
-          base AS (
-            SELECT doc_id, CAST(len(ls) AS BIGINT) AS dl,
-                   CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("spark"))})) AS BIGINT) AS tf0,
-                   CAST(len(list_filter(ls, x -> x = ${sqlQuote(Porter.stem("join"))})) AS BIGINT) AS tf1
-            FROM lx),
-          stats AS (
-            SELECT CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(dl) AS DOUBLE) AS sumdl,
-                   CAST(count_if(tf0 > 0) AS DOUBLE) AS df0,
-                   CAST(count_if(tf1 > 0) AS DOUBLE) AS df1
-            FROM base)
-          SELECT doc_id,
-                 round(
-                   (CASE WHEN tf0 > 0
-                         THEN ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) *
-                              (CAST(tf0 AS DOUBLE) * 2.2 /
-                               (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
-                         ELSE 0.0 END)
-                 + (CASE WHEN tf1 > 0
-                         THEN ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) *
-                              (CAST(tf1 AS DOUBLE) * 2.2 /
-                               (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n))))
-                         ELSE 0.0 END), 6) AS score
-          FROM base, stats
-          WHERE tf0 > 0 OR tf1 > 0
-          ORDER BY doc_id""",
+      s"""WITH $bm25ScoredCtes
+          SELECT doc_id, score FROM bm ORDER BY doc_id""",
+    // both top-20 lists replayed rank-for-rank (rounded BM25 score / q46's
+    // cosine, ties by id), fused with the engine's exact term order;
+    // CAST(1.0 AS DOUBLE) — DuckDB decimal division would round differently
+    "q145_hybrid_rrf" ->
+      s"""WITH $bm25ScoredCtes,
+          bmr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+            FROM bm QUALIFY bm25_rank <= 20),
+          vr AS (
+            SELECT c.vec_id AS doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY list_cosine_similarity(
+                                list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                              c.vec_id) AS INTEGER) AS vec_rank
+            FROM embeddings c
+            CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            QUALIFY vec_rank <= 20)
+          SELECT COALESCE(bmr.doc_id, vr.doc_id) AS doc_id, bm25_rank, vec_rank,
+                 round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + bm25_rank), 0.0)
+                     + COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0), 6) AS rrf
+          FROM bmr FULL OUTER JOIN vr ON bmr.doc_id = vr.doc_id
+          ORDER BY rrf DESC, doc_id""",
     // independent rebuild of the pg_trgm pipeline: lowercase word split,
     // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;
     // CAST AS DOUBLE (not * 1.0 — DuckDB decimal division would round
