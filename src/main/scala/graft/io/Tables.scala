@@ -23,24 +23,40 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as a nanos-epoch long and floor-convert
-    * to a microsecond timestamp — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS → TIMESTAMP, so oracles stay bit-identical.
+  /** `events.ts` is adversarial input: the testdata generator has shipped it
+    * both as parquet TIMESTAMP(NANOS) (which Spark 4 rejects outright with
+    * [PARQUET_TYPE_ILLEGAL] unless `nanosAsLong` surfaces it as an epoch-nanos
+    * long) and as plain TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark
+    * reads natively as TIMESTAMP_NTZ). Dispatch on the schema Spark actually
+    * sees rather than betting on one on-disk shape:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session construction (`GraftSession`) — this loader deliberately does
-    * NOT set it itself: the flag changes how every later nanos-parquet read
-    * in the session behaves, so flipping it as a table-load side effect
-    * would be a silent session-wide mutation. */
+    *  - `LongType` → the nanos-as-long read; floor-convert to microseconds,
+    *    the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    *    so oracles stay bit-identical. Requires the `nanosAsLong` flag, set
+    *    once at session construction (`GraftSession`) — this loader
+    *    deliberately does NOT set it itself: the flag changes how every later
+    *    nanos-parquet read in the session behaves, so flipping it as a
+    *    table-load side effect would be a silent session-wide mutation.
+    *  - `TimestampType` → already the engine contract; pass through.
+    *  - `TimestampNTZType` → cast to the session timestamp type. The session
+    *    timezone is pinned to UTC (`GraftSession`), so the cast is
+    *    wall-clock-preserving and matches DuckDB's naive-timestamp oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "Tables.events needs spark.sql.legacy.parquet.nanosAsLong=true; " +
-        "build the session via graft.GraftSession (events.parquet is TIMESTAMP(NANOS))")
+    import org.apache.spark.sql.functions.{col, timestamp_micros, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
     val raw = apply(s, d, "events")
-    raw.withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "Tables.events read ts as LongType without spark.sql.legacy.parquet.nanosAsLong=true; " +
+            "build the session via graft.GraftSession")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"Tables.events: unsupported on-disk type for ts: $other " +
+          "(expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
