@@ -48,14 +48,25 @@ object Bm25 {
             terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
     val stemmed = terms.map(t => Porter.stem(t.toLowerCase))
-    val ls = lexemeSeq(textCol)
-    // pass 1 (map-only): per-doc length + one tf column per query term.
-    // Whole-stage codegen's subexpression elimination evaluates the
-    // stemmed-array expression once per row across all the size(filter())s.
+    // pass 1 (map-only): materialize the stemmed lexeme array ONCE in its
+    // own projection, then derive dl and every per-term tf from the column.
+    // Codegen subexpression elimination does NOT apply here — Spark's CSE
+    // (EquivalentExpressions) skips lambda-bearing higher-order functions —
+    // so without the explicit materialization every size(filter(...)) would
+    // re-stem the document. The observe() barrier below is load-bearing for
+    // the same reason: predicate pushdown would otherwise substitute the
+    // match filter through this projection and re-evaluate the stem
+    // expression per term inside the scan's data filter. CollectMetrics is
+    // not predicate-transparent, so the filter runs against the materialized
+    // array — and the metric itself is the corpus-scan progress counter the
+    // pipeline monitor (X2) reads for free.
+    val withLex = docs.select(col(idCol), lexemeSeq(textCol).as("lexemes"))
+      .observe("bm25_corpus_scan", count(lit(1)).as("docs_scanned"))
+    val lx = col("lexemes")
     val tfCols = stemmed.zipWithIndex.map { case (t, i) =>
-      size(filter(ls, x => x === lit(t))).cast("long").as(s"tf$i")
+      size(filter(lx, x => x === lit(t))).cast("long").as(s"tf$i")
     }
-    val base = docs.select(col(idCol) +: size(ls).cast("long").as("dl") +: tfCols: _*)
+    val base = withLex.select(col(idCol) +: size(lx).cast("long").as("dl") +: tfCols: _*)
     // pass 2: single-row corpus stats (partial-agg map-side, bytes moved)
     val dfCols = stemmed.indices.map(i =>
       count_if(col(s"tf$i") > 0).as(s"df$i"))

@@ -51,4 +51,19 @@ class Bm25Spec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), "BM25 must not explode posting rows")
   }
+
+  test("plan: the stem expression is evaluated once per corpus pass") {
+    // Against a real file scan (the in-memory corpus constant-folds away):
+    // exactly one graft_stem_array per subtree — one on the scoring branch,
+    // one on the stats branch — and none substituted into the scan's data
+    // filters by predicate pushdown (the observe() barrier's whole job).
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val plan = Bm25.score(docs, "doc_id", col("text"), Seq("merger", "acquisition"))
+      .queryExecution.executedPlan.toString
+    val stems = "graft_stem_array".r.findAllIn(plan).size
+    assert(stems == 2, s"expected 2 stem evaluations (scoring + stats subtree), got $stems:\n" +
+      plan.split("\n").filter(_.contains("graft_stem_array")).mkString("\n"))
+    assert(!plan.contains("DataFilters: [(size("),
+      "match filter must not be pushed below the lexeme materialization")
+  }
 }
