@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * audio/video payloads are opaque `BinaryType` columns with typed metadata.
   *
   * The Spark-side plumbing — schema, batch iteration, partition-parallel
-  * decode — is real and tested; the codec itself is STUBBED (no media
-  * libraries in this container) behind [[MediaDecoder]], which any real
-  * decoder (javacv, a JNI codec, an external service) can replace without
-  * touching the pipeline. The decode stage is `mapPartitions` over a typed
-  * Dataset: one decoder instance per partition (the Spark idiom for
-  * per-executor native resources), rows streamed, never collected.
+  * decode — is real and tested. The IMAGE codec is also real:
+  * [[ImageIoDecoder]] / [[decodeImageStats]] parse PNG/JPEG/GIF/BMP
+  * containers and pixel data with `javax.imageio` (ships with the JDK, no
+  * external libs). Audio/video decoding stays STUBBED (those codecs aren't
+  * in this container) behind [[MediaDecoder]], which any real decoder
+  * (javacv, a JNI codec, an external service) can replace without touching
+  * the pipeline. The decode stage is `mapPartitions` over a typed Dataset:
+  * one decoder instance per partition (the Spark idiom for per-executor
+  * native resources), rows streamed, never collected.
   */
 object Multimodal {
 
@@ -38,6 +41,97 @@ object Multimodal {
         case _ => 1
       }
       (w, h, frames)
+    }
+  }
+
+  /** Real image decoder: `javax.imageio` parses the container and decodes
+    * pixel data for the formats the JDK ships (PNG, JPEG, GIF, BMP, WBMP).
+    * Non-image kinds — and payloads ImageIO cannot identify — fall back to
+    * the deterministic stub so mixed-kind tables keep flowing. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(kind: String, payload: Array[Byte]): (Int, Int, Int) =
+      if (kind == "image") {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) StubDecoder.decode(kind, payload)
+        else (img.getWidth, img.getHeight, 1)
+      } else StubDecoder.decode(kind, payload)
+  }
+
+  /** Deterministic grayscale PNG: `width = seed % 64 + 16`,
+    * `height = seed*7 % 48 + 16`, pixel(x,y) = `(x + y + seed) % 256` on all
+    * three channels — a closed form a SQL oracle can replay, pushed through a
+    * REAL PNG encode so the decode side proves container + pixel fidelity,
+    * not header arithmetic. */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val w = (seed % 64 + 16).toInt
+    val h = (seed * 7 % 48 + 16).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x + y + seed) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImageStats(media_id: Long, width: Int, height: Int, gray_sum: Long)
+
+  /** Pixel-level image decode: dimensions plus the sum of the blue channel
+    * over all pixels (for grayscale inputs: the gray value). PNG is lossless,
+    * so `gray_sum` round-trips bit-exactly through encode/decode — the
+    * oracle-checkable proof that a real codec ran. Partition-parallel,
+    * streaming, one ImageIO call per row. */
+  def decodeImageStats(media: Dataset[MediaRow]): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for media_id=${r.media_id}")
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        ImageStats(r.media_id, img.getWidth, img.getHeight, sum)
+      }
+    }
+  }
+
+  /** Real image resize (area-averaging scale via java.awt) — replaces
+    * [[resizeStub]]'s byte-stride fake for image payloads; re-encodes PNG so
+    * the output stays a decodable media column. */
+  def resizeImages(media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image") r
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          if (img == null) r
+          else {
+            val out = new java.awt.image.BufferedImage(
+              targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g2 = out.createGraphics()
+            g2.drawImage(
+              img.getScaledInstance(targetW, targetH, java.awt.Image.SCALE_AREA_AVERAGING),
+              0, 0, null)
+            g2.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            MediaRow(r.media_id, r.kind, bos.toByteArray)
+          }
+        }
+      }
     }
   }
 

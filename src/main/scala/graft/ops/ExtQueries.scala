@@ -835,6 +835,27 @@ object ExtQueries {
       .orderBy($"media_id")
   }
 
+  /** E4: REAL image codec roundtrip — each image-kind document becomes a
+    * deterministic grayscale PNG (encoded executor-side with `javax.imageio`,
+    * pixel(x,y) = (x+y+id) % 256), then [[Multimodal.decodeImageStats]]
+    * decodes it back and reports width, height, and the pixel-value sum. The
+    * oracle replays the closed form in SQL over generated (x,y) grids, so a
+    * header-only "decode" — or any lossy/shifted pixel path — hash-mismatches.
+    * Encode and decode both run inside one mapPartitions pass: no payload
+    * ever reaches the driver, and the stage scales as a pure map. */
+  private val q146ImageDecode: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id").where($"doc_id" % 3 === 0)
+      .repartition($"doc_id")
+      .as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id))))
+    Multimodal.decodeImageStats(media)
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact"    -> q40DedupExact,
     "q41_dedup_keys"     -> q41DedupKeys,
@@ -851,6 +872,7 @@ object ExtQueries {
     "q52_est_tokens"     -> q52EstTokens,
     "q54_binary_meta"    -> q54BinaryMeta,
     "q55_media_features" -> q55MediaFeatures,
+    "q146_image_decode"  -> q146ImageDecode,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1588,5 +1610,23 @@ object ExtQueries {
          list_reduce(list_prepend(CAST(0 AS BIGINT),
            list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
            (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-         FROM documents ORDER BY media_id""")
+         FROM documents ORDER BY media_id""",
+    // replays q146's closed-form pixel grid: the engine must decode REAL PNG
+    // bytes back to the same (w, h, sum of (x+y+id)%256) triple
+    "q146_image_decode" ->
+      """WITH img AS (
+           SELECT doc_id AS media_id,
+                  doc_id % 64 + 16 AS w,
+                  doc_id * 7 % 48 + 16 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         px AS (
+           SELECT media_id, w, h, xs.x AS x, ys.y AS y
+           FROM img,
+                LATERAL (SELECT unnest(range(img.w)) AS x) xs,
+                LATERAL (SELECT unnest(range(img.h)) AS y) ys)
+         SELECT media_id,
+                CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height,
+                CAST(sum((x + y + media_id) % 256) AS BIGINT) AS gray_sum
+         FROM px GROUP BY media_id, w, h ORDER BY media_id""")
 }

@@ -398,6 +398,43 @@ class ExtSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.frame_idx, f.md5_hex)).toSet)
   }
 
+  test("ImageIO codec: synthetic PNG roundtrips dims and pixel sum exactly") {
+    import spark.implicits._
+    val seeds = Seq(0L, 3L, 96L, 255L, 1000001L)
+    val media = seeds.toDS().map(id =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+    // ImageIoDecoder: real container parse, not the stub's byte arithmetic
+    val dims = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> ((f.width, f.height, f.n_frames))).toMap
+    for (id <- seeds)
+      assert(dims(id) == (((id % 64 + 16).toInt, (id * 7 % 48 + 16).toInt, 1)))
+    // pixel-level: sum of (x+y+id)%256 over the grid, computed independently
+    val stats = Multimodal.decodeImageStats(media)
+      .collect().map(s => s.media_id -> s.gray_sum).toMap
+    for (id <- seeds) {
+      val (w, h) = ((id % 64 + 16).toInt, (id * 7 % 48 + 16).toInt)
+      val expect = (for (x <- 0 until w; y <- 0 until h) yield (x + y + id) % 256).sum
+      assert(stats(id) == expect, s"pixel sum mismatch for seed $id")
+    }
+    // non-PNG bytes and non-image kinds fall back to the stub, never crash
+    val junk = Seq(Multimodal.MediaRow(7L, "image", Array[Byte](1, 2, 3)),
+                   Multimodal.MediaRow(8L, "audio", Array[Byte](1, 2, 3, 4))).toDS()
+    val jf = Multimodal.extractFeatures(junk, Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> ((f.width, f.height))).toMap
+    assert(jf(7L) == ((3 % 640 + 1, 3 * 7 % 480 + 1)))
+    assert(jf(8L) == ((4 % 640 + 1, 4 * 7 % 480 + 1)))
+  }
+
+  test("resizeImages: real rescale to target dims, output still decodable PNG") {
+    import spark.implicits._
+    val media = Seq(5L, 42L).toDS().map(id =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id)))
+    val out = Multimodal.resizeImages(media, targetW = 8, targetH = 6)
+    val dims = Multimodal.decodeImageStats(out)
+      .collect().map(s => s.media_id -> ((s.width, s.height))).toMap
+    assert(dims == Map(5L -> ((8, 6)), 42L -> ((8, 6))))
+  }
+
   test("multimodal stub decoder: features deterministic, one per row") {
     val docs01 = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val feats = Multimodal.extractFeatures(
