@@ -64,6 +64,53 @@ object TextAnalysis {
       (nWords >= 5 && nWords <= 10000 && uniqRatio > 0.1).as("quality_ok"))
   }
 
+  /** The 8 required stopwords of Gopher rule 7 (Rae et al. 2021 §A1.1.2):
+    * a document must contain at least 2 of these to pass. Interpolated into
+    * the q147 oracle so engine and SQL cannot drift. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-filter signals (Rae et al. 2021, appendix A1.1 — the
+    * rule set MassiveWeb used before dedup, reused by RefinedWeb/Dolma):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and "..."), bullet-started and ellipsis-ended line fractions,
+    * alphabetic-word fraction, and the required-stopword count.
+    *
+    * All signals are emitted as exact INTEGER numerators/denominators and
+    * every threshold is applied as cross-multiplied integer comparisons
+    * (`mean len in [3,10]` ⟺ `3·n ≤ Σlen ≤ 10·n`), so the keep decision
+    * involves zero floating point and the oracle replays it bit-exactly.
+    * One codegen'd map-only projection — the 100 TB shape is a scan. */
+  def gopherSignals(text: Column): Seq[Column] = {
+    val ws = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(ws).cast("long")
+    val sumLen = coalesce(aggregate(ws, lit(0L), (a, w) => a + length(w)), lit(0L))
+    val nSymbols = (length(text) - length(regexp_replace(text, "#", "")) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val lines = filter(split(text, "\n"), l => length(l) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val nEllLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nAlpha = size(filter(ws, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = markerHits(words(text), GopherStopWords)
+    val rules = Seq(
+      nWords >= 50 && nWords <= 100000,
+      lit(3) * nWords <= sumLen && sumLen <= lit(10) * nWords,
+      lit(10) * nSymbols <= nWords,
+      lit(10) * nBullet <= lit(9) * nLines,
+      lit(10) * nEllLines <= lit(3) * nLines,
+      lit(5) * nAlpha >= lit(4) * nWords,
+      nStop >= 2)
+    // n_rules_passed keeps the output discriminative on corpora where one
+    // rule is degenerate (the synthetic testdata never passes the required-
+    // stopword rule, so bare `keep` would be constant false there)
+    val nPassed = rules.map(_.cast("long")).reduce(_ + _)
+    Seq(nWords.as("n_words"), sumLen.as("sum_word_len"), nSymbols.as("n_symbols"),
+      nLines.as("n_lines"), nBullet.as("n_bullet"), nEllLines.as("n_ellipsis_lines"),
+      nAlpha.as("n_alpha_words"), nStop.as("n_req_stop"),
+      nPassed.as("n_rules_passed"), rules.reduce(_ && _).as("keep"))
+  }
+
   /** Whitespace + BPE-ish token-count estimate: one token per word-piece of
     * ≤4 chars (ceil(len/4) pieces per word) — the standard chars/4 LLM
     * heuristic, computed exactly in integers. */

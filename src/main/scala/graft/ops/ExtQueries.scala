@@ -420,6 +420,17 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E5: the full Gopher quality-rule gate (Rae et al. 2021 §A1.1) — the
+    * standard pre-dedup web filter. Integer-only signals and
+    * cross-multiplied thresholds (see [[TextAnalysis.gopherSignals]]), so
+    * the oracle replays the keep decision with zero float risk. Map-only. */
+  private val q147GopherRules: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id") +: TextAnalysis.gopherSignals($"text"): _*)
+      .orderBy($"doc_id")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -873,6 +884,7 @@ object ExtQueries {
     "q54_binary_meta"    -> q54BinaryMeta,
     "q55_media_features" -> q55MediaFeatures,
     "q146_image_decode"  -> q146ImageDecode,
+    "q147_gopher_rules"  -> q147GopherRules,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1628,5 +1640,54 @@ object ExtQueries {
                 CAST(w AS INT) AS width,
                 CAST(h AS INT) AS height,
                 CAST(sum((x + y + media_id) % 256) AS BIGINT) AS gray_sum
-         FROM px GROUP BY media_id, w, h ORDER BY media_id""")
+         FROM px GROUP BY media_id, w, h ORDER BY media_id""",
+    // Gopher rules replayed signal-for-signal; every threshold is an
+    // integer cross-multiplication, so keep is float-free on both sides
+    "q147_gopher_rules" ->
+      s"""WITH g AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\\s+'),
+                              w -> length(w) > 0) AS ws,
+                  list_filter(string_split(text, chr(10)),
+                              l -> length(l) > 0) AS lines,
+                  length(text) - length(replace(text, '#', ''))
+                    + (length(text) - length(replace(text, '...', ''))) // 3
+                    AS n_symbols,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                              w -> length(w) > 0) AS lws
+           FROM documents),
+         s AS (
+           SELECT doc_id,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
+                       AS BIGINT) AS sum_word_len,
+                  CAST(n_symbols AS BIGINT) AS n_symbols,
+                  CAST(len(lines) AS BIGINT) AS n_lines,
+                  CAST(len(list_filter(lines,
+                       l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
+                  CAST(len(list_filter(lines,
+                       l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT)
+                    AS n_ellipsis_lines,
+                  CAST(len(list_filter(ws,
+                       w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                  CAST(len(list_intersect(list_distinct(lws),
+                       [${TextAnalysis.GopherStopWords.map("'" + _ + "'").mkString(",")}]))
+                       AS BIGINT) AS n_req_stop
+           FROM g)
+         SELECT *,
+                CAST((n_words BETWEEN 50 AND 100000) AS BIGINT)
+                + CAST((3*n_words <= sum_word_len AND sum_word_len <= 10*n_words) AS BIGINT)
+                + CAST((10*n_symbols <= n_words) AS BIGINT)
+                + CAST((10*n_bullet <= 9*n_lines) AS BIGINT)
+                + CAST((10*n_ellipsis_lines <= 3*n_lines) AS BIGINT)
+                + CAST((5*n_alpha_words >= 4*n_words) AS BIGINT)
+                + CAST((n_req_stop >= 2) AS BIGINT) AS n_rules_passed,
+                (n_words BETWEEN 50 AND 100000
+                 AND 3*n_words <= sum_word_len AND sum_word_len <= 10*n_words
+                 AND 10*n_symbols <= n_words
+                 AND 10*n_bullet <= 9*n_lines
+                 AND 10*n_ellipsis_lines <= 3*n_lines
+                 AND 5*n_alpha_words >= 4*n_words
+                 AND n_req_stop >= 2) AS keep
+         FROM s ORDER BY doc_id""")
 }

@@ -425,6 +425,33 @@ class ExtSpec extends AnyFunSuite {
     assert(jf(8L) == ((4 % 640 + 1, 4 * 7 % 480 + 1)))
   }
 
+  test("gopherSignals: each rule flips on its designed violation; clean doc passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val clean = (("the quick brown fox jumps over a lazy dog and " * 6) +
+      "that would be plenty of words to have fun with today").trim // 64 words, all rules ok
+    val docs = Seq(
+      (1L, clean),
+      (2L, "too short to have the size"),                          // rule 1 (n_words < 50)
+      (3L, clean + " " + "a " * 200),                              // rule 2 (mean len < 3)
+      (4L, clean.split(" ").map(w => s"#$w#").mkString(" ")),      // rule 3 (symbols)
+      (5L, clean.split(" ").map(w => s"- $w").mkString("\n")),     // rule 4 (bullet lines)
+      (6L, clean.split(" ").map(w => s"$w...").mkString("\n")),    // rule 5 (ellipsis lines)
+      (7L, clean + " " + "12345 " * 60),                           // rule 6 (alpha frac)
+      (8L, ("alpha bravo charlie delta echo " * 12).trim)          // rule 7 (no req stopwords)
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +: TextAnalysis.gopherSignals(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), "clean doc must pass all rules")
+    assert(out(1L).getAs[Long]("n_rules_passed") == 7L)
+    for (id <- 2L to 8L) {
+      assert(!out(id).getAs[Boolean]("keep"), s"doc $id must fail")
+      assert(out(id).getAs[Long]("n_rules_passed") < 7L, s"doc $id must fail ≥1 rule")
+    }
+    assert(out(8L).getAs[Long]("n_req_stop") == 0L)
+    assert(out(4L).getAs[Long]("n_symbols") >= out(4L).getAs[Long]("n_words"))
+  }
+
   test("resizeImages: real rescale to target dims, output still decodable PNG") {
     import spark.implicits._
     val media = Seq(5L, 42L).toDS().map(id =>
