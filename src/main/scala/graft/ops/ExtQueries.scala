@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.io.Tables
 
 /** Training-data-pipeline operator catalog (SURVEY §2.9 E1-E5 + builder
@@ -429,6 +429,32 @@ object ExtQueries {
     Tables.documents(s, d)
       .select(col("doc_id") +: TextAnalysis.gopherSignals($"text"): _*)
       .orderBy($"doc_id")
+  }
+
+  /** Sketch contract #4 — mergeable FREQUENCY: a count-min sketch
+    * ([[CountMin]], Cormode & Muthukrishnan 2005) built over every token of
+    * the corpus in ONE pass fused with the exact total (the same
+    * partial+merge movement as q140's HLL), then probed for the exact
+    * top-10 tokens. The sketch internals are engine-specific, so the oracle
+    * pins the exact top-10 counts plus the two measured CMS contracts:
+    * estimates never undercount, and overcounts stay within (e/Width)·N.
+    * The top-10 list, the single-row (total, sketch) stats, and the probe
+    * join are all bounded — nothing data-sized touches the driver. */
+  private val q148CmsTopk: Q = (s, d) => {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select(explode(TextAnalysis.words($"text")).as("tok"))
+    val cms = udaf(new CountMin.SketchAgg(), org.apache.spark.sql.Encoders.STRING)
+    val stats = toks.agg(count(lit(1)).as("n_total"), cms($"tok").as("sk"))
+    val top10 = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"tok".asc).limit(10)
+    val est = udf((sk: Seq[Long], tok: String) => CountMin.estimate(sk.toIndexedSeq, tok))
+    top10.crossJoin(broadcast(stats))
+      .select($"tok", $"n_exact", est($"sk", $"tok").as("e"), $"n_total")
+      .select($"tok", $"n_exact",
+        ($"e" >= $"n_exact").as("overestimate_ok"),
+        ($"e" <= $"n_exact" + lit(CountMin.Eps) * $"n_total").as("bound_ok"))
+      .orderBy($"n_exact".desc, $"tok".asc)
   }
 
   /** E5: token-count estimation. */
@@ -885,6 +911,7 @@ object ExtQueries {
     "q55_media_features" -> q55MediaFeatures,
     "q146_image_decode"  -> q146ImageDecode,
     "q147_gopher_rules"  -> q147GopherRules,
+    "q148_cms_topk"      -> q148CmsTopk,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1689,5 +1716,17 @@ object ExtQueries {
                  AND 10*n_ellipsis_lines <= 3*n_lines
                  AND 5*n_alpha_words >= 4*n_words
                  AND n_req_stop >= 2) AS keep
-         FROM s ORDER BY doc_id""")
+         FROM s ORDER BY doc_id""",
+    // the sketch grid is engine-specific; the oracle pins the exact top-10
+    // token counts and the measured CMS error contracts (q140's pattern)
+    "q148_cms_topk" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                    w -> length(w) > 0)) AS tok
+           FROM documents)
+         SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
+                true AS overestimate_ok, true AS bound_ok
+         FROM t GROUP BY tok
+         ORDER BY n_exact DESC, tok ASC LIMIT 10""")
 }

@@ -425,6 +425,26 @@ class ExtSpec extends AnyFunSuite {
     assert(jf(8L) == ((4 % 640 + 1, 4 * 7 % 480 + 1)))
   }
 
+  test("CountMin: never undercounts, merge == single-pass, bound holds on skew") {
+    val agg = new CountMin.SketchAgg()
+    // zipfy stream: token i appears 1000/i times
+    val stream = (1 to 50).flatMap(i => Seq.fill(1000 / i)(s"tok$i"))
+    val whole = stream.foldLeft(agg.zero)(agg.reduce)
+    // split + merge must equal the single-pass grid (mergeability)
+    val (a, b) = stream.splitAt(stream.length / 3)
+    val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+    assert(java.util.Arrays.equals(whole, merged))
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size
+    for ((tok, c) <- exact) {
+      val e = CountMin.estimate(whole, tok)
+      assert(e >= c, s"undercount for $tok")
+      assert(e <= c + (CountMin.Eps * n).ceil.toLong, s"bound blown for $tok")
+    }
+    // absent token estimates stay within the additive error of zero
+    assert(CountMin.estimate(whole, "never-seen") <= (CountMin.Eps * n).ceil.toLong)
+  }
+
   test("gopherSignals: each rule flips on its designed violation; clean doc passes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
