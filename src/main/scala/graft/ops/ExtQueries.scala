@@ -457,6 +457,54 @@ object ExtQueries {
       .orderBy($"n_exact".desc, $"tok".asc)
   }
 
+  /** Data-selection operator — DSIR importance weighting (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how target-like its
+    * hashed-unigram distribution is. Tokens hash into 1024 buckets
+    * (md5-based, so the oracle replays the bucketing verbatim); the target
+    * (lang='en') and raw bucket distributions are estimated with add-1
+    * smoothing, and each doc's importance weight is the sum of its tokens'
+    * log-likelihood ratios — quantized per bucket to integer micro-nats
+    * (q137's convention: the products feeding ln are exact-in-double
+    * integers, and floor-quantization absorbs libm 1-ulp drift), so the
+    * per-doc sums are order-free exact integers.
+    *
+    * Movement at 100 TB: one token explode feeding (a) a 1024-row bucket
+    * table (map-side partial counts) and (b) per-doc bucket counts — one
+    * (doc_id, bucket) shuffle; the λ table broadcasts back. Nothing about
+    * the corpus size touches the driver. */
+  private val q149DsirWeights: Q = (s, d) => {
+    import s.implicits._
+    val B = 1024
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", ($"lang" === "en").as("is_t"),
+        explode(TextAnalysis.words($"text")).as("w"))
+      .withColumn("b", conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % B)
+    val tot = tok.agg(count(lit(1)).as("nr"), count_if($"is_t").as("nt"))
+    val bc = tok.groupBy($"b").agg(count(lit(1)).as("cr"), count_if($"is_t").as("ct"))
+    val lam = bc.crossJoin(broadcast(tot))
+      .select($"b",
+        floor(log(
+          (($"ct".cast("double") + lit(1.0)) * ($"nr".cast("double") + lit(1024.0))) /
+          (($"cr".cast("double") + lit(1.0)) * ($"nt".cast("double") + lit(1024.0)))
+        ) * lit(1000000.0)).cast("long").as("lam"))
+    val scored = tok.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"c").cast("long").as("n_toks"),
+        sum($"c" * $"lam").cast("long").as("score_micronats"))
+    // selection is relative — above the corpus-mean score — because add-1
+    // smoothing biases every absolute score slightly negative when target ⊂
+    // raw; the mean compare is done by integer cross-multiplication so the
+    // boolean is exact. (Full DSIR samples ∝ exp(score); the deterministic
+    // above-mean rule is the oracle-checkable analog.)
+    val corpus = scored.agg(sum($"score_micronats").as("sum_s"),
+      count(lit(1)).as("n_docs"))
+    scored.crossJoin(broadcast(corpus))
+      .select($"doc_id", $"n_toks", $"score_micronats",
+        ($"score_micronats" * $"n_docs" > $"sum_s").as("selected"))
+      .orderBy($"doc_id")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -912,6 +960,7 @@ object ExtQueries {
     "q146_image_decode"  -> q146ImageDecode,
     "q147_gopher_rules"  -> q147GopherRules,
     "q148_cms_topk"      -> q148CmsTopk,
+    "q149_dsir_weights"  -> q149DsirWeights,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1728,5 +1777,36 @@ object ExtQueries {
          SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
                 true AS overestimate_ok, true AS bound_ok
          FROM t GROUP BY tok
-         ORDER BY n_exact DESC, tok ASC LIMIT 10""")
+         ORDER BY n_exact DESC, tok ASC LIMIT 10""",
+    // identical hashed-unigram bucketing, smoothing, and micro-nat floor —
+    // the per-doc sums are integer-exact so the hash compare is strict
+    "q149_dsir_weights" ->
+      """WITH tok AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+                  unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                    w -> length(w) > 0)) AS w
+           FROM documents),
+         tb AS (
+           SELECT doc_id, is_t,
+                  CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 1024 AS b
+           FROM tok),
+         tot AS (SELECT count(*) AS nr, count(*) FILTER (is_t) AS nt FROM tb),
+         bc AS (SELECT b, count(*) AS cr, count(*) FILTER (is_t) AS ct
+                FROM tb GROUP BY b),
+         lam AS (SELECT b,
+                  CAST(floor(ln(
+                    ((CAST(ct AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + 1024.0)) /
+                    ((CAST(cr AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + 1024.0))
+                  ) * 1000000.0) AS BIGINT) AS lam
+                 FROM bc, tot),
+         db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
+         ds AS (SELECT db.doc_id,
+                       CAST(sum(c) AS BIGINT) AS n_toks,
+                       CAST(sum(c * lam) AS BIGINT) AS score_micronats
+                FROM db JOIN lam USING (b) GROUP BY db.doc_id),
+         corp AS (SELECT sum(score_micronats) AS sum_s, count(*) AS n_docs FROM ds)
+         SELECT doc_id, n_toks, score_micronats,
+                score_micronats * n_docs > sum_s AS selected
+         FROM ds, corp ORDER BY doc_id""")
 }

@@ -445,6 +445,29 @@ class ExtSpec extends AnyFunSuite {
     assert(CountMin.estimate(whole, "never-seen") <= (CountMin.Eps * n).ceil.toLong)
   }
 
+  test("DSIR weights: target-vocabulary docs outscore off-target docs") {
+    import spark.implicits._
+    // planted signal: en docs speak vocabulary A, others vocabulary B;
+    // a raw doc written in A must be selected, one in B must not
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val a = "alpha beta gamma delta epsilon zeta"
+    val b = "omega psi chi phi upsilon tau"
+    Seq(
+      (1L, (a + " ") * 20, "en", "src0", 0L),
+      (2L, (a + " ") * 20, "en", "src1", 0L),
+      (3L, (b + " ") * 20, "de", "src0", 0L),
+      (4L, (b + " ") * 20, "fr", "src1", 0L),
+      (5L, (a + " ") * 20, "zh", "src2", 0L),  // target-like raw doc
+      (6L, (b + " ") * 20, "zh", "src3", 0L)   // off-target raw doc
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q149_dsir_weights")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(5L)._1 > out(6L)._1, "target-vocab doc must outscore off-target")
+    assert(out(5L)._2 && !out(6L)._2)
+    assert(out(1L)._2 && out(2L)._2 && !out(3L)._2 && !out(4L)._2)
+  }
+
   test("gopherSignals: each rule flips on its designed violation; clean doc passes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
