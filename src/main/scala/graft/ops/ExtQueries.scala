@@ -505,6 +505,47 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E2: exact all-pairs similarity join with PREFIX FILTERING (Bayardo,
+    * Ma & Srikant, WWW 2007 — the APT/PPJoin candidate-generation family):
+    * every pair of documents whose 5-word-shingle sets have cosine ≥ 0.8,
+    * found WITHOUT an all-pairs stage. Each doc's shingle set is sorted by
+    * a global total order and only its prefix (the first
+    * `a − ⌈t²·a⌉ + 1` tokens) is exploded; the prefix-filter lemma
+    * guarantees any qualifying pair shares a prefix token, so the one
+    * equi-join on prefix tokens is a lossless candidate generator —
+    * verified here by the oracle, which computes the truth by brute force
+    * over ALL shared tokens. Candidates then verify with one
+    * `array_intersect`, and the threshold applies as integer
+    * cross-multiplication (cos ≥ 4/5 ⟺ 25·o² ≥ 16·a·b): float-free.
+    *
+    * Order choice: lexicographic, so sorting and prefix-slicing are
+    * map-side (zero extra shuffles). Bayardo's ascending-frequency order
+    * is the selectivity heuristic to swap in when vocabulary skew demands
+    * — it costs a vocabulary-table join; the lemma holds for ANY global
+    * order. Movement at 100 TB: one map pass, one prefix-token equi-join
+    * (fanout bounded by prefix rarity), one bounded verify join. */
+  private val q150AllPairsSim: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", sort_array(Dedup.shingleSet($"text", 5)).as("sh"))
+      .filter(size($"sh") >= 1)
+      .select($"doc_id", $"sh", size($"sh").cast("long").as("a"))
+    val pt = docs.select($"doc_id", explode(
+        slice($"sh", lit(1),
+          size($"sh") - ceil(size($"sh") * lit(0.64)).cast("int") + lit(1))).as("tok"))
+    val cand = pt.as("x").join(pt.as("y"),
+        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(docs.select($"doc_id".as("id1"), $"sh".as("sh1"), $"a".as("size1")), "id1")
+      .join(docs.select($"doc_id".as("id2"), $"sh".as("sh2"), $"a".as("size2")), "id2")
+      .select($"id1", $"id2",
+        size(array_intersect($"sh1", $"sh2")).cast("long").as("overlap"),
+        $"size1", $"size2")
+      .filter(lit(25) * $"overlap" * $"overlap" >= lit(16) * $"size1" * $"size2")
+      .orderBy($"id1", $"id2")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -961,6 +1002,7 @@ object ExtQueries {
     "q147_gopher_rules"  -> q147GopherRules,
     "q148_cms_topk"      -> q148CmsTopk,
     "q149_dsir_weights"  -> q149DsirWeights,
+    "q150_allpairs_sim"  -> q150AllPairsSim,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1808,5 +1850,21 @@ object ExtQueries {
          corp AS (SELECT sum(score_micronats) AS sum_s, count(*) AS n_docs FROM ds)
          SELECT doc_id, n_toks, score_micronats,
                 score_micronats * n_docs > sum_s AS selected
-         FROM ds, corp ORDER BY doc_id""")
+         FROM ds, corp ORDER BY doc_id""",
+    // brute-force truth over ALL shared tokens — if the engine's prefix
+    // filter dropped a qualifying pair, this hash-mismatches
+    "q150_allpairs_sim" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+         s AS (SELECT doc_id,
+                      list_distinct([array_to_string(ws[i:i+4], ' ')
+                                     for i in range(1, len(ws) - 3)]) AS sh
+               FROM t WHERE len(ws) >= 5),
+         tok AS (SELECT doc_id, len(sh) AS a, unnest(sh) AS tok FROM s),
+         ov AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS o,
+                       any_value(x.a) AS a1, any_value(y.a) AS a2
+                FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
+         SELECT id1, id2, CAST(o AS BIGINT) AS overlap,
+                CAST(a1 AS BIGINT) AS size1, CAST(a2 AS BIGINT) AS size2
+         FROM ov WHERE 25*o*o >= 16*a1*a2 ORDER BY id1, id2""")
 }

@@ -445,6 +445,26 @@ class ExtSpec extends AnyFunSuite {
     assert(CountMin.estimate(whole, "never-seen") <= (CountMin.Eps * n).ceil.toLong)
   }
 
+  test("q150 prefix-filtered all-pairs: finds planted near-dup, rejects mid-sim pair") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("allpairs").toString
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")          // 36 5-shingles
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val halfSame = ((1 to 20).map(i => s"w$i") ++ (1 to 20).map(i => s"v$i")).mkString(" ")
+    Seq(
+      (1L, base, "en", "src0", 0L),
+      (2L, nearDup, "en", "src0", 0L),   // cos ≈ 31/36 > 0.8 vs doc 1
+      (3L, halfSame, "en", "src0", 0L),  // shares a block with doc 1, cos < 0.8
+      (4L, "completely different words here altogether now okay", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.SparkEntry.queries("q150_allpairs_sim")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup pair must be found")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), "mid-similarity pair must be rejected")
+    assert(!pairs.exists(p => p._2 == 4L || p._1 == 4L))
+  }
+
   test("DSIR weights: target-vocabulary docs outscore off-target docs") {
     import spark.implicits._
     // planted signal: en docs speak vocabulary A, others vocabulary B;
