@@ -293,6 +293,32 @@ object Relational {
       .orderBy($"cohort_wk", $"week_offset")
   }
 
+  /** Event-sequence analytics #3: BATCH gap-based sessionization — the
+    * batch twin of q72's streaming sessionize (same 30-minute gap rule,
+    * computed over history instead of state). Boundary flags come from a
+    * per-user `lag`, session ids from a running sum of flags, sessions
+    * from one groupBy — all three window/agg steps share the SAME
+    * (user_id) hash partitioning, so the whole query is ONE shuffle plus
+    * in-partition sorts; there is no global sort and no per-user collect.
+    * Tie-safety: equal timestamps have gap 0 < 30 min, so session
+    * boundaries and aggregates are identical under any tie order — the
+    * oracle's window order can differ from Spark's without hash drift. */
+  private val q151Sessionize: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts")
+    val gap = unix_timestamp($"ts") - unix_timestamp(lag($"ts", 1).over(w))
+    Tables.events(s, d).select($"user_id", $"ts")
+      .withColumn("new_s", when(gap.isNull || gap > 1800, 1L).otherwise(0L))
+      .withColumn("session_idx", sum($"new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_idx")
+      .agg(min($"ts").as("session_start"),
+        (unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("duration_sec"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id", $"session_idx")
+  }
+
   /** T10: date parse from string (idx `date` column → DATE,
     * `load_filings_idx.py:57`). */
   private val q21DateParse: Q = (s, d) => {
@@ -669,6 +695,7 @@ object Relational {
     "q141_zorder_stats"   -> q141ZOrderStats,
     "q142_funnel"         -> q142Funnel,
     "q143_cohort_retention" -> q143CohortRetention,
+    "q151_sessionize"     -> q151Sessionize,
     "q81_lateral"         -> q81Lateral,
     "q82_window_suite"    -> q82WindowSuite,
     "q83_datetime_suite"  -> q83DatetimeSuite,
@@ -915,6 +942,25 @@ object Relational {
                 CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          FROM e JOIN ch USING (user_id)
          GROUP BY 1, 2 ORDER BY cohort_wk, week_offset""",
+    // gap>1800s on floor-epoch seconds both sides; equal-ts ties cannot
+    // move a session boundary, so any window tie order hashes identically
+    "q151_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         l AS (SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                     THEN 1 ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         c AS (SELECT user_id, ts,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+               FROM l)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                min(ts) AS session_start,
+                CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_sec,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM c GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
     "q81_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,

@@ -284,6 +284,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit on both the ADC shortlist and the re-rank top-k:\n$plan")
   }
 
+  test("sessionize (q151): one data shuffle — windows and groupBy reuse the user_id partitioning") {
+    val df = graft.SparkEntry.queries("q151_sessionize")(spark, sf)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // lag-window, running-sum window, and the session groupBy must all sit
+    // on the SAME (user_id) hashpartitioning: one data exchange + the
+    // deterministic output sort, nothing else
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges (user_id + output sort), got $exchanges:\n$plan")
+  }
+
   test("funnel (q142): stage frames cached — final assembly scans parquet once, no windows") {
     val df = graft.SparkEntry.queries("q142_funnel")(spark, sf)
     val plan = planOf(df)
