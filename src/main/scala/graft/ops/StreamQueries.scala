@@ -258,7 +258,47 @@ object StreamQueries {
       .orderBy($"click_id", $"buy_id")
   }
 
+  /** Sketch contract #5 — INCREMENTAL frequency: q148's count-min sketch
+    * maintained as STREAMING STATE. Documents stream in over multiple
+    * micro-batches (two file-source batches under one AvailableNow run);
+    * the [[graft.ext.CountMin.SketchAgg]] UDAF buffer lives in the state
+    * store and absorbs each batch. The gate measures, per exact-top-10
+    * token, (a) both CMS error contracts AND (b) that the streamed sketch's
+    * estimate EQUALS the batch sketch's — CMS merge is associative, so any
+    * micro-batching must produce the identical grid; a state-store
+    * serialization bug or a dropped batch breaks the equality, not just
+    * the bound. This is the 100 TB incremental path: the sketch ingests
+    * forever, rollups never re-read rows. */
+  private val q152StreamCms: Q = (s, d) => {
+    import s.implicits._
+    import graft.ext.{CountMin, TextAnalysis}
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = Files.createTempDirectory("graft_scms_src_").toString
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
+    val cms = udaf(new CountMin.SketchAgg(), org.apache.spark.sql.Encoders.STRING)
+    val stoks = Streams.parquetStream(s, s"$src/*", docs.schema)
+      .select(explode(TextAnalysis.words($"text")).as("tok"))
+    val streamed = Streams.runToMemory(s,
+        stoks.groupBy().agg(cms($"tok").as("ssk")),
+        OutputMode.Complete(), statePartitions = 8)
+    val btoks = docs.select(explode(TextAnalysis.words($"text")).as("tok"))
+    val batch = btoks.agg(count(lit(1)).as("n_total"), cms($"tok").as("bsk"))
+    val top10 = btoks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy($"n_exact".desc, $"tok".asc).limit(10)
+    val est = udf((sk: Seq[Long], tok: String) => CountMin.estimate(sk.toIndexedSeq, tok))
+    top10.crossJoin(broadcast(batch)).crossJoin(broadcast(streamed))
+      .select($"tok", $"n_exact",
+        est($"ssk", $"tok").as("e_s"), est($"bsk", $"tok").as("e_b"), $"n_total")
+      .select($"tok", $"n_exact",
+        ($"e_s" >= $"n_exact").as("overestimate_ok"),
+        ($"e_s" <= $"n_exact" + lit(CountMin.Eps) * $"n_total").as("bound_ok"),
+        ($"e_s" === $"e_b").as("incremental_matches_batch"))
+      .orderBy($"n_exact".desc, $"tok".asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q152_stream_cms"       -> q152StreamCms,
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
@@ -271,6 +311,18 @@ object StreamQueries {
     "q138_stream_join"      -> q138StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    // q148's oracle shape plus the streamed-equals-batch equality column
+    "q152_stream_cms" ->
+      """WITH t AS (
+           SELECT unnest(list_filter(
+                    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
+                    w -> length(w) > 0)) AS tok
+           FROM documents)
+         SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
+                true AS overestimate_ok, true AS bound_ok,
+                true AS incremental_matches_batch
+         FROM t GROUP BY tok
+         ORDER BY n_exact DESC, tok ASC LIMIT 10""",
     // the streamed-in, incrementally-maintained index must answer exactly
     // like a fresh full-corpus build — q89's shared oracle string
     "q107_stream_index" -> TextQueries.mergesJoiningOracle,
