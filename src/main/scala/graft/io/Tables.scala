@@ -59,5 +59,25 @@ object Tables {
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** `embeddings.embedding` is the engine contract `array<float>`; the
+    * generator currently writes float32 lists, but the events episode
+    * (see [[events]]) showed on-disk schema is adversarial input — if the
+    * column ever arrives as `array<double>` (numpy float64 default), every
+    * similarity/ANN query would silently change numerics instead of
+    * failing loud. Normalize at the loader: cast list-of-floating to
+    * array<float>, reject anything else. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val raw = apply(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _)  => raw
+      case ArrayType(DoubleType, _) =>
+        raw.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case other => throw new IllegalArgumentException(
+        s"Tables.embeddings: unsupported on-disk type for embedding: $other " +
+          "(expected array<float> or array<double>)")
+    }
+  }
 }

@@ -57,6 +57,20 @@ class EventsLoaderSpec extends AnyFunSuite {
       "NTZ shape must decode to the same rows as native timestamp (UTC session)")
   }
 
+  test("Tables.embeddings normalizes array<double> to the array<float> contract") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("emb-f64").toFile
+    dir.deleteOnExit()
+    Seq((1L, Seq(0.25, -1.5, 3.0), 0), (2L, Seq(0.5, 0.75, -2.0), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+    val got = Tables.embeddings(spark, dir.getAbsolutePath)
+    assert(got.schema("embedding").dataType == ArrayType(FloatType),
+      "double lists must cast down to the float contract")
+    val r = got.orderBy("vec_id").collect()
+    assert(r(0).getSeq[Float](1) == Seq(0.25f, -1.5f, 3.0f))
+  }
+
   test("Tables.events rejects an unreadable ts type with a clear error") {
     val dir = Files.createTempDirectory("events-bad").toFile
     dir.deleteOnExit()
