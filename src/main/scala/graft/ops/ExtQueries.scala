@@ -546,6 +546,42 @@ object ExtQueries {
       .orderBy($"id1", $"id2")
   }
 
+  /** E3 companion — dimensionality reduction by RANDOM PROJECTION
+    * (Johnson–Lindenstrauss via the Achlioptas ±1 scheme, the standard
+    * embedding-compression step before ANN at scale): project each
+    * embedding to 16 components against a fixed ±1 sign matrix derived
+    * from md5(i_j) parity, so the "random" matrix is a pure function both
+    * engines compute independently. Each product is floor-quantized to
+    * integer micro-units BEFORE summing, making the per-component sums
+    * order-free exact integers — no float-accumulation drift, strict hash
+    * gate, no contract booleans needed. Map-only: the sign matrix is a
+    * driver literal, components emit via inline() (row-generate, no
+    * shuffle); the only exchange is the deterministic output sort. */
+  private val q153RandomProjection: Q = (s, d) => {
+    import s.implicits._
+    val K = 16
+    val emb = Tables.embeddings(s, d)
+    val dim = emb.select(max(size($"embedding"))).head.getInt(0)
+    val signs: IndexedSeq[IndexedSeq[Double]] = (0 until K).map { j =>
+      (0 until dim).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+      }
+    }
+    val comps = (0 until K).map { j =>
+      aggregate(
+        zip_with($"embedding", typedlit(signs(j)),
+          (x, sg) => floor(x.cast("double") * sg * lit(1000000.0)).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    }
+    emb.select($"vec_id",
+        inline(array((0 until K).map(j =>
+          struct(lit(j).as("component"), comps(j).as("comp_micro"))): _*)))
+      .orderBy($"vec_id", $"component")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1003,6 +1039,7 @@ object ExtQueries {
     "q148_cms_topk"      -> q148CmsTopk,
     "q149_dsir_weights"  -> q149DsirWeights,
     "q150_allpairs_sim"  -> q150AllPairsSim,
+    "q153_random_projection" -> q153RandomProjection,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1866,5 +1903,18 @@ object ExtQueries {
                 GROUP BY 1, 2)
          SELECT id1, id2, CAST(o AS BIGINT) AS overlap,
                 CAST(a1 AS BIGINT) AS size1, CAST(a2 AS BIGINT) AS size2
-         FROM ov WHERE 25*o*o >= 16*a1*a2 ORDER BY id1, id2""")
+         FROM ov WHERE 25*o*o >= 16*a1*a2 ORDER BY id1, id2""",
+    // identical md5-parity sign matrix and per-product micro floor: the
+    // component sums are order-free integers, so the compare is strict
+    "q153_random_projection" ->
+      """SELECT vec_id, CAST(j AS INT) AS component,
+                CAST(sum(CAST(floor(
+                  (CAST(embedding[i + 1] AS DOUBLE) *
+                   (CASE WHEN CAST('0x' || substr(md5(i || '_' || j), 1, 1) AS INT)
+                              % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 1000000.0)
+                  AS BIGINT)) AS BIGINT) AS comp_micro
+         FROM embeddings,
+              unnest(range(len(embedding))) AS t(i),
+              unnest(range(16)) AS u(j)
+         GROUP BY vec_id, j ORDER BY vec_id, component""")
 }
