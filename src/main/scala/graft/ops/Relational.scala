@@ -319,6 +319,62 @@ object Relational {
       .orderBy($"user_id", $"session_idx")
   }
 
+  /** Time-RANGE window frames — the 7-day moving revenue average (the one
+    * window family q82's ROWS-frame suite doesn't cover): daily totals
+    * first (one groupBy shuffle bounded by calendar days, so the window
+    * input is tiny at ANY corpus scale), then
+    * `RANGE BETWEEN 6 DAYS PRECEDING AND CURRENT ROW` over epoch-day
+    * ordering. The unpartitioned window is safe exactly because it runs on
+    * the day-grain aggregate, never the fact table. Decimal sums
+    * throughout; the moving average divides two exact decimals. */
+  private val q154MovingWindow: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(dec(sum(dec($"o_totalprice"))).as("day_rev"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(datediff($"day", lit("1970-01-01").cast("date")))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", dec(sum($"day_rev").over(w)))
+      .withColumn("n_7d", sum($"n_orders").over(w))
+      .select($"day", money($"day_rev").as("day_rev"),
+        money($"rev_7d").as("rev_7d"), $"n_7d",
+        money(($"rev_7d" / $"n_7d").cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+          .as("avg_order_7d"))
+      .orderBy($"day")
+  }
+
+  /** S10 companion — SCD TYPE-2 dimension maintenance (the warehouse
+    * history-keeping merge next to q62's point upsert and q90's COW merge):
+    * an update batch (every 7th customer moves to MACHINERY, skipping the
+    * ones already there) closes the prior version (valid_to set,
+    * is_current=false) and opens a new current version, while untouched
+    * customers keep their open row. One broadcast join against the derived
+    * batch + a union — the dimension never shuffles; at scale the batch is
+    * the small side by construction. */
+  private val q155Scd2: Q = (s, d) => {
+    import s.implicits._
+    val v1 = lit("2024-01-01").cast("date")
+    val v2 = lit("2024-07-01").cast("date")
+    val base = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment")
+    val batch = base
+      .filter($"c_custkey" % 7 === 0 && $"c_mktsegment" =!= "MACHINERY")
+      .select($"c_custkey", lit("MACHINERY").as("new_segment"))
+    val flagged = base.join(broadcast(batch), Seq("c_custkey"), "left")
+    val history = flagged.select($"c_custkey", $"c_mktsegment".as("segment"),
+      v1.as("valid_from"),
+      when($"new_segment".isNotNull, v2).otherwise(lit(null).cast("date")).as("valid_to"),
+      $"new_segment".isNull.as("is_current"))
+    val opened = flagged.filter($"new_segment".isNotNull)
+      .select($"c_custkey", $"new_segment".as("segment"),
+        v2.as("valid_from"), lit(null).cast("date").as("valid_to"),
+        lit(true).as("is_current"))
+    history.unionByName(opened)
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
   /** T10: date parse from string (idx `date` column → DATE,
     * `load_filings_idx.py:57`). */
   private val q21DateParse: Q = (s, d) => {
@@ -696,6 +752,8 @@ object Relational {
     "q142_funnel"         -> q142Funnel,
     "q143_cohort_retention" -> q143CohortRetention,
     "q151_sessionize"     -> q151Sessionize,
+    "q154_moving_window"  -> q154MovingWindow,
+    "q155_scd2"           -> q155Scd2,
     "q81_lateral"         -> q81Lateral,
     "q82_window_suite"    -> q82WindowSuite,
     "q83_datetime_suite"  -> q83DatetimeSuite,
@@ -961,6 +1019,39 @@ object Relational {
                 CAST(count(*) AS BIGINT) AS n_events
          FROM c GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    // day-grain pre-agg then a 7-day RANGE frame over epoch days; the
+    // moving average divides two exact decimals cast per the money rule
+    "q154_moving_window" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS day,
+                  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev,
+                  count(*) AS n_orders
+           FROM orders GROUP BY 1)
+         SELECT day,
+                CAST(day_rev AS DOUBLE) AS day_rev,
+                CAST(sum(day_rev) OVER w AS DOUBLE) AS rev_7d,
+                CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d,
+                CAST(CAST(sum(day_rev) OVER w / sum(n_orders) OVER w
+                     AS DECIMAL(28,8)) AS DOUBLE) AS avg_order_7d
+         FROM daily
+         WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+    "q155_scd2" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+         batch AS (SELECT c_custkey, 'MACHINERY' AS new_segment FROM base
+                   WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'MACHINERY'),
+         f AS (SELECT b.c_custkey, b.c_mktsegment, t.new_segment
+               FROM base b LEFT JOIN batch t USING (c_custkey))
+         SELECT c_custkey, c_mktsegment AS segment,
+                DATE '2024-01-01' AS valid_from,
+                CASE WHEN new_segment IS NOT NULL THEN DATE '2024-07-01' END AS valid_to,
+                new_segment IS NULL AS is_current
+         FROM f
+         UNION ALL
+         SELECT c_custkey, new_segment, DATE '2024-07-01', NULL, true
+         FROM f WHERE new_segment IS NOT NULL
+         ORDER BY c_custkey, valid_from""",
     "q81_lateral" ->
       """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          FROM customer c,
