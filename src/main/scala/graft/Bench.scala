@@ -82,7 +82,11 @@ object Bench {
     val total = results.values.map(_._1).sum
     val totalMed = results.values.map(_._2).sum
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}""")
+    // n_failed is the machine-readable failure signal: a consumer keying
+    // off exit code alone would read a partially-failing bench as clean
+    // (the JVM exits 0 so the timing artifact still lands)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }
