@@ -479,8 +479,14 @@ object ExtQueries {
       .select($"doc_id", ($"lang" === "en").as("is_t"),
         explode(TextAnalysis.words($"text")).as("w"))
       .withColumn("b", conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % B)
-    val tot = tok.agg(count(lit(1)).as("nr"), count_if($"is_t").as("nt"))
+    // cached: 1024 rows, feeds both the totals fold and the λ table — the
+    // corpus explode runs exactly twice (bucket counts + per-doc counts),
+    // never three times. Verify/Bench clear the cache between queries.
     val bc = tok.groupBy($"b").agg(count(lit(1)).as("cr"), count_if($"is_t").as("ct"))
+      .cache()
+    // corpus totals fold from the bucket table — not another corpus pass:
+    // Σcr ≡ count(*), Σct ≡ count_if(is_t) by construction
+    val tot = bc.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
     val lam = bc.crossJoin(broadcast(tot))
       .select($"b",
         floor(log(
