@@ -579,6 +579,29 @@ object Relational {
     * dimensions, which single-column sorting cannot do. Map-only z
     * computation + one bucket agg; at scale this is the repartitionByRange
     * write key and the stats land in the format's footer metadata. */
+  /** Sketch contract #6 — DURABILITY: q140 proves HLL sketches merge
+    * without re-reading rows; this proves they survive the trip through
+    * STORAGE, which is the actual incremental architecture (per-shard/day
+    * sketch tables persist as parquet BINARY columns; any later rollup
+    * unions kilobytes). Per-group sketches write to parquet, a fresh read
+    * unions them, and the estimate must satisfy the same 5% contract —
+    * a serialization/encoding bug surfaces as a wrong estimate, not a
+    * crash. The exact distinct count pins the oracle. */
+  private val q156HllPersist: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q156_hll_").toString + "/sk"
+    val o = Tables.orders(s, d)
+    o.groupBy($"o_orderpriority").agg(hll_sketch_agg($"o_custkey").as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = s.read.parquet(dir).agg(
+      hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+      count(lit(1)).as("n_groups"))
+    val exact = o.agg(countDistinct($"o_custkey").as("n_exact"))
+    merged.crossJoin(exact)
+      .select($"n_groups", $"n_exact",
+        (abs($"est" - $"n_exact").cast("double") / $"n_exact" <= 0.05).as("persisted_union_ok"))
+  }
+
   private val q141ZOrderStats: Q = (s, d) => {
     import s.implicits._
     val o = Tables.orders(s, d)
@@ -748,6 +771,7 @@ object Relational {
     "q78_quantiles"       -> q78Quantiles,
     "q132_approx_quantiles" -> q132ApproxQuantiles,
     "q140_hll_union"      -> q140HllUnion,
+    "q156_hll_persist"    -> q156HllPersist,
     "q141_zorder_stats"   -> q141ZOrderStats,
     "q142_funnel"         -> q142Funnel,
     "q143_cohort_retention" -> q143CohortRetention,
@@ -957,6 +981,13 @@ object Relational {
       """SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
                 CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
                 true AS union_ok
+         FROM orders""",
+    // sketch bytes are engine-specific; the oracle pins groups + exact
+    // distinct and the measured post-roundtrip union contract
+    "q156_hll_persist" ->
+      """SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+                true AS persisted_union_ok
          FROM orders""",
     // the IDENTICAL generated bit-interleave (zOracleBits below): + is |
     // here because the interleaved terms occupy disjoint bit positions
