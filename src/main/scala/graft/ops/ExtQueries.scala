@@ -588,6 +588,29 @@ object ExtQueries {
       .orderBy($"vec_id", $"component")
   }
 
+  /** E3 companion #2 — INT8 scalar quantization (the FAISS SQ8 / vector-DB
+    * compression step, 4× smaller than float32 before ANN): per-vector
+    * scale = max|x|/127, components round to nearest int8 via
+    * floor(x/scale + 0.5). Every step is a single IEEE operation on
+    * exactly-representable inputs, so both engines produce identical
+    * codes and the hash gate is strict — scale is emitted floor-quantized
+    * to nano-units. Map-only: scale computes before a posexplode
+    * row-generate; the only exchange is the output sort. Zero vectors
+    * quantize to 0 by an identical guard on both sides. */
+  private val q157Int8Quantize: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val scale = array_max(transform($"embedding", x => abs(x.cast("double")))) / lit(127.0)
+    emb.select($"vec_id", $"embedding", scale.as("scale"))
+      .select($"vec_id", $"scale", posexplode($"embedding"))
+      .select($"vec_id", $"pos".cast("int").as("i"),
+        when($"scale" === 0.0, lit(0L))
+          .otherwise(floor($"col".cast("double") / $"scale" + lit(0.5)).cast("long"))
+          .as("q8"),
+        floor($"scale" * lit(1e9)).cast("long").as("scale_nano"))
+      .orderBy($"vec_id", $"i")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1046,6 +1069,7 @@ object ExtQueries {
     "q149_dsir_weights"  -> q149DsirWeights,
     "q150_allpairs_sim"  -> q150AllPairsSim,
     "q153_random_projection" -> q153RandomProjection,
+    "q157_int8_quantize" -> q157Int8Quantize,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1922,5 +1946,20 @@ object ExtQueries {
          FROM embeddings,
               unnest(range(len(embedding))) AS t(i),
               unnest(range(16)) AS u(j)
-         GROUP BY vec_id, j ORDER BY vec_id, component""")
+         GROUP BY vec_id, j ORDER BY vec_id, component""",
+    // identical single-IEEE-op chain (max|x|/127, x/scale + 0.5, floor):
+    // codes and nano-floored scale are bit-exact on both engines
+    "q157_int8_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id, CAST(i AS INT) AS i,
+                CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(CAST(embedding[i + 1] AS DOUBLE) / scale + 0.5)
+                               AS BIGINT) END AS q8,
+                CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano
+         FROM e, unnest(range(len(embedding))) AS t(i)
+         ORDER BY vec_id, i""")
 }
