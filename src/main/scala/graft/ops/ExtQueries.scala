@@ -611,6 +611,67 @@ object ExtQueries {
       .orderBy($"vec_id", $"i")
   }
 
+  /** Retrieval EVAL harness — quantization quality as IR metrics: how well
+    * does q157's int8 retrieval reproduce exact float retrieval? For each
+    * of the first 20 query vectors, the truth list is exact-cosine top-10
+    * (q46's proven machinery) and the system list ranks by cosine over the
+    * INT8 CODE vectors — whose dot/norms are exact integers (≤64·127²,
+    * exact in double under any order), so the system ranking is
+    * bit-deterministic in both engines with (cos desc, id) tiebreaks.
+    * Emits per query: the system rank of the true nearest neighbor (0 if
+    * missed), hits@10, and nDCG@10 — computed from HARDCODED integer gain
+    * constants (floor(1e9/log2(i+1)), same literals in the oracle) so the
+    * only float step is one final integer division. The metrics
+    * themselves, not just the lists, are the gate. */
+  private val q158QuantEval: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gains = Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L,
+      356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
+    val idcg = gains.sum // 4543559335
+    val emb = Tables.embeddings(s, d)
+    val scale = array_max(transform($"embedding", x => abs(x.cast("double")))) / lit(127.0)
+    val codes = emb
+      .select($"vec_id", $"embedding", scale.as("scale"))
+      .select($"vec_id", transform($"embedding", x =>
+        when($"scale" === 0.0, lit(0L))
+          .otherwise(floor(x.cast("double") / $"scale" + lit(0.5)).cast("long"))).as("code"))
+    val cosQ = udf((a: Seq[Long], b: Seq[Long]) => {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0L || nb == 0L) 0.0
+      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    })
+    val qCodes = codes.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"code".as("qc"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosq".desc, $"neighbor_id")
+    val sys = codes.select($"vec_id".as("neighbor_id"), $"code".as("cc"))
+      .crossJoin(broadcast(qCodes))
+      .withColumn("cosq", cosQ($"qc", $"cc"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"neighbor_id")
+    val truth = Similarity.bruteForceKnn(
+      emb.filter($"vec_id" < 20), emb, k = 10)
+    val rel = truth.select($"query_id", $"neighbor_id", lit(1L).as("rel"))
+    val nn1 = truth.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id".as("nn_id"))
+    sys
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .join(broadcast(nn1), Seq("query_id"))
+      .select($"query_id", $"rank",
+        coalesce($"rel", lit(0L)).as("rel"),
+        when($"neighbor_id" === $"nn_id", $"rank").as("nn_rank"),
+        element_at(typedlit(gains), $"rank").as("gain"))
+      .groupBy($"query_id")
+      .agg(coalesce(min($"nn_rank"), lit(0L)).cast("long").as("rank_of_nn"),
+        sum($"rel").cast("long").as("hits_at_10"),
+        floor(lit(1000000.0) * sum($"rel" * $"gain").cast("double") / lit(idcg.toDouble))
+          .cast("long").as("ndcg_micro"))
+      .orderBy($"query_id")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1070,6 +1131,7 @@ object ExtQueries {
     "q150_allpairs_sim"  -> q150AllPairsSim,
     "q153_random_projection" -> q153RandomProjection,
     "q157_int8_quantize" -> q157Int8Quantize,
+    "q158_quant_eval"    -> q158QuantEval,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -1961,5 +2023,69 @@ object ExtQueries {
                                AS BIGINT) END AS q8,
                 CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano
          FROM e, unnest(range(len(embedding))) AS t(i)
-         ORDER BY vec_id, i""")
+         ORDER BY vec_id, i""",
+    // replays both rankings (int-code cosine is exact-integer dot/norms;
+    // float truth is q46's proven list_cosine_similarity) and the metric
+    // arithmetic with the same hardcoded gain constants
+    "q158_quant_eval" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding,
+                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+           FROM embeddings),
+         codes AS (
+           SELECT vec_id,
+                  list_transform(embedding, x ->
+                    CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
+                         ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
+                    END) AS code
+           FROM e),
+         qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 20),
+         pairs AS (
+           SELECT q.query_id, c.vec_id AS neighbor_id,
+                  list_sum(list_transform(range(len(c.code)),
+                    i -> q.qcode[i+1] * c.code[i+1])) AS dotq,
+                  list_sum(list_transform(q.qcode, x -> x*x)) AS na,
+                  list_sum(list_transform(c.code, x -> x*x)) AS nb
+           FROM codes c CROSS JOIN qc q),
+         sys AS (
+           SELECT * FROM (
+             SELECT query_id, neighbor_id,
+                    row_number() OVER (PARTITION BY query_id ORDER BY
+                      (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                            ELSE CAST(dotq AS DOUBLE) /
+                                 (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                       END) DESC, neighbor_id) AS rank
+             FROM pairs) t WHERE rank <= 10),
+         truth AS (
+           SELECT * FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                      list_cosine_similarity(
+                        list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                        list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                      c.vec_id) AS rank
+             FROM embeddings c
+             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q) t
+           WHERE rank <= 10),
+         nn1 AS (SELECT query_id, neighbor_id AS nn_id FROM truth WHERE rank = 1),
+         gains(rank, gain) AS (VALUES (1, 1000000000), (2, 630929753),
+           (3, 500000000), (4, 430676558), (5, 386852807), (6, 356207187),
+           (7, 333333333), (8, 315464876), (9, 301029995), (10, 289064826)),
+         j AS (
+           SELECT s.query_id, s.rank,
+                  CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
+                  CASE WHEN s.neighbor_id = n.nn_id THEN s.rank END AS nn_rank,
+                  g.gain
+           FROM sys s
+           LEFT JOIN truth t ON s.query_id = t.query_id
+                            AND s.neighbor_id = t.neighbor_id
+           JOIN nn1 n ON s.query_id = n.query_id
+           JOIN gains g ON s.rank = g.rank)
+         SELECT query_id,
+                CAST(coalesce(min(nn_rank), 0) AS BIGINT) AS rank_of_nn,
+                CAST(sum(rel) AS BIGINT) AS hits_at_10,
+                CAST(floor(1000000.0 * CAST(sum(rel * gain) AS DOUBLE)
+                           / 4543559335.0) AS BIGINT) AS ndcg_micro
+         FROM j GROUP BY query_id ORDER BY query_id""")
 }
