@@ -82,6 +82,57 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticPng]] with explicit dimensions (same closed-form pixels). */
+  def syntheticPngSized(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x + y + seed) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class DHashRow(media_id: Long, dhash: Long)
+
+  /** Difference hash (dHash) — the standard perceptual fingerprint for
+    * image near-dup detection: over a 9×8 grayscale image, bit (x,y) is
+    * `pixel(x,y) > pixel(x+1,y)` packed into 64 bits. Computed from REAL
+    * decoded pixel data (javax.imageio); the production pipeline resizes
+    * arbitrary images to 9×8 first ([[resizeImages]]) — the hash stage
+    * gates here on decode-exact 9×8 inputs so the oracle can replay the
+    * bits. Map-only, one decode per row. */
+  def dHash(media: Dataset[MediaRow]): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "image").map { r =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+        require(img != null && img.getWidth == 9 && img.getHeight == 8,
+          s"dHash expects decodable 9x8 input for media_id=${r.media_id}")
+        var h = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if ((img.getRGB(x, y) & 0xff) > (img.getRGB(x + 1, y) & 0xff))
+              h |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        DHashRow(r.media_id, h)
+      }
+    }
+  }
+
   case class ImageStats(media_id: Long, width: Int, height: Int, gray_sum: Long)
 
   /** Pixel-level image decode: dimensions plus the sum of the blue channel

@@ -672,6 +672,24 @@ object ExtQueries {
       .orderBy($"query_id")
   }
 
+  /** E4 #3 — perceptual dHash fingerprints from REAL decoded pixels: each
+    * image doc becomes a 9×8 closed-form PNG (encode executor-side),
+    * [[Multimodal.dHash]] decodes it and packs the 64 `p(x,y) > p(x+1,y)`
+    * comparisons — the standard image near-dup fingerprint. The oracle
+    * replays the bits from the closed form (p(x+1)=p(x)+1 mod 256, so a
+    * bit is set iff (x+y+id)%256==255), meaning a wrong pixel read, a
+    * lossy decode, or a bit-packing error all hash-mismatch. Map-only. */
+  private val q159ImageDhash: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id").where($"doc_id" % 3 === 0)
+      .repartition($"doc_id")
+      .as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaRow(id, "image", Multimodal.syntheticPngSized(id, 9, 8))))
+    Multimodal.dHash(media).toDF().orderBy($"media_id")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1132,6 +1150,7 @@ object ExtQueries {
     "q153_random_projection" -> q153RandomProjection,
     "q157_int8_quantize" -> q157Int8Quantize,
     "q158_quant_eval"    -> q158QuantEval,
+    "q159_image_dhash"   -> q159ImageDhash,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2087,5 +2106,16 @@ object ExtQueries {
                 CAST(sum(rel) AS BIGINT) AS hits_at_10,
                 CAST(floor(1000000.0 * CAST(sum(rel * gain) AS DOUBLE)
                            / 4543559335.0) AS BIGINT) AS ndcg_micro
-         FROM j GROUP BY query_id ORDER BY query_id""")
+         FROM j GROUP BY query_id ORDER BY query_id""",
+    // closed-form bit replay: p(x+1,y) = p(x,y)+1 mod 256, so the dHash
+    // bit at (x,y) is set iff (x+y+id) % 256 = 255
+    "q159_image_dhash" ->
+      """SELECT doc_id AS media_id,
+                CAST(coalesce(sum(CASE WHEN (x + y + doc_id) % 256 = 255
+                  THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT)) END), 0)
+                  AS BIGINT) AS dhash
+         FROM documents,
+              unnest(range(8)) AS t(x), unnest(range(8)) AS u(y)
+         WHERE doc_id % 3 = 0
+         GROUP BY doc_id ORDER BY media_id""")
 }
