@@ -515,6 +515,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_symbols") >= out(4L).getAs[Long]("n_words"))
   }
 
+  test("dHash production path: arbitrary image -> resize 9x8 -> stable fingerprint") {
+    import spark.implicits._
+    // two renders of the same scene at different sizes should fingerprint
+    // closer to each other than to a different scene (the dHash property)
+    def gradient(id: Long, scene: Double, w: Int, h: Int): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = (255.0 * (math.sin(scene + 4.0 * x / w) + 1) / 2).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      Multimodal.MediaRow(id, "image", bos.toByteArray)
+    }
+    val media = Seq(gradient(1L, 1.0, 64, 48), gradient(2L, 1.0, 120, 90),
+      gradient(3L, 9.0, 64, 48)).toDS()
+    val hashes = Multimodal.dHash(Multimodal.resizeImages(media, 9, 8))
+      .collect().map(r => r.media_id -> r.dhash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same scene across sizes: near-identical; different scene: far
+    val same = ham(hashes(1L), hashes(2L))
+    val cross = ham(hashes(1L), hashes(3L))
+    assert(same <= 8, s"same scene at two sizes must fingerprint close (hamming $same)")
+    assert(cross > same, s"different scene must be farther (same=$same cross=$cross)")
+  }
+
   test("resizeImages: real rescale to target dims, output still decodable PNG") {
     import spark.implicits._
     val media = Seq(5L, 42L).toDS().map(id =>
