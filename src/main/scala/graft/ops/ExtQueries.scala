@@ -690,6 +690,35 @@ object ExtQueries {
     Multimodal.dHash(media).toDF().orderBy($"media_id")
   }
 
+  /** Dataset-versioning audit — SNAPSHOT DIFF between two corpus versions
+    * (the Delta/Iceberg time-travel-diff shape, done engine-level): v2
+    * derives deterministically from v1 (every 10th doc edited, every 17th
+    * non-edited doc dropped, one appended doc per source partition-slice
+    * via ids beyond the v1 range), and the diff classifies every affected
+    * id as added / removed / changed by comparing content hashes through
+    * ONE full-outer join on the id — no content moves, only (id, md5)
+    * pairs shuffle. Unchanged rows are filtered before the sort. */
+  private val q160SnapshotDiff: Q = (s, d) => {
+    import s.implicits._
+    val v1 = Tables.documents(s, d).select($"doc_id", md5($"text").as("h1"))
+    val v2base = Tables.documents(s, d)
+      .filter(!($"doc_id" % 17 === 0 && $"doc_id" % 10 =!= 0))
+      .select($"doc_id",
+        when($"doc_id" % 10 === 0, md5(concat($"text", lit(" [edited v2]"))))
+          .otherwise(md5($"text")).as("h2"))
+    val appended = Tables.documents(s, d)
+      .filter($"doc_id" % 100 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h2"))
+    val v2 = v2base.unionByName(appended)
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"h1".isNull, "added")
+          .when($"h2".isNull, "removed")
+          .when($"h1" =!= $"h2", "changed").as("change"))
+      .filter($"change".isNotNull)
+      .orderBy($"doc_id")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1151,6 +1180,7 @@ object ExtQueries {
     "q157_int8_quantize" -> q157Int8Quantize,
     "q158_quant_eval"    -> q158QuantEval,
     "q159_image_dhash"   -> q159ImageDhash,
+    "q160_snapshot_diff" -> q160SnapshotDiff,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2117,5 +2147,23 @@ object ExtQueries {
          FROM documents,
               unnest(range(8)) AS t(x), unnest(range(8)) AS u(y)
          WHERE doc_id % 3 = 0
-         GROUP BY doc_id ORDER BY media_id""")
+         GROUP BY doc_id ORDER BY media_id""",
+    // same derived v2 and the same hash-compare classification
+    "q160_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+         v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0 THEN md5(text || ' [edited v2]')
+                       ELSE md5(text) END AS h2
+           FROM documents
+           WHERE NOT (doc_id % 17 = 0 AND doc_id % 10 <> 0)
+           UNION ALL
+           SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 100 = 0)
+         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                CASE WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN h1 <> h2 THEN 'changed' END AS change
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR h1 <> h2)
+         ORDER BY doc_id""")
 }
