@@ -719,6 +719,37 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** E2 #7 — Hamming-radius near-dup search by MULTI-INDEX PIGEONHOLE
+    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
+    * Hashing", CVPR 2012): all pairs within Hamming distance ≤ 3 of the
+    * oracle-replayable 60-bit md5-simhash, found WITHOUT an all-pairs
+    * scan. The fingerprint splits into 4 bands of 15 bits; a pair
+    * differing in ≤ 3 bits cannot differ in all 4 bands (pigeonhole), so
+    * the per-band equi-join is a lossless candidate generator — proven by
+    * the brute-force oracle. Runs on the q42/q48 bounded slice (full
+    * corpus at sf0.01); the full-corpus path is the same join with the
+    * LSH family's degenerate-bucket salt guards, since emit-all-pairs
+    * output is inherently quadratic in identical-fingerprint clusters. */
+  private val q161HammingPairs: Q = (s, d) => {
+    import s.implicits._
+    val slice = Tables.documents(s, d).filter($"doc_id" < CosineSlice)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text")).as("sh"))
+      .cache()
+    val pt = slice.select($"doc_id", $"sh",
+        posexplode(array((0 until 4).map(b =>
+          shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    pt.as("x").join(pt.as("y"),
+        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.sh".bitwiseXOR($"y.sh")).cast("int").as("hamming"))
+      .filter($"hamming" <= 3)
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1181,6 +1212,7 @@ object ExtQueries {
     "q158_quant_eval"    -> q158QuantEval,
     "q159_image_dhash"   -> q159ImageDhash,
     "q160_snapshot_diff" -> q160SnapshotDiff,
+    "q161_hamming_pairs" -> q161HammingPairs,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2165,5 +2197,32 @@ object ExtQueries {
                      WHEN h1 <> h2 THEN 'changed' END AS change
          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
          WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR h1 <> h2)
-         ORDER BY doc_id""")
+         ORDER BY doc_id""",
+    // brute-force hamming truth over q44's replayable simhash — a pair the
+    // pigeonhole bands dropped would hash-mismatch here
+    "q161_hamming_pairs" ->
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_sort(list_distinct(list_filter(
+               string_split_regex(lower(text), '[^a-z0-9]+'),
+               w -> length(w) > 0))) AS toks
+           FROM documents WHERE doc_id < $CosineSlice),
+         h AS (
+           SELECT doc_id,
+             list_transform(toks,
+               w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs
+           FROM t),
+         s AS (
+           SELECT doc_id,
+             CAST(coalesce(list_sum(
+               [CASE WHEN list_sum([CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END
+                                    FOR x IN hs]) > 0
+                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                FOR j IN range(0, 60)]), 0) AS BIGINT) AS sh
+           FROM h)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         ORDER BY doc_a, doc_b""")
 }
