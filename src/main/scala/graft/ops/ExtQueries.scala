@@ -750,6 +750,29 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Pre-training planning analytics — TRUNCATION-LOSS report: for each
+    * candidate context length L ∈ {32, 64, 128, 512} (spanning the corpus's
+    * ~81-token mean so the report actually discriminates), how many
+    * documents exceed L estimated tokens and how many tokens the cutoff
+    * discards vs keeps. The question every context-length decision asks
+    * of a corpus, answered in one pass: per-doc token estimate (integer,
+    * q52's estimator) → a 4-way map-side explode → a 4-group aggregate.
+    * All integer arithmetic; strict hash gate. */
+  private val q162TruncationLoss: Q = (s, d) => {
+    import s.implicits._
+    val lens = Seq(32, 64, 128, 512)
+    Tables.documents(s, d)
+      .select(TextAnalysis.estTokens($"text").as("t"))
+      .select($"t", explode(typedlit(lens)).as("context_len"))
+      .groupBy($"context_len")
+      .agg(count(lit(1)).as("n_docs"),
+        count_if($"t" > $"context_len").as("n_truncated"),
+        sum($"t").cast("long").as("total_tokens"),
+        sum(greatest($"t" - $"context_len", lit(0L))).cast("long").as("tokens_lost"),
+        sum(least($"t", $"context_len".cast("long"))).cast("long").as("tokens_kept"))
+      .orderBy($"context_len")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1213,6 +1236,7 @@ object ExtQueries {
     "q159_image_dhash"   -> q159ImageDhash,
     "q160_snapshot_diff" -> q160SnapshotDiff,
     "q161_hamming_pairs" -> q161HammingPairs,
+    "q162_truncation_loss" -> q162TruncationLoss,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2224,5 +2248,20 @@ object ExtQueries {
                 CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
          FROM s a JOIN s b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         ORDER BY doc_a, doc_b""")
+         ORDER BY doc_a, doc_b""",
+    // q52's integer token estimate crossed with the 4 candidate lengths
+    "q162_truncation_loss" ->
+      s"""WITH t AS (
+           SELECT CAST(coalesce(list_sum(list_transform($wordsAposSql,
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS t
+           FROM documents),
+         x AS (SELECT t.t, l.context_len
+               FROM t, (VALUES (32), (64), (128), (512)) AS l(context_len))
+         SELECT CAST(context_len AS INT) AS context_len,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(count(*) FILTER (t > context_len) AS BIGINT) AS n_truncated,
+                CAST(sum(t) AS BIGINT) AS total_tokens,
+                CAST(sum(greatest(t - context_len, 0)) AS BIGINT) AS tokens_lost,
+                CAST(sum(least(t, context_len)) AS BIGINT) AS tokens_kept
+         FROM x GROUP BY context_len ORDER BY context_len""")
 }
