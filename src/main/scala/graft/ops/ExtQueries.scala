@@ -773,6 +773,36 @@ object ExtQueries {
       .orderBy($"context_len")
   }
 
+  /** Mixture planning — BINDING-CONSTRAINT report (the Pile/DoReMi
+    * construction question): given target mixture weights over sources
+    * (uniform here, ppm-integer), which source limits the total corpus
+    * you can assemble at those weights, and what does each source
+    * contribute? achievable_total = min over sources of
+    * available_tokens·1e6/weight_ppm (integer floor), allocation =
+    * floor(achievable·weight/1e6). Per-source token sums are one
+    * aggregate; the mins/allocations fold over the ~20-row source table.
+    * All integer arithmetic — strict gate. */
+  private val q163MixtureDeficit: Q = (s, d) => {
+    import s.implicits._
+    val bySource = Tables.documents(s, d)
+      .select($"source", TextAnalysis.estTokens($"text").as("t"))
+      .groupBy($"source").agg(sum($"t").cast("long").as("available_tokens"))
+      .cache()
+    val nSources = bySource.agg(count(lit(1)).as("n")).select($"n")
+    val withW = bySource.crossJoin(broadcast(nSources))
+      .select($"source", $"available_tokens",
+        (lit(1000000L) / $"n").cast("long").as("weight_ppm"))
+    val achievable = withW
+      .select(($"available_tokens" * lit(1000000L) / $"weight_ppm").cast("long").as("cap"))
+      .agg(min($"cap").as("achievable_total"))
+    withW.crossJoin(broadcast(achievable))
+      .select($"source", $"available_tokens", $"weight_ppm",
+        ($"achievable_total" * $"weight_ppm" / lit(1000000L)).cast("long").as("allocation"),
+        ($"available_tokens" * lit(1000000L) / $"weight_ppm" === $"achievable_total")
+          .as("is_limiting"))
+      .orderBy($"source")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1237,6 +1267,7 @@ object ExtQueries {
     "q160_snapshot_diff" -> q160SnapshotDiff,
     "q161_hamming_pairs" -> q161HammingPairs,
     "q162_truncation_loss" -> q162TruncationLoss,
+    "q163_mixture_deficit" -> q163MixtureDeficit,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2263,5 +2294,23 @@ object ExtQueries {
                 CAST(sum(t) AS BIGINT) AS total_tokens,
                 CAST(sum(greatest(t - context_len, 0)) AS BIGINT) AS tokens_lost,
                 CAST(sum(least(t, context_len)) AS BIGINT) AS tokens_kept
-         FROM x GROUP BY context_len ORDER BY context_len""")
+         FROM x GROUP BY context_len ORDER BY context_len""",
+    // same integer fold: uniform ppm weights, floor-division caps and
+    // allocations, equality-on-cap as the limiting flag
+    "q163_mixture_deficit" ->
+      s"""WITH bys AS (
+           SELECT source,
+                  CAST(sum(coalesce(list_sum(list_transform($wordsAposSql,
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)) AS BIGINT)
+                    AS available_tokens
+           FROM documents GROUP BY source),
+         w AS (SELECT source, available_tokens,
+                      CAST(1000000 // (SELECT count(*) FROM bys) AS BIGINT) AS weight_ppm
+               FROM bys),
+         a AS (SELECT min(available_tokens * 1000000 // weight_ppm) AS achievable_total
+               FROM w)
+         SELECT source, available_tokens, weight_ppm,
+                CAST(achievable_total * weight_ppm // 1000000 AS BIGINT) AS allocation,
+                available_tokens * 1000000 // weight_ppm = achievable_total AS is_limiting
+         FROM w, a ORDER BY source""")
 }

@@ -297,8 +297,28 @@ object StreamQueries {
       .orderBy($"n_exact".desc, $"tok".asc)
   }
 
+  /** STREAM-STATIC enrichment join — the remaining core streaming join
+    * shape (q138 covers stream-stream): the events stream joins a static
+    * broadcast dimension (customer) row-by-row as micro-batches arrive,
+    * then aggregates per segment. On a cluster the dimension broadcasts
+    * once and every micro-batch probes it map-side — no stream-side
+    * shuffle for the join itself. Complete-mode windowless agg so the
+    * final table compares against the batch oracle exactly. */
+  private val q164StreamEnrich: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val dim = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+    val agg = stream.join(broadcast(dim), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), money(sum(dec($"value"))).as("sum_value"))
+    Streams.runToMemory(s, agg, OutputMode.Complete(), statePartitions = 8)
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q152_stream_cms"       -> q152StreamCms,
+    "q164_stream_enrich"    -> q164StreamEnrich,
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
@@ -311,6 +331,12 @@ object StreamQueries {
     "q138_stream_join"      -> q138StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    // the streamed enrichment must equal the batch join exactly
+    "q164_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     // q148's oracle shape plus the streamed-equals-batch equality column
     "q152_stream_cms" ->
       """WITH t AS (
