@@ -33,11 +33,22 @@ object AsofJoin {
     * @param joinType  "inner" drops unmatched left rows, "left" keeps them
     *                  with null carried columns
     */
+  /** @param direction "backward" (latest right with ts ≤ left.ts — the
+    *                   default, kdb `aj`) or "forward" (earliest right
+    *                   with ts ≥ left.ts — pandas merge_asof
+    *                   direction='forward'); forward is the same one-
+    *                   shuffle composition with the scan order reversed
+    * @param toleranceSec optional max |left.ts − right.ts| in seconds
+    *                   (pandas merge_asof tolerance): matches farther
+    *                   away are dropped (inner) or nulled (left) */
   def apply(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
             valueCols: Seq[String] = Seq.empty, suffix: String = "_r",
-            joinType: String = "inner"): DataFrame = {
+            joinType: String = "inner", direction: String = "backward",
+            toleranceSec: Option[Long] = None): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"asof join supports inner|left, got $joinType")
+    require(direction == "backward" || direction == "forward",
+      s"asof join supports backward|forward, got $direction")
 
     def carriedName(c: String): String =
       if (c == tsCol || left.columns.contains(c)) c + suffix else c
@@ -60,12 +71,28 @@ object AsofJoin {
     // deterministic total order (struct comparison), so `last` can't pick a
     // different payload run-to-run; left rows (asof_r null) sort last at
     // equal ts, after every right they may match.
+    // forward direction = the identical running-last composition scanning
+    // time in reverse (right rows still sort before left rows at ties, so
+    // ≥ stays inclusive)
+    val tsOrder = if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol).asc, col("asof_side").asc, col("asof_r").asc_nulls_last)
+      .orderBy(tsOrder, col("asof_side").asc, col("asof_r").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = unioned
+    val matchedAll = unioned
       .withColumn("asof_match", last(col("asof_r"), ignoreNulls = true).over(w))
       .filter(col("asof_side") === 1)
+
+    val matched = toleranceSec match {
+      case None => matchedAll
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward")
+            unix_timestamp(col(tsCol)) - unix_timestamp(col(s"asof_match.${carriedName(tsCol)}"))
+          else
+            unix_timestamp(col(s"asof_match.${carriedName(tsCol)}")) - unix_timestamp(col(tsCol))
+        matchedAll.withColumn("asof_match",
+          when(col("asof_match").isNotNull && gap <= tol, col("asof_match")))
+    }
 
     val kept = if (joinType == "inner") matched.filter(col("asof_match").isNotNull)
                else matched

@@ -479,6 +479,24 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** q28's directional/tolerance twins — FORWARD as-of with a 1-hour
+    * tolerance (pandas merge_asof direction='forward', tolerance='1h';
+    * the "next event after, if soon enough" staple): for each error, the
+    * EARLIEST click at-or-after it within 3600 s, same one-shuffle
+    * running-last composition scanning time in reverse. Inner join, so
+    * out-of-tolerance matches drop — the oracle's min-over-range replay
+    * enforces both the direction flip and the tolerance cut. */
+  private val q165AsofForward: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val errors = ev.filter($"event_type" === "error").select($"event_id", $"user_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click").select($"user_id", $"ts")
+    AsofJoin(errors, clicks, keyCol = "user_id", tsCol = "ts",
+        direction = "forward", toleranceSec = Some(3600L))
+      .select($"event_id", $"user_id", $"ts".as("error_ts"), $"ts_r".as("next_click_ts"))
+      .orderBy($"event_id")
+  }
+
   /** Semi-structured payloads: JSON path extraction + typed aggregation
     * over the events `props` column (per-row codegen'd get_json_object). */
   private val q29JsonExtract: Q = (s, d) => {
@@ -764,6 +782,7 @@ object Relational {
     "q26_pivot"           -> q26Pivot,
     "q27_range_join"      -> q27RangeJoin,
     "q28_asof_join"       -> q28AsofJoin,
+    "q165_asof_forward"   -> q165AsofForward,
     "q29_json_extract"    -> q29JsonExtract,
     "q58_fuzzy_names"     -> q58FuzzyNames,
     "q59_full_outer"      -> q59FullOuter,
@@ -1050,6 +1069,19 @@ object Relational {
                 CAST(count(*) AS BIGINT) AS n_events
          FROM c GROUP BY user_id, session_idx
          ORDER BY user_id, session_idx""",
+    // forward as-of with tolerance replayed as a min-over-range: earliest
+    // click in [error_ts, error_ts + 1h]; unmatched errors drop (inner)
+    "q165_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+               FROM events WHERE event_type = 'click')
+         SELECT e.event_id, e.user_id, e.ts AS error_ts,
+                min(c.ts) AS next_click_ts
+         FROM e JOIN c ON e.user_id = c.user_id
+                      AND c.ts >= e.ts
+                      AND date_diff('second', e.ts, c.ts) <= 3600
+         GROUP BY 1, 2, 3 ORDER BY event_id""",
     // day-grain pre-agg then a 7-day RANGE frame over epoch days; the
     // moving average divides two exact decimals cast per the money rule
     "q154_moving_window" ->

@@ -34,6 +34,30 @@ class AsofJoinSpec extends AnyFunSuite {
       (103L, "r20", ts(20))))
   }
 
+  test("forward: earliest right at-or-after wins; inclusive at equal ts") {
+    val got = AsofJoin(left, right, "user_id", "ts", valueCols = Seq("tag"),
+        direction = "forward")
+      .select($"event_id", $"tag", $"ts_r").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(got == Set(
+      (100L, "r10", ts(10)),  // before any right -> earliest following
+      (101L, "r10", ts(10)),  // equal ts -> inclusive
+      (102L, "r20", ts(20)))) // between -> next right; 103 after all -> drop
+  }
+
+  test("tolerance: matches farther than the bound drop (inner) or null (left)") {
+    // backward from t=99 to r20 at t=20 is 79s away: tol 60 must drop it
+    val inner = AsofJoin(left, right, "user_id", "ts", valueCols = Seq("tag"),
+        toleranceSec = Some(60L))
+      .select($"event_id").as[Long].collect().toSet
+    assert(inner == Set(101L, 102L), s"tolerance must cut 103, got $inner")
+    val kept = AsofJoin(left, right, "user_id", "ts", valueCols = Seq("tag"),
+        joinType = "left", toleranceSec = Some(60L))
+      .select($"event_id", $"tag").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(kept(103L).isEmpty && kept.size == 5)
+  }
+
   test("left: unmatched rows kept with null carried columns") {
     val got = AsofJoin(left, right, "user_id", "ts", Seq("tag"), joinType = "left")
       .select($"event_id", $"tag").collect()
