@@ -316,9 +316,48 @@ object StreamQueries {
       .orderBy($"c_mktsegment")
   }
 
+  /** q138's LEFT-OUTER twin — null-emission + state-eviction semantics:
+    * clicks with no purchase in-window emit with null buy columns, but
+    * only after the watermark passes their window; the AvailableNow
+    * no-data final micro-batch advances the watermark past the last
+    * event, flushing trailing unmatched clicks. Gate = exact equality
+    * with the batch left-outer join, which fails if eviction never
+    * fires (missing rows) OR fires early (phantom null rows). */
+  private val q166StreamOuterJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    // Outer-join state for a click can only flush once the watermark
+    // passes its join window; the last real clicks' windows end AFTER the
+    // final watermark (max event time − delay), so with real data alone
+    // they'd sit in state forever and the batch equality would miss rows.
+    // The standard fix: one far-future sentinel per SIDE (the global
+    // watermark is the min across streams) pushes the watermark past
+    // every real window; the sentinels themselves never flush (their own
+    // windows stay ahead of the watermark), so they add no output rows.
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    def plusH(h: Int) = new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000L)
+    val sentinels = Seq(
+      (-1L, plusH(10), -1L, "click", 0.0, "{}"),
+      (-2L, plusH(20), -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = Files.createTempDirectory("graft_q166_src_").toString
+    ev.unionByName(sentinels).write.parquet(s"$dir/events")
+    val src = s"$dir/events"
+    val clicks = Streams.parquetStream(s, src, ev.schema)
+      .filter($"event_type" === "click")
+    val buys = Streams.parquetStream(s, src, ev.schema)
+      .filter($"event_type" === "purchase")
+    Streams.runToMemory(s,
+        Streams.conversionPairsOuter(clicks, buys, withinMinutes = 30),
+        statePartitions = 8)
+      .filter($"user_id" =!= -1L)
+      .orderBy($"click_id", $"buy_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q152_stream_cms"       -> q152StreamCms,
     "q164_stream_enrich"    -> q164StreamEnrich,
+    "q166_stream_outer_join" -> q166StreamOuterJoin,
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
@@ -421,5 +460,19 @@ object StreamQueries {
          WHERE c.event_type = 'click' AND p.event_type = 'purchase'
            AND c.user_id = p.user_id
            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+         ORDER BY click_id, buy_id""",
+    // the same interval join as a batch LEFT OUTER: unmatched clicks keep
+    // null buy columns — a streaming eviction bug shows as missing or
+    // phantom rows against this truth
+    "q166_stream_outer_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts FROM events),
+         c AS (SELECT * FROM e WHERE event_type = 'click'),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase')
+         SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+                epoch_us(p.ts) - epoch_us(c.ts) AS delay_us
+         FROM c LEFT JOIN p
+           ON c.user_id = p.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
          ORDER BY click_id, buy_id""")
 }

@@ -129,6 +129,31 @@ object Streams {
         (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
   }
 
+  /** [[conversionPairs]]'s LEFT-OUTER twin — the hard stream-stream join
+    * semantics: clicks with no purchase in the window must still emit,
+    * with null buy columns, and they can only emit once the watermark
+    * passes their join window (before that a match could still arrive).
+    * State eviction and the null-emission path are exactly what this
+    * exercises; the final no-data micro-batch (AvailableNow +
+    * noDataMicroBatches) advances the watermark past the last event so
+    * trailing unmatched clicks flush before the query ends. */
+  def conversionPairsOuter(clicks: DataFrame, purchases: DataFrame,
+                           withinMinutes: Int,
+                           watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = clicks
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermarkDelay)
+    val r = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("buy_id"), col("ts").as("buy_ts"))
+      .withWatermark("buy_ts", watermarkDelay)
+    l.join(r, expr(
+        s"""user_id = p_user AND buy_ts >= click_ts
+            AND buy_ts <= click_ts + interval $withinMinutes minutes"""),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("click_ts"))).as("delay_us"))
+  }
+
   /** One row per key even WITHIN a batch (a micro-batch can carry the same
     * key from several source files, and rows have no intra-batch order) —
     * the greatest row struct over the ORDERABLE columns wins: arbitrary but
