@@ -445,6 +445,34 @@ class ExtSpec extends AnyFunSuite {
     assert(CountMin.estimate(whole, "never-seen") <= (CountMin.Eps * n).ceil.toLong)
   }
 
+  test("q150 prefix filter is lossless on seeded random corpora (vs brute force)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    // vocabulary small enough that docs share many shingles — the regime
+    // where a buggy prefix bound would actually drop qualifying pairs
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel")
+    for (trial <- 1 to 3) {
+      val docs = (0 until 14).map { i =>
+        val words = (0 until (8 + rnd.nextInt(8))).map(_ => vocab(rnd.nextInt(vocab.size)))
+        (i.toLong, words.mkString(" "), "en", "src0", 0L)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"ap$trial").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val got = graft.SparkEntry.queries("q150_allpairs_sim")(spark, dir)
+        .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute force over the same distinct-5-shingle sets
+      val sets = docs.map { case (id, text, _, _, _) =>
+        id -> Dedup.shingleSetImpl(text, 5).toSet
+      }.filter(_._2.nonEmpty)
+      val expect = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        o = (sa & sb).size if 25L * o * o >= 16L * sa.size * sb.size
+      } yield (a, b)).toSet
+      assert(got == expect, s"trial $trial: got=$got expect=$expect")
+    }
+  }
+
   test("q150 prefix-filtered all-pairs: finds planted near-dup, rejects mid-sim pair") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("allpairs").toString
