@@ -375,6 +375,47 @@ object Relational {
       .orderBy($"c_custkey", $"valid_from")
   }
 
+  /** Relational surface — UNPIVOT/melt (q26's inverse): the wide per-status
+    * aggregate melts back to (priority, status, n) long form via Spark's
+    * native unpivot (no UNION-of-projections blowup; one Generate). The
+    * oracle replays with DuckDB UNPIVOT, so both engines' null-dropping
+    * semantics must agree. */
+  private val q167Unpivot: Q = (s, d) => {
+    import s.implicits._
+    val wide = Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    // pivot-count yields NULL for empty (priority, status) combos where
+    // the oracle's count FILTER yields 0 — normalize to 0 so the two
+    // agree even on data with missing combos
+    wide.unpivot(
+        Array($"o_orderpriority"),
+        Array($"F", $"O", $"P"),
+        "status", "n")
+      .select($"o_orderpriority", $"status",
+        coalesce($"n", lit(0L)).cast("long").as("n"))
+      .orderBy($"o_orderpriority", $"status")
+  }
+
+  /** Analytics surface — exact equi-width HISTOGRAM: 20 buckets over the
+    * price range, boundaries computed in integer CENTS (prices are
+    * DECIMAL(18,2)) so bucket assignment is exact on both engines —
+    * bucket = (cents − min)·20 / (max − min + 1), integer floor division.
+    * One min/max all-reduce broadcasts back; assignment + count is one
+    * map-side pass + a 20-group agg. */
+  private val q168Histogram: Q = (s, d) => {
+    import s.implicits._
+    val cents = (dec($"o_totalprice") * lit(100)).cast("long")
+    val o = Tables.orders(s, d).select(cents.as("c"))
+    val bounds = o.agg(min($"c").as("lo"), max($"c").as("hi"))
+    o.crossJoin(broadcast(bounds))
+      .select((($"c" - $"lo") * lit(20L) / ($"hi" - $"lo" + lit(1L)))
+        .cast("long").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+  }
+
   /** T10: date parse from string (idx `date` column → DATE,
     * `load_filings_idx.py:57`). */
   private val q21DateParse: Q = (s, d) => {
@@ -783,6 +824,8 @@ object Relational {
     "q27_range_join"      -> q27RangeJoin,
     "q28_asof_join"       -> q28AsofJoin,
     "q165_asof_forward"   -> q165AsofForward,
+    "q167_unpivot"        -> q167Unpivot,
+    "q168_histogram"      -> q168Histogram,
     "q29_json_extract"    -> q29JsonExtract,
     "q58_fuzzy_names"     -> q58FuzzyNames,
     "q59_full_outer"      -> q59FullOuter,
@@ -1082,6 +1125,24 @@ object Relational {
                       AND c.ts >= e.ts
                       AND date_diff('second', e.ts, c.ts) <= 3600
          GROUP BY 1, 2, 3 ORDER BY event_id""",
+    "q167_unpivot" ->
+      """WITH wide AS (
+           SELECT o_orderpriority,
+                  count(*) FILTER (o_orderstatus = 'F') AS F,
+                  count(*) FILTER (o_orderstatus = 'O') AS O,
+                  count(*) FILTER (o_orderstatus = 'P') AS P
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, status, CAST(n AS BIGINT) AS n
+         FROM wide UNPIVOT (n FOR status IN (F, O, P))
+         ORDER BY o_orderpriority, status""",
+    // integer-cent bucket boundaries: exact floor-division assignment
+    "q168_histogram" ->
+      """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                           AS c FROM orders),
+         b AS (SELECT min(c) AS lo, max(c) AS hi FROM c)
+         SELECT CAST((c - lo) * 20 // (hi - lo + 1) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+         FROM c, b GROUP BY 1 ORDER BY bucket""",
     // day-grain pre-agg then a 7-day RANGE frame over epoch days; the
     // moving average divides two exact decimals cast per the money rule
     "q154_moving_window" ->
