@@ -803,6 +803,34 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** Data-reconciliation op — ORDER-INDEPENDENT table checksum: one
+    * integer fingerprint per source partition plus the corpus total,
+    * computed as the sum of each row's md5-derived 60-bit value,
+    * accumulated in DECIMAL(38,0) (ANSI-safe to ~2^126 — enough for 2^60
+    * rows) and reduced mod 2^60 at the end. Commutative addition makes
+    * the checksum independent of row order, partitioning, and merge
+    * history — THE property a "did two pipelines produce the same table"
+    * audit needs; one map-side hash pass + a per-source aggregate.
+    * Verifies content AND id binding (hash covers id||text). */
+  private val q169TableChecksum: Q = (s, d) => {
+    import s.implicits._
+    val Mod = 1152921504606846976L // 2^60
+    val rowHash = conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")), 1, 15), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val perSource = Tables.documents(s, d)
+      .select($"source", rowHash.as("h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_rows"), sum($"h").as("hsum"))
+    val total = perSource.agg(
+      lit("__total__").as("source"),
+      sum($"n_rows").cast("long").as("n_rows"),
+      sum($"hsum").as("hsum"))
+    perSource.withColumn("n_rows", $"n_rows".cast("long")).unionByName(total)
+      .select($"source", $"n_rows",
+        ($"hsum" % lit(Mod)).cast("long").as("checksum"))
+      .orderBy($"source")
+  }
+
   /** E5: token-count estimation. */
   private val q52EstTokens: Q = (s, d) => {
     import s.implicits._
@@ -1268,6 +1296,7 @@ object ExtQueries {
     "q161_hamming_pairs" -> q161HammingPairs,
     "q162_truncation_loss" -> q162TruncationLoss,
     "q163_mixture_deficit" -> q163MixtureDeficit,
+    "q169_table_checksum" -> q169TableChecksum,
     "q56_attachment_decode" -> q56AttachmentDecode,
     "q57_frame_sample"   -> q57FrameSample,
     "q86_dup_clusters"   -> q86DupClusters,
@@ -2312,5 +2341,23 @@ object ExtQueries {
          SELECT source, available_tokens, weight_ppm,
                 CAST(achievable_total * weight_ppm // 1000000 AS BIGINT) AS allocation,
                 available_tokens * 1000000 // weight_ppm = achievable_total AS is_limiting
-         FROM w, a ORDER BY source""")
+         FROM w, a ORDER BY source""",
+    // same md5-derived 60-bit row values summed (HUGEINT accumulation in
+    // DuckDB matches the engine's DECIMAL(38)) and reduced mod 2^60
+    "q169_table_checksum" ->
+      """WITH h AS (
+           SELECT source,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
+                       AS BIGINT) AS h
+           FROM documents),
+         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                        sum(CAST(h AS HUGEINT)) AS hsum
+                 FROM h GROUP BY source),
+         allrows AS (
+           SELECT source, n_rows, hsum FROM per
+           UNION ALL
+           SELECT '__total__', CAST(sum(n_rows) AS BIGINT), sum(hsum) FROM per)
+         SELECT source, n_rows,
+                CAST(hsum % 1152921504606846976 AS BIGINT) AS checksum
+         FROM allrows ORDER BY source""")
 }
