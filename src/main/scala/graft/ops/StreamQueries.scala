@@ -354,10 +354,50 @@ object StreamQueries {
       .orderBy($"click_id", $"buy_id")
   }
 
+  /** The reference's actual load pattern end-to-end in streaming form
+    * (scrape batches → RDBMS upsert): updates and brand-new keys stream in
+    * as file batches, `foreachBatch` upserts each into a live JDBC table
+    * (embedded Derby — same dialect-checked path PgLiveSpec proves on
+    * PG 15), a third empty run proves checkpoint idempotence, and the
+    * gate reads the final table back through JDBC. Existing keys must
+    * show the updated status, new keys must have been inserted — a
+    * driver that lies about update counts (SUCCESS_NO_INFO) or a
+    * re-applied batch would both break the equality. */
+  private val q170StreamJdbcUpsert: Q = (s, d) => {
+    import s.implicits._
+    val url = s"jdbc:derby:${Files.createTempDirectory("graft_q170_db_")}/db;create=true"
+    // bounded key slice (constant rows at any sf, q42's pattern): the gate
+    // proves sink SEMANTICS — upsert, insert, checkpoint idempotence —
+    // not volume; single-connection RDBMS load is not the 100 TB path
+    val base = Tables.orders(s, d).select($"o_orderkey", $"o_orderstatus")
+      .filter($"o_orderkey" < 5000)
+    base.write.jdbc(url, "orders_state", new java.util.Properties())
+    val updates = base.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", lit("X").as("o_orderstatus"))
+    val inserts = base.filter($"o_orderkey" % 1000 === 1)
+      .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("N").as("o_orderstatus"))
+    val src = Files.createTempDirectory("graft_q170_src_").toString
+    updates.write.parquet(s"$src/b1")
+    inserts.write.parquet(s"$src/b2")
+    val ck = Files.createTempDirectory("graft_q170_ck_").toString
+    def run(): Unit = Streams.runForeachBatch(
+        Streams.parquetStream(s, s"$src/*", updates.schema), ck) { (batch, _) =>
+      graft.io.Jdbc.upsertByKey(batch, url, "orders_state",
+        "o_orderkey", Seq("o_orderstatus"))
+    }
+    run()
+    run() // no new files: checkpoint makes the re-run a no-op
+    graft.io.Jdbc.readTable(s, url, "orders_state")
+      .toDF("o_orderkey", "o_orderstatus")
+      .select($"o_orderkey".cast("long"), $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q152_stream_cms"       -> q152StreamCms,
     "q164_stream_enrich"    -> q164StreamEnrich,
     "q166_stream_outer_join" -> q166StreamOuterJoin,
+    "q170_stream_jdbc_upsert" -> q170StreamJdbcUpsert,
     "q70_stream_hourly"     -> q70StreamHourly,
     "q71_stream_dedup"      -> q71StreamDedup,
     "q72_stream_sessionize" -> q72StreamSessionize,
@@ -370,6 +410,18 @@ object StreamQueries {
     "q138_stream_join"      -> q138StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    // final table = base with streamed updates applied plus streamed
+    // inserts — any dropped upsert, phantom re-apply, or missed insert
+    // breaks the equality
+    "q170_stream_jdbc_upsert" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 10 = 0 THEN 'X' ELSE o_orderstatus END
+                  AS o_orderstatus
+         FROM orders WHERE o_orderkey < 5000
+         UNION ALL
+         SELECT o_orderkey + 10000000, 'N' FROM orders
+         WHERE o_orderkey % 1000 = 1 AND o_orderkey < 5000
+         ORDER BY o_orderkey""",
     // the streamed enrichment must equal the batch join exactly
     "q164_stream_enrich" ->
       """SELECT c_mktsegment, count(*) AS n_events,

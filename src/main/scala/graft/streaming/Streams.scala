@@ -81,6 +81,22 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Run a stream to completion through a foreachBatch sink — the escape
+    * hatch for sinks Structured Streaming has no native writer for (RDBMS
+    * upserts, multi-table writes). Exactly-once comes from the checkpoint
+    * PLUS the sink function being idempotent per batch (an upsert is; a
+    * blind append is not) — the same contract Delta/JDBC foreachBatch
+    * users sign up for. */
+  def runForeachBatch(stream: DataFrame, checkpointDir: String)
+                     (fn: (DataFrame, Long) => Unit): Unit = {
+    val q = stream.writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked hourly rollup — the streaming twin of the batch q20.
     * The watermark bounds state: windows older than max(ts)-delay are
     * finalized and dropped from the store. */
