@@ -1,0 +1,227 @@
+package graft.io.pgwire
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+import java.sql.SQLException
+
+/** Minimal PostgreSQL frontend/backend (wire protocol v3) client — the
+  * transport under [[PgWireDriver]].
+  *
+  * The container ships PostgreSQL 15 but no vendor JDBC jar (zero-egress),
+  * so Spark's own `write.jdbc`/`read.jdbc` path — the reference's actual
+  * sink, `load_filings_idx.py:51-57` — could never run against live
+  * Postgres. This client implements the published protocol
+  * (https://www.postgresql.org/docs/current/protocol.html) directly:
+  * startup + trust/cleartext/md5 auth, the simple-query cycle
+  * ('Q' → RowDescription/DataRow/CommandComplete/ReadyForQuery), and text
+  * result format. Parameters are rendered client-side as SQL literals by
+  * the JDBC layer, so the extended (prepare/bind) protocol isn't needed.
+  *
+  * Scope: enough JDBC for Spark's JDBC relation + the engine's
+  * updateByKey/upsertByKey — not a general-purpose driver. SCRAM auth is
+  * intentionally out of scope; use trust/password/md5 HBA entries.
+  */
+final class PgWireSocket(host: String, port: Int, user: String,
+                         database: String, password: Option[String]) {
+
+  private val socket = new Socket(host, port)
+  socket.setTcpNoDelay(true)
+  private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
+  private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
+  private var open = true
+
+  /** server_version etc, captured from ParameterStatus messages. */
+  val serverParams = new scala.collection.mutable.HashMap[String, String]()
+
+  startup()
+
+  private def cstr(s: String): Array[Byte] = {
+    val b = s.getBytes(UTF_8)
+    java.util.Arrays.copyOf(b, b.length + 1) // trailing NUL
+  }
+
+  private def send(msgType: Byte, payload: Array[Byte]): Unit = {
+    if (msgType != 0) out.writeByte(msgType)
+    out.writeInt(payload.length + 4)
+    out.write(payload)
+  }
+
+  private def startup(): Unit = {
+    // session TimeZone pinned to UTC so timestamptz text I/O is offset-00
+    // on both directions regardless of server config
+    val params = Seq("user" -> user, "database" -> database,
+      "client_encoding" -> "UTF8", "TimeZone" -> "UTC",
+      "application_name" -> "graft-pgwire")
+    val body = new java.io.ByteArrayOutputStream()
+    val d = new DataOutputStream(body)
+    d.writeInt(196608) // protocol 3.0
+    params.foreach { case (k, v) => d.write(cstr(k)); d.write(cstr(v)) }
+    d.writeByte(0)
+    send(0, body.toByteArray)
+    out.flush()
+    authLoop()
+  }
+
+  private def md5hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString
+
+  private def authLoop(): Unit = {
+    var ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'R' =>
+          val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+          d.readInt() match {
+            case 0 => // AuthenticationOk
+            case 3 => // cleartext password
+              send('p', cstr(password.getOrElse(
+                throw new SQLException("server requests a password but none was given"))))
+              out.flush()
+            case 5 => // md5: md5(md5(password + user) + salt)
+              val salt = payload.drop(4)
+              val inner = md5hex((password.getOrElse(
+                throw new SQLException("server requests a password but none was given"))
+                + user).getBytes(UTF_8))
+              send('p', cstr("md5" + md5hex(inner.getBytes(UTF_8) ++ salt)))
+              out.flush()
+            case code =>
+              throw new SQLException(
+                s"unsupported auth request $code (only trust/cleartext/md5; configure pg_hba accordingly)")
+          }
+        case 'S' => parseParamStatus(payload)
+        case 'K' => // BackendKeyData — cancellation unsupported, ignore
+        case 'E' => throw parseError(payload)
+        case 'N' => // NoticeResponse
+        case 'Z' => ready = true
+        case other => throw new SQLException(s"unexpected message '${other.toChar}' during startup")
+      }
+    }
+  }
+
+  private def parseParamStatus(payload: Array[Byte]): Unit = {
+    val z1 = payload.indexOf(0)
+    val k = new String(payload, 0, z1, UTF_8)
+    val v = new String(payload, z1 + 1, payload.indexOf(0, z1 + 1) - z1 - 1, UTF_8)
+    serverParams(k) = v
+  }
+
+  private def readMessage(): (Char, Array[Byte]) = {
+    val t = in.read()
+    if (t < 0) throw new EOFException("postgres closed the connection")
+    val len = in.readInt() - 4
+    val payload = new Array[Byte](len)
+    in.readFully(payload)
+    (t.toChar, payload)
+  }
+
+  private def parseError(payload: Array[Byte]): SQLException = {
+    var i = 0
+    var msg = "unknown error"
+    var state: String = null
+    while (i < payload.length && payload(i) != 0) {
+      val code = payload(i).toChar
+      val end = payload.indexOf(0, i + 1)
+      val v = new String(payload, i + 1, end - i - 1, UTF_8)
+      code match {
+        case 'M' => msg = v
+        case 'C' => state = v
+        case _ =>
+      }
+      i = end + 1
+    }
+    new SQLException(msg, state)
+  }
+
+  /** One simple-query round trip; a multi-statement SQL string yields one
+    * [[PgResult]] per statement. Throws the FIRST ErrorResponse (after
+    * draining to ReadyForQuery, so the connection stays usable). */
+  def simpleQuery(sql: String): IndexedSeq[PgResult] = synchronized {
+    if (!open) throw new SQLException("connection is closed")
+    send('Q', cstr(sql))
+    out.flush()
+    val results = IndexedSeq.newBuilder[PgResult]
+    var cols: IndexedSeq[PgColumn] = IndexedSeq.empty
+    var rows = IndexedSeq.newBuilder[IndexedSeq[String]]
+    var err: SQLException = null
+    var ready = false
+    while (!ready) {
+      val (t, payload) = readMessage()
+      t match {
+        case 'T' =>
+          val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+          val n = d.readShort().toInt
+          cols = (0 until n).map { _ =>
+            val name = new StringBuilder
+            var b = d.readByte()
+            while (b != 0) { name.append(b.toChar +: Array.empty[Char]); b = d.readByte() }
+            // (name bytes are UTF-8; identifiers here are ASCII in practice)
+            PgColumn(name.toString, d.readInt(), d.readShort().toInt,
+              d.readInt(), d.readShort().toInt, d.readInt(), d.readShort().toInt)
+          }
+          rows = IndexedSeq.newBuilder
+        case 'D' =>
+          val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))
+          val n = d.readShort().toInt
+          rows += (0 until n).map { _ =>
+            val len = d.readInt()
+            if (len < 0) null
+            else {
+              val b = new Array[Byte](len)
+              d.readFully(b)
+              new String(b, UTF_8)
+            }
+          }
+        case 'C' =>
+          val tag = new String(payload, 0, payload.length - 1, UTF_8)
+          results += PgResult(cols, rows.result(), tag)
+          cols = IndexedSeq.empty
+          rows = IndexedSeq.newBuilder
+        case 'I' => // EmptyQueryResponse
+          results += PgResult(IndexedSeq.empty, IndexedSeq.empty, "")
+        case 'E' => if (err == null) err = parseError(payload)
+        case 'S' => parseParamStatus(payload)
+        case 'N' => // notice
+        case 'Z' => ready = true
+        case other => throw new SQLException(s"unexpected message '${other.toChar}' in query cycle")
+      }
+    }
+    if (err != null) throw err
+    results.result()
+  }
+
+  def isOpen: Boolean = open
+
+  def close(): Unit = synchronized {
+    if (open) {
+      open = false
+      try { send('X', Array.empty); out.flush() } catch { case _: Exception => }
+      try socket.close() catch { case _: Exception => }
+    }
+  }
+}
+
+/** One field of a RowDescription. */
+final case class PgColumn(name: String, tableOid: Int, attnum: Int,
+                          typeOid: Int, typeSize: Int, typeMod: Int, format: Int)
+
+/** One statement's result: columns (empty for command-only statements),
+  * text-format rows, and the CommandComplete tag ("INSERT 0 3"). */
+final case class PgResult(columns: IndexedSeq[PgColumn],
+                          rows: IndexedSeq[IndexedSeq[String]], tag: String) {
+  def hasRows: Boolean = columns.nonEmpty
+  /** Affected-row count per the tag; -1 when the tag carries none. The
+    * engine's upsert fallback depends on REAL counts (never
+    * SUCCESS_NO_INFO), which the tag always provides. */
+  def updateCount: Int = {
+    val parts = tag.split(' ')
+    parts(0) match {
+      case "INSERT" => parts(2).toInt
+      case "UPDATE" | "DELETE" | "MERGE" | "COPY" | "SELECT" =>
+        if (parts.length > 1) parts.last.toInt else -1
+      case _ => -1
+    }
+  }
+}

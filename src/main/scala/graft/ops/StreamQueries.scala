@@ -26,7 +26,7 @@ object StreamQueries {
   private def landEvents(s: org.apache.spark.sql.SparkSession, d: String): (String, DataFrame) = {
     val ev = Tables.events(s, d)
     val dir = landed.getOrElseUpdate(d, {
-      val out = Files.createTempDirectory("graft_stream_src_").toString
+      val out = graft.util.Scratch.dir("graft_stream_src_")
       ev.write.mode("overwrite").parquet(out)
       out
     })
@@ -75,8 +75,8 @@ object StreamQueries {
   private val q73StreamSink: Q = (s, d) => {
     import s.implicits._
     val (dir, ev) = landEvents(s, d)
-    val outDir = Files.createTempDirectory("graft_stream_out_").toString
-    val ckDir = Files.createTempDirectory("graft_stream_ck_").toString
+    val outDir = graft.util.Scratch.dir("graft_stream_out_")
+    val ckDir = graft.util.Scratch.dir("graft_stream_ck_")
     val stream = Streams.parquetStream(s, dir, ev.schema)
       .select($"event_id", $"user_id", $"event_type", $"value")
     Streams.runToParquet(stream, outDir, ckDir)
@@ -93,9 +93,9 @@ object StreamQueries {
   private val q90MergeBucketed: Q = (s, d) => {
     import s.implicits._
     val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-    val src = Files.createTempDirectory("graft_imb90_src_").toString
-    val tgt = Files.createTempDirectory("graft_imb90_tgt_").toString + "/base"
-    val ck = Files.createTempDirectory("graft_imb90_ck_").toString
+    val src = graft.util.Scratch.dir("graft_imb90_src_")
+    val tgt = graft.util.Scratch.dir("graft_imb90_tgt_") + "/base"
+    val ck = graft.util.Scratch.dir("graft_imb90_ck_")
     def merge(): Unit = Streams.incrementalMergeBucketed(
       Streams.parquetStream(s, s"$src/*", orders.schema), tgt, "o_orderkey", ck,
       numBuckets = 16)
@@ -120,9 +120,9 @@ object StreamQueries {
   private val q107StreamIndex: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val src = Files.createTempDirectory("graft_sidx_src_").toString
-    val idx = Files.createTempDirectory("graft_sidx_idx_").toString + "/idx"
-    val ck = Files.createTempDirectory("graft_sidx_ck_").toString
+    val src = graft.util.Scratch.dir("graft_sidx_src_")
+    val idx = graft.util.Scratch.dir("graft_sidx_idx_") + "/idx"
+    val ck = graft.util.Scratch.dir("graft_sidx_ck_")
     def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
       graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
       idx, "doc_id", "text", ck, buckets = 16)
@@ -147,9 +147,9 @@ object StreamQueries {
   private val q119StreamPhrase: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val src = Files.createTempDirectory("graft_spidx_src_").toString
-    val idx = Files.createTempDirectory("graft_spidx_idx_").toString + "/idx"
-    val ck = Files.createTempDirectory("graft_spidx_ck_").toString
+    val src = graft.util.Scratch.dir("graft_spidx_src_")
+    val idx = graft.util.Scratch.dir("graft_spidx_idx_") + "/idx"
+    val ck = graft.util.Scratch.dir("graft_spidx_ck_")
     def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
       graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
       idx, "doc_id", "text", ck, buckets = 16, positional = true)
@@ -176,9 +176,9 @@ object StreamQueries {
   private val q124StreamUpsert: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val src = Files.createTempDirectory("graft_suidx_src_").toString
-    val idx = Files.createTempDirectory("graft_suidx_idx_").toString + "/idx"
-    val ck = Files.createTempDirectory("graft_suidx_ck_").toString
+    val src = graft.util.Scratch.dir("graft_suidx_src_")
+    val idx = graft.util.Scratch.dir("graft_suidx_idx_") + "/idx"
+    val ck = graft.util.Scratch.dir("graft_suidx_ck_")
     def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
       graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
       idx, "doc_id", "text", ck, buckets = 16, mode = "upsert")
@@ -206,7 +206,7 @@ object StreamQueries {
   private val q94StatefulSessions: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d).select($"user_id", $"ts")
-    val src = Files.createTempDirectory("graft_sess94_").toString
+    val src = graft.util.Scratch.dir("graft_sess94_")
     // scaffolding: one file per time slice (repartition(1)) so mod-time
     // order == event-time order and each slice is exactly one micro-batch
     val w = org.apache.spark.sql.expressions.Window.orderBy($"ts")
@@ -273,7 +273,7 @@ object StreamQueries {
     import s.implicits._
     import graft.ext.{CountMin, TextAnalysis}
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val src = Files.createTempDirectory("graft_scms_src_").toString
+    val src = graft.util.Scratch.dir("graft_scms_src_")
     docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
     docs.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
     val cms = udaf(new CountMin.SketchAgg(), org.apache.spark.sql.Encoders.STRING)
@@ -292,7 +292,10 @@ object StreamQueries {
         est($"ssk", $"tok").as("e_s"), est($"bsk", $"tok").as("e_b"), $"n_total")
       .select($"tok", $"n_exact",
         ($"e_s" >= $"n_exact").as("overestimate_ok"),
-        ($"e_s" <= $"n_exact" + lit(CountMin.Eps) * $"n_total").as("bound_ok"),
+        // deterministic gates carry the contract (never-undercount +
+        // incremental==batch); the probabilistic error bound is widened 4×
+        // (q148's convention) so a skewed regenerated corpus can't flake it
+        ($"e_s" <= $"n_exact" + lit(4.0 * CountMin.Eps) * $"n_total").as("bound_ok"),
         ($"e_s" === $"e_b").as("incremental_matches_batch"))
       .orderBy($"n_exact".desc, $"tok".asc)
   }
@@ -332,15 +335,17 @@ object StreamQueries {
     // they'd sit in state forever and the batch equality would miss rows.
     // The standard fix: one far-future sentinel per SIDE (the global
     // watermark is the min across streams) pushes the watermark past
-    // every real window; the sentinels themselves never flush (their own
-    // windows stay ahead of the watermark), so they add no output rows.
+    // every real window. The +10h click sentinel DOES flush (as an
+    // unmatched left row once the +20h purchase pushes the watermark past
+    // it) — the user_id filter below is what excludes sentinel rows from
+    // the output, and is therefore load-bearing.
     val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
     def plusH(h: Int) = new java.sql.Timestamp(maxTs.getTime + h * 3600 * 1000L)
     val sentinels = Seq(
       (-1L, plusH(10), -1L, "click", 0.0, "{}"),
       (-2L, plusH(20), -1L, "purchase", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val dir = Files.createTempDirectory("graft_q166_src_").toString
+    val dir = graft.util.Scratch.dir("graft_q166_src_")
     ev.unionByName(sentinels).write.parquet(s"$dir/events")
     val src = s"$dir/events"
     val clicks = Streams.parquetStream(s, src, ev.schema)
@@ -365,7 +370,7 @@ object StreamQueries {
     * re-applied batch would both break the equality. */
   private val q170StreamJdbcUpsert: Q = (s, d) => {
     import s.implicits._
-    val url = s"jdbc:derby:${Files.createTempDirectory("graft_q170_db_")}/db;create=true"
+    val url = s"jdbc:derby:${graft.util.Scratch.dir("graft_q170_db_")}/db;create=true"
     // bounded key slice (constant rows at any sf, q42's pattern): the gate
     // proves sink SEMANTICS — upsert, insert, checkpoint idempotence —
     // not volume; single-connection RDBMS load is not the 100 TB path
@@ -376,10 +381,10 @@ object StreamQueries {
       .select($"o_orderkey", lit("X").as("o_orderstatus"))
     val inserts = base.filter($"o_orderkey" % 1000 === 1)
       .select(($"o_orderkey" + 10000000L).as("o_orderkey"), lit("N").as("o_orderstatus"))
-    val src = Files.createTempDirectory("graft_q170_src_").toString
+    val src = graft.util.Scratch.dir("graft_q170_src_")
     updates.write.parquet(s"$src/b1")
     inserts.write.parquet(s"$src/b2")
-    val ck = Files.createTempDirectory("graft_q170_ck_").toString
+    val ck = graft.util.Scratch.dir("graft_q170_ck_")
     def run(): Unit = Streams.runForeachBatch(
         Streams.parquetStream(s, s"$src/*", updates.schema), ck) { (batch, _) =>
       graft.io.Jdbc.upsertByKey(batch, url, "orders_state",

@@ -154,7 +154,7 @@ object TextQueries {
     * result equivalence into the oracle gate). */
   private val q89IndexedSearch: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q89_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q89_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     PostingIndex.write(
       PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 16)
@@ -253,7 +253,7 @@ object TextQueries {
     * checkpoint is q107's gate, so this entry runs each batch once. */
   private val q106IncrIndex: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q106_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q106_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     def toks = TextOps.tokenize($"text")
     PostingIndex.write(
@@ -271,7 +271,7 @@ object TextQueries {
     * phrase search against the GIN index + tsvector). */
   private val q109IndexedPhrase: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q109_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q109_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     PostingIndex.write(
       PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 16)
@@ -319,7 +319,7 @@ object TextQueries {
     * (placeholder-patched) corpus. */
   private val q120UpsertIndex: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q120_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q120_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     def toks = TextOps.tokenize($"text")
     val corrupted = docs.filter($"doc_id" % 5 === 0)
@@ -344,7 +344,7 @@ object TextQueries {
     * the final corpus. */
   private val q123UpsertPhrase: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q123_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q123_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     val corrupted = docs.filter($"doc_id" % 5 === 0)
       .withColumn("text", concat($"text", lit(" hash join")))
@@ -392,7 +392,7 @@ object TextQueries {
     * PlanSpec-asserted. */
   private val q122TsStat: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q122_idx_").toString + "/idx"
+    val dir = graft.util.Scratch.dir("graft_q122_idx_") + "/idx"
     val docs = Tables.documents(s, d).repartition($"doc_id")
     PostingIndex.write(
       PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 16)

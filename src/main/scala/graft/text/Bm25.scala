@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   * oracle can replay it exactly.
   */
 object Bm25 {
+  /** Monotonic suffix source for per-call observe() metric names. */
+  private val scanSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
 
   /** Non-distinct lexeme sequence: lowercase words, stopwords dropped,
     * Porter-stemmed — [[TextOps.tokenize]] without the dedupe/sort (term
@@ -60,8 +63,13 @@ object Bm25 {
     // not predicate-transparent, so the filter runs against the materialized
     // array — and the metric itself is the corpus-scan progress counter the
     // pipeline monitor (X2) reads for free.
+    // stable prefix (the monitor matches on it) + per-call suffix: Spark
+    // rejects duplicate CollectMetrics names at analysis time, so two
+    // Bm25.score calls in one plan (union / self-join of scored sets)
+    // would otherwise fail to analyze
+    val metricName = s"bm25_corpus_scan_${Bm25.scanSeq.incrementAndGet()}"
     val withLex = docs.select(col(idCol), lexemeSeq(textCol).as("lexemes"))
-      .observe("bm25_corpus_scan", count(lit(1)).as("docs_scanned"))
+      .observe(metricName, count(lit(1)).as("docs_scanned"))
     val lx = col("lexemes")
     val tfCols = stemmed.zipWithIndex.map { case (t, i) =>
       size(filter(lx, x => x === lit(t))).cast("long").as(s"tf$i")
