@@ -85,7 +85,21 @@ object Bench {
     // n_failed is the machine-readable failure signal: a consumer keying
     // off exit code alone would read a partially-failing bench as clean
     // (the JVM exits 0 so the timing artifact still lands)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // the driver's artifact stores only a truncated tail of stdout, which
+    // can cut the totals off — always land the complete JSON in a file too
+    // (override with SPARK_GRAFT_BENCH_OUT; copy into the repo per round)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, line + "\n")
+    } catch {
+      case e: Exception =>
+        System.err.println(s"BENCH: could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
   }

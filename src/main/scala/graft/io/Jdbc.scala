@@ -17,6 +17,10 @@ import org.apache.spark.sql.types._
   */
 object Jdbc {
 
+  // PostgreSQL URLs resolve through the in-repo wire-protocol driver when
+  // no vendor jar is on the classpath (see PgWireDriver docs)
+  pgwire.PgWireDriver.ensureRegistered()
+
   /** S6: table read with column pruning (prune via .select — pushed down). */
   def readTable(spark: SparkSession, url: String, table: String,
                 props: Properties = new Properties()): DataFrame =

@@ -154,12 +154,12 @@ final class PgWireSocket(host: String, port: Int, user: String,
           val d = new DataInputStream(new java.io.ByteArrayInputStream(payload))
           val n = d.readShort().toInt
           cols = (0 until n).map { _ =>
-            val name = new StringBuilder
+            val nameBytes = new java.io.ByteArrayOutputStream()
             var b = d.readByte()
-            while (b != 0) { name.append(b.toChar +: Array.empty[Char]); b = d.readByte() }
-            // (name bytes are UTF-8; identifiers here are ASCII in practice)
-            PgColumn(name.toString, d.readInt(), d.readShort().toInt,
-              d.readInt(), d.readShort().toInt, d.readInt(), d.readShort().toInt)
+            while (b != 0) { nameBytes.write(b.toInt); b = d.readByte() }
+            PgColumn(new String(nameBytes.toByteArray, UTF_8), d.readInt(),
+              d.readShort().toInt, d.readInt(), d.readShort().toInt,
+              d.readInt(), d.readShort().toInt)
           }
           rows = IndexedSeq.newBuilder
         case 'D' =>

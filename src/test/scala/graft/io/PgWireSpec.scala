@@ -1,0 +1,183 @@
+package graft.io
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.sys.process._
+
+import graft.SparkTestSession
+import graft.streaming.Streams
+
+/** Spark `write.jdbc` / `read.jdbc` against LIVE PostgreSQL 15 over TCP,
+  * through the pure-JVM wire-protocol driver ([[graft.io.pgwire.PgWireDriver]]).
+  *
+  * This closes the one reference boundary Spark itself had never crossed
+  * (`load_filings_idx.py:51-57`, BASELINE "Spark + JDBC write to
+  * PostgreSQL"): the container has no vendor JDBC jar, so q62/q63/q170
+  * gate on embedded Derby — here the SAME Spark paths (dataframe write →
+  * CREATE TABLE + batched INSERT, schema-resolve + scan read-back, native
+  * ON CONFLICT upsert, streaming foreachBatch upsert with checkpoint
+  * idempotence) run against a real PG 15 server under trust auth.
+  *
+  * Tests CANCEL (not fail) when the postgres binaries aren't available. */
+class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/tmp/graft_pgwire_test"
+  private val port = 55432
+  private val url = s"jdbc:postgresql://127.0.0.1:$port/postgres?user=postgres"
+  private var up = false
+
+  private def sh(cmd: String): (Int, String) = {
+    val out = new StringBuilder
+    val code = Process(Seq("bash", "-c", cmd))
+      .!(ProcessLogger(s => { out.append(s).append('\n'); () },
+        s => { out.append(s).append('\n'); () }))
+    (code, out.toString)
+  }
+
+  override def beforeAll(): Unit = {
+    graft.io.pgwire.PgWireDriver.ensureRegistered()
+    if (sh("command -v initdb && command -v pg_ctl && id postgres")._1 != 0) return
+    sh(s"rm -rf $dir && mkdir -p $dir && chown postgres:postgres $dir")
+    if (sh(s"""su postgres -s /bin/bash -c "initdb -D $dir/data -A trust" """)._1 != 0) return
+    up = sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data -o \\"-c listen_addresses='127.0.0.1' -c port=$port -c unix_socket_directories=$dir\\" -l $dir/log start" """)._1 == 0
+  }
+
+  override def afterAll(): Unit = {
+    if (up) { sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data stop -m immediate" """); () }
+    sh(s"rm -rf $dir"); ()
+  }
+
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    p.setProperty("user", "postgres")
+    p
+  }
+
+  test("write.jdbc + read.jdbc round-trips every scalar type Spark's Postgres dialect maps") {
+    assume(up, "no local postgres server")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      (1, 10000000001L, 1.toShort, 1.5d, 2.5f, true, "plain",
+       "quo'te\"d — unicode ≤", BigDecimal("12345.67")),
+      (2, -5L, -2.toShort, -0.25d, 0f, false, "row2", "", BigDecimal("-0.01")))
+      .toDF("i", "l", "s", "d", "f", "b", "t", "tq", "n")
+      .withColumn("dt", to_date(lit("2024-02-29")))
+      .withColumn("ts", to_timestamp(lit("2024-02-29 12:34:56.123456")))
+      .withColumn("bin", when($"i" === 1, lit(Array[Byte](0, 1, 127, -128, 65))))
+    df.write.mode("overwrite").jdbc(url, "typeprobe", props)
+    val back = spark.read.jdbc(url, "typeprobe", props)
+    assert(back.schema.fields.map(f => (f.name, f.dataType.typeName)).toSet ==
+      df.schema.fields.map(f => (f.name, f.dataType.typeName)).toSet,
+      "schema round-trip")
+    def norm(rows: Array[org.apache.spark.sql.Row]) = rows.map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case d: java.math.BigDecimal => d.stripTrailingZeros()
+      case x => x
+    }).toSeq
+    assert(norm(df.orderBy("i").collect()) == norm(back.orderBy("i").collect()),
+      "value round-trip")
+  }
+
+  test("append + predicate/prune read-back: filters reach the PG query") {
+    assume(up, "no local postgres server")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, s"name_$i", i % 7))
+    rows.toDF("id", "name", "bucket")
+      .write.mode("overwrite").jdbc(url, "appendprobe", props)
+    rows.take(50).toDF("id", "name", "bucket")
+      .withColumn("id", $"id" + 1000L)
+      .write.mode("append").jdbc(url, "appendprobe", props)
+    val got = spark.read.jdbc(url, "appendprobe", props)
+      .filter($"bucket" === 3 && $"id" <= 100L)
+      .select($"id").as[Long].collect().sorted
+    val want = rows.filter(r => r._3 == 3 && r._1 <= 100).map(_._1).sorted
+    assert(got.toSeq == want)
+    assert(spark.read.jdbc(url, "appendprobe", props).count() == 550)
+  }
+
+  test("native ON CONFLICT upsert via upsertByKey, including text[] array binding") {
+    assume(up, "no local postgres server")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("DROP TABLE IF EXISTS filings")
+      st.executeUpdate(
+        "CREATE TABLE filings(filing_id text PRIMARY KEY, text text, token text[])")
+      st.close()
+    } finally conn.close()
+    val seed = Seq(
+      ("f1", "first text", Seq("first", "text")),
+      ("f2", "second", Seq("second"))).toDF("filing_id", "text", "token")
+    Jdbc.upsertByKey(seed, url, "filings", "filing_id", Seq("text", "token"))
+    val round2 = Seq(
+      ("f1", "updated text", Seq("updat", "text")), // conflict → update
+      ("f3", "third", null.asInstanceOf[Seq[String]])) // new key → insert
+      .toDF("filing_id", "text", "token")
+    Jdbc.upsertByKey(round2, url, "filings", "filing_id", Seq("text", "token"))
+    val back = spark.read.jdbc(url, "filings", props)
+      .orderBy("filing_id")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getSeq[String](2)).map(_.toList).orNull))
+    assert(back.toSeq == Seq(
+      ("f1", "updated text", List("updat", "text")),
+      ("f2", "second", List("second")),
+      ("f3", "third", null)))
+  }
+
+  test("q170 shape: streaming foreachBatch upsert into live PG with checkpoint idempotence") {
+    assume(up, "no local postgres server")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("DROP TABLE IF EXISTS orders_state")
+      // upsert needs the key constraint ON CONFLICT binds to (the
+      // reference declares PKs in init_tables.py)
+      st.executeUpdate("CREATE TABLE orders_state(k bigint PRIMARY KEY, status text)")
+      st.close()
+    } finally conn.close()
+    val base = (1L to 200L).map(k => (k, "O")).toDF("k", "status")
+    base.write.mode("append").jdbc(url, "orders_state", props)
+    val updates = base.filter($"k" % 10 === 0).select($"k", lit("X").as("status"))
+    val inserts = base.filter($"k" % 50 === 1)
+      .select(($"k" + 1000L).as("k"), lit("N").as("status"))
+    val src = graft.util.Scratch.dir("graft_pgw_src_")
+    updates.write.parquet(s"$src/b1")
+    inserts.write.parquet(s"$src/b2")
+    val ck = graft.util.Scratch.dir("graft_pgw_ck_")
+    def run(): Unit = Streams.runForeachBatch(
+        Streams.parquetStream(spark, s"$src/*", updates.schema), ck) { (batch, _) =>
+      Jdbc.upsertByKey(batch, url, "orders_state", "k", Seq("status"))
+    }
+    run()
+    run() // checkpoint replay must be a no-op
+    val got = spark.read.jdbc(url, "orders_state", props)
+      .orderBy("k").as[(Long, String)].collect()
+    val want = ((1L to 200L).map(k => (k, if (k % 10 == 0) "X" else "O")) ++
+      (1L to 200L).filter(_ % 50 == 1).map(k => (k + 1000L, "N"))).sortBy(_._1)
+    assert(got.toSeq == want)
+  }
+
+  test("transactional batched writer: updateByKey per-row counts are real on PG") {
+    assume(up, "no local postgres server")
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    (1L to 50L).map(k => (k, "A")).toDF("k", "v")
+      .write.mode("overwrite").jdbc(url, "updprobe", props)
+    Jdbc.updateByKey(
+      (1L to 50L).filter(_ % 5 == 0).map(k => (k, "B")).toDF("k", "v"),
+      url, "updprobe", "k", Seq("v"))
+    val got = spark.read.jdbc(url, "updprobe", props)
+      .filter($"v" === "B").select("k").as[Long].collect().sorted
+    assert(got.toSeq == (1L to 50L).filter(_ % 5 == 0))
+  }
+}
