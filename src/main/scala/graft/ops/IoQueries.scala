@@ -166,9 +166,33 @@ object IoQueries {
     s.table("graft_ctas_nation").orderBy($"n_nationkey")
   }
 
-  /** S11: SQL TABLESAMPLE parity (rows-only: sampling RNG is engine-local). */
+  /** S11: SQL `TABLESAMPLE (100 ROWS)` parity (the reference's
+    * `TABLESAMPLE SYSTEM_ROWS(n)`, `scrape_all_filings.py:128-133`).
+    * Which rows land is engine-local, so the gate measures the row-count
+    * contract n == least(requested, |table|) — exact, not statistical —
+    * plus sample ⊆ source and no duplicate draws, as oracle-able columns
+    * (q18's measured-contract pattern). */
   private val q65TableSample: Q = (s, d) => {
-    s.sql(s"SELECT l_orderkey, l_linenumber FROM parquet.`$d/lineitem.parquet` TABLESAMPLE (100 ROWS)")
+    import s.implicits._
+    val src = s.read.parquet(s"$d/lineitem.parquet")
+      .select($"l_orderkey", $"l_linenumber")
+    val sampled = s.sql(
+      s"SELECT l_orderkey, l_linenumber FROM parquet.`$d/lineitem.parquet` TABLESAMPLE (100 ROWS)")
+      .cache()
+    val n = sampled.count()
+    val subsetOk =
+      sampled.join(src, Seq("l_orderkey", "l_linenumber"), "left_anti").count() == 0
+    // per-pair multiplicity, not distinctness — the projected pair isn't
+    // unique in the synthetic lineitem (see q18)
+    val multOk = sampled.groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("ns"))
+      .join(src.groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("n0")), Seq("l_orderkey", "l_linenumber"), "left")
+      .filter($"n0".isNull || $"ns" > $"n0").count() == 0
+    s.range(1).select(
+      lit(n).as("n_rows"),
+      lit(subsetOk).as("subset_of_source"),
+      lit(multOk).as("within_source_multiplicity"))
   }
 
   /** X2/A3: monitor snapshot — done/remaining counts + rate/ETA arithmetic
@@ -445,6 +469,12 @@ object IoQueries {
     "q64_ctas" ->
       """SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
          ORDER BY n_nationkey""",
+    // TABLESAMPLE (n ROWS) must return exactly least(n, |table|) rows from
+    // the table — WHICH rows is engine-local; the count and membership
+    // contracts gate (q18's pattern)
+    "q65_tablesample" ->
+      """SELECT CAST(least(100, (SELECT count(*) FROM lineitem)) AS BIGINT) AS n_rows,
+                true AS subset_of_source, true AS within_source_multiplicity""",
     "q66_monitor" ->
       """SELECT done, remaining,
          done / 300.0 AS rows_per_sec,

@@ -201,12 +201,42 @@ object Relational {
       .orderBy($"nationkey")
   }
 
-  /** S11: seeded table sampling (TABLESAMPLE parity; no oracle —
-    * sampling RNGs differ across engines, driver does a rows-only check). */
+  /** S11: seeded table sampling (TABLESAMPLE parity). The drawn rows are
+    * engine-RNG-specific, so the gate is the q47/q100 MEASURED-CONTRACT
+    * pattern: every invariant a correct seeded Bernoulli sample must hold
+    * is computed in-query and emitted as an oracle-able column —
+    * n_total (deterministic), |n − pN| within 6σ of the binomial,
+    * sample ⊆ source (anti-join count 0), same-seed redraw identical
+    * (set-equality both ways), no duplicate draws. A wrong sampler — out
+    * of range rows, unstable seed, with-replacement duplicates, wildly
+    * off size — flips a boolean and fails the hash gate. */
   private val q18Sample: Q = (s, d) => {
     import s.implicits._
-    Tables.lineitem(s, d).sample(withReplacement = false, 0.01, seed = 42L)
-      .select($"l_orderkey", $"l_linenumber")
+    val src = Tables.lineitem(s, d).select($"l_orderkey", $"l_linenumber")
+    val p = 0.01
+    val s1 = src.sample(withReplacement = false, p, seed = 42L).cache()
+    val s2 = src.sample(withReplacement = false, p, seed = 42L)
+    val nTotal = src.count()
+    val n1 = s1.count()
+    val sigma = math.sqrt(nTotal * p * (1 - p))
+    val sizeOk = math.abs(n1 - nTotal * p) <= 6.0 * sigma
+    val subsetOk =
+      s1.join(src, Seq("l_orderkey", "l_linenumber"), "left_anti").count() == 0
+    val stableOk = s1.except(s2).count() == 0 && s2.except(s1).count() == 0
+    // without-replacement ⇒ each source ROW drawn at most once; the
+    // projected pair isn't unique in the synthetic lineitem, so the
+    // invariant is per-pair multiplicity: sampled count ≤ source count
+    val multOk = s1.groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("ns"))
+      .join(src.groupBy($"l_orderkey", $"l_linenumber")
+        .agg(count(lit(1)).as("n0")), Seq("l_orderkey", "l_linenumber"), "left")
+      .filter($"n0".isNull || $"ns" > $"n0").count() == 0
+    s.range(1).select(
+      lit(nTotal).as("n_total"),
+      lit(sizeOk).as("size_within_6sigma"),
+      lit(subsetOk).as("subset_of_source"),
+      lit(stableOk).as("seed_stable"),
+      lit(multOk).as("within_source_multiplicity"))
   }
 
   /** O1+O3+T9+T11: the (year × quarter) URL grid from
@@ -932,6 +962,13 @@ object Relational {
       """SELECT c_nationkey AS nationkey FROM customer
          EXCEPT SELECT s_nationkey AS nationkey FROM supplier
          ORDER BY nationkey""",
+    // the drawn rows are engine RNG; the oracle pins the deterministic
+    // corpus size and replays the measured sampling contracts (q47/q100
+    // pattern) — a failed invariant flips a boolean and breaks the hash
+    "q18_sample" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n_total,
+                true AS size_within_6sigma, true AS subset_of_source,
+                true AS seed_stable, true AS within_source_multiplicity""",
     "q19_url_grid" ->
       """SELECT y.year, q.qtr,
          'https://www.sec.gov/Archives/edgar/full-index/' || y.year ||

@@ -32,4 +32,21 @@ class CatalogSchemaSpec extends AnyFunSuite {
     assert(offenders.isEmpty,
       s"driver-gate-incompatible catalog columns:\n  ${offenders.mkString("\n  ")}")
   }
+
+  test("README catalog counts match the actual catalog (docs can't drift)") {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val catalogClaim = "the (\\d+)-query operator catalog".r
+      .findFirstMatchIn(readme).map(_.group(1).toInt)
+    val oracleClaim = "all (\\d+) queries have oracles".r
+      .findFirstMatchIn(readme).map(_.group(1).toInt)
+    assert(catalogClaim.contains(graft.SparkEntry.queries.size),
+      s"README query count $catalogClaim != ${graft.SparkEntry.queries.size}")
+    assert(oracleClaim.contains(graft.SparkEntry.oracleSql.size),
+      s"README oracle count $oracleClaim != ${graft.SparkEntry.oracleSql.size}")
+    // every query has an oracle and no oracle is orphaned
+    assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet,
+      "queries/oracleSql key sets diverge")
+  }
 }
