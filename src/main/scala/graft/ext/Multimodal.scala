@@ -206,6 +206,83 @@ object Multimodal {
     }
   }
 
+  /** Deterministic animated GIF: `nFrames` full frames of `w`×`h` indexed
+    * grayscale, pixel(x,y,f) = `(x + 2*y + 3*f + seed) % 251` — a closed form
+    * a SQL oracle can replay. Frames are `TYPE_BYTE_INDEXED` over an identity
+    * gray palette, so the container write is lossless (no quantization), and
+    * the whole animation goes through the JDK's real GIF sequence writer
+    * (`prepareWriteSequence`/`writeToSequence`) — a genuine multi-image
+    * container, not concatenated stills. */
+  def syntheticGif(seed: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val gray = new Array[Byte](256)
+    var i = 0
+    while (i < 256) { gray(i) = i.toByte; i += 1 }
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((x + 2L * y + 3L * f + seed) % 251).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  case class GifFrameStats(media_id: Long, frame_idx: Int, width: Int,
+                           height: Int, n_frames: Int, pixel_sum: Long)
+
+  /** REAL multi-frame container decode: `javax.imageio`'s GIF `ImageReader`
+    * parses the animation (`getNumImages(true)` walks the image descriptors),
+    * then every `everyN`-th frame is decoded to pixels and summed over the
+    * blue channel — going through `getRGB` (palette-resolved color values,
+    * not raw indices) so a palette permutation or lossy re-encode would
+    * change the sum and fail the oracle. One reader per row, streamed inside
+    * `mapPartitions`; payloads never leave the executors. */
+  def decodeGifFrames(media: Dataset[MediaRow], everyN: Int): Dataset[GifFrameStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "video").flatMap { r =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        reader.setInput(iis, false, true)
+        val n = reader.getNumImages(true)
+        val out = (0 until n by everyN).map { f =>
+          val img = reader.read(f)
+          var sum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += (img.getRGB(x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          GifFrameStats(r.media_id, f, img.getWidth, img.getHeight, n, sum)
+        }
+        reader.dispose()
+        iis.close()
+        out.iterator
+      }
+    }
+  }
+
   case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long, md5_hex: String)
 
   /** Frame sampling for video payloads: the stub "codec" treats the payload
