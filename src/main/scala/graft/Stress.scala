@@ -82,12 +82,13 @@ object Stress {
       .crossJoin(reps)
       .select(
         ($"vec_id" * factor + $"rep").as("vec_id"),
-        {
-          val dim = size($"embedding")
-          val shift = ($"rep" * 7 % dim).cast("int")
-          concat(slice($"embedding", shift + 1, dim - shift),
-                 slice($"embedding", lit(1), shift)).as("embedding")
-        },
+        // per-replica deterministic SIGN FLIPS: an isometry (within-replica
+        // cosines bit-preserved) that decorrelates across replicas even
+        // when vectors share a strong mean component — a circular dim
+        // rotation does not (cos(v, rot(v)) stays high for structured v)
+        transform($"embedding", (x, j) =>
+          x * (pmod(hash(j, $"rep"), lit(2)) * 2 - 1).cast("float"))
+          .as("embedding"),
         $"label")
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
 
@@ -112,11 +113,34 @@ object Stress {
         .filter($"hamming" <= 3)
         .distinct()
     }
+    // The IVF pair pipelines size their quantizer ∝ corpus (the
+    // collectCentroids scaladoc's sizing rule); the catalog pins
+    // numCentroids=8 for oracle determinism at sf ≤ 0.1, which at ×10 data
+    // makes each cell ~2500 wide — within-cell pair work is quadratic in
+    // cell width, so the FIXED-centroid run is expected to go superlinear
+    // with one giant task per cell. Both runs are included: the fixed one
+    // demonstrates the failure mode the sizing rule exists for, the scaled
+    // one (numCentroids × factor, constant expected cell width) proves the
+    // documented knob restores ~linear growth.
+    def ivfScaled(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val emb = io.Tables.embeddings(s, d).repartition($"vec_id")
+      val n = if (d == baseDir) 8 else 8 * factor
+      ext.Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = n)
+    }
+    def semDedupScaled(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val emb = io.Tables.embeddings(s, d).repartition($"vec_id")
+      val n = if (d == baseDir) 8 else 8 * factor
+      ext.Similarity.semDedup(emb, tau = 0.45, numCentroids = n).select($"vec_id")
+    }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
-      "q98_ivf_near_dup" -> ops.ExtQueries.queries("q98_ivf_near_dup"),
-      "q126_sem_dedup" -> ops.ExtQueries.queries("q126_sem_dedup"),
+      "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),
+      "q98_ivf_scaled" -> ivfScaled,
+      "q126_semdedup_fixed8" -> ops.ExtQueries.queries("q126_sem_dedup"),
+      "q126_semdedup_scaled" -> semDedupScaled,
       "q161_hamming_full" -> hammingFull)
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String): RunStats = {
@@ -162,11 +186,22 @@ object Stress {
         else f"${f.scaled.rows.toDouble / f.base.rows}%.1f×"
       md ++= f"| ${f.name} | ${f.base.sec}%.2f | ${f.scaled.sec}%.2f | ${f.ratio}%.1f× | $rowsR | ${f.skew}%.1f |\n"
     }
-    val worst = results.maxBy(_.ratio)
-    md ++= f"\nWorst growth: `${worst.name}` at ${worst.ratio}%.1f× for ×$factor data"
+    // the fixed-centroid IVF rows are the deliberate counter-example (see
+    // the sizing-rule comment above); the envelope verdict covers the
+    // production-shaped runs
+    val (demo, prod) = results.partition(_.name.endsWith("_fixed8"))
+    val worst = prod.maxBy(_.ratio)
+    md ++= f"\nWorst production-path growth: `${worst.name}` at ${worst.ratio}%.1f× for ×$factor data"
     md ++= (if (worst.ratio <= 2.0 * factor) " — within the ~linear envelope "
       + s"(≤ 2×$factor).\n"
     else " — SUPERLINEAR; investigate before scaling further.\n")
+    demo.foreach { f =>
+      md ++= f"\n`${f.name}` (catalog-constant quantizer, ${f.ratio}%.1f×, max task "
+      md ++= s"${f.scaled.maxTaskMs} ms) is the deliberate counter-example: "
+      md ++= "within-cell pair work is quadratic in cell width, so a quantizer "
+      md ++= "NOT sized ∝ corpus goes superlinear — the `_scaled` row above is "
+      md ++= "the same operator with the documented `numCentroids ∝ N` sizing.\n"
+    }
     md ++= "\nGenerated by `sbt \"runMain graft.Stress\"` on " +
       java.time.LocalDate.now() + ".\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get("STRESS.md"), md.toString)

@@ -69,6 +69,30 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the top-k
+    * most-similar corpus vectors with a DIFFERENT label (the negatives that
+    * carry most of the metric-learning gradient). Identical movement to
+    * [[bruteForceKnn]] — anchors broadcast, one corpus scan, per-anchor
+    * window rank — plus the label-mismatch filter applied BEFORE ranking so
+    * k true negatives always come back. At corpus scale, generate the
+    * similar-side candidates with [[ivfKnn]]/[[annKnn]] first. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = anchors.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("anchor_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("anchor_label"))
+      .withColumn("cos", cosineF(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "anchor_label", "rank", "neighbor_id", "neighbor_label")
+  }
+
   /** Deterministic random hyperplanes (fixed seed — reproducible plans). */
   def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new Random(seed)

@@ -358,6 +358,70 @@ object ExtQueries {
       .orderBy($"bucket", $"byte_offset", $"doc_id")
   }
 
+  /** Pre-training corpus assembly — PROBABILITY-PROPORTIONAL-TO-SIZE
+    * systematic sampling (the classical PPS / dollar-unit sampler, the
+    * RNG-free way to draw a token-weighted subcorpus): lay the corpus out
+    * as a deterministic token stream in content-stable (md5, doc_id) order
+    * and pick the doc under each of k=100 equally-spaced ticks
+    * `t_i = (2i+1)·W div (2k)` — every doc is selected with probability
+    * ∝ its token count, docs longer than W/k carry several ticks
+    * (multiplicity, the PPS convention), and Σ n_picks = k exactly. Tick
+    * membership is pure integer arithmetic: with
+    * `f(x) = min(k, (2kx + W − 1) div 2W)` = #ticks below stream position
+    * x, a doc holds `f(start+tok) − f(start)` ticks — no floats anywhere,
+    * so the draw is reproducible on any engine that agrees on the stream.
+    *
+    * Movement at 100 TB (q118/q131's two-phase prefix sum): NO global sort
+    * task — 16 md5-prefix buckets whose lexicographic order equals the
+    * global (md5, doc_id) order, per-bucket window cumsum, bucket offsets
+    * folded over the 16-row bucket table and broadcast back. */
+  private val q172PpsSample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val k = 100L
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("h"), TextAnalysis.estTokens($"text").as("tok"))
+      .withColumn("bucket", conv(substring($"h", 1, 1), 16, 10).cast("long"))
+    val wIn = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCum = toks.withColumn("cum", coalesce(sum($"tok").over(wIn), lit(0L)))
+    val bt = withCum.groupBy($"bucket").agg(sum($"tok").as("bt")).cache()
+    // 16-row frames: the global window and the total fold cost nothing
+    val wB = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bt.withColumn("off", coalesce(sum($"bt").over(wB), lit(0L)))
+      .select($"bucket", $"off")
+    val tot = bt.agg(sum($"bt").as("W"))
+    // SQL `div` (via expr): true integer division — floor(x/y) on doubles
+    // would silently lose exactness past 2^53 (the q163 lesson)
+    withCum.join(broadcast(offs), "bucket")
+      .crossJoin(broadcast(tot))
+      .withColumn("stream_offset", $"off" + $"cum")
+      .withColumn("first_pick",
+        least(lit(k), expr(s"(${2 * k} * stream_offset + W - 1) div (2 * W)")))
+      .withColumn("n_picks",
+        least(lit(k), expr(s"(${2 * k} * (stream_offset + tok) + W - 1) div (2 * W)"))
+          - $"first_pick")
+      .filter($"n_picks" > 0)
+      .select($"doc_id", $"tok".as("n_tokens"), $"stream_offset",
+        $"n_picks".cast("long").as("n_picks"), $"first_pick".cast("long").as("first_pick"))
+      .orderBy($"doc_id")
+  }
+
+  /** Embedding-model training data — HARD-NEGATIVE MINING (the FaceNet /
+    * DPR / SimCLR curriculum step): for each anchor vector, the top-5
+    * most-similar corpus vectors with a DIFFERENT label — the negatives
+    * that most confuse a metric-learning model and carry most of the
+    * contrastive gradient. Same movement as q46: anchors broadcast, one
+    * corpus scan, per-anchor window rank (cosine desc, id tiebreak); at
+    * corpus scale the scan side swaps for IVF/LSH candidates exactly as
+    * q49/q47 do for plain kNN. */
+  private val q174HardNegatives: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    Similarity.hardNegatives(emb.filter($"vec_id" < 20), emb, k = 5)
+      .orderBy($"query_id", $"rank")
+  }
+
   /** E3: exact brute-force top-10 cosine neighbors for 5 query vectors.
     * Rank output only — ranks are stable (verified margins ≫ float noise). */
   private val q46KnnBrute: Q = (s, d) => {
@@ -1311,6 +1375,8 @@ object ExtQueries {
 
   val queries: Map[String, Q] = Map(
     "q171_gif_frames"    -> q171GifFrames,
+    "q172_pps_sample"    -> q172PpsSample,
+    "q174_hard_negatives" -> q174HardNegatives,
     "q40_dedup_exact"    -> q40DedupExact,
     "q41_dedup_keys"     -> q41DedupKeys,
     "q42_jaccard_pairs"  -> q42JaccardPairs,
@@ -2403,6 +2469,44 @@ object ExtQueries {
          SELECT source, n_rows,
                 CAST(hsum % 1152921504606846976 AS BIGINT) AS checksum
          FROM allrows ORDER BY source""",
+    // replays the PPS tick arithmetic over the same (md5, doc_id)-ordered
+    // token stream — all-integer, so the draw must agree exactly
+    "q172_pps_sample" ->
+      s"""WITH t AS (
+           SELECT doc_id, md5(text) AS h,
+                  CAST(coalesce(list_sum(list_transform($wordsAposSql,
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tok
+           FROM documents),
+         c AS (
+           SELECT doc_id, tok,
+                  coalesce(sum(tok) OVER (ORDER BY h, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+           FROM t),
+         w AS (SELECT CAST(sum(tok) AS BIGINT) AS tw FROM t),
+         p AS (
+           SELECT doc_id, tok, so,
+                  least(100, (200 * so + tw - 1) // (2 * tw)) AS fp,
+                  least(100, (200 * (so + tok) + tw - 1) // (2 * tw)) AS fe
+           FROM c, w)
+         SELECT doc_id, tok AS n_tokens, CAST(so AS BIGINT) AS stream_offset,
+                CAST(fe - fp AS BIGINT) AS n_picks, CAST(fp AS BIGINT) AS first_pick
+         FROM p WHERE fe > fp ORDER BY doc_id""",
+    // q46's oracle with the label-mismatch filter: hard negatives ranked by
+    // the same sequential-accumulation cosine
+    "q174_hard_negatives" ->
+      """SELECT query_id, anchor_label, rank, neighbor_id, neighbor_label FROM (
+           SELECT q.vec_id AS query_id, q.label AS anchor_label,
+                  c.vec_id AS neighbor_id, c.label AS neighbor_label,
+                  row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
+           WHERE c.label <> q.label) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     // replays q171's closed-form animation: the engine must parse a REAL
     // multi-frame GIF container back to the same per-frame pixel sums
     "q171_gif_frames" ->
