@@ -125,13 +125,13 @@ object Stress {
     def ivfScaled(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val emb = io.Tables.embeddings(s, d).repartition($"vec_id")
-      val n = if (d == baseDir) 8 else 8 * factor
+      val n = ext.Similarity.autoCentroids(emb.count())
       ext.Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = n)
     }
     def semDedupScaled(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       val emb = io.Tables.embeddings(s, d).repartition($"vec_id")
-      val n = if (d == baseDir) 8 else 8 * factor
+      val n = ext.Similarity.autoCentroids(emb.count())
       ext.Similarity.semDedup(emb, tau = 0.45, numCentroids = n).select($"vec_id")
     }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -172,7 +172,7 @@ object Stress {
     md ++= "# STRESS — pair-finder family at sf1.0-equivalent scale\n\n"
     md ++= s"Input: `$baseDir` (sf0.1) replicated ×$factor with replica-salted\n"
     md ++= "tokens (shingle-bijective within a replica, disjoint across) and\n"
-    md ++= "dim-rotated embeddings (isometric within, decorrelated across) —\n"
+    md ++= "sign-flipped embeddings (isometric within, decorrelated across) —\n"
     md ++= "see `Stress.scala` for why this reproduces sf1.0's similarity\n"
     md ++= s"structure. local[$cpus], one timed run per cell after warm-up.\n\n"
     md ++= "A bounded candidate generator grows ~linearly (ratio ≈ ×" + factor + ", usually\n"

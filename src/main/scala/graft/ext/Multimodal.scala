@@ -283,6 +283,64 @@ object Multimodal {
     }
   }
 
+  /** Deterministic WAV: `nFrames` 16-bit little-endian PCM mono samples,
+    * sample(i) = `((i·37 + seed·101) mod 65536) − 32768` — a closed form a
+    * SQL oracle can replay — written through the JDK's real WAV encoder
+    * (`AudioSystem.write`), so the RIFF container is genuine. PCM is
+    * lossless: the samples round-trip bit-exactly. */
+  def syntheticWav(seed: Long, nFrames: Int, rate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (((i * 37L + seed * 101L) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioStats(media_id: Long, sample_rate: Int, bits: Int, channels: Int,
+                        n_frames: Long, sample_sum: Long, sample_abs_sum: Long)
+
+  /** REAL audio container decode: `javax.sound.sampled.AudioSystem` parses
+    * the RIFF/WAV header (format, channel count, frame length from the data
+    * chunk) and streams the PCM frames, which are decoded to signed 16-bit
+    * samples and summed — a header-only parse, an endianness slip, or any
+    * sample corruption changes the sums and fails the oracle. One parser per
+    * row inside `mapPartitions`; payloads never leave the executors. */
+  def decodeWavStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"decodeWavStats expects 16-bit LE PCM for media_id=${r.media_id}")
+        val data = in.readAllBytes()
+        in.close()
+        var sum = 0L
+        var sumAbs = 0L
+        var i = 0
+        while (i + 1 < data.length) {
+          val s = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+          sum += s
+          sumAbs += math.abs(s)
+          i += 2
+        }
+        AudioStats(r.media_id, f.getSampleRate.toInt, f.getSampleSizeInBits,
+          f.getChannels, in.getFrameLength, sum, sumAbs)
+      }
+    }
+  }
+
   case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long, md5_hex: String)
 
   /** Frame sampling for video payloads: the stub "codec" treats the payload

@@ -69,6 +69,16 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** The IVF quantizer sizing rule the STRESS.md run validates: centroids ∝
+    * corpus so expected cell width stays ~`targetCellWidth` — within-cell
+    * pair work is quadratic in cell width, so a CONSTANT centroid count goes
+    * superlinear at scale (measured: 23× wall / 65 s max-task at ×10 data
+    * with 8 centroids, vs 3.7× / 6.5 s with this rule). The catalog queries
+    * pin 8 for oracle determinism at sf ≤ 0.1, where this rule returns the
+    * same 8. */
+  def autoCentroids(corpusSize: Long, targetCellWidth: Int = 250): Int =
+    math.max(8L, corpusSize / targetCellWidth).toInt
+
   /** Hard-negative mining for contrastive training: per anchor, the top-k
     * most-similar corpus vectors with a DIFFERENT label (the negatives that
     * carry most of the metric-learning gradient). Identical movement to

@@ -1373,7 +1373,30 @@ object ExtQueries {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  /** E4: REAL audio container decode (the "audio" analog of q171, closing
+    * the last stubbed media kind the JDK can codec offline): each audio-kind
+    * doc becomes a deterministic 16-bit PCM WAV written through the JDK's
+    * real RIFF encoder, then re-parsed with `AudioSystem` — format and frame
+    * count from the container header, every PCM sample decoded and summed
+    * (signed and absolute), so header-only parses, endianness slips, or
+    * sample corruption all hash-mismatch against the oracle's closed-form
+    * replay. Encode + decode in one mapPartitions pass; pure map scale. */
+  private val q175WavDecode: Q = (s, d) => {
+    import s.implicits._
+    val ids = Tables.documents(s, d)
+      .select($"doc_id").where($"doc_id" % 3 === 1)
+      .repartition($"doc_id")
+      .as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
+    Multimodal.decodeWavStats(media)
+      .toDF()
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q175_wav_decode"    -> q175WavDecode,
     "q171_gif_frames"    -> q171GifFrames,
     "q172_pps_sample"    -> q172PpsSample,
     "q174_hard_negatives" -> q174HardNegatives,
@@ -2469,6 +2492,22 @@ object ExtQueries {
          SELECT source, n_rows,
                 CAST(hsum % 1152921504606846976 AS BIGINT) AS checksum
          FROM allrows ORDER BY source""",
+    // replays q175's closed-form PCM stream: the engine must parse a REAL
+    // RIFF/WAV container back to the same per-sample sums
+    "q175_wav_decode" ->
+      """WITH au AS (
+           SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT media_id, nf,
+                  (i.i * 37 + media_id * 101) % 65536 - 32768 AS s
+           FROM au, LATERAL (SELECT unnest(range(au.nf)) AS i) i)
+         SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+                CAST(16 AS INT) AS bits, CAST(1 AS INT) AS channels,
+                CAST(nf AS BIGINT) AS n_frames,
+                CAST(sum(s) AS BIGINT) AS sample_sum,
+                CAST(sum(abs(s)) AS BIGINT) AS sample_abs_sum
+         FROM sm GROUP BY media_id, nf ORDER BY media_id""",
     // replays the PPS tick arithmetic over the same (md5, doc_id)-ordered
     // token stream — all-integer, so the draw must agree exactly
     "q172_pps_sample" ->
