@@ -1395,7 +1395,47 @@ object ExtQueries {
       .orderBy($"media_id")
   }
 
+  /** Weighted reservoir sampling per group (Efraimidis–Spirakis A-ES,
+    * IPL 2006): each row draws key = u^(1/w) and the k largest keys per
+    * group are the sample — the one-pass, mergeable weighted sampler a
+    * 100 TB mixture builder uses to draw per-source subsets biased toward
+    * long documents without ever materializing a global sort. Movement:
+    * key derivation is map-only over the scan; the only shuffle is the
+    * per-source top-k window (at scale: partial top-k per partition via
+    * the q13 bounded-heap pattern before the final per-group merge).
+    *
+    * Oracle-exactness trick (the q121 dyadic-weights idea applied to
+    * POWERS): weights are restricted to {1,2,4,8}, so u^(1/w) is an
+    * IEEE-sqrt CHAIN (sqrt, sqrt∘sqrt, sqrt∘sqrt∘sqrt) — sqrt is
+    * correctly rounded by IEEE-754 in every engine, and u itself is a
+    * dyadic rational ((md5-derived 52-bit int + 1) / 2^52, exactly
+    * representable) — so the keys, the ranking, AND the emitted key
+    * doubles are bit-identical in Spark and DuckDB. A transcendental
+    * formulation (-ln u / w) would be last-ulp hostage to libm. */
+  private val q176WeightedReservoir: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .withColumn("weight",
+        when($"n_chars" >= 2000, 8L).when($"n_chars" >= 1000, 4L)
+          .when($"n_chars" >= 500, 2L).otherwise(1L))
+      .withColumn("u",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":wrs1"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)) // 2^52
+      .withColumn("wkey",
+        when($"weight" === 8L, sqrt(sqrt(sqrt($"u"))))
+          .when($"weight" === 4L, sqrt(sqrt($"u")))
+          .when($"weight" === 2L, sqrt($"u"))
+          .otherwise($"u"))
+    val win = Window.partitionBy($"source").orderBy($"wkey".desc, $"doc_id")
+    docs.withColumn("rank", row_number().over(win))
+      .filter($"rank" <= 5)
+      .select($"source", $"rank", $"doc_id", $"weight", $"wkey")
+      .orderBy($"source", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q176_weighted_reservoir" -> q176WeightedReservoir,
     "q175_wav_decode"    -> q175WavDecode,
     "q171_gif_frames"    -> q171GifFrames,
     "q172_pps_sample"    -> q172PpsSample,
@@ -1563,6 +1603,26 @@ object ExtQueries {
             WHERE rank <= 10) AS n_truth"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same 52-bit dyadic u and the same sqrt chain — bit-identical keys
+    "q176_weighted_reservoir" ->
+      """SELECT source, rank, doc_id, weight, wkey FROM (
+           SELECT source, doc_id, weight, wkey,
+                  CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY wkey DESC, doc_id) AS INT) AS rank
+           FROM (
+             SELECT source, doc_id, weight,
+                    CASE WHEN weight = 8 THEN sqrt(sqrt(sqrt(u)))
+                         WHEN weight = 4 THEN sqrt(sqrt(u))
+                         WHEN weight = 2 THEN sqrt(u) ELSE u END AS wkey
+             FROM (
+               SELECT source, doc_id,
+                      CASE WHEN n_chars >= 2000 THEN CAST(8 AS BIGINT)
+                           WHEN n_chars >= 1000 THEN 4
+                           WHEN n_chars >= 500 THEN 2 ELSE 1 END AS weight,
+                      (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs1'), 1, 13)
+                            AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 AS u
+               FROM documents) t0) t1) t2
+         WHERE rank <= 5 ORDER BY source, rank""",
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS hash, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY doc_id""",

@@ -824,7 +824,48 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** Per-group OLS regression (the `regr_slope`/`regr_intercept` SQL
+    * surface — price-vs-quantity fit per (returnflag, ship-year) cell):
+    * computed from the five MOMENT SUMS (n, Σx, Σy, Σx², Σxy), which is
+    * the one-pass, mergeable, map-side-combinable form — a single
+    * groupBy shuffle of five longs per cell at any corpus size, where
+    * the textbook two-pass (mean-centered) form would need a second
+    * full scan.
+    *
+    * Oracle exactness: the inputs are cast to INTEGERS (quantity is
+    * integral; price is rounded to whole dollars — both engines'
+    * round-half-up agree on positive .5 cases), so every sum is exact
+    * 64-bit integer arithmetic, order-independent under any shuffle
+    * schedule; `slope` and `intercept` then involve only a handful of
+    * IEEE-correctly-rounded double ops in a FIXED expression order —
+    * bit-identical across engines, no rounding fuzz in the gate.
+    * Overflow headroom: |n·Σxy| ≤ n²·max(x)·max(y) with x ≤ 50,
+    * y ≤ ~111k needs n ≲ 4e7 per cell — the (flag, year) grain keeps
+    * n ≈ rows/21, safe past sf100; beyond that promote the two products
+    * to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB). */
+  private val q177GroupOls: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_returnflag",
+        year($"l_shipdate").cast("long").as("ship_year"),
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice", 0).cast("long").as("y"))
+      .groupBy($"l_returnflag", $"ship_year")
+      .agg(count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .withColumn("slope",
+        ($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+          ($"n" * $"sxx" - $"sx" * $"sx").cast("double"))
+      .withColumn("intercept",
+        ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+          $"n".cast("double"))
+      .select($"l_returnflag", $"ship_year", $"n", $"slope", $"intercept")
+      .orderBy($"l_returnflag", $"ship_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q177_group_ols"      -> q177GroupOls,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_projection"      -> q02Projection,
     "q03_rename"          -> q03Rename,
@@ -884,6 +925,28 @@ object Relational {
       .mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    // identical moment sums (exact integers) and the identical fixed
+    // double-expression order — see q177's Scaladoc
+    "q177_group_ols" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+                  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                  count(*) AS n,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(x * y) AS sxy
+           FROM (SELECT l_returnflag, l_shipdate,
+                        CAST(l_quantity AS BIGINT) AS x,
+                        CAST(round(l_extendedprice, 0) AS BIGINT) AS y
+                 FROM lineitem) t
+           GROUP BY 1, 2),
+         f AS (
+           SELECT *, CAST(n * sxy - sx * sy AS DOUBLE) /
+                     CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+           FROM m)
+         SELECT l_returnflag, ship_year, n, slope,
+                (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+                  CAST(n AS DOUBLE) AS intercept
+         FROM f ORDER BY l_returnflag, ship_year""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
