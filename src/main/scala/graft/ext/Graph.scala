@@ -1,0 +1,66 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph measures over edge lists — the link-analysis slice of
+  * a corpus pipeline (site/domain authority for quality weighting, citation
+  * rank for source selection; the Page-Brin PageRank, WWW 1998).
+  *
+  * Design for the oracle AND for 100 TB: ranks are kept in integer
+  * FIXED-POINT (micro-units of `scale`) and every per-iteration operation
+  * is integer division/multiplication/summation — exact, order-independent
+  * under any shuffle schedule, and bit-replayable by a SQL oracle that
+  * unrolls the same iterations, where a floating-point formulation would
+  * diverge in the last ulp on every engine pair. Movement per iteration is
+  * exactly two shuffles (contrib groupBy-sum on dst, then the node-universe
+  * left join), both map-side combinable; the edge+degree frame is built
+  * once and cached, and each iteration's result is `localCheckpoint`ed so
+  * the lineage (and Catalyst re-analysis cost) stays O(1) in the iteration
+  * count rather than O(iters) — the classic iterative-Spark trap.
+  */
+object Graph {
+
+  /** Fixed-point PageRank: `iters` synchronous iterations of
+    * r'(v) = (1-d)·scale + d · Σ_{u→v} r(u) div deg(u), all in longs.
+    *
+    * - `scale` must be divisible by `dampDen` so the teleport term is
+    *   exact; per-node floor losses (< dampDen per node per iteration)
+    *   are the documented price of exactness, not drift.
+    * - Node universe = distinct edge sources. On a symmetrized graph
+    *   (the caller's choice for undirected semantics) this is every
+    *   vertex; on a directed graph, dangling-node mass leaks (the
+    *   standard "no dangling redistribution" variant) and sinks still
+    *   receive their inflow via the left join below.
+    * - Overflow: Σ inflow ≤ total mass = n·scale, so `dampNum · inflow`
+    *   needs n·scale·dampNum < 2^63 — at scale=1e9 that is n < 10^8
+    *   nodes; shrink `scale` (the rank resolution knob) for larger
+    *   graphs.
+    */
+  def pageRankExact(edges: DataFrame, iters: Int,
+                    scale: Long = 1000000000L,
+                    dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(scale % dampDen == 0, "scale must be divisible by dampDen")
+    val teleport = (dampDen - dampNum) * (scale / dampDen)
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").select("src", "dst", "deg").cache()
+    val nodes = withDeg.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg.join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst"), expr("rank div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("inflow"))
+      ranks = nodes.join(inflow, nodes("node") === inflow("dst"), "left")
+        .select(nodes("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) div $dampDen"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    withDeg.unpersist()
+    ranks
+  }
+}

@@ -864,7 +864,33 @@ object Relational {
       .orderBy($"l_returnflag", $"ship_year")
   }
 
+  /** PageRank over the customer↔supplier trade graph (who-buys-from-whom,
+    * symmetrized for undirected authority — the corpus-pipeline use is
+    * identical link-authority over domains/citations for source quality
+    * weighting). Nodes are parity-encoded (customer 2k, supplier 2k+1) so
+    * one long key carries both sides; 3 synchronous iterations of
+    * [[graft.ext.Graph.pageRankExact]] in integer fixed-point, which the
+    * oracle replays bit-for-bit as unrolled CTEs (generated from the same
+    * Scala loop so the SQL cannot drift from the engine's constants).
+    * Edge build is one orders⋈lineitem join + distinct; per iteration,
+    * two map-side-combinable shuffles — no collect, no cartesian. */
+  private val q178PageRank: Q = (s, d) => {
+    import s.implicits._
+    val pairs = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.unionByName(
+      pairs.select($"dst".as("src"), $"src".as("dst")))
+    graft.ext.Graph.pageRankExact(edges, iters = 3)
+      .filter($"node" % 2 === 1)
+      .select(expr("(node - 1) div 2").as("suppkey"), $"rank".as("rank_fp"))
+      .orderBy($"suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q178_pagerank"       -> q178PageRank,
     "q177_group_ols"      -> q177GroupOls,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_projection"      -> q02Projection,
@@ -924,7 +950,31 @@ object Relational {
       s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** q178's oracle, iterations unrolled from the same loop shape as
+    * [[graft.ext.Graph.pageRankExact]] (teleport 150e6 = (100-85)·1e9/100;
+    * all-integer `//` arithmetic — bit-identical replay). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""i$k AS (SELECT e.dst AS node, sum(r.r // d.deg) AS inflow
+            FROM edges e JOIN r${k - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src GROUP BY e.dst),
+          r$k AS (SELECT b.node,
+                  CAST(150000000 + (85 * coalesce(i.inflow, 0)) // 100 AS BIGINT) AS r
+            FROM r0 b LEFT JOIN i$k i ON i.node = b.node)"""
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT c * 2 AS src, s * 2 + 1 AS dst FROM pairs
+                  UNION ALL SELECT s * 2 + 1 AS src, c * 2 AS dst FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        $iterCtes
+        SELECT (node - 1) // 2 AS suppkey, r AS rank_fp FROM r$iters
+        WHERE node % 2 = 1 ORDER BY suppkey"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q178_pagerank" -> pageRankOracleSql(3),
     // identical moment sums (exact integers) and the identical fixed
     // double-expression order — see q177's Scaladoc
     "q177_group_ols" ->
