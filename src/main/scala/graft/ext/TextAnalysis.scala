@@ -345,6 +345,65 @@ object TextAnalysis {
       .otherwise(lit(0L))
   }
 
+  /** One content-defined chunk: 1-based start, length, and the same
+    * mod-1e9+7 polynomial hash over the chunk's chars as [[fingerprint]]. */
+  case class CdcChunk(chunk_idx: Int, start: Int, len: Int, chunk_hash: Long)
+
+  private val CdcMod = 1000000007L
+  /** 31^15 mod p — the outgoing-char weight for the O(1) window update. */
+  private val CdcPow15 = {
+    var p = 1L; for (_ <- 0 until 15) p = p * 31L % CdcMod; p
+  }
+
+  /** Content-defined chunking (the Rabin/LBFS breakpoint family, SOSP
+    * 2001; the dedup-friendly sharding step of a 100 TB ingest): a chunk
+    * boundary falls AFTER position i iff the polynomial hash of the
+    * 16-char window ending at i satisfies `h % 128 == 7` — boundaries
+    * depend only on LOCAL content, so an insertion early in a document
+    * re-chunks O(1) chunks instead of shifting every fixed-size block
+    * (the property CdcChunkSpec pins). Unlike FastCDC's clamped variant,
+    * breakpoints are UNCLAMPED, which keeps the operator a pure function
+    * of a stateless per-position window hash — the same fold DuckDB's
+    * list_reduce can replay, so chunk starts, lengths, AND hashes are
+    * fully oracle-checked cross-engine (a min/max-clamped greedy scan is
+    * sequential state the oracle could not express; clamping is a
+    * downstream `len`-filter policy choice, not movement).
+    *
+    * Movement: one O(L) rolling pass per document (incremental window
+    * update via the precomputed 31^15 weight), map-only, explode-ready —
+    * embarrassingly parallel at any corpus size. */
+  def cdcChunks(text: Column): Column = {
+    val f = udf { (t: String) =>
+      if (t == null || t.isEmpty) Seq.empty[CdcChunk]
+      else {
+        val cs = t.toCharArray
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var h = 0L
+        var i = 0
+        while (i < cs.length) {
+          h = (h * 31L + cs(i)) % CdcMod
+          if (i >= 15) {
+            if (h % 128L == 7L) bounds += (i + 1) // 1-based boundary-after
+            // retire the outgoing char before the next shift
+            h = ((h - cs(i - 15) * CdcPow15) % CdcMod + CdcMod) % CdcMod
+          }
+          i += 1
+        }
+        if (bounds.isEmpty || bounds.last != cs.length) bounds += cs.length
+        var start = 1
+        bounds.zipWithIndex.map { case (end, idx) =>
+          var ch = 0L
+          var j = start - 1
+          while (j < end) { ch = (ch * 31L + cs(j)) % CdcMod; j += 1 }
+          val c = CdcChunk(idx + 1, start, end - start + 1, ch)
+          start = end + 1
+          c
+        }.toSeq
+      }
+    }
+    f(text)
+  }
+
   /** One selected winnowing fingerprint: 1-based gram position + its hash. */
   case class Winnow(pos: Int, gram_hash: Long)
 

@@ -1434,7 +1434,26 @@ object ExtQueries {
       .orderBy($"source", $"rank")
   }
 
+  /** Content-defined chunking over the corpus ([[TextAnalysis.cdcChunks]]):
+    * one row per chunk with start/len/hash — the dedup-friendly shard key
+    * a 100 TB ingest uses so that a one-byte edit re-chunks O(1) chunks
+    * (CdcChunkSpec pins that locality property; the oracle replays the
+    * window-hash breakpoints and per-chunk polynomial hashes exactly).
+    * Map-only scan + explode; no shuffle at all before the deterministic
+    * output ordering. */
+  private val q179CdcChunks: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
+      .select($"doc_id", $"c.chunk_idx".cast("long").as("chunk_idx"),
+        $"c.start".cast("long").as("start"), $"c.len".cast("long").as("len"),
+        $"c.chunk_hash".as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q179_cdc_chunks"    -> q179CdcChunks,
     "q176_weighted_reservoir" -> q176WeightedReservoir,
     "q175_wav_decode"    -> q175WavDecode,
     "q171_gif_frames"    -> q171GifFrames,
@@ -1603,6 +1622,35 @@ object ExtQueries {
             WHERE rank <= 10) AS n_truth"""
 
   lazy val oracle: Map[String, String] = Map(
+    // replays the 16-char window poly-hash breakpoints (h % 128 == 7 after
+    // position i >= 16) and the per-chunk mod-1e9+7 fold — chunk starts,
+    // lengths, and hashes are all exact cross-engine
+    "q179_cdc_chunks" ->
+      """WITH t AS (
+           SELECT doc_id, text, length(text) AS L,
+                  list_transform(string_split(text, ''),
+                                 c -> CAST(ascii(c) AS BIGINT)) AS cs
+           FROM documents WHERE length(text) > 0),
+         b AS (
+           SELECT doc_id, text, L, cs,
+                  list_filter(range(16, L + 1), i ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-15:i]),
+                                (a, c) -> (a * 31 + c) % 1000000007) % 128 = 7)
+                    AS bps
+           FROM t),
+         e AS (
+           SELECT doc_id, cs,
+                  CASE WHEN len(bps) > 0 AND bps[-1] = L THEN bps
+                       ELSE list_append(bps, L) END AS ends
+           FROM b)
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+                CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END AS BIGINT) AS start,
+                CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END AS BIGINT) AS len,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  cs[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]]),
+                  (a, c) -> (a * 31 + c) % 1000000007) AS chunk_hash
+         FROM e, unnest(generate_series(1, len(ends))) AS u(j)
+         ORDER BY doc_id, chunk_idx""",
     // same 52-bit dyadic u and the same sqrt chain — bit-identical keys
     "q176_weighted_reservoir" ->
       """SELECT source, rank, doc_id, weight, wkey FROM (
