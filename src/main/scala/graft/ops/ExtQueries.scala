@@ -1452,7 +1452,42 @@ object ExtQueries {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** PMI collocation mining (Church & Hanks, CL 1990 — the phrase-table /
+    * tokenizer-seeding step of corpus analysis): adjacent-bigram counts
+    * vs unigram marginals, keeping pairs with pmi = ln(P(ab)/(P(a)P(b)))
+    * above ln(3/2). The transcendental never evaluates: the threshold is
+    * the CROSS-MULTIPLIED integer predicate 2·n_ab·NU² > 3·NB·n_a·n_b
+    * (the q150 integer-cross-mult idea), promoted to DECIMAL(38,0) /
+    * HUGEINT so it cannot overflow before ~10¹⁵ corpus tokens. Movement:
+    * two count shuffles (unigrams, bigrams; both map-side combinable),
+    * then vocab-side broadcast joins — at web scale the vocab join flips
+    * to sort-merge, which AQE decides from the actual build size. */
+  private val q180PmiCollocations: Q = (s, d) => {
+    import s.implicits._
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws")).cache()
+    val uni = ws.select(explode($"ws").as("w")).groupBy($"w")
+      .agg(count(lit(1)).as("n")).cache()
+    val nu = uni.agg(sum($"n").as("nu"))
+    val bc = ws.select(explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val nb = bc.agg(sum($"n_ab").as("nb"))
+    bc.join(broadcast(uni.select($"w".as("w1"), $"n".as("n_a"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"n".as("n_b"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .filter($"n_ab" >= 3 &&
+        lit(2).cast("decimal(38,0)") * $"n_ab" * $"nu" * $"nu" >
+          lit(3).cast("decimal(38,0)") * $"nb" * $"n_a" * $"n_b")
+      .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b")
+      .orderBy($"w1", $"w2")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q180_pmi_collocations" -> q180PmiCollocations,
     "q179_cdc_chunks"    -> q179CdcChunks,
     "q176_weighted_reservoir" -> q176WeightedReservoir,
     "q175_wav_decode"    -> q175WavDecode,
@@ -1622,6 +1657,22 @@ object ExtQueries {
             WHERE rank <= 10) AS n_truth"""
 
   lazy val oracle: Map[String, String] = Map(
+    // zipped-adjacent bigrams vs unigram marginals; the PMI > ln(3/2) gate
+    // is the identical cross-multiplied integer predicate (HUGEINT side)
+    "q180_pmi_collocations" ->
+      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
+          u AS (SELECT unnest(ws) AS w FROM t),
+          uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+          nu AS (SELECT sum(n) AS nu FROM uc),
+          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2 FROM t),
+          bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+          nb AS (SELECT sum(n_ab) AS nb FROM bc)
+          SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b
+          FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, nu, nb
+          WHERE n_ab >= 3
+            AND 2 * CAST(n_ab AS HUGEINT) * nu * nu >
+                3 * CAST(nb AS HUGEINT) * a.n * b.n
+          ORDER BY w1, w2""",
     // replays the 16-char window poly-hash breakpoints (h % 128 == 7 after
     // position i >= 16) and the per-chunk mod-1e9+7 fold — chunk starts,
     // lengths, and hashes are all exact cross-engine
