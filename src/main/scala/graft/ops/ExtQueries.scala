@@ -605,9 +605,13 @@ object ExtQueries {
       .select($"doc_id", sort_array(Dedup.shingleSet($"text", 5)).as("sh"))
       .filter(size($"sh") >= 1)
       .select($"doc_id", $"sh", size($"sh").cast("long").as("a"))
+    // ⌈0.64·n⌉ in INTEGER form ((16n+24) div 25): the float product rounds
+    // UP on ulp dust (25·0.64 = 16.000000000000004 → ceil 17), silently
+    // shortening the prefix below the lossless bound
     val pt = docs.select($"doc_id", explode(
         slice($"sh", lit(1),
-          size($"sh") - ceil(size($"sh") * lit(0.64)).cast("int") + lit(1))).as("tok"))
+          (size($"sh") - expr("(16 * size(sh) + 24) div 25") + lit(1)).cast("int")))
+      .as("tok"))
     val cand = pt.as("x").join(pt.as("y"),
         $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()

@@ -441,6 +441,56 @@ object TextQueries {
     plain.unionByName(phrase).orderBy($"dialect", $"doc_id")
   }
 
+  /** End-to-end ENTITY RESOLUTION (record linkage: Fellegi–Sunter blocking
+    * + transitive merge — the dirty-identifier cleanup q58/q125 do
+    * per-probe, promoted to whole-corpus clustering): a record set of
+    * part names plus deterministically-corrupted variants (3rd char
+    * deleted — ticker/CIK drift in miniature) is clustered by trigram
+    * similarity ≥ 0.55 and transitive closure.
+    *
+    * Movement — NO corpus×corpus stage at any step: (1) all-pairs
+    * candidates come from Bayardo prefix filtering over the
+    * lexicographically-sorted trigram sets (the q150 lemma on q125's
+    * pg_trgm grams) — prefix length uses INTEGER arithmetic
+    * (sz − (11·sz+19) div 20 + 1), because a float ⌈0.55·sz⌉ rounds UP on
+    * ulp dust and silently shortens the prefix below the lossless bound;
+    * (2) the Jaccard gate is integer cross-multiplication (20·o ≥
+    * 11·(a+b−o)); (3) clusters come from [[Dedup.connectedComponents]]
+    * min-label propagation, with singleton records kept as their own
+    * entity via the left join. The oracle recomputes candidates by BRUTE
+    * FORCE over all shared grams — a dropped prefix candidate fails the
+    * gate — and the closure as a recursive CTE. */
+  private val q181EntityClusters: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.part(s, d).filter($"p_partkey" <= 300)
+    val recs = base.select(($"p_partkey" * 2).as("rid"), $"p_name".as("name"))
+      .unionByName(base.filter($"p_partkey" % 7 === 1)
+        .select(($"p_partkey" * 2 + 1).as("rid"),
+          concat(substring($"p_name", 1, 2), substring($"p_name", 4, 1000000))
+            .as("name")))
+    val grams = recs
+      .select($"rid", sort_array(Trigram.trigrams($"name")).as("g"))
+      .withColumn("sz", size($"g").cast("long")).cache()
+    val pt = grams.select($"rid", explode(slice($"g", lit(1),
+      (size($"g") - expr("(11 * size(g) + 19) div 20") + lit(1)).cast("int")))
+      .as("tok"))
+    val cand = pt.as("x").join(pt.as("y"),
+        $"x.tok" === $"y.tok" && $"x.rid" < $"y.rid")
+      .select($"x.rid".as("r1"), $"y.rid".as("r2")).distinct()
+    val pairs = cand
+      .join(grams.select($"rid".as("r1"), $"g".as("g1"), $"sz".as("s1")), "r1")
+      .join(grams.select($"rid".as("r2"), $"g".as("g2"), $"sz".as("s2")), "r2")
+      .withColumn("o", size(array_intersect($"g1", $"g2")).cast("long"))
+      .filter(lit(20) * $"o" >= lit(11) * ($"s1" + $"s2" - $"o"))
+      .select($"r1", $"r2")
+    val labels = graft.ext.Dedup.connectedComponents(pairs, "r1", "r2")
+    recs.join(labels, recs("rid") === labels("node"), "left")
+      .select($"rid", expr("rid div 2").as("partkey"),
+        ($"rid" % 2).as("is_variant"),
+        coalesce($"component", $"rid").as("component"))
+      .orderBy($"rid")
+  }
+
   /** `ts_rewrite` query expansion (the Postgres query-side synonym /
     * thesaurus mechanism, the natural next EP4 ask after weighted rank):
     * the aliases-table rule `window → window | join` expands
@@ -519,6 +569,7 @@ object TextQueries {
     "q122_ts_stat"          -> q122TsStat,
     "q123_upsert_phrase"    -> q123UpsertPhrase,
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
+    "q181_entity_clusters"  -> q181EntityClusters,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -774,6 +825,35 @@ object TextQueries {
     // "  w " padding, 3-char substrings, DISTINCT per string, jaccard;
     // CAST AS DOUBLE (not * 1.0 — DuckDB decimal division would round
     // differently from the engine's IEEE division)
+    // brute-force candidates over ALL shared grams (a dropped prefix-filter
+    // candidate in the engine fails this gate) + recursive-CTE closure;
+    // singletons kept via the nodes base case
+    "q181_entity_clusters" ->
+      """WITH RECURSIVE recs AS (
+           SELECT p_partkey * 2 AS rid, p_name AS name
+           FROM part WHERE p_partkey <= 300
+           UNION ALL
+           SELECT p_partkey * 2 + 1, substr(p_name, 1, 2) || substr(p_name, 4)
+           FROM part WHERE p_partkey <= 300 AND p_partkey % 7 = 1),
+         w AS (SELECT rid, unnest(list_filter(
+                 string_split_regex(lower(name), '[^a-z0-9]+'),
+                 x -> length(x) > 0)) AS w FROM recs),
+         g AS (SELECT DISTINCT rid, substr('  ' || w || ' ', CAST(i AS INT), 3) AS g
+               FROM w, unnest(range(1, length(w) + 2)) AS t(i)),
+         n AS (SELECT rid, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
+         shr AS (SELECT a.rid AS r1, b.rid AS r2, CAST(count(*) AS BIGINT) AS o
+                 FROM g a JOIN g b ON a.g = b.g AND a.rid < b.rid GROUP BY 1, 2),
+         p AS (SELECT r1, r2 FROM shr
+               JOIN n n1 ON n1.rid = r1 JOIN n n2 ON n2.rid = r2
+               WHERE 20 * o >= 11 * (n1.sz + n2.sz - o)),
+         e AS (SELECT r1 AS src, r2 AS dst FROM p UNION SELECT r2, r1 FROM p),
+         reach(node, label) AS (
+           SELECT rid, rid FROM recs
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
+         SELECT node AS rid, node // 2 AS partkey, node % 2 AS is_variant,
+                min(label) AS component
+         FROM reach GROUP BY node ORDER BY rid""",
     "q125_trigram_fuzzy" ->
       """WITH probes AS (
            SELECT p_partkey AS probe_id,
