@@ -33,4 +33,33 @@ object Aggregators {
       ExpressionEncoder[Map[String, Long]]()
     override def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** One weighted-reservoir entry (q176's A-ES key + payload). */
+  case class KeyedDoc(wkey: Double, doc_id: Long, weight: Long)
+
+  /** Bounded TOP-K-BY-KEY — the mergeable buffer that makes weighted
+    * reservoir sampling (Efraimidis–Spirakis) a ONE-PASS distributed and
+    * STREAMING aggregate: each partition/micro-batch keeps only its k best
+    * (key desc, doc_id asc) rows and buffers merge associatively, so Spark
+    * runs it with map-side partial aggregation (a shuffle of ≤ k rows per
+    * group per task, never the raw corpus) and Structured Streaming can
+    * hold it as per-group state of exactly k rows. Deterministic ties via
+    * doc_id keep the result oracle-checkable. */
+  class TopKByKeyAgg(k: Int)
+      extends Aggregator[KeyedDoc, Seq[KeyedDoc], Seq[KeyedDoc]] {
+    private def best(xs: Seq[KeyedDoc]): Seq[KeyedDoc] =
+      xs.sortBy(d => (-d.wkey, d.doc_id)).take(k)
+
+    override def zero: Seq[KeyedDoc] = Seq.empty
+    override def reduce(b: Seq[KeyedDoc], v: KeyedDoc): Seq[KeyedDoc] =
+      best(b :+ v)
+    override def merge(a: Seq[KeyedDoc], b: Seq[KeyedDoc]): Seq[KeyedDoc] =
+      best(a ++ b)
+    override def finish(b: Seq[KeyedDoc]): Seq[KeyedDoc] = b
+
+    override def bufferEncoder: Encoder[Seq[KeyedDoc]] =
+      ExpressionEncoder[Seq[KeyedDoc]]()
+    override def outputEncoder: Encoder[Seq[KeyedDoc]] =
+      ExpressionEncoder[Seq[KeyedDoc]]()
+  }
 }

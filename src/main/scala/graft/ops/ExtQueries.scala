@@ -1416,10 +1416,12 @@ object ExtQueries {
     * representable) — so the keys, the ranking, AND the emitted key
     * doubles are bit-identical in Spark and DuckDB. A transcendental
     * formulation (-ln u / w) would be last-ulp hostage to libm. */
-  private val q176WeightedReservoir: Q = (s, d) => {
+  /** q176/q182's shared map stage: every document with its A-ES reservoir
+    * key (see q176's Scaladoc for the sqrt-chain exactness argument). */
+  private[ops] def weightedKeyedDocs(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("weight",
         when($"n_chars" >= 2000, 8L).when($"n_chars" >= 1000, 4L)
           .when($"n_chars" >= 500, 2L).otherwise(1L))
@@ -1431,8 +1433,14 @@ object ExtQueries {
           .when($"weight" === 4L, sqrt(sqrt($"u")))
           .when($"weight" === 2L, sqrt($"u"))
           .otherwise($"u"))
+      .select($"source", $"doc_id", $"weight", $"wkey")
+  }
+
+  private val q176WeightedReservoir: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy($"source").orderBy($"wkey".desc, $"doc_id")
-    docs.withColumn("rank", row_number().over(win))
+    weightedKeyedDocs(s, d).withColumn("rank", row_number().over(win))
       .filter($"rank" <= 5)
       .select($"source", $"rank", $"doc_id", $"weight", $"wkey")
       .orderBy($"source", $"rank")
@@ -1660,6 +1668,30 @@ object ExtQueries {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
             WHERE rank <= 10) AS n_truth"""
 
+  /** q176's reservoir oracle, shared VERBATIM by q182: the streaming
+    * sampler is defined to equal the batch sample exactly, so both must
+    * gate against one string — separate copies could drift (the
+    * mergesJoiningOracle principle). */
+  private[ops] lazy val wrsOracleSql: String =
+    """SELECT source, rank, doc_id, weight, wkey FROM (
+         SELECT source, doc_id, weight, wkey,
+                CAST(row_number() OVER (
+                  PARTITION BY source ORDER BY wkey DESC, doc_id) AS INT) AS rank
+         FROM (
+           SELECT source, doc_id, weight,
+                  CASE WHEN weight = 8 THEN sqrt(sqrt(sqrt(u)))
+                       WHEN weight = 4 THEN sqrt(sqrt(u))
+                       WHEN weight = 2 THEN sqrt(u) ELSE u END AS wkey
+           FROM (
+             SELECT source, doc_id,
+                    CASE WHEN n_chars >= 2000 THEN CAST(8 AS BIGINT)
+                         WHEN n_chars >= 1000 THEN 4
+                         WHEN n_chars >= 500 THEN 2 ELSE 1 END AS weight,
+                    (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs1'), 1, 13)
+                          AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 AS u
+             FROM documents) t0) t1) t2
+       WHERE rank <= 5 ORDER BY source, rank"""
+
   lazy val oracle: Map[String, String] = Map(
     // zipped-adjacent bigrams vs unigram marginals; the PMI > ln(3/2) gate
     // is the identical cross-multiplied integer predicate (HUGEINT side)
@@ -1707,25 +1739,7 @@ object ExtQueries {
          FROM e, unnest(generate_series(1, len(ends))) AS u(j)
          ORDER BY doc_id, chunk_idx""",
     // same 52-bit dyadic u and the same sqrt chain — bit-identical keys
-    "q176_weighted_reservoir" ->
-      """SELECT source, rank, doc_id, weight, wkey FROM (
-           SELECT source, doc_id, weight, wkey,
-                  CAST(row_number() OVER (
-                    PARTITION BY source ORDER BY wkey DESC, doc_id) AS INT) AS rank
-           FROM (
-             SELECT source, doc_id, weight,
-                    CASE WHEN weight = 8 THEN sqrt(sqrt(sqrt(u)))
-                         WHEN weight = 4 THEN sqrt(sqrt(u))
-                         WHEN weight = 2 THEN sqrt(u) ELSE u END AS wkey
-             FROM (
-               SELECT source, doc_id,
-                      CASE WHEN n_chars >= 2000 THEN CAST(8 AS BIGINT)
-                           WHEN n_chars >= 1000 THEN 4
-                           WHEN n_chars >= 500 THEN 2 ELSE 1 END AS weight,
-                      (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs1'), 1, 13)
-                            AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 AS u
-               FROM documents) t0) t1) t2
-         WHERE rank <= 5 ORDER BY source, rank""",
+    "q176_weighted_reservoir" -> wrsOracleSql,
     "q40_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, sha256(text) AS hash, count(*) AS n_copies
          FROM documents GROUP BY sha256(text) ORDER BY doc_id""",

@@ -300,6 +300,38 @@ object StreamQueries {
       .orderBy($"n_exact".desc, $"tok".asc)
   }
 
+  /** STREAMING weighted reservoir sampling — q176's A-ES sampler run as a
+    * Structured Streaming aggregate: the corpus arrives as two
+    * micro-batch files and each source's sample is maintained by the
+    * mergeable bounded [[Aggregators.TopKByKeyAgg]] buffer (state = at
+    * most k rows per group, shuffled as partial buffers, never raw docs —
+    * the property that lets a 100 TB stream keep a living sample in O(k)
+    * state per source). Because the A-ES keys are deterministic
+    * (sqrt-chain over dyadic md5 u), the streaming state after the final
+    * micro-batch must equal the batch sample EXACTLY — so this gates
+    * against the very same oracle SQL as q176, the strongest
+    * stream/batch-equivalence form in the catalog (q152's CMS analog,
+    * but value-exact rather than sketch-exact). */
+  private val q182StreamReservoir: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val keyed = ExtQueries.weightedKeyedDocs(s, d)
+    val src = graft.util.Scratch.dir("graft_swrs_src_")
+    keyed.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
+    keyed.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
+    val topk = udaf(new Aggregators.TopKByKeyAgg(5),
+      ExpressionEncoder[Aggregators.KeyedDoc]())
+    val res = Streams.runToMemory(s,
+      Streams.parquetStream(s, s"$src/*", keyed.schema)
+        .groupBy($"source")
+        .agg(topk($"wkey", $"doc_id", $"weight").as("picks")),
+      OutputMode.Complete(), statePartitions = 8)
+    res.select($"source", posexplode($"picks").as(Seq("pos", "p")))
+      .select($"source", ($"pos" + 1).cast("int").as("rank"),
+        $"p.doc_id".as("doc_id"), $"p.weight".as("weight"), $"p.wkey".as("wkey"))
+      .orderBy($"source", $"rank")
+  }
+
   /** STREAM-STATIC enrichment join — the remaining core streaming join
     * shape (q138 covers stream-stream): the events stream joins a static
     * broadcast dimension (customer) row-by-row as micro-batches arrive,
@@ -400,6 +432,7 @@ object StreamQueries {
 
   val queries: Map[String, Q] = Map(
     "q152_stream_cms"       -> q152StreamCms,
+    "q182_stream_reservoir" -> q182StreamReservoir,
     "q164_stream_enrich"    -> q164StreamEnrich,
     "q166_stream_outer_join" -> q166StreamOuterJoin,
     "q170_stream_jdbc_upsert" -> q170StreamJdbcUpsert,
@@ -415,6 +448,9 @@ object StreamQueries {
     "q138_stream_join"      -> q138StreamJoin)
 
   val oracle: Map[String, String] = Map(
+    // the streaming reservoir is DEFINED to equal q176's batch sample —
+    // both gate against the one shared SQL string
+    "q182_stream_reservoir" -> ExtQueries.wrsOracleSql,
     // final table = base with streamed updates applied plus streamed
     // inserts — any dropped upsert, phantom re-apply, or missed insert
     // breaks the equality
