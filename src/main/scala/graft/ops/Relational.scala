@@ -889,7 +889,48 @@ object Relational {
       .orderBy($"suppkey")
   }
 
+  /** Markov-chain behavior analysis of the event stream (the clickstream
+    * transition-matrix model): per-user `lag` ordering yields observed
+    * (prev → next) transition counts, row-normalized to ppm integer
+    * probabilities, then the 4-step distribution from uniform is computed
+    * by exact fixed-point propagation (the q178 machinery with WEIGHTED
+    * edges). The heavy operator is the transition extraction — one
+    * per-user window shuffle over the full event log plus one count
+    * shuffle; the chain itself is |event_type|² rows, so each step is a
+    * broadcast-sized join iterated with pure integer arithmetic that the
+    * oracle unrolls verbatim (ppm floor loss documented, identical in
+    * both engines). */
+  private val q183MarkovSteps: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val trans = ev.select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("src", lag($"event_type", 1).over(w))
+      .filter($"src".isNotNull)
+      .select($"src", $"event_type".as("dst"))
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("c"))
+    val outTot = trans.groupBy($"src").agg(sum($"c").as("tot"))
+    val p = trans.join(outTot, "src")
+      .select($"src", $"dst", expr("(c * 1000000) div tot").as("p_ppm"))
+      .cache()
+    val states = ev.select($"event_type".as("state")).distinct()
+      .localCheckpoint()
+    var r = states.withColumn("r", lit(1000000000L))
+    for (_ <- 1 to 4) {
+      val inflow = p.join(r, p("src") === r("state"))
+        .select($"dst", expr("(r * p_ppm) div 1000000").as("contrib"))
+        .groupBy($"dst").agg(sum($"contrib").as("inflow"))
+      r = states.join(inflow, states("state") === inflow("dst"), "left")
+        .select(states("state"), coalesce($"inflow", lit(0L)).as("r"))
+        .localCheckpoint()
+    }
+    p.unpersist()
+    r.select($"state".as("event_type"), $"r".as("prob_fp"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q183_markov_steps"   -> q183MarkovSteps,
     "q178_pagerank"       -> q178PageRank,
     "q177_group_ols"      -> q177GroupOls,
     "q01_pricing_summary" -> q01PricingSummary,
@@ -973,7 +1014,34 @@ object Relational {
         WHERE node % 2 = 1 ORDER BY suppkey"""
   }
 
+  /** q183's oracle — transition extraction, ppm normalization, and the
+    * same unrolled integer steps. */
+  private def markovOracleSql(steps: Int): String = {
+    val iters = (1 to steps).map { k =>
+      s"""i$k AS (SELECT p.dst AS state,
+                 sum((r.r * p.p_ppm) // 1000000) AS inflow
+            FROM p JOIN r${k - 1} r ON r.state = p.src GROUP BY p.dst),
+          r$k AS (SELECT s.state, CAST(coalesce(i.inflow, 0) AS BIGINT) AS r
+            FROM states s LEFT JOIN i$k i ON i.state = s.state)"""
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             event_type AS dst
+           FROM events),
+        c AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS c FROM t
+              WHERE src IS NOT NULL GROUP BY 1, 2),
+        ot AS (SELECT src, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY src),
+        p AS (SELECT c.src, c.dst, (c.c * 1000000) // ot.tot AS p_ppm
+              FROM c JOIN ot ON ot.src = c.src),
+        states AS (SELECT DISTINCT event_type AS state FROM events),
+        r0 AS (SELECT state, CAST(1000000000 AS BIGINT) AS r FROM states),
+        $iters
+        SELECT state AS event_type, r AS prob_fp FROM r$steps
+        ORDER BY event_type"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q183_markov_steps" -> markovOracleSql(4),
     "q178_pagerank" -> pageRankOracleSql(3),
     // identical moment sums (exact integers) and the identical fixed
     // double-expression order — see q177's Scaladoc

@@ -460,15 +460,25 @@ object TextQueries {
     * entity via the left join. The oracle recomputes candidates by BRUTE
     * FORCE over all shared grams — a dropped prefix candidate fails the
     * gate — and the closure as a recursive CTE. */
-  private val q181EntityClusters: Q = (s, d) => {
+  /** q181/q184's shared record set: part names plus the 3rd-char-deleted
+    * corrupted variants, parity-encoded ids. */
+  private def entityRecords(s: org.apache.spark.sql.SparkSession,
+                            d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val base = Tables.part(s, d).filter($"p_partkey" <= 300)
-    val recs = base.select(($"p_partkey" * 2).as("rid"), $"p_name".as("name"))
+    base.select(($"p_partkey" * 2).as("rid"), $"p_name".as("name"))
       .unionByName(base.filter($"p_partkey" % 7 === 1)
         .select(($"p_partkey" * 2 + 1).as("rid"),
           concat(substring($"p_name", 1, 2), substring($"p_name", 4, 1000000))
             .as("name")))
-    val grams = recs
+  }
+
+  /** q181/q184's shared similarity graph: every record pair with trigram
+    * Jaccard ≥ 0.55, found via prefix filtering (see q181's Scaladoc). */
+  private def partNameSimPairs(s: org.apache.spark.sql.SparkSession,
+                               d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val grams = entityRecords(s, d)
       .select($"rid", sort_array(Trigram.trigrams($"name")).as("g"))
       .withColumn("sz", size($"g").cast("long")).cache()
     val pt = grams.select($"rid", explode(slice($"g", lit(1),
@@ -477,17 +487,45 @@ object TextQueries {
     val cand = pt.as("x").join(pt.as("y"),
         $"x.tok" === $"y.tok" && $"x.rid" < $"y.rid")
       .select($"x.rid".as("r1"), $"y.rid".as("r2")).distinct()
-    val pairs = cand
+    cand
       .join(grams.select($"rid".as("r1"), $"g".as("g1"), $"sz".as("s1")), "r1")
       .join(grams.select($"rid".as("r2"), $"g".as("g2"), $"sz".as("s2")), "r2")
       .withColumn("o", size(array_intersect($"g1", $"g2")).cast("long"))
       .filter(lit(20) * $"o" >= lit(11) * ($"s1" + $"s2" - $"o"))
       .select($"r1", $"r2")
-    val labels = graft.ext.Dedup.connectedComponents(pairs, "r1", "r2")
+  }
+
+  private val q181EntityClusters: Q = (s, d) => {
+    import s.implicits._
+    val recs = entityRecords(s, d)
+    val labels = graft.ext.Dedup.connectedComponents(
+      partNameSimPairs(s, d), "r1", "r2")
     recs.join(labels, recs("rid") === labels("node"), "left")
       .select($"rid", expr("rid div 2").as("partkey"),
         ($"rid" % 2).as("is_variant"),
         coalesce($"component", $"rid").as("component"))
+      .orderBy($"rid")
+  }
+
+  /** TRIANGLE COUNTING over the q181 similarity graph — the clique-ness
+    * audit of entity-resolution output (a transitively-closed cluster
+    * whose members share few triangles is chained by weak links; one rich
+    * in triangles is a genuine near-clique). Standard distributed
+    * node-iterator: edges oriented (r1 < r2), one two-path equi-join +
+    * one closing-edge join — never an all-triples stage; at corpus scale
+    * the orientation flips to degree-ordering so hub fanout is bounded
+    * by O(m^1.5) (Suri & Vassilvitskii, WWW 2011). Per-record triangle
+    * participation is the output; the oracle replays the brute-force
+    * pair graph and the same two joins. */
+  private val q184Triangles: Q = (s, d) => {
+    import s.implicits._
+    val pairs = partNameSimPairs(s, d).cache()
+    val tri = pairs.as("ab").join(pairs.as("bc"), $"ab.r2" === $"bc.r1")
+      .join(pairs.as("ac"),
+        $"ac.r1" === $"ab.r1" && $"ac.r2" === $"bc.r2")
+      .select($"ab.r1".as("a"), $"ab.r2".as("b"), $"bc.r2".as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("rid"))
+      .groupBy($"rid").agg(count(lit(1)).as("n_tri"))
       .orderBy($"rid")
   }
 
@@ -570,6 +608,7 @@ object TextQueries {
     "q123_upsert_phrase"    -> q123UpsertPhrase,
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
     "q181_entity_clusters"  -> q181EntityClusters,
+    "q184_triangles"        -> q184Triangles,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -664,6 +703,28 @@ object TextQueries {
                          ELSE 0.0 END), 6) AS score
           FROM base, stats
           WHERE tf0 > 0 OR tf1 > 0)"""
+
+  /** q181/q184's shared oracle CTE chain — record construction, pg_trgm
+    * grams, brute-force shared-gram counts, and the integer Jaccard gate
+    * ending in `p(r1, r2)`. One string so the two gates cannot drift. */
+  private lazy val entityGraphCte: String =
+    """recs AS (
+           SELECT p_partkey * 2 AS rid, p_name AS name
+           FROM part WHERE p_partkey <= 300
+           UNION ALL
+           SELECT p_partkey * 2 + 1, substr(p_name, 1, 2) || substr(p_name, 4)
+           FROM part WHERE p_partkey <= 300 AND p_partkey % 7 = 1),
+         w AS (SELECT rid, unnest(list_filter(
+                 string_split_regex(lower(name), '[^a-z0-9]+'),
+                 x -> length(x) > 0)) AS w FROM recs),
+         g AS (SELECT DISTINCT rid, substr('  ' || w || ' ', CAST(i AS INT), 3) AS g
+               FROM w, unnest(range(1, length(w) + 2)) AS t(i)),
+         n AS (SELECT rid, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
+         shr AS (SELECT a.rid AS r1, b.rid AS r2, CAST(count(*) AS BIGINT) AS o
+                 FROM g a JOIN g b ON a.g = b.g AND a.rid < b.rid GROUP BY 1, 2),
+         p AS (SELECT r1, r2 FROM shr
+               JOIN n n1 ON n1.rid = r1 JOIN n n2 ON n2.rid = r2
+               WHERE 20 * o >= 11 * (n1.sz + n2.sz - o))"""
 
   lazy val oracle: Map[String, String] = Map(
     "q30_sanitize" ->
@@ -829,23 +890,7 @@ object TextQueries {
     // candidate in the engine fails this gate) + recursive-CTE closure;
     // singletons kept via the nodes base case
     "q181_entity_clusters" ->
-      """WITH RECURSIVE recs AS (
-           SELECT p_partkey * 2 AS rid, p_name AS name
-           FROM part WHERE p_partkey <= 300
-           UNION ALL
-           SELECT p_partkey * 2 + 1, substr(p_name, 1, 2) || substr(p_name, 4)
-           FROM part WHERE p_partkey <= 300 AND p_partkey % 7 = 1),
-         w AS (SELECT rid, unnest(list_filter(
-                 string_split_regex(lower(name), '[^a-z0-9]+'),
-                 x -> length(x) > 0)) AS w FROM recs),
-         g AS (SELECT DISTINCT rid, substr('  ' || w || ' ', CAST(i AS INT), 3) AS g
-               FROM w, unnest(range(1, length(w) + 2)) AS t(i)),
-         n AS (SELECT rid, CAST(count(*) AS BIGINT) AS sz FROM g GROUP BY 1),
-         shr AS (SELECT a.rid AS r1, b.rid AS r2, CAST(count(*) AS BIGINT) AS o
-                 FROM g a JOIN g b ON a.g = b.g AND a.rid < b.rid GROUP BY 1, 2),
-         p AS (SELECT r1, r2 FROM shr
-               JOIN n n1 ON n1.rid = r1 JOIN n n2 ON n2.rid = r2
-               WHERE 20 * o >= 11 * (n1.sz + n2.sz - o)),
+      s"""WITH RECURSIVE $entityGraphCte,
          e AS (SELECT r1 AS src, r2 AS dst FROM p UNION SELECT r2, r1 FROM p),
          reach(node, label) AS (
            SELECT rid, rid FROM recs
@@ -854,6 +899,15 @@ object TextQueries {
          SELECT node AS rid, node // 2 AS partkey, node % 2 AS is_variant,
                 min(label) AS component
          FROM reach GROUP BY node ORDER BY rid""",
+    // the same brute-force pair graph, then the same two triangle joins
+    "q184_triangles" ->
+      s"""WITH $entityGraphCte,
+         tri AS (SELECT a.r1 AS x, a.r2 AS y, b.r2 AS z
+                 FROM p a JOIN p b ON b.r1 = a.r2
+                 JOIN p c ON c.r1 = a.r1 AND c.r2 = b.r2),
+         nodes AS (SELECT unnest([x, y, z]) AS rid FROM tri)
+         SELECT rid, CAST(count(*) AS BIGINT) AS n_tri
+         FROM nodes GROUP BY rid ORDER BY rid""",
     "q125_trigram_fuzzy" ->
       """WITH probes AS (
            SELECT p_partkey AS probe_id,
