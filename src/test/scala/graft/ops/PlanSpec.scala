@@ -345,4 +345,55 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("partial_collect_list") || plan.contains("ObjectHashAggregate"),
       s"expected map-side partial collect for the sweep input:\n$plan")
   }
+
+  test("CDC chunking (q179) is map-only: the output sort is the ONLY exchange") {
+    val df = graft.SparkEntry.queries("q179_cdc_chunks")(spark, sf)
+    // formatted explain: the AQE executedPlan string double-counts (q95 note)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the repartition($"doc_id") in the query is the standard testdata
+    // single-split spreader; beyond it and the deterministic output sort
+    // there must be no data movement — chunking is a pure scan transform
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected ≤2 exchanges (spreader + sort), got $exchanges:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      s"q179 must not shuffle-join or window:\n$plan")
+  }
+
+  test("group OLS (q177) aggregates map-side with no window or join") {
+    val df = graft.SparkEntry.queries("q177_group_ols")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum") && plan.contains("partial_count"),
+      s"moment sums must combine map-side:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"q177 is one groupBy — no windows or joins expected:\n$plan")
+  }
+
+  test("PMI collocations (q180): vocab joins broadcast, no cartesian data product") {
+    val df = graft.SparkEntry.queries("q180_pmi_collocations")(spark, sf)
+    val plan = planOf(df)
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 2, s"expected both vocab marginal joins broadcast, got $bhj:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the scalar-total crossJoins must broadcast, never CartesianProduct:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no sort-merge expected at this scale (AQE owns the web-scale flip):\n$plan")
+  }
+
+  test("weighted reservoir (q176): key derivation below the single top-k window") {
+    val df = graft.SparkEntry.queries("q176_weighted_reservoir")(spark, sf)
+    val plan = planOf(df)
+    assert("Window".r.findAllIn(plan).size >= 1 && !plan.contains("Join"),
+      s"q176 is map + one per-group window — no joins:\n$plan")
+    // rank<=5 must prune map-side before the window shuffle
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pushdown for the top-k filter:\n$plan")
+  }
+
+  test("triangle count (q184) joins hash-partitioned, never all-triples") {
+    val df = graft.SparkEntry.queries("q184_triangles")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must be equi-joins:\n$plan")
+  }
 }
