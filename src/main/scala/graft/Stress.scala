@@ -91,6 +91,29 @@ object Stress {
           .as("embedding"),
         $"label")
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
+    // part names for the trigram all-pairs family: rep-char INTERLEAVING
+    // (every 3-char window contains the replica mark, so pg_trgm sets are
+    // disjoint across replicas — a suffix/prefix salt would leave most
+    // internal trigrams shared and the cross-replica pair count quadratic)
+    io.Tables.part(spark, baseDir)
+      .crossJoin(reps)
+      .select(($"p_partkey" * factor + $"rep").as("p_partkey"),
+        concat_ws("", transform(split($"p_name", ""),
+          c => concat(c, lit("x"), $"rep"))).as("p_name"))
+      .write.mode("overwrite").parquet(s"$scaledDir/part.parquet")
+    // the trade graph for PageRank: replica-offset keys keep the join
+    // consistent and make the scaled graph `factor` disjoint copies —
+    // linear edge growth, the honest scale-up shape for iterative ranking
+    io.Tables.orders(spark, baseDir)
+      .crossJoin(reps)
+      .select(($"o_orderkey" * factor + $"rep").as("o_orderkey"),
+        ($"o_custkey" * factor + $"rep").as("o_custkey"))
+      .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
+    io.Tables.lineitem(spark, baseDir)
+      .crossJoin(reps)
+      .select(($"l_orderkey" * factor + $"rep").as("l_orderkey"),
+        ($"l_suppkey" * factor + $"rep").as("l_suppkey"))
+      .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
 
     // ---- the pair-finder family ----------------------------------------
     // Catalog entries run verbatim; q161's catalog form gates on a bounded
@@ -134,7 +157,23 @@ object Stress {
       val n = ext.Similarity.autoCentroids(emb.count())
       ext.Similarity.semDedup(emb, tau = 0.45, numCentroids = n).select($"vec_id")
     }
+    // q181/q184's pair stage WITHOUT the catalog's oracle-cost slice: the
+    // full part dimension through the same df-ordered prefix-filtered
+    // trigram join — the quadratic-risk step of entity resolution at
+    // corpus width. (The first stress run of this family, with
+    // LEXICOGRAPHIC prefix order, hung on the word-initial "␣␣x" hub
+    // grams — the failure mode that made frequency order load-bearing in
+    // Trigram.similarSelfJoin.)
+    def trigramAllPairsFull(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      text.Trigram.similarSelfJoin(
+        io.Tables.part(s, d).repartition($"p_partkey")
+          .select($"p_partkey", $"p_name"),
+        "p_partkey", "p_name", 11, 20)
+    }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q178_pagerank" -> ops.Relational.queries("q178_pagerank"),
+      "q181_trigram_allpairs_full" -> trigramAllPairsFull,
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
       "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),

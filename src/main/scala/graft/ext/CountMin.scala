@@ -53,4 +53,25 @@ object CountMin {
     while (j < Depth) { m = math.min(m, sk(j * Width + bucket(tok, j))); j += 1 }
     m
   }
+
+  /** Sketch INNER PRODUCT (Cormode & Muthukrishnan §4.2): min over rows of
+    * Σ_i a[r,i]·b[r,i] — a provable OVERESTIMATE of Σ_v f_A(v)·f_B(v),
+    * i.e. of the equi-join cardinality |A ⋈ B| when the sketches count
+    * join keys. This is the classic sketch-based join-size estimator: two
+    * O(1)-memory sketches built in one pass per side replace the key-level
+    * frequency join a planner cannot afford at 100 TB.
+    * Overflow headroom: each row term ≤ N_A·N_B, so longs hold to ~3e9
+    * rows per side. */
+  def innerProduct(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long = {
+    var best = Long.MaxValue
+    var r = 0
+    while (r < Depth) {
+      var s = 0L
+      var i = 0
+      while (i < Width) { s += a(r * Width + i) * b(r * Width + i); i += 1 }
+      if (s < best) best = s
+      r += 1
+    }
+    best
+  }
 }

@@ -1498,7 +1498,76 @@ object ExtQueries {
       .orderBy($"w1", $"w2")
   }
 
+  /** Corpus DRIFT MONITOR — per-token frequency delta between the en and
+    * non-en subcorpora in exact ppm integers (the ingest-regression check
+    * a production pipeline runs between corpus versions; q160 diffs
+    * membership, this diffs the token DISTRIBUTION). `n·10⁶ div N` floor
+    * arithmetic keeps every emitted number exact cross-engine; ranking by
+    * the integer delta needs no transcendental divergence (KL's ln never
+    * evaluates — the ppm delta is the actionable signal). Movement: ONE
+    * token explode into ONE vocab shuffle (count_if packs both subcorpora
+    * into the same map-side partial agg — the q149 single-pass shape);
+    * totals fold from the vocab table, never a second corpus scan. */
+  private val q185TokenDrift: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d).repartition($"doc_id")
+      .select(($"lang" === "en").as("is_en"),
+        explode(TextAnalysis.words($"text")).as("w"))
+    val c = tok.groupBy($"w")
+      .agg(count_if($"is_en").as("na"), count_if(!$"is_en").as("nb"))
+      .cache()
+    val tot = c.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("drift_ppm",
+        abs(expr("(na * 1000000) div ta") - expr("(nb * 1000000) div tb")))
+      .filter($"drift_ppm" >= 200)
+      .select($"w", $"na", $"nb", $"drift_ppm")
+      .orderBy($"drift_ppm".desc, $"w")
+  }
+
+  /** Sketch-based JOIN-SIZE ESTIMATION (Cormode–Muthukrishnan inner
+    * product — what a distributed planner consults before committing to a
+    * join strategy at 100 TB): two one-pass CMS sketches over the join
+    * key replace the per-key frequency join; their row-wise inner product
+    * min is a PROVABLE overestimate of |A ⋈ B|. The oracle computes the
+    * exact join size (per-key count product) and the deterministic
+    * overestimate theorem; the additive error bound is gated at the
+    * catalog's 4×-widened ε (q148/q152 convention — deterministic for
+    * this corpus, slack against regeneration skew). */
+  private val q186JoinSizeSketch: Q = (s, d) => {
+    import s.implicits._
+    // md5-parity split: doc_id parity is perfectly correlated with source
+    // in this testdata (block assignment), which would make the join empty
+    val half = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10)
+      .cast("long") % 2
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", (half === 0).as("in_a"))
+    val cms = udaf(new CountMin.SketchAgg(),
+      org.apache.spark.sql.Encoders.STRING)
+    val a = docs.filter($"in_a")
+    val b = docs.filter(!$"in_a")
+    val ska = a.agg(cms($"source").as("ska"), count(lit(1)).as("n_a"))
+    val skb = b.agg(cms($"source").as("skb"), count(lit(1)).as("n_b"))
+    // exact truth in ONE key shuffle: count_if packs both halves into the
+    // same map-side partial agg (q185's shape) — no grouped self-join
+    val exact = docs
+      .groupBy($"source")
+      .agg(count_if($"in_a").as("ca"), count_if(!$"in_a").as("cb"))
+      .agg(sum($"ca" * $"cb").as("exact_size"))
+    val ip = udf((x: Seq[Long], y: Seq[Long]) =>
+      CountMin.innerProduct(x.toIndexedSeq, y.toIndexedSeq))
+    exact.crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
+      .withColumn("est", ip($"ska", $"skb"))
+      .select($"exact_size", $"n_a", $"n_b",
+        ($"est" >= $"exact_size").as("overestimate_ok"),
+        ($"est".cast("double") <=
+          $"exact_size".cast("double") +
+            lit(4.0 * CountMin.Eps) * $"n_a" * $"n_b").as("bound_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_token_drift"   -> q185TokenDrift,
+    "q186_join_size_sketch" -> q186JoinSizeSketch,
     "q180_pmi_collocations" -> q180PmiCollocations,
     "q179_cdc_chunks"    -> q179CdcChunks,
     "q176_weighted_reservoir" -> q176WeightedReservoir,
@@ -1693,6 +1762,37 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // one-pass ppm floor arithmetic replayed exactly; the 200-ppm gate is
+    // an integer predicate
+    "q185_token_drift" ->
+      s"""WITH t AS (SELECT lang = 'en' AS is_en, unnest($wordsAposSql) AS w
+            FROM documents),
+          c AS (SELECT w,
+                  CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS na,
+                  CAST(count(*) FILTER (WHERE NOT is_en) AS BIGINT) AS nb
+                FROM t GROUP BY w),
+          tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                         CAST(sum(nb) AS BIGINT) AS tb FROM c)
+          SELECT w, na, nb,
+                 abs((na * 1000000) // ta - (nb * 1000000) // tb) AS drift_ppm
+          FROM c, tot
+          WHERE abs((na * 1000000) // ta - (nb * 1000000) // tb) >= 200
+          ORDER BY drift_ppm DESC, w""",
+    // exact join size from per-key count products; the sketch side's
+    // overestimate theorem and 4x-widened bound are deterministic gates
+    "q186_join_size_sketch" ->
+      """WITH d AS (SELECT source,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   AS BIGINT) % 2 = 0 AS in_a
+            FROM documents),
+          c AS (SELECT source,
+                  count(*) FILTER (WHERE in_a) AS ca,
+                  count(*) FILTER (WHERE NOT in_a) AS cb
+                FROM d GROUP BY source)
+          SELECT CAST((SELECT sum(ca * cb) FROM c) AS BIGINT) AS exact_size,
+                 (SELECT count(*) FROM d WHERE in_a) AS n_a,
+                 (SELECT count(*) FROM d WHERE NOT in_a) AS n_b,
+                 true AS overestimate_ok, true AS bound_ok""",
     // zipped-adjacent bigrams vs unigram marginals; the PMI > ln(3/2) gate
     // is the identical cross-multiplied integer predicate (HUGEINT side)
     "q180_pmi_collocations" ->

@@ -474,26 +474,12 @@ object TextQueries {
   }
 
   /** q181/q184's shared similarity graph: every record pair with trigram
-    * Jaccard ≥ 0.55, found via prefix filtering (see q181's Scaladoc). */
+    * Jaccard ≥ 11/20, via [[Trigram.similarSelfJoin]] (df-ordered prefix
+    * filtering — see its Scaladoc for why frequency order is load-bearing
+    * on pg_trgm grams). */
   private def partNameSimPairs(s: org.apache.spark.sql.SparkSession,
-                               d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val grams = entityRecords(s, d)
-      .select($"rid", sort_array(Trigram.trigrams($"name")).as("g"))
-      .withColumn("sz", size($"g").cast("long")).cache()
-    val pt = grams.select($"rid", explode(slice($"g", lit(1),
-      (size($"g") - expr("(11 * size(g) + 19) div 20") + lit(1)).cast("int")))
-      .as("tok"))
-    val cand = pt.as("x").join(pt.as("y"),
-        $"x.tok" === $"y.tok" && $"x.rid" < $"y.rid")
-      .select($"x.rid".as("r1"), $"y.rid".as("r2")).distinct()
-    cand
-      .join(grams.select($"rid".as("r1"), $"g".as("g1"), $"sz".as("s1")), "r1")
-      .join(grams.select($"rid".as("r2"), $"g".as("g2"), $"sz".as("s2")), "r2")
-      .withColumn("o", size(array_intersect($"g1", $"g2")).cast("long"))
-      .filter(lit(20) * $"o" >= lit(11) * ($"s1" + $"s2" - $"o"))
-      .select($"r1", $"r2")
-  }
+                               d: String): org.apache.spark.sql.DataFrame =
+    Trigram.similarSelfJoin(entityRecords(s, d), "rid", "name", 11, 20)
 
   private val q181EntityClusters: Q = (s, d) => {
     import s.implicits._

@@ -96,4 +96,59 @@ object Trigram {
       .filter(col("sim") >= threshold)
       .select(col(corpusId), col(probeId), col("shared"), col("sim"))
   }
+
+  /** All-pairs trigram similarity SELF-join: every id pair with
+    * `jaccard(trigrams(a), trigrams(b)) ≥ simNum/simDen`, with NO
+    * corpus×corpus stage — the whole-corpus companion of [[similarJoin]]
+    * and the entity-resolution pair generator (q181/q184).
+    *
+    * Candidate generation is Bayardo prefix filtering in ASCENDING
+    * DOCUMENT-FREQUENCY order — load-bearing for pg_trgm grams, not a
+    * tuning nicety: in lexicographic order the prefix starts with the
+    * word-initial "␣␣x" grams that huge corpus fractions share, so the
+    * prefix equi-join fans out ~quadratically on those hub tokens (the
+    * sf1.0 stress run catches exactly this). Frequency order puts each
+    * record's RAREST grams in its prefix, bounding every pair's
+    * generation by its rarest shared gram's df. The prefix-filter lemma
+    * holds for ANY global total order, so results are identical; (df,
+    * gram) lexicographic tiebreak keeps the order deterministic.
+    *
+    * Movement: one explode → broadcast df join (gram vocabulary is
+    * bounded: ≤ ~47k pg_trgm grams) → one per-record regroup shuffle →
+    * prefix equi-join → verify join with integer cross-multiplied
+    * Jaccard (float-free). Prefix length uses integer ceil
+    * (sz − (num·sz + den−1) div den + 1) — a float ⌈t·sz⌉ rounds up on
+    * ulp dust and silently breaks the lossless bound. */
+  def similarSelfJoin(recs: DataFrame, idCol: String, textCol: String,
+                      simNum: Int, simDen: Int): DataFrame = {
+    require(simNum > 0 && simNum < simDen,
+      s"threshold must be in (0,1): $simNum/$simDen")
+    val grams = recs
+      .select(col(idCol).as("rid"), sort_array(trigrams(col(textCol))).as("g"))
+      .withColumn("sz", size(col("g")).cast("long")).cache()
+    val dfreq = grams.select(explode(col("g")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefixLen =
+      s"cast(size(ord) - (($simNum * size(ord) + ${simDen - 1}) div $simDen) + 1 as int)"
+    val pt = grams.select(col("rid"), explode(col("g")).as("tok"))
+      .join(broadcast(dfreq), "tok")
+      .groupBy(col("rid"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
+      .select(col("rid"),
+        explode(expr(s"transform(slice(ord, 1, $prefixLen), x -> x.tok)"))
+          .as("tok"))
+    val cand = pt.as("x").join(pt.as("y"),
+        col("x.tok") === col("y.tok") && col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("r1"), col("y.rid").as("r2")).distinct()
+    val out = cand
+      .join(grams.select(col("rid").as("r1"), col("g").as("g1"),
+        col("sz").as("s1")), "r1")
+      .join(grams.select(col("rid").as("r2"), col("g").as("g2"),
+        col("sz").as("s2")), "r2")
+      .withColumn("o", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .filter(lit(simDen) * col("o") >=
+        lit(simNum) * (col("s1") + col("s2") - col("o")))
+      .select(col("r1"), col("r2"))
+    out
+  }
 }
