@@ -1565,7 +1565,33 @@ object ExtQueries {
             lit(4.0 * CountMin.Eps) * $"n_a" * $"n_b").as("bound_ok"))
   }
 
+  /** Stratified K-FOLD cross-validation assignment (the eval-split step of
+    * a training pipeline): fold = content-stable md5 bucket — reproducible
+    * across runs/engines/cluster sizes, no RNG state to ship — with a
+    * per-(fold, lang) BALANCE AUDIT: each fold's share of every language
+    * must sit within ±20% of the uniform 1/5, expressed as the integer
+    * cross-multiplication 4·L ≤ 25·n ≤ 6·L. Map-side assignment, one
+    * (fold, lang) count shuffle, language totals folded from the 25-row
+    * cell table — never a second corpus scan. The audit column is
+    * computed identically by the oracle (no hardcoded-true booleans). */
+  private val q187CvFolds: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .withColumn("fold",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit(":cv"))), 1, 8), 16, 10)
+          .cast("long") % 5)
+      .groupBy($"fold", $"lang").agg(count(lit(1)).as("n"))
+      .cache()
+    val langTot = cells.groupBy($"lang").agg(sum($"n").as("lt"))
+    cells.join(broadcast(langTot), "lang")
+      .select($"fold", $"lang", $"n",
+        (lit(25) * $"n" >= lit(4) * $"lt" &&
+          lit(25) * $"n" <= lit(6) * $"lt").as("balance_ok"))
+      .orderBy($"fold", $"lang")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q187_cv_folds"      -> q187CvFolds,
     "q185_token_drift"   -> q185TokenDrift,
     "q186_join_size_sketch" -> q186JoinSizeSketch,
     "q180_pmi_collocations" -> q180PmiCollocations,
@@ -1637,7 +1663,7 @@ object ExtQueries {
 
   private val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
-  private val wordsAposSql =
+  private[ops] val wordsAposSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
 
   /** Shared q98/q126 oracle CTE: the deterministic IVF quantizer (first-8
@@ -1762,6 +1788,18 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // identical md5 fold assignment and the identical integer balance audit
+    "q187_cv_folds" ->
+      """WITH f AS (SELECT lang,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold
+            FROM documents),
+          c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+                FROM f GROUP BY 1, 2),
+          lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lt FROM c GROUP BY lang)
+          SELECT fold, lang, n,
+                 (25 * n >= 4 * lt AND 25 * n <= 6 * lt) AS balance_ok
+          FROM c JOIN lt USING (lang) ORDER BY fold, lang""",
     // one-pass ppm floor arithmetic replayed exactly; the 200-ppm gate is
     // an integer predicate
     "q185_token_drift" ->

@@ -515,6 +515,36 @@ object TextQueries {
       .orderBy($"rid")
   }
 
+  /** End-to-end RAG CONTEXT ASSEMBLY (retrieve → budget-pack — the
+    * retrieval-augmented-generation serving step downstream of q144/q145):
+    * BM25 top-20 for the fixed query, then the context window is the
+    * LONGEST RANK-PREFIX whose cumulative estimated tokens fit the
+    * 2000-token budget (cumulative sum is monotone, so `cum ≤ B` is
+    * exactly the prefix rule — deterministic, no greedy re-entry).
+    * Movement: the corpus-wide work is q144's three BM25 passes; the two
+    * windows after it run over 20 rows. Oracle: the SHARED bm25ScoredCtes
+    * string (same digits as q144/q145) + the same token estimate and
+    * running sum. */
+  private val q188RagContext: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val scored = graft.text.Bm25.score(docs, "doc_id", $"text", Seq("spark", "join"))
+    val ranked = scored
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"score".desc, $"doc_id")))
+      .filter($"rank" <= 20)
+    val toks = docs.select($"doc_id",
+      graft.ext.TextAnalysis.estTokens($"text").as("n_tokens"))
+    ranked.join(toks, "doc_id")
+      .withColumn("cum_tokens",
+        sum($"n_tokens").over(Window.orderBy($"rank")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"rank", $"doc_id", $"score", $"n_tokens", $"cum_tokens",
+        ($"cum_tokens" <= 2000L).as("in_context"))
+      .orderBy($"rank")
+  }
+
   /** `ts_rewrite` query expansion (the Postgres query-side synonym /
     * thesaurus mechanism, the natural next EP4 ask after weighted rank):
     * the aliases-table rule `window → window | join` expands
@@ -598,7 +628,8 @@ object TextQueries {
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
-    "q145_hybrid_rrf"       -> q145HybridRrf)
+    "q145_hybrid_rrf"       -> q145HybridRrf,
+    "q188_rag_context"      -> q188RagContext)
 
   /** The replacement text q120/q123/q124's re-scrape writes: three lexemes
     * (redact/placehold/document after stemming), none a search term, so an
@@ -840,6 +871,29 @@ object TextQueries {
     // independent rebuild of the BM25 math in the engine's exact operation
     // order (same left-assoc arithmetic, Lucene idf, k1=1.2 b=0.75 with
     // 1-b=0.25 exact in binary) so the IEEE doubles replay bit-for-bit;
+    // the SHARED scored CTE (q144's digits), the q52 token estimate, and
+    // the same running sum — the budget rule is one integer compare
+    "q188_rag_context" ->
+      s"""WITH $bm25ScoredCtes,
+          ranked AS (
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM bm QUALIFY rank <= 20),
+          tk AS (
+            SELECT doc_id,
+                   CAST(coalesce(list_sum(list_transform(${ExtQueries.wordsAposSql},
+                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
+                     AS n_tokens
+            FROM documents),
+          cum AS (
+            SELECT r.rank, r.doc_id, r.score, tk.n_tokens,
+                   CAST(sum(tk.n_tokens) OVER (ORDER BY r.rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_tokens
+            FROM ranked r JOIN tk ON tk.doc_id = r.doc_id)
+          SELECT rank, doc_id, score, n_tokens, cum_tokens,
+                 cum_tokens <= 2000 AS in_context
+          FROM cum ORDER BY rank""",
     // lexemes are the NON-distinct tokenize (tf needs the multiset)
     "q144_bm25" ->
       s"""WITH $bm25ScoredCtes
