@@ -929,7 +929,43 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** Co-occurrence RECOMMENDATION ("customers like you also buy from…" —
+    * item-item collaborative filtering by 2-hop co-purchase counts): for
+    * each anchor customer, suppliers it does NOT yet use, ranked by how
+    * many of its co-purchasers (customers sharing ≥1 supplier) use them.
+    * Movement — aggregate-early, the property that keeps 2-hop feasible:
+    * co-purchasers DEDUPE to distinct (anchor, peer) before the second
+    * hop (the raw two-path multiset would be quadratic in supplier
+    * popularity), the second hop is an equi-join on the peer key, the
+    * anchor's own suppliers leave via broadcast anti-join, and the top-3
+    * window runs per-anchor after a count shuffle. The anchor slice is
+    * the catalog's oracle-cost bound; at corpus scale anchors are
+    * whatever cohort is being served. */
+  private val q189Copurchase: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
+    val anchors = e.filter($"c" < 30)
+    val peers = anchors.select($"c".as("anchor"), $"sup")
+      .join(e.select($"c".as("peer"), $"sup"), "sup")
+      .filter($"anchor" =!= $"peer")
+      .select($"anchor", $"peer").distinct()
+    val recs = peers
+      .join(e.select($"c".as("peer"), $"sup"), "peer")
+      .groupBy($"anchor", $"sup").agg(count(lit(1)).as("n_peers"))
+      .join(broadcast(anchors.select($"c".as("anchor"), $"sup")),
+        Seq("anchor", "sup"), "left_anti")
+    val w = Window.partitionBy($"anchor").orderBy($"n_peers".desc, $"sup")
+    recs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"anchor", $"rank", $"sup".as("suppkey"), $"n_peers")
+      .orderBy($"anchor", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q189_copurchase"     -> q189Copurchase,
     "q183_markov_steps"   -> q183MarkovSteps,
     "q178_pagerank"       -> q178PageRank,
     "q177_group_ols"      -> q177GroupOls,
@@ -1041,6 +1077,26 @@ object Relational {
   }
 
   val oracle: Map[String, String] = Map(
+    // the same 2-hop: distinct peers, peer-supplier counts, anti-join on
+    // the anchor's own suppliers, deterministic top-3
+    "q189_copurchase" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          a AS (SELECT c, sup FROM e WHERE c < 30),
+          peers AS (SELECT DISTINCT a.c AS anchor, e.c AS peer
+                    FROM a JOIN e ON e.sup = a.sup AND e.c <> a.c),
+          cnt AS (SELECT p.anchor, e.sup, CAST(count(*) AS BIGINT) AS n_peers
+                  FROM peers p JOIN e ON e.c = p.peer
+                  GROUP BY 1, 2),
+          flt AS (SELECT cnt.* FROM cnt
+                  WHERE NOT EXISTS (SELECT 1 FROM a
+                    WHERE a.c = cnt.anchor AND a.sup = cnt.sup))
+          SELECT anchor, rank, sup AS suppkey, n_peers FROM (
+            SELECT anchor, sup, n_peers,
+                   CAST(row_number() OVER (
+                     PARTITION BY anchor ORDER BY n_peers DESC, sup) AS INT) AS rank
+            FROM flt) t
+          WHERE rank <= 3 ORDER BY anchor, rank""",
     "q183_markov_steps" -> markovOracleSql(4),
     "q178_pagerank" -> pageRankOracleSql(3),
     // identical moment sums (exact integers) and the identical fixed

@@ -123,8 +123,18 @@ object Trigram {
                       simNum: Int, simDen: Int): DataFrame = {
     require(simNum > 0 && simNum < simDen,
       s"threshold must be in (0,1): $simNum/$simDen")
+    // grams PACKED into 24-bit ints (3 ascii chars — pg_trgm's alphabet is
+    // [a-z0-9␣], a bijection): candidate pairs carry two gram arrays each
+    // through the verify shuffle, and int arrays are ~4× narrower than
+    // string arrays — the difference between fitting and OOM at the
+    // sf1.0 stress scale. Set semantics (df counts, intersections,
+    // Jaccard) are untouched by the packing.
     val grams = recs
-      .select(col(idCol).as("rid"), sort_array(trigrams(col(textCol))).as("g"))
+      .select(col(idCol).as("rid"),
+        sort_array(transform(trigrams(col(textCol)), x =>
+          ascii(substring(x, 1, 1)) * lit(65536) +
+            ascii(substring(x, 2, 1)) * lit(256) +
+            ascii(substring(x, 3, 1)))).as("g"))
       .withColumn("sz", size(col("g")).cast("long")).cache()
     val dfreq = grams.select(explode(col("g")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
