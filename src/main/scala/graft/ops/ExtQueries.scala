@@ -1590,7 +1590,53 @@ object ExtQueries {
       .orderBy($"fold", $"lang")
   }
 
+  /** GDPR DELETE PROPAGATION (right-to-be-forgotten across derived data):
+    * an erasure set cascades through every artifact derived from the
+    * corpus — here the CDC chunk table (q179) and the posting rows (F2's
+    * base relation) — by broadcast anti-join, and the gate proves
+    * propagation ≡ REBUILD-FROM-FILTERED-SOURCE: the oracle reconstructs
+    * each artifact from the surviving documents only, and the
+    * order-independent checksums (q169's DECIMAL(38) mod-2^60 fold over
+    * md5 row values) must agree row-for-row. At 100 TB this is the whole
+    * point — you cannot afford the rebuild, so the anti-join path must be
+    * provably equivalent to it; the checksum equality is that proof at
+    * gate strength. Movement: one corpus pass per artifact + broadcast
+    * anti-joins; checksums are map-side partial sums. */
+  private val q190DeletePropagation: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val dels = docs.filter($"doc_id" % 17 === 3).select($"doc_id")
+    def signed(df: org.apache.spark.sql.DataFrame, name: String,
+               rowKey: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(rowKey), 1, 15), 16, 10)
+        .cast(DecimalType(38, 0))
+      df.join(broadcast(dels), Seq("doc_id"), "left_anti")
+        .select(h.as("h"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          (sum($"h") % lit(Mod)).cast("long").as("checksum"))
+        .select(lit(name).as("artifact"), $"n_rows", $"checksum")
+    }
+    val chunks = docs
+      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
+      .select($"doc_id", $"c.chunk_idx".as("chunk_idx"),
+        $"c.chunk_hash".as("chunk_hash"))
+    val postings = docs
+      .select($"doc_id",
+        explode(graft.text.TextOps.tokenize($"text")).as("lexeme"))
+    signed(chunks, "chunks",
+        concat($"doc_id".cast("string"), lit("|"),
+          $"chunk_idx".cast("string"), lit("|"), $"chunk_hash".cast("string")))
+      .unionByName(signed(postings, "postings",
+        concat($"doc_id".cast("string"), lit("|"), $"lexeme")))
+      .unionByName(signed(docs.select($"doc_id", $"text"), "documents",
+        concat($"doc_id".cast("string"), lit("|"), $"text")))
+      .orderBy($"artifact")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q190_delete_propagation" -> q190DeletePropagation,
     "q187_cv_folds"      -> q187CvFolds,
     "q185_token_drift"   -> q185TokenDrift,
     "q186_join_size_sketch" -> q186JoinSizeSketch,
@@ -1763,6 +1809,36 @@ object ExtQueries {
               CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
             WHERE rank <= 10) AS n_truth"""
 
+  /** q179/q190's CDC chunk rows over any source relation — the full
+    * breakpoint + per-chunk-hash replay as one parameterized SELECT (own
+    * WITH, usable as a derived table), so the chunking and the
+    * delete-propagation gates share one definition. */
+  private def cdcChunkRowsSql(from: String): String =
+    s"""WITH t AS (
+           SELECT doc_id, text, length(text) AS L,
+                  list_transform(string_split(text, ''),
+                                 c -> CAST(ascii(c) AS BIGINT)) AS cs
+           FROM $from WHERE length(text) > 0),
+         b AS (
+           SELECT doc_id, text, L, cs,
+                  list_filter(range(16, L + 1), i ->
+                    list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-15:i]),
+                                (a, c) -> (a * 31 + c) % 1000000007) % 128 = 7)
+                    AS bps
+           FROM t),
+         e AS (
+           SELECT doc_id, cs,
+                  CASE WHEN len(bps) > 0 AND bps[-1] = L THEN bps
+                       ELSE list_append(bps, L) END AS ends
+           FROM b)
+         SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
+                CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END AS BIGINT) AS start,
+                CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END AS BIGINT) AS len,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  cs[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]]),
+                  (a, c) -> (a * 31 + c) % 1000000007) AS chunk_hash
+         FROM e, unnest(generate_series(1, len(ends))) AS u(j)"""
+
   /** q176's reservoir oracle, shared VERBATIM by q182: the streaming
     * sampler is defined to equal the batch sample exactly, so both must
     * gate against one string — separate copies could drift (the
@@ -1788,6 +1864,31 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // REBUILDS each artifact from the filtered corpus only — checksum
+    // equality proves the engine's anti-join propagation ≡ full rebuild
+    "q190_delete_propagation" ->
+      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
+          ch AS (SELECT * FROM (${cdcChunkRowsSql("live")})),
+          po AS (SELECT doc_id, unnest(${TextQueries.tokenizeSql}) AS lexeme
+                 FROM live),
+          s1 AS (SELECT 'chunks' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)
+                       || '|' || CAST(chunk_hash AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
+                 FROM ch),
+          s2 AS (SELECT 'documents', CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+                 FROM live),
+          s3 AS (SELECT 'postings', CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || lexeme), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+                 FROM po)
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+          ORDER BY artifact""",
     // identical md5 fold assignment and the identical integer balance audit
     "q187_cv_folds" ->
       """WITH f AS (SELECT lang,
@@ -1851,31 +1952,7 @@ object ExtQueries {
     // position i >= 16) and the per-chunk mod-1e9+7 fold — chunk starts,
     // lengths, and hashes are all exact cross-engine
     "q179_cdc_chunks" ->
-      """WITH t AS (
-           SELECT doc_id, text, length(text) AS L,
-                  list_transform(string_split(text, ''),
-                                 c -> CAST(ascii(c) AS BIGINT)) AS cs
-           FROM documents WHERE length(text) > 0),
-         b AS (
-           SELECT doc_id, text, L, cs,
-                  list_filter(range(16, L + 1), i ->
-                    list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-15:i]),
-                                (a, c) -> (a * 31 + c) % 1000000007) % 128 = 7)
-                    AS bps
-           FROM t),
-         e AS (
-           SELECT doc_id, cs,
-                  CASE WHEN len(bps) > 0 AND bps[-1] = L THEN bps
-                       ELSE list_append(bps, L) END AS ends
-           FROM b)
-         SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
-                CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END AS BIGINT) AS start,
-                CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END AS BIGINT) AS len,
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  cs[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]]),
-                  (a, c) -> (a * 31 + c) % 1000000007) AS chunk_hash
-         FROM e, unnest(generate_series(1, len(ends))) AS u(j)
-         ORDER BY doc_id, chunk_idx""",
+      s"${cdcChunkRowsSql("documents")} ORDER BY doc_id, chunk_idx",
     // same 52-bit dyadic u and the same sqrt chain — bit-identical keys
     "q176_weighted_reservoir" -> wrsOracleSql,
     "q40_dedup_exact" ->
