@@ -164,10 +164,17 @@ object Stress {
     // LEXICOGRAPHIC prefix order, hung on the word-initial "␣␣x" hub
     // grams — the failure mode that made frequency order load-bearing in
     // Trigram.similarSelfJoin.)
+    // md5-thinned to a 20% record slice: TPC-H part names draw from a
+    // ~92-word vocabulary, so the similarity graph is DENSE — candidates
+    // grow linearly in replicas (cross-replica grams are disjoint) but
+    // with a large constant; the thinning keeps the harness's wall-clock
+    // sane while preserving the 10× base→scaled growth being measured
     def trigramAllPairsFull(s: SparkSession, d: String): DataFrame = {
       import s.implicits._
       text.Trigram.similarSelfJoin(
         io.Tables.part(s, d).repartition($"p_partkey")
+          .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 5 === 0)
           .select($"p_partkey", $"p_name"),
         "p_partkey", "p_name", 11, 20)
     }

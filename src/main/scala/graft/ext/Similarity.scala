@@ -241,6 +241,45 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** DISK-BACKED IVF index (the vector-database layout, F2's treatment
+    * applied to embeddings): the corpus is written partitioned by cell id,
+    * so a probe touches only its nprobe cells' files — on a cluster that
+    * is the difference between reading nprobe/numCentroids of the corpus
+    * and reading all of it. Returns the quantizer for [[searchIvfIndex]].
+    * Cell assignment is the shared deterministic rule (q49/q98's oracle
+    * contract). */
+  def writeIvfIndex(corpus: DataFrame, dir: String, numCentroids: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : Array[(Long, Array[Float])] = {
+    val cent = collectCentroids(corpus, numCentroids, idCol, vecCol)
+    assignCells(corpus, cent, "neighbor_id", "cvec", keep = 1, idCol, vecCol)
+      .write.partitionBy("cid").mode("overwrite").parquet(dir)
+    cent
+  }
+
+  /** Probe the written index: queries assign to their nprobe cells
+    * map-side (broadcast centroids), and the cell-id equi-join against
+    * the partitioned scan triggers DYNAMIC PARTITION PRUNING — Spark
+    * plans a broadcast join whose build side prunes the scan to exactly
+    * the probed cid partitions at runtime (PlanSpec asserts the
+    * dynamicpruning filter). Result is DEFINED identical to [[ivfKnn]]
+    * over the same corpus/quantizer — the disk roundtrip must not change
+    * a single rank. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     queries: DataFrame,
+                     cent: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val cells = spark.read.parquet(dir)
+    val probes = assignCells(queries, cent, "query_id", "qv", nprobe, idCol, vecCol)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(cells, Seq("cid"))
+      .withColumn("cos", cosineF(col("qv"), col("cvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** One spherical-k-means Lloyd round at the 100 TB shape — the path from
     * the test-sized deterministic quantizer to a TRAINED one (the VERDICT
     * r4 "quantizer quality" thread): map-side argmax assignment (broadcast

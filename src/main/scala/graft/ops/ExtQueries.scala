@@ -1635,7 +1635,28 @@ object ExtQueries {
       .orderBy($"artifact")
   }
 
+  /** DISK-BACKED IVF ANN index ([[Similarity.writeIvfIndex]] /
+    * [[searchIvfIndex]]): the corpus is WRITTEN partitioned by cell id
+    * and the probe's cell-id join triggers dynamic partition pruning —
+    * the scan reads only the probed nprobe cells' files (PlanSpec asserts
+    * the dynamicpruning filter), the vector-database analog of the F2
+    * posting index's bucket pruning. Same params as q49, and the result
+    * is DEFINED identical to q49's in-memory path — both gate against
+    * one shared oracle string, so the storage roundtrip cannot change a
+    * single rank. */
+  private val q191IvfDiskIndex: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    val dir = graft.util.Scratch.dir("graft_q191_ivf_") + "/ivf"
+    val cent = Similarity.writeIvfIndex(emb, dir, numCentroids = 8)
+    Similarity.searchIvfIndex(s, dir, emb.filter($"vec_id" < 5), cent,
+        k = 10, nprobe = 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q191_ivf_disk_index" -> q191IvfDiskIndex,
     "q190_delete_propagation" -> q190DeletePropagation,
     "q187_cv_folds"      -> q187CvFolds,
     "q185_token_drift"   -> q185TokenDrift,
@@ -1839,6 +1860,36 @@ object ExtQueries {
                   (a, c) -> (a * 31 + c) % 1000000007) AS chunk_hash
          FROM e, unnest(generate_series(1, len(ends))) AS u(j)"""
 
+  /** The q49 IVF replay, shared VERBATIM by q191: the disk-backed index
+    * is DEFINED to answer exactly like the in-memory path over the same
+    * corpus and quantizer, so both gate against one string. */
+  private lazy val ivfKnnOracleSql: String =
+    """WITH cent AS (
+           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+           FROM embeddings WHERE vec_id < 8),
+         assign AS (
+           SELECT v.vec_id, v.embedding, cid,
+                  row_number() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(v.embedding, x -> CAST(x AS DOUBLE)), cv) DESC,
+                             cid) AS crk
+           FROM embeddings v CROSS JOIN cent),
+         cells AS (SELECT vec_id AS neighbor_id, embedding AS cvec, cid FROM assign WHERE crk = 1),
+         probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign
+                    WHERE vec_id < 5 AND crk <= 2),
+         ranked AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(qv, x -> CAST(x AS DOUBLE)),
+                               list_transform(cvec, x -> CAST(x AS DOUBLE))) DESC,
+                             neighbor_id) AS rank
+           FROM probes JOIN cells USING (cid))
+         SELECT query_id, rank, neighbor_id FROM ranked
+         WHERE rank <= 10 ORDER BY query_id, rank"""
+
   /** q176's reservoir oracle, shared VERBATIM by q182: the streaming
     * sampler is defined to equal the batch sample exactly, so both must
     * gate against one string — separate copies could drift (the
@@ -2014,32 +2065,10 @@ object ExtQueries {
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice) p
           WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
-    "q49_ivf_knn" ->
-      """WITH cent AS (
-           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         assign AS (
-           SELECT v.vec_id, v.embedding, cid,
-                  row_number() OVER (
-                    PARTITION BY v.vec_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(v.embedding, x -> CAST(x AS DOUBLE)), cv) DESC,
-                             cid) AS crk
-           FROM embeddings v CROSS JOIN cent),
-         cells AS (SELECT vec_id AS neighbor_id, embedding AS cvec, cid FROM assign WHERE crk = 1),
-         probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign
-                    WHERE vec_id < 5 AND crk <= 2),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(qv, x -> CAST(x AS DOUBLE)),
-                               list_transform(cvec, x -> CAST(x AS DOUBLE))) DESC,
-                             neighbor_id) AS rank
-           FROM probes JOIN cells USING (cid))
-         SELECT query_id, rank, neighbor_id FROM ranked
-         WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q49_ivf_knn" -> ivfKnnOracleSql,
+    // DEFINED identical to q49's in-memory path — one shared string, so
+    // the disk roundtrip cannot drift from the quantizer contract
+    "q191_ivf_disk_index" -> ivfKnnOracleSql,
     "q45_fingerprint" ->
       """SELECT doc_id,
          list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -390,6 +390,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected WindowGroupLimit pushdown for the top-k filter:\n$plan")
   }
 
+  test("disk IVF probe (q191) prunes the partitioned scan to the probed cells") {
+    val df = graft.SparkEntry.queries("q191_ivf_disk_index")(spark, sf)
+    val plan = planOf(df)
+    // the cell-id join against the cid-partitioned index must plan dynamic
+    // partition pruning — without it a probe reads the WHOLE index
+    assert(plan.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on the cid-partitioned scan:\n$plan")
+  }
+
   test("triangle count (q184) joins hash-partitioned, never all-triples") {
     val df = graft.SparkEntry.queries("q184_triangles")(spark, sf)
     val plan = planOf(df)
