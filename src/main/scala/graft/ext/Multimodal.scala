@@ -341,6 +341,45 @@ object Multimodal {
     }
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Long, energy: Long)
+
+  /** Windowed audio FEATURE extraction over decoded PCM (the step past
+    * [[decodeWavStats]]'s container stats — energy contours are the
+    * standard front end for VAD / loudness normalization / audio dedup):
+    * each complete `windowFrames`-frame window's energy Σs² as an exact
+    * long (16-bit samples: window sums fit to ~2^31 windows). Incomplete
+    * trailing windows are dropped — the deterministic convention the
+    * oracle mirrors. Same movement as the decoder: one mapPartitions
+    * pass, payloads never leave the executors, flatMap row-generation. */
+  def wavWindowEnergies(media: Dataset[MediaRow],
+                        windowFrames: Int): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.kind == "audio").flatMap { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = in.getFormat
+        require(f.getSampleSizeInBits == 16 && !f.isBigEndian,
+          s"wavWindowEnergies expects 16-bit LE PCM for media_id=${r.media_id}")
+        val data = in.readAllBytes()
+        in.close()
+        val nFrames = data.length / 2
+        val nWin = nFrames / windowFrames
+        (0 until nWin).map { w =>
+          var e = 0L
+          var i = w * windowFrames
+          val end = i + windowFrames
+          while (i < end) {
+            val s = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+            e += s * s
+            i += 1
+          }
+          AudioWindow(r.media_id, w.toLong, e)
+        }
+      }
+    }
+  }
+
   case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long, md5_hex: String)
 
   /** Frame sampling for video payloads: the stub "codec" treats the payload

@@ -1655,7 +1655,35 @@ object ExtQueries {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Audio ENERGY CONTOUR (E4 feature extraction past q175's decode —
+    * the VAD / loudness-normalization front end): every complete
+    * 256-frame window's Σs² from REAL decoded PCM, top-3 loudest windows
+    * per clip by (energy desc, window). Exact long arithmetic end to end;
+    * the oracle replays the closed-form PCM stream per window, so a
+    * mis-sliced window, an endianness slip, or a dropped frame all
+    * hash-mismatch. One mapPartitions encode+decode pass + a bounded
+    * per-clip window rank. */
+  private val q192AudioEnergy: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(s, d)
+      .select($"doc_id").where($"doc_id" % 3 === 1)
+      .repartition($"doc_id")
+      .as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
+    val w = Window.partitionBy($"media_id").orderBy($"energy".desc, $"window_idx")
+    Multimodal.wavWindowEnergies(media, windowFrames = 256)
+      .toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"media_id", $"rank", $"window_idx", $"energy")
+      .orderBy($"media_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_audio_energy"  -> q192AudioEnergy,
     "q191_ivf_disk_index" -> q191IvfDiskIndex,
     "q190_delete_propagation" -> q190DeletePropagation,
     "q187_cv_folds"      -> q187CvFolds,
@@ -2915,6 +2943,26 @@ object ExtQueries {
          FROM allrows ORDER BY source""",
     // replays q175's closed-form PCM stream: the engine must parse a REAL
     // RIFF/WAV container back to the same per-sample sums
+    // the q175 closed-form PCM replay sliced into the same complete
+    // 256-frame windows: per-window Σs² and the per-clip top-3 rank
+    "q192_audio_energy" ->
+      """WITH au AS (
+           SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT media_id, i.i // 256 AS w, nf,
+                  (i.i * 37 + media_id * 101) % 65536 - 32768 AS s
+           FROM au, LATERAL (SELECT unnest(range(au.nf)) AS i) i),
+         e AS (
+           SELECT media_id, w, CAST(sum(s * s) AS BIGINT) AS energy,
+                  count(*) AS n
+           FROM sm GROUP BY media_id, w)
+         SELECT media_id, rank, window_idx, energy FROM (
+           SELECT media_id, CAST(w AS BIGINT) AS window_idx, energy,
+                  CAST(row_number() OVER (
+                    PARTITION BY media_id ORDER BY energy DESC, w) AS INT) AS rank
+           FROM e WHERE n = 256) t
+         WHERE rank <= 3 ORDER BY media_id, rank""",
     "q175_wav_decode" ->
       """WITH au AS (
            SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
