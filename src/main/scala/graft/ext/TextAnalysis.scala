@@ -119,6 +119,56 @@ object TextAnalysis {
       aggregate(words(text), lit(0L), (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long")),
       lit(0L)).as("est_tokens")
 
+  /** STUPID-BACKOFF bigram LM scores (Brants et al., EMNLP 2007): train
+    * bigram/unigram counts on the rows where `isTrainCol` is true, score
+    * every other row's bigram occurrences — ln(C2(w1,w2)/U(w1)) when the
+    * bigram was seen in training, else the backoff
+    * ln(0.4·(U(w2)+1)/(N+V)) (add-1 unigram absorbs OOV w2) — floored to
+    * integer MICRO-NATS per occurrence so the per-doc sums are order-free
+    * longs. Rows with < 2 words produce no bigrams and are absent from
+    * the output (the caller decides their fate).
+    *
+    * Movement: the bigram frame is cached — it is a NARROW (id, w1, w2)
+    * projection consumed twice (train counts + scoring) — one count
+    * shuffle each for C2 and U (both map-side combinable; N and V fold
+    * from U, never a second token pass), one (w1, w2) join from scored
+    * bigrams to C2 (vocabulary-sized, not corpus-sized), one per-id sum.
+    *
+    * Input `tok`: (idCol, wsCol array<string>, isTrainCol boolean).
+    * Output: (idCol, n_bigrams, score_micronats) for non-train rows. */
+  def backoffBigramScores(tok: DataFrame, idCol: String, wsCol: String,
+                          isTrainCol: String): DataFrame = {
+    val bigrams = tok
+      .filter(size(col(wsCol)) >= 2)
+      .select(col(idCol), col(isTrainCol), explode(expr(
+        s"transform(sequence(0, size($wsCol) - 2), " +
+          s"i -> struct($wsCol[i] AS w1, $wsCol[i+1] AS w2))")).as("b"))
+      .select(col(idCol), col(isTrainCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val u = tok.filter(col(isTrainCol))
+      .select(explode(col(wsCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .cache()
+    val stats = u.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
+    val c2 = bigrams.filter(col(isTrainCol))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bigrams.filter(!col(isTrainCol))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(u.select(col("w").as("w1"), col("c").as("u1")), Seq("w1"), "left")
+      .join(u.select(col("w").as("w2"), col("c").as("u2")), Seq("w2"), "left")
+      .crossJoin(broadcast(stats))
+      .withColumn("sm",
+        when(col("c2").isNotNull,
+          floor(log(col("c2").cast("double") / col("u1").cast("double"))
+            * lit(1000000.0)))
+          .otherwise(floor(log(lit(0.4)
+            * (coalesce(col("u2"), lit(0L)) + lit(1L)).cast("double")
+            / (col("n") + col("v")).cast("double")) * lit(1000000.0)))
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sm")).as("score_micronats"))
+  }
+
   // ---------------------------------------------------------- fused fast path
 
   private def wordsImpl(text: String): Array[String] =

@@ -1577,9 +1577,7 @@ object ExtQueries {
   private val q187CvFolds: Q = (s, d) => {
     import s.implicits._
     val cells = Tables.documents(s, d)
-      .withColumn("fold",
-        conv(substring(md5(concat($"doc_id".cast("string"), lit(":cv"))), 1, 8), 16, 10)
-          .cast("long") % 5)
+      .withColumn("fold", cvFold($"doc_id"))
       .groupBy($"fold", $"lang").agg(count(lit(1)).as("n"))
       .cache()
     val langTot = cells.groupBy($"lang").agg(sum($"n").as("lt"))
@@ -1682,7 +1680,99 @@ object ExtQueries {
       .orderBy($"media_id", $"rank")
   }
 
+  /** q187/q195's shared fold assignment — ONE expression so the CV split
+    * and its contamination audit can never disagree about which fold a
+    * document landed in. Content-stable md5 bucket, no RNG state. */
+  private def cvFold(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":cv"))), 1, 8), 16, 10)
+      .cast("long") % 5
+
+  /** PARETO FRONTIER (skyline) per source over (n_chars minimize,
+    * distinct-words maximize) — the data-selection frontier: which
+    * documents deliver the most lexical diversity for the fewest bytes?
+    * Spark has no skyline operator; the classic 2-D reduction makes one
+    * from a pre-aggregation plus a running-max window: collapse to the
+    * best (max distinct-words) row per (source, n_chars) — a map-side
+    * combinable groupBy that shrinks the window input from O(corpus) to
+    * O(distinct char-lengths), the same bounded-domain trick as q154's
+    * day-grain pre-agg — then a doc survives iff its diversity strictly
+    * beats every strictly-cheaper length's best (running max over the
+    * ORDER BY n_chars frame). Ties on (n_chars, n_dw) are all kept:
+    * neither dominates the other. The join back to the doc table is on
+    * (source, n_chars, n_dw) — only frontier coordinates, broadcast-sized
+    * after the window prune. */
+  private val q193ParetoFrontier: Q = (s, d) => {
+    import s.implicits._
+    // cache: t feeds both the frontier computation and the join-back, and
+    // it is the NARROW projection (text dropped after the distinct-word
+    // count) — the cached footprint is 4 scalar columns per doc, not the
+    // corpus; without it the tokenization lineage re-executes per side
+    val t = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"source", $"doc_id", $"n_chars",
+        size(array_distinct(graft.text.TextOps.words($"text"))).cast("long")
+          .as("n_dw"))
+      .cache()
+    Skyline.frontier2d(t.drop("doc_id"), "source", "n_chars", "n_dw")
+      .join(t, Seq("source", "n_chars", "n_dw"))
+      .select($"source", $"doc_id", $"n_chars", $"n_dw")
+      .orderBy($"source", $"n_chars", $"doc_id")
+  }
+
+  /** STUPID-BACKOFF bigram language model (Brants et al., EMNLP 2007 —
+    * the web-scale LM that powers CCNet-style perplexity filtering):
+    * TRAIN on the even-doc_id half (bigram counts C2, token counts U,
+    * totals N/V), SCORE the odd half per bigram occurrence:
+    * ln(C2/U(w1)) when the bigram was seen, else the backoff
+    * ln(0.4·(U(w2)+1)/(N+V)) (add-1 unigram absorbs OOV). Scores are
+    * floored to integer MICRO-NATS per occurrence (q149's quantization),
+    * so the per-doc sums are order-free longs and the oracle compare is
+    * strict. keep = mean score ≥ −3.5 nats/bigram, as the integer
+    * cross-multiplication. Movement: two count shuffles over the train
+    * half (both map-side combinable), one (w1,w2) join from the scored
+    * bigrams to C2 — count tables are vocabulary-sized, NOT corpus-sized
+    * — and one per-doc sum; the N/V scalars ride a 1-row broadcast. */
+  private val q194BackoffLm: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"),
+        ($"doc_id" % 2 === 0).as("is_train"))
+    TextAnalysis.backoffBigramScores(tok, "doc_id", "ws", "is_train")
+      .select($"doc_id", $"n_bigrams", $"score_micronats",
+        ($"score_micronats" >= lit(-3500000L) * $"n_bigrams").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  /** CROSS-FOLD CONTAMINATION AUDIT — the eval-leakage check every
+    * training pipeline needs between q187's CV split and a model run: a
+    * near-duplicate pair whose members landed in DIFFERENT folds leaks
+    * eval data into training. Pairs come from the q42 exact-Jaccard
+    * brute-force slice (the bounded-subset algorithm; at corpus scale the
+    * q43 LSH candidates feed the same fold filter), folds from the
+    * SHARED [[cvFold]] expression — the audit cannot drift from the
+    * split it audits. Output is the leaking pair list with both folds;
+    * empty means the split is clean at this threshold. */
+  private val q195FoldContamination: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" > 0.5)
+      .withColumn("fold_a", cvFold($"doc_a"))
+      .withColumn("fold_b", cvFold($"doc_b"))
+      .filter($"fold_a" =!= $"fold_b")
+      .select($"doc_a", $"doc_b", $"fold_a", $"fold_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q193_pareto_frontier" -> q193ParetoFrontier,
+    "q194_backoff_lm"    -> q194BackoffLm,
+    "q195_fold_contamination" -> q195FoldContamination,
     "q192_audio_energy"  -> q192AudioEnergy,
     "q191_ivf_disk_index" -> q191IvfDiskIndex,
     "q190_delete_propagation" -> q190DeletePropagation,
@@ -1943,6 +2033,76 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same per-length max reduction and strictly-cheaper running max; the
+    // skyline definition is replayed with the identical window frame
+    "q193_pareto_frontier" ->
+      s"""WITH t AS (SELECT source, doc_id, n_chars,
+                   CAST(len(list_distinct($wordsSql)) AS BIGINT) AS n_dw
+                 FROM documents),
+          b AS (SELECT source, n_chars, max(n_dw) AS n_dw
+                FROM t GROUP BY 1, 2),
+          f AS (SELECT source, n_chars, n_dw,
+                  max(n_dw) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM b)
+          SELECT t.source, t.doc_id, t.n_chars, t.n_dw
+          FROM f JOIN t ON t.source = f.source AND t.n_chars = f.n_chars
+                       AND t.n_dw = f.n_dw
+          WHERE f.prev_max IS NULL OR f.n_dw > f.prev_max
+          ORDER BY t.source, t.n_chars, t.doc_id""",
+    // identical train/score split, counts, backoff rule, and micro-nat
+    // floor; per-doc sums are order-free longs so the compare is strict
+    "q194_backoff_lm" ->
+      s"""WITH tok AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          trtok AS (SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0),
+          u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM trtok GROUP BY w),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(count(DISTINCT w) AS BIGINT) AS v FROM trtok),
+          bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                 FROM tok, unnest(range(1, len(ws))) AS t(i)
+                 WHERE len(ws) >= 2),
+          c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                 FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          sc AS (SELECT b.doc_id,
+                   CASE WHEN c2.c2 IS NOT NULL THEN
+                     CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                                * 1000000.0) AS BIGINT)
+                   ELSE
+                     CAST(floor(ln(0.4 * CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                                   / CAST(n + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   END AS sm
+                 FROM bi b
+                 LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                 LEFT JOIN u u1 ON u1.w = b.w1
+                 LEFT JOIN u u2 ON u2.w = b.w2
+                 CROSS JOIN stats
+                 WHERE b.doc_id % 2 = 1)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(sm) AS BIGINT) AS score_micronats,
+                 sum(sm) >= -3500000 * count(*) AS keep
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // brute-force pairs over the same slice + the q187 fold expression;
+    // a dropped leaking pair or a drifted fold assignment hash-mismatches
+    "q195_fold_contamination" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh)) * 1.0
+                     / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold_a,
+                 CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold_b,
+                 jaccard
+          FROM p
+          WHERE jaccard > 0.5
+            AND CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
+                  AS BIGINT) % 5
+             <> CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
+                  AS BIGINT) % 5
+          ORDER BY doc_a, doc_b""",
     // REBUILDS each artifact from the filtered corpus only — checksum
     // equality proves the engine's anti-join propagation ≡ full rebuild
     "q190_delete_propagation" ->

@@ -859,4 +859,53 @@ class ExtSpec extends AnyFunSuite {
     assert(viaShuffle == viaBroadcast)
     assert(viaShuffle.forall(_._3) && viaShuffle.length == 20)
   }
+
+  test("Skyline.frontier2d: dominance on a hand-built set, ties kept, groups independent") {
+    // group g: (1,5) frontier; (2,5) dominated (same y, higher x);
+    // (2,7) frontier; (3,7) dominated; (3,9) frontier; (4,1) dominated.
+    // group h: single point is always on its frontier.
+    val pts = Seq(
+      ("g", 1L, 5L), ("g", 2L, 5L), ("g", 2L, 7L),
+      ("g", 3L, 7L), ("g", 3L, 9L), ("g", 4L, 1L),
+      ("h", 9L, 0L)).toDF("grp", "x", "y")
+    val got = graft.ops.Skyline.frontier2d(pts, "grp", "x", "y")
+      .orderBy($"grp", $"x").as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g", 1L, 5L), ("g", 2L, 7L), ("g", 3L, 9L), ("h", 9L, 0L)))
+    // equal (x, y) ties: neither dominates — the coordinate survives once
+    // here and the caller's join-back re-attaches every tied row
+    val tied = Seq(("g", 1L, 5L), ("g", 1L, 5L)).toDF("grp", "x", "y")
+    assert(graft.ops.Skyline.frontier2d(tied, "grp", "x", "y").count() == 1L)
+    // brute-force cross-check on a pseudorandom cloud: frontier ==
+    // { p | no q with q.x <= p.x, q.y >= p.y, one strict }
+    val cloud = (1 to 60).map { i =>
+      val h = s"sky$i".hashCode.toLong
+      ("r", math.abs(h) % 17, math.abs(h / 17) % 13)
+    }
+    val cdf = cloud.toDF("grp", "x", "y")
+    val want = cloud.map { case (_, x, y) => (x, y) }.distinct.filter { case (x, y) =>
+      !cloud.exists { case (_, qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y) }
+    }.sorted
+    val gotR = graft.ops.Skyline.frontier2d(cdf, "grp", "x", "y")
+      .select($"x", $"y").as[(Long, Long)].collect().toSeq.sorted
+    assert(gotR == want)
+  }
+
+  test("backoffBigramScores: hand-computed micro-nats, seen vs backoff vs OOV") {
+    // train "a b a b c": U = {a:2, b:2, c:1}, N=5, V=3;
+    // bigrams C2 = {(a,b):2, (b,a):1, (b,c):1}
+    val tok = Seq(
+      (1L, Seq("a", "b", "a", "b", "c"), true),
+      (2L, Seq("a", "b", "z"), false),   // (a,b) seen; (b,z) OOV backoff
+      (3L, Seq("c", "a"), false),        // (c,a) unseen bigram, known words
+      (4L, Seq("solo"), false))          // < 2 words -> absent from output
+      .toDF("doc_id", "ws", "is_train")
+    val got = TextAnalysis.backoffBigramScores(tok, "doc_id", "ws", "is_train")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 2: ln(2/2)=0 -> 0; ln(0.4*(0+1)/8) = ln(0.05) -> -2995733
+    val oov = math.floor(math.log(0.4 * 1.0 / 8.0) * 1e6).toLong
+    // doc 3: (c,a) unseen -> backoff on U(a)=2: ln(0.4*3/8)
+    val backA = math.floor(math.log(0.4 * 3.0 / 8.0) * 1e6).toLong
+    assert(got == Seq((2L, 2L, 0L + oov), (3L, 1L, backA)))
+  }
 }
