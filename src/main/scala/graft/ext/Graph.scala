@@ -63,4 +63,43 @@ object Graph {
     withDeg.unpersist()
     ranks
   }
+
+  /** k-CORE decomposition by synchronous peeling (Matula & Beck, JACM
+    * 1983, distributed): `iters` rounds of "delete every node whose
+    * degree on the SURVIVING subgraph is < k" over the symmetrized edge
+    * set. After enough rounds this is the k-core — the maximal subgraph
+    * where every node keeps ≥ k neighbors — the standard cluster-quality
+    * lens next to [[pageRankExact]] and triangle counting (a
+    * transitively-chained entity cluster has a thin 2-core; a genuine
+    * near-clique survives whole).
+    *
+    * The round count is an EXPLICIT parameter, not a driver-side
+    * convergence loop: callers (and the SQL oracle, which unrolls the
+    * same rounds as CTEs) pick `iters` ≥ the peeling depth of their
+    * graph, and the output is bit-deterministic for any fixed `iters`
+    * even when convergence needs fewer rounds. Movement per round is one
+    * degree groupBy (map-side combinable) + two semi-joins, with
+    * `localCheckpoint` pinning lineage to O(1) like the PageRank loop;
+    * peeling only shrinks the edge set, so per-round cost is bounded by
+    * the first round's.
+    *
+    * Output: (node, degree) for k-core survivors, degree measured on the
+    * surviving subgraph. */
+  def kCore(edges: DataFrame, k: Int, iters: Int,
+            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    var e = sym.localCheckpoint()
+    for (_ <- 1 to iters) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      e = e.join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+    }
+    e.groupBy("src").agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
+  }
 }

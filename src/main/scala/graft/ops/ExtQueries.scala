@@ -1769,7 +1769,89 @@ object ExtQueries {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** PER-SOURCE QUALITY AUTO-THRESHOLD — percentile-calibrated filtering
+    * (the "drop the worst decile of every source" curation rule, which
+    * needs a per-source cutoff because sources have different score
+    * distributions): score = distinct-word ratio in integer PER-MILLE
+    * (`div`, exact), and the p10 cutoff is found on the (source, score)
+    * HISTOGRAM — counts per distinct score value, running sum over the
+    * bounded score domain (0..1000) — never by sorting raw rows: the
+    * window input is ≤ 1001 rows per source at ANY corpus size (q154's
+    * bounded-domain pattern), where a row-level percentile sort would be
+    * a full per-source corpus sort at 100 TB. cutoff = min score whose
+    * cumulative count covers ≥ 10% (integer cross-mult); n_kept counts
+    * docs at or above it. */
+  private val q197QualityThreshold: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"source", graft.text.TextOps.words($"text").as("ws"))
+      .select($"source",
+        (size(array_distinct($"ws")).cast("long") * 1000).as("num"),
+        size($"ws").cast("long").as("nw"))
+      .filter($"nw" > 0)
+      .select($"source", expr("num div nw").as("score"))
+    val hist = t.groupBy($"source", $"score").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum($"n").over(Window.partitionBy($"source").orderBy($"score")))
+    val tot = hist.groupBy($"source").agg(sum($"n").as("n_total"))
+    cum.join(broadcast(tot), "source")
+      .filter($"cum" * 10 >= $"n_total")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"score")))
+      .filter($"rn" === 1)
+      .select($"source", $"score".as("cutoff_permille"), $"n_total",
+        ($"n_total" - $"cum" + $"n").as("n_kept"))
+      .orderBy($"source")
+  }
+
+  /** URL CANONICALIZATION + dedup ([[graft.ext.Urls.canonicalize]]) —
+    * the zero-byte first dedup of a web pipeline: mirror URLs differing
+    * only in host case, default ports, trailing slashes, tracking
+    * params, param order, or fragments collapse to one canonical key.
+    * The corpus has no URL column, so each doc gets a DETERMINISTIC
+    * synthetic URL (q175/q192's synthetic-payload pattern): identity
+    * from doc_id arithmetic (scheme/host/path/id-param ⇒ 30 canonical
+    * URLs), six independent md5-digit NOISE axes on top. The engine runs
+    * the GENERIC parser-canonicalizer; the oracle never parses — it
+    * derives the canonical each raw MUST collapse to straight from the
+    * doc_id arithmetic, so any noise variant the canonicalizer mishandles
+    * splits a group and hash-mismatches. Map-only projection + one
+    * canonical-key groupBy. */
+  private val q198UrlCanonicalize: Q = (s, d) => {
+    import s.implicits._
+    def digit(i: Int) =
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":url"))), i, 1),
+        16, 10).cast("long")
+    val scheme = when($"doc_id" % 2 === 0, "http").otherwise("https")
+    val hostBase = concat(lit("cdn"), ($"doc_id" % 3).cast("string"),
+      lit(".example.com"))
+    val host = when(digit(1) % 2 === 0, upper(hostBase)).otherwise(hostBase)
+    val port = when(digit(2) % 2 === 0,
+      when($"doc_id" % 2 === 0, ":80").otherwise(":443")).otherwise("")
+    val path = concat(lit("/a/"), ($"doc_id" % 10).cast("string"),
+      when(digit(3) % 2 === 0, "/").otherwise(""))
+    val idp = concat(lit("id="), ($"doc_id" % 5).cast("string"))
+    val params = when(digit(4) % 2 === 0, concat(lit("v=2&"), idp))
+      .otherwise(concat(idp, lit("&v=2")))
+    val utm = when(digit(5) % 2 === 0, "&utm_source=feed").otherwise("")
+    val frag = when(digit(6) % 2 === 0, "#sec").otherwise("")
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", concat(scheme, lit("://"), host, port, path,
+        lit("?"), params, utm, frag).as("raw"))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalize($"raw"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct($"raw").as("n_variants"),
+        min($"doc_id").as("min_doc"))
+      .orderBy($"canonical_url")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_quality_threshold" -> q197QualityThreshold,
+    "q198_url_canonicalize" -> q198UrlCanonicalize,
     "q193_pareto_frontier" -> q193ParetoFrontier,
     "q194_backoff_lm"    -> q194BackoffLm,
     "q195_fold_contamination" -> q195FoldContamination,
@@ -2033,6 +2115,67 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // identical per-mille integer score, histogram running sum over the
+    // bounded score domain, and first-covering-row selection
+    "q197_quality_threshold" ->
+      s"""WITH t AS (SELECT source,
+                   CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                     // CAST(len(ws) AS BIGINT) AS score
+                 FROM (SELECT source, $wordsSql AS ws FROM documents)
+                 WHERE len(ws) > 0),
+          h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n
+                FROM t GROUP BY 1, 2),
+          c AS (SELECT source, score, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY score)
+                    AS BIGINT) AS cum
+                FROM h),
+          tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_total
+                 FROM h GROUP BY source),
+          f AS (SELECT c.source, c.score, c.n, c.cum, tt.n_total,
+                  row_number() OVER (PARTITION BY c.source ORDER BY c.score)
+                    AS rn
+                FROM c JOIN tt USING (source)
+                WHERE c.cum * 10 >= tt.n_total)
+          SELECT source, score AS cutoff_permille, n_total,
+                 n_total - cum + n AS n_kept
+          FROM f WHERE rn = 1 ORDER BY source""",
+    // the oracle does NOT parse: it derives the canonical every raw URL
+    // must collapse to from the doc_id arithmetic alone, and replays only
+    // the raw generator (for n_variants) — a canonicalizer bug on any
+    // noise axis splits a group and fails the compare
+    "q198_url_canonicalize" ->
+      """WITH h AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':url') AS hx
+                FROM documents),
+          r AS (SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                  || '://' ||
+                  (CASE WHEN CAST('0x' || substring(hx, 1, 1) AS BIGINT) % 2 = 0
+                        THEN upper('cdn' || (doc_id % 3) || '.example.com')
+                        ELSE 'cdn' || (doc_id % 3) || '.example.com' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 2, 1) AS BIGINT) % 2 = 0
+                           THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                           ELSE '' END)
+                  || '/a/' || (doc_id % 10)
+                  || (CASE WHEN CAST('0x' || substring(hx, 3, 1) AS BIGINT) % 2 = 0
+                           THEN '/' ELSE '' END)
+                  || '?'
+                  || (CASE WHEN CAST('0x' || substring(hx, 4, 1) AS BIGINT) % 2 = 0
+                           THEN 'v=2&id=' || (doc_id % 5)
+                           ELSE 'id=' || (doc_id % 5) || '&v=2' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 5, 1) AS BIGINT) % 2 = 0
+                           THEN '&utm_source=feed' ELSE '' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 6, 1) AS BIGINT) % 2 = 0
+                           THEN '#sec' ELSE '' END) AS raw,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                  || '://cdn' || (doc_id % 3) || '.example.com/a/'
+                  || (doc_id % 10) || '?id=' || (doc_id % 5) || '&v=2'
+                    AS canonical_url
+                FROM h)
+          SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT raw) AS BIGINT) AS n_variants,
+                 min(doc_id) AS min_doc
+          FROM r GROUP BY canonical_url ORDER BY canonical_url""",
     // same per-length max reduction and strictly-cheaper running max; the
     // skyline definition is replayed with the identical window frame
     "q193_pareto_frontier" ->

@@ -515,6 +515,42 @@ object TextQueries {
       .orderBy($"rid")
   }
 
+  /** k-CORE decomposition ([[graft.ext.Graph.kCore]]) over the q181/q184
+    * similarity graph — the third leg of the graph family: PageRank
+    * ranks, triangles count local closure, the 2-core separates genuine
+    * near-clique entity clusters from transitively-chained ones (a chain
+    * peels away; a clique survives with its degrees intact). 4 peeling
+    * rounds — the q181 cluster diameter bounds the peeling depth well
+    * under that — and the oracle unrolls the SAME 4 rounds as CTE stages
+    * over the brute-force pair graph, so both a dropped candidate pair
+    * and a mis-peeled round hash-mismatch. */
+  private val q196KCore: Q = (s, d) => {
+    import s.implicits._
+    graft.ext.Graph.kCore(partNameSimPairs(s, d), k = 2, iters = 4,
+        srcCol = "r1", dstCol = "r2")
+      .select($"node".as("rid"), $"degree")
+      .orderBy($"rid")
+  }
+
+  /** q196's oracle: the shared brute-force pair graph, then each peeling
+    * round unrolled as (degree filter → edge restriction) CTE pairs. */
+  private def kCoreOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""k$i AS (SELECT src FROM (
+              SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src)
+            WHERE c >= $k),
+          e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+                  JOIN k$i a ON a.src = e.src
+                  JOIN k$i b ON b.src = e.dst)"""
+    }.mkString(",\n          ")
+    s"""WITH $entityGraphCte,
+          e0 AS (SELECT r1 AS src, r2 AS dst FROM p
+                 UNION SELECT r2, r1 FROM p),
+          $rounds
+          SELECT src AS rid, CAST(count(*) AS BIGINT) AS degree
+          FROM e$iters GROUP BY src ORDER BY rid"""
+  }
+
   /** End-to-end RAG CONTEXT ASSEMBLY (retrieve → budget-pack — the
     * retrieval-augmented-generation serving step downstream of q144/q145):
     * BM25 top-20 for the fixed query, then the context window is the
@@ -625,6 +661,7 @@ object TextQueries {
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
     "q181_entity_clusters"  -> q181EntityClusters,
     "q184_triangles"        -> q184Triangles,
+    "q196_kcore"            -> q196KCore,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -939,6 +976,7 @@ object TextQueries {
          SELECT node AS rid, node // 2 AS partkey, node % 2 AS is_variant,
                 min(label) AS component
          FROM reach GROUP BY node ORDER BY rid""",
+    "q196_kcore" -> kCoreOracleSql(2, 4),
     // the same brute-force pair graph, then the same two triangle joins
     "q184_triangles" ->
       s"""WITH $entityGraphCte,

@@ -891,6 +891,36 @@ class ExtSpec extends AnyFunSuite {
     assert(gotR == want)
   }
 
+  test("Urls.canonicalize: each noise axis collapses, non-defaults survive") {
+    val cases = Seq(
+      // host case + fragment
+      "HTTP://WWW.Example.COM/a#frag" -> "http://www.example.com/a",
+      // default ports drop, per scheme
+      "http://x.com:80/p" -> "http://x.com/p",
+      "https://x.com:443/p" -> "https://x.com/p",
+      // non-default port survives
+      "http://x.com:8080/p" -> "http://x.com:8080/p",
+      // https with http's default port is NOT default — survives
+      "https://x.com:80/p" -> "https://x.com:80/p",
+      // trailing slashes strip; bare host gains the root path
+      "http://x.com/p///" -> "http://x.com/p",
+      "http://x.com" -> "http://x.com/",
+      "http://x.com/" -> "http://x.com/",
+      // params sort, utm_* drop, emptied query loses its '?'
+      "http://x.com/p?b=2&a=1" -> "http://x.com/p?a=1&b=2",
+      "http://x.com/p?utm_source=f&a=1&utm_medium=m" -> "http://x.com/p?a=1",
+      "http://x.com/p?utm_source=f" -> "http://x.com/p",
+      "http://x.com/p?" -> "http://x.com/p",
+      // empty-path + query
+      "http://x.com?a=1" -> "http://x.com/?a=1",
+      // malformed: no scheme -> lowercased passthrough
+      "Not A URL" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select(Urls.canonicalize($"u")).as[String].collect().toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalize($in)") }
+  }
+
   test("backoffBigramScores: hand-computed micro-nats, seen vs backoff vs OOV") {
     // train "a b a b c": U = {a:2, b:2, c:1}, N=5, V=3;
     // bigrams C2 = {(a,b):2, (b,a):1, (b,c):1}

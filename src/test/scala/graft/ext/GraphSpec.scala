@@ -61,4 +61,21 @@ class GraphSpec extends AnyFunSuite {
     // node 1: inflow = half of 0's mass (deg 2)
     assert(ranks(1L) == 150000000L + 85L * (Scale / 2) / 100L)
   }
+
+  test("kCore: multi-round peeling strips the chain, keeps the triangle intact") {
+    // triangle {1,2,3} + pendant chain 3-4-5: node 5 peels in round 1
+    // (deg 1), which drops 4 to deg 1 so it peels in round 2 — the
+    // multi-round case a single degree filter would get wrong
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graph.kCore(g, k = 2, iters = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // k above the max degree empties the graph
+    assert(Graph.kCore(g, k = 4, iters = 3).count() == 0L)
+    // iters beyond convergence is a fixpoint: same answer
+    val more = Graph.kCore(g, k = 2, iters = 6)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(more == got)
+  }
 }
