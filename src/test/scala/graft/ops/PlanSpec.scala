@@ -405,4 +405,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"triangle joins must be equi-joins:\n$plan")
   }
+
+  test("pareto frontier (q193): tokenization computed once — the join-back reads the cache") {
+    val df = graft.SparkEntry.queries("q193_pareto_frontier")(spark, sf)
+    df.collect()
+    // formatted explain numbers REAL plan nodes — FileScan strings inside
+    // the InMemoryRelation's cached-plan printout don't count as scans
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // exactly one scan node id may exist: the cache's own build plan,
+    // which formatted explain prints inside the InMemoryRelation
+    val scanIds = "Scan parquet\\s+\\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(scanIds.size <= 1,
+      s"tokenization must run once (cache build), got scan nodes $scanIds:\n$plan")
+    val imtsIds = "InMemoryTableScan \\((\\d+)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(imtsIds.size >= 2,
+      s"frontier + join-back must both read the cached projection:\n$plan")
+  }
+
+  test("quality threshold (q197): percentile found on the histogram, never a row sort") {
+    val df = graft.SparkEntry.queries("q197_quality_threshold")(spark, sf)
+    val plan = planOf(df)
+    // the histogram groupBy must partial-aggregate map-side; the windows
+    // then run over (source, score) cells, so no corpus-sized sort exists
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"histogram must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the totals join must broadcast:\n$plan")
+  }
+
+  test("url canonicalize (q198) is map-only up to the key groupBy: no joins, no windows") {
+    val df = graft.SparkEntry.queries("q198_url_canonicalize")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"canonicalization is a projection + one groupBy:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"the canonical-key dedup must partial-aggregate map-side:\n$plan")
+  }
+
+  test("backoff LM (q194): count tables aggregate map-side, no cartesian product") {
+    val df = graft.SparkEntry.queries("q194_backoff_lm")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"),
+      s"C2/U counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row stats frame must broadcast, never CartesianProduct:\n$plan")
+  }
 }
