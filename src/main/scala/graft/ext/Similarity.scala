@@ -217,6 +217,17 @@ object Similarity {
       .withColumn("cid", explode(f(col(vec))))
   }
 
+  /** Single-cell (keep=1) assignment of every vector to its argmax-cosine
+    * quantizer cell, public for audits that treat the quantizer AS a
+    * clustering (q201's agreement metrics). Same centroid rule, tiebreak,
+    * and zero-exchange map-only shape as [[ivfKnn]]'s placement — and the
+    * same q49/q98 oracle contract applies. Output: (idCol, cid). */
+  def cellAssignments(corpus: DataFrame, numCentroids: Int,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignCells(corpus, collectCentroids(corpus, numCentroids, idCol, vecCol),
+        idCol, vecCol, keep = 1, idCol, vecCol)
+      .select(col(idCol), col("cid"))
+
   def ivfKnn(queries: DataFrame, corpus: DataFrame, k: Int,
              numCentroids: Int = 8, nprobe: Int = 2,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =

@@ -1849,7 +1849,123 @@ object ExtQueries {
       .orderBy($"canonical_url")
   }
 
+  /** CONTAINMENT near-dup (asymmetric overlap |A∩B| / min(|A|,|B|) ≥ 0.9)
+    * — the inclusion case Jaccard MISSES: a 30-word excerpt inside a
+    * 300-word document has tiny Jaccard but containment 1.0, and
+    * quote/excerpt inclusion is a dedup class of its own (Lee et al. 2022
+    * §3.2 treat it via substring dedup; set containment is the shingle
+    * analog). Planted positives BY CONSTRUCTION: every 11th doc
+    * contributes a first-30-words excerpt row (id + 10⁶) whose shingles
+    * are a subset of its source's, so the gate always has true inclusions
+    * to find; ordinary near-dup pairs supply the symmetric cases. Integer
+    * cross-mult threshold (10·o ≥ 9·min) — no float ratio. Bounded
+    * brute-force slice (q42's pattern; at corpus scale the q150 prefix
+    * filter generalizes: candidates must share a token in the smaller
+    * set's first ⌊(1−t)·|A|⌋+1 sorted shingles). */
+  private val q199Containment: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice)
+      .select($"doc_id", $"text")
+    val excerpts = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(graft.text.TextOps.words($"text"), 1, 30)).as("text"))
+    val all = base.unionByName(excerpts)
+      .repartition($"doc_id")
+      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .cache()
+    val a = all.toDF("id_a", "sh_a")
+    val b = all.toDF("id_b", "sh_b")
+    a.crossJoin(broadcast(b))
+      .filter($"id_a" < $"id_b")
+      .withColumn("o", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("sza", size($"sh_a").cast("long"))
+      .withColumn("szb", size($"sh_b").cast("long"))
+      .filter($"o" * 10 >= least($"sza", $"szb") * 9)
+      .select(
+        when($"sza" <= $"szb", $"id_a").otherwise($"id_b").as("contained_id"),
+        when($"sza" <= $"szb", $"id_b").otherwise($"id_a").as("container_id"),
+        $"o".as("overlap"),
+        least($"sza", $"szb").as("size_contained"),
+        greatest($"sza", $"szb").as("size_container"))
+      .orderBy($"contained_id", $"container_id")
+  }
+
+  /** CURRICULUM STAGING (Bengio et al., ICML 2009 — order training data
+    * easy → hard): difficulty = mean word RARITY in integer micro-units
+    * (Σ 10⁹ div cf(w), div word count), staged by RATIO TO THE CORPUS
+    * MEAN into 4 buckets (<0.5×, <1×, <1.5×, ≥1.5× via
+    * least(3, 2·d div mean)) — mean-relative stages instead of global
+    * deciles precisely because deciles need a corpus-wide rank (a global
+    * sort at 100 TB) while the mean is one all-reduce and the staging
+    * stays map-only. Movement: one token explode, one vocab count
+    * shuffle, one (w) join back, one per-doc sum, broadcast 1-row mean. */
+  private val q200Curriculum: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+    val cf = tok.groupBy($"w").agg(count(lit(1)).as("cf"))
+    val perDoc = tok.join(cf, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(expr("1000000000 div cf")).as("rare_sum"))
+      .cache()
+    val mean = perDoc.agg(
+      expr("sum(rare_sum) div sum(nw)").as("mean_d"))
+    perDoc.select($"doc_id", expr("rare_sum div nw").as("difficulty"))
+      .crossJoin(broadcast(mean))
+      .select(least(lit(3L), expr("(2 * difficulty) div mean_d")).as("stage"),
+        $"difficulty")
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"difficulty").as("min_difficulty"),
+        max($"difficulty").as("max_difficulty"),
+        sum($"difficulty").as("sum_difficulty"))
+      .orderBy($"stage")
+  }
+
+  /** CLUSTER↔LABEL AGREEMENT (Rand index + purity, Hubert & Arabie 1985
+    * pair-counting): treats the deterministic IVF quantizer (q49/q98's
+    * first-8-centroid rule via [[Similarity.cellAssignments]]) as a
+    * clustering and audits it against the embeddings' labels — the
+    * label-quality / cluster-quality check a curation pipeline runs
+    * before trusting either side. ALL pair counts come from the
+    * (cid, label) CONTINGENCY TABLE (C(n,2) sums over cells, cluster and
+    * label marginals) — never from materializing pairs — so the audit is
+    * one map-only assignment + one cell-count shuffle + folds over ≤
+    * |cells|·|labels| rows at any corpus size. RI and purity published
+    * in exact integer ppm. */
+  private val q201ClusterAgreement: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    val ct = Similarity.cellAssignments(emb, numCentroids = 8)
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .groupBy($"cid", $"label").agg(count(lit(1)).as("n"))
+      .cache()
+    val s1 = ct.agg(sum(expr("n * (n - 1) div 2")).as("tp"),
+      sum($"n").as("n_items"))
+    val s2 = ct.groupBy($"cid").agg(sum($"n").as("a"))
+      .agg(sum(expr("a * (a - 1) div 2")).as("sum_a2"))
+    val s3 = ct.groupBy($"label").agg(sum($"n").as("b"))
+      .agg(sum(expr("b * (b - 1) div 2")).as("sum_b2"))
+    val s5 = ct.groupBy($"cid").agg(max($"n").as("mx"))
+      .agg(sum($"mx").as("purity_num"))
+    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
+      .crossJoin(broadcast(s5))
+      .withColumn("n_pairs", expr("n_items * (n_items - 1) div 2"))
+      .select($"n_items", $"n_pairs", $"tp", $"sum_a2", $"sum_b2",
+        expr("((n_pairs + 2 * tp - sum_a2 - sum_b2) * 1000000) div n_pairs")
+          .as("ri_ppm"),
+        $"purity_num",
+        expr("(purity_num * 1000000) div n_items").as("purity_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q199_containment"   -> q199Containment,
+    "q200_curriculum"    -> q200Curriculum,
+    "q201_cluster_agreement" -> q201ClusterAgreement,
     "q197_quality_threshold" -> q197QualityThreshold,
     "q198_url_canonicalize" -> q198UrlCanonicalize,
     "q193_pareto_frontier" -> q193ParetoFrontier,
@@ -2115,6 +2231,71 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same excerpt construction, shingles, and integer cross-mult
+    // threshold — a dropped inclusion pair (the planted excerpts) or a
+    // flipped containment direction hash-mismatches
+    "q199_containment" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws
+                 FROM documents WHERE doc_id < $BruteForceSlice),
+          ex AS (SELECT doc_id + 1000000 AS doc_id, ws[1:30] AS ws
+                 FROM t WHERE doc_id % 11 = 0),
+          u AS (SELECT * FROM t UNION ALL SELECT * FROM ex),
+          s AS (SELECT doc_id,
+                  list_distinct([array_to_string(ws[i:i+2], ' ')
+                                 for i in range(1, len(ws) - 1)]) AS sh
+                FROM u WHERE len(ws) >= 3),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS o,
+                  CAST(len(a.sh) AS BIGINT) AS sza,
+                  CAST(len(b.sh) AS BIGINT) AS szb
+                FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          SELECT CASE WHEN sza <= szb THEN id_a ELSE id_b END AS contained_id,
+                 CASE WHEN sza <= szb THEN id_b ELSE id_a END AS container_id,
+                 o AS overlap,
+                 least(sza, szb) AS size_contained,
+                 greatest(sza, szb) AS size_container
+          FROM p WHERE o * 10 >= least(sza, szb) * 9
+          ORDER BY contained_id, container_id""",
+    // identical rarity micro-units, integer mean, and ratio-to-mean stage
+    "q200_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+          cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(sum(1000000000 // cf) AS BIGINT) AS rare_sum
+                 FROM tok JOIN cf USING (w) GROUP BY doc_id),
+          m AS (SELECT CAST(sum(rare_sum) AS BIGINT)
+                  // CAST(sum(nw) AS BIGINT) AS mean_d FROM pd),
+          dd AS (SELECT rare_sum // nw AS difficulty FROM pd)
+          SELECT least(3, (2 * difficulty) // mean_d) AS stage,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 min(difficulty) AS min_difficulty,
+                 max(difficulty) AS max_difficulty,
+                 CAST(sum(difficulty) AS BIGINT) AS sum_difficulty
+          FROM dd, m GROUP BY 1 ORDER BY 1""",
+    // the shared q49/q98 quantizer CTE as the clustering; all pair counts
+    // from the contingency table, published in exact integer ppm
+    "q201_cluster_agreement" ->
+      s"""WITH $ivfCellsCteSql,
+          ct AS (SELECT c.cid, e.label, CAST(count(*) AS BIGINT) AS n
+                 FROM cells c JOIN embeddings e USING (vec_id)
+                 GROUP BY 1, 2),
+          s1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp,
+                        CAST(sum(n) AS BIGINT) AS n_items FROM ct),
+          s2 AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sum_a2
+                 FROM (SELECT cid, CAST(sum(n) AS BIGINT) AS a
+                       FROM ct GROUP BY cid)),
+          s3 AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sum_b2
+                 FROM (SELECT label, CAST(sum(n) AS BIGINT) AS b
+                       FROM ct GROUP BY label)),
+          s5 AS (SELECT CAST(sum(mx) AS BIGINT) AS purity_num
+                 FROM (SELECT cid, max(n) AS mx FROM ct GROUP BY cid))
+          SELECT n_items, n_items * (n_items - 1) // 2 AS n_pairs, tp,
+                 sum_a2, sum_b2,
+                 ((n_items * (n_items - 1) // 2) + 2 * tp - sum_a2 - sum_b2)
+                   * 1000000 // (n_items * (n_items - 1) // 2) AS ri_ppm,
+                 purity_num,
+                 purity_num * 1000000 // n_items AS purity_ppm
+          FROM s1, s2, s3, s5""",
     // identical per-mille integer score, histogram running sum over the
     // bounded score domain, and first-covering-row selection
     "q197_quality_threshold" ->
