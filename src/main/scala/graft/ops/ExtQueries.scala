@@ -1962,7 +1962,39 @@ object ExtQueries {
         expr("(purity_num * 1000000) div n_items").as("purity_ppm"))
   }
 
+  /** q202's rows-per-task target shared with its oracle: the salt factor
+    * is ceil(cnt / target) — how many subtasks a hot key needs so no
+    * single task exceeds the target. */
+  private[ops] val SkewTargetRows = 1000L
+
+  /** JOIN-KEY SKEW PROFILER — the planning pass you run BEFORE a big join
+    * at 100 TB (the measurement half of [[graft.ops.SkewJoin]] /
+    * SaltGuard, which are the mitigation half): per-key counts on the
+    * fact side, the top-20 hottest keys with their ratio-to-mean in ppm,
+    * and the SALT FACTOR each needs (ceil(cnt/target), integer) so no
+    * post-salt task exceeds the row target. One map-side-combinable key
+    * count; the mean folds from the key table (1-row broadcast); the
+    * top-20 window prunes map-side (WindowGroupLimit). Integer end to
+    * end. */
+  private val q202SkewProfile: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"user_id")))
+      .filter($"rank" <= 20)
+      .select($"rank", $"user_id", $"cnt",
+        expr("(cnt * n_keys * 1000000) div total").as("ratio_to_mean_ppm"),
+        expr(s"(cnt + $SkewTargetRows - 1) div $SkewTargetRows").as("salt_factor"))
+      .orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q202_skew_profile"  -> q202SkewProfile,
     "q199_containment"   -> q199Containment,
     "q200_curriculum"    -> q200Curriculum,
     "q201_cluster_agreement" -> q201ClusterAgreement,
@@ -2231,6 +2263,20 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // identical key counts, folded stats, ppm ratio, and ceil-div salt
+    "q202_skew_profile" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY user_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                        CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          r AS (SELECT user_id, cnt,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+                    AS INT) AS rank
+                FROM c)
+          SELECT rank, user_id, cnt,
+                 (cnt * n_keys * 1000000) // total AS ratio_to_mean_ppm,
+                 (cnt + $SkewTargetRows - 1) // $SkewTargetRows AS salt_factor
+          FROM r, st WHERE rank <= 20 ORDER BY rank""",
     // same excerpt construction, shingles, and integer cross-mult
     // threshold — a dropped inclusion pair (the planted excerpts) or a
     // flipped containment direction hash-mismatches
