@@ -218,6 +218,67 @@ object Dedup {
     withinGroup.union(headLinks).distinct()
   }
 
+  /** Coefficients for [[mdBandKeys]] — drawn once from a fixed seed and
+    * ALSO embedded literally into q203's oracle SQL (a VALUES table), so
+    * both engines evaluate the identical hash family. a is odd and < 2^31,
+    * b < 2^31; with h < P = 2^31-1 the product a·h stays < 2^62 — no long
+    * overflow on either engine. */
+  private[graft] val MdCoefs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x203D5EED)
+    IndexedSeq.fill(32)((
+      (rnd.nextLong() & 0x7FFFFFFEL) | 1L,
+      rnd.nextLong() & 0x7FFFFFFFL))
+  }
+
+  /** md5-based MinHash band keys, built for cross-engine replay: the base
+    * shingle hash is the first 15 hex chars of md5 (60 bits — DuckDB:
+    * `CAST('0x' || substring(md5(g),1,15) AS BIGINT)`) mod P, the k hash
+    * functions are the [[MdCoefs]] affine transforms, and a band key is the
+    * comma-joined DECIMAL STRING of its r signature values (DuckDB:
+    * `string_agg(m, ',' ORDER BY i)`) — no second-level hash, so band
+    * collisions happen exactly when signature slices agree, never by
+    * accident. Slower per shingle than the xxhash64 operator path
+    * ([[lshCandidatePairs]]) and kept separate from it (different hash
+    * family ⇒ different buckets — never mix for one index); use THIS one
+    * when a non-JVM system must reproduce the buckets bit-for-bit. */
+  def mdBandKeys(numHashes: Int, bands: Int) = {
+    require(numHashes == MdCoefs.length, s"need $numHashes coefficient pairs")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val coefA = MdCoefs.map(_._1).toArray
+    val coefB = MdCoefs.map(_._2).toArray
+    udf((sh: Seq[String]) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { g =>
+        md.reset()
+        val dg = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+        var x = 0L
+        var i = 0
+        while (i < 7) { x = (x << 8) | (dg(i) & 0xFFL); i += 1 }
+        x = (x << 4) | ((dg(7) >> 4) & 0xFL)
+        val h = x % MersenneP
+        var j = 0
+        while (j < numHashes) {
+          val v = (coefA(j) * h + coefB(j)) % MersenneP
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        val sb = new java.lang.StringBuilder
+        var r = 0
+        while (r < rows) {
+          if (r > 0) sb.append(',')
+          sb.append(sig(b * rows + r))
+          r += 1
+        }
+        sb.toString
+      }
+    })
+  }
+
   /** SimHash-64 of a token array: per-token xxhash64; bit i of the result is
     * the sign of the sum over tokens of (bit i set ? +1 : -1). Near-dup docs
     * have small simhash Hamming distance. Pure built-ins (nested higher-order

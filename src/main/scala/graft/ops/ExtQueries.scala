@@ -2076,7 +2076,7 @@ object ExtQueries {
     "q137_ppl_filter"     -> q137PerplexityFilter,
     "q139_bpe_tokenize"   -> q139BpeTokenize)
 
-  private val wordsSql =
+  private[ops] val wordsSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
   private[ops] val wordsAposSql =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
@@ -2102,7 +2102,7 @@ object ExtQueries {
 
   /** Oracle twin of `shingled` — `where` mirrors the engine-side slice so
     * engine and oracle always scan the same document subset at any sf. */
-  private def shingleCte(where: String) =
+  private[ops] def shingleCte(where: String) =
     s"""WITH t AS (
           SELECT doc_id, $wordsSql AS ws FROM documents $where),
         s AS (

@@ -430,7 +430,52 @@ object StreamQueries {
       .orderBy($"o_orderkey")
   }
 
+  /** STREAMING MinHash-LSH dedup — the incremental near-dup path a 100 TB
+    * crawl pipeline actually runs (SlimPajama/CCNet shape: a doc is DROPPED
+    * when any of its LSH band buckets is already occupied by an earlier
+    * doc; candidate-level dedup, no pair verification). The streaming state
+    * is the LSH BUCKET INDEX itself — per-(band, bkey) min doc_id, one tiny
+    * row per non-empty bucket, maintained by a Complete-mode agg as
+    * micro-batches arrive; at scale this is the living dedup index that
+    * ingests forever (O(corpus×bands) keys, never a pair list). "Earlier"
+    * is min doc_id, an ORDER-FREE function of the corpus — so the streamed
+    * bucket table must equal a from-scratch batch build exactly, and the
+    * oracle replays the whole construction (md5 base hash, the embedded
+    * [[graft.ext.Dedup.MdCoefs]] affine family, comma-joined signature
+    * slices as band keys — no second-level hash, so buckets collide exactly
+    * when signature slices agree) in SQL. A dropped micro-batch, a state
+    * merge bug, or any hash-family drift flips dup flags and
+    * hash-mismatches. Movement: band rows shuffle once into the state agg;
+    * the flag pass is one (band, bkey) equi-join + one doc_id groupBy. */
+  private val q203StreamLshDedup: Q = (s, d) => {
+    import s.implicits._
+    import graft.ext.Dedup
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = graft.util.Scratch.dir("graft_slsh_src_")
+    docs.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
+    docs.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
+    def banded(df: DataFrame) =
+      df.select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
+        .filter(size($"sh") > 0)
+        .select($"doc_id",
+          posexplode(Dedup.mdBandKeys(32, 8)($"sh")).as(Seq("band", "bkey")))
+    val buckets = Streams.runToMemory(s,
+        banded(Streams.parquetStream(s, s"$src/*", docs.schema))
+          .groupBy($"band", $"bkey").agg(min($"doc_id").as("keeper")),
+        OutputMode.Complete(), statePartitions = 8)
+    // flag pass probes the STREAMED bucket table (not a batch rebuild) so
+    // the gate exercises the state, and repartitions before the
+    // shingle+minhash projection (the q42 single-split lesson)
+    val flags = banded(docs.repartition($"doc_id"))
+      .join(buckets, Seq("band", "bkey"))
+      .groupBy($"doc_id").agg(max($"keeper" < $"doc_id").as("f"))
+    docs.select($"doc_id").join(flags, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"f", lit(false)).as("is_dup"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q203_stream_lsh_dedup" -> q203StreamLshDedup,
     "q152_stream_cms"       -> q152StreamCms,
     "q182_stream_reservoir" -> q182StreamReservoir,
     "q164_stream_enrich"    -> q164StreamEnrich,
@@ -447,7 +492,41 @@ object StreamQueries {
     "q124_stream_upsert"    -> q124StreamUpsert,
     "q138_stream_join"      -> q138StreamJoin)
 
+  /** q203's affine coefficients as a literal VALUES table — the same
+    * (a, b) pairs [[graft.ext.Dedup.mdBandKeys]] compiled into the engine
+    * UDF, so the oracle evaluates the identical hash family. */
+  private val mdCoefValues: String =
+    graft.ext.Dedup.MdCoefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }
+      .mkString(", ")
+
   val oracle: Map[String, String] = Map(
+    // full from-scratch replay of the streamed LSH construction: md5 base
+    // hash mod P, the embedded affine family, comma-joined signature
+    // slices as band keys, bucket-min keepers, bool_or dup flags
+    "q203_stream_lsh_dedup" ->
+      s"""${ExtQueries.shingleCte("")},
+          e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          vh AS (SELECT g,
+                   CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
+                     % 2147483647 AS h
+                 FROM (SELECT DISTINCT g FROM e)),
+          coef(i, a, b) AS (VALUES $mdCoefValues),
+          sig AS (SELECT e.doc_id, c.i,
+                    min((c.a * vh.h + c.b) % 2147483647) AS m
+                  FROM e JOIN vh USING (g) CROSS JOIN coef c
+                  GROUP BY e.doc_id, c.i),
+          bnd AS (SELECT doc_id, i // 4 AS band,
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+                  FROM sig GROUP BY doc_id, i // 4),
+          keep AS (SELECT band, bkey, min(doc_id) AS keeper
+                   FROM bnd GROUP BY band, bkey),
+          fl AS (SELECT b.doc_id, bool_or(k.keeper < b.doc_id) AS f
+                 FROM bnd b JOIN keep k USING (band, bkey)
+                 GROUP BY b.doc_id)
+          SELECT d.doc_id, coalesce(fl.f, false) AS is_dup
+          FROM documents d LEFT JOIN fl USING (doc_id)
+          ORDER BY d.doc_id""",
     // the streaming reservoir is DEFINED to equal q176's batch sample —
     // both gate against the one shared SQL string
     "q182_stream_reservoir" -> ExtQueries.wrsOracleSql,
