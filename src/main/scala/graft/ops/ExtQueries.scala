@@ -1993,7 +1993,45 @@ object ExtQueries {
       .orderBy($"rank")
   }
 
+  /** q204's dictionary, shared with its oracle. Deliberately includes
+    * nested patterns ("scan"⊃"can"⊃"an", "table"⊃"able", "a" inside
+    * nearly everything) and multi-word phrases — the shapes that force K
+    * separate scans without an automaton. Every pattern is BORDERLESS
+    * (no proper prefix = suffix; asserted in AhoCorasickSpec), which
+    * makes all-occurrence counting identical to greedy non-overlapping
+    * counting, so DuckDB's length-delta//replace trick is an EXACT
+    * oracle for the automaton's counts. */
+  private[graft] val AcKeywords: Seq[String] = Seq(
+    "a", "able", "an", "can", "eam", "hash join", "join",
+    "merge batch", "scan", "stream", "table", "value")
+
+  /** MULTI-PATTERN KEYWORD TAGGING (Aho–Corasick, CACM 1975) — the
+    * blocklist/topic/PII dictionary pass of a curation pipeline: ONE
+    * left-to-right scan of the corpus counts every occurrence of every
+    * dictionary pattern (overlaps and nested patterns included), versus
+    * K per-keyword passes. Movement at 100 TB: the automaton is built
+    * once on the driver and broadcast; the scan is map-only (text never
+    * moves); the only shuffle is the K-row per-keyword fold of the
+    * fixed-length count vectors. n_docs/n_hits published per keyword. */
+  private val q204KeywordTags: Q = (s, d) => {
+    import s.implicits._
+    val ac = s.sparkContext.broadcast(
+      new graft.text.AhoCorasick(AcKeywords.toArray))
+    val countsUdf = udf((t: String) =>
+      ac.value.countAll(if (t == null) "" else t.toLowerCase))
+    val kwArr = array(AcKeywords.map(lit): _*)
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select(posexplode(countsUdf($"text")).as(Seq("i", "hits")))
+      .groupBy($"i")
+      .agg(sum(when($"hits" > 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum($"hits").as("n_hits"))
+      .select(element_at(kwArr, $"i" + 1).as("keyword"), $"n_docs", $"n_hits")
+      .orderBy($"keyword")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q204_keyword_tags"  -> q204KeywordTags,
     "q202_skew_profile"  -> q202SkewProfile,
     "q199_containment"   -> q199Containment,
     "q200_curriculum"    -> q200Curriculum,
@@ -2263,6 +2301,21 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // borderless patterns (asserted in AhoCorasickSpec) make DuckDB's
+    // greedy length-delta//replace count equal the automaton's
+    // all-occurrence count exactly
+    "q204_keyword_tags" ->
+      s"""WITH k AS (SELECT unnest(${sqlList(AcKeywords)}) AS keyword),
+          h AS (SELECT d.doc_id, k.keyword,
+                  CAST((length(lower(d.text))
+                        - length(replace(lower(d.text), k.keyword, '')))
+                       // length(k.keyword) AS BIGINT) AS hits
+                FROM documents d CROSS JOIN k)
+          SELECT keyword,
+                 CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+                 CAST(sum(hits) AS BIGINT) AS n_hits
+          FROM h GROUP BY 1 ORDER BY 1""",
     // identical key counts, folded stats, ppm ratio, and ceil-div salt
     "q202_skew_profile" ->
       s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
