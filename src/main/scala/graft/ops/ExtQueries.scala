@@ -2030,7 +2030,78 @@ object ExtQueries {
       .orderBy($"keyword")
   }
 
+  /** q205's compaction target (chars stand in for bytes on the synthetic
+    * corpus), shared with the oracle. */
+  private[ops] val CompactTargetBytes = 4096L
+
+  /** SMALL-FILE COMPACTION PLANNER — the housekeeping pass a 100 TB lake
+    * runs nightly: group each source's files (docs stand in, n_chars =
+    * size) into target-size output bins. Bin rule is START-OFFSET
+    * binning (bin = running-sum-before div target) instead of first-fit-
+    * decreasing: FFD is inherently sequential over the whole manifest,
+    * while the offset rule needs only a per-source running sum — one
+    * shuffle by source, windows sort each source's manifest
+    * independently, and the assignment is stable under append (existing
+    * bins never change when new files arrive at the tail). Publishes per
+    * bin: file count, bytes, id range, fill ratio in ppm. */
+  private val q205CompactionPlan: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .withColumn("fill_ppm", expr(s"bytes * 1000000 div $CompactTargetBytes"))
+      .orderBy($"source", $"bin")
+  }
+
+  /** ROBUST OUTLIER PRUNING (median absolute deviation, Hampel) — flag
+    * docs whose length sits > 3 MAD from their source's median; the
+    * heavy-tail-safe alternative to z-scores for curation. EXACT per-
+    * group medians WITHOUT sorting rows: the n_chars domain is bounded,
+    * so each median folds from a (source, value) HISTOGRAM + running-sum
+    * pick (the q197 pattern) — two tiny histogram shuffles total, and
+    * the flagging pass re-joins only the ≤|sources| median rows back by
+    * broadcast. Everything integer: med2x = sum of the two middle
+    * elements (2× the interpolated median), mad4 = med2x of |2v − med2x|
+    * (4× MAD), and |v − med| > 3·MAD ⇔ 2·|2v − med2x| > 3·mad4. */
+  private val q206MadOutliers: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def med2x(vals: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val h = vals.groupBy($"source", $"v").agg(count(lit(1)).as("n"))
+      val c = h
+        .withColumn("cum", sum($"n").over(
+          Window.partitionBy($"source").orderBy($"v")))
+        .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
+      val m1 = c.filter($"cum" >= expr("(ntot + 1) div 2"))
+        .groupBy($"source").agg(min($"v").as("mid1"))
+      val m2 = c.filter($"cum" >= expr("(ntot + 2) div 2"))
+        .groupBy($"source").agg(min($"v").as("mid2"))
+      m1.join(m2, "source").select($"source", ($"mid1" + $"mid2").as("m2x"))
+    }
+    val docs = Tables.documents(s, d).select($"source", $"n_chars".as("v"))
+    val med = med2x(docs)
+    val dev = docs.join(broadcast(med), "source")
+      .select($"source", abs(lit(2L) * $"v" - $"m2x").as("v"))
+    val mad = med2x(dev).withColumnRenamed("m2x", "mad4")
+    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy($"source", $"m2x", $"mad4")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(abs(lit(2L) * $"v" - $"m2x") * 2 > $"mad4" * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"source", $"n_docs", $"m2x".as("med2x"), $"mad4",
+        $"n_outliers")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q205_compaction_plan" -> q205CompactionPlan,
+    "q206_mad_outliers"  -> q206MadOutliers,
     "q204_keyword_tags"  -> q204KeywordTags,
     "q202_skew_profile"  -> q202SkewProfile,
     "q199_containment"   -> q199Containment,
@@ -2301,6 +2372,59 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same start-offset bin rule over the same per-source running sum
+    "q205_compaction_plan" ->
+      s"""WITH c AS (SELECT source, doc_id, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents),
+          b AS (SELECT source, doc_id, n_chars,
+                  (cum - n_chars) // $CompactTargetBytes AS bin FROM c)
+          SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(n_chars) AS BIGINT) AS bytes,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                 CAST(sum(n_chars) AS BIGINT) * 1000000
+                   // $CompactTargetBytes AS fill_ppm
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same doubled/quadrupled integer medians via histogram + running-sum
+    // pick; outlier rule 2*|2v - med2x| > 3*mad4 is float-free
+    "q206_mad_outliers" ->
+      s"""WITH v AS (SELECT source, n_chars AS v FROM documents),
+          h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
+                FROM v GROUP BY 1, 2),
+          c AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                FROM h),
+          m1 AS (SELECT source, min(v) AS mid1 FROM c
+                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
+          m2 AS (SELECT source, min(v) AS mid2 FROM c
+                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
+          med AS (SELECT source, mid1 + mid2 AS m2x
+                  FROM m1 JOIN m2 USING (source)),
+          dv AS (SELECT v.source, abs(2 * v.v - med.m2x) AS v
+                 FROM v JOIN med USING (source)),
+          hd AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
+                 FROM dv GROUP BY 1, 2),
+          cd AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                 FROM hd),
+          d1 AS (SELECT source, min(v) AS mid1 FROM cd
+                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
+          d2 AS (SELECT source, min(v) AS mid2 FROM cd
+                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
+          mad AS (SELECT source, mid1 + mid2 AS mad4
+                  FROM d1 JOIN d2 USING (source))
+          SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(m2x) AS BIGINT) AS med2x,
+                 CAST(max(mad4) AS BIGINT) AS mad4,
+                 CAST(sum(CASE WHEN abs(2 * v.v - m2x) * 2 > mad4 * 3
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM v JOIN med USING (source) JOIN mad USING (source)
+          GROUP BY 1 ORDER BY 1""",
     // borderless patterns (asserted in AhoCorasickSpec) make DuckDB's
     // greedy length-delta//replace count equal the automaton's
     // all-occurrence count exactly
