@@ -2099,7 +2099,58 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** ONE-SCAN ROLLUP CORPUS MOMENTS — the per-source + grand-total audit
+    * sheet (count, mean, variance, length range) from a SINGLE pass:
+    * `rollup(source)` folds the __total__ row from the same partial
+    * aggregates as the per-source rows (the q169/q149 fold-don't-rescan
+    * rule baked into the operator itself). Integer end to end with
+    * OVERFLOW-AWARE algebra: the textbook (n·Σx² − (Σx)²) crosses 2⁶³
+    * once n·range² > ~10¹³, so variance is published as
+    * Σx²·10⁶ div n − (Σx·10³ div n)² — each term bounded by Σx²·10⁶ —
+    * deterministic on both engines and safe to ~10⁹ rows per group
+    * (beyond that the sums move to decimal(38), same shape). */
+  private val q208RollupMoments: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .rollup($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sx2"),
+        min($"n_chars").as("min_len"), max($"n_chars").as("max_len"))
+      .select(coalesce($"source", lit("__total__")).as("source"), $"n",
+        expr("sx * 1000000 div n").as("mean_ppm"),
+        expr("sx2 * 1000000 div n - (sx * 1000 div n) * (sx * 1000 div n)")
+          .as("var_ppm"),
+        $"min_len", $"max_len")
+      .orderBy($"source")
+  }
+
+  /** EXACT EQUI-DEPTH HISTOGRAM over l_extendedprice WITHOUT a global
+    * row sort: prices quantize to cents exactly (the dec() bridge), the
+    * cents DOMAIN is bounded (~10⁷ distinct) independent of corpus size,
+    * so depth boundaries fold from a (value → count) histogram + running
+    * sum over ≤|domain| rows — the same trick as q206's medians, giving
+    * EXACT depth buckets at 100 TB where percentile_approx only
+    * estimates. Ties stay together (whole value-groups bin by their
+    * START position, q205's rule), so bucket populations deviate from
+    * n/B only by tie mass — published as n_rows per bucket. */
+  private val q209EquiDepth: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, d)
+      .select((dec($"l_extendedprice") * 100).cast("long").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("n"))
+    val tot = h.agg(sum($"n").as("ntot"))
+    h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("((cum - n) * 10) div ntot").as("bucket"))
+      .agg(sum($"n").as("n_rows"), count(lit(1)).as("n_values"),
+        min($"v").as("lo_cents"), max($"v").as("hi_cents"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q208_rollup_moments" -> q208RollupMoments,
+    "q209_equidepth_hist" -> q209EquiDepth,
     "q205_compaction_plan" -> q205CompactionPlan,
     "q206_mad_outliers"  -> q206MadOutliers,
     "q204_keyword_tags"  -> q204KeywordTags,
@@ -2372,6 +2423,33 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same rollup grouping and the same overflow-safe integer variance
+    "q208_rollup_moments" ->
+      """WITH m AS (SELECT CASE WHEN GROUPING(source) = 1
+                     THEN '__total__' ELSE source END AS source,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2,
+                  min(n_chars) AS min_len, max(n_chars) AS max_len
+                FROM documents GROUP BY ROLLUP(source))
+          SELECT source, n, sx * 1000000 // n AS mean_ppm,
+                 sx2 * 1000000 // n
+                   - (sx * 1000 // n) * (sx * 1000 // n) AS var_ppm,
+                 min_len, max_len
+          FROM m ORDER BY source""",
+    // same cents quantization, histogram running sum, start-position bins
+    "q209_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS v FROM lineitem),
+          h AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          c AS (SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+                FROM h),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
+          SELECT ((cum - n) * 10) // ntot AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_values,
+                 min(v) AS lo_cents, max(v) AS hi_cents
+          FROM c, t GROUP BY 1 ORDER BY 1""",
     // same start-offset bin rule over the same per-source running sum
     "q205_compaction_plan" ->
       s"""WITH c AS (SELECT source, doc_id, n_chars,

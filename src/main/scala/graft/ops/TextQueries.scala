@@ -532,6 +532,63 @@ object TextQueries {
       .orderBy($"rid")
   }
 
+  /** LABEL-PROPAGATION COMMUNITY DETECTION (Raghavan et al., Phys. Rev. E
+    * 2007) over the q181 similarity graph — the fourth leg of the graph
+    * family. Unlike q181's min-label closure (which converges to whole
+    * connected components), LPA adopts each node's MOST FREQUENT neighbor
+    * label, so weakly-chained components split at their thin cuts — the
+    * distinction that matters for entity-resolution audit (a chain of
+    * borderline matches is not one entity). SYNCHRONOUS rounds with a
+    * deterministic tie-break (highest count, then smallest label) make it
+    * oracle-exact; 3 unrolled rounds — the bounded-rounds shape IS the
+    * 100 TB story: each round is one edge equi-join + one (node, label)
+    * count + one per-node top-1 fold (WindowGroupLimit prunes map-side),
+    * versus closure-to-convergence whose depth is unbounded. Singletons
+    * keep their own label through the left join. */
+  private val q207LabelProp: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = partNameSimPairs(s, d)
+    val edges = pairs.select($"r1".as("src"), $"r2".as("dst"))
+      .unionByName(pairs.select($"r2".as("src"), $"r1".as("dst")))
+      .cache()
+    var labels = entityRecords(s, d)
+      .select($"rid".as("node"), $"rid".as("label"))
+    for (_ <- 1 to 3) {
+      val top = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy($"src", $"label").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"src").orderBy($"c".desc, $"label")))
+        .filter($"rk" === 1)
+        .select($"src".as("vnode"), $"label".as("newlab"))
+      labels = labels.join(top, labels("node") === top("vnode"), "left")
+        .select($"node", coalesce($"newlab", $"label").as("label"))
+    }
+    labels.select($"node".as("rid"), $"label".as("community"))
+      .orderBy($"rid")
+  }
+
+  /** q207's oracle: the shared pair graph, then each synchronous LPA
+    * round unrolled as (neighbor-label count → top-1 → relabel) CTEs. */
+  private def labelPropOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""n$i AS (SELECT e.src AS node, l.label, CAST(count(*) AS BIGINT) AS c
+                  FROM e JOIN l${i - 1} l ON l.node = e.dst GROUP BY 1, 2),
+          t$i AS (SELECT node, label FROM n$i
+                  QUALIFY row_number() OVER (PARTITION BY node
+                    ORDER BY c DESC, label) = 1),
+          l$i AS (SELECT l.node, COALESCE(t.label, l.label) AS label
+                  FROM l${i - 1} l LEFT JOIN t$i t USING (node))"""
+    }.mkString(",\n          ")
+    s"""WITH $entityGraphCte,
+          e AS (SELECT r1 AS src, r2 AS dst FROM p
+                UNION SELECT r2, r1 FROM p),
+          l0 AS (SELECT rid AS node, rid AS label FROM recs),
+          $rounds
+          SELECT node AS rid, label AS community
+          FROM l$iters ORDER BY rid"""
+  }
+
   /** q196's oracle: the shared brute-force pair graph, then each peeling
     * round unrolled as (degree filter → edge restriction) CTE pairs. */
   private def kCoreOracleSql(k: Int, iters: Int): String = {
@@ -662,6 +719,7 @@ object TextQueries {
     "q181_entity_clusters"  -> q181EntityClusters,
     "q184_triangles"        -> q184Triangles,
     "q196_kcore"            -> q196KCore,
+    "q207_label_prop"       -> q207LabelProp,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -977,6 +1035,7 @@ object TextQueries {
                 min(label) AS component
          FROM reach GROUP BY node ORDER BY rid""",
     "q196_kcore" -> kCoreOracleSql(2, 4),
+    "q207_label_prop" -> labelPropOracleSql(3),
     // the same brute-force pair graph, then the same two triangle joins
     "q184_triangles" ->
       s"""WITH $entityGraphCte,

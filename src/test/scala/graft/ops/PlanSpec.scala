@@ -453,4 +453,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"the 1-row stats frame must broadcast, never CartesianProduct:\n$plan")
   }
+
+  test("keyword tags (q204): automaton scan is map-only — no joins, one K-row fold") {
+    val df = graft.SparkEntry.queries("q204_keyword_tags")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"),
+      s"the broadcast automaton replaces any keyword join:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"the per-keyword fold must combine map-side:\n$plan")
+  }
+
+  test("rollup moments (q208) reads the corpus exactly once") {
+    val df = graft.SparkEntry.queries("q208_rollup_moments")(spark, sf)
+    // AQE prints Final + Initial plans; count scans in the final section only
+    val plan = planOf(df).split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"rollup must fold the total from one scan, saw $scans:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"moments must partial-aggregate map-side:\n$plan")
+  }
+
+  test("equi-depth histogram (q209): window runs on the value histogram, totals broadcast") {
+    val df = graft.SparkEntry.queries("q209_equidepth_hist")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"),
+      s"the cents histogram must combine map-side before the window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never CartesianProduct:\n$plan")
+  }
+
+  test("MAD outliers (q206): medians fold from histograms; median joins broadcast") {
+    val df = graft.SparkEntry.queries("q206_mad_outliers")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"),
+      s"value histograms must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the per-source median rows must broadcast back:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+  }
 }
