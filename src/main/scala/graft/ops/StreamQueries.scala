@@ -391,6 +391,64 @@ object StreamQueries {
       .orderBy($"click_id", $"buy_id")
   }
 
+  /** DECLARATIVE SESSIONIZATION via Spark's native `session_window` —
+    * the Catalyst-planned twin of q72's hand-rolled
+    * flatMapGroupsWithState: the merging-session-window operator handles
+    * state, merge-on-overlap, and watermark eviction inside the engine
+    * (append mode emits a session only once the watermark passes its
+    * close), so there is no user state code to get wrong and the state
+    * size is O(open sessions), not O(events). Spark's merge rule is
+    * OVERLAP (an event at exactly start+gap opens a NEW session — window
+    * end is exclusive), so the oracle's island rule is `gap >= 30min`,
+    * one boundary STRICTER than q72's `>`-rule — the two queries pin
+    * both semantics. The +10h sentinel pushes the final watermark past
+    * every real session close (its own open session is never emitted and
+    * the user filter excludes it regardless); session_close = last event
+    * + gap, per the operator's definition. */
+  private val q210SessionWindow: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    val sentinel = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000), -1L,
+        "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.util.Scratch.dir("graft_q210_src_")
+    ev.unionByName(sentinel).write.parquet(s"$dir/events")
+    val stream = Streams.parquetStream(s, s"$dir/events", ev.schema)
+    Streams.runToMemory(s,
+        stream.withWatermark("ts", "2 hours")
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_close"), $"n_events"),
+        statePartitions = 8)
+      .filter($"user_id" =!= -1L)
+      .orderBy($"user_id", $"session_start")
+  }
+
+  /** BOUNDED-STATE STREAMING DEDUP via `dropDuplicatesWithinWatermark` —
+    * the 100 TB/day fix for q71's unbounded `dropDuplicates` (whose state
+    * holds every key ever seen, forever): entries expire once the
+    * watermark passes their event time + delay, so state is O(keys per
+    * horizon), not O(stream). The API guarantees exact dedup for
+    * duplicates arriving within the horizon — which covers the finite
+    * replay entirely, so the result equals global DISTINCT; only the key
+    * columns are published (which surviving representative row is
+    * arrival-order-dependent, the keys are not). RocksDB state store, as
+    * the at-scale configuration. */
+  private val q211DedupWatermark: Q = (s, d) => {
+    import s.implicits._
+    val (dir, ev) = landEvents(s, d)
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+    Streams.runToMemory(s,
+        stream.withWatermark("ts", "2 hours")
+          .dropDuplicatesWithinWatermark("user_id", "event_type"),
+        statePartitions = 8, rocksDb = true)
+      .select($"user_id", $"event_type")
+      .orderBy($"user_id", $"event_type")
+  }
+
   /** The reference's actual load pattern end-to-end in streaming form
     * (scrape batches → RDBMS upsert): updates and brand-new keys stream in
     * as file batches, `foreachBatch` upserts each into a live JDBC table
@@ -490,7 +548,9 @@ object StreamQueries {
     "q107_stream_index"     -> q107StreamIndex,
     "q119_stream_phrase"    -> q119StreamPhrase,
     "q124_stream_upsert"    -> q124StreamUpsert,
-    "q138_stream_join"      -> q138StreamJoin)
+    "q138_stream_join"      -> q138StreamJoin,
+    "q210_session_window"   -> q210SessionWindow,
+    "q211_dedup_watermark"  -> q211DedupWatermark)
 
   /** q203's affine coefficients as a literal VALUES table — the same
     * (a, b) pairs [[graft.ext.Dedup.mdBandKeys]] compiled into the engine
@@ -598,6 +658,32 @@ object StreamQueries {
     "q73_stream_sink" ->
       """SELECT event_id, user_id, event_type, value FROM events
          ORDER BY event_id""",
+    // islands with the session_window merge rule: gap >= 30min opens a
+    // new session (window end exclusive), close = last event + gap
+    "q210_session_window" ->
+      """WITH x AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         y AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM x)
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 30 MINUTE AS session_close,
+                count(*) AS n_events
+         FROM y GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // horizon covers the finite replay, so bounded-state dedup equals
+    // global DISTINCT on the keys
+    "q211_dedup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "q94_stateful_sessions" ->
       """WITH x AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
