@@ -2148,7 +2148,98 @@ object ExtQueries {
       .orderBy($"bucket")
   }
 
+  /** KNESER-NEY SMOOTHED BIGRAM LM (Kneser & Ney, ICASSP 1995; Chen &
+    * Goodman, CSL 1999) — the canonical n-gram smoothing, completing the
+    * LM family (q137 perplexity, q194 stupid backoff): absolute discount
+    * d on observed bigrams plus CONTINUATION-probability backoff (how
+    * many distinct contexts a word completes — "francisco" is frequent
+    * but completes only "san", so its continuation mass is tiny).
+    * Everything rational, published in exact integer ppm: with d = 3/4,
+    * P = (c12−d)/c1 + d·n1p/c1 · ncont/T becomes
+    * p_ppm = ((4·c12−3)·T + 3·n1p·ncont)·10⁶ div (4·c1·T). The
+    * denominator c1 is the CONTEXT count Σ_w2 c(w1,w2) folded from the
+    * bigram table itself (not the unigram count, which over-counts
+    * document-final tokens) — so n1p, ncont, T, and c1 all fold from ONE
+    * bigram count shuffle with no corpus rescan; the top-20 window runs
+    * on the vocab²-bounded count table (WindowGroupLimit prunes
+    * map-side) and the stat joins broadcast. */
+  private val q212KneserNey: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws"))
+    val bc = ws.select(explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .cache()
+    val ctx = bc.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bc.groupBy($"w2").agg(count(lit(1)).as("ncont"))
+    val tb = bc.agg(count(lit(1)).as("t"))
+    bc.withColumn("rk",
+        row_number().over(Window.orderBy($"c12".desc, $"w1", $"w2")))
+      .filter($"rk" <= 20)
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(tb))
+      .select($"rk", $"w1", $"w2", $"c12", $"c1", $"n1p", $"ncont",
+        expr("((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000" +
+          " div (4 * c1 * t)").as("pkn_ppm"),
+        expr("c12 * 1000000 div c1").as("mle_ppm"))
+      .orderBy($"rk")
+  }
+
+  /** COMPACTION EXECUTED + SELF-AUDITED — q205 plans the bins; this
+    * query PERFORMS the rewrite and proves content preservation at gate
+    * strength: docs are shuffled once on (source, bin) and written with
+    * `partitionBy`, so each bin lands as exactly one file in its own
+    * directory (the hash partitioning co-locates a bin's rows in one
+    * task); the compacted copy is then RE-READ and its per-source q169
+    * order-independent checksum (decimal md5-fold mod 2⁶⁰ over
+    * doc_id||text) must equal the source's — a lost, duplicated, or
+    * cross-bound row flips `preserved` AND the checksum column, failing
+    * the oracle. This is the maintenance-action shape at 100 TB: one
+    * shuffle, one write, and the audit rides the same two scans you'd
+    * already pay for verification. */
+  private val q213CompactExecute: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val rowHash = conv(substring(md5(concat($"doc_id".cast("string"),
+        lit("|"), $"text")), 1, 15), 16, 10).cast(DecimalType(38, 0))
+      df.select($"source", rowHash.as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_rows"), sum($"h").as("hsum"))
+        .select($"source", $"n_rows",
+          ($"hsum" % lit(Mod)).cast("long").as("checksum"))
+    }
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val planned = Tables.documents(s, d)
+      .select($"source", $"doc_id", $"text", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
+    val outDir = graft.util.Scratch.dir("graft_q213_compact_")
+    planned.repartition($"source", $"bin")
+      .write.partitionBy("source", "bin").mode("overwrite").parquet(outDir)
+    val after = s.read.parquet(outDir)
+    val bins = after.groupBy($"source").agg(countDistinct($"bin").as("n_bins"))
+    val before = sums(Tables.documents(s, d))
+      .toDF("source", "n_rows_b", "ck_b")
+    sums(after).join(before, "source").join(bins, "source")
+      .select($"source", $"n_bins", $"n_rows", $"checksum",
+        ($"n_rows" === $"n_rows_b" && $"checksum" === $"ck_b")
+          .as("preserved"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_compact_execute" -> q213CompactExecute,
+    "q212_kneser_ney"     -> q212KneserNey,
     "q208_rollup_moments" -> q208RollupMoments,
     "q209_equidepth_hist" -> q209EquiDepth,
     "q205_compaction_plan" -> q205CompactionPlan,
@@ -2423,6 +2514,51 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // the engine must land at the same bin count and reproduce the
+    // source checksum from its own rewritten copy; preserved is the
+    // engine-measured equality and must come back true
+    "q213_compact_execute" ->
+      s"""WITH c AS (SELECT source, doc_id, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents),
+          b AS (SELECT source, (cum - n_chars) // $CompactTargetBytes AS bin
+                FROM c),
+          nb AS (SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins
+                 FROM b GROUP BY 1),
+          h AS (SELECT source,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                       || '|' || text), 1, 15) AS BIGINT) AS h
+                FROM documents),
+          per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(h AS HUGEINT)) % 1152921504606846976
+                      AS BIGINT) AS checksum
+                  FROM h GROUP BY source)
+          SELECT source, n_bins, n_rows, checksum, true AS preserved
+          FROM per JOIN nb USING (source) ORDER BY source""",
+    // same bigram table, same context-count denominator, same d=3/4
+    // rational formula in integer ppm
+    "q212_kneser_ney" ->
+      s"""WITH tt AS (SELECT $wordsAposSql AS ws FROM documents),
+          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2
+                 FROM tt),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                    CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY 1),
+          cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                   FROM bc GROUP BY 1),
+          tb AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+          r AS (SELECT w1, w2, c12,
+                  CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2)
+                    AS INT) AS rk
+                FROM bc)
+          SELECT rk, w1, w2, c12, c1, n1p, ncont,
+                 ((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000
+                   // (4 * c1 * t) AS pkn_ppm,
+                 c12 * 1000000 // c1 AS mle_ppm
+          FROM r JOIN ctx USING (w1) JOIN cont USING (w2), tb
+          WHERE rk <= 20 ORDER BY rk""",
     // same rollup grouping and the same overflow-safe integer variance
     "q208_rollup_moments" ->
       """WITH m AS (SELECT CASE WHEN GROUPING(source) = 1

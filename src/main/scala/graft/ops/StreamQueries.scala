@@ -449,6 +449,30 @@ object StreamQueries {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** ARBITRARY STATEFUL PROCESSING via `transformWithState` — the Spark 4
+    * state API ([[Streams.UserAggProcessor]]): per-user aggregates in a
+    * named, individually-TTL-able ValueState on the ROCKSDB provider (the
+    * API requires it — state in native memory + disk, the only provider
+    * shape that survives 100 TB keyed state). The finite replay lands as
+    * one availableNow batch (≤ maxFilesPerTrigger files), so the emitted
+    * per-key row IS the global aggregate and the DuckDB group-by is an
+    * exact oracle; cross-batch accumulation semantics are the processor's
+    * state-merge path, exercised by the multi-batch spec. */
+  private val q214TransformState: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val (dir, ev) = landEvents(s, d)
+    val stream = Streams.parquetStream(s, dir, ev.schema)
+      .select($"user_id", $"event_id").as[Streams.IdEv]
+    Streams.runToMemory(s,
+        stream.groupByKey(_.user_id)
+          .transformWithState(new Streams.UserAggProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF(),
+        mode = OutputMode.Update(), statePartitions = 8, rocksDb = true)
+      .orderBy($"user_id")
+  }
+
   /** The reference's actual load pattern end-to-end in streaming form
     * (scrape batches → RDBMS upsert): updates and brand-new keys stream in
     * as file batches, `foreachBatch` upserts each into a live JDBC table
@@ -550,7 +574,8 @@ object StreamQueries {
     "q124_stream_upsert"    -> q124StreamUpsert,
     "q138_stream_join"      -> q138StreamJoin,
     "q210_session_window"   -> q210SessionWindow,
-    "q211_dedup_watermark"  -> q211DedupWatermark)
+    "q211_dedup_watermark"  -> q211DedupWatermark,
+    "q214_transform_state"  -> q214TransformState)
 
   /** q203's affine coefficients as a literal VALUES table — the same
     * (a, b) pairs [[graft.ext.Dedup.mdBandKeys]] compiled into the engine
@@ -684,6 +709,11 @@ object StreamQueries {
     "q211_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // the single-batch availableNow emission is the global aggregate
+    "q214_transform_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                min(event_id) AS min_id, max(event_id) AS max_id
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "q94_stateful_sessions" ->
       """WITH x AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,

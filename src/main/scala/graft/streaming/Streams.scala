@@ -449,6 +449,41 @@ object Streams {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Long)
 
+  case class IdEv(user_id: Long, event_id: Long)
+  case class UserAgg(n_events: Long, min_id: Long, max_id: Long)
+  case class UserAggOut(user_id: Long, n_events: Long,
+                        min_id: Long, max_id: Long)
+
+  /** `transformWithState` processor (the Spark 4 arbitrary-state API that
+    * supersedes mapGroupsWithState): per-user running aggregate held in a
+    * typed ValueState, merged with each batch's rows and re-emitted. The
+    * API's at-scale contract is what this exercises — named state
+    * variables with per-variable TTL on the RocksDB provider (state lives
+    * in native memory + disk, not the executor heap), versus
+    * mapGroupsWithState's single opaque per-key blob. */
+  final class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, IdEv, UserAggOut] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var st: ValueState[UserAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserAgg]("agg",
+        org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[IdEv],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[UserAggOut] = {
+      val prev = if (st.exists()) st.get() else UserAgg(0L, Long.MaxValue, Long.MinValue)
+      var n = prev.n_events; var mn = prev.min_id; var mx = prev.max_id
+      rows.foreach { r =>
+        n += 1L
+        if (r.event_id < mn) mn = r.event_id
+        if (r.event_id > mx) mx = r.event_id
+      }
+      st.update(UserAgg(n, mn, mx))
+      Iterator.single(UserAggOut(key, n, mn, mx))
+    }
+  }
+
   private def micros(t: Timestamp): Long =
     t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
 

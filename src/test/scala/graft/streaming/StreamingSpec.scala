@@ -334,4 +334,34 @@ class StreamingSpec extends AnyFunSuite {
         (2L, ts("00:00"), ts("00:00"), 1L)))
     } finally q.stop()
   }
+
+  test("transformWithState: ValueState accumulates across micro-batches (RocksDB)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // q214's catalog run lands in one batch; the cross-batch state-merge
+    // path its doc comment promises is pinned here with explicit batches.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[Streams.IdEv]
+      val out = input.toDS().groupByKey(_.user_id)
+        .transformWithState(new Streams.UserAggProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF().writeStream.format("memory").queryName("tws_test")
+        .outputMode(OutputMode.Update()).start()
+      try {
+        input.addData(Streams.IdEv(1L, 10L), Streams.IdEv(1L, 5L), Streams.IdEv(2L, 7L))
+        q.processAllAvailable()
+        input.addData(Streams.IdEv(1L, 99L), Streams.IdEv(2L, 1L))
+        q.processAllAvailable()
+        val rows = spark.table("tws_test").as[Streams.UserAggOut].collect()
+        // the batch-2 emission must reflect state merged across batches
+        assert(rows.filter(_.user_id == 1L).maxBy(_.n_events) ==
+          Streams.UserAggOut(1L, 3L, 5L, 99L), rows.mkString(","))
+        assert(rows.filter(_.user_id == 2L).maxBy(_.n_events) ==
+          Streams.UserAggOut(2L, 2L, 1L, 7L), rows.mkString(","))
+      } finally q.stop()
+    } finally prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
+  }
 }
