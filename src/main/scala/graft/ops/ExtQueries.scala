@@ -2237,7 +2237,95 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** QUALITY-SCORE CALIBRATION CURVE — does the cheap quality signal
+    * actually predict duplication? (The audit you run before trusting a
+    * score as a filter at 100 TB: if dup rate doesn't fall as score
+    * rises, the score is noise.) Composes two existing signals — q197's
+    * distinct-word per-mille score and q40's exact-dup flag — into score
+    * QUINTILES via the histogram equi-depth rule (q209: the score domain
+    * is ≤1000, so boundaries fold from a bounded histogram, never a row
+    * sort), with the dup flag from ONE count-over-hash window (no
+    * self-join). Published per quintile: docs, dups, dup-rate ppm, score
+    * range — all integer. */
+  private val q215QualityCalibration: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.documents(s, d).repartition($"doc_id")
+      .select($"text", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"text",
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
+    val flagged = sc.withColumn("is_dup",
+        when(count(lit(1)).over(
+          Window.partitionBy(sha2($"text", 256))) > 1, 1L).otherwise(0L))
+      .select($"score", $"is_dup")
+    val h = flagged.groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"is_dup").as("nd"))
+    val tot = h.agg(sum($"n").as("ntot"))
+    h.withColumn("cum", sum($"n").over(Window.orderBy($"score")))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("((cum - n) * 5) div ntot").as("bucket"))
+      .agg(sum($"n").as("n_docs"), sum($"nd").as("n_dups"),
+        min($"score").as("lo_score"), max($"score").as("hi_score"))
+      .withColumn("dup_rate_ppm", expr("(n_dups * 1000000) div n_docs"))
+      .select($"bucket", $"n_docs", $"n_dups", $"dup_rate_ppm",
+        $"lo_score", $"hi_score")
+      .orderBy($"bucket")
+  }
+
+  /** ARBITRARY GROUPING SETS — the cube-family member q22 (rollup) and
+    * q23 (cube) don't cover: a hand-picked lattice
+    * ((priority, status), (priority), ()) — per-cell, per-priority, and
+    * grand-total in ONE aggregate over ONE scan (the Expand operator
+    * replicates rows per set; partial aggs still combine map-side). gid
+    * is built explicitly as grouping(p)·2 + grouping(s) so both engines
+    * agree bit-for-bit on level identity; money via the exact-decimal
+    * bridge. */
+  private val q216GroupingSets: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+          Seq($"o_orderpriority"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg((grouping($"o_orderpriority") * 2 + grouping($"o_orderstatus"))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        money(sum(dec($"o_totalprice"))).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"priority", $"status")
+  }
+
+  /** SEASONAL ANOMALY DETECTION over the event stream — the ingest-
+    * health monitor a 100 TB/day pipeline runs hourly: each wall-clock
+    * hour's event count against the HOUR-OF-DAY baseline (its own
+    * diurnal expectation, folded across all days), flagging hours
+    * deviating more than ±50%. Integer end-to-end: deviation in signed
+    * ppm is n·nh·10⁶ div tot − 10⁶ (positive divisor, so floor == trunc
+    * on both engines). Movement: one (hour, hod) count shuffle — domain
+    * bounded by the calendar — then a 24-row broadcast of baselines;
+    * nothing corpus-sized moves twice. */
+  private val q217SeasonalAnomaly: Q = (s, d) => {
+    import s.implicits._
+    val hrs = Tables.events(s, d)
+      .select(date_trunc("hour", $"ts").as("h"), hour($"ts").as("hod"))
+      .groupBy($"h", $"hod").agg(count(lit(1)).as("n"))
+    val base = hrs.groupBy($"hod")
+      .agg(sum($"n").as("tot"), count(lit(1)).as("nh"))
+    hrs.join(broadcast(base), "hod")
+      .withColumn("dev_ppm", expr("(n * nh * 1000000) div tot - 1000000"))
+      .filter(abs($"dev_ppm") > 500000)
+      .select($"h", $"hod", $"n", expr("tot div nh").as("baseline"),
+        $"dev_ppm")
+      .orderBy($"h")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q216_grouping_sets" -> q216GroupingSets,
+    "q217_seasonal_anomaly" -> q217SeasonalAnomaly,
+    "q215_quality_calibration" -> q215QualityCalibration,
     "q213_compact_execute" -> q213CompactExecute,
     "q212_kneser_ney"     -> q212KneserNey,
     "q208_rollup_moments" -> q208RollupMoments,
@@ -2514,6 +2602,60 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same lattice, same explicit gid formula, exact-decimal money
+    "q216_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                COALESCE(o_orderstatus, 'ALL') AS status,
+                CAST(GROUPING(o_orderpriority) * 2
+                     + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), ())
+         ORDER BY gid, priority, status""",
+    // same bounded (hour, hod) histogram, same signed-ppm deviation
+    "q217_seasonal_anomaly" ->
+      """WITH hrs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+          b AS (SELECT hod, CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS nh
+                FROM hrs GROUP BY 1)
+          SELECT h, hod, n, tot // nh AS baseline,
+                 (n * nh * 1000000) // tot - 1000000 AS dev_ppm
+          FROM hrs JOIN b USING (hod)
+          WHERE abs((n * nh * 1000000) // tot - 1000000) > 500000
+          ORDER BY h""",
+    // same per-mille score, dup flag via count-over-text partition
+    // (sha256 ≡ text partitioning, the q40 collision-free assumption),
+    // same histogram quintile rule
+    "q215_quality_calibration" ->
+      s"""WITH sc AS (SELECT text,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS score
+                FROM (SELECT text, $wordsSql AS ws FROM documents)
+                WHERE len(ws) > 0),
+          fl AS (SELECT score,
+                  CASE WHEN count(*) OVER (PARTITION BY text) > 1
+                       THEN 1 ELSE 0 END AS is_dup
+                 FROM sc),
+          h AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(is_dup) AS BIGINT) AS nd
+                FROM fl GROUP BY 1),
+          c AS (SELECT score, n, nd,
+                  CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum
+                FROM h),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
+          SELECT ((cum - n) * 5) // ntot AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(sum(nd) AS BIGINT) AS n_dups,
+                 (CAST(sum(nd) AS BIGINT) * 1000000)
+                   // CAST(sum(n) AS BIGINT) AS dup_rate_ppm,
+                 min(score) AS lo_score, max(score) AS hi_score
+          FROM c, t GROUP BY 1 ORDER BY 1""",
     // the engine must land at the same bin count and reproduce the
     // source checksum from its own rewritten copy; preserved is the
     // engine-measured equality and must come back true
