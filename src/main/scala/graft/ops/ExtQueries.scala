@@ -2322,7 +2322,78 @@ object ExtQueries {
       .orderBy($"h")
   }
 
+  /** q218's token budget, shared with the oracle. */
+  private[ops] val SelectBudgetTokens = 20000L
+
+  /** BUDGET-CONSTRAINED CORPUS SELECTION — the data-selection step of a
+    * token-budgeted training run: take the highest-quality documents
+    * whose cumulative token count fits the budget (greedy by score desc,
+    * doc_id tiebreak — optimal for a priority prefix). The 100 TB shape
+    * is TWO-LEVEL: the cutoff SCORE comes from a bounded score-histogram
+    * running sum (≤1000 rows, q197/q209's trick — never a corpus-wide
+    * row sort), all docs strictly above the cutoff are taken map-side,
+    * and only the single boundary score-group needs doc-level ordering
+    * (one group ≪ corpus, its window is partition-local). The oracle is
+    * the NAIVE global-prefix window — the two-level plan must reproduce
+    * it exactly, including the partially-admitted boundary group. */
+  private val q218BudgetSelect: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = SelectBudgetTokens
+    val sc = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"source", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"source", size($"ws").cast("long").as("nw"),
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
+      .cache()
+    val hist = sc.groupBy($"score").agg(sum($"nw").as("tok"))
+    val cumAbove = hist.withColumn("cum_above",
+      sum($"tok").over(Window.orderBy($"score".desc)))
+    val fullScores = cumAbove.filter($"cum_above" <= B).select($"score")
+    val cutoff = cumAbove.filter($"cum_above" > B)
+      .orderBy($"score".desc).limit(1)
+      .select($"score".as("cut_score"), (lit(B) - ($"cum_above" - $"tok")).as("budget_left"))
+    val full = sc.join(broadcast(fullScores), "score")
+    val partial = sc.join(broadcast(cutoff), $"score" === $"cut_score")
+      .withColumn("cum_in", sum($"nw").over(
+        Window.partitionBy($"score").orderBy($"doc_id")))
+      .filter($"cum_in" <= $"budget_left")
+      .select($"score", $"doc_id", $"source", $"nw")
+    full.select($"source", $"nw")
+      .unionByName(partial.select($"source", $"nw"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sel"), sum($"nw").as("tok_sel"))
+      .orderBy($"source")
+  }
+
+  /** SKIP-GRAM CO-OCCURRENCE COUNTS (word2vec-style forward window,
+    * distances 1 and 2 — Mikolov et al., NIPS 2013 preprocessing): the
+    * embedding-training prep that generalizes q180's adjacent bigrams.
+    * Pair generation is MAP-ONLY (two shifted zips of the token array —
+    * no positional self-join), one (dist, w1, w2) count shuffle, top-15
+    * per distance via the per-partition-prunable window. */
+  private val q219SkipGrams: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws"))
+    def shifted(k: Int) = ws.select(lit(k).as("dist"), explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - k, lit(0))),
+        expr(s"slice(ws, ${k + 1}, greatest(size(ws) - $k, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"dist", $"p.w1", $"p.w2")
+    shifted(1).unionByName(shifted(2))
+      .groupBy($"dist", $"w1", $"w2").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"dist").orderBy($"n".desc, $"w1", $"w2")))
+      .filter($"rk" <= 15)
+      .select($"dist", $"rk", $"w1", $"w2", $"n")
+      .orderBy($"dist", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_budget_select" -> q218BudgetSelect,
+    "q219_skip_grams"    -> q219SkipGrams,
     "q216_grouping_sets" -> q216GroupingSets,
     "q217_seasonal_anomaly" -> q217SeasonalAnomaly,
     "q215_quality_calibration" -> q215QualityCalibration,
@@ -2602,6 +2673,38 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // the NAIVE global greedy prefix — the engine's two-level
+    // histogram-cutoff plan must reproduce it exactly
+    "q218_budget_select" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+                  CAST(len(ws) AS BIGINT) AS nw,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS score
+                FROM (SELECT doc_id, source, $wordsSql AS ws FROM documents)
+                WHERE len(ws) > 0),
+          o AS (SELECT source, nw,
+                  sum(nw) OVER (ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+                FROM sc)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+                 CAST(sum(nw) AS BIGINT) AS tok_sel
+          FROM o WHERE cum <= $SelectBudgetTokens
+          GROUP BY source ORDER BY source""",
+    // same two shifted pairings, same count ranking
+    "q219_skip_grams" ->
+      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
+          p AS (SELECT 1 AS dist, unnest(ws[1:-2]) AS w1,
+                       unnest(ws[2:-1]) AS w2 FROM t
+                UNION ALL
+                SELECT 2, unnest(ws[1:-3]), unnest(ws[3:-1]) FROM t),
+          c AS (SELECT dist, w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2, 3),
+          r AS (SELECT dist, w1, w2, n,
+                  CAST(row_number() OVER (PARTITION BY dist
+                    ORDER BY n DESC, w1, w2) AS INT) AS rk
+                FROM c)
+          SELECT CAST(dist AS INT) AS dist, rk, w1, w2, n
+          FROM r WHERE rk <= 15 ORDER BY dist, rk""",
     // same lattice, same explicit gid formula, exact-decimal money
     "q216_grouping_sets" ->
       """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
