@@ -2391,7 +2391,70 @@ object ExtQueries {
       .orderBy($"dist", $"rk")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the numeric-column forensic check
+    * (Benford, 1938; standard in financial anomaly screening): observed
+    * first-significant-digit distribution of o_totalprice against the
+    * log-law expectation, both in ppm. The expected shares are
+    * PRECOMPUTED integer constants (log10 never evaluates in either
+    * engine — the same transcendental-free trick as q185's KL), so the
+    * comparison is exact; one map-side digit extraction + a 9-row fold.
+    * Chi-square-style deviation is published per digit as
+    * |obs−exp|·10⁶ div exp. */
+  private val q220Benford: Q = (s, d) => {
+    import s.implicits._
+    // round(log10(1+1/d)*1e6) for d=1..9 — fixed integer constants
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val expDf = exp.zipWithIndex.map { case (e, i) => (i + 1, e) }
+      .toDF("digit", "exp_ppm")
+    val digits = Tables.orders(s, d)
+      .select(substring((dec($"o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum($"n").as("ntot"))
+    digits.join(broadcast(expDf), "digit")
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        expr("(n * 1000000) div ntot").as("obs_ppm"), $"exp_ppm",
+        expr("(abs((n * 1000000) div ntot - exp_ppm) * 1000000)" +
+          " div exp_ppm").as("dev_ppm"))
+      .orderBy($"digit")
+  }
+
+  /** MAX-CONCURRENCY SWEEP LINE — interval overlap counted WITHOUT the
+    * O(n²) self-join q27's range join would need: each synthetic session
+    * interval [ts, ts + (user_id%30+1) min] explodes to a +1 boundary
+    * and a −1 boundary, one per-day running sum over boundaries gives
+    * instantaneous concurrency, and the per-day max + its earliest peak
+    * time fold from that. At 100 TB the shuffle is one (day) partition
+    * of 2n boundary rows — the window sorts within day only. Tie rule
+    * pinned cross-engine: boundaries at the same instant order ends
+    * (−1) BEFORE starts (+1), so touching intervals don't double-count.
+    * */
+  private val q221SweepConcurrency: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .select($"ts".as("start_ts"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
+          .as("end_ts"))
+    val bounds = iv.select($"start_ts".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select($"end_ts".as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date($"t"))
+    val w = Window.partitionBy($"day").orderBy($"t", $"delta")
+    val run = bounds.withColumn("conc",
+      sum($"delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val mx = run.groupBy($"day").agg(max($"conc").as("peak"))
+    run.join(broadcast(mx), Seq("day"))
+      .filter($"conc" === $"peak")
+      .groupBy($"day", $"peak").agg(min($"t").as("peak_at"))
+      .select($"day", $"peak", $"peak_at")
+      .orderBy($"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q220_benford"       -> q220Benford,
+    "q221_sweep_concurrency" -> q221SweepConcurrency,
     "q218_budget_select" -> q218BudgetSelect,
     "q219_skip_grams"    -> q219SkipGrams,
     "q216_grouping_sets" -> q216GroupingSets,
@@ -2673,6 +2736,41 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same precomputed log-law ppm constants, same cents leading digit
+    "q220_benford" ->
+      """WITH e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+                  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+                  (7, 57992), (8, 51153), (9, 45757)) t(digit, exp_ppm)),
+          dg AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM dg)
+          SELECT digit, n, (n * 1000000) // ntot AS obs_ppm,
+                 CAST(exp_ppm AS BIGINT) AS exp_ppm,
+                 (abs((n * 1000000) // ntot - exp_ppm) * 1000000)
+                   // exp_ppm AS dev_ppm
+          FROM dg JOIN e USING (digit), t ORDER BY digit""",
+    // same boundary explode, same (t, delta) tie rule — ends close
+    // before starts open, so touching intervals never double-count
+    "q221_sweep_concurrency" ->
+      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
+                  CAST(ts AS TIMESTAMP)
+                    + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)) AS e
+                FROM events),
+          b AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+                UNION ALL
+                SELECT e, -1 FROM iv),
+          r AS (SELECT CAST(t AS DATE) AS day, t, delta,
+                  sum(delta) OVER (PARTITION BY CAST(t AS DATE)
+                    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
+                FROM b),
+          m AS (SELECT day, max(conc) AS peak FROM r GROUP BY day)
+          SELECT day, CAST(peak AS BIGINT) AS peak,
+                 min(t) AS peak_at
+          FROM r JOIN m USING (day)
+          WHERE conc = peak GROUP BY day, peak ORDER BY day""",
     // the NAIVE global greedy prefix — the engine's two-level
     // histogram-cutoff plan must reproduce it exactly
     "q218_budget_select" ->
