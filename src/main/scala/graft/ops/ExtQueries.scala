@@ -2452,7 +2452,48 @@ object ExtQueries {
       .orderBy($"day")
   }
 
+  /** CROSS-SOURCE CONTAMINATION MATRIX — which sources leak into each
+    * other (mirror sites, scraped re-posts, shared boilerplate): source-
+    * level shingle-set Jaccard for every source pair, ranked. The
+    * movement NEVER builds source×source directly: (source, shingle)
+    * distinct pairs shuffle once, then pairs are generated ONLY within a
+    * shingle's source list, and shingles present in > 10 sources are
+    * DROPPED FIRST (boilerplate carries no contamination signal and is
+    * exactly the skew that would explode the fanout — the cap bounds
+    * per-shingle pair fanout at C(10,2)=45 regardless of corpus size;
+    * the drop is part of the metric's definition, shared with the
+    * oracle). Sizes and Jaccard are over the same filtered universe;
+    * integer ppm. */
+  private val q222SourceContamination: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ss = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", explode(Dedup.shingleSet($"text", 3)).as("g"))
+      .distinct()
+    val keep = ss.groupBy($"g").agg(collect_set($"source").as("srcs"))
+      .filter(size($"srcs") <= 10)
+      .cache()
+    val sz = keep.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("sz"))
+    val pairs = keep.select(explode(expr(
+        "flatten(transform(srcs, x -> filter(transform(srcs," +
+          " y -> struct(x AS s1, y AS s2)), p -> p.s1 < p.s2)))")).as("p"))
+      .select($"p.s1", $"p.s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sz.toDF("s1", "sz1")), "s1")
+      .join(broadcast(sz.toDF("s2", "sz2")), "s2")
+      .withColumn("jac_ppm",
+        expr("(shared * 1000000) div (sz1 + sz2 - shared)"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"jac_ppm".desc, $"s1", $"s2")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"s1", $"s2", $"shared", $"sz1", $"sz2", $"jac_ppm")
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q222_source_contamination" -> q222SourceContamination,
     "q220_benford"       -> q220Benford,
     "q221_sweep_concurrency" -> q221SweepConcurrency,
     "q218_budget_select" -> q218BudgetSelect,
@@ -2736,6 +2777,35 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same shingles, same >10-source boilerplate drop, same filtered-
+    // universe sizes and integer-ppm jaccard; brute-force within-shingle
+    // pair join (a dropped pair or miscapped fanout hash-mismatches)
+    "q222_source_contamination" ->
+      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
+          sh0 AS (SELECT source,
+                    list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   for i in range(1, len(ws) - 1)]) AS sh
+                  FROM t WHERE len(ws) >= 3),
+          sp AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
+          ds AS (SELECT g, CAST(count(*) AS BIGINT) AS nsrc
+                 FROM sp GROUP BY g),
+          keep AS (SELECT sp.source, sp.g FROM sp
+                   JOIN ds USING (g) WHERE nsrc <= 10),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                 FROM keep GROUP BY 1),
+          pr AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS shared
+                 FROM keep a JOIN keep b
+                   ON a.g = b.g AND a.source < b.source
+                 GROUP BY 1, 2),
+          j AS (SELECT s1, s2, shared, z1.sz AS sz1, z2.sz AS sz2,
+                  (shared * 1000000) // (z1.sz + z2.sz - shared) AS jac_ppm
+                FROM pr JOIN sz z1 ON z1.source = pr.s1
+                JOIN sz z2 ON z2.source = pr.s2),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY jac_ppm DESC, s1, s2) AS INT) AS rk FROM j)
+          SELECT rk, s1, s2, shared, sz1, sz2, jac_ppm
+          FROM r WHERE rk <= 20 ORDER BY rk""",
     // same precomputed log-law ppm constants, same cents leading digit
     "q220_benford" ->
       """WITH e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
