@@ -2492,7 +2492,74 @@ object ExtQueries {
       .orderBy($"rk")
   }
 
+  /** MULTI-PROBE LSH ANN (Lv et al., VLDB 2007) — recall of many hash
+    * tables at a fraction of the memory: with the SAME 4 tables × 8
+    * hyperplanes, additionally probe every signature at Hamming distance
+    * 1. Distributed as an EQUI-JOIN, never a scan-per-probe: each vector
+    * emits numPlanes masked keys (bit i forced to 0, keyed by (table,
+    * maskIdx)) — two signatures at Hamming ≤ 1 share the masked key at
+    * the differing bit (q161's pigeonhole made multiplicative), so the
+    * probe set is one join on (tbl, mi, mk) with linear fanout
+    * (tables × planes per row). Contracts measured in-query against the
+    * brute-force truth slice: multi-probe recall must dominate
+    * single-probe AND clear 0.9 — the memory/recall trade is proven, not
+    * assumed. */
+  private val q223MultiProbeLsh: Q = (s, d) => {
+    import s.implicits._
+    // 4 planes: a borderline cos=0.45 pair agrees per bit w.p. ~0.65, so
+    // Hamming≤1 hits a table w.p. p⁴+4p³(1−p) ≈ 0.56 → ≈0.96 over 4
+    // tables (vs ≈0.55 single-probe — the dominance gap the contract
+    // locks). 8 planes would put borderline pairs at ≈0.52 and flunk the
+    // 0.9 bound — bucket width is the price of recall, and at corpus
+    // scale the wider buckets take SaltGuard like q47's.
+    val numPlanes = 4; val tables = 4
+    val slice = Tables.embeddings(s, d)
+      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
+    val planeArr: Array[Array[Array[Double]]] = (0 until tables)
+      .map(t => Similarity.hyperplanes(numPlanes, 64, seed = 42L + t)
+        .map(_.toArray).toArray).toArray
+    val sigsUdf = udf((v: Seq[Float]) => planeArr.map { planes =>
+      var sig = 0
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var dot = 0.0; var j = 0
+        while (j < p.length && j < v.length) { dot += p(j) * v(j); j += 1 }
+        if (dot >= 0) sig |= (1 << i)
+        i += 1
+      }
+      sig
+    }.toSeq)
+    val sigs = slice
+      .select($"vec_id", posexplode(sigsUdf($"embedding")).as(Seq("tbl", "sig")))
+      .localCheckpoint()
+    val sp = sigs.toDF("vec_a", "tbl", "sig")
+      .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
+      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
+    val masked = sigs.select($"vec_id", $"tbl", explode(expr(
+        s"transform(sequence(0, ${numPlanes - 1})," +
+          s" i -> struct(i AS mi, int(sig & ~shiftleft(1, i)) AS mk))")).as("m"))
+      .select($"vec_id", $"tbl", $"m.mi", $"m.mk")
+    val mp = masked.toDF("vec_a", "tbl", "mi", "mk")
+      .join(masked.toDF("vec_b", "tbl", "mi", "mk"), Seq("tbl", "mi", "mk"))
+      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
+    val truth = Similarity.cosineNearDupPairs(slice, 0.45)
+      .select("vec_a", "vec_b").cache()
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(sp, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_single")))
+      .crossJoin(truth.join(mp, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_multi")))
+      .select($"n_truth",
+        when($"n_truth" === 0, lit(true))
+          .otherwise($"n_hit_multi" >= $"n_hit_single").as("multi_ge_single"),
+        when($"n_truth" === 0, lit(true))
+          .otherwise($"n_hit_multi".cast("double") / $"n_truth" >= 0.9)
+          .as("recall_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q223_multiprobe_lsh" -> q223MultiProbeLsh,
     "q222_source_contamination" -> q222SourceContamination,
     "q220_benford"       -> q220Benford,
     "q221_sweep_concurrency" -> q221SweepConcurrency,
@@ -2777,6 +2844,18 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // q47's measured-contract pattern: the engine computes recall
+    // in-query; the oracle pins the truth-set size and both contracts
+    "q223_multiprobe_lsh" ->
+      s"""SELECT true AS multi_ge_single,
+            (SELECT count(*)
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice
+               AND list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45
+            ) AS n_truth,
+            true AS recall_ok""",
     // same shingles, same >10-source boilerplate drop, same filtered-
     // universe sizes and integer-ppm jaccard; brute-force within-shingle
     // pair join (a dropped pair or miscapped fanout hash-mismatches)
