@@ -2558,7 +2558,94 @@ object ExtQueries {
           .as("recall_ok"))
   }
 
+  /** VECTOR-SPACE COSINE TEXT SIMILARITY (Salton's term-frequency model)
+    * via the INVERTED INDEX — the weighted complement of q150's set
+    * Jaccard: document pairs scored by cos of their tf vectors, computed
+    * as one (term) equi-join summing tf products — never a doc×doc
+    * stage, and dot products only materialize for pairs sharing a term.
+    * EXACT integer end-to-end: tf, dot, and squared norms are integers,
+    * and cos ≥ 0.7 gates as dot²·100 ≥ 49·n2a·n2b (the q150 cross-
+    * multiplication trick, no sqrt, no floats). cos published in exact
+    * integer ppm via (dot²·10¹²) div (n2a·n2b) — the SQUARE in ppm,
+    * monotone in cos, so ranking is faithful. Slice-bounded like every
+    * brute-verified pair family; at corpus scale the join takes the df
+    * cap + SaltGuard (q222's boilerplate rule). */
+  private val q224TfCosine: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .cache()
+    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val dots = tf.toDF("doc_a", "w", "tf_a")
+      .join(tf.toDF("doc_b", "w", "tf_b"), Seq("w"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(sum($"tf_a" * $"tf_b").as("dot"))
+    dots
+      .join(norms.toDF("doc_a", "n2a"), "doc_a")
+      .join(norms.toDF("doc_b", "n2b"), "doc_b")
+      .filter($"dot" * $"dot" * 100 >= $"n2a" * $"n2b" * 49)
+      .select($"doc_a", $"doc_b", $"dot", $"n2a", $"n2b",
+        expr("(dot * dot * 1000000000000) div (n2a * n2b)").as("cos2_ppm"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** ANTI-ENTROPY REPLICA REPAIR (Merkle-bucket reconciliation — the
+    * Dynamo/Cassandra pattern): a replica of `documents` is corrupted in
+    * a planted slice (%97 rows get a suffix, one row per ~97 dropped);
+    * reconciliation first compares 64 BUCKET-LEVEL order-independent
+    * checksums (two map-side aggs + a 64-row join), then row-diffs ONLY
+    * inside differing buckets — repair cost is O(divergence), not
+    * O(table), which is the entire point at 100 TB. The engine publishes
+    * per-divergent-bucket counts of corrupted/missing rows; the oracle
+    * recomputes the same from the planted rules directly, so a
+    * reconciliation that misses a bucket or over-repairs
+    * hash-mismatches. */
+  private val q225AntiEntropy: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    def rowHash(idc: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(idc.cast("string"), lit("|"), t)), 1, 15),
+        16, 10).cast(DecimalType(38, 0))
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"text").cache()
+    val replica = docs
+      .filter($"doc_id" % 97 =!= 13) // lost rows
+      .withColumn("text",
+        when($"doc_id" % 97 === 5, concat($"text", lit(" [bitrot]")))
+          .otherwise($"text"))
+      .cache()
+    def bucketSums(df: org.apache.spark.sql.DataFrame) =
+      df.select(($"doc_id" % 64).as("bkt"),
+          rowHash($"doc_id", $"text").as("h"))
+        .groupBy($"bkt")
+        .agg(count(lit(1)).as("n"),
+          (sum($"h") % lit(Mod)).cast("long").as("ck"))
+    val div = bucketSums(docs).toDF("bkt", "n_p", "ck_p")
+      .join(bucketSums(replica).toDF("bkt", "n_r", "ck_r"),
+        Seq("bkt"), "full_outer")
+      .filter(!($"n_p" <=> $"n_r") || !($"ck_p" <=> $"ck_r"))
+      .select($"bkt")
+    val p = docs.withColumn("bkt", $"doc_id" % 64)
+      .join(broadcast(div), "bkt")
+      .select($"bkt", $"doc_id", rowHash($"doc_id", $"text").as("hp"))
+    val r = replica.withColumn("bkt", $"doc_id" % 64)
+      .join(broadcast(div), "bkt")
+      .select($"doc_id", rowHash($"doc_id", $"text").as("hr"))
+    p.join(r, Seq("doc_id"), "left_outer")
+      .groupBy($"bkt")
+      .agg(sum(when($"hr".isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when($"hr".isNotNull && $"hp" =!= $"hr", 1L).otherwise(0L))
+          .as("n_corrupted"))
+      .orderBy($"bkt")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_tf_cosine"      -> q224TfCosine,
+    "q225_anti_entropy"   -> q225AntiEntropy,
     "q223_multiprobe_lsh" -> q223MultiProbeLsh,
     "q222_source_contamination" -> q222SourceContamination,
     "q220_benford"       -> q220Benford,
@@ -2844,6 +2931,37 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same tf vectors, same shared-term join, same integer cross-mult
+    // gate and squared-cos ppm
+    "q224_tf_cosine" ->
+      s"""WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest($wordsSql) AS w
+                      FROM documents WHERE doc_id < $BruteForceSlice)
+                GROUP BY 1, 2),
+          nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                  FROM tf GROUP BY 1),
+          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                   FROM tf a JOIN tf b
+                     ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+          SELECT doc_a, doc_b, dot, na.n2 AS n2a, nb.n2 AS n2b,
+                 (dot * dot * 1000000000000) // (na.n2 * nb.n2) AS cos2_ppm
+          FROM dots JOIN nrm na ON na.doc_id = doc_a
+          JOIN nrm nb ON nb.doc_id = doc_b
+          WHERE dot * dot * 100 >= na.n2 * nb.n2 * 49
+          ORDER BY doc_a, doc_b""",
+    // the engine must find exactly the planted divergence, bucketed by
+    // doc_id % 64 — a missed bucket or over-repair hash-mismatches
+    "q225_anti_entropy" ->
+      """WITH m AS (
+           SELECT doc_id % 64 AS bkt, 1 AS miss, 0 AS corr
+           FROM documents WHERE doc_id % 97 = 13
+           UNION ALL
+           SELECT doc_id % 64, 0, 1 FROM documents WHERE doc_id % 97 = 5)
+         SELECT bkt, CAST(sum(miss) AS BIGINT) AS n_missing,
+                CAST(sum(corr) AS BIGINT) AS n_corrupted
+         FROM m GROUP BY bkt ORDER BY bkt""",
     // q47's measured-contract pattern: the engine computes recall
     // in-query; the oracle pins the truth-set size and both contracts
     "q223_multiprobe_lsh" ->
