@@ -563,6 +563,14 @@ object TextQueries {
         .select($"src".as("vnode"), $"label".as("newlab"))
       labels = labels.join(top, labels("node") === top("vnode"), "left")
         .select($"node", coalesce($"newlab", $"label").as("label"))
+        // labels feeds BOTH the next round's neighbor join and its
+        // fallback coalesce: without cutting lineage each round would
+        // re-execute every prior round down both branches (≈2^rounds
+        // plan blowup — measured 4.2 s at sf0.1). localCheckpoint
+        // materializes each round exactly once, which is also the
+        // iterate-then-checkpoint shape Pregel-style loops need at
+        // corpus scale.
+        .localCheckpoint()
     }
     labels.select($"node".as("rid"), $"label".as("community"))
       .orderBy($"rid")
