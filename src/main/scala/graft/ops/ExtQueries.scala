@@ -2643,7 +2643,78 @@ object ExtQueries {
       .orderBy($"bkt")
   }
 
+  /** REFERENTIAL-INTEGRITY AUDIT across the star schema — the constraint
+    * checker a lake without enforced FKs must run itself: one row per FK
+    * edge with child cardinality, orphan count, and distinct parent
+    * coverage. Each edge is ONE left-anti join; dimension sides
+    * broadcast, the orders side shuffles once (Spark de-duplicates the
+    * scan across the two lineitem edges via exchange reuse). An orphan
+    * count > 0 is the signal that upstream ingest broke ordering — the
+    * q66-monitor's structural sibling. */
+  private val q226FkAudit: Q = (s, d) => {
+    import s.implicits._
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+             ck: String, parent: org.apache.spark.sql.DataFrame,
+             pk: String, bcast: Boolean) = {
+      val par = parent.select(col(pk))
+      val orphans = child.join(
+        if (bcast) broadcast(par) else par,
+        child(ck) === par(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"),
+          countDistinct(col(ck)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_keys",
+          $"n_orphans")
+    }
+    val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+    edge("orders.custkey->customer", o, "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true)
+      .unionByName(edge("lineitem.orderkey->orders", l, "l_orderkey",
+        o, "o_orderkey", bcast = false))
+      .unionByName(edge("lineitem.partkey->part", l, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true))
+      .unionByName(edge("lineitem.suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true))
+      .unionByName(edge("supplier.nationkey->nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey", bcast = true))
+      .orderBy($"fk_edge")
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE proven equal to recompute — the IVM
+    * contract that makes a 100 TB aggregate affordable to keep fresh:
+    * per-source (count, token-sum) is maintained under an appended batch
+    * (docs %7==2 replayed as the delta) by FOLDING the delta's partial
+    * aggregate into the old view — cost O(delta), one small shuffle —
+    * and the query publishes both the maintained view AND equality
+    * against full recompute over base∪delta. The oracle recomputes from
+    * scratch; `ivm_matches` must come back true for every source. */
+  private val q227IncrementalView: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", size(graft.text.TextOps.words($"text"))
+        .cast("long").as("nw"))
+      .cache()
+    val delta = docs.filter($"nw" % 7 === 2)
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nw").as("tokens"))
+    val old = view(docs)
+    val maintained = old.toDF("source", "n0", "t0")
+      .join(view(delta).toDF("source", "dn", "dt"), Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_docs"),
+        (coalesce($"t0", lit(0L)) + coalesce($"dt", lit(0L))).as("tokens"))
+    val recomputed = view(docs.unionByName(delta))
+      .toDF("source", "n_r", "t_r")
+    maintained.join(recomputed, Seq("source"), "full_outer")
+      .select($"source", $"n_docs", $"tokens",
+        ($"n_docs" <=> $"n_r" && $"tokens" <=> $"t_r").as("ivm_matches"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q226_fk_audit"       -> q226FkAudit,
+    "q227_incremental_view" -> q227IncrementalView,
     "q224_tf_cosine"      -> q224TfCosine,
     "q225_anti_entropy"   -> q225AntiEntropy,
     "q223_multiprobe_lsh" -> q223MultiProbeLsh,
@@ -2931,6 +3002,51 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // one row per FK edge, anti-join orphan counts
+    "q226_fk_audit" ->
+      """WITH e1 AS (SELECT 'orders.custkey->customer' AS fk_edge,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+                  CAST(count(*) FILTER (o_custkey NOT IN
+                    (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans
+                FROM orders),
+          e2 AS (SELECT 'lineitem.orderkey->orders',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders)) AS BIGINT)
+                FROM lineitem),
+          e3 AS (SELECT 'lineitem.partkey->part',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_partkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_partkey NOT IN
+                    (SELECT p_partkey FROM part)) AS BIGINT)
+                FROM lineitem),
+          e4 AS (SELECT 'lineitem.suppkey->supplier',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier)) AS BIGINT)
+                FROM lineitem),
+          e5 AS (SELECT 'supplier.nationkey->nation',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT s_nationkey) AS BIGINT),
+                  CAST(count(*) FILTER (s_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation)) AS BIGINT)
+                FROM supplier)
+          SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+          UNION ALL SELECT * FROM e5 ORDER BY fk_edge""",
+    // from-scratch recompute over base ∪ delta; ivm_matches pinned true
+    "q227_incremental_view" ->
+      s"""WITH w AS (SELECT source, CAST(len($wordsSql) AS BIGINT) AS nw
+                 FROM documents),
+          base AS (SELECT source, nw FROM w),
+          delta AS (SELECT source, nw FROM w WHERE nw % 7 = 2),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS tokens, true AS ivm_matches
+          FROM u GROUP BY source ORDER BY source""",
     // same tf vectors, same shared-term join, same integer cross-mult
     // gate and squared-cos ppm
     "q224_tf_cosine" ->
