@@ -187,7 +187,12 @@ object Stress {
       "q98_ivf_scaled" -> ivfScaled,
       "q126_semdedup_fixed8" -> ops.ExtQueries.queries("q126_sem_dedup"),
       "q126_semdedup_scaled" -> semDedupScaled,
-      "q161_hamming_full" -> hammingFull)
+      "q161_hamming_full" -> hammingFull,
+      // the boilerplate cap (shingles in >10 sources dropped) bounds
+      // per-shingle pair fanout at C(10,2); source count is constant, so
+      // the (source, shingle) volume grows linearly and the pair stage
+      // must too — this run proves the cap holds off-slice
+      "q222_source_contamination" -> ops.ExtQueries.queries("q222_source_contamination"))
 
     def run(fn: (SparkSession, String) => DataFrame, dir: String): RunStats = {
       clock.drain()

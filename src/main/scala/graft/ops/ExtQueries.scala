@@ -2712,7 +2712,69 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** SEMI-STRUCTURED SHREDDING via Spark 4's VARIANT type — the modern
+    * JSON ingestion path (binary-encoded variant instead of per-query
+    * string re-parsing): nested payloads (synthesized deterministically
+    * from row fields — objects, array indexing, a sometimes-missing key)
+    * are `parse_json`ed ONCE into VARIANT, then typed paths are
+    * extracted with `variant_get`/`try_variant_get` (the missing key
+    * exercises the NULL path) and aggregated per segment. At 100 TB the
+    * point is the encode-once-extract-many shape plus Parquet variant
+    * shredding; the oracle re-derives the same values from the same JSON
+    * text with DuckDB's json_extract. */
+  private val q228VariantShred: Q = (s, d) => {
+    import s.implicits._
+    val j = concat(lit("""{"user":{"id":"""), $"user_id",
+      lit(""","seg":""""), $"event_type", lit(""""},"vals":["""),
+      $"event_id" % 10, lit(","), $"user_id" % 7, lit("]"),
+      when($"event_id" % 3 === 0,
+        concat(lit(""","flag":"""), $"event_id" % 2)).otherwise(lit("")),
+      lit("}"))
+    Tables.events(s, d)
+      .select(parse_json(j).as("v"))
+      .select(
+        variant_get($"v", "$.user.seg", "string").as("seg"),
+        variant_get($"v", "$.user.id", "bigint").as("uid"),
+        variant_get($"v", "$.vals[0]", "bigint").as("v0"),
+        variant_get($"v", "$.vals[1]", "bigint").as("v1"),
+        try_variant_get($"v", "$.flag", "bigint").as("flag"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"uid").as("sum_uid"),
+        sum($"v0").as("sum_v0"), sum($"v1").as("sum_v1"),
+        sum(coalesce($"flag", lit(0L))).as("sum_flag"),
+        sum(when($"flag".isNull, 1L).otherwise(0L)).as("n_missing_flag"))
+      .orderBy($"seg")
+  }
+
+  /** SCHEMA EVOLUTION under mergeSchema — the lake reality that columns
+    * arrive over time: a v1 slice is written without the `score` column,
+    * a v2 slice with it, and the union is read back through Spark's
+    * parquet `mergeSchema`, which must surface v1 rows with NULL score
+    * (never a default, never a read error). The aggregate proves both
+    * the widened schema and the null semantics; the oracle replays the
+    * same split with an explicit NULL projection. */
+  private val q229SchemaEvolution: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("graft_q229_evo_")
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"source", $"n_chars",
+        ($"n_chars" % 100).as("score"))
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v=1", s"$dir/v=2")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"score".isNull, 1L).otherwise(0L)).as("n_v1"),
+        sum(coalesce($"score", lit(0L))).as("sum_score"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_variant_shred"  -> q228VariantShred,
+    "q229_schema_evolution" -> q229SchemaEvolution,
     "q226_fk_audit"       -> q226FkAudit,
     "q227_incremental_view" -> q227IncrementalView,
     "q224_tf_cosine"      -> q224TfCosine,
@@ -3002,6 +3064,43 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same synthesized JSON, values re-derived via json_extract
+    "q228_variant_shred" ->
+      """WITH src AS (SELECT event_id, user_id, event_type,
+                  '{"user":{"id":' || user_id || ',"seg":"' || event_type
+                  || '"},"vals":[' || (event_id % 10) || ','
+                  || (user_id % 7) || ']'
+                  || CASE WHEN event_id % 3 = 0
+                          THEN ',"flag":' || (event_id % 2) ELSE '' END
+                  || '}' AS j
+                FROM events),
+          x AS (SELECT json_extract_string(j, '$.user.seg') AS seg,
+                  CAST(json_extract(j, '$.user.id') AS BIGINT) AS uid,
+                  CAST(json_extract(j, '$.vals[0]') AS BIGINT) AS v0,
+                  CAST(json_extract(j, '$.vals[1]') AS BIGINT) AS v1,
+                  CAST(json_extract(j, '$.flag') AS BIGINT) AS flag
+                FROM src)
+          SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(uid) AS BIGINT) AS sum_uid,
+                 CAST(sum(v0) AS BIGINT) AS sum_v0,
+                 CAST(sum(v1) AS BIGINT) AS sum_v1,
+                 CAST(sum(COALESCE(flag, 0)) AS BIGINT) AS sum_flag,
+                 CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing_flag
+          FROM x GROUP BY seg ORDER BY seg""",
+    // same even/odd split with an explicit NULL projection for v1 rows
+    "q229_schema_evolution" ->
+      """WITH u AS (
+           SELECT doc_id, source, n_chars, NULL AS score
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, n_chars % 100
+           FROM documents WHERE doc_id % 2 <> 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v1,
+                CAST(sum(COALESCE(score, 0)) AS BIGINT) AS sum_score
+         FROM u GROUP BY source ORDER BY source""",
     // one row per FK edge, anti-join orphan counts
     "q226_fk_audit" ->
       """WITH e1 AS (SELECT 'orders.custkey->customer' AS fk_edge,
