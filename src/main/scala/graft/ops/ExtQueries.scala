@@ -2772,7 +2772,37 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE — new SQL surface): bounded
+    * BFS over the q178 trade graph from customer 1, counting hop-bounded
+    * paths and min-hop distance per reached node. The hop cap (< 3) is
+    * the termination bound — the same role iteration counts play in the
+    * DataFrame graph family (q178/q196/q207); path counts are exact
+    * integers and the oracle runs the IDENTICAL recursive SQL in DuckDB,
+    * pinning Spark's recursion semantics (UNION ALL accumulation)
+    * against a second implementation. */
+  private val q230RecursiveCte: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql("""
+      WITH RECURSIVE reach(node, hops) AS (
+        SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r
+        JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey
+              UNION ALL
+              SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey) e
+          ON e.src = r.node
+        WHERE r.hops < 3)
+      SELECT node, CAST(min(hops) AS INT) AS min_hops,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM reach GROUP BY node ORDER BY node""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q230_recursive_cte"  -> q230RecursiveCte,
     "q228_variant_shred"  -> q228VariantShred,
     "q229_schema_evolution" -> q229SchemaEvolution,
     "q226_fk_audit"       -> q226FkAudit,
@@ -3064,6 +3094,23 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // the IDENTICAL recursive SQL, second engine
+    "q230_recursive_cte" ->
+      """WITH RECURSIVE reach(node, hops) AS (
+           SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+           UNION ALL
+           SELECT e.dst, r.hops + 1
+           FROM reach r
+           JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 UNION ALL
+                 SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
+             ON e.src = r.node
+           WHERE r.hops < 3)
+         SELECT node, CAST(min(hops) AS INT) AS min_hops,
+                CAST(count(*) AS BIGINT) AS n_paths
+         FROM reach GROUP BY node ORDER BY node""",
     // same synthesized JSON, values re-derived via json_extract
     "q228_variant_shred" ->
       """WITH src AS (SELECT event_id, user_id, event_type,
