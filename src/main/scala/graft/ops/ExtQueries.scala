@@ -2801,7 +2801,60 @@ object ExtQueries {
       FROM reach GROUP BY node ORDER BY node""")
   }
 
+  /** HIGHER-ORDER FUNCTION SUITE — the lambda surface (aggregate /
+    * exists / forall / filter / transform) that keeps array work INSIDE
+    * codegen instead of exploding rows: per doc, a fold computes the sum
+    * of squared word lengths, quantifiers check length predicates, and a
+    * filter+transform chain counts capitalizable tokens — one map-only
+    * pass, zero shuffles before the final per-source fold. The oracle
+    * re-derives every value with DuckDB list lambdas (list_reduce has a
+    * different seed convention — folded with an explicit 0 seed via
+    * list_prepend to match). */
+  private val q231HigherOrder: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"source",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w) * length(w))")
+          .as("sq_len_sum"),
+        expr("exists(ws, w -> length(w) >= 8)").as("has_long"),
+        expr("forall(ws, w -> length(w) <= 20)").as("all_short"),
+        expr("size(filter(ws, w -> length(w) >= 5))").cast("long")
+          .as("n_len5"))
+      .groupBy($"source")
+      .agg(sum($"sq_len_sum").as("sq_len_sum"),
+        sum(when($"has_long", 1L).otherwise(0L)).as("n_has_long"),
+        sum(when($"all_short", 1L).otherwise(0L)).as("n_all_short"),
+        sum($"n_len5").as("n_len5"))
+      .orderBy($"source")
+  }
+
+  /** WINDOW ANALYTICS COMPLETION — the ranking-fraction family q82
+    * doesn't cover: percent_rank, cume_dist, nth_value and first/last
+    * with explicit frames, over the per-customer order timeline. The
+    * fractions are exact small-integer ratios ((rank−1)/(n−1), peers/n)
+    * so IEEE division is bit-identical cross-engine; nth/first/last are
+    * longs. */
+  private val q232WindowRanks: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 200)
+      .select($"o_custkey", $"o_orderkey",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value($"o_orderkey", 2).over(wf).as("second_order"),
+        first($"o_orderkey").over(wf).as("first_order"),
+        last($"o_orderkey").over(wf).as("last_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_higher_order"   -> q231HigherOrder,
+    "q232_window_ranks"   -> q232WindowRanks,
     "q230_recursive_cte"  -> q230RecursiveCte,
     "q228_variant_shred"  -> q228VariantShred,
     "q229_schema_evolution" -> q229SchemaEvolution,
@@ -3094,6 +3147,41 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // DuckDB list lambdas re-derive each value; reduce seeded via prepend
+    "q231_higher_order" ->
+      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
+          x AS (SELECT source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(ws, w -> CAST(length(w) * length(w)
+                      AS BIGINT))), (a, b) -> a + b) AS sq_len_sum,
+                  len(list_filter(ws, w -> length(w) >= 8)) > 0 AS has_long,
+                  len(list_filter(ws, w -> length(w) > 20)) = 0 AS all_short,
+                  CAST(len(list_filter(ws, w -> length(w) >= 5))
+                    AS BIGINT) AS n_len5
+                FROM t WHERE len(ws) > 0)
+          SELECT source, CAST(sum(sq_len_sum) AS BIGINT) AS sq_len_sum,
+                 CAST(sum(CASE WHEN has_long THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_has_long,
+                 CAST(sum(CASE WHEN all_short THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_all_short,
+                 CAST(sum(n_len5) AS BIGINT) AS n_len5
+          FROM x GROUP BY source ORDER BY source""",
+    // same frames; fractions are exact small-integer IEEE ratios
+    "q232_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                nth_value(o_orderkey, 2) OVER wf AS second_order,
+                first_value(o_orderkey) OVER wf AS first_order,
+                last_value(o_orderkey) OVER wf AS last_order
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
     // the IDENTICAL recursive SQL, second engine
     "q230_recursive_cte" ->
       """WITH RECURSIVE reach(node, hops) AS (
