@@ -2852,7 +2852,67 @@ object ExtQueries {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** DAILY LATENCY-STYLE PERCENTILES, DISCRETE — the ops dashboard
+    * p50/p90/p99 per day over event values, computed as ELEMENT SELECTION
+    * (value at row ⌈p·n⌉ of the day's sort) rather than interpolation:
+    * interpolated quantiles on doubles are NOT cross-engine-stable (the
+    * a+(b−a)·f vs (a+b)/2 formulas round differently in IEEE), while the
+    * discrete pick returns an actual data value — bit-identical
+    * everywhere. The sort is day-partitioned (bounded by arrival rate,
+    * never corpus-global); one window + one join against the per-day
+    * counts. */
+  private val q233DailyPercentiles: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"day").orderBy($"value", $"event_id")
+    val ranked = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+    val n = ranked.groupBy($"day").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "day")
+      .groupBy($"day", $"n")
+      .agg(
+        max(when($"rn" === expr("cast(ceil(n * 0.5) as bigint)"), $"value"))
+          .as("p50"),
+        max(when($"rn" === expr("cast(ceil(n * 0.9) as bigint)"), $"value"))
+          .as("p90"),
+        max(when($"rn" === expr("cast(ceil(n * 0.99) as bigint)"), $"value"))
+          .as("p99"))
+      .select($"day", $"n", $"p50", $"p90", $"p99")
+      .orderBy($"day")
+  }
+
+  /** MAP-COLUMN SURFACE — map_from_entries / transform_values /
+    * map_concat / element_at as the per-row container algebra (the shape
+    * feature stores and per-doc metadata bags use), flattened back to
+    * scalars for the gate: each doc builds a token-length histogram MAP,
+    * doubles its values, overlays a constant marker entry, and publishes
+    * two lookups plus the map cardinality. Map work never leaves the
+    * row — zero shuffles before the final fold. */
+  private val q234MapFunctions: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id",
+        expr("""map_concat(
+                  transform_values(
+                    map_from_entries(
+                      transform(array_distinct(transform(ws, w -> length(w))),
+                        l -> struct(l AS k,
+                          size(filter(ws, w -> length(w) = l)) AS v))),
+                    (k, v) -> cast(v * 2 AS BIGINT)),
+                  map(-1, 7L))""").as("m"))
+      .select($"doc_id",
+        expr("element_at(m, 3)").as("n_len3_x2"),
+        expr("element_at(m, -1)").as("marker"),
+        expr("cast(cardinality(m) AS BIGINT)").as("n_lens"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q233_daily_percentiles" -> q233DailyPercentiles,
+    "q234_map_functions"  -> q234MapFunctions,
     "q231_higher_order"   -> q231HigherOrder,
     "q232_window_ranks"   -> q232WindowRanks,
     "q230_recursive_cte"  -> q230RecursiveCte,
@@ -3147,6 +3207,34 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same discrete row-⌈p·n⌉ element selection, no interpolation
+    "q233_daily_percentiles" ->
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value, event_id,
+                  CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                    ORDER BY value, event_id) AS BIGINT) AS rn
+                FROM events),
+          n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1)
+          SELECT day, n,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                     THEN value END) AS p50,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                     THEN value END) AS p90,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                     THEN value END) AS p99
+          FROM r JOIN n USING (day) GROUP BY day, n ORDER BY day""",
+    // the map algebra re-derived with list lambdas: per-length counts
+    // doubled, the marker entry, and the distinct-length cardinality + 1
+    "q234_map_functions" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0)
+          SELECT doc_id,
+                 CASE WHEN len(list_filter(ws, w -> length(w) = 3)) > 0
+                      THEN CAST(len(list_filter(ws, w -> length(w) = 3))
+                           * 2 AS BIGINT) END AS n_len3_x2,
+                 CAST(7 AS BIGINT) AS marker,
+                 CAST(len(list_distinct(list_transform(ws,
+                   w -> length(w)))) + 1 AS BIGINT) AS n_lens
+          FROM x ORDER BY doc_id""",
     // DuckDB list lambdas re-derive each value; reduce seeded via prepend
     "q231_higher_order" ->
       s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
