@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: graft_nfkd(graft_nfkd(c)) → graft_nfkd(c) — see
+    // [[graft.plans.CollapseNfkd]] for the idempotence justification.
+    ext.injectOptimizerRule(_ => graft.plans.CollapseNfkd)
     ext.injectFunction((
       FunctionIdentifier("graft_nfkd"),
       info("graft_nfkd", "graft_nfkd(str) - Unicode NFKD normalization"),

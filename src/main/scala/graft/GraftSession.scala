@@ -38,6 +38,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the engine's own extensions: native-function SQL registration +
+      // the CollapseNfkd optimizer rule (idempotence collapse)
+      .withExtensions(new GraftExtensions)
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
