@@ -2910,7 +2910,37 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** DEDUP WITH A QUALITY-AWARE KEEP POLICY — q40 keeps min doc_id per
+    * exact-dup cluster; real curation keeps the BEST copy (highest
+    * quality score, then smallest id for determinism), because mirror
+    * copies differ in truncation/boilerplate even when the content hash
+    * matches on the sanitized text. Policy is one argmax-per-cluster
+    * window over the content-hash partitioning (map-side prunable) — the
+    * dedup movement is unchanged (one hash shuffle), only the keeper
+    * rule is swapped, which is the point: representative selection is a
+    * pluggable policy, not a new pipeline. */
+  private val q235DedupKeepBest: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"text", graft.text.TextOps.words($"text").as("ws"))
+      .withColumn("score",
+        when(size($"ws") > 0,
+          expr("(size(array_distinct(ws)) * 1000L) div size(ws)"))
+          .otherwise(0L))
+      .select($"doc_id", sha2($"text", 256).as("hash"), $"score")
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"hash").orderBy($"score".desc, $"doc_id")))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy($"hash")))
+      .filter($"rk" === 1)
+      .select($"doc_id".as("kept_doc"), $"score", $"hash", $"n_copies")
+      .orderBy($"kept_doc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_dedup_keep_best" -> q235DedupKeepBest,
     "q233_daily_percentiles" -> q233DailyPercentiles,
     "q234_map_functions"  -> q234MapFunctions,
     "q231_higher_order"   -> q231HigherOrder,
@@ -3207,6 +3237,22 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same score, same (score desc, doc_id) keeper policy per hash
+    "q235_dedup_keep_best" ->
+      s"""WITH sc AS (SELECT doc_id, sha256(text) AS hash,
+                  CASE WHEN len(ws) > 0
+                       THEN CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                            // CAST(len(ws) AS BIGINT)
+                       ELSE 0 END AS score
+                FROM (SELECT doc_id, text, $wordsSql AS ws FROM documents)),
+          r AS (SELECT doc_id, hash, score,
+                  row_number() OVER (PARTITION BY hash
+                    ORDER BY score DESC, doc_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY hash) AS BIGINT)
+                    AS n_copies
+                FROM sc)
+          SELECT doc_id AS kept_doc, score, hash, n_copies
+          FROM r WHERE rk = 1 ORDER BY kept_doc""",
     // same discrete row-⌈p·n⌉ element selection, no interpolation
     "q233_daily_percentiles" ->
       """WITH r AS (SELECT CAST(ts AS DATE) AS day, value, event_id,
