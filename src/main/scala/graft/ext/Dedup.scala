@@ -517,6 +517,43 @@ object Dedup {
     }
   })
 
+  /** Charikar's ORIGINAL weighted SimHash (STOC 2002): each distinct
+    * token votes ±tf per bit instead of ±1 — a token repeated 40× should
+    * dominate the fingerprint the way it dominates the document. Same
+    * 60-bit md5 hash family as [[simhashMd5]] so the DuckDB oracle
+    * replays it with one extra list_count factor. */
+  def simhashWeightedMd5(words: Column): Column = simhashWeightedUdf(words)
+
+  private val simhashWeightedUdf = udf((toks: Seq[String]) => {
+    if (toks == null) 0L
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new java.util.HashMap[String, Long]()
+      toks.foreach(t => counts.merge(t, 1L, _ + _))
+      val bitSums = new Array[Long](60)
+      counts.forEach { (t, w) =>
+        md.reset()
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 15) {
+          val nib = if (i % 2 == 0) (digest(i / 2) >> 4) & 0xF else digest(i / 2) & 0xF
+          h = (h << 4) | nib
+          i += 1
+        }
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) bitSums(j) += w else bitSums(j) -= w
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 60) { if (bitSums(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+  })
+
   /** One k-word-gram occurrence: 1-based word position + the gram's md5. */
   case class GramOcc(pos: Long, gkey: String)
 

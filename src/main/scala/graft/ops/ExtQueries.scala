@@ -2939,7 +2939,30 @@ object ExtQueries {
       .orderBy($"kept_doc")
   }
 
+  /** WEIGHTED SIMHASH (Charikar STOC 2002, the original tf-weighted
+    * form — q44 is the unweighted-distinct-token variant): tokens vote
+    * ±tf per bit, so a dominant repeated term dominates the fingerprint.
+    * Published per doc alongside the HAMMING DISTANCE to the unweighted
+    * fingerprint — the drift between the two is exactly the repetition
+    * signal (a doc where they differ by many bits is tf-skewed). Both
+    * fingerprints ride the same one-pass map stage. */
+  private val q236WeightedSimhash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        Dedup.simhashWeightedMd5(graft.text.TextOps.words($"text"))
+          .as("wsimhash"),
+        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text"))
+          .as("usimhash"))
+      .select($"doc_id", $"wsimhash",
+        bit_count($"wsimhash".bitwiseXOR($"usimhash")).cast("int")
+          .as("weight_drift_bits"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_weighted_simhash" -> q236WeightedSimhash,
     "q235_dedup_keep_best" -> q235DedupKeepBest,
     "q233_daily_percentiles" -> q233DailyPercentiles,
     "q234_map_functions"  -> q234MapFunctions,
@@ -3237,6 +3260,45 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // full replay of BOTH fingerprints: the weighted one votes ±tf per
+    // bit over distinct tokens, the unweighted one is q44's; drift =
+    // bit_count of the xor
+    "q236_weighted_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          g AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2),
+          hh AS (SELECT doc_id,
+                   list(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT))
+                     AS hs,
+                   list(tf) AS tfs
+                 FROM g GROUP BY doc_id),
+          w AS (SELECT doc_id,
+                  CAST(coalesce(list_sum(
+                    [CASE WHEN list_sum([CASE WHEN (hs[i] >> j) & 1 = 1
+                                         THEN tfs[i] ELSE -tfs[i] END
+                                         FOR i IN range(1, len(hs) + 1)]) > 0
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS wsimhash
+                FROM hh),
+          u AS (SELECT doc_id,
+                  CAST(coalesce(list_sum(
+                    [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
+                                         THEN 1 ELSE -1 END FOR h IN hs2]) > 0
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS usimhash
+                FROM (SELECT doc_id,
+                        list_transform(list_sort(list_distinct(ws)),
+                          x -> CAST('0x' || substring(md5(x), 1, 15)
+                               AS BIGINT)) AS hs2
+                      FROM t))
+          SELECT d.doc_id, coalesce(w.wsimhash, 0) AS wsimhash,
+                 CAST(bit_count(xor(coalesce(w.wsimhash, 0),
+                                    coalesce(u.usimhash, 0))) AS INT)
+                   AS weight_drift_bits
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN w ON w.doc_id = d.doc_id
+          LEFT JOIN u ON u.doc_id = d.doc_id
+          ORDER BY d.doc_id""",
     // same score, same (score desc, doc_id) keeper policy per hash
     "q235_dedup_keep_best" ->
       s"""WITH sc AS (SELECT doc_id, sha256(text) AS hash,
