@@ -2961,7 +2961,87 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** JOIN-CARDINALITY AUDIT — the fan-out detector for silent row
+    * explosions (the classic pipeline bug: a "1:1" merge key that is
+    * actually 1:N doubles downstream counts without erroring). For each
+    * declared relationship the engine measures, per join, the child row
+    * count, the post-join row count, the number of keys with parent
+    * multiplicity > 1, and the worst multiplicity — all from ONE
+    * parent-side key count (map-side combinable) joined back, no
+    * full-join materialization needed for the audit columns. */
+  private val q237JoinCardinality: Q = (s, d) => {
+    import s.implicits._
+    def audit(name: String, child: org.apache.spark.sql.DataFrame,
+              ck: String, parent: org.apache.spark.sql.DataFrame,
+              pk: String) = {
+      val pc = parent.groupBy(col(pk)).agg(count(lit(1)).as("pmult"))
+      val joined = child.join(broadcast(pc), child(ck) === pc(pk), "left")
+      joined.agg(
+          count(lit(1)).as("n_child"),
+          sum(coalesce($"pmult", lit(0L))).as("n_joined"),
+          sum(when($"pmult" > 1, 1L).otherwise(0L)).as("n_fanout_rows"),
+          max(coalesce($"pmult", lit(0L))).as("max_mult"))
+        .select(lit(name).as("relation"), $"n_child", $"n_joined",
+          $"n_fanout_rows", $"max_mult")
+    }
+    audit("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")
+      .unionByName(audit("lineitem->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      // deliberately 1:N: orders joined on customer NATION — every row
+      // fans out by the nation's customer count; the audit must see it
+      .unionByName(audit("orders->customer_by_nation",
+        Tables.orders(s, d).join(
+          Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_nationkey"),
+        "c_nationkey",
+        Tables.customer(s, d).select($"c_nationkey".as("cn")), "cn"))
+      .orderBy($"relation")
+  }
+
+  /** TRIMMED + WINSORIZED ROBUST STATS per source — the q206/q208
+    * family completed: mean of the middle 80% (trimmed) and mean with
+    * tails CLAMPED to the p10/p90 values (winsorized), both EXACT and
+    * integer from the bounded value histogram: rank cutoffs lo = ⌈n/10⌉,
+    * hi = n − ⌈n/10⌉ select by running count, the trimmed sum subtracts
+    * the tail mass, and winsorizing adds back clamped tails at the
+    * cutoff values. No row sort, two histogram shuffles, ppm output. */
+  private val q238RobustStats: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, d)
+      .select($"source", $"n_chars".as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("n"))
+    val c = h
+      .withColumn("cum", sum($"n").over(
+        Window.partitionBy($"source").orderBy($"v")))
+      .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
+      .withColumn("lo_rank", expr("(ntot + 9) div 10"))
+      .withColumn("hi_rank", expr("ntot - (ntot + 9) div 10"))
+      .cache()
+    val loV = c.filter($"cum" >= $"lo_rank").groupBy($"source")
+      .agg(min($"v").as("p10"))
+    val hiV = c.filter($"cum" >= $"hi_rank").groupBy($"source")
+      .agg(min($"v").as("p90"))
+    // per value-group: how many of its rows fall inside (lo_rank, hi_rank]
+    val mid = c.withColumn("in_lo", greatest($"cum" - $"n", $"lo_rank"))
+      .withColumn("in_hi", least($"cum", $"hi_rank"))
+      .withColumn("k", greatest($"in_hi" - $"in_lo", lit(0L)))
+      .groupBy($"source")
+      .agg(sum($"k" * $"v").as("mid_sum"), sum($"k").as("mid_n"),
+        max($"ntot").as("n"), max($"lo_rank").as("t"))
+    mid.join(broadcast(loV), "source").join(broadcast(hiV), "source")
+      .select($"source", $"n", $"p10", $"p90",
+        expr("(mid_sum * 1000000) div mid_n").as("trimmed_mean_ppm"),
+        expr("((mid_sum + t * p10 + t * p90) * 1000000) div n")
+          .as("winsorized_mean_ppm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q237_join_cardinality" -> q237JoinCardinality,
+    "q238_robust_stats"   -> q238RobustStats,
     "q236_weighted_simhash" -> q236WeightedSimhash,
     "q235_dedup_keep_best" -> q235DedupKeepBest,
     "q233_daily_percentiles" -> q233DailyPercentiles,
@@ -3260,6 +3340,65 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // one parent-key multiplicity table per relation, same audit columns
+    "q237_join_cardinality" ->
+      """WITH pc1 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS m
+                 FROM customer GROUP BY 1),
+          a1 AS (SELECT 'orders->customer' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT) AS n_joined,
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_fanout_rows,
+                  CAST(max(COALESCE(m, 0)) AS BIGINT) AS max_mult
+                FROM orders LEFT JOIN pc1 ON o_custkey = k),
+          pc2 AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS m
+                  FROM part GROUP BY 1),
+          a2 AS (SELECT 'lineitem->part',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(max(COALESCE(m, 0)) AS BIGINT)
+                FROM lineitem LEFT JOIN pc2 ON l_partkey = k),
+          ch AS (SELECT o_orderkey, c_nationkey
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+          pc3 AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS m
+                  FROM customer GROUP BY 1),
+          a3 AS (SELECT 'orders->customer_by_nation',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(max(COALESCE(m, 0)) AS BIGINT)
+                FROM ch LEFT JOIN pc3 ON c_nationkey = k)
+          SELECT * FROM a1 UNION ALL SELECT * FROM a2
+          UNION ALL SELECT * FROM a3 ORDER BY relation""",
+    // same histogram rank cutoffs, tail clamping, and integer ppm means
+    "q238_robust_stats" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                FROM h),
+          cc AS (SELECT *, (ntot + 9) // 10 AS t,
+                   ntot - (ntot + 9) // 10 AS hi FROM c),
+          lo AS (SELECT source, min(v) AS p10 FROM cc
+                 WHERE cum >= t GROUP BY source),
+          hv AS (SELECT source, min(v) AS p90 FROM cc
+                 WHERE cum >= hi GROUP BY source),
+          mid AS (SELECT source,
+                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
+                     0) * v) AS BIGINT) AS mid_sum,
+                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
+                     0)) AS BIGINT) AS mid_n,
+                   max(ntot) AS n, max(t) AS t
+                  FROM cc GROUP BY source)
+          SELECT source, n, p10, p90,
+                 (mid_sum * 1000000) // mid_n AS trimmed_mean_ppm,
+                 ((mid_sum + t * p10 + t * p90) * 1000000) // n
+                   AS winsorized_mean_ppm
+          FROM mid JOIN lo USING (source) JOIN hv USING (source)
+          ORDER BY source""",
     // full replay of BOTH fingerprints: the weighted one votes ±tf per
     // bit over distinct tokens, the unweighted one is q44's; drift =
     // bit_count of the xor
