@@ -3039,7 +3039,65 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** GINI CONCENTRATION of document lengths per source — the corpus-
+    * dominance audit (is a source's token mass spread evenly or carried
+    * by a few giants?): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    * ranks, EXACT in ppm with no row sort — a value group with count k
+    * at running count c occupies ranks (c−k, c], so its rank-weighted
+    * mass is v·(2c−k+1)·k/2, folded straight off the bounded value
+    * histogram (the q206/q238 machinery, third member of the robust-
+    * stats family). */
+  private val q239Gini: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, d)
+      .select($"source", $"n_chars".as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("k"))
+    h.withColumn("cum", sum($"k").over(
+        Window.partitionBy($"source").orderBy($"v")))
+      .groupBy($"source")
+      .agg(max($"cum").as("n"), sum($"v" * $"k").as("sx"),
+        sum($"v" * ($"cum" * 2 - $"k" + 1) * $"k").as("s1x2"))
+      .select($"source", $"n", $"sx",
+        expr("(s1x2 * 1000000) div (n * sx) - ((n + 1) * 1000000) div n")
+          .as("gini_ppm"))
+      .orderBy($"source")
+  }
+
+  /** BURSTINESS (Fano factor) of event arrivals per user — the ingest
+    * traffic-shape monitor: variance-to-mean ratio of per-hour event
+    * counts (1 = Poisson, >1 bursty, <1 regular), integer end-to-end
+    * with the q208 overflow-safe variance form. Hours with zero events
+    * INSIDE the user's active span count — the span folds from min/max
+    * hour, so the zero hours never materialize as rows (the sparse-
+    * histogram trick that matters when a user's span is months). */
+  private val q240Burstiness: Q = (s, d) => {
+    import s.implicits._
+    val hr = Tables.events(s, d)
+      .select($"user_id",
+        (unix_timestamp(date_trunc("hour", $"ts")) / 3600).cast("long")
+          .as("h"))
+      .groupBy($"user_id", $"h").agg(count(lit(1)).as("c"))
+    hr.groupBy($"user_id")
+      .agg((max($"h") - min($"h") + 1).as("span"),
+        sum($"c").as("total"), sum($"c" * $"c").as("sc2"),
+        count(lit(1)).as("active_hours"))
+      .filter($"span" >= 2)
+      // mean = total/span; var = E[c²]−mean² with zero hours contributing
+      // only to the denominator: E[c²] = sc2/span
+      .select($"user_id", $"span", $"total", $"active_hours",
+        expr("(sc2 * 1000000) div span" +
+          " - (total * 1000 div span) * (total * 1000 div span)")
+          .as("var_ppm"),
+        expr("(total * 1000000) div span").as("mean_ppm"))
+      .withColumn("fano_ppm",
+        expr("(var_ppm * 1000000) div mean_ppm"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_gini"           -> q239Gini,
+    "q240_burstiness"     -> q240Burstiness,
     "q237_join_cardinality" -> q237JoinCardinality,
     "q238_robust_stats"   -> q238RobustStats,
     "q236_weighted_simhash" -> q236WeightedSimhash,
@@ -3340,6 +3398,44 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same rank-weighted fold off the value histogram, same ppm formula
+    "q239_gini" ->
+      """WITH h AS (SELECT source, n_chars AS v,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, v, k,
+                  CAST(sum(k) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum
+                FROM h),
+          a AS (SELECT source, max(cum) AS n,
+                  CAST(sum(v * k) AS BIGINT) AS sx,
+                  CAST(sum(v * (cum * 2 - k + 1) * k) AS BIGINT) AS s1x2
+                FROM c GROUP BY source)
+          SELECT source, n, sx,
+                 (s1x2 * 1000000) // (n * sx)
+                   - ((n + 1) * 1000000) // n AS gini_ppm
+          FROM a ORDER BY source""",
+    // same sparse-histogram span fold and overflow-safe variance
+    "q240_burstiness" ->
+      """WITH hr AS (SELECT user_id,
+                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    // 3600 AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+          a AS (SELECT user_id, max(h) - min(h) + 1 AS span,
+                  CAST(sum(c) AS BIGINT) AS total,
+                  CAST(sum(c * c) AS BIGINT) AS sc2,
+                  CAST(count(*) AS BIGINT) AS active_hours
+                FROM hr GROUP BY user_id),
+          b AS (SELECT user_id, span, total, active_hours,
+                  (sc2 * 1000000) // span
+                    - (total * 1000 // span) * (total * 1000 // span)
+                    AS var_ppm,
+                  (total * 1000000) // span AS mean_ppm
+                FROM a WHERE span >= 2)
+          SELECT user_id, span, total, active_hours, var_ppm, mean_ppm,
+                 (var_ppm * 1000000) // mean_ppm AS fano_ppm
+          FROM b ORDER BY user_id""",
     // one parent-key multiplicity table per relation, same audit columns
     "q237_join_cardinality" ->
       """WITH pc1 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS m
