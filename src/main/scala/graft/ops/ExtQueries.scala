@@ -3095,7 +3095,96 @@ object ExtQueries {
       .orderBy($"user_id")
   }
 
+  /** INTERVAL-UNION COVERAGE — q221's sweep line completed: total
+    * COVERED microseconds per day (union length of the session
+    * intervals, overlaps counted once) plus the uncovered gap count.
+    * Same boundary explode; coverage folds as Σ gap·[conc>0] over
+    * consecutive boundary pairs via one lead() — still no self-join, one
+    * day-partitioned sort. Integer micros end-to-end. */
+  private val q241IntervalUnion: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .select($"ts".as("s"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
+          .as("e"))
+      // clamp to the start day so an interval never crosses its day bucket
+      .select($"s", least($"e",
+        date_add(to_date($"s"), 1).cast("timestamp")).as("e"))
+    // both boundaries carry the START day: the clamp guarantees e ≤ next
+    // midnight, so a day's sweep is self-contained (an end at exactly
+    // midnight must NOT leak into the next day's bucket)
+    val bounds = iv
+      .select(to_date($"s").as("day"), $"s".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(to_date($"s").as("day"), $"e".as("t"),
+        lit(-1L).as("delta")))
+      .groupBy($"day", $"t")
+      .agg(sum($"delta").as("delta"))
+    val w = Window.partitionBy($"day").orderBy($"t")
+    bounds
+      .withColumn("conc", sum($"delta").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_t", lead($"t", 1).over(w))
+      .filter($"next_t".isNotNull)
+      .groupBy($"day")
+      .agg(
+        sum(when($"conc" > 0,
+          unix_micros($"next_t") - unix_micros($"t")).otherwise(0L))
+          .as("covered_us"),
+        sum(when($"conc" === 0 &&
+          unix_micros($"next_t") > unix_micros($"t"), 1L).otherwise(0L))
+          .as("n_gaps"))
+      .orderBy($"day")
+  }
+
+  /** OUT-OF-VOCABULARY RATE per source — the tokenizer-coverage audit
+    * before committing a vocab: global vocabulary = tokens seen in ≥ 3
+    * documents; each source's token occurrences are scored against it.
+    * One (token) df count, one broadcast-joined probe — the OOV ppm and
+    * the distinct-OOV-type count per source. */
+  private val q242OovRate: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", $"doc_id",
+        explode(graft.text.TextOps.words($"text")).as("w"))
+      .cache()
+    val vocab = tok.select($"w", $"doc_id").distinct()
+      .groupBy($"w").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 3).select($"w")
+    tok.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
+        size(collect_set(when($"in_vocab".isNull, $"w"))).cast("long")
+          .as("n_oov_types"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+      .orderBy($"source")
+  }
+
+  /** ORDERED STRING AGGREGATION (listagg parity) — deterministic
+    * group_concat needs an explicit order or the result is shuffle-
+    * dependent: collect_list carries (orderkey, value) structs,
+    * array_sort fixes the order, THEN the join — the only
+    * shuffle-stable way to build ordered concatenations in a
+    * distributed engine (and why bare collect_list in production
+    * pipelines is a bug). Top-3 regions' nations, pipe-joined in key
+    * order. */
+  private val q243OrderedListagg: Q = (s, d) => {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(n_nationkey, n_name))), p -> p.n_name)"), "|")
+        .as("nations"),
+        count(lit(1)).as("n"))
+      .select($"n_regionkey", $"n", $"nations")
+      .orderBy($"n_regionkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q241_interval_union" -> q241IntervalUnion,
+    "q242_oov_rate"       -> q242OovRate,
+    "q243_ordered_listagg" -> q243OrderedListagg,
     "q239_gini"           -> q239Gini,
     "q240_burstiness"     -> q240Burstiness,
     "q237_join_cardinality" -> q237JoinCardinality,
@@ -3398,6 +3487,57 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same day-clamped intervals, boundary merge, and lead-gap coverage
+    "q241_interval_union" ->
+      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
+                  least(CAST(ts AS TIMESTAMP)
+                          + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)),
+                        CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+                FROM events),
+          b AS (SELECT CAST(s AS DATE) AS day, s AS t,
+                  CAST(1 AS BIGINT) AS delta FROM iv
+                UNION ALL
+                SELECT CAST(s AS DATE), e, -1 FROM iv),
+          g AS (SELECT day, t, CAST(sum(delta) AS BIGINT) AS delta
+                FROM b GROUP BY 1, 2),
+          r AS (SELECT day, t, delta,
+                  sum(delta) OVER (PARTITION BY day ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS conc,
+                  lead(t) OVER (PARTITION BY day ORDER BY t) AS next_t
+                FROM g)
+          SELECT day,
+                 CAST(sum(CASE WHEN conc > 0
+                      THEN epoch_us(next_t) - epoch_us(t)
+                      ELSE 0 END) AS BIGINT) AS covered_us,
+                 CAST(sum(CASE WHEN conc = 0
+                           AND epoch_us(next_t) > epoch_us(t)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+          FROM r WHERE next_t IS NOT NULL
+          GROUP BY day ORDER BY day""",
+    // same df≥3 vocabulary and broadcast probe
+    "q242_oov_rate" ->
+      s"""WITH tok AS (SELECT source, doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          vocab AS (SELECT w FROM (
+                  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tok GROUP BY w) WHERE df >= 3),
+          j AS (SELECT t.source, t.w,
+                  CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tok t LEFT JOIN vocab v ON v.w = t.w)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END)
+                   AS BIGINT) AS n_oov_types,
+                 (CAST(sum(oov) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS oov_ppm
+          FROM j GROUP BY source ORDER BY source""",
+    // list_sort over (key, name) structs fixes the same order
+    "q243_ordered_listagg" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                array_to_string(list_transform(
+                  list_sort(list({'k': n_nationkey, 'v': n_name})),
+                  s -> s.v), '|') AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     // same rank-weighted fold off the value histogram, same ppm formula
     "q239_gini" ->
       """WITH h AS (SELECT source, n_chars AS v,
