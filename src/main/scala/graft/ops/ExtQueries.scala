@@ -3181,7 +3181,45 @@ object ExtQueries {
       .orderBy($"n_regionkey")
   }
 
+  /** CODE-SWITCHING DETECTION — documents whose language FLIPS
+    * mid-text (concatenation artifacts, bilingual boilerplate — docs a
+    * doc-level language filter silently mislabels): q50's marker-argmax
+    * language ID applied per 20-word WINDOW, then per-doc window count,
+    * distinct languages, and adjacent-window switch count. Window slices
+    * are map-side array ops (no token explode); the only shuffle is the
+    * per-doc fold. */
+  private val q244CodeSwitching: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = 20
+    val wins = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $W)," +
+          s" i -> slice(ws, i * $W + 1, $W))")).as(Seq("widx", "wws")))
+    val scores = TextAnalysis.langMarkers.map { case (code, m) =>
+      code -> TextAnalysis.markerHits($"wws", m)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val langCol = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    wins.select($"doc_id", $"widx", langCol.as("lang"))
+      .withColumn("prev", lag($"lang", 1).over(
+        Window.partitionBy($"doc_id").orderBy($"widx")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        size(collect_set($"lang")).cast("long").as("n_langs"),
+        sum(when($"prev".isNotNull && $"prev" =!= $"lang", 1L)
+          .otherwise(0L)).as("n_switches"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q244_code_switching" -> q244CodeSwitching,
     "q241_interval_union" -> q241IntervalUnion,
     "q242_oov_rate"       -> q242OovRate,
     "q243_ordered_listagg" -> q243OrderedListagg,
@@ -3487,6 +3525,23 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // q50's marker argmax per 20-word slice, same switch fold
+    "q244_code_switching" ->
+      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+          w AS (SELECT doc_id, CAST(i AS INT) AS widx,
+                  ws[i * 20 + 1 : i * 20 + 20] AS wsw
+                FROM x, unnest(range(0, (len(ws) - 1) // 20 + 1)) AS u(i)),
+          l AS (SELECT doc_id, widx, $langCaseSql AS lang
+                FROM (SELECT doc_id, widx, wsw AS ws FROM w)),
+          p AS (SELECT doc_id, widx, lang,
+                  lag(lang) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
+                FROM l)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+          FROM p GROUP BY doc_id ORDER BY doc_id""",
     // same day-clamped intervals, boundary merge, and lead-gap coverage
     "q241_interval_union" ->
       """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
