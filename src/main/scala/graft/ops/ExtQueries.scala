@@ -3218,7 +3218,65 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** PER-DOCUMENT KEYWORD EXTRACTION (tf·idf-ranked, transcendental-
+    * free): each doc's top-3 terms by integer weight tf·(10⁶ div df) —
+    * the idf reciprocal in fixed-point rather than a log, monotone in
+    * df for fixed tf, fully order-deterministic with the (weight desc,
+    * term) tiebreak. One token explode feeds BOTH the (doc, term) tf
+    * table and the df table (self-fold, no rescan); df joins back
+    * broadcast; per-doc top-3 via the map-side-prunable window. */
+  private val q245Keywords: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "w")
+      .withColumn("weight", expr("tf * (1000000 div df)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"weight".desc, $"w")))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"w".as("term"), $"tf", $"df", $"weight")
+      .orderBy($"doc_id", $"rk")
+  }
+
+  /** DATASET CARD — the one-row corpus summary a release ships with
+    * (docs, languages, sources, exact-dup rate, length moments, vocab
+    * size, token estimate), folded from TWO scans total: one row-level
+    * pass (counts, lengths, distincts, dup groups via a hash-distinct
+    * fold) and one token pass (vocab + token count). Every number is an
+    * exact integer; the dup rate is published in ppm. The point is the
+    * COMPOSITION shape: card fields share scans instead of each running
+    * its own query — at 100 TB the difference between 2 passes and 9. */
+  private val q246DatasetCard: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id").cache()
+    val rowStats = docs
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        sha2($"text", 256).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"h").as("n_unique"),
+        sum($"n_chars").as("total_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+    val tokStats = docs
+      .select(explode(graft.text.TextOps.words($"text")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("vocab_size"))
+    rowStats.crossJoin(broadcast(tokStats))
+      .select($"n_docs", $"n_langs", $"n_sources",
+        expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"),
+        $"total_chars", $"min_chars", $"max_chars",
+        expr("total_chars * 1000000 div n_docs").as("mean_chars_ppm"),
+        $"n_tokens", $"vocab_size")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q245_keywords"       -> q245Keywords,
+    "q246_dataset_card"   -> q246DatasetCard,
     "q244_code_switching" -> q244CodeSwitching,
     "q241_interval_union" -> q241IntervalUnion,
     "q242_oov_rate"       -> q242OovRate,
@@ -3525,6 +3583,40 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same integer fixed-point idf reciprocal and (weight desc, term)
+    // tiebreak
+    "q245_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+          df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+          j AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                  tf.tf * (1000000 // df.df) AS weight
+                FROM tf JOIN df USING (w)),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY weight DESC, w) AS INT) AS rk FROM j)
+          SELECT doc_id, rk, w AS term, tf, df, weight
+          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // same two-scan fold and ppm dup rate
+    "q246_dataset_card" ->
+      s"""WITH rs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+                FROM documents),
+          ts AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+                 FROM (SELECT unnest($wordsSql) AS w FROM documents))
+          SELECT n_docs, n_langs, n_sources,
+                 ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
+                 total_chars, min_chars, max_chars,
+                 total_chars * 1000000 // n_docs AS mean_chars_ppm,
+                 n_tokens, vocab_size
+          FROM rs, ts""",
     // q50's marker argmax per 20-word slice, same switch fold
     "q244_code_switching" ->
       s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
