@@ -482,6 +482,42 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never CartesianProduct:\n$plan")
   }
 
+  test("Kneser-Ney (q212): one bigram shuffle feeds every stat table, joins broadcast") {
+    val df = graft.SparkEntry.queries("q212_kneser_ney")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count"),
+      s"bigram counts must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"ctx/cont stat joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("budget select (q218): cutoff from the histogram; score joins broadcast") {
+    val df = graft.SparkEntry.queries("q218_budget_select")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"),
+      s"score histogram must combine map-side:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"full-scores and cutoff joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("source contamination (q222): pairs only within shingle groups, no cartesian") {
+    val df = graft.SparkEntry.queries("q222_source_contamination")(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must stay inside shingle source-lists:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"shingle/pair counts must combine map-side:\n$plan")
+  }
+
+  test("keyword tags & tf-cosine (q204/q224): no doc-by-doc cartesian anywhere") {
+    Seq("q204_keyword_tags", "q224_tf_cosine").foreach { q =>
+      val plan = planOf(graft.SparkEntry.queries(q)(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"$q:\n$plan")
+    }
+  }
+
   test("MAD outliers (q206): medians fold from histograms; median joins broadcast") {
     val df = graft.SparkEntry.queries("q206_mad_outliers")(spark, sf)
     val plan = planOf(df)
