@@ -3274,7 +3274,27 @@ object ExtQueries {
         $"n_tokens", $"vocab_size")
   }
 
+  /** BAG-SEMANTICS SET OPERATIONS — EXCEPT ALL / INTERSECT ALL, the
+    * multiset complements of q17/q24's set forms (multiplicity
+    * subtraction and minimum, per SQL standard): the reconciliation
+    * algebra for row-level diffs where duplicate rows are REAL (retry
+    * ingests, at-least-once sinks). Implemented with Spark's native
+    * exceptAll/intersectAll (hash-based multiplicity arithmetic, one
+    * shuffle each), folded to per-priority counts. */
+  private val q248BagSetOps: Q = (s, d) => {
+    import s.implicits._
+    val a = Tables.orders(s, d).select($"o_orderpriority".as("p"))
+    val b = Tables.orders(s, d).filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderpriority".as("p"))
+    val ex = a.exceptAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select($"op", $"p", $"n").orderBy($"op", $"p")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q248_bag_setops"     -> q248BagSetOps,
     "q245_keywords"       -> q245Keywords,
     "q246_dataset_card"   -> q246DatasetCard,
     "q244_code_switching" -> q244CodeSwitching,
@@ -3583,6 +3603,22 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // identical multiset algebra in DuckDB's EXCEPT ALL / INTERSECT ALL
+    "q248_bag_setops" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders),
+          b AS (SELECT o_orderpriority AS p FROM orders
+                WHERE o_orderkey % 2 = 0),
+          ex AS (SELECT 'except_all' AS op, p,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+                 GROUP BY 2),
+          iy AS (SELECT 'intersect_all' AS op, p,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+                 GROUP BY 2)
+          SELECT op, p, n FROM ex
+          UNION ALL SELECT op, p, n FROM iy
+          ORDER BY op, p""",
     // same integer fixed-point idf reciprocal and (weight desc, term)
     // tiebreak
     "q245_keywords" ->

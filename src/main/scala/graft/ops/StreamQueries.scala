@@ -449,6 +449,39 @@ object StreamQueries {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** DYNAMIC-GAP SESSION WINDOWS — q210's merging operator with a
+    * PER-EVENT gap expression (clicks cool off in 10 min, views 20,
+    * everything else 30): each event contributes window [ts, ts+gap),
+    * sessions merge on overlap, close = max end among merged events.
+    * The oracle derives the same semantics relationally: new-session
+    * iff ts ≥ running max of all PRIOR ends (per user) — pinning
+    * Spark's merge rule for expression gaps, not just constant ones.
+    * Same sentinel-finalization and watermark shape as q210. */
+  private val q247DynamicSession: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val maxTs = ev.agg(max($"ts")).head.getTimestamp(0)
+    val sentinel = Seq(
+      (-1L, new java.sql.Timestamp(maxTs.getTime + 10L * 3600 * 1000), -1L,
+        "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.util.Scratch.dir("graft_q247_src_")
+    ev.unionByName(sentinel).write.parquet(s"$dir/events")
+    val gap = when($"event_type" === "click", "10 minutes")
+      .when($"event_type" === "view", "20 minutes")
+      .otherwise(lit("30 minutes"))
+    val stream = Streams.parquetStream(s, s"$dir/events", ev.schema)
+    Streams.runToMemory(s,
+        stream.withWatermark("ts", "2 hours")
+          .groupBy($"user_id", session_window($"ts", gap).as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"w.start".as("session_start"),
+            $"w.end".as("session_close"), $"n_events"),
+        statePartitions = 8)
+      .filter($"user_id" =!= -1L)
+      .orderBy($"user_id", $"session_start")
+  }
+
   /** ARBITRARY STATEFUL PROCESSING via `transformWithState` — the Spark 4
     * state API ([[Streams.UserAggProcessor]]): per-user aggregates in a
     * named, individually-TTL-able ValueState on the ROCKSDB provider (the
@@ -575,7 +608,8 @@ object StreamQueries {
     "q138_stream_join"      -> q138StreamJoin,
     "q210_session_window"   -> q210SessionWindow,
     "q211_dedup_watermark"  -> q211DedupWatermark,
-    "q214_transform_state"  -> q214TransformState)
+    "q214_transform_state"  -> q214TransformState,
+    "q247_dynamic_session"  -> q247DynamicSession)
 
   /** q203's affine coefficients as a literal VALUES table — the same
     * (a, b) pairs [[graft.ext.Dedup.mdBandKeys]] compiled into the engine
@@ -709,6 +743,29 @@ object StreamQueries {
     "q211_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",
+    // merge rule derived relationally: new session iff ts >= running max
+    // of all prior ends per user; close = max end in the island
+    "q247_dynamic_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CAST(ts AS TIMESTAMP) + to_minutes(CAST(
+                    CASE WHEN event_type = 'click' THEN 10
+                         WHEN event_type = 'view' THEN 20
+                         ELSE 30 END AS BIGINT)) AS e_end
+                FROM events),
+          x AS (SELECT *, max(e_end) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS pmax
+                FROM e),
+          y AS (SELECT *, CASE WHEN pmax IS NULL OR ts >= pmax
+                           THEN 1 ELSE 0 END AS new_s FROM x),
+          z AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+                FROM y)
+          SELECT user_id, min(ts) AS session_start,
+                 max(e_end) AS session_close, count(*) AS n_events
+          FROM z GROUP BY user_id, sid
+          ORDER BY user_id, session_start""",
     // the single-batch availableNow emission is the global aggregate
     "q214_transform_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
