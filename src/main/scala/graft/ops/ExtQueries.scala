@@ -3293,7 +3293,70 @@ object ExtQueries {
     ex.unionByName(in).select($"op", $"p", $"n").orderBy($"op", $"p")
   }
 
+  /** LANGUAGE-ID CONFIDENCE — q50's argmax with the decision MARGIN
+    * exposed (top hit count minus runner-up, and the margin as ppm of
+    * total hits): the filtering knob real pipelines use ("keep only
+    * confident en") that a bare label hides. Same one-pass marker
+    * intersection; margin arithmetic is exact integers; docs with zero
+    * hits everywhere report margin −1 (und, unfilterable). */
+  private val q249LangConfidence: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
+    val scores = TextAnalysis.langMarkers.map { case (code, m) =>
+      code -> TextAnalysis.markerHits($"ws", m)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    base
+      .withColumn("sorted", array_sort(array(en, de, fr, es)))
+      .withColumn("total", en + de + fr + es)
+      .select($"doc_id", pred.as("pred_lang"),
+        element_at($"sorted", 4).as("top_hits"),
+        element_at($"sorted", 3).as("second_hits"),
+        when($"total" > 0,
+          expr("((element_at(sorted, 4) - element_at(sorted, 3))" +
+            " * 1000000) div total"))
+          .otherwise(lit(-1L)).as("margin_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** VOCABULARY GROWTH CURVE (Heaps-law audit, log-free): cumulative
+    * distinct-token count after each decile of the corpus, in doc_id
+    * order — the new-token-rate signal that says when a tokenizer vocab
+    * has "seen enough". The curve needs NO sequential scan: each token's
+    * FIRST document (one min-aggregate) places it on the axis, and the
+    * decile curve is a 10-row fold over first-doc counts — two shuffles
+    * total at any corpus size, versus the naive running-distinct which
+    * is inherently serial. Also reports per-decile NEW tokens. */
+  private val q250VocabGrowth: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3-shingles, not words: the synthetic word vocab saturates in the
+    // first docs (a 1-row curve); the shingle space keeps growing, which
+    // is the regime the curve exists to measure
+    val firsts = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(Dedup.shingleSet($"text", 3)).as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("first_doc"))
+    val nDocs = Tables.documents(s, d).agg(max($"doc_id").as("max_id"))
+    firsts.crossJoin(broadcast(nDocs))
+      // decile by position of first_doc on the doc_id axis, 1..10
+      .withColumn("decile",
+        least(lit(10L), expr("(first_doc * 10) div (max_id + 1) + 1")))
+      .groupBy($"decile").agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab_cum", sum($"new_tokens").over(
+        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"new_tokens", $"vocab_cum")
+      .orderBy($"decile")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q250_vocab_growth"   -> q250VocabGrowth,
+    "q249_lang_confidence" -> q249LangConfidence,
     "q248_bag_setops"     -> q248BagSetOps,
     "q245_keywords"       -> q245Keywords,
     "q246_dataset_card"   -> q246DatasetCard,
@@ -3603,6 +3666,50 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same first-doc placement and decile fold over the same shingles
+    "q250_vocab_growth" ->
+      s"""WITH tt AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          tok AS (SELECT doc_id,
+                    unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                      for i in range(1, len(ws) - 1)])) AS w
+                  FROM tt WHERE len(ws) >= 3),
+          f AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+          m AS (SELECT max(doc_id) AS max_id FROM documents),
+          d AS (SELECT least(10, (first_doc * 10) // (max_id + 1) + 1)
+                  AS decile
+                FROM f, m),
+          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_tokens
+                FROM d GROUP BY decile)
+          SELECT decile, new_tokens,
+                 CAST(sum(new_tokens) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+          FROM g ORDER BY decile""",
+    // same marker hits, same sorted-array top-2 margin in ppm
+    "q249_lang_confidence" -> {
+      val hits = TextAnalysis.langMarkers.map { case (code, m) =>
+        code -> s"CAST(len(list_intersect(list_distinct(ws), ${sqlList(m)})) AS BIGINT)"
+      }.toMap
+      val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es
+                FROM t),
+          x AS (SELECT doc_id, en, de, fr, es,
+                  list_sort([en, de, fr, es]) AS sorted,
+                  en + de + fr + es AS total
+                FROM h)
+          SELECT doc_id,
+                 CASE
+                   WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                   WHEN fr > 0 AND fr >= es THEN 'fr'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'und' END AS pred_lang,
+                 sorted[4] AS top_hits, sorted[3] AS second_hits,
+                 CASE WHEN total > 0
+                      THEN ((sorted[4] - sorted[3]) * 1000000) // total
+                      ELSE -1 END AS margin_ppm
+          FROM x ORDER BY doc_id"""
+    },
     // identical multiset algebra in DuckDB's EXCEPT ALL / INTERSECT ALL
     "q248_bag_setops" ->
       """WITH a AS (SELECT o_orderpriority AS p FROM orders),
