@@ -3354,7 +3354,30 @@ object ExtQueries {
       .orderBy($"decile")
   }
 
+  /** COLLISION DIVERSITY (Rényi-2 / Simpson index) — a LOG-FREE lexical
+    * diversity score: the probability two random tokens of a doc
+    * coincide, Σtf² ·10¹² div n², in exact integer ppb-of-ppm units
+    * (1e12 = certain repetition of one token; lower = more diverse).
+    * The transcendental-free stand-in for Shannon entropy that stays
+    * oracle-exact (q104 measures surface REPETITION of grams; this
+    * measures distributional concentration of the unigram mass). One
+    * (doc, token) count shuffle + per-doc fold; the corpus-level
+    * concentration folds from the same tf table. */
+  private val q252CollisionDiversity: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n"), sum($"tf" * $"tf").as("s2"),
+        count(lit(1)).as("n_types"))
+      .select($"doc_id", $"n", $"n_types",
+        expr("(s2 * 1000000000000) div (n * n)").as("collision_ppt"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q252_collision_diversity" -> q252CollisionDiversity,
     "q250_vocab_growth"   -> q250VocabGrowth,
     "q249_lang_confidence" -> q249LangConfidence,
     "q248_bag_setops"     -> q248BagSetOps,
@@ -3666,6 +3689,19 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same Σtf² fixed-point fold
+    "q252_collision_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+                  CAST(sum(tf * tf) AS BIGINT) AS s2,
+                  CAST(count(*) AS BIGINT) AS n_types
+                FROM tf GROUP BY doc_id)
+          SELECT doc_id, n, n_types,
+                 (s2 * 1000000000000) // (n * n) AS collision_ppt
+          FROM a ORDER BY doc_id""",
     // same first-doc placement and decile fold over the same shingles
     "q250_vocab_growth" ->
       s"""WITH tt AS (SELECT doc_id, $wordsSql AS ws FROM documents),

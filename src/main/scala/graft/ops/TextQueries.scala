@@ -576,6 +576,42 @@ object TextQueries {
       .orderBy($"rid")
   }
 
+  /** SORTED-NEIGHBORHOOD BLOCKING (Hernández & Stolfo, SIGMOD 1995) —
+    * the third candidate-generation strategy of the ER family (q181
+    * uses df-ordered trigram prefix filtering, q43/q47 use LSH): records
+    * sort once by a blocking key (lowercased name), and candidates are
+    * the pairs within a w=3 window of the sorted order. The window join
+    * is LINEAR — each row emits its (rank + 1..3) probes and pairs form
+    * by rank equality, never |rank_a − rank_b| as a join predicate —
+    * and the global sort is the method's one honest cost (its selling
+    * point is trading the sort for zero candidate blowup). Candidates
+    * are then verified with the q181 trigram-Jaccard gate; output is
+    * the verified matches, fully replayed by the oracle (same sort,
+    * same window, same gate). */
+  private val q251SortedNeighborhood: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val recs = entityRecords(s, d)
+      .withColumn("key", lower($"name"))
+      .withColumn("rn", row_number().over(Window.orderBy($"key", $"rid")))
+      .select($"rid", $"name", $"rn")
+      .cache()
+    val probes = recs.select($"rid".as("r1"), $"name".as("name1"),
+      explode(expr("sequence(rn + 1, rn + 3)")).as("rn"))
+    val cands = probes.join(
+      recs.select($"rid".as("r2"), $"name".as("name2"), $"rn"), Seq("rn"))
+    cands
+      .withColumn("ga", graft.text.Trigram.trigrams($"name1"))
+      .withColumn("gb", graft.text.Trigram.trigrams($"name2"))
+      .withColumn("o", size(array_intersect($"ga", $"gb")).cast("long"))
+      .withColumn("s1", size($"ga").cast("long"))
+      .withColumn("s2", size($"gb").cast("long"))
+      .filter($"o" * 20 >= lit(11L) * ($"s1" + $"s2" - $"o"))
+      .select(least($"r1", $"r2").as("ra"), greatest($"r1", $"r2").as("rb"))
+      .distinct()
+      .orderBy($"ra", $"rb")
+  }
+
   /** q207's oracle: the shared pair graph, then each synchronous LPA
     * round unrolled as (neighbor-label count → top-1 → relabel) CTEs. */
   private def labelPropOracleSql(iters: Int): String = {
@@ -728,6 +764,7 @@ object TextQueries {
     "q184_triangles"        -> q184Triangles,
     "q196_kcore"            -> q196KCore,
     "q207_label_prop"       -> q207LabelProp,
+    "q251_sorted_neighborhood" -> q251SortedNeighborhood,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -1044,6 +1081,26 @@ object TextQueries {
          FROM reach GROUP BY node ORDER BY rid""",
     "q196_kcore" -> kCoreOracleSql(2, 4),
     "q207_label_prop" -> labelPropOracleSql(3),
+    // same sort key, same w=3 rank window, same trigram-jaccard gate
+    "q251_sorted_neighborhood" ->
+      s"""WITH $entityGraphCte,
+          gs AS (SELECT rid, list(g) AS gl FROM g GROUP BY rid),
+          r AS (SELECT rid, name,
+                  CAST(row_number() OVER (ORDER BY lower(name), rid)
+                    AS BIGINT) AS rn
+                FROM recs),
+          pr AS (SELECT a.rid AS r1, b.rid AS r2
+                 FROM r a JOIN r b
+                   ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+          v AS (SELECT least(p.r1, p.r2) AS ra,
+                  greatest(p.r1, p.r2) AS rb
+                FROM pr p JOIN gs a ON a.rid = p.r1
+                JOIN gs b ON b.rid = p.r2
+                WHERE CAST(len(list_intersect(a.gl, b.gl)) AS BIGINT) * 20
+                  >= 11 * (CAST(len(a.gl) AS BIGINT)
+                           + CAST(len(b.gl) AS BIGINT)
+                           - CAST(len(list_intersect(a.gl, b.gl)) AS BIGINT)))
+          SELECT DISTINCT ra, rb FROM v ORDER BY ra, rb""",
     // the same brute-force pair graph, then the same two triangle joins
     "q184_triangles" ->
       s"""WITH $entityGraphCte,
