@@ -3376,7 +3376,68 @@ object ExtQueries {
       .orderBy($"doc_id")
   }
 
+  /** FEDERATED MULTI-FORMAT UNION — one logical table served by three
+    * physical sources at once: the customer dimension split into a
+    * parquet slice, a CSV slice (written with header, read back with an
+    * explicit schema — no inference drift), and a JDBC slice (embedded
+    * Derby through the dialect-checked path), unioned and aggregated in
+    * a single plan. This is the lake reality the engine must not blink
+    * at: per-source scans keep their own pushdown capabilities and the
+    * union is logical only. The oracle reconstructs the same aggregate
+    * from the parquet table — a lost slice, a CSV type drift, or a JDBC
+    * truncation shows up as a count/sum mismatch. */
+  private val q253FederatedUnion: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment", dec($"c_acctbal").as("bal"))
+    val dir = graft.util.Scratch.dir("graft_q253_fed_")
+    cust.filter($"c_custkey" % 3 === 0)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    cust.filter($"c_custkey" % 3 === 1)
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    cust.filter($"c_custkey" % 3 === 2)
+      .write.mode("overwrite").jdbc(url, "cust_slice", new java.util.Properties())
+    val pq = s.read.parquet(s"$dir/pq")
+    val csv = s.read.option("header", "true")
+      .schema("c_custkey long, c_mktsegment string, bal decimal(18,2)")
+      .csv(s"$dir/csv")
+    val jd = graft.io.Jdbc.readTable(s, url, "cust_slice")
+      .toDF("c_custkey", "c_mktsegment", "bal")
+      .select($"c_custkey".cast("long"), $"c_mktsegment",
+        $"bal".cast("decimal(18,2)"))
+    pq.unionByName(csv).unionByName(jd)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), money(sum($"bal")).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** FORWARD-FILL IMPUTATION via IGNORE NULLS window semantics — the
+    * gap-filling pass for sensor/telemetry-shaped data: values nulled on
+    * a planted rule are re-filled with the user's LAST non-null reading
+    * (event-time order), `last(col, ignoreNulls).over(rows unbounded
+    * preceding)` — the one window mode (null-skipping frames) the window
+    * suites don't otherwise touch. Leading nulls (no prior reading) stay
+    * null and are counted. Row-wise output, no float summation. */
+  private val q254ForwardFill: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 5 === 0, lit(null)).otherwise($"value")
+          .as("v"))
+      .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+      .filter($"event_id" % 5 === 0)
+      .select($"user_id", $"event_id", $"filled",
+        $"filled".isNull.as("still_null"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q253_federated_union" -> q253FederatedUnion,
+    "q254_forward_fill"   -> q254ForwardFill,
     "q252_collision_diversity" -> q252CollisionDiversity,
     "q250_vocab_growth"   -> q250VocabGrowth,
     "q249_lang_confidence" -> q249LangConfidence,
@@ -3689,6 +3750,25 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // the reassembled aggregate straight from the parquet dimension
+    "q253_federated_union" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // same planted nulls, same IGNORE NULLS last-value frame
+    "q254_forward_fill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+                FROM events),
+          f AS (SELECT user_id, ts, event_id,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS filled
+                FROM e)
+          SELECT user_id, event_id, filled, filled IS NULL AS still_null
+          FROM f WHERE event_id % 5 = 0
+          ORDER BY user_id, event_id""",
     // same Σtf² fixed-point fold
     "q252_collision_diversity" ->
       s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
