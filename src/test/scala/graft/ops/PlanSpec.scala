@@ -482,6 +482,19 @@ class PlanSpec extends AnyFunSuite {
       s"the 1-row total must broadcast, never CartesianProduct:\n$plan")
   }
 
+  test("join hints select the requested physical join (merge / shuffle_hash / broadcast)") {
+    // the cluster-tuning surface: when stats mislead the optimizer, the
+    // engine's operators pin strategies by hint — verify Spark honors them
+    val a = Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey")
+    val b = Tables.customer(spark, sf).select($"c_custkey")
+    val merge = planOf(a.hint("merge").join(b, $"o_custkey" === $"c_custkey"))
+    assert(merge.contains("SortMergeJoin"), s"merge hint ignored:\n$merge")
+    val sh = planOf(a.hint("shuffle_hash").join(b, $"o_custkey" === $"c_custkey"))
+    assert(sh.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$sh")
+    val bc = planOf(a.join(broadcast(b), $"o_custkey" === $"c_custkey"))
+    assert(bc.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$bc")
+  }
+
   test("Kneser-Ney (q212): one bigram shuffle feeds every stat table, joins broadcast") {
     val df = graft.SparkEntry.queries("q212_kneser_ney")(spark, sf)
     val plan = planOf(df)
