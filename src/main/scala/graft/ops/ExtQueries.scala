@@ -3435,7 +3435,73 @@ object ExtQueries {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** DUPLICATE PROVENANCE — q40's clusters split by WHERE the copies
+    * live: same-source duplicates (re-crawls — fix the crawler) vs
+    * cross-source duplicates (syndication/mirrors — fix source
+    * weighting). One hash shuffle carrying (source) alongside; per
+    * cluster: size and distinct sources; then a 4-row summary by
+    * (multi_copy × multi_source). The diagnostic that tells you WHICH
+    * dedup investment pays before you make it. */
+  private val q255DupProvenance: Q = (s, d) => {
+    import s.implicits._
+    val cl = Tables.documents(s, d).repartition($"doc_id")
+      .select(sha2($"text", 256).as("h"), $"source")
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"source").as("n_sources"))
+    cl.groupBy(($"n_copies" > 1).as("is_dup"),
+        ($"n_sources" > 1).as("cross_source"))
+      .agg(count(lit(1)).as("n_clusters"), sum($"n_copies").as("n_docs"))
+      .orderBy($"is_dup", $"cross_source")
+  }
+
+  /** BINNED KENDALL CONCORDANCE (τ-a over decile bins) — does document
+    * LENGTH predict QUALITY? Rank correlation computed WITHOUT ranking
+    * rows: both variables bin by their bounded value histograms (q209's
+    * rule), pairs fold from the ≤10×10 CONTINGENCY table (concordant =
+    * cell-pairs strictly increasing in both, discordant = opposed;
+    * within-cell and tied-margin pairs drop, the τ-a-on-bins
+    * convention), published as (C−D)·10⁶ div C(n,2). Everything after
+    * the two histogram shuffles is a 100-row fold — the rank-statistics
+    * shape that survives 100 TB where a global double-sort cannot. */
+  private val q256Concordance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"n_chars".as("x"),
+        graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"x",
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("y"))
+      .cache()
+    def bins(col: String) = {
+      val h = docs.groupBy(docs(col).as("v"))
+        .agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum($"n").as("ntot"))
+      h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
+        .crossJoin(broadcast(tot))
+        .select($"v".as(col), expr("((cum - n) * 10) div ntot").as(s"${col}b"))
+    }
+    val binned = docs
+      .join(broadcast(bins("x")), "x")
+      .join(broadcast(bins("y")), "y")
+    val ct = binned.groupBy($"xb", $"yb").agg(count(lit(1)).as("n")).cache()
+    val tot = ct.agg(sum($"n").as("n"))
+    val pairs = ct.toDF("xa", "ya", "na")
+      .crossJoin(ct.toDF("xb2", "yb2", "nb"))
+    val cAgg = pairs.filter($"xa" < $"xb2" && $"ya" < $"yb2")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("c"))
+    val dAgg = pairs.filter($"xa" < $"xb2" && $"ya" > $"yb2")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("d"))
+    cAgg.crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
+      .select($"n", $"c", $"d",
+        expr("((c - d) * 1000000) div ((n * (n - 1)) div 2)")
+          .as("tau_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q255_dup_provenance" -> q255DupProvenance,
+    "q256_concordance"    -> q256Concordance,
     "q253_federated_union" -> q253FederatedUnion,
     "q254_forward_fill"   -> q254ForwardFill,
     "q252_collision_diversity" -> q252CollisionDiversity,
@@ -3750,6 +3816,53 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same hash clusters, same 2×2 provenance split
+    "q255_dup_provenance" ->
+      """WITH cl AS (SELECT sha256(text) AS h,
+                  CAST(count(*) AS BIGINT) AS n_copies,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+                FROM documents GROUP BY 1)
+         SELECT n_copies > 1 AS is_dup, n_sources > 1 AS cross_source,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(n_copies) AS BIGINT) AS n_docs
+         FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same decile binning and contingency pair folds
+    "q256_concordance" ->
+      s"""WITH sc AS (SELECT doc_id, n_chars AS x,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS y
+                FROM (SELECT doc_id, n_chars, $wordsSql AS ws
+                      FROM documents)
+                WHERE len(ws) > 0),
+          hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM sc GROUP BY 1),
+          cx AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM hx) AS ntot
+                 FROM hx),
+          bx AS (SELECT v, ((cum - n) * 10) // ntot AS xb FROM cx),
+          hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM sc GROUP BY 1),
+          cy AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM hy) AS ntot
+                 FROM hy),
+          by2 AS (SELECT v, ((cum - n) * 10) // ntot AS yb FROM cy),
+          ct AS (SELECT bx.xb, by2.yb, CAST(count(*) AS BIGINT) AS n
+                 FROM sc JOIN bx ON bx.v = sc.x
+                 JOIN by2 ON by2.v = sc.y
+                 GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ct),
+          cd AS (SELECT
+                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb < b.yb
+                        THEN a.n * b.n END), 0) AS BIGINT) AS c,
+                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb > b.yb
+                        THEN a.n * b.n END), 0) AS BIGINT) AS d
+                 FROM ct a, ct b)
+          SELECT t.n, cd.c, cd.d,
+                 ((cd.c - cd.d) * 1000000) // ((t.n * (t.n - 1)) // 2)
+                   AS tau_ppm
+          FROM cd, t""",
     // the reassembled aggregate straight from the parquet dimension
     "q253_federated_union" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
