@@ -3499,7 +3499,51 @@ object ExtQueries {
           .as("tau_ppm"))
   }
 
+  /** MULTI-AGGREGATE PIVOT — q26 pivots one measure; the reporting
+    * reality is several per cell (count AND exact-decimal revenue per
+    * order status), which exercises Spark's `{value}_{alias}` pivot
+    * column synthesis and keeps the whole rotation in ONE aggregate
+    * (Expand-free: pivot compiles to conditional aggregates over the
+    * explicit value list — the at-scale form, since an unlisted pivot
+    * needs a distinct-scan first). */
+  private val q257MultiPivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** CONDITIONAL-AGGREGATE SUITE — count_if / bool_and / bool_or /
+    * every / any_value-free determinism: the predicate-aggregate family
+    * in one map-side-combinable pass (the FILTER-clause equivalents),
+    * plus min_by/max_by witness selection with deterministic tie-breaks
+    * (arg-max by (price, key) — bare min_by/max_by on ties is
+    * shuffle-dependent, the same trap as unordered listagg). */
+  private val q258CondAggSuite: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count_if($"o_orderstatus" === "F").as("n_f"),
+        bool_and($"o_totalprice" > 0).as("all_positive"),
+        bool_or($"o_totalprice" > 400000).as("any_huge"),
+        // (cents, key) packed into one BIGINT: a total order both engines
+        // share scalar-ly (bare min_by/max_by on ties is shuffle-dependent)
+        max_by($"o_orderkey",
+          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
+            + $"o_orderkey").as("richest_order"),
+        min_by($"o_orderkey",
+          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
+            + $"o_orderkey").as("poorest_order"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q257_multi_pivot"    -> q257MultiPivot,
+    "q258_cond_agg_suite" -> q258CondAggSuite,
     "q255_dup_provenance" -> q255DupProvenance,
     "q256_concordance"    -> q256Concordance,
     "q253_federated_union" -> q253FederatedUnion,
@@ -3816,6 +3860,32 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // conditional aggregates per pivot cell, Spark's {value}_{alias} names
+    "q257_multi_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_total",
+                CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_total",
+                CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // FILTER-clause equivalents + (price, key)-struct witness argmax
+    "q258_cond_agg_suite" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+                bool_and(o_totalprice > 0) AS all_positive,
+                bool_or(o_totalprice > 400000) AS any_huge,
+                arg_max(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 1000000000 + o_orderkey) AS richest_order,
+                arg_min(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 1000000000 + o_orderkey) AS poorest_order
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // same hash clusters, same 2×2 provenance split
     "q255_dup_provenance" ->
       """WITH cl AS (SELECT sha256(text) AS h,
