@@ -2774,12 +2774,16 @@ object ExtQueries {
 
   /** RECURSIVE CTE (Spark 4's WITH RECURSIVE — new SQL surface): bounded
     * BFS over the q178 trade graph from customer 1, counting hop-bounded
-    * paths and min-hop distance per reached node. The hop cap (< 3) is
-    * the termination bound — the same role iteration counts play in the
-    * DataFrame graph family (q178/q196/q207); path counts are exact
-    * integers and the oracle runs the IDENTICAL recursive SQL in DuckDB,
-    * pinning Spark's recursion semantics (UNION ALL accumulation)
-    * against a second implementation. */
+    * paths and min-hop distance per reached node. The hop cap (< 2) is
+    * BOTH the termination bound (the role iteration counts play in the
+    * DataFrame graph family, q178/q196/q207) AND the cost bound: UNION
+    * ALL recursion accumulates PATHS, which on a dense graph grow
+    * ~degreeʰᵒᵖˢ (Spark 4.1 rejects dedup UNION recursion —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — so frontier dedup is not
+    * available and unbounded-hop BFS belongs to the iterative DataFrame
+    * family, not this operator). Path counts are exact integers and the
+    * oracle runs the IDENTICAL recursive SQL in DuckDB, pinning Spark's
+    * recursion semantics against a second implementation. */
   private val q230RecursiveCte: Q = (s, d) => {
     Tables.orders(s, d).createOrReplaceTempView("g_orders")
     Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
@@ -2795,7 +2799,7 @@ object ExtQueries {
               SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
               FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey) e
           ON e.src = r.node
-        WHERE r.hops < 3)
+        WHERE r.hops < 2)
       SELECT node, CAST(min(hops) AS INT) AS min_hops,
              CAST(count(*) AS BIGINT) AS n_paths
       FROM reach GROUP BY node ORDER BY node""")
@@ -4355,7 +4359,7 @@ object ExtQueries {
                  SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
                  FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
              ON e.src = r.node
-           WHERE r.hops < 3)
+           WHERE r.hops < 2)
          SELECT node, CAST(min(hops) AS INT) AS min_hops,
                 CAST(count(*) AS BIGINT) AS n_paths
          FROM reach GROUP BY node ORDER BY node""",
