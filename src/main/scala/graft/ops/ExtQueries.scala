@@ -3551,7 +3551,40 @@ object ExtQueries {
       .orderBy($"o_orderpriority")
   }
 
+  /** POSTING-LIST COMPRESSIBILITY — the index-sizing pass before
+    * committing storage: per high-df lexeme, delta-encode the doc_id
+    * posting gaps and measure the exact bit cost (bits(gap) =
+    * length(bin(gap)) — log₂ without a log), against the naive 64-bit
+    * encoding. The gap computation is one lag window per lexeme
+    * partition (bounded by df, never corpus-global); compression ratio
+    * published in ppm. The classic IR result made measurable: dense
+    * terms compress to a few bits per posting, which is why the q37
+    * posting index stores doc_ids sorted. */
+  private val q259PostingGaps: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.tokenizeBasic($"text"))
+        .as("w"))
+      .distinct()
+    val gaps = post
+      .withColumn("gap", $"doc_id" - coalesce(lag($"doc_id", 1).over(
+        Window.partitionBy($"w").orderBy($"doc_id")), lit(-1L)))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("df"),
+        sum(length(bin($"gap"))).cast("long").as("sum_gap_bits"))
+    gaps
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"df".desc, $"w")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"w", $"df", $"sum_gap_bits",
+        expr("(sum_gap_bits * 1000000) div (df * 64)")
+          .as("compression_ppm"))
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q259_posting_gaps"   -> q259PostingGaps,
     "q257_multi_pivot"    -> q257MultiPivot,
     "q258_cond_agg_suite" -> q258CondAggSuite,
     "q255_dup_provenance" -> q255DupProvenance,
@@ -3870,6 +3903,22 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same delta gaps, same binary-length bit cost
+    "q259_posting_gaps" ->
+      s"""WITH post AS (SELECT DISTINCT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          g AS (SELECT w, doc_id,
+                  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY w
+                    ORDER BY doc_id), -1) AS gap
+                FROM post),
+          a AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(length(bin(gap))) AS BIGINT) AS sum_gap_bits
+                FROM g GROUP BY w),
+          r AS (SELECT *, CAST(row_number() OVER (ORDER BY df DESC, w)
+                  AS INT) AS rk FROM a)
+          SELECT rk, w, df, sum_gap_bits,
+                 (sum_gap_bits * 1000000) // (df * 64) AS compression_ppm
+          FROM r WHERE rk <= 20 ORDER BY rk""",
     // conditional aggregates per pivot cell, Spark's {value}_{alias} names
     "q257_multi_pivot" ->
       """SELECT o_orderpriority,
