@@ -3583,7 +3583,36 @@ object ExtQueries {
       .orderBy($"rk")
   }
 
+  /** COLUMN PROFILER (the Deequ/dbt-docs data-quality sheet): per
+    * column — row count, nulls, distincts, lexicographic min/max as
+    * strings — for the whole declared column list in ONE scan: every
+    * column's aggregates ride the same pass (6 columns ⇒ 1 scan, not
+    * 6), then the wide row melts to the per-column layout with a
+    * stack-style explode. The profile every ingest diffs against
+    * yesterday's before promoting a snapshot. */
+  private val q260ColumnProfile: Q = (s, d) => {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate", "l_linestatus")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__mn"),
+        max(col(c)).cast("string").as(s"${c}__mx"))
+    }
+    val wide = Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    wide.select($"n_rows", expr(
+        s"explode(array(${cols.map(c => s"struct('$c' AS c, ${c}__nn AS nn, ${c}__nd AS nd, ${c}__mn AS mn, ${c}__mx AS mx)").mkString(", ")}))")
+        .as("p"))
+      .select($"p.c".as("column"), $"n_rows",
+        ($"n_rows" - $"p.nn").as("n_null"), $"p.nd".as("n_distinct"),
+        $"p.mn".as("min_value"), $"p.mx".as("max_value"))
+      .orderBy($"column")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q260_column_profile" -> q260ColumnProfile,
     "q259_posting_gaps"   -> q259PostingGaps,
     "q257_multi_pivot"    -> q257MultiPivot,
     "q258_cond_agg_suite" -> q258CondAggSuite,
@@ -3903,6 +3932,19 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // one UNION ALL branch per column, same min/max string casts
+    "q260_column_profile" -> {
+      val branches = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate", "l_linestatus").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count($c) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_value,
+               CAST(max($c) AS VARCHAR) AS max_value
+            FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($branches) ORDER BY "column""""
+    },
     // same delta gaps, same binary-length bit cost
     "q259_posting_gaps" ->
       s"""WITH post AS (SELECT DISTINCT doc_id, unnest($wordsSql) AS w
