@@ -3611,7 +3611,44 @@ object ExtQueries {
       .orderBy($"column")
   }
 
+  /** q261's support thresholds, shared with the oracle. */
+  private[ops] val AprioriItemSupport = 20L
+  private[ops] val AprioriPairSupport = 2L
+
+  /** FREQUENT-ITEMSET MINING, A-PRIORI PRUNED (Agrawal & Srikant, VLDB
+    * 1994): frequent part-pairs across order baskets — but pair
+    * generation only ever runs over items that individually cleared the
+    * support threshold (the downward-closure property: an infrequent
+    * item cannot appear in a frequent pair), which is what keeps basket
+    * self-joins alive at 100 TB (the pruned item set shrinks the join
+    * input BEFORE the quadratic-per-basket step; per-basket fanout is
+    * C(items-in-basket, 2), bounded by basket width). Top-20 frequent
+    * pairs with both marginals. */
+  private val q261AprioriPairs: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct().cache()
+    val freq = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("supp1"))
+      .filter($"supp1" >= AprioriItemSupport)
+      .cache()
+    val fb = baskets.join(broadcast(freq.select($"l_partkey")), "l_partkey")
+    fb.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(fb.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("supp2"))
+      .filter($"supp2" >= AprioriPairSupport)
+      .join(broadcast(freq.toDF("p1", "supp1a")), "p1")
+      .join(broadcast(freq.toDF("p2", "supp1b")), "p2")
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"supp2".desc, $"p1", $"p2")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"p1", $"p2", $"supp2", $"supp1a", $"supp1b")
+      .orderBy($"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q261_apriori_pairs"  -> q261AprioriPairs,
     "q260_column_profile" -> q260ColumnProfile,
     "q259_posting_gaps"   -> q259PostingGaps,
     "q257_multi_pivot"    -> q257MultiPivot,
@@ -3932,6 +3969,28 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same thresholds, same downward-closure pruning before pairs
+    "q261_apriori_pairs" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp1
+                FROM b GROUP BY 1
+                HAVING count(*) >= $AprioriItemSupport),
+          fb AS (SELECT b.l_orderkey, b.l_partkey
+                 FROM b JOIN f USING (l_partkey)),
+          p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+                  CAST(count(*) AS BIGINT) AS supp2
+                FROM fb a JOIN fb c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= $AprioriPairSupport),
+          r AS (SELECT p.p1, p.p2, p.supp2,
+                  f1.supp1 AS supp1a, f2.supp1 AS supp1b,
+                  CAST(row_number() OVER (ORDER BY supp2 DESC, p1, p2)
+                    AS INT) AS rk
+                FROM p JOIN f f1 ON f1.l_partkey = p.p1
+                JOIN f f2 ON f2.l_partkey = p.p2)
+          SELECT rk, p1, p2, supp2, supp1a, supp1b
+          FROM r WHERE rk <= 20 ORDER BY rk""",
     // one UNION ALL branch per column, same min/max string casts
     "q260_column_profile" -> {
       val branches = Seq("l_quantity", "l_extendedprice", "l_discount",
