@@ -3647,7 +3647,35 @@ object ExtQueries {
       .orderBy($"rk")
   }
 
+  /** k-ANONYMITY RISK AUDIT (Sweeney 2002) — the re-identification
+    * check a release runs AFTER q102's PII scrub: how many customers sit
+    * in quasi-identifier equivalence classes (nation × market segment ×
+    * account-balance sign) smaller than k? One QI group-by (map-side
+    * combinable), then a class-size histogram with per-k-threshold risk
+    * counts — the histogram is tiny (≤ classes), so the audit costs one
+    * shuffle at any scale. Reported per k ∈ {2, 5, 10}: classes below
+    * k, customers at risk, and the risk share in ppm. */
+  private val q262KAnonymity: Q = (s, d) => {
+    import s.implicits._
+    val classes = Tables.customer(s, d)
+      .groupBy($"c_nationkey", $"c_mktsegment",
+        ($"c_acctbal" >= 0).as("bal_pos"))
+      .agg(count(lit(1)).as("cls"))
+      .cache()
+    val tot = classes.agg(sum($"cls").as("n_total"))
+    val ks = Seq(2L, 5L, 10L).toDF("k")
+    classes.crossJoin(broadcast(ks))
+      .groupBy($"k")
+      .agg(sum(when($"cls" < $"k", 1L).otherwise(0L)).as("classes_below"),
+        sum(when($"cls" < $"k", $"cls").otherwise(0L)).as("at_risk"))
+      .crossJoin(broadcast(tot))
+      .select($"k", $"classes_below", $"at_risk",
+        expr("(at_risk * 1000000) div n_total").as("risk_ppm"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q262_k_anonymity"    -> q262KAnonymity,
     "q261_apriori_pairs"  -> q261AprioriPairs,
     "q260_column_profile" -> q260ColumnProfile,
     "q259_posting_gaps"   -> q259PostingGaps,
@@ -3969,6 +3997,22 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same QI classes and per-k risk folds
+    "q262_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bp,
+                  CAST(count(*) AS BIGINT) AS cls
+                FROM customer GROUP BY 1, 2, 3),
+          t AS (SELECT CAST(sum(cls) AS BIGINT) AS n_total FROM c),
+          k AS (SELECT unnest([2, 5, 10]) AS k)
+          SELECT CAST(k.k AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN cls < k.k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS classes_below,
+                 CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END) AS BIGINT)
+                   AS at_risk,
+                 (CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END)
+                   AS BIGINT) * 1000000) // (SELECT n_total FROM t)
+                   AS risk_ppm
+          FROM c CROSS JOIN k GROUP BY k.k ORDER BY k""",
     // same thresholds, same downward-closure pruning before pairs
     "q261_apriori_pairs" ->
       s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
