@@ -3674,7 +3674,68 @@ object ExtQueries {
       .orderBy($"k")
   }
 
+  /** l-DIVERSITY AUDIT (Machanavajjhala et al., ICDE 2006) — the attack
+    * q262's k-anonymity misses: a class can be large yet HOMOGENEOUS in
+    * the sensitive attribute (everyone in the class shares the secret,
+    * so membership alone leaks it). QI = (nation, balance sign),
+    * sensitive = market segment; a class of size ≥ 5 with fewer than l
+    * distinct segment values is the failure. Same one-shuffle histogram
+    * economics as q262. */
+  private val q263LDiversity: Q = (s, d) => {
+    import s.implicits._
+    val classes = Tables.customer(s, d)
+      .groupBy($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"))
+      .agg(count(lit(1)).as("cls"),
+        countDistinct($"c_mktsegment").as("l_div"))
+      .filter($"cls" >= 5)
+      .cache()
+    val ls = Seq(2L, 3L).toDF("l")
+    classes.crossJoin(broadcast(ls))
+      .groupBy($"l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"l_div" < $"l", 1L).otherwise(0L))
+          .as("homogeneous_classes"),
+        sum(when($"l_div" < $"l", $"cls").otherwise(0L))
+          .as("members_exposed"))
+      .orderBy($"l")
+  }
+
+  /** q264's holdout size, shared with the oracle. */
+  private[ops] val HoldoutQuota = 50L
+
+  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) — exact
+    * integer quota allocation: a 50-doc holdout apportioned across
+    * sources ∝ their counts, floor shares first, the leftover seats to
+    * the largest remainders (ties by source name — fully deterministic,
+    * Σ quota == H exactly, which proportional-rounding by division can't
+    * guarantee). The hash-based samplers (q117/q187) decide WHICH rows;
+    * this decides HOW MANY per stratum — the missing half of stratified
+    * holdout construction. All integer: remainders compare as
+    * cnt·H mod total. */
+  private val q264Apportionment: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val H = HoldoutQuota
+    val counts = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .cache()
+    counts.crossJoin(broadcast(counts.agg(sum($"cnt").as("total"))))
+      .withColumn("floor_q", expr(s"(cnt * $H) div total"))
+      .withColumn("rem", expr(s"(cnt * $H) % total"))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy($"rem".desc, $"source")))
+      .crossJoin(broadcast(
+        counts.crossJoin(counts.agg(sum($"cnt").as("t2")))
+          .agg((lit(H) - sum(expr(s"(cnt * $H) div t2"))).as("leftover"))))
+      .select($"source", $"cnt", $"floor_q", $"rem",
+        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q263_l_diversity"    -> q263LDiversity,
+    "q264_apportionment"  -> q264Apportionment,
     "q262_k_anonymity"    -> q262KAnonymity,
     "q261_apriori_pairs"  -> q261AprioriPairs,
     "q260_column_profile" -> q260ColumnProfile,
@@ -3997,6 +4058,39 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same size-≥5 classes, same distinct-sensitive fold
+    "q263_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_acctbal >= 0 AS bp,
+                  CAST(count(*) AS BIGINT) AS cls,
+                  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+                FROM customer GROUP BY 1, 2
+                HAVING count(*) >= 5),
+          l AS (SELECT unnest([2, 3]) AS l)
+          SELECT CAST(l.l AS BIGINT) AS l,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(sum(CASE WHEN l_div < l.l THEN 1 ELSE 0 END)
+                   AS BIGINT) AS homogeneous_classes,
+                 CAST(sum(CASE WHEN l_div < l.l THEN cls ELSE 0 END)
+                   AS BIGINT) AS members_exposed
+          FROM c CROSS JOIN l GROUP BY l.l ORDER BY l""",
+    // same floors, same mod-total remainders, same largest-remainder
+    // seat distribution with the (rem desc, source) tiebreak
+    "q264_apportionment" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          q AS (SELECT source, cnt,
+                  (cnt * $HoldoutQuota) // total AS floor_q,
+                  (cnt * $HoldoutQuota) % total AS rem
+                FROM c, t),
+          lo AS (SELECT $HoldoutQuota - CAST(sum(floor_q) AS BIGINT)
+                   AS leftover FROM q),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY rem DESC, source) AS BIGINT) AS rrank FROM q)
+          SELECT source, cnt, floor_q, rem,
+                 floor_q + CASE WHEN rrank <= (SELECT leftover FROM lo)
+                            THEN 1 ELSE 0 END AS quota
+          FROM r ORDER BY source""",
     // same QI classes and per-k risk folds
     "q262_k_anonymity" ->
       """WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bp,
