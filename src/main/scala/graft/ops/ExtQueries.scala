@@ -3198,25 +3198,33 @@ object ExtQueries {
     val W = 20
     // fully map-side: windows, per-window language, and the adjacent-
     // switch count all stay inside the row's array world — no explode,
-    // no per-doc window shuffle (the lag-window form of this cost 3.4 s
-    // at sf0.1; this is one projection)
-    def langOf(wv: org.apache.spark.sql.Column) = {
-      val scores = TextAnalysis.langMarkers.map { case (code, m) =>
-        code -> TextAnalysis.markerHits(wv, m)
+    // no per-doc window shuffle. The per-window argmax runs as ONE
+    // hash-set membership pass over the window's distinct words (4
+    // array_intersects against 100-800-entry marker literals per window
+    // kept this at ~4 s at sf0.1; the set-probe form is O(|window|)
+    // with the 4 marker sets built once per executor).
+    val markerSets: Seq[(String, Set[String])] =
+      TextAnalysis.langMarkers.map { case (c, m) => (c, m.toSet) }
+    val bMarkers = s.sparkContext.broadcast(markerSets)
+    val langsUdf = udf((wss: Seq[Seq[String]]) => {
+      val ms = bMarkers.value
+      wss.map { w =>
+        val d = w.distinct
+        val hits = ms.map { case (code, set) => (code, d.count(set)) }
+        val Seq(("en", en), ("de", de), ("fr", fr), ("es", es)) = hits
+        if (en > 0 && en >= de && en >= fr && en >= es) "en"
+        else if (de > 0 && de >= fr && de >= es) "de"
+        else if (fr > 0 && fr >= es) "fr"
+        else if (es > 0) "es"
+        else "und"
       }
-      val Seq(en, de, fr, es) = scores.map(_._2)
-      when(en > 0 && en >= de && en >= fr && en >= es, "en")
-        .when(de > 0 && de >= fr && de >= es, "de")
-        .when(fr > 0 && fr >= es, "fr")
-        .when(es > 0, "es")
-        .otherwise("und")
-    }
+    })
     Tables.documents(s, d).repartition($"doc_id")
       .select($"doc_id", TextAnalysis.words($"text").as("ws"))
       .filter(size($"ws") > 0)
-      .select($"doc_id", transform(expr(
+      .select($"doc_id", langsUdf(expr(
         s"transform(sequence(0, (size(ws) - 1) div $W)," +
-          s" i -> slice(ws, i * $W + 1, $W))"), langOf(_)).as("ls"))
+          s" i -> slice(ws, i * $W + 1, $W))")).as("ls"))
       .select($"doc_id",
         size($"ls").cast("long").as("n_windows"),
         size(array_distinct($"ls")).cast("long").as("n_langs"),
