@@ -3743,7 +3743,44 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** SHUFFLE-QUALITY AUDIT — is the q118 training order actually
+    * DECORRELATED? A bad shuffle leaves same-source runs that become
+    * correlated gradient batches. Measured: the adjacent-pair
+    * same-source rate over the md5 global order vs the sampling-
+    * without-replacement EXPECTATION Σ nₛ(nₛ−1) / (n(n−1)), both in
+    * exact ppm, plus the longest same-source run. The order is the
+    * md5-derived (hash, doc_id) rank, so both engines see the identical
+    * permutation; lag comparisons run inside one window (documented
+    * single-axis sort — at corpus scale the audit samples the q118
+    * buckets independently, same rate). */
+  private val q265ShuffleQuality: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"h", $"doc_id")
+    val seq0 = Tables.documents(s, d)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+      .withColumn("prev_src", lag($"source", 1).over(w))
+      .withColumn("same", when($"prev_src" === $"source", 1L).otherwise(0L))
+      .cache()
+    val runs = seq0
+      .withColumn("brk", sum(lit(1L) - $"same").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"brk").agg(count(lit(1)).as("run_len"))
+      .agg(max($"run_len").as("max_run"))
+    val perSrc = seq0.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .agg(sum(expr("ns * (ns - 1)")).as("num"), sum($"ns").as("n"))
+    seq0.agg(sum($"same").as("n_same"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(perSrc))
+      .crossJoin(broadcast(runs))
+      .select($"n_rows", $"n_same",
+        expr("(n_same * 1000000) div (n_rows - 1)").as("observed_ppm"),
+        expr("(num * 1000000) div (n * (n - 1))").as("expected_ppm"),
+        $"max_run")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q265_shuffle_quality" -> q265ShuffleQuality,
     "q263_l_diversity"    -> q263LDiversity,
     "q264_apportionment"  -> q264Apportionment,
     "q262_k_anonymity"    -> q262KAnonymity,
@@ -4068,6 +4105,31 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // identical md5 permutation, adjacency fold, run segmentation, and
+    // without-replacement expectation
+    "q265_shuffle_quality" ->
+      """WITH s0 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          q AS (SELECT source, h, doc_id,
+                  CASE WHEN lag(source) OVER (ORDER BY h, doc_id) = source
+                       THEN 1 ELSE 0 END AS same
+                FROM s0),
+          q2 AS (SELECT source, same,
+                  CAST(sum(1 - same) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS brk
+                 FROM q),
+          mr AS (SELECT CAST(max(run_len) AS BIGINT) AS max_run FROM (
+                   SELECT brk, count(*) AS run_len FROM q2 GROUP BY brk)),
+          ps AS (SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS num,
+                   CAST(sum(ns) AS BIGINT) AS n
+                 FROM (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                       FROM s0 GROUP BY source)),
+          ob AS (SELECT CAST(sum(same) AS BIGINT) AS n_same,
+                   CAST(count(*) AS BIGINT) AS n_rows FROM q)
+          SELECT n_rows, n_same,
+                 (n_same * 1000000) // (n_rows - 1) AS observed_ppm,
+                 (num * 1000000) // (n * (n - 1)) AS expected_ppm,
+                 max_run
+          FROM ob, ps, mr""",
     // same size-≥5 classes, same distinct-sensitive fold
     "q263_l_diversity" ->
       """WITH c AS (SELECT c_nationkey, c_acctbal >= 0 AS bp,
