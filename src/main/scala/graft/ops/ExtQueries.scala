@@ -3779,7 +3779,768 @@ object ExtQueries {
         $"max_run")
   }
 
+  /** CHI-SQUARE INDEPENDENCE TEST (Pearson 1900) — are market segment
+    * and nation independent? The drift/bias audit a corpus release runs
+    * over (source × lang) style contingency tables. All-integer: per
+    * cell d = obs·N − rt·ct, cell statistic ((d² div rt·ct)·10⁶) div N
+    * micro-units — identical floor chain in both engines, no floats.
+    * Zero cells matter (d = −rt·ct), so the margins build the full r×c
+    * grid and LEFT-join the observed counts. Economics: three map-side
+    * combinable group-bys over a 2-column projection, then a ≤125-row
+    * driver-sized grid — one scan's worth of shuffle at any corpus
+    * size. */
+  private val q266ChiSquare: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_nationkey").cache()
+    val rt = base.groupBy($"c_mktsegment").agg(count(lit(1)).as("rt"))
+    val ct = base.groupBy($"c_nationkey").agg(count(lit(1)).as("ct"))
+    val obs = base.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("obs"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("c_mktsegment", "c_nationkey"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(tot))
+      .select($"c_mktsegment", $"c_nationkey", $"rt", $"ct", $"obs", $"n",
+        expr("(((obs*n - rt*ct) * (obs*n - rt*ct)) div (rt*ct)) * 1000000 div n")
+          .as("cell_micro"))
+      .agg(max($"n").as("n"), count(lit(1)).as("n_cells"),
+        ((countDistinct($"c_mktsegment") - 1) *
+          (countDistinct($"c_nationkey") - 1)).as("df"),
+        sum($"cell_micro").as("chi2_micro"))
+  }
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV — does the lexicographically-first
+    * source's length distribution match the rest of the corpus? The
+    * distribution-shift gate between a new crawl slice and the
+    * established corpus. D = max |F1 − F2| in exact ppm via the
+    * cross-multiplied cumulative counts |c1·n2 − c2·n1|·10⁶ div n1·n2 —
+    * no float CDFs. One (n_chars) group-by, then a window over the
+    * ≤distinct-lengths aggregated frame (bounded by the value domain,
+    * not the corpus). */
+  private val q267KsTest: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
+    val srcA = docs.agg(min($"source").as("src_a"))
+    val per = docs.crossJoin(broadcast(srcA))
+      .groupBy($"n_chars", $"src_a")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select($"n_chars", $"src_a",
+        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
+      .crossJoin(broadcast(
+        docs.crossJoin(broadcast(srcA)).agg(
+          sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("n1"),
+          sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("n2"))))
+      .select($"n_chars", $"src_a", $"n1", $"n2",
+        expr("(abs(f1*n2 - f2*n1) * 1000000) div (n1*n2)").as("d_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"d_ppm".desc, $"n_chars")))
+      .filter($"rk" === 1)
+      .select($"src_a", $"n1", $"n2", $"d_ppm", $"n_chars".as("at_n_chars"))
+  }
+
+  /** SPEARMAN RANK TREND (monotone drift test) — per event type, is the
+    * daily event count trending over the year? Rank days by time and by
+    * (count, day) — the day tiebreak makes both rankings strict
+    * permutations, so ρ = 1 − 6Σd²/(n(n²−1)) is exact in integers
+    * (ppm, one floor div shared with the oracle). The robust
+    * alternative to q177's OLS slope: outlier days can't dominate.
+    * One (type, day) group-by; windows run over ≤366 rows per type. */
+  private val q268SpearmanTrend: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val rx = row_number().over(
+      Window.partitionBy($"event_type").orderBy($"day"))
+    val ry = row_number().over(
+      Window.partitionBy($"event_type").orderBy($"cnt", $"day"))
+    daily.select($"event_type", (rx - ry).cast("long").as("dd"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"dd" * $"dd").as("sum_d2"))
+      .filter($"n_days" >= 2)
+      .select($"event_type", $"n_days", $"sum_d2",
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n_days * (n_days*n_days - 1))")
+          .as("rho_ppm"))
+      .orderBy($"event_type")
+  }
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT (the Tane/Deequ profiling primitive):
+    * does A determine B? For each declared candidate FD, count the
+    * LHS classes, the classes with >1 distinct RHS (violations), and
+    * the rows trapped in violating classes. Each FD is one map-side-
+    * combinable group-by collapsed to a single row — k FDs cost k
+    * pruned scans, never a join. Drives schema inference and key
+    * discovery before a corpus is promoted to a feature table. */
+  private val q269FdAudit: Q = (s, d) => {
+    import s.implicits._
+    def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String,
+           tag: String) =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("ndv"), count(lit(1)).as("nrows"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when($"ndv" > 1, 1L).otherwise(0L)).as("violating_classes"),
+          sum(when($"ndv" > 1, $"nrows").otherwise(0L)).as("rows_in_violating"))
+        .select(lit(tag).as("fd"), $"n_classes", $"violating_classes",
+          $"rows_in_violating",
+          ($"violating_classes" === 0L).as("holds"))
+    fd(Tables.nation(s, d), "n_nationkey", "n_regionkey",
+        "nation.n_nationkey->n_regionkey")
+      .unionByName(fd(Tables.orders(s, d), "o_orderkey", "o_orderdate",
+        "orders.o_orderkey->o_orderdate"))
+      .unionByName(fd(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"))
+      .unionByName(fd(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+        "lineitem.l_orderkey->l_returnflag"))
+      .unionByName(fd(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        "lineitem.l_partkey->l_suppkey"))
+      .orderBy($"fd")
+  }
+
+  /** t-CLOSENESS AUDIT (Li et al., ICDE 2007) — the third leg of the
+    * privacy trio (q262 k-anonymity, q263 l-diversity): a class can be
+    * large AND diverse yet still leak if its sensitive-attribute
+    * DISTRIBUTION diverges from the global one. Distance = Earth
+    * Mover's over the alphabetically-ordered segment axis, exact in
+    * ppm: Σ|cumc·N − cumg·cls|·10⁶ div (cls·N·(m−1)). Zero cells
+    * restored by the class × segment grid; windows run over the
+    * ≤(classes×m) aggregated frame. Flagged at t = 0.2. */
+  private val q270TCloseness: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d)
+      .select($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"),
+        $"c_mktsegment").cache()
+    val glob = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("g"))
+    val classes = cust.groupBy($"c_nationkey", $"bal_pos")
+      .agg(count(lit(1)).as("cls")).filter($"cls" >= 5)
+    val obs = cust.groupBy($"c_nationkey", $"bal_pos", $"c_mktsegment")
+      .agg(count(lit(1)).as("o"))
+    val tot = cust.agg(count(lit(1)).as("nn"))
+    val m = glob.agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy($"c_nationkey", $"bal_pos")
+      .orderBy($"c_mktsegment")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(glob))
+      .join(obs, Seq("c_nationkey", "bal_pos", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+      .select($"c_nationkey", $"bal_pos", $"cls", $"nn", $"m",
+        sum($"o").over(w).as("cumc"), sum($"g").over(w).as("cumg"))
+      .groupBy($"c_nationkey", $"bal_pos")
+      .agg(max($"cls").as("cls"),
+        expr("(sum(abs(cumc*nn - cumg*cls)) * 1000000) div (max(cls)*max(nn)*(max(m)-1))")
+          .as("emd_ppm"))
+      .select($"c_nationkey", $"bal_pos", $"cls", $"emd_ppm",
+        ($"emd_ppm" > 200000L).as("fails_t02"))
+      .orderBy($"c_nationkey", $"bal_pos")
+  }
+
+  /** AUTOCORRELATION (lag-1 and lag-7) of the daily event series — the
+    * seasonality screen behind q217's anomaly monitor: a high lag-7 ACF
+    * says weekly periodicity, lag-1 says day-to-day momentum. Counts
+    * are integers, so every sufficient statistic (Σx, Σy, Σxy, Σx²,
+    * Σy²) is EXACT; only the final Pearson ratio divides, via the
+    * shared truncating div against floor(sqrt(den1·den2)) — sqrt is
+    * IEEE-correctly-rounded on identical doubles, so both engines floor
+    * the same value. Lag pairs come from one window over the ≤366-row
+    * daily aggregate (bounded by the calendar, not the corpus). */
+  private val q271Acf: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"day")
+    val lagged = daily.select($"cnt",
+      lag($"cnt", 1).over(w).as("y1"), lag($"cnt", 7).over(w).as("y7"))
+      .cache()
+    def branch(k: Int, y: String) =
+      lagged.filter(col(y).isNotNull)
+        .agg(count(lit(1)).as("n"), sum($"cnt").as("sx"),
+          sum(col(y)).as("sy"), sum($"cnt" * col(y)).as("sxy"),
+          sum($"cnt" * $"cnt").as("sxx"), sum(col(y) * col(y)).as("syy"))
+        .select(lit(k.toLong).as("lag"), $"n", $"sx", $"sy", $"sxy",
+          $"sxx", $"syy",
+          expr("""((n*sxy - sx*sy) * 1000000) div
+                 nullif(cast(floor(sqrt(cast(n*sxx - sx*sx as double)
+                   * cast(n*syy - sy*sy as double))) as bigint), 0)""")
+            .as("r_ppm"))
+    branch(1, "y1").unionByName(branch(7, "y7")).orderBy($"lag")
+  }
+
+  /** CUSUM CHANGEPOINT (Page 1954) — when did event volume drift above
+    * its run-rate? The classic recursion S_t = max(0, S_{t-1} + x_t − k)
+    * is NOT window-expressible — but its closed form IS: S_t = P_t −
+    * min(0, min_{j≤t} P_j) with P the prefix sum of (x − k). Two
+    * running windows over the daily aggregate replace the recursion, so
+    * the detector stays one shuffle at any scale. Target k = the mean
+    * day (integer floor), alarm h = 10% of a mean day of cumulative
+    * excess — sensitive enough that the alarm branch actually fires on
+    * stationary data (a detector whose alarm path never executes is
+    * untested); emits the first alarm date, alarm count, and peak
+    * statistic. */
+  private val q272Cusum: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    val kh = daily.agg(
+      expr("sum(cnt) div count(1)").as("k"),
+      expr("sum(cnt) div (10 * count(1))").as("h"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(kh))
+      .select($"day", $"k", $"h",
+        sum($"cnt" - $"k").over(w).as("p"))
+      .withColumn("sstat", $"p" - least(min($"p").over(w), lit(0L)))
+      .agg(count(lit(1)).as("n_days"), max($"k").as("k"), max($"h").as("h"),
+        sum(when($"sstat" >= $"h", 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when($"sstat" >= $"h", $"day")).cast("string"),
+          lit("none")).as("first_alarm_day"),
+        max($"sstat").as("max_s"))
+  }
+
+  /** CANDIDATE-KEY DISCOVERY — which column sets uniquely key the
+    * orders table? count vs count-distinct per declared combination,
+    * one map-side-combinable aggregate per candidate (multi-column
+    * combos compare concat_ws fingerprints so both engines share the
+    * exact null/format semantics). The uniqueness profile every CDC
+    * pipeline needs before it can pick a merge key. */
+  private val q273CandidateKeys: Q = (s, d) => {
+    import s.implicits._
+    val ord = Tables.orders(s, d).cache()
+    def cand(cols: Seq[String]) = {
+      val tag = cols.mkString(",")
+      val fp = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      ord.agg(count(lit(1)).as("n_rows"), countDistinct(fp).as("n_distinct"))
+        .select(lit(tag).as("key_cols"), $"n_rows", $"n_distinct",
+          ($"n_rows" - $"n_distinct").as("dup_rows"),
+          ($"n_rows" === $"n_distinct").as("is_key"))
+    }
+    Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+      Seq("o_custkey", "o_orderdate"),
+      Seq("o_orderstatus", "o_orderpriority"))
+      .map(cand).reduce(_ unionByName _)
+      .orderBy($"key_cols")
+  }
+
+  /** USER-ACCRETION CURVE — per day: active users, first-seen (new)
+    * users, returning = active − new, and the cumulative registered
+    * base. The growth-accounting decomposition behind every DAU chart.
+    * Two shuffles total — one (day,user) distinct, one user-grain min —
+    * then the calendar-bounded running sum; never a per-user window
+    * over raw events. */
+  private val q274UserAccretion: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val dau = ev.distinct().groupBy($"day").agg(count(lit(1)).as("dau"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    dau.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .select($"day", $"dau", $"new_users",
+        ($"dau" - $"new_users").as("returning"),
+        sum($"new_users").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+      .orderBy($"day")
+  }
+
+  /** GENERATOR SUITE (SQL lateral-view surface): posexplode with
+    * ordinal positions, stack row-pivoting, and map explode — the three
+    * Spark generator shapes a migration off LATERAL VIEW needs, in one
+    * unioned frame over region. Oracle mirrors via generate_subscripts
+    * / UNION ALL / length() — same rows, same 0-based positions. */
+  private val q275GeneratorSuite: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" < 5)
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", lit("word").as("kind"),
+        $"pos".cast("long").as("pos"), $"col".as("val"))
+    val stacked = docs
+      .selectExpr("doc_id",
+        "stack(2, 'lang', lang, 'source', source) AS (kind, val)")
+      .select($"doc_id", $"kind", lit(-1L).as("pos"), $"val")
+    val mapped = docs
+      .select($"doc_id", explode(map(
+        lit("n_chars"), $"n_chars",
+        lit("n_words"), size(split($"text", " ")).cast("long"))))
+      .select($"doc_id", $"key".as("kind"), lit(-2L).as("pos"),
+        $"value".cast("string").as("val"))
+    words.unionByName(stacked).unionByName(mapped)
+      .orderBy($"doc_id", $"kind", $"pos", $"val")
+  }
+
+  /** MANN-WHITNEY U (Wilcoxon rank-sum) — do the two
+    * alphabetically-first sources draw document lengths from the same
+    * distribution? The rank-based companion to q267's KS: U is location-
+    * sensitive where KS is shape-sensitive. All-integer via DOUBLED
+    * midranks (2·midrank = 2·rank_min + ties − 1 stays integral under
+    * ties), computed from cumulative counts over the per-length
+    * aggregate — no per-row ranking, the window runs over distinct
+    * lengths only. Emits U in 2× units beside its null expectation
+    * n1·n2 (also 2×), so the drift direction reads off directly. */
+  private val q276MannWhitney: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
+    // smallest and second-smallest source names
+    val srcs = docs.select($"source").distinct().orderBy($"source").limit(2)
+      .agg(min($"source").as("src_a"), max($"source").as("src_b"))
+    val per = docs.crossJoin(broadcast(srcs))
+      .filter($"source" === $"src_a" || $"source" === $"src_b")
+      .groupBy($"n_chars", $"src_a", $"src_b")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"source" === $"src_b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select($"src_a", $"src_b", $"ca", $"cb",
+        sum($"ca" + $"cb").over(w).as("cum"), ($"ca" + $"cb").as("cnt"))
+      .groupBy($"src_a", $"src_b")
+      .agg(sum($"ca").as("n1"), sum($"cb").as("n2"),
+        sum($"ca" * (lit(2L) * $"cum" - $"cnt" + 1L)).as("r1_2x"))
+      .select($"src_a", $"src_b", $"n1", $"n2",
+        ($"r1_2x" - $"n1" * ($"n1" + 1L)).as("u_2x"),
+        ($"n1" * $"n2").as("e_u_2x"),
+        (($"r1_2x" - $"n1" * ($"n1" + 1L)) > $"n1" * $"n2").as("a_greater"))
+  }
+
+  /** LINEAR GAP INTERPOLATION over the hourly purchase series — q254's
+    * forward-fill upgraded to two-sided linear fill: the feature-store
+    * imputation for sparse counters. The hour grid comes from one
+    * sequence() explode between min and max (calendar-bounded); missing
+    * hours take prev + (next−prev)·offset/gap in exact micro units (one
+    * truncating div, negative-safe — both engines truncate). Four
+    * IGNORE-NULLS windows over the grid replace any self-join against
+    * neighbors. */
+  private val q277GapInterpolation: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter($"event_type" === "purchase")
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+    val j = grid.join(ev, Seq("hr"), "left")
+      .withColumn("idx", row_number().over(Window.orderBy($"hr")).cast("long"))
+    val wp = Window.orderBy($"idx").rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.orderBy($"idx").rowsBetween(1, Window.unboundedFollowing)
+    j.select($"hr", $"cnt", $"idx",
+        last(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wp).as("pidx"),
+        last($"cnt", ignoreNulls = true).over(wp).as("pcnt"),
+        first(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wn).as("nidx"),
+        first($"cnt", ignoreNulls = true).over(wn).as("ncnt"))
+      .select($"hr", $"cnt", $"cnt".isNull.as("was_gap"),
+        when($"cnt".isNotNull, $"cnt" * 1000000L)
+          .when($"pidx".isNull || $"nidx".isNull, lit(null).cast("long"))
+          .otherwise($"pcnt" * 1000000L +
+            expr("((ncnt - pcnt) * 1000000 * (idx - pidx)) div (nidx - pidx)"))
+          .as("filled_micro"))
+      .orderBy($"hr")
+  }
+
+  /** WEIGHTED MEDIAN — the revenue-weighted "typical" order quantity
+    * per return flag: smallest quantity whose cumulative extended-price
+    * weight reaches half the total. Weights sum as decimal(18,2) (the
+    * dec() exactness bridge), so the 2·cum ≥ total threshold is an
+    * exact comparison with no float accumulation drift. Pre-aggregated
+    * per (flag, quantity) before the window — the cumsum runs over the
+    * value domain, not the fact table. */
+  private val q278WeightedMedian: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(sum(dec($"l_extendedprice")).as("w"))
+    val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"l_returnflag")
+    per.select($"l_returnflag", $"l_quantity",
+        sum($"w").over(wq).as("cw"), sum($"w").over(wt).as("tw"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("w_median_qty"),
+        money(max($"tw")).as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM (Dwork 2006, ε = 1) — per-source
+    * release counts with Laplace(1/ε) noise via inverse-CDF transform of
+    * an md5-derived uniform (the q176 hash-RNG convention: seeded,
+    * engine-independent, reproducible). The noise term is quantized
+    * round(noise·10⁶) BEFORE adding — the lnMicro argument: a 1-ulp ln()
+    * disagreement cannot move a round() at the 10⁻⁶ grid — so both
+    * engines release the identical integers. Map-only after one
+    * map-side-combinable count. */
+  private val q279DpHistogram: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .withColumn("u",
+        (conv(substring(md5(concat($"source", lit(":dp1"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d))
+      .withColumn("v", $"u" - 0.5)
+      .withColumn("lap_micro",
+        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d, lit(1e-300)))
+          * 1e6).cast("long"))
+      .select($"source", ($"cnt" * 1000000L + $"lap_micro").as("noisy_micro"),
+        abs($"lap_micro").as("abs_err_micro"))
+      .orderBy($"source")
+  }
+
+  /** FACT-vs-ROLLUP RECONCILIATION — does orders.o_totalprice equal the
+    * sum of its lineitem extended prices? The warehouse closing audit
+    * (and the TPC-H generator makes them independent, so mismatches are
+    * the EXPECTED finding — the audit proves it detects them). All
+    * money flows through dec(18,2), so diffs are exact; one
+    * orderkey-grain aggregate then one join with orders, collapsed to a
+    * single audit row: matched orders, mismatched, childless, worst and
+    * total absolute drift. */
+  private val q280OrderValueAudit: Q = (s, d) => {
+    import s.implicits._
+    val lineSum = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(sum(dec($"l_extendedprice")).as("gross"))
+    Tables.orders(s, d)
+      .join(lineSum, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", dec($"o_totalprice").as("head"), $"gross")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"gross".isNull, 1L).otherwise(0L)).as("n_childless"),
+        sum(when($"gross" === $"head", 1L).otherwise(0L)).as("n_matched"),
+        sum(when($"gross".isNotNull && $"gross" =!= $"head", 1L).otherwise(0L))
+          .as("n_mismatched"),
+        money(max(abs($"gross" - $"head"))).as("max_abs_diff"),
+        money(sum(abs($"gross" - $"head"))).as("sum_abs_diff"))
+  }
+
+  /** DP SUM WITH CONTRIBUTION CLIPPING — q279's histogram mechanism
+    * upgraded to the sum query every DP release actually ships: each
+    * record's n_chars is clipped at C = 5000 FIRST (bounding per-record
+    * sensitivity, the half of DP that's about the data not the noise),
+    * then Laplace(C/ε) noise (ε = 1) rides the seeded md5 inverse-CDF.
+    * Noise quantized round(·10⁶) before adding — same lnMicro-grid
+    * argument — so both engines release identical integers. Map-only
+    * clip + one combinable sum. */
+  private val q281DpSumClipped: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", least($"n_chars", lit(5000L)).as("x"),
+        ($"n_chars" > 5000L).cast("long").as("clipped"))
+      .groupBy($"source").agg(sum($"x").as("clipped_sum"),
+        sum($"clipped").as("n_clipped"))
+      .withColumn("v",
+        (conv(substring(md5(concat($"source", lit(":dps"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
+          - 0.5)
+      .withColumn("lap_micro",
+        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d,
+          lit(1e-300))) * 5000d * 1e6).cast("long"))
+      .select($"source", $"clipped_sum", $"n_clipped",
+        ($"clipped_sum" * 1000000L + $"lap_micro").as("noisy_micro"))
+      .orderBy($"source")
+  }
+
+  /** JACKKNIFE (leave-one-source-out) on mean document length — the
+    * group-aware uncertainty estimate for corpus statistics where docs
+    * within a source are correlated and the iid bootstrap lies. NO
+    * resampling pass: every LOO mean folds from broadcast totals
+    * ((Σx − Σxᵢ)/(n − nᵢ)), so g replicates cost one aggregate, not g
+    * scans. Milli-quantized means keep every pseudo-value and the
+    * jackknife variance exact integers with headroom for the squared
+    * deviations. */
+  private val q282Jackknife: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("sx_i"), count(lit(1)).as("n_i"))
+      .cache()
+    val tot = per.agg(sum($"sx_i").as("sx"), sum($"n_i").as("n"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select($"source", $"n_i", $"g",
+        expr("(sx * 1000) div n").as("mean_milli"),
+        expr("((sx - sx_i) * 1000) div (n - n_i)").as("loo_mean_milli"))
+      .withColumn("pseudo_milli",
+        $"g" * $"mean_milli" - ($"g" - 1L) * $"loo_mean_milli")
+      .cache()
+    // milli (not micro) quantization bounds the squared deviations:
+    // diff ≤ ~1e6 milli-chars ⇒ Σdiff² ≤ g·1e12, far from long overflow
+    val varr = loo
+      .crossJoin(broadcast(loo.agg(
+        expr("sum(loo_mean_milli) div count(1)").as("mbar"))))
+      .agg(expr(
+        """((count(1) - 1) * sum((loo_mean_milli - mbar)
+           * (loo_mean_milli - mbar))) div count(1)""").as("jack_var_scaled"))
+    loo.crossJoin(broadcast(varr))
+      .select($"source", $"n_i", $"g", $"mean_milli", $"loo_mean_milli",
+        $"pseudo_milli", $"jack_var_scaled")
+      .orderBy($"source")
+  }
+
+  /** q283's shared bin edges and smoothing — also baked into the oracle. */
+  private[ops] val PsiBinEdges = Seq(500L, 1000L, 2000L, 4000L)
+
+  /** POPULATION STABILITY INDEX — the standard production drift metric
+    * between two corpus slices (here even vs odd doc_id, the
+    * deterministic A/B split): PSI = Σ (p−q)·ln(p/q) over fixed length
+    * bins. Proportions in exact ppm; the log-ratio is ln((ca+1)·nb) −
+    * ln((cb+1)·na) (add-one absorbs empty bins), each term micro-nat
+    * quantized BEFORE the product — the q137 lnMicro argument — so both
+    * engines sum identical pico-unit integers. One map-side-combinable
+    * (bin, split) count at any scale. */
+  private val q283PsiDrift: Q = (s, d) => {
+    import s.implicits._
+    val binExpr = PsiBinEdges.zipWithIndex.foldRight(
+      lit(PsiBinEdges.size.toLong)) { case ((edge, i), acc) =>
+      when($"n_chars" < edge, i.toLong).otherwise(acc)
+    }
+    val per = Tables.documents(s, d)
+      .select(binExpr.as("bin"), ($"doc_id" % 2 === 0).as("in_a"))
+      .groupBy($"bin")
+      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"in_a", 1L).otherwise(0L)).as("cb"))
+    val tot = per.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
+    val terms = per.crossJoin(broadcast(tot))
+      .select($"bin", $"ca", $"cb",
+        expr("(ca * 1000000) div na").as("pa_ppm"),
+        expr("(cb * 1000000) div nb").as("pb_ppm"),
+        (round(log(($"ca" + 1L).cast("double") * $"nb".cast("double")) * 1e6)
+          - round(log(($"cb" + 1L).cast("double") * $"na".cast("double")) * 1e6))
+          .cast("long").as("lr_micro"))
+      .withColumn("term_pico", ($"pa_ppm" - $"pb_ppm") * $"lr_micro")
+      .cache()
+    terms.crossJoin(broadcast(
+        terms.agg(sum($"term_pico").as("psi_pico"))))
+      .select($"bin", $"ca", $"cb", $"pa_ppm", $"pb_ppm", $"term_pico",
+        $"psi_pico")
+      .orderBy($"bin")
+  }
+
+  /** RANK-SUM AUC — does document length separate English from
+    * non-English? AUC computed as the Mann-Whitney statistic over
+    * doubled midranks (q276's machinery, U/(n₁n₂) identity), so the
+    * classifier-evaluation metric every quality model ships with is
+    * exact-integer and windowed over DISTINCT lengths, never per-row.
+    * auc_ppm = U_2x·10⁶ div 2n₁n₂. */
+  private val q284RankAuc: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d)
+      .select($"n_chars", ($"lang" === "en").as("pos"))
+      .groupBy($"n_chars")
+      .agg(sum(when($"pos", 1L).otherwise(0L)).as("ca"),
+        sum(when(!$"pos", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select($"ca", $"cb",
+        sum($"ca" + $"cb").over(w).as("cum"), ($"ca" + $"cb").as("cnt"))
+      .agg(sum($"ca").as("n_pos"), sum($"cb").as("n_neg"),
+        sum($"ca" * (lit(2L) * $"cum" - $"cnt" + 1L)).as("r1_2x"))
+      .select($"n_pos", $"n_neg",
+        ($"r1_2x" - $"n_pos" * ($"n_pos" + 1L)).as("u_2x"),
+        expr("""((r1_2x - n_pos * (n_pos + 1)) * 1000000)
+               div (2 * n_pos * n_neg)""").as("auc_ppm"))
+  }
+
+  /** HITS (Kleinberg, JSODA 1998) over the directed customer→supplier
+    * purchase graph: hubs = buyers, authorities = suppliers. Integer
+    * fixed-point like [[graft.ext.Graph.pageRankExact]]: every round
+    * renormalizes scores to sum ≈ 10⁹ via one truncating div against
+    * the broadcast total, so all arithmetic stays in longs and the
+    * oracle unrolls the identical two rounds as CTEs. Two
+    * map-side-combinable shuffles per half-step; scores frames are
+    * node-sized. Top-20 authorities. */
+  private val q285Hits: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val norm = 1000000000L
+    val e = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
+      .distinct().cache()
+    val h0 = e.select($"src").distinct()
+      .crossJoin(broadcast(e.select($"src").distinct()
+        .agg(count(lit(1)).as("ns"))))
+      .select($"src", expr(s"$norm div ns").as("h"))
+    var h = h0
+    var a: org.apache.spark.sql.DataFrame = null
+    for (i <- 1 to 2) {
+      val aRaw = e.join(h, "src").groupBy($"dst").agg(sum($"h").as("ar"))
+      a = aRaw.crossJoin(broadcast(aRaw.agg(sum($"ar").as("at"))))
+        .select($"dst", expr(s"(ar * $norm) div at").as("a"))
+        .localCheckpoint()
+      if (i < 2) {
+        val hRaw = e.join(a, "dst").groupBy($"src").agg(sum($"a").as("hr"))
+        h = hRaw.crossJoin(broadcast(hRaw.agg(sum($"hr").as("ht"))))
+          .select($"src", expr(s"(hr * $norm) div ht").as("h"))
+          .localCheckpoint()
+      }
+    }
+    a.withColumn("rk", row_number().over(
+        Window.orderBy($"a".desc, $"dst")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"dst".as("suppkey"), $"a".as("authority_fp"))
+      .orderBy($"rk")
+  }
+
+  /** KWIC CONCORDANCE (keyword-in-context) — every occurrence of a term
+    * with ±3 words of context, the corpus-linguistics primitive behind
+    * annotation UIs and context-window audits. Two-phase to stay linear:
+    * the occurrence scan explodes WITHOUT retaining the word array (a
+    * retained array copies O(words²) cells per document), then only the
+    * matching (doc, pos) rows join back to the array for slicing — the
+    * join moves occurrences, not the corpus. */
+  private val q286Kwic: Q = (s, d) => {
+    import s.implicits._
+    val wa = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+    val occ = wa.select($"doc_id", posexplode($"ws"))
+      .filter($"col" === "spark")
+      .select($"doc_id", $"pos".cast("long").as("pos"))
+    occ.join(wa, "doc_id")
+      .select($"doc_id", $"pos",
+        array_join(slice($"ws",
+          greatest($"pos" - 3, lit(0L)).cast("int") + 1,
+          ($"pos" - greatest($"pos" - 3, lit(0L))).cast("int")), " ")
+          .as("left_ctx"),
+        array_join(slice($"ws", ($"pos" + 2).cast("int"), lit(3)), " ")
+          .as("right_ctx"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  /** NTILE QUARTILES × VALUE BUCKETS — the two bucketing semantics a
+    * reporting migration must pin down: ntile's rank-based equal-count
+    * buckets (first n mod k buckets one larger — order fixed by the
+    * (price, orderkey) tiebreak so both engines tile identically) vs
+    * fixed-width value buckets (explicit floor arithmetic shared with
+    * the oracle rather than any engine's width_bucket). Collapsed to a
+    * (status, quartile, bucket) count grid. */
+  private val q287NtileBuckets: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .select($"o_orderstatus", ntile(4).over(w).as("quartile"),
+        least(lit(10L), expr("1 + cast(floor(o_totalprice / 50000.0) as bigint)"))
+          .as("bucket"))
+      .groupBy($"o_orderstatus", $"quartile", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus", $"quartile", $"bucket")
+  }
+
+  /** THEIL-T BETWEEN-GROUP INEQUALITY — how unequally is corpus text
+    * mass concentrated across sources? The decomposable complement to
+    * q239's Gini (Theil splits into between+within; the between term is
+    * the source-level audit). T_b = Σ share·ln(share/pop-share): shares
+    * in exact ppm, the log-ratio ln(xs·N) − ln(X·ns) per-term micro-nat
+    * quantized (q283's convention) — integer pico-unit sums, one tiny
+    * group-by. */
+  private val q288TheilBetween: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("xs"), count(lit(1)).as("ns"))
+    val tot = per.agg(sum($"xs").as("xx"), sum($"ns").as("nn"))
+    val terms = per.crossJoin(broadcast(tot))
+      .select($"source", $"xs", $"ns",
+        expr("(xs * 1000000) div xx").as("share_ppm"),
+        (round(log($"xs".cast("double") * $"nn".cast("double")) * 1e6)
+          - round(log($"xx".cast("double") * $"ns".cast("double")) * 1e6))
+          .cast("long").as("lr_micro"))
+      .withColumn("term_pico", $"share_ppm" * $"lr_micro")
+      .cache()
+    terms.crossJoin(broadcast(terms.agg(sum($"term_pico").as("theil_pico"))))
+      .select($"source", $"xs", $"ns", $"share_ppm", $"term_pico",
+        $"theil_pico")
+      .orderBy($"source")
+  }
+
+  /** CAPTURE-RECAPTURE SIZE ESTIMATE (Chapman 1951) — estimate corpus
+    * cardinality from two independent seeded hash-samples and their
+    * overlap: N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The coverage-estimation
+    * primitive for "how much of the web did this crawl see" — here
+    * audited against the known corpus size so the estimator's bias is
+    * measured in-query. Map-only flags, one fold. */
+  private val q289CaptureRecapture: Q = (s, d) => {
+    import s.implicits._
+    def u(seed: String) =
+      (conv(substring(md5(concat($"doc_id".cast("string"), lit(seed))), 1, 13),
+        16, 10).cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
+    Tables.documents(s, d)
+      .select((u(":cr1") < 0.3).cast("long").as("s1"),
+        (u(":cr2") < 0.3).cast("long").as("s2"))
+      .agg(count(lit(1)).as("true_n"), sum($"s1").as("n1"),
+        sum($"s2").as("n2"), sum($"s1" * $"s2").as("m"))
+      .select($"true_n", $"n1", $"n2", $"m",
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_hat"))
+      .withColumn("err", $"n_hat" - $"true_n")
+  }
+
+  /** TIME-WEIGHTED AVERAGE over an irregular series — the
+    * metering/billing semantics (a value holds until the next sample)
+    * applied to the gappy hourly purchase-count series: trapezoid
+    * integration Σ(vᵢ+vᵢ₊₁)·Δtᵢ / 2T, all integer (counts × hour
+    * gaps), one lead() window over the aggregated series. The
+    * comparison column is the naive unweighted mean — the bias the TWA
+    * exists to correct. */
+  private val q290TimeWeightedAvg: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d).filter($"event_type" === "purchase")
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"hr")
+    hourly
+      .select($"hr", $"cnt",
+        lead($"cnt", 1).over(w).as("nv"),
+        lead($"hr", 1).over(w).as("nhr"))
+      .withColumn("dt",
+        expr("(cast(nhr as long) - cast(hr as long)) div 3600"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum($"cnt").as("sum_v"),
+        sum(when($"nv".isNotNull, ($"cnt" + $"nv") * $"dt")).as("trap2"),
+        sum(when($"nv".isNotNull, $"dt")).as("t_hours"))
+      .select($"n_samples", $"t_hours",
+        expr("(trap2 * 1000) div (2 * t_hours)").as("twa_milli"),
+        expr("(sum_v * 1000) div n_samples").as("naive_mean_milli"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q286_kwic"           -> q286Kwic,
+    "q287_ntile_buckets"  -> q287NtileBuckets,
+    "q288_theil_between"  -> q288TheilBetween,
+    "q289_capture_recapture" -> q289CaptureRecapture,
+    "q290_time_weighted_avg" -> q290TimeWeightedAvg,
+    "q281_dp_sum_clipped" -> q281DpSumClipped,
+    "q282_jackknife"      -> q282Jackknife,
+    "q283_psi_drift"      -> q283PsiDrift,
+    "q284_rank_auc"       -> q284RankAuc,
+    "q285_hits"           -> q285Hits,
+    "q276_mann_whitney"   -> q276MannWhitney,
+    "q277_gap_interpolation" -> q277GapInterpolation,
+    "q278_weighted_median" -> q278WeightedMedian,
+    "q279_dp_histogram"   -> q279DpHistogram,
+    "q280_order_value_audit" -> q280OrderValueAudit,
+    "q271_acf"            -> q271Acf,
+    "q272_cusum"          -> q272Cusum,
+    "q273_candidate_keys" -> q273CandidateKeys,
+    "q274_user_accretion" -> q274UserAccretion,
+    "q275_generator_suite" -> q275GeneratorSuite,
+    "q266_chi_square"     -> q266ChiSquare,
+    "q267_ks_test"        -> q267KsTest,
+    "q268_spearman_trend" -> q268SpearmanTrend,
+    "q269_fd_audit"       -> q269FdAudit,
+    "q270_t_closeness"    -> q270TCloseness,
     "q265_shuffle_quality" -> q265ShuffleQuality,
     "q263_l_diversity"    -> q263LDiversity,
     "q264_apportionment"  -> q264Apportionment,
@@ -4105,6 +4866,549 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same ±3 window, 1-based list slicing mirrors 0-based posexplode
+    "q286_kwic" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents),
+          o AS (SELECT doc_id, ws,
+                  CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
+                  unnest(ws) AS w
+                FROM t)
+          SELECT doc_id, pos,
+                 coalesce(array_to_string(ws[CAST(greatest(pos-3, 0)+1 AS INT) :
+                   CAST(pos AS INT)], ' '), '') AS left_ctx,
+                 coalesce(array_to_string(ws[CAST(pos+2 AS INT) :
+                   CAST(pos+4 AS INT)], ' '), '') AS right_ctx
+          FROM o WHERE w = 'spark' ORDER BY doc_id, pos""",
+    // same (price, orderkey) tile order, same explicit bucket floor
+    "q287_ntile_buckets" ->
+      """WITH b AS (SELECT o_orderstatus,
+                  ntile(4) OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey) AS quartile,
+                  least(10, 1 + CAST(floor(o_totalprice / 50000.0)
+                    AS BIGINT)) AS bucket
+                FROM orders)
+          SELECT o_orderstatus, CAST(quartile AS INT) AS quartile, bucket,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // same ppm shares, same per-term micro-nat quantization
+    "q288_theil_between" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS xs,
+                  CAST(count(*) AS BIGINT) AS ns
+                FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(xs) AS BIGINT) AS xx,
+                  CAST(sum(ns) AS BIGINT) AS nn FROM per),
+          terms AS (SELECT source, xs, ns,
+                  (xs * 1000000) // xx AS share_ppm,
+                  CAST(round(ln(CAST(xs AS DOUBLE) * CAST(nn AS DOUBLE))
+                    * 1000000.0) AS BIGINT)
+                  - CAST(round(ln(CAST(xx AS DOUBLE) * CAST(ns AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS lr_micro
+                FROM per, t),
+          t2 AS (SELECT *, share_ppm * lr_micro AS term_pico FROM terms)
+          SELECT source, xs, ns, share_ppm, term_pico,
+                 (SELECT CAST(sum(term_pico) AS BIGINT) FROM t2)
+                   AS theil_pico
+          FROM t2 ORDER BY source""",
+    // same seeded dyadic samples, same Chapman fold
+    "q289_capture_recapture" ->
+      """WITH f AS (SELECT
+                  CASE WHEN (CAST(CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':cr1'), 1, 13) AS BIGINT)
+                    AS DOUBLE) + 1) / 4503599627370496.0 < 0.3
+                    THEN 1 ELSE 0 END AS s1,
+                  CASE WHEN (CAST(CAST('0x' || substring(md5(
+                    CAST(doc_id AS VARCHAR) || ':cr2'), 1, 13) AS BIGINT)
+                    AS DOUBLE) + 1) / 4503599627370496.0 < 0.3
+                    THEN 1 ELSE 0 END AS s2
+                FROM documents),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS true_n,
+                   CAST(sum(s1) AS BIGINT) AS n1,
+                   CAST(sum(s2) AS BIGINT) AS n2,
+                   CAST(sum(s1 * s2) AS BIGINT) AS m FROM f)
+          SELECT true_n, n1, n2, m,
+                 ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
+                 ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - true_n AS err
+          FROM ag""",
+    // same trapezoid fold over the gappy hourly series
+    "q290_time_weighted_avg" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          l AS (SELECT hr, cnt,
+                  lead(cnt, 1) OVER (ORDER BY hr) AS nv,
+                  (epoch(lead(hr, 1) OVER (ORDER BY hr))::BIGINT
+                    - epoch(hr)::BIGINT) // 3600 AS dt
+                FROM hourly),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(cnt) AS BIGINT) AS sum_v,
+                   CAST(sum(CASE WHEN nv IS NOT NULL
+                     THEN (cnt + nv) * dt END) AS BIGINT) AS trap2,
+                   CAST(sum(CASE WHEN nv IS NOT NULL THEN dt END)
+                     AS BIGINT) AS t_hours
+                 FROM l)
+          SELECT n_samples, t_hours,
+                 (trap2 * 1000) // (2 * t_hours) AS twa_milli,
+                 (sum_v * 1000) // n_samples AS naive_mean_milli
+          FROM ag""",
+    // same clip, same seeded Laplace, same micro rounding
+    "q281_dp_sum_clipped" ->
+      """WITH per AS (SELECT source,
+                  CAST(sum(least(n_chars, 5000)) AS BIGINT) AS clipped_sum,
+                  CAST(sum(CASE WHEN n_chars > 5000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+                FROM documents GROUP BY 1),
+          u AS (SELECT source, clipped_sum, n_clipped,
+                  (CAST(CAST('0x' || substring(md5(source || ':dps'), 1, 13)
+                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
+                    AS v
+                FROM per)
+          SELECT source, clipped_sum, n_clipped,
+                 clipped_sum * 1000000 +
+                   CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
+                     1e-300)) * 5000.0 * 1000000.0) AS BIGINT)
+                   AS noisy_micro
+          FROM u ORDER BY source""",
+    // same broadcast-total LOO folds, same milli floors
+    "q282_jackknife" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx_i,
+                  CAST(count(*) AS BIGINT) AS n_i
+                FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(sx_i) AS BIGINT) AS sx,
+                  CAST(sum(n_i) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS g FROM per),
+          loo AS (SELECT source, n_i, g,
+                    (sx * 1000) // n AS mean_milli,
+                    ((sx - sx_i) * 1000) // (n - n_i) AS loo_mean_milli
+                  FROM per, t),
+          l2 AS (SELECT *, g * mean_milli - (g - 1) * loo_mean_milli
+                   AS pseudo_milli FROM loo),
+          mb AS (SELECT sum(loo_mean_milli) // count(*) AS mbar FROM l2),
+          v AS (SELECT ((count(*) - 1) * sum((loo_mean_milli - mbar)
+                    * (loo_mean_milli - mbar))) // count(*)
+                    AS jack_var_scaled
+                FROM l2, mb)
+          SELECT source, n_i, g, mean_milli, loo_mean_milli, pseudo_milli,
+                 (SELECT jack_var_scaled FROM v) AS jack_var_scaled
+          FROM l2 ORDER BY source""",
+    // same fixed bins, same ppm proportions, same per-term micro-nat
+    // quantization before the product
+    "q283_psi_drift" -> {
+      val edges = PsiBinEdges
+      val binSql = edges.zipWithIndex.foldRight(s"${edges.size}") {
+        case ((e, i), acc) => s"CASE WHEN n_chars < $e THEN $i ELSE $acc END"
+      }
+      s"""WITH b AS (SELECT CAST($binSql AS BIGINT) AS bin,
+                  doc_id % 2 = 0 AS in_a FROM documents),
+          per AS (SELECT bin,
+                  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ca,
+                  CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
+                    AS cb
+                FROM b GROUP BY 1),
+          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                  CAST(sum(cb) AS BIGINT) AS nb FROM per),
+          terms AS (SELECT bin, ca, cb,
+                  (ca * 1000000) // na AS pa_ppm,
+                  (cb * 1000000) // nb AS pb_ppm,
+                  CAST(round(ln(CAST((ca + 1) AS DOUBLE)
+                      * CAST(nb AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    - CAST(round(ln(CAST((cb + 1) AS DOUBLE)
+                      * CAST(na AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    AS lr_micro
+                FROM per, t),
+          t2 AS (SELECT *, (pa_ppm - pb_ppm) * lr_micro AS term_pico
+                 FROM terms)
+          SELECT bin, ca, cb, pa_ppm, pb_ppm, term_pico,
+                 (SELECT CAST(sum(term_pico) AS BIGINT) FROM t2) AS psi_pico
+          FROM t2 ORDER BY bin"""
+    },
+    // q276's doubled-midrank machinery folded to the U/(n1 n2) identity
+    "q284_rank_auc" ->
+      """WITH per AS (SELECT n_chars,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ca,
+                  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+                    AS BIGINT) AS cb
+                FROM documents GROUP BY 1),
+          c AS (SELECT ca, cb, ca + cb AS cnt,
+                  CAST(sum(ca + cb) OVER (ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM per),
+          ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
+                   CAST(sum(cb) AS BIGINT) AS n_neg,
+                   CAST(sum(ca * (2*cum - cnt + 1)) AS BIGINT) AS r1_2x
+                 FROM c)
+          SELECT n_pos, n_neg,
+                 r1_2x - n_pos*(n_pos+1) AS u_2x,
+                 ((r1_2x - n_pos*(n_pos+1)) * 1000000)
+                   // (2 * n_pos * n_neg) AS auc_ppm
+          FROM ag""",
+    // identical two unrolled normalize-rounds in integer fixed-point
+    "q285_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          ns AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS ns FROM e),
+          h0 AS (SELECT DISTINCT src,
+                   1000000000 // (SELECT ns FROM ns) AS h FROM e),
+          a1r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
+                  FROM e JOIN h0 USING (src) GROUP BY dst),
+          a1t AS (SELECT CAST(sum(ar) AS BIGINT) AS at FROM a1r),
+          a1 AS (SELECT dst, (ar * 1000000000) // (SELECT at FROM a1t)
+                   AS a FROM a1r),
+          h1r AS (SELECT src, CAST(sum(a) AS BIGINT) AS hr
+                  FROM e JOIN a1 USING (dst) GROUP BY src),
+          h1t AS (SELECT CAST(sum(hr) AS BIGINT) AS ht FROM h1r),
+          h1 AS (SELECT src, (hr * 1000000000) // (SELECT ht FROM h1t)
+                   AS h FROM h1r),
+          a2r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
+                  FROM e JOIN h1 USING (src) GROUP BY dst),
+          a2t AS (SELECT CAST(sum(ar) AS BIGINT) AS at FROM a2r),
+          a2 AS (SELECT dst, (ar * 1000000000) // (SELECT at FROM a2t)
+                   AS a FROM a2r),
+          r AS (SELECT dst, a, CAST(row_number() OVER
+                  (ORDER BY a DESC, dst) AS INT) AS rk FROM a2)
+          SELECT rk, dst AS suppkey, a AS authority_fp
+          FROM r WHERE rk <= 20 ORDER BY rk""",
+    // same doubled midranks from cumulative counts over distinct lengths
+    "q276_mann_whitney" ->
+      """WITH srcs AS (SELECT min(source) AS src_a, max(source) AS src_b
+                FROM (SELECT DISTINCT source FROM documents
+                      ORDER BY source LIMIT 2)),
+          per AS (SELECT n_chars, s.src_a, s.src_b,
+                    CAST(sum(CASE WHEN source = s.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN source = s.src_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+                  FROM documents, srcs s
+                  WHERE source = s.src_a OR source = s.src_b
+                  GROUP BY 1, 2, 3),
+          c AS (SELECT src_a, src_b, ca, cb, ca + cb AS cnt,
+                  CAST(sum(ca + cb) OVER (ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM per),
+          ag AS (SELECT src_a, src_b, CAST(sum(ca) AS BIGINT) AS n1,
+                   CAST(sum(cb) AS BIGINT) AS n2,
+                   CAST(sum(ca * (2*cum - cnt + 1)) AS BIGINT) AS r1_2x
+                 FROM c GROUP BY 1, 2)
+          SELECT src_a, src_b, n1, n2,
+                 r1_2x - n1*(n1+1) AS u_2x, n1*n2 AS e_u_2x,
+                 (r1_2x - n1*(n1+1)) > n1*n2 AS a_greater
+          FROM ag""",
+    // same hour grid, same IGNORE-NULLS neighbors, same truncating
+    // micro-unit interpolation
+    "q277_gap_interpolation" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          mm AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+          grid AS (SELECT unnest(generate_series(h0, h1,
+                     INTERVAL 1 HOUR)) AS hr FROM mm),
+          j AS (SELECT g.hr, ev.cnt FROM grid g LEFT JOIN ev USING (hr)),
+          ix AS (SELECT hr, cnt, CAST(row_number() OVER (ORDER BY hr)
+                   AS BIGINT) AS idx FROM j),
+          p AS (SELECT hr, cnt, idx,
+                  last_value(CASE WHEN cnt IS NOT NULL THEN idx END
+                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING) AS pidx,
+                  last_value(cnt IGNORE NULLS) OVER (ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pcnt,
+                  first_value(CASE WHEN cnt IS NOT NULL THEN idx END
+                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
+                    1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nidx,
+                  first_value(cnt IGNORE NULLS) OVER (ORDER BY idx
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS ncnt
+                FROM ix)
+          SELECT hr, cnt, cnt IS NULL AS was_gap,
+                 CASE WHEN cnt IS NOT NULL THEN cnt * 1000000
+                      WHEN pidx IS NULL OR nidx IS NULL THEN NULL
+                      ELSE pcnt * 1000000 +
+                        ((ncnt - pcnt) * 1000000 * (idx - pidx))
+                          // (nidx - pidx) END AS filled_micro
+          FROM p ORDER BY hr""",
+    // same decimal weight sums, same 2·cum ≥ total threshold
+    "q278_weighted_median" ->
+      """WITH per AS (SELECT l_returnflag, l_quantity,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+                FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT l_returnflag, l_quantity,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                    ROWS UNBOUNDED PRECEDING) AS cw,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM per)
+          SELECT l_returnflag, min(l_quantity) AS w_median_qty,
+                 CAST(max(tw) AS DOUBLE) AS total_weight
+          FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+          ORDER BY l_returnflag""",
+    // same md5 uniform, same inverse-CDF Laplace, same micro rounding
+    // (both engines round half away from zero)
+    "q279_dp_histogram" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1),
+          u AS (SELECT source, cnt,
+                  (CAST(CAST('0x' || substring(md5(source || ':dp1'), 1, 13)
+                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
+                    AS v
+                FROM per),
+          n AS (SELECT source, cnt,
+                  CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
+                    1e-300)) * 1000000.0) AS BIGINT) AS lap
+                FROM u)
+          SELECT source, cnt * 1000000 + lap AS noisy_micro,
+                 abs(lap) AS abs_err_micro
+          FROM n ORDER BY source""",
+    // same decimal(18,2) money bridge on both sides of the join
+    "q280_order_value_audit" ->
+      """WITH ls AS (SELECT l_orderkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross
+                FROM lineitem GROUP BY 1),
+          j AS (SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS head, ls.gross
+                FROM orders LEFT JOIN ls ON o_orderkey = ls.l_orderkey)
+          SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CASE WHEN gross IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_childless,
+                 CAST(sum(CASE WHEN gross = head THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+                 CAST(sum(CASE WHEN gross IS NOT NULL AND gross <> head
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+                 CAST(max(abs(gross - head)) AS DOUBLE) AS max_abs_diff,
+                 CAST(sum(abs(gross - head)) AS DOUBLE) AS sum_abs_diff
+          FROM j""",
+    // same exact sufficient statistics; same truncating div against the
+    // identically-rounded floor(sqrt(double product))
+    "q271_acf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          lagged AS (SELECT cnt,
+                  lag(cnt, 1) OVER (ORDER BY day) AS y1,
+                  lag(cnt, 7) OVER (ORDER BY day) AS y7 FROM daily),
+          b1 AS (SELECT CAST(1 AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cnt) AS BIGINT) AS sx,
+                   CAST(sum(y1) AS BIGINT) AS sy,
+                   CAST(sum(cnt*y1) AS BIGINT) AS sxy,
+                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
+                   CAST(sum(y1*y1) AS BIGINT) AS syy
+                 FROM lagged WHERE y1 IS NOT NULL),
+          b7 AS (SELECT CAST(7 AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cnt) AS BIGINT) AS sx,
+                   CAST(sum(y7) AS BIGINT) AS sy,
+                   CAST(sum(cnt*y7) AS BIGINT) AS sxy,
+                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
+                   CAST(sum(y7*y7) AS BIGINT) AS syy
+                 FROM lagged WHERE y7 IS NOT NULL),
+          u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b7)
+          SELECT lag, n, sx, sy, sxy, sxx, syy,
+                 ((n*sxy - sx*sy) * 1000000) //
+                   nullif(CAST(floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                     * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT), 0)
+                   AS r_ppm
+          FROM u ORDER BY lag""",
+    // same closed-form prefix-minus-min-prefix statistic, same integer
+    // allowance/threshold floors
+    "q272_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          kh AS (SELECT sum(cnt) // count(*) AS k,
+                   sum(cnt) // (10 * count(*)) AS h FROM daily),
+          p AS (SELECT day, k, h,
+                  CAST(sum(cnt - k) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+                FROM daily, kh),
+          s AS (SELECT day, k, h,
+                  p - least(min(p) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING), 0) AS sstat
+                FROM p)
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max(k) AS BIGINT) AS k, CAST(max(h) AS BIGINT) AS h,
+                 CAST(sum(CASE WHEN sstat >= h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarms,
+                 coalesce(CAST(min(CASE WHEN sstat >= h THEN day END)
+                   AS VARCHAR), 'none') AS first_alarm_day,
+                 CAST(max(sstat) AS BIGINT) AS max_s
+          FROM s""",
+    // same concat_ws fingerprints, same count-distinct uniqueness folds
+    "q273_candidate_keys" -> {
+      val branches = Seq(Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_orderdate"), Seq("o_custkey", "o_orderdate"),
+        Seq("o_orderstatus", "o_orderpriority")).map { cols =>
+        val tag = cols.mkString(",")
+        val fp = cols.map(c => s"CAST($c AS VARCHAR)")
+          .mkString("concat_ws('|', ", ", ", ")")
+        s"""SELECT '$tag' AS key_cols, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT $fp) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT $fp) AS BIGINT) AS dup_rows,
+               count(*) = count(DISTINCT $fp) AS is_key
+            FROM orders"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($branches) ORDER BY key_cols"
+    },
+    // same (day,user) distinct / first-seen decomposition and running sum
+    "q274_user_accretion" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                  FROM ev GROUP BY 1),
+          fs AS (SELECT min(day) AS day, user_id FROM ev GROUP BY user_id),
+          nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                 FROM fs GROUP BY 1)
+          SELECT dau.day, dau.dau,
+                 CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+                 dau.dau - CAST(coalesce(nu.new_users, 0) AS BIGINT)
+                   AS returning,
+                 CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+          FROM dau LEFT JOIN nu ON dau.day = nu.day
+          ORDER BY dau.day""",
+    // generate_subscripts gives 1-based positions → −1 matches
+    // posexplode's 0-based; stack/map branches are literal UNION ALL rows
+    "q275_generator_suite" ->
+      """WITH d5 AS (SELECT * FROM documents WHERE doc_id < 5),
+          words AS (SELECT doc_id, 'word' AS kind,
+                  CAST(generate_subscripts(string_split(text, ' '), 1)
+                    - 1 AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS val
+                FROM d5),
+          stacked AS (SELECT doc_id, 'lang' AS kind,
+                  CAST(-1 AS BIGINT) AS pos, lang AS val FROM d5
+                UNION ALL
+                SELECT doc_id, 'source', CAST(-1 AS BIGINT), source
+                FROM d5),
+          mapped AS (SELECT doc_id, 'n_chars' AS kind,
+                  CAST(-2 AS BIGINT) AS pos,
+                  CAST(n_chars AS VARCHAR) AS val FROM d5
+                UNION ALL
+                SELECT doc_id, 'n_words', CAST(-2 AS BIGINT),
+                  CAST(length(string_split(text, ' ')) AS VARCHAR) FROM d5)
+          SELECT * FROM (SELECT * FROM words UNION ALL
+                         SELECT * FROM stacked UNION ALL
+                         SELECT * FROM mapped)
+          ORDER BY doc_id, kind, pos, val""",
+    // same full r×c grid (zero cells restored), same integer floor chain
+    "q266_chi_square" ->
+      """WITH base AS (SELECT c_mktsegment, c_nationkey FROM customer),
+          rt AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS rt
+                 FROM base GROUP BY 1),
+          ct AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ct
+                 FROM base GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+          obs AS (SELECT c_mktsegment, c_nationkey,
+                    CAST(count(*) AS BIGINT) AS obs
+                  FROM base GROUP BY 1, 2),
+          grid AS (SELECT rt.c_mktsegment, ct.c_nationkey, rt.rt, ct.ct,
+                     CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, t.n
+                   FROM rt CROSS JOIN ct CROSS JOIN t
+                   LEFT JOIN obs USING (c_mktsegment, c_nationkey)),
+          cells AS (SELECT c_mktsegment, c_nationkey, n,
+                      (((obs*n - rt*ct) * (obs*n - rt*ct)) // (rt*ct))
+                        * 1000000 // n AS cell_micro
+                    FROM grid)
+          SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST((count(DISTINCT c_mktsegment) - 1)
+                   * (count(DISTINCT c_nationkey) - 1) AS BIGINT) AS df,
+                 CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
+          FROM cells""",
+    // same cross-multiplied cumulative counts, same (d_ppm desc, value)
+    // argmax tiebreak
+    "q267_ks_test" ->
+      """WITH a AS (SELECT min(source) AS src_a FROM documents),
+          per AS (SELECT n_chars, a.src_a,
+                    CAST(sum(CASE WHEN source = a.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                    CAST(sum(CASE WHEN source <> a.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+                  FROM documents, a GROUP BY 1, 2),
+          cum AS (SELECT n_chars, src_a,
+                    CAST(sum(c1) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+                    CAST(sum(c2) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+                  FROM per),
+          tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM per),
+          dd AS (SELECT n_chars, src_a, n1, n2,
+                   (abs(f1*n2 - f2*n1) * 1000000) // (n1*n2) AS d_ppm,
+                   row_number() OVER (ORDER BY (abs(f1*n2 - f2*n1) * 1000000)
+                     // (n1*n2) DESC, n_chars) AS rk
+                 FROM cum, tt)
+          SELECT src_a, n1, n2, d_ppm, n_chars AS at_n_chars
+          FROM dd WHERE rk = 1""",
+    // same strict-permutation ranks (day tiebreak), same single floor div
+    "q268_spearman_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+          rk AS (SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY day) AS BIGINT)
+                   - CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt, day) AS BIGINT) AS dd
+                 FROM daily),
+          ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dd*dd) AS BIGINT) AS sum_d2
+                 FROM rk GROUP BY 1 HAVING count(*) >= 2)
+          SELECT event_type, n_days, sum_d2,
+                 1000000 - (6 * sum_d2 * 1000000)
+                   // (n_days * (n_days*n_days - 1)) AS rho_ppm
+          FROM ag ORDER BY event_type""",
+    // same per-FD single-row folds
+    "q269_fd_audit" -> {
+      val branches = Seq(
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("lineitem", "l_partkey", "l_suppkey")).map { case (t, l, r) =>
+        s"""SELECT '$t.$l->$r' AS fd,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violating_classes,
+               CAST(sum(CASE WHEN ndv > 1 THEN nrows ELSE 0 END) AS BIGINT)
+                 AS rows_in_violating,
+               sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (SELECT $l, count(DISTINCT $r) AS ndv,
+                    CAST(count(*) AS BIGINT) AS nrows
+                  FROM $t GROUP BY $l)"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($branches) ORDER BY fd"
+    },
+    // same class×segment grid, same cumulative EMD cross-multiplication
+    "q270_t_closeness" ->
+      """WITH cust AS (SELECT c_nationkey, c_acctbal >= 0 AS bal_pos,
+                  c_mktsegment FROM customer),
+          gl AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g
+                   FROM cust GROUP BY 1),
+          cls AS (SELECT c_nationkey, bal_pos, CAST(count(*) AS BIGINT) AS cls
+                  FROM cust GROUP BY 1, 2 HAVING count(*) >= 5),
+          obs AS (SELECT c_nationkey, bal_pos, c_mktsegment,
+                    CAST(count(*) AS BIGINT) AS o
+                  FROM cust GROUP BY 1, 2, 3),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM cust),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+          grid AS (SELECT cls.c_nationkey, cls.bal_pos, cls.cls,
+                     gl.c_mktsegment, gl.g,
+                     CAST(coalesce(obs.o, 0) AS BIGINT) AS o, t.nn, mm.m
+                   FROM cls CROSS JOIN gl CROSS JOIN t CROSS JOIN mm
+                   LEFT JOIN obs USING (c_nationkey, bal_pos, c_mktsegment)),
+          cum AS (SELECT c_nationkey, bal_pos, cls, nn, m,
+                    CAST(sum(o) OVER (PARTITION BY c_nationkey, bal_pos
+                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cumc,
+                    CAST(sum(g) OVER (PARTITION BY c_nationkey, bal_pos
+                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cumg
+                  FROM grid),
+          emd AS (SELECT c_nationkey, bal_pos, max(cls) AS cls,
+                    (sum(abs(cumc*nn - cumg*cls)) * 1000000)
+                      // (max(cls)*max(nn)*(max(m)-1)) AS emd_ppm
+                  FROM cum GROUP BY 1, 2)
+          SELECT c_nationkey, bal_pos, cls, emd_ppm,
+                 emd_ppm > 200000 AS fails_t02
+          FROM emd ORDER BY c_nationkey, bal_pos""",
     // identical md5 permutation, adjacency fold, run segmentation, and
     // without-replacement expectation
     "q265_shuffle_quality" ->
