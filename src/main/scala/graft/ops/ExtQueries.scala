@@ -4515,7 +4515,461 @@ object ExtQueries {
         expr("(sum_v * 1000) div n_samples").as("naive_mean_milli"))
   }
 
+  /** LEAKAGE-FREE TRAIN/TEST SPLIT — the dedup-aware split every
+    * benchmark-clean corpus needs: near-dup CLUSTERS (q86's connected
+    * components, singletons = their own component) are assigned to
+    * splits ATOMICALLY by a seeded hash of the component id, so no
+    * near-duplicate pair can straddle the boundary. The gate MEASURES
+    * the guarantee: cross-split near-dup pairs, structurally zero, is
+    * an output column — a per-doc random split would fail it
+    * immediately. Movement = q86's bounded pair slice + one component
+    * hash; at corpus scale the same construction rides q43's LSH
+    * components. */
+  private val q291LeakageFreeSplit: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
+      .select($"doc_a", $"doc_b").cache()
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val comp = Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice).select($"doc_id")
+      .join(cc, $"doc_id" === cc("node"), "left")
+      .select($"doc_id",
+        coalesce($"component", $"doc_id").as("component"))
+      .withColumn("split",
+        when((conv(substring(md5(concat($"component".cast("string"),
+          lit(":split"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
+          < 0.2, "test").otherwise("train"))
+      .cache()
+    val leak = pairs
+      .join(comp.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(comp.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .agg(coalesce(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)), lit(0L))
+        .as("cross_split_pairs"))
+    comp.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"component").as("n_components"))
+      .crossJoin(broadcast(leak))
+      .orderBy($"split")
+  }
+
+  /** DEDUP OPERATING CURVE — how many near-dup pairs does each Jaccard
+    * threshold catch? The tuning table behind every "why 0.8?"
+    * decision. One bounded pair scan produces integer (∩, ∪) sizes;
+    * the five thresholds fold via cross-multiplication (100·∩ ≥ t·∪ —
+    * no float Jaccard anywhere), so the curve costs one broadcast of
+    * five literals, not five scans. */
+  private val q292DedupThresholdCurve: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
+        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"))
+      .filter($"inter" > 0)
+      .withColumn("uni", $"ss" - $"inter")
+    pairs.crossJoin(broadcast(Seq(50L, 60L, 70L, 80L, 90L).toDF("t_pct")))
+      .groupBy($"t_pct")
+      .agg(sum(when($"inter" * 100L >= $"t_pct" * $"uni", 1L).otherwise(0L))
+        .as("n_pairs"))
+      .orderBy($"t_pct")
+  }
+
+  /** SCD2 POINT-IN-TIME LOOKUP — the read half of q155's slowly-changing
+    * dimension: reconstruct every customer's segment AS OF two dates
+    * (one inside the original validity window, one after the
+    * re-segmentation batch) with the canonical interval predicate
+    * valid_from ≤ D < coalesce(valid_to, ∞). Collapsed to per-(as_of,
+    * segment) counts; totals prove exactly one version matched per
+    * customer per date. */
+  private val q293Scd2Timetravel: Q = (s, d) => {
+    import s.implicits._
+    val v1 = lit("2024-01-01").cast("date")
+    val v2 = lit("2024-07-01").cast("date")
+    val base = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    val batch = base
+      .filter($"c_custkey" % 7 === 0 && $"c_mktsegment" =!= "MACHINERY")
+      .select($"c_custkey", lit("MACHINERY").as("new_segment"))
+    val flagged = base.join(broadcast(batch), Seq("c_custkey"), "left")
+    val history = flagged.select($"c_custkey", $"c_mktsegment".as("segment"),
+        v1.as("valid_from"),
+        when($"new_segment".isNotNull, v2).otherwise(lit(null).cast("date"))
+          .as("valid_to"))
+      .unionByName(flagged.filter($"new_segment".isNotNull)
+        .select($"c_custkey", $"new_segment".as("segment"),
+          v2.as("valid_from"), lit(null).cast("date").as("valid_to")))
+    val asofs = Seq("2024-03-15", "2024-09-01").toDF("as_of")
+      .select($"as_of".cast("date").as("as_of"))
+    history.crossJoin(broadcast(asofs))
+      .filter($"valid_from" <= $"as_of" &&
+        ($"valid_to".isNull || $"as_of" < $"valid_to"))
+      .groupBy($"as_of".cast("string").as("as_of"), $"segment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"as_of", $"segment")
+  }
+
+  /** SEMI-ADDITIVE PERIOD-END BALANCES — event values as cents-exact
+    * deltas, rolled to each user's MONTHLY CLOSING balance (the
+    * balance-sheet semantics where month columns must NOT be summed
+    * across time). Values quantize to integer cents once
+    * (round-half-away, both engines), then one (user, month) aggregate
+    * and one per-user running window over months — never a window over
+    * raw events. Bounded to user_id < 50 for the gate. */
+  private val q294PeriodEndBalance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val monthly = Tables.events(s, d).filter($"user_id" < 50)
+      .groupBy($"user_id", date_trunc("month", $"ts").as("month"))
+      .agg(sum(round($"value" * 100d).cast("long")).as("delta_cents"))
+    monthly
+      .select($"user_id", $"month".cast("date").cast("string").as("month"),
+        $"delta_cents",
+        sum($"delta_cents").over(Window.partitionBy($"user_id")
+          .orderBy($"month").rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("closing_cents"))
+      .orderBy($"user_id", $"month")
+  }
+
+  /** HIERARCHY SHARES — percent-of-parent at every level of the
+    * region ▸ nation ▸ customer rollup (the drill-down table every BI
+    * layer renders): nation rows carry share-of-region and
+    * share-of-total in exact ppm. One customer-grain aggregate, then
+    * broadcast-joined parent totals — shares never re-scan the fact. */
+  private val q295HierarchyShares: Q = (s, d) => {
+    import s.implicits._
+    val perNation = Tables.customer(s, d)
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"n_regionkey", $"n_cust")
+    val perRegion = perNation.groupBy($"n_regionkey")
+      .agg(sum($"n_cust").as("region_cust"))
+    val tot = perNation.agg(sum($"n_cust").as("total_cust"))
+    perNation
+      .join(broadcast(perRegion), "n_regionkey")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(Tables.region(s, d)),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"r_name", $"n_name", $"n_cust", $"region_cust",
+        expr("(n_cust * 1000000) div region_cust").as("share_of_region_ppm"),
+        expr("(n_cust * 1000000) div total_cust").as("share_of_total_ppm"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** BELLMAN-FORD (3 unrolled min-plus rounds) over the weighted trade
+    * graph — cheapest 3-hop route from the smallest customer to every
+    * supplier, edge weight = the cheapest line item (integer cents) ever
+    * traded on that (customer, supplier) pair. The q178 fixed-point
+    * pattern applied to min-plus instead of sum-times: per round one
+    * map-side-combinable min groupBy + one node-universe left join,
+    * localCheckpoint pinning lineage; the oracle unrolls the identical
+    * three relaxations as CTEs. INF = 10¹⁵ keeps unreached nodes exact
+    * under long arithmetic. */
+  private val q296BellmanFord: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val inf = 1000000000000000L
+    val pairCost = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
+      .join(Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice"),
+        $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_custkey", $"l_suppkey")
+      .agg(min(round($"l_extendedprice" * 100d).cast("long")).as("w"))
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"),
+        $"w")
+    val edges = pairCost.unionByName(
+      pairCost.select($"dst".as("src"), $"src".as("dst"), $"w")).cache()
+    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
+    val source = edges.agg((min(when($"src" % 2 === 0, $"src")))
+      .as("s0"))
+    var dist = nodes.crossJoin(broadcast(source))
+      .select($"node", when($"node" === $"s0", 0L).otherwise(inf).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to 3) {
+      val relax = edges.join(dist, edges("src") === dist("node"))
+        .filter($"dist" < inf)
+        .select($"dst", ($"dist" + $"w").as("cand"))
+        .groupBy($"dst").agg(min($"cand").as("best"))
+      dist = dist.join(relax, dist("node") === relax("dst"), "left")
+        .select(dist("node"),
+          least($"dist", coalesce($"best", lit(inf))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.filter($"node" % 2 === 1 && $"dist" < inf)
+      .select(expr("(node - 1) div 2").as("suppkey"), $"dist".as("cents"))
+      .withColumn("rk", row_number().over(Window.orderBy($"cents", $"suppkey")))
+      .filter($"rk" <= 30)
+      .select($"rk", $"suppkey", $"cents")
+      .orderBy($"rk")
+  }
+
+  /** GAPS-AND-ISLANDS — longest consecutive-day activity streaks (the
+    * retention/engagement metric): the island key is day − row_number
+    * (constant within a run of consecutive days, the classic trick that
+    * needs no self-join and no recursion). One (user, day) distinct,
+    * one per-user window, top-20 streaks with full tiebreak. */
+  private val q297Streaks: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    ud.withColumn("island", expr("date_sub(day, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY day))"))
+      .groupBy($"user_id", $"island")
+      .agg(min($"day").cast("string").as("start_day"),
+        count(lit(1)).as("streak_len"))
+      .withColumn("rk", row_number().over(Window.orderBy(
+        $"streak_len".desc, $"user_id", $"start_day")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"user_id", $"start_day", $"streak_len")
+      .orderBy($"rk")
+  }
+
+  /** SENTENCE SEGMENTATION STATS — per-source sentence counts and exact
+    * integer length moments from a shared `[.!?]+\s*` splitter (the
+    * same character-class regex means Java and RE2 agree). Map-only
+    * split + one combinable aggregate; the corpus-linguistics sibling
+    * of q33's token stats one level up the segmentation stack. */
+  private val q298Sentences: Q = (s, d) => {
+    import s.implicits._
+    val sents = Tables.documents(s, d)
+      .select($"source",
+        filter(split($"text", "[.!?]+\\s*"), x => length(x) > 0)
+          .as("sents"))
+      .select($"source", size($"sents").cast("long").as("ns"),
+        aggregate($"sents", lit(0L), (acc, x) => acc + length(x))
+          .as("chars"),
+        aggregate($"sents", lit(0L),
+          (acc, x) => greatest(acc, length(x).cast("long"))).as("mx"))
+    sents.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"ns").as("n_sentences"),
+        expr("(sum(chars) * 1000) div sum(ns)").as("mean_sent_len_milli"),
+        max($"mx").as("max_sent_len"))
+      .orderBy($"source")
+  }
+
+  /** INTER-ARRIVAL DISTRIBUTION — per event type: exact microsecond
+    * gaps between consecutive events (unix_micros, so no float epoch
+    * rounding can diverge), with mean and an interpolation-free
+    * value-domain median (smallest gap whose doubled cumulative count
+    * reaches n — the q233 convention). One per-type lag window + one
+    * per-(type, gap) aggregate; the burstiness companion to q240's
+    * Fano factor. */
+  private val q299Interarrival: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type").orderBy($"us", $"event_id")
+    val gaps = Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+      .filter($"gap".isNotNull)
+      .select($"event_type", $"gap")
+    val per = gaps.groupBy($"event_type", $"gap")
+      .agg(count(lit(1)).as("c"))
+    val wq = Window.partitionBy($"event_type").orderBy($"gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"event_type")
+    val med = per
+      .select($"event_type", $"gap", sum($"c").over(wq).as("cum"),
+        sum($"c").over(wt).as("n"))
+      .filter($"cum" * 2 >= $"n")
+      .groupBy($"event_type").agg(min($"gap").as("median_gap_us"))
+    gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("sum(gap) div count(1)").as("mean_gap_us"),
+        min($"gap").as("min_gap_us"), max($"gap").as("max_gap_us"))
+      .join(med, "event_type")
+      .orderBy($"event_type")
+  }
+
+  /** DUPLICATE-CLUSTER SIZE DISTRIBUTION — the shape report on q86's
+    * components (singletons restored from the universe): how much of
+    * the corpus sits in pairs vs larger dup families decides whether
+    * keep-one dedup or cluster-canonicalization is the right policy.
+    * Sizes bucketed 1..4 and 5+ so the histogram is constant-width at
+    * any corpus size. */
+  private val q300ClusterSizeDist: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
+      .select($"doc_a", $"doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice).select($"doc_id")
+      .join(cc, $"doc_id" === cc("node"), "left")
+      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
+      .groupBy($"component").agg(count(lit(1)).as("sz"))
+      .select(least($"sz", lit(5L)).as("cluster_size"), $"sz")
+      .groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  /** PAIRWISE CORRELATION PROFILE — exact integer sufficient statistics
+    * for every numeric column pair of lineitem in ONE scan (quantity,
+    * cents-quantized price, centi-quantized discount/tax): the
+    * profiling matrix feature stores compute before feature selection.
+    * r_ppm folds the q271 way (truncating div against the identically-
+    * rounded floor(sqrt(double·double))); the six pairs ride a single
+    * combinable aggregate — never one scan per pair. */
+  private val q301CorrMatrix: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.lineitem(s, d).select(
+      $"l_quantity".cast("long").as("q"),
+      round($"l_extendedprice" * 100d).cast("long").as("p"),
+      round($"l_discount" * 100d).cast("long").as("dd"),
+      round($"l_tax" * 100d).cast("long").as("t"))
+    val ag = base.agg(
+      count(lit(1)).as("n"),
+      sum($"q").as("sq"), sum($"p").as("sp"), sum($"dd").as("sd"),
+      sum($"t").as("st"),
+      sum($"q" * $"q").as("sqq"), sum($"q" * $"dd").as("sqd"),
+      sum($"q" * $"t").as("sqt"), sum($"dd" * $"t").as("sdt"),
+      sum($"dd" * $"dd").as("sdd"), sum($"t" * $"t").as("stt"))
+    def r(tag: String, sx: String, sy: String, sxy: String,
+          sxx: String, syy: String) =
+      ag.select(lit(tag).as("pair"), $"n",
+        expr(s"(n*$sxy - $sx*$sy)").as("cov_n"),
+        // ×1000 against den÷1000 (not ×10⁶ against den): keeps the
+        // numerator < 2⁶³ even when the covariance is at its n·Σxy bound
+        expr(s"""((n*$sxy - $sx*$sy) * 1000) div
+               nullif(cast(floor(sqrt(cast(n*$sxx - $sx*$sx as double)
+                 * cast(n*$syy - $sy*$sy as double))) as bigint) div 1000, 0)""")
+          .as("r_ppm"))
+    r("quantity~discount", "sq", "sd", "sqd", "sqq", "sdd")
+      .unionByName(r("quantity~tax", "sq", "st", "sqt", "sqq", "stt"))
+      .unionByName(r("discount~tax", "sd", "st", "sdt", "sdd", "stt"))
+      .orderBy($"pair")
+  }
+
+  /** SIMPSON'S-PARADOX DETECTOR — does the overall price↔date trend
+    * contradict the per-status trends? The aggregation-bias audit every
+    * metrics team needs before trusting a topline trend. Only SIGNS are
+    * compared, and the sign of a Pearson slope is the sign of the
+    * integer covariance numerator n·Σxy − Σx·Σy (cents × day-index, all
+    * exact), so the detector needs no division at all. One scan for the
+    * groups + one broadcast overall row. */
+  private val q302SimpsonDetector: Q = (s, d) => {
+    import s.implicits._
+    // day-index × WHOLE-DOLLAR scale keeps n·Σxy < 2⁶³ to ~10⁷ orders
+    // (documented bound, the pageRankExact convention); cents would
+    // overflow at sf0.1 already
+    val base = Tables.orders(s, d).select($"o_orderstatus",
+      datediff($"o_orderdate", lit("2020-01-01").cast("date")).cast("long")
+        .as("x"),
+      round($"o_totalprice").cast("long").as("y"))
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"))
+    val overall = stats(base)
+      .select(expr("sign(n*sxy - sx*sy)").cast("long").as("overall_sign"))
+    base.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"))
+      .select($"o_orderstatus", $"n",
+        expr("sign(n*sxy - sx*sy)").cast("long").as("group_sign"))
+      .crossJoin(broadcast(overall))
+      .withColumn("contradicts", $"group_sign" =!= lit(0L) &&
+        $"overall_sign" =!= lit(0L) && $"group_sign" =!= $"overall_sign")
+      .orderBy($"o_orderstatus")
+  }
+
+  /** TIME-TO-CONVERT DISTRIBUTION — seconds from each user's first
+    * signup to their first subsequent purchase (q142's funnel, but the
+    * LATENCY distribution instead of the count): exact integer deltas,
+    * mean via truncating div, and the interpolation-free value-domain
+    * median (q233/q299 convention). Two first-event aggregates and one
+    * tiny join — never a per-user sort of raw events. */
+  private val q303TimeToConvert: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+    val signup = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"us").as("s_us"))
+    val deltas = signup.join(
+        ev.filter($"event_type" === "purchase")
+          .select($"user_id", $"us".as("p_us")), "user_id")
+      .filter($"p_us" >= $"s_us")
+      .groupBy($"user_id", $"s_us").agg(min($"p_us").as("first_p"))
+      .select(expr("(first_p - s_us) div 1000000").as("delta_s"))
+      .cache()
+    val per = deltas.groupBy($"delta_s").agg(count(lit(1)).as("c"))
+    val wq = Window.orderBy($"delta_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = per
+      .select($"delta_s", sum($"c").over(wq).as("cum"))
+      .crossJoin(broadcast(deltas.agg(count(lit(1)).as("nn"))))
+      .filter($"cum" * 2 >= $"nn")
+      .agg(min($"delta_s").as("median_s"))
+    deltas.agg(count(lit(1)).as("n_converted"),
+        expr("sum(delta_s) div count(1)").as("mean_s"),
+        min($"delta_s").as("min_s"), max($"delta_s").as("max_s"))
+      .crossJoin(broadcast(med))
+  }
+
+  /** COHORT LTV CURVE — q143's retention triangle with MONEY: per
+    * signup-month cohort, cumulative purchase value (exact cents)
+    * through months-since-signup 0..3. One windowed running sum over
+    * the (cohort, month_idx) aggregate; the curve every growth model
+    * fits. */
+  private val q304CohortLtv: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val cohort = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id")
+      .agg(date_trunc("month", min($"ts")).as("cohort_month"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", date_trunc("month", $"ts").as("p_month"),
+        round($"value" * 100d).cast("long").as("cents"))
+    val cells = purch.join(cohort, "user_id")
+      .withColumn("m_idx",
+        (months_between($"p_month", $"cohort_month")).cast("long"))
+      .filter($"m_idx" >= 0 && $"m_idx" <= 3)
+      .groupBy($"cohort_month", $"m_idx")
+      .agg(sum($"cents").as("cents"), countDistinct($"user_id")
+        .as("buyers"))
+    val sz = cohort.groupBy($"cohort_month")
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(sz, "cohort_month")
+      .select($"cohort_month".cast("date").cast("string").as("cohort_month"),
+        $"m_idx", $"buyers", $"cohort_size",
+        sum($"cents").over(Window.partitionBy($"cohort_month")
+          .orderBy($"m_idx").rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("cum_cents"))
+      .withColumn("ltv_cents_per_user",
+        expr("cum_cents div cohort_size"))
+      .orderBy($"cohort_month", $"m_idx")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q301_corr_matrix"    -> q301CorrMatrix,
+    "q302_simpson_detector" -> q302SimpsonDetector,
+    "q303_time_to_convert" -> q303TimeToConvert,
+    "q304_cohort_ltv"     -> q304CohortLtv,
+    "q297_streaks"        -> q297Streaks,
+    "q298_sentences"      -> q298Sentences,
+    "q299_interarrival"   -> q299Interarrival,
+    "q300_cluster_size_dist" -> q300ClusterSizeDist,
+    "q291_leakage_free_split" -> q291LeakageFreeSplit,
+    "q292_dedup_threshold_curve" -> q292DedupThresholdCurve,
+    "q293_scd2_timetravel" -> q293Scd2Timetravel,
+    "q294_period_end_balance" -> q294PeriodEndBalance,
+    "q295_hierarchy_shares" -> q295HierarchyShares,
+    "q296_bellman_ford"   -> q296BellmanFord,
     "q286_kwic"           -> q286Kwic,
     "q287_ntile_buckets"  -> q287NtileBuckets,
     "q288_theil_between"  -> q288TheilBetween,
@@ -4866,6 +5320,352 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same cents/centi quantization, same one-scan sufficient stats,
+    // same ×1000-vs-den÷1000 overflow-safe ratio
+    "q301_corr_matrix" -> {
+      def branch(tag: String, sx: String, sy: String, sxy: String,
+                 sxx: String, syy: String) =
+        s"""SELECT '$tag' AS pair, n,
+               n*$sxy - $sx*$sy AS cov_n,
+               ((n*$sxy - $sx*$sy) * 1000) //
+                 nullif(CAST(floor(sqrt(CAST(n*$sxx - $sx*$sx AS DOUBLE)
+                   * CAST(n*$syy - $sy*$sy AS DOUBLE))) AS BIGINT) // 1000,
+                   0) AS r_ppm
+            FROM ag"""
+      s"""WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+                  CAST(round(l_discount * 100) AS BIGINT) AS dd,
+                  CAST(round(l_tax * 100) AS BIGINT) AS t
+                FROM lineitem),
+          ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(dd) AS BIGINT) AS sd,
+                   CAST(sum(t) AS BIGINT) AS st,
+                   CAST(sum(q*q) AS BIGINT) AS sqq,
+                   CAST(sum(q*dd) AS BIGINT) AS sqd,
+                   CAST(sum(q*t) AS BIGINT) AS sqt,
+                   CAST(sum(dd*t) AS BIGINT) AS sdt,
+                   CAST(sum(dd*dd) AS BIGINT) AS sdd,
+                   CAST(sum(t*t) AS BIGINT) AS stt
+                 FROM base)
+          SELECT * FROM (
+          ${branch("quantity~discount", "sq", "sd", "sqd", "sqq", "sdd")}
+          UNION ALL
+          ${branch("quantity~tax", "sq", "st", "sqt", "sqq", "stt")}
+          UNION ALL
+          ${branch("discount~tax", "sd", "st", "sdt", "sdd", "stt")})
+          ORDER BY pair"""
+    },
+    // sign-only comparison: no division anywhere
+    "q302_simpson_detector" ->
+      """WITH base AS (SELECT o_orderstatus,
+                  CAST(datediff('day', DATE '2020-01-01', o_orderdate)
+                    AS BIGINT) AS x,
+                  CAST(round(o_totalprice) AS BIGINT) AS y
+                FROM orders),
+          ov AS (SELECT CAST(sign(CAST(count(*) AS BIGINT)*sum(x*y)
+                   - sum(x)*sum(y)) AS BIGINT) AS overall_sign FROM base),
+          g AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sign(CAST(count(*) AS BIGINT)*sum(x*y)
+                    - sum(x)*sum(y)) AS BIGINT) AS group_sign
+                FROM base GROUP BY 1)
+          SELECT o_orderstatus, n, group_sign, overall_sign,
+                 group_sign <> 0 AND overall_sign <> 0
+                   AND group_sign <> overall_sign AS contradicts
+          FROM g CROSS JOIN ov ORDER BY o_orderstatus""",
+    // same first-signup→first-purchase deltas, same value-domain median
+    "q303_time_to_convert" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
+                FROM events),
+          su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS s_us
+                 FROM ev WHERE event_type = 'signup' GROUP BY 1),
+          dl AS (SELECT su.user_id,
+                   (CAST(min(ev.us) AS BIGINT) - s_us) // 1000000
+                     AS delta_s
+                 FROM su JOIN ev ON ev.user_id = su.user_id
+                   AND ev.event_type = 'purchase' AND ev.us >= su.s_us
+                 GROUP BY su.user_id, su.s_us),
+          per AS (SELECT delta_s, CAST(count(*) AS BIGINT) AS c
+                  FROM dl GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dl),
+          med AS (SELECT min(delta_s) AS median_s
+                  FROM (SELECT delta_s,
+                          CAST(sum(c) OVER (ORDER BY delta_s
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                        FROM per), t
+                  WHERE cum * 2 >= nn)
+          SELECT CAST(count(*) AS BIGINT) AS n_converted,
+                 CAST(sum(delta_s) AS BIGINT) // CAST(count(*) AS BIGINT)
+                   AS mean_s,
+                 CAST(min(delta_s) AS BIGINT) AS min_s,
+                 CAST(max(delta_s) AS BIGINT) AS max_s,
+                 (SELECT median_s FROM med) AS median_s
+          FROM dl""",
+    // same cents, same bounded month indices, same running window
+    "q304_cohort_ltv" ->
+      """WITH co AS (SELECT user_id,
+                  date_trunc('month', min(ts)) AS cohort_month
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+          pu AS (SELECT user_id, date_trunc('month', ts) AS p_month,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'),
+          cells AS (SELECT co.cohort_month,
+                      CAST(datediff('month', co.cohort_month, pu.p_month)
+                        AS BIGINT) AS m_idx,
+                      CAST(sum(pu.cents) AS BIGINT) AS cents,
+                      CAST(count(DISTINCT pu.user_id) AS BIGINT) AS buyers
+                    FROM pu JOIN co USING (user_id)
+                    WHERE datediff('month', co.cohort_month, pu.p_month)
+                      BETWEEN 0 AND 3
+                    GROUP BY 1, 2),
+          sz AS (SELECT cohort_month, CAST(count(*) AS BIGINT)
+                   AS cohort_size FROM co GROUP BY 1),
+          w AS (SELECT CAST(CAST(cells.cohort_month AS DATE) AS VARCHAR)
+                    AS cohort_month,
+                  m_idx, buyers, cohort_size,
+                  CAST(sum(cents) OVER (PARTITION BY cells.cohort_month
+                    ORDER BY m_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum_cents
+                FROM cells JOIN sz USING (cohort_month))
+          SELECT *, cum_cents // cohort_size AS ltv_cents_per_user
+          FROM w ORDER BY cohort_month, m_idx""",
+    // same day − row_number island key, same streak tiebreaks
+    "q297_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+          isl AS (SELECT user_id, day,
+                    day - CAST(row_number() OVER (PARTITION BY user_id
+                      ORDER BY day) AS INT) AS island
+                  FROM ud),
+          st AS (SELECT user_id,
+                   CAST(min(day) AS VARCHAR) AS start_day,
+                   CAST(count(*) AS BIGINT) AS streak_len
+                 FROM isl GROUP BY user_id, island),
+          r AS (SELECT *, CAST(row_number() OVER (ORDER BY streak_len DESC,
+                  user_id, start_day) AS INT) AS rk FROM st)
+          SELECT rk, user_id, start_day, streak_len
+          FROM r WHERE rk <= 20 ORDER BY rk""",
+    // same character-class splitter (Java and RE2 agree), same folds
+    "q298_sentences" ->
+      """WITH sp AS (SELECT source,
+                  list_filter(regexp_split_to_array(text, '[.!?]+\s*'),
+                    x -> length(x) > 0) AS sents
+                FROM documents),
+          per AS (SELECT source,
+                  CAST(len(sents) AS BIGINT) AS ns,
+                  CAST(list_sum(list_transform(sents, x -> length(x)))
+                    AS BIGINT) AS chars,
+                  CAST(list_max(list_transform(sents, x -> length(x)))
+                    AS BIGINT) AS mx
+                FROM sp)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(ns) AS BIGINT) AS n_sentences,
+                 (sum(chars) * 1000) // sum(ns) AS mean_sent_len_milli,
+                 CAST(max(mx) AS BIGINT) AS max_sent_len
+          FROM per GROUP BY source ORDER BY source""",
+    // same microsecond gaps, same value-domain median fold
+    "q299_interarrival" ->
+      """WITH g AS (SELECT event_type,
+                  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+                    (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+                FROM events),
+          gaps AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g
+                   WHERE gap IS NOT NULL),
+          per AS (SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
+                  FROM gaps GROUP BY 1, 2),
+          cum AS (SELECT event_type, gap,
+                    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                      AS n
+                  FROM per),
+          med AS (SELECT event_type, min(gap) AS median_gap_us
+                  FROM cum WHERE cum * 2 >= n GROUP BY 1),
+          ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
+                     AS mean_gap_us,
+                   CAST(min(gap) AS BIGINT) AS min_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+                 FROM gaps GROUP BY 1)
+          SELECT ag.event_type, n_gaps, mean_gap_us, min_gap_us,
+                 max_gap_us, median_gap_us
+          FROM ag JOIN med USING (event_type) ORDER BY event_type""",
+    // q86's closure + singleton coalesce, bucketed 1..4 and 5+
+    "q300_cluster_size_dist" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
+             .replaceFirst("WITH", "WITH RECURSIVE")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(a.sh || b.sh)) > 0.5),
+          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          nn AS (SELECT DISTINCT src AS node FROM eg),
+          reach(node, label) AS (
+            SELECT node, node FROM nn
+            UNION
+            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
+          cc AS (SELECT node, min(label) AS component
+                 FROM reach GROUP BY node),
+          u AS (SELECT doc_id FROM documents
+                WHERE doc_id < $BruteForceSlice),
+          comp AS (SELECT u.doc_id,
+                     coalesce(cc.component, u.doc_id) AS component
+                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
+          sz AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
+                 FROM comp GROUP BY 1)
+          SELECT least(sz, 5) AS cluster_size,
+                 CAST(count(*) AS BIGINT) AS n_clusters,
+                 CAST(sum(sz) AS BIGINT) AS n_docs
+          FROM sz GROUP BY 1 ORDER BY 1""",
+    // q86's recursive closure + singleton coalesce + same seeded
+    // component hash; the leak column is the measured guarantee
+    "q291_leakage_free_split" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
+             .replaceFirst("WITH", "WITH RECURSIVE")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(a.sh || b.sh)) > 0.5),
+          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          nn AS (SELECT DISTINCT src AS node FROM eg),
+          reach(node, label) AS (
+            SELECT node, node FROM nn
+            UNION
+            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
+          cc AS (SELECT node, min(label) AS component
+                 FROM reach GROUP BY node),
+          u AS (SELECT doc_id FROM documents
+                WHERE doc_id < $BruteForceSlice),
+          comp AS (SELECT u.doc_id,
+                     coalesce(cc.component, u.doc_id) AS component
+                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
+          sp AS (SELECT doc_id, component,
+                   CASE WHEN (CAST(CAST('0x' || substring(md5(
+                     CAST(component AS VARCHAR) || ':split'), 1, 13)
+                     AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 < 0.2
+                     THEN 'test' ELSE 'train' END AS split
+                 FROM comp),
+          leak AS (SELECT CAST(coalesce(sum(CASE WHEN sa.split <> sb.split
+                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
+                   FROM p JOIN sp sa ON p.doc_a = sa.doc_id
+                   JOIN sp sb ON p.doc_b = sb.doc_id)
+          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT component) AS BIGINT) AS n_components,
+                 (SELECT cross_split_pairs FROM leak) AS cross_split_pairs
+          FROM sp GROUP BY split ORDER BY split""",
+    // same bounded pair slice, same cross-multiplied thresholds
+    "q292_dedup_threshold_curve" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
+          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS inter,
+                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          pu AS (SELECT inter, ss - inter AS uni FROM pr WHERE inter > 0),
+          th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT)
+                   AS t_pct)
+          SELECT t_pct,
+                 CAST(sum(CASE WHEN inter * 100 >= t_pct * uni
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+          FROM pu CROSS JOIN th GROUP BY t_pct ORDER BY t_pct""",
+    // same SCD2 history, same canonical PIT predicate
+    "q293_scd2_timetravel" ->
+      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
+          batch AS (SELECT c_custkey, 'MACHINERY' AS new_segment
+                    FROM base WHERE c_custkey % 7 = 0
+                      AND c_mktsegment <> 'MACHINERY'),
+          fl AS (SELECT base.c_custkey, base.c_mktsegment,
+                   batch.new_segment
+                 FROM base LEFT JOIN batch USING (c_custkey)),
+          hist AS (SELECT c_custkey, c_mktsegment AS segment,
+                     DATE '2024-01-01' AS valid_from,
+                     CASE WHEN new_segment IS NOT NULL
+                       THEN DATE '2024-07-01' END AS valid_to
+                   FROM fl
+                   UNION ALL
+                   SELECT c_custkey, new_segment, DATE '2024-07-01', NULL
+                   FROM fl WHERE new_segment IS NOT NULL),
+          asofs AS (SELECT unnest([DATE '2024-03-15', DATE '2024-09-01'])
+                      AS as_of)
+          SELECT CAST(as_of AS VARCHAR) AS as_of, segment,
+                 CAST(count(*) AS BIGINT) AS n_customers
+          FROM hist CROSS JOIN asofs
+          WHERE valid_from <= as_of
+            AND (valid_to IS NULL OR as_of < valid_to)
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same cents quantization, same per-user month window
+    "q294_period_end_balance" ->
+      """WITH m AS (SELECT user_id,
+                  CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)
+                    AS month,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS delta_cents
+                FROM events WHERE user_id < 50 GROUP BY 1, 2)
+          SELECT user_id, month, delta_cents,
+                 CAST(sum(delta_cents) OVER (PARTITION BY user_id
+                   ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS closing_cents
+          FROM m ORDER BY user_id, month""",
+    // same parent totals, same ppm shares
+    "q295_hierarchy_shares" ->
+      """WITH pn AS (SELECT n_name, n_regionkey,
+                  CAST(count(*) AS BIGINT) AS n_cust
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1, 2),
+          pr AS (SELECT n_regionkey, CAST(sum(n_cust) AS BIGINT)
+                   AS region_cust FROM pn GROUP BY 1),
+          t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS total_cust FROM pn)
+          SELECT r_name, n_name, n_cust, region_cust,
+                 (n_cust * 1000000) // region_cust AS share_of_region_ppm,
+                 (n_cust * 1000000) // total_cust AS share_of_total_ppm
+          FROM pn JOIN pr USING (n_regionkey)
+          JOIN region ON pn.n_regionkey = r_regionkey
+          CROSS JOIN t
+          ORDER BY r_name, n_name""",
+    // identical three unrolled min-plus relaxations
+    "q296_bellman_ford" ->
+      """WITH pc AS (SELECT o_custkey AS c, l_suppkey AS sp,
+                  CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS w
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                GROUP BY 1, 2),
+          e AS (SELECT c*2 AS src, sp*2+1 AS dst, w FROM pc
+                UNION ALL SELECT sp*2+1, c*2, w FROM pc),
+          n AS (SELECT DISTINCT src AS node FROM e),
+          s0 AS (SELECT CAST(min(src) AS BIGINT) AS s0 FROM e
+                 WHERE src % 2 = 0),
+          d0 AS (SELECT node, CASE WHEN node = (SELECT s0 FROM s0)
+                   THEN CAST(0 AS BIGINT)
+                   ELSE CAST(1000000000000000 AS BIGINT) END AS dist
+                 FROM n),
+          r1 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
+                 FROM e JOIN d0 d ON e.src = d.node
+                 WHERE d.dist < 1000000000000000 GROUP BY 1),
+          d1 AS (SELECT d0.node,
+                   least(d0.dist, coalesce(r1.best, 1000000000000000))
+                     AS dist
+                 FROM d0 LEFT JOIN r1 ON d0.node = r1.dst),
+          r2 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
+                 FROM e JOIN d1 d ON e.src = d.node
+                 WHERE d.dist < 1000000000000000 GROUP BY 1),
+          d2 AS (SELECT d1.node,
+                   least(d1.dist, coalesce(r2.best, 1000000000000000))
+                     AS dist
+                 FROM d1 LEFT JOIN r2 ON d1.node = r2.dst),
+          r3 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
+                 FROM e JOIN d2 d ON e.src = d.node
+                 WHERE d.dist < 1000000000000000 GROUP BY 1),
+          d3 AS (SELECT d2.node,
+                   least(d2.dist, coalesce(r3.best, 1000000000000000))
+                     AS dist
+                 FROM d2 LEFT JOIN r3 ON d2.node = r3.dst),
+          f AS (SELECT (node - 1) // 2 AS suppkey, dist AS cents,
+                  CAST(row_number() OVER (ORDER BY dist, node) AS INT)
+                    AS rk
+                FROM d3
+                WHERE node % 2 = 1 AND dist < 1000000000000000)
+          SELECT rk, suppkey, cents FROM f WHERE rk <= 30 ORDER BY rk""",
     // same ±3 window, 1-based list slicing mirrors 0-based posexplode
     "q286_kwic" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
