@@ -4955,7 +4955,142 @@ object ExtQueries {
       .orderBy($"cohort_month", $"m_idx")
   }
 
+  /** QUOTA-EXACT STRATIFIED SAMPLE — q264's largest-remainder quotas
+    * EXECUTED: each source contributes exactly its apportioned share of
+    * the 50-doc holdout, members picked by seeded-hash rank within the
+    * stratum (deterministic, order-free). The gate proves the two
+    * halves compose: Σ picked == H exactly, picked == quota per
+    * stratum. One count aggregate + one per-source rank window. */
+  private val q305QuotaSample: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val H = HoldoutQuota
+    val counts = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("cnt")).cache()
+    val quotas = counts
+      .crossJoin(broadcast(counts.agg(sum($"cnt").as("total"))))
+      .withColumn("floor_q", expr(s"(cnt * $H) div total"))
+      .withColumn("rem", expr(s"(cnt * $H) % total"))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy($"rem".desc, $"source")))
+      .crossJoin(broadcast(
+        counts.crossJoin(counts.agg(sum($"cnt").as("t2")))
+          .agg((lit(H) - sum(expr(s"(cnt * $H) div t2"))).as("leftover"))))
+      .select($"source", $"cnt",
+        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
+          .as("quota"))
+    val ranked = Tables.documents(s, d)
+      .select($"source", $"doc_id",
+        md5(concat($"doc_id".cast("string"), lit(":qs"))).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
+    ranked.join(broadcast(quotas), "source")
+      .filter($"rk" <= $"quota")
+      .groupBy($"source")
+      .agg(max($"cnt").as("cnt"), max($"quota").as("quota"),
+        count(lit(1)).as("picked"))
+      .crossJoin(broadcast(
+        ranked.join(broadcast(quotas), "source").filter($"rk" <= $"quota")
+          .agg(count(lit(1)).as("total_picked"))))
+      .orderBy($"source")
+  }
+
+  /** DEDUP TOKEN-SAVINGS REPORT — the business case for q86's
+    * clustering: tokens in the bounded slice vs tokens surviving
+    * keep-canonical-per-cluster dedup, savings in ppm. Clusters come
+    * from the same bounded pair machinery; token counts ride the shared
+    * words()/wordsSql tokenizer pair so both engines count identically.
+    * The number that decides whether a dedup pass pays for itself at
+    * 100 TB. */
+  private val q306DedupSavings: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
+      .select($"doc_a", $"doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice)
+      .select($"doc_id", size(TextAnalysis.words($"text")).cast("long")
+        .as("toks"))
+      .join(cc, $"doc_id" === cc("node"), "left")
+      .select($"doc_id", $"toks",
+        coalesce($"component", $"doc_id").as("component"))
+      .withColumn("keep", $"doc_id" === $"component")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
+        sum($"toks").as("total_tokens"),
+        sum(when($"keep", $"toks").otherwise(0L)).as("kept_tokens"))
+      .withColumn("savings_ppm",
+        expr("((total_tokens - kept_tokens) * 1000000) div total_tokens"))
+  }
+
+  /** QUANTILE TRANSFORM — map each document's length to its exact
+    * corpus percentile rank in ppm ((rank_min − 1)·10⁶ div (n−1), the
+    * percent_rank identity) WITHOUT a per-row rank window: ranks fold
+    * from cumulative counts over the value domain and join back by
+    * value. The monotone feature normalization that makes downstream
+    * thresholds corpus-relative. Output bounded to doc_id < 1000;
+    * ranks computed from the full corpus. */
+  private val q307QuantileTransform: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.documents(s, d)
+      .groupBy($"n_chars").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = per
+      .select($"n_chars", (sum($"c").over(w) - $"c" + 1L).as("rank_min"))
+      .crossJoin(broadcast(
+        per.agg(sum($"c").as("n"))))
+      .select($"n_chars",
+        expr("((rank_min - 1) * 1000000) div (n - 1)").as("pct_ppm"))
+    Tables.documents(s, d).filter($"doc_id" < 1000)
+      .select($"doc_id", $"n_chars")
+      .join(ranks, "n_chars")
+      .select($"doc_id", $"n_chars", $"pct_ppm")
+      .orderBy($"doc_id")
+  }
+
+  /** HASH-RING NEGATIVE SAMPLING — deterministic contrastive negatives:
+    * each anchor (doc_id < 200) requests 3 candidates at seeded-hash
+    * ring positions (mod the broadcast corpus size), joined back BY KEY
+    * — never an anchor×corpus similarity pass. Same-source collisions
+    * are dropped and MEASURED (the contrastive-training contract:
+    * negatives must cross sources). Output: per-anchor found counts +
+    * the global drop rate. */
+  private val q308NegativeSampling: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"source").cache()
+    val n = docs.agg(max($"doc_id").as("maxid"))
+    val anchors = docs.filter($"doc_id" < 200)
+    val req = anchors.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("j")))
+      .crossJoin(broadcast(n))
+      .select($"doc_id".as("anchor"), $"source".as("a_src"), $"j",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
+          $"j".cast("string"), lit(":ns"))), 1, 13), 16, 10).cast("long")
+          % ($"maxid" + 1L)).as("cand_id"))
+    val joined = req.join(docs.select($"doc_id".as("cand_id"),
+        $"source".as("c_src")), "cand_id")
+      .withColumn("ok", $"a_src" =!= $"c_src").cache()
+    val drops = joined.agg(
+      expr("(sum(case when ok then 0 else 1 end) * 1000000) div count(1)")
+        .as("drop_ppm"))
+    joined.groupBy($"anchor")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"ok", 1L).otherwise(0L)).as("n_negatives"))
+      .crossJoin(broadcast(drops))
+      .orderBy($"anchor")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q305_quota_sample"   -> q305QuotaSample,
+    "q306_dedup_savings"  -> q306DedupSavings,
+    "q307_quantile_transform" -> q307QuantileTransform,
+    "q308_negative_sampling" -> q308NegativeSampling,
     "q301_corr_matrix"    -> q301CorrMatrix,
     "q302_simpson_detector" -> q302SimpsonDetector,
     "q303_time_to_convert" -> q303TimeToConvert,
@@ -5320,6 +5455,104 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // q264's quota CTEs + the same seeded within-stratum rank pick
+    "q305_quota_sample" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          q AS (SELECT source, cnt,
+                  (cnt * $HoldoutQuota) // total AS floor_q,
+                  (cnt * $HoldoutQuota) % total AS rem
+                FROM c, t),
+          lo AS (SELECT $HoldoutQuota - CAST(sum(floor_q) AS BIGINT)
+                   AS leftover FROM q),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY rem DESC, source) AS BIGINT) AS rrank FROM q),
+          quo AS (SELECT source, cnt,
+                    floor_q + CASE WHEN rrank <= (SELECT leftover FROM lo)
+                      THEN 1 ELSE 0 END AS quota
+                  FROM r),
+          rk AS (SELECT source, doc_id,
+                   CAST(row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':qs'),
+                       doc_id) AS BIGINT) AS rk
+                 FROM documents),
+          sel AS (SELECT rk.source FROM rk JOIN quo USING (source)
+                  WHERE rk.rk <= quo.quota),
+          tp AS (SELECT CAST(count(*) AS BIGINT) AS total_picked FROM sel),
+          g AS (SELECT source, CAST(count(*) AS BIGINT) AS picked
+                FROM sel GROUP BY source)
+          SELECT quo.source, quo.cnt, CAST(quo.quota AS BIGINT) AS quota,
+                 g.picked, (SELECT total_picked FROM tp) AS total_picked
+          FROM g JOIN quo USING (source) ORDER BY quo.source""",
+    // q86's closure + the shared words tokenizer on both sides
+    "q306_dedup_savings" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
+             .replaceFirst("WITH", "WITH RECURSIVE")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+                    / len(list_distinct(a.sh || b.sh)) > 0.5),
+          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
+                UNION SELECT doc_b, doc_a FROM p),
+          nn AS (SELECT DISTINCT src AS node FROM eg),
+          reach(node, label) AS (
+            SELECT node, node FROM nn
+            UNION
+            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
+          cc AS (SELECT node, min(label) AS component
+                 FROM reach GROUP BY node),
+          u AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS toks
+                FROM documents WHERE doc_id < $BruteForceSlice),
+          comp AS (SELECT u.doc_id, u.toks,
+                     coalesce(cc.component, u.doc_id) AS component
+                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
+          k AS (SELECT *, doc_id = component AS keep FROM comp)
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+                 CAST(sum(toks) AS BIGINT) AS total_tokens,
+                 CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
+                   AS kept_tokens,
+                 ((sum(toks) - sum(CASE WHEN keep THEN toks ELSE 0 END))
+                   * 1000000) // sum(toks) AS savings_ppm
+          FROM k""",
+    // same value-domain rank folds, same percent_rank identity
+    "q307_quantile_transform" ->
+      """WITH per AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1),
+          r AS (SELECT n_chars,
+                  CAST(sum(c) OVER (ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) - c + 1 AS BIGINT)
+                    AS rank_min
+                FROM per),
+          t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per)
+          SELECT d.doc_id, d.n_chars,
+                 ((rank_min - 1) * 1000000) // (n - 1) AS pct_ppm
+          FROM documents d JOIN r USING (n_chars), t
+          WHERE d.doc_id < 1000 ORDER BY d.doc_id""",
+    // same seeded ring positions, same measured cross-source contract
+    "q308_negative_sampling" ->
+      """WITH docs AS (SELECT doc_id, source FROM documents),
+          mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxid FROM docs),
+          req AS (SELECT d.doc_id AS anchor, d.source AS a_src, j.j,
+                    CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
+                      || ':' || CAST(j.j AS VARCHAR) || ':ns'), 1, 13)
+                      AS BIGINT) % (maxid + 1) AS BIGINT) AS cand_id
+                  FROM docs d
+                  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
+                  CROSS JOIN mx
+                  WHERE d.doc_id < 200),
+          jo AS (SELECT req.anchor, req.a_src, c.source AS c_src
+                 FROM req JOIN docs c ON req.cand_id = c.doc_id),
+          dr AS (SELECT (sum(CASE WHEN a_src <> c_src THEN 0 ELSE 1 END)
+                   * 1000000) // count(*) AS drop_ppm FROM jo)
+          SELECT anchor, CAST(count(*) AS BIGINT) AS n_candidates,
+                 CAST(sum(CASE WHEN a_src <> c_src THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_negatives,
+                 (SELECT drop_ppm FROM dr) AS drop_ppm
+          FROM jo GROUP BY anchor ORDER BY anchor""",
     // same cents/centi quantization, same one-scan sufficient stats,
     // same ×1000-vs-den÷1000 overflow-safe ratio
     "q301_corr_matrix" -> {
