@@ -3788,7 +3788,9 @@ object ExtQueries {
     * grid and LEFT-join the observed counts. Economics: three map-side
     * combinable group-bys over a 2-column projection, then a ≤125-row
     * driver-sized grid — one scan's worth of shuffle at any corpus
-    * size. */
+    * size. Long-arithmetic bound: d² needs (obs·N)² < 2⁶³ → N < ~3·10⁹
+    * cells·rows product — comfortable at the gate scales; beyond,
+    * shrink the micro factor. */
   private val q266ChiSquare: Q = (s, d) => {
     import s.implicits._
     val base = Tables.customer(s, d)
@@ -4863,13 +4865,13 @@ object ExtQueries {
     * groups + one broadcast overall row. */
   private val q302SimpsonDetector: Q = (s, d) => {
     import s.implicits._
-    // day-index × WHOLE-DOLLAR scale keeps n·Σxy < 2⁶³ to ~10⁷ orders
-    // (documented bound, the pageRankExact convention); cents would
-    // overflow at sf0.1 already
+    // day-index × KILODOLLAR scale keeps n·Σxy < 2⁶³ to ~3·10⁶ orders
+    // (documented bound, the pageRankExact convention — dollars already
+    // overflow at 1.5·10⁵ orders; beyond the bound, center and sample)
     val base = Tables.orders(s, d).select($"o_orderstatus",
       datediff($"o_orderdate", lit("2020-01-01").cast("date")).cast("long")
         .as("x"),
-      round($"o_totalprice").cast("long").as("y"))
+      round($"o_totalprice" / 1000d).cast("long").as("y"))
     def stats(df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
         sum($"x" * $"y").as("sxy"))
@@ -5086,7 +5088,167 @@ object ExtQueries {
       .orderBy($"anchor")
   }
 
+  /** LSH DESIGN CURVE — the (bands × rows) tuning table computed from
+    * the MEASURED pair-similarity distribution (not the textbook j
+    * grid): for each candidate config with b·r = 128, the expected
+    * candidate mass Σ p(j) and expected recall over true near-dups,
+    * where p = 1−(1−jʳ)ᵇ is evaluated by an EXPLICIT
+    * multiply-and-square chain written identically in both engines
+    * (exactly-rounded IEEE ops in the same order ⇒ bit-equal), then
+    * micro-rounded per pair before the integer sum. One bounded pair
+    * scan serves all three configs. */
+  private val q309LshDesignCurve: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    val pairs = a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long")
+        .as("inter"),
+        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"))
+      .filter($"inter" > 0)
+      .selectExpr("cast(inter as double) / cast(ss - inter as double) as j",
+        "inter", "ss - inter as uni")
+      .cache()
+    // p(b,r): jʳ by repeated squaring, then (1−jʳ)ᵇ by repeated
+    // squaring — each step is ONE multiplication materialized as a
+    // column, and the oracle replays the identical step sequence, so
+    // the doubles are bit-equal (IEEE ops, same order)
+    def cfg(bands: Int, rows: Int) = {
+      val rSquarings = Map(2 -> 1, 4 -> 2, 8 -> 3)(rows)
+      val bSquarings = Map(16 -> 4, 32 -> 5, 64 -> 6)(bands)
+      var df = pairs.selectExpr("inter", "uni", "j as p0")
+      for (i <- 1 to rSquarings)
+        df = df.selectExpr("inter", "uni", s"p${i-1} * p${i-1} as p$i")
+      df = df.selectExpr("inter", "uni", s"1.0 - p$rSquarings as t0")
+      for (i <- 1 to bSquarings)
+        df = df.selectExpr("inter", "uni", s"t${i-1} * t${i-1} as t$i")
+      df.selectExpr("inter", "uni",
+          s"cast(round((1.0 - t$bSquarings) * 1000000.0) as bigint) as p_micro")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum($"p_micro").as("expected_cand_micro"),
+          sum(when($"inter" * 10L > ($"uni") * 8L, $"p_micro"))
+            .as("recall_mass_micro"),
+          sum(when($"inter" * 10L > ($"uni") * 8L, 1L).otherwise(0L))
+            .as("n_true"))
+        .select(lit(s"b=$bands,r=$rows").as("config"), $"n_pairs",
+          $"n_true", $"expected_cand_micro",
+          expr("recall_mass_micro div nullif(n_true, 0)")
+            .as("expected_recall_micro"))
+    }
+    cfg(32, 4).unionByName(cfg(16, 8)).unionByName(cfg(64, 2))
+      .orderBy($"config")
+  }
+
+  /** SIMHASH OPERATING CHARACTERISTIC — precision/recall of
+    * Hamming-radius candidate generation against exact-Jaccard truth
+    * (> 0.8) on the bounded slice, per radius ∈ {0,1,2,3,8,16}: the
+    * measured justification for q161's radius-3 pigeonhole bound. The
+    * md5 simhash is the q44 construction both engines replay
+    * bit-for-bit; Hamming = bit_count(xor). One pair scan, six
+    * threshold folds. */
+  private val q310SimhashPr: Q = (s, d) => {
+    import s.implicits._
+    val sh = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val fp = Tables.documents(s, d).filter($"doc_id" < BruteForceSlice)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text"))
+          .as("f"))
+    val base = sh.toDF("doc_a", "sh_a")
+      .join(fp.toDF("doc_a", "f_a"), "doc_a")
+    val other = sh.toDF("doc_b", "sh_b")
+      .join(fp.toDF("doc_b", "f_b"), "doc_b")
+    val pairs = base.crossJoin(broadcast(other))
+      .filter($"doc_a" < $"doc_b")
+      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long")
+          .as("inter"),
+        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"),
+        expr("bit_count(f_a ^ f_b)").cast("long").as("ham"))
+      .withColumn("uni", $"ss" - $"inter")
+      .withColumn("truth", $"inter" * 10L > $"uni" * 8L)
+      .cache()
+    pairs.crossJoin(broadcast(
+        Seq(0L, 1L, 2L, 3L, 8L, 16L).toDF("radius")))
+      .groupBy($"radius")
+      .agg(sum(when($"ham" <= $"radius", 1L).otherwise(0L)).as("n_cand"),
+        sum(when($"ham" <= $"radius" && $"truth", 1L).otherwise(0L))
+          .as("n_tp"),
+        sum(when($"truth", 1L).otherwise(0L)).as("n_true"))
+      .select($"radius", $"n_cand", $"n_tp", $"n_true",
+        expr("(n_tp * 1000000) div nullif(n_cand, 0)").as("precision_ppm"),
+        expr("(n_tp * 1000000) div nullif(n_true, 0)").as("recall_ppm"))
+      .orderBy($"radius")
+  }
+
+  /** FULFILLMENT LEAD-TIME SLA — ship-date minus order-date in days per
+    * order priority: exact integer day deltas, value-domain median and
+    * p90 (the q233 convention), and the share meeting a 30-day SLA in
+    * ppm. The classic warehouse service-level table; one join + one
+    * per-(priority, delta) aggregate, windows over the bounded delta
+    * domain. */
+  private val q311LeadTimeSla: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val deltas = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
+      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderpriority",
+        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+          .cast("long").as("dd"))
+    val per = deltas.groupBy($"o_orderpriority", $"dd")
+      .agg(count(lit(1)).as("c"))
+    val wq = Window.partitionBy($"o_orderpriority").orderBy($"dd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"o_orderpriority")
+    val cum = per.select($"o_orderpriority", $"dd",
+      sum($"c").over(wq).as("cum"), sum($"c").over(wt).as("n"))
+    val med = cum.filter($"cum" * 2 >= $"n")
+      .groupBy($"o_orderpriority").agg(min($"dd").as("median_days"))
+    val p90 = cum.filter($"cum" * 10 >= $"n" * 9)
+      .groupBy($"o_orderpriority").agg(min($"dd").as("p90_days"))
+    deltas.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        expr("(sum(case when dd <= 30 then 1 else 0 end) * 1000000) div count(1)")
+          .as("sla30_ppm"))
+      .join(med, "o_orderpriority").join(p90, "o_orderpriority")
+      .orderBy($"o_orderpriority")
+  }
+
+  /** LAST-TOUCH ATTRIBUTION — for every purchase, the user's most
+    * recent PRIOR non-purchase event takes the credit; share per
+    * channel in ppm. The canonical marketing-attribution fold: one
+    * per-user event-time window (bounded per-user history), a
+    * last_value over the running non-purchase carry, then a tiny
+    * channel aggregate. First-event purchases attribute to 'none'. */
+  private val q312Attribution: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
+        $"event_id")
+      .withColumn("touch",
+        last(when($"event_type" =!= "purchase", $"event_type"),
+          ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(coalesce($"touch", lit("none")).as("touch"))
+    val tot = touched.agg(count(lit(1)).as("nn"))
+    touched.groupBy($"touch").agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(tot))
+      .select($"touch", $"n_purchases",
+        expr("(n_purchases * 1000000) div nn").as("share_ppm"))
+      .orderBy($"touch")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q309_lsh_design_curve" -> q309LshDesignCurve,
+    "q310_simhash_pr"     -> q310SimhashPr,
+    "q311_lead_time_sla"  -> q311LeadTimeSla,
+    "q312_attribution"    -> q312Attribution,
     "q305_quota_sample"   -> q305QuotaSample,
     "q306_dedup_savings"  -> q306DedupSavings,
     "q307_quantile_transform" -> q307QuantileTransform,
@@ -5455,6 +5617,140 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // the identical squaring chains (one multiplication per step, same
+    // order) make the doubles bit-equal before micro rounding
+    "q309_lsh_design_curve" -> {
+      def cfgSql(bands: Int, rows: Int): String = {
+        val rs = Map(2 -> 1, 4 -> 2, 8 -> 3)(rows)
+        val bs = Map(16 -> 4, 32 -> 5, 64 -> 6)(bands)
+        var sql = "SELECT inter, uni, p0 FROM q"
+        for (i <- 1 to rs)
+          sql = s"SELECT inter, uni, p${i - 1} * p${i - 1} AS p$i FROM ($sql)"
+        sql = s"SELECT inter, uni, 1.0 - p$rs AS t0 FROM ($sql)"
+        for (i <- 1 to bs)
+          sql = s"SELECT inter, uni, t${i - 1} * t${i - 1} AS t$i FROM ($sql)"
+        sql = s"""SELECT inter, uni, CAST(round((1.0 - t$bs) * 1000000.0)
+                  AS BIGINT) AS p_micro FROM ($sql)"""
+        s"""SELECT 'b=$bands,r=$rows' AS config,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_true,
+               CAST(sum(p_micro) AS BIGINT) AS expected_cand_micro,
+               CAST(sum(CASE WHEN inter*10 > uni*8 THEN p_micro END)
+                 AS BIGINT) //
+                 nullif(CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1
+                   ELSE 0 END) AS BIGINT), 0) AS expected_recall_micro
+            FROM ($sql)"""
+      }
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
+          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS inter,
+                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id),
+          pu AS (SELECT inter, ss - inter AS uni FROM pr WHERE inter > 0),
+          q AS (SELECT inter, uni,
+                  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS p0
+                FROM pu)
+          SELECT * FROM (
+          ${cfgSql(32, 4)}
+          UNION ALL
+          ${cfgSql(16, 8)}
+          UNION ALL
+          ${cfgSql(64, 2)})
+          ORDER BY config"""
+    },
+    // q44's bit-replayed simhash + exact-Jaccard truth, six radius folds
+    "q310_simhash_pr" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
+          tk AS (SELECT doc_id,
+                   list_sort(list_distinct(list_filter(
+                     string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> length(w) > 0))) AS toks
+                 FROM documents WHERE doc_id < $BruteForceSlice),
+          hh AS (SELECT doc_id,
+                   list_transform(toks, w -> CAST('0x' ||
+                     substring(md5(w), 1, 15) AS BIGINT)) AS hs
+                 FROM tk),
+          ff AS (SELECT doc_id,
+                   CAST(coalesce(list_sum(
+                     [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
+                        THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                      FOR j IN range(0, 60)]), 0) AS BIGINT) AS f
+                 FROM hh),
+          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS inter,
+                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss,
+                   CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS ham
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id
+                 JOIN ff fa ON fa.doc_id = a.doc_id
+                 JOIN ff fb ON fb.doc_id = b.doc_id),
+          pu AS (SELECT inter, ss - inter AS uni, ham FROM pr),
+          r AS (SELECT CAST(unnest([0, 1, 2, 3, 8, 16]) AS BIGINT)
+                  AS radius)
+          SELECT radius,
+                 CAST(sum(CASE WHEN ham <= radius THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_cand,
+                 CAST(sum(CASE WHEN ham <= radius
+                   AND inter*10 > uni*8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tp,
+                 CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_true,
+                 (CAST(sum(CASE WHEN ham <= radius AND inter*10 > uni*8
+                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) //
+                   nullif(CAST(sum(CASE WHEN ham <= radius THEN 1
+                     ELSE 0 END) AS BIGINT), 0) AS precision_ppm,
+                 (CAST(sum(CASE WHEN ham <= radius AND inter*10 > uni*8
+                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) //
+                   nullif(CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1
+                     ELSE 0 END) AS BIGINT), 0) AS recall_ppm
+          FROM pu CROSS JOIN r GROUP BY radius ORDER BY radius""",
+    // same integer day deltas, same value-domain median/p90 folds
+    "q311_lead_time_sla" ->
+      """WITH dl AS (SELECT o_orderpriority,
+                  CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS dd
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          per AS (SELECT o_orderpriority, dd, CAST(count(*) AS BIGINT)
+                    AS c FROM dl GROUP BY 1, 2),
+          cum AS (SELECT o_orderpriority, dd,
+                    CAST(sum(c) OVER (PARTITION BY o_orderpriority
+                      ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS cum,
+                    CAST(sum(c) OVER (PARTITION BY o_orderpriority)
+                      AS BIGINT) AS n
+                  FROM per),
+          med AS (SELECT o_orderpriority, min(dd) AS median_days
+                  FROM cum WHERE cum * 2 >= n GROUP BY 1),
+          p90 AS (SELECT o_orderpriority, min(dd) AS p90_days
+                  FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1),
+          ag AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
+                   AS n_lines,
+                   (sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) * 1000000)
+                     // count(*) AS sla30_ppm
+                 FROM dl GROUP BY 1)
+          SELECT ag.o_orderpriority, n_lines, sla30_ppm, median_days,
+                 p90_days
+          FROM ag JOIN med USING (o_orderpriority)
+          JOIN p90 USING (o_orderpriority)
+          ORDER BY o_orderpriority""",
+    // same prior-event carry (IGNORE NULLS, 1 PRECEDING), same shares
+    "q312_attribution" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                  event_id FROM events),
+          tc AS (SELECT user_id, event_type,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS touch
+                FROM ev),
+          p AS (SELECT coalesce(touch, 'none') AS touch FROM tc
+                WHERE event_type = 'purchase'),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p)
+          SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
+                 (CAST(count(*) AS BIGINT) * 1000000) // nn AS share_ppm
+          FROM p, t GROUP BY touch, nn ORDER BY touch""",
     // q264's quota CTEs + the same seeded within-stratum rank pick
     "q305_quota_sample" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
@@ -5593,7 +5889,7 @@ object ExtQueries {
       """WITH base AS (SELECT o_orderstatus,
                   CAST(datediff('day', DATE '2020-01-01', o_orderdate)
                     AS BIGINT) AS x,
-                  CAST(round(o_totalprice) AS BIGINT) AS y
+                  CAST(round(o_totalprice / 1000) AS BIGINT) AS y
                 FROM orders),
           ov AS (SELECT CAST(sign(CAST(count(*) AS BIGINT)*sum(x*y)
                    - sum(x)*sum(y)) AS BIGINT) AS overall_sign FROM base),
