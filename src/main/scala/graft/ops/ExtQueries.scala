@@ -4830,16 +4830,16 @@ object ExtQueries {
     import s.implicits._
     val base = Tables.lineitem(s, d).select(
       $"l_quantity".cast("long").as("q"),
-      round($"l_extendedprice" * 100d).cast("long").as("p"),
       round($"l_discount" * 100d).cast("long").as("dd"),
       round($"l_tax" * 100d).cast("long").as("t"))
+    // one-row sufficient-statistics frame, cached so the three pair
+    // branches below don't re-scan lineitem once each
     val ag = base.agg(
       count(lit(1)).as("n"),
-      sum($"q").as("sq"), sum($"p").as("sp"), sum($"dd").as("sd"),
-      sum($"t").as("st"),
+      sum($"q").as("sq"), sum($"dd").as("sd"), sum($"t").as("st"),
       sum($"q" * $"q").as("sqq"), sum($"q" * $"dd").as("sqd"),
       sum($"q" * $"t").as("sqt"), sum($"dd" * $"t").as("sdt"),
-      sum($"dd" * $"dd").as("sdd"), sum($"t" * $"t").as("stt"))
+      sum($"dd" * $"dd").as("sdd"), sum($"t" * $"t").as("stt")).cache()
     def r(tag: String, sx: String, sy: String, sxy: String,
           sxx: String, syy: String) =
       ag.select(lit(tag).as("pair"), $"n",
@@ -5244,7 +5244,190 @@ object ExtQueries {
       .orderBy($"touch")
   }
 
+  /** WEEK-OVER-WEEK GROWTH — weekly event volume with growth rate in
+    * signed ppm ((cur−prev)·10⁶ div prev, truncation toward zero
+    * matching both engines on negatives): the topline every dashboard
+    * leads with. One calendar-bounded aggregate + one lag. */
+  private val q313GrowthRates: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val weekly = Tables.events(s, d)
+      .groupBy(date_trunc("week", $"ts").as("week"))
+      .agg(count(lit(1)).as("cnt"))
+    weekly
+      .select($"week".cast("date").cast("string").as("week"), $"cnt",
+        lag($"cnt", 1).over(Window.orderBy($"week")).as("prev"))
+      .select($"week", $"cnt", $"prev",
+        expr("((cnt - prev) * 1000000) div prev").as("wow_ppm"))
+      .orderBy($"week")
+  }
+
+  /** BOUNDED-DAY RETENTION (D1/D7/D30) — of users first seen on each
+    * day, the share active again within k days (exclusive of day 0):
+    * the canonical growth-accounting metric, folded WITHOUT a per-user
+    * timeline: first-day table ⋈ activity days once, then three
+    * day-difference threshold folds share the join. Rates in ppm per
+    * cohort day, overall summary row per k. */
+  private val q314RetentionDk: Q = (s, d) => {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct().cache()
+    val first = ud.groupBy($"user_id").agg(min($"day").as("d0"))
+    val joined = first.join(ud, "user_id")
+      .select($"user_id", datediff($"day", $"d0").cast("long").as("dd"))
+      .filter($"dd" > 0)
+      .groupBy($"user_id")
+      .agg(min($"dd").as("first_return"))
+    val tot = first.agg(count(lit(1)).as("n_users"))
+    first.join(joined, Seq("user_id"), "left")
+      .agg(
+        sum(when($"first_return" === 1L, 1L).otherwise(0L)).as("d1"),
+        sum(when($"first_return" <= 7L, 1L).otherwise(0L)).as("d7"),
+        sum(when($"first_return" <= 30L, 1L).otherwise(0L)).as("d30"))
+      .crossJoin(broadcast(tot))
+      .select($"n_users", $"d1", $"d7", $"d30",
+        expr("(d1 * 1000000) div n_users").as("d1_ppm"),
+        expr("(d7 * 1000000) div n_users").as("d7_ppm"),
+        expr("(d30 * 1000000) div n_users").as("d30_ppm"))
+  }
+
+  /** STICKINESS (DAU/MAU) — per month: mean daily actives over monthly
+    * actives in ppm, the engagement-density ratio. avg DAU folds as
+    * Σ daily-distinct div days (integer), MAU is one month-distinct —
+    * two aggregates over the same (day, user) distinct frame. */
+  private val q315Stickiness: Q = (s, d) => {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id").distinct().cache()
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      .groupBy(date_trunc("month", $"day").as("month"))
+      .agg(sum($"dau").as("sum_dau"), count(lit(1)).as("n_days"))
+    val mau = ud.groupBy(date_trunc("month", $"day").as("month"))
+      .agg(countDistinct($"user_id").as("mau"))
+    dau.join(mau, "month")
+      .select($"month".cast("date").cast("string").as("month"),
+        $"n_days", $"mau",
+        expr("sum_dau div n_days").as("avg_dau"),
+        expr("((sum_dau div n_days) * 1000000) div mau")
+          .as("stickiness_ppm"))
+      .orderBy($"month")
+  }
+
+  /** POWER-USER CURVE — activity deciles over per-user event counts
+    * (value-domain rank folds, no per-row window): each decile's share
+    * of total events in ppm. The engagement-concentration Lorenz table
+    * (q239's Gini is its scalar summary — over sources; this is the
+    * user-grain curve BI actually plots). */
+  private val q316PowerUsers: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("c"))
+    val vals = per.groupBy($"c").agg(count(lit(1)).as("users"))
+    val w = Window.orderBy($"c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals
+      .select($"c", $"users", (sum($"users").over(w) - $"users").as("below"))
+      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"),
+        sum($"c").as("total_events"))))
+      // decile of a user with count c (min-rank convention): all users
+      // share their value's decile — deterministic under ties
+      .select($"c", $"users",
+        least(lit(9L), expr("(below * 10) div n")).as("decile"),
+        $"total_events")
+    ranked.groupBy($"decile")
+      .agg(sum($"users").as("n_users"),
+        sum($"c" * $"users").as("events"),
+        expr("(sum(c * users) * 1000000) div max(total_events)")
+          .as("share_ppm"))
+      .orderBy($"decile")
+  }
+
+  /** A/B READOUT — two-proportion test sufficient statistics for a
+    * deterministic user-parity split on purchase conversion: per arm
+    * n, converters, rate ppm; plus the |z|-statistic in milli via the
+    * q271 floor(sqrt(double)) convention. The experiment-analysis fold
+    * every growth team runs; all counts exact, one (user, converted)
+    * aggregate. */
+  private val q317AbReadout: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(($"user_id" % 2 === 0).as("arm_a"), $"conv")
+    val arms = per.groupBy($"arm_a")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("conv"))
+      .cache()
+    val stats = arms.agg(
+        sum(when($"arm_a", $"n")).as("na"),
+        sum(when($"arm_a", $"conv")).as("ca"),
+        sum(when(!$"arm_a", $"n")).as("nb"),
+        sum(when(!$"arm_a", $"conv")).as("cb"))
+      .select($"na", $"ca", $"nb", $"cb",
+        expr("(ca * 1000000) div na").as("rate_a_ppm"),
+        expr("(cb * 1000000) div nb").as("rate_b_ppm"),
+        // |z|·1000: |ca·nb − cb·na| / sqrt(p̂(1−p̂)·na·nb·(na+nb)) with
+        // p̂ = (ca+cb)/(na+nb), cross-multiplied into one integer
+        // numerator and a floor(sqrt(double)) denominator
+        expr("""(abs(ca*nb - cb*na) * 1000) div
+               nullif(cast(floor(sqrt(
+                 cast((ca+cb) as double) * cast((na+nb)-(ca+cb) as double)
+                 * cast(na as double) * cast(nb as double)
+                 / cast(na+nb as double))) as bigint), 0)""")
+          .as("abs_z_milli"))
+    stats
+  }
+
+  /** DAY-OF-WEEK SEASONALITY PROFILE + residual anomalies — the weekly
+    * seasonal decomposition (q217 does hour-of-day): per-DOW mean in
+    * integer milli, then the 5 days with the largest |observed −
+    * dow-mean| residuals. Two calendar-bounded aggregates and a tiny
+    * top-k; no per-row windows. */
+  private val q318DowProfile: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek($"day").cast("long")).cache()
+    val prof = daily.groupBy($"dow")
+      .agg(expr("(sum(cnt) * 1000) div count(1)").as("dow_mean_milli"))
+    daily.join(broadcast(prof), "dow")
+      .select($"day".cast("string").as("day"), $"dow", $"cnt",
+        $"dow_mean_milli",
+        abs($"cnt" * 1000L - $"dow_mean_milli").as("abs_resid_milli"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"abs_resid_milli".desc, $"day")))
+      .filter($"rk" <= 5)
+      .select($"rk", $"day", $"dow", $"cnt", $"dow_mean_milli",
+        $"abs_resid_milli")
+      .orderBy($"rk")
+  }
+
+  /** FRESHNESS AUDIT — per source: newest document id, row count, and
+    * staleness vs the global high-water mark measured in id-space ppm
+    * (documents carry no timestamps, so recency = id recency — the
+    * monotone-ingest convention). The ops table a pipeline's on-call
+    * reads first. */
+  private val q319Freshness: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_id"))
+    per.crossJoin(broadcast(per.agg(max($"max_id").as("hwm"))))
+      .select($"source", $"n_docs", $"max_id", $"hwm",
+        expr("((hwm - max_id) * 1000000) div hwm").as("staleness_ppm"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q313_growth_rates"   -> q313GrowthRates,
+    "q314_retention_dk"   -> q314RetentionDk,
+    "q315_stickiness"     -> q315Stickiness,
+    "q316_power_users"    -> q316PowerUsers,
+    "q317_ab_readout"     -> q317AbReadout,
+    "q318_dow_profile"    -> q318DowProfile,
+    "q319_freshness"      -> q319Freshness,
     "q309_lsh_design_curve" -> q309LshDesignCurve,
     "q310_simhash_pr"     -> q310SimhashPr,
     "q311_lead_time_sla"  -> q311LeadTimeSla,
@@ -5617,6 +5800,133 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same Monday-start weeks, same signed truncating growth div
+    "q313_growth_rates" ->
+      """WITH w AS (SELECT date_trunc('week', ts) AS wk,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          l AS (SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week, cnt,
+                  lag(cnt, 1) OVER (ORDER BY wk) AS prev FROM w)
+          SELECT week, cnt, prev,
+                 ((cnt - prev) * 1000000) // prev AS wow_ppm
+          FROM l ORDER BY week""",
+    // same first-return fold, same within-k thresholds
+    "q314_retention_dk" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+          f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1),
+          j AS (SELECT f.user_id,
+                  CAST(min(datediff('day', d0, day)) AS BIGINT)
+                    AS first_return
+                FROM f JOIN ud USING (user_id)
+                WHERE datediff('day', d0, day) > 0 GROUP BY f.user_id),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
+          a AS (SELECT
+                  CAST(sum(CASE WHEN first_return = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN first_return <= 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d7,
+                  CAST(sum(CASE WHEN first_return <= 30 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d30
+                FROM f LEFT JOIN j USING (user_id))
+          SELECT n_users, d1, d7, d30,
+                 (d1 * 1000000) // n_users AS d1_ppm,
+                 (d7 * 1000000) // n_users AS d7_ppm,
+                 (d30 * 1000000) // n_users AS d30_ppm
+          FROM a, t""",
+    // same two aggregates over the same (day, user) distinct frame
+    "q315_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+          d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                FROM ud GROUP BY 1),
+          dm AS (SELECT date_trunc('month', day) AS month,
+                   CAST(sum(dau) AS BIGINT) AS sum_dau,
+                   CAST(count(*) AS BIGINT) AS n_days
+                 FROM d GROUP BY 1),
+          m AS (SELECT date_trunc('month', day) AS month,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+                FROM ud GROUP BY 1)
+          SELECT CAST(CAST(dm.month AS DATE) AS VARCHAR) AS month,
+                 n_days, mau, sum_dau // n_days AS avg_dau,
+                 ((sum_dau // n_days) * 1000000) // mau AS stickiness_ppm
+          FROM dm JOIN m USING (month) ORDER BY month""",
+    // same value-domain below-counts, same min-rank decile convention
+    "q316_power_users" ->
+      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1),
+          v AS (SELECT c, CAST(count(*) AS BIGINT) AS users
+                FROM per GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(c) AS BIGINT) AS total_events FROM per),
+          r AS (SELECT c, users,
+                  CAST(sum(users) OVER (ORDER BY c
+                    ROWS UNBOUNDED PRECEDING) - users AS BIGINT) AS below
+                FROM v),
+          dd AS (SELECT c, users,
+                   least(9, (below * 10) // n) AS decile, total_events
+                 FROM r, t)
+          SELECT decile, CAST(sum(users) AS BIGINT) AS n_users,
+                 CAST(sum(c * users) AS BIGINT) AS events,
+                 (sum(c * users) * 1000000) // max(total_events)
+                   AS share_ppm
+          FROM dd GROUP BY decile ORDER BY decile""",
+    // same per-arm folds, same cross-multiplied z numerator and
+    // identically-rounded floor(sqrt(double)) denominator
+    "q317_ab_readout" ->
+      """WITH per AS (SELECT user_id,
+                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1
+                    ELSE 0 END) AS BIGINT) AS conv
+                FROM events GROUP BY 1),
+          arms AS (SELECT user_id % 2 = 0 AS arm_a,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(conv) AS BIGINT) AS conv
+                   FROM per GROUP BY 1),
+          st AS (SELECT
+                   CAST(sum(CASE WHEN arm_a THEN n END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN arm_a THEN conv END) AS BIGINT)
+                     AS ca,
+                   CAST(sum(CASE WHEN NOT arm_a THEN n END) AS BIGINT)
+                     AS nb,
+                   CAST(sum(CASE WHEN NOT arm_a THEN conv END) AS BIGINT)
+                     AS cb
+                 FROM arms)
+          SELECT na, ca, nb, cb,
+                 (ca * 1000000) // na AS rate_a_ppm,
+                 (cb * 1000000) // nb AS rate_b_ppm,
+                 (abs(ca*nb - cb*na) * 1000) //
+                   nullif(CAST(floor(sqrt(
+                     CAST((ca+cb) AS DOUBLE)
+                     * CAST((na+nb)-(ca+cb) AS DOUBLE)
+                     * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / CAST(na+nb AS DOUBLE))) AS BIGINT), 0)
+                   AS abs_z_milli
+          FROM st""",
+    // dayofweek(+1) aligns DuckDB's 0=Sunday to Spark's 1=Sunday
+    "q318_dow_profile" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          dd AS (SELECT day, cnt,
+                   CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM daily),
+          prof AS (SELECT dow, (sum(cnt) * 1000) // count(*)
+                     AS dow_mean_milli FROM dd GROUP BY 1),
+          j AS (SELECT CAST(day AS VARCHAR) AS day, dd.dow, cnt,
+                  dow_mean_milli,
+                  abs(cnt * 1000 - dow_mean_milli) AS abs_resid_milli
+                FROM dd JOIN prof USING (dow)),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY abs_resid_milli DESC, day) AS INT) AS rk
+                FROM j)
+          SELECT rk, day, dow, cnt, dow_mean_milli, abs_resid_milli
+          FROM r WHERE rk <= 5 ORDER BY rk""",
+    // same id-space high-water-mark staleness
+    "q319_freshness" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(max(doc_id) AS BIGINT) AS max_id
+                FROM documents GROUP BY 1),
+          h AS (SELECT CAST(max(max_id) AS BIGINT) AS hwm FROM per)
+          SELECT source, n_docs, max_id, hwm,
+                 ((hwm - max_id) * 1000000) // hwm AS staleness_ppm
+          FROM per, h ORDER BY source""",
     // the identical squaring chains (one multiplication per step, same
     // order) make the doubles bit-equal before micro rounding
     "q309_lsh_design_curve" -> {
