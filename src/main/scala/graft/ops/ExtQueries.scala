@@ -5420,7 +5420,76 @@ object ExtQueries {
       .orderBy($"source")
   }
 
+  /** GROWTH-ACCOUNTING STATE FLOW — per day, every active user is
+    * exactly one of new / retained / resurrected, and churned counts
+    * users active the PREVIOUS day who vanished: the four-way
+    * decomposition (Social Capital's canonical growth accounting)
+    * whose identity DAU_t = new + retained + resurrected and
+    * churn_t = DAU_{t-1} − retained is checkable line by line. Day
+    * grain (the testdata spans one calendar month) so every state
+    * actually occurs. One (user, day) distinct, one per-user lag
+    * window, one day aggregate; the final lag runs over calendar-
+    * bounded day rows, the q154 pattern. */
+  private val q320GrowthAccounting: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val um = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+    val staged = um
+      .withColumn("prev", lag($"day", 1).over(w))
+      .withColumn("state",
+        when($"prev".isNull, "new")
+          .when(datediff($"day", $"prev") === 1, "retained")
+          .otherwise("resurrected"))
+    val active = staged.groupBy($"day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when($"state" === "new", 1L).otherwise(0L)).as("new_users"),
+        sum(when($"state" === "retained", 1L).otherwise(0L))
+          .as("retained"),
+        sum(when($"state" === "resurrected", 1L).otherwise(0L))
+          .as("resurrected"))
+    val wm = Window.orderBy($"day")
+    active
+      .withColumn("prev_dau", lag($"dau", 1).over(wm))
+      .select($"day".cast("string").as("day"),
+        $"dau", $"new_users", $"retained", $"resurrected",
+        (coalesce($"prev_dau", lit(0L)) - $"retained").as("churned"))
+      .orderBy($"day")
+  }
+
+  /** QUALITY-GATE WATERFALL — survivor counts through four successive
+    * release gates (length ≥ 500 chars, known language, ≥ 100 words,
+    * distinct-word ratio ≥ 30%): the attrition table that tells a
+    * corpus owner WHICH gate eats their data. One scan computes all
+    * stage flags; the waterfall is a single fold with per-stage drop
+    * shares in ppm of the original corpus. */
+  private val q321GateWaterfall: Q = (s, d) => {
+    import s.implicits._
+    val flags = Tables.documents(s, d)
+      .select($"n_chars", $"lang", TextAnalysis.words($"text").as("ws"))
+      .select(($"n_chars" >= 500L).as("g1"),
+        $"lang".isin("en", "de", "fr", "es").as("g2"),
+        (size($"ws") >= 100).as("g3"),
+        (size(array_distinct($"ws")) * 10 >= size($"ws") * 3).as("g4"))
+    flags.agg(count(lit(1)).as("n0"),
+        sum(when($"g1", 1L).otherwise(0L)).as("n1"),
+        sum(when($"g1" && $"g2", 1L).otherwise(0L)).as("n2"),
+        sum(when($"g1" && $"g2" && $"g3", 1L).otherwise(0L)).as("n3"),
+        sum(when($"g1" && $"g2" && $"g3" && $"g4", 1L).otherwise(0L))
+          .as("n4"))
+      .select($"n0", $"n1", $"n2", $"n3", $"n4",
+        expr("((n0 - n1) * 1000000) div n0").as("drop1_ppm"),
+        expr("((n1 - n2) * 1000000) div n0").as("drop2_ppm"),
+        expr("((n2 - n3) * 1000000) div n0").as("drop3_ppm"),
+        expr("((n3 - n4) * 1000000) div n0").as("drop4_ppm"),
+        expr("(n4 * 1000000) div n0").as("survive_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q320_growth_accounting" -> q320GrowthAccounting,
+    "q321_gate_waterfall" -> q321GateWaterfall,
     "q313_growth_rates"   -> q313GrowthRates,
     "q314_retention_dk"   -> q314RetentionDk,
     "q315_stickiness"     -> q315Stickiness,
@@ -5800,6 +5869,59 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same per-user day lag, same four-way state partition
+    "q320_growth_accounting" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+                  CAST(ts AS DATE) AS day FROM events),
+          st AS (SELECT user_id, day,
+                   lag(day, 1) OVER (PARTITION BY user_id
+                     ORDER BY day) AS prev
+                 FROM um),
+          cl AS (SELECT day,
+                   CASE WHEN prev IS NULL THEN 'new'
+                        WHEN datediff('day', prev, day) = 1
+                          THEN 'retained'
+                        ELSE 'resurrected' END AS state
+                 FROM st),
+          ac AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
+                   CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS new_users,
+                   CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0
+                     END) AS BIGINT) AS retained,
+                   CAST(sum(CASE WHEN state = 'resurrected' THEN 1
+                     ELSE 0 END) AS BIGINT) AS resurrected
+                 FROM cl GROUP BY 1),
+          fin AS (SELECT CAST(day AS VARCHAR) AS day,
+                   dau, new_users, retained, resurrected,
+                   CAST(coalesce(lag(dau, 1) OVER (ORDER BY day), 0)
+                     AS BIGINT) - retained AS churned
+                 FROM ac)
+          SELECT * FROM fin ORDER BY day""",
+    // same four gate flags over the shared words tokenizer
+    "q321_gate_waterfall" ->
+      s"""WITH f AS (SELECT n_chars >= 500 AS g1,
+                  lang IN ('en', 'de', 'fr', 'es') AS g2,
+                  len($wordsSql) >= 100 AS g3,
+                  len(list_distinct($wordsSql)) * 10
+                    >= len($wordsSql) * 3 AS g4
+                FROM documents),
+          a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n1,
+                  CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+                  CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3,
+                  CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1
+                    ELSE 0 END) AS BIGINT) AS n4
+                FROM f)
+          SELECT n0, n1, n2, n3, n4,
+                 ((n0 - n1) * 1000000) // n0 AS drop1_ppm,
+                 ((n1 - n2) * 1000000) // n0 AS drop2_ppm,
+                 ((n2 - n3) * 1000000) // n0 AS drop3_ppm,
+                 ((n3 - n4) * 1000000) // n0 AS drop4_ppm,
+                 (n4 * 1000000) // n0 AS survive_ppm
+          FROM a""",
     // same Monday-start weeks, same signed truncating growth div
     "q313_growth_rates" ->
       """WITH w AS (SELECT date_trunc('week', ts) AS wk,
