@@ -5487,7 +5487,107 @@ object ExtQueries {
         expr("(n4 * 1000000) div n0").as("survive_ppm"))
   }
 
+  /** q322's segment width and within-source document-frequency floor —
+    * 4-word segments repeat across this corpus's docs (sf0.01: 21
+    * per-source segments hit df ≥ 2), so the strip genuinely removes
+    * text. Shared with the oracle SQL. */
+  private[ops] val BoilerplateSegWords = 4
+  private[ops] val BoilerplateDfMin = 2
+
+  /** BOILERPLATE DETECTION (CCNet/RefinedWeb line-dedup leg): a segment
+    * that recurs in ≥ `BoilerplateDfMin` DISTINCT documents of the SAME
+    * source is boilerplate (nav bars, footers, license headers), and the
+    * cleaner strips every instance — unlike q103's keep-first paragraph
+    * dedup, boilerplate keeps NO copy. Output is the per-source audit:
+    * how much of the corpus is boilerplate, in exact ppm.
+    *
+    * 100 TB shape: one explode → one (source, segment-md5) count with
+    * map-side partial agg (countDistinct doc_id is exact because the
+    * group key already contains the source; the df counter shuffles
+    * (source, md5, doc_id) once) → one 20-row fold. No joins back to the
+    * corpus: the audit never rebuilds documents, so nothing document-
+    * sized crosses the wire twice. */
+  private val q322BoilerplateStrip: Q = (s, d) => {
+    import s.implicits._
+    val k = BoilerplateSegWords
+    val segs = Tables.documents(s, d)
+      .select($"doc_id", $"source", Dedup.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"source", explode(expr(
+        s"transform(sequence(0, (size(ws)-1) div $k), " +
+          s"i -> array_join(slice(ws, i*$k+1, $k), ' '))")).as("seg"))
+    val df = segs.groupBy($"source", md5($"seg").as("h"))
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("inst"))
+    df.groupBy($"source")
+      .agg(sum($"inst").as("n_instances"),
+        count(lit(1)).as("n_distinct_segs"),
+        sum(when($"df" >= BoilerplateDfMin, 1L).otherwise(0L))
+          .as("n_boilerplate_segs"),
+        sum(when($"df" >= BoilerplateDfMin, $"inst").otherwise(0L))
+          .as("removed_instances"))
+      .select($"source", $"n_instances", $"n_distinct_segs",
+        $"n_boilerplate_segs", $"removed_instances",
+        expr("(removed_instances * 1000000) div n_instances")
+          .as("removed_ppm"))
+      .orderBy($"source")
+  }
+
+  /** SOURCE-DIVERGENCE MATRIX — KL(a ‖ b) between every ordered pair of
+    * source unigram distributions, add-one smoothing on the REFERENCE
+    * side (p_b(w) = (c_bw+1)/(T_b+V)): the corpus-mixing diagnostic that
+    * says which sources are interchangeable and which would shift the
+    * token distribution if upweighted. Integer micro-nats via the q137
+    * lnMicro quantize-before-subtract rule, so both engines sum the same
+    * longs: each in-a term is c_aw·(lnM(c_aw·(T_b+V)) − lnM(T_a·(c_bw+1))).
+    *
+    * 100 TB shape — NO pair×vocabulary grid: (1) one (source, word)
+    * count shuffle; (2) the Σ_{w∈a} c·lnM(c·(T_b+V)) side only depends on
+    * b through T_b, so it's the count table × a BROADCAST 20-row totals
+    * frame, map-side aggregated; (3) the cross term needs c_bw only where
+    * BOTH sources contain w — a word-keyed equi self-join (≤ |sources|²
+    * rows per word); (4) the words a has but b lacks collapse in closed
+    * form to (T_a − overlap)·lnM(T_a) because c_bw+1 = 1. The grid lives
+    * only in the DuckDB oracle, which doesn't have to scale. The total is
+    * clamped at 0 (sub-normalized smoothing makes true KL strictly
+    * positive; the clamp only guards micro-rounding at near-identical
+    * sources, where div-vs-floor would otherwise diverge on −ε). */
+  private val q323SourceDivergence: Q = (s, d) => {
+    import s.implicits._
+    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
+    val counts = Tables.documents(s, d)
+      .select($"source", explode(Dedup.words($"text")).as("w"))
+      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .cache()
+    val totals = counts.groupBy($"source").agg(sum($"c").as("t"))
+    val vrow = counts.select($"w").distinct().agg(count(lit(1)).as("v"))
+    val tb20 = totals.select($"source".as("sb"), $"t".as("tb"))
+      .crossJoin(broadcast(vrow))
+    val s1 = counts.join(broadcast(tb20), $"source" =!= $"sb")
+      .groupBy($"source".as("sa"), $"sb")
+      .agg(sum($"c" * lnM($"c" * ($"tb" + $"v"))).as("s1"))
+    val s2 = counts.as("a")
+      .join(counts.select($"source".as("sb"), $"w", $"c".as("cb")), Seq("w"))
+      .filter($"source" =!= $"sb")
+      .join(broadcast(totals.select($"source", $"t".as("ta"))), Seq("source"))
+      .groupBy($"source".as("sa"), $"sb")
+      .agg(sum($"c" * lnM($"ta" * ($"cb" + 1L))).as("s2"),
+        sum($"c").as("overlap_c"))
+    s1.join(s2, Seq("sa", "sb"), "left")
+      .join(broadcast(totals.select($"source".as("sa"), $"t".as("ta"))), Seq("sa"))
+      .join(broadcast(totals.select($"source".as("sb"), $"t".as("tb"))), Seq("sb"))
+      .select($"sa", $"sb", $"ta", $"tb",
+        coalesce($"overlap_c", lit(0L)).as("overlap_c"),
+        ($"s1" - coalesce($"s2", lit(0L))
+          - ($"ta" - coalesce($"overlap_c", lit(0L))) * lnM($"ta"))
+          .as("num"))
+      .select($"sa", $"sb", $"ta", $"tb", $"overlap_c",
+        expr("greatest(num, 0L) div ta").as("kl_micro"))
+      .orderBy($"sa", $"sb")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q322_boilerplate_strip" -> q322BoilerplateStrip,
+    "q323_source_divergence" -> q323SourceDivergence,
     "q320_growth_accounting" -> q320GrowthAccounting,
     "q321_gate_waterfall" -> q321GateWaterfall,
     "q313_growth_rates"   -> q313GrowthRates,
