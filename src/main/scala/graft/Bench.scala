@@ -85,8 +85,13 @@ object Bench {
     // n_failed is the machine-readable failure signal: a consumer keying
     // off exit code alone would read a partially-failing bench as clean
     // (the JVM exits 0 so the timing artifact still lands)
+    // coverage stamp: a full-catalog artifact must cover EVERY catalog
+    // query — n_catalog vs n_benched makes silent under-coverage (a
+    // stale artifact, a forgotten BENCH_ONLY filter) machine-visible
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+    if (only.isEmpty && results.size != SparkEntry.queries.size)
+      System.err.println(s"BENCH WARNING: artifact covers ${results.size} of ${SparkEntry.queries.size} catalog queries")
     println(line)
     // the driver's artifact stores only a truncated tail of stdout, which
     // can cut the totals off — always land the complete JSON in a file too

@@ -112,7 +112,8 @@ object Stress {
     io.Tables.lineitem(spark, baseDir)
       .crossJoin(reps)
       .select(($"l_orderkey" * factor + $"rep").as("l_orderkey"),
-        ($"l_suppkey" * factor + $"rep").as("l_suppkey"))
+        ($"l_suppkey" * factor + $"rep").as("l_suppkey"),
+        $"l_extendedprice")
       .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
 
     // ---- the pair-finder family ----------------------------------------
@@ -178,9 +179,34 @@ object Stress {
           .select($"p_partkey", $"p_name"),
         "p_partkey", "p_name", 11, 20)
     }
+    // the round-8 iterative-graph legs at scale: each round is a bounded
+    // (join + groupBy) pair over replica-disjoint graph copies, so edges —
+    // and wall time — must grow linearly; localCheckpoint keeps lineage
+    // O(1) so round 3 doesn't re-run rounds 1-2
+    // q184/q196's catalog forms gate on a p_partkey slice (constant at any
+    // sf), so their FULL-graph stress runs triangle counting and k-core
+    // peeling over the same thinned full-corpus trigram pair graph as
+    // q181_full — the two-path join is the quadratic-risk step (work ~
+    // Σ deg², bounded because cross-replica grams are disjoint)
+    def trianglesFull(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val pairs = trigramAllPairsFull(s, d).select($"r1", $"r2").cache()
+      pairs.as("ab").join(pairs.as("bc"), $"ab.r2" === $"bc.r1")
+        .join(pairs.as("ac"),
+          $"ac.r1" === $"ab.r1" && $"ac.r2" === $"bc.r2")
+        .select(explode(array($"ab.r1", $"ab.r2", $"bc.r2")).as("rid"))
+        .groupBy($"rid").agg(count(lit(1)).as("n_tri"))
+    }
+    def kCoreFull(s: SparkSession, d: String): DataFrame =
+      ext.Graph.kCore(trigramAllPairsFull(s, d), k = 2, iters = 4,
+        srcCol = "r1", dstCol = "r2")
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q178_pagerank" -> ops.Relational.queries("q178_pagerank"),
+      "q285_hits" -> ops.ExtQueries.queries("q285_hits"),
+      "q296_bellman_ford" -> ops.ExtQueries.queries("q296_bellman_ford"),
       "q181_trigram_allpairs_full" -> trigramAllPairsFull,
+      "q184_triangles_full" -> trianglesFull,
+      "q196_kcore_full" -> kCoreFull,
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
       "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),

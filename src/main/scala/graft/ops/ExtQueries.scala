@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.ext.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
@@ -1488,8 +1489,10 @@ object ExtQueries {
       .select($"p.w1", $"p.w2")
       .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
     val nb = bc.agg(sum($"n_ab").as("nb"))
-    bc.join(broadcast(uni.select($"w".as("w1"), $"n".as("n_a"))), "w1")
-      .join(broadcast(uni.select($"w".as("w2"), $"n".as("n_b"))), "w2")
+    // the unigram table is vocabulary-sized (10^8-10^9 types web-scale):
+    // unhinted joins let AQE broadcast when small, shuffle when not
+    bc.join(uni.select($"w".as("w1"), $"n".as("n_a")), "w1")
+      .join(uni.select($"w".as("w2"), $"n".as("n_b")), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .filter($"n_ab" >= 3 &&
         lit(2).cast("decimal(38,0)") * $"n_ab" * $"nu" * $"nu" >
@@ -3155,7 +3158,8 @@ object ExtQueries {
     val vocab = tok.select($"w", $"doc_id").distinct()
       .groupBy($"w").agg(count(lit(1)).as("df"))
       .filter($"df" >= 3).select($"w")
-    tok.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+    // vocab is vocabulary-sized — unhinted so AQE picks the join side
+    tok.join(vocab.withColumn("in_vocab", lit(1L)), Seq("w"), "left")
       .groupBy($"source")
       .agg(count(lit(1)).as("n_tokens"),
         sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
@@ -3251,7 +3255,8 @@ object ExtQueries {
       .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
       .cache()
     val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(df), "w")
+    // df is vocabulary-sized — unhinted so AQE picks the join side
+    tf.join(df, "w")
       .withColumn("weight", expr("tf * (1000000 div df)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy($"doc_id").orderBy($"weight".desc, $"w")))
@@ -5969,6 +5974,57 @@ object ExtQueries {
        WHERE rank <= 5 ORDER BY source, rank"""
 
   lazy val oracle: Map[String, String] = Map(
+    // same 4-word segmentation (trailing short segment kept), same
+    // within-source md5 df counter, same ppm integer division
+    "q322_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
+          g AS (SELECT doc_id, source,
+                       md5(array_to_string(
+                         ws[i*$BoilerplateSegWords+1 : i*$BoilerplateSegWords+$BoilerplateSegWords],
+                         ' ')) AS h
+                FROM t, unnest(range(0, (len(ws)-1)//$BoilerplateSegWords + 1)) AS u(i)
+                WHERE len(ws) > 0),
+          df AS (SELECT source, h,
+                        count(DISTINCT doc_id) AS df,
+                        count(*) AS inst
+                 FROM g GROUP BY source, h)
+          SELECT source,
+                 CAST(sum(inst) AS BIGINT) AS n_instances,
+                 CAST(count(*) AS BIGINT) AS n_distinct_segs,
+                 CAST(sum(CASE WHEN df >= $BoilerplateDfMin THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_boilerplate_segs,
+                 CAST(sum(CASE WHEN df >= $BoilerplateDfMin THEN inst ELSE 0 END) AS BIGINT)
+                   AS removed_instances,
+                 CAST((sum(CASE WHEN df >= $BoilerplateDfMin THEN inst ELSE 0 END) * 1000000)
+                      // sum(inst) AS BIGINT) AS removed_ppm
+          FROM df GROUP BY source ORDER BY source""",
+    // the pair x vocabulary grid the engine avoids is fine here: same
+    // micro-nat lnM quantize-before-subtract rule as q137, same add-one
+    // smoothing on the reference side, same closed-form no-overlap term
+    "q323_source_divergence" ->
+      s"""WITH c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+                 FROM (SELECT source, unnest($wordsSql) AS w FROM documents)
+                 GROUP BY source, w),
+          t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source),
+          vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM c),
+          grid AS (SELECT a.source AS sa, b.source AS sb, a.t AS ta, b.t AS tb
+                   FROM t a JOIN t b ON a.source <> b.source),
+          terms AS (SELECT g.sa, g.sb, g.ta, g.tb, ca.c AS ca, cb.c AS cb
+                    FROM grid g
+                    JOIN c ca ON ca.source = g.sa
+                    LEFT JOIN c cb ON cb.source = g.sb AND cb.w = ca.w),
+          agg AS (SELECT sa, sb, ta, tb,
+                    CAST(sum(ca * CAST(round(ln(CAST(ca * (tb + v) AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s1,
+                    CAST(coalesce(sum(CASE WHEN cb IS NOT NULL
+                      THEN ca * CAST(round(ln(CAST(ta * (cb + 1) AS DOUBLE)) * 1000000) AS BIGINT) END), 0) AS BIGINT) AS s2,
+                    CAST(coalesce(sum(CASE WHEN cb IS NOT NULL THEN ca END), 0) AS BIGINT) AS overlap_c
+                  FROM terms CROSS JOIN vv
+                  GROUP BY sa, sb, ta, tb)
+          SELECT sa, sb, ta, tb, overlap_c,
+                 CAST(greatest(s1 - s2
+                        - (ta - overlap_c) * CAST(round(ln(CAST(ta AS DOUBLE)) * 1000000) AS BIGINT),
+                        0) // ta AS BIGINT) AS kl_micro
+          FROM agg ORDER BY sa, sb""",
     // same per-user day lag, same four-way state partition
     "q320_growth_accounting" ->
       """WITH um AS (SELECT DISTINCT user_id,
