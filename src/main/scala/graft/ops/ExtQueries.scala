@@ -1,11 +1,5 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
-
-import graft.ext.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
-import graft.io.Tables
-
 /** Training-data-pipeline operator catalog (SURVEY §2.9 E1-E5 + builder
   * mandate): dedup, near-dup, similarity search, text analysis, multimodal.
   * Oracle SQL is generated from the same Scala constants where DuckDB can
@@ -13,9657 +7,9 @@ import graft.io.Tables
   * functions differ across engines) and get rows-only driver checks.
   */
 object ExtQueries {
-
-  private def sqlList(ws: Seq[String]): String =
-    ws.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
-
-  /** E1: exact content dedup via sha256 — one shuffle on the hash. */
-  private val q40DedupExact: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("hash", Dedup.contentHash($"text"))
-      .groupBy($"hash")
-      .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .select($"doc_id", $"hash", $"n_copies")
-      .orderBy($"doc_id")
-  }
-
-  /** E1: key-based dedup keeping smallest id per (lang, source). */
-  private val q41DedupKeys: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .groupBy($"lang", $"source")
-      .agg(min($"doc_id").as("doc_id"))
-      .orderBy($"lang", $"source")
-  }
-
-  /** Shingled corpus with the compute spread across all cores: any doc_id
-    * slice is pushed into the parquet scan FIRST, then rows are
-    * hash-repartitioned BEFORE the shingle projection. The repartition
-    * matters at both ends of the scale: locally a tiny corpus arrives as a
-    * single scan split (one small file = one task) and would serialize the
-    * compute-dense higher-order shingle/minhash expressions onto one core;
-    * on a 1000-executor cluster the same repartition bounds per-task work
-    * independent of row-group layout. Shuffling (doc_id, text) here is
-    * cheap — text is the column the next stage consumes anyway. */
-  private def shingled(s: org.apache.spark.sql.SparkSession, d: String,
-                       maxDocId: Option[Int] = None) = {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    maxDocId.fold(docs)(m => docs.filter($"doc_id" < m))
-      .repartition($"doc_id")
-      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
-      .filter(size($"sh") > 0)
-  }
-
-  /** Brute-force slice bound shared by the q42 engine query AND its oracle
-    * SQL (generated below from this same constant), so the query stays
-    * scale-independent: at any sf, both sides compare pairs over exactly
-    * doc_id < BruteForceSlice. */
-  private[ops] val BruteForceSlice = 500
-
-  /** Jaccard threshold for q43's LSH path — chosen so that LSH recall with
-    * (bands=32, rowsPerBand=4) is effectively 1: a pair at exactly j=0.8 is
-    * missed with probability (1 - 0.8^4)^32 ≈ 5e-8, and planted near-dup
-    * pairs in the testdata all have j ≥ 0.9 (miss prob < 1e-15). At the
-    * borderline j=0.5 recall would only be 1-(1-0.5^4)^32 ≈ 0.873, which is
-    * why the output threshold is raised instead. */
-  private[ops] val LshJaccardThreshold = 0.8
-
-  /** E2: exact n-gram (3-word shingle) jaccard near-dup pairs, brute force —
-    * the correctness baseline the LSH path must reproduce. All-pairs is
-    * intentionally bounded to a fixed `BruteForceSlice`-doc slice: brute
-    * force is the algorithm for bounded subsets; at scale, q43's LSH is the
-    * full-corpus path. */
-  private val q42JaccardPairs: Q = (s, d) => {
-    import s.implicits._
-    // cache: the slice feeds BOTH sides of the product — uncached it would
-    // be recomputed once per side (and once more for the broadcast build)
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    // broadcast: a bounded slice always fits; without the hint the computed
-    // side has no size stats and Spark falls back to CartesianProductExec
-    // (n_part² tiny tasks — pure scheduling overhead at this cardinality)
-    a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" > 0.5)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
-  }
-
-  /** E2 scale path: MinHash(128) + LSH(32 bands) candidates over the FULL
-    * corpus, exact-verified against a full-corpus oracle. The output
-    * threshold is `LshJaccardThreshold` (not 0.5) precisely so the check is
-    * deterministic at these LSH parameters — see the recall math on the
-    * constant above. */
-  private val q43MinhashLsh: Q = (s, d) => {
-    import s.implicits._
-    val sh = shingled(s, d).cache()
-    val cands = Dedup.lshCandidatePairs(sh, "doc_id", "sh", numHashes = 128, bands = 32)
-    cands
-      .join(sh.toDF("doc_id_a", "sh_a"), Seq("doc_id_a"))
-      .join(sh.toDF("doc_id_b", "sh_b"), Seq("doc_id_b"))
-      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" > LshJaccardThreshold)
-      .select($"doc_id_a".as("doc_a"), $"doc_id_b".as("doc_b"), $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
-  }
-
-  /** E2: duplicate clusters — connected components over the q42 near-dup
-    * pair graph; each doc maps to its component's canonical (minimum) id.
-    * Oracle recomputes the closure with a recursive CTE. */
-  private val q86DupClusters: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
-      .select($"doc_a", $"doc_b")
-    Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .select($"node".as("doc_id"), $"component")
-      .orderBy($"doc_id")
-  }
-
-  /** E2: SimHash fingerprints over the basic-tokenized documents. Uses the
-    * md5-derived 60-bit token hash ([[Dedup.simhashMd5]]) so DuckDB can
-    * replicate the fingerprint bit-for-bit — a full oracle check, not just
-    * rows-only (the xxhash64 variant stays as engine API). */
-  private val q44Simhash: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text")).as("simhash"))
-      .orderBy($"doc_id")
-  }
-
-  /** Slice bound for q48 shared by engine and oracle (scale-independent
-    * brute force, same pattern as q42). */
-  private[graft] val CosineSlice = 500
-
-  /** E2/E3: embedding-cosine near-dup pairs over a bounded slice. The
-    * testdata vectors are near-orthogonal (max pairwise cosine ≈ 0.51), so
-    * the 0.45 threshold keeps the output small while sitting far from any
-    * pair's value — the float comparison can't flip across engines. */
-  private val q48CosinePairs: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
-    Similarity.cosineNearDupPairs(emb, threshold = 0.45)
-      .orderBy($"vec_a", $"vec_b")
-  }
-
-  /** E3 scale path #2: IVF ANN (deterministic coarse quantizer → probe
-    * nprobe cells → exact rank within). Fully oracle-checked, unlike the
-    * LSH path q47. */
-  private val q49IvfKnn: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    Similarity.ivfKnn(emb.filter($"vec_id" < 5), emb, k = 10, numCentroids = 8, nprobe = 2)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
-  }
-
-  /** The shared recall-contract harness behind q100/q112/q115 (q47's
-    * pattern, generalized): exact brute-force top-10 for the 5 query
-    * vectors is the ground truth, `ann`'s hits are counted by left-semi
-    * join, and ONLY the gate boolean (recall ≥ 0.9, vacuously true on
-    * empty truth — the NULL-division guard) plus the truth count publish.
-    * One harness, one gate rule: a tiebreak or k change cannot drift
-    * between the three contracts. */
-  private def recallGate(s: org.apache.spark.sql.SparkSession, d: String)(
-      ann: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
-    val q = emb.filter($"vec_id" < 5)
-    val truth = Similarity.bruteForceKnn(q, emb, k = 10)
-      .select("query_id", "neighbor_id")
-    val hit = truth.join(ann(q, emb).select("query_id", "neighbor_id"),
-      Seq("query_id", "neighbor_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(when($"n_truth" === 0, lit(true))
-        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
-        $"n_truth")
-  }
-
-  /** E3: the IVF twin of q47's measured-recall contract — q49's quantizer
-    * params (numCentroids=8, nprobe=2) are gated on recall@10 ≥ 0.9
-    * against the exact brute-force top-10 (q46's ground truth), measured
-    * in-query. A quantizer regression (bad centroid rule, broken argmax,
-    * cell-assignment drift) fails the oracle gate even though only the
-    * boolean ships. Measured by tools/AnnTune: recall@10 = 0.94 (sf0.01) /
-    * 0.98 (sf0.1) at these params; sizing guidance in
-    * `Similarity.collectCentroids` (numCentroids ∝ √n, nprobe 2-8). */
-  private val q100IvfRecall: Q = (s, d) => recallGate(s, d)((q, emb) =>
-    Similarity.ivfKnn(q, emb, k = 10, numCentroids = 8, nprobe = 2))
-
-  /** E3: one spherical-k-means Lloyd round over the corpus from the
-    * deterministic seed centroids — the quantizer-TRAINING step that turns
-    * q49/q98's test-sized quantizer into a real one. Assignment is the
-    * shared q49/q98 argmax contract; the per-cell mean folds members in
-    * vec_id order so the double arithmetic is bit-identical to the
-    * oracle's `list_reduce` fold. The catalog ships the centroid FLATTENED
-    * to one row per component `(cid, n_assigned, i, x)` — the harness
-    * compare can't sort an array cell (r5 verdict's one red row); API
-    * users keep the array form via [[Similarity.kmeansStepDeterministic]]
-    * directly. */
-  private val q108KmeansStep: Q = (s, d) => {
-    import s.implicits._
-    Similarity.kmeansStepDeterministic(
-        Tables.embeddings(s, d).repartition($"vec_id"), numCentroids = 8)
-      .select($"cid", $"n_assigned", posexplode($"centroid").as(Seq("i", "x")))
-      .orderBy($"cid", $"i")
-  }
-
-  /** E3: the TRAINED-quantizer recall contract — the end of the VERDICT r4
-    * quantizer-quality thread. [[Similarity.kmeansTrain]] runs the full
-    * Lloyd loop (seed = q49/q100's deterministic first-8, 5 rounds max,
-    * cosine-movement stop) and the TRAINED centroids serve q49's exact
-    * search shape via [[Similarity.ivfKnnWith]]; recall@10 for the 5 query
-    * vectors is measured in-query against the brute-force truth and gated
-    * ≥ 0.9 (q47/q100's contract pattern — training's unordered float sums
-    * make the centroids engine-specific, so the OUTCOME is what the oracle
-    * pins: a training regression that degrades the quantizer fails the
-    * gate even though only the boolean ships). */
-  private val q112IvfTrained: Q = (s, d) => recallGate(s, d)((q, emb) =>
-    Similarity.ivfKnnWith(q, emb, k = 10,
-      Similarity.kmeansTrain(emb, numCentroids = 8, maxIters = 5), nprobe = 2))
-
-  /** E3: product-quantization ANN (the FAISS IVF-PQ memory-compression
-    * path): PQ16×6 codebooks trained per-subspace by L2 k-means
-    * ([[Similarity.pqTrain]]), corpus scanned as 16-byte codes via
-    * asymmetric-distance lookup tables, shortlist exact-re-ranked
-    * ([[Similarity.pqKnn]]); recall@10 vs brute-force truth measured
-    * in-query, gated ≥ 0.9 (q47/q100/q112's contract pattern). Params
-    * measured by tools/AnnTune: m=16, ksub=64, shortlist=100 → recall 0.96
-    * at sf0.1 (this corpus is random unit vectors — the PQ-adversarial
-    * case; clustered real embeddings compress far better, and m trades
-    * bytes for recall: m=8 → 32× compression at 0.7-0.8, m=32 → 8× at
-    * 1.0). */
-  private val q115PqRecall: Q = (s, d) => recallGate(s, d)((q, emb) =>
-    Similarity.pqKnn(q, emb, k = 10,
-      // 3 Lloyd rounds: AnnTune measures recall identical to 10 rounds at
-      // sf0.01 (1.00) and sf0.1 (0.96) for these params — the extra jobs
-      // bought nothing on this corpus
-      Similarity.pqTrain(emb, m = 16, ksub = 64, maxIters = 3), shortlist = 100))
-
-  /** E1: benchmark decontamination — the training-prep step that drops
-    * documents overlapping the eval set. The "benchmark" is the
-    * deterministic mod-10 slice of `documents` (both engines compute the
-    * identical split), the corpus is the rest, and a 7-gram collision
-    * flags contamination — at this corpus's lengths (10-99 words) that
-    * catches exactly the planted near-dups across the split, a sparse
-    * non-trivial signal. Engine shape: broadcast bench-gram set, map-only
-    * probe, hit-only count shuffle ([[Dedup.decontaminate]]). */
-  private val q113Decontaminate: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    Dedup.decontaminate(
-        docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0), n = 7)
-      .orderBy($"doc_id")
-  }
-
-  /** E5: cross-engine-checkable rolling polynomial fingerprint. */
-  private val q45Fingerprint: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
-      .orderBy($"doc_id")
-  }
-
-  /** E5: MOSS winnowing fingerprints (q45's production-grade sibling —
-    * the selection that GUARANTEES shared runs share a fingerprint): word
-    * 3-gram md5 hashes, window 4, per-window minimum with leftmost
-    * tiebreak. Map-only fused pass; the oracle re-derives gram hashes,
-    * windows, and the (hash, pos)-lexicographic minimum from scratch via
-    * a packed h·2^20+pos key (exact BIGINT arithmetic both engines). */
-  private val q128Winnowing: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", explode(TextAnalysis.winnowFingerprints($"text", 3, 4)).as("f"))
-      .select($"doc_id", $"f.pos".as("pos"), $"f.gram_hash".as("gram_hash"))
-      .orderBy($"doc_id", $"pos")
-  }
-
-  /** The GPT-2-SHAPED pre-tokenizer regex, lookahead-free so it means the
-    * same thing in Java regex and RE2/DuckDB (the original's `\s+(?!\S)`
-    * branch needs lookahead; dropping it only changes how a trailing
-    * whitespace run groups). Apostrophe contractions, space-glued
-    * letter/digit/punctuation runs, residual whitespace runs. */
-  private[ops] val PreTokenRegex =
-    """'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
-
-  /** E5 token counting, the BPE-ish REGEX form (the brief's "whitespace +
-    * BPE-ish regex"; q52 is the cheap length/4 heuristic): count GPT-2
-    * pre-tokens — the units BPE merges start from, a far better sequence-
-    * length predictor than word count. Map-only codegen'd regex pass; the
-    * oracle runs the IDENTICAL pattern through DuckDB's RE2. */
-  private val q129PreTokens: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id",
-        size(regexp_extract_all($"text", lit(PreTokenRegex), lit(0)))
-          .cast("long").as("n_pretokens"))
-      .orderBy($"doc_id")
-  }
-
-  /** E5 MODEL-BASED quality filter (the FineWeb-Edu/fastText shape, vs
-    * q51's rule gate): a fixed linear classifier over per-doc features —
-    * z = b + w·(ln(1+n_words), uniq_frac, mean_word_len, digit_frac),
-    * score = σ(z) — with the keep decision taken on the LINEAR term
-    * (z ≥ 0 ⇔ σ ≥ ½) so the gate never sits on a transcendental-library
-    * boundary. Weights are deterministic model constants (a real
-    * deployment swaps in trained ones); both engines build z with the
-    * SAME operation order, so the float sums agree bit-for-bit. */
-  private val q130QualityModel: Q = (s, d) => {
-    import s.implicits._
-    val ws = Dedup.words($"text")
-    val nWords = size(ws).cast("double")
-    val f1 = log(lit(1.0) + nWords)
-    val f2 = size(array_distinct(ws)).cast("double") / nWords
-    val f3 = aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
-    val f4 = size(filter(ws, w => w.rlike("[0-9]"))).cast("double") / nWords
-    val z = lit(-2.0) + lit(0.45) * f1 + lit(1.6) * f2 + lit(0.12) * f3 + lit(-2.5) * f4
-    Tables.documents(s, d)
-      .filter(size(Dedup.words($"text")) > 0)
-      .select($"doc_id", round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as("score"),
-        (z >= 0).as("keep"))
-      .orderBy($"doc_id")
-  }
-
-  /** Deterministic size-budgeted SHARD MANIFEST (q118's consumer — the
-    * files-and-offsets layout a corpus exporter actually writes, the
-    * WebDataset/tar-stream shape): within each md5 hash bucket, docs in
-    * content-stable (md5, doc_id) order are laid out as a byte stream;
-    * the manifest records each doc's stream offset and the shard file
-    * `offset // budget` it starts in. Pure integer window arithmetic —
-    * exact in both engines; per-bucket windows with no global sort task,
-    * same scale story as q118. */
-  private val q131ShardManifest: Q = (s, d) => {
-    import s.implicits._
-    val budget = 2000L
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bucket").orderBy($"h", $"doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select($"doc_id", $"n_chars", md5($"text").as("h"))
-      .withColumn("bucket",
-        pmod(conv(substring($"h", 1, 8), 16, 10).cast("long"), lit(16)))
-      .withColumn("byte_offset", coalesce(sum($"n_chars").over(w), lit(0L)))
-      .select($"doc_id", $"bucket", $"byte_offset",
-        floor($"byte_offset" / budget).cast("long").as("shard_idx"))
-      .orderBy($"bucket", $"byte_offset", $"doc_id")
-  }
-
-  /** Pre-training corpus assembly — PROBABILITY-PROPORTIONAL-TO-SIZE
-    * systematic sampling (the classical PPS / dollar-unit sampler, the
-    * RNG-free way to draw a token-weighted subcorpus): lay the corpus out
-    * as a deterministic token stream in content-stable (md5, doc_id) order
-    * and pick the doc under each of k=100 equally-spaced ticks
-    * `t_i = (2i+1)·W div (2k)` — every doc is selected with probability
-    * ∝ its token count, docs longer than W/k carry several ticks
-    * (multiplicity, the PPS convention), and Σ n_picks = k exactly. Tick
-    * membership is pure integer arithmetic: with
-    * `f(x) = min(k, (2kx + W − 1) div 2W)` = #ticks below stream position
-    * x, a doc holds `f(start+tok) − f(start)` ticks — no floats anywhere,
-    * so the draw is reproducible on any engine that agrees on the stream.
-    *
-    * Movement at 100 TB (q118/q131's two-phase prefix sum): NO global sort
-    * task — 16 md5-prefix buckets whose lexicographic order equals the
-    * global (md5, doc_id) order, per-bucket window cumsum, bucket offsets
-    * folded over the 16-row bucket table and broadcast back. */
-  private val q172PpsSample: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val k = 100L
-    val toks = Tables.documents(s, d)
-      .select($"doc_id", md5($"text").as("h"), TextAnalysis.estTokens($"text").as("tok"))
-      .withColumn("bucket", conv(substring($"h", 1, 1), 16, 10).cast("long"))
-    val wIn = Window.partitionBy($"bucket").orderBy($"h", $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withCum = toks.withColumn("cum", coalesce(sum($"tok").over(wIn), lit(0L)))
-    val bt = withCum.groupBy($"bucket").agg(sum($"tok").as("bt")).cache()
-    // 16-row frames: the global window and the total fold cost nothing
-    val wB = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val offs = bt.withColumn("off", coalesce(sum($"bt").over(wB), lit(0L)))
-      .select($"bucket", $"off")
-    val tot = bt.agg(sum($"bt").as("W"))
-    // SQL `div` (via expr): true integer division — floor(x/y) on doubles
-    // would silently lose exactness past 2^53 (the q163 lesson)
-    withCum.join(broadcast(offs), "bucket")
-      .crossJoin(broadcast(tot))
-      .withColumn("stream_offset", $"off" + $"cum")
-      .withColumn("first_pick",
-        least(lit(k), expr(s"(${2 * k} * stream_offset + W - 1) div (2 * W)")))
-      .withColumn("n_picks",
-        least(lit(k), expr(s"(${2 * k} * (stream_offset + tok) + W - 1) div (2 * W)"))
-          - $"first_pick")
-      .filter($"n_picks" > 0)
-      .select($"doc_id", $"tok".as("n_tokens"), $"stream_offset",
-        $"n_picks".cast("long").as("n_picks"), $"first_pick".cast("long").as("first_pick"))
-      .orderBy($"doc_id")
-  }
-
-  /** Embedding-model training data — HARD-NEGATIVE MINING (the FaceNet /
-    * DPR / SimCLR curriculum step): for each anchor vector, the top-5
-    * most-similar corpus vectors with a DIFFERENT label — the negatives
-    * that most confuse a metric-learning model and carry most of the
-    * contrastive gradient. Same movement as q46: anchors broadcast, one
-    * corpus scan, per-anchor window rank (cosine desc, id tiebreak); at
-    * corpus scale the scan side swaps for IVF/LSH candidates exactly as
-    * q49/q47 do for plain kNN. */
-  private val q174HardNegatives: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    Similarity.hardNegatives(emb.filter($"vec_id" < 20), emb, k = 5)
-      .orderBy($"query_id", $"rank")
-  }
-
-  /** E3: exact brute-force top-10 cosine neighbors for 5 query vectors.
-    * Rank output only — ranks are stable (verified margins ≫ float noise). */
-  private val q46KnnBrute: Q = (s, d) => {
-    import s.implicits._
-    // repartition: the corpus-side cosine scan is compute-dense and the
-    // testdata arrives as one scan split (see `shingled` for the rationale)
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    Similarity.bruteForceKnn(emb.filter($"vec_id" < 5), emb, k = 10)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
-  }
-
-  /** E3 scale path: random-hyperplane LSH ANN with a MEASURED recall
-    * contract (the q77 pattern: the engine-specific part is verified
-    * in-query against exact ground truth, and the contract boolean plus
-    * the truth count are the oracle-checked output — so a bucketing or
-    * parameter regression fails the gate even though the plane RNG itself
-    * is not oracle-able). Ground truth = the exact cosine pairs (slice,
-    * cos>0.45 — q48's set); candidates = hyperplane bucket collisions over
-    * the same slice via [[Similarity.annCandidatePairs]].
-    *
-    * Parameter note: THIS testdata's planted near-dups sit barely above
-    * the noise floor (cos 0.45-0.51), i.e. θ≈63°, p_bit≈0.65 — recall
-    * 1-(1-0.65^4)^16 ≈ 0.96 needs (planes=4, tables=16) and costs a dense
-    * candidate set (measured, deterministic under the fixed seeds: 13/14
-    * @ sf0.01, 12/13 @ sf0.1 — see tools/AnnTune). A real corpus's
-    * near-dup band (cos ≥ 0.9, p_bit ≥ 0.9) meets the same 0.9 contract
-    * with (planes=12, tables=4) and a tiny candidate set. */
-  private val q47AnnLsh: Q = (s, d) => {
-    import s.implicits._
-    val slice = Tables.embeddings(s, d)
-      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
-    val truth = Similarity.cosineNearDupPairs(slice, 0.45).select("vec_a", "vec_b")
-    val cands = Similarity.annCandidatePairs(slice, numPlanes = 4, tables = 16)
-    val hit = truth.join(cands, Seq("vec_a", "vec_b"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      // empty truth set ⇒ recall is vacuously perfect (n_hit/n_truth would
-      // be NULL under Spark's non-ANSI division, spuriously failing the gate)
-      .select(when($"n_truth" === 0, lit(true))
-        .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
-        $"n_truth")
-  }
-
-  /** E5: language-ID heuristic (stopword-marker argmax). */
-  private val q50LangId: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.languageIdFast($"text").as("pred_lang"))
-      .orderBy($"doc_id")
-  }
-
-  /** E5: quality scoring. */
-  private val q51Quality: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.qualityFast($"text").as("q"))
-      .select($"doc_id", $"q.n_words", $"q.n_uniq", $"q.n_stop",
-        $"q.uniq_ratio", $"q.quality_ok")
-      .orderBy($"doc_id")
-  }
-
-  /** E5: the full Gopher quality-rule gate (Rae et al. 2021 §A1.1) — the
-    * standard pre-dedup web filter. Integer-only signals and
-    * cross-multiplied thresholds (see [[TextAnalysis.gopherSignals]]), so
-    * the oracle replays the keep decision with zero float risk. Map-only. */
-  private val q147GopherRules: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id") +: TextAnalysis.gopherSignals($"text"): _*)
-      .orderBy($"doc_id")
-  }
-
-  /** Sketch contract #4 — mergeable FREQUENCY: a count-min sketch
-    * ([[CountMin]], Cormode & Muthukrishnan 2005) built over every token of
-    * the corpus in ONE pass fused with the exact total (the same
-    * partial+merge movement as q140's HLL), then probed for the exact
-    * top-10 tokens. The sketch internals are engine-specific, so the oracle
-    * pins the exact top-10 counts plus the two measured CMS contracts:
-    * estimates never undercount, and overcounts stay within (e/Width)·N.
-    * The top-10 list, the single-row (total, sketch) stats, and the probe
-    * join are all bounded — nothing data-sized touches the driver. */
-  private val q148CmsTopk: Q = (s, d) => {
-    import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select(explode(TextAnalysis.words($"text")).as("tok"))
-    val cms = udaf(new CountMin.SketchAgg(), org.apache.spark.sql.Encoders.STRING)
-    val stats = toks.agg(count(lit(1)).as("n_total"), cms($"tok").as("sk"))
-    val top10 = toks.groupBy($"tok").agg(count(lit(1)).as("n_exact"))
-      .orderBy($"n_exact".desc, $"tok".asc).limit(10)
-    val est = udf((sk: Seq[Long], tok: String) => CountMin.estimate(sk.toIndexedSeq, tok))
-    // overestimate_ok is DETERMINISTIC (CMS never undercounts); the error
-    // bound is probabilistic (Markov, ~e^-Depth per probe), so the gated
-    // column uses a 4× widened factor — a violation would need a 4σ-class
-    // collision pileup — rather than the tight ε that could flake on an
-    // adversarially skewed regenerated corpus.
-    top10.crossJoin(broadcast(stats))
-      .select($"tok", $"n_exact", est($"sk", $"tok").as("e"), $"n_total")
-      .select($"tok", $"n_exact",
-        ($"e" >= $"n_exact").as("overestimate_ok"),
-        ($"e" <= $"n_exact" + lit(4.0 * CountMin.Eps) * $"n_total").as("bound_ok"))
-      .orderBy($"n_exact".desc, $"tok".asc)
-  }
-
-  /** Data-selection operator — DSIR importance weighting (Xie et al. 2023,
-    * arXiv:2302.03169): score every raw document by how target-like its
-    * hashed-unigram distribution is. Tokens hash into 1024 buckets
-    * (md5-based, so the oracle replays the bucketing verbatim); the target
-    * (lang='en') and raw bucket distributions are estimated with add-1
-    * smoothing, and each doc's importance weight is the sum of its tokens'
-    * log-likelihood ratios — quantized per bucket to integer micro-nats
-    * (q137's convention: the products feeding ln are exact-in-double
-    * integers, and floor-quantization absorbs libm 1-ulp drift), so the
-    * per-doc sums are order-free exact integers.
-    *
-    * Movement at 100 TB: one token explode feeding (a) a 1024-row bucket
-    * table (map-side partial counts) and (b) per-doc bucket counts — one
-    * (doc_id, bucket) shuffle; the λ table broadcasts back. Nothing about
-    * the corpus size touches the driver. */
-  private val q149DsirWeights: Q = (s, d) => {
-    import s.implicits._
-    val B = 1024
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", ($"lang" === "en").as("is_t"),
-        explode(TextAnalysis.words($"text")).as("w"))
-      .withColumn("b", conv(substring(md5($"w"), 1, 8), 16, 10).cast("long") % B)
-    // cached: 1024 rows, feeds both the totals fold and the λ table — the
-    // corpus explode runs exactly twice (bucket counts + per-doc counts),
-    // never three times. Verify/Bench clear the cache between queries.
-    val bc = tok.groupBy($"b").agg(count(lit(1)).as("cr"), count_if($"is_t").as("ct"))
-      .cache()
-    // corpus totals fold from the bucket table — not another corpus pass:
-    // Σcr ≡ count(*), Σct ≡ count_if(is_t) by construction
-    val tot = bc.agg(sum($"cr").as("nr"), sum($"ct").as("nt"))
-    val lam = bc.crossJoin(broadcast(tot))
-      .select($"b",
-        floor(log(
-          (($"ct".cast("double") + lit(1.0)) * ($"nr".cast("double") + lit(1024.0))) /
-          (($"cr".cast("double") + lit(1.0)) * ($"nt".cast("double") + lit(1024.0)))
-        ) * lit(1000000.0)).cast("long").as("lam"))
-    val scored = tok.groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
-      .join(broadcast(lam), "b")
-      .groupBy($"doc_id")
-      .agg(sum($"c").cast("long").as("n_toks"),
-        sum($"c" * $"lam").cast("long").as("score_micronats"))
-    // selection is relative — above the corpus-mean score — because add-1
-    // smoothing biases every absolute score slightly negative when target ⊂
-    // raw; the mean compare is done by integer cross-multiplication so the
-    // boolean is exact. (Full DSIR samples ∝ exp(score); the deterministic
-    // above-mean rule is the oracle-checkable analog.)
-    val corpus = scored.agg(sum($"score_micronats").as("sum_s"),
-      count(lit(1)).as("n_docs"))
-    scored.crossJoin(broadcast(corpus))
-      .select($"doc_id", $"n_toks", $"score_micronats",
-        ($"score_micronats" * $"n_docs" > $"sum_s").as("selected"))
-      .orderBy($"doc_id")
-  }
-
-  /** E2: exact all-pairs similarity join with PREFIX FILTERING (Bayardo,
-    * Ma & Srikant, WWW 2007 — the APT/PPJoin candidate-generation family):
-    * every pair of documents whose 5-word-shingle sets have cosine ≥ 0.8,
-    * found WITHOUT an all-pairs stage. Each doc's shingle set is sorted by
-    * a global total order and only its prefix (the first
-    * `a − ⌈t²·a⌉ + 1` tokens) is exploded; the prefix-filter lemma
-    * guarantees any qualifying pair shares a prefix token, so the one
-    * equi-join on prefix tokens is a lossless candidate generator —
-    * verified here by the oracle, which computes the truth by brute force
-    * over ALL shared tokens. Candidates then verify with one
-    * `array_intersect`, and the threshold applies as integer
-    * cross-multiplication (cos ≥ 4/5 ⟺ 25·o² ≥ 16·a·b): float-free.
-    *
-    * Order choice: lexicographic, so sorting and prefix-slicing are
-    * map-side (zero extra shuffles). Bayardo's ascending-frequency order
-    * is the selectivity heuristic to swap in when vocabulary skew demands
-    * — it costs a vocabulary-table join; the lemma holds for ANY global
-    * order. Movement at 100 TB: one map pass, one prefix-token equi-join
-    * (fanout bounded by prefix rarity), one bounded verify join. */
-  private val q150AllPairsSim: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", sort_array(Dedup.shingleSet($"text", 5)).as("sh"))
-      .filter(size($"sh") >= 1)
-      .select($"doc_id", $"sh", size($"sh").cast("long").as("a"))
-    // ⌈0.64·n⌉ in INTEGER form ((16n+24) div 25): the float product rounds
-    // UP on ulp dust (25·0.64 = 16.000000000000004 → ceil 17), silently
-    // shortening the prefix below the lossless bound
-    val pt = docs.select($"doc_id", explode(
-        slice($"sh", lit(1),
-          (size($"sh") - expr("(16 * size(sh) + 24) div 25") + lit(1)).cast("int")))
-      .as("tok"))
-    val cand = pt.as("x").join(pt.as("y"),
-        $"x.tok" === $"y.tok" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-    cand
-      .join(docs.select($"doc_id".as("id1"), $"sh".as("sh1"), $"a".as("size1")), "id1")
-      .join(docs.select($"doc_id".as("id2"), $"sh".as("sh2"), $"a".as("size2")), "id2")
-      .select($"id1", $"id2",
-        size(array_intersect($"sh1", $"sh2")).cast("long").as("overlap"),
-        $"size1", $"size2")
-      .filter(lit(25) * $"overlap" * $"overlap" >= lit(16) * $"size1" * $"size2")
-      .orderBy($"id1", $"id2")
-  }
-
-  /** E3 companion — dimensionality reduction by RANDOM PROJECTION
-    * (Johnson–Lindenstrauss via the Achlioptas ±1 scheme, the standard
-    * embedding-compression step before ANN at scale): project each
-    * embedding to 16 components against a fixed ±1 sign matrix derived
-    * from md5(i_j) parity, so the "random" matrix is a pure function both
-    * engines compute independently. Each product is floor-quantized to
-    * integer micro-units BEFORE summing, making the per-component sums
-    * order-free exact integers — no float-accumulation drift, strict hash
-    * gate, no contract booleans needed. Map-only: the sign matrix is a
-    * driver literal, components emit via inline() (row-generate, no
-    * shuffle); the only exchange is the deterministic output sort. */
-  private val q153RandomProjection: Q = (s, d) => {
-    import s.implicits._
-    val K = 16
-    val emb = Tables.embeddings(s, d)
-    val dim = emb.select(max(size($"embedding"))).head.getInt(0)
-    val signs: IndexedSeq[IndexedSeq[Double]] = (0 until K).map { j =>
-      (0 until dim).map { i =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hex = md.digest(s"${i}_$j".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
-      }
-    }
-    // slice the sign row to THIS row's length: zip_with pads the shorter
-    // side with null, so a ragged (shorter-than-max) embedding would
-    // otherwise null the whole component sum while the oracle iterates
-    // the row's own indices
-    val comps = (0 until K).map { j =>
-      aggregate(
-        zip_with($"embedding",
-          slice(typedlit(signs(j)), lit(1), size($"embedding")),
-          (x, sg) => floor(x.cast("double") * sg * lit(1000000.0)).cast("long")),
-        lit(0L), (acc, v) => acc + v)
-    }
-    emb.select($"vec_id",
-        inline(array((0 until K).map(j =>
-          struct(lit(j).as("component"), comps(j).as("comp_micro"))): _*)))
-      .orderBy($"vec_id", $"component")
-  }
-
-  /** E3 companion #2 — INT8 scalar quantization (the FAISS SQ8 / vector-DB
-    * compression step, 4× smaller than float32 before ANN): per-vector
-    * scale = max|x|/127, components round to nearest int8 via
-    * floor(x/scale + 0.5). Every step is a single IEEE operation on
-    * exactly-representable inputs, so both engines produce identical
-    * codes and the hash gate is strict — scale is emitted floor-quantized
-    * to nano-units. Map-only: scale computes before a posexplode
-    * row-generate; the only exchange is the output sort. Zero vectors
-    * quantize to 0 by an identical guard on both sides. */
-  private val q157Int8Quantize: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    val scale = array_max(transform($"embedding", x => abs(x.cast("double")))) / lit(127.0)
-    emb.select($"vec_id", $"embedding", scale.as("scale"))
-      .select($"vec_id", $"scale", posexplode($"embedding"))
-      .select($"vec_id", $"pos".cast("int").as("i"),
-        when($"scale" === 0.0, lit(0L))
-          .otherwise(floor($"col".cast("double") / $"scale" + lit(0.5)).cast("long"))
-          .as("q8"),
-        floor($"scale" * lit(1e9)).cast("long").as("scale_nano"))
-      .orderBy($"vec_id", $"i")
-  }
-
-  /** Retrieval EVAL harness — quantization quality as IR metrics: how well
-    * does q157's int8 retrieval reproduce exact float retrieval? For each
-    * of the first 20 query vectors, the truth list is exact-cosine top-10
-    * (q46's proven machinery) and the system list ranks by cosine over the
-    * INT8 CODE vectors — whose dot/norms are exact integers (≤64·127²,
-    * exact in double under any order), so the system ranking is
-    * bit-deterministic in both engines with (cos desc, id) tiebreaks.
-    * Emits per query: the system rank of the true nearest neighbor (0 if
-    * missed), hits@10, and nDCG@10 — computed from HARDCODED integer gain
-    * constants (floor(1e9/log2(i+1)), same literals in the oracle) so the
-    * only float step is one final integer division. The metrics
-    * themselves, not just the lists, are the gate. */
-  private val q158QuantEval: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val gains = Seq(1000000000L, 630929753L, 500000000L, 430676558L, 386852807L,
-      356207187L, 333333333L, 315464876L, 301029995L, 289064826L)
-    val idcg = gains.sum // 4543559335
-    val emb = Tables.embeddings(s, d)
-    val scale = array_max(transform($"embedding", x => abs(x.cast("double")))) / lit(127.0)
-    val codes = emb
-      .select($"vec_id", $"embedding", scale.as("scale"))
-      .select($"vec_id", transform($"embedding", x =>
-        when($"scale" === 0.0, lit(0L))
-          .otherwise(floor(x.cast("double") / $"scale" + lit(0.5)).cast("long"))).as("code"))
-    val cosQ = udf((a: Seq[Long], b: Seq[Long]) => {
-      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0L || nb == 0L) 0.0
-      else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
-    })
-    val qCodes = codes.filter($"vec_id" < 20)
-      .select($"vec_id".as("query_id"), $"code".as("qc"))
-    val w = Window.partitionBy($"query_id").orderBy($"cosq".desc, $"neighbor_id")
-    val sys = codes.select($"vec_id".as("neighbor_id"), $"code".as("cc"))
-      .crossJoin(broadcast(qCodes))
-      .withColumn("cosq", cosQ($"qc", $"cc"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 10)
-      .select($"query_id", $"rank", $"neighbor_id")
-    val truth = Similarity.bruteForceKnn(
-      emb.filter($"vec_id" < 20), emb, k = 10)
-    val rel = truth.select($"query_id", $"neighbor_id", lit(1L).as("rel"))
-    val nn1 = truth.filter($"rank" === 1)
-      .select($"query_id", $"neighbor_id".as("nn_id"))
-    sys
-      .join(rel, Seq("query_id", "neighbor_id"), "left")
-      .join(broadcast(nn1), Seq("query_id"))
-      .select($"query_id", $"rank",
-        coalesce($"rel", lit(0L)).as("rel"),
-        when($"neighbor_id" === $"nn_id", $"rank").as("nn_rank"),
-        element_at(typedlit(gains), $"rank").as("gain"))
-      .groupBy($"query_id")
-      .agg(coalesce(min($"nn_rank"), lit(0L)).cast("long").as("rank_of_nn"),
-        sum($"rel").cast("long").as("hits_at_10"),
-        floor(lit(1000000.0) * sum($"rel" * $"gain").cast("double") / lit(idcg.toDouble))
-          .cast("long").as("ndcg_micro"))
-      .orderBy($"query_id")
-  }
-
-  /** E4 #3 — perceptual dHash fingerprints from REAL decoded pixels: each
-    * image doc becomes a 9×8 closed-form PNG (encode executor-side),
-    * [[Multimodal.dHash]] decodes it and packs the 64 `p(x,y) > p(x+1,y)`
-    * comparisons — the standard image near-dup fingerprint. The oracle
-    * replays the bits from the closed form (p(x+1)=p(x)+1 mod 256, so a
-    * bit is set iff (x+y+id)%256==255), meaning a wrong pixel read, a
-    * lossy decode, or a bit-packing error all hash-mismatch. Map-only. */
-  private val q159ImageDhash: Q = (s, d) => {
-    import s.implicits._
-    val ids = Tables.documents(s, d)
-      .select($"doc_id").where($"doc_id" % 3 === 0)
-      .repartition($"doc_id")
-      .as[Long]
-    val media = ids.mapPartitions(_.map(id =>
-      Multimodal.MediaRow(id, "image", Multimodal.syntheticPngSized(id, 9, 8))))
-    Multimodal.dHash(media).toDF().orderBy($"media_id")
-  }
-
-  /** Dataset-versioning audit — SNAPSHOT DIFF between two corpus versions
-    * (the Delta/Iceberg time-travel-diff shape, done engine-level): v2
-    * derives deterministically from v1 (every 10th doc edited, every 17th
-    * non-edited doc dropped, one appended doc per source partition-slice
-    * via ids beyond the v1 range), and the diff classifies every affected
-    * id as added / removed / changed by comparing content hashes through
-    * ONE full-outer join on the id — no content moves, only (id, md5)
-    * pairs shuffle. Unchanged rows are filtered before the sort. */
-  private val q160SnapshotDiff: Q = (s, d) => {
-    import s.implicits._
-    val v1 = Tables.documents(s, d).select($"doc_id", md5($"text").as("h1"))
-    val v2base = Tables.documents(s, d)
-      .filter(!($"doc_id" % 17 === 0 && $"doc_id" % 10 =!= 0))
-      .select($"doc_id",
-        when($"doc_id" % 10 === 0, md5(concat($"text", lit(" [edited v2]"))))
-          .otherwise(md5($"text")).as("h2"))
-    val appended = Tables.documents(s, d)
-      .filter($"doc_id" % 100 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h2"))
-    val v2 = v2base.unionByName(appended)
-    v1.join(v2, Seq("doc_id"), "full_outer")
-      .select($"doc_id",
-        when($"h1".isNull, "added")
-          .when($"h2".isNull, "removed")
-          .when($"h1" =!= $"h2", "changed").as("change"))
-      .filter($"change".isNotNull)
-      .orderBy($"doc_id")
-  }
-
-  /** E2 #7 — Hamming-radius near-dup search by MULTI-INDEX PIGEONHOLE
-    * (Norouzi et al., "Fast Search in Hamming Space with Multi-Index
-    * Hashing", CVPR 2012): all pairs within Hamming distance ≤ 3 of the
-    * oracle-replayable 60-bit md5-simhash, found WITHOUT an all-pairs
-    * scan. The fingerprint splits into 4 bands of 15 bits; a pair
-    * differing in ≤ 3 bits cannot differ in all 4 bands (pigeonhole), so
-    * the per-band equi-join is a lossless candidate generator — proven by
-    * the brute-force oracle. Runs on the q42/q48 bounded slice (full
-    * corpus at sf0.01); the full-corpus path is the same join with the
-    * LSH family's degenerate-bucket salt guards, since emit-all-pairs
-    * output is inherently quadratic in identical-fingerprint clusters. */
-  private val q161HammingPairs: Q = (s, d) => {
-    import s.implicits._
-    val slice = Tables.documents(s, d).filter($"doc_id" < CosineSlice)
-      .repartition($"doc_id")
-      .select($"doc_id",
-        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text")).as("sh"))
-      .cache()
-    val pt = slice.select($"doc_id", $"sh",
-        posexplode(array((0 until 4).map(b =>
-          shiftright($"sh", b * 15).bitwiseAND(lit(0x7fffL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
-    pt.as("x").join(pt.as("y"),
-        $"x.band" === $"y.band" && $"x.bv" === $"y.bv" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        bit_count($"x.sh".bitwiseXOR($"y.sh")).cast("int").as("hamming"))
-      .filter($"hamming" <= 3)
-      .distinct()
-      .orderBy($"doc_a", $"doc_b")
-  }
-
-  /** Pre-training planning analytics — TRUNCATION-LOSS report: for each
-    * candidate context length L ∈ {32, 64, 128, 512} (spanning the corpus's
-    * ~81-token mean so the report actually discriminates), how many
-    * documents exceed L estimated tokens and how many tokens the cutoff
-    * discards vs keeps. The question every context-length decision asks
-    * of a corpus, answered in one pass: per-doc token estimate (integer,
-    * q52's estimator) → a 4-way map-side explode → a 4-group aggregate.
-    * All integer arithmetic; strict hash gate. */
-  private val q162TruncationLoss: Q = (s, d) => {
-    import s.implicits._
-    val lens = Seq(32, 64, 128, 512)
-    Tables.documents(s, d)
-      .select(TextAnalysis.estTokens($"text").as("t"))
-      .select($"t", explode(typedlit(lens)).as("context_len"))
-      .groupBy($"context_len")
-      .agg(count(lit(1)).as("n_docs"),
-        count_if($"t" > $"context_len").as("n_truncated"),
-        sum($"t").cast("long").as("total_tokens"),
-        sum(greatest($"t" - $"context_len", lit(0L))).cast("long").as("tokens_lost"),
-        sum(least($"t", $"context_len".cast("long"))).cast("long").as("tokens_kept"))
-      .orderBy($"context_len")
-  }
-
-  /** Mixture planning — BINDING-CONSTRAINT report (the Pile/DoReMi
-    * construction question): given target mixture weights over sources
-    * (uniform here, ppm-integer), which source limits the total corpus
-    * you can assemble at those weights, and what does each source
-    * contribute? achievable_total = min over sources of
-    * available_tokens·1e6/weight_ppm (integer floor), allocation =
-    * floor(achievable·weight/1e6). Per-source token sums are one
-    * aggregate; the mins/allocations fold over the ~20-row source table.
-    * All integer arithmetic — strict gate. */
-  private val q163MixtureDeficit: Q = (s, d) => {
-    import s.implicits._
-    val bySource = Tables.documents(s, d)
-      .select($"source", TextAnalysis.estTokens($"text").as("t"))
-      .groupBy($"source").agg(sum($"t").cast("long").as("available_tokens"))
-      .cache()
-    val nSources = bySource.agg(count(lit(1)).as("n")).select($"n")
-    // `div` (integer floor division on longs) everywhere, mirroring the
-    // oracle's `//`: long/long in Spark yields DOUBLE, whose truncation
-    // diverges from exact integer floor above 2^53 and — worse — makes
-    // is_limiting compare an un-floored double to the floored cap, which
-    // only matches while every quotient happens to be integral.
-    val withW = bySource.crossJoin(broadcast(nSources))
-      .select($"source", $"available_tokens",
-        expr("1000000L div n").as("weight_ppm"))
-    val achievable = withW
-      .select(expr("available_tokens * 1000000L div weight_ppm").as("cap"))
-      .agg(min($"cap").as("achievable_total"))
-    withW.crossJoin(broadcast(achievable))
-      .select($"source", $"available_tokens", $"weight_ppm",
-        expr("achievable_total * weight_ppm div 1000000L").as("allocation"),
-        (expr("available_tokens * 1000000L div weight_ppm") === $"achievable_total")
-          .as("is_limiting"))
-      .orderBy($"source")
-  }
-
-  /** Data-reconciliation op — ORDER-INDEPENDENT table checksum: one
-    * integer fingerprint per source partition plus the corpus total,
-    * computed as the sum of each row's md5-derived 60-bit value,
-    * accumulated in DECIMAL(38,0) (ANSI-safe to ~2^126 — enough for 2^60
-    * rows) and reduced mod 2^60 at the end. Commutative addition makes
-    * the checksum independent of row order, partitioning, and merge
-    * history — THE property a "did two pipelines produce the same table"
-    * audit needs; one map-side hash pass + a per-source aggregate.
-    * Verifies content AND id binding (hash covers id||text). */
-  private val q169TableChecksum: Q = (s, d) => {
-    import s.implicits._
-    val Mod = 1152921504606846976L // 2^60
-    val rowHash = conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")), 1, 15), 16, 10)
-      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-    // ROLLUP computes the per-source rows and the grand total in ONE
-    // aggregate over ONE scan — at 100 TB the md5 pass over the full text
-    // is the expensive part, and a union-of-two-lineages shape would read
-    // and hash the corpus twice. grouping() (not null-coalescing) marks
-    // the total row, so a literal null source value can't collide with it.
-    Tables.documents(s, d)
-      .select($"source", rowHash.as("h"))
-      .rollup($"source")
-      .agg(count(lit(1)).cast("long").as("n_rows"), sum($"h").as("hsum"),
-        grouping($"source").as("g"))
-      .select(
-        when($"g" === 1, lit("__total__")).otherwise($"source").as("source"),
-        $"n_rows",
-        ($"hsum" % lit(Mod)).cast("long").as("checksum"))
-      .orderBy($"source")
-  }
-
-  /** E5: token-count estimation. */
-  private val q52EstTokens: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.estTokensFast($"text").as("est_tokens"))
-      .orderBy($"doc_id")
-  }
-
-  /** The flagship training-corpus prep pipeline — E1+E5 composed end to
-    * end the way a pipeline user runs them: score every doc (language-ID,
-    * quality, token estimate) → quality/language gate → exact dedup (keep
-    * the smallest doc_id per content hash) → per-language corpus stats.
-    * The 100 TB shape: everything up to the gate is map-only over the
-    * pruned scan, the dedup is ONE shuffle on the content hash, and the
-    * final aggregate shuffles partial buffers keyed by language (4-ish
-    * groups). Filters run BEFORE the shuffle, so junk never moves. */
-  private val q95CorpusPipeline: Q = (s, d) => {
-    import s.implicits._
-    val scored = Tables.documents(s, d)
-      .select($"doc_id", $"text",
-        TextAnalysis.languageIdFast($"text").as("pred_lang"),
-        TextAnalysis.qualityFast($"text").as("q"),
-        TextAnalysis.estTokensFast($"text").as("est_tokens"))
-      .filter($"q.quality_ok" && $"pred_lang" =!= "und")
-    Dedup.dedupByContent(scored, "text", "doc_id")
-      .groupBy($"pred_lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"est_tokens").as("total_tokens"),
-        sum($"q.n_words").as("total_words"))
-      .orderBy($"pred_lang")
-  }
-
-  /** E2/E3 composed — the deterministic embedding near-dup SCALE path:
-    * IVF cell assignment (q49's quantizer) → within-cell pairs → exact
-    * cosine filter, over the FULL corpus. Cell-id shuffle only, never
-    * all-pairs; deterministic, hence exactly oracle-checked (the
-    * probabilistic twin q47 needs a recall contract instead). */
-  private val q98IvfNearDup: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = 8)
-      .orderBy($"vec_a", $"vec_b")
-  }
-
-  /** SemDeDup (q98's consumer — arXiv:2303.09540): SEMANTIC dedup by
-    * embedding clustering, the LLM-corpus step after exact/minhash dedup.
-    * Same quantizer, same 0.45 pair threshold as q98 so the two queries
-    * cross-check; survivors = corpus minus the min-id-dominated side of
-    * every within-cell near-dup pair. */
-  private val q126SemDedup: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    Similarity.semDedup(emb, tau = 0.45, numCentroids = 8)
-      .select($"vec_id")
-      .orderBy($"vec_id")
-  }
-
-  /** Deterministic mixture sampling — reproducible corpus mixing with NO
-    * RNG state: each source keeps a fixed per-mille of its docs, selected
-    * by a content-stable hash (first 8 hex chars of md5(text) mod 1000).
-    * The same doc lands the same way at any cluster size or run count, and
-    * the selection is exactly oracle-able (unlike seeded sample(), q18/q65
-    * — engine-local RNG). Even-numbered sources keep 75%, odd 25% — the
-    * up/down-weighting shape of LLM data-mixture recipes. */
-  /** Temperature-scaled mixture sampling (the mT5/XLM-R multilingual
-    * REBALANCING step; q96 is the fixed-rate form): source shares are
-    * flattened to p^(1/T) with T=2, i.e. keep-rate_s = √(n_min/n_s), so
-    * the smallest source keeps everything and dominant sources shrink
-    * toward parity. T=2 keeps every float op IEEE-correctly-rounded
-    * (sqrt/div/mul only — no pow, whose libm rounding differs between
-    * engines), so the integer keep thresholds agree bit-for-bit and the
-    * content-stable md5 rule is exactly oracle-able. Movement: one tiny
-    * per-source count agg, rates broadcast back, map-only filter. */
-  private val q134TemperatureMix: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
-    val nmin = counts.agg(min($"n").as("nmin"))
-    val rates = counts.crossJoin(broadcast(nmin))
-      .select($"source",
-        floor(sqrt($"nmin".cast("double")) / sqrt($"n".cast("double")) * 1000000)
-          .cast("long").as("thr"))
-    docs.join(broadcast(rates), Seq("source"))
-      .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 1000000 < $"thr")
-      .select($"doc_id", $"source")
-      .orderBy($"doc_id")
-  }
-
-  private val q96MixtureSample: Q = (s, d) => {
-    import s.implicits._
-    val rate = when(substring($"source", 4, 10).cast("int") % 2 === 0, 750)
-      .otherwise(250)
-    Tables.documents(s, d)
-      .filter(conv(substring(md5($"text"), 1, 8), 16, 10).cast("long") % 1000 < rate)
-      .select($"doc_id", $"source")
-      .orderBy($"doc_id")
-  }
-
-  /** Stratified EXACT-QUOTA sampling — the companion to q96's proportional
-    * mixture: each source contributes exactly `min(quota, size)` documents,
-    * chosen by content-stable md5 order (deterministic at any cluster size,
-    * exactly oracle-able — no RNG state). This is the "give me 10k docs per
-    * domain" mixture-building shape. Scale: one shuffle on source; Spark 4
-    * pushes the rank filter map-side (WindowGroupLimit — each task keeps
-    * only its partial top-30 before the exchange), so a billion-doc source
-    * moves ~30 rows per task, not the source. */
-  private val q117StratifiedSample: Q = (s, d) => {
-    import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"source").orderBy($"h", $"doc_id")
-    Tables.documents(s, d)
-      .select($"doc_id", $"source", md5($"text").as("h"))
-      .withColumn("rk", row_number().over(w))
-      .filter($"rk" <= 30)
-      .select($"doc_id", $"source", $"rk".cast("long").as("rk"))
-      .orderBy($"source", $"rk")
-  }
-
-  /** Deterministic DISTRIBUTED shuffle order for training export: global
-    * document order = (hash bucket, within-bucket md5 rank) — the
-    * files-and-offsets shape a real exporter writes (bucket = output file),
-    * fully parallel (per-bucket windows, never a single global sort task)
-    * and reproducible from content alone at any cluster size. The
-    * training-side reader consumes buckets in id order for the same
-    * sequence every run. */
-  private val q118ShuffleOrder: Q = (s, d) => {
-    import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bucket").orderBy($"h", $"doc_id")
-    Tables.documents(s, d)
-      .select($"doc_id", md5($"text").as("h"))
-      .withColumn("bucket",
-        pmod(conv(substring($"h", 1, 8), 16, 10).cast("long"), lit(16)))
-      .withColumn("pos", row_number().over(w).cast("long"))
-      .select($"doc_id", $"bucket", $"pos")
-      .orderBy($"bucket", $"pos")
-  }
-
-  /** Token-window chunking for training prep: 50-word chunks every 40
-    * words (10-word overlap). Map-only — explode of a fused single-pass
-    * chunker; at scale this is the sequence-packing precursor and shuffles
-    * nothing. */
-  private val q97Chunking: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id",
-        posexplode(TextAnalysis.chunkText($"text", 50, 40))
-          .as(Seq("pos0", "chunk")))
-      .select($"doc_id", ($"pos0" + 1).cast("long").as("chunk_id"), $"chunk")
-      .orderBy($"doc_id", $"chunk_id")
-  }
-
-  /** Sequence packing (q97's consumer): greedy bin-pack each doc's 50/40
-    * chunks into ≤120-word packs, in chunk order. Map-only (the greedy
-    * scan runs inside the chunking UDF's JVM pass — no groupBy, no
-    * shuffle); the oracle replicates the greedy reset with a recursive
-    * CTE (q86's oracle pattern). Budget compliance + no chunk loss are
-    * spec-asserted; THIS query pins the exact pack assignment. */
-  private val q101SeqPacking: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id",
-        explode(TextAnalysis.packChunks($"text", 50, 40, 120)).as("p"))
-      .select($"doc_id", $"p.chunk_id", $"p.pack_id", $"p.n_words")
-      .orderBy($"doc_id", $"chunk_id")
-  }
-
-  /** THE END-TO-END TRAINING-CORPUS EXPORT — every curation stage this
-    * catalog proves individually, composed in their production order:
-    * decontaminate (q113) → quality+language gate (q95) → exact dedup
-    * (q40/q95) → chunk+pack (q97/q101). Output is the packed training
-    * sequence layout (doc, chunk, pack, words) of the surviving corpus.
-    *
-    * The 100 TB shape, stage by stage: the contamination DROP-LIST is
-    * small (the clean majority must never be broadcast), so the filter is
-    * a broadcast ANTI-join on the few flagged ids; scoring and gating are
-    * map-only and run BEFORE the one content-hash dedup shuffle (junk
-    * never moves — q95's rule); chunking/packing are map-only explodes.
-    * Total: the q113 hit-count shuffle + one dedup shuffle, everything
-    * else pipelined. The oracle rebuilds all four stages independently
-    * (gram CTEs + quality CASE + sha256 group + recursive-CTE packer). */
-  private val q116CorpusExport: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val bench = docs.filter($"doc_id" % 10 === 0)
-    val train = docs.filter($"doc_id" % 10 =!= 0)
-    val contaminated = Dedup.decontaminate(train, bench, n = 7)
-      .filter($"contaminated").select($"doc_id")
-    val clean = train.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-    val gated = clean.select($"doc_id", $"text",
-        TextAnalysis.languageIdFast($"text").as("pred_lang"),
-        TextAnalysis.qualityFast($"text").as("q"))
-      .filter($"q.quality_ok" && $"pred_lang" =!= "und")
-    Dedup.dedupByContent(gated, "text", "doc_id")
-      .select($"doc_id", explode(TextAnalysis.packChunks($"text", 50, 40, 120)).as("p"))
-      .select($"doc_id", $"p.chunk_id", $"p.pack_id", $"p.n_words")
-      .orderBy($"doc_id", $"chunk_id")
-  }
-
-  /** E5: PII redaction over deterministic PII-bearing "support tickets"
-    * fabricated from customer columns (the testdata has no raw PII, so both
-    * engines BUILD the same text, then the engine's scrub must survive the
-    * oracle's independent regex pass). Map-only, pure `regexp_replace`
-    * built-ins — the standard pre-training privacy scrub at 100 TB is
-    * exactly this shape: zero shuffles, codegen end to end. */
-  private val q102PiiScrub: Q = (s, d) => {
-    import s.implicits._
-    val phone = format_string("%02d-%03d-%03d-%04d",
-      $"c_custkey" % 90 + 10, $"c_custkey" * 7 % 1000,
-      $"c_custkey" * 13 % 1000, $"c_custkey" * 31 % 10000)
-    val email = concat(
-      lower(regexp_replace($"c_name", "[^A-Za-z0-9]", "")), lit("@example.com"))
-    val ip = concat(lit("10.0."), ($"c_custkey" % 256).cast("string"), lit(".77"))
-    val ticket = concat(
-      lit("ticket "), $"c_mktsegment", lit(" customer "), $"c_name",
-      lit(" phone "), phone, lit(" email "), email,
-      lit(" ip "), ip, lit(" balance ok"))
-    Tables.customer(s, d)
-      .select($"c_custkey", ticket.as("ticket"))
-      .select($"c_custkey",
-        TextAnalysis.scrubPii($"ticket").as("scrubbed"),
-        TextAnalysis.piiCount($"ticket", TextAnalysis.EmailRe).as("n_email"),
-        TextAnalysis.piiCount($"ticket", TextAnalysis.PhoneRe).as("n_phone"),
-        TextAnalysis.piiCount($"ticket", TextAnalysis.Ipv4Re).as("n_ip"))
-      .orderBy($"c_custkey")
-  }
-
-  /** Paragraph width for q103 — 8-word segments actually repeat across this
-    * corpus (sf0.01: 3609 segments, 3434 distinct), so the dedup genuinely
-    * drops text. Shared with the oracle SQL. */
-  private[ops] val ParaWords = 8
-
-  /** q135's span width: the smallest span ExactSubstr treats as duplicated
-    * text (the paper uses 50 BPE tokens; 10 words is the same idea at this
-    * corpus's ~55-word documents). */
-  private[ops] val ExactSubstrK = 10
-
-  /** E1 at SPAN granularity: ExactSubstr dedup (Lee et al. 2021) — every
-    * `ExactSubstrK`-word span occurring more than once corpus-wide is cut
-    * from all but its first (id, pos)-ordered occurrence and the documents
-    * reassembled; q103 is the aligned-paragraph special case, this is the
-    * unaligned sliding-window general form the paper's suffix array
-    * computes. See [[Dedup.dedupSubstrings]] for the distributed
-    * re-expression (gram-md5 groupBy-min + linear fan-back; no suffix
-    * sort, no per-gram window). */
-  private val q135ExactSubstr: Q = (s, d) => {
-    import s.implicits._
-    Dedup.dedupSubstrings(
-        Tables.documents(s, d).repartition($"doc_id"), "doc_id", "text", ExactSubstrK)
-      .orderBy($"doc_id")
-  }
-
-  /** How many top pairs q136 reports per phase. */
-  private[ops] val BpeTopK = 10
-
-  /** Tokenizer-training step: one BPE merge (Sennrich et al. 2016) from
-    * the character start state — top-`BpeTopK` weighted pair counts, the
-    * deterministic best-pair merge applied vocabulary-wide, and the
-    * post-merge recount. The round-5 verdict's "BPE with a learned merge
-    * table" gap, scoped to the single-step contract (q108's Lloyd-step
-    * precedent: training loops aren't oracle-able, one step is). See
-    * [[TextAnalysis.bpeMergeStep]] for why the corpus stream is touched
-    * exactly once. */
-  private val q136BpeStep: Q = (s, d) =>
-    TextAnalysis.bpeMergeStep(Tables.documents(s, d), "text", BpeTopK)
-
-  /** q139: how many BPE merges the tokenizer learns before counting. */
-  private[ops] val BpeMerges = 3
-
-  /** The APPLY side of q136's trainer — a small learned BPE tokenizer end
-    * to end: iterate the merge step `BpeMerges` times (the q115 precedent:
-    * it trains 3 Lloyd rounds in-query), apply the learned merge list to
-    * every word, count each document's BPE tokens. The oracle replays the
-    * identical 3-round chain, so a wrong best-pair choice in ANY round, a
-    * non-greedy apply, or a miscount all break the gate; the learned merge
-    * list itself rides along as a column. */
-  private val q139BpeTokenize: Q = (s, d) => {
-    import s.implicits._
-    TextAnalysis.bpeTokenCounts(Tables.documents(s, d), "doc_id", "text", BpeMerges)
-      .orderBy($"doc_id")
-  }
-
-  /** q137's gate: max NLL per scored token in integer micro-nats.
-    * 3.4 nats/token ≈ perplexity 30 — the corpus median at sf0.01, so the
-    * flag actually splits the data instead of being vacuously true. */
-  private[ops] val LmNllPerTokenMicro = 3400000L
-
-  /** CCNet's third leg (q102 scrubs, q130 classifies, THIS one scores
-    * fluency): bigram-LM perplexity filtering with add-one smoothing,
-    * NLL summed in INTEGER MICRO-NATS so the score is exact-arithmetic
-    * and order-independent — see [[TextAnalysis.lnMicro]] for why raw
-    * double log-probs can never hash-match across engines. */
-  private val q137PerplexityFilter: Q = (s, d) => {
-    import s.implicits._
-    TextAnalysis.lmPerplexityFilter(
-        Tables.documents(s, d), "doc_id", "text", LmNllPerTokenMicro)
-      .orderBy($"doc_id")
-  }
-
-  /** E1 at sub-document granularity: CCNet-style paragraph dedup — keep the
-    * first corpus-wide occurrence of every `ParaWords`-word segment and
-    * reassemble the documents. See [[Dedup.dedupParagraphs]] for the
-    * two-shuffle scale design (groupBy-min keeper + linear join; no
-    * per-paragraph window). */
-  private val q103ParaDedup: Q = (s, d) => {
-    import s.implicits._
-    Dedup.dedupParagraphs(
-        Tables.documents(s, d).repartition($"doc_id"), "doc_id", "text", ParaWords)
-      .orderBy($"doc_id")
-  }
-
-  /** E5: Gopher-style repetition metrics + gate (duplicate-word fraction,
-    * top-bigram fraction) — one fused JVM pass per document, map-only. */
-  private val q104Repetition: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", TextAnalysis.repetitionFast($"text").as("r"))
-      .select($"doc_id", $"r.n_words", $"r.n_bigrams", $"r.top_bigram_n",
-        $"r.top_bigram_frac", $"r.dup_word_frac", $"r.repetition_ok")
-      .orderBy($"doc_id")
-  }
-
-  /** Bloom false-positive gate for q105: incoming has 100 genuinely-new
-    * docs; at fpp=0.01 the expected FP count is ~1, so ≤5 is a stable
-    * deterministic bound (the filter is fixed-seed Murmur3 — the same
-    * bits on every run at any cluster size). */
-  private[ops] val BloomFpBound = 5L
-
-  /** E1 incremental: Bloom-filter membership dedup of a "new crawl batch"
-    * against the known corpus — the q47/q100 contract pattern: the engine
-    * measures its own no-false-negative and FP-bound contracts against the
-    * exact join, and ships booleans the oracle pins to true. Incoming =
-    * every known doc (500 real membership hits — the no-FN leg is NOT
-    * vacuous) plus a derived `text || ' v2'` batch (100 genuinely new).
-    * At scale the bloom probe is map-only over the batch; the exact join
-    * runs only to verify the contract (and, in production, only over the
-    * bloom's surviving candidates). */
-  private val q105BloomDedup: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d)
-    val known = docs.select(Dedup.contentHash($"text").as("h")).cache()
-    val bf = Dedup.bloomProbe(s, Dedup.buildBloom(known, "h", expectedItems = 100000, fpp = 0.01))
-    val incoming = docs.select($"text")
-      .unionAll(docs.filter($"doc_id" % 5 === 0).select(concat($"text", lit(" v2")).as("text")))
-      .select(Dedup.contentHash($"text").as("h"))
-    val flagged = incoming
-      .join(known.distinct().withColumn("is_known", lit(true)), Seq("h"), "left_outer")
-      .withColumn("exact_dup", coalesce($"is_known", lit(false)))
-      .withColumn("bloom_hit", bf($"h"))
-    flagged.agg(
-      count(lit(1)).as("n_incoming"),
-      count(when($"exact_dup", lit(1))).as("n_exact_dup"),
-      (count(when($"exact_dup" && !$"bloom_hit", lit(1))) === 0).as("fn_zero"),
-      (count(when($"bloom_hit" && !$"exact_dup", lit(1))) <= BloomFpBound).as("fp_ok"))
-  }
-
-  /** E4: binary column metadata (bytes + md5). */
-  private val q54BinaryMeta: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id",
-        length($"text".cast("binary")).cast("long").as("n_bytes"),
-        md5($"text".cast("binary")).as("md5_hex"))
-      .orderBy($"doc_id")
-  }
-
-  /** E4: base64 attachment extraction — the payloads the reference's T3
-    * throws away, kept as typed binary: wrap each doc in an SGML envelope
-    * with a base64 section, regexp-extract the section, unbase64 to bytes.
-    * The oracle checks the decoded payload's length+md5 against the source
-    * text, so the whole encode→extract→decode path must be lossless. */
-  private val q56AttachmentDecode: Q = (s, d) => {
-    import s.implicits._
-    val sgml = concat(
-      lit("<document><filename>payload.b64<text>"),
-      base64($"text".cast("binary")),
-      lit("</text></document>"))
-    Tables.documents(s, d)
-      .select($"doc_id", sgml.as("sgml"))
-      .select($"doc_id",
-        unbase64(regexp_extract($"sgml", "<text>([A-Za-z0-9+/=\\r\\n]*)</text>", 1)).as("payload"))
-      .select($"doc_id",
-        length($"payload").cast("long").as("n_bytes"),
-        md5($"payload").as("md5_hex"))
-      .orderBy($"doc_id")
-  }
-
-  /** E4: video frame sampling — every 5th stub-frame of each video payload
-    * (row-to-frames flatMap decode); oracle re-slices the same chunks in
-    * SQL, so chunking, indexing, and digests must all agree.
-    *
-    * Oracle caveat: DuckDB has no BLOB substring, so the oracle slices by
-    * CHARACTER; the engine slices payload BYTES. They agree because the
-    * documents corpus is verified pure ASCII at every sf (byte length ==
-    * char length, checked 2026-08-12) — a non-ASCII corpus would need an
-    * engine-only check here. */
-  private val q57FrameSample: Q = (s, d) => {
-    import s.implicits._
-    Multimodal.sampleFrames(
-        Multimodal.mediaFromDocuments(s, Tables.documents(s, d).repartition($"doc_id")),
-        everyN = 5)
-      .toDF()
-      .orderBy($"media_id", $"frame_idx")
-  }
-
-  /** E4: multimodal decode plumbing — mapPartitions feature extraction over
-    * a fabricated binary media table (decoder stubbed, pipeline real). */
-  private val q55MediaFeatures: Q = (s, d) => {
-    import s.implicits._
-    Multimodal.extractFeatures(
-        Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
-      .toDF()
-      .orderBy($"media_id")
-  }
-
-  /** E4: REAL image codec roundtrip — each image-kind document becomes a
-    * deterministic grayscale PNG (encoded executor-side with `javax.imageio`,
-    * pixel(x,y) = (x+y+id) % 256), then [[Multimodal.decodeImageStats]]
-    * decodes it back and reports width, height, and the pixel-value sum. The
-    * oracle replays the closed form in SQL over generated (x,y) grids, so a
-    * header-only "decode" — or any lossy/shifted pixel path — hash-mismatches.
-    * Encode and decode both run inside one mapPartitions pass: no payload
-    * ever reaches the driver, and the stage scales as a pure map. */
-  private val q146ImageDecode: Q = (s, d) => {
-    import s.implicits._
-    val ids = Tables.documents(s, d)
-      .select($"doc_id").where($"doc_id" % 3 === 0)
-      .repartition($"doc_id")
-      .as[Long]
-    val media = ids.mapPartitions(_.map(id =>
-      Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id))))
-    Multimodal.decodeImageStats(media)
-      .toDF()
-      .orderBy($"media_id")
-  }
-
-  /** E4: REAL animated-GIF container decode (the "video" analog the JDK can
-    * actually codec, closing VERDICT r7 missing #2 as far as zero-egress
-    * allows): each video-kind doc becomes a deterministic 24×16 animation of
-    * `2 + doc_id%4` full frames written with `javax.imageio`'s GIF sequence
-    * writer, then re-parsed with the GIF `ImageReader` — frame count from
-    * the container's image descriptors, every 2nd frame decoded to pixels
-    * (palette-resolved, so corruption anywhere in the container changes the
-    * sum). The oracle replays the closed-form pixel grid per sampled frame.
-    * Encode + decode run inside one mapPartitions pass; payloads never reach
-    * the driver, and the stage scales as a pure map. */
-  private val q171GifFrames: Q = (s, d) => {
-    import s.implicits._
-    val ids = Tables.documents(s, d)
-      .select($"doc_id").where($"doc_id" % 3 === 2)
-      .repartition($"doc_id")
-      .as[Long]
-    val media = ids.mapPartitions(_.map(id =>
-      Multimodal.MediaRow(id, "video",
-        Multimodal.syntheticGif(id, w = 24, h = 16, nFrames = (id % 4 + 2).toInt))))
-    Multimodal.decodeGifFrames(media, everyN = 2)
-      .toDF()
-      .orderBy($"media_id", $"frame_idx")
-  }
-
-  /** E4: REAL audio container decode (the "audio" analog of q171, closing
-    * the last stubbed media kind the JDK can codec offline): each audio-kind
-    * doc becomes a deterministic 16-bit PCM WAV written through the JDK's
-    * real RIFF encoder, then re-parsed with `AudioSystem` — format and frame
-    * count from the container header, every PCM sample decoded and summed
-    * (signed and absolute), so header-only parses, endianness slips, or
-    * sample corruption all hash-mismatch against the oracle's closed-form
-    * replay. Encode + decode in one mapPartitions pass; pure map scale. */
-  private val q175WavDecode: Q = (s, d) => {
-    import s.implicits._
-    val ids = Tables.documents(s, d)
-      .select($"doc_id").where($"doc_id" % 3 === 1)
-      .repartition($"doc_id")
-      .as[Long]
-    val media = ids.mapPartitions(_.map(id =>
-      Multimodal.MediaRow(id, "audio",
-        Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
-    Multimodal.decodeWavStats(media)
-      .toDF()
-      .orderBy($"media_id")
-  }
-
-  /** Weighted reservoir sampling per group (Efraimidis–Spirakis A-ES,
-    * IPL 2006): each row draws key = u^(1/w) and the k largest keys per
-    * group are the sample — the one-pass, mergeable weighted sampler a
-    * 100 TB mixture builder uses to draw per-source subsets biased toward
-    * long documents without ever materializing a global sort. Movement:
-    * key derivation is map-only over the scan; the only shuffle is the
-    * per-source top-k window (at scale: partial top-k per partition via
-    * the q13 bounded-heap pattern before the final per-group merge).
-    *
-    * Oracle-exactness trick (the q121 dyadic-weights idea applied to
-    * POWERS): weights are restricted to {1,2,4,8}, so u^(1/w) is an
-    * IEEE-sqrt CHAIN (sqrt, sqrt∘sqrt, sqrt∘sqrt∘sqrt) — sqrt is
-    * correctly rounded by IEEE-754 in every engine, and u itself is a
-    * dyadic rational ((md5-derived 52-bit int + 1) / 2^52, exactly
-    * representable) — so the keys, the ranking, AND the emitted key
-    * doubles are bit-identical in Spark and DuckDB. A transcendental
-    * formulation (-ln u / w) would be last-ulp hostage to libm. */
-  /** q176/q182's shared map stage: every document with its A-ES reservoir
-    * key (see q176's Scaladoc for the sqrt-chain exactness argument). */
-  private[ops] def weightedKeyedDocs(s: org.apache.spark.sql.SparkSession,
-                                     d: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("weight",
-        when($"n_chars" >= 2000, 8L).when($"n_chars" >= 1000, 4L)
-          .when($"n_chars" >= 500, 2L).otherwise(1L))
-      .withColumn("u",
-        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":wrs1"))), 1, 13), 16, 10)
-          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)) // 2^52
-      .withColumn("wkey",
-        when($"weight" === 8L, sqrt(sqrt(sqrt($"u"))))
-          .when($"weight" === 4L, sqrt(sqrt($"u")))
-          .when($"weight" === 2L, sqrt($"u"))
-          .otherwise($"u"))
-      .select($"source", $"doc_id", $"weight", $"wkey")
-  }
-
-  private val q176WeightedReservoir: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val win = Window.partitionBy($"source").orderBy($"wkey".desc, $"doc_id")
-    weightedKeyedDocs(s, d).withColumn("rank", row_number().over(win))
-      .filter($"rank" <= 5)
-      .select($"source", $"rank", $"doc_id", $"weight", $"wkey")
-      .orderBy($"source", $"rank")
-  }
-
-  /** Content-defined chunking over the corpus ([[TextAnalysis.cdcChunks]]):
-    * one row per chunk with start/len/hash — the dedup-friendly shard key
-    * a 100 TB ingest uses so that a one-byte edit re-chunks O(1) chunks
-    * (CdcChunkSpec pins that locality property; the oracle replays the
-    * window-hash breakpoints and per-chunk polynomial hashes exactly).
-    * Map-only scan + explode; no shuffle at all before the deterministic
-    * output ordering. */
-  private val q179CdcChunks: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
-      .select($"doc_id", $"c.chunk_idx".cast("long").as("chunk_idx"),
-        $"c.start".cast("long").as("start"), $"c.len".cast("long").as("len"),
-        $"c.chunk_hash".as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_idx")
-  }
-
-  /** PMI collocation mining (Church & Hanks, CL 1990 — the phrase-table /
-    * tokenizer-seeding step of corpus analysis): adjacent-bigram counts
-    * vs unigram marginals, keeping pairs with pmi = ln(P(ab)/(P(a)P(b)))
-    * above ln(3/2). The transcendental never evaluates: the threshold is
-    * the CROSS-MULTIPLIED integer predicate 2·n_ab·NU² > 3·NB·n_a·n_b
-    * (the q150 integer-cross-mult idea), promoted to DECIMAL(38,0) /
-    * HUGEINT so it cannot overflow before ~10¹⁵ corpus tokens. Movement:
-    * two count shuffles (unigrams, bigrams; both map-side combinable),
-    * then vocab-side broadcast joins — at web scale the vocab join flips
-    * to sort-merge, which AQE decides from the actual build size. */
-  private val q180PmiCollocations: Q = (s, d) => {
-    import s.implicits._
-    val ws = Tables.documents(s, d).repartition($"doc_id")
-      .select(TextAnalysis.words($"text").as("ws")).cache()
-    val uni = ws.select(explode($"ws").as("w")).groupBy($"w")
-      .agg(count(lit(1)).as("n")).cache()
-    val nu = uni.agg(sum($"n").as("nu"))
-    val bc = ws.select(explode(zip_with(
-        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
-        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select($"p.w1", $"p.w2")
-      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
-    val nb = bc.agg(sum($"n_ab").as("nb"))
-    // the unigram table is vocabulary-sized (10^8-10^9 types web-scale):
-    // unhinted joins let AQE broadcast when small, shuffle when not
-    bc.join(uni.select($"w".as("w1"), $"n".as("n_a")), "w1")
-      .join(uni.select($"w".as("w2"), $"n".as("n_b")), "w2")
-      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
-      .filter($"n_ab" >= 3 &&
-        lit(2).cast("decimal(38,0)") * $"n_ab" * $"nu" * $"nu" >
-          lit(3).cast("decimal(38,0)") * $"nb" * $"n_a" * $"n_b")
-      .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b")
-      .orderBy($"w1", $"w2")
-  }
-
-  /** Corpus DRIFT MONITOR — per-token frequency delta between the en and
-    * non-en subcorpora in exact ppm integers (the ingest-regression check
-    * a production pipeline runs between corpus versions; q160 diffs
-    * membership, this diffs the token DISTRIBUTION). `n·10⁶ div N` floor
-    * arithmetic keeps every emitted number exact cross-engine; ranking by
-    * the integer delta needs no transcendental divergence (KL's ln never
-    * evaluates — the ppm delta is the actionable signal). Movement: ONE
-    * token explode into ONE vocab shuffle (count_if packs both subcorpora
-    * into the same map-side partial agg — the q149 single-pass shape);
-    * totals fold from the vocab table, never a second corpus scan. */
-  private val q185TokenDrift: Q = (s, d) => {
-    import s.implicits._
-    val tok = Tables.documents(s, d).repartition($"doc_id")
-      .select(($"lang" === "en").as("is_en"),
-        explode(TextAnalysis.words($"text")).as("w"))
-    val c = tok.groupBy($"w")
-      .agg(count_if($"is_en").as("na"), count_if(!$"is_en").as("nb"))
-      .cache()
-    val tot = c.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
-    c.crossJoin(broadcast(tot))
-      .withColumn("drift_ppm",
-        abs(expr("(na * 1000000) div ta") - expr("(nb * 1000000) div tb")))
-      .filter($"drift_ppm" >= 200)
-      .select($"w", $"na", $"nb", $"drift_ppm")
-      .orderBy($"drift_ppm".desc, $"w")
-  }
-
-  /** Sketch-based JOIN-SIZE ESTIMATION (Cormode–Muthukrishnan inner
-    * product — what a distributed planner consults before committing to a
-    * join strategy at 100 TB): two one-pass CMS sketches over the join
-    * key replace the per-key frequency join; their row-wise inner product
-    * min is a PROVABLE overestimate of |A ⋈ B|. The oracle computes the
-    * exact join size (per-key count product) and the deterministic
-    * overestimate theorem; the additive error bound is gated at the
-    * catalog's 4×-widened ε (q148/q152 convention — deterministic for
-    * this corpus, slack against regeneration skew). */
-  private val q186JoinSizeSketch: Q = (s, d) => {
-    import s.implicits._
-    // md5-parity split: doc_id parity is perfectly correlated with source
-    // in this testdata (block assignment), which would make the join empty
-    val half = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10)
-      .cast("long") % 2
-    val docs = Tables.documents(s, d)
-      .select($"doc_id", $"source", (half === 0).as("in_a"))
-    val cms = udaf(new CountMin.SketchAgg(),
-      org.apache.spark.sql.Encoders.STRING)
-    val a = docs.filter($"in_a")
-    val b = docs.filter(!$"in_a")
-    val ska = a.agg(cms($"source").as("ska"), count(lit(1)).as("n_a"))
-    val skb = b.agg(cms($"source").as("skb"), count(lit(1)).as("n_b"))
-    // exact truth in ONE key shuffle: count_if packs both halves into the
-    // same map-side partial agg (q185's shape) — no grouped self-join
-    val exact = docs
-      .groupBy($"source")
-      .agg(count_if($"in_a").as("ca"), count_if(!$"in_a").as("cb"))
-      .agg(sum($"ca" * $"cb").as("exact_size"))
-    val ip = udf((x: Seq[Long], y: Seq[Long]) =>
-      CountMin.innerProduct(x.toIndexedSeq, y.toIndexedSeq))
-    exact.crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
-      .withColumn("est", ip($"ska", $"skb"))
-      .select($"exact_size", $"n_a", $"n_b",
-        ($"est" >= $"exact_size").as("overestimate_ok"),
-        ($"est".cast("double") <=
-          $"exact_size".cast("double") +
-            lit(4.0 * CountMin.Eps) * $"n_a" * $"n_b").as("bound_ok"))
-  }
-
-  /** Stratified K-FOLD cross-validation assignment (the eval-split step of
-    * a training pipeline): fold = content-stable md5 bucket — reproducible
-    * across runs/engines/cluster sizes, no RNG state to ship — with a
-    * per-(fold, lang) BALANCE AUDIT: each fold's share of every language
-    * must sit within ±20% of the uniform 1/5, expressed as the integer
-    * cross-multiplication 4·L ≤ 25·n ≤ 6·L. Map-side assignment, one
-    * (fold, lang) count shuffle, language totals folded from the 25-row
-    * cell table — never a second corpus scan. The audit column is
-    * computed identically by the oracle (no hardcoded-true booleans). */
-  private val q187CvFolds: Q = (s, d) => {
-    import s.implicits._
-    val cells = Tables.documents(s, d)
-      .withColumn("fold", cvFold($"doc_id"))
-      .groupBy($"fold", $"lang").agg(count(lit(1)).as("n"))
-      .cache()
-    val langTot = cells.groupBy($"lang").agg(sum($"n").as("lt"))
-    cells.join(broadcast(langTot), "lang")
-      .select($"fold", $"lang", $"n",
-        (lit(25) * $"n" >= lit(4) * $"lt" &&
-          lit(25) * $"n" <= lit(6) * $"lt").as("balance_ok"))
-      .orderBy($"fold", $"lang")
-  }
-
-  /** GDPR DELETE PROPAGATION (right-to-be-forgotten across derived data):
-    * an erasure set cascades through every artifact derived from the
-    * corpus — here the CDC chunk table (q179) and the posting rows (F2's
-    * base relation) — by broadcast anti-join, and the gate proves
-    * propagation ≡ REBUILD-FROM-FILTERED-SOURCE: the oracle reconstructs
-    * each artifact from the surviving documents only, and the
-    * order-independent checksums (q169's DECIMAL(38) mod-2^60 fold over
-    * md5 row values) must agree row-for-row. At 100 TB this is the whole
-    * point — you cannot afford the rebuild, so the anti-join path must be
-    * provably equivalent to it; the checksum equality is that proof at
-    * gate strength. Movement: one corpus pass per artifact + broadcast
-    * anti-joins; checksums are map-side partial sums. */
-  private val q190DeletePropagation: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    val Mod = 1152921504606846976L // 2^60
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-    val dels = docs.filter($"doc_id" % 17 === 3).select($"doc_id")
-    def signed(df: org.apache.spark.sql.DataFrame, name: String,
-               rowKey: org.apache.spark.sql.Column) = {
-      val h = conv(substring(md5(rowKey), 1, 15), 16, 10)
-        .cast(DecimalType(38, 0))
-      df.join(broadcast(dels), Seq("doc_id"), "left_anti")
-        .select(h.as("h"))
-        .agg(count(lit(1)).cast("long").as("n_rows"),
-          (sum($"h") % lit(Mod)).cast("long").as("checksum"))
-        .select(lit(name).as("artifact"), $"n_rows", $"checksum")
-    }
-    val chunks = docs
-      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
-      .select($"doc_id", $"c.chunk_idx".as("chunk_idx"),
-        $"c.chunk_hash".as("chunk_hash"))
-    val postings = docs
-      .select($"doc_id",
-        explode(graft.text.TextOps.tokenize($"text")).as("lexeme"))
-    signed(chunks, "chunks",
-        concat($"doc_id".cast("string"), lit("|"),
-          $"chunk_idx".cast("string"), lit("|"), $"chunk_hash".cast("string")))
-      .unionByName(signed(postings, "postings",
-        concat($"doc_id".cast("string"), lit("|"), $"lexeme")))
-      .unionByName(signed(docs.select($"doc_id", $"text"), "documents",
-        concat($"doc_id".cast("string"), lit("|"), $"text")))
-      .orderBy($"artifact")
-  }
-
-  /** DISK-BACKED IVF ANN index ([[Similarity.writeIvfIndex]] /
-    * [[searchIvfIndex]]): the corpus is WRITTEN partitioned by cell id
-    * and the probe's cell-id join triggers dynamic partition pruning —
-    * the scan reads only the probed nprobe cells' files (PlanSpec asserts
-    * the dynamicpruning filter), the vector-database analog of the F2
-    * posting index's bucket pruning. Same params as q49, and the result
-    * is DEFINED identical to q49's in-memory path — both gate against
-    * one shared oracle string, so the storage roundtrip cannot change a
-    * single rank. */
-  private val q191IvfDiskIndex: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    val dir = graft.util.Scratch.dir("graft_q191_ivf_") + "/ivf"
-    val cent = Similarity.writeIvfIndex(emb, dir, numCentroids = 8)
-    Similarity.searchIvfIndex(s, dir, emb.filter($"vec_id" < 5), cent,
-        k = 10, nprobe = 2)
-      .select($"query_id", $"rank", $"neighbor_id")
-      .orderBy($"query_id", $"rank")
-  }
-
-  /** Audio ENERGY CONTOUR (E4 feature extraction past q175's decode —
-    * the VAD / loudness-normalization front end): every complete
-    * 256-frame window's Σs² from REAL decoded PCM, top-3 loudest windows
-    * per clip by (energy desc, window). Exact long arithmetic end to end;
-    * the oracle replays the closed-form PCM stream per window, so a
-    * mis-sliced window, an endianness slip, or a dropped frame all
-    * hash-mismatch. One mapPartitions encode+decode pass + a bounded
-    * per-clip window rank. */
-  private val q192AudioEnergy: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ids = Tables.documents(s, d)
-      .select($"doc_id").where($"doc_id" % 3 === 1)
-      .repartition($"doc_id")
-      .as[Long]
-    val media = ids.mapPartitions(_.map(id =>
-      Multimodal.MediaRow(id, "audio",
-        Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
-    val w = Window.partitionBy($"media_id").orderBy($"energy".desc, $"window_idx")
-    Multimodal.wavWindowEnergies(media, windowFrames = 256)
-      .toDF()
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
-      .select($"media_id", $"rank", $"window_idx", $"energy")
-      .orderBy($"media_id", $"rank")
-  }
-
-  /** q187/q195's shared fold assignment — ONE expression so the CV split
-    * and its contamination audit can never disagree about which fold a
-    * document landed in. Content-stable md5 bucket, no RNG state. */
-  private def cvFold(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(id.cast("string"), lit(":cv"))), 1, 8), 16, 10)
-      .cast("long") % 5
-
-  /** PARETO FRONTIER (skyline) per source over (n_chars minimize,
-    * distinct-words maximize) — the data-selection frontier: which
-    * documents deliver the most lexical diversity for the fewest bytes?
-    * Spark has no skyline operator; the classic 2-D reduction makes one
-    * from a pre-aggregation plus a running-max window: collapse to the
-    * best (max distinct-words) row per (source, n_chars) — a map-side
-    * combinable groupBy that shrinks the window input from O(corpus) to
-    * O(distinct char-lengths), the same bounded-domain trick as q154's
-    * day-grain pre-agg — then a doc survives iff its diversity strictly
-    * beats every strictly-cheaper length's best (running max over the
-    * ORDER BY n_chars frame). Ties on (n_chars, n_dw) are all kept:
-    * neither dominates the other. The join back to the doc table is on
-    * (source, n_chars, n_dw) — only frontier coordinates, broadcast-sized
-    * after the window prune. */
-  private val q193ParetoFrontier: Q = (s, d) => {
-    import s.implicits._
-    // cache: t feeds both the frontier computation and the join-back, and
-    // it is the NARROW projection (text dropped after the distinct-word
-    // count) — the cached footprint is 4 scalar columns per doc, not the
-    // corpus; without it the tokenization lineage re-executes per side
-    val t = Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"source", $"doc_id", $"n_chars",
-        size(array_distinct(graft.text.TextOps.words($"text"))).cast("long")
-          .as("n_dw"))
-      .cache()
-    Skyline.frontier2d(t.drop("doc_id"), "source", "n_chars", "n_dw")
-      .join(t, Seq("source", "n_chars", "n_dw"))
-      .select($"source", $"doc_id", $"n_chars", $"n_dw")
-      .orderBy($"source", $"n_chars", $"doc_id")
-  }
-
-  /** STUPID-BACKOFF bigram language model (Brants et al., EMNLP 2007 —
-    * the web-scale LM that powers CCNet-style perplexity filtering):
-    * TRAIN on the even-doc_id half (bigram counts C2, token counts U,
-    * totals N/V), SCORE the odd half per bigram occurrence:
-    * ln(C2/U(w1)) when the bigram was seen, else the backoff
-    * ln(0.4·(U(w2)+1)/(N+V)) (add-1 unigram absorbs OOV). Scores are
-    * floored to integer MICRO-NATS per occurrence (q149's quantization),
-    * so the per-doc sums are order-free longs and the oracle compare is
-    * strict. keep = mean score ≥ −3.5 nats/bigram, as the integer
-    * cross-multiplication. Movement: two count shuffles over the train
-    * half (both map-side combinable), one (w1,w2) join from the scored
-    * bigrams to C2 — count tables are vocabulary-sized, NOT corpus-sized
-    * — and one per-doc sum; the N/V scalars ride a 1-row broadcast. */
-  private val q194BackoffLm: Q = (s, d) => {
-    import s.implicits._
-    val tok = Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", TextAnalysis.words($"text").as("ws"),
-        ($"doc_id" % 2 === 0).as("is_train"))
-    TextAnalysis.backoffBigramScores(tok, "doc_id", "ws", "is_train")
-      .select($"doc_id", $"n_bigrams", $"score_micronats",
-        ($"score_micronats" >= lit(-3500000L) * $"n_bigrams").as("keep"))
-      .orderBy($"doc_id")
-  }
-
-  /** CROSS-FOLD CONTAMINATION AUDIT — the eval-leakage check every
-    * training pipeline needs between q187's CV split and a model run: a
-    * near-duplicate pair whose members landed in DIFFERENT folds leaks
-    * eval data into training. Pairs come from the q42 exact-Jaccard
-    * brute-force slice (the bounded-subset algorithm; at corpus scale the
-    * q43 LSH candidates feed the same fold filter), folds from the
-    * SHARED [[cvFold]] expression — the audit cannot drift from the
-    * split it audits. Output is the leaking pair list with both folds;
-    * empty means the split is clean at this threshold. */
-  private val q195FoldContamination: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
-      .filter($"jaccard" > 0.5)
-      .withColumn("fold_a", cvFold($"doc_a"))
-      .withColumn("fold_b", cvFold($"doc_b"))
-      .filter($"fold_a" =!= $"fold_b")
-      .select($"doc_a", $"doc_b", $"fold_a", $"fold_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
-  }
-
-  /** PER-SOURCE QUALITY AUTO-THRESHOLD — percentile-calibrated filtering
-    * (the "drop the worst decile of every source" curation rule, which
-    * needs a per-source cutoff because sources have different score
-    * distributions): score = distinct-word ratio in integer PER-MILLE
-    * (`div`, exact), and the p10 cutoff is found on the (source, score)
-    * HISTOGRAM — counts per distinct score value, running sum over the
-    * bounded score domain (0..1000) — never by sorting raw rows: the
-    * window input is ≤ 1001 rows per source at ANY corpus size (q154's
-    * bounded-domain pattern), where a row-level percentile sort would be
-    * a full per-source corpus sort at 100 TB. cutoff = min score whose
-    * cumulative count covers ≥ 10% (integer cross-mult); n_kept counts
-    * docs at or above it. */
-  private val q197QualityThreshold: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"source", graft.text.TextOps.words($"text").as("ws"))
-      .select($"source",
-        (size(array_distinct($"ws")).cast("long") * 1000).as("num"),
-        size($"ws").cast("long").as("nw"))
-      .filter($"nw" > 0)
-      .select($"source", expr("num div nw").as("score"))
-    val hist = t.groupBy($"source", $"score").agg(count(lit(1)).as("n"))
-    val cum = hist.withColumn("cum",
-      sum($"n").over(Window.partitionBy($"source").orderBy($"score")))
-    val tot = hist.groupBy($"source").agg(sum($"n").as("n_total"))
-    cum.join(broadcast(tot), "source")
-      .filter($"cum" * 10 >= $"n_total")
-      .withColumn("rn",
-        row_number().over(Window.partitionBy($"source").orderBy($"score")))
-      .filter($"rn" === 1)
-      .select($"source", $"score".as("cutoff_permille"), $"n_total",
-        ($"n_total" - $"cum" + $"n").as("n_kept"))
-      .orderBy($"source")
-  }
-
-  /** URL CANONICALIZATION + dedup ([[graft.ext.Urls.canonicalize]]) —
-    * the zero-byte first dedup of a web pipeline: mirror URLs differing
-    * only in host case, default ports, trailing slashes, tracking
-    * params, param order, or fragments collapse to one canonical key.
-    * The corpus has no URL column, so each doc gets a DETERMINISTIC
-    * synthetic URL (q175/q192's synthetic-payload pattern): identity
-    * from doc_id arithmetic (scheme/host/path/id-param ⇒ 30 canonical
-    * URLs), six independent md5-digit NOISE axes on top. The engine runs
-    * the GENERIC parser-canonicalizer; the oracle never parses — it
-    * derives the canonical each raw MUST collapse to straight from the
-    * doc_id arithmetic, so any noise variant the canonicalizer mishandles
-    * splits a group and hash-mismatches. Map-only projection + one
-    * canonical-key groupBy. */
-  private val q198UrlCanonicalize: Q = (s, d) => {
-    import s.implicits._
-    def digit(i: Int) =
-      conv(substring(md5(concat($"doc_id".cast("string"), lit(":url"))), i, 1),
-        16, 10).cast("long")
-    val scheme = when($"doc_id" % 2 === 0, "http").otherwise("https")
-    val hostBase = concat(lit("cdn"), ($"doc_id" % 3).cast("string"),
-      lit(".example.com"))
-    val host = when(digit(1) % 2 === 0, upper(hostBase)).otherwise(hostBase)
-    val port = when(digit(2) % 2 === 0,
-      when($"doc_id" % 2 === 0, ":80").otherwise(":443")).otherwise("")
-    val path = concat(lit("/a/"), ($"doc_id" % 10).cast("string"),
-      when(digit(3) % 2 === 0, "/").otherwise(""))
-    val idp = concat(lit("id="), ($"doc_id" % 5).cast("string"))
-    val params = when(digit(4) % 2 === 0, concat(lit("v=2&"), idp))
-      .otherwise(concat(idp, lit("&v=2")))
-    val utm = when(digit(5) % 2 === 0, "&utm_source=feed").otherwise("")
-    val frag = when(digit(6) % 2 === 0, "#sec").otherwise("")
-    Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", concat(scheme, lit("://"), host, port, path,
-        lit("?"), params, utm, frag).as("raw"))
-      .withColumn("canonical_url", graft.ext.Urls.canonicalize($"raw"))
-      .groupBy($"canonical_url")
-      .agg(count(lit(1)).as("n_urls"),
-        count_distinct($"raw").as("n_variants"),
-        min($"doc_id").as("min_doc"))
-      .orderBy($"canonical_url")
-  }
-
-  /** CONTAINMENT near-dup (asymmetric overlap |A∩B| / min(|A|,|B|) ≥ 0.9)
-    * — the inclusion case Jaccard MISSES: a 30-word excerpt inside a
-    * 300-word document has tiny Jaccard but containment 1.0, and
-    * quote/excerpt inclusion is a dedup class of its own (Lee et al. 2022
-    * §3.2 treat it via substring dedup; set containment is the shingle
-    * analog). Planted positives BY CONSTRUCTION: every 11th doc
-    * contributes a first-30-words excerpt row (id + 10⁶) whose shingles
-    * are a subset of its source's, so the gate always has true inclusions
-    * to find; ordinary near-dup pairs supply the symmetric cases. Integer
-    * cross-mult threshold (10·o ≥ 9·min) — no float ratio. Bounded
-    * brute-force slice (q42's pattern; at corpus scale the q150 prefix
-    * filter generalizes: candidates must share a token in the smaller
-    * set's first ⌊(1−t)·|A|⌋+1 sorted shingles). */
-  private val q199Containment: Q = (s, d) => {
-    import s.implicits._
-    val base = Tables.documents(s, d)
-      .filter($"doc_id" < BruteForceSlice)
-      .select($"doc_id", $"text")
-    val excerpts = base.filter($"doc_id" % 11 === 0)
-      .select(($"doc_id" + 1000000L).as("doc_id"),
-        concat_ws(" ", slice(graft.text.TextOps.words($"text"), 1, 30)).as("text"))
-    val all = base.unionByName(excerpts)
-      .repartition($"doc_id")
-      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
-      .filter(size($"sh") > 0)
-      .cache()
-    val a = all.toDF("id_a", "sh_a")
-    val b = all.toDF("id_b", "sh_b")
-    a.crossJoin(broadcast(b))
-      .filter($"id_a" < $"id_b")
-      .withColumn("o", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-      .withColumn("sza", size($"sh_a").cast("long"))
-      .withColumn("szb", size($"sh_b").cast("long"))
-      .filter($"o" * 10 >= least($"sza", $"szb") * 9)
-      .select(
-        when($"sza" <= $"szb", $"id_a").otherwise($"id_b").as("contained_id"),
-        when($"sza" <= $"szb", $"id_b").otherwise($"id_a").as("container_id"),
-        $"o".as("overlap"),
-        least($"sza", $"szb").as("size_contained"),
-        greatest($"sza", $"szb").as("size_container"))
-      .orderBy($"contained_id", $"container_id")
-  }
-
-  /** CURRICULUM STAGING (Bengio et al., ICML 2009 — order training data
-    * easy → hard): difficulty = mean word RARITY in integer micro-units
-    * (Σ 10⁹ div cf(w), div word count), staged by RATIO TO THE CORPUS
-    * MEAN into 4 buckets (<0.5×, <1×, <1.5×, ≥1.5× via
-    * least(3, 2·d div mean)) — mean-relative stages instead of global
-    * deciles precisely because deciles need a corpus-wide rank (a global
-    * sort at 100 TB) while the mean is one all-reduce and the staging
-    * stays map-only. Movement: one token explode, one vocab count
-    * shuffle, one (w) join back, one per-doc sum, broadcast 1-row mean. */
-  private val q200Curriculum: Q = (s, d) => {
-    import s.implicits._
-    val tok = Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
-    val cf = tok.groupBy($"w").agg(count(lit(1)).as("cf"))
-    val perDoc = tok.join(cf, "w")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("nw"),
-        sum(expr("1000000000 div cf")).as("rare_sum"))
-      .cache()
-    val mean = perDoc.agg(
-      expr("sum(rare_sum) div sum(nw)").as("mean_d"))
-    perDoc.select($"doc_id", expr("rare_sum div nw").as("difficulty"))
-      .crossJoin(broadcast(mean))
-      .select(least(lit(3L), expr("(2 * difficulty) div mean_d")).as("stage"),
-        $"difficulty")
-      .groupBy($"stage")
-      .agg(count(lit(1)).as("n_docs"),
-        min($"difficulty").as("min_difficulty"),
-        max($"difficulty").as("max_difficulty"),
-        sum($"difficulty").as("sum_difficulty"))
-      .orderBy($"stage")
-  }
-
-  /** CLUSTER↔LABEL AGREEMENT (Rand index + purity, Hubert & Arabie 1985
-    * pair-counting): treats the deterministic IVF quantizer (q49/q98's
-    * first-8-centroid rule via [[Similarity.cellAssignments]]) as a
-    * clustering and audits it against the embeddings' labels — the
-    * label-quality / cluster-quality check a curation pipeline runs
-    * before trusting either side. ALL pair counts come from the
-    * (cid, label) CONTINGENCY TABLE (C(n,2) sums over cells, cluster and
-    * label marginals) — never from materializing pairs — so the audit is
-    * one map-only assignment + one cell-count shuffle + folds over ≤
-    * |cells|·|labels| rows at any corpus size. RI and purity published
-    * in exact integer ppm. */
-  private val q201ClusterAgreement: Q = (s, d) => {
-    import s.implicits._
-    val emb = Tables.embeddings(s, d).repartition($"vec_id")
-    val ct = Similarity.cellAssignments(emb, numCentroids = 8)
-      .join(emb.select($"vec_id", $"label"), "vec_id")
-      .groupBy($"cid", $"label").agg(count(lit(1)).as("n"))
-      .cache()
-    val s1 = ct.agg(sum(expr("n * (n - 1) div 2")).as("tp"),
-      sum($"n").as("n_items"))
-    val s2 = ct.groupBy($"cid").agg(sum($"n").as("a"))
-      .agg(sum(expr("a * (a - 1) div 2")).as("sum_a2"))
-    val s3 = ct.groupBy($"label").agg(sum($"n").as("b"))
-      .agg(sum(expr("b * (b - 1) div 2")).as("sum_b2"))
-    val s5 = ct.groupBy($"cid").agg(max($"n").as("mx"))
-      .agg(sum($"mx").as("purity_num"))
-    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
-      .crossJoin(broadcast(s5))
-      .withColumn("n_pairs", expr("n_items * (n_items - 1) div 2"))
-      .select($"n_items", $"n_pairs", $"tp", $"sum_a2", $"sum_b2",
-        expr("((n_pairs + 2 * tp - sum_a2 - sum_b2) * 1000000) div n_pairs")
-          .as("ri_ppm"),
-        $"purity_num",
-        expr("(purity_num * 1000000) div n_items").as("purity_ppm"))
-  }
-
-  /** q202's rows-per-task target shared with its oracle: the salt factor
-    * is ceil(cnt / target) — how many subtasks a hot key needs so no
-    * single task exceeds the target. */
-  private[ops] val SkewTargetRows = 1000L
-
-  /** JOIN-KEY SKEW PROFILER — the planning pass you run BEFORE a big join
-    * at 100 TB (the measurement half of [[graft.ops.SkewJoin]] /
-    * SaltGuard, which are the mitigation half): per-key counts on the
-    * fact side, the top-20 hottest keys with their ratio-to-mean in ppm,
-    * and the SALT FACTOR each needs (ceil(cnt/target), integer) so no
-    * post-salt task exceeds the row target. One map-side-combinable key
-    * count; the mean folds from the key table (1-row broadcast); the
-    * top-20 window prunes map-side (WindowGroupLimit). Integer end to
-    * end. */
-  private val q202SkewProfile: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val counts = Tables.events(s, d)
-      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
-      .cache()
-    val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"))
-    counts.crossJoin(broadcast(stats))
-      .withColumn("rank",
-        row_number().over(Window.orderBy($"cnt".desc, $"user_id")))
-      .filter($"rank" <= 20)
-      .select($"rank", $"user_id", $"cnt",
-        expr("(cnt * n_keys * 1000000) div total").as("ratio_to_mean_ppm"),
-        expr(s"(cnt + $SkewTargetRows - 1) div $SkewTargetRows").as("salt_factor"))
-      .orderBy($"rank")
-  }
-
-  /** q204's dictionary, shared with its oracle. Deliberately includes
-    * nested patterns ("scan"⊃"can"⊃"an", "table"⊃"able", "a" inside
-    * nearly everything) and multi-word phrases — the shapes that force K
-    * separate scans without an automaton. Every pattern is BORDERLESS
-    * (no proper prefix = suffix; asserted in AhoCorasickSpec), which
-    * makes all-occurrence counting identical to greedy non-overlapping
-    * counting, so DuckDB's length-delta//replace trick is an EXACT
-    * oracle for the automaton's counts. */
-  private[graft] val AcKeywords: Seq[String] = Seq(
-    "a", "able", "an", "can", "eam", "hash join", "join",
-    "merge batch", "scan", "stream", "table", "value")
-
-  /** MULTI-PATTERN KEYWORD TAGGING (Aho–Corasick, CACM 1975) — the
-    * blocklist/topic/PII dictionary pass of a curation pipeline: ONE
-    * left-to-right scan of the corpus counts every occurrence of every
-    * dictionary pattern (overlaps and nested patterns included), versus
-    * K per-keyword passes. Movement at 100 TB: the automaton is built
-    * once on the driver and broadcast; the scan is map-only (text never
-    * moves); the only shuffle is the K-row per-keyword fold of the
-    * fixed-length count vectors. n_docs/n_hits published per keyword. */
-  private val q204KeywordTags: Q = (s, d) => {
-    import s.implicits._
-    val ac = s.sparkContext.broadcast(
-      new graft.text.AhoCorasick(AcKeywords.toArray))
-    val countsUdf = udf((t: String) =>
-      ac.value.countAll(if (t == null) "" else t.toLowerCase))
-    val kwArr = array(AcKeywords.map(lit): _*)
-    Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select(posexplode(countsUdf($"text")).as(Seq("i", "hits")))
-      .groupBy($"i")
-      .agg(sum(when($"hits" > 0L, 1L).otherwise(0L)).as("n_docs"),
-        sum($"hits").as("n_hits"))
-      .select(element_at(kwArr, $"i" + 1).as("keyword"), $"n_docs", $"n_hits")
-      .orderBy($"keyword")
-  }
-
-  /** q205's compaction target (chars stand in for bytes on the synthetic
-    * corpus), shared with the oracle. */
-  private[ops] val CompactTargetBytes = 4096L
-
-  /** SMALL-FILE COMPACTION PLANNER — the housekeeping pass a 100 TB lake
-    * runs nightly: group each source's files (docs stand in, n_chars =
-    * size) into target-size output bins. Bin rule is START-OFFSET
-    * binning (bin = running-sum-before div target) instead of first-fit-
-    * decreasing: FFD is inherently sequential over the whole manifest,
-    * while the offset rule needs only a per-source running sum — one
-    * shuffle by source, windows sort each source's manifest
-    * independently, and the assignment is stable under append (existing
-    * bins never change when new files arrive at the tail). Publishes per
-    * bin: file count, bytes, id range, fill ratio in ppm. */
-  private val q205CompactionPlan: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-    Tables.documents(s, d)
-      .select($"source", $"doc_id", $"n_chars")
-      .withColumn("cum", sum($"n_chars").over(w))
-      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
-      .groupBy($"source", $"bin")
-      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .withColumn("fill_ppm", expr(s"bytes * 1000000 div $CompactTargetBytes"))
-      .orderBy($"source", $"bin")
-  }
-
-  /** ROBUST OUTLIER PRUNING (median absolute deviation, Hampel) — flag
-    * docs whose length sits > 3 MAD from their source's median; the
-    * heavy-tail-safe alternative to z-scores for curation. EXACT per-
-    * group medians WITHOUT sorting rows: the n_chars domain is bounded,
-    * so each median folds from a (source, value) HISTOGRAM + running-sum
-    * pick (the q197 pattern) — two tiny histogram shuffles total, and
-    * the flagging pass re-joins only the ≤|sources| median rows back by
-    * broadcast. Everything integer: med2x = sum of the two middle
-    * elements (2× the interpolated median), mad4 = med2x of |2v − med2x|
-    * (4× MAD), and |v − med| > 3·MAD ⇔ 2·|2v − med2x| > 3·mad4. */
-  private val q206MadOutliers: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    def med2x(vals: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-      val h = vals.groupBy($"source", $"v").agg(count(lit(1)).as("n"))
-      val c = h
-        .withColumn("cum", sum($"n").over(
-          Window.partitionBy($"source").orderBy($"v")))
-        .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
-      val m1 = c.filter($"cum" >= expr("(ntot + 1) div 2"))
-        .groupBy($"source").agg(min($"v").as("mid1"))
-      val m2 = c.filter($"cum" >= expr("(ntot + 2) div 2"))
-        .groupBy($"source").agg(min($"v").as("mid2"))
-      m1.join(m2, "source").select($"source", ($"mid1" + $"mid2").as("m2x"))
-    }
-    val docs = Tables.documents(s, d).select($"source", $"n_chars".as("v"))
-    val med = med2x(docs)
-    val dev = docs.join(broadcast(med), "source")
-      .select($"source", abs(lit(2L) * $"v" - $"m2x").as("v"))
-    val mad = med2x(dev).withColumnRenamed("m2x", "mad4")
-    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
-      .groupBy($"source", $"m2x", $"mad4")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(abs(lit(2L) * $"v" - $"m2x") * 2 > $"mad4" * 3, 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .select($"source", $"n_docs", $"m2x".as("med2x"), $"mad4",
-        $"n_outliers")
-      .orderBy($"source")
-  }
-
-  /** ONE-SCAN ROLLUP CORPUS MOMENTS — the per-source + grand-total audit
-    * sheet (count, mean, variance, length range) from a SINGLE pass:
-    * `rollup(source)` folds the __total__ row from the same partial
-    * aggregates as the per-source rows (the q169/q149 fold-don't-rescan
-    * rule baked into the operator itself). Integer end to end with
-    * OVERFLOW-AWARE algebra: the textbook (n·Σx² − (Σx)²) crosses 2⁶³
-    * once n·range² > ~10¹³, so variance is published as
-    * Σx²·10⁶ div n − (Σx·10³ div n)² — each term bounded by Σx²·10⁶ —
-    * deterministic on both engines and safe to ~10⁹ rows per group
-    * (beyond that the sums move to decimal(38), same shape). */
-  private val q208RollupMoments: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .rollup($"source")
-      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
-        sum($"n_chars" * $"n_chars").as("sx2"),
-        min($"n_chars").as("min_len"), max($"n_chars").as("max_len"))
-      .select(coalesce($"source", lit("__total__")).as("source"), $"n",
-        expr("sx * 1000000 div n").as("mean_ppm"),
-        expr("sx2 * 1000000 div n - (sx * 1000 div n) * (sx * 1000 div n)")
-          .as("var_ppm"),
-        $"min_len", $"max_len")
-      .orderBy($"source")
-  }
-
-  /** EXACT EQUI-DEPTH HISTOGRAM over l_extendedprice WITHOUT a global
-    * row sort: prices quantize to cents exactly (the dec() bridge), the
-    * cents DOMAIN is bounded (~10⁷ distinct) independent of corpus size,
-    * so depth boundaries fold from a (value → count) histogram + running
-    * sum over ≤|domain| rows — the same trick as q206's medians, giving
-    * EXACT depth buckets at 100 TB where percentile_approx only
-    * estimates. Ties stay together (whole value-groups bin by their
-    * START position, q205's rule), so bucket populations deviate from
-    * n/B only by tie mass — published as n_rows per bucket. */
-  private val q209EquiDepth: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val h = Tables.lineitem(s, d)
-      .select((dec($"l_extendedprice") * 100).cast("long").as("v"))
-      .groupBy($"v").agg(count(lit(1)).as("n"))
-    val tot = h.agg(sum($"n").as("ntot"))
-    h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
-      .crossJoin(broadcast(tot))
-      .groupBy(expr("((cum - n) * 10) div ntot").as("bucket"))
-      .agg(sum($"n").as("n_rows"), count(lit(1)).as("n_values"),
-        min($"v").as("lo_cents"), max($"v").as("hi_cents"))
-      .orderBy($"bucket")
-  }
-
-  /** KNESER-NEY SMOOTHED BIGRAM LM (Kneser & Ney, ICASSP 1995; Chen &
-    * Goodman, CSL 1999) — the canonical n-gram smoothing, completing the
-    * LM family (q137 perplexity, q194 stupid backoff): absolute discount
-    * d on observed bigrams plus CONTINUATION-probability backoff (how
-    * many distinct contexts a word completes — "francisco" is frequent
-    * but completes only "san", so its continuation mass is tiny).
-    * Everything rational, published in exact integer ppm: with d = 3/4,
-    * P = (c12−d)/c1 + d·n1p/c1 · ncont/T becomes
-    * p_ppm = ((4·c12−3)·T + 3·n1p·ncont)·10⁶ div (4·c1·T). The
-    * denominator c1 is the CONTEXT count Σ_w2 c(w1,w2) folded from the
-    * bigram table itself (not the unigram count, which over-counts
-    * document-final tokens) — so n1p, ncont, T, and c1 all fold from ONE
-    * bigram count shuffle with no corpus rescan; the top-20 window runs
-    * on the vocab²-bounded count table (WindowGroupLimit prunes
-    * map-side) and the stat joins broadcast. */
-  private val q212KneserNey: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ws = Tables.documents(s, d).repartition($"doc_id")
-      .select(TextAnalysis.words($"text").as("ws"))
-    val bc = ws.select(explode(zip_with(
-        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
-        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select($"p.w1", $"p.w2")
-      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      .cache()
-    val ctx = bc.groupBy($"w1")
-      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
-    val cont = bc.groupBy($"w2").agg(count(lit(1)).as("ncont"))
-    val tb = bc.agg(count(lit(1)).as("t"))
-    bc.withColumn("rk",
-        row_number().over(Window.orderBy($"c12".desc, $"w1", $"w2")))
-      .filter($"rk" <= 20)
-      .join(broadcast(ctx), "w1")
-      .join(broadcast(cont), "w2")
-      .crossJoin(broadcast(tb))
-      .select($"rk", $"w1", $"w2", $"c12", $"c1", $"n1p", $"ncont",
-        expr("((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000" +
-          " div (4 * c1 * t)").as("pkn_ppm"),
-        expr("c12 * 1000000 div c1").as("mle_ppm"))
-      .orderBy($"rk")
-  }
-
-  /** COMPACTION EXECUTED + SELF-AUDITED — q205 plans the bins; this
-    * query PERFORMS the rewrite and proves content preservation at gate
-    * strength: docs are shuffled once on (source, bin) and written with
-    * `partitionBy`, so each bin lands as exactly one file in its own
-    * directory (the hash partitioning co-locates a bin's rows in one
-    * task); the compacted copy is then RE-READ and its per-source q169
-    * order-independent checksum (decimal md5-fold mod 2⁶⁰ over
-    * doc_id||text) must equal the source's — a lost, duplicated, or
-    * cross-bound row flips `preserved` AND the checksum column, failing
-    * the oracle. This is the maintenance-action shape at 100 TB: one
-    * shuffle, one write, and the audit rides the same two scans you'd
-    * already pay for verification. */
-  private val q213CompactExecute: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val Mod = 1152921504606846976L // 2^60
-    def sums(df: org.apache.spark.sql.DataFrame) = {
-      val rowHash = conv(substring(md5(concat($"doc_id".cast("string"),
-        lit("|"), $"text")), 1, 15), 16, 10).cast(DecimalType(38, 0))
-      df.select($"source", rowHash.as("h"))
-        .groupBy($"source")
-        .agg(count(lit(1)).cast("long").as("n_rows"), sum($"h").as("hsum"))
-        .select($"source", $"n_rows",
-          ($"hsum" % lit(Mod)).cast("long").as("checksum"))
-    }
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
-    val planned = Tables.documents(s, d)
-      .select($"source", $"doc_id", $"text", $"n_chars")
-      .withColumn("cum", sum($"n_chars").over(w))
-      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
-    val outDir = graft.util.Scratch.dir("graft_q213_compact_")
-    planned.repartition($"source", $"bin")
-      .write.partitionBy("source", "bin").mode("overwrite").parquet(outDir)
-    val after = s.read.parquet(outDir)
-    val bins = after.groupBy($"source").agg(countDistinct($"bin").as("n_bins"))
-    val before = sums(Tables.documents(s, d))
-      .toDF("source", "n_rows_b", "ck_b")
-    sums(after).join(before, "source").join(bins, "source")
-      .select($"source", $"n_bins", $"n_rows", $"checksum",
-        ($"n_rows" === $"n_rows_b" && $"checksum" === $"ck_b")
-          .as("preserved"))
-      .orderBy($"source")
-  }
-
-  /** QUALITY-SCORE CALIBRATION CURVE — does the cheap quality signal
-    * actually predict duplication? (The audit you run before trusting a
-    * score as a filter at 100 TB: if dup rate doesn't fall as score
-    * rises, the score is noise.) Composes two existing signals — q197's
-    * distinct-word per-mille score and q40's exact-dup flag — into score
-    * QUINTILES via the histogram equi-depth rule (q209: the score domain
-    * is ≤1000, so boundaries fold from a bounded histogram, never a row
-    * sort), with the dup flag from ONE count-over-hash window (no
-    * self-join). Published per quintile: docs, dups, dup-rate ppm, score
-    * range — all integer. */
-  private val q215QualityCalibration: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val sc = Tables.documents(s, d).repartition($"doc_id")
-      .select($"text", graft.text.TextOps.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"text",
-        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
-    val flagged = sc.withColumn("is_dup",
-        when(count(lit(1)).over(
-          Window.partitionBy(sha2($"text", 256))) > 1, 1L).otherwise(0L))
-      .select($"score", $"is_dup")
-    val h = flagged.groupBy($"score")
-      .agg(count(lit(1)).as("n"), sum($"is_dup").as("nd"))
-    val tot = h.agg(sum($"n").as("ntot"))
-    h.withColumn("cum", sum($"n").over(Window.orderBy($"score")))
-      .crossJoin(broadcast(tot))
-      .groupBy(expr("((cum - n) * 5) div ntot").as("bucket"))
-      .agg(sum($"n").as("n_docs"), sum($"nd").as("n_dups"),
-        min($"score").as("lo_score"), max($"score").as("hi_score"))
-      .withColumn("dup_rate_ppm", expr("(n_dups * 1000000) div n_docs"))
-      .select($"bucket", $"n_docs", $"n_dups", $"dup_rate_ppm",
-        $"lo_score", $"hi_score")
-      .orderBy($"bucket")
-  }
-
-  /** ARBITRARY GROUPING SETS — the cube-family member q22 (rollup) and
-    * q23 (cube) don't cover: a hand-picked lattice
-    * ((priority, status), (priority), ()) — per-cell, per-priority, and
-    * grand-total in ONE aggregate over ONE scan (the Expand operator
-    * replicates rows per set; partial aggs still combine map-side). gid
-    * is built explicitly as grouping(p)·2 + grouping(s) so both engines
-    * agree bit-for-bit on level identity; money via the exact-decimal
-    * bridge. */
-  private val q216GroupingSets: Q = (s, d) => {
-    import s.implicits._
-    Tables.orders(s, d)
-      .groupingSets(
-        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
-          Seq($"o_orderpriority"), Seq()),
-        $"o_orderpriority", $"o_orderstatus")
-      .agg((grouping($"o_orderpriority") * 2 + grouping($"o_orderstatus"))
-          .cast("long").as("gid"),
-        count(lit(1)).as("n"),
-        money(sum(dec($"o_totalprice"))).as("total"))
-      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
-        coalesce($"o_orderstatus", lit("ALL")).as("status"),
-        $"gid", $"n", $"total")
-      .orderBy($"gid", $"priority", $"status")
-  }
-
-  /** SEASONAL ANOMALY DETECTION over the event stream — the ingest-
-    * health monitor a 100 TB/day pipeline runs hourly: each wall-clock
-    * hour's event count against the HOUR-OF-DAY baseline (its own
-    * diurnal expectation, folded across all days), flagging hours
-    * deviating more than ±50%. Integer end-to-end: deviation in signed
-    * ppm is n·nh·10⁶ div tot − 10⁶ (positive divisor, so floor == trunc
-    * on both engines). Movement: one (hour, hod) count shuffle — domain
-    * bounded by the calendar — then a 24-row broadcast of baselines;
-    * nothing corpus-sized moves twice. */
-  private val q217SeasonalAnomaly: Q = (s, d) => {
-    import s.implicits._
-    val hrs = Tables.events(s, d)
-      .select(date_trunc("hour", $"ts").as("h"), hour($"ts").as("hod"))
-      .groupBy($"h", $"hod").agg(count(lit(1)).as("n"))
-    val base = hrs.groupBy($"hod")
-      .agg(sum($"n").as("tot"), count(lit(1)).as("nh"))
-    hrs.join(broadcast(base), "hod")
-      .withColumn("dev_ppm", expr("(n * nh * 1000000) div tot - 1000000"))
-      .filter(abs($"dev_ppm") > 500000)
-      .select($"h", $"hod", $"n", expr("tot div nh").as("baseline"),
-        $"dev_ppm")
-      .orderBy($"h")
-  }
-
-  /** q218's token budget, shared with the oracle. */
-  private[ops] val SelectBudgetTokens = 20000L
-
-  /** BUDGET-CONSTRAINED CORPUS SELECTION — the data-selection step of a
-    * token-budgeted training run: take the highest-quality documents
-    * whose cumulative token count fits the budget (greedy by score desc,
-    * doc_id tiebreak — optimal for a priority prefix). The 100 TB shape
-    * is TWO-LEVEL: the cutoff SCORE comes from a bounded score-histogram
-    * running sum (≤1000 rows, q197/q209's trick — never a corpus-wide
-    * row sort), all docs strictly above the cutoff are taken map-side,
-    * and only the single boundary score-group needs doc-level ordering
-    * (one group ≪ corpus, its window is partition-local). The oracle is
-    * the NAIVE global-prefix window — the two-level plan must reproduce
-    * it exactly, including the partially-admitted boundary group. */
-  private val q218BudgetSelect: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val B = SelectBudgetTokens
-    val sc = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", $"source", graft.text.TextOps.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id", $"source", size($"ws").cast("long").as("nw"),
-        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
-      .cache()
-    val hist = sc.groupBy($"score").agg(sum($"nw").as("tok"))
-    val cumAbove = hist.withColumn("cum_above",
-      sum($"tok").over(Window.orderBy($"score".desc)))
-    val fullScores = cumAbove.filter($"cum_above" <= B).select($"score")
-    val cutoff = cumAbove.filter($"cum_above" > B)
-      .orderBy($"score".desc).limit(1)
-      .select($"score".as("cut_score"), (lit(B) - ($"cum_above" - $"tok")).as("budget_left"))
-    val full = sc.join(broadcast(fullScores), "score")
-    val partial = sc.join(broadcast(cutoff), $"score" === $"cut_score")
-      .withColumn("cum_in", sum($"nw").over(
-        Window.partitionBy($"score").orderBy($"doc_id")))
-      .filter($"cum_in" <= $"budget_left")
-      .select($"score", $"doc_id", $"source", $"nw")
-    full.select($"source", $"nw")
-      .unionByName(partial.select($"source", $"nw"))
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_sel"), sum($"nw").as("tok_sel"))
-      .orderBy($"source")
-  }
-
-  /** SKIP-GRAM CO-OCCURRENCE COUNTS (word2vec-style forward window,
-    * distances 1 and 2 — Mikolov et al., NIPS 2013 preprocessing): the
-    * embedding-training prep that generalizes q180's adjacent bigrams.
-    * Pair generation is MAP-ONLY (two shifted zips of the token array —
-    * no positional self-join), one (dist, w1, w2) count shuffle, top-15
-    * per distance via the per-partition-prunable window. */
-  private val q219SkipGrams: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ws = Tables.documents(s, d).repartition($"doc_id")
-      .select(TextAnalysis.words($"text").as("ws"))
-    def shifted(k: Int) = ws.select(lit(k).as("dist"), explode(zip_with(
-        slice($"ws", lit(1), greatest(size($"ws") - k, lit(0))),
-        expr(s"slice(ws, ${k + 1}, greatest(size(ws) - $k, 0))"),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
-      .select($"dist", $"p.w1", $"p.w2")
-    shifted(1).unionByName(shifted(2))
-      .groupBy($"dist", $"w1", $"w2").agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"dist").orderBy($"n".desc, $"w1", $"w2")))
-      .filter($"rk" <= 15)
-      .select($"dist", $"rk", $"w1", $"w2", $"n")
-      .orderBy($"dist", $"rk")
-  }
-
-  /** BENFORD FIRST-DIGIT AUDIT — the numeric-column forensic check
-    * (Benford, 1938; standard in financial anomaly screening): observed
-    * first-significant-digit distribution of o_totalprice against the
-    * log-law expectation, both in ppm. The expected shares are
-    * PRECOMPUTED integer constants (log10 never evaluates in either
-    * engine — the same transcendental-free trick as q185's KL), so the
-    * comparison is exact; one map-side digit extraction + a 9-row fold.
-    * Chi-square-style deviation is published per digit as
-    * |obs−exp|·10⁶ div exp. */
-  private val q220Benford: Q = (s, d) => {
-    import s.implicits._
-    // round(log10(1+1/d)*1e6) for d=1..9 — fixed integer constants
-    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
-      57992L, 51153L, 45757L)
-    val expDf = exp.zipWithIndex.map { case (e, i) => (i + 1, e) }
-      .toDF("digit", "exp_ppm")
-    val digits = Tables.orders(s, d)
-      .select(substring((dec($"o_totalprice") * 100).cast("long")
-        .cast("string"), 1, 1).cast("int").as("digit"))
-      .groupBy($"digit").agg(count(lit(1)).as("n"))
-    val tot = digits.agg(sum($"n").as("ntot"))
-    digits.join(broadcast(expDf), "digit")
-      .crossJoin(broadcast(tot))
-      .select($"digit", $"n",
-        expr("(n * 1000000) div ntot").as("obs_ppm"), $"exp_ppm",
-        expr("(abs((n * 1000000) div ntot - exp_ppm) * 1000000)" +
-          " div exp_ppm").as("dev_ppm"))
-      .orderBy($"digit")
-  }
-
-  /** MAX-CONCURRENCY SWEEP LINE — interval overlap counted WITHOUT the
-    * O(n²) self-join q27's range join would need: each synthetic session
-    * interval [ts, ts + (user_id%30+1) min] explodes to a +1 boundary
-    * and a −1 boundary, one per-day running sum over boundaries gives
-    * instantaneous concurrency, and the per-day max + its earliest peak
-    * time fold from that. At 100 TB the shuffle is one (day) partition
-    * of 2n boundary rows — the window sorts within day only. Tie rule
-    * pinned cross-engine: boundaries at the same instant order ends
-    * (−1) BEFORE starts (+1), so touching intervals don't double-count.
-    * */
-  private val q221SweepConcurrency: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val iv = Tables.events(s, d)
-      .select($"ts".as("start_ts"),
-        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
-          .as("end_ts"))
-    val bounds = iv.select($"start_ts".as("t"), lit(1L).as("delta"))
-      .unionByName(iv.select($"end_ts".as("t"), lit(-1L).as("delta")))
-      .withColumn("day", to_date($"t"))
-    val w = Window.partitionBy($"day").orderBy($"t", $"delta")
-    val run = bounds.withColumn("conc",
-      sum($"delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-    val mx = run.groupBy($"day").agg(max($"conc").as("peak"))
-    run.join(broadcast(mx), Seq("day"))
-      .filter($"conc" === $"peak")
-      .groupBy($"day", $"peak").agg(min($"t").as("peak_at"))
-      .select($"day", $"peak", $"peak_at")
-      .orderBy($"day")
-  }
-
-  /** CROSS-SOURCE CONTAMINATION MATRIX — which sources leak into each
-    * other (mirror sites, scraped re-posts, shared boilerplate): source-
-    * level shingle-set Jaccard for every source pair, ranked. The
-    * movement NEVER builds source×source directly: (source, shingle)
-    * distinct pairs shuffle once, then pairs are generated ONLY within a
-    * shingle's source list, and shingles present in > 10 sources are
-    * DROPPED FIRST (boilerplate carries no contamination signal and is
-    * exactly the skew that would explode the fanout — the cap bounds
-    * per-shingle pair fanout at C(10,2)=45 regardless of corpus size;
-    * the drop is part of the metric's definition, shared with the
-    * oracle). Sizes and Jaccard are over the same filtered universe;
-    * integer ppm. */
-  private val q222SourceContamination: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ss = Tables.documents(s, d).repartition($"doc_id")
-      .select($"source", explode(Dedup.shingleSet($"text", 3)).as("g"))
-      .distinct()
-    val keep = ss.groupBy($"g").agg(collect_set($"source").as("srcs"))
-      .filter(size($"srcs") <= 10)
-      .cache()
-    val sz = keep.select(explode($"srcs").as("source"))
-      .groupBy($"source").agg(count(lit(1)).as("sz"))
-    val pairs = keep.select(explode(expr(
-        "flatten(transform(srcs, x -> filter(transform(srcs," +
-          " y -> struct(x AS s1, y AS s2)), p -> p.s1 < p.s2)))")).as("p"))
-      .select($"p.s1", $"p.s2")
-      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
-    pairs
-      .join(broadcast(sz.toDF("s1", "sz1")), "s1")
-      .join(broadcast(sz.toDF("s2", "sz2")), "s2")
-      .withColumn("jac_ppm",
-        expr("(shared * 1000000) div (sz1 + sz2 - shared)"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"jac_ppm".desc, $"s1", $"s2")))
-      .filter($"rk" <= 20)
-      .select($"rk", $"s1", $"s2", $"shared", $"sz1", $"sz2", $"jac_ppm")
-      .orderBy($"rk")
-  }
-
-  /** MULTI-PROBE LSH ANN (Lv et al., VLDB 2007) — recall of many hash
-    * tables at a fraction of the memory: with the SAME 4 tables × 8
-    * hyperplanes, additionally probe every signature at Hamming distance
-    * 1. Distributed as an EQUI-JOIN, never a scan-per-probe: each vector
-    * emits numPlanes masked keys (bit i forced to 0, keyed by (table,
-    * maskIdx)) — two signatures at Hamming ≤ 1 share the masked key at
-    * the differing bit (q161's pigeonhole made multiplicative), so the
-    * probe set is one join on (tbl, mi, mk) with linear fanout
-    * (tables × planes per row). Contracts measured in-query against the
-    * brute-force truth slice: multi-probe recall must dominate
-    * single-probe AND clear 0.9 — the memory/recall trade is proven, not
-    * assumed. */
-  private val q223MultiProbeLsh: Q = (s, d) => {
-    import s.implicits._
-    // 4 planes: a borderline cos=0.45 pair agrees per bit w.p. ~0.65, so
-    // Hamming≤1 hits a table w.p. p⁴+4p³(1−p) ≈ 0.56 → ≈0.96 over 4
-    // tables (vs ≈0.55 single-probe — the dominance gap the contract
-    // locks). 8 planes would put borderline pairs at ≈0.52 and flunk the
-    // 0.9 bound — bucket width is the price of recall, and at corpus
-    // scale the wider buckets take SaltGuard like q47's.
-    val numPlanes = 4; val tables = 4
-    val slice = Tables.embeddings(s, d)
-      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
-    val planeArr: Array[Array[Array[Double]]] = (0 until tables)
-      .map(t => Similarity.hyperplanes(numPlanes, 64, seed = 42L + t)
-        .map(_.toArray).toArray).toArray
-    val sigsUdf = udf((v: Seq[Float]) => planeArr.map { planes =>
-      var sig = 0
-      var i = 0
-      while (i < planes.length) {
-        val p = planes(i)
-        var dot = 0.0; var j = 0
-        while (j < p.length && j < v.length) { dot += p(j) * v(j); j += 1 }
-        if (dot >= 0) sig |= (1 << i)
-        i += 1
-      }
-      sig
-    }.toSeq)
-    val sigs = slice
-      .select($"vec_id", posexplode(sigsUdf($"embedding")).as(Seq("tbl", "sig")))
-      .localCheckpoint()
-    val sp = sigs.toDF("vec_a", "tbl", "sig")
-      .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
-      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
-    val masked = sigs.select($"vec_id", $"tbl", explode(expr(
-        s"transform(sequence(0, ${numPlanes - 1})," +
-          s" i -> struct(i AS mi, int(sig & ~shiftleft(1, i)) AS mk))")).as("m"))
-      .select($"vec_id", $"tbl", $"m.mi", $"m.mk")
-    val mp = masked.toDF("vec_a", "tbl", "mi", "mk")
-      .join(masked.toDF("vec_b", "tbl", "mi", "mk"), Seq("tbl", "mi", "mk"))
-      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
-    val truth = Similarity.cosineNearDupPairs(slice, 0.45)
-      .select("vec_a", "vec_b").cache()
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(truth.join(sp, Seq("vec_a", "vec_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit_single")))
-      .crossJoin(truth.join(mp, Seq("vec_a", "vec_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit_multi")))
-      .select($"n_truth",
-        when($"n_truth" === 0, lit(true))
-          .otherwise($"n_hit_multi" >= $"n_hit_single").as("multi_ge_single"),
-        when($"n_truth" === 0, lit(true))
-          .otherwise($"n_hit_multi".cast("double") / $"n_truth" >= 0.9)
-          .as("recall_ok"))
-  }
-
-  /** VECTOR-SPACE COSINE TEXT SIMILARITY (Salton's term-frequency model)
-    * via the INVERTED INDEX — the weighted complement of q150's set
-    * Jaccard: document pairs scored by cos of their tf vectors, computed
-    * as one (term) equi-join summing tf products — never a doc×doc
-    * stage, and dot products only materialize for pairs sharing a term.
-    * EXACT integer end-to-end: tf, dot, and squared norms are integers,
-    * and cos ≥ 0.7 gates as dot²·100 ≥ 49·n2a·n2b (the q150 cross-
-    * multiplication trick, no sqrt, no floats). cos published in exact
-    * integer ppm via (dot²·10¹²) div (n2a·n2b) — the SQUARE in ppm,
-    * monotone in cos, so ranking is faithful. Slice-bounded like every
-    * brute-verified pair family; at corpus scale the join takes the df
-    * cap + SaltGuard (q222's boilerplate rule). */
-  private val q224TfCosine: Q = (s, d) => {
-    import s.implicits._
-    val tf = Tables.documents(s, d)
-      .filter($"doc_id" < BruteForceSlice)
-      .repartition($"doc_id")
-      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-      .cache()
-    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
-    val dots = tf.toDF("doc_a", "w", "tf_a")
-      .join(tf.toDF("doc_b", "w", "tf_b"), Seq("w"))
-      .filter($"doc_a" < $"doc_b")
-      .groupBy($"doc_a", $"doc_b").agg(sum($"tf_a" * $"tf_b").as("dot"))
-    dots
-      .join(norms.toDF("doc_a", "n2a"), "doc_a")
-      .join(norms.toDF("doc_b", "n2b"), "doc_b")
-      .filter($"dot" * $"dot" * 100 >= $"n2a" * $"n2b" * 49)
-      .select($"doc_a", $"doc_b", $"dot", $"n2a", $"n2b",
-        expr("(dot * dot * 1000000000000) div (n2a * n2b)").as("cos2_ppm"))
-      .orderBy($"doc_a", $"doc_b")
-  }
-
-  /** ANTI-ENTROPY REPLICA REPAIR (Merkle-bucket reconciliation — the
-    * Dynamo/Cassandra pattern): a replica of `documents` is corrupted in
-    * a planted slice (%97 rows get a suffix, one row per ~97 dropped);
-    * reconciliation first compares 64 BUCKET-LEVEL order-independent
-    * checksums (two map-side aggs + a 64-row join), then row-diffs ONLY
-    * inside differing buckets — repair cost is O(divergence), not
-    * O(table), which is the entire point at 100 TB. The engine publishes
-    * per-divergent-bucket counts of corrupted/missing rows; the oracle
-    * recomputes the same from the planted rules directly, so a
-    * reconciliation that misses a bucket or over-repairs
-    * hash-mismatches. */
-  private val q225AntiEntropy: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    val Mod = 1152921504606846976L // 2^60
-    def rowHash(idc: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat(idc.cast("string"), lit("|"), t)), 1, 15),
-        16, 10).cast(DecimalType(38, 0))
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", $"text").cache()
-    val replica = docs
-      .filter($"doc_id" % 97 =!= 13) // lost rows
-      .withColumn("text",
-        when($"doc_id" % 97 === 5, concat($"text", lit(" [bitrot]")))
-          .otherwise($"text"))
-      .cache()
-    def bucketSums(df: org.apache.spark.sql.DataFrame) =
-      df.select(($"doc_id" % 64).as("bkt"),
-          rowHash($"doc_id", $"text").as("h"))
-        .groupBy($"bkt")
-        .agg(count(lit(1)).as("n"),
-          (sum($"h") % lit(Mod)).cast("long").as("ck"))
-    val div = bucketSums(docs).toDF("bkt", "n_p", "ck_p")
-      .join(bucketSums(replica).toDF("bkt", "n_r", "ck_r"),
-        Seq("bkt"), "full_outer")
-      .filter(!($"n_p" <=> $"n_r") || !($"ck_p" <=> $"ck_r"))
-      .select($"bkt")
-    val p = docs.withColumn("bkt", $"doc_id" % 64)
-      .join(broadcast(div), "bkt")
-      .select($"bkt", $"doc_id", rowHash($"doc_id", $"text").as("hp"))
-    val r = replica.withColumn("bkt", $"doc_id" % 64)
-      .join(broadcast(div), "bkt")
-      .select($"doc_id", rowHash($"doc_id", $"text").as("hr"))
-    p.join(r, Seq("doc_id"), "left_outer")
-      .groupBy($"bkt")
-      .agg(sum(when($"hr".isNull, 1L).otherwise(0L)).as("n_missing"),
-        sum(when($"hr".isNotNull && $"hp" =!= $"hr", 1L).otherwise(0L))
-          .as("n_corrupted"))
-      .orderBy($"bkt")
-  }
-
-  /** REFERENTIAL-INTEGRITY AUDIT across the star schema — the constraint
-    * checker a lake without enforced FKs must run itself: one row per FK
-    * edge with child cardinality, orphan count, and distinct parent
-    * coverage. Each edge is ONE left-anti join; dimension sides
-    * broadcast, the orders side shuffles once (Spark de-duplicates the
-    * scan across the two lineitem edges via exchange reuse). An orphan
-    * count > 0 is the signal that upstream ingest broke ordering — the
-    * q66-monitor's structural sibling. */
-  private val q226FkAudit: Q = (s, d) => {
-    import s.implicits._
-    def edge(name: String, child: org.apache.spark.sql.DataFrame,
-             ck: String, parent: org.apache.spark.sql.DataFrame,
-             pk: String, bcast: Boolean) = {
-      val par = parent.select(col(pk))
-      val orphans = child.join(
-        if (bcast) broadcast(par) else par,
-        child(ck) === par(pk), "left_anti")
-      child.agg(count(lit(1)).as("n_child"),
-          countDistinct(col(ck)).as("n_keys"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
-        .select(lit(name).as("fk_edge"), $"n_child", $"n_keys",
-          $"n_orphans")
-    }
-    val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
-    edge("orders.custkey->customer", o, "o_custkey",
-        Tables.customer(s, d), "c_custkey", bcast = true)
-      .unionByName(edge("lineitem.orderkey->orders", l, "l_orderkey",
-        o, "o_orderkey", bcast = false))
-      .unionByName(edge("lineitem.partkey->part", l, "l_partkey",
-        Tables.part(s, d), "p_partkey", bcast = true))
-      .unionByName(edge("lineitem.suppkey->supplier", l, "l_suppkey",
-        Tables.supplier(s, d), "s_suppkey", bcast = true))
-      .unionByName(edge("supplier.nationkey->nation", Tables.supplier(s, d),
-        "s_nationkey", Tables.nation(s, d), "n_nationkey", bcast = true))
-      .orderBy($"fk_edge")
-  }
-
-  /** INCREMENTAL VIEW MAINTENANCE proven equal to recompute — the IVM
-    * contract that makes a 100 TB aggregate affordable to keep fresh:
-    * per-source (count, token-sum) is maintained under an appended batch
-    * (docs %7==2 replayed as the delta) by FOLDING the delta's partial
-    * aggregate into the old view — cost O(delta), one small shuffle —
-    * and the query publishes both the maintained view AND equality
-    * against full recompute over base∪delta. The oracle recomputes from
-    * scratch; `ivm_matches` must come back true for every source. */
-  private val q227IncrementalView: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-      .select($"source", size(graft.text.TextOps.words($"text"))
-        .cast("long").as("nw"))
-      .cache()
-    val delta = docs.filter($"nw" % 7 === 2)
-    def view(df: org.apache.spark.sql.DataFrame) =
-      df.groupBy($"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"nw").as("tokens"))
-    val old = view(docs)
-    val maintained = old.toDF("source", "n0", "t0")
-      .join(view(delta).toDF("source", "dn", "dt"), Seq("source"), "full_outer")
-      .select($"source",
-        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_docs"),
-        (coalesce($"t0", lit(0L)) + coalesce($"dt", lit(0L))).as("tokens"))
-    val recomputed = view(docs.unionByName(delta))
-      .toDF("source", "n_r", "t_r")
-    maintained.join(recomputed, Seq("source"), "full_outer")
-      .select($"source", $"n_docs", $"tokens",
-        ($"n_docs" <=> $"n_r" && $"tokens" <=> $"t_r").as("ivm_matches"))
-      .orderBy($"source")
-  }
-
-  /** SEMI-STRUCTURED SHREDDING via Spark 4's VARIANT type — the modern
-    * JSON ingestion path (binary-encoded variant instead of per-query
-    * string re-parsing): nested payloads (synthesized deterministically
-    * from row fields — objects, array indexing, a sometimes-missing key)
-    * are `parse_json`ed ONCE into VARIANT, then typed paths are
-    * extracted with `variant_get`/`try_variant_get` (the missing key
-    * exercises the NULL path) and aggregated per segment. At 100 TB the
-    * point is the encode-once-extract-many shape plus Parquet variant
-    * shredding; the oracle re-derives the same values from the same JSON
-    * text with DuckDB's json_extract. */
-  private val q228VariantShred: Q = (s, d) => {
-    import s.implicits._
-    val j = concat(lit("""{"user":{"id":"""), $"user_id",
-      lit(""","seg":""""), $"event_type", lit(""""},"vals":["""),
-      $"event_id" % 10, lit(","), $"user_id" % 7, lit("]"),
-      when($"event_id" % 3 === 0,
-        concat(lit(""","flag":"""), $"event_id" % 2)).otherwise(lit("")),
-      lit("}"))
-    Tables.events(s, d)
-      .select(parse_json(j).as("v"))
-      .select(
-        variant_get($"v", "$.user.seg", "string").as("seg"),
-        variant_get($"v", "$.user.id", "bigint").as("uid"),
-        variant_get($"v", "$.vals[0]", "bigint").as("v0"),
-        variant_get($"v", "$.vals[1]", "bigint").as("v1"),
-        try_variant_get($"v", "$.flag", "bigint").as("flag"))
-      .groupBy($"seg")
-      .agg(count(lit(1)).as("n"), sum($"uid").as("sum_uid"),
-        sum($"v0").as("sum_v0"), sum($"v1").as("sum_v1"),
-        sum(coalesce($"flag", lit(0L))).as("sum_flag"),
-        sum(when($"flag".isNull, 1L).otherwise(0L)).as("n_missing_flag"))
-      .orderBy($"seg")
-  }
-
-  /** SCHEMA EVOLUTION under mergeSchema — the lake reality that columns
-    * arrive over time: a v1 slice is written without the `score` column,
-    * a v2 slice with it, and the union is read back through Spark's
-    * parquet `mergeSchema`, which must surface v1 rows with NULL score
-    * (never a default, never a read error). The aggregate proves both
-    * the widened schema and the null semantics; the oracle replays the
-    * same split with an explicit NULL projection. */
-  private val q229SchemaEvolution: Q = (s, d) => {
-    import s.implicits._
-    val dir = graft.util.Scratch.dir("graft_q229_evo_")
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-    docs.filter($"doc_id" % 2 === 0)
-      .select($"doc_id", $"source", $"n_chars")
-      .write.mode("overwrite").parquet(s"$dir/v=1")
-    docs.filter($"doc_id" % 2 =!= 0)
-      .select($"doc_id", $"source", $"n_chars",
-        ($"n_chars" % 100).as("score"))
-      .write.mode("overwrite").parquet(s"$dir/v=2")
-    s.read.option("mergeSchema", "true").parquet(s"$dir/v=1", s"$dir/v=2")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n"),
-        sum(when($"score".isNull, 1L).otherwise(0L)).as("n_v1"),
-        sum(coalesce($"score", lit(0L))).as("sum_score"))
-      .orderBy($"source")
-  }
-
-  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE — new SQL surface): bounded
-    * BFS over the q178 trade graph from customer 1, counting hop-bounded
-    * paths and min-hop distance per reached node. The hop cap (< 2) is
-    * BOTH the termination bound (the role iteration counts play in the
-    * DataFrame graph family, q178/q196/q207) AND the cost bound: UNION
-    * ALL recursion accumulates PATHS, which on a dense graph grow
-    * ~degreeʰᵒᵖˢ (Spark 4.1 rejects dedup UNION recursion —
-    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — so frontier dedup is not
-    * available and unbounded-hop BFS belongs to the iterative DataFrame
-    * family, not this operator). Path counts are exact integers and the
-    * oracle runs the IDENTICAL recursive SQL in DuckDB, pinning Spark's
-    * recursion semantics against a second implementation. */
-  private val q230RecursiveCte: Q = (s, d) => {
-    Tables.orders(s, d).createOrReplaceTempView("g_orders")
-    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
-    s.sql("""
-      WITH RECURSIVE reach(node, hops) AS (
-        SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
-        UNION ALL
-        SELECT e.dst, r.hops + 1
-        FROM reach r
-        JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey
-              UNION ALL
-              SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
-              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey) e
-          ON e.src = r.node
-        WHERE r.hops < 2)
-      SELECT node, CAST(min(hops) AS INT) AS min_hops,
-             CAST(count(*) AS BIGINT) AS n_paths
-      FROM reach GROUP BY node ORDER BY node""")
-  }
-
-  /** HIGHER-ORDER FUNCTION SUITE — the lambda surface (aggregate /
-    * exists / forall / filter / transform) that keeps array work INSIDE
-    * codegen instead of exploding rows: per doc, a fold computes the sum
-    * of squared word lengths, quantifiers check length predicates, and a
-    * filter+transform chain counts capitalizable tokens — one map-only
-    * pass, zero shuffles before the final per-source fold. The oracle
-    * re-derives every value with DuckDB list lambdas (list_reduce has a
-    * different seed convention — folded with an explicit 0 seed via
-    * list_prepend to match). */
-  private val q231HigherOrder: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d).repartition($"doc_id")
-      .select($"source", graft.text.TextOps.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"source",
-        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w) * length(w))")
-          .as("sq_len_sum"),
-        expr("exists(ws, w -> length(w) >= 8)").as("has_long"),
-        expr("forall(ws, w -> length(w) <= 20)").as("all_short"),
-        expr("size(filter(ws, w -> length(w) >= 5))").cast("long")
-          .as("n_len5"))
-      .groupBy($"source")
-      .agg(sum($"sq_len_sum").as("sq_len_sum"),
-        sum(when($"has_long", 1L).otherwise(0L)).as("n_has_long"),
-        sum(when($"all_short", 1L).otherwise(0L)).as("n_all_short"),
-        sum($"n_len5").as("n_len5"))
-      .orderBy($"source")
-  }
-
-  /** WINDOW ANALYTICS COMPLETION — the ranking-fraction family q82
-    * doesn't cover: percent_rank, cume_dist, nth_value and first/last
-    * with explicit frames, over the per-customer order timeline. The
-    * fractions are exact small-integer ratios ((rank−1)/(n−1), peers/n)
-    * so IEEE division is bit-identical cross-engine; nth/first/last are
-    * longs. */
-  private val q232WindowRanks: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
-    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.orders(s, d)
-      .filter($"o_custkey" < 200)
-      .select($"o_custkey", $"o_orderkey",
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"),
-        nth_value($"o_orderkey", 2).over(wf).as("second_order"),
-        first($"o_orderkey").over(wf).as("first_order"),
-        last($"o_orderkey").over(wf).as("last_order"))
-      .orderBy($"o_custkey", $"o_orderkey")
-  }
-
-  /** DAILY LATENCY-STYLE PERCENTILES, DISCRETE — the ops dashboard
-    * p50/p90/p99 per day over event values, computed as ELEMENT SELECTION
-    * (value at row ⌈p·n⌉ of the day's sort) rather than interpolation:
-    * interpolated quantiles on doubles are NOT cross-engine-stable (the
-    * a+(b−a)·f vs (a+b)/2 formulas round differently in IEEE), while the
-    * discrete pick returns an actual data value — bit-identical
-    * everywhere. The sort is day-partitioned (bounded by arrival rate,
-    * never corpus-global); one window + one join against the per-day
-    * counts. */
-  private val q233DailyPercentiles: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"day").orderBy($"value", $"event_id")
-    val ranked = Tables.events(s, d)
-      .select(to_date($"ts").as("day"), $"value", $"event_id")
-      .withColumn("rn", row_number().over(w))
-    val n = ranked.groupBy($"day").agg(count(lit(1)).as("n"))
-    ranked.join(broadcast(n), "day")
-      .groupBy($"day", $"n")
-      .agg(
-        max(when($"rn" === expr("cast(ceil(n * 0.5) as bigint)"), $"value"))
-          .as("p50"),
-        max(when($"rn" === expr("cast(ceil(n * 0.9) as bigint)"), $"value"))
-          .as("p90"),
-        max(when($"rn" === expr("cast(ceil(n * 0.99) as bigint)"), $"value"))
-          .as("p99"))
-      .select($"day", $"n", $"p50", $"p90", $"p99")
-      .orderBy($"day")
-  }
-
-  /** MAP-COLUMN SURFACE — map_from_entries / transform_values /
-    * map_concat / element_at as the per-row container algebra (the shape
-    * feature stores and per-doc metadata bags use), flattened back to
-    * scalars for the gate: each doc builds a token-length histogram MAP,
-    * doubles its values, overlays a constant marker entry, and publishes
-    * two lookups plus the map cardinality. Map work never leaves the
-    * row — zero shuffles before the final fold. */
-  private val q234MapFunctions: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", graft.text.TextOps.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id",
-        expr("""map_concat(
-                  transform_values(
-                    map_from_entries(
-                      transform(array_distinct(transform(ws, w -> length(w))),
-                        l -> struct(l AS k,
-                          size(filter(ws, w -> length(w) = l)) AS v))),
-                    (k, v) -> cast(v * 2 AS BIGINT)),
-                  map(-1, 7L))""").as("m"))
-      .select($"doc_id",
-        expr("element_at(m, 3)").as("n_len3_x2"),
-        expr("element_at(m, -1)").as("marker"),
-        expr("cast(cardinality(m) AS BIGINT)").as("n_lens"))
-      .orderBy($"doc_id")
-  }
-
-  /** DEDUP WITH A QUALITY-AWARE KEEP POLICY — q40 keeps min doc_id per
-    * exact-dup cluster; real curation keeps the BEST copy (highest
-    * quality score, then smallest id for determinism), because mirror
-    * copies differ in truncation/boilerplate even when the content hash
-    * matches on the sanitized text. Policy is one argmax-per-cluster
-    * window over the content-hash partitioning (map-side prunable) — the
-    * dedup movement is unchanged (one hash shuffle), only the keeper
-    * rule is swapped, which is the point: representative selection is a
-    * pluggable policy, not a new pipeline. */
-  private val q235DedupKeepBest: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", $"text", graft.text.TextOps.words($"text").as("ws"))
-      .withColumn("score",
-        when(size($"ws") > 0,
-          expr("(size(array_distinct(ws)) * 1000L) div size(ws)"))
-          .otherwise(0L))
-      .select($"doc_id", sha2($"text", 256).as("hash"), $"score")
-    scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"hash").orderBy($"score".desc, $"doc_id")))
-      .withColumn("n_copies",
-        count(lit(1)).over(Window.partitionBy($"hash")))
-      .filter($"rk" === 1)
-      .select($"doc_id".as("kept_doc"), $"score", $"hash", $"n_copies")
-      .orderBy($"kept_doc")
-  }
-
-  /** WEIGHTED SIMHASH (Charikar STOC 2002, the original tf-weighted
-    * form — q44 is the unweighted-distinct-token variant): tokens vote
-    * ±tf per bit, so a dominant repeated term dominates the fingerprint.
-    * Published per doc alongside the HAMMING DISTANCE to the unweighted
-    * fingerprint — the drift between the two is exactly the repetition
-    * signal (a doc where they differ by many bits is tf-skewed). Both
-    * fingerprints ride the same one-pass map stage. */
-  private val q236WeightedSimhash: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .repartition($"doc_id")
-      .select($"doc_id",
-        Dedup.simhashWeightedMd5(graft.text.TextOps.words($"text"))
-          .as("wsimhash"),
-        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text"))
-          .as("usimhash"))
-      .select($"doc_id", $"wsimhash",
-        bit_count($"wsimhash".bitwiseXOR($"usimhash")).cast("int")
-          .as("weight_drift_bits"))
-      .orderBy($"doc_id")
-  }
-
-  /** JOIN-CARDINALITY AUDIT — the fan-out detector for silent row
-    * explosions (the classic pipeline bug: a "1:1" merge key that is
-    * actually 1:N doubles downstream counts without erroring). For each
-    * declared relationship the engine measures, per join, the child row
-    * count, the post-join row count, the number of keys with parent
-    * multiplicity > 1, and the worst multiplicity — all from ONE
-    * parent-side key count (map-side combinable) joined back, no
-    * full-join materialization needed for the audit columns. */
-  private val q237JoinCardinality: Q = (s, d) => {
-    import s.implicits._
-    def audit(name: String, child: org.apache.spark.sql.DataFrame,
-              ck: String, parent: org.apache.spark.sql.DataFrame,
-              pk: String) = {
-      val pc = parent.groupBy(col(pk)).agg(count(lit(1)).as("pmult"))
-      val joined = child.join(broadcast(pc), child(ck) === pc(pk), "left")
-      joined.agg(
-          count(lit(1)).as("n_child"),
-          sum(coalesce($"pmult", lit(0L))).as("n_joined"),
-          sum(when($"pmult" > 1, 1L).otherwise(0L)).as("n_fanout_rows"),
-          max(coalesce($"pmult", lit(0L))).as("max_mult"))
-        .select(lit(name).as("relation"), $"n_child", $"n_joined",
-          $"n_fanout_rows", $"max_mult")
-    }
-    audit("orders->customer", Tables.orders(s, d), "o_custkey",
-        Tables.customer(s, d), "c_custkey")
-      .unionByName(audit("lineitem->part", Tables.lineitem(s, d),
-        "l_partkey", Tables.part(s, d), "p_partkey"))
-      // deliberately 1:N: orders joined on customer NATION — every row
-      // fans out by the nation's customer count; the audit must see it
-      .unionByName(audit("orders->customer_by_nation",
-        Tables.orders(s, d).join(
-          Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
-          $"o_custkey" === $"c_custkey")
-          .select($"o_orderkey", $"c_nationkey"),
-        "c_nationkey",
-        Tables.customer(s, d).select($"c_nationkey".as("cn")), "cn"))
-      .orderBy($"relation")
-  }
-
-  /** TRIMMED + WINSORIZED ROBUST STATS per source — the q206/q208
-    * family completed: mean of the middle 80% (trimmed) and mean with
-    * tails CLAMPED to the p10/p90 values (winsorized), both EXACT and
-    * integer from the bounded value histogram: rank cutoffs lo = ⌈n/10⌉,
-    * hi = n − ⌈n/10⌉ select by running count, the trimmed sum subtracts
-    * the tail mass, and winsorizing adds back clamped tails at the
-    * cutoff values. No row sort, two histogram shuffles, ppm output. */
-  private val q238RobustStats: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val h = Tables.documents(s, d)
-      .select($"source", $"n_chars".as("v"))
-      .groupBy($"source", $"v").agg(count(lit(1)).as("n"))
-    val c = h
-      .withColumn("cum", sum($"n").over(
-        Window.partitionBy($"source").orderBy($"v")))
-      .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
-      .withColumn("lo_rank", expr("(ntot + 9) div 10"))
-      .withColumn("hi_rank", expr("ntot - (ntot + 9) div 10"))
-      .cache()
-    val loV = c.filter($"cum" >= $"lo_rank").groupBy($"source")
-      .agg(min($"v").as("p10"))
-    val hiV = c.filter($"cum" >= $"hi_rank").groupBy($"source")
-      .agg(min($"v").as("p90"))
-    // per value-group: how many of its rows fall inside (lo_rank, hi_rank]
-    val mid = c.withColumn("in_lo", greatest($"cum" - $"n", $"lo_rank"))
-      .withColumn("in_hi", least($"cum", $"hi_rank"))
-      .withColumn("k", greatest($"in_hi" - $"in_lo", lit(0L)))
-      .groupBy($"source")
-      .agg(sum($"k" * $"v").as("mid_sum"), sum($"k").as("mid_n"),
-        max($"ntot").as("n"), max($"lo_rank").as("t"))
-    mid.join(broadcast(loV), "source").join(broadcast(hiV), "source")
-      .select($"source", $"n", $"p10", $"p90",
-        expr("(mid_sum * 1000000) div mid_n").as("trimmed_mean_ppm"),
-        expr("((mid_sum + t * p10 + t * p90) * 1000000) div n")
-          .as("winsorized_mean_ppm"))
-      .orderBy($"source")
-  }
-
-  /** GINI CONCENTRATION of document lengths per source — the corpus-
-    * dominance audit (is a source's token mass spread evenly or carried
-    * by a few giants?): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
-    * ranks, EXACT in ppm with no row sort — a value group with count k
-    * at running count c occupies ranks (c−k, c], so its rank-weighted
-    * mass is v·(2c−k+1)·k/2, folded straight off the bounded value
-    * histogram (the q206/q238 machinery, third member of the robust-
-    * stats family). */
-  private val q239Gini: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val h = Tables.documents(s, d)
-      .select($"source", $"n_chars".as("v"))
-      .groupBy($"source", $"v").agg(count(lit(1)).as("k"))
-    h.withColumn("cum", sum($"k").over(
-        Window.partitionBy($"source").orderBy($"v")))
-      .groupBy($"source")
-      .agg(max($"cum").as("n"), sum($"v" * $"k").as("sx"),
-        sum($"v" * ($"cum" * 2 - $"k" + 1) * $"k").as("s1x2"))
-      .select($"source", $"n", $"sx",
-        expr("(s1x2 * 1000000) div (n * sx) - ((n + 1) * 1000000) div n")
-          .as("gini_ppm"))
-      .orderBy($"source")
-  }
-
-  /** BURSTINESS (Fano factor) of event arrivals per user — the ingest
-    * traffic-shape monitor: variance-to-mean ratio of per-hour event
-    * counts (1 = Poisson, >1 bursty, <1 regular), integer end-to-end
-    * with the q208 overflow-safe variance form. Hours with zero events
-    * INSIDE the user's active span count — the span folds from min/max
-    * hour, so the zero hours never materialize as rows (the sparse-
-    * histogram trick that matters when a user's span is months). */
-  private val q240Burstiness: Q = (s, d) => {
-    import s.implicits._
-    val hr = Tables.events(s, d)
-      .select($"user_id",
-        (unix_timestamp(date_trunc("hour", $"ts")) / 3600).cast("long")
-          .as("h"))
-      .groupBy($"user_id", $"h").agg(count(lit(1)).as("c"))
-    hr.groupBy($"user_id")
-      .agg((max($"h") - min($"h") + 1).as("span"),
-        sum($"c").as("total"), sum($"c" * $"c").as("sc2"),
-        count(lit(1)).as("active_hours"))
-      .filter($"span" >= 2)
-      // mean = total/span; var = E[c²]−mean² with zero hours contributing
-      // only to the denominator: E[c²] = sc2/span
-      .select($"user_id", $"span", $"total", $"active_hours",
-        expr("(sc2 * 1000000) div span" +
-          " - (total * 1000 div span) * (total * 1000 div span)")
-          .as("var_ppm"),
-        expr("(total * 1000000) div span").as("mean_ppm"))
-      .withColumn("fano_ppm",
-        expr("(var_ppm * 1000000) div mean_ppm"))
-      .orderBy($"user_id")
-  }
-
-  /** INTERVAL-UNION COVERAGE — q221's sweep line completed: total
-    * COVERED microseconds per day (union length of the session
-    * intervals, overlaps counted once) plus the uncovered gap count.
-    * Same boundary explode; coverage folds as Σ gap·[conc>0] over
-    * consecutive boundary pairs via one lead() — still no self-join, one
-    * day-partitioned sort. Integer micros end-to-end. */
-  private val q241IntervalUnion: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val iv = Tables.events(s, d)
-      .select($"ts".as("s"),
-        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
-          .as("e"))
-      // clamp to the start day so an interval never crosses its day bucket
-      .select($"s", least($"e",
-        date_add(to_date($"s"), 1).cast("timestamp")).as("e"))
-    // both boundaries carry the START day: the clamp guarantees e ≤ next
-    // midnight, so a day's sweep is self-contained (an end at exactly
-    // midnight must NOT leak into the next day's bucket)
-    val bounds = iv
-      .select(to_date($"s").as("day"), $"s".as("t"), lit(1L).as("delta"))
-      .unionByName(iv.select(to_date($"s").as("day"), $"e".as("t"),
-        lit(-1L).as("delta")))
-      .groupBy($"day", $"t")
-      .agg(sum($"delta").as("delta"))
-    val w = Window.partitionBy($"day").orderBy($"t")
-    bounds
-      .withColumn("conc", sum($"delta").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("next_t", lead($"t", 1).over(w))
-      .filter($"next_t".isNotNull)
-      .groupBy($"day")
-      .agg(
-        sum(when($"conc" > 0,
-          unix_micros($"next_t") - unix_micros($"t")).otherwise(0L))
-          .as("covered_us"),
-        sum(when($"conc" === 0 &&
-          unix_micros($"next_t") > unix_micros($"t"), 1L).otherwise(0L))
-          .as("n_gaps"))
-      .orderBy($"day")
-  }
-
-  /** OUT-OF-VOCABULARY RATE per source — the tokenizer-coverage audit
-    * before committing a vocab: global vocabulary = tokens seen in ≥ 3
-    * documents; each source's token occurrences are scored against it.
-    * One (token) df count, one broadcast-joined probe — the OOV ppm and
-    * the distinct-OOV-type count per source. */
-  private val q242OovRate: Q = (s, d) => {
-    import s.implicits._
-    val tok = Tables.documents(s, d).repartition($"doc_id")
-      .select($"source", $"doc_id",
-        explode(graft.text.TextOps.words($"text")).as("w"))
-      .cache()
-    val vocab = tok.select($"w", $"doc_id").distinct()
-      .groupBy($"w").agg(count(lit(1)).as("df"))
-      .filter($"df" >= 3).select($"w")
-    // vocab is vocabulary-sized — unhinted so AQE picks the join side
-    tok.join(vocab.withColumn("in_vocab", lit(1L)), Seq("w"), "left")
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
-        size(collect_set(when($"in_vocab".isNull, $"w"))).cast("long")
-          .as("n_oov_types"))
-      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
-      .orderBy($"source")
-  }
-
-  /** ORDERED STRING AGGREGATION (listagg parity) — deterministic
-    * group_concat needs an explicit order or the result is shuffle-
-    * dependent: collect_list carries (orderkey, value) structs,
-    * array_sort fixes the order, THEN the join — the only
-    * shuffle-stable way to build ordered concatenations in a
-    * distributed engine (and why bare collect_list in production
-    * pipelines is a bug). Top-3 regions' nations, pipe-joined in key
-    * order. */
-  private val q243OrderedListagg: Q = (s, d) => {
-    import s.implicits._
-    Tables.nation(s, d)
-      .groupBy($"n_regionkey")
-      .agg(array_join(expr("transform(array_sort(" +
-        "collect_list(struct(n_nationkey, n_name))), p -> p.n_name)"), "|")
-        .as("nations"),
-        count(lit(1)).as("n"))
-      .select($"n_regionkey", $"n", $"nations")
-      .orderBy($"n_regionkey")
-  }
-
-  /** CODE-SWITCHING DETECTION — documents whose language FLIPS
-    * mid-text (concatenation artifacts, bilingual boilerplate — docs a
-    * doc-level language filter silently mislabels): q50's marker-argmax
-    * language ID applied per 20-word WINDOW, then per-doc window count,
-    * distinct languages, and adjacent-window switch count. Window slices
-    * are map-side array ops (no token explode); the only shuffle is the
-    * per-doc fold. */
-  private val q244CodeSwitching: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val W = 20
-    // fully map-side: windows, per-window language, and the adjacent-
-    // switch count all stay inside the row's array world — no explode,
-    // no per-doc window shuffle. The per-window argmax runs as ONE
-    // hash-set membership pass over the window's distinct words (4
-    // array_intersects against 100-800-entry marker literals per window
-    // kept this at ~4 s at sf0.1; the set-probe form is O(|window|)
-    // with the 4 marker sets built once per executor).
-    val markerSets: Seq[(String, Set[String])] =
-      TextAnalysis.langMarkers.map { case (c, m) => (c, m.toSet) }
-    val bMarkers = s.sparkContext.broadcast(markerSets)
-    val langsUdf = udf((wss: Seq[Seq[String]]) => {
-      val ms = bMarkers.value
-      wss.map { w =>
-        val d = w.distinct
-        val hits = ms.map { case (code, set) => (code, d.count(set)) }
-        val Seq(("en", en), ("de", de), ("fr", fr), ("es", es)) = hits
-        if (en > 0 && en >= de && en >= fr && en >= es) "en"
-        else if (de > 0 && de >= fr && de >= es) "de"
-        else if (fr > 0 && fr >= es) "fr"
-        else if (es > 0) "es"
-        else "und"
-      }
-    })
-    Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id", langsUdf(expr(
-        s"transform(sequence(0, (size(ws) - 1) div $W)," +
-          s" i -> slice(ws, i * $W + 1, $W))")).as("ls"))
-      .select($"doc_id",
-        size($"ls").cast("long").as("n_windows"),
-        size(array_distinct($"ls")).cast("long").as("n_langs"),
-        // zip each lang with its successor; the trailing (last, null)
-        // pair evaluates to null and filter(x -> x) drops it
-        size(filter(zip_with($"ls",
-          slice($"ls", lit(2), greatest(size($"ls") - 1, lit(0))),
-          (a, b) => a =!= b), x => x)).cast("long").as("n_switches"))
-      .orderBy($"doc_id")
-  }
-
-  /** PER-DOCUMENT KEYWORD EXTRACTION (tf·idf-ranked, transcendental-
-    * free): each doc's top-3 terms by integer weight tf·(10⁶ div df) —
-    * the idf reciprocal in fixed-point rather than a log, monotone in
-    * df for fixed tf, fully order-deterministic with the (weight desc,
-    * term) tiebreak. One token explode feeds BOTH the (doc, term) tf
-    * table and the df table (self-fold, no rescan); df joins back
-    * broadcast; per-doc top-3 via the map-side-prunable window. */
-  private val q245Keywords: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-      .cache()
-    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
-    // df is vocabulary-sized — unhinted so AQE picks the join side
-    tf.join(df, "w")
-      .withColumn("weight", expr("tf * (1000000 div df)"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"weight".desc, $"w")))
-      .filter($"rk" <= 3)
-      .select($"doc_id", $"rk", $"w".as("term"), $"tf", $"df", $"weight")
-      .orderBy($"doc_id", $"rk")
-  }
-
-  /** DATASET CARD — the one-row corpus summary a release ships with
-    * (docs, languages, sources, exact-dup rate, length moments, vocab
-    * size, token estimate), folded from TWO scans total: one row-level
-    * pass (counts, lengths, distincts, dup groups via a hash-distinct
-    * fold) and one token pass (vocab + token count). Every number is an
-    * exact integer; the dup rate is published in ppm. The point is the
-    * COMPOSITION shape: card fields share scans instead of each running
-    * its own query — at 100 TB the difference between 2 passes and 9. */
-  private val q246DatasetCard: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).repartition($"doc_id").cache()
-    val rowStats = docs
-      .select($"doc_id", $"lang", $"source", $"n_chars",
-        sha2($"text", 256).as("h"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct($"lang").as("n_langs"),
-        countDistinct($"source").as("n_sources"),
-        countDistinct($"h").as("n_unique"),
-        sum($"n_chars").as("total_chars"),
-        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
-    val tokStats = docs
-      .select(explode(graft.text.TextOps.words($"text")).as("w"))
-      .agg(count(lit(1)).as("n_tokens"),
-        countDistinct($"w").as("vocab_size"))
-    rowStats.crossJoin(broadcast(tokStats))
-      .select($"n_docs", $"n_langs", $"n_sources",
-        expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"),
-        $"total_chars", $"min_chars", $"max_chars",
-        expr("total_chars * 1000000 div n_docs").as("mean_chars_ppm"),
-        $"n_tokens", $"vocab_size")
-  }
-
-  /** BAG-SEMANTICS SET OPERATIONS — EXCEPT ALL / INTERSECT ALL, the
-    * multiset complements of q17/q24's set forms (multiplicity
-    * subtraction and minimum, per SQL standard): the reconciliation
-    * algebra for row-level diffs where duplicate rows are REAL (retry
-    * ingests, at-least-once sinks). Implemented with Spark's native
-    * exceptAll/intersectAll (hash-based multiplicity arithmetic, one
-    * shuffle each), folded to per-priority counts. */
-  private val q248BagSetOps: Q = (s, d) => {
-    import s.implicits._
-    val a = Tables.orders(s, d).select($"o_orderpriority".as("p"))
-    val b = Tables.orders(s, d).filter($"o_orderkey" % 2 === 0)
-      .select($"o_orderpriority".as("p"))
-    val ex = a.exceptAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
-      .withColumn("op", lit("except_all"))
-    val in = a.intersectAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
-      .withColumn("op", lit("intersect_all"))
-    ex.unionByName(in).select($"op", $"p", $"n").orderBy($"op", $"p")
-  }
-
-  /** LANGUAGE-ID CONFIDENCE — q50's argmax with the decision MARGIN
-    * exposed (top hit count minus runner-up, and the margin as ppm of
-    * total hits): the filtering knob real pipelines use ("keep only
-    * confident en") that a bare label hides. Same one-pass marker
-    * intersection; margin arithmetic is exact integers; docs with zero
-    * hits everywhere report margin −1 (und, unfilterable). */
-  private val q249LangConfidence: Q = (s, d) => {
-    import s.implicits._
-    val base = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
-    val scores = TextAnalysis.langMarkers.map { case (code, m) =>
-      code -> TextAnalysis.markerHits($"ws", m)
-    }
-    val Seq(en, de, fr, es) = scores.map(_._2)
-    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
-      .when(de > 0 && de >= fr && de >= es, "de")
-      .when(fr > 0 && fr >= es, "fr")
-      .when(es > 0, "es")
-      .otherwise("und")
-    base
-      .withColumn("sorted", array_sort(array(en, de, fr, es)))
-      .withColumn("total", en + de + fr + es)
-      .select($"doc_id", pred.as("pred_lang"),
-        element_at($"sorted", 4).as("top_hits"),
-        element_at($"sorted", 3).as("second_hits"),
-        when($"total" > 0,
-          expr("((element_at(sorted, 4) - element_at(sorted, 3))" +
-            " * 1000000) div total"))
-          .otherwise(lit(-1L)).as("margin_ppm"))
-      .orderBy($"doc_id")
-  }
-
-  /** VOCABULARY GROWTH CURVE (Heaps-law audit, log-free): cumulative
-    * distinct-token count after each decile of the corpus, in doc_id
-    * order — the new-token-rate signal that says when a tokenizer vocab
-    * has "seen enough". The curve needs NO sequential scan: each token's
-    * FIRST document (one min-aggregate) places it on the axis, and the
-    * decile curve is a 10-row fold over first-doc counts — two shuffles
-    * total at any corpus size, versus the naive running-distinct which
-    * is inherently serial. Also reports per-decile NEW tokens. */
-  private val q250VocabGrowth: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    // 3-shingles, not words: the synthetic word vocab saturates in the
-    // first docs (a 1-row curve); the shingle space keeps growing, which
-    // is the regime the curve exists to measure
-    val firsts = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", explode(Dedup.shingleSet($"text", 3)).as("w"))
-      .groupBy($"w").agg(min($"doc_id").as("first_doc"))
-    val nDocs = Tables.documents(s, d).agg(max($"doc_id").as("max_id"))
-    firsts.crossJoin(broadcast(nDocs))
-      // decile by position of first_doc on the doc_id axis, 1..10
-      .withColumn("decile",
-        least(lit(10L), expr("(first_doc * 10) div (max_id + 1) + 1")))
-      .groupBy($"decile").agg(count(lit(1)).as("new_tokens"))
-      .withColumn("vocab_cum", sum($"new_tokens").over(
-        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
-      .select($"decile", $"new_tokens", $"vocab_cum")
-      .orderBy($"decile")
-  }
-
-  /** COLLISION DIVERSITY (Rényi-2 / Simpson index) — a LOG-FREE lexical
-    * diversity score: the probability two random tokens of a doc
-    * coincide, Σtf² ·10¹² div n², in exact integer ppb-of-ppm units
-    * (1e12 = certain repetition of one token; lower = more diverse).
-    * The transcendental-free stand-in for Shannon entropy that stays
-    * oracle-exact (q104 measures surface REPETITION of grams; this
-    * measures distributional concentration of the unigram mass). One
-    * (doc, token) count shuffle + per-doc fold; the corpus-level
-    * concentration folds from the same tf table. */
-  private val q252CollisionDiversity: Q = (s, d) => {
-    import s.implicits._
-    val tf = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
-    tf.groupBy($"doc_id")
-      .agg(sum($"tf").as("n"), sum($"tf" * $"tf").as("s2"),
-        count(lit(1)).as("n_types"))
-      .select($"doc_id", $"n", $"n_types",
-        expr("(s2 * 1000000000000) div (n * n)").as("collision_ppt"))
-      .orderBy($"doc_id")
-  }
-
-  /** FEDERATED MULTI-FORMAT UNION — one logical table served by three
-    * physical sources at once: the customer dimension split into a
-    * parquet slice, a CSV slice (written with header, read back with an
-    * explicit schema — no inference drift), and a JDBC slice (embedded
-    * Derby through the dialect-checked path), unioned and aggregated in
-    * a single plan. This is the lake reality the engine must not blink
-    * at: per-source scans keep their own pushdown capabilities and the
-    * union is logical only. The oracle reconstructs the same aggregate
-    * from the parquet table — a lost slice, a CSV type drift, or a JDBC
-    * truncation shows up as a count/sum mismatch. */
-  private val q253FederatedUnion: Q = (s, d) => {
-    import s.implicits._
-    val cust = Tables.customer(s, d)
-      .select($"c_custkey", $"c_mktsegment", dec($"c_acctbal").as("bal"))
-    val dir = graft.util.Scratch.dir("graft_q253_fed_")
-    cust.filter($"c_custkey" % 3 === 0)
-      .write.mode("overwrite").parquet(s"$dir/pq")
-    cust.filter($"c_custkey" % 3 === 1)
-      .write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
-    val url = s"jdbc:derby:$dir/db;create=true"
-    cust.filter($"c_custkey" % 3 === 2)
-      .write.mode("overwrite").jdbc(url, "cust_slice", new java.util.Properties())
-    val pq = s.read.parquet(s"$dir/pq")
-    val csv = s.read.option("header", "true")
-      .schema("c_custkey long, c_mktsegment string, bal decimal(18,2)")
-      .csv(s"$dir/csv")
-    val jd = graft.io.Jdbc.readTable(s, url, "cust_slice")
-      .toDF("c_custkey", "c_mktsegment", "bal")
-      .select($"c_custkey".cast("long"), $"c_mktsegment",
-        $"bal".cast("decimal(18,2)"))
-    pq.unionByName(csv).unionByName(jd)
-      .groupBy($"c_mktsegment")
-      .agg(count(lit(1)).as("n"), money(sum($"bal")).as("total_bal"))
-      .orderBy($"c_mktsegment")
-  }
-
-  /** FORWARD-FILL IMPUTATION via IGNORE NULLS window semantics — the
-    * gap-filling pass for sensor/telemetry-shaped data: values nulled on
-    * a planted rule are re-filled with the user's LAST non-null reading
-    * (event-time order), `last(col, ignoreNulls).over(rows unbounded
-    * preceding)` — the one window mode (null-skipping frames) the window
-    * suites don't otherwise touch. Leading nulls (no prior reading) stay
-    * null and are counted. Row-wise output, no float summation. */
-  private val q254ForwardFill: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    Tables.events(s, d)
-      .select($"user_id", $"ts", $"event_id",
-        when($"event_id" % 5 === 0, lit(null)).otherwise($"value")
-          .as("v"))
-      .withColumn("filled", last($"v", ignoreNulls = true).over(w))
-      .filter($"event_id" % 5 === 0)
-      .select($"user_id", $"event_id", $"filled",
-        $"filled".isNull.as("still_null"))
-      .orderBy($"user_id", $"event_id")
-  }
-
-  /** DUPLICATE PROVENANCE — q40's clusters split by WHERE the copies
-    * live: same-source duplicates (re-crawls — fix the crawler) vs
-    * cross-source duplicates (syndication/mirrors — fix source
-    * weighting). One hash shuffle carrying (source) alongside; per
-    * cluster: size and distinct sources; then a 4-row summary by
-    * (multi_copy × multi_source). The diagnostic that tells you WHICH
-    * dedup investment pays before you make it. */
-  private val q255DupProvenance: Q = (s, d) => {
-    import s.implicits._
-    val cl = Tables.documents(s, d).repartition($"doc_id")
-      .select(sha2($"text", 256).as("h"), $"source")
-      .groupBy($"h")
-      .agg(count(lit(1)).as("n_copies"),
-        countDistinct($"source").as("n_sources"))
-    cl.groupBy(($"n_copies" > 1).as("is_dup"),
-        ($"n_sources" > 1).as("cross_source"))
-      .agg(count(lit(1)).as("n_clusters"), sum($"n_copies").as("n_docs"))
-      .orderBy($"is_dup", $"cross_source")
-  }
-
-  /** BINNED KENDALL CONCORDANCE (τ-a over decile bins) — does document
-    * LENGTH predict QUALITY? Rank correlation computed WITHOUT ranking
-    * rows: both variables bin by their bounded value histograms (q209's
-    * rule), pairs fold from the ≤10×10 CONTINGENCY table (concordant =
-    * cell-pairs strictly increasing in both, discordant = opposed;
-    * within-cell and tied-margin pairs drop, the τ-a-on-bins
-    * convention), published as (C−D)·10⁶ div C(n,2). Everything after
-    * the two histogram shuffles is a 100-row fold — the rank-statistics
-    * shape that survives 100 TB where a global double-sort cannot. */
-  private val q256Concordance: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", $"n_chars".as("x"),
-        graft.text.TextOps.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id", $"x",
-        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("y"))
-      .cache()
-    def bins(col: String) = {
-      val h = docs.groupBy(docs(col).as("v"))
-        .agg(count(lit(1)).as("n"))
-      val tot = h.agg(sum($"n").as("ntot"))
-      h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
-        .crossJoin(broadcast(tot))
-        .select($"v".as(col), expr("((cum - n) * 10) div ntot").as(s"${col}b"))
-    }
-    val binned = docs
-      .join(broadcast(bins("x")), "x")
-      .join(broadcast(bins("y")), "y")
-    val ct = binned.groupBy($"xb", $"yb").agg(count(lit(1)).as("n")).cache()
-    val tot = ct.agg(sum($"n").as("n"))
-    val pairs = ct.toDF("xa", "ya", "na")
-      .crossJoin(ct.toDF("xb2", "yb2", "nb"))
-    val cAgg = pairs.filter($"xa" < $"xb2" && $"ya" < $"yb2")
-      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("c"))
-    val dAgg = pairs.filter($"xa" < $"xb2" && $"ya" > $"yb2")
-      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("d"))
-    cAgg.crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
-      .select($"n", $"c", $"d",
-        expr("((c - d) * 1000000) div ((n * (n - 1)) div 2)")
-          .as("tau_ppm"))
-  }
-
-  /** MULTI-AGGREGATE PIVOT — q26 pivots one measure; the reporting
-    * reality is several per cell (count AND exact-decimal revenue per
-    * order status), which exercises Spark's `{value}_{alias}` pivot
-    * column synthesis and keeps the whole rotation in ONE aggregate
-    * (Expand-free: pivot compiles to conditional aggregates over the
-    * explicit value list — the at-scale form, since an unlisted pivot
-    * needs a distinct-scan first). */
-  private val q257MultiPivot: Q = (s, d) => {
-    import s.implicits._
-    Tables.orders(s, d)
-      .groupBy($"o_orderpriority")
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(count(lit(1)).as("n"),
-        money(sum(dec($"o_totalprice"))).as("total"))
-      .orderBy($"o_orderpriority")
-  }
-
-  /** CONDITIONAL-AGGREGATE SUITE — count_if / bool_and / bool_or /
-    * every / any_value-free determinism: the predicate-aggregate family
-    * in one map-side-combinable pass (the FILTER-clause equivalents),
-    * plus min_by/max_by witness selection with deterministic tie-breaks
-    * (arg-max by (price, key) — bare min_by/max_by on ties is
-    * shuffle-dependent, the same trap as unordered listagg). */
-  private val q258CondAggSuite: Q = (s, d) => {
-    import s.implicits._
-    Tables.orders(s, d)
-      .groupBy($"o_orderpriority")
-      .agg(
-        count_if($"o_orderstatus" === "F").as("n_f"),
-        bool_and($"o_totalprice" > 0).as("all_positive"),
-        bool_or($"o_totalprice" > 400000).as("any_huge"),
-        // (cents, key) packed into one BIGINT: a total order both engines
-        // share scalar-ly (bare min_by/max_by on ties is shuffle-dependent)
-        max_by($"o_orderkey",
-          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
-            + $"o_orderkey").as("richest_order"),
-        min_by($"o_orderkey",
-          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
-            + $"o_orderkey").as("poorest_order"))
-      .orderBy($"o_orderpriority")
-  }
-
-  /** POSTING-LIST COMPRESSIBILITY — the index-sizing pass before
-    * committing storage: per high-df lexeme, delta-encode the doc_id
-    * posting gaps and measure the exact bit cost (bits(gap) =
-    * length(bin(gap)) — log₂ without a log), against the naive 64-bit
-    * encoding. The gap computation is one lag window per lexeme
-    * partition (bounded by df, never corpus-global); compression ratio
-    * published in ppm. The classic IR result made measurable: dense
-    * terms compress to a few bits per posting, which is why the q37
-    * posting index stores doc_ids sorted. */
-  private val q259PostingGaps: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val post = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", explode(graft.text.TextOps.tokenizeBasic($"text"))
-        .as("w"))
-      .distinct()
-    val gaps = post
-      .withColumn("gap", $"doc_id" - coalesce(lag($"doc_id", 1).over(
-        Window.partitionBy($"w").orderBy($"doc_id")), lit(-1L)))
-      .groupBy($"w")
-      .agg(count(lit(1)).as("df"),
-        sum(length(bin($"gap"))).cast("long").as("sum_gap_bits"))
-    gaps
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"df".desc, $"w")))
-      .filter($"rk" <= 20)
-      .select($"rk", $"w", $"df", $"sum_gap_bits",
-        expr("(sum_gap_bits * 1000000) div (df * 64)")
-          .as("compression_ppm"))
-      .orderBy($"rk")
-  }
-
-  /** COLUMN PROFILER (the Deequ/dbt-docs data-quality sheet): per
-    * column — row count, nulls, distincts, lexicographic min/max as
-    * strings — for the whole declared column list in ONE scan: every
-    * column's aggregates ride the same pass (6 columns ⇒ 1 scan, not
-    * 6), then the wide row melts to the per-column layout with a
-    * stack-style explode. The profile every ingest diffs against
-    * yesterday's before promoting a snapshot. */
-  private val q260ColumnProfile: Q = (s, d) => {
-    import s.implicits._
-    // one narrow aggregate PER column, not one wide multi-distinct
-    // aggregate: N exact count-distincts in a single agg compile to an
-    // (N+1)-way Expand of every row (measured 8 s at sf0.1), while N
-    // pruned single-column scans cost ~the one full scan total — each
-    // branch reads exactly its column off parquet
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
-      "l_returnflag", "l_shipdate", "l_linestatus")
-    val li = Tables.lineitem(s, d)
-    cols.map { c =>
-      li.select(col(c))
-        .agg(count(lit(1)).as("n_rows"),
-          (count(lit(1)) - count(col(c))).as("n_null"),
-          countDistinct(col(c)).as("n_distinct"),
-          min(col(c)).cast("string").as("min_value"),
-          max(col(c)).cast("string").as("max_value"))
-        .select(lit(c).as("column"), $"n_rows", $"n_null",
-          $"n_distinct", $"min_value", $"max_value")
-    }.reduce(_ unionByName _)
-      .orderBy($"column")
-  }
-
-  /** q261's support thresholds, shared with the oracle. */
-  private[ops] val AprioriItemSupport = 20L
-  private[ops] val AprioriPairSupport = 2L
-
-  /** FREQUENT-ITEMSET MINING, A-PRIORI PRUNED (Agrawal & Srikant, VLDB
-    * 1994): frequent part-pairs across order baskets — but pair
-    * generation only ever runs over items that individually cleared the
-    * support threshold (the downward-closure property: an infrequent
-    * item cannot appear in a frequent pair), which is what keeps basket
-    * self-joins alive at 100 TB (the pruned item set shrinks the join
-    * input BEFORE the quadratic-per-basket step; per-basket fanout is
-    * C(items-in-basket, 2), bounded by basket width). Top-20 frequent
-    * pairs with both marginals. */
-  private val q261AprioriPairs: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val baskets = Tables.lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey").distinct().cache()
-    val freq = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("supp1"))
-      .filter($"supp1" >= AprioriItemSupport)
-      .cache()
-    val fb = baskets.join(broadcast(freq.select($"l_partkey")), "l_partkey")
-    fb.select($"l_orderkey", $"l_partkey".as("p1"))
-      .join(fb.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
-      .filter($"p1" < $"p2")
-      .groupBy($"p1", $"p2").agg(count(lit(1)).as("supp2"))
-      .filter($"supp2" >= AprioriPairSupport)
-      .join(broadcast(freq.toDF("p1", "supp1a")), "p1")
-      .join(broadcast(freq.toDF("p2", "supp1b")), "p2")
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"supp2".desc, $"p1", $"p2")))
-      .filter($"rk" <= 20)
-      .select($"rk", $"p1", $"p2", $"supp2", $"supp1a", $"supp1b")
-      .orderBy($"rk")
-  }
-
-  /** k-ANONYMITY RISK AUDIT (Sweeney 2002) — the re-identification
-    * check a release runs AFTER q102's PII scrub: how many customers sit
-    * in quasi-identifier equivalence classes (nation × market segment ×
-    * account-balance sign) smaller than k? One QI group-by (map-side
-    * combinable), then a class-size histogram with per-k-threshold risk
-    * counts — the histogram is tiny (≤ classes), so the audit costs one
-    * shuffle at any scale. Reported per k ∈ {2, 5, 10}: classes below
-    * k, customers at risk, and the risk share in ppm. */
-  private val q262KAnonymity: Q = (s, d) => {
-    import s.implicits._
-    val classes = Tables.customer(s, d)
-      .groupBy($"c_nationkey", $"c_mktsegment",
-        ($"c_acctbal" >= 0).as("bal_pos"))
-      .agg(count(lit(1)).as("cls"))
-      .cache()
-    val tot = classes.agg(sum($"cls").as("n_total"))
-    val ks = Seq(2L, 5L, 10L).toDF("k")
-    classes.crossJoin(broadcast(ks))
-      .groupBy($"k")
-      .agg(sum(when($"cls" < $"k", 1L).otherwise(0L)).as("classes_below"),
-        sum(when($"cls" < $"k", $"cls").otherwise(0L)).as("at_risk"))
-      .crossJoin(broadcast(tot))
-      .select($"k", $"classes_below", $"at_risk",
-        expr("(at_risk * 1000000) div n_total").as("risk_ppm"))
-      .orderBy($"k")
-  }
-
-  /** l-DIVERSITY AUDIT (Machanavajjhala et al., ICDE 2006) — the attack
-    * q262's k-anonymity misses: a class can be large yet HOMOGENEOUS in
-    * the sensitive attribute (everyone in the class shares the secret,
-    * so membership alone leaks it). QI = (nation, balance sign),
-    * sensitive = market segment; a class of size ≥ 5 with fewer than l
-    * distinct segment values is the failure. Same one-shuffle histogram
-    * economics as q262. */
-  private val q263LDiversity: Q = (s, d) => {
-    import s.implicits._
-    val classes = Tables.customer(s, d)
-      .groupBy($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"))
-      .agg(count(lit(1)).as("cls"),
-        countDistinct($"c_mktsegment").as("l_div"))
-      .filter($"cls" >= 5)
-      .cache()
-    val ls = Seq(2L, 3L).toDF("l")
-    classes.crossJoin(broadcast(ls))
-      .groupBy($"l")
-      .agg(count(lit(1)).as("n_classes"),
-        sum(when($"l_div" < $"l", 1L).otherwise(0L))
-          .as("homogeneous_classes"),
-        sum(when($"l_div" < $"l", $"cls").otherwise(0L))
-          .as("members_exposed"))
-      .orderBy($"l")
-  }
-
-  /** q264's holdout size, shared with the oracle. */
-  private[ops] val HoldoutQuota = 50L
-
-  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) — exact
-    * integer quota allocation: a 50-doc holdout apportioned across
-    * sources ∝ their counts, floor shares first, the leftover seats to
-    * the largest remainders (ties by source name — fully deterministic,
-    * Σ quota == H exactly, which proportional-rounding by division can't
-    * guarantee). The hash-based samplers (q117/q187) decide WHICH rows;
-    * this decides HOW MANY per stratum — the missing half of stratified
-    * holdout construction. All integer: remainders compare as
-    * cnt·H mod total. */
-  private val q264Apportionment: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val H = HoldoutQuota
-    val counts = Tables.documents(s, d)
-      .groupBy($"source").agg(count(lit(1)).as("cnt"))
-      .cache()
-    counts.crossJoin(broadcast(counts.agg(sum($"cnt").as("total"))))
-      .withColumn("floor_q", expr(s"(cnt * $H) div total"))
-      .withColumn("rem", expr(s"(cnt * $H) % total"))
-      .withColumn("rrank", row_number().over(
-        Window.orderBy($"rem".desc, $"source")))
-      .crossJoin(broadcast(
-        counts.crossJoin(counts.agg(sum($"cnt").as("t2")))
-          .agg((lit(H) - sum(expr(s"(cnt * $H) div t2"))).as("leftover"))))
-      .select($"source", $"cnt", $"floor_q", $"rem",
-        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
-          .as("quota"))
-      .orderBy($"source")
-  }
-
-  /** SHUFFLE-QUALITY AUDIT — is the q118 training order actually
-    * DECORRELATED? A bad shuffle leaves same-source runs that become
-    * correlated gradient batches. Measured: the adjacent-pair
-    * same-source rate over the md5 global order vs the sampling-
-    * without-replacement EXPECTATION Σ nₛ(nₛ−1) / (n(n−1)), both in
-    * exact ppm, plus the longest same-source run. The order is the
-    * md5-derived (hash, doc_id) rank, so both engines see the identical
-    * permutation; lag comparisons run inside one window (documented
-    * single-axis sort — at corpus scale the audit samples the q118
-    * buckets independently, same rate). */
-  private val q265ShuffleQuality: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy($"h", $"doc_id")
-    val seq0 = Tables.documents(s, d)
-      .select($"doc_id", $"source", md5($"text").as("h"))
-      .withColumn("prev_src", lag($"source", 1).over(w))
-      .withColumn("same", when($"prev_src" === $"source", 1L).otherwise(0L))
-      .cache()
-    val runs = seq0
-      .withColumn("brk", sum(lit(1L) - $"same").over(
-        w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy($"brk").agg(count(lit(1)).as("run_len"))
-      .agg(max($"run_len").as("max_run"))
-    val perSrc = seq0.groupBy($"source").agg(count(lit(1)).as("ns"))
-      .agg(sum(expr("ns * (ns - 1)")).as("num"), sum($"ns").as("n"))
-    seq0.agg(sum($"same").as("n_same"),
-        count(lit(1)).as("n_rows"))
-      .crossJoin(broadcast(perSrc))
-      .crossJoin(broadcast(runs))
-      .select($"n_rows", $"n_same",
-        expr("(n_same * 1000000) div (n_rows - 1)").as("observed_ppm"),
-        expr("(num * 1000000) div (n * (n - 1))").as("expected_ppm"),
-        $"max_run")
-  }
-
-  /** CHI-SQUARE INDEPENDENCE TEST (Pearson 1900) — are market segment
-    * and nation independent? The drift/bias audit a corpus release runs
-    * over (source × lang) style contingency tables. All-integer: per
-    * cell d = obs·N − rt·ct, cell statistic ((d² div rt·ct)·10⁶) div N
-    * micro-units — identical floor chain in both engines, no floats.
-    * Zero cells matter (d = −rt·ct), so the margins build the full r×c
-    * grid and LEFT-join the observed counts. Economics: three map-side
-    * combinable group-bys over a 2-column projection, then a ≤125-row
-    * driver-sized grid — one scan's worth of shuffle at any corpus
-    * size. Long-arithmetic bound: d² needs (obs·N)² < 2⁶³ → N < ~3·10⁹
-    * cells·rows product — comfortable at the gate scales; beyond,
-    * shrink the micro factor. */
-  private val q266ChiSquare: Q = (s, d) => {
-    import s.implicits._
-    val base = Tables.customer(s, d)
-      .select($"c_mktsegment", $"c_nationkey").cache()
-    val rt = base.groupBy($"c_mktsegment").agg(count(lit(1)).as("rt"))
-    val ct = base.groupBy($"c_nationkey").agg(count(lit(1)).as("ct"))
-    val obs = base.groupBy($"c_mktsegment", $"c_nationkey")
-      .agg(count(lit(1)).as("obs"))
-    val tot = base.agg(count(lit(1)).as("n"))
-    rt.crossJoin(broadcast(ct))
-      .join(obs, Seq("c_mktsegment", "c_nationkey"), "left")
-      .na.fill(0L, Seq("obs"))
-      .crossJoin(broadcast(tot))
-      .select($"c_mktsegment", $"c_nationkey", $"rt", $"ct", $"obs", $"n",
-        expr("(((obs*n - rt*ct) * (obs*n - rt*ct)) div (rt*ct)) * 1000000 div n")
-          .as("cell_micro"))
-      .agg(max($"n").as("n"), count(lit(1)).as("n_cells"),
-        ((countDistinct($"c_mktsegment") - 1) *
-          (countDistinct($"c_nationkey") - 1)).as("df"),
-        sum($"cell_micro").as("chi2_micro"))
-  }
-
-  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV — does the lexicographically-first
-    * source's length distribution match the rest of the corpus? The
-    * distribution-shift gate between a new crawl slice and the
-    * established corpus. D = max |F1 − F2| in exact ppm via the
-    * cross-multiplied cumulative counts |c1·n2 − c2·n1|·10⁶ div n1·n2 —
-    * no float CDFs. One (n_chars) group-by, then a window over the
-    * ≤distinct-lengths aggregated frame (bounded by the value domain,
-    * not the corpus). */
-  private val q267KsTest: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
-    val srcA = docs.agg(min($"source").as("src_a"))
-    val per = docs.crossJoin(broadcast(srcA))
-      .groupBy($"n_chars", $"src_a")
-      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("c1"),
-        sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.select($"n_chars", $"src_a",
-        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
-      .crossJoin(broadcast(
-        docs.crossJoin(broadcast(srcA)).agg(
-          sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("n1"),
-          sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("n2"))))
-      .select($"n_chars", $"src_a", $"n1", $"n2",
-        expr("(abs(f1*n2 - f2*n1) * 1000000) div (n1*n2)").as("d_ppm"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"d_ppm".desc, $"n_chars")))
-      .filter($"rk" === 1)
-      .select($"src_a", $"n1", $"n2", $"d_ppm", $"n_chars".as("at_n_chars"))
-  }
-
-  /** SPEARMAN RANK TREND (monotone drift test) — per event type, is the
-    * daily event count trending over the year? Rank days by time and by
-    * (count, day) — the day tiebreak makes both rankings strict
-    * permutations, so ρ = 1 − 6Σd²/(n(n²−1)) is exact in integers
-    * (ppm, one floor div shared with the oracle). The robust
-    * alternative to q177's OLS slope: outlier days can't dominate.
-    * One (type, day) group-by; windows run over ≤366 rows per type. */
-  private val q268SpearmanTrend: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy($"event_type", to_date($"ts").as("day"))
-      .agg(count(lit(1)).as("cnt"))
-    val rx = row_number().over(
-      Window.partitionBy($"event_type").orderBy($"day"))
-    val ry = row_number().over(
-      Window.partitionBy($"event_type").orderBy($"cnt", $"day"))
-    daily.select($"event_type", (rx - ry).cast("long").as("dd"))
-      .groupBy($"event_type")
-      .agg(count(lit(1)).as("n_days"), sum($"dd" * $"dd").as("sum_d2"))
-      .filter($"n_days" >= 2)
-      .select($"event_type", $"n_days", $"sum_d2",
-        expr("1000000 - (6 * sum_d2 * 1000000) div (n_days * (n_days*n_days - 1))")
-          .as("rho_ppm"))
-      .orderBy($"event_type")
-  }
-
-  /** FUNCTIONAL-DEPENDENCY AUDIT (the Tane/Deequ profiling primitive):
-    * does A determine B? For each declared candidate FD, count the
-    * LHS classes, the classes with >1 distinct RHS (violations), and
-    * the rows trapped in violating classes. Each FD is one map-side-
-    * combinable group-by collapsed to a single row — k FDs cost k
-    * pruned scans, never a join. Drives schema inference and key
-    * discovery before a corpus is promoted to a feature table. */
-  private val q269FdAudit: Q = (s, d) => {
-    import s.implicits._
-    def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String,
-           tag: String) =
-      df.groupBy(col(lhs))
-        .agg(countDistinct(col(rhs)).as("ndv"), count(lit(1)).as("nrows"))
-        .agg(count(lit(1)).as("n_classes"),
-          sum(when($"ndv" > 1, 1L).otherwise(0L)).as("violating_classes"),
-          sum(when($"ndv" > 1, $"nrows").otherwise(0L)).as("rows_in_violating"))
-        .select(lit(tag).as("fd"), $"n_classes", $"violating_classes",
-          $"rows_in_violating",
-          ($"violating_classes" === 0L).as("holds"))
-    fd(Tables.nation(s, d), "n_nationkey", "n_regionkey",
-        "nation.n_nationkey->n_regionkey")
-      .unionByName(fd(Tables.orders(s, d), "o_orderkey", "o_orderdate",
-        "orders.o_orderkey->o_orderdate"))
-      .unionByName(fd(Tables.orders(s, d), "o_custkey", "o_orderpriority",
-        "orders.o_custkey->o_orderpriority"))
-      .unionByName(fd(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
-        "lineitem.l_orderkey->l_returnflag"))
-      .unionByName(fd(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
-        "lineitem.l_partkey->l_suppkey"))
-      .orderBy($"fd")
-  }
-
-  /** t-CLOSENESS AUDIT (Li et al., ICDE 2007) — the third leg of the
-    * privacy trio (q262 k-anonymity, q263 l-diversity): a class can be
-    * large AND diverse yet still leak if its sensitive-attribute
-    * DISTRIBUTION diverges from the global one. Distance = Earth
-    * Mover's over the alphabetically-ordered segment axis, exact in
-    * ppm: Σ|cumc·N − cumg·cls|·10⁶ div (cls·N·(m−1)). Zero cells
-    * restored by the class × segment grid; windows run over the
-    * ≤(classes×m) aggregated frame. Flagged at t = 0.2. */
-  private val q270TCloseness: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val cust = Tables.customer(s, d)
-      .select($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"),
-        $"c_mktsegment").cache()
-    val glob = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("g"))
-    val classes = cust.groupBy($"c_nationkey", $"bal_pos")
-      .agg(count(lit(1)).as("cls")).filter($"cls" >= 5)
-    val obs = cust.groupBy($"c_nationkey", $"bal_pos", $"c_mktsegment")
-      .agg(count(lit(1)).as("o"))
-    val tot = cust.agg(count(lit(1)).as("nn"))
-    val m = glob.agg(count(lit(1)).as("m"))
-    val w = Window.partitionBy($"c_nationkey", $"bal_pos")
-      .orderBy($"c_mktsegment")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    classes.crossJoin(broadcast(glob))
-      .join(obs, Seq("c_nationkey", "bal_pos", "c_mktsegment"), "left")
-      .na.fill(0L, Seq("o"))
-      .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
-      .select($"c_nationkey", $"bal_pos", $"cls", $"nn", $"m",
-        sum($"o").over(w).as("cumc"), sum($"g").over(w).as("cumg"))
-      .groupBy($"c_nationkey", $"bal_pos")
-      .agg(max($"cls").as("cls"),
-        expr("(sum(abs(cumc*nn - cumg*cls)) * 1000000) div (max(cls)*max(nn)*(max(m)-1))")
-          .as("emd_ppm"))
-      .select($"c_nationkey", $"bal_pos", $"cls", $"emd_ppm",
-        ($"emd_ppm" > 200000L).as("fails_t02"))
-      .orderBy($"c_nationkey", $"bal_pos")
-  }
-
-  /** AUTOCORRELATION (lag-1 and lag-7) of the daily event series — the
-    * seasonality screen behind q217's anomaly monitor: a high lag-7 ACF
-    * says weekly periodicity, lag-1 says day-to-day momentum. Counts
-    * are integers, so every sufficient statistic (Σx, Σy, Σxy, Σx²,
-    * Σy²) is EXACT; only the final Pearson ratio divides, via the
-    * shared truncating div against floor(sqrt(den1·den2)) — sqrt is
-    * IEEE-correctly-rounded on identical doubles, so both engines floor
-    * the same value. Lag pairs come from one window over the ≤366-row
-    * daily aggregate (bounded by the calendar, not the corpus). */
-  private val q271Acf: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy($"day")
-    val lagged = daily.select($"cnt",
-      lag($"cnt", 1).over(w).as("y1"), lag($"cnt", 7).over(w).as("y7"))
-      .cache()
-    def branch(k: Int, y: String) =
-      lagged.filter(col(y).isNotNull)
-        .agg(count(lit(1)).as("n"), sum($"cnt").as("sx"),
-          sum(col(y)).as("sy"), sum($"cnt" * col(y)).as("sxy"),
-          sum($"cnt" * $"cnt").as("sxx"), sum(col(y) * col(y)).as("syy"))
-        .select(lit(k.toLong).as("lag"), $"n", $"sx", $"sy", $"sxy",
-          $"sxx", $"syy",
-          expr("""((n*sxy - sx*sy) * 1000000) div
-                 nullif(cast(floor(sqrt(cast(n*sxx - sx*sx as double)
-                   * cast(n*syy - sy*sy as double))) as bigint), 0)""")
-            .as("r_ppm"))
-    branch(1, "y1").unionByName(branch(7, "y7")).orderBy($"lag")
-  }
-
-  /** CUSUM CHANGEPOINT (Page 1954) — when did event volume drift above
-    * its run-rate? The classic recursion S_t = max(0, S_{t-1} + x_t − k)
-    * is NOT window-expressible — but its closed form IS: S_t = P_t −
-    * min(0, min_{j≤t} P_j) with P the prefix sum of (x − k). Two
-    * running windows over the daily aggregate replace the recursion, so
-    * the detector stays one shuffle at any scale. Target k = the mean
-    * day (integer floor), alarm h = 10% of a mean day of cumulative
-    * excess — sensitive enough that the alarm branch actually fires on
-    * stationary data (a detector whose alarm path never executes is
-    * untested); emits the first alarm date, alarm count, and peak
-    * statistic. */
-  private val q272Cusum: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
-    val kh = daily.agg(
-      expr("sum(cnt) div count(1)").as("k"),
-      expr("sum(cnt) div (10 * count(1))").as("h"))
-    val w = Window.orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    daily.crossJoin(broadcast(kh))
-      .select($"day", $"k", $"h",
-        sum($"cnt" - $"k").over(w).as("p"))
-      .withColumn("sstat", $"p" - least(min($"p").over(w), lit(0L)))
-      .agg(count(lit(1)).as("n_days"), max($"k").as("k"), max($"h").as("h"),
-        sum(when($"sstat" >= $"h", 1L).otherwise(0L)).as("n_alarms"),
-        coalesce(min(when($"sstat" >= $"h", $"day")).cast("string"),
-          lit("none")).as("first_alarm_day"),
-        max($"sstat").as("max_s"))
-  }
-
-  /** CANDIDATE-KEY DISCOVERY — which column sets uniquely key the
-    * orders table? count vs count-distinct per declared combination,
-    * one map-side-combinable aggregate per candidate (multi-column
-    * combos compare concat_ws fingerprints so both engines share the
-    * exact null/format semantics). The uniqueness profile every CDC
-    * pipeline needs before it can pick a merge key. */
-  private val q273CandidateKeys: Q = (s, d) => {
-    import s.implicits._
-    val ord = Tables.orders(s, d).cache()
-    def cand(cols: Seq[String]) = {
-      val tag = cols.mkString(",")
-      val fp = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
-      ord.agg(count(lit(1)).as("n_rows"), countDistinct(fp).as("n_distinct"))
-        .select(lit(tag).as("key_cols"), $"n_rows", $"n_distinct",
-          ($"n_rows" - $"n_distinct").as("dup_rows"),
-          ($"n_rows" === $"n_distinct").as("is_key"))
-    }
-    Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
-      Seq("o_custkey", "o_orderdate"),
-      Seq("o_orderstatus", "o_orderpriority"))
-      .map(cand).reduce(_ unionByName _)
-      .orderBy($"key_cols")
-  }
-
-  /** USER-ACCRETION CURVE — per day: active users, first-seen (new)
-    * users, returning = active − new, and the cumulative registered
-    * base. The growth-accounting decomposition behind every DAU chart.
-    * Two shuffles total — one (day,user) distinct, one user-grain min —
-    * then the calendar-bounded running sum; never a per-user window
-    * over raw events. */
-  private val q274UserAccretion: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-      .select(to_date($"ts").as("day"), $"user_id")
-    val dau = ev.distinct().groupBy($"day").agg(count(lit(1)).as("dau"))
-    val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("day"))
-      .groupBy($"day").agg(count(lit(1)).as("new_users"))
-    dau.join(firstSeen, Seq("day"), "left")
-      .na.fill(0L, Seq("new_users"))
-      .select($"day", $"dau", $"new_users",
-        ($"dau" - $"new_users").as("returning"),
-        sum($"new_users").over(Window.orderBy($"day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .as("cum_users"))
-      .orderBy($"day")
-  }
-
-  /** GENERATOR SUITE (SQL lateral-view surface): posexplode with
-    * ordinal positions, stack row-pivoting, and map explode — the three
-    * Spark generator shapes a migration off LATERAL VIEW needs, in one
-    * unioned frame over region. Oracle mirrors via generate_subscripts
-    * / UNION ALL / length() — same rows, same 0-based positions. */
-  private val q275GeneratorSuite: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).filter($"doc_id" < 5)
-    val words = docs
-      .select($"doc_id", posexplode(split($"text", " ")))
-      .select($"doc_id", lit("word").as("kind"),
-        $"pos".cast("long").as("pos"), $"col".as("val"))
-    val stacked = docs
-      .selectExpr("doc_id",
-        "stack(2, 'lang', lang, 'source', source) AS (kind, val)")
-      .select($"doc_id", $"kind", lit(-1L).as("pos"), $"val")
-    val mapped = docs
-      .select($"doc_id", explode(map(
-        lit("n_chars"), $"n_chars",
-        lit("n_words"), size(split($"text", " ")).cast("long"))))
-      .select($"doc_id", $"key".as("kind"), lit(-2L).as("pos"),
-        $"value".cast("string").as("val"))
-    words.unionByName(stacked).unionByName(mapped)
-      .orderBy($"doc_id", $"kind", $"pos", $"val")
-  }
-
-  /** MANN-WHITNEY U (Wilcoxon rank-sum) — do the two
-    * alphabetically-first sources draw document lengths from the same
-    * distribution? The rank-based companion to q267's KS: U is location-
-    * sensitive where KS is shape-sensitive. All-integer via DOUBLED
-    * midranks (2·midrank = 2·rank_min + ties − 1 stays integral under
-    * ties), computed from cumulative counts over the per-length
-    * aggregate — no per-row ranking, the window runs over distinct
-    * lengths only. Emits U in 2× units beside its null expectation
-    * n1·n2 (also 2×), so the drift direction reads off directly. */
-  private val q276MannWhitney: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
-    // smallest and second-smallest source names
-    val srcs = docs.select($"source").distinct().orderBy($"source").limit(2)
-      .agg(min($"source").as("src_a"), max($"source").as("src_b"))
-    val per = docs.crossJoin(broadcast(srcs))
-      .filter($"source" === $"src_a" || $"source" === $"src_b")
-      .groupBy($"n_chars", $"src_a", $"src_b")
-      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("ca"),
-        sum(when($"source" === $"src_b", 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.select($"src_a", $"src_b", $"ca", $"cb",
-        sum($"ca" + $"cb").over(w).as("cum"), ($"ca" + $"cb").as("cnt"))
-      .groupBy($"src_a", $"src_b")
-      .agg(sum($"ca").as("n1"), sum($"cb").as("n2"),
-        sum($"ca" * (lit(2L) * $"cum" - $"cnt" + 1L)).as("r1_2x"))
-      .select($"src_a", $"src_b", $"n1", $"n2",
-        ($"r1_2x" - $"n1" * ($"n1" + 1L)).as("u_2x"),
-        ($"n1" * $"n2").as("e_u_2x"),
-        (($"r1_2x" - $"n1" * ($"n1" + 1L)) > $"n1" * $"n2").as("a_greater"))
-  }
-
-  /** LINEAR GAP INTERPOLATION over the hourly purchase series — q254's
-    * forward-fill upgraded to two-sided linear fill: the feature-store
-    * imputation for sparse counters. The hour grid comes from one
-    * sequence() explode between min and max (calendar-bounded); missing
-    * hours take prev + (next−prev)·offset/gap in exact micro units (one
-    * truncating div, negative-safe — both engines truncate). Four
-    * IGNORE-NULLS windows over the grid replace any self-join against
-    * neighbors. */
-  private val q277GapInterpolation: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d).filter($"event_type" === "purchase")
-      .groupBy(date_trunc("hour", $"ts").as("hr"))
-      .agg(count(lit(1)).as("cnt"))
-    val grid = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
-      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
-    val j = grid.join(ev, Seq("hr"), "left")
-      .withColumn("idx", row_number().over(Window.orderBy($"hr")).cast("long"))
-    val wp = Window.orderBy($"idx").rowsBetween(Window.unboundedPreceding, -1)
-    val wn = Window.orderBy($"idx").rowsBetween(1, Window.unboundedFollowing)
-    j.select($"hr", $"cnt", $"idx",
-        last(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wp).as("pidx"),
-        last($"cnt", ignoreNulls = true).over(wp).as("pcnt"),
-        first(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wn).as("nidx"),
-        first($"cnt", ignoreNulls = true).over(wn).as("ncnt"))
-      .select($"hr", $"cnt", $"cnt".isNull.as("was_gap"),
-        when($"cnt".isNotNull, $"cnt" * 1000000L)
-          .when($"pidx".isNull || $"nidx".isNull, lit(null).cast("long"))
-          .otherwise($"pcnt" * 1000000L +
-            expr("((ncnt - pcnt) * 1000000 * (idx - pidx)) div (nidx - pidx)"))
-          .as("filled_micro"))
-      .orderBy($"hr")
-  }
-
-  /** WEIGHTED MEDIAN — the revenue-weighted "typical" order quantity
-    * per return flag: smallest quantity whose cumulative extended-price
-    * weight reaches half the total. Weights sum as decimal(18,2) (the
-    * dec() exactness bridge), so the 2·cum ≥ total threshold is an
-    * exact comparison with no float accumulation drift. Pre-aggregated
-    * per (flag, quantity) before the window — the cumsum runs over the
-    * value domain, not the fact table. */
-  private val q278WeightedMedian: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val per = Tables.lineitem(s, d)
-      .groupBy($"l_returnflag", $"l_quantity")
-      .agg(sum(dec($"l_extendedprice")).as("w"))
-    val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy($"l_returnflag")
-    per.select($"l_returnflag", $"l_quantity",
-        sum($"w").over(wq).as("cw"), sum($"w").over(wt).as("tw"))
-      .filter($"cw" * 2 >= $"tw")
-      .groupBy($"l_returnflag")
-      .agg(min($"l_quantity").as("w_median_qty"),
-        money(max($"tw")).as("total_weight"))
-      .orderBy($"l_returnflag")
-  }
-
-  /** DIFFERENTIALLY-PRIVATE HISTOGRAM (Dwork 2006, ε = 1) — per-source
-    * release counts with Laplace(1/ε) noise via inverse-CDF transform of
-    * an md5-derived uniform (the q176 hash-RNG convention: seeded,
-    * engine-independent, reproducible). The noise term is quantized
-    * round(noise·10⁶) BEFORE adding — the lnMicro argument: a 1-ulp ln()
-    * disagreement cannot move a round() at the 10⁻⁶ grid — so both
-    * engines release the identical integers. Map-only after one
-    * map-side-combinable count. */
-  private val q279DpHistogram: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .groupBy($"source").agg(count(lit(1)).as("cnt"))
-      .withColumn("u",
-        (conv(substring(md5(concat($"source", lit(":dp1"))), 1, 13), 16, 10)
-          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d))
-      .withColumn("v", $"u" - 0.5)
-      .withColumn("lap_micro",
-        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d, lit(1e-300)))
-          * 1e6).cast("long"))
-      .select($"source", ($"cnt" * 1000000L + $"lap_micro").as("noisy_micro"),
-        abs($"lap_micro").as("abs_err_micro"))
-      .orderBy($"source")
-  }
-
-  /** FACT-vs-ROLLUP RECONCILIATION — does orders.o_totalprice equal the
-    * sum of its lineitem extended prices? The warehouse closing audit
-    * (and the TPC-H generator makes them independent, so mismatches are
-    * the EXPECTED finding — the audit proves it detects them). All
-    * money flows through dec(18,2), so diffs are exact; one
-    * orderkey-grain aggregate then one join with orders, collapsed to a
-    * single audit row: matched orders, mismatched, childless, worst and
-    * total absolute drift. */
-  private val q280OrderValueAudit: Q = (s, d) => {
-    import s.implicits._
-    val lineSum = Tables.lineitem(s, d)
-      .groupBy($"l_orderkey").agg(sum(dec($"l_extendedprice")).as("gross"))
-    Tables.orders(s, d)
-      .join(lineSum, $"o_orderkey" === $"l_orderkey", "left")
-      .select($"o_orderkey", dec($"o_totalprice").as("head"), $"gross")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(when($"gross".isNull, 1L).otherwise(0L)).as("n_childless"),
-        sum(when($"gross" === $"head", 1L).otherwise(0L)).as("n_matched"),
-        sum(when($"gross".isNotNull && $"gross" =!= $"head", 1L).otherwise(0L))
-          .as("n_mismatched"),
-        money(max(abs($"gross" - $"head"))).as("max_abs_diff"),
-        money(sum(abs($"gross" - $"head"))).as("sum_abs_diff"))
-  }
-
-  /** DP SUM WITH CONTRIBUTION CLIPPING — q279's histogram mechanism
-    * upgraded to the sum query every DP release actually ships: each
-    * record's n_chars is clipped at C = 5000 FIRST (bounding per-record
-    * sensitivity, the half of DP that's about the data not the noise),
-    * then Laplace(C/ε) noise (ε = 1) rides the seeded md5 inverse-CDF.
-    * Noise quantized round(·10⁶) before adding — same lnMicro-grid
-    * argument — so both engines release identical integers. Map-only
-    * clip + one combinable sum. */
-  private val q281DpSumClipped: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"source", least($"n_chars", lit(5000L)).as("x"),
-        ($"n_chars" > 5000L).cast("long").as("clipped"))
-      .groupBy($"source").agg(sum($"x").as("clipped_sum"),
-        sum($"clipped").as("n_clipped"))
-      .withColumn("v",
-        (conv(substring(md5(concat($"source", lit(":dps"))), 1, 13), 16, 10)
-          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
-          - 0.5)
-      .withColumn("lap_micro",
-        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d,
-          lit(1e-300))) * 5000d * 1e6).cast("long"))
-      .select($"source", $"clipped_sum", $"n_clipped",
-        ($"clipped_sum" * 1000000L + $"lap_micro").as("noisy_micro"))
-      .orderBy($"source")
-  }
-
-  /** JACKKNIFE (leave-one-source-out) on mean document length — the
-    * group-aware uncertainty estimate for corpus statistics where docs
-    * within a source are correlated and the iid bootstrap lies. NO
-    * resampling pass: every LOO mean folds from broadcast totals
-    * ((Σx − Σxᵢ)/(n − nᵢ)), so g replicates cost one aggregate, not g
-    * scans. Milli-quantized means keep every pseudo-value and the
-    * jackknife variance exact integers with headroom for the squared
-    * deviations. */
-  private val q282Jackknife: Q = (s, d) => {
-    import s.implicits._
-    val per = Tables.documents(s, d)
-      .groupBy($"source")
-      .agg(sum($"n_chars").as("sx_i"), count(lit(1)).as("n_i"))
-      .cache()
-    val tot = per.agg(sum($"sx_i").as("sx"), sum($"n_i").as("n"),
-      count(lit(1)).as("g"))
-    val loo = per.crossJoin(broadcast(tot))
-      .select($"source", $"n_i", $"g",
-        expr("(sx * 1000) div n").as("mean_milli"),
-        expr("((sx - sx_i) * 1000) div (n - n_i)").as("loo_mean_milli"))
-      .withColumn("pseudo_milli",
-        $"g" * $"mean_milli" - ($"g" - 1L) * $"loo_mean_milli")
-      .cache()
-    // milli (not micro) quantization bounds the squared deviations:
-    // diff ≤ ~1e6 milli-chars ⇒ Σdiff² ≤ g·1e12, far from long overflow
-    val varr = loo
-      .crossJoin(broadcast(loo.agg(
-        expr("sum(loo_mean_milli) div count(1)").as("mbar"))))
-      .agg(expr(
-        """((count(1) - 1) * sum((loo_mean_milli - mbar)
-           * (loo_mean_milli - mbar))) div count(1)""").as("jack_var_scaled"))
-    loo.crossJoin(broadcast(varr))
-      .select($"source", $"n_i", $"g", $"mean_milli", $"loo_mean_milli",
-        $"pseudo_milli", $"jack_var_scaled")
-      .orderBy($"source")
-  }
-
-  /** q283's shared bin edges and smoothing — also baked into the oracle. */
-  private[ops] val PsiBinEdges = Seq(500L, 1000L, 2000L, 4000L)
-
-  /** POPULATION STABILITY INDEX — the standard production drift metric
-    * between two corpus slices (here even vs odd doc_id, the
-    * deterministic A/B split): PSI = Σ (p−q)·ln(p/q) over fixed length
-    * bins. Proportions in exact ppm; the log-ratio is ln((ca+1)·nb) −
-    * ln((cb+1)·na) (add-one absorbs empty bins), each term micro-nat
-    * quantized BEFORE the product — the q137 lnMicro argument — so both
-    * engines sum identical pico-unit integers. One map-side-combinable
-    * (bin, split) count at any scale. */
-  private val q283PsiDrift: Q = (s, d) => {
-    import s.implicits._
-    val binExpr = PsiBinEdges.zipWithIndex.foldRight(
-      lit(PsiBinEdges.size.toLong)) { case ((edge, i), acc) =>
-      when($"n_chars" < edge, i.toLong).otherwise(acc)
-    }
-    val per = Tables.documents(s, d)
-      .select(binExpr.as("bin"), ($"doc_id" % 2 === 0).as("in_a"))
-      .groupBy($"bin")
-      .agg(sum(when($"in_a", 1L).otherwise(0L)).as("ca"),
-        sum(when(!$"in_a", 1L).otherwise(0L)).as("cb"))
-    val tot = per.agg(sum($"ca").as("na"), sum($"cb").as("nb"))
-    val terms = per.crossJoin(broadcast(tot))
-      .select($"bin", $"ca", $"cb",
-        expr("(ca * 1000000) div na").as("pa_ppm"),
-        expr("(cb * 1000000) div nb").as("pb_ppm"),
-        (round(log(($"ca" + 1L).cast("double") * $"nb".cast("double")) * 1e6)
-          - round(log(($"cb" + 1L).cast("double") * $"na".cast("double")) * 1e6))
-          .cast("long").as("lr_micro"))
-      .withColumn("term_pico", ($"pa_ppm" - $"pb_ppm") * $"lr_micro")
-      .cache()
-    terms.crossJoin(broadcast(
-        terms.agg(sum($"term_pico").as("psi_pico"))))
-      .select($"bin", $"ca", $"cb", $"pa_ppm", $"pb_ppm", $"term_pico",
-        $"psi_pico")
-      .orderBy($"bin")
-  }
-
-  /** RANK-SUM AUC — does document length separate English from
-    * non-English? AUC computed as the Mann-Whitney statistic over
-    * doubled midranks (q276's machinery, U/(n₁n₂) identity), so the
-    * classifier-evaluation metric every quality model ships with is
-    * exact-integer and windowed over DISTINCT lengths, never per-row.
-    * auc_ppm = U_2x·10⁶ div 2n₁n₂. */
-  private val q284RankAuc: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val per = Tables.documents(s, d)
-      .select($"n_chars", ($"lang" === "en").as("pos"))
-      .groupBy($"n_chars")
-      .agg(sum(when($"pos", 1L).otherwise(0L)).as("ca"),
-        sum(when(!$"pos", 1L).otherwise(0L)).as("cb"))
-    val w = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.select($"ca", $"cb",
-        sum($"ca" + $"cb").over(w).as("cum"), ($"ca" + $"cb").as("cnt"))
-      .agg(sum($"ca").as("n_pos"), sum($"cb").as("n_neg"),
-        sum($"ca" * (lit(2L) * $"cum" - $"cnt" + 1L)).as("r1_2x"))
-      .select($"n_pos", $"n_neg",
-        ($"r1_2x" - $"n_pos" * ($"n_pos" + 1L)).as("u_2x"),
-        expr("""((r1_2x - n_pos * (n_pos + 1)) * 1000000)
-               div (2 * n_pos * n_neg)""").as("auc_ppm"))
-  }
-
-  /** HITS (Kleinberg, JSODA 1998) over the directed customer→supplier
-    * purchase graph: hubs = buyers, authorities = suppliers. Integer
-    * fixed-point like [[graft.ext.Graph.pageRankExact]]: every round
-    * renormalizes scores to sum ≈ 10⁹ via one truncating div against
-    * the broadcast total, so all arithmetic stays in longs and the
-    * oracle unrolls the identical two rounds as CTEs. Two
-    * map-side-combinable shuffles per half-step; scores frames are
-    * node-sized. Top-20 authorities. */
-  private val q285Hits: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val norm = 1000000000L
-    val e = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_custkey".as("src"), $"l_suppkey".as("dst"))
-      .distinct().cache()
-    val h0 = e.select($"src").distinct()
-      .crossJoin(broadcast(e.select($"src").distinct()
-        .agg(count(lit(1)).as("ns"))))
-      .select($"src", expr(s"$norm div ns").as("h"))
-    var h = h0
-    var a: org.apache.spark.sql.DataFrame = null
-    for (i <- 1 to 2) {
-      val aRaw = e.join(h, "src").groupBy($"dst").agg(sum($"h").as("ar"))
-      a = aRaw.crossJoin(broadcast(aRaw.agg(sum($"ar").as("at"))))
-        .select($"dst", expr(s"(ar * $norm) div at").as("a"))
-        .localCheckpoint()
-      if (i < 2) {
-        val hRaw = e.join(a, "dst").groupBy($"src").agg(sum($"a").as("hr"))
-        h = hRaw.crossJoin(broadcast(hRaw.agg(sum($"hr").as("ht"))))
-          .select($"src", expr(s"(hr * $norm) div ht").as("h"))
-          .localCheckpoint()
-      }
-    }
-    a.withColumn("rk", row_number().over(
-        Window.orderBy($"a".desc, $"dst")))
-      .filter($"rk" <= 20)
-      .select($"rk", $"dst".as("suppkey"), $"a".as("authority_fp"))
-      .orderBy($"rk")
-  }
-
-  /** KWIC CONCORDANCE (keyword-in-context) — every occurrence of a term
-    * with ±3 words of context, the corpus-linguistics primitive behind
-    * annotation UIs and context-window audits. Two-phase to stay linear:
-    * the occurrence scan explodes WITHOUT retaining the word array (a
-    * retained array copies O(words²) cells per document), then only the
-    * matching (doc, pos) rows join back to the array for slicing — the
-    * join moves occurrences, not the corpus. */
-  private val q286Kwic: Q = (s, d) => {
-    import s.implicits._
-    val wa = Tables.documents(s, d)
-      .select($"doc_id", split(lower($"text"), " ").as("ws"))
-    val occ = wa.select($"doc_id", posexplode($"ws"))
-      .filter($"col" === "spark")
-      .select($"doc_id", $"pos".cast("long").as("pos"))
-    occ.join(wa, "doc_id")
-      .select($"doc_id", $"pos",
-        array_join(slice($"ws",
-          greatest($"pos" - 3, lit(0L)).cast("int") + 1,
-          ($"pos" - greatest($"pos" - 3, lit(0L))).cast("int")), " ")
-          .as("left_ctx"),
-        array_join(slice($"ws", ($"pos" + 2).cast("int"), lit(3)), " ")
-          .as("right_ctx"))
-      .orderBy($"doc_id", $"pos")
-  }
-
-  /** NTILE QUARTILES × VALUE BUCKETS — the two bucketing semantics a
-    * reporting migration must pin down: ntile's rank-based equal-count
-    * buckets (first n mod k buckets one larger — order fixed by the
-    * (price, orderkey) tiebreak so both engines tile identically) vs
-    * fixed-width value buckets (explicit floor arithmetic shared with
-    * the oracle rather than any engine's width_bucket). Collapsed to a
-    * (status, quartile, bucket) count grid. */
-  private val q287NtileBuckets: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"o_orderstatus")
-      .orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(s, d)
-      .select($"o_orderstatus", ntile(4).over(w).as("quartile"),
-        least(lit(10L), expr("1 + cast(floor(o_totalprice / 50000.0) as bigint)"))
-          .as("bucket"))
-      .groupBy($"o_orderstatus", $"quartile", $"bucket")
-      .agg(count(lit(1)).as("n"))
-      .orderBy($"o_orderstatus", $"quartile", $"bucket")
-  }
-
-  /** THEIL-T BETWEEN-GROUP INEQUALITY — how unequally is corpus text
-    * mass concentrated across sources? The decomposable complement to
-    * q239's Gini (Theil splits into between+within; the between term is
-    * the source-level audit). T_b = Σ share·ln(share/pop-share): shares
-    * in exact ppm, the log-ratio ln(xs·N) − ln(X·ns) per-term micro-nat
-    * quantized (q283's convention) — integer pico-unit sums, one tiny
-    * group-by. */
-  private val q288TheilBetween: Q = (s, d) => {
-    import s.implicits._
-    val per = Tables.documents(s, d)
-      .groupBy($"source")
-      .agg(sum($"n_chars").as("xs"), count(lit(1)).as("ns"))
-    val tot = per.agg(sum($"xs").as("xx"), sum($"ns").as("nn"))
-    val terms = per.crossJoin(broadcast(tot))
-      .select($"source", $"xs", $"ns",
-        expr("(xs * 1000000) div xx").as("share_ppm"),
-        (round(log($"xs".cast("double") * $"nn".cast("double")) * 1e6)
-          - round(log($"xx".cast("double") * $"ns".cast("double")) * 1e6))
-          .cast("long").as("lr_micro"))
-      .withColumn("term_pico", $"share_ppm" * $"lr_micro")
-      .cache()
-    terms.crossJoin(broadcast(terms.agg(sum($"term_pico").as("theil_pico"))))
-      .select($"source", $"xs", $"ns", $"share_ppm", $"term_pico",
-        $"theil_pico")
-      .orderBy($"source")
-  }
-
-  /** CAPTURE-RECAPTURE SIZE ESTIMATE (Chapman 1951) — estimate corpus
-    * cardinality from two independent seeded hash-samples and their
-    * overlap: N̂ = (n₁+1)(n₂+1)/(m+1) − 1. The coverage-estimation
-    * primitive for "how much of the web did this crawl see" — here
-    * audited against the known corpus size so the estimator's bias is
-    * measured in-query. Map-only flags, one fold. */
-  private val q289CaptureRecapture: Q = (s, d) => {
-    import s.implicits._
-    def u(seed: String) =
-      (conv(substring(md5(concat($"doc_id".cast("string"), lit(seed))), 1, 13),
-        16, 10).cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
-    Tables.documents(s, d)
-      .select((u(":cr1") < 0.3).cast("long").as("s1"),
-        (u(":cr2") < 0.3).cast("long").as("s2"))
-      .agg(count(lit(1)).as("true_n"), sum($"s1").as("n1"),
-        sum($"s2").as("n2"), sum($"s1" * $"s2").as("m"))
-      .select($"true_n", $"n1", $"n2", $"m",
-        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1").as("n_hat"))
-      .withColumn("err", $"n_hat" - $"true_n")
-  }
-
-  /** TIME-WEIGHTED AVERAGE over an irregular series — the
-    * metering/billing semantics (a value holds until the next sample)
-    * applied to the gappy hourly purchase-count series: trapezoid
-    * integration Σ(vᵢ+vᵢ₊₁)·Δtᵢ / 2T, all integer (counts × hour
-    * gaps), one lead() window over the aggregated series. The
-    * comparison column is the naive unweighted mean — the bias the TWA
-    * exists to correct. */
-  private val q290TimeWeightedAvg: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val hourly = Tables.events(s, d).filter($"event_type" === "purchase")
-      .groupBy(date_trunc("hour", $"ts").as("hr"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy($"hr")
-    hourly
-      .select($"hr", $"cnt",
-        lead($"cnt", 1).over(w).as("nv"),
-        lead($"hr", 1).over(w).as("nhr"))
-      .withColumn("dt",
-        expr("(cast(nhr as long) - cast(hr as long)) div 3600"))
-      .agg(count(lit(1)).as("n_samples"),
-        sum($"cnt").as("sum_v"),
-        sum(when($"nv".isNotNull, ($"cnt" + $"nv") * $"dt")).as("trap2"),
-        sum(when($"nv".isNotNull, $"dt")).as("t_hours"))
-      .select($"n_samples", $"t_hours",
-        expr("(trap2 * 1000) div (2 * t_hours)").as("twa_milli"),
-        expr("(sum_v * 1000) div n_samples").as("naive_mean_milli"))
-  }
-
-  /** LEAKAGE-FREE TRAIN/TEST SPLIT — the dedup-aware split every
-    * benchmark-clean corpus needs: near-dup CLUSTERS (q86's connected
-    * components, singletons = their own component) are assigned to
-    * splits ATOMICALLY by a seeded hash of the component id, so no
-    * near-duplicate pair can straddle the boundary. The gate MEASURES
-    * the guarantee: cross-split near-dup pairs, structurally zero, is
-    * an output column — a per-doc random split would fail it
-    * immediately. Movement = q86's bounded pair slice + one component
-    * hash; at corpus scale the same construction rides q43's LSH
-    * components. */
-  private val q291LeakageFreeSplit: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
-      .select($"doc_a", $"doc_b").cache()
-    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    val comp = Tables.documents(s, d)
-      .filter($"doc_id" < BruteForceSlice).select($"doc_id")
-      .join(cc, $"doc_id" === cc("node"), "left")
-      .select($"doc_id",
-        coalesce($"component", $"doc_id").as("component"))
-      .withColumn("split",
-        when((conv(substring(md5(concat($"component".cast("string"),
-          lit(":split"))), 1, 13), 16, 10)
-          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
-          < 0.2, "test").otherwise("train"))
-      .cache()
-    val leak = pairs
-      .join(comp.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
-      .join(comp.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
-      .agg(coalesce(sum(when($"sa" =!= $"sb", 1L).otherwise(0L)), lit(0L))
-        .as("cross_split_pairs"))
-    comp.groupBy($"split")
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct($"component").as("n_components"))
-      .crossJoin(broadcast(leak))
-      .orderBy($"split")
-  }
-
-  /** DEDUP OPERATING CURVE — how many near-dup pairs does each Jaccard
-    * threshold catch? The tuning table behind every "why 0.8?"
-    * decision. One bounded pair scan produces integer (∩, ∪) sizes;
-    * the five thresholds fold via cross-multiplication (100·∩ ≥ t·∪ —
-    * no float Jaccard anywhere), so the curve costs one broadcast of
-    * five literals, not five scans. */
-  private val q292DedupThresholdCurve: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long").as("inter"),
-        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"))
-      .filter($"inter" > 0)
-      .withColumn("uni", $"ss" - $"inter")
-    pairs.crossJoin(broadcast(Seq(50L, 60L, 70L, 80L, 90L).toDF("t_pct")))
-      .groupBy($"t_pct")
-      .agg(sum(when($"inter" * 100L >= $"t_pct" * $"uni", 1L).otherwise(0L))
-        .as("n_pairs"))
-      .orderBy($"t_pct")
-  }
-
-  /** SCD2 POINT-IN-TIME LOOKUP — the read half of q155's slowly-changing
-    * dimension: reconstruct every customer's segment AS OF two dates
-    * (one inside the original validity window, one after the
-    * re-segmentation batch) with the canonical interval predicate
-    * valid_from ≤ D < coalesce(valid_to, ∞). Collapsed to per-(as_of,
-    * segment) counts; totals prove exactly one version matched per
-    * customer per date. */
-  private val q293Scd2Timetravel: Q = (s, d) => {
-    import s.implicits._
-    val v1 = lit("2024-01-01").cast("date")
-    val v2 = lit("2024-07-01").cast("date")
-    val base = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
-    val batch = base
-      .filter($"c_custkey" % 7 === 0 && $"c_mktsegment" =!= "MACHINERY")
-      .select($"c_custkey", lit("MACHINERY").as("new_segment"))
-    val flagged = base.join(broadcast(batch), Seq("c_custkey"), "left")
-    val history = flagged.select($"c_custkey", $"c_mktsegment".as("segment"),
-        v1.as("valid_from"),
-        when($"new_segment".isNotNull, v2).otherwise(lit(null).cast("date"))
-          .as("valid_to"))
-      .unionByName(flagged.filter($"new_segment".isNotNull)
-        .select($"c_custkey", $"new_segment".as("segment"),
-          v2.as("valid_from"), lit(null).cast("date").as("valid_to")))
-    val asofs = Seq("2024-03-15", "2024-09-01").toDF("as_of")
-      .select($"as_of".cast("date").as("as_of"))
-    history.crossJoin(broadcast(asofs))
-      .filter($"valid_from" <= $"as_of" &&
-        ($"valid_to".isNull || $"as_of" < $"valid_to"))
-      .groupBy($"as_of".cast("string").as("as_of"), $"segment")
-      .agg(count(lit(1)).as("n_customers"))
-      .orderBy($"as_of", $"segment")
-  }
-
-  /** SEMI-ADDITIVE PERIOD-END BALANCES — event values as cents-exact
-    * deltas, rolled to each user's MONTHLY CLOSING balance (the
-    * balance-sheet semantics where month columns must NOT be summed
-    * across time). Values quantize to integer cents once
-    * (round-half-away, both engines), then one (user, month) aggregate
-    * and one per-user running window over months — never a window over
-    * raw events. Bounded to user_id < 50 for the gate. */
-  private val q294PeriodEndBalance: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val monthly = Tables.events(s, d).filter($"user_id" < 50)
-      .groupBy($"user_id", date_trunc("month", $"ts").as("month"))
-      .agg(sum(round($"value" * 100d).cast("long")).as("delta_cents"))
-    monthly
-      .select($"user_id", $"month".cast("date").cast("string").as("month"),
-        $"delta_cents",
-        sum($"delta_cents").over(Window.partitionBy($"user_id")
-          .orderBy($"month").rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("closing_cents"))
-      .orderBy($"user_id", $"month")
-  }
-
-  /** HIERARCHY SHARES — percent-of-parent at every level of the
-    * region ▸ nation ▸ customer rollup (the drill-down table every BI
-    * layer renders): nation rows carry share-of-region and
-    * share-of-total in exact ppm. One customer-grain aggregate, then
-    * broadcast-joined parent totals — shares never re-scan the fact. */
-  private val q295HierarchyShares: Q = (s, d) => {
-    import s.implicits._
-    val perNation = Tables.customer(s, d)
-      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
-      .join(broadcast(Tables.nation(s, d)),
-        $"c_nationkey" === $"n_nationkey")
-      .select($"n_name", $"n_regionkey", $"n_cust")
-    val perRegion = perNation.groupBy($"n_regionkey")
-      .agg(sum($"n_cust").as("region_cust"))
-    val tot = perNation.agg(sum($"n_cust").as("total_cust"))
-    perNation
-      .join(broadcast(perRegion), "n_regionkey")
-      .crossJoin(broadcast(tot))
-      .join(broadcast(Tables.region(s, d)),
-        $"n_regionkey" === $"r_regionkey")
-      .select($"r_name", $"n_name", $"n_cust", $"region_cust",
-        expr("(n_cust * 1000000) div region_cust").as("share_of_region_ppm"),
-        expr("(n_cust * 1000000) div total_cust").as("share_of_total_ppm"))
-      .orderBy($"r_name", $"n_name")
-  }
-
-  /** BELLMAN-FORD (3 unrolled min-plus rounds) over the weighted trade
-    * graph — cheapest 3-hop route from the smallest customer to every
-    * supplier, edge weight = the cheapest line item (integer cents) ever
-    * traded on that (customer, supplier) pair. The q178 fixed-point
-    * pattern applied to min-plus instead of sum-times: per round one
-    * map-side-combinable min groupBy + one node-universe left join,
-    * localCheckpoint pinning lineage; the oracle unrolls the identical
-    * three relaxations as CTEs. INF = 10¹⁵ keeps unreached nodes exact
-    * under long arithmetic. */
-  private val q296BellmanFord: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val inf = 1000000000000000L
-    val pairCost = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
-      .join(Tables.lineitem(s, d)
-        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice"),
-        $"o_orderkey" === $"l_orderkey")
-      .groupBy($"o_custkey", $"l_suppkey")
-      .agg(min(round($"l_extendedprice" * 100d).cast("long")).as("w"))
-      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"),
-        $"w")
-    val edges = pairCost.unionByName(
-      pairCost.select($"dst".as("src"), $"src".as("dst"), $"w")).cache()
-    val nodes = edges.select($"src".as("node")).distinct().localCheckpoint()
-    val source = edges.agg((min(when($"src" % 2 === 0, $"src")))
-      .as("s0"))
-    var dist = nodes.crossJoin(broadcast(source))
-      .select($"node", when($"node" === $"s0", 0L).otherwise(inf).as("dist"))
-      .localCheckpoint()
-    for (_ <- 1 to 3) {
-      val relax = edges.join(dist, edges("src") === dist("node"))
-        .filter($"dist" < inf)
-        .select($"dst", ($"dist" + $"w").as("cand"))
-        .groupBy($"dst").agg(min($"cand").as("best"))
-      dist = dist.join(relax, dist("node") === relax("dst"), "left")
-        .select(dist("node"),
-          least($"dist", coalesce($"best", lit(inf))).as("dist"))
-        .localCheckpoint()
-    }
-    dist.filter($"node" % 2 === 1 && $"dist" < inf)
-      .select(expr("(node - 1) div 2").as("suppkey"), $"dist".as("cents"))
-      .withColumn("rk", row_number().over(Window.orderBy($"cents", $"suppkey")))
-      .filter($"rk" <= 30)
-      .select($"rk", $"suppkey", $"cents")
-      .orderBy($"rk")
-  }
-
-  /** GAPS-AND-ISLANDS — longest consecutive-day activity streaks (the
-    * retention/engagement metric): the island key is day − row_number
-    * (constant within a run of consecutive days, the classic trick that
-    * needs no self-join and no recursion). One (user, day) distinct,
-    * one per-user window, top-20 streaks with full tiebreak. */
-  private val q297Streaks: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ud = Tables.events(s, d)
-      .select($"user_id", to_date($"ts").as("day")).distinct()
-    val w = Window.partitionBy($"user_id").orderBy($"day")
-    ud.withColumn("island", expr("date_sub(day, row_number() OVER " +
-        "(PARTITION BY user_id ORDER BY day))"))
-      .groupBy($"user_id", $"island")
-      .agg(min($"day").cast("string").as("start_day"),
-        count(lit(1)).as("streak_len"))
-      .withColumn("rk", row_number().over(Window.orderBy(
-        $"streak_len".desc, $"user_id", $"start_day")))
-      .filter($"rk" <= 20)
-      .select($"rk", $"user_id", $"start_day", $"streak_len")
-      .orderBy($"rk")
-  }
-
-  /** SENTENCE SEGMENTATION STATS — per-source sentence counts and exact
-    * integer length moments from a shared `[.!?]+\s*` splitter (the
-    * same character-class regex means Java and RE2 agree). Map-only
-    * split + one combinable aggregate; the corpus-linguistics sibling
-    * of q33's token stats one level up the segmentation stack. */
-  private val q298Sentences: Q = (s, d) => {
-    import s.implicits._
-    val sents = Tables.documents(s, d)
-      .select($"source",
-        filter(split($"text", "[.!?]+\\s*"), x => length(x) > 0)
-          .as("sents"))
-      .select($"source", size($"sents").cast("long").as("ns"),
-        aggregate($"sents", lit(0L), (acc, x) => acc + length(x))
-          .as("chars"),
-        aggregate($"sents", lit(0L),
-          (acc, x) => greatest(acc, length(x).cast("long"))).as("mx"))
-    sents.groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), sum($"ns").as("n_sentences"),
-        expr("(sum(chars) * 1000) div sum(ns)").as("mean_sent_len_milli"),
-        max($"mx").as("max_sent_len"))
-      .orderBy($"source")
-  }
-
-  /** INTER-ARRIVAL DISTRIBUTION — per event type: exact microsecond
-    * gaps between consecutive events (unix_micros, so no float epoch
-    * rounding can diverge), with mean and an interpolation-free
-    * value-domain median (smallest gap whose doubled cumulative count
-    * reaches n — the q233 convention). One per-type lag window + one
-    * per-(type, gap) aggregate; the burstiness companion to q240's
-    * Fano factor. */
-  private val q299Interarrival: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"event_type").orderBy($"us", $"event_id")
-    val gaps = Tables.events(s, d)
-      .select($"event_type", unix_micros($"ts").as("us"), $"event_id")
-      .withColumn("gap", $"us" - lag($"us", 1).over(w))
-      .filter($"gap".isNotNull)
-      .select($"event_type", $"gap")
-    val per = gaps.groupBy($"event_type", $"gap")
-      .agg(count(lit(1)).as("c"))
-    val wq = Window.partitionBy($"event_type").orderBy($"gap")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy($"event_type")
-    val med = per
-      .select($"event_type", $"gap", sum($"c").over(wq).as("cum"),
-        sum($"c").over(wt).as("n"))
-      .filter($"cum" * 2 >= $"n")
-      .groupBy($"event_type").agg(min($"gap").as("median_gap_us"))
-    gaps.groupBy($"event_type")
-      .agg(count(lit(1)).as("n_gaps"),
-        expr("sum(gap) div count(1)").as("mean_gap_us"),
-        min($"gap").as("min_gap_us"), max($"gap").as("max_gap_us"))
-      .join(med, "event_type")
-      .orderBy($"event_type")
-  }
-
-  /** DUPLICATE-CLUSTER SIZE DISTRIBUTION — the shape report on q86's
-    * components (singletons restored from the universe): how much of
-    * the corpus sits in pairs vs larger dup families decides whether
-    * keep-one dedup or cluster-canonicalization is the right policy.
-    * Sizes bucketed 1..4 and 5+ so the histogram is constant-width at
-    * any corpus size. */
-  private val q300ClusterSizeDist: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
-      .select($"doc_a", $"doc_b")
-    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    Tables.documents(s, d)
-      .filter($"doc_id" < BruteForceSlice).select($"doc_id")
-      .join(cc, $"doc_id" === cc("node"), "left")
-      .select($"doc_id", coalesce($"component", $"doc_id").as("component"))
-      .groupBy($"component").agg(count(lit(1)).as("sz"))
-      .select(least($"sz", lit(5L)).as("cluster_size"), $"sz")
-      .groupBy($"cluster_size")
-      .agg(count(lit(1)).as("n_clusters"), sum($"sz").as("n_docs"))
-      .orderBy($"cluster_size")
-  }
-
-  /** PAIRWISE CORRELATION PROFILE — exact integer sufficient statistics
-    * for every numeric column pair of lineitem in ONE scan (quantity,
-    * cents-quantized price, centi-quantized discount/tax): the
-    * profiling matrix feature stores compute before feature selection.
-    * r_ppm folds the q271 way (truncating div against the identically-
-    * rounded floor(sqrt(double·double))); the six pairs ride a single
-    * combinable aggregate — never one scan per pair. */
-  private val q301CorrMatrix: Q = (s, d) => {
-    import s.implicits._
-    val base = Tables.lineitem(s, d).select(
-      $"l_quantity".cast("long").as("q"),
-      round($"l_discount" * 100d).cast("long").as("dd"),
-      round($"l_tax" * 100d).cast("long").as("t"))
-    // one-row sufficient-statistics frame, cached so the three pair
-    // branches below don't re-scan lineitem once each
-    val ag = base.agg(
-      count(lit(1)).as("n"),
-      sum($"q").as("sq"), sum($"dd").as("sd"), sum($"t").as("st"),
-      sum($"q" * $"q").as("sqq"), sum($"q" * $"dd").as("sqd"),
-      sum($"q" * $"t").as("sqt"), sum($"dd" * $"t").as("sdt"),
-      sum($"dd" * $"dd").as("sdd"), sum($"t" * $"t").as("stt")).cache()
-    def r(tag: String, sx: String, sy: String, sxy: String,
-          sxx: String, syy: String) =
-      ag.select(lit(tag).as("pair"), $"n",
-        expr(s"(n*$sxy - $sx*$sy)").as("cov_n"),
-        // ×1000 against den÷1000 (not ×10⁶ against den): keeps the
-        // numerator < 2⁶³ even when the covariance is at its n·Σxy bound
-        expr(s"""((n*$sxy - $sx*$sy) * 1000) div
-               nullif(cast(floor(sqrt(cast(n*$sxx - $sx*$sx as double)
-                 * cast(n*$syy - $sy*$sy as double))) as bigint) div 1000, 0)""")
-          .as("r_ppm"))
-    r("quantity~discount", "sq", "sd", "sqd", "sqq", "sdd")
-      .unionByName(r("quantity~tax", "sq", "st", "sqt", "sqq", "stt"))
-      .unionByName(r("discount~tax", "sd", "st", "sdt", "sdd", "stt"))
-      .orderBy($"pair")
-  }
-
-  /** SIMPSON'S-PARADOX DETECTOR — does the overall price↔date trend
-    * contradict the per-status trends? The aggregation-bias audit every
-    * metrics team needs before trusting a topline trend. Only SIGNS are
-    * compared, and the sign of a Pearson slope is the sign of the
-    * integer covariance numerator n·Σxy − Σx·Σy (cents × day-index, all
-    * exact), so the detector needs no division at all. One scan for the
-    * groups + one broadcast overall row. */
-  private val q302SimpsonDetector: Q = (s, d) => {
-    import s.implicits._
-    // day-index × KILODOLLAR scale keeps n·Σxy < 2⁶³ to ~3·10⁶ orders
-    // (documented bound, the pageRankExact convention — dollars already
-    // overflow at 1.5·10⁵ orders; beyond the bound, center and sample)
-    val base = Tables.orders(s, d).select($"o_orderstatus",
-      datediff($"o_orderdate", lit("2020-01-01").cast("date")).cast("long")
-        .as("x"),
-      round($"o_totalprice" / 1000d).cast("long").as("y"))
-    def stats(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"))
-    val overall = stats(base)
-      .select(expr("sign(n*sxy - sx*sy)").cast("long").as("overall_sign"))
-    base.groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"y").as("sxy"))
-      .select($"o_orderstatus", $"n",
-        expr("sign(n*sxy - sx*sy)").cast("long").as("group_sign"))
-      .crossJoin(broadcast(overall))
-      .withColumn("contradicts", $"group_sign" =!= lit(0L) &&
-        $"overall_sign" =!= lit(0L) && $"group_sign" =!= $"overall_sign")
-      .orderBy($"o_orderstatus")
-  }
-
-  /** TIME-TO-CONVERT DISTRIBUTION — seconds from each user's first
-    * signup to their first subsequent purchase (q142's funnel, but the
-    * LATENCY distribution instead of the count): exact integer deltas,
-    * mean via truncating div, and the interpolation-free value-domain
-    * median (q233/q299 convention). Two first-event aggregates and one
-    * tiny join — never a per-user sort of raw events. */
-  private val q303TimeToConvert: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-      .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
-    val signup = ev.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"us").as("s_us"))
-    val deltas = signup.join(
-        ev.filter($"event_type" === "purchase")
-          .select($"user_id", $"us".as("p_us")), "user_id")
-      .filter($"p_us" >= $"s_us")
-      .groupBy($"user_id", $"s_us").agg(min($"p_us").as("first_p"))
-      .select(expr("(first_p - s_us) div 1000000").as("delta_s"))
-      .cache()
-    val per = deltas.groupBy($"delta_s").agg(count(lit(1)).as("c"))
-    val wq = Window.orderBy($"delta_s")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val med = per
-      .select($"delta_s", sum($"c").over(wq).as("cum"))
-      .crossJoin(broadcast(deltas.agg(count(lit(1)).as("nn"))))
-      .filter($"cum" * 2 >= $"nn")
-      .agg(min($"delta_s").as("median_s"))
-    deltas.agg(count(lit(1)).as("n_converted"),
-        expr("sum(delta_s) div count(1)").as("mean_s"),
-        min($"delta_s").as("min_s"), max($"delta_s").as("max_s"))
-      .crossJoin(broadcast(med))
-  }
-
-  /** COHORT LTV CURVE — q143's retention triangle with MONEY: per
-    * signup-month cohort, cumulative purchase value (exact cents)
-    * through months-since-signup 0..3. One windowed running sum over
-    * the (cohort, month_idx) aggregate; the curve every growth model
-    * fits. */
-  private val q304CohortLtv: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, d)
-    val cohort = ev.filter($"event_type" === "signup")
-      .groupBy($"user_id")
-      .agg(date_trunc("month", min($"ts")).as("cohort_month"))
-    val purch = ev.filter($"event_type" === "purchase")
-      .select($"user_id", date_trunc("month", $"ts").as("p_month"),
-        round($"value" * 100d).cast("long").as("cents"))
-    val cells = purch.join(cohort, "user_id")
-      .withColumn("m_idx",
-        (months_between($"p_month", $"cohort_month")).cast("long"))
-      .filter($"m_idx" >= 0 && $"m_idx" <= 3)
-      .groupBy($"cohort_month", $"m_idx")
-      .agg(sum($"cents").as("cents"), countDistinct($"user_id")
-        .as("buyers"))
-    val sz = cohort.groupBy($"cohort_month")
-      .agg(count(lit(1)).as("cohort_size"))
-    cells.join(sz, "cohort_month")
-      .select($"cohort_month".cast("date").cast("string").as("cohort_month"),
-        $"m_idx", $"buyers", $"cohort_size",
-        sum($"cents").over(Window.partitionBy($"cohort_month")
-          .orderBy($"m_idx").rowsBetween(Window.unboundedPreceding,
-            Window.currentRow)).as("cum_cents"))
-      .withColumn("ltv_cents_per_user",
-        expr("cum_cents div cohort_size"))
-      .orderBy($"cohort_month", $"m_idx")
-  }
-
-  /** QUOTA-EXACT STRATIFIED SAMPLE — q264's largest-remainder quotas
-    * EXECUTED: each source contributes exactly its apportioned share of
-    * the 50-doc holdout, members picked by seeded-hash rank within the
-    * stratum (deterministic, order-free). The gate proves the two
-    * halves compose: Σ picked == H exactly, picked == quota per
-    * stratum. One count aggregate + one per-source rank window. */
-  private val q305QuotaSample: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val H = HoldoutQuota
-    val counts = Tables.documents(s, d)
-      .groupBy($"source").agg(count(lit(1)).as("cnt")).cache()
-    val quotas = counts
-      .crossJoin(broadcast(counts.agg(sum($"cnt").as("total"))))
-      .withColumn("floor_q", expr(s"(cnt * $H) div total"))
-      .withColumn("rem", expr(s"(cnt * $H) % total"))
-      .withColumn("rrank", row_number().over(
-        Window.orderBy($"rem".desc, $"source")))
-      .crossJoin(broadcast(
-        counts.crossJoin(counts.agg(sum($"cnt").as("t2")))
-          .agg((lit(H) - sum(expr(s"(cnt * $H) div t2"))).as("leftover"))))
-      .select($"source", $"cnt",
-        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
-          .as("quota"))
-    val ranked = Tables.documents(s, d)
-      .select($"source", $"doc_id",
-        md5(concat($"doc_id".cast("string"), lit(":qs"))).as("h"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy($"source").orderBy($"h", $"doc_id")))
-    ranked.join(broadcast(quotas), "source")
-      .filter($"rk" <= $"quota")
-      .groupBy($"source")
-      .agg(max($"cnt").as("cnt"), max($"quota").as("quota"),
-        count(lit(1)).as("picked"))
-      .crossJoin(broadcast(
-        ranked.join(broadcast(quotas), "source").filter($"rk" <= $"quota")
-          .agg(count(lit(1)).as("total_picked"))))
-      .orderBy($"source")
-  }
-
-  /** DEDUP TOKEN-SAVINGS REPORT — the business case for q86's
-    * clustering: tokens in the bounded slice vs tokens surviving
-    * keep-canonical-per-cluster dedup, savings in ppm. Clusters come
-    * from the same bounded pair machinery; token counts ride the shared
-    * words()/wordsSql tokenizer pair so both engines count identically.
-    * The number that decides whether a dedup pass pays for itself at
-    * 100 TB. */
-  private val q306DedupSavings: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .filter(Dedup.jaccard($"sh_a", $"sh_b") > 0.5)
-      .select($"doc_a", $"doc_b")
-    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-    Tables.documents(s, d)
-      .filter($"doc_id" < BruteForceSlice)
-      .select($"doc_id", size(TextAnalysis.words($"text")).cast("long")
-        .as("toks"))
-      .join(cc, $"doc_id" === cc("node"), "left")
-      .select($"doc_id", $"toks",
-        coalesce($"component", $"doc_id").as("component"))
-      .withColumn("keep", $"doc_id" === $"component")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"keep", 1L).otherwise(0L)).as("n_keep"),
-        sum($"toks").as("total_tokens"),
-        sum(when($"keep", $"toks").otherwise(0L)).as("kept_tokens"))
-      .withColumn("savings_ppm",
-        expr("((total_tokens - kept_tokens) * 1000000) div total_tokens"))
-  }
-
-  /** QUANTILE TRANSFORM — map each document's length to its exact
-    * corpus percentile rank in ppm ((rank_min − 1)·10⁶ div (n−1), the
-    * percent_rank identity) WITHOUT a per-row rank window: ranks fold
-    * from cumulative counts over the value domain and join back by
-    * value. The monotone feature normalization that makes downstream
-    * thresholds corpus-relative. Output bounded to doc_id < 1000;
-    * ranks computed from the full corpus. */
-  private val q307QuantileTransform: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val per = Tables.documents(s, d)
-      .groupBy($"n_chars").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy($"n_chars")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranks = per
-      .select($"n_chars", (sum($"c").over(w) - $"c" + 1L).as("rank_min"))
-      .crossJoin(broadcast(
-        per.agg(sum($"c").as("n"))))
-      .select($"n_chars",
-        expr("((rank_min - 1) * 1000000) div (n - 1)").as("pct_ppm"))
-    Tables.documents(s, d).filter($"doc_id" < 1000)
-      .select($"doc_id", $"n_chars")
-      .join(ranks, "n_chars")
-      .select($"doc_id", $"n_chars", $"pct_ppm")
-      .orderBy($"doc_id")
-  }
-
-  /** HASH-RING NEGATIVE SAMPLING — deterministic contrastive negatives:
-    * each anchor (doc_id < 200) requests 3 candidates at seeded-hash
-    * ring positions (mod the broadcast corpus size), joined back BY KEY
-    * — never an anchor×corpus similarity pass. Same-source collisions
-    * are dropped and MEASURED (the contrastive-training contract:
-    * negatives must cross sources). Output: per-anchor found counts +
-    * the global drop rate. */
-  private val q308NegativeSampling: Q = (s, d) => {
-    import s.implicits._
-    val docs = Tables.documents(s, d).select($"doc_id", $"source").cache()
-    val n = docs.agg(max($"doc_id").as("maxid"))
-    val anchors = docs.filter($"doc_id" < 200)
-    val req = anchors.crossJoin(broadcast(Seq(1L, 2L, 3L).toDF("j")))
-      .crossJoin(broadcast(n))
-      .select($"doc_id".as("anchor"), $"source".as("a_src"), $"j",
-        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":"),
-          $"j".cast("string"), lit(":ns"))), 1, 13), 16, 10).cast("long")
-          % ($"maxid" + 1L)).as("cand_id"))
-    val joined = req.join(docs.select($"doc_id".as("cand_id"),
-        $"source".as("c_src")), "cand_id")
-      .withColumn("ok", $"a_src" =!= $"c_src").cache()
-    val drops = joined.agg(
-      expr("(sum(case when ok then 0 else 1 end) * 1000000) div count(1)")
-        .as("drop_ppm"))
-    joined.groupBy($"anchor")
-      .agg(count(lit(1)).as("n_candidates"),
-        sum(when($"ok", 1L).otherwise(0L)).as("n_negatives"))
-      .crossJoin(broadcast(drops))
-      .orderBy($"anchor")
-  }
-
-  /** LSH DESIGN CURVE — the (bands × rows) tuning table computed from
-    * the MEASURED pair-similarity distribution (not the textbook j
-    * grid): for each candidate config with b·r = 128, the expected
-    * candidate mass Σ p(j) and expected recall over true near-dups,
-    * where p = 1−(1−jʳ)ᵇ is evaluated by an EXPLICIT
-    * multiply-and-square chain written identically in both engines
-    * (exactly-rounded IEEE ops in the same order ⇒ bit-equal), then
-    * micro-rounded per pair before the integer sum. One bounded pair
-    * scan serves all three configs. */
-  private val q309LshDesignCurve: Q = (s, d) => {
-    import s.implicits._
-    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val a = slice.toDF("doc_a", "sh_a")
-    val b = slice.toDF("doc_b", "sh_b")
-    val pairs = a.crossJoin(broadcast(b))
-      .filter($"doc_a" < $"doc_b")
-      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long")
-        .as("inter"),
-        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"))
-      .filter($"inter" > 0)
-      .selectExpr("cast(inter as double) / cast(ss - inter as double) as j",
-        "inter", "ss - inter as uni")
-      .cache()
-    // p(b,r): jʳ by repeated squaring, then (1−jʳ)ᵇ by repeated
-    // squaring — each step is ONE multiplication materialized as a
-    // column, and the oracle replays the identical step sequence, so
-    // the doubles are bit-equal (IEEE ops, same order)
-    def cfg(bands: Int, rows: Int) = {
-      val rSquarings = Map(2 -> 1, 4 -> 2, 8 -> 3)(rows)
-      val bSquarings = Map(16 -> 4, 32 -> 5, 64 -> 6)(bands)
-      var df = pairs.selectExpr("inter", "uni", "j as p0")
-      for (i <- 1 to rSquarings)
-        df = df.selectExpr("inter", "uni", s"p${i-1} * p${i-1} as p$i")
-      df = df.selectExpr("inter", "uni", s"1.0 - p$rSquarings as t0")
-      for (i <- 1 to bSquarings)
-        df = df.selectExpr("inter", "uni", s"t${i-1} * t${i-1} as t$i")
-      df.selectExpr("inter", "uni",
-          s"cast(round((1.0 - t$bSquarings) * 1000000.0) as bigint) as p_micro")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum($"p_micro").as("expected_cand_micro"),
-          sum(when($"inter" * 10L > ($"uni") * 8L, $"p_micro"))
-            .as("recall_mass_micro"),
-          sum(when($"inter" * 10L > ($"uni") * 8L, 1L).otherwise(0L))
-            .as("n_true"))
-        .select(lit(s"b=$bands,r=$rows").as("config"), $"n_pairs",
-          $"n_true", $"expected_cand_micro",
-          expr("recall_mass_micro div nullif(n_true, 0)")
-            .as("expected_recall_micro"))
-    }
-    cfg(32, 4).unionByName(cfg(16, 8)).unionByName(cfg(64, 2))
-      .orderBy($"config")
-  }
-
-  /** SIMHASH OPERATING CHARACTERISTIC — precision/recall of
-    * Hamming-radius candidate generation against exact-Jaccard truth
-    * (> 0.8) on the bounded slice, per radius ∈ {0,1,2,3,8,16}: the
-    * measured justification for q161's radius-3 pigeonhole bound. The
-    * md5 simhash is the q44 construction both engines replay
-    * bit-for-bit; Hamming = bit_count(xor). One pair scan, six
-    * threshold folds. */
-  private val q310SimhashPr: Q = (s, d) => {
-    import s.implicits._
-    val sh = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
-    val fp = Tables.documents(s, d).filter($"doc_id" < BruteForceSlice)
-      .repartition($"doc_id")
-      .select($"doc_id",
-        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text"))
-          .as("f"))
-    val base = sh.toDF("doc_a", "sh_a")
-      .join(fp.toDF("doc_a", "f_a"), "doc_a")
-    val other = sh.toDF("doc_b", "sh_b")
-      .join(fp.toDF("doc_b", "f_b"), "doc_b")
-    val pairs = base.crossJoin(broadcast(other))
-      .filter($"doc_a" < $"doc_b")
-      .select(size(array_intersect($"sh_a", $"sh_b")).cast("long")
-          .as("inter"),
-        (size($"sh_a") + size($"sh_b")).cast("long").as("ss"),
-        expr("bit_count(f_a ^ f_b)").cast("long").as("ham"))
-      .withColumn("uni", $"ss" - $"inter")
-      .withColumn("truth", $"inter" * 10L > $"uni" * 8L)
-      .cache()
-    pairs.crossJoin(broadcast(
-        Seq(0L, 1L, 2L, 3L, 8L, 16L).toDF("radius")))
-      .groupBy($"radius")
-      .agg(sum(when($"ham" <= $"radius", 1L).otherwise(0L)).as("n_cand"),
-        sum(when($"ham" <= $"radius" && $"truth", 1L).otherwise(0L))
-          .as("n_tp"),
-        sum(when($"truth", 1L).otherwise(0L)).as("n_true"))
-      .select($"radius", $"n_cand", $"n_tp", $"n_true",
-        expr("(n_tp * 1000000) div nullif(n_cand, 0)").as("precision_ppm"),
-        expr("(n_tp * 1000000) div nullif(n_true, 0)").as("recall_ppm"))
-      .orderBy($"radius")
-  }
-
-  /** FULFILLMENT LEAD-TIME SLA — ship-date minus order-date in days per
-    * order priority: exact integer day deltas, value-domain median and
-    * p90 (the q233 convention), and the share meeting a 30-day SLA in
-    * ppm. The classic warehouse service-level table; one join + one
-    * per-(priority, delta) aggregate, windows over the bounded delta
-    * domain. */
-  private val q311LeadTimeSla: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val deltas = Tables.orders(s, d)
-      .select($"o_orderkey", $"o_orderpriority", $"o_orderdate")
-      .join(Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate"),
-        $"o_orderkey" === $"l_orderkey")
-      .select($"o_orderpriority",
-        datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
-          .cast("long").as("dd"))
-    val per = deltas.groupBy($"o_orderpriority", $"dd")
-      .agg(count(lit(1)).as("c"))
-    val wq = Window.partitionBy($"o_orderpriority").orderBy($"dd")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wt = Window.partitionBy($"o_orderpriority")
-    val cum = per.select($"o_orderpriority", $"dd",
-      sum($"c").over(wq).as("cum"), sum($"c").over(wt).as("n"))
-    val med = cum.filter($"cum" * 2 >= $"n")
-      .groupBy($"o_orderpriority").agg(min($"dd").as("median_days"))
-    val p90 = cum.filter($"cum" * 10 >= $"n" * 9)
-      .groupBy($"o_orderpriority").agg(min($"dd").as("p90_days"))
-    deltas.groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_lines"),
-        expr("(sum(case when dd <= 30 then 1 else 0 end) * 1000000) div count(1)")
-          .as("sla30_ppm"))
-      .join(med, "o_orderpriority").join(p90, "o_orderpriority")
-      .orderBy($"o_orderpriority")
-  }
-
-  /** LAST-TOUCH ATTRIBUTION — for every purchase, the user's most
-    * recent PRIOR non-purchase event takes the credit; share per
-    * channel in ppm. The canonical marketing-attribution fold: one
-    * per-user event-time window (bounded per-user history), a
-    * last_value over the running non-purchase carry, then a tiny
-    * channel aggregate. First-event purchases attribute to 'none'. */
-  private val q312Attribution: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy($"user_id").orderBy($"us", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val touched = Tables.events(s, d)
-      .select($"user_id", $"event_type", unix_micros($"ts").as("us"),
-        $"event_id")
-      .withColumn("touch",
-        last(when($"event_type" =!= "purchase", $"event_type"),
-          ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase")
-      .select(coalesce($"touch", lit("none")).as("touch"))
-    val tot = touched.agg(count(lit(1)).as("nn"))
-    touched.groupBy($"touch").agg(count(lit(1)).as("n_purchases"))
-      .crossJoin(broadcast(tot))
-      .select($"touch", $"n_purchases",
-        expr("(n_purchases * 1000000) div nn").as("share_ppm"))
-      .orderBy($"touch")
-  }
-
-  /** WEEK-OVER-WEEK GROWTH — weekly event volume with growth rate in
-    * signed ppm ((cur−prev)·10⁶ div prev, truncation toward zero
-    * matching both engines on negatives): the topline every dashboard
-    * leads with. One calendar-bounded aggregate + one lag. */
-  private val q313GrowthRates: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val weekly = Tables.events(s, d)
-      .groupBy(date_trunc("week", $"ts").as("week"))
-      .agg(count(lit(1)).as("cnt"))
-    weekly
-      .select($"week".cast("date").cast("string").as("week"), $"cnt",
-        lag($"cnt", 1).over(Window.orderBy($"week")).as("prev"))
-      .select($"week", $"cnt", $"prev",
-        expr("((cnt - prev) * 1000000) div prev").as("wow_ppm"))
-      .orderBy($"week")
-  }
-
-  /** BOUNDED-DAY RETENTION (D1/D7/D30) — of users first seen on each
-    * day, the share active again within k days (exclusive of day 0):
-    * the canonical growth-accounting metric, folded WITHOUT a per-user
-    * timeline: first-day table ⋈ activity days once, then three
-    * day-difference threshold folds share the join. Rates in ppm per
-    * cohort day, overall summary row per k. */
-  private val q314RetentionDk: Q = (s, d) => {
-    import s.implicits._
-    val ud = Tables.events(s, d)
-      .select($"user_id", to_date($"ts").as("day")).distinct().cache()
-    val first = ud.groupBy($"user_id").agg(min($"day").as("d0"))
-    val joined = first.join(ud, "user_id")
-      .select($"user_id", datediff($"day", $"d0").cast("long").as("dd"))
-      .filter($"dd" > 0)
-      .groupBy($"user_id")
-      .agg(min($"dd").as("first_return"))
-    val tot = first.agg(count(lit(1)).as("n_users"))
-    first.join(joined, Seq("user_id"), "left")
-      .agg(
-        sum(when($"first_return" === 1L, 1L).otherwise(0L)).as("d1"),
-        sum(when($"first_return" <= 7L, 1L).otherwise(0L)).as("d7"),
-        sum(when($"first_return" <= 30L, 1L).otherwise(0L)).as("d30"))
-      .crossJoin(broadcast(tot))
-      .select($"n_users", $"d1", $"d7", $"d30",
-        expr("(d1 * 1000000) div n_users").as("d1_ppm"),
-        expr("(d7 * 1000000) div n_users").as("d7_ppm"),
-        expr("(d30 * 1000000) div n_users").as("d30_ppm"))
-  }
-
-  /** STICKINESS (DAU/MAU) — per month: mean daily actives over monthly
-    * actives in ppm, the engagement-density ratio. avg DAU folds as
-    * Σ daily-distinct div days (integer), MAU is one month-distinct —
-    * two aggregates over the same (day, user) distinct frame. */
-  private val q315Stickiness: Q = (s, d) => {
-    import s.implicits._
-    val ud = Tables.events(s, d)
-      .select(to_date($"ts").as("day"), $"user_id").distinct().cache()
-    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
-      .groupBy(date_trunc("month", $"day").as("month"))
-      .agg(sum($"dau").as("sum_dau"), count(lit(1)).as("n_days"))
-    val mau = ud.groupBy(date_trunc("month", $"day").as("month"))
-      .agg(countDistinct($"user_id").as("mau"))
-    dau.join(mau, "month")
-      .select($"month".cast("date").cast("string").as("month"),
-        $"n_days", $"mau",
-        expr("sum_dau div n_days").as("avg_dau"),
-        expr("((sum_dau div n_days) * 1000000) div mau")
-          .as("stickiness_ppm"))
-      .orderBy($"month")
-  }
-
-  /** POWER-USER CURVE — activity deciles over per-user event counts
-    * (value-domain rank folds, no per-row window): each decile's share
-    * of total events in ppm. The engagement-concentration Lorenz table
-    * (q239's Gini is its scalar summary — over sources; this is the
-    * user-grain curve BI actually plots). */
-  private val q316PowerUsers: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val per = Tables.events(s, d)
-      .groupBy($"user_id").agg(count(lit(1)).as("c"))
-    val vals = per.groupBy($"c").agg(count(lit(1)).as("users"))
-    val w = Window.orderBy($"c")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = vals
-      .select($"c", $"users", (sum($"users").over(w) - $"users").as("below"))
-      .crossJoin(broadcast(per.agg(count(lit(1)).as("n"),
-        sum($"c").as("total_events"))))
-      // decile of a user with count c (min-rank convention): all users
-      // share their value's decile — deterministic under ties
-      .select($"c", $"users",
-        least(lit(9L), expr("(below * 10) div n")).as("decile"),
-        $"total_events")
-    ranked.groupBy($"decile")
-      .agg(sum($"users").as("n_users"),
-        sum($"c" * $"users").as("events"),
-        expr("(sum(c * users) * 1000000) div max(total_events)")
-          .as("share_ppm"))
-      .orderBy($"decile")
-  }
-
-  /** A/B READOUT — two-proportion test sufficient statistics for a
-    * deterministic user-parity split on purchase conversion: per arm
-    * n, converters, rate ppm; plus the |z|-statistic in milli via the
-    * q271 floor(sqrt(double)) convention. The experiment-analysis fold
-    * every growth team runs; all counts exact, one (user, converted)
-    * aggregate. */
-  private val q317AbReadout: Q = (s, d) => {
-    import s.implicits._
-    val per = Tables.events(s, d)
-      .groupBy($"user_id")
-      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
-        .as("conv"))
-      .select(($"user_id" % 2 === 0).as("arm_a"), $"conv")
-    val arms = per.groupBy($"arm_a")
-      .agg(count(lit(1)).as("n"), sum($"conv").as("conv"))
-      .cache()
-    val stats = arms.agg(
-        sum(when($"arm_a", $"n")).as("na"),
-        sum(when($"arm_a", $"conv")).as("ca"),
-        sum(when(!$"arm_a", $"n")).as("nb"),
-        sum(when(!$"arm_a", $"conv")).as("cb"))
-      .select($"na", $"ca", $"nb", $"cb",
-        expr("(ca * 1000000) div na").as("rate_a_ppm"),
-        expr("(cb * 1000000) div nb").as("rate_b_ppm"),
-        // |z|·1000: |ca·nb − cb·na| / sqrt(p̂(1−p̂)·na·nb·(na+nb)) with
-        // p̂ = (ca+cb)/(na+nb), cross-multiplied into one integer
-        // numerator and a floor(sqrt(double)) denominator
-        expr("""(abs(ca*nb - cb*na) * 1000) div
-               nullif(cast(floor(sqrt(
-                 cast((ca+cb) as double) * cast((na+nb)-(ca+cb) as double)
-                 * cast(na as double) * cast(nb as double)
-                 / cast(na+nb as double))) as bigint), 0)""")
-          .as("abs_z_milli"))
-    stats
-  }
-
-  /** DAY-OF-WEEK SEASONALITY PROFILE + residual anomalies — the weekly
-    * seasonal decomposition (q217 does hour-of-day): per-DOW mean in
-    * integer milli, then the 5 days with the largest |observed −
-    * dow-mean| residuals. Two calendar-bounded aggregates and a tiny
-    * top-k; no per-row windows. */
-  private val q318DowProfile: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(s, d)
-      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
-      .withColumn("dow", dayofweek($"day").cast("long")).cache()
-    val prof = daily.groupBy($"dow")
-      .agg(expr("(sum(cnt) * 1000) div count(1)").as("dow_mean_milli"))
-    daily.join(broadcast(prof), "dow")
-      .select($"day".cast("string").as("day"), $"dow", $"cnt",
-        $"dow_mean_milli",
-        abs($"cnt" * 1000L - $"dow_mean_milli").as("abs_resid_milli"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy($"abs_resid_milli".desc, $"day")))
-      .filter($"rk" <= 5)
-      .select($"rk", $"day", $"dow", $"cnt", $"dow_mean_milli",
-        $"abs_resid_milli")
-      .orderBy($"rk")
-  }
-
-  /** FRESHNESS AUDIT — per source: newest document id, row count, and
-    * staleness vs the global high-water mark measured in id-space ppm
-    * (documents carry no timestamps, so recency = id recency — the
-    * monotone-ingest convention). The ops table a pipeline's on-call
-    * reads first. */
-  private val q319Freshness: Q = (s, d) => {
-    import s.implicits._
-    val per = Tables.documents(s, d)
-      .groupBy($"source")
-      .agg(count(lit(1)).as("n_docs"), max($"doc_id").as("max_id"))
-    per.crossJoin(broadcast(per.agg(max($"max_id").as("hwm"))))
-      .select($"source", $"n_docs", $"max_id", $"hwm",
-        expr("((hwm - max_id) * 1000000) div hwm").as("staleness_ppm"))
-      .orderBy($"source")
-  }
-
-  /** GROWTH-ACCOUNTING STATE FLOW — per day, every active user is
-    * exactly one of new / retained / resurrected, and churned counts
-    * users active the PREVIOUS day who vanished: the four-way
-    * decomposition (Social Capital's canonical growth accounting)
-    * whose identity DAU_t = new + retained + resurrected and
-    * churn_t = DAU_{t-1} − retained is checkable line by line. Day
-    * grain (the testdata spans one calendar month) so every state
-    * actually occurs. One (user, day) distinct, one per-user lag
-    * window, one day aggregate; the final lag runs over calendar-
-    * bounded day rows, the q154 pattern. */
-  private val q320GrowthAccounting: Q = (s, d) => {
-    import s.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val um = Tables.events(s, d)
-      .select($"user_id", to_date($"ts").as("day"))
-      .distinct()
-    val w = Window.partitionBy($"user_id").orderBy($"day")
-    val staged = um
-      .withColumn("prev", lag($"day", 1).over(w))
-      .withColumn("state",
-        when($"prev".isNull, "new")
-          .when(datediff($"day", $"prev") === 1, "retained")
-          .otherwise("resurrected"))
-    val active = staged.groupBy($"day")
-      .agg(count(lit(1)).as("dau"),
-        sum(when($"state" === "new", 1L).otherwise(0L)).as("new_users"),
-        sum(when($"state" === "retained", 1L).otherwise(0L))
-          .as("retained"),
-        sum(when($"state" === "resurrected", 1L).otherwise(0L))
-          .as("resurrected"))
-    val wm = Window.orderBy($"day")
-    active
-      .withColumn("prev_dau", lag($"dau", 1).over(wm))
-      .select($"day".cast("string").as("day"),
-        $"dau", $"new_users", $"retained", $"resurrected",
-        (coalesce($"prev_dau", lit(0L)) - $"retained").as("churned"))
-      .orderBy($"day")
-  }
-
-  /** QUALITY-GATE WATERFALL — survivor counts through four successive
-    * release gates (length ≥ 500 chars, known language, ≥ 100 words,
-    * distinct-word ratio ≥ 30%): the attrition table that tells a
-    * corpus owner WHICH gate eats their data. One scan computes all
-    * stage flags; the waterfall is a single fold with per-stage drop
-    * shares in ppm of the original corpus. */
-  private val q321GateWaterfall: Q = (s, d) => {
-    import s.implicits._
-    val flags = Tables.documents(s, d)
-      .select($"n_chars", $"lang", TextAnalysis.words($"text").as("ws"))
-      .select(($"n_chars" >= 500L).as("g1"),
-        $"lang".isin("en", "de", "fr", "es").as("g2"),
-        (size($"ws") >= 100).as("g3"),
-        (size(array_distinct($"ws")) * 10 >= size($"ws") * 3).as("g4"))
-    flags.agg(count(lit(1)).as("n0"),
-        sum(when($"g1", 1L).otherwise(0L)).as("n1"),
-        sum(when($"g1" && $"g2", 1L).otherwise(0L)).as("n2"),
-        sum(when($"g1" && $"g2" && $"g3", 1L).otherwise(0L)).as("n3"),
-        sum(when($"g1" && $"g2" && $"g3" && $"g4", 1L).otherwise(0L))
-          .as("n4"))
-      .select($"n0", $"n1", $"n2", $"n3", $"n4",
-        expr("((n0 - n1) * 1000000) div n0").as("drop1_ppm"),
-        expr("((n1 - n2) * 1000000) div n0").as("drop2_ppm"),
-        expr("((n2 - n3) * 1000000) div n0").as("drop3_ppm"),
-        expr("((n3 - n4) * 1000000) div n0").as("drop4_ppm"),
-        expr("(n4 * 1000000) div n0").as("survive_ppm"))
-  }
-
-  /** q322's segment width and within-source document-frequency floor —
-    * 4-word segments repeat across this corpus's docs (sf0.01: 21
-    * per-source segments hit df ≥ 2), so the strip genuinely removes
-    * text. Shared with the oracle SQL. */
-  private[ops] val BoilerplateSegWords = 4
-  private[ops] val BoilerplateDfMin = 2
-
-  /** BOILERPLATE DETECTION (CCNet/RefinedWeb line-dedup leg): a segment
-    * that recurs in ≥ `BoilerplateDfMin` DISTINCT documents of the SAME
-    * source is boilerplate (nav bars, footers, license headers), and the
-    * cleaner strips every instance — unlike q103's keep-first paragraph
-    * dedup, boilerplate keeps NO copy. Output is the per-source audit:
-    * how much of the corpus is boilerplate, in exact ppm.
-    *
-    * 100 TB shape: one explode → one (source, segment-md5) count with
-    * map-side partial agg (countDistinct doc_id is exact because the
-    * group key already contains the source; the df counter shuffles
-    * (source, md5, doc_id) once) → one 20-row fold. No joins back to the
-    * corpus: the audit never rebuilds documents, so nothing document-
-    * sized crosses the wire twice. */
-  private val q322BoilerplateStrip: Q = (s, d) => {
-    import s.implicits._
-    val k = BoilerplateSegWords
-    val segs = Tables.documents(s, d)
-      .select($"doc_id", $"source", Dedup.words($"text").as("ws"))
-      .filter(size($"ws") > 0)
-      .select($"doc_id", $"source", explode(expr(
-        s"transform(sequence(0, (size(ws)-1) div $k), " +
-          s"i -> array_join(slice(ws, i*$k+1, $k), ' '))")).as("seg"))
-    val df = segs.groupBy($"source", md5($"seg").as("h"))
-      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("inst"))
-    df.groupBy($"source")
-      .agg(sum($"inst").as("n_instances"),
-        count(lit(1)).as("n_distinct_segs"),
-        sum(when($"df" >= BoilerplateDfMin, 1L).otherwise(0L))
-          .as("n_boilerplate_segs"),
-        sum(when($"df" >= BoilerplateDfMin, $"inst").otherwise(0L))
-          .as("removed_instances"))
-      .select($"source", $"n_instances", $"n_distinct_segs",
-        $"n_boilerplate_segs", $"removed_instances",
-        expr("(removed_instances * 1000000) div n_instances")
-          .as("removed_ppm"))
-      .orderBy($"source")
-  }
-
-  /** SOURCE-DIVERGENCE MATRIX — KL(a ‖ b) between every ordered pair of
-    * source unigram distributions, add-one smoothing on the REFERENCE
-    * side (p_b(w) = (c_bw+1)/(T_b+V)): the corpus-mixing diagnostic that
-    * says which sources are interchangeable and which would shift the
-    * token distribution if upweighted. Integer micro-nats via the q137
-    * lnMicro quantize-before-subtract rule, so both engines sum the same
-    * longs: each in-a term is c_aw·(lnM(c_aw·(T_b+V)) − lnM(T_a·(c_bw+1))).
-    *
-    * 100 TB shape — NO pair×vocabulary grid: (1) one (source, word)
-    * count shuffle; (2) the Σ_{w∈a} c·lnM(c·(T_b+V)) side only depends on
-    * b through T_b, so it's the count table × a BROADCAST 20-row totals
-    * frame, map-side aggregated; (3) the cross term needs c_bw only where
-    * BOTH sources contain w — a word-keyed equi self-join (≤ |sources|²
-    * rows per word); (4) the words a has but b lacks collapse in closed
-    * form to (T_a − overlap)·lnM(T_a) because c_bw+1 = 1. The grid lives
-    * only in the DuckDB oracle, which doesn't have to scale. The total is
-    * clamped at 0 (sub-normalized smoothing makes true KL strictly
-    * positive; the clamp only guards micro-rounding at near-identical
-    * sources, where div-vs-floor would otherwise diverge on −ε). */
-  private val q323SourceDivergence: Q = (s, d) => {
-    import s.implicits._
-    def lnM(c: Column): Column = round(log(c.cast("double")) * 1e6).cast("long")
-    val counts = Tables.documents(s, d)
-      .select($"source", explode(Dedup.words($"text")).as("w"))
-      .groupBy($"source", $"w").agg(count(lit(1)).as("c"))
-      .cache()
-    val totals = counts.groupBy($"source").agg(sum($"c").as("t"))
-    val vrow = counts.select($"w").distinct().agg(count(lit(1)).as("v"))
-    val tb20 = totals.select($"source".as("sb"), $"t".as("tb"))
-      .crossJoin(broadcast(vrow))
-    val s1 = counts.join(broadcast(tb20), $"source" =!= $"sb")
-      .groupBy($"source".as("sa"), $"sb")
-      .agg(sum($"c" * lnM($"c" * ($"tb" + $"v"))).as("s1"))
-    val s2 = counts.as("a")
-      .join(counts.select($"source".as("sb"), $"w", $"c".as("cb")), Seq("w"))
-      .filter($"source" =!= $"sb")
-      .join(broadcast(totals.select($"source", $"t".as("ta"))), Seq("source"))
-      .groupBy($"source".as("sa"), $"sb")
-      .agg(sum($"c" * lnM($"ta" * ($"cb" + 1L))).as("s2"),
-        sum($"c").as("overlap_c"))
-    s1.join(s2, Seq("sa", "sb"), "left")
-      .join(broadcast(totals.select($"source".as("sa"), $"t".as("ta"))), Seq("sa"))
-      .join(broadcast(totals.select($"source".as("sb"), $"t".as("tb"))), Seq("sb"))
-      .select($"sa", $"sb", $"ta", $"tb",
-        coalesce($"overlap_c", lit(0L)).as("overlap_c"),
-        ($"s1" - coalesce($"s2", lit(0L))
-          - ($"ta" - coalesce($"overlap_c", lit(0L))) * lnM($"ta"))
-          .as("num"))
-      .select($"sa", $"sb", $"ta", $"tb", $"overlap_c",
-        expr("greatest(num, 0L) div ta").as("kl_micro"))
-      .orderBy($"sa", $"sb")
-  }
-
-  val queries: Map[String, Q] = Map(
-    "q322_boilerplate_strip" -> q322BoilerplateStrip,
-    "q323_source_divergence" -> q323SourceDivergence,
-    "q320_growth_accounting" -> q320GrowthAccounting,
-    "q321_gate_waterfall" -> q321GateWaterfall,
-    "q313_growth_rates"   -> q313GrowthRates,
-    "q314_retention_dk"   -> q314RetentionDk,
-    "q315_stickiness"     -> q315Stickiness,
-    "q316_power_users"    -> q316PowerUsers,
-    "q317_ab_readout"     -> q317AbReadout,
-    "q318_dow_profile"    -> q318DowProfile,
-    "q319_freshness"      -> q319Freshness,
-    "q309_lsh_design_curve" -> q309LshDesignCurve,
-    "q310_simhash_pr"     -> q310SimhashPr,
-    "q311_lead_time_sla"  -> q311LeadTimeSla,
-    "q312_attribution"    -> q312Attribution,
-    "q305_quota_sample"   -> q305QuotaSample,
-    "q306_dedup_savings"  -> q306DedupSavings,
-    "q307_quantile_transform" -> q307QuantileTransform,
-    "q308_negative_sampling" -> q308NegativeSampling,
-    "q301_corr_matrix"    -> q301CorrMatrix,
-    "q302_simpson_detector" -> q302SimpsonDetector,
-    "q303_time_to_convert" -> q303TimeToConvert,
-    "q304_cohort_ltv"     -> q304CohortLtv,
-    "q297_streaks"        -> q297Streaks,
-    "q298_sentences"      -> q298Sentences,
-    "q299_interarrival"   -> q299Interarrival,
-    "q300_cluster_size_dist" -> q300ClusterSizeDist,
-    "q291_leakage_free_split" -> q291LeakageFreeSplit,
-    "q292_dedup_threshold_curve" -> q292DedupThresholdCurve,
-    "q293_scd2_timetravel" -> q293Scd2Timetravel,
-    "q294_period_end_balance" -> q294PeriodEndBalance,
-    "q295_hierarchy_shares" -> q295HierarchyShares,
-    "q296_bellman_ford"   -> q296BellmanFord,
-    "q286_kwic"           -> q286Kwic,
-    "q287_ntile_buckets"  -> q287NtileBuckets,
-    "q288_theil_between"  -> q288TheilBetween,
-    "q289_capture_recapture" -> q289CaptureRecapture,
-    "q290_time_weighted_avg" -> q290TimeWeightedAvg,
-    "q281_dp_sum_clipped" -> q281DpSumClipped,
-    "q282_jackknife"      -> q282Jackknife,
-    "q283_psi_drift"      -> q283PsiDrift,
-    "q284_rank_auc"       -> q284RankAuc,
-    "q285_hits"           -> q285Hits,
-    "q276_mann_whitney"   -> q276MannWhitney,
-    "q277_gap_interpolation" -> q277GapInterpolation,
-    "q278_weighted_median" -> q278WeightedMedian,
-    "q279_dp_histogram"   -> q279DpHistogram,
-    "q280_order_value_audit" -> q280OrderValueAudit,
-    "q271_acf"            -> q271Acf,
-    "q272_cusum"          -> q272Cusum,
-    "q273_candidate_keys" -> q273CandidateKeys,
-    "q274_user_accretion" -> q274UserAccretion,
-    "q275_generator_suite" -> q275GeneratorSuite,
-    "q266_chi_square"     -> q266ChiSquare,
-    "q267_ks_test"        -> q267KsTest,
-    "q268_spearman_trend" -> q268SpearmanTrend,
-    "q269_fd_audit"       -> q269FdAudit,
-    "q270_t_closeness"    -> q270TCloseness,
-    "q265_shuffle_quality" -> q265ShuffleQuality,
-    "q263_l_diversity"    -> q263LDiversity,
-    "q264_apportionment"  -> q264Apportionment,
-    "q262_k_anonymity"    -> q262KAnonymity,
-    "q261_apriori_pairs"  -> q261AprioriPairs,
-    "q260_column_profile" -> q260ColumnProfile,
-    "q259_posting_gaps"   -> q259PostingGaps,
-    "q257_multi_pivot"    -> q257MultiPivot,
-    "q258_cond_agg_suite" -> q258CondAggSuite,
-    "q255_dup_provenance" -> q255DupProvenance,
-    "q256_concordance"    -> q256Concordance,
-    "q253_federated_union" -> q253FederatedUnion,
-    "q254_forward_fill"   -> q254ForwardFill,
-    "q252_collision_diversity" -> q252CollisionDiversity,
-    "q250_vocab_growth"   -> q250VocabGrowth,
-    "q249_lang_confidence" -> q249LangConfidence,
-    "q248_bag_setops"     -> q248BagSetOps,
-    "q245_keywords"       -> q245Keywords,
-    "q246_dataset_card"   -> q246DatasetCard,
-    "q244_code_switching" -> q244CodeSwitching,
-    "q241_interval_union" -> q241IntervalUnion,
-    "q242_oov_rate"       -> q242OovRate,
-    "q243_ordered_listagg" -> q243OrderedListagg,
-    "q239_gini"           -> q239Gini,
-    "q240_burstiness"     -> q240Burstiness,
-    "q237_join_cardinality" -> q237JoinCardinality,
-    "q238_robust_stats"   -> q238RobustStats,
-    "q236_weighted_simhash" -> q236WeightedSimhash,
-    "q235_dedup_keep_best" -> q235DedupKeepBest,
-    "q233_daily_percentiles" -> q233DailyPercentiles,
-    "q234_map_functions"  -> q234MapFunctions,
-    "q231_higher_order"   -> q231HigherOrder,
-    "q232_window_ranks"   -> q232WindowRanks,
-    "q230_recursive_cte"  -> q230RecursiveCte,
-    "q228_variant_shred"  -> q228VariantShred,
-    "q229_schema_evolution" -> q229SchemaEvolution,
-    "q226_fk_audit"       -> q226FkAudit,
-    "q227_incremental_view" -> q227IncrementalView,
-    "q224_tf_cosine"      -> q224TfCosine,
-    "q225_anti_entropy"   -> q225AntiEntropy,
-    "q223_multiprobe_lsh" -> q223MultiProbeLsh,
-    "q222_source_contamination" -> q222SourceContamination,
-    "q220_benford"       -> q220Benford,
-    "q221_sweep_concurrency" -> q221SweepConcurrency,
-    "q218_budget_select" -> q218BudgetSelect,
-    "q219_skip_grams"    -> q219SkipGrams,
-    "q216_grouping_sets" -> q216GroupingSets,
-    "q217_seasonal_anomaly" -> q217SeasonalAnomaly,
-    "q215_quality_calibration" -> q215QualityCalibration,
-    "q213_compact_execute" -> q213CompactExecute,
-    "q212_kneser_ney"     -> q212KneserNey,
-    "q208_rollup_moments" -> q208RollupMoments,
-    "q209_equidepth_hist" -> q209EquiDepth,
-    "q205_compaction_plan" -> q205CompactionPlan,
-    "q206_mad_outliers"  -> q206MadOutliers,
-    "q204_keyword_tags"  -> q204KeywordTags,
-    "q202_skew_profile"  -> q202SkewProfile,
-    "q199_containment"   -> q199Containment,
-    "q200_curriculum"    -> q200Curriculum,
-    "q201_cluster_agreement" -> q201ClusterAgreement,
-    "q197_quality_threshold" -> q197QualityThreshold,
-    "q198_url_canonicalize" -> q198UrlCanonicalize,
-    "q193_pareto_frontier" -> q193ParetoFrontier,
-    "q194_backoff_lm"    -> q194BackoffLm,
-    "q195_fold_contamination" -> q195FoldContamination,
-    "q192_audio_energy"  -> q192AudioEnergy,
-    "q191_ivf_disk_index" -> q191IvfDiskIndex,
-    "q190_delete_propagation" -> q190DeletePropagation,
-    "q187_cv_folds"      -> q187CvFolds,
-    "q185_token_drift"   -> q185TokenDrift,
-    "q186_join_size_sketch" -> q186JoinSizeSketch,
-    "q180_pmi_collocations" -> q180PmiCollocations,
-    "q179_cdc_chunks"    -> q179CdcChunks,
-    "q176_weighted_reservoir" -> q176WeightedReservoir,
-    "q175_wav_decode"    -> q175WavDecode,
-    "q171_gif_frames"    -> q171GifFrames,
-    "q172_pps_sample"    -> q172PpsSample,
-    "q174_hard_negatives" -> q174HardNegatives,
-    "q40_dedup_exact"    -> q40DedupExact,
-    "q41_dedup_keys"     -> q41DedupKeys,
-    "q42_jaccard_pairs"  -> q42JaccardPairs,
-    "q43_minhash_lsh"    -> q43MinhashLsh,
-    "q44_simhash"        -> q44Simhash,
-    "q45_fingerprint"    -> q45Fingerprint,
-    "q46_knn_brute"      -> q46KnnBrute,
-    "q47_ann_lsh"        -> q47AnnLsh,
-    "q48_cosine_pairs"   -> q48CosinePairs,
-    "q49_ivf_knn"        -> q49IvfKnn,
-    "q50_lang_id"        -> q50LangId,
-    "q51_quality"        -> q51Quality,
-    "q52_est_tokens"     -> q52EstTokens,
-    "q54_binary_meta"    -> q54BinaryMeta,
-    "q55_media_features" -> q55MediaFeatures,
-    "q146_image_decode"  -> q146ImageDecode,
-    "q147_gopher_rules"  -> q147GopherRules,
-    "q148_cms_topk"      -> q148CmsTopk,
-    "q149_dsir_weights"  -> q149DsirWeights,
-    "q150_allpairs_sim"  -> q150AllPairsSim,
-    "q153_random_projection" -> q153RandomProjection,
-    "q157_int8_quantize" -> q157Int8Quantize,
-    "q158_quant_eval"    -> q158QuantEval,
-    "q159_image_dhash"   -> q159ImageDhash,
-    "q160_snapshot_diff" -> q160SnapshotDiff,
-    "q161_hamming_pairs" -> q161HammingPairs,
-    "q162_truncation_loss" -> q162TruncationLoss,
-    "q163_mixture_deficit" -> q163MixtureDeficit,
-    "q169_table_checksum" -> q169TableChecksum,
-    "q56_attachment_decode" -> q56AttachmentDecode,
-    "q57_frame_sample"   -> q57FrameSample,
-    "q86_dup_clusters"   -> q86DupClusters,
-    "q95_corpus_pipeline" -> q95CorpusPipeline,
-    "q96_mixture_sample"  -> q96MixtureSample,
-    "q97_chunking"        -> q97Chunking,
-    "q98_ivf_near_dup"    -> q98IvfNearDup,
-    "q100_ivf_recall"     -> q100IvfRecall,
-    "q101_seq_packing"    -> q101SeqPacking,
-    "q102_pii_scrub"      -> q102PiiScrub,
-    "q103_para_dedup"     -> q103ParaDedup,
-    "q104_repetition"     -> q104Repetition,
-    "q105_bloom_dedup"    -> q105BloomDedup,
-    "q108_kmeans_step"    -> q108KmeansStep,
-    "q112_ivf_trained"    -> q112IvfTrained,
-    "q113_decontaminate"  -> q113Decontaminate,
-    "q115_pq_recall"      -> q115PqRecall,
-    "q116_corpus_export"  -> q116CorpusExport,
-    "q117_stratified"     -> q117StratifiedSample,
-    "q118_shuffle_order"  -> q118ShuffleOrder,
-    "q126_sem_dedup"      -> q126SemDedup,
-    "q128_winnowing"      -> q128Winnowing,
-    "q129_pretokens"      -> q129PreTokens,
-    "q130_quality_model"  -> q130QualityModel,
-    "q131_shard_manifest" -> q131ShardManifest,
-    "q134_temperature_mix" -> q134TemperatureMix,
-    "q135_exact_substr"   -> q135ExactSubstr,
-    "q136_bpe_step"       -> q136BpeStep,
-    "q137_ppl_filter"     -> q137PerplexityFilter,
-    "q139_bpe_tokenize"   -> q139BpeTokenize)
-
-  private[ops] val wordsSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0)"
-  private[ops] val wordsAposSql =
-    "list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), w -> length(w) > 0)"
-
-  /** Shared q98/q126 oracle CTE: the deterministic IVF quantizer (first-8
-    * centroids, argmax cosine with the (ccos desc, cid asc) tiebreak) and
-    * per-vector cell assignment — ONE string so the two oracles can't
-    * drift from each other (they already share the engine path). */
-  private val ivfCellsCteSql =
-    """cent AS (
-           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         cells AS (
-           SELECT vec_id, embedding, cid FROM (
-             SELECT v.vec_id, v.embedding, cid,
-                    row_number() OVER (
-                      PARTITION BY v.vec_id
-                      ORDER BY list_cosine_similarity(
-                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
-                                 cv) DESC, cid) AS rk
-             FROM embeddings v CROSS JOIN cent) t
-           WHERE rk = 1)"""
-
-  /** Oracle twin of `shingled` — `where` mirrors the engine-side slice so
-    * engine and oracle always scan the same document subset at any sf. */
-  private[ops] def shingleCte(where: String) =
-    s"""WITH t AS (
-          SELECT doc_id, $wordsSql AS ws FROM documents $where),
-        s AS (
-          SELECT doc_id,
-                 list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
-          FROM t WHERE len(ws) >= 3)"""
-
-  private def jaccardPairsSql(where: String, threshold: Double) =
-    s"""${shingleCte(where)}
-        SELECT doc_a, doc_b, jaccard FROM (
-          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 len(list_intersect(a.sh, b.sh)) * 1.0
-                   / len(list_distinct(a.sh || b.sh)) AS jaccard
-          FROM s a JOIN s b ON a.doc_id < b.doc_id) p
-        WHERE jaccard > $threshold
-        ORDER BY doc_a, doc_b"""
-
-  private lazy val langCaseSql: String = {
-    val hits = TextAnalysis.langMarkers.map { case (code, m) =>
-      code -> s"len(list_intersect(list_distinct(ws), ${sqlList(m)}))"
-    }.toMap
-    val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
-    s"""CASE
-        WHEN $en > 0 AND $en >= $de AND $en >= $fr AND $en >= $es THEN 'en'
-        WHEN $de > 0 AND $de >= $fr AND $de >= $es THEN 'de'
-        WHEN $fr > 0 AND $fr >= $es THEN 'fr'
-        WHEN $es > 0 THEN 'es'
-        ELSE 'und' END"""
-  }
-
-  private lazy val enStopSql: String =
-    sqlList(TextAnalysis.langMarkers.collectFirst { case ("en", m) => m }.get)
-
-  /** The greedy-packer CTE chain (chunk word-counts -> recursive pack
-    * assignment) over a CTE named `src` holding (doc_id, ws) — shared by
-    * the q101 and q116 oracles so the packer definition exists once. The
-    * enclosing WITH must be RECURSIVE. */
-  private def packerSql(src: String): String =
-    s"""c AS (SELECT doc_id,
-                  [len(ws[s+1 : s+50]) for s in range(0, len(ws), 40)] AS wcs
-                FROM $src WHERE len(ws) > 0),
-          ch AS (SELECT doc_id,
-                   unnest(range(1, len(wcs)+1)) AS chunk_id,
-                   unnest(wcs) AS w
-                 FROM c),
-          packed AS (
-            SELECT doc_id, chunk_id, CAST(1 AS BIGINT) AS pack_id,
-                   CAST(w AS BIGINT) AS acc, CAST(w AS BIGINT) AS n_words
-            FROM ch WHERE chunk_id = 1
-            UNION ALL
-            SELECT c.doc_id, c.chunk_id,
-                   CASE WHEN p.acc + c.w > 120 THEN p.pack_id + 1 ELSE p.pack_id END,
-                   CASE WHEN p.acc + c.w > 120 THEN CAST(c.w AS BIGINT)
-                        ELSE p.acc + c.w END,
-                   CAST(c.w AS BIGINT)
-            FROM packed p JOIN ch c
-              ON c.doc_id = p.doc_id AND c.chunk_id = p.chunk_id + 1)"""
-
-  /** One truth, one oracle: the q100/q112/q115 recall contracts all gate
-    * against THE SAME exact brute-force top-10 — the oracle SQL exists
-    * once so the ground-truth definition cannot drift between them. */
-  private val recallOracleSql: String =
-    """SELECT true AS recall_ok,
-           (SELECT CAST(count(*) AS BIGINT) FROM (
-              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                     row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(
-                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                                c.vec_id) AS rank
-              FROM embeddings c
-              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-            WHERE rank <= 10) AS n_truth"""
-
-  /** q179/q190's CDC chunk rows over any source relation — the full
-    * breakpoint + per-chunk-hash replay as one parameterized SELECT (own
-    * WITH, usable as a derived table), so the chunking and the
-    * delete-propagation gates share one definition. */
-  private def cdcChunkRowsSql(from: String): String =
-    s"""WITH t AS (
-           SELECT doc_id, text, length(text) AS L,
-                  list_transform(string_split(text, ''),
-                                 c -> CAST(ascii(c) AS BIGINT)) AS cs
-           FROM $from WHERE length(text) > 0),
-         b AS (
-           SELECT doc_id, text, L, cs,
-                  list_filter(range(16, L + 1), i ->
-                    list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i-15:i]),
-                                (a, c) -> (a * 31 + c) % 1000000007) % 128 = 7)
-                    AS bps
-           FROM t),
-         e AS (
-           SELECT doc_id, cs,
-                  CASE WHEN len(bps) > 0 AND bps[-1] = L THEN bps
-                       ELSE list_append(bps, L) END AS ends
-           FROM b)
-         SELECT doc_id, CAST(j AS BIGINT) AS chunk_idx,
-                CAST(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END AS BIGINT) AS start,
-                CAST(ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END AS BIGINT) AS len,
-                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                  cs[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END):ends[j]]),
-                  (a, c) -> (a * 31 + c) % 1000000007) AS chunk_hash
-         FROM e, unnest(generate_series(1, len(ends))) AS u(j)"""
-
-  /** The q49 IVF replay, shared VERBATIM by q191: the disk-backed index
-    * is DEFINED to answer exactly like the in-memory path over the same
-    * corpus and quantizer, so both gate against one string. */
-  private lazy val ivfKnnOracleSql: String =
-    """WITH cent AS (
-           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         assign AS (
-           SELECT v.vec_id, v.embedding, cid,
-                  row_number() OVER (
-                    PARTITION BY v.vec_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(v.embedding, x -> CAST(x AS DOUBLE)), cv) DESC,
-                             cid) AS crk
-           FROM embeddings v CROSS JOIN cent),
-         cells AS (SELECT vec_id AS neighbor_id, embedding AS cvec, cid FROM assign WHERE crk = 1),
-         probes AS (SELECT vec_id AS query_id, embedding AS qv, cid FROM assign
-                    WHERE vec_id < 5 AND crk <= 2),
-         ranked AS (
-           SELECT query_id, neighbor_id,
-                  row_number() OVER (
-                    PARTITION BY query_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(qv, x -> CAST(x AS DOUBLE)),
-                               list_transform(cvec, x -> CAST(x AS DOUBLE))) DESC,
-                             neighbor_id) AS rank
-           FROM probes JOIN cells USING (cid))
-         SELECT query_id, rank, neighbor_id FROM ranked
-         WHERE rank <= 10 ORDER BY query_id, rank"""
-
-  /** q176's reservoir oracle, shared VERBATIM by q182: the streaming
-    * sampler is defined to equal the batch sample exactly, so both must
-    * gate against one string — separate copies could drift (the
-    * mergesJoiningOracle principle). */
-  private[ops] lazy val wrsOracleSql: String =
-    """SELECT source, rank, doc_id, weight, wkey FROM (
-         SELECT source, doc_id, weight, wkey,
-                CAST(row_number() OVER (
-                  PARTITION BY source ORDER BY wkey DESC, doc_id) AS INT) AS rank
-         FROM (
-           SELECT source, doc_id, weight,
-                  CASE WHEN weight = 8 THEN sqrt(sqrt(sqrt(u)))
-                       WHEN weight = 4 THEN sqrt(sqrt(u))
-                       WHEN weight = 2 THEN sqrt(u) ELSE u END AS wkey
-           FROM (
-             SELECT source, doc_id,
-                    CASE WHEN n_chars >= 2000 THEN CAST(8 AS BIGINT)
-                         WHEN n_chars >= 1000 THEN 4
-                         WHEN n_chars >= 500 THEN 2 ELSE 1 END AS weight,
-                    (CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':wrs1'), 1, 13)
-                          AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 AS u
-             FROM documents) t0) t1) t2
-       WHERE rank <= 5 ORDER BY source, rank"""
-
-  lazy val oracle: Map[String, String] = Map(
-    // same 4-word segmentation (trailing short segment kept), same
-    // within-source md5 df counter, same ppm integer division
-    "q322_boilerplate_strip" ->
-      s"""WITH t AS (SELECT doc_id, source, $wordsSql AS ws FROM documents),
-          g AS (SELECT doc_id, source,
-                       md5(array_to_string(
-                         ws[i*$BoilerplateSegWords+1 : i*$BoilerplateSegWords+$BoilerplateSegWords],
-                         ' ')) AS h
-                FROM t, unnest(range(0, (len(ws)-1)//$BoilerplateSegWords + 1)) AS u(i)
-                WHERE len(ws) > 0),
-          df AS (SELECT source, h,
-                        count(DISTINCT doc_id) AS df,
-                        count(*) AS inst
-                 FROM g GROUP BY source, h)
-          SELECT source,
-                 CAST(sum(inst) AS BIGINT) AS n_instances,
-                 CAST(count(*) AS BIGINT) AS n_distinct_segs,
-                 CAST(sum(CASE WHEN df >= $BoilerplateDfMin THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_boilerplate_segs,
-                 CAST(sum(CASE WHEN df >= $BoilerplateDfMin THEN inst ELSE 0 END) AS BIGINT)
-                   AS removed_instances,
-                 CAST((sum(CASE WHEN df >= $BoilerplateDfMin THEN inst ELSE 0 END) * 1000000)
-                      // sum(inst) AS BIGINT) AS removed_ppm
-          FROM df GROUP BY source ORDER BY source""",
-    // the pair x vocabulary grid the engine avoids is fine here: same
-    // micro-nat lnM quantize-before-subtract rule as q137, same add-one
-    // smoothing on the reference side, same closed-form no-overlap term
-    "q323_source_divergence" ->
-      s"""WITH c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
-                 FROM (SELECT source, unnest($wordsSql) AS w FROM documents)
-                 GROUP BY source, w),
-          t AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM c GROUP BY source),
-          vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM c),
-          grid AS (SELECT a.source AS sa, b.source AS sb, a.t AS ta, b.t AS tb
-                   FROM t a JOIN t b ON a.source <> b.source),
-          terms AS (SELECT g.sa, g.sb, g.ta, g.tb, ca.c AS ca, cb.c AS cb
-                    FROM grid g
-                    JOIN c ca ON ca.source = g.sa
-                    LEFT JOIN c cb ON cb.source = g.sb AND cb.w = ca.w),
-          agg AS (SELECT sa, sb, ta, tb,
-                    CAST(sum(ca * CAST(round(ln(CAST(ca * (tb + v) AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS s1,
-                    CAST(coalesce(sum(CASE WHEN cb IS NOT NULL
-                      THEN ca * CAST(round(ln(CAST(ta * (cb + 1) AS DOUBLE)) * 1000000) AS BIGINT) END), 0) AS BIGINT) AS s2,
-                    CAST(coalesce(sum(CASE WHEN cb IS NOT NULL THEN ca END), 0) AS BIGINT) AS overlap_c
-                  FROM terms CROSS JOIN vv
-                  GROUP BY sa, sb, ta, tb)
-          SELECT sa, sb, ta, tb, overlap_c,
-                 CAST(greatest(s1 - s2
-                        - (ta - overlap_c) * CAST(round(ln(CAST(ta AS DOUBLE)) * 1000000) AS BIGINT),
-                        0) // ta AS BIGINT) AS kl_micro
-          FROM agg ORDER BY sa, sb""",
-    // same per-user day lag, same four-way state partition
-    "q320_growth_accounting" ->
-      """WITH um AS (SELECT DISTINCT user_id,
-                  CAST(ts AS DATE) AS day FROM events),
-          st AS (SELECT user_id, day,
-                   lag(day, 1) OVER (PARTITION BY user_id
-                     ORDER BY day) AS prev
-                 FROM um),
-          cl AS (SELECT day,
-                   CASE WHEN prev IS NULL THEN 'new'
-                        WHEN datediff('day', prev, day) = 1
-                          THEN 'retained'
-                        ELSE 'resurrected' END AS state
-                 FROM st),
-          ac AS (SELECT day, CAST(count(*) AS BIGINT) AS dau,
-                   CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS new_users,
-                   CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0
-                     END) AS BIGINT) AS retained,
-                   CAST(sum(CASE WHEN state = 'resurrected' THEN 1
-                     ELSE 0 END) AS BIGINT) AS resurrected
-                 FROM cl GROUP BY 1),
-          fin AS (SELECT CAST(day AS VARCHAR) AS day,
-                   dau, new_users, retained, resurrected,
-                   CAST(coalesce(lag(dau, 1) OVER (ORDER BY day), 0)
-                     AS BIGINT) - retained AS churned
-                 FROM ac)
-          SELECT * FROM fin ORDER BY day""",
-    // same four gate flags over the shared words tokenizer
-    "q321_gate_waterfall" ->
-      s"""WITH f AS (SELECT n_chars >= 500 AS g1,
-                  lang IN ('en', 'de', 'fr', 'es') AS g2,
-                  len($wordsSql) >= 100 AS g3,
-                  len(list_distinct($wordsSql)) * 10
-                    >= len($wordsSql) * 3 AS g4
-                FROM documents),
-          a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
-                  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n1,
-                  CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n2,
-                  CAST(sum(CASE WHEN g1 AND g2 AND g3 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n3,
-                  CAST(sum(CASE WHEN g1 AND g2 AND g3 AND g4 THEN 1
-                    ELSE 0 END) AS BIGINT) AS n4
-                FROM f)
-          SELECT n0, n1, n2, n3, n4,
-                 ((n0 - n1) * 1000000) // n0 AS drop1_ppm,
-                 ((n1 - n2) * 1000000) // n0 AS drop2_ppm,
-                 ((n2 - n3) * 1000000) // n0 AS drop3_ppm,
-                 ((n3 - n4) * 1000000) // n0 AS drop4_ppm,
-                 (n4 * 1000000) // n0 AS survive_ppm
-          FROM a""",
-    // same Monday-start weeks, same signed truncating growth div
-    "q313_growth_rates" ->
-      """WITH w AS (SELECT date_trunc('week', ts) AS wk,
-                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-          l AS (SELECT CAST(CAST(wk AS DATE) AS VARCHAR) AS week, cnt,
-                  lag(cnt, 1) OVER (ORDER BY wk) AS prev FROM w)
-          SELECT week, cnt, prev,
-                 ((cnt - prev) * 1000000) // prev AS wow_ppm
-          FROM l ORDER BY week""",
-    // same first-return fold, same within-k thresholds
-    "q314_retention_dk" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events),
-          f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1),
-          j AS (SELECT f.user_id,
-                  CAST(min(datediff('day', d0, day)) AS BIGINT)
-                    AS first_return
-                FROM f JOIN ud USING (user_id)
-                WHERE datediff('day', d0, day) > 0 GROUP BY f.user_id),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM f),
-          a AS (SELECT
-                  CAST(sum(CASE WHEN first_return = 1 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS d1,
-                  CAST(sum(CASE WHEN first_return <= 7 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS d7,
-                  CAST(sum(CASE WHEN first_return <= 30 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS d30
-                FROM f LEFT JOIN j USING (user_id))
-          SELECT n_users, d1, d7, d30,
-                 (d1 * 1000000) // n_users AS d1_ppm,
-                 (d7 * 1000000) // n_users AS d7_ppm,
-                 (d30 * 1000000) // n_users AS d30_ppm
-          FROM a, t""",
-    // same two aggregates over the same (day, user) distinct frame
-    "q315_stickiness" ->
-      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-                FROM events),
-          d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
-                FROM ud GROUP BY 1),
-          dm AS (SELECT date_trunc('month', day) AS month,
-                   CAST(sum(dau) AS BIGINT) AS sum_dau,
-                   CAST(count(*) AS BIGINT) AS n_days
-                 FROM d GROUP BY 1),
-          m AS (SELECT date_trunc('month', day) AS month,
-                  CAST(count(DISTINCT user_id) AS BIGINT) AS mau
-                FROM ud GROUP BY 1)
-          SELECT CAST(CAST(dm.month AS DATE) AS VARCHAR) AS month,
-                 n_days, mau, sum_dau // n_days AS avg_dau,
-                 ((sum_dau // n_days) * 1000000) // mau AS stickiness_ppm
-          FROM dm JOIN m USING (month) ORDER BY month""",
-    // same value-domain below-counts, same min-rank decile convention
-    "q316_power_users" ->
-      """WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
-                FROM events GROUP BY 1),
-          v AS (SELECT c, CAST(count(*) AS BIGINT) AS users
-                FROM per GROUP BY 1),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(c) AS BIGINT) AS total_events FROM per),
-          r AS (SELECT c, users,
-                  CAST(sum(users) OVER (ORDER BY c
-                    ROWS UNBOUNDED PRECEDING) - users AS BIGINT) AS below
-                FROM v),
-          dd AS (SELECT c, users,
-                   least(9, (below * 10) // n) AS decile, total_events
-                 FROM r, t)
-          SELECT decile, CAST(sum(users) AS BIGINT) AS n_users,
-                 CAST(sum(c * users) AS BIGINT) AS events,
-                 (sum(c * users) * 1000000) // max(total_events)
-                   AS share_ppm
-          FROM dd GROUP BY decile ORDER BY decile""",
-    // same per-arm folds, same cross-multiplied z numerator and
-    // identically-rounded floor(sqrt(double)) denominator
-    "q317_ab_readout" ->
-      """WITH per AS (SELECT user_id,
-                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1
-                    ELSE 0 END) AS BIGINT) AS conv
-                FROM events GROUP BY 1),
-          arms AS (SELECT user_id % 2 = 0 AS arm_a,
-                     CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(conv) AS BIGINT) AS conv
-                   FROM per GROUP BY 1),
-          st AS (SELECT
-                   CAST(sum(CASE WHEN arm_a THEN n END) AS BIGINT) AS na,
-                   CAST(sum(CASE WHEN arm_a THEN conv END) AS BIGINT)
-                     AS ca,
-                   CAST(sum(CASE WHEN NOT arm_a THEN n END) AS BIGINT)
-                     AS nb,
-                   CAST(sum(CASE WHEN NOT arm_a THEN conv END) AS BIGINT)
-                     AS cb
-                 FROM arms)
-          SELECT na, ca, nb, cb,
-                 (ca * 1000000) // na AS rate_a_ppm,
-                 (cb * 1000000) // nb AS rate_b_ppm,
-                 (abs(ca*nb - cb*na) * 1000) //
-                   nullif(CAST(floor(sqrt(
-                     CAST((ca+cb) AS DOUBLE)
-                     * CAST((na+nb)-(ca+cb) AS DOUBLE)
-                     * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
-                     / CAST(na+nb AS DOUBLE))) AS BIGINT), 0)
-                   AS abs_z_milli
-          FROM st""",
-    // dayofweek(+1) aligns DuckDB's 0=Sunday to Spark's 1=Sunday
-    "q318_dow_profile" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-          dd AS (SELECT day, cnt,
-                   CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM daily),
-          prof AS (SELECT dow, (sum(cnt) * 1000) // count(*)
-                     AS dow_mean_milli FROM dd GROUP BY 1),
-          j AS (SELECT CAST(day AS VARCHAR) AS day, dd.dow, cnt,
-                  dow_mean_milli,
-                  abs(cnt * 1000 - dow_mean_milli) AS abs_resid_milli
-                FROM dd JOIN prof USING (dow)),
-          r AS (SELECT *, CAST(row_number() OVER
-                  (ORDER BY abs_resid_milli DESC, day) AS INT) AS rk
-                FROM j)
-          SELECT rk, day, dow, cnt, dow_mean_milli, abs_resid_milli
-          FROM r WHERE rk <= 5 ORDER BY rk""",
-    // same id-space high-water-mark staleness
-    "q319_freshness" ->
-      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(max(doc_id) AS BIGINT) AS max_id
-                FROM documents GROUP BY 1),
-          h AS (SELECT CAST(max(max_id) AS BIGINT) AS hwm FROM per)
-          SELECT source, n_docs, max_id, hwm,
-                 ((hwm - max_id) * 1000000) // hwm AS staleness_ppm
-          FROM per, h ORDER BY source""",
-    // the identical squaring chains (one multiplication per step, same
-    // order) make the doubles bit-equal before micro rounding
-    "q309_lsh_design_curve" -> {
-      def cfgSql(bands: Int, rows: Int): String = {
-        val rs = Map(2 -> 1, 4 -> 2, 8 -> 3)(rows)
-        val bs = Map(16 -> 4, 32 -> 5, 64 -> 6)(bands)
-        var sql = "SELECT inter, uni, p0 FROM q"
-        for (i <- 1 to rs)
-          sql = s"SELECT inter, uni, p${i - 1} * p${i - 1} AS p$i FROM ($sql)"
-        sql = s"SELECT inter, uni, 1.0 - p$rs AS t0 FROM ($sql)"
-        for (i <- 1 to bs)
-          sql = s"SELECT inter, uni, t${i - 1} * t${i - 1} AS t$i FROM ($sql)"
-        sql = s"""SELECT inter, uni, CAST(round((1.0 - t$bs) * 1000000.0)
-                  AS BIGINT) AS p_micro FROM ($sql)"""
-        s"""SELECT 'b=$bands,r=$rows' AS config,
-               CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1 ELSE 0 END)
-                 AS BIGINT) AS n_true,
-               CAST(sum(p_micro) AS BIGINT) AS expected_cand_micro,
-               CAST(sum(CASE WHEN inter*10 > uni*8 THEN p_micro END)
-                 AS BIGINT) //
-                 nullif(CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1
-                   ELSE 0 END) AS BIGINT), 0) AS expected_recall_micro
-            FROM ($sql)"""
-      }
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
-          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
-                   AS inter,
-                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss
-                 FROM s a JOIN s b ON a.doc_id < b.doc_id),
-          pu AS (SELECT inter, ss - inter AS uni FROM pr WHERE inter > 0),
-          q AS (SELECT inter, uni,
-                  CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS p0
-                FROM pu)
-          SELECT * FROM (
-          ${cfgSql(32, 4)}
-          UNION ALL
-          ${cfgSql(16, 8)}
-          UNION ALL
-          ${cfgSql(64, 2)})
-          ORDER BY config"""
-    },
-    // q44's bit-replayed simhash + exact-Jaccard truth, six radius folds
-    "q310_simhash_pr" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
-          tk AS (SELECT doc_id,
-                   list_sort(list_distinct(list_filter(
-                     string_split_regex(lower(text), '[^a-z0-9]+'),
-                     w -> length(w) > 0))) AS toks
-                 FROM documents WHERE doc_id < $BruteForceSlice),
-          hh AS (SELECT doc_id,
-                   list_transform(toks, w -> CAST('0x' ||
-                     substring(md5(w), 1, 15) AS BIGINT)) AS hs
-                 FROM tk),
-          ff AS (SELECT doc_id,
-                   CAST(coalesce(list_sum(
-                     [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
-                        THEN 1 ELSE -1 END FOR h IN hs]) > 0
-                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-                      FOR j IN range(0, 60)]), 0) AS BIGINT) AS f
-                 FROM hh),
-          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
-                   AS inter,
-                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss,
-                   CAST(bit_count(xor(fa.f, fb.f)) AS BIGINT) AS ham
-                 FROM s a JOIN s b ON a.doc_id < b.doc_id
-                 JOIN ff fa ON fa.doc_id = a.doc_id
-                 JOIN ff fb ON fb.doc_id = b.doc_id),
-          pu AS (SELECT inter, ss - inter AS uni, ham FROM pr),
-          r AS (SELECT CAST(unnest([0, 1, 2, 3, 8, 16]) AS BIGINT)
-                  AS radius)
-          SELECT radius,
-                 CAST(sum(CASE WHEN ham <= radius THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_cand,
-                 CAST(sum(CASE WHEN ham <= radius
-                   AND inter*10 > uni*8 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_tp,
-                 CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_true,
-                 (CAST(sum(CASE WHEN ham <= radius AND inter*10 > uni*8
-                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) //
-                   nullif(CAST(sum(CASE WHEN ham <= radius THEN 1
-                     ELSE 0 END) AS BIGINT), 0) AS precision_ppm,
-                 (CAST(sum(CASE WHEN ham <= radius AND inter*10 > uni*8
-                   THEN 1 ELSE 0 END) AS BIGINT) * 1000000) //
-                   nullif(CAST(sum(CASE WHEN inter*10 > uni*8 THEN 1
-                     ELSE 0 END) AS BIGINT), 0) AS recall_ppm
-          FROM pu CROSS JOIN r GROUP BY radius ORDER BY radius""",
-    // same integer day deltas, same value-domain median/p90 folds
-    "q311_lead_time_sla" ->
-      """WITH dl AS (SELECT o_orderpriority,
-                  CAST(datediff('day', CAST(o_orderdate AS DATE),
-                    CAST(l_shipdate AS DATE)) AS BIGINT) AS dd
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          per AS (SELECT o_orderpriority, dd, CAST(count(*) AS BIGINT)
-                    AS c FROM dl GROUP BY 1, 2),
-          cum AS (SELECT o_orderpriority, dd,
-                    CAST(sum(c) OVER (PARTITION BY o_orderpriority
-                      ORDER BY dd ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                      AS cum,
-                    CAST(sum(c) OVER (PARTITION BY o_orderpriority)
-                      AS BIGINT) AS n
-                  FROM per),
-          med AS (SELECT o_orderpriority, min(dd) AS median_days
-                  FROM cum WHERE cum * 2 >= n GROUP BY 1),
-          p90 AS (SELECT o_orderpriority, min(dd) AS p90_days
-                  FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1),
-          ag AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
-                   AS n_lines,
-                   (sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) * 1000000)
-                     // count(*) AS sla30_ppm
-                 FROM dl GROUP BY 1)
-          SELECT ag.o_orderpriority, n_lines, sla30_ppm, median_days,
-                 p90_days
-          FROM ag JOIN med USING (o_orderpriority)
-          JOIN p90 USING (o_orderpriority)
-          ORDER BY o_orderpriority""",
-    // same prior-event carry (IGNORE NULLS, 1 PRECEDING), same shares
-    "q312_attribution" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us,
-                  event_id FROM events),
-          tc AS (SELECT user_id, event_type,
-                  last_value(CASE WHEN event_type <> 'purchase'
-                    THEN event_type END IGNORE NULLS)
-                    OVER (PARTITION BY user_id ORDER BY us, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS touch
-                FROM ev),
-          p AS (SELECT coalesce(touch, 'none') AS touch FROM tc
-                WHERE event_type = 'purchase'),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p)
-          SELECT touch, CAST(count(*) AS BIGINT) AS n_purchases,
-                 (CAST(count(*) AS BIGINT) * 1000000) // nn AS share_ppm
-          FROM p, t GROUP BY touch, nn ORDER BY touch""",
-    // q264's quota CTEs + the same seeded within-stratum rank pick
-    "q305_quota_sample" ->
-      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
-                FROM documents GROUP BY source),
-          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
-          q AS (SELECT source, cnt,
-                  (cnt * $HoldoutQuota) // total AS floor_q,
-                  (cnt * $HoldoutQuota) % total AS rem
-                FROM c, t),
-          lo AS (SELECT $HoldoutQuota - CAST(sum(floor_q) AS BIGINT)
-                   AS leftover FROM q),
-          r AS (SELECT *, CAST(row_number() OVER
-                  (ORDER BY rem DESC, source) AS BIGINT) AS rrank FROM q),
-          quo AS (SELECT source, cnt,
-                    floor_q + CASE WHEN rrank <= (SELECT leftover FROM lo)
-                      THEN 1 ELSE 0 END AS quota
-                  FROM r),
-          rk AS (SELECT source, doc_id,
-                   CAST(row_number() OVER (PARTITION BY source
-                     ORDER BY md5(CAST(doc_id AS VARCHAR) || ':qs'),
-                       doc_id) AS BIGINT) AS rk
-                 FROM documents),
-          sel AS (SELECT rk.source FROM rk JOIN quo USING (source)
-                  WHERE rk.rk <= quo.quota),
-          tp AS (SELECT CAST(count(*) AS BIGINT) AS total_picked FROM sel),
-          g AS (SELECT source, CAST(count(*) AS BIGINT) AS picked
-                FROM sel GROUP BY source)
-          SELECT quo.source, quo.cnt, CAST(quo.quota AS BIGINT) AS quota,
-                 g.picked, (SELECT total_picked FROM tp) AS total_picked
-          FROM g JOIN quo USING (source) ORDER BY quo.source""",
-    // q86's closure + the shared words tokenizer on both sides
-    "q306_dedup_savings" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
-             .replaceFirst("WITH", "WITH RECURSIVE")},
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(a.sh || b.sh)) > 0.5),
-          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          nn AS (SELECT DISTINCT src AS node FROM eg),
-          reach(node, label) AS (
-            SELECT node, node FROM nn
-            UNION
-            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
-          cc AS (SELECT node, min(label) AS component
-                 FROM reach GROUP BY node),
-          u AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS toks
-                FROM documents WHERE doc_id < $BruteForceSlice),
-          comp AS (SELECT u.doc_id, u.toks,
-                     coalesce(cc.component, u.doc_id) AS component
-                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
-          k AS (SELECT *, doc_id = component AS keep FROM comp)
-          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_keep,
-                 CAST(sum(toks) AS BIGINT) AS total_tokens,
-                 CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
-                   AS kept_tokens,
-                 ((sum(toks) - sum(CASE WHEN keep THEN toks ELSE 0 END))
-                   * 1000000) // sum(toks) AS savings_ppm
-          FROM k""",
-    // same value-domain rank folds, same percent_rank identity
-    "q307_quantile_transform" ->
-      """WITH per AS (SELECT n_chars, CAST(count(*) AS BIGINT) AS c
-                FROM documents GROUP BY 1),
-          r AS (SELECT n_chars,
-                  CAST(sum(c) OVER (ORDER BY n_chars
-                    ROWS UNBOUNDED PRECEDING) - c + 1 AS BIGINT)
-                    AS rank_min
-                FROM per),
-          t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per)
-          SELECT d.doc_id, d.n_chars,
-                 ((rank_min - 1) * 1000000) // (n - 1) AS pct_ppm
-          FROM documents d JOIN r USING (n_chars), t
-          WHERE d.doc_id < 1000 ORDER BY d.doc_id""",
-    // same seeded ring positions, same measured cross-source contract
-    "q308_negative_sampling" ->
-      """WITH docs AS (SELECT doc_id, source FROM documents),
-          mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS maxid FROM docs),
-          req AS (SELECT d.doc_id AS anchor, d.source AS a_src, j.j,
-                    CAST(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)
-                      || ':' || CAST(j.j AS VARCHAR) || ':ns'), 1, 13)
-                      AS BIGINT) % (maxid + 1) AS BIGINT) AS cand_id
-                  FROM docs d
-                  CROSS JOIN (SELECT unnest([1, 2, 3]) AS j) j
-                  CROSS JOIN mx
-                  WHERE d.doc_id < 200),
-          jo AS (SELECT req.anchor, req.a_src, c.source AS c_src
-                 FROM req JOIN docs c ON req.cand_id = c.doc_id),
-          dr AS (SELECT (sum(CASE WHEN a_src <> c_src THEN 0 ELSE 1 END)
-                   * 1000000) // count(*) AS drop_ppm FROM jo)
-          SELECT anchor, CAST(count(*) AS BIGINT) AS n_candidates,
-                 CAST(sum(CASE WHEN a_src <> c_src THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_negatives,
-                 (SELECT drop_ppm FROM dr) AS drop_ppm
-          FROM jo GROUP BY anchor ORDER BY anchor""",
-    // same cents/centi quantization, same one-scan sufficient stats,
-    // same ×1000-vs-den÷1000 overflow-safe ratio
-    "q301_corr_matrix" -> {
-      def branch(tag: String, sx: String, sy: String, sxy: String,
-                 sxx: String, syy: String) =
-        s"""SELECT '$tag' AS pair, n,
-               n*$sxy - $sx*$sy AS cov_n,
-               ((n*$sxy - $sx*$sy) * 1000) //
-                 nullif(CAST(floor(sqrt(CAST(n*$sxx - $sx*$sx AS DOUBLE)
-                   * CAST(n*$syy - $sy*$sy AS DOUBLE))) AS BIGINT) // 1000,
-                   0) AS r_ppm
-            FROM ag"""
-      s"""WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS q,
-                  CAST(round(l_discount * 100) AS BIGINT) AS dd,
-                  CAST(round(l_tax * 100) AS BIGINT) AS t
-                FROM lineitem),
-          ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(q) AS BIGINT) AS sq,
-                   CAST(sum(dd) AS BIGINT) AS sd,
-                   CAST(sum(t) AS BIGINT) AS st,
-                   CAST(sum(q*q) AS BIGINT) AS sqq,
-                   CAST(sum(q*dd) AS BIGINT) AS sqd,
-                   CAST(sum(q*t) AS BIGINT) AS sqt,
-                   CAST(sum(dd*t) AS BIGINT) AS sdt,
-                   CAST(sum(dd*dd) AS BIGINT) AS sdd,
-                   CAST(sum(t*t) AS BIGINT) AS stt
-                 FROM base)
-          SELECT * FROM (
-          ${branch("quantity~discount", "sq", "sd", "sqd", "sqq", "sdd")}
-          UNION ALL
-          ${branch("quantity~tax", "sq", "st", "sqt", "sqq", "stt")}
-          UNION ALL
-          ${branch("discount~tax", "sd", "st", "sdt", "sdd", "stt")})
-          ORDER BY pair"""
-    },
-    // sign-only comparison: no division anywhere
-    "q302_simpson_detector" ->
-      """WITH base AS (SELECT o_orderstatus,
-                  CAST(datediff('day', DATE '2020-01-01', o_orderdate)
-                    AS BIGINT) AS x,
-                  CAST(round(o_totalprice / 1000) AS BIGINT) AS y
-                FROM orders),
-          ov AS (SELECT CAST(sign(CAST(count(*) AS BIGINT)*sum(x*y)
-                   - sum(x)*sum(y)) AS BIGINT) AS overall_sign FROM base),
-          g AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-                  CAST(sign(CAST(count(*) AS BIGINT)*sum(x*y)
-                    - sum(x)*sum(y)) AS BIGINT) AS group_sign
-                FROM base GROUP BY 1)
-          SELECT o_orderstatus, n, group_sign, overall_sign,
-                 group_sign <> 0 AND overall_sign <> 0
-                   AND group_sign <> overall_sign AS contradicts
-          FROM g CROSS JOIN ov ORDER BY o_orderstatus""",
-    // same first-signup→first-purchase deltas, same value-domain median
-    "q303_time_to_convert" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us
-                FROM events),
-          su AS (SELECT user_id, CAST(min(us) AS BIGINT) AS s_us
-                 FROM ev WHERE event_type = 'signup' GROUP BY 1),
-          dl AS (SELECT su.user_id,
-                   (CAST(min(ev.us) AS BIGINT) - s_us) // 1000000
-                     AS delta_s
-                 FROM su JOIN ev ON ev.user_id = su.user_id
-                   AND ev.event_type = 'purchase' AND ev.us >= su.s_us
-                 GROUP BY su.user_id, su.s_us),
-          per AS (SELECT delta_s, CAST(count(*) AS BIGINT) AS c
-                  FROM dl GROUP BY 1),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dl),
-          med AS (SELECT min(delta_s) AS median_s
-                  FROM (SELECT delta_s,
-                          CAST(sum(c) OVER (ORDER BY delta_s
-                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-                        FROM per), t
-                  WHERE cum * 2 >= nn)
-          SELECT CAST(count(*) AS BIGINT) AS n_converted,
-                 CAST(sum(delta_s) AS BIGINT) // CAST(count(*) AS BIGINT)
-                   AS mean_s,
-                 CAST(min(delta_s) AS BIGINT) AS min_s,
-                 CAST(max(delta_s) AS BIGINT) AS max_s,
-                 (SELECT median_s FROM med) AS median_s
-          FROM dl""",
-    // same cents, same bounded month indices, same running window
-    "q304_cohort_ltv" ->
-      """WITH co AS (SELECT user_id,
-                  date_trunc('month', min(ts)) AS cohort_month
-                FROM events WHERE event_type = 'signup' GROUP BY 1),
-          pu AS (SELECT user_id, date_trunc('month', ts) AS p_month,
-                  CAST(round(value * 100) AS BIGINT) AS cents
-                FROM events WHERE event_type = 'purchase'),
-          cells AS (SELECT co.cohort_month,
-                      CAST(datediff('month', co.cohort_month, pu.p_month)
-                        AS BIGINT) AS m_idx,
-                      CAST(sum(pu.cents) AS BIGINT) AS cents,
-                      CAST(count(DISTINCT pu.user_id) AS BIGINT) AS buyers
-                    FROM pu JOIN co USING (user_id)
-                    WHERE datediff('month', co.cohort_month, pu.p_month)
-                      BETWEEN 0 AND 3
-                    GROUP BY 1, 2),
-          sz AS (SELECT cohort_month, CAST(count(*) AS BIGINT)
-                   AS cohort_size FROM co GROUP BY 1),
-          w AS (SELECT CAST(CAST(cells.cohort_month AS DATE) AS VARCHAR)
-                    AS cohort_month,
-                  m_idx, buyers, cohort_size,
-                  CAST(sum(cents) OVER (PARTITION BY cells.cohort_month
-                    ORDER BY m_idx ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                    AS cum_cents
-                FROM cells JOIN sz USING (cohort_month))
-          SELECT *, cum_cents // cohort_size AS ltv_cents_per_user
-          FROM w ORDER BY cohort_month, m_idx""",
-    // same day − row_number island key, same streak tiebreaks
-    "q297_streaks" ->
-      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
-                FROM events),
-          isl AS (SELECT user_id, day,
-                    day - CAST(row_number() OVER (PARTITION BY user_id
-                      ORDER BY day) AS INT) AS island
-                  FROM ud),
-          st AS (SELECT user_id,
-                   CAST(min(day) AS VARCHAR) AS start_day,
-                   CAST(count(*) AS BIGINT) AS streak_len
-                 FROM isl GROUP BY user_id, island),
-          r AS (SELECT *, CAST(row_number() OVER (ORDER BY streak_len DESC,
-                  user_id, start_day) AS INT) AS rk FROM st)
-          SELECT rk, user_id, start_day, streak_len
-          FROM r WHERE rk <= 20 ORDER BY rk""",
-    // same character-class splitter (Java and RE2 agree), same folds
-    "q298_sentences" ->
-      """WITH sp AS (SELECT source,
-                  list_filter(regexp_split_to_array(text, '[.!?]+\s*'),
-                    x -> length(x) > 0) AS sents
-                FROM documents),
-          per AS (SELECT source,
-                  CAST(len(sents) AS BIGINT) AS ns,
-                  CAST(list_sum(list_transform(sents, x -> length(x)))
-                    AS BIGINT) AS chars,
-                  CAST(list_max(list_transform(sents, x -> length(x)))
-                    AS BIGINT) AS mx
-                FROM sp)
-          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(ns) AS BIGINT) AS n_sentences,
-                 (sum(chars) * 1000) // sum(ns) AS mean_sent_len_milli,
-                 CAST(max(mx) AS BIGINT) AS max_sent_len
-          FROM per GROUP BY source ORDER BY source""",
-    // same microsecond gaps, same value-domain median fold
-    "q299_interarrival" ->
-      """WITH g AS (SELECT event_type,
-                  epoch_us(ts) - lag(epoch_us(ts), 1) OVER
-                    (PARTITION BY event_type ORDER BY ts, event_id) AS gap
-                FROM events),
-          gaps AS (SELECT event_type, CAST(gap AS BIGINT) AS gap FROM g
-                   WHERE gap IS NOT NULL),
-          per AS (SELECT event_type, gap, CAST(count(*) AS BIGINT) AS c
-                  FROM gaps GROUP BY 1, 2),
-          cum AS (SELECT event_type, gap,
-                    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY gap
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
-                    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
-                      AS n
-                  FROM per),
-          med AS (SELECT event_type, min(gap) AS median_gap_us
-                  FROM cum WHERE cum * 2 >= n GROUP BY 1),
-          ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-                   CAST(sum(gap) AS BIGINT) // CAST(count(*) AS BIGINT)
-                     AS mean_gap_us,
-                   CAST(min(gap) AS BIGINT) AS min_gap_us,
-                   CAST(max(gap) AS BIGINT) AS max_gap_us
-                 FROM gaps GROUP BY 1)
-          SELECT ag.event_type, n_gaps, mean_gap_us, min_gap_us,
-                 max_gap_us, median_gap_us
-          FROM ag JOIN med USING (event_type) ORDER BY event_type""",
-    // q86's closure + singleton coalesce, bucketed 1..4 and 5+
-    "q300_cluster_size_dist" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
-             .replaceFirst("WITH", "WITH RECURSIVE")},
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(a.sh || b.sh)) > 0.5),
-          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          nn AS (SELECT DISTINCT src AS node FROM eg),
-          reach(node, label) AS (
-            SELECT node, node FROM nn
-            UNION
-            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
-          cc AS (SELECT node, min(label) AS component
-                 FROM reach GROUP BY node),
-          u AS (SELECT doc_id FROM documents
-                WHERE doc_id < $BruteForceSlice),
-          comp AS (SELECT u.doc_id,
-                     coalesce(cc.component, u.doc_id) AS component
-                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
-          sz AS (SELECT component, CAST(count(*) AS BIGINT) AS sz
-                 FROM comp GROUP BY 1)
-          SELECT least(sz, 5) AS cluster_size,
-                 CAST(count(*) AS BIGINT) AS n_clusters,
-                 CAST(sum(sz) AS BIGINT) AS n_docs
-          FROM sz GROUP BY 1 ORDER BY 1""",
-    // q86's recursive closure + singleton coalesce + same seeded
-    // component hash; the leak column is the measured guarantee
-    "q291_leakage_free_split" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")
-             .replaceFirst("WITH", "WITH RECURSIVE")},
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(a.sh || b.sh)) > 0.5),
-          eg AS (SELECT doc_a AS src, doc_b AS dst FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          nn AS (SELECT DISTINCT src AS node FROM eg),
-          reach(node, label) AS (
-            SELECT node, node FROM nn
-            UNION
-            SELECT eg.dst, r.label FROM reach r JOIN eg ON eg.src = r.node),
-          cc AS (SELECT node, min(label) AS component
-                 FROM reach GROUP BY node),
-          u AS (SELECT doc_id FROM documents
-                WHERE doc_id < $BruteForceSlice),
-          comp AS (SELECT u.doc_id,
-                     coalesce(cc.component, u.doc_id) AS component
-                   FROM u LEFT JOIN cc ON u.doc_id = cc.node),
-          sp AS (SELECT doc_id, component,
-                   CASE WHEN (CAST(CAST('0x' || substring(md5(
-                     CAST(component AS VARCHAR) || ':split'), 1, 13)
-                     AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 < 0.2
-                     THEN 'test' ELSE 'train' END AS split
-                 FROM comp),
-          leak AS (SELECT CAST(coalesce(sum(CASE WHEN sa.split <> sb.split
-                     THEN 1 ELSE 0 END), 0) AS BIGINT) AS cross_split_pairs
-                   FROM p JOIN sp sa ON p.doc_a = sa.doc_id
-                   JOIN sp sb ON p.doc_b = sb.doc_id)
-          SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(count(DISTINCT component) AS BIGINT) AS n_components,
-                 (SELECT cross_split_pairs FROM leak) AS cross_split_pairs
-          FROM sp GROUP BY split ORDER BY split""",
-    // same bounded pair slice, same cross-multiplied thresholds
-    "q292_dedup_threshold_curve" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
-          pr AS (SELECT CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
-                   AS inter,
-                   CAST(len(a.sh) + len(b.sh) AS BIGINT) AS ss
-                 FROM s a JOIN s b ON a.doc_id < b.doc_id),
-          pu AS (SELECT inter, ss - inter AS uni FROM pr WHERE inter > 0),
-          th AS (SELECT CAST(unnest([50, 60, 70, 80, 90]) AS BIGINT)
-                   AS t_pct)
-          SELECT t_pct,
-                 CAST(sum(CASE WHEN inter * 100 >= t_pct * uni
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
-          FROM pu CROSS JOIN th GROUP BY t_pct ORDER BY t_pct""",
-    // same SCD2 history, same canonical PIT predicate
-    "q293_scd2_timetravel" ->
-      """WITH base AS (SELECT c_custkey, c_mktsegment FROM customer),
-          batch AS (SELECT c_custkey, 'MACHINERY' AS new_segment
-                    FROM base WHERE c_custkey % 7 = 0
-                      AND c_mktsegment <> 'MACHINERY'),
-          fl AS (SELECT base.c_custkey, base.c_mktsegment,
-                   batch.new_segment
-                 FROM base LEFT JOIN batch USING (c_custkey)),
-          hist AS (SELECT c_custkey, c_mktsegment AS segment,
-                     DATE '2024-01-01' AS valid_from,
-                     CASE WHEN new_segment IS NOT NULL
-                       THEN DATE '2024-07-01' END AS valid_to
-                   FROM fl
-                   UNION ALL
-                   SELECT c_custkey, new_segment, DATE '2024-07-01', NULL
-                   FROM fl WHERE new_segment IS NOT NULL),
-          asofs AS (SELECT unnest([DATE '2024-03-15', DATE '2024-09-01'])
-                      AS as_of)
-          SELECT CAST(as_of AS VARCHAR) AS as_of, segment,
-                 CAST(count(*) AS BIGINT) AS n_customers
-          FROM hist CROSS JOIN asofs
-          WHERE valid_from <= as_of
-            AND (valid_to IS NULL OR as_of < valid_to)
-          GROUP BY 1, 2 ORDER BY 1, 2""",
-    // same cents quantization, same per-user month window
-    "q294_period_end_balance" ->
-      """WITH m AS (SELECT user_id,
-                  CAST(CAST(date_trunc('month', ts) AS DATE) AS VARCHAR)
-                    AS month,
-                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
-                    AS delta_cents
-                FROM events WHERE user_id < 50 GROUP BY 1, 2)
-          SELECT user_id, month, delta_cents,
-                 CAST(sum(delta_cents) OVER (PARTITION BY user_id
-                   ORDER BY month ROWS UNBOUNDED PRECEDING) AS BIGINT)
-                   AS closing_cents
-          FROM m ORDER BY user_id, month""",
-    // same parent totals, same ppm shares
-    "q295_hierarchy_shares" ->
-      """WITH pn AS (SELECT n_name, n_regionkey,
-                  CAST(count(*) AS BIGINT) AS n_cust
-                FROM customer JOIN nation ON c_nationkey = n_nationkey
-                GROUP BY 1, 2),
-          pr AS (SELECT n_regionkey, CAST(sum(n_cust) AS BIGINT)
-                   AS region_cust FROM pn GROUP BY 1),
-          t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS total_cust FROM pn)
-          SELECT r_name, n_name, n_cust, region_cust,
-                 (n_cust * 1000000) // region_cust AS share_of_region_ppm,
-                 (n_cust * 1000000) // total_cust AS share_of_total_ppm
-          FROM pn JOIN pr USING (n_regionkey)
-          JOIN region ON pn.n_regionkey = r_regionkey
-          CROSS JOIN t
-          ORDER BY r_name, n_name""",
-    // identical three unrolled min-plus relaxations
-    "q296_bellman_ford" ->
-      """WITH pc AS (SELECT o_custkey AS c, l_suppkey AS sp,
-                  CAST(min(round(l_extendedprice * 100)) AS BIGINT) AS w
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-                GROUP BY 1, 2),
-          e AS (SELECT c*2 AS src, sp*2+1 AS dst, w FROM pc
-                UNION ALL SELECT sp*2+1, c*2, w FROM pc),
-          n AS (SELECT DISTINCT src AS node FROM e),
-          s0 AS (SELECT CAST(min(src) AS BIGINT) AS s0 FROM e
-                 WHERE src % 2 = 0),
-          d0 AS (SELECT node, CASE WHEN node = (SELECT s0 FROM s0)
-                   THEN CAST(0 AS BIGINT)
-                   ELSE CAST(1000000000000000 AS BIGINT) END AS dist
-                 FROM n),
-          r1 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
-                 FROM e JOIN d0 d ON e.src = d.node
-                 WHERE d.dist < 1000000000000000 GROUP BY 1),
-          d1 AS (SELECT d0.node,
-                   least(d0.dist, coalesce(r1.best, 1000000000000000))
-                     AS dist
-                 FROM d0 LEFT JOIN r1 ON d0.node = r1.dst),
-          r2 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
-                 FROM e JOIN d1 d ON e.src = d.node
-                 WHERE d.dist < 1000000000000000 GROUP BY 1),
-          d2 AS (SELECT d1.node,
-                   least(d1.dist, coalesce(r2.best, 1000000000000000))
-                     AS dist
-                 FROM d1 LEFT JOIN r2 ON d1.node = r2.dst),
-          r3 AS (SELECT e.dst, CAST(min(d.dist + e.w) AS BIGINT) AS best
-                 FROM e JOIN d2 d ON e.src = d.node
-                 WHERE d.dist < 1000000000000000 GROUP BY 1),
-          d3 AS (SELECT d2.node,
-                   least(d2.dist, coalesce(r3.best, 1000000000000000))
-                     AS dist
-                 FROM d2 LEFT JOIN r3 ON d2.node = r3.dst),
-          f AS (SELECT (node - 1) // 2 AS suppkey, dist AS cents,
-                  CAST(row_number() OVER (ORDER BY dist, node) AS INT)
-                    AS rk
-                FROM d3
-                WHERE node % 2 = 1 AND dist < 1000000000000000)
-          SELECT rk, suppkey, cents FROM f WHERE rk <= 30 ORDER BY rk""",
-    // same ±3 window, 1-based list slicing mirrors 0-based posexplode
-    "q286_kwic" ->
-      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
-                FROM documents),
-          o AS (SELECT doc_id, ws,
-                  CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos,
-                  unnest(ws) AS w
-                FROM t)
-          SELECT doc_id, pos,
-                 coalesce(array_to_string(ws[CAST(greatest(pos-3, 0)+1 AS INT) :
-                   CAST(pos AS INT)], ' '), '') AS left_ctx,
-                 coalesce(array_to_string(ws[CAST(pos+2 AS INT) :
-                   CAST(pos+4 AS INT)], ' '), '') AS right_ctx
-          FROM o WHERE w = 'spark' ORDER BY doc_id, pos""",
-    // same (price, orderkey) tile order, same explicit bucket floor
-    "q287_ntile_buckets" ->
-      """WITH b AS (SELECT o_orderstatus,
-                  ntile(4) OVER (PARTITION BY o_orderstatus
-                    ORDER BY o_totalprice, o_orderkey) AS quartile,
-                  least(10, 1 + CAST(floor(o_totalprice / 50000.0)
-                    AS BIGINT)) AS bucket
-                FROM orders)
-          SELECT o_orderstatus, CAST(quartile AS INT) AS quartile, bucket,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
-    // same ppm shares, same per-term micro-nat quantization
-    "q288_theil_between" ->
-      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS xs,
-                  CAST(count(*) AS BIGINT) AS ns
-                FROM documents GROUP BY 1),
-          t AS (SELECT CAST(sum(xs) AS BIGINT) AS xx,
-                  CAST(sum(ns) AS BIGINT) AS nn FROM per),
-          terms AS (SELECT source, xs, ns,
-                  (xs * 1000000) // xx AS share_ppm,
-                  CAST(round(ln(CAST(xs AS DOUBLE) * CAST(nn AS DOUBLE))
-                    * 1000000.0) AS BIGINT)
-                  - CAST(round(ln(CAST(xx AS DOUBLE) * CAST(ns AS DOUBLE))
-                    * 1000000.0) AS BIGINT) AS lr_micro
-                FROM per, t),
-          t2 AS (SELECT *, share_ppm * lr_micro AS term_pico FROM terms)
-          SELECT source, xs, ns, share_ppm, term_pico,
-                 (SELECT CAST(sum(term_pico) AS BIGINT) FROM t2)
-                   AS theil_pico
-          FROM t2 ORDER BY source""",
-    // same seeded dyadic samples, same Chapman fold
-    "q289_capture_recapture" ->
-      """WITH f AS (SELECT
-                  CASE WHEN (CAST(CAST('0x' || substring(md5(
-                    CAST(doc_id AS VARCHAR) || ':cr1'), 1, 13) AS BIGINT)
-                    AS DOUBLE) + 1) / 4503599627370496.0 < 0.3
-                    THEN 1 ELSE 0 END AS s1,
-                  CASE WHEN (CAST(CAST('0x' || substring(md5(
-                    CAST(doc_id AS VARCHAR) || ':cr2'), 1, 13) AS BIGINT)
-                    AS DOUBLE) + 1) / 4503599627370496.0 < 0.3
-                    THEN 1 ELSE 0 END AS s2
-                FROM documents),
-          ag AS (SELECT CAST(count(*) AS BIGINT) AS true_n,
-                   CAST(sum(s1) AS BIGINT) AS n1,
-                   CAST(sum(s2) AS BIGINT) AS n2,
-                   CAST(sum(s1 * s2) AS BIGINT) AS m FROM f)
-          SELECT true_n, n1, n2, m,
-                 ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 AS n_hat,
-                 ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 - true_n AS err
-          FROM ag""",
-    // same trapezoid fold over the gappy hourly series
-    "q290_time_weighted_avg" ->
-      """WITH hourly AS (SELECT date_trunc('hour', ts) AS hr,
-                  CAST(count(*) AS BIGINT) AS cnt
-                FROM events WHERE event_type = 'purchase' GROUP BY 1),
-          l AS (SELECT hr, cnt,
-                  lead(cnt, 1) OVER (ORDER BY hr) AS nv,
-                  (epoch(lead(hr, 1) OVER (ORDER BY hr))::BIGINT
-                    - epoch(hr)::BIGINT) // 3600 AS dt
-                FROM hourly),
-          ag AS (SELECT CAST(count(*) AS BIGINT) AS n_samples,
-                   CAST(sum(cnt) AS BIGINT) AS sum_v,
-                   CAST(sum(CASE WHEN nv IS NOT NULL
-                     THEN (cnt + nv) * dt END) AS BIGINT) AS trap2,
-                   CAST(sum(CASE WHEN nv IS NOT NULL THEN dt END)
-                     AS BIGINT) AS t_hours
-                 FROM l)
-          SELECT n_samples, t_hours,
-                 (trap2 * 1000) // (2 * t_hours) AS twa_milli,
-                 (sum_v * 1000) // n_samples AS naive_mean_milli
-          FROM ag""",
-    // same clip, same seeded Laplace, same micro rounding
-    "q281_dp_sum_clipped" ->
-      """WITH per AS (SELECT source,
-                  CAST(sum(least(n_chars, 5000)) AS BIGINT) AS clipped_sum,
-                  CAST(sum(CASE WHEN n_chars > 5000 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_clipped
-                FROM documents GROUP BY 1),
-          u AS (SELECT source, clipped_sum, n_clipped,
-                  (CAST(CAST('0x' || substring(md5(source || ':dps'), 1, 13)
-                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
-                    AS v
-                FROM per)
-          SELECT source, clipped_sum, n_clipped,
-                 clipped_sum * 1000000 +
-                   CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
-                     1e-300)) * 5000.0 * 1000000.0) AS BIGINT)
-                   AS noisy_micro
-          FROM u ORDER BY source""",
-    // same broadcast-total LOO folds, same milli floors
-    "q282_jackknife" ->
-      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx_i,
-                  CAST(count(*) AS BIGINT) AS n_i
-                FROM documents GROUP BY 1),
-          t AS (SELECT CAST(sum(sx_i) AS BIGINT) AS sx,
-                  CAST(sum(n_i) AS BIGINT) AS n,
-                  CAST(count(*) AS BIGINT) AS g FROM per),
-          loo AS (SELECT source, n_i, g,
-                    (sx * 1000) // n AS mean_milli,
-                    ((sx - sx_i) * 1000) // (n - n_i) AS loo_mean_milli
-                  FROM per, t),
-          l2 AS (SELECT *, g * mean_milli - (g - 1) * loo_mean_milli
-                   AS pseudo_milli FROM loo),
-          mb AS (SELECT sum(loo_mean_milli) // count(*) AS mbar FROM l2),
-          v AS (SELECT ((count(*) - 1) * sum((loo_mean_milli - mbar)
-                    * (loo_mean_milli - mbar))) // count(*)
-                    AS jack_var_scaled
-                FROM l2, mb)
-          SELECT source, n_i, g, mean_milli, loo_mean_milli, pseudo_milli,
-                 (SELECT jack_var_scaled FROM v) AS jack_var_scaled
-          FROM l2 ORDER BY source""",
-    // same fixed bins, same ppm proportions, same per-term micro-nat
-    // quantization before the product
-    "q283_psi_drift" -> {
-      val edges = PsiBinEdges
-      val binSql = edges.zipWithIndex.foldRight(s"${edges.size}") {
-        case ((e, i), acc) => s"CASE WHEN n_chars < $e THEN $i ELSE $acc END"
-      }
-      s"""WITH b AS (SELECT CAST($binSql AS BIGINT) AS bin,
-                  doc_id % 2 = 0 AS in_a FROM documents),
-          per AS (SELECT bin,
-                  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT)
-                    AS ca,
-                  CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT)
-                    AS cb
-                FROM b GROUP BY 1),
-          t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
-                  CAST(sum(cb) AS BIGINT) AS nb FROM per),
-          terms AS (SELECT bin, ca, cb,
-                  (ca * 1000000) // na AS pa_ppm,
-                  (cb * 1000000) // nb AS pb_ppm,
-                  CAST(round(ln(CAST((ca + 1) AS DOUBLE)
-                      * CAST(nb AS DOUBLE)) * 1000000.0) AS BIGINT)
-                    - CAST(round(ln(CAST((cb + 1) AS DOUBLE)
-                      * CAST(na AS DOUBLE)) * 1000000.0) AS BIGINT)
-                    AS lr_micro
-                FROM per, t),
-          t2 AS (SELECT *, (pa_ppm - pb_ppm) * lr_micro AS term_pico
-                 FROM terms)
-          SELECT bin, ca, cb, pa_ppm, pb_ppm, term_pico,
-                 (SELECT CAST(sum(term_pico) AS BIGINT) FROM t2) AS psi_pico
-          FROM t2 ORDER BY bin"""
-    },
-    // q276's doubled-midrank machinery folded to the U/(n1 n2) identity
-    "q284_rank_auc" ->
-      """WITH per AS (SELECT n_chars,
-                  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                    AS BIGINT) AS ca,
-                  CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
-                    AS BIGINT) AS cb
-                FROM documents GROUP BY 1),
-          c AS (SELECT ca, cb, ca + cb AS cnt,
-                  CAST(sum(ca + cb) OVER (ORDER BY n_chars
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-                FROM per),
-          ag AS (SELECT CAST(sum(ca) AS BIGINT) AS n_pos,
-                   CAST(sum(cb) AS BIGINT) AS n_neg,
-                   CAST(sum(ca * (2*cum - cnt + 1)) AS BIGINT) AS r1_2x
-                 FROM c)
-          SELECT n_pos, n_neg,
-                 r1_2x - n_pos*(n_pos+1) AS u_2x,
-                 ((r1_2x - n_pos*(n_pos+1)) * 1000000)
-                   // (2 * n_pos * n_neg) AS auc_ppm
-          FROM ag""",
-    // identical two unrolled normalize-rounds in integer fixed-point
-    "q285_hits" ->
-      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
-                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          ns AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS ns FROM e),
-          h0 AS (SELECT DISTINCT src,
-                   1000000000 // (SELECT ns FROM ns) AS h FROM e),
-          a1r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
-                  FROM e JOIN h0 USING (src) GROUP BY dst),
-          a1t AS (SELECT CAST(sum(ar) AS BIGINT) AS at FROM a1r),
-          a1 AS (SELECT dst, (ar * 1000000000) // (SELECT at FROM a1t)
-                   AS a FROM a1r),
-          h1r AS (SELECT src, CAST(sum(a) AS BIGINT) AS hr
-                  FROM e JOIN a1 USING (dst) GROUP BY src),
-          h1t AS (SELECT CAST(sum(hr) AS BIGINT) AS ht FROM h1r),
-          h1 AS (SELECT src, (hr * 1000000000) // (SELECT ht FROM h1t)
-                   AS h FROM h1r),
-          a2r AS (SELECT dst, CAST(sum(h) AS BIGINT) AS ar
-                  FROM e JOIN h1 USING (src) GROUP BY dst),
-          a2t AS (SELECT CAST(sum(ar) AS BIGINT) AS at FROM a2r),
-          a2 AS (SELECT dst, (ar * 1000000000) // (SELECT at FROM a2t)
-                   AS a FROM a2r),
-          r AS (SELECT dst, a, CAST(row_number() OVER
-                  (ORDER BY a DESC, dst) AS INT) AS rk FROM a2)
-          SELECT rk, dst AS suppkey, a AS authority_fp
-          FROM r WHERE rk <= 20 ORDER BY rk""",
-    // same doubled midranks from cumulative counts over distinct lengths
-    "q276_mann_whitney" ->
-      """WITH srcs AS (SELECT min(source) AS src_a, max(source) AS src_b
-                FROM (SELECT DISTINCT source FROM documents
-                      ORDER BY source LIMIT 2)),
-          per AS (SELECT n_chars, s.src_a, s.src_b,
-                    CAST(sum(CASE WHEN source = s.src_a THEN 1 ELSE 0 END)
-                      AS BIGINT) AS ca,
-                    CAST(sum(CASE WHEN source = s.src_b THEN 1 ELSE 0 END)
-                      AS BIGINT) AS cb
-                  FROM documents, srcs s
-                  WHERE source = s.src_a OR source = s.src_b
-                  GROUP BY 1, 2, 3),
-          c AS (SELECT src_a, src_b, ca, cb, ca + cb AS cnt,
-                  CAST(sum(ca + cb) OVER (ORDER BY n_chars
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-                FROM per),
-          ag AS (SELECT src_a, src_b, CAST(sum(ca) AS BIGINT) AS n1,
-                   CAST(sum(cb) AS BIGINT) AS n2,
-                   CAST(sum(ca * (2*cum - cnt + 1)) AS BIGINT) AS r1_2x
-                 FROM c GROUP BY 1, 2)
-          SELECT src_a, src_b, n1, n2,
-                 r1_2x - n1*(n1+1) AS u_2x, n1*n2 AS e_u_2x,
-                 (r1_2x - n1*(n1+1)) > n1*n2 AS a_greater
-          FROM ag""",
-    // same hour grid, same IGNORE-NULLS neighbors, same truncating
-    // micro-unit interpolation
-    "q277_gap_interpolation" ->
-      """WITH ev AS (SELECT date_trunc('hour', ts) AS hr,
-                  CAST(count(*) AS BIGINT) AS cnt
-                FROM events WHERE event_type = 'purchase' GROUP BY 1),
-          mm AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
-          grid AS (SELECT unnest(generate_series(h0, h1,
-                     INTERVAL 1 HOUR)) AS hr FROM mm),
-          j AS (SELECT g.hr, ev.cnt FROM grid g LEFT JOIN ev USING (hr)),
-          ix AS (SELECT hr, cnt, CAST(row_number() OVER (ORDER BY hr)
-                   AS BIGINT) AS idx FROM j),
-          p AS (SELECT hr, cnt, idx,
-                  last_value(CASE WHEN cnt IS NOT NULL THEN idx END
-                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
-                    UNBOUNDED PRECEDING AND 1 PRECEDING) AS pidx,
-                  last_value(cnt IGNORE NULLS) OVER (ORDER BY idx
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    AS pcnt,
-                  first_value(CASE WHEN cnt IS NOT NULL THEN idx END
-                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
-                    1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nidx,
-                  first_value(cnt IGNORE NULLS) OVER (ORDER BY idx
-                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-                    AS ncnt
-                FROM ix)
-          SELECT hr, cnt, cnt IS NULL AS was_gap,
-                 CASE WHEN cnt IS NOT NULL THEN cnt * 1000000
-                      WHEN pidx IS NULL OR nidx IS NULL THEN NULL
-                      ELSE pcnt * 1000000 +
-                        ((ncnt - pcnt) * 1000000 * (idx - pidx))
-                          // (nidx - pidx) END AS filled_micro
-          FROM p ORDER BY hr""",
-    // same decimal weight sums, same 2·cum ≥ total threshold
-    "q278_weighted_median" ->
-      """WITH per AS (SELECT l_returnflag, l_quantity,
-                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
-                FROM lineitem GROUP BY 1, 2),
-          c AS (SELECT l_returnflag, l_quantity,
-                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
-                    ROWS UNBOUNDED PRECEDING) AS cw,
-                  sum(w) OVER (PARTITION BY l_returnflag) AS tw
-                FROM per)
-          SELECT l_returnflag, min(l_quantity) AS w_median_qty,
-                 CAST(max(tw) AS DOUBLE) AS total_weight
-          FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
-          ORDER BY l_returnflag""",
-    // same md5 uniform, same inverse-CDF Laplace, same micro rounding
-    // (both engines round half away from zero)
-    "q279_dp_histogram" ->
-      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
-                FROM documents GROUP BY 1),
-          u AS (SELECT source, cnt,
-                  (CAST(CAST('0x' || substring(md5(source || ':dp1'), 1, 13)
-                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
-                    AS v
-                FROM per),
-          n AS (SELECT source, cnt,
-                  CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
-                    1e-300)) * 1000000.0) AS BIGINT) AS lap
-                FROM u)
-          SELECT source, cnt * 1000000 + lap AS noisy_micro,
-                 abs(lap) AS abs_err_micro
-          FROM n ORDER BY source""",
-    // same decimal(18,2) money bridge on both sides of the join
-    "q280_order_value_audit" ->
-      """WITH ls AS (SELECT l_orderkey,
-                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross
-                FROM lineitem GROUP BY 1),
-          j AS (SELECT o_orderkey,
-                  CAST(o_totalprice AS DECIMAL(18,2)) AS head, ls.gross
-                FROM orders LEFT JOIN ls ON o_orderkey = ls.l_orderkey)
-          SELECT CAST(count(*) AS BIGINT) AS n_orders,
-                 CAST(sum(CASE WHEN gross IS NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_childless,
-                 CAST(sum(CASE WHEN gross = head THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_matched,
-                 CAST(sum(CASE WHEN gross IS NOT NULL AND gross <> head
-                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
-                 CAST(max(abs(gross - head)) AS DOUBLE) AS max_abs_diff,
-                 CAST(sum(abs(gross - head)) AS DOUBLE) AS sum_abs_diff
-          FROM j""",
-    // same exact sufficient statistics; same truncating div against the
-    // identically-rounded floor(sqrt(double product))
-    "q271_acf" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-          lagged AS (SELECT cnt,
-                  lag(cnt, 1) OVER (ORDER BY day) AS y1,
-                  lag(cnt, 7) OVER (ORDER BY day) AS y7 FROM daily),
-          b1 AS (SELECT CAST(1 AS BIGINT) AS lag,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(cnt) AS BIGINT) AS sx,
-                   CAST(sum(y1) AS BIGINT) AS sy,
-                   CAST(sum(cnt*y1) AS BIGINT) AS sxy,
-                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
-                   CAST(sum(y1*y1) AS BIGINT) AS syy
-                 FROM lagged WHERE y1 IS NOT NULL),
-          b7 AS (SELECT CAST(7 AS BIGINT) AS lag,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(cnt) AS BIGINT) AS sx,
-                   CAST(sum(y7) AS BIGINT) AS sy,
-                   CAST(sum(cnt*y7) AS BIGINT) AS sxy,
-                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
-                   CAST(sum(y7*y7) AS BIGINT) AS syy
-                 FROM lagged WHERE y7 IS NOT NULL),
-          u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b7)
-          SELECT lag, n, sx, sy, sxy, sxx, syy,
-                 ((n*sxy - sx*sy) * 1000000) //
-                   nullif(CAST(floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                     * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT), 0)
-                   AS r_ppm
-          FROM u ORDER BY lag""",
-    // same closed-form prefix-minus-min-prefix statistic, same integer
-    // allowance/threshold floors
-    "q272_cusum" ->
-      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
-                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
-          kh AS (SELECT sum(cnt) // count(*) AS k,
-                   sum(cnt) // (10 * count(*)) AS h FROM daily),
-          p AS (SELECT day, k, h,
-                  CAST(sum(cnt - k) OVER (ORDER BY day
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
-                FROM daily, kh),
-          s AS (SELECT day, k, h,
-                  p - least(min(p) OVER (ORDER BY day
-                    ROWS UNBOUNDED PRECEDING), 0) AS sstat
-                FROM p)
-          SELECT CAST(count(*) AS BIGINT) AS n_days,
-                 CAST(max(k) AS BIGINT) AS k, CAST(max(h) AS BIGINT) AS h,
-                 CAST(sum(CASE WHEN sstat >= h THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_alarms,
-                 coalesce(CAST(min(CASE WHEN sstat >= h THEN day END)
-                   AS VARCHAR), 'none') AS first_alarm_day,
-                 CAST(max(sstat) AS BIGINT) AS max_s
-          FROM s""",
-    // same concat_ws fingerprints, same count-distinct uniqueness folds
-    "q273_candidate_keys" -> {
-      val branches = Seq(Seq("o_orderkey"), Seq("o_custkey"),
-        Seq("o_orderdate"), Seq("o_custkey", "o_orderdate"),
-        Seq("o_orderstatus", "o_orderpriority")).map { cols =>
-        val tag = cols.mkString(",")
-        val fp = cols.map(c => s"CAST($c AS VARCHAR)")
-          .mkString("concat_ws('|', ", ", ", ")")
-        s"""SELECT '$tag' AS key_cols, CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(count(DISTINCT $fp) AS BIGINT) AS n_distinct,
-               CAST(count(*) - count(DISTINCT $fp) AS BIGINT) AS dup_rows,
-               count(*) = count(DISTINCT $fp) AS is_key
-            FROM orders"""
-      }.mkString("\nUNION ALL\n")
-      s"SELECT * FROM ($branches) ORDER BY key_cols"
-    },
-    // same (day,user) distinct / first-seen decomposition and running sum
-    "q274_user_accretion" ->
-      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-                FROM events),
-          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
-                  FROM ev GROUP BY 1),
-          fs AS (SELECT min(day) AS day, user_id FROM ev GROUP BY user_id),
-          nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
-                 FROM fs GROUP BY 1)
-          SELECT dau.day, dau.dau,
-                 CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
-                 dau.dau - CAST(coalesce(nu.new_users, 0) AS BIGINT)
-                   AS returning,
-                 CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
-                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
-          FROM dau LEFT JOIN nu ON dau.day = nu.day
-          ORDER BY dau.day""",
-    // generate_subscripts gives 1-based positions → −1 matches
-    // posexplode's 0-based; stack/map branches are literal UNION ALL rows
-    "q275_generator_suite" ->
-      """WITH d5 AS (SELECT * FROM documents WHERE doc_id < 5),
-          words AS (SELECT doc_id, 'word' AS kind,
-                  CAST(generate_subscripts(string_split(text, ' '), 1)
-                    - 1 AS BIGINT) AS pos,
-                  unnest(string_split(text, ' ')) AS val
-                FROM d5),
-          stacked AS (SELECT doc_id, 'lang' AS kind,
-                  CAST(-1 AS BIGINT) AS pos, lang AS val FROM d5
-                UNION ALL
-                SELECT doc_id, 'source', CAST(-1 AS BIGINT), source
-                FROM d5),
-          mapped AS (SELECT doc_id, 'n_chars' AS kind,
-                  CAST(-2 AS BIGINT) AS pos,
-                  CAST(n_chars AS VARCHAR) AS val FROM d5
-                UNION ALL
-                SELECT doc_id, 'n_words', CAST(-2 AS BIGINT),
-                  CAST(length(string_split(text, ' ')) AS VARCHAR) FROM d5)
-          SELECT * FROM (SELECT * FROM words UNION ALL
-                         SELECT * FROM stacked UNION ALL
-                         SELECT * FROM mapped)
-          ORDER BY doc_id, kind, pos, val""",
-    // same full r×c grid (zero cells restored), same integer floor chain
-    "q266_chi_square" ->
-      """WITH base AS (SELECT c_mktsegment, c_nationkey FROM customer),
-          rt AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS rt
-                 FROM base GROUP BY 1),
-          ct AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ct
-                 FROM base GROUP BY 1),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
-          obs AS (SELECT c_mktsegment, c_nationkey,
-                    CAST(count(*) AS BIGINT) AS obs
-                  FROM base GROUP BY 1, 2),
-          grid AS (SELECT rt.c_mktsegment, ct.c_nationkey, rt.rt, ct.ct,
-                     CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, t.n
-                   FROM rt CROSS JOIN ct CROSS JOIN t
-                   LEFT JOIN obs USING (c_mktsegment, c_nationkey)),
-          cells AS (SELECT c_mktsegment, c_nationkey, n,
-                      (((obs*n - rt*ct) * (obs*n - rt*ct)) // (rt*ct))
-                        * 1000000 // n AS cell_micro
-                    FROM grid)
-          SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
-                 CAST((count(DISTINCT c_mktsegment) - 1)
-                   * (count(DISTINCT c_nationkey) - 1) AS BIGINT) AS df,
-                 CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
-          FROM cells""",
-    // same cross-multiplied cumulative counts, same (d_ppm desc, value)
-    // argmax tiebreak
-    "q267_ks_test" ->
-      """WITH a AS (SELECT min(source) AS src_a FROM documents),
-          per AS (SELECT n_chars, a.src_a,
-                    CAST(sum(CASE WHEN source = a.src_a THEN 1 ELSE 0 END)
-                      AS BIGINT) AS c1,
-                    CAST(sum(CASE WHEN source <> a.src_a THEN 1 ELSE 0 END)
-                      AS BIGINT) AS c2
-                  FROM documents, a GROUP BY 1, 2),
-          cum AS (SELECT n_chars, src_a,
-                    CAST(sum(c1) OVER (ORDER BY n_chars
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
-                    CAST(sum(c2) OVER (ORDER BY n_chars
-                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
-                  FROM per),
-          tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
-                   CAST(sum(c2) AS BIGINT) AS n2 FROM per),
-          dd AS (SELECT n_chars, src_a, n1, n2,
-                   (abs(f1*n2 - f2*n1) * 1000000) // (n1*n2) AS d_ppm,
-                   row_number() OVER (ORDER BY (abs(f1*n2 - f2*n1) * 1000000)
-                     // (n1*n2) DESC, n_chars) AS rk
-                 FROM cum, tt)
-          SELECT src_a, n1, n2, d_ppm, n_chars AS at_n_chars
-          FROM dd WHERE rk = 1""",
-    // same strict-permutation ranks (day tiebreak), same single floor div
-    "q268_spearman_trend" ->
-      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-                  CAST(count(*) AS BIGINT) AS cnt
-                FROM events GROUP BY 1, 2),
-          rk AS (SELECT event_type,
-                   CAST(row_number() OVER (PARTITION BY event_type
-                     ORDER BY day) AS BIGINT)
-                   - CAST(row_number() OVER (PARTITION BY event_type
-                     ORDER BY cnt, day) AS BIGINT) AS dd
-                 FROM daily),
-          ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
-                   CAST(sum(dd*dd) AS BIGINT) AS sum_d2
-                 FROM rk GROUP BY 1 HAVING count(*) >= 2)
-          SELECT event_type, n_days, sum_d2,
-                 1000000 - (6 * sum_d2 * 1000000)
-                   // (n_days * (n_days*n_days - 1)) AS rho_ppm
-          FROM ag ORDER BY event_type""",
-    // same per-FD single-row folds
-    "q269_fd_audit" -> {
-      val branches = Seq(
-        ("nation", "n_nationkey", "n_regionkey"),
-        ("orders", "o_orderkey", "o_orderdate"),
-        ("orders", "o_custkey", "o_orderpriority"),
-        ("lineitem", "l_orderkey", "l_returnflag"),
-        ("lineitem", "l_partkey", "l_suppkey")).map { case (t, l, r) =>
-        s"""SELECT '$t.$l->$r' AS fd,
-               CAST(count(*) AS BIGINT) AS n_classes,
-               CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS violating_classes,
-               CAST(sum(CASE WHEN ndv > 1 THEN nrows ELSE 0 END) AS BIGINT)
-                 AS rows_in_violating,
-               sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
-            FROM (SELECT $l, count(DISTINCT $r) AS ndv,
-                    CAST(count(*) AS BIGINT) AS nrows
-                  FROM $t GROUP BY $l)"""
-      }.mkString("\nUNION ALL\n")
-      s"SELECT * FROM ($branches) ORDER BY fd"
-    },
-    // same class×segment grid, same cumulative EMD cross-multiplication
-    "q270_t_closeness" ->
-      """WITH cust AS (SELECT c_nationkey, c_acctbal >= 0 AS bal_pos,
-                  c_mktsegment FROM customer),
-          gl AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g
-                   FROM cust GROUP BY 1),
-          cls AS (SELECT c_nationkey, bal_pos, CAST(count(*) AS BIGINT) AS cls
-                  FROM cust GROUP BY 1, 2 HAVING count(*) >= 5),
-          obs AS (SELECT c_nationkey, bal_pos, c_mktsegment,
-                    CAST(count(*) AS BIGINT) AS o
-                  FROM cust GROUP BY 1, 2, 3),
-          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM cust),
-          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
-          grid AS (SELECT cls.c_nationkey, cls.bal_pos, cls.cls,
-                     gl.c_mktsegment, gl.g,
-                     CAST(coalesce(obs.o, 0) AS BIGINT) AS o, t.nn, mm.m
-                   FROM cls CROSS JOIN gl CROSS JOIN t CROSS JOIN mm
-                   LEFT JOIN obs USING (c_nationkey, bal_pos, c_mktsegment)),
-          cum AS (SELECT c_nationkey, bal_pos, cls, nn, m,
-                    CAST(sum(o) OVER (PARTITION BY c_nationkey, bal_pos
-                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS cumc,
-                    CAST(sum(g) OVER (PARTITION BY c_nationkey, bal_pos
-                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
-                      AS BIGINT) AS cumg
-                  FROM grid),
-          emd AS (SELECT c_nationkey, bal_pos, max(cls) AS cls,
-                    (sum(abs(cumc*nn - cumg*cls)) * 1000000)
-                      // (max(cls)*max(nn)*(max(m)-1)) AS emd_ppm
-                  FROM cum GROUP BY 1, 2)
-          SELECT c_nationkey, bal_pos, cls, emd_ppm,
-                 emd_ppm > 200000 AS fails_t02
-          FROM emd ORDER BY c_nationkey, bal_pos""",
-    // identical md5 permutation, adjacency fold, run segmentation, and
-    // without-replacement expectation
-    "q265_shuffle_quality" ->
-      """WITH s0 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
-          q AS (SELECT source, h, doc_id,
-                  CASE WHEN lag(source) OVER (ORDER BY h, doc_id) = source
-                       THEN 1 ELSE 0 END AS same
-                FROM s0),
-          q2 AS (SELECT source, same,
-                  CAST(sum(1 - same) OVER (ORDER BY h, doc_id
-                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS brk
-                 FROM q),
-          mr AS (SELECT CAST(max(run_len) AS BIGINT) AS max_run FROM (
-                   SELECT brk, count(*) AS run_len FROM q2 GROUP BY brk)),
-          ps AS (SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS num,
-                   CAST(sum(ns) AS BIGINT) AS n
-                 FROM (SELECT source, CAST(count(*) AS BIGINT) AS ns
-                       FROM s0 GROUP BY source)),
-          ob AS (SELECT CAST(sum(same) AS BIGINT) AS n_same,
-                   CAST(count(*) AS BIGINT) AS n_rows FROM q)
-          SELECT n_rows, n_same,
-                 (n_same * 1000000) // (n_rows - 1) AS observed_ppm,
-                 (num * 1000000) // (n * (n - 1)) AS expected_ppm,
-                 max_run
-          FROM ob, ps, mr""",
-    // same size-≥5 classes, same distinct-sensitive fold
-    "q263_l_diversity" ->
-      """WITH c AS (SELECT c_nationkey, c_acctbal >= 0 AS bp,
-                  CAST(count(*) AS BIGINT) AS cls,
-                  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
-                FROM customer GROUP BY 1, 2
-                HAVING count(*) >= 5),
-          l AS (SELECT unnest([2, 3]) AS l)
-          SELECT CAST(l.l AS BIGINT) AS l,
-                 CAST(count(*) AS BIGINT) AS n_classes,
-                 CAST(sum(CASE WHEN l_div < l.l THEN 1 ELSE 0 END)
-                   AS BIGINT) AS homogeneous_classes,
-                 CAST(sum(CASE WHEN l_div < l.l THEN cls ELSE 0 END)
-                   AS BIGINT) AS members_exposed
-          FROM c CROSS JOIN l GROUP BY l.l ORDER BY l""",
-    // same floors, same mod-total remainders, same largest-remainder
-    // seat distribution with the (rem desc, source) tiebreak
-    "q264_apportionment" ->
-      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
-                FROM documents GROUP BY source),
-          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
-          q AS (SELECT source, cnt,
-                  (cnt * $HoldoutQuota) // total AS floor_q,
-                  (cnt * $HoldoutQuota) % total AS rem
-                FROM c, t),
-          lo AS (SELECT $HoldoutQuota - CAST(sum(floor_q) AS BIGINT)
-                   AS leftover FROM q),
-          r AS (SELECT *, CAST(row_number() OVER
-                  (ORDER BY rem DESC, source) AS BIGINT) AS rrank FROM q)
-          SELECT source, cnt, floor_q, rem,
-                 floor_q + CASE WHEN rrank <= (SELECT leftover FROM lo)
-                            THEN 1 ELSE 0 END AS quota
-          FROM r ORDER BY source""",
-    // same QI classes and per-k risk folds
-    "q262_k_anonymity" ->
-      """WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bp,
-                  CAST(count(*) AS BIGINT) AS cls
-                FROM customer GROUP BY 1, 2, 3),
-          t AS (SELECT CAST(sum(cls) AS BIGINT) AS n_total FROM c),
-          k AS (SELECT unnest([2, 5, 10]) AS k)
-          SELECT CAST(k.k AS BIGINT) AS k,
-                 CAST(sum(CASE WHEN cls < k.k THEN 1 ELSE 0 END) AS BIGINT)
-                   AS classes_below,
-                 CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END) AS BIGINT)
-                   AS at_risk,
-                 (CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END)
-                   AS BIGINT) * 1000000) // (SELECT n_total FROM t)
-                   AS risk_ppm
-          FROM c CROSS JOIN k GROUP BY k.k ORDER BY k""",
-    // same thresholds, same downward-closure pruning before pairs
-    "q261_apriori_pairs" ->
-      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-          f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp1
-                FROM b GROUP BY 1
-                HAVING count(*) >= $AprioriItemSupport),
-          fb AS (SELECT b.l_orderkey, b.l_partkey
-                 FROM b JOIN f USING (l_partkey)),
-          p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
-                  CAST(count(*) AS BIGINT) AS supp2
-                FROM fb a JOIN fb c USING (l_orderkey)
-                WHERE a.l_partkey < c.l_partkey
-                GROUP BY 1, 2
-                HAVING count(*) >= $AprioriPairSupport),
-          r AS (SELECT p.p1, p.p2, p.supp2,
-                  f1.supp1 AS supp1a, f2.supp1 AS supp1b,
-                  CAST(row_number() OVER (ORDER BY supp2 DESC, p1, p2)
-                    AS INT) AS rk
-                FROM p JOIN f f1 ON f1.l_partkey = p.p1
-                JOIN f f2 ON f2.l_partkey = p.p2)
-          SELECT rk, p1, p2, supp2, supp1a, supp1b
-          FROM r WHERE rk <= 20 ORDER BY rk""",
-    // one UNION ALL branch per column, same min/max string casts
-    "q260_column_profile" -> {
-      val branches = Seq("l_quantity", "l_extendedprice", "l_discount",
-        "l_returnflag", "l_shipdate", "l_linestatus").map { c =>
-        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
-               CAST(count(*) - count($c) AS BIGINT) AS n_null,
-               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-               CAST(min($c) AS VARCHAR) AS min_value,
-               CAST(max($c) AS VARCHAR) AS max_value
-            FROM lineitem"""
-      }.mkString("\nUNION ALL\n")
-      s"""SELECT * FROM ($branches) ORDER BY "column""""
-    },
-    // same delta gaps, same binary-length bit cost
-    "q259_posting_gaps" ->
-      s"""WITH post AS (SELECT DISTINCT doc_id, unnest($wordsSql) AS w
-                 FROM documents),
-          g AS (SELECT w, doc_id,
-                  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY w
-                    ORDER BY doc_id), -1) AS gap
-                FROM post),
-          a AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
-                  CAST(sum(length(bin(gap))) AS BIGINT) AS sum_gap_bits
-                FROM g GROUP BY w),
-          r AS (SELECT *, CAST(row_number() OVER (ORDER BY df DESC, w)
-                  AS INT) AS rk FROM a)
-          SELECT rk, w, df, sum_gap_bits,
-                 (sum_gap_bits * 1000000) // (df * 64) AS compression_ppm
-          FROM r WHERE rk <= 20 ORDER BY rk""",
-    // conditional aggregates per pivot cell, Spark's {value}_{alias} names
-    "q257_multi_pivot" ->
-      """SELECT o_orderpriority,
-                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F_n",
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                     FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_total",
-                CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O_n",
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                     FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_total",
-                CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P_n",
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                     FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // FILTER-clause equivalents + (price, key)-struct witness argmax
-    "q258_cond_agg_suite" ->
-      """SELECT o_orderpriority,
-                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
-                bool_and(o_totalprice > 0) AS all_positive,
-                bool_or(o_totalprice > 400000) AS any_huge,
-                arg_max(o_orderkey,
-                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    * 1000000000 + o_orderkey) AS richest_order,
-                arg_min(o_orderkey,
-                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-                    * 1000000000 + o_orderkey) AS poorest_order
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    // same hash clusters, same 2×2 provenance split
-    "q255_dup_provenance" ->
-      """WITH cl AS (SELECT sha256(text) AS h,
-                  CAST(count(*) AS BIGINT) AS n_copies,
-                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-                FROM documents GROUP BY 1)
-         SELECT n_copies > 1 AS is_dup, n_sources > 1 AS cross_source,
-                CAST(count(*) AS BIGINT) AS n_clusters,
-                CAST(sum(n_copies) AS BIGINT) AS n_docs
-         FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
-    // same decile binning and contingency pair folds
-    "q256_concordance" ->
-      s"""WITH sc AS (SELECT doc_id, n_chars AS x,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
-                    // CAST(len(ws) AS BIGINT) AS y
-                FROM (SELECT doc_id, n_chars, $wordsSql AS ws
-                      FROM documents)
-                WHERE len(ws) > 0),
-          hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n
-                 FROM sc GROUP BY 1),
-          cx AS (SELECT v, n,
-                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
-                   (SELECT CAST(sum(n) AS BIGINT) FROM hx) AS ntot
-                 FROM hx),
-          bx AS (SELECT v, ((cum - n) * 10) // ntot AS xb FROM cx),
-          hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS n
-                 FROM sc GROUP BY 1),
-          cy AS (SELECT v, n,
-                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
-                   (SELECT CAST(sum(n) AS BIGINT) FROM hy) AS ntot
-                 FROM hy),
-          by2 AS (SELECT v, ((cum - n) * 10) // ntot AS yb FROM cy),
-          ct AS (SELECT bx.xb, by2.yb, CAST(count(*) AS BIGINT) AS n
-                 FROM sc JOIN bx ON bx.v = sc.x
-                 JOIN by2 ON by2.v = sc.y
-                 GROUP BY 1, 2),
-          t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ct),
-          cd AS (SELECT
-                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb < b.yb
-                        THEN a.n * b.n END), 0) AS BIGINT) AS c,
-                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb > b.yb
-                        THEN a.n * b.n END), 0) AS BIGINT) AS d
-                 FROM ct a, ct b)
-          SELECT t.n, cd.c, cd.d,
-                 ((cd.c - cd.d) * 1000000) // ((t.n * (t.n - 1)) // 2)
-                   AS tau_ppm
-          FROM cd, t""",
-    // the reassembled aggregate straight from the parquet dimension
-    "q253_federated_union" ->
-      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total_bal
-         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
-    // same planted nulls, same IGNORE NULLS last-value frame
-    "q254_forward_fill" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
-                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
-                FROM events),
-          f AS (SELECT user_id, ts, event_id,
-                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS filled
-                FROM e)
-          SELECT user_id, event_id, filled, filled IS NULL AS still_null
-          FROM f WHERE event_id % 5 = 0
-          ORDER BY user_id, event_id""",
-    // same Σtf² fixed-point fold
-    "q252_collision_diversity" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
-                 FROM documents),
-          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-                 FROM tok GROUP BY 1, 2),
-          a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
-                  CAST(sum(tf * tf) AS BIGINT) AS s2,
-                  CAST(count(*) AS BIGINT) AS n_types
-                FROM tf GROUP BY doc_id)
-          SELECT doc_id, n, n_types,
-                 (s2 * 1000000000000) // (n * n) AS collision_ppt
-          FROM a ORDER BY doc_id""",
-    // same first-doc placement and decile fold over the same shingles
-    "q250_vocab_growth" ->
-      s"""WITH tt AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          tok AS (SELECT doc_id,
-                    unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
-                      for i in range(1, len(ws) - 1)])) AS w
-                  FROM tt WHERE len(ws) >= 3),
-          f AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
-          m AS (SELECT max(doc_id) AS max_id FROM documents),
-          d AS (SELECT least(10, (first_doc * 10) // (max_id + 1) + 1)
-                  AS decile
-                FROM f, m),
-          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_tokens
-                FROM d GROUP BY decile)
-          SELECT decile, new_tokens,
-                 CAST(sum(new_tokens) OVER (ORDER BY decile
-                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
-          FROM g ORDER BY decile""",
-    // same marker hits, same sorted-array top-2 margin in ppm
-    "q249_lang_confidence" -> {
-      val hits = TextAnalysis.langMarkers.map { case (code, m) =>
-        code -> s"CAST(len(list_intersect(list_distinct(ws), ${sqlList(m)})) AS BIGINT)"
-      }.toMap
-      val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
-      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
-          h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es
-                FROM t),
-          x AS (SELECT doc_id, en, de, fr, es,
-                  list_sort([en, de, fr, es]) AS sorted,
-                  en + de + fr + es AS total
-                FROM h)
-          SELECT doc_id,
-                 CASE
-                   WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
-                   WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
-                   WHEN fr > 0 AND fr >= es THEN 'fr'
-                   WHEN es > 0 THEN 'es'
-                   ELSE 'und' END AS pred_lang,
-                 sorted[4] AS top_hits, sorted[3] AS second_hits,
-                 CASE WHEN total > 0
-                      THEN ((sorted[4] - sorted[3]) * 1000000) // total
-                      ELSE -1 END AS margin_ppm
-          FROM x ORDER BY doc_id"""
-    },
-    // identical multiset algebra in DuckDB's EXCEPT ALL / INTERSECT ALL
-    "q248_bag_setops" ->
-      """WITH a AS (SELECT o_orderpriority AS p FROM orders),
-          b AS (SELECT o_orderpriority AS p FROM orders
-                WHERE o_orderkey % 2 = 0),
-          ex AS (SELECT 'except_all' AS op, p,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
-                 GROUP BY 2),
-          iy AS (SELECT 'intersect_all' AS op, p,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
-                 GROUP BY 2)
-          SELECT op, p, n FROM ex
-          UNION ALL SELECT op, p, n FROM iy
-          ORDER BY op, p""",
-    // same integer fixed-point idf reciprocal and (weight desc, term)
-    // tiebreak
-    "q245_keywords" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
-                 FROM documents),
-          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-                 FROM tok GROUP BY 1, 2),
-          df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
-                 FROM tf GROUP BY 1),
-          j AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
-                  tf.tf * (1000000 // df.df) AS weight
-                FROM tf JOIN df USING (w)),
-          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
-                    ORDER BY weight DESC, w) AS INT) AS rk FROM j)
-          SELECT doc_id, rk, w AS term, tf, df, weight
-          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
-    // same two-scan fold and ppm dup rate
-    "q246_dataset_card" ->
-      s"""WITH rs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-                  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
-                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-                  min(n_chars) AS min_chars, max(n_chars) AS max_chars
-                FROM documents),
-          ts AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
-                  CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
-                 FROM (SELECT unnest($wordsSql) AS w FROM documents))
-          SELECT n_docs, n_langs, n_sources,
-                 ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
-                 total_chars, min_chars, max_chars,
-                 total_chars * 1000000 // n_docs AS mean_chars_ppm,
-                 n_tokens, vocab_size
-          FROM rs, ts""",
-    // q50's marker argmax per 20-word slice, same switch fold
-    "q244_code_switching" ->
-      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
-          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
-          w AS (SELECT doc_id, CAST(i AS INT) AS widx,
-                  ws[i * 20 + 1 : i * 20 + 20] AS wsw
-                FROM x, unnest(range(0, (len(ws) - 1) // 20 + 1)) AS u(i)),
-          l AS (SELECT doc_id, widx, $langCaseSql AS lang
-                FROM (SELECT doc_id, widx, wsw AS ws FROM w)),
-          p AS (SELECT doc_id, widx, lang,
-                  lag(lang) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
-                FROM l)
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
-                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
-          FROM p GROUP BY doc_id ORDER BY doc_id""",
-    // same day-clamped intervals, boundary merge, and lead-gap coverage
-    "q241_interval_union" ->
-      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
-                  least(CAST(ts AS TIMESTAMP)
-                          + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)),
-                        CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
-                FROM events),
-          b AS (SELECT CAST(s AS DATE) AS day, s AS t,
-                  CAST(1 AS BIGINT) AS delta FROM iv
-                UNION ALL
-                SELECT CAST(s AS DATE), e, -1 FROM iv),
-          g AS (SELECT day, t, CAST(sum(delta) AS BIGINT) AS delta
-                FROM b GROUP BY 1, 2),
-          r AS (SELECT day, t, delta,
-                  sum(delta) OVER (PARTITION BY day ORDER BY t
-                    ROWS UNBOUNDED PRECEDING) AS conc,
-                  lead(t) OVER (PARTITION BY day ORDER BY t) AS next_t
-                FROM g)
-          SELECT day,
-                 CAST(sum(CASE WHEN conc > 0
-                      THEN epoch_us(next_t) - epoch_us(t)
-                      ELSE 0 END) AS BIGINT) AS covered_us,
-                 CAST(sum(CASE WHEN conc = 0
-                           AND epoch_us(next_t) > epoch_us(t)
-                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
-          FROM r WHERE next_t IS NOT NULL
-          GROUP BY day ORDER BY day""",
-    // same df≥3 vocabulary and broadcast probe
-    "q242_oov_rate" ->
-      s"""WITH tok AS (SELECT source, doc_id, unnest($wordsSql) AS w
-                 FROM documents),
-          vocab AS (SELECT w FROM (
-                  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-                  FROM tok GROUP BY w) WHERE df >= 3),
-          j AS (SELECT t.source, t.w,
-                  CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
-                FROM tok t LEFT JOIN vocab v ON v.w = t.w)
-          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
-                 CAST(sum(oov) AS BIGINT) AS n_oov,
-                 CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END)
-                   AS BIGINT) AS n_oov_types,
-                 (CAST(sum(oov) AS BIGINT) * 1000000)
-                   // CAST(count(*) AS BIGINT) AS oov_ppm
-          FROM j GROUP BY source ORDER BY source""",
-    // list_sort over (key, name) structs fixes the same order
-    "q243_ordered_listagg" ->
-      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
-                array_to_string(list_transform(
-                  list_sort(list({'k': n_nationkey, 'v': n_name})),
-                  s -> s.v), '|') AS nations
-         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
-    // same rank-weighted fold off the value histogram, same ppm formula
-    "q239_gini" ->
-      """WITH h AS (SELECT source, n_chars AS v,
-                  CAST(count(*) AS BIGINT) AS k
-                FROM documents GROUP BY 1, 2),
-          c AS (SELECT source, v, k,
-                  CAST(sum(k) OVER (PARTITION BY source ORDER BY v)
-                    AS BIGINT) AS cum
-                FROM h),
-          a AS (SELECT source, max(cum) AS n,
-                  CAST(sum(v * k) AS BIGINT) AS sx,
-                  CAST(sum(v * (cum * 2 - k + 1) * k) AS BIGINT) AS s1x2
-                FROM c GROUP BY source)
-          SELECT source, n, sx,
-                 (s1x2 * 1000000) // (n * sx)
-                   - ((n + 1) * 1000000) // n AS gini_ppm
-          FROM a ORDER BY source""",
-    // same sparse-histogram span fold and overflow-safe variance
-    "q240_burstiness" ->
-      """WITH hr AS (SELECT user_id,
-                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
-                    // 3600 AS BIGINT) AS h,
-                  CAST(count(*) AS BIGINT) AS c
-                FROM events GROUP BY 1, 2),
-          a AS (SELECT user_id, max(h) - min(h) + 1 AS span,
-                  CAST(sum(c) AS BIGINT) AS total,
-                  CAST(sum(c * c) AS BIGINT) AS sc2,
-                  CAST(count(*) AS BIGINT) AS active_hours
-                FROM hr GROUP BY user_id),
-          b AS (SELECT user_id, span, total, active_hours,
-                  (sc2 * 1000000) // span
-                    - (total * 1000 // span) * (total * 1000 // span)
-                    AS var_ppm,
-                  (total * 1000000) // span AS mean_ppm
-                FROM a WHERE span >= 2)
-          SELECT user_id, span, total, active_hours, var_ppm, mean_ppm,
-                 (var_ppm * 1000000) // mean_ppm AS fano_ppm
-          FROM b ORDER BY user_id""",
-    // one parent-key multiplicity table per relation, same audit columns
-    "q237_join_cardinality" ->
-      """WITH pc1 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS m
-                 FROM customer GROUP BY 1),
-          a1 AS (SELECT 'orders->customer' AS relation,
-                  CAST(count(*) AS BIGINT) AS n_child,
-                  CAST(sum(COALESCE(m, 0)) AS BIGINT) AS n_joined,
-                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
-                    AS n_fanout_rows,
-                  CAST(max(COALESCE(m, 0)) AS BIGINT) AS max_mult
-                FROM orders LEFT JOIN pc1 ON o_custkey = k),
-          pc2 AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS m
-                  FROM part GROUP BY 1),
-          a2 AS (SELECT 'lineitem->part',
-                  CAST(count(*) AS BIGINT),
-                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
-                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(max(COALESCE(m, 0)) AS BIGINT)
-                FROM lineitem LEFT JOIN pc2 ON l_partkey = k),
-          ch AS (SELECT o_orderkey, c_nationkey
-                 FROM orders JOIN customer ON o_custkey = c_custkey),
-          pc3 AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS m
-                  FROM customer GROUP BY 1),
-          a3 AS (SELECT 'orders->customer_by_nation',
-                  CAST(count(*) AS BIGINT),
-                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
-                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
-                  CAST(max(COALESCE(m, 0)) AS BIGINT)
-                FROM ch LEFT JOIN pc3 ON c_nationkey = k)
-          SELECT * FROM a1 UNION ALL SELECT * FROM a2
-          UNION ALL SELECT * FROM a3 ORDER BY relation""",
-    // same histogram rank cutoffs, tail clamping, and integer ppm means
-    "q238_robust_stats" ->
-      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
-                FROM documents GROUP BY 1, 2),
-          c AS (SELECT source, v, n,
-                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
-                    AS BIGINT) AS cum,
-                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
-                FROM h),
-          cc AS (SELECT *, (ntot + 9) // 10 AS t,
-                   ntot - (ntot + 9) // 10 AS hi FROM c),
-          lo AS (SELECT source, min(v) AS p10 FROM cc
-                 WHERE cum >= t GROUP BY source),
-          hv AS (SELECT source, min(v) AS p90 FROM cc
-                 WHERE cum >= hi GROUP BY source),
-          mid AS (SELECT source,
-                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
-                     0) * v) AS BIGINT) AS mid_sum,
-                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
-                     0)) AS BIGINT) AS mid_n,
-                   max(ntot) AS n, max(t) AS t
-                  FROM cc GROUP BY source)
-          SELECT source, n, p10, p90,
-                 (mid_sum * 1000000) // mid_n AS trimmed_mean_ppm,
-                 ((mid_sum + t * p10 + t * p90) * 1000000) // n
-                   AS winsorized_mean_ppm
-          FROM mid JOIN lo USING (source) JOIN hv USING (source)
-          ORDER BY source""",
-    // full replay of BOTH fingerprints: the weighted one votes ±tf per
-    // bit over distinct tokens, the unweighted one is q44's; drift =
-    // bit_count of the xor
-    "q236_weighted_simhash" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          g AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-                FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2),
-          hh AS (SELECT doc_id,
-                   list(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT))
-                     AS hs,
-                   list(tf) AS tfs
-                 FROM g GROUP BY doc_id),
-          w AS (SELECT doc_id,
-                  CAST(coalesce(list_sum(
-                    [CASE WHEN list_sum([CASE WHEN (hs[i] >> j) & 1 = 1
-                                         THEN tfs[i] ELSE -tfs[i] END
-                                         FOR i IN range(1, len(hs) + 1)]) > 0
-                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS wsimhash
-                FROM hh),
-          u AS (SELECT doc_id,
-                  CAST(coalesce(list_sum(
-                    [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
-                                         THEN 1 ELSE -1 END FOR h IN hs2]) > 0
-                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS usimhash
-                FROM (SELECT doc_id,
-                        list_transform(list_sort(list_distinct(ws)),
-                          x -> CAST('0x' || substring(md5(x), 1, 15)
-                               AS BIGINT)) AS hs2
-                      FROM t))
-          SELECT d.doc_id, coalesce(w.wsimhash, 0) AS wsimhash,
-                 CAST(bit_count(xor(coalesce(w.wsimhash, 0),
-                                    coalesce(u.usimhash, 0))) AS INT)
-                   AS weight_drift_bits
-          FROM (SELECT doc_id FROM documents) d
-          LEFT JOIN w ON w.doc_id = d.doc_id
-          LEFT JOIN u ON u.doc_id = d.doc_id
-          ORDER BY d.doc_id""",
-    // same score, same (score desc, doc_id) keeper policy per hash
-    "q235_dedup_keep_best" ->
-      s"""WITH sc AS (SELECT doc_id, sha256(text) AS hash,
-                  CASE WHEN len(ws) > 0
-                       THEN CAST(len(list_distinct(ws)) AS BIGINT) * 1000
-                            // CAST(len(ws) AS BIGINT)
-                       ELSE 0 END AS score
-                FROM (SELECT doc_id, text, $wordsSql AS ws FROM documents)),
-          r AS (SELECT doc_id, hash, score,
-                  row_number() OVER (PARTITION BY hash
-                    ORDER BY score DESC, doc_id) AS rk,
-                  CAST(count(*) OVER (PARTITION BY hash) AS BIGINT)
-                    AS n_copies
-                FROM sc)
-          SELECT doc_id AS kept_doc, score, hash, n_copies
-          FROM r WHERE rk = 1 ORDER BY kept_doc""",
-    // same discrete row-⌈p·n⌉ element selection, no interpolation
-    "q233_daily_percentiles" ->
-      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value, event_id,
-                  CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
-                    ORDER BY value, event_id) AS BIGINT) AS rn
-                FROM events),
-          n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1)
-          SELECT day, n,
-                 max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
-                     THEN value END) AS p50,
-                 max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
-                     THEN value END) AS p90,
-                 max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
-                     THEN value END) AS p99
-          FROM r JOIN n USING (day) GROUP BY day, n ORDER BY day""",
-    // the map algebra re-derived with list lambdas: per-length counts
-    // doubled, the marker entry, and the distinct-length cardinality + 1
-    "q234_map_functions" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0)
-          SELECT doc_id,
-                 CASE WHEN len(list_filter(ws, w -> length(w) = 3)) > 0
-                      THEN CAST(len(list_filter(ws, w -> length(w) = 3))
-                           * 2 AS BIGINT) END AS n_len3_x2,
-                 CAST(7 AS BIGINT) AS marker,
-                 CAST(len(list_distinct(list_transform(ws,
-                   w -> length(w)))) + 1 AS BIGINT) AS n_lens
-          FROM x ORDER BY doc_id""",
-    // DuckDB list lambdas re-derive each value; reduce seeded via prepend
-    "q231_higher_order" ->
-      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
-          x AS (SELECT source,
-                  list_reduce(list_prepend(CAST(0 AS BIGINT),
-                    list_transform(ws, w -> CAST(length(w) * length(w)
-                      AS BIGINT))), (a, b) -> a + b) AS sq_len_sum,
-                  len(list_filter(ws, w -> length(w) >= 8)) > 0 AS has_long,
-                  len(list_filter(ws, w -> length(w) > 20)) = 0 AS all_short,
-                  CAST(len(list_filter(ws, w -> length(w) >= 5))
-                    AS BIGINT) AS n_len5
-                FROM t WHERE len(ws) > 0)
-          SELECT source, CAST(sum(sq_len_sum) AS BIGINT) AS sq_len_sum,
-                 CAST(sum(CASE WHEN has_long THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_has_long,
-                 CAST(sum(CASE WHEN all_short THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_all_short,
-                 CAST(sum(n_len5) AS BIGINT) AS n_len5
-          FROM x GROUP BY source ORDER BY source""",
-    // same frames; fractions are exact small-integer IEEE ratios
-    "q232_window_ranks" ->
-      """SELECT o_custkey, o_orderkey,
-                percent_rank() OVER w AS pr,
-                cume_dist() OVER w AS cd,
-                nth_value(o_orderkey, 2) OVER wf AS second_order,
-                first_value(o_orderkey) OVER wf AS first_order,
-                last_value(o_orderkey) OVER wf AS last_order
-         FROM orders WHERE o_custkey < 200
-         WINDOW w AS (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey),
-                wf AS (PARTITION BY o_custkey
-                       ORDER BY o_orderdate, o_orderkey
-                       ROWS BETWEEN UNBOUNDED PRECEDING
-                        AND UNBOUNDED FOLLOWING)
-         ORDER BY o_custkey, o_orderkey""",
-    // the IDENTICAL recursive SQL, second engine
-    "q230_recursive_cte" ->
-      """WITH RECURSIVE reach(node, hops) AS (
-           SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
-           UNION ALL
-           SELECT e.dst, r.hops + 1
-           FROM reach r
-           JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-                 UNION ALL
-                 SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
-                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
-             ON e.src = r.node
-           WHERE r.hops < 2)
-         SELECT node, CAST(min(hops) AS INT) AS min_hops,
-                CAST(count(*) AS BIGINT) AS n_paths
-         FROM reach GROUP BY node ORDER BY node""",
-    // same synthesized JSON, values re-derived via json_extract
-    "q228_variant_shred" ->
-      """WITH src AS (SELECT event_id, user_id, event_type,
-                  '{"user":{"id":' || user_id || ',"seg":"' || event_type
-                  || '"},"vals":[' || (event_id % 10) || ','
-                  || (user_id % 7) || ']'
-                  || CASE WHEN event_id % 3 = 0
-                          THEN ',"flag":' || (event_id % 2) ELSE '' END
-                  || '}' AS j
-                FROM events),
-          x AS (SELECT json_extract_string(j, '$.user.seg') AS seg,
-                  CAST(json_extract(j, '$.user.id') AS BIGINT) AS uid,
-                  CAST(json_extract(j, '$.vals[0]') AS BIGINT) AS v0,
-                  CAST(json_extract(j, '$.vals[1]') AS BIGINT) AS v1,
-                  CAST(json_extract(j, '$.flag') AS BIGINT) AS flag
-                FROM src)
-          SELECT seg, CAST(count(*) AS BIGINT) AS n,
-                 CAST(sum(uid) AS BIGINT) AS sum_uid,
-                 CAST(sum(v0) AS BIGINT) AS sum_v0,
-                 CAST(sum(v1) AS BIGINT) AS sum_v1,
-                 CAST(sum(COALESCE(flag, 0)) AS BIGINT) AS sum_flag,
-                 CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)
-                   AS BIGINT) AS n_missing_flag
-          FROM x GROUP BY seg ORDER BY seg""",
-    // same even/odd split with an explicit NULL projection for v1 rows
-    "q229_schema_evolution" ->
-      """WITH u AS (
-           SELECT doc_id, source, n_chars, NULL AS score
-           FROM documents WHERE doc_id % 2 = 0
-           UNION ALL
-           SELECT doc_id, source, n_chars, n_chars % 100
-           FROM documents WHERE doc_id % 2 <> 0)
-         SELECT source, CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_v1,
-                CAST(sum(COALESCE(score, 0)) AS BIGINT) AS sum_score
-         FROM u GROUP BY source ORDER BY source""",
-    // one row per FK edge, anti-join orphan counts
-    "q226_fk_audit" ->
-      """WITH e1 AS (SELECT 'orders.custkey->customer' AS fk_edge,
-                  CAST(count(*) AS BIGINT) AS n_child,
-                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
-                  CAST(count(*) FILTER (o_custkey NOT IN
-                    (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans
-                FROM orders),
-          e2 AS (SELECT 'lineitem.orderkey->orders',
-                  CAST(count(*) AS BIGINT),
-                  CAST(count(DISTINCT l_orderkey) AS BIGINT),
-                  CAST(count(*) FILTER (l_orderkey NOT IN
-                    (SELECT o_orderkey FROM orders)) AS BIGINT)
-                FROM lineitem),
-          e3 AS (SELECT 'lineitem.partkey->part',
-                  CAST(count(*) AS BIGINT),
-                  CAST(count(DISTINCT l_partkey) AS BIGINT),
-                  CAST(count(*) FILTER (l_partkey NOT IN
-                    (SELECT p_partkey FROM part)) AS BIGINT)
-                FROM lineitem),
-          e4 AS (SELECT 'lineitem.suppkey->supplier',
-                  CAST(count(*) AS BIGINT),
-                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
-                  CAST(count(*) FILTER (l_suppkey NOT IN
-                    (SELECT s_suppkey FROM supplier)) AS BIGINT)
-                FROM lineitem),
-          e5 AS (SELECT 'supplier.nationkey->nation',
-                  CAST(count(*) AS BIGINT),
-                  CAST(count(DISTINCT s_nationkey) AS BIGINT),
-                  CAST(count(*) FILTER (s_nationkey NOT IN
-                    (SELECT n_nationkey FROM nation)) AS BIGINT)
-                FROM supplier)
-          SELECT * FROM e1 UNION ALL SELECT * FROM e2
-          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
-          UNION ALL SELECT * FROM e5 ORDER BY fk_edge""",
-    // from-scratch recompute over base ∪ delta; ivm_matches pinned true
-    "q227_incremental_view" ->
-      s"""WITH w AS (SELECT source, CAST(len($wordsSql) AS BIGINT) AS nw
-                 FROM documents),
-          base AS (SELECT source, nw FROM w),
-          delta AS (SELECT source, nw FROM w WHERE nw % 7 = 2),
-          u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
-          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(nw) AS BIGINT) AS tokens, true AS ivm_matches
-          FROM u GROUP BY source ORDER BY source""",
-    // same tf vectors, same shared-term join, same integer cross-mult
-    // gate and squared-cos ppm
-    "q224_tf_cosine" ->
-      s"""WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
-                FROM (SELECT doc_id, unnest($wordsSql) AS w
-                      FROM documents WHERE doc_id < $BruteForceSlice)
-                GROUP BY 1, 2),
-          nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
-                  FROM tf GROUP BY 1),
-          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-                   FROM tf a JOIN tf b
-                     ON a.w = b.w AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-          SELECT doc_a, doc_b, dot, na.n2 AS n2a, nb.n2 AS n2b,
-                 (dot * dot * 1000000000000) // (na.n2 * nb.n2) AS cos2_ppm
-          FROM dots JOIN nrm na ON na.doc_id = doc_a
-          JOIN nrm nb ON nb.doc_id = doc_b
-          WHERE dot * dot * 100 >= na.n2 * nb.n2 * 49
-          ORDER BY doc_a, doc_b""",
-    // the engine must find exactly the planted divergence, bucketed by
-    // doc_id % 64 — a missed bucket or over-repair hash-mismatches
-    "q225_anti_entropy" ->
-      """WITH m AS (
-           SELECT doc_id % 64 AS bkt, 1 AS miss, 0 AS corr
-           FROM documents WHERE doc_id % 97 = 13
-           UNION ALL
-           SELECT doc_id % 64, 0, 1 FROM documents WHERE doc_id % 97 = 5)
-         SELECT bkt, CAST(sum(miss) AS BIGINT) AS n_missing,
-                CAST(sum(corr) AS BIGINT) AS n_corrupted
-         FROM m GROUP BY bkt ORDER BY bkt""",
-    // q47's measured-contract pattern: the engine computes recall
-    // in-query; the oracle pins the truth-set size and both contracts
-    "q223_multiprobe_lsh" ->
-      s"""SELECT true AS multi_ge_single,
-            (SELECT count(*)
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice
-               AND list_cosine_similarity(
-                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45
-            ) AS n_truth,
-            true AS recall_ok""",
-    // same shingles, same >10-source boilerplate drop, same filtered-
-    // universe sizes and integer-ppm jaccard; brute-force within-shingle
-    // pair join (a dropped pair or miscapped fanout hash-mismatches)
-    "q222_source_contamination" ->
-      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
-          sh0 AS (SELECT source,
-                    list_distinct([array_to_string(ws[i:i+2], ' ')
-                                   for i in range(1, len(ws) - 1)]) AS sh
-                  FROM t WHERE len(ws) >= 3),
-          sp AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
-          ds AS (SELECT g, CAST(count(*) AS BIGINT) AS nsrc
-                 FROM sp GROUP BY g),
-          keep AS (SELECT sp.source, sp.g FROM sp
-                   JOIN ds USING (g) WHERE nsrc <= 10),
-          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
-                 FROM keep GROUP BY 1),
-          pr AS (SELECT a.source AS s1, b.source AS s2,
-                   CAST(count(*) AS BIGINT) AS shared
-                 FROM keep a JOIN keep b
-                   ON a.g = b.g AND a.source < b.source
-                 GROUP BY 1, 2),
-          j AS (SELECT s1, s2, shared, z1.sz AS sz1, z2.sz AS sz2,
-                  (shared * 1000000) // (z1.sz + z2.sz - shared) AS jac_ppm
-                FROM pr JOIN sz z1 ON z1.source = pr.s1
-                JOIN sz z2 ON z2.source = pr.s2),
-          r AS (SELECT *, CAST(row_number() OVER
-                  (ORDER BY jac_ppm DESC, s1, s2) AS INT) AS rk FROM j)
-          SELECT rk, s1, s2, shared, sz1, sz2, jac_ppm
-          FROM r WHERE rk <= 20 ORDER BY rk""",
-    // same precomputed log-law ppm constants, same cents leading digit
-    "q220_benford" ->
-      """WITH e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
-                  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
-                  (7, 57992), (8, 51153), (9, 45757)) t(digit, exp_ppm)),
-          dg AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
-                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
-                     1, 1) AS INT) AS digit,
-                   CAST(count(*) AS BIGINT) AS n
-                 FROM orders GROUP BY 1),
-          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM dg)
-          SELECT digit, n, (n * 1000000) // ntot AS obs_ppm,
-                 CAST(exp_ppm AS BIGINT) AS exp_ppm,
-                 (abs((n * 1000000) // ntot - exp_ppm) * 1000000)
-                   // exp_ppm AS dev_ppm
-          FROM dg JOIN e USING (digit), t ORDER BY digit""",
-    // same boundary explode, same (t, delta) tie rule — ends close
-    // before starts open, so touching intervals never double-count
-    "q221_sweep_concurrency" ->
-      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
-                  CAST(ts AS TIMESTAMP)
-                    + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)) AS e
-                FROM events),
-          b AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
-                UNION ALL
-                SELECT e, -1 FROM iv),
-          r AS (SELECT CAST(t AS DATE) AS day, t, delta,
-                  sum(delta) OVER (PARTITION BY CAST(t AS DATE)
-                    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
-                FROM b),
-          m AS (SELECT day, max(conc) AS peak FROM r GROUP BY day)
-          SELECT day, CAST(peak AS BIGINT) AS peak,
-                 min(t) AS peak_at
-          FROM r JOIN m USING (day)
-          WHERE conc = peak GROUP BY day, peak ORDER BY day""",
-    // the NAIVE global greedy prefix — the engine's two-level
-    // histogram-cutoff plan must reproduce it exactly
-    "q218_budget_select" ->
-      s"""WITH sc AS (SELECT doc_id, source,
-                  CAST(len(ws) AS BIGINT) AS nw,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
-                    // CAST(len(ws) AS BIGINT) AS score
-                FROM (SELECT doc_id, source, $wordsSql AS ws FROM documents)
-                WHERE len(ws) > 0),
-          o AS (SELECT source, nw,
-                  sum(nw) OVER (ORDER BY score DESC, doc_id
-                                ROWS UNBOUNDED PRECEDING) AS cum
-                FROM sc)
-          SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
-                 CAST(sum(nw) AS BIGINT) AS tok_sel
-          FROM o WHERE cum <= $SelectBudgetTokens
-          GROUP BY source ORDER BY source""",
-    // same two shifted pairings, same count ranking
-    "q219_skip_grams" ->
-      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
-          p AS (SELECT 1 AS dist, unnest(ws[1:-2]) AS w1,
-                       unnest(ws[2:-1]) AS w2 FROM t
-                UNION ALL
-                SELECT 2, unnest(ws[1:-3]), unnest(ws[3:-1]) FROM t),
-          c AS (SELECT dist, w1, w2, CAST(count(*) AS BIGINT) AS n
-                FROM p GROUP BY 1, 2, 3),
-          r AS (SELECT dist, w1, w2, n,
-                  CAST(row_number() OVER (PARTITION BY dist
-                    ORDER BY n DESC, w1, w2) AS INT) AS rk
-                FROM c)
-          SELECT CAST(dist AS INT) AS dist, rk, w1, w2, n
-          FROM r WHERE rk <= 15 ORDER BY dist, rk""",
-    // same lattice, same explicit gid formula, exact-decimal money
-    "q216_grouping_sets" ->
-      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
-                COALESCE(o_orderstatus, 'ALL') AS status,
-                CAST(GROUPING(o_orderpriority) * 2
-                     + GROUPING(o_orderstatus) AS BIGINT) AS gid,
-                CAST(count(*) AS BIGINT) AS n,
-                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                  AS total
-         FROM orders
-         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                 (o_orderpriority), ())
-         ORDER BY gid, priority, status""",
-    // same bounded (hour, hod) histogram, same signed-ppm deviation
-    "q217_seasonal_anomaly" ->
-      """WITH hrs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
-                  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
-                  CAST(count(*) AS BIGINT) AS n
-                FROM events GROUP BY 1, 2),
-          b AS (SELECT hod, CAST(sum(n) AS BIGINT) AS tot,
-                  CAST(count(*) AS BIGINT) AS nh
-                FROM hrs GROUP BY 1)
-          SELECT h, hod, n, tot // nh AS baseline,
-                 (n * nh * 1000000) // tot - 1000000 AS dev_ppm
-          FROM hrs JOIN b USING (hod)
-          WHERE abs((n * nh * 1000000) // tot - 1000000) > 500000
-          ORDER BY h""",
-    // same per-mille score, dup flag via count-over-text partition
-    // (sha256 ≡ text partitioning, the q40 collision-free assumption),
-    // same histogram quintile rule
-    "q215_quality_calibration" ->
-      s"""WITH sc AS (SELECT text,
-                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
-                    // CAST(len(ws) AS BIGINT) AS score
-                FROM (SELECT text, $wordsSql AS ws FROM documents)
-                WHERE len(ws) > 0),
-          fl AS (SELECT score,
-                  CASE WHEN count(*) OVER (PARTITION BY text) > 1
-                       THEN 1 ELSE 0 END AS is_dup
-                 FROM sc),
-          h AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(is_dup) AS BIGINT) AS nd
-                FROM fl GROUP BY 1),
-          c AS (SELECT score, n, nd,
-                  CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum
-                FROM h),
-          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
-          SELECT ((cum - n) * 5) // ntot AS bucket,
-                 CAST(sum(n) AS BIGINT) AS n_docs,
-                 CAST(sum(nd) AS BIGINT) AS n_dups,
-                 (CAST(sum(nd) AS BIGINT) * 1000000)
-                   // CAST(sum(n) AS BIGINT) AS dup_rate_ppm,
-                 min(score) AS lo_score, max(score) AS hi_score
-          FROM c, t GROUP BY 1 ORDER BY 1""",
-    // the engine must land at the same bin count and reproduce the
-    // source checksum from its own rewritten copy; preserved is the
-    // engine-measured equality and must come back true
-    "q213_compact_execute" ->
-      s"""WITH c AS (SELECT source, doc_id, n_chars,
-                  CAST(sum(n_chars) OVER (PARTITION BY source
-                       ORDER BY doc_id) AS BIGINT) AS cum
-                FROM documents),
-          b AS (SELECT source, (cum - n_chars) // $CompactTargetBytes AS bin
-                FROM c),
-          nb AS (SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins
-                 FROM b GROUP BY 1),
-          h AS (SELECT source,
-                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
-                       || '|' || text), 1, 15) AS BIGINT) AS h
-                FROM documents),
-          per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-                    CAST(sum(CAST(h AS HUGEINT)) % 1152921504606846976
-                      AS BIGINT) AS checksum
-                  FROM h GROUP BY source)
-          SELECT source, n_bins, n_rows, checksum, true AS preserved
-          FROM per JOIN nb USING (source) ORDER BY source""",
-    // same bigram table, same context-count denominator, same d=3/4
-    // rational formula in integer ppm
-    "q212_kneser_ney" ->
-      s"""WITH tt AS (SELECT $wordsAposSql AS ws FROM documents),
-          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2
-                 FROM tt),
-          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
-                 FROM bg GROUP BY 1, 2),
-          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-                    CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY 1),
-          cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
-                   FROM bc GROUP BY 1),
-          tb AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
-          r AS (SELECT w1, w2, c12,
-                  CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2)
-                    AS INT) AS rk
-                FROM bc)
-          SELECT rk, w1, w2, c12, c1, n1p, ncont,
-                 ((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000
-                   // (4 * c1 * t) AS pkn_ppm,
-                 c12 * 1000000 // c1 AS mle_ppm
-          FROM r JOIN ctx USING (w1) JOIN cont USING (w2), tb
-          WHERE rk <= 20 ORDER BY rk""",
-    // same rollup grouping and the same overflow-safe integer variance
-    "q208_rollup_moments" ->
-      """WITH m AS (SELECT CASE WHEN GROUPING(source) = 1
-                     THEN '__total__' ELSE source END AS source,
-                  CAST(count(*) AS BIGINT) AS n,
-                  CAST(sum(n_chars) AS BIGINT) AS sx,
-                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2,
-                  min(n_chars) AS min_len, max(n_chars) AS max_len
-                FROM documents GROUP BY ROLLUP(source))
-          SELECT source, n, sx * 1000000 // n AS mean_ppm,
-                 sx2 * 1000000 // n
-                   - (sx * 1000 // n) * (sx * 1000 // n) AS var_ppm,
-                 min_len, max_len
-          FROM m ORDER BY source""",
-    // same cents quantization, histogram running sum, start-position bins
-    "q209_equidepth_hist" ->
-      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-                     AS BIGINT) AS v FROM lineitem),
-          h AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
-          c AS (SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
-                FROM h),
-          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
-          SELECT ((cum - n) * 10) // ntot AS bucket,
-                 CAST(sum(n) AS BIGINT) AS n_rows,
-                 CAST(count(*) AS BIGINT) AS n_values,
-                 min(v) AS lo_cents, max(v) AS hi_cents
-          FROM c, t GROUP BY 1 ORDER BY 1""",
-    // same start-offset bin rule over the same per-source running sum
-    "q205_compaction_plan" ->
-      s"""WITH c AS (SELECT source, doc_id, n_chars,
-                  CAST(sum(n_chars) OVER (PARTITION BY source
-                       ORDER BY doc_id) AS BIGINT) AS cum
-                FROM documents),
-          b AS (SELECT source, doc_id, n_chars,
-                  (cum - n_chars) // $CompactTargetBytes AS bin FROM c)
-          SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
-                 CAST(sum(n_chars) AS BIGINT) AS bytes,
-                 min(doc_id) AS first_doc, max(doc_id) AS last_doc,
-                 CAST(sum(n_chars) AS BIGINT) * 1000000
-                   // $CompactTargetBytes AS fill_ppm
-          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
-    // same doubled/quadrupled integer medians via histogram + running-sum
-    // pick; outlier rule 2*|2v - med2x| > 3*mad4 is float-free
-    "q206_mad_outliers" ->
-      s"""WITH v AS (SELECT source, n_chars AS v FROM documents),
-          h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
-                FROM v GROUP BY 1, 2),
-          c AS (SELECT source, v, n,
-                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
-                    AS BIGINT) AS cum,
-                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
-                FROM h),
-          m1 AS (SELECT source, min(v) AS mid1 FROM c
-                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
-          m2 AS (SELECT source, min(v) AS mid2 FROM c
-                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
-          med AS (SELECT source, mid1 + mid2 AS m2x
-                  FROM m1 JOIN m2 USING (source)),
-          dv AS (SELECT v.source, abs(2 * v.v - med.m2x) AS v
-                 FROM v JOIN med USING (source)),
-          hd AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
-                 FROM dv GROUP BY 1, 2),
-          cd AS (SELECT source, v, n,
-                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
-                    AS BIGINT) AS cum,
-                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
-                 FROM hd),
-          d1 AS (SELECT source, min(v) AS mid1 FROM cd
-                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
-          d2 AS (SELECT source, min(v) AS mid2 FROM cd
-                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
-          mad AS (SELECT source, mid1 + mid2 AS mad4
-                  FROM d1 JOIN d2 USING (source))
-          SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(max(m2x) AS BIGINT) AS med2x,
-                 CAST(max(mad4) AS BIGINT) AS mad4,
-                 CAST(sum(CASE WHEN abs(2 * v.v - m2x) * 2 > mad4 * 3
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-          FROM v JOIN med USING (source) JOIN mad USING (source)
-          GROUP BY 1 ORDER BY 1""",
-    // borderless patterns (asserted in AhoCorasickSpec) make DuckDB's
-    // greedy length-delta//replace count equal the automaton's
-    // all-occurrence count exactly
-    "q204_keyword_tags" ->
-      s"""WITH k AS (SELECT unnest(${sqlList(AcKeywords)}) AS keyword),
-          h AS (SELECT d.doc_id, k.keyword,
-                  CAST((length(lower(d.text))
-                        - length(replace(lower(d.text), k.keyword, '')))
-                       // length(k.keyword) AS BIGINT) AS hits
-                FROM documents d CROSS JOIN k)
-          SELECT keyword,
-                 CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_docs,
-                 CAST(sum(hits) AS BIGINT) AS n_hits
-          FROM h GROUP BY 1 ORDER BY 1""",
-    // identical key counts, folded stats, ppm ratio, and ceil-div salt
-    "q202_skew_profile" ->
-      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-                 FROM events GROUP BY user_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-                        CAST(sum(cnt) AS BIGINT) AS total FROM c),
-          r AS (SELECT user_id, cnt,
-                  CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
-                    AS INT) AS rank
-                FROM c)
-          SELECT rank, user_id, cnt,
-                 (cnt * n_keys * 1000000) // total AS ratio_to_mean_ppm,
-                 (cnt + $SkewTargetRows - 1) // $SkewTargetRows AS salt_factor
-          FROM r, st WHERE rank <= 20 ORDER BY rank""",
-    // same excerpt construction, shingles, and integer cross-mult
-    // threshold — a dropped inclusion pair (the planted excerpts) or a
-    // flipped containment direction hash-mismatches
-    "q199_containment" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws
-                 FROM documents WHERE doc_id < $BruteForceSlice),
-          ex AS (SELECT doc_id + 1000000 AS doc_id, ws[1:30] AS ws
-                 FROM t WHERE doc_id % 11 = 0),
-          u AS (SELECT * FROM t UNION ALL SELECT * FROM ex),
-          s AS (SELECT doc_id,
-                  list_distinct([array_to_string(ws[i:i+2], ' ')
-                                 for i in range(1, len(ws) - 1)]) AS sh
-                FROM u WHERE len(ws) >= 3),
-          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS o,
-                  CAST(len(a.sh) AS BIGINT) AS sza,
-                  CAST(len(b.sh) AS BIGINT) AS szb
-                FROM s a JOIN s b ON a.doc_id < b.doc_id)
-          SELECT CASE WHEN sza <= szb THEN id_a ELSE id_b END AS contained_id,
-                 CASE WHEN sza <= szb THEN id_b ELSE id_a END AS container_id,
-                 o AS overlap,
-                 least(sza, szb) AS size_contained,
-                 greatest(sza, szb) AS size_container
-          FROM p WHERE o * 10 >= least(sza, szb) * 9
-          ORDER BY contained_id, container_id""",
-    // identical rarity micro-units, integer mean, and ratio-to-mean stage
-    "q200_curriculum" ->
-      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
-          cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w),
-          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
-                   CAST(sum(1000000000 // cf) AS BIGINT) AS rare_sum
-                 FROM tok JOIN cf USING (w) GROUP BY doc_id),
-          m AS (SELECT CAST(sum(rare_sum) AS BIGINT)
-                  // CAST(sum(nw) AS BIGINT) AS mean_d FROM pd),
-          dd AS (SELECT rare_sum // nw AS difficulty FROM pd)
-          SELECT least(3, (2 * difficulty) // mean_d) AS stage,
-                 CAST(count(*) AS BIGINT) AS n_docs,
-                 min(difficulty) AS min_difficulty,
-                 max(difficulty) AS max_difficulty,
-                 CAST(sum(difficulty) AS BIGINT) AS sum_difficulty
-          FROM dd, m GROUP BY 1 ORDER BY 1""",
-    // the shared q49/q98 quantizer CTE as the clustering; all pair counts
-    // from the contingency table, published in exact integer ppm
-    "q201_cluster_agreement" ->
-      s"""WITH $ivfCellsCteSql,
-          ct AS (SELECT c.cid, e.label, CAST(count(*) AS BIGINT) AS n
-                 FROM cells c JOIN embeddings e USING (vec_id)
-                 GROUP BY 1, 2),
-          s1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp,
-                        CAST(sum(n) AS BIGINT) AS n_items FROM ct),
-          s2 AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sum_a2
-                 FROM (SELECT cid, CAST(sum(n) AS BIGINT) AS a
-                       FROM ct GROUP BY cid)),
-          s3 AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sum_b2
-                 FROM (SELECT label, CAST(sum(n) AS BIGINT) AS b
-                       FROM ct GROUP BY label)),
-          s5 AS (SELECT CAST(sum(mx) AS BIGINT) AS purity_num
-                 FROM (SELECT cid, max(n) AS mx FROM ct GROUP BY cid))
-          SELECT n_items, n_items * (n_items - 1) // 2 AS n_pairs, tp,
-                 sum_a2, sum_b2,
-                 ((n_items * (n_items - 1) // 2) + 2 * tp - sum_a2 - sum_b2)
-                   * 1000000 // (n_items * (n_items - 1) // 2) AS ri_ppm,
-                 purity_num,
-                 purity_num * 1000000 // n_items AS purity_ppm
-          FROM s1, s2, s3, s5""",
-    // identical per-mille integer score, histogram running sum over the
-    // bounded score domain, and first-covering-row selection
-    "q197_quality_threshold" ->
-      s"""WITH t AS (SELECT source,
-                   CAST(len(list_distinct(ws)) AS BIGINT) * 1000
-                     // CAST(len(ws) AS BIGINT) AS score
-                 FROM (SELECT source, $wordsSql AS ws FROM documents)
-                 WHERE len(ws) > 0),
-          h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n
-                FROM t GROUP BY 1, 2),
-          c AS (SELECT source, score, n,
-                  CAST(sum(n) OVER (PARTITION BY source ORDER BY score)
-                    AS BIGINT) AS cum
-                FROM h),
-          tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_total
-                 FROM h GROUP BY source),
-          f AS (SELECT c.source, c.score, c.n, c.cum, tt.n_total,
-                  row_number() OVER (PARTITION BY c.source ORDER BY c.score)
-                    AS rn
-                FROM c JOIN tt USING (source)
-                WHERE c.cum * 10 >= tt.n_total)
-          SELECT source, score AS cutoff_permille, n_total,
-                 n_total - cum + n AS n_kept
-          FROM f WHERE rn = 1 ORDER BY source""",
-    // the oracle does NOT parse: it derives the canonical every raw URL
-    // must collapse to from the doc_id arithmetic alone, and replays only
-    // the raw generator (for n_variants) — a canonicalizer bug on any
-    // noise axis splits a group and fails the compare
-    "q198_url_canonicalize" ->
-      """WITH h AS (SELECT doc_id,
-                  md5(CAST(doc_id AS VARCHAR) || ':url') AS hx
-                FROM documents),
-          r AS (SELECT doc_id,
-                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-                  || '://' ||
-                  (CASE WHEN CAST('0x' || substring(hx, 1, 1) AS BIGINT) % 2 = 0
-                        THEN upper('cdn' || (doc_id % 3) || '.example.com')
-                        ELSE 'cdn' || (doc_id % 3) || '.example.com' END)
-                  || (CASE WHEN CAST('0x' || substring(hx, 2, 1) AS BIGINT) % 2 = 0
-                           THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
-                           ELSE '' END)
-                  || '/a/' || (doc_id % 10)
-                  || (CASE WHEN CAST('0x' || substring(hx, 3, 1) AS BIGINT) % 2 = 0
-                           THEN '/' ELSE '' END)
-                  || '?'
-                  || (CASE WHEN CAST('0x' || substring(hx, 4, 1) AS BIGINT) % 2 = 0
-                           THEN 'v=2&id=' || (doc_id % 5)
-                           ELSE 'id=' || (doc_id % 5) || '&v=2' END)
-                  || (CASE WHEN CAST('0x' || substring(hx, 5, 1) AS BIGINT) % 2 = 0
-                           THEN '&utm_source=feed' ELSE '' END)
-                  || (CASE WHEN CAST('0x' || substring(hx, 6, 1) AS BIGINT) % 2 = 0
-                           THEN '#sec' ELSE '' END) AS raw,
-                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
-                  || '://cdn' || (doc_id % 3) || '.example.com/a/'
-                  || (doc_id % 10) || '?id=' || (doc_id % 5) || '&v=2'
-                    AS canonical_url
-                FROM h)
-          SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
-                 CAST(count(DISTINCT raw) AS BIGINT) AS n_variants,
-                 min(doc_id) AS min_doc
-          FROM r GROUP BY canonical_url ORDER BY canonical_url""",
-    // same per-length max reduction and strictly-cheaper running max; the
-    // skyline definition is replayed with the identical window frame
-    "q193_pareto_frontier" ->
-      s"""WITH t AS (SELECT source, doc_id, n_chars,
-                   CAST(len(list_distinct($wordsSql)) AS BIGINT) AS n_dw
-                 FROM documents),
-          b AS (SELECT source, n_chars, max(n_dw) AS n_dw
-                FROM t GROUP BY 1, 2),
-          f AS (SELECT source, n_chars, n_dw,
-                  max(n_dw) OVER (PARTITION BY source ORDER BY n_chars
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-                FROM b)
-          SELECT t.source, t.doc_id, t.n_chars, t.n_dw
-          FROM f JOIN t ON t.source = f.source AND t.n_chars = f.n_chars
-                       AND t.n_dw = f.n_dw
-          WHERE f.prev_max IS NULL OR f.n_dw > f.prev_max
-          ORDER BY t.source, t.n_chars, t.doc_id""",
-    // identical train/score split, counts, backoff rule, and micro-nat
-    // floor; per-doc sums are order-free longs so the compare is strict
-    "q194_backoff_lm" ->
-      s"""WITH tok AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
-          trtok AS (SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0),
-          u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM trtok GROUP BY w),
-          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                           CAST(count(DISTINCT w) AS BIGINT) AS v FROM trtok),
-          bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
-                 FROM tok, unnest(range(1, len(ws))) AS t(i)
-                 WHERE len(ws) >= 2),
-          c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
-                 FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
-          sc AS (SELECT b.doc_id,
-                   CASE WHEN c2.c2 IS NOT NULL THEN
-                     CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE))
-                                * 1000000.0) AS BIGINT)
-                   ELSE
-                     CAST(floor(ln(0.4 * CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
-                                   / CAST(n + v AS DOUBLE)) * 1000000.0) AS BIGINT)
-                   END AS sm
-                 FROM bi b
-                 LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
-                 LEFT JOIN u u1 ON u1.w = b.w1
-                 LEFT JOIN u u2 ON u2.w = b.w2
-                 CROSS JOIN stats
-                 WHERE b.doc_id % 2 = 1)
-          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                 CAST(sum(sm) AS BIGINT) AS score_micronats,
-                 sum(sm) >= -3500000 * count(*) AS keep
-          FROM sc GROUP BY doc_id ORDER BY doc_id""",
-    // brute-force pairs over the same slice + the q187 fold expression;
-    // a dropped leaking pair or a drifted fold assignment hash-mismatches
-    "q195_fold_contamination" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   len(list_intersect(a.sh, b.sh)) * 1.0
-                     / len(list_distinct(a.sh || b.sh)) AS jaccard
-            FROM s a JOIN s b ON a.doc_id < b.doc_id)
-          SELECT doc_a, doc_b,
-                 CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
-                   AS BIGINT) % 5 AS fold_a,
-                 CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
-                   AS BIGINT) % 5 AS fold_b,
-                 jaccard
-          FROM p
-          WHERE jaccard > 0.5
-            AND CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
-                  AS BIGINT) % 5
-             <> CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
-                  AS BIGINT) % 5
-          ORDER BY doc_a, doc_b""",
-    // REBUILDS each artifact from the filtered corpus only — checksum
-    // equality proves the engine's anti-join propagation ≡ full rebuild
-    "q190_delete_propagation" ->
-      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
-          ch AS (SELECT * FROM (${cdcChunkRowsSql("live")})),
-          po AS (SELECT doc_id, unnest(${TextQueries.tokenizeSql}) AS lexeme
-                 FROM live),
-          s1 AS (SELECT 'chunks' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
-                   CAST(sum(CAST(CAST('0x' || substring(md5(
-                     CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)
-                       || '|' || CAST(chunk_hash AS VARCHAR)), 1, 15) AS BIGINT)
-                     AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
-                 FROM ch),
-          s2 AS (SELECT 'documents', CAST(count(*) AS BIGINT),
-                   CAST(sum(CAST(CAST('0x' || substring(md5(
-                     CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
-                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
-                 FROM live),
-          s3 AS (SELECT 'postings', CAST(count(*) AS BIGINT),
-                   CAST(sum(CAST(CAST('0x' || substring(md5(
-                     CAST(doc_id AS VARCHAR) || '|' || lexeme), 1, 15) AS BIGINT)
-                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
-                 FROM po)
-          SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
-          ORDER BY artifact""",
-    // identical md5 fold assignment and the identical integer balance audit
-    "q187_cv_folds" ->
-      """WITH f AS (SELECT lang,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cv'), 1, 8)
-                   AS BIGINT) % 5 AS fold
-            FROM documents),
-          c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
-                FROM f GROUP BY 1, 2),
-          lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lt FROM c GROUP BY lang)
-          SELECT fold, lang, n,
-                 (25 * n >= 4 * lt AND 25 * n <= 6 * lt) AS balance_ok
-          FROM c JOIN lt USING (lang) ORDER BY fold, lang""",
-    // one-pass ppm floor arithmetic replayed exactly; the 200-ppm gate is
-    // an integer predicate
-    "q185_token_drift" ->
-      s"""WITH t AS (SELECT lang = 'en' AS is_en, unnest($wordsAposSql) AS w
-            FROM documents),
-          c AS (SELECT w,
-                  CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS na,
-                  CAST(count(*) FILTER (WHERE NOT is_en) AS BIGINT) AS nb
-                FROM t GROUP BY w),
-          tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
-                         CAST(sum(nb) AS BIGINT) AS tb FROM c)
-          SELECT w, na, nb,
-                 abs((na * 1000000) // ta - (nb * 1000000) // tb) AS drift_ppm
-          FROM c, tot
-          WHERE abs((na * 1000000) // ta - (nb * 1000000) // tb) >= 200
-          ORDER BY drift_ppm DESC, w""",
-    // exact join size from per-key count products; the sketch side's
-    // overestimate theorem and 4x-widened bound are deterministic gates
-    "q186_join_size_sketch" ->
-      """WITH d AS (SELECT source,
-                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
-                   AS BIGINT) % 2 = 0 AS in_a
-            FROM documents),
-          c AS (SELECT source,
-                  count(*) FILTER (WHERE in_a) AS ca,
-                  count(*) FILTER (WHERE NOT in_a) AS cb
-                FROM d GROUP BY source)
-          SELECT CAST((SELECT sum(ca * cb) FROM c) AS BIGINT) AS exact_size,
-                 (SELECT count(*) FROM d WHERE in_a) AS n_a,
-                 (SELECT count(*) FROM d WHERE NOT in_a) AS n_b,
-                 true AS overestimate_ok, true AS bound_ok""",
-    // zipped-adjacent bigrams vs unigram marginals; the PMI > ln(3/2) gate
-    // is the identical cross-multiplied integer predicate (HUGEINT side)
-    "q180_pmi_collocations" ->
-      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
-          u AS (SELECT unnest(ws) AS w FROM t),
-          uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
-          nu AS (SELECT sum(n) AS nu FROM uc),
-          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2 FROM t),
-          bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
-          nb AS (SELECT sum(n_ab) AS nb FROM bc)
-          SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b
-          FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, nu, nb
-          WHERE n_ab >= 3
-            AND 2 * CAST(n_ab AS HUGEINT) * nu * nu >
-                3 * CAST(nb AS HUGEINT) * a.n * b.n
-          ORDER BY w1, w2""",
-    // replays the 16-char window poly-hash breakpoints (h % 128 == 7 after
-    // position i >= 16) and the per-chunk mod-1e9+7 fold — chunk starts,
-    // lengths, and hashes are all exact cross-engine
-    "q179_cdc_chunks" ->
-      s"${cdcChunkRowsSql("documents")} ORDER BY doc_id, chunk_idx",
-    // same 52-bit dyadic u and the same sqrt chain — bit-identical keys
-    "q176_weighted_reservoir" -> wrsOracleSql,
-    "q40_dedup_exact" ->
-      """SELECT min(doc_id) AS doc_id, sha256(text) AS hash, count(*) AS n_copies
-         FROM documents GROUP BY sha256(text) ORDER BY doc_id""",
-    "q41_dedup_keys" ->
-      """SELECT lang, source, min(doc_id) AS doc_id FROM documents
-         GROUP BY lang, source ORDER BY lang, source""",
-    "q42_jaccard_pairs" ->
-      jaccardPairsSql(s"WHERE doc_id < $BruteForceSlice", 0.5),
-    "q43_minhash_lsh" ->
-      jaccardPairsSql("", LshJaccardThreshold),
-    "q86_dup_clusters" ->
-      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice").replaceFirst("WITH", "WITH RECURSIVE")},
-          p AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM s a JOIN s b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh)) * 1.0
-                    / len(list_distinct(a.sh || b.sh)) > 0.5),
-          e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-                UNION SELECT doc_b, doc_a FROM p),
-          n AS (SELECT DISTINCT src AS node FROM e),
-          reach(node, label) AS (
-            SELECT node, node FROM n
-            UNION
-            SELECT e.dst, r.label FROM reach r JOIN e ON e.src = r.node)
-          SELECT node AS doc_id, min(label) AS component
-          FROM reach GROUP BY node ORDER BY doc_id""",
-    "q44_simhash" ->
-      """WITH t AS (
-           SELECT doc_id,
-             list_sort(list_distinct(list_filter(
-               string_split_regex(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))) AS toks
-           FROM documents),
-         h AS (
-           SELECT doc_id,
-             list_transform(toks, w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs
-           FROM t)
-         SELECT doc_id,
-           CAST(coalesce(list_sum(
-             [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
-                   THEN (CAST(1 AS BIGINT) << j) ELSE 0 END FOR j IN range(0, 60)]), 0) AS BIGINT) AS simhash
-         FROM h ORDER BY doc_id""",
-    "q47_ann_lsh" ->
-      s"""SELECT true AS recall_ok,
-            (SELECT count(*)
-             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-             WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice
-               AND list_cosine_similarity(
-                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45
-            ) AS n_truth""",
-    "q48_cosine_pairs" ->
-      s"""SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   list_cosine_similarity(
-                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice) p
-          WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
-    "q49_ivf_knn" -> ivfKnnOracleSql,
-    // DEFINED identical to q49's in-memory path — one shared string, so
-    // the disk roundtrip cannot drift from the quantizer contract
-    "q191_ivf_disk_index" -> ivfKnnOracleSql,
-    "q45_fingerprint" ->
-      """SELECT doc_id,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(substring(text, 1, 64), ''),
-                          c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS fp
-         FROM documents ORDER BY doc_id""",
-    "q46_knn_brute" ->
-      """SELECT query_id, rank, neighbor_id FROM (
-           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                  row_number() OVER (
-                    PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                             c.vec_id) AS rank
-           FROM embeddings c
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
-         WHERE rank <= 10 ORDER BY query_id, rank""",
-    "q50_lang_id" ->
-      s"""SELECT doc_id, $langCaseSql AS pred_lang
-          FROM (SELECT doc_id, $wordsAposSql AS ws FROM documents) t
-          ORDER BY doc_id""",
-    "q51_quality" ->
-      s"""SELECT doc_id,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          CAST(len(list_distinct(ws)) AS BIGINT) AS n_uniq,
-          CAST(len(list_intersect(list_distinct(ws), $enStopSql)) AS BIGINT) AS n_stop,
-          CASE WHEN len(ws) > 0
-               THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
-               ELSE 0.0 END AS uniq_ratio,
-          (len(ws) >= 5 AND len(ws) <= 10000 AND
-           CASE WHEN len(ws) > 0
-                THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
-                ELSE 0.0 END > 0.1) AS quality_ok
-          FROM (SELECT doc_id, $wordsAposSql AS ws FROM documents) t
-          ORDER BY doc_id""",
-    "q52_est_tokens" ->
-      s"""SELECT doc_id,
-          CAST(coalesce(list_sum(list_transform($wordsAposSql,
-                 w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens
-          FROM documents ORDER BY doc_id""",
-    "q98_ivf_near_dup" ->
-      s"""WITH $ivfCellsCteSql
-         SELECT vec_a, vec_b, round(cos, 6) AS cos FROM (
-           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  list_cosine_similarity(
-                    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                    list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS cos
-           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id) p
-         WHERE cos > 0.45 ORDER BY vec_a, vec_b""",
-    // q98's consumer: survivors after dropping the greater id of every
-    // within-cell pair above the threshold (SemDeDup min-id keeper)
-    "q126_sem_dedup" ->
-      s"""WITH $ivfCellsCteSql,
-         drops AS (
-           SELECT DISTINCT b.vec_id AS vec_id
-           FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(
-                   list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                   list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45)
-         SELECT vec_id FROM embeddings
-         WHERE vec_id NOT IN (SELECT vec_id FROM drops)
-         ORDER BY vec_id""",
-    // same integer thresholds from the same counts: sqrt and division are
-    // IEEE-correctly-rounded in both engines, so floor(√(nmin/n)·1e6)
-    // cannot disagree; the md5 keep rule is q96's
-    "q134_temperature_mix" ->
-      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-         m AS (SELECT min(n) AS nmin FROM c),
-         r AS (SELECT source,
-                      CAST(floor(sqrt(CAST(nmin AS DOUBLE)) / sqrt(CAST(n AS DOUBLE))
-                                 * 1000000) AS BIGINT) AS thr
-               FROM c, m)
-         SELECT d.doc_id, d.source
-         FROM documents d JOIN r USING (source)
-         WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000000 < thr
-         ORDER BY doc_id""",
-    // ExactSubstr from first principles: k-gram md5 keys with 1-based
-    // positions, duplicated = total occurrence count > 1, keeper =
-    // min(packed (doc_id, pos)), covered positions from every
-    // non-keeper occurrence, reassembly by 1-based indexed list_filter
-    // (Spark's filter lambda index is 0-based — the engine adds 1)
-    "q135_exact_substr" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                       md5(array_to_string(ws[i:i+${ExactSubstrK - 1}], ' ')) AS gkey
-                FROM t, unnest(range(1, len(ws) - ${ExactSubstrK - 2})) AS u(i)),
-          dup AS (SELECT gkey, min(doc_id * 1000000 + pos) AS k0
-                  FROM g GROUP BY gkey HAVING count(*) > 1),
-          cov AS (SELECT DISTINCT g.doc_id, p
-                  FROM g JOIN dup USING (gkey),
-                       unnest(range(g.pos, g.pos + $ExactSubstrK)) AS r(p)
-                  WHERE g.doc_id * 1000000 + g.pos <> dup.k0),
-          a AS (SELECT doc_id, list(p) AS cps FROM cov GROUP BY doc_id)
-          SELECT t.doc_id,
-                 CAST(len(ws) AS BIGINT) AS n_tokens,
-                 CAST(coalesce(len(cps), 0) AS BIGINT) AS n_removed,
-                 coalesce(array_to_string(
-                   list_filter(ws, (w, i) ->
-                     NOT coalesce(list_contains(cps, CAST(i AS BIGINT)), false)),
-                   ' '), '') AS text_dedup
-          FROM t LEFT JOIN a USING (doc_id)
-          ORDER BY doc_id""",
-    // the identical 3-round learn-then-apply chain: each round's pair
-    // counts, the same (cnt DESC, pair ASC) choice, the same greedy
-    // replace — then per-doc token counts off the final vocabulary
-    "q139_bpe_tokenize" ->
-      s"""WITH wf AS (SELECT w, count(*) AS freq
-                 FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
-          v0 AS (SELECT w, freq, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sp FROM wf),
-          p0 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
-                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v0),
-                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-          b0 AS (SELECT l, r FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
-          v1 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b0),
-                                             (SELECT l || r FROM b0)) AS sp FROM v0),
-          p1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
-                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v1),
-                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-          b1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
-          v2 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b1),
-                                             (SELECT l || r FROM b1)) AS sp FROM v1),
-          p2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt
-                 FROM (SELECT freq, string_split(sp, ' ') AS syms FROM v2),
-                      unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-          b2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
-          v3 AS (SELECT w, freq, replace(sp, (SELECT l || ' ' || r FROM b2),
-                                             (SELECT l || r FROM b2)) AS sp FROM v2),
-          wt AS (SELECT w, CAST(len(string_split(sp, ' ')) AS BIGINT) AS ntok FROM v3),
-          tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
-          sc AS (SELECT doc_id, count(*) AS n_words,
-                        CAST(sum(ntok) AS BIGINT) AS n_bpe FROM tok
-                 JOIN wt USING (w) GROUP BY doc_id)
-          SELECT d.doc_id,
-                 CAST(coalesce(n_words, 0) AS BIGINT) AS n_words,
-                 coalesce(n_bpe, 0) AS n_bpe_tokens,
-                 (SELECT l || ' ' || r FROM b0) || ', ' ||
-                 (SELECT l || ' ' || r FROM b1) || ', ' ||
-                 (SELECT l || ' ' || r FROM b2) AS merges
-          FROM documents d LEFT JOIN sc USING (doc_id)
-          ORDER BY doc_id""",
-    // the identical micro-nat quantization per TERM, then integer sums:
-    // round(ln(n)*1e6) agrees bit-for-bit between the engines (a 1-ulp
-    // libm difference cannot cross the 1e-6 rounding grid), and integer
-    // addition is order-free — the one formulation of LM scoring two
-    // independent engines can hash-match
-    "q137_ppl_filter" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          uni AS (SELECT w, count(*) AS cu
-                  FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
-          vv AS (SELECT count(*) AS v FROM uni),
-          bo AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bg
-                 FROM t, unnest(range(1, len(ws))) AS u(i)),
-          bi AS (SELECT bg, count(*) AS cb FROM bo GROUP BY bg),
-          sc AS (SELECT doc_id, count(*) AS n_terms,
-                        CAST(sum(CAST(round(ln(CAST(cu + v AS DOUBLE)) * 1000000) AS BIGINT)
-                               - CAST(round(ln(CAST(cb + 1 AS DOUBLE)) * 1000000) AS BIGINT))
-                             AS BIGINT) AS nll
-                 FROM bo JOIN bi USING (bg) JOIN uni ON bo.w1 = uni.w
-                      CROSS JOIN vv
-                 GROUP BY doc_id)
-          SELECT t.doc_id,
-                 CAST(coalesce(n_terms, 0) AS BIGINT) AS n_terms,
-                 CAST(coalesce(nll, 0) AS BIGINT) AS nll_micronats,
-                 coalesce(nll, 0) <= coalesce(n_terms, 0) * $LmNllPerTokenMicro AS ppl_ok
-          FROM t LEFT JOIN sc USING (doc_id)
-          ORDER BY doc_id""",
-    // the identical BPE step from first principles: word-type frequencies,
-    // spaced symbol strings, pair counts via 1-based adjacent indexing,
-    // the same (cnt DESC, pair ASC) best choice, the same greedy-leftmost
-    // string replace (both engines scan left, non-overlapping), recount
-    "q136_bpe_step" ->
-      s"""WITH wf AS (SELECT w, count(*) AS freq
-                 FROM (SELECT unnest($wordsSql) AS w FROM documents) GROUP BY w),
-          v AS (SELECT freq,
-                       string_split(trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ') AS syms
-                FROM wf),
-          pre AS (SELECT syms[i] AS sym_l, syms[i+1] AS sym_r,
-                         CAST(sum(freq) AS BIGINT) AS cnt
-                  FROM v, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-          best AS (SELECT sym_l, sym_r FROM pre
-                   ORDER BY cnt DESC, sym_l, sym_r LIMIT 1),
-          m AS (SELECT freq,
-                       string_split(replace(array_to_string(syms, ' '),
-                         (SELECT sym_l || ' ' || sym_r FROM best),
-                         (SELECT sym_l || sym_r FROM best)), ' ') AS syms
-                FROM v),
-          post AS (SELECT syms[i] AS sym_l, syms[i+1] AS sym_r,
-                          CAST(sum(freq) AS BIGINT) AS cnt
-                   FROM m, unnest(range(1, len(syms))) AS u(i) GROUP BY 1, 2),
-          pr AS (SELECT 'pre' AS phase,
-                        CAST(row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS BIGINT) AS rk,
-                        sym_l, sym_r, cnt FROM pre),
-          po AS (SELECT 'post' AS phase,
-                        CAST(row_number() OVER (ORDER BY cnt DESC, sym_l, sym_r) AS BIGINT) AS rk,
-                        sym_l, sym_r, cnt FROM post)
-          SELECT * FROM (SELECT * FROM pr WHERE rk <= $BpeTopK
-                         UNION ALL SELECT * FROM po WHERE rk <= $BpeTopK)
-          ORDER BY phase, rk""",
-    // winnowing from first principles: per-doc word 3-grams with 1-based
-    // positions, h = first 8 md5 hex chars as BIGINT, every window start j
-    // (one window when fewer than 4 grams), min over the packed key
-    // h*2^20+pos = lexicographic (hash, leftmost pos), then distinct
-    "q128_winnowing" ->
-      """WITH t AS (
-           SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-                                      x -> length(x) > 0) AS ws
-           FROM documents),
-         g AS (
-           SELECT doc_id, CAST(i AS INT) AS pos,
-                  CAST('0x' || substring(md5(array_to_string(ws[i:i+2], ' ')), 1, 8) AS BIGINT) AS h,
-                  len(ws) - 2 AS n
-           FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
-         sel AS (
-           SELECT doc_id, j, min(h * 1048576 + pos) AS skey
-           FROM g, unnest(range(1, greatest(n - 3, 1) + 1)) AS v(j)
-           WHERE pos >= j AND pos <= j + 3
-           GROUP BY doc_id, j)
-         SELECT DISTINCT doc_id, CAST(skey % 1048576 AS INT) AS pos,
-                skey // 1048576 AS gram_hash
-         FROM sel ORDER BY doc_id, pos""",
-    // the IDENTICAL lookahead-free pattern through DuckDB's RE2 — the
-    // pattern string itself is shared (apostrophes SQL-doubled), so the
-    // two engines can only disagree if their regex ENGINES disagree on
-    // the Java∩RE2 subset the pattern is restricted to
-    "q129_pretokens" ->
-      s"""SELECT doc_id,
-          CAST(len(regexp_extract_all(text, '${PreTokenRegex.replace("'", "''")}')) AS BIGINT)
-            AS n_pretokens
-          FROM documents ORDER BY doc_id""",
-    // same features, same operation ORDER (left-associated adds, one
-    // division per fraction) so z agrees bit-for-bit; only σ goes through
-    // each engine's exp(), absorbed by 6dp rounding — and the keep gate
-    // reads the sign of z, never σ
-    "q130_quality_model" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          f AS (SELECT doc_id,
-                  ln(1.0 + CAST(len(ws) AS DOUBLE)) AS f1,
-                  CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS f2,
-                  CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)
-                    / CAST(len(ws) AS DOUBLE) AS f3,
-                  CAST(len(list_filter(ws, w -> regexp_matches(w, '[0-9]'))) AS DOUBLE)
-                    / CAST(len(ws) AS DOUBLE) AS f4
-                FROM t WHERE len(ws) > 0),
-          zt AS (SELECT doc_id,
-                   -2.0 + 0.45 * f1 + 1.6 * f2 + 0.12 * f3 + (-2.5) * f4 AS z
-                 FROM f)
-          SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score, z >= 0 AS keep
-          FROM zt ORDER BY doc_id""",
-    "q131_shard_manifest" ->
-      """SELECT doc_id, bucket, byte_offset,
-                CAST(byte_offset // 2000 AS BIGINT) AS shard_idx
-         FROM (
-           SELECT doc_id, bucket,
-                  CAST(coalesce(sum(n_chars) OVER (
-                    PARTITION BY bucket ORDER BY h, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-                    AS byte_offset
-           FROM (SELECT doc_id, n_chars, md5(text) AS h,
-                        CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16 AS bucket
-                 FROM documents) b) t
-         ORDER BY bucket, byte_offset, doc_id""",
-    "q100_ivf_recall" -> recallOracleSql,
-    "q117_stratified" ->
-      """SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM (
-           SELECT doc_id, source,
-                  row_number() OVER (PARTITION BY source
-                                     ORDER BY md5(text), doc_id) AS rk
-           FROM documents) t
-         WHERE rk <= 30 ORDER BY source, rk""",
-    "q118_shuffle_order" ->
-      """SELECT doc_id, bucket, CAST(pos AS BIGINT) AS pos FROM (
-           SELECT doc_id,
-                  CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16 AS bucket,
-                  row_number() OVER (
-                    PARTITION BY CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 16
-                    ORDER BY md5(text), doc_id) AS pos
-           FROM documents) t
-         ORDER BY bucket, pos""",
-    "q116_corpus_export" ->
-      s"""WITH RECURSIVE g0 AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          g AS (SELECT doc_id,
-                  list_distinct([array_to_string(ws[i:i+6], ' ')
-                                 for i in range(1, len(ws) - 5)]) AS gs FROM g0),
-          bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
-          contaminated AS (
-            SELECT DISTINCT doc_id FROM (
-              SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 != 0) cg
-            JOIN bg USING (gram)),
-          t AS (SELECT doc_id, text, $wordsAposSql AS ws FROM documents
-                WHERE doc_id % 10 != 0
-                  AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-          scored AS (
-            SELECT doc_id, text,
-              $langCaseSql AS pred_lang,
-              (len(ws) >= 5 AND len(ws) <= 10000 AND
-               CASE WHEN len(ws) > 0
-                    THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
-                    ELSE 0.0 END > 0.1) AS quality_ok
-            FROM t),
-          kept AS (
-            SELECT * FROM scored WHERE quality_ok AND pred_lang <> 'und'),
-          dedup AS (
-            SELECT min(doc_id) AS doc_id, min(text) AS text
-            FROM kept GROUP BY sha256(text)),
-          dt AS (SELECT doc_id, $wordsSql AS ws FROM dedup),
-          ${packerSql("dt")}
-          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
-          FROM packed ORDER BY doc_id, chunk_id""",
-    "q115_pq_recall" -> recallOracleSql,
-    "q113_decontaminate" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-         g AS (SELECT doc_id,
-                 list_distinct([array_to_string(ws[i:i+6], ' ')
-                                for i in range(1, len(ws) - 5)]) AS gs FROM t),
-         bg AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 10 = 0),
-         hits AS (
-           SELECT doc_id, count(DISTINCT gram) AS n FROM (
-             SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 10 != 0) cg
-           JOIN bg USING (gram) GROUP BY doc_id)
-         SELECT d.doc_id,
-                CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
-                coalesce(h.n, 0) > 0 AS contaminated
-         FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
-         LEFT JOIN hits h USING (doc_id)
-         ORDER BY doc_id""",
-    "q112_ivf_trained" -> recallOracleSql,
-    "q108_kmeans_step" ->
-      """WITH cent AS (
-           SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-           FROM embeddings WHERE vec_id < 8),
-         cells AS (
-           SELECT vec_id, embedding, cid FROM (
-             SELECT v.vec_id, v.embedding, cid,
-                    row_number() OVER (
-                      PARTITION BY v.vec_id
-                      ORDER BY list_cosine_similarity(
-                                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
-                                 cv) DESC, cid) AS rk
-             FROM embeddings v CROSS JOIN cent) t
-           WHERE rk = 1),
-         g AS (
-           SELECT cid, list(embedding ORDER BY vec_id) AS vs, count(*) AS n
-           FROM cells GROUP BY cid),
-         flat AS (
-           SELECT cid, CAST(n AS BIGINT) AS n_assigned,
-             list_transform(range(1, len(vs[1]) + 1),
-               i -> round(list_reduce(list_transform(vs, v -> CAST(v[i] AS DOUBLE)),
-                                      (a, b) -> a + b) / n, 6)) AS centroid
-           FROM g)
-         SELECT cid, n_assigned,
-                CAST(unnest(range(len(centroid))) AS INT) AS i,
-                unnest(centroid) AS x
-         FROM flat ORDER BY cid, i""",
-    "q96_mixture_sample" ->
-      """SELECT doc_id, source FROM documents
-         WHERE CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) % 1000 <
-               CASE WHEN CAST(substring(source, 4) AS INT) % 2 = 0
-                    THEN 750 ELSE 250 END
-         ORDER BY doc_id""",
-    "q101_seq_packing" ->
-      s"""WITH RECURSIVE t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          ${packerSql("t")}
-          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, pack_id, n_words
-          FROM packed ORDER BY doc_id, chunk_id""",
-    "q97_chunking" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          c AS (SELECT doc_id,
-                  [array_to_string(ws[s+1 : s+50], ' ') for s in range(0, len(ws), 40)] AS chunks
-                FROM t WHERE len(ws) > 0)
-          SELECT doc_id,
-                 unnest(range(1, len(chunks)+1)) AS chunk_id,
-                 unnest(chunks) AS chunk
-          FROM c ORDER BY doc_id, chunk_id""",
-    "q95_corpus_pipeline" ->
-      s"""WITH t AS (
-            SELECT doc_id, text, $wordsAposSql AS ws FROM documents),
-          scored AS (
-            SELECT doc_id, text,
-              $langCaseSql AS pred_lang,
-              CAST(len(ws) AS BIGINT) AS n_words,
-              CAST(coalesce(list_sum(list_transform(ws,
-                     w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS est_tokens,
-              (len(ws) >= 5 AND len(ws) <= 10000 AND
-               CASE WHEN len(ws) > 0
-                    THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
-                    ELSE 0.0 END > 0.1) AS quality_ok
-            FROM t),
-          kept AS (
-            SELECT * FROM scored WHERE quality_ok AND pred_lang <> 'und'),
-          dedup AS (
-            -- same-hash rows share identical text, hence identical derived
-            -- values: min() just picks the one row deterministically
-            SELECT min(doc_id) AS doc_id, min(pred_lang) AS pred_lang,
-                   min(est_tokens) AS est_tokens, min(n_words) AS n_words
-            FROM kept GROUP BY sha256(text))
-          SELECT pred_lang, count(*) AS n_docs,
-                 CAST(sum(est_tokens) AS BIGINT) AS total_tokens,
-                 CAST(sum(n_words) AS BIGINT) AS total_words
-          FROM dedup GROUP BY pred_lang ORDER BY pred_lang""",
-    "q102_pii_scrub" ->
-      s"""WITH t AS (
-            SELECT c_custkey,
-              'ticket ' || c_mktsegment || ' customer ' || c_name ||
-              ' phone ' || printf('%02d-%03d-%03d-%04d',
-                                  c_custkey % 90 + 10, c_custkey * 7 % 1000,
-                                  c_custkey * 13 % 1000, c_custkey * 31 % 10000) ||
-              ' email ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) ||
-              '@example.com' ||
-              ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.77' ||
-              ' balance ok' AS ticket
-            FROM customer)
-          SELECT c_custkey,
-            regexp_replace(regexp_replace(regexp_replace(ticket,
-              '${TextAnalysis.EmailRe}', '[EMAIL]', 'g'),
-              '${TextAnalysis.Ipv4Re}', '[IP]', 'g'),
-              '${TextAnalysis.PhoneRe}', '[PHONE]', 'g') AS scrubbed,
-            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_email,
-            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phone,
-            CAST(len(regexp_extract_all(ticket, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ip
-          FROM t ORDER BY c_custkey""",
-    "q103_para_dedup" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-          c AS (SELECT doc_id,
-                  [array_to_string(ws[s+1 : s+$ParaWords], ' ')
-                   for s in range(0, len(ws), $ParaWords)] AS paras
-                FROM t WHERE len(ws) > 0),
-          seg AS (SELECT doc_id,
-                    unnest(range(1, len(paras)+1)) AS seg,
-                    unnest(paras) AS para
-                  FROM c),
-          r AS (SELECT doc_id, seg, para,
-                  row_number() OVER (PARTITION BY para ORDER BY doc_id, seg) AS rn
-                FROM seg)
-          SELECT doc_id,
-            CAST(count(*) AS BIGINT) AS n_paras,
-            CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
-            coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY seg), '')
-              AS text_dedup
-          FROM r GROUP BY doc_id ORDER BY doc_id""",
-    "q104_repetition" ->
-      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
-          base AS (SELECT doc_id,
-                     CAST(len(ws) AS BIGINT) AS nw,
-                     CAST(len(list_distinct(ws)) AS BIGINT) AS nu
-                   FROM t),
-          w AS (SELECT doc_id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i FROM t),
-          b AS (SELECT doc_id,
-                  wd || ' ' || lead(wd) OVER (PARTITION BY doc_id ORDER BY i) AS bg
-                FROM w),
-          bc AS (SELECT doc_id, bg, count(*) AS c FROM b
-                 WHERE bg IS NOT NULL GROUP BY doc_id, bg),
-          top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_n FROM bc GROUP BY doc_id),
-          m AS (
-            SELECT base.doc_id, nw AS n_words,
-              CAST(greatest(nw - 1, 0) AS BIGINT) AS n_bigrams,
-              CAST(coalesce(top_n, 0) AS BIGINT) AS top_bigram_n,
-              CASE WHEN nw > 1
-                   THEN CAST(coalesce(top_n, 0) AS DOUBLE) / CAST(nw - 1 AS DOUBLE)
-                   ELSE 0.0 END AS top_bigram_frac,
-              CASE WHEN nw > 0
-                   THEN 1.0 - CAST(nu AS DOUBLE) / CAST(nw AS DOUBLE)
-                   ELSE 0.0 END AS dup_word_frac
-            FROM base LEFT JOIN top ON base.doc_id = top.doc_id)
-          SELECT doc_id, n_words, n_bigrams, top_bigram_n, top_bigram_frac,
-                 dup_word_frac,
-                 (dup_word_frac <= ${TextAnalysis.DupWordFracMax}
-                  AND (n_bigrams < ${TextAnalysis.MinBigramsForGate}
-                       OR top_bigram_frac <= ${TextAnalysis.TopBigramFracMax}))
-                   AS repetition_ok
-          FROM m ORDER BY doc_id""",
-    "q105_bloom_dedup" ->
-      """WITH known AS (SELECT DISTINCT sha256(text) AS h FROM documents),
-         inc AS (SELECT sha256(text) AS h FROM documents
-                 UNION ALL
-                 SELECT sha256(text || ' v2') FROM documents WHERE doc_id % 5 = 0)
-         SELECT CAST((SELECT count(*) FROM inc) AS BIGINT) AS n_incoming,
-                CAST((SELECT count(*) FROM inc WHERE h IN (SELECT h FROM known)) AS BIGINT)
-                  AS n_exact_dup,
-                true AS fn_zero, true AS fp_ok""",
-    "q54_binary_meta" ->
-      """SELECT doc_id,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-         md5(text) AS md5_hex
-         FROM documents ORDER BY doc_id""",
-    "q56_attachment_decode" ->
-      """SELECT doc_id,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-         md5(text) AS md5_hex
-         FROM documents ORDER BY doc_id""",
-    "q57_frame_sample" ->
-      """WITH v AS (
-           SELECT doc_id AS media_id, text,
-                  octet_length(CAST(text AS BLOB)) AS n,
-                  octet_length(CAST(text AS BLOB)) % 30 + 1 AS frames
-           FROM documents WHERE doc_id % 3 = 2),
-         f AS (
-           SELECT media_id, text, n // frames AS chunk,
-                  unnest(range(0, frames, 5)) AS frame_idx
-           FROM v)
-         SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
-                CAST(chunk AS BIGINT) AS n_bytes,
-                md5(substring(text, CAST(frame_idx * chunk + 1 AS INT), CAST(chunk AS INT))) AS md5_hex
-         FROM f WHERE chunk > 0
-         ORDER BY media_id, frame_idx""",
-    "q55_media_features" ->
-      """SELECT doc_id AS media_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-         CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-         CAST(octet_length(CAST(text AS BLOB)) % 640 + 1 AS INT) AS width,
-         CAST(octet_length(CAST(text AS BLOB)) * 7 % 480 + 1 AS INT) AS height,
-         CAST(CASE WHEN doc_id % 3 = 2
-                   THEN octet_length(CAST(text AS BLOB)) % 30 + 1 ELSE 1 END AS INT) AS n_frames,
-         list_reduce(list_prepend(CAST(0 AS BIGINT),
-           list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-           (a, b) -> (a * 31 + b) % 1000000007) AS checksum
-         FROM documents ORDER BY media_id""",
-    // replays q146's closed-form pixel grid: the engine must decode REAL PNG
-    // bytes back to the same (w, h, sum of (x+y+id)%256) triple
-    "q146_image_decode" ->
-      """WITH img AS (
-           SELECT doc_id AS media_id,
-                  doc_id % 64 + 16 AS w,
-                  doc_id * 7 % 48 + 16 AS h
-           FROM documents WHERE doc_id % 3 = 0),
-         px AS (
-           SELECT media_id, w, h, xs.x AS x, ys.y AS y
-           FROM img,
-                LATERAL (SELECT unnest(range(img.w)) AS x) xs,
-                LATERAL (SELECT unnest(range(img.h)) AS y) ys)
-         SELECT media_id,
-                CAST(w AS INT) AS width,
-                CAST(h AS INT) AS height,
-                CAST(sum((x + y + media_id) % 256) AS BIGINT) AS gray_sum
-         FROM px GROUP BY media_id, w, h ORDER BY media_id""",
-    // Gopher rules replayed signal-for-signal; every threshold is an
-    // integer cross-multiplication, so keep is float-free on both sides
-    "q147_gopher_rules" ->
-      s"""WITH g AS (
-           SELECT doc_id,
-                  list_filter(regexp_split_to_array(text, '\\s+'),
-                              w -> length(w) > 0) AS ws,
-                  list_filter(string_split(text, chr(10)),
-                              l -> length(l) > 0) AS lines,
-                  length(text) - length(replace(text, '#', ''))
-                    + (length(text) - length(replace(text, '...', ''))) // 3
-                    AS n_symbols,
-                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                              w -> length(w) > 0) AS lws
-           FROM documents),
-         s AS (
-           SELECT doc_id,
-                  CAST(len(ws) AS BIGINT) AS n_words,
-                  CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0)
-                       AS BIGINT) AS sum_word_len,
-                  CAST(n_symbols AS BIGINT) AS n_symbols,
-                  CAST(len(lines) AS BIGINT) AS n_lines,
-                  CAST(len(list_filter(lines,
-                       l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS n_bullet,
-                  CAST(len(list_filter(lines,
-                       l -> regexp_matches(l, '(\\.\\.\\.|…)$$'))) AS BIGINT)
-                    AS n_ellipsis_lines,
-                  CAST(len(list_filter(ws,
-                       w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
-                  CAST(len(list_intersect(list_distinct(lws),
-                       [${TextAnalysis.GopherStopWords.map("'" + _ + "'").mkString(",")}]))
-                       AS BIGINT) AS n_req_stop
-           FROM g)
-         SELECT *,
-                CAST((n_words BETWEEN 50 AND 100000) AS BIGINT)
-                + CAST((3*n_words <= sum_word_len AND sum_word_len <= 10*n_words) AS BIGINT)
-                + CAST((10*n_symbols <= n_words) AS BIGINT)
-                + CAST((10*n_bullet <= 9*n_lines) AS BIGINT)
-                + CAST((10*n_ellipsis_lines <= 3*n_lines) AS BIGINT)
-                + CAST((5*n_alpha_words >= 4*n_words) AS BIGINT)
-                + CAST((n_req_stop >= 2) AS BIGINT) AS n_rules_passed,
-                (n_words BETWEEN 50 AND 100000
-                 AND 3*n_words <= sum_word_len AND sum_word_len <= 10*n_words
-                 AND 10*n_symbols <= n_words
-                 AND 10*n_bullet <= 9*n_lines
-                 AND 10*n_ellipsis_lines <= 3*n_lines
-                 AND 5*n_alpha_words >= 4*n_words
-                 AND n_req_stop >= 2) AS keep
-         FROM s ORDER BY doc_id""",
-    // the sketch grid is engine-specific; the oracle pins the exact top-10
-    // token counts and the measured CMS error contracts (q140's pattern)
-    "q148_cms_topk" ->
-      """WITH t AS (
-           SELECT unnest(list_filter(
-                    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                    w -> length(w) > 0)) AS tok
-           FROM documents)
-         SELECT tok, CAST(count(*) AS BIGINT) AS n_exact,
-                true AS overestimate_ok, true AS bound_ok
-         FROM t GROUP BY tok
-         ORDER BY n_exact DESC, tok ASC LIMIT 10""",
-    // identical hashed-unigram bucketing, smoothing, and micro-nat floor —
-    // the per-doc sums are integer-exact so the hash compare is strict
-    "q149_dsir_weights" ->
-      """WITH tok AS (
-           SELECT doc_id, lang = 'en' AS is_t,
-                  unnest(list_filter(
-                    regexp_split_to_array(lower(text), '[^a-z0-9'']+'),
-                    w -> length(w) > 0)) AS w
-           FROM documents),
-         tb AS (
-           SELECT doc_id, is_t,
-                  CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) % 1024 AS b
-           FROM tok),
-         tot AS (SELECT count(*) AS nr, count(*) FILTER (is_t) AS nt FROM tb),
-         bc AS (SELECT b, count(*) AS cr, count(*) FILTER (is_t) AS ct
-                FROM tb GROUP BY b),
-         lam AS (SELECT b,
-                  CAST(floor(ln(
-                    ((CAST(ct AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + 1024.0)) /
-                    ((CAST(cr AS DOUBLE) + 1.0) * (CAST(nt AS DOUBLE) + 1024.0))
-                  ) * 1000000.0) AS BIGINT) AS lam
-                 FROM bc, tot),
-         db AS (SELECT doc_id, b, count(*) AS c FROM tb GROUP BY doc_id, b),
-         ds AS (SELECT db.doc_id,
-                       CAST(sum(c) AS BIGINT) AS n_toks,
-                       CAST(sum(c * lam) AS BIGINT) AS score_micronats
-                FROM db JOIN lam USING (b) GROUP BY db.doc_id),
-         corp AS (SELECT sum(score_micronats) AS sum_s, count(*) AS n_docs FROM ds)
-         SELECT doc_id, n_toks, score_micronats,
-                score_micronats * n_docs > sum_s AS selected
-         FROM ds, corp ORDER BY doc_id""",
-    // brute-force truth over ALL shared tokens — if the engine's prefix
-    // filter dropped a qualifying pair, this hash-mismatches
-    "q150_allpairs_sim" ->
-      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
-         s AS (SELECT doc_id,
-                      list_distinct([array_to_string(ws[i:i+4], ' ')
-                                     for i in range(1, len(ws) - 3)]) AS sh
-               FROM t WHERE len(ws) >= 5),
-         tok AS (SELECT doc_id, len(sh) AS a, unnest(sh) AS tok FROM s),
-         ov AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS o,
-                       any_value(x.a) AS a1, any_value(y.a) AS a2
-                FROM tok x JOIN tok y ON x.tok = y.tok AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
-         SELECT id1, id2, CAST(o AS BIGINT) AS overlap,
-                CAST(a1 AS BIGINT) AS size1, CAST(a2 AS BIGINT) AS size2
-         FROM ov WHERE 25*o*o >= 16*a1*a2 ORDER BY id1, id2""",
-    // identical md5-parity sign matrix and per-product micro floor: the
-    // component sums are order-free integers, so the compare is strict
-    "q153_random_projection" ->
-      """SELECT vec_id, CAST(j AS INT) AS component,
-                CAST(sum(CAST(floor(
-                  (CAST(embedding[i + 1] AS DOUBLE) *
-                   (CASE WHEN CAST('0x' || substr(md5(i || '_' || j), 1, 1) AS INT)
-                              % 2 = 0 THEN 1.0 ELSE -1.0 END)) * 1000000.0)
-                  AS BIGINT)) AS BIGINT) AS comp_micro
-         FROM embeddings,
-              unnest(range(len(embedding))) AS t(i),
-              unnest(range(16)) AS u(j)
-         GROUP BY vec_id, j ORDER BY vec_id, component""",
-    // identical single-IEEE-op chain (max|x|/127, x/scale + 0.5, floor):
-    // codes and nano-floored scale are bit-exact on both engines
-    "q157_int8_quantize" ->
-      """WITH e AS (
-           SELECT vec_id, embedding,
-                  list_max(list_transform(embedding,
-                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-           FROM embeddings)
-         SELECT vec_id, CAST(i AS INT) AS i,
-                CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
-                     ELSE CAST(floor(CAST(embedding[i + 1] AS DOUBLE) / scale + 0.5)
-                               AS BIGINT) END AS q8,
-                CAST(floor(scale * 1e9) AS BIGINT) AS scale_nano
-         FROM e, unnest(range(len(embedding))) AS t(i)
-         ORDER BY vec_id, i""",
-    // replays both rankings (int-code cosine is exact-integer dot/norms;
-    // float truth is q46's proven list_cosine_similarity) and the metric
-    // arithmetic with the same hardcoded gain constants
-    "q158_quant_eval" ->
-      """WITH e AS (
-           SELECT vec_id, embedding,
-                  list_max(list_transform(embedding,
-                    x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
-           FROM embeddings),
-         codes AS (
-           SELECT vec_id,
-                  list_transform(embedding, x ->
-                    CASE WHEN scale = 0.0 THEN CAST(0 AS BIGINT)
-                         ELSE CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)
-                    END) AS code
-           FROM e),
-         qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 20),
-         pairs AS (
-           SELECT q.query_id, c.vec_id AS neighbor_id,
-                  list_sum(list_transform(range(len(c.code)),
-                    i -> q.qcode[i+1] * c.code[i+1])) AS dotq,
-                  list_sum(list_transform(q.qcode, x -> x*x)) AS na,
-                  list_sum(list_transform(c.code, x -> x*x)) AS nb
-           FROM codes c CROSS JOIN qc q),
-         sys AS (
-           SELECT * FROM (
-             SELECT query_id, neighbor_id,
-                    row_number() OVER (PARTITION BY query_id ORDER BY
-                      (CASE WHEN na = 0 OR nb = 0 THEN 0.0
-                            ELSE CAST(dotq AS DOUBLE) /
-                                 (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
-                       END) DESC, neighbor_id) AS rank
-             FROM pairs) t WHERE rank <= 10),
-         truth AS (
-           SELECT * FROM (
-             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-                    row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                      list_cosine_similarity(
-                        list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                        list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                      c.vec_id) AS rank
-             FROM embeddings c
-             CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q) t
-           WHERE rank <= 10),
-         nn1 AS (SELECT query_id, neighbor_id AS nn_id FROM truth WHERE rank = 1),
-         gains(rank, gain) AS (VALUES (1, 1000000000), (2, 630929753),
-           (3, 500000000), (4, 430676558), (5, 386852807), (6, 356207187),
-           (7, 333333333), (8, 315464876), (9, 301029995), (10, 289064826)),
-         j AS (
-           SELECT s.query_id, s.rank,
-                  CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel,
-                  CASE WHEN s.neighbor_id = n.nn_id THEN s.rank END AS nn_rank,
-                  g.gain
-           FROM sys s
-           LEFT JOIN truth t ON s.query_id = t.query_id
-                            AND s.neighbor_id = t.neighbor_id
-           JOIN nn1 n ON s.query_id = n.query_id
-           JOIN gains g ON s.rank = g.rank)
-         SELECT query_id,
-                CAST(coalesce(min(nn_rank), 0) AS BIGINT) AS rank_of_nn,
-                CAST(sum(rel) AS BIGINT) AS hits_at_10,
-                CAST(floor(1000000.0 * CAST(sum(rel * gain) AS DOUBLE)
-                           / 4543559335.0) AS BIGINT) AS ndcg_micro
-         FROM j GROUP BY query_id ORDER BY query_id""",
-    // closed-form bit replay: p(x+1,y) = p(x,y)+1 mod 256, so the dHash
-    // bit at (x,y) is set iff (x+y+id) % 256 = 255
-    "q159_image_dhash" ->
-      """SELECT doc_id AS media_id,
-                CAST(coalesce(sum(CASE WHEN (x + y + doc_id) % 256 = 255
-                  THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT)) END), 0)
-                  AS BIGINT) AS dhash
-         FROM documents,
-              unnest(range(8)) AS t(x), unnest(range(8)) AS u(y)
-         WHERE doc_id % 3 = 0
-         GROUP BY doc_id ORDER BY media_id""",
-    // same derived v2 and the same hash-compare classification
-    "q160_snapshot_diff" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
-         v2 AS (
-           SELECT doc_id,
-                  CASE WHEN doc_id % 10 = 0 THEN md5(text || ' [edited v2]')
-                       ELSE md5(text) END AS h2
-           FROM documents
-           WHERE NOT (doc_id % 17 = 0 AND doc_id % 10 <> 0)
-           UNION ALL
-           SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 100 = 0)
-         SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-                CASE WHEN v1.doc_id IS NULL THEN 'added'
-                     WHEN v2.doc_id IS NULL THEN 'removed'
-                     WHEN h1 <> h2 THEN 'changed' END AS change
-         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-         WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR h1 <> h2)
-         ORDER BY doc_id""",
-    // brute-force hamming truth over q44's replayable simhash — a pair the
-    // pigeonhole bands dropped would hash-mismatch here
-    "q161_hamming_pairs" ->
-      s"""WITH t AS (
-           SELECT doc_id,
-             list_sort(list_distinct(list_filter(
-               string_split_regex(lower(text), '[^a-z0-9]+'),
-               w -> length(w) > 0))) AS toks
-           FROM documents WHERE doc_id < $CosineSlice),
-         h AS (
-           SELECT doc_id,
-             list_transform(toks,
-               w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hs
-           FROM t),
-         s AS (
-           SELECT doc_id,
-             CAST(coalesce(list_sum(
-               [CASE WHEN list_sum([CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END
-                                    FOR x IN hs]) > 0
-                     THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-                FOR j IN range(0, 60)]), 0) AS BIGINT) AS sh
-           FROM h)
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
-         FROM s a JOIN s b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sh, b.sh)) <= 3
-         ORDER BY doc_a, doc_b""",
-    // q52's integer token estimate crossed with the 4 candidate lengths
-    "q162_truncation_loss" ->
-      s"""WITH t AS (
-           SELECT CAST(coalesce(list_sum(list_transform($wordsAposSql,
-                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS t
-           FROM documents),
-         x AS (SELECT t.t, l.context_len
-               FROM t, (VALUES (32), (64), (128), (512)) AS l(context_len))
-         SELECT CAST(context_len AS INT) AS context_len,
-                CAST(count(*) AS BIGINT) AS n_docs,
-                CAST(count(*) FILTER (t > context_len) AS BIGINT) AS n_truncated,
-                CAST(sum(t) AS BIGINT) AS total_tokens,
-                CAST(sum(greatest(t - context_len, 0)) AS BIGINT) AS tokens_lost,
-                CAST(sum(least(t, context_len)) AS BIGINT) AS tokens_kept
-         FROM x GROUP BY context_len ORDER BY context_len""",
-    // same integer fold: uniform ppm weights, floor-division caps and
-    // allocations, equality-on-cap as the limiting flag
-    "q163_mixture_deficit" ->
-      s"""WITH bys AS (
-           SELECT source,
-                  CAST(sum(coalesce(list_sum(list_transform($wordsAposSql,
-                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)) AS BIGINT)
-                    AS available_tokens
-           FROM documents GROUP BY source),
-         w AS (SELECT source, available_tokens,
-                      CAST(1000000 // (SELECT count(*) FROM bys) AS BIGINT) AS weight_ppm
-               FROM bys),
-         a AS (SELECT min(available_tokens * 1000000 // weight_ppm) AS achievable_total
-               FROM w)
-         SELECT source, available_tokens, weight_ppm,
-                CAST(achievable_total * weight_ppm // 1000000 AS BIGINT) AS allocation,
-                available_tokens * 1000000 // weight_ppm = achievable_total AS is_limiting
-         FROM w, a ORDER BY source""",
-    // same md5-derived 60-bit row values summed (HUGEINT accumulation in
-    // DuckDB matches the engine's DECIMAL(38)) and reduced mod 2^60
-    "q169_table_checksum" ->
-      """WITH h AS (
-           SELECT source,
-                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 15)
-                       AS BIGINT) AS h
-           FROM documents),
-         per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
-                        sum(CAST(h AS HUGEINT)) AS hsum
-                 FROM h GROUP BY source),
-         allrows AS (
-           SELECT source, n_rows, hsum FROM per
-           UNION ALL
-           SELECT '__total__', CAST(sum(n_rows) AS BIGINT), sum(hsum) FROM per)
-         SELECT source, n_rows,
-                CAST(hsum % 1152921504606846976 AS BIGINT) AS checksum
-         FROM allrows ORDER BY source""",
-    // replays q175's closed-form PCM stream: the engine must parse a REAL
-    // RIFF/WAV container back to the same per-sample sums
-    // the q175 closed-form PCM replay sliced into the same complete
-    // 256-frame windows: per-window Σs² and the per-clip top-3 rank
-    "q192_audio_energy" ->
-      """WITH au AS (
-           SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
-           FROM documents WHERE doc_id % 3 = 1),
-         sm AS (
-           SELECT media_id, i.i // 256 AS w, nf,
-                  (i.i * 37 + media_id * 101) % 65536 - 32768 AS s
-           FROM au, LATERAL (SELECT unnest(range(au.nf)) AS i) i),
-         e AS (
-           SELECT media_id, w, CAST(sum(s * s) AS BIGINT) AS energy,
-                  count(*) AS n
-           FROM sm GROUP BY media_id, w)
-         SELECT media_id, rank, window_idx, energy FROM (
-           SELECT media_id, CAST(w AS BIGINT) AS window_idx, energy,
-                  CAST(row_number() OVER (
-                    PARTITION BY media_id ORDER BY energy DESC, w) AS INT) AS rank
-           FROM e WHERE n = 256) t
-         WHERE rank <= 3 ORDER BY media_id, rank""",
-    "q175_wav_decode" ->
-      """WITH au AS (
-           SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
-           FROM documents WHERE doc_id % 3 = 1),
-         sm AS (
-           SELECT media_id, nf,
-                  (i.i * 37 + media_id * 101) % 65536 - 32768 AS s
-           FROM au, LATERAL (SELECT unnest(range(au.nf)) AS i) i)
-         SELECT media_id, CAST(8000 AS INT) AS sample_rate,
-                CAST(16 AS INT) AS bits, CAST(1 AS INT) AS channels,
-                CAST(nf AS BIGINT) AS n_frames,
-                CAST(sum(s) AS BIGINT) AS sample_sum,
-                CAST(sum(abs(s)) AS BIGINT) AS sample_abs_sum
-         FROM sm GROUP BY media_id, nf ORDER BY media_id""",
-    // replays the PPS tick arithmetic over the same (md5, doc_id)-ordered
-    // token stream — all-integer, so the draw must agree exactly
-    "q172_pps_sample" ->
-      s"""WITH t AS (
-           SELECT doc_id, md5(text) AS h,
-                  CAST(coalesce(list_sum(list_transform($wordsAposSql,
-                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS tok
-           FROM documents),
-         c AS (
-           SELECT doc_id, tok,
-                  coalesce(sum(tok) OVER (ORDER BY h, doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
-           FROM t),
-         w AS (SELECT CAST(sum(tok) AS BIGINT) AS tw FROM t),
-         p AS (
-           SELECT doc_id, tok, so,
-                  least(100, (200 * so + tw - 1) // (2 * tw)) AS fp,
-                  least(100, (200 * (so + tok) + tw - 1) // (2 * tw)) AS fe
-           FROM c, w)
-         SELECT doc_id, tok AS n_tokens, CAST(so AS BIGINT) AS stream_offset,
-                CAST(fe - fp AS BIGINT) AS n_picks, CAST(fp AS BIGINT) AS first_pick
-         FROM p WHERE fe > fp ORDER BY doc_id""",
-    // q46's oracle with the label-mismatch filter: hard negatives ranked by
-    // the same sequential-accumulation cosine
-    "q174_hard_negatives" ->
-      """SELECT query_id, anchor_label, rank, neighbor_id, neighbor_label FROM (
-           SELECT q.vec_id AS query_id, q.label AS anchor_label,
-                  c.vec_id AS neighbor_id, c.label AS neighbor_label,
-                  row_number() OVER (
-                    PARTITION BY q.vec_id
-                    ORDER BY list_cosine_similarity(
-                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
-                             c.vec_id) AS rank
-           FROM embeddings c
-           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 20) q
-           WHERE c.label <> q.label) t
-         WHERE rank <= 5 ORDER BY query_id, rank""",
-    // replays q171's closed-form animation: the engine must parse a REAL
-    // multi-frame GIF container back to the same per-frame pixel sums
-    "q171_gif_frames" ->
-      """WITH vid AS (
-           SELECT doc_id AS media_id, doc_id % 4 + 2 AS nf
-           FROM documents WHERE doc_id % 3 = 2),
-         fr AS (
-           SELECT media_id, nf, unnest(range(0, nf, 2)) AS f FROM vid),
-         px AS (
-           SELECT media_id, nf, f, xs.x AS x, ys.y AS y
-           FROM fr,
-                LATERAL (SELECT unnest(range(24)) AS x) xs,
-                LATERAL (SELECT unnest(range(16)) AS y) ys)
-         SELECT media_id, CAST(f AS INT) AS frame_idx,
-                CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
-                CAST(nf AS INT) AS n_frames,
-                CAST(sum((x + 2*y + 3*f + media_id) % 251) AS BIGINT) AS pixel_sum
-         FROM px GROUP BY media_id, f, nf
-         ORDER BY media_id, frame_idx""")
+  val queries: Map[String, Q] =
+    ExtQueriesPart1.queries ++ ExtQueriesPart2.queries ++ ExtQueriesPart3.queries ++ ExtQueriesPart4.queries
+
+  lazy val oracle: Map[String, String] =
+    ExtQueriesPart1.oracle ++ ExtQueriesPart2.oracle ++ ExtQueriesPart3.oracle ++ ExtQueriesPart4.oracle
 }

@@ -1,0 +1,2410 @@
+package graft.ops
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ext.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.io.Tables
+
+import graft.ops.ExtQueriesShared._
+
+/** Catalog part 2 of [[ExtQueries]] — split for compile-unit size;
+  * every member is verbatim from the original single file. */
+private[ops] object ExtQueriesPart2 {
+
+  /** Content-defined chunking over the corpus ([[TextAnalysis.cdcChunks]]):
+    * one row per chunk with start/len/hash — the dedup-friendly shard key
+    * a 100 TB ingest uses so that a one-byte edit re-chunks O(1) chunks
+    * (CdcChunkSpec pins that locality property; the oracle replays the
+    * window-hash breakpoints and per-chunk polynomial hashes exactly).
+    * Map-only scan + explode; no shuffle at all before the deterministic
+    * output ordering. */
+  private val q179CdcChunks: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
+      .select($"doc_id", $"c.chunk_idx".cast("long").as("chunk_idx"),
+        $"c.start".cast("long").as("start"), $"c.len".cast("long").as("len"),
+        $"c.chunk_hash".as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+
+  /** PMI collocation mining (Church & Hanks, CL 1990 — the phrase-table /
+    * tokenizer-seeding step of corpus analysis): adjacent-bigram counts
+    * vs unigram marginals, keeping pairs with pmi = ln(P(ab)/(P(a)P(b)))
+    * above ln(3/2). The transcendental never evaluates: the threshold is
+    * the CROSS-MULTIPLIED integer predicate 2·n_ab·NU² > 3·NB·n_a·n_b
+    * (the q150 integer-cross-mult idea), promoted to DECIMAL(38,0) /
+    * HUGEINT so it cannot overflow before ~10¹⁵ corpus tokens. Movement:
+    * two count shuffles (unigrams, bigrams; both map-side combinable),
+    * then vocab-side broadcast joins — at web scale the vocab join flips
+    * to sort-merge, which AQE decides from the actual build size. */
+  private val q180PmiCollocations: Q = (s, d) => {
+    import s.implicits._
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws")).cache()
+    val uni = ws.select(explode($"ws").as("w")).groupBy($"w")
+      .agg(count(lit(1)).as("n")).cache()
+    val nu = uni.agg(sum($"n").as("nu"))
+    val bc = ws.select(explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val nb = bc.agg(sum($"n_ab").as("nb"))
+    // the unigram table is vocabulary-sized (10^8-10^9 types web-scale):
+    // unhinted joins let AQE broadcast when small, shuffle when not
+    bc.join(uni.select($"w".as("w1"), $"n".as("n_a")), "w1")
+      .join(uni.select($"w".as("w2"), $"n".as("n_b")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .filter($"n_ab" >= 3 &&
+        lit(2).cast("decimal(38,0)") * $"n_ab" * $"nu" * $"nu" >
+          lit(3).cast("decimal(38,0)") * $"nb" * $"n_a" * $"n_b")
+      .select($"w1", $"w2", $"n_ab", $"n_a", $"n_b")
+      .orderBy($"w1", $"w2")
+  }
+
+
+  /** Corpus DRIFT MONITOR — per-token frequency delta between the en and
+    * non-en subcorpora in exact ppm integers (the ingest-regression check
+    * a production pipeline runs between corpus versions; q160 diffs
+    * membership, this diffs the token DISTRIBUTION). `n·10⁶ div N` floor
+    * arithmetic keeps every emitted number exact cross-engine; ranking by
+    * the integer delta needs no transcendental divergence (KL's ln never
+    * evaluates — the ppm delta is the actionable signal). Movement: ONE
+    * token explode into ONE vocab shuffle (count_if packs both subcorpora
+    * into the same map-side partial agg — the q149 single-pass shape);
+    * totals fold from the vocab table, never a second corpus scan. */
+  private val q185TokenDrift: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d).repartition($"doc_id")
+      .select(($"lang" === "en").as("is_en"),
+        explode(TextAnalysis.words($"text")).as("w"))
+    val c = tok.groupBy($"w")
+      .agg(count_if($"is_en").as("na"), count_if(!$"is_en").as("nb"))
+      .cache()
+    val tot = c.agg(sum($"na").as("ta"), sum($"nb").as("tb"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("drift_ppm",
+        abs(expr("(na * 1000000) div ta") - expr("(nb * 1000000) div tb")))
+      .filter($"drift_ppm" >= 200)
+      .select($"w", $"na", $"nb", $"drift_ppm")
+      .orderBy($"drift_ppm".desc, $"w")
+  }
+
+
+  /** Sketch-based JOIN-SIZE ESTIMATION (Cormode–Muthukrishnan inner
+    * product — what a distributed planner consults before committing to a
+    * join strategy at 100 TB): two one-pass CMS sketches over the join
+    * key replace the per-key frequency join; their row-wise inner product
+    * min is a PROVABLE overestimate of |A ⋈ B|. The oracle computes the
+    * exact join size (per-key count product) and the deterministic
+    * overestimate theorem; the additive error bound is gated at the
+    * catalog's 4×-widened ε (q148/q152 convention — deterministic for
+    * this corpus, slack against regeneration skew). */
+  private val q186JoinSizeSketch: Q = (s, d) => {
+    import s.implicits._
+    // md5-parity split: doc_id parity is perfectly correlated with source
+    // in this testdata (block assignment), which would make the join empty
+    val half = conv(substring(md5($"doc_id".cast("string")), 1, 1), 16, 10)
+      .cast("long") % 2
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source", (half === 0).as("in_a"))
+    val cms = udaf(new CountMin.SketchAgg(),
+      org.apache.spark.sql.Encoders.STRING)
+    val a = docs.filter($"in_a")
+    val b = docs.filter(!$"in_a")
+    val ska = a.agg(cms($"source").as("ska"), count(lit(1)).as("n_a"))
+    val skb = b.agg(cms($"source").as("skb"), count(lit(1)).as("n_b"))
+    // exact truth in ONE key shuffle: count_if packs both halves into the
+    // same map-side partial agg (q185's shape) — no grouped self-join
+    val exact = docs
+      .groupBy($"source")
+      .agg(count_if($"in_a").as("ca"), count_if(!$"in_a").as("cb"))
+      .agg(sum($"ca" * $"cb").as("exact_size"))
+    val ip = udf((x: Seq[Long], y: Seq[Long]) =>
+      CountMin.innerProduct(x.toIndexedSeq, y.toIndexedSeq))
+    exact.crossJoin(broadcast(ska)).crossJoin(broadcast(skb))
+      .withColumn("est", ip($"ska", $"skb"))
+      .select($"exact_size", $"n_a", $"n_b",
+        ($"est" >= $"exact_size").as("overestimate_ok"),
+        ($"est".cast("double") <=
+          $"exact_size".cast("double") +
+            lit(4.0 * CountMin.Eps) * $"n_a" * $"n_b").as("bound_ok"))
+  }
+
+
+  /** Stratified K-FOLD cross-validation assignment (the eval-split step of
+    * a training pipeline): fold = content-stable md5 bucket — reproducible
+    * across runs/engines/cluster sizes, no RNG state to ship — with a
+    * per-(fold, lang) BALANCE AUDIT: each fold's share of every language
+    * must sit within ±20% of the uniform 1/5, expressed as the integer
+    * cross-multiplication 4·L ≤ 25·n ≤ 6·L. Map-side assignment, one
+    * (fold, lang) count shuffle, language totals folded from the 25-row
+    * cell table — never a second corpus scan. The audit column is
+    * computed identically by the oracle (no hardcoded-true booleans). */
+  private val q187CvFolds: Q = (s, d) => {
+    import s.implicits._
+    val cells = Tables.documents(s, d)
+      .withColumn("fold", cvFold($"doc_id"))
+      .groupBy($"fold", $"lang").agg(count(lit(1)).as("n"))
+      .cache()
+    val langTot = cells.groupBy($"lang").agg(sum($"n").as("lt"))
+    cells.join(broadcast(langTot), "lang")
+      .select($"fold", $"lang", $"n",
+        (lit(25) * $"n" >= lit(4) * $"lt" &&
+          lit(25) * $"n" <= lit(6) * $"lt").as("balance_ok"))
+      .orderBy($"fold", $"lang")
+  }
+
+
+  /** GDPR DELETE PROPAGATION (right-to-be-forgotten across derived data):
+    * an erasure set cascades through every artifact derived from the
+    * corpus — here the CDC chunk table (q179) and the posting rows (F2's
+    * base relation) — by broadcast anti-join, and the gate proves
+    * propagation ≡ REBUILD-FROM-FILTERED-SOURCE: the oracle reconstructs
+    * each artifact from the surviving documents only, and the
+    * order-independent checksums (q169's DECIMAL(38) mod-2^60 fold over
+    * md5 row values) must agree row-for-row. At 100 TB this is the whole
+    * point — you cannot afford the rebuild, so the anti-join path must be
+    * provably equivalent to it; the checksum equality is that proof at
+    * gate strength. Movement: one corpus pass per artifact + broadcast
+    * anti-joins; checksums are map-side partial sums. */
+  private val q190DeletePropagation: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    val dels = docs.filter($"doc_id" % 17 === 3).select($"doc_id")
+    def signed(df: org.apache.spark.sql.DataFrame, name: String,
+               rowKey: org.apache.spark.sql.Column) = {
+      val h = conv(substring(md5(rowKey), 1, 15), 16, 10)
+        .cast(DecimalType(38, 0))
+      df.join(broadcast(dels), Seq("doc_id"), "left_anti")
+        .select(h.as("h"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          (sum($"h") % lit(Mod)).cast("long").as("checksum"))
+        .select(lit(name).as("artifact"), $"n_rows", $"checksum")
+    }
+    val chunks = docs
+      .select($"doc_id", explode(TextAnalysis.cdcChunks($"text")).as("c"))
+      .select($"doc_id", $"c.chunk_idx".as("chunk_idx"),
+        $"c.chunk_hash".as("chunk_hash"))
+    val postings = docs
+      .select($"doc_id",
+        explode(graft.text.TextOps.tokenize($"text")).as("lexeme"))
+    signed(chunks, "chunks",
+        concat($"doc_id".cast("string"), lit("|"),
+          $"chunk_idx".cast("string"), lit("|"), $"chunk_hash".cast("string")))
+      .unionByName(signed(postings, "postings",
+        concat($"doc_id".cast("string"), lit("|"), $"lexeme")))
+      .unionByName(signed(docs.select($"doc_id", $"text"), "documents",
+        concat($"doc_id".cast("string"), lit("|"), $"text")))
+      .orderBy($"artifact")
+  }
+
+
+  /** DISK-BACKED IVF ANN index ([[Similarity.writeIvfIndex]] /
+    * [[searchIvfIndex]]): the corpus is WRITTEN partitioned by cell id
+    * and the probe's cell-id join triggers dynamic partition pruning —
+    * the scan reads only the probed nprobe cells' files (PlanSpec asserts
+    * the dynamicpruning filter), the vector-database analog of the F2
+    * posting index's bucket pruning. Same params as q49, and the result
+    * is DEFINED identical to q49's in-memory path — both gate against
+    * one shared oracle string, so the storage roundtrip cannot change a
+    * single rank. */
+  private val q191IvfDiskIndex: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    val dir = graft.util.Scratch.dir("graft_q191_ivf_") + "/ivf"
+    val cent = Similarity.writeIvfIndex(emb, dir, numCentroids = 8)
+    Similarity.searchIvfIndex(s, dir, emb.filter($"vec_id" < 5), cent,
+        k = 10, nprobe = 2)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .orderBy($"query_id", $"rank")
+  }
+
+
+  /** Audio ENERGY CONTOUR (E4 feature extraction past q175's decode —
+    * the VAD / loudness-normalization front end): every complete
+    * 256-frame window's Σs² from REAL decoded PCM, top-3 loudest windows
+    * per clip by (energy desc, window). Exact long arithmetic end to end;
+    * the oracle replays the closed-form PCM stream per window, so a
+    * mis-sliced window, an endianness slip, or a dropped frame all
+    * hash-mismatch. One mapPartitions encode+decode pass + a bounded
+    * per-clip window rank. */
+  private val q192AudioEnergy: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ids = Tables.documents(s, d)
+      .select($"doc_id").where($"doc_id" % 3 === 1)
+      .repartition($"doc_id")
+      .as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      Multimodal.MediaRow(id, "audio",
+        Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
+    val w = Window.partitionBy($"media_id").orderBy($"energy".desc, $"window_idx")
+    Multimodal.wavWindowEnergies(media, windowFrames = 256)
+      .toDF()
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"media_id", $"rank", $"window_idx", $"energy")
+      .orderBy($"media_id", $"rank")
+  }
+
+
+  /** PARETO FRONTIER (skyline) per source over (n_chars minimize,
+    * distinct-words maximize) — the data-selection frontier: which
+    * documents deliver the most lexical diversity for the fewest bytes?
+    * Spark has no skyline operator; the classic 2-D reduction makes one
+    * from a pre-aggregation plus a running-max window: collapse to the
+    * best (max distinct-words) row per (source, n_chars) — a map-side
+    * combinable groupBy that shrinks the window input from O(corpus) to
+    * O(distinct char-lengths), the same bounded-domain trick as q154's
+    * day-grain pre-agg — then a doc survives iff its diversity strictly
+    * beats every strictly-cheaper length's best (running max over the
+    * ORDER BY n_chars frame). Ties on (n_chars, n_dw) are all kept:
+    * neither dominates the other. The join back to the doc table is on
+    * (source, n_chars, n_dw) — only frontier coordinates, broadcast-sized
+    * after the window prune. */
+  private val q193ParetoFrontier: Q = (s, d) => {
+    import s.implicits._
+    // cache: t feeds both the frontier computation and the join-back, and
+    // it is the NARROW projection (text dropped after the distinct-word
+    // count) — the cached footprint is 4 scalar columns per doc, not the
+    // corpus; without it the tokenization lineage re-executes per side
+    val t = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"source", $"doc_id", $"n_chars",
+        size(array_distinct(graft.text.TextOps.words($"text"))).cast("long")
+          .as("n_dw"))
+      .cache()
+    Skyline.frontier2d(t.drop("doc_id"), "source", "n_chars", "n_dw")
+      .join(t, Seq("source", "n_chars", "n_dw"))
+      .select($"source", $"doc_id", $"n_chars", $"n_dw")
+      .orderBy($"source", $"n_chars", $"doc_id")
+  }
+
+
+  /** STUPID-BACKOFF bigram language model (Brants et al., EMNLP 2007 —
+    * the web-scale LM that powers CCNet-style perplexity filtering):
+    * TRAIN on the even-doc_id half (bigram counts C2, token counts U,
+    * totals N/V), SCORE the odd half per bigram occurrence:
+    * ln(C2/U(w1)) when the bigram was seen, else the backoff
+    * ln(0.4·(U(w2)+1)/(N+V)) (add-1 unigram absorbs OOV). Scores are
+    * floored to integer MICRO-NATS per occurrence (q149's quantization),
+    * so the per-doc sums are order-free longs and the oracle compare is
+    * strict. keep = mean score ≥ −3.5 nats/bigram, as the integer
+    * cross-multiplication. Movement: two count shuffles over the train
+    * half (both map-side combinable), one (w1,w2) join from the scored
+    * bigrams to C2 — count tables are vocabulary-sized, NOT corpus-sized
+    * — and one per-doc sum; the N/V scalars ride a 1-row broadcast. */
+  private val q194BackoffLm: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"),
+        ($"doc_id" % 2 === 0).as("is_train"))
+    TextAnalysis.backoffBigramScores(tok, "doc_id", "ws", "is_train")
+      .select($"doc_id", $"n_bigrams", $"score_micronats",
+        ($"score_micronats" >= lit(-3500000L) * $"n_bigrams").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** CROSS-FOLD CONTAMINATION AUDIT — the eval-leakage check every
+    * training pipeline needs between q187's CV split and a model run: a
+    * near-duplicate pair whose members landed in DIFFERENT folds leaks
+    * eval data into training. Pairs come from the q42 exact-Jaccard
+    * brute-force slice (the bounded-subset algorithm; at corpus scale the
+    * q43 LSH candidates feed the same fold filter), folds from the
+    * SHARED [[cvFold]] expression — the audit cannot drift from the
+    * split it audits. Output is the leaking pair list with both folds;
+    * empty means the split is clean at this threshold. */
+  private val q195FoldContamination: Q = (s, d) => {
+    import s.implicits._
+    val slice = shingled(s, d, maxDocId = Some(BruteForceSlice)).cache()
+    val a = slice.toDF("doc_a", "sh_a")
+    val b = slice.toDF("doc_b", "sh_b")
+    a.crossJoin(broadcast(b))
+      .filter($"doc_a" < $"doc_b")
+      .withColumn("jaccard", Dedup.jaccard($"sh_a", $"sh_b"))
+      .filter($"jaccard" > 0.5)
+      .withColumn("fold_a", cvFold($"doc_a"))
+      .withColumn("fold_b", cvFold($"doc_b"))
+      .filter($"fold_a" =!= $"fold_b")
+      .select($"doc_a", $"doc_b", $"fold_a", $"fold_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+
+  /** PER-SOURCE QUALITY AUTO-THRESHOLD — percentile-calibrated filtering
+    * (the "drop the worst decile of every source" curation rule, which
+    * needs a per-source cutoff because sources have different score
+    * distributions): score = distinct-word ratio in integer PER-MILLE
+    * (`div`, exact), and the p10 cutoff is found on the (source, score)
+    * HISTOGRAM — counts per distinct score value, running sum over the
+    * bounded score domain (0..1000) — never by sorting raw rows: the
+    * window input is ≤ 1001 rows per source at ANY corpus size (q154's
+    * bounded-domain pattern), where a row-level percentile sort would be
+    * a full per-source corpus sort at 100 TB. cutoff = min score whose
+    * cumulative count covers ≥ 10% (integer cross-mult); n_kept counts
+    * docs at or above it. */
+  private val q197QualityThreshold: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"source", graft.text.TextOps.words($"text").as("ws"))
+      .select($"source",
+        (size(array_distinct($"ws")).cast("long") * 1000).as("num"),
+        size($"ws").cast("long").as("nw"))
+      .filter($"nw" > 0)
+      .select($"source", expr("num div nw").as("score"))
+    val hist = t.groupBy($"source", $"score").agg(count(lit(1)).as("n"))
+    val cum = hist.withColumn("cum",
+      sum($"n").over(Window.partitionBy($"source").orderBy($"score")))
+    val tot = hist.groupBy($"source").agg(sum($"n").as("n_total"))
+    cum.join(broadcast(tot), "source")
+      .filter($"cum" * 10 >= $"n_total")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"source").orderBy($"score")))
+      .filter($"rn" === 1)
+      .select($"source", $"score".as("cutoff_permille"), $"n_total",
+        ($"n_total" - $"cum" + $"n").as("n_kept"))
+      .orderBy($"source")
+  }
+
+
+  /** URL CANONICALIZATION + dedup ([[graft.ext.Urls.canonicalize]]) —
+    * the zero-byte first dedup of a web pipeline: mirror URLs differing
+    * only in host case, default ports, trailing slashes, tracking
+    * params, param order, or fragments collapse to one canonical key.
+    * The corpus has no URL column, so each doc gets a DETERMINISTIC
+    * synthetic URL (q175/q192's synthetic-payload pattern): identity
+    * from doc_id arithmetic (scheme/host/path/id-param ⇒ 30 canonical
+    * URLs), six independent md5-digit NOISE axes on top. The engine runs
+    * the GENERIC parser-canonicalizer; the oracle never parses — it
+    * derives the canonical each raw MUST collapse to straight from the
+    * doc_id arithmetic, so any noise variant the canonicalizer mishandles
+    * splits a group and hash-mismatches. Map-only projection + one
+    * canonical-key groupBy. */
+  private val q198UrlCanonicalize: Q = (s, d) => {
+    import s.implicits._
+    def digit(i: Int) =
+      conv(substring(md5(concat($"doc_id".cast("string"), lit(":url"))), i, 1),
+        16, 10).cast("long")
+    val scheme = when($"doc_id" % 2 === 0, "http").otherwise("https")
+    val hostBase = concat(lit("cdn"), ($"doc_id" % 3).cast("string"),
+      lit(".example.com"))
+    val host = when(digit(1) % 2 === 0, upper(hostBase)).otherwise(hostBase)
+    val port = when(digit(2) % 2 === 0,
+      when($"doc_id" % 2 === 0, ":80").otherwise(":443")).otherwise("")
+    val path = concat(lit("/a/"), ($"doc_id" % 10).cast("string"),
+      when(digit(3) % 2 === 0, "/").otherwise(""))
+    val idp = concat(lit("id="), ($"doc_id" % 5).cast("string"))
+    val params = when(digit(4) % 2 === 0, concat(lit("v=2&"), idp))
+      .otherwise(concat(idp, lit("&v=2")))
+    val utm = when(digit(5) % 2 === 0, "&utm_source=feed").otherwise("")
+    val frag = when(digit(6) % 2 === 0, "#sec").otherwise("")
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", concat(scheme, lit("://"), host, port, path,
+        lit("?"), params, utm, frag).as("raw"))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalize($"raw"))
+      .groupBy($"canonical_url")
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct($"raw").as("n_variants"),
+        min($"doc_id").as("min_doc"))
+      .orderBy($"canonical_url")
+  }
+
+
+  /** CONTAINMENT near-dup (asymmetric overlap |A∩B| / min(|A|,|B|) ≥ 0.9)
+    * — the inclusion case Jaccard MISSES: a 30-word excerpt inside a
+    * 300-word document has tiny Jaccard but containment 1.0, and
+    * quote/excerpt inclusion is a dedup class of its own (Lee et al. 2022
+    * §3.2 treat it via substring dedup; set containment is the shingle
+    * analog). Planted positives BY CONSTRUCTION: every 11th doc
+    * contributes a first-30-words excerpt row (id + 10⁶) whose shingles
+    * are a subset of its source's, so the gate always has true inclusions
+    * to find; ordinary near-dup pairs supply the symmetric cases. Integer
+    * cross-mult threshold (10·o ≥ 9·min) — no float ratio. Bounded
+    * brute-force slice (q42's pattern; at corpus scale the q150 prefix
+    * filter generalizes: candidates must share a token in the smaller
+    * set's first ⌊(1−t)·|A|⌋+1 sorted shingles). */
+  private val q199Containment: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice)
+      .select($"doc_id", $"text")
+    val excerpts = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(graft.text.TextOps.words($"text"), 1, 30)).as("text"))
+    val all = base.unionByName(excerpts)
+      .repartition($"doc_id")
+      .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .cache()
+    val a = all.toDF("id_a", "sh_a")
+    val b = all.toDF("id_b", "sh_b")
+    a.crossJoin(broadcast(b))
+      .filter($"id_a" < $"id_b")
+      .withColumn("o", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+      .withColumn("sza", size($"sh_a").cast("long"))
+      .withColumn("szb", size($"sh_b").cast("long"))
+      .filter($"o" * 10 >= least($"sza", $"szb") * 9)
+      .select(
+        when($"sza" <= $"szb", $"id_a").otherwise($"id_b").as("contained_id"),
+        when($"sza" <= $"szb", $"id_b").otherwise($"id_a").as("container_id"),
+        $"o".as("overlap"),
+        least($"sza", $"szb").as("size_contained"),
+        greatest($"sza", $"szb").as("size_container"))
+      .orderBy($"contained_id", $"container_id")
+  }
+
+
+  /** CURRICULUM STAGING (Bengio et al., ICML 2009 — order training data
+    * easy → hard): difficulty = mean word RARITY in integer micro-units
+    * (Σ 10⁹ div cf(w), div word count), staged by RATIO TO THE CORPUS
+    * MEAN into 4 buckets (<0.5×, <1×, <1.5×, ≥1.5× via
+    * least(3, 2·d div mean)) — mean-relative stages instead of global
+    * deciles precisely because deciles need a corpus-wide rank (a global
+    * sort at 100 TB) while the mean is one all-reduce and the staging
+    * stays map-only. Movement: one token explode, one vocab count
+    * shuffle, one (w) join back, one per-doc sum, broadcast 1-row mean. */
+  private val q200Curriculum: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+    val cf = tok.groupBy($"w").agg(count(lit(1)).as("cf"))
+    val perDoc = tok.join(cf, "w")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("nw"),
+        sum(expr("1000000000 div cf")).as("rare_sum"))
+      .cache()
+    val mean = perDoc.agg(
+      expr("sum(rare_sum) div sum(nw)").as("mean_d"))
+    perDoc.select($"doc_id", expr("rare_sum div nw").as("difficulty"))
+      .crossJoin(broadcast(mean))
+      .select(least(lit(3L), expr("(2 * difficulty) div mean_d")).as("stage"),
+        $"difficulty")
+      .groupBy($"stage")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"difficulty").as("min_difficulty"),
+        max($"difficulty").as("max_difficulty"),
+        sum($"difficulty").as("sum_difficulty"))
+      .orderBy($"stage")
+  }
+
+
+  /** CLUSTER↔LABEL AGREEMENT (Rand index + purity, Hubert & Arabie 1985
+    * pair-counting): treats the deterministic IVF quantizer (q49/q98's
+    * first-8-centroid rule via [[Similarity.cellAssignments]]) as a
+    * clustering and audits it against the embeddings' labels — the
+    * label-quality / cluster-quality check a curation pipeline runs
+    * before trusting either side. ALL pair counts come from the
+    * (cid, label) CONTINGENCY TABLE (C(n,2) sums over cells, cluster and
+    * label marginals) — never from materializing pairs — so the audit is
+    * one map-only assignment + one cell-count shuffle + folds over ≤
+    * |cells|·|labels| rows at any corpus size. RI and purity published
+    * in exact integer ppm. */
+  private val q201ClusterAgreement: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    val ct = Similarity.cellAssignments(emb, numCentroids = 8)
+      .join(emb.select($"vec_id", $"label"), "vec_id")
+      .groupBy($"cid", $"label").agg(count(lit(1)).as("n"))
+      .cache()
+    val s1 = ct.agg(sum(expr("n * (n - 1) div 2")).as("tp"),
+      sum($"n").as("n_items"))
+    val s2 = ct.groupBy($"cid").agg(sum($"n").as("a"))
+      .agg(sum(expr("a * (a - 1) div 2")).as("sum_a2"))
+    val s3 = ct.groupBy($"label").agg(sum($"n").as("b"))
+      .agg(sum(expr("b * (b - 1) div 2")).as("sum_b2"))
+    val s5 = ct.groupBy($"cid").agg(max($"n").as("mx"))
+      .agg(sum($"mx").as("purity_num"))
+    s1.crossJoin(broadcast(s2)).crossJoin(broadcast(s3))
+      .crossJoin(broadcast(s5))
+      .withColumn("n_pairs", expr("n_items * (n_items - 1) div 2"))
+      .select($"n_items", $"n_pairs", $"tp", $"sum_a2", $"sum_b2",
+        expr("((n_pairs + 2 * tp - sum_a2 - sum_b2) * 1000000) div n_pairs")
+          .as("ri_ppm"),
+        $"purity_num",
+        expr("(purity_num * 1000000) div n_items").as("purity_ppm"))
+  }
+
+
+  /** JOIN-KEY SKEW PROFILER — the planning pass you run BEFORE a big join
+    * at 100 TB (the measurement half of [[graft.ops.SkewJoin]] /
+    * SaltGuard, which are the mitigation half): per-key counts on the
+    * fact side, the top-20 hottest keys with their ratio-to-mean in ppm,
+    * and the SALT FACTOR each needs (ceil(cnt/target), integer) so no
+    * post-salt task exceeds the row target. One map-side-combinable key
+    * count; the mean folds from the key table (1-row broadcast); the
+    * top-20 window prunes map-side (WindowGroupLimit). Integer end to
+    * end. */
+  private val q202SkewProfile: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.events(s, d)
+      .groupBy($"user_id").agg(count(lit(1)).as("cnt"))
+      .cache()
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum($"cnt").as("total"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("rank",
+        row_number().over(Window.orderBy($"cnt".desc, $"user_id")))
+      .filter($"rank" <= 20)
+      .select($"rank", $"user_id", $"cnt",
+        expr("(cnt * n_keys * 1000000) div total").as("ratio_to_mean_ppm"),
+        expr(s"(cnt + $SkewTargetRows - 1) div $SkewTargetRows").as("salt_factor"))
+      .orderBy($"rank")
+  }
+
+
+  /** MULTI-PATTERN KEYWORD TAGGING (Aho–Corasick, CACM 1975) — the
+    * blocklist/topic/PII dictionary pass of a curation pipeline: ONE
+    * left-to-right scan of the corpus counts every occurrence of every
+    * dictionary pattern (overlaps and nested patterns included), versus
+    * K per-keyword passes. Movement at 100 TB: the automaton is built
+    * once on the driver and broadcast; the scan is map-only (text never
+    * moves); the only shuffle is the K-row per-keyword fold of the
+    * fixed-length count vectors. n_docs/n_hits published per keyword. */
+  private val q204KeywordTags: Q = (s, d) => {
+    import s.implicits._
+    val ac = s.sparkContext.broadcast(
+      new graft.text.AhoCorasick(AcKeywords.toArray))
+    val countsUdf = udf((t: String) =>
+      ac.value.countAll(if (t == null) "" else t.toLowerCase))
+    val kwArr = array(AcKeywords.map(lit): _*)
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select(posexplode(countsUdf($"text")).as(Seq("i", "hits")))
+      .groupBy($"i")
+      .agg(sum(when($"hits" > 0L, 1L).otherwise(0L)).as("n_docs"),
+        sum($"hits").as("n_hits"))
+      .select(element_at(kwArr, $"i" + 1).as("keyword"), $"n_docs", $"n_hits")
+      .orderBy($"keyword")
+  }
+
+
+  /** SMALL-FILE COMPACTION PLANNER — the housekeeping pass a 100 TB lake
+    * runs nightly: group each source's files (docs stand in, n_chars =
+    * size) into target-size output bins. Bin rule is START-OFFSET
+    * binning (bin = running-sum-before div target) instead of first-fit-
+    * decreasing: FFD is inherently sequential over the whole manifest,
+    * while the offset rule needs only a per-source running sum — one
+    * shuffle by source, windows sort each source's manifest
+    * independently, and the assignment is stable under append (existing
+    * bins never change when new files arrive at the tail). Publishes per
+    * bin: file count, bytes, id range, fill ratio in ppm. */
+  private val q205CompactionPlan: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"n_chars").as("bytes"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .withColumn("fill_ppm", expr(s"bytes * 1000000 div $CompactTargetBytes"))
+      .orderBy($"source", $"bin")
+  }
+
+
+  /** ROBUST OUTLIER PRUNING (median absolute deviation, Hampel) — flag
+    * docs whose length sits > 3 MAD from their source's median; the
+    * heavy-tail-safe alternative to z-scores for curation. EXACT per-
+    * group medians WITHOUT sorting rows: the n_chars domain is bounded,
+    * so each median folds from a (source, value) HISTOGRAM + running-sum
+    * pick (the q197 pattern) — two tiny histogram shuffles total, and
+    * the flagging pass re-joins only the ≤|sources| median rows back by
+    * broadcast. Everything integer: med2x = sum of the two middle
+    * elements (2× the interpolated median), mad4 = med2x of |2v − med2x|
+    * (4× MAD), and |v − med| > 3·MAD ⇔ 2·|2v − med2x| > 3·mad4. */
+  private val q206MadOutliers: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def med2x(vals: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val h = vals.groupBy($"source", $"v").agg(count(lit(1)).as("n"))
+      val c = h
+        .withColumn("cum", sum($"n").over(
+          Window.partitionBy($"source").orderBy($"v")))
+        .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
+      val m1 = c.filter($"cum" >= expr("(ntot + 1) div 2"))
+        .groupBy($"source").agg(min($"v").as("mid1"))
+      val m2 = c.filter($"cum" >= expr("(ntot + 2) div 2"))
+        .groupBy($"source").agg(min($"v").as("mid2"))
+      m1.join(m2, "source").select($"source", ($"mid1" + $"mid2").as("m2x"))
+    }
+    val docs = Tables.documents(s, d).select($"source", $"n_chars".as("v"))
+    val med = med2x(docs)
+    val dev = docs.join(broadcast(med), "source")
+      .select($"source", abs(lit(2L) * $"v" - $"m2x").as("v"))
+    val mad = med2x(dev).withColumnRenamed("m2x", "mad4")
+    docs.join(broadcast(med), "source").join(broadcast(mad), "source")
+      .groupBy($"source", $"m2x", $"mad4")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(abs(lit(2L) * $"v" - $"m2x") * 2 > $"mad4" * 3, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"source", $"n_docs", $"m2x".as("med2x"), $"mad4",
+        $"n_outliers")
+      .orderBy($"source")
+  }
+
+
+  /** ONE-SCAN ROLLUP CORPUS MOMENTS — the per-source + grand-total audit
+    * sheet (count, mean, variance, length range) from a SINGLE pass:
+    * `rollup(source)` folds the __total__ row from the same partial
+    * aggregates as the per-source rows (the q169/q149 fold-don't-rescan
+    * rule baked into the operator itself). Integer end to end with
+    * OVERFLOW-AWARE algebra: the textbook (n·Σx² − (Σx)²) crosses 2⁶³
+    * once n·range² > ~10¹³, so variance is published as
+    * Σx²·10⁶ div n − (Σx·10³ div n)² — each term bounded by Σx²·10⁶ —
+    * deterministic on both engines and safe to ~10⁹ rows per group
+    * (beyond that the sums move to decimal(38), same shape). */
+  private val q208RollupMoments: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .rollup($"source")
+      .agg(count(lit(1)).as("n"), sum($"n_chars").as("sx"),
+        sum($"n_chars" * $"n_chars").as("sx2"),
+        min($"n_chars").as("min_len"), max($"n_chars").as("max_len"))
+      .select(coalesce($"source", lit("__total__")).as("source"), $"n",
+        expr("sx * 1000000 div n").as("mean_ppm"),
+        expr("sx2 * 1000000 div n - (sx * 1000 div n) * (sx * 1000 div n)")
+          .as("var_ppm"),
+        $"min_len", $"max_len")
+      .orderBy($"source")
+  }
+
+
+  /** EXACT EQUI-DEPTH HISTOGRAM over l_extendedprice WITHOUT a global
+    * row sort: prices quantize to cents exactly (the dec() bridge), the
+    * cents DOMAIN is bounded (~10⁷ distinct) independent of corpus size,
+    * so depth boundaries fold from a (value → count) histogram + running
+    * sum over ≤|domain| rows — the same trick as q206's medians, giving
+    * EXACT depth buckets at 100 TB where percentile_approx only
+    * estimates. Ties stay together (whole value-groups bin by their
+    * START position, q205's rule), so bucket populations deviate from
+    * n/B only by tie mass — published as n_rows per bucket. */
+  private val q209EquiDepth: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.lineitem(s, d)
+      .select((dec($"l_extendedprice") * 100).cast("long").as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("n"))
+    val tot = h.agg(sum($"n").as("ntot"))
+    h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("((cum - n) * 10) div ntot").as("bucket"))
+      .agg(sum($"n").as("n_rows"), count(lit(1)).as("n_values"),
+        min($"v").as("lo_cents"), max($"v").as("hi_cents"))
+      .orderBy($"bucket")
+  }
+
+
+  /** KNESER-NEY SMOOTHED BIGRAM LM (Kneser & Ney, ICASSP 1995; Chen &
+    * Goodman, CSL 1999) — the canonical n-gram smoothing, completing the
+    * LM family (q137 perplexity, q194 stupid backoff): absolute discount
+    * d on observed bigrams plus CONTINUATION-probability backoff (how
+    * many distinct contexts a word completes — "francisco" is frequent
+    * but completes only "san", so its continuation mass is tiny).
+    * Everything rational, published in exact integer ppm: with d = 3/4,
+    * P = (c12−d)/c1 + d·n1p/c1 · ncont/T becomes
+    * p_ppm = ((4·c12−3)·T + 3·n1p·ncont)·10⁶ div (4·c1·T). The
+    * denominator c1 is the CONTEXT count Σ_w2 c(w1,w2) folded from the
+    * bigram table itself (not the unigram count, which over-counts
+    * document-final tokens) — so n1p, ncont, T, and c1 all fold from ONE
+    * bigram count shuffle with no corpus rescan; the top-20 window runs
+    * on the vocab²-bounded count table (WindowGroupLimit prunes
+    * map-side) and the stat joins broadcast. */
+  private val q212KneserNey: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws"))
+    val bc = ws.select(explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - 1, lit(0))),
+        expr("slice(ws, 2, greatest(size(ws) - 1, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      .cache()
+    val ctx = bc.groupBy($"w1")
+      .agg(sum($"c12").as("c1"), count(lit(1)).as("n1p"))
+    val cont = bc.groupBy($"w2").agg(count(lit(1)).as("ncont"))
+    val tb = bc.agg(count(lit(1)).as("t"))
+    bc.withColumn("rk",
+        row_number().over(Window.orderBy($"c12".desc, $"w1", $"w2")))
+      .filter($"rk" <= 20)
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(tb))
+      .select($"rk", $"w1", $"w2", $"c12", $"c1", $"n1p", $"ncont",
+        expr("((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000" +
+          " div (4 * c1 * t)").as("pkn_ppm"),
+        expr("c12 * 1000000 div c1").as("mle_ppm"))
+      .orderBy($"rk")
+  }
+
+
+  /** COMPACTION EXECUTED + SELF-AUDITED — q205 plans the bins; this
+    * query PERFORMS the rewrite and proves content preservation at gate
+    * strength: docs are shuffled once on (source, bin) and written with
+    * `partitionBy`, so each bin lands as exactly one file in its own
+    * directory (the hash partitioning co-locates a bin's rows in one
+    * task); the compacted copy is then RE-READ and its per-source q169
+    * order-independent checksum (decimal md5-fold mod 2⁶⁰ over
+    * doc_id||text) must equal the source's — a lost, duplicated, or
+    * cross-bound row flips `preserved` AND the checksum column, failing
+    * the oracle. This is the maintenance-action shape at 100 TB: one
+    * shuffle, one write, and the audit rides the same two scans you'd
+    * already pay for verification. */
+  private val q213CompactExecute: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val rowHash = conv(substring(md5(concat($"doc_id".cast("string"),
+        lit("|"), $"text")), 1, 15), 16, 10).cast(DecimalType(38, 0))
+      df.select($"source", rowHash.as("h"))
+        .groupBy($"source")
+        .agg(count(lit(1)).cast("long").as("n_rows"), sum($"h").as("hsum"))
+        .select($"source", $"n_rows",
+          ($"hsum" % lit(Mod)).cast("long").as("checksum"))
+    }
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    val planned = Tables.documents(s, d)
+      .select($"source", $"doc_id", $"text", $"n_chars")
+      .withColumn("cum", sum($"n_chars").over(w))
+      .withColumn("bin", expr(s"(cum - n_chars) div $CompactTargetBytes"))
+    val outDir = graft.util.Scratch.dir("graft_q213_compact_")
+    planned.repartition($"source", $"bin")
+      .write.partitionBy("source", "bin").mode("overwrite").parquet(outDir)
+    val after = s.read.parquet(outDir)
+    val bins = after.groupBy($"source").agg(countDistinct($"bin").as("n_bins"))
+    val before = sums(Tables.documents(s, d))
+      .toDF("source", "n_rows_b", "ck_b")
+    sums(after).join(before, "source").join(bins, "source")
+      .select($"source", $"n_bins", $"n_rows", $"checksum",
+        ($"n_rows" === $"n_rows_b" && $"checksum" === $"ck_b")
+          .as("preserved"))
+      .orderBy($"source")
+  }
+
+
+  /** QUALITY-SCORE CALIBRATION CURVE — does the cheap quality signal
+    * actually predict duplication? (The audit you run before trusting a
+    * score as a filter at 100 TB: if dup rate doesn't fall as score
+    * rises, the score is noise.) Composes two existing signals — q197's
+    * distinct-word per-mille score and q40's exact-dup flag — into score
+    * QUINTILES via the histogram equi-depth rule (q209: the score domain
+    * is ≤1000, so boundaries fold from a bounded histogram, never a row
+    * sort), with the dup flag from ONE count-over-hash window (no
+    * self-join). Published per quintile: docs, dups, dup-rate ppm, score
+    * range — all integer. */
+  private val q215QualityCalibration: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = Tables.documents(s, d).repartition($"doc_id")
+      .select($"text", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"text",
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
+    val flagged = sc.withColumn("is_dup",
+        when(count(lit(1)).over(
+          Window.partitionBy(sha2($"text", 256))) > 1, 1L).otherwise(0L))
+      .select($"score", $"is_dup")
+    val h = flagged.groupBy($"score")
+      .agg(count(lit(1)).as("n"), sum($"is_dup").as("nd"))
+    val tot = h.agg(sum($"n").as("ntot"))
+    h.withColumn("cum", sum($"n").over(Window.orderBy($"score")))
+      .crossJoin(broadcast(tot))
+      .groupBy(expr("((cum - n) * 5) div ntot").as("bucket"))
+      .agg(sum($"n").as("n_docs"), sum($"nd").as("n_dups"),
+        min($"score").as("lo_score"), max($"score").as("hi_score"))
+      .withColumn("dup_rate_ppm", expr("(n_dups * 1000000) div n_docs"))
+      .select($"bucket", $"n_docs", $"n_dups", $"dup_rate_ppm",
+        $"lo_score", $"hi_score")
+      .orderBy($"bucket")
+  }
+
+
+  /** ARBITRARY GROUPING SETS — the cube-family member q22 (rollup) and
+    * q23 (cube) don't cover: a hand-picked lattice
+    * ((priority, status), (priority), ()) — per-cell, per-priority, and
+    * grand-total in ONE aggregate over ONE scan (the Expand operator
+    * replicates rows per set; partial aggs still combine map-side). gid
+    * is built explicitly as grouping(p)·2 + grouping(s) so both engines
+    * agree bit-for-bit on level identity; money via the exact-decimal
+    * bridge. */
+  private val q216GroupingSets: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq($"o_orderpriority", $"o_orderstatus"),
+          Seq($"o_orderpriority"), Seq()),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg((grouping($"o_orderpriority") * 2 + grouping($"o_orderstatus"))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        money(sum(dec($"o_totalprice"))).as("total"))
+      .select(coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        $"gid", $"n", $"total")
+      .orderBy($"gid", $"priority", $"status")
+  }
+
+
+  /** SEASONAL ANOMALY DETECTION over the event stream — the ingest-
+    * health monitor a 100 TB/day pipeline runs hourly: each wall-clock
+    * hour's event count against the HOUR-OF-DAY baseline (its own
+    * diurnal expectation, folded across all days), flagging hours
+    * deviating more than ±50%. Integer end-to-end: deviation in signed
+    * ppm is n·nh·10⁶ div tot − 10⁶ (positive divisor, so floor == trunc
+    * on both engines). Movement: one (hour, hod) count shuffle — domain
+    * bounded by the calendar — then a 24-row broadcast of baselines;
+    * nothing corpus-sized moves twice. */
+  private val q217SeasonalAnomaly: Q = (s, d) => {
+    import s.implicits._
+    val hrs = Tables.events(s, d)
+      .select(date_trunc("hour", $"ts").as("h"), hour($"ts").as("hod"))
+      .groupBy($"h", $"hod").agg(count(lit(1)).as("n"))
+    val base = hrs.groupBy($"hod")
+      .agg(sum($"n").as("tot"), count(lit(1)).as("nh"))
+    hrs.join(broadcast(base), "hod")
+      .withColumn("dev_ppm", expr("(n * nh * 1000000) div tot - 1000000"))
+      .filter(abs($"dev_ppm") > 500000)
+      .select($"h", $"hod", $"n", expr("tot div nh").as("baseline"),
+        $"dev_ppm")
+      .orderBy($"h")
+  }
+
+
+  /** BUDGET-CONSTRAINED CORPUS SELECTION — the data-selection step of a
+    * token-budgeted training run: take the highest-quality documents
+    * whose cumulative token count fits the budget (greedy by score desc,
+    * doc_id tiebreak — optimal for a priority prefix). The 100 TB shape
+    * is TWO-LEVEL: the cutoff SCORE comes from a bounded score-histogram
+    * running sum (≤1000 rows, q197/q209's trick — never a corpus-wide
+    * row sort), all docs strictly above the cutoff are taken map-side,
+    * and only the single boundary score-group needs doc-level ordering
+    * (one group ≪ corpus, its window is partition-local). The oracle is
+    * the NAIVE global-prefix window — the two-level plan must reproduce
+    * it exactly, including the partially-admitted boundary group. */
+  private val q218BudgetSelect: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val B = SelectBudgetTokens
+    val sc = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"source", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"source", size($"ws").cast("long").as("nw"),
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("score"))
+      .cache()
+    val hist = sc.groupBy($"score").agg(sum($"nw").as("tok"))
+    val cumAbove = hist.withColumn("cum_above",
+      sum($"tok").over(Window.orderBy($"score".desc)))
+    val fullScores = cumAbove.filter($"cum_above" <= B).select($"score")
+    val cutoff = cumAbove.filter($"cum_above" > B)
+      .orderBy($"score".desc).limit(1)
+      .select($"score".as("cut_score"), (lit(B) - ($"cum_above" - $"tok")).as("budget_left"))
+    val full = sc.join(broadcast(fullScores), "score")
+    val partial = sc.join(broadcast(cutoff), $"score" === $"cut_score")
+      .withColumn("cum_in", sum($"nw").over(
+        Window.partitionBy($"score").orderBy($"doc_id")))
+      .filter($"cum_in" <= $"budget_left")
+      .select($"score", $"doc_id", $"source", $"nw")
+    full.select($"source", $"nw")
+      .unionByName(partial.select($"source", $"nw"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_sel"), sum($"nw").as("tok_sel"))
+      .orderBy($"source")
+  }
+
+
+  /** SKIP-GRAM CO-OCCURRENCE COUNTS (word2vec-style forward window,
+    * distances 1 and 2 — Mikolov et al., NIPS 2013 preprocessing): the
+    * embedding-training prep that generalizes q180's adjacent bigrams.
+    * Pair generation is MAP-ONLY (two shifted zips of the token array —
+    * no positional self-join), one (dist, w1, w2) count shuffle, top-15
+    * per distance via the per-partition-prunable window. */
+  private val q219SkipGrams: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ws = Tables.documents(s, d).repartition($"doc_id")
+      .select(TextAnalysis.words($"text").as("ws"))
+    def shifted(k: Int) = ws.select(lit(k).as("dist"), explode(zip_with(
+        slice($"ws", lit(1), greatest(size($"ws") - k, lit(0))),
+        expr(s"slice(ws, ${k + 1}, greatest(size(ws) - $k, 0))"),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select($"dist", $"p.w1", $"p.w2")
+    shifted(1).unionByName(shifted(2))
+      .groupBy($"dist", $"w1", $"w2").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"dist").orderBy($"n".desc, $"w1", $"w2")))
+      .filter($"rk" <= 15)
+      .select($"dist", $"rk", $"w1", $"w2", $"n")
+      .orderBy($"dist", $"rk")
+  }
+
+
+  /** BENFORD FIRST-DIGIT AUDIT — the numeric-column forensic check
+    * (Benford, 1938; standard in financial anomaly screening): observed
+    * first-significant-digit distribution of o_totalprice against the
+    * log-law expectation, both in ppm. The expected shares are
+    * PRECOMPUTED integer constants (log10 never evaluates in either
+    * engine — the same transcendental-free trick as q185's KL), so the
+    * comparison is exact; one map-side digit extraction + a 9-row fold.
+    * Chi-square-style deviation is published per digit as
+    * |obs−exp|·10⁶ div exp. */
+  private val q220Benford: Q = (s, d) => {
+    import s.implicits._
+    // round(log10(1+1/d)*1e6) for d=1..9 — fixed integer constants
+    val exp = Seq(301030L, 176091L, 124939L, 96910L, 79181L, 66947L,
+      57992L, 51153L, 45757L)
+    val expDf = exp.zipWithIndex.map { case (e, i) => (i + 1, e) }
+      .toDF("digit", "exp_ppm")
+    val digits = Tables.orders(s, d)
+      .select(substring((dec($"o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum($"n").as("ntot"))
+    digits.join(broadcast(expDf), "digit")
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        expr("(n * 1000000) div ntot").as("obs_ppm"), $"exp_ppm",
+        expr("(abs((n * 1000000) div ntot - exp_ppm) * 1000000)" +
+          " div exp_ppm").as("dev_ppm"))
+      .orderBy($"digit")
+  }
+
+
+  /** MAX-CONCURRENCY SWEEP LINE — interval overlap counted WITHOUT the
+    * O(n²) self-join q27's range join would need: each synthetic session
+    * interval [ts, ts + (user_id%30+1) min] explodes to a +1 boundary
+    * and a −1 boundary, one per-day running sum over boundaries gives
+    * instantaneous concurrency, and the per-day max + its earliest peak
+    * time fold from that. At 100 TB the shuffle is one (day) partition
+    * of 2n boundary rows — the window sorts within day only. Tie rule
+    * pinned cross-engine: boundaries at the same instant order ends
+    * (−1) BEFORE starts (+1), so touching intervals don't double-count.
+    * */
+  private val q221SweepConcurrency: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .select($"ts".as("start_ts"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
+          .as("end_ts"))
+    val bounds = iv.select($"start_ts".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select($"end_ts".as("t"), lit(-1L).as("delta")))
+      .withColumn("day", to_date($"t"))
+    val w = Window.partitionBy($"day").orderBy($"t", $"delta")
+    val run = bounds.withColumn("conc",
+      sum($"delta").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val mx = run.groupBy($"day").agg(max($"conc").as("peak"))
+    run.join(broadcast(mx), Seq("day"))
+      .filter($"conc" === $"peak")
+      .groupBy($"day", $"peak").agg(min($"t").as("peak_at"))
+      .select($"day", $"peak", $"peak_at")
+      .orderBy($"day")
+  }
+
+
+  /** CROSS-SOURCE CONTAMINATION MATRIX — which sources leak into each
+    * other (mirror sites, scraped re-posts, shared boilerplate): source-
+    * level shingle-set Jaccard for every source pair, ranked. The
+    * movement NEVER builds source×source directly: (source, shingle)
+    * distinct pairs shuffle once, then pairs are generated ONLY within a
+    * shingle's source list, and shingles present in > 10 sources are
+    * DROPPED FIRST (boilerplate carries no contamination signal and is
+    * exactly the skew that would explode the fanout — the cap bounds
+    * per-shingle pair fanout at C(10,2)=45 regardless of corpus size;
+    * the drop is part of the metric's definition, shared with the
+    * oracle). Sizes and Jaccard are over the same filtered universe;
+    * integer ppm. */
+  private val q222SourceContamination: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ss = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", explode(Dedup.shingleSet($"text", 3)).as("g"))
+      .distinct()
+    val keep = ss.groupBy($"g").agg(collect_set($"source").as("srcs"))
+      .filter(size($"srcs") <= 10)
+      .cache()
+    val sz = keep.select(explode($"srcs").as("source"))
+      .groupBy($"source").agg(count(lit(1)).as("sz"))
+    val pairs = keep.select(explode(expr(
+        "flatten(transform(srcs, x -> filter(transform(srcs," +
+          " y -> struct(x AS s1, y AS s2)), p -> p.s1 < p.s2)))")).as("p"))
+      .select($"p.s1", $"p.s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sz.toDF("s1", "sz1")), "s1")
+      .join(broadcast(sz.toDF("s2", "sz2")), "s2")
+      .withColumn("jac_ppm",
+        expr("(shared * 1000000) div (sz1 + sz2 - shared)"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"jac_ppm".desc, $"s1", $"s2")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"s1", $"s2", $"shared", $"sz1", $"sz2", $"jac_ppm")
+      .orderBy($"rk")
+  }
+
+
+  /** MULTI-PROBE LSH ANN (Lv et al., VLDB 2007) — recall of many hash
+    * tables at a fraction of the memory: with the SAME 4 tables × 8
+    * hyperplanes, additionally probe every signature at Hamming distance
+    * 1. Distributed as an EQUI-JOIN, never a scan-per-probe: each vector
+    * emits numPlanes masked keys (bit i forced to 0, keyed by (table,
+    * maskIdx)) — two signatures at Hamming ≤ 1 share the masked key at
+    * the differing bit (q161's pigeonhole made multiplicative), so the
+    * probe set is one join on (tbl, mi, mk) with linear fanout
+    * (tables × planes per row). Contracts measured in-query against the
+    * brute-force truth slice: multi-probe recall must dominate
+    * single-probe AND clear 0.9 — the memory/recall trade is proven, not
+    * assumed. */
+  private val q223MultiProbeLsh: Q = (s, d) => {
+    import s.implicits._
+    // 4 planes: a borderline cos=0.45 pair agrees per bit w.p. ~0.65, so
+    // Hamming≤1 hits a table w.p. p⁴+4p³(1−p) ≈ 0.56 → ≈0.96 over 4
+    // tables (vs ≈0.55 single-probe — the dominance gap the contract
+    // locks). 8 planes would put borderline pairs at ≈0.52 and flunk the
+    // 0.9 bound — bucket width is the price of recall, and at corpus
+    // scale the wider buckets take SaltGuard like q47's.
+    val numPlanes = 4; val tables = 4
+    val slice = Tables.embeddings(s, d)
+      .filter($"vec_id" < CosineSlice).repartition($"vec_id").cache()
+    val planeArr: Array[Array[Array[Double]]] = (0 until tables)
+      .map(t => Similarity.hyperplanes(numPlanes, 64, seed = 42L + t)
+        .map(_.toArray).toArray).toArray
+    val sigsUdf = udf((v: Seq[Float]) => planeArr.map { planes =>
+      var sig = 0
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var dot = 0.0; var j = 0
+        while (j < p.length && j < v.length) { dot += p(j) * v(j); j += 1 }
+        if (dot >= 0) sig |= (1 << i)
+        i += 1
+      }
+      sig
+    }.toSeq)
+    val sigs = slice
+      .select($"vec_id", posexplode(sigsUdf($"embedding")).as(Seq("tbl", "sig")))
+      .localCheckpoint()
+    val sp = sigs.toDF("vec_a", "tbl", "sig")
+      .join(sigs.toDF("vec_b", "tbl", "sig"), Seq("tbl", "sig"))
+      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
+    val masked = sigs.select($"vec_id", $"tbl", explode(expr(
+        s"transform(sequence(0, ${numPlanes - 1})," +
+          s" i -> struct(i AS mi, int(sig & ~shiftleft(1, i)) AS mk))")).as("m"))
+      .select($"vec_id", $"tbl", $"m.mi", $"m.mk")
+    val mp = masked.toDF("vec_a", "tbl", "mi", "mk")
+      .join(masked.toDF("vec_b", "tbl", "mi", "mk"), Seq("tbl", "mi", "mk"))
+      .filter($"vec_a" < $"vec_b").select("vec_a", "vec_b").distinct()
+    val truth = Similarity.cosineNearDupPairs(slice, 0.45)
+      .select("vec_a", "vec_b").cache()
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(truth.join(sp, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_single")))
+      .crossJoin(truth.join(mp, Seq("vec_a", "vec_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit_multi")))
+      .select($"n_truth",
+        when($"n_truth" === 0, lit(true))
+          .otherwise($"n_hit_multi" >= $"n_hit_single").as("multi_ge_single"),
+        when($"n_truth" === 0, lit(true))
+          .otherwise($"n_hit_multi".cast("double") / $"n_truth" >= 0.9)
+          .as("recall_ok"))
+  }
+
+
+  /** VECTOR-SPACE COSINE TEXT SIMILARITY (Salton's term-frequency model)
+    * via the INVERTED INDEX — the weighted complement of q150's set
+    * Jaccard: document pairs scored by cos of their tf vectors, computed
+    * as one (term) equi-join summing tf products — never a doc×doc
+    * stage, and dot products only materialize for pairs sharing a term.
+    * EXACT integer end-to-end: tf, dot, and squared norms are integers,
+    * and cos ≥ 0.7 gates as dot²·100 ≥ 49·n2a·n2b (the q150 cross-
+    * multiplication trick, no sqrt, no floats). cos published in exact
+    * integer ppm via (dot²·10¹²) div (n2a·n2b) — the SQUARE in ppm,
+    * monotone in cos, so ranking is faithful. Slice-bounded like every
+    * brute-verified pair family; at corpus scale the join takes the df
+    * cap + SaltGuard (q222's boilerplate rule). */
+  private val q224TfCosine: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .filter($"doc_id" < BruteForceSlice)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .cache()
+    val norms = tf.groupBy($"doc_id").agg(sum($"tf" * $"tf").as("n2"))
+    val dots = tf.toDF("doc_a", "w", "tf_a")
+      .join(tf.toDF("doc_b", "w", "tf_b"), Seq("w"))
+      .filter($"doc_a" < $"doc_b")
+      .groupBy($"doc_a", $"doc_b").agg(sum($"tf_a" * $"tf_b").as("dot"))
+    dots
+      .join(norms.toDF("doc_a", "n2a"), "doc_a")
+      .join(norms.toDF("doc_b", "n2b"), "doc_b")
+      .filter($"dot" * $"dot" * 100 >= $"n2a" * $"n2b" * 49)
+      .select($"doc_a", $"doc_b", $"dot", $"n2a", $"n2b",
+        expr("(dot * dot * 1000000000000) div (n2a * n2b)").as("cos2_ppm"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+
+  /** ANTI-ENTROPY REPLICA REPAIR (Merkle-bucket reconciliation — the
+    * Dynamo/Cassandra pattern): a replica of `documents` is corrupted in
+    * a planted slice (%97 rows get a suffix, one row per ~97 dropped);
+    * reconciliation first compares 64 BUCKET-LEVEL order-independent
+    * checksums (two map-side aggs + a 64-row join), then row-diffs ONLY
+    * inside differing buckets — repair cost is O(divergence), not
+    * O(table), which is the entire point at 100 TB. The engine publishes
+    * per-divergent-bucket counts of corrupted/missing rows; the oracle
+    * recomputes the same from the planted rules directly, so a
+    * reconciliation that misses a bucket or over-repairs
+    * hash-mismatches. */
+  private val q225AntiEntropy: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    def rowHash(idc: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(idc.cast("string"), lit("|"), t)), 1, 15),
+        16, 10).cast(DecimalType(38, 0))
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"text").cache()
+    val replica = docs
+      .filter($"doc_id" % 97 =!= 13) // lost rows
+      .withColumn("text",
+        when($"doc_id" % 97 === 5, concat($"text", lit(" [bitrot]")))
+          .otherwise($"text"))
+      .cache()
+    def bucketSums(df: org.apache.spark.sql.DataFrame) =
+      df.select(($"doc_id" % 64).as("bkt"),
+          rowHash($"doc_id", $"text").as("h"))
+        .groupBy($"bkt")
+        .agg(count(lit(1)).as("n"),
+          (sum($"h") % lit(Mod)).cast("long").as("ck"))
+    val div = bucketSums(docs).toDF("bkt", "n_p", "ck_p")
+      .join(bucketSums(replica).toDF("bkt", "n_r", "ck_r"),
+        Seq("bkt"), "full_outer")
+      .filter(!($"n_p" <=> $"n_r") || !($"ck_p" <=> $"ck_r"))
+      .select($"bkt")
+    val p = docs.withColumn("bkt", $"doc_id" % 64)
+      .join(broadcast(div), "bkt")
+      .select($"bkt", $"doc_id", rowHash($"doc_id", $"text").as("hp"))
+    val r = replica.withColumn("bkt", $"doc_id" % 64)
+      .join(broadcast(div), "bkt")
+      .select($"doc_id", rowHash($"doc_id", $"text").as("hr"))
+    p.join(r, Seq("doc_id"), "left_outer")
+      .groupBy($"bkt")
+      .agg(sum(when($"hr".isNull, 1L).otherwise(0L)).as("n_missing"),
+        sum(when($"hr".isNotNull && $"hp" =!= $"hr", 1L).otherwise(0L))
+          .as("n_corrupted"))
+      .orderBy($"bkt")
+  }
+
+
+  /** REFERENTIAL-INTEGRITY AUDIT across the star schema — the constraint
+    * checker a lake without enforced FKs must run itself: one row per FK
+    * edge with child cardinality, orphan count, and distinct parent
+    * coverage. Each edge is ONE left-anti join; dimension sides
+    * broadcast, the orders side shuffles once (Spark de-duplicates the
+    * scan across the two lineitem edges via exchange reuse). An orphan
+    * count > 0 is the signal that upstream ingest broke ordering — the
+    * q66-monitor's structural sibling. */
+  private val q226FkAudit: Q = (s, d) => {
+    import s.implicits._
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+             ck: String, parent: org.apache.spark.sql.DataFrame,
+             pk: String, bcast: Boolean) = {
+      val par = parent.select(col(pk))
+      val orphans = child.join(
+        if (bcast) broadcast(par) else par,
+        child(ck) === par(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"),
+          countDistinct(col(ck)).as("n_keys"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), $"n_child", $"n_keys",
+          $"n_orphans")
+    }
+    val o = Tables.orders(s, d); val l = Tables.lineitem(s, d)
+    edge("orders.custkey->customer", o, "o_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = true)
+      .unionByName(edge("lineitem.orderkey->orders", l, "l_orderkey",
+        o, "o_orderkey", bcast = false))
+      .unionByName(edge("lineitem.partkey->part", l, "l_partkey",
+        Tables.part(s, d), "p_partkey", bcast = true))
+      .unionByName(edge("lineitem.suppkey->supplier", l, "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey", bcast = true))
+      .unionByName(edge("supplier.nationkey->nation", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey", bcast = true))
+      .orderBy($"fk_edge")
+  }
+
+
+  /** INCREMENTAL VIEW MAINTENANCE proven equal to recompute — the IVM
+    * contract that makes a 100 TB aggregate affordable to keep fresh:
+    * per-source (count, token-sum) is maintained under an appended batch
+    * (docs %7==2 replayed as the delta) by FOLDING the delta's partial
+    * aggregate into the old view — cost O(delta), one small shuffle —
+    * and the query publishes both the maintained view AND equality
+    * against full recompute over base∪delta. The oracle recomputes from
+    * scratch; `ivm_matches` must come back true for every source. */
+  private val q227IncrementalView: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", size(graft.text.TextOps.words($"text"))
+        .cast("long").as("nw"))
+      .cache()
+    val delta = docs.filter($"nw" % 7 === 2)
+    def view(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"nw").as("tokens"))
+    val old = view(docs)
+    val maintained = old.toDF("source", "n0", "t0")
+      .join(view(delta).toDF("source", "dn", "dt"), Seq("source"), "full_outer")
+      .select($"source",
+        (coalesce($"n0", lit(0L)) + coalesce($"dn", lit(0L))).as("n_docs"),
+        (coalesce($"t0", lit(0L)) + coalesce($"dt", lit(0L))).as("tokens"))
+    val recomputed = view(docs.unionByName(delta))
+      .toDF("source", "n_r", "t_r")
+    maintained.join(recomputed, Seq("source"), "full_outer")
+      .select($"source", $"n_docs", $"tokens",
+        ($"n_docs" <=> $"n_r" && $"tokens" <=> $"t_r").as("ivm_matches"))
+      .orderBy($"source")
+  }
+
+
+  /** SEMI-STRUCTURED SHREDDING via Spark 4's VARIANT type — the modern
+    * JSON ingestion path (binary-encoded variant instead of per-query
+    * string re-parsing): nested payloads (synthesized deterministically
+    * from row fields — objects, array indexing, a sometimes-missing key)
+    * are `parse_json`ed ONCE into VARIANT, then typed paths are
+    * extracted with `variant_get`/`try_variant_get` (the missing key
+    * exercises the NULL path) and aggregated per segment. At 100 TB the
+    * point is the encode-once-extract-many shape plus Parquet variant
+    * shredding; the oracle re-derives the same values from the same JSON
+    * text with DuckDB's json_extract. */
+  private val q228VariantShred: Q = (s, d) => {
+    import s.implicits._
+    val j = concat(lit("""{"user":{"id":"""), $"user_id",
+      lit(""","seg":""""), $"event_type", lit(""""},"vals":["""),
+      $"event_id" % 10, lit(","), $"user_id" % 7, lit("]"),
+      when($"event_id" % 3 === 0,
+        concat(lit(""","flag":"""), $"event_id" % 2)).otherwise(lit("")),
+      lit("}"))
+    Tables.events(s, d)
+      .select(parse_json(j).as("v"))
+      .select(
+        variant_get($"v", "$.user.seg", "string").as("seg"),
+        variant_get($"v", "$.user.id", "bigint").as("uid"),
+        variant_get($"v", "$.vals[0]", "bigint").as("v0"),
+        variant_get($"v", "$.vals[1]", "bigint").as("v1"),
+        try_variant_get($"v", "$.flag", "bigint").as("flag"))
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"uid").as("sum_uid"),
+        sum($"v0").as("sum_v0"), sum($"v1").as("sum_v1"),
+        sum(coalesce($"flag", lit(0L))).as("sum_flag"),
+        sum(when($"flag".isNull, 1L).otherwise(0L)).as("n_missing_flag"))
+      .orderBy($"seg")
+  }
+
+
+  /** SCHEMA EVOLUTION under mergeSchema — the lake reality that columns
+    * arrive over time: a v1 slice is written without the `score` column,
+    * a v2 slice with it, and the union is read back through Spark's
+    * parquet `mergeSchema`, which must surface v1 rows with NULL score
+    * (never a default, never a read error). The aggregate proves both
+    * the widened schema and the null semantics; the oracle replays the
+    * same split with an explicit NULL projection. */
+  private val q229SchemaEvolution: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("graft_q229_evo_")
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    docs.filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"source", $"n_chars")
+      .write.mode("overwrite").parquet(s"$dir/v=1")
+    docs.filter($"doc_id" % 2 =!= 0)
+      .select($"doc_id", $"source", $"n_chars",
+        ($"n_chars" % 100).as("score"))
+      .write.mode("overwrite").parquet(s"$dir/v=2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v=1", s"$dir/v=2")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"score".isNull, 1L).otherwise(0L)).as("n_v1"),
+        sum(coalesce($"score", lit(0L))).as("sum_score"))
+      .orderBy($"source")
+  }
+
+
+  /** RECURSIVE CTE (Spark 4's WITH RECURSIVE — new SQL surface): bounded
+    * BFS over the q178 trade graph from customer 1, counting hop-bounded
+    * paths and min-hop distance per reached node. The hop cap (< 2) is
+    * BOTH the termination bound (the role iteration counts play in the
+    * DataFrame graph family, q178/q196/q207) AND the cost bound: UNION
+    * ALL recursion accumulates PATHS, which on a dense graph grow
+    * ~degreeʰᵒᵖˢ (Spark 4.1 rejects dedup UNION recursion —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — so frontier dedup is not
+    * available and unbounded-hop BFS belongs to the iterative DataFrame
+    * family, not this operator). Path counts are exact integers and the
+    * oracle runs the IDENTICAL recursive SQL in DuckDB, pinning Spark's
+    * recursion semantics against a second implementation. */
+  private val q230RecursiveCte: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql("""
+      WITH RECURSIVE reach(node, hops) AS (
+        SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst, r.hops + 1
+        FROM reach r
+        JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey
+              UNION ALL
+              SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+              FROM g_orders JOIN g_lineitem ON l_orderkey = o_orderkey) e
+          ON e.src = r.node
+        WHERE r.hops < 2)
+      SELECT node, CAST(min(hops) AS INT) AS min_hops,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM reach GROUP BY node ORDER BY node""")
+  }
+
+
+  /** HIGHER-ORDER FUNCTION SUITE — the lambda surface (aggregate /
+    * exists / forall / filter / transform) that keeps array work INSIDE
+    * codegen instead of exploding rows: per doc, a fold computes the sum
+    * of squared word lengths, quantifiers check length predicates, and a
+    * filter+transform chain counts capitalizable tokens — one map-only
+    * pass, zero shuffles before the final per-source fold. The oracle
+    * re-derives every value with DuckDB list lambdas (list_reduce has a
+    * different seed convention — folded with an explicit 0 seed via
+    * list_prepend to match). */
+  private val q231HigherOrder: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"source",
+        expr("aggregate(ws, 0L, (acc, w) -> acc + length(w) * length(w))")
+          .as("sq_len_sum"),
+        expr("exists(ws, w -> length(w) >= 8)").as("has_long"),
+        expr("forall(ws, w -> length(w) <= 20)").as("all_short"),
+        expr("size(filter(ws, w -> length(w) >= 5))").cast("long")
+          .as("n_len5"))
+      .groupBy($"source")
+      .agg(sum($"sq_len_sum").as("sq_len_sum"),
+        sum(when($"has_long", 1L).otherwise(0L)).as("n_has_long"),
+        sum(when($"all_short", 1L).otherwise(0L)).as("n_all_short"),
+        sum($"n_len5").as("n_len5"))
+      .orderBy($"source")
+  }
+
+
+  /** WINDOW ANALYTICS COMPLETION — the ranking-fraction family q82
+    * doesn't cover: percent_rank, cume_dist, nth_value and first/last
+    * with explicit frames, over the per-customer order timeline. The
+    * fractions are exact small-integer ratios ((rank−1)/(n−1), peers/n)
+    * so IEEE division is bit-identical cross-engine; nth/first/last are
+    * longs. */
+  private val q232WindowRanks: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter($"o_custkey" < 200)
+      .select($"o_custkey", $"o_orderkey",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        nth_value($"o_orderkey", 2).over(wf).as("second_order"),
+        first($"o_orderkey").over(wf).as("first_order"),
+        last($"o_orderkey").over(wf).as("last_order"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+
+  /** DAILY LATENCY-STYLE PERCENTILES, DISCRETE — the ops dashboard
+    * p50/p90/p99 per day over event values, computed as ELEMENT SELECTION
+    * (value at row ⌈p·n⌉ of the day's sort) rather than interpolation:
+    * interpolated quantiles on doubles are NOT cross-engine-stable (the
+    * a+(b−a)·f vs (a+b)/2 formulas round differently in IEEE), while the
+    * discrete pick returns an actual data value — bit-identical
+    * everywhere. The sort is day-partitioned (bounded by arrival rate,
+    * never corpus-global); one window + one join against the per-day
+    * counts. */
+  private val q233DailyPercentiles: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"day").orderBy($"value", $"event_id")
+    val ranked = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"value", $"event_id")
+      .withColumn("rn", row_number().over(w))
+    val n = ranked.groupBy($"day").agg(count(lit(1)).as("n"))
+    ranked.join(broadcast(n), "day")
+      .groupBy($"day", $"n")
+      .agg(
+        max(when($"rn" === expr("cast(ceil(n * 0.5) as bigint)"), $"value"))
+          .as("p50"),
+        max(when($"rn" === expr("cast(ceil(n * 0.9) as bigint)"), $"value"))
+          .as("p90"),
+        max(when($"rn" === expr("cast(ceil(n * 0.99) as bigint)"), $"value"))
+          .as("p99"))
+      .select($"day", $"n", $"p50", $"p90", $"p99")
+      .orderBy($"day")
+  }
+
+
+  /** MAP-COLUMN SURFACE — map_from_entries / transform_values /
+    * map_concat / element_at as the per-row container algebra (the shape
+    * feature stores and per-doc metadata bags use), flattened back to
+    * scalars for the gate: each doc builds a token-length histogram MAP,
+    * doubles its values, overlays a constant marker entry, and publishes
+    * two lookups plus the map cardinality. Map work never leaves the
+    * row — zero shuffles before the final fold. */
+  private val q234MapFunctions: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id",
+        expr("""map_concat(
+                  transform_values(
+                    map_from_entries(
+                      transform(array_distinct(transform(ws, w -> length(w))),
+                        l -> struct(l AS k,
+                          size(filter(ws, w -> length(w) = l)) AS v))),
+                    (k, v) -> cast(v * 2 AS BIGINT)),
+                  map(-1, 7L))""").as("m"))
+      .select($"doc_id",
+        expr("element_at(m, 3)").as("n_len3_x2"),
+        expr("element_at(m, -1)").as("marker"),
+        expr("cast(cardinality(m) AS BIGINT)").as("n_lens"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** DEDUP WITH A QUALITY-AWARE KEEP POLICY — q40 keeps min doc_id per
+    * exact-dup cluster; real curation keeps the BEST copy (highest
+    * quality score, then smallest id for determinism), because mirror
+    * copies differ in truncation/boilerplate even when the content hash
+    * matches on the sanitized text. Policy is one argmax-per-cluster
+    * window over the content-hash partitioning (map-side prunable) — the
+    * dedup movement is unchanged (one hash shuffle), only the keeper
+    * rule is swapped, which is the point: representative selection is a
+    * pluggable policy, not a new pipeline. */
+  private val q235DedupKeepBest: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"text", graft.text.TextOps.words($"text").as("ws"))
+      .withColumn("score",
+        when(size($"ws") > 0,
+          expr("(size(array_distinct(ws)) * 1000L) div size(ws)"))
+          .otherwise(0L))
+      .select($"doc_id", sha2($"text", 256).as("hash"), $"score")
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"hash").orderBy($"score".desc, $"doc_id")))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy($"hash")))
+      .filter($"rk" === 1)
+      .select($"doc_id".as("kept_doc"), $"score", $"hash", $"n_copies")
+      .orderBy($"kept_doc")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q235_dedup_keep_best" -> q235DedupKeepBest,
+    "q233_daily_percentiles" -> q233DailyPercentiles,
+    "q234_map_functions" -> q234MapFunctions,
+    "q231_higher_order" -> q231HigherOrder,
+    "q232_window_ranks" -> q232WindowRanks,
+    "q230_recursive_cte" -> q230RecursiveCte,
+    "q228_variant_shred" -> q228VariantShred,
+    "q229_schema_evolution" -> q229SchemaEvolution,
+    "q226_fk_audit" -> q226FkAudit,
+    "q227_incremental_view" -> q227IncrementalView,
+    "q224_tf_cosine" -> q224TfCosine,
+    "q225_anti_entropy" -> q225AntiEntropy,
+    "q223_multiprobe_lsh" -> q223MultiProbeLsh,
+    "q222_source_contamination" -> q222SourceContamination,
+    "q220_benford" -> q220Benford,
+    "q221_sweep_concurrency" -> q221SweepConcurrency,
+    "q218_budget_select" -> q218BudgetSelect,
+    "q219_skip_grams" -> q219SkipGrams,
+    "q216_grouping_sets" -> q216GroupingSets,
+    "q217_seasonal_anomaly" -> q217SeasonalAnomaly,
+    "q215_quality_calibration" -> q215QualityCalibration,
+    "q213_compact_execute" -> q213CompactExecute,
+    "q212_kneser_ney" -> q212KneserNey,
+    "q208_rollup_moments" -> q208RollupMoments,
+    "q209_equidepth_hist" -> q209EquiDepth,
+    "q205_compaction_plan" -> q205CompactionPlan,
+    "q206_mad_outliers" -> q206MadOutliers,
+    "q204_keyword_tags" -> q204KeywordTags,
+    "q202_skew_profile" -> q202SkewProfile,
+    "q199_containment" -> q199Containment,
+    "q200_curriculum" -> q200Curriculum,
+    "q201_cluster_agreement" -> q201ClusterAgreement,
+    "q197_quality_threshold" -> q197QualityThreshold,
+    "q198_url_canonicalize" -> q198UrlCanonicalize,
+    "q193_pareto_frontier" -> q193ParetoFrontier,
+    "q194_backoff_lm" -> q194BackoffLm,
+    "q195_fold_contamination" -> q195FoldContamination,
+    "q192_audio_energy" -> q192AudioEnergy,
+    "q191_ivf_disk_index" -> q191IvfDiskIndex,
+    "q190_delete_propagation" -> q190DeletePropagation,
+    "q187_cv_folds" -> q187CvFolds,
+    "q185_token_drift" -> q185TokenDrift,
+    "q186_join_size_sketch" -> q186JoinSizeSketch,
+    "q180_pmi_collocations" -> q180PmiCollocations,
+    "q179_cdc_chunks" -> q179CdcChunks
+  )
+
+  lazy val oracle: Map[String, String] = Map(
+    // same score, same (score desc, doc_id) keeper policy per hash
+    "q235_dedup_keep_best" ->
+      s"""WITH sc AS (SELECT doc_id, sha256(text) AS hash,
+                  CASE WHEN len(ws) > 0
+                       THEN CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                            // CAST(len(ws) AS BIGINT)
+                       ELSE 0 END AS score
+                FROM (SELECT doc_id, text, $wordsSql AS ws FROM documents)),
+          r AS (SELECT doc_id, hash, score,
+                  row_number() OVER (PARTITION BY hash
+                    ORDER BY score DESC, doc_id) AS rk,
+                  CAST(count(*) OVER (PARTITION BY hash) AS BIGINT)
+                    AS n_copies
+                FROM sc)
+          SELECT doc_id AS kept_doc, score, hash, n_copies
+          FROM r WHERE rk = 1 ORDER BY kept_doc""",
+    // same discrete row-⌈p·n⌉ element selection, no interpolation
+    "q233_daily_percentiles" ->
+      """WITH r AS (SELECT CAST(ts AS DATE) AS day, value, event_id,
+                  CAST(row_number() OVER (PARTITION BY CAST(ts AS DATE)
+                    ORDER BY value, event_id) AS BIGINT) AS rn
+                FROM events),
+          n AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY 1)
+          SELECT day, n,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT)
+                     THEN value END) AS p50,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT)
+                     THEN value END) AS p90,
+                 max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT)
+                     THEN value END) AS p99
+          FROM r JOIN n USING (day) GROUP BY day, n ORDER BY day""",
+    // the map algebra re-derived with list lambdas: per-length counts
+    // doubled, the marker entry, and the distinct-length cardinality + 1
+    "q234_map_functions" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0)
+          SELECT doc_id,
+                 CASE WHEN len(list_filter(ws, w -> length(w) = 3)) > 0
+                      THEN CAST(len(list_filter(ws, w -> length(w) = 3))
+                           * 2 AS BIGINT) END AS n_len3_x2,
+                 CAST(7 AS BIGINT) AS marker,
+                 CAST(len(list_distinct(list_transform(ws,
+                   w -> length(w)))) + 1 AS BIGINT) AS n_lens
+          FROM x ORDER BY doc_id""",
+    // DuckDB list lambdas re-derive each value; reduce seeded via prepend
+    "q231_higher_order" ->
+      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
+          x AS (SELECT source,
+                  list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(ws, w -> CAST(length(w) * length(w)
+                      AS BIGINT))), (a, b) -> a + b) AS sq_len_sum,
+                  len(list_filter(ws, w -> length(w) >= 8)) > 0 AS has_long,
+                  len(list_filter(ws, w -> length(w) > 20)) = 0 AS all_short,
+                  CAST(len(list_filter(ws, w -> length(w) >= 5))
+                    AS BIGINT) AS n_len5
+                FROM t WHERE len(ws) > 0)
+          SELECT source, CAST(sum(sq_len_sum) AS BIGINT) AS sq_len_sum,
+                 CAST(sum(CASE WHEN has_long THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_has_long,
+                 CAST(sum(CASE WHEN all_short THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_all_short,
+                 CAST(sum(n_len5) AS BIGINT) AS n_len5
+          FROM x GROUP BY source ORDER BY source""",
+    // same frames; fractions are exact small-integer IEEE ratios
+    "q232_window_ranks" ->
+      """SELECT o_custkey, o_orderkey,
+                percent_rank() OVER w AS pr,
+                cume_dist() OVER w AS cd,
+                nth_value(o_orderkey, 2) OVER wf AS second_order,
+                first_value(o_orderkey) OVER wf AS first_order,
+                last_value(o_orderkey) OVER wf AS last_order
+         FROM orders WHERE o_custkey < 200
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey),
+                wf AS (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey, o_orderkey""",
+    // the IDENTICAL recursive SQL, second engine
+    "q230_recursive_cte" ->
+      """WITH RECURSIVE reach(node, hops) AS (
+           SELECT CAST(2 AS BIGINT) AS node, 0 AS hops
+           UNION ALL
+           SELECT e.dst, r.hops + 1
+           FROM reach r
+           JOIN (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                 UNION ALL
+                 SELECT DISTINCT l_suppkey * 2 + 1, o_custkey * 2
+                 FROM orders JOIN lineitem ON l_orderkey = o_orderkey) e
+             ON e.src = r.node
+           WHERE r.hops < 2)
+         SELECT node, CAST(min(hops) AS INT) AS min_hops,
+                CAST(count(*) AS BIGINT) AS n_paths
+         FROM reach GROUP BY node ORDER BY node""",
+    // same synthesized JSON, values re-derived via json_extract
+    "q228_variant_shred" ->
+      """WITH src AS (SELECT event_id, user_id, event_type,
+                  '{"user":{"id":' || user_id || ',"seg":"' || event_type
+                  || '"},"vals":[' || (event_id % 10) || ','
+                  || (user_id % 7) || ']'
+                  || CASE WHEN event_id % 3 = 0
+                          THEN ',"flag":' || (event_id % 2) ELSE '' END
+                  || '}' AS j
+                FROM events),
+          x AS (SELECT json_extract_string(j, '$.user.seg') AS seg,
+                  CAST(json_extract(j, '$.user.id') AS BIGINT) AS uid,
+                  CAST(json_extract(j, '$.vals[0]') AS BIGINT) AS v0,
+                  CAST(json_extract(j, '$.vals[1]') AS BIGINT) AS v1,
+                  CAST(json_extract(j, '$.flag') AS BIGINT) AS flag
+                FROM src)
+          SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(uid) AS BIGINT) AS sum_uid,
+                 CAST(sum(v0) AS BIGINT) AS sum_v0,
+                 CAST(sum(v1) AS BIGINT) AS sum_v1,
+                 CAST(sum(COALESCE(flag, 0)) AS BIGINT) AS sum_flag,
+                 CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_missing_flag
+          FROM x GROUP BY seg ORDER BY seg""",
+    // same even/odd split with an explicit NULL projection for v1 rows
+    "q229_schema_evolution" ->
+      """WITH u AS (
+           SELECT doc_id, source, n_chars, NULL AS score
+           FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars, n_chars % 100
+           FROM documents WHERE doc_id % 2 <> 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN score IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v1,
+                CAST(sum(COALESCE(score, 0)) AS BIGINT) AS sum_score
+         FROM u GROUP BY source ORDER BY source""",
+    // one row per FK edge, anti-join orphan counts
+    "q226_fk_audit" ->
+      """WITH e1 AS (SELECT 'orders.custkey->customer' AS fk_edge,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+                  CAST(count(*) FILTER (o_custkey NOT IN
+                    (SELECT c_custkey FROM customer)) AS BIGINT) AS n_orphans
+                FROM orders),
+          e2 AS (SELECT 'lineitem.orderkey->orders',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_orderkey NOT IN
+                    (SELECT o_orderkey FROM orders)) AS BIGINT)
+                FROM lineitem),
+          e3 AS (SELECT 'lineitem.partkey->part',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_partkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_partkey NOT IN
+                    (SELECT p_partkey FROM part)) AS BIGINT)
+                FROM lineitem),
+          e4 AS (SELECT 'lineitem.suppkey->supplier',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT),
+                  CAST(count(*) FILTER (l_suppkey NOT IN
+                    (SELECT s_suppkey FROM supplier)) AS BIGINT)
+                FROM lineitem),
+          e5 AS (SELECT 'supplier.nationkey->nation',
+                  CAST(count(*) AS BIGINT),
+                  CAST(count(DISTINCT s_nationkey) AS BIGINT),
+                  CAST(count(*) FILTER (s_nationkey NOT IN
+                    (SELECT n_nationkey FROM nation)) AS BIGINT)
+                FROM supplier)
+          SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4
+          UNION ALL SELECT * FROM e5 ORDER BY fk_edge""",
+    // from-scratch recompute over base ∪ delta; ivm_matches pinned true
+    "q227_incremental_view" ->
+      s"""WITH w AS (SELECT source, CAST(len($wordsSql) AS BIGINT) AS nw
+                 FROM documents),
+          base AS (SELECT source, nw FROM w),
+          delta AS (SELECT source, nw FROM w WHERE nw % 7 = 2),
+          u AS (SELECT * FROM base UNION ALL SELECT * FROM delta)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nw) AS BIGINT) AS tokens, true AS ivm_matches
+          FROM u GROUP BY source ORDER BY source""",
+    // same tf vectors, same shared-term join, same integer cross-mult
+    // gate and squared-cos ppm
+    "q224_tf_cosine" ->
+      s"""WITH tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest($wordsSql) AS w
+                      FROM documents WHERE doc_id < $BruteForceSlice)
+                GROUP BY 1, 2),
+          nrm AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2
+                  FROM tf GROUP BY 1),
+          dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                   FROM tf a JOIN tf b
+                     ON a.w = b.w AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+          SELECT doc_a, doc_b, dot, na.n2 AS n2a, nb.n2 AS n2b,
+                 (dot * dot * 1000000000000) // (na.n2 * nb.n2) AS cos2_ppm
+          FROM dots JOIN nrm na ON na.doc_id = doc_a
+          JOIN nrm nb ON nb.doc_id = doc_b
+          WHERE dot * dot * 100 >= na.n2 * nb.n2 * 49
+          ORDER BY doc_a, doc_b""",
+    // the engine must find exactly the planted divergence, bucketed by
+    // doc_id % 64 — a missed bucket or over-repair hash-mismatches
+    "q225_anti_entropy" ->
+      """WITH m AS (
+           SELECT doc_id % 64 AS bkt, 1 AS miss, 0 AS corr
+           FROM documents WHERE doc_id % 97 = 13
+           UNION ALL
+           SELECT doc_id % 64, 0, 1 FROM documents WHERE doc_id % 97 = 5)
+         SELECT bkt, CAST(sum(miss) AS BIGINT) AS n_missing,
+                CAST(sum(corr) AS BIGINT) AS n_corrupted
+         FROM m GROUP BY bkt ORDER BY bkt""",
+    // q47's measured-contract pattern: the engine computes recall
+    // in-query; the oracle pins the truth-set size and both contracts
+    "q223_multiprobe_lsh" ->
+      s"""SELECT true AS multi_ge_single,
+            (SELECT count(*)
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE a.vec_id < $CosineSlice AND b.vec_id < $CosineSlice
+               AND list_cosine_similarity(
+                     list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                     list_transform(b.embedding, x -> CAST(x AS DOUBLE))) > 0.45
+            ) AS n_truth,
+            true AS recall_ok""",
+    // same shingles, same >10-source boilerplate drop, same filtered-
+    // universe sizes and integer-ppm jaccard; brute-force within-shingle
+    // pair join (a dropped pair or miscapped fanout hash-mismatches)
+    "q222_source_contamination" ->
+      s"""WITH t AS (SELECT source, $wordsSql AS ws FROM documents),
+          sh0 AS (SELECT source,
+                    list_distinct([array_to_string(ws[i:i+2], ' ')
+                                   for i in range(1, len(ws) - 1)]) AS sh
+                  FROM t WHERE len(ws) >= 3),
+          sp AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh0),
+          ds AS (SELECT g, CAST(count(*) AS BIGINT) AS nsrc
+                 FROM sp GROUP BY g),
+          keep AS (SELECT sp.source, sp.g FROM sp
+                   JOIN ds USING (g) WHERE nsrc <= 10),
+          sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+                 FROM keep GROUP BY 1),
+          pr AS (SELECT a.source AS s1, b.source AS s2,
+                   CAST(count(*) AS BIGINT) AS shared
+                 FROM keep a JOIN keep b
+                   ON a.g = b.g AND a.source < b.source
+                 GROUP BY 1, 2),
+          j AS (SELECT s1, s2, shared, z1.sz AS sz1, z2.sz AS sz2,
+                  (shared * 1000000) // (z1.sz + z2.sz - shared) AS jac_ppm
+                FROM pr JOIN sz z1 ON z1.source = pr.s1
+                JOIN sz z2 ON z2.source = pr.s2),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY jac_ppm DESC, s1, s2) AS INT) AS rk FROM j)
+          SELECT rk, s1, s2, shared, sz1, sz2, jac_ppm
+          FROM r WHERE rk <= 20 ORDER BY rk""",
+    // same precomputed log-law ppm constants, same cents leading digit
+    "q220_benford" ->
+      """WITH e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+                  (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+                  (7, 57992), (8, 51153), (9, 45757)) t(digit, exp_ppm)),
+          dg AS (SELECT CAST(substr(CAST(CAST(CAST(o_totalprice
+                     AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+                     1, 1) AS INT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM dg)
+          SELECT digit, n, (n * 1000000) // ntot AS obs_ppm,
+                 CAST(exp_ppm AS BIGINT) AS exp_ppm,
+                 (abs((n * 1000000) // ntot - exp_ppm) * 1000000)
+                   // exp_ppm AS dev_ppm
+          FROM dg JOIN e USING (digit), t ORDER BY digit""",
+    // same boundary explode, same (t, delta) tie rule — ends close
+    // before starts open, so touching intervals never double-count
+    "q221_sweep_concurrency" ->
+      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
+                  CAST(ts AS TIMESTAMP)
+                    + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)) AS e
+                FROM events),
+          b AS (SELECT s AS t, CAST(1 AS BIGINT) AS delta FROM iv
+                UNION ALL
+                SELECT e, -1 FROM iv),
+          r AS (SELECT CAST(t AS DATE) AS day, t, delta,
+                  sum(delta) OVER (PARTITION BY CAST(t AS DATE)
+                    ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS conc
+                FROM b),
+          m AS (SELECT day, max(conc) AS peak FROM r GROUP BY day)
+          SELECT day, CAST(peak AS BIGINT) AS peak,
+                 min(t) AS peak_at
+          FROM r JOIN m USING (day)
+          WHERE conc = peak GROUP BY day, peak ORDER BY day""",
+    // the NAIVE global greedy prefix — the engine's two-level
+    // histogram-cutoff plan must reproduce it exactly
+    "q218_budget_select" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+                  CAST(len(ws) AS BIGINT) AS nw,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS score
+                FROM (SELECT doc_id, source, $wordsSql AS ws FROM documents)
+                WHERE len(ws) > 0),
+          o AS (SELECT source, nw,
+                  sum(nw) OVER (ORDER BY score DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+                FROM sc)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_sel,
+                 CAST(sum(nw) AS BIGINT) AS tok_sel
+          FROM o WHERE cum <= $SelectBudgetTokens
+          GROUP BY source ORDER BY source""",
+    // same two shifted pairings, same count ranking
+    "q219_skip_grams" ->
+      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
+          p AS (SELECT 1 AS dist, unnest(ws[1:-2]) AS w1,
+                       unnest(ws[2:-1]) AS w2 FROM t
+                UNION ALL
+                SELECT 2, unnest(ws[1:-3]), unnest(ws[3:-1]) FROM t),
+          c AS (SELECT dist, w1, w2, CAST(count(*) AS BIGINT) AS n
+                FROM p GROUP BY 1, 2, 3),
+          r AS (SELECT dist, w1, w2, n,
+                  CAST(row_number() OVER (PARTITION BY dist
+                    ORDER BY n DESC, w1, w2) AS INT) AS rk
+                FROM c)
+          SELECT CAST(dist AS INT) AS dist, rk, w1, w2, n
+          FROM r WHERE rk <= 15 ORDER BY dist, rk""",
+    // same lattice, same explicit gid formula, exact-decimal money
+    "q216_grouping_sets" ->
+      """SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+                COALESCE(o_orderstatus, 'ALL') AS status,
+                CAST(GROUPING(o_orderpriority) * 2
+                     + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                 (o_orderpriority), ())
+         ORDER BY gid, priority, status""",
+    // same bounded (hour, hod) histogram, same signed-ppm deviation
+    "q217_seasonal_anomaly" ->
+      """WITH hrs AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                  CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+          b AS (SELECT hod, CAST(sum(n) AS BIGINT) AS tot,
+                  CAST(count(*) AS BIGINT) AS nh
+                FROM hrs GROUP BY 1)
+          SELECT h, hod, n, tot // nh AS baseline,
+                 (n * nh * 1000000) // tot - 1000000 AS dev_ppm
+          FROM hrs JOIN b USING (hod)
+          WHERE abs((n * nh * 1000000) // tot - 1000000) > 500000
+          ORDER BY h""",
+    // same per-mille score, dup flag via count-over-text partition
+    // (sha256 ≡ text partitioning, the q40 collision-free assumption),
+    // same histogram quintile rule
+    "q215_quality_calibration" ->
+      s"""WITH sc AS (SELECT text,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS score
+                FROM (SELECT text, $wordsSql AS ws FROM documents)
+                WHERE len(ws) > 0),
+          fl AS (SELECT score,
+                  CASE WHEN count(*) OVER (PARTITION BY text) > 1
+                       THEN 1 ELSE 0 END AS is_dup
+                 FROM sc),
+          h AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(is_dup) AS BIGINT) AS nd
+                FROM fl GROUP BY 1),
+          c AS (SELECT score, n, nd,
+                  CAST(sum(n) OVER (ORDER BY score) AS BIGINT) AS cum
+                FROM h),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
+          SELECT ((cum - n) * 5) // ntot AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n_docs,
+                 CAST(sum(nd) AS BIGINT) AS n_dups,
+                 (CAST(sum(nd) AS BIGINT) * 1000000)
+                   // CAST(sum(n) AS BIGINT) AS dup_rate_ppm,
+                 min(score) AS lo_score, max(score) AS hi_score
+          FROM c, t GROUP BY 1 ORDER BY 1""",
+    // the engine must land at the same bin count and reproduce the
+    // source checksum from its own rewritten copy; preserved is the
+    // engine-measured equality and must come back true
+    "q213_compact_execute" ->
+      s"""WITH c AS (SELECT source, doc_id, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents),
+          b AS (SELECT source, (cum - n_chars) // $CompactTargetBytes AS bin
+                FROM c),
+          nb AS (SELECT source, CAST(count(DISTINCT bin) AS BIGINT) AS n_bins
+                 FROM b GROUP BY 1),
+          h AS (SELECT source,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                       || '|' || text), 1, 15) AS BIGINT) AS h
+                FROM documents),
+          per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+                    CAST(sum(CAST(h AS HUGEINT)) % 1152921504606846976
+                      AS BIGINT) AS checksum
+                  FROM h GROUP BY source)
+          SELECT source, n_bins, n_rows, checksum, true AS preserved
+          FROM per JOIN nb USING (source) ORDER BY source""",
+    // same bigram table, same context-count denominator, same d=3/4
+    // rational formula in integer ppm
+    "q212_kneser_ney" ->
+      s"""WITH tt AS (SELECT $wordsAposSql AS ws FROM documents),
+          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2
+                 FROM tt),
+          bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                 FROM bg GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                    CAST(count(*) AS BIGINT) AS n1p FROM bc GROUP BY 1),
+          cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+                   FROM bc GROUP BY 1),
+          tb AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+          r AS (SELECT w1, w2, c12,
+                  CAST(row_number() OVER (ORDER BY c12 DESC, w1, w2)
+                    AS INT) AS rk
+                FROM bc)
+          SELECT rk, w1, w2, c12, c1, n1p, ncont,
+                 ((4 * c12 - 3) * t + 3 * n1p * ncont) * 1000000
+                   // (4 * c1 * t) AS pkn_ppm,
+                 c12 * 1000000 // c1 AS mle_ppm
+          FROM r JOIN ctx USING (w1) JOIN cont USING (w2), tb
+          WHERE rk <= 20 ORDER BY rk""",
+    // same rollup grouping and the same overflow-safe integer variance
+    "q208_rollup_moments" ->
+      """WITH m AS (SELECT CASE WHEN GROUPING(source) = 1
+                     THEN '__total__' ELSE source END AS source,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(n_chars) AS BIGINT) AS sx,
+                  CAST(sum(n_chars * n_chars) AS BIGINT) AS sx2,
+                  min(n_chars) AS min_len, max(n_chars) AS max_len
+                FROM documents GROUP BY ROLLUP(source))
+          SELECT source, n, sx * 1000000 // n AS mean_ppm,
+                 sx2 * 1000000 // n
+                   - (sx * 1000 // n) * (sx * 1000 // n) AS var_ppm,
+                 min_len, max_len
+          FROM m ORDER BY source""",
+    // same cents quantization, histogram running sum, start-position bins
+    "q209_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT) AS v FROM lineitem),
+          h AS (SELECT v, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+          c AS (SELECT v, n, CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum
+                FROM h),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM h)
+          SELECT ((cum - n) * 10) // ntot AS bucket,
+                 CAST(sum(n) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_values,
+                 min(v) AS lo_cents, max(v) AS hi_cents
+          FROM c, t GROUP BY 1 ORDER BY 1""",
+    // same start-offset bin rule over the same per-source running sum
+    "q205_compaction_plan" ->
+      s"""WITH c AS (SELECT source, doc_id, n_chars,
+                  CAST(sum(n_chars) OVER (PARTITION BY source
+                       ORDER BY doc_id) AS BIGINT) AS cum
+                FROM documents),
+          b AS (SELECT source, doc_id, n_chars,
+                  (cum - n_chars) // $CompactTargetBytes AS bin FROM c)
+          SELECT source, bin, CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(n_chars) AS BIGINT) AS bytes,
+                 min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+                 CAST(sum(n_chars) AS BIGINT) * 1000000
+                   // $CompactTargetBytes AS fill_ppm
+          FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same doubled/quadrupled integer medians via histogram + running-sum
+    // pick; outlier rule 2*|2v - med2x| > 3*mad4 is float-free
+    "q206_mad_outliers" ->
+      s"""WITH v AS (SELECT source, n_chars AS v FROM documents),
+          h AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
+                FROM v GROUP BY 1, 2),
+          c AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                FROM h),
+          m1 AS (SELECT source, min(v) AS mid1 FROM c
+                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
+          m2 AS (SELECT source, min(v) AS mid2 FROM c
+                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
+          med AS (SELECT source, mid1 + mid2 AS m2x
+                  FROM m1 JOIN m2 USING (source)),
+          dv AS (SELECT v.source, abs(2 * v.v - med.m2x) AS v
+                 FROM v JOIN med USING (source)),
+          hd AS (SELECT source, v, CAST(count(*) AS BIGINT) AS n
+                 FROM dv GROUP BY 1, 2),
+          cd AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                 FROM hd),
+          d1 AS (SELECT source, min(v) AS mid1 FROM cd
+                 WHERE cum >= (ntot + 1) // 2 GROUP BY source),
+          d2 AS (SELECT source, min(v) AS mid2 FROM cd
+                 WHERE cum >= (ntot + 2) // 2 GROUP BY source),
+          mad AS (SELECT source, mid1 + mid2 AS mad4
+                  FROM d1 JOIN d2 USING (source))
+          SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(max(m2x) AS BIGINT) AS med2x,
+                 CAST(max(mad4) AS BIGINT) AS mad4,
+                 CAST(sum(CASE WHEN abs(2 * v.v - m2x) * 2 > mad4 * 3
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+          FROM v JOIN med USING (source) JOIN mad USING (source)
+          GROUP BY 1 ORDER BY 1""",
+    // borderless patterns (asserted in AhoCorasickSpec) make DuckDB's
+    // greedy length-delta//replace count equal the automaton's
+    // all-occurrence count exactly
+    "q204_keyword_tags" ->
+      s"""WITH k AS (SELECT unnest(${sqlList(AcKeywords)}) AS keyword),
+          h AS (SELECT d.doc_id, k.keyword,
+                  CAST((length(lower(d.text))
+                        - length(replace(lower(d.text), k.keyword, '')))
+                       // length(k.keyword) AS BIGINT) AS hits
+                FROM documents d CROSS JOIN k)
+          SELECT keyword,
+                 CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs,
+                 CAST(sum(hits) AS BIGINT) AS n_hits
+          FROM h GROUP BY 1 ORDER BY 1""",
+    // identical key counts, folded stats, ppm ratio, and ceil-div salt
+    "q202_skew_profile" ->
+      s"""WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+                 FROM events GROUP BY user_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                        CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          r AS (SELECT user_id, cnt,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+                    AS INT) AS rank
+                FROM c)
+          SELECT rank, user_id, cnt,
+                 (cnt * n_keys * 1000000) // total AS ratio_to_mean_ppm,
+                 (cnt + $SkewTargetRows - 1) // $SkewTargetRows AS salt_factor
+          FROM r, st WHERE rank <= 20 ORDER BY rank""",
+    // same excerpt construction, shingles, and integer cross-mult
+    // threshold — a dropped inclusion pair (the planted excerpts) or a
+    // flipped containment direction hash-mismatches
+    "q199_containment" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws
+                 FROM documents WHERE doc_id < $BruteForceSlice),
+          ex AS (SELECT doc_id + 1000000 AS doc_id, ws[1:30] AS ws
+                 FROM t WHERE doc_id % 11 = 0),
+          u AS (SELECT * FROM t UNION ALL SELECT * FROM ex),
+          s AS (SELECT doc_id,
+                  list_distinct([array_to_string(ws[i:i+2], ' ')
+                                 for i in range(1, len(ws) - 1)]) AS sh
+                FROM u WHERE len(ws) >= 3),
+          p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS o,
+                  CAST(len(a.sh) AS BIGINT) AS sza,
+                  CAST(len(b.sh) AS BIGINT) AS szb
+                FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          SELECT CASE WHEN sza <= szb THEN id_a ELSE id_b END AS contained_id,
+                 CASE WHEN sza <= szb THEN id_b ELSE id_a END AS container_id,
+                 o AS overlap,
+                 least(sza, szb) AS size_contained,
+                 greatest(sza, szb) AS size_container
+          FROM p WHERE o * 10 >= least(sza, szb) * 9
+          ORDER BY contained_id, container_id""",
+    // identical rarity micro-units, integer mean, and ratio-to-mean stage
+    "q200_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+          cf AS (SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY w),
+          pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(sum(1000000000 // cf) AS BIGINT) AS rare_sum
+                 FROM tok JOIN cf USING (w) GROUP BY doc_id),
+          m AS (SELECT CAST(sum(rare_sum) AS BIGINT)
+                  // CAST(sum(nw) AS BIGINT) AS mean_d FROM pd),
+          dd AS (SELECT rare_sum // nw AS difficulty FROM pd)
+          SELECT least(3, (2 * difficulty) // mean_d) AS stage,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 min(difficulty) AS min_difficulty,
+                 max(difficulty) AS max_difficulty,
+                 CAST(sum(difficulty) AS BIGINT) AS sum_difficulty
+          FROM dd, m GROUP BY 1 ORDER BY 1""",
+    // the shared q49/q98 quantizer CTE as the clustering; all pair counts
+    // from the contingency table, published in exact integer ppm
+    "q201_cluster_agreement" ->
+      s"""WITH $ivfCellsCteSql,
+          ct AS (SELECT c.cid, e.label, CAST(count(*) AS BIGINT) AS n
+                 FROM cells c JOIN embeddings e USING (vec_id)
+                 GROUP BY 1, 2),
+          s1 AS (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS tp,
+                        CAST(sum(n) AS BIGINT) AS n_items FROM ct),
+          s2 AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS sum_a2
+                 FROM (SELECT cid, CAST(sum(n) AS BIGINT) AS a
+                       FROM ct GROUP BY cid)),
+          s3 AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sum_b2
+                 FROM (SELECT label, CAST(sum(n) AS BIGINT) AS b
+                       FROM ct GROUP BY label)),
+          s5 AS (SELECT CAST(sum(mx) AS BIGINT) AS purity_num
+                 FROM (SELECT cid, max(n) AS mx FROM ct GROUP BY cid))
+          SELECT n_items, n_items * (n_items - 1) // 2 AS n_pairs, tp,
+                 sum_a2, sum_b2,
+                 ((n_items * (n_items - 1) // 2) + 2 * tp - sum_a2 - sum_b2)
+                   * 1000000 // (n_items * (n_items - 1) // 2) AS ri_ppm,
+                 purity_num,
+                 purity_num * 1000000 // n_items AS purity_ppm
+          FROM s1, s2, s3, s5""",
+    // identical per-mille integer score, histogram running sum over the
+    // bounded score domain, and first-covering-row selection
+    "q197_quality_threshold" ->
+      s"""WITH t AS (SELECT source,
+                   CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                     // CAST(len(ws) AS BIGINT) AS score
+                 FROM (SELECT source, $wordsSql AS ws FROM documents)
+                 WHERE len(ws) > 0),
+          h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS n
+                FROM t GROUP BY 1, 2),
+          c AS (SELECT source, score, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY score)
+                    AS BIGINT) AS cum
+                FROM h),
+          tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_total
+                 FROM h GROUP BY source),
+          f AS (SELECT c.source, c.score, c.n, c.cum, tt.n_total,
+                  row_number() OVER (PARTITION BY c.source ORDER BY c.score)
+                    AS rn
+                FROM c JOIN tt USING (source)
+                WHERE c.cum * 10 >= tt.n_total)
+          SELECT source, score AS cutoff_permille, n_total,
+                 n_total - cum + n AS n_kept
+          FROM f WHERE rn = 1 ORDER BY source""",
+    // the oracle does NOT parse: it derives the canonical every raw URL
+    // must collapse to from the doc_id arithmetic alone, and replays only
+    // the raw generator (for n_variants) — a canonicalizer bug on any
+    // noise axis splits a group and fails the compare
+    "q198_url_canonicalize" ->
+      """WITH h AS (SELECT doc_id,
+                  md5(CAST(doc_id AS VARCHAR) || ':url') AS hx
+                FROM documents),
+          r AS (SELECT doc_id,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                  || '://' ||
+                  (CASE WHEN CAST('0x' || substring(hx, 1, 1) AS BIGINT) % 2 = 0
+                        THEN upper('cdn' || (doc_id % 3) || '.example.com')
+                        ELSE 'cdn' || (doc_id % 3) || '.example.com' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 2, 1) AS BIGINT) % 2 = 0
+                           THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                           ELSE '' END)
+                  || '/a/' || (doc_id % 10)
+                  || (CASE WHEN CAST('0x' || substring(hx, 3, 1) AS BIGINT) % 2 = 0
+                           THEN '/' ELSE '' END)
+                  || '?'
+                  || (CASE WHEN CAST('0x' || substring(hx, 4, 1) AS BIGINT) % 2 = 0
+                           THEN 'v=2&id=' || (doc_id % 5)
+                           ELSE 'id=' || (doc_id % 5) || '&v=2' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 5, 1) AS BIGINT) % 2 = 0
+                           THEN '&utm_source=feed' ELSE '' END)
+                  || (CASE WHEN CAST('0x' || substring(hx, 6, 1) AS BIGINT) % 2 = 0
+                           THEN '#sec' ELSE '' END) AS raw,
+                  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                  || '://cdn' || (doc_id % 3) || '.example.com/a/'
+                  || (doc_id % 10) || '?id=' || (doc_id % 5) || '&v=2'
+                    AS canonical_url
+                FROM h)
+          SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+                 CAST(count(DISTINCT raw) AS BIGINT) AS n_variants,
+                 min(doc_id) AS min_doc
+          FROM r GROUP BY canonical_url ORDER BY canonical_url""",
+    // same per-length max reduction and strictly-cheaper running max; the
+    // skyline definition is replayed with the identical window frame
+    "q193_pareto_frontier" ->
+      s"""WITH t AS (SELECT source, doc_id, n_chars,
+                   CAST(len(list_distinct($wordsSql)) AS BIGINT) AS n_dw
+                 FROM documents),
+          b AS (SELECT source, n_chars, max(n_dw) AS n_dw
+                FROM t GROUP BY 1, 2),
+          f AS (SELECT source, n_chars, n_dw,
+                  max(n_dw) OVER (PARTITION BY source ORDER BY n_chars
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM b)
+          SELECT t.source, t.doc_id, t.n_chars, t.n_dw
+          FROM f JOIN t ON t.source = f.source AND t.n_chars = f.n_chars
+                       AND t.n_dw = f.n_dw
+          WHERE f.prev_max IS NULL OR f.n_dw > f.prev_max
+          ORDER BY t.source, t.n_chars, t.doc_id""",
+    // identical train/score split, counts, backoff rule, and micro-nat
+    // floor; per-doc sums are order-free longs so the compare is strict
+    "q194_backoff_lm" ->
+      s"""WITH tok AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          trtok AS (SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0),
+          u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM trtok GROUP BY w),
+          stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                           CAST(count(DISTINCT w) AS BIGINT) AS v FROM trtok),
+          bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                 FROM tok, unnest(range(1, len(ws))) AS t(i)
+                 WHERE len(ws) >= 2),
+          c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+                 FROM bi WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          sc AS (SELECT b.doc_id,
+                   CASE WHEN c2.c2 IS NOT NULL THEN
+                     CAST(floor(ln(CAST(c2.c2 AS DOUBLE) / CAST(u1.c AS DOUBLE))
+                                * 1000000.0) AS BIGINT)
+                   ELSE
+                     CAST(floor(ln(0.4 * CAST(COALESCE(u2.c, 0) + 1 AS DOUBLE)
+                                   / CAST(n + v AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   END AS sm
+                 FROM bi b
+                 LEFT JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+                 LEFT JOIN u u1 ON u1.w = b.w1
+                 LEFT JOIN u u2 ON u2.w = b.w2
+                 CROSS JOIN stats
+                 WHERE b.doc_id % 2 = 1)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(sm) AS BIGINT) AS score_micronats,
+                 sum(sm) >= -3500000 * count(*) AS keep
+          FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    // brute-force pairs over the same slice + the q187 fold expression;
+    // a dropped leaking pair or a drifted fold assignment hash-mismatches
+    "q195_fold_contamination" ->
+      s"""${shingleCte(s"WHERE doc_id < $BruteForceSlice")},
+          p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.sh, b.sh)) * 1.0
+                     / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b,
+                 CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold_a,
+                 CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold_b,
+                 jaccard
+          FROM p
+          WHERE jaccard > 0.5
+            AND CAST('0x' || substring(md5(CAST(doc_a AS VARCHAR) || ':cv'), 1, 8)
+                  AS BIGINT) % 5
+             <> CAST('0x' || substring(md5(CAST(doc_b AS VARCHAR) || ':cv'), 1, 8)
+                  AS BIGINT) % 5
+          ORDER BY doc_a, doc_b""",
+    // REBUILDS each artifact from the filtered corpus only — checksum
+    // equality proves the engine's anti-join propagation ≡ full rebuild
+    "q190_delete_propagation" ->
+      s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
+          ch AS (SELECT * FROM (${cdcChunkRowsSql("live")})),
+          po AS (SELECT doc_id, unnest(${TextQueries.tokenizeSql}) AS lexeme
+                 FROM live),
+          s1 AS (SELECT 'chunks' AS artifact, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || CAST(chunk_idx AS VARCHAR)
+                       || '|' || CAST(chunk_hash AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS checksum
+                 FROM ch),
+          s2 AS (SELECT 'documents', CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || text), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+                 FROM live),
+          s3 AS (SELECT 'postings', CAST(count(*) AS BIGINT),
+                   CAST(sum(CAST(CAST('0x' || substring(md5(
+                     CAST(doc_id AS VARCHAR) || '|' || lexeme), 1, 15) AS BIGINT)
+                     AS HUGEINT)) % 1152921504606846976 AS BIGINT)
+                 FROM po)
+          SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+          ORDER BY artifact""",
+    // identical md5 fold assignment and the identical integer balance audit
+    "q187_cv_folds" ->
+      """WITH f AS (SELECT lang,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cv'), 1, 8)
+                   AS BIGINT) % 5 AS fold
+            FROM documents),
+          c AS (SELECT fold, lang, CAST(count(*) AS BIGINT) AS n
+                FROM f GROUP BY 1, 2),
+          lt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS lt FROM c GROUP BY lang)
+          SELECT fold, lang, n,
+                 (25 * n >= 4 * lt AND 25 * n <= 6 * lt) AS balance_ok
+          FROM c JOIN lt USING (lang) ORDER BY fold, lang""",
+    // one-pass ppm floor arithmetic replayed exactly; the 200-ppm gate is
+    // an integer predicate
+    "q185_token_drift" ->
+      s"""WITH t AS (SELECT lang = 'en' AS is_en, unnest($wordsAposSql) AS w
+            FROM documents),
+          c AS (SELECT w,
+                  CAST(count(*) FILTER (WHERE is_en) AS BIGINT) AS na,
+                  CAST(count(*) FILTER (WHERE NOT is_en) AS BIGINT) AS nb
+                FROM t GROUP BY w),
+          tot AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+                         CAST(sum(nb) AS BIGINT) AS tb FROM c)
+          SELECT w, na, nb,
+                 abs((na * 1000000) // ta - (nb * 1000000) // tb) AS drift_ppm
+          FROM c, tot
+          WHERE abs((na * 1000000) // ta - (nb * 1000000) // tb) >= 200
+          ORDER BY drift_ppm DESC, w""",
+    // exact join size from per-key count products; the sketch side's
+    // overestimate theorem and 4x-widened bound are deterministic gates
+    "q186_join_size_sketch" ->
+      """WITH d AS (SELECT source,
+                 CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   AS BIGINT) % 2 = 0 AS in_a
+            FROM documents),
+          c AS (SELECT source,
+                  count(*) FILTER (WHERE in_a) AS ca,
+                  count(*) FILTER (WHERE NOT in_a) AS cb
+                FROM d GROUP BY source)
+          SELECT CAST((SELECT sum(ca * cb) FROM c) AS BIGINT) AS exact_size,
+                 (SELECT count(*) FROM d WHERE in_a) AS n_a,
+                 (SELECT count(*) FROM d WHERE NOT in_a) AS n_b,
+                 true AS overestimate_ok, true AS bound_ok""",
+    // zipped-adjacent bigrams vs unigram marginals; the PMI > ln(3/2) gate
+    // is the identical cross-multiplied integer predicate (HUGEINT side)
+    "q180_pmi_collocations" ->
+      s"""WITH t AS (SELECT $wordsAposSql AS ws FROM documents),
+          u AS (SELECT unnest(ws) AS w FROM t),
+          uc AS (SELECT w, count(*) AS n FROM u GROUP BY w),
+          nu AS (SELECT sum(n) AS nu FROM uc),
+          bg AS (SELECT unnest(ws[1:-2]) AS w1, unnest(ws[2:-1]) AS w2 FROM t),
+          bc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+          nb AS (SELECT sum(n_ab) AS nb FROM bc)
+          SELECT w1, w2, n_ab, a.n AS n_a, b.n AS n_b
+          FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2, nu, nb
+          WHERE n_ab >= 3
+            AND 2 * CAST(n_ab AS HUGEINT) * nu * nu >
+                3 * CAST(nb AS HUGEINT) * a.n * b.n
+          ORDER BY w1, w2""",
+    // replays the 16-char window poly-hash breakpoints (h % 128 == 7 after
+    // position i >= 16) and the per-chunk mod-1e9+7 fold — chunk starts,
+    // lengths, and hashes are all exact cross-engine
+    "q179_cdc_chunks" ->
+      s"${cdcChunkRowsSql("documents")} ORDER BY doc_id, chunk_idx",
+    // DEFINED identical to q49's in-memory path — one shared string, so
+    // the disk roundtrip cannot drift from the quantizer contract
+    "q191_ivf_disk_index" -> ivfKnnOracleSql,
+    // replays q175's closed-form PCM stream: the engine must parse a REAL
+    // RIFF/WAV container back to the same per-sample sums
+    // the q175 closed-form PCM replay sliced into the same complete
+    // 256-frame windows: per-window Σs² and the per-clip top-3 rank
+    "q192_audio_energy" ->
+      """WITH au AS (
+           SELECT doc_id AS media_id, 1000 + doc_id % 7 * 100 AS nf
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT media_id, i.i // 256 AS w, nf,
+                  (i.i * 37 + media_id * 101) % 65536 - 32768 AS s
+           FROM au, LATERAL (SELECT unnest(range(au.nf)) AS i) i),
+         e AS (
+           SELECT media_id, w, CAST(sum(s * s) AS BIGINT) AS energy,
+                  count(*) AS n
+           FROM sm GROUP BY media_id, w)
+         SELECT media_id, rank, window_idx, energy FROM (
+           SELECT media_id, CAST(w AS BIGINT) AS window_idx, energy,
+                  CAST(row_number() OVER (
+                    PARTITION BY media_id ORDER BY energy DESC, w) AS INT) AS rank
+           FROM e WHERE n = 256) t
+         WHERE rank <= 3 ORDER BY media_id, rank"""
+  )
+}

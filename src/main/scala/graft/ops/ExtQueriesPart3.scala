@@ -1,0 +1,2353 @@
+package graft.ops
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.ext.{CountMin, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.io.Tables
+
+import graft.ops.ExtQueriesShared._
+
+/** Catalog part 3 of [[ExtQueries]] — split for compile-unit size;
+  * every member is verbatim from the original single file. */
+private[ops] object ExtQueriesPart3 {
+
+  /** WEIGHTED SIMHASH (Charikar STOC 2002, the original tf-weighted
+    * form — q44 is the unweighted-distinct-token variant): tokens vote
+    * ±tf per bit, so a dominant repeated term dominates the fingerprint.
+    * Published per doc alongside the HAMMING DISTANCE to the unweighted
+    * fingerprint — the drift between the two is exactly the repetition
+    * signal (a doc where they differ by many bits is tf-skewed). Both
+    * fingerprints ride the same one-pass map stage. */
+  private val q236WeightedSimhash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id",
+        Dedup.simhashWeightedMd5(graft.text.TextOps.words($"text"))
+          .as("wsimhash"),
+        Dedup.simhashMd5(graft.text.TextOps.tokenizeBasic($"text"))
+          .as("usimhash"))
+      .select($"doc_id", $"wsimhash",
+        bit_count($"wsimhash".bitwiseXOR($"usimhash")).cast("int")
+          .as("weight_drift_bits"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** JOIN-CARDINALITY AUDIT — the fan-out detector for silent row
+    * explosions (the classic pipeline bug: a "1:1" merge key that is
+    * actually 1:N doubles downstream counts without erroring). For each
+    * declared relationship the engine measures, per join, the child row
+    * count, the post-join row count, the number of keys with parent
+    * multiplicity > 1, and the worst multiplicity — all from ONE
+    * parent-side key count (map-side combinable) joined back, no
+    * full-join materialization needed for the audit columns. */
+  private val q237JoinCardinality: Q = (s, d) => {
+    import s.implicits._
+    def audit(name: String, child: org.apache.spark.sql.DataFrame,
+              ck: String, parent: org.apache.spark.sql.DataFrame,
+              pk: String) = {
+      val pc = parent.groupBy(col(pk)).agg(count(lit(1)).as("pmult"))
+      val joined = child.join(broadcast(pc), child(ck) === pc(pk), "left")
+      joined.agg(
+          count(lit(1)).as("n_child"),
+          sum(coalesce($"pmult", lit(0L))).as("n_joined"),
+          sum(when($"pmult" > 1, 1L).otherwise(0L)).as("n_fanout_rows"),
+          max(coalesce($"pmult", lit(0L))).as("max_mult"))
+        .select(lit(name).as("relation"), $"n_child", $"n_joined",
+          $"n_fanout_rows", $"max_mult")
+    }
+    audit("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")
+      .unionByName(audit("lineitem->part", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      // deliberately 1:N: orders joined on customer NATION — every row
+      // fans out by the nation's customer count; the audit must see it
+      .unionByName(audit("orders->customer_by_nation",
+        Tables.orders(s, d).join(
+          Tables.customer(s, d).select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_nationkey"),
+        "c_nationkey",
+        Tables.customer(s, d).select($"c_nationkey".as("cn")), "cn"))
+      .orderBy($"relation")
+  }
+
+
+  /** TRIMMED + WINSORIZED ROBUST STATS per source — the q206/q208
+    * family completed: mean of the middle 80% (trimmed) and mean with
+    * tails CLAMPED to the p10/p90 values (winsorized), both EXACT and
+    * integer from the bounded value histogram: rank cutoffs lo = ⌈n/10⌉,
+    * hi = n − ⌈n/10⌉ select by running count, the trimmed sum subtracts
+    * the tail mass, and winsorizing adds back clamped tails at the
+    * cutoff values. No row sort, two histogram shuffles, ppm output. */
+  private val q238RobustStats: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, d)
+      .select($"source", $"n_chars".as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("n"))
+    val c = h
+      .withColumn("cum", sum($"n").over(
+        Window.partitionBy($"source").orderBy($"v")))
+      .withColumn("ntot", sum($"n").over(Window.partitionBy($"source")))
+      .withColumn("lo_rank", expr("(ntot + 9) div 10"))
+      .withColumn("hi_rank", expr("ntot - (ntot + 9) div 10"))
+      .cache()
+    val loV = c.filter($"cum" >= $"lo_rank").groupBy($"source")
+      .agg(min($"v").as("p10"))
+    val hiV = c.filter($"cum" >= $"hi_rank").groupBy($"source")
+      .agg(min($"v").as("p90"))
+    // per value-group: how many of its rows fall inside (lo_rank, hi_rank]
+    val mid = c.withColumn("in_lo", greatest($"cum" - $"n", $"lo_rank"))
+      .withColumn("in_hi", least($"cum", $"hi_rank"))
+      .withColumn("k", greatest($"in_hi" - $"in_lo", lit(0L)))
+      .groupBy($"source")
+      .agg(sum($"k" * $"v").as("mid_sum"), sum($"k").as("mid_n"),
+        max($"ntot").as("n"), max($"lo_rank").as("t"))
+    mid.join(broadcast(loV), "source").join(broadcast(hiV), "source")
+      .select($"source", $"n", $"p10", $"p90",
+        expr("(mid_sum * 1000000) div mid_n").as("trimmed_mean_ppm"),
+        expr("((mid_sum + t * p10 + t * p90) * 1000000) div n")
+          .as("winsorized_mean_ppm"))
+      .orderBy($"source")
+  }
+
+
+  /** GINI CONCENTRATION of document lengths per source — the corpus-
+    * dominance audit (is a source's token mass spread evenly or carried
+    * by a few giants?): G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending
+    * ranks, EXACT in ppm with no row sort — a value group with count k
+    * at running count c occupies ranks (c−k, c], so its rank-weighted
+    * mass is v·(2c−k+1)·k/2, folded straight off the bounded value
+    * histogram (the q206/q238 machinery, third member of the robust-
+    * stats family). */
+  private val q239Gini: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(s, d)
+      .select($"source", $"n_chars".as("v"))
+      .groupBy($"source", $"v").agg(count(lit(1)).as("k"))
+    h.withColumn("cum", sum($"k").over(
+        Window.partitionBy($"source").orderBy($"v")))
+      .groupBy($"source")
+      .agg(max($"cum").as("n"), sum($"v" * $"k").as("sx"),
+        sum($"v" * ($"cum" * 2 - $"k" + 1) * $"k").as("s1x2"))
+      .select($"source", $"n", $"sx",
+        expr("(s1x2 * 1000000) div (n * sx) - ((n + 1) * 1000000) div n")
+          .as("gini_ppm"))
+      .orderBy($"source")
+  }
+
+
+  /** BURSTINESS (Fano factor) of event arrivals per user — the ingest
+    * traffic-shape monitor: variance-to-mean ratio of per-hour event
+    * counts (1 = Poisson, >1 bursty, <1 regular), integer end-to-end
+    * with the q208 overflow-safe variance form. Hours with zero events
+    * INSIDE the user's active span count — the span folds from min/max
+    * hour, so the zero hours never materialize as rows (the sparse-
+    * histogram trick that matters when a user's span is months). */
+  private val q240Burstiness: Q = (s, d) => {
+    import s.implicits._
+    val hr = Tables.events(s, d)
+      .select($"user_id",
+        (unix_timestamp(date_trunc("hour", $"ts")) / 3600).cast("long")
+          .as("h"))
+      .groupBy($"user_id", $"h").agg(count(lit(1)).as("c"))
+    hr.groupBy($"user_id")
+      .agg((max($"h") - min($"h") + 1).as("span"),
+        sum($"c").as("total"), sum($"c" * $"c").as("sc2"),
+        count(lit(1)).as("active_hours"))
+      .filter($"span" >= 2)
+      // mean = total/span; var = E[c²]−mean² with zero hours contributing
+      // only to the denominator: E[c²] = sc2/span
+      .select($"user_id", $"span", $"total", $"active_hours",
+        expr("(sc2 * 1000000) div span" +
+          " - (total * 1000 div span) * (total * 1000 div span)")
+          .as("var_ppm"),
+        expr("(total * 1000000) div span").as("mean_ppm"))
+      .withColumn("fano_ppm",
+        expr("(var_ppm * 1000000) div mean_ppm"))
+      .orderBy($"user_id")
+  }
+
+
+  /** INTERVAL-UNION COVERAGE — q221's sweep line completed: total
+    * COVERED microseconds per day (union length of the session
+    * intervals, overlaps counted once) plus the uncovered gap count.
+    * Same boundary explode; coverage folds as Σ gap·[conc>0] over
+    * consecutive boundary pairs via one lead() — still no self-join, one
+    * day-partitioned sort. Integer micros end-to-end. */
+  private val q241IntervalUnion: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, d)
+      .select($"ts".as("s"),
+        expr("ts + make_interval(0, 0, 0, 0, 0, cast(user_id % 30 + 1 as int), 0)")
+          .as("e"))
+      // clamp to the start day so an interval never crosses its day bucket
+      .select($"s", least($"e",
+        date_add(to_date($"s"), 1).cast("timestamp")).as("e"))
+    // both boundaries carry the START day: the clamp guarantees e ≤ next
+    // midnight, so a day's sweep is self-contained (an end at exactly
+    // midnight must NOT leak into the next day's bucket)
+    val bounds = iv
+      .select(to_date($"s").as("day"), $"s".as("t"), lit(1L).as("delta"))
+      .unionByName(iv.select(to_date($"s").as("day"), $"e".as("t"),
+        lit(-1L).as("delta")))
+      .groupBy($"day", $"t")
+      .agg(sum($"delta").as("delta"))
+    val w = Window.partitionBy($"day").orderBy($"t")
+    bounds
+      .withColumn("conc", sum($"delta").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_t", lead($"t", 1).over(w))
+      .filter($"next_t".isNotNull)
+      .groupBy($"day")
+      .agg(
+        sum(when($"conc" > 0,
+          unix_micros($"next_t") - unix_micros($"t")).otherwise(0L))
+          .as("covered_us"),
+        sum(when($"conc" === 0 &&
+          unix_micros($"next_t") > unix_micros($"t"), 1L).otherwise(0L))
+          .as("n_gaps"))
+      .orderBy($"day")
+  }
+
+
+  /** OUT-OF-VOCABULARY RATE per source — the tokenizer-coverage audit
+    * before committing a vocab: global vocabulary = tokens seen in ≥ 3
+    * documents; each source's token occurrences are scored against it.
+    * One (token) df count, one broadcast-joined probe — the OOV ppm and
+    * the distinct-OOV-type count per source. */
+  private val q242OovRate: Q = (s, d) => {
+    import s.implicits._
+    val tok = Tables.documents(s, d).repartition($"doc_id")
+      .select($"source", $"doc_id",
+        explode(graft.text.TextOps.words($"text")).as("w"))
+      .cache()
+    val vocab = tok.select($"w", $"doc_id").distinct()
+      .groupBy($"w").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 3).select($"w")
+    // vocab is vocabulary-sized — unhinted so AQE picks the join side
+    tok.join(vocab.withColumn("in_vocab", lit(1L)), Seq("w"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"),
+        size(collect_set(when($"in_vocab".isNull, $"w"))).cast("long")
+          .as("n_oov_types"))
+      .withColumn("oov_ppm", expr("(n_oov * 1000000) div n_tokens"))
+      .orderBy($"source")
+  }
+
+
+  /** ORDERED STRING AGGREGATION (listagg parity) — deterministic
+    * group_concat needs an explicit order or the result is shuffle-
+    * dependent: collect_list carries (orderkey, value) structs,
+    * array_sort fixes the order, THEN the join — the only
+    * shuffle-stable way to build ordered concatenations in a
+    * distributed engine (and why bare collect_list in production
+    * pipelines is a bug). Top-3 regions' nations, pipe-joined in key
+    * order. */
+  private val q243OrderedListagg: Q = (s, d) => {
+    import s.implicits._
+    Tables.nation(s, d)
+      .groupBy($"n_regionkey")
+      .agg(array_join(expr("transform(array_sort(" +
+        "collect_list(struct(n_nationkey, n_name))), p -> p.n_name)"), "|")
+        .as("nations"),
+        count(lit(1)).as("n"))
+      .select($"n_regionkey", $"n", $"nations")
+      .orderBy($"n_regionkey")
+  }
+
+
+  /** CODE-SWITCHING DETECTION — documents whose language FLIPS
+    * mid-text (concatenation artifacts, bilingual boilerplate — docs a
+    * doc-level language filter silently mislabels): q50's marker-argmax
+    * language ID applied per 20-word WINDOW, then per-doc window count,
+    * distinct languages, and adjacent-window switch count. Window slices
+    * are map-side array ops (no token explode); the only shuffle is the
+    * per-doc fold. */
+  private val q244CodeSwitching: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val W = 20
+    // fully map-side: windows, per-window language, and the adjacent-
+    // switch count all stay inside the row's array world — no explode,
+    // no per-doc window shuffle. The per-window argmax runs as ONE
+    // hash-set membership pass over the window's distinct words (4
+    // array_intersects against 100-800-entry marker literals per window
+    // kept this at ~4 s at sf0.1; the set-probe form is O(|window|)
+    // with the 4 marker sets built once per executor).
+    val markerSets: Seq[(String, Set[String])] =
+      TextAnalysis.langMarkers.map { case (c, m) => (c, m.toSet) }
+    val bMarkers = s.sparkContext.broadcast(markerSets)
+    val langsUdf = udf((wss: Seq[Seq[String]]) => {
+      val ms = bMarkers.value
+      wss.map { w =>
+        val d = w.distinct
+        val hits = ms.map { case (code, set) => (code, d.count(set)) }
+        val Seq(("en", en), ("de", de), ("fr", fr), ("es", es)) = hits
+        if (en > 0 && en >= de && en >= fr && en >= es) "en"
+        else if (de > 0 && de >= fr && de >= es) "de"
+        else if (fr > 0 && fr >= es) "fr"
+        else if (es > 0) "es"
+        else "und"
+      }
+    })
+    Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", langsUdf(expr(
+        s"transform(sequence(0, (size(ws) - 1) div $W)," +
+          s" i -> slice(ws, i * $W + 1, $W))")).as("ls"))
+      .select($"doc_id",
+        size($"ls").cast("long").as("n_windows"),
+        size(array_distinct($"ls")).cast("long").as("n_langs"),
+        // zip each lang with its successor; the trailing (last, null)
+        // pair evaluates to null and filter(x -> x) drops it
+        size(filter(zip_with($"ls",
+          slice($"ls", lit(2), greatest(size($"ls") - 1, lit(0))),
+          (a, b) => a =!= b), x => x)).cast("long").as("n_switches"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** PER-DOCUMENT KEYWORD EXTRACTION (tf·idf-ranked, transcendental-
+    * free): each doc's top-3 terms by integer weight tf·(10⁶ div df) —
+    * the idf reciprocal in fixed-point rather than a log, monotone in
+    * df for fixed tf, fully order-deterministic with the (weight desc,
+    * term) tiebreak. One token explode feeds BOTH the (doc, term) tf
+    * table and the df table (self-fold, no rescan); df joins back
+    * broadcast; per-doc top-3 via the map-side-prunable window. */
+  private val q245Keywords: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+      .cache()
+    val df = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    // df is vocabulary-sized — unhinted so AQE picks the join side
+    tf.join(df, "w")
+      .withColumn("weight", expr("tf * (1000000 div df)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"weight".desc, $"w")))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk", $"w".as("term"), $"tf", $"df", $"weight")
+      .orderBy($"doc_id", $"rk")
+  }
+
+
+  /** DATASET CARD — the one-row corpus summary a release ships with
+    * (docs, languages, sources, exact-dup rate, length moments, vocab
+    * size, token estimate), folded from TWO scans total: one row-level
+    * pass (counts, lengths, distincts, dup groups via a hash-distinct
+    * fold) and one token pass (vocab + token count). Every number is an
+    * exact integer; the dup rate is published in ppm. The point is the
+    * COMPOSITION shape: card fields share scans instead of each running
+    * its own query — at 100 TB the difference between 2 passes and 9. */
+  private val q246DatasetCard: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id").cache()
+    val rowStats = docs
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        sha2($"text", 256).as("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"h").as("n_unique"),
+        sum($"n_chars").as("total_chars"),
+        min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+    val tokStats = docs
+      .select(explode(graft.text.TextOps.words($"text")).as("w"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"w").as("vocab_size"))
+    rowStats.crossJoin(broadcast(tokStats))
+      .select($"n_docs", $"n_langs", $"n_sources",
+        expr("((n_docs - n_unique) * 1000000) div n_docs").as("dup_ppm"),
+        $"total_chars", $"min_chars", $"max_chars",
+        expr("total_chars * 1000000 div n_docs").as("mean_chars_ppm"),
+        $"n_tokens", $"vocab_size")
+  }
+
+
+  /** BAG-SEMANTICS SET OPERATIONS — EXCEPT ALL / INTERSECT ALL, the
+    * multiset complements of q17/q24's set forms (multiplicity
+    * subtraction and minimum, per SQL standard): the reconciliation
+    * algebra for row-level diffs where duplicate rows are REAL (retry
+    * ingests, at-least-once sinks). Implemented with Spark's native
+    * exceptAll/intersectAll (hash-based multiplicity arithmetic, one
+    * shuffle each), folded to per-priority counts. */
+  private val q248BagSetOps: Q = (s, d) => {
+    import s.implicits._
+    val a = Tables.orders(s, d).select($"o_orderpriority".as("p"))
+    val b = Tables.orders(s, d).filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderpriority".as("p"))
+    val ex = a.exceptAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy($"p").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select($"op", $"p", $"n").orderBy($"op", $"p")
+  }
+
+
+  /** LANGUAGE-ID CONFIDENCE — q50's argmax with the decision MARGIN
+    * exposed (top hit count minus runner-up, and the margin as ppm of
+    * total hits): the filtering knob real pipelines use ("keep only
+    * confident en") that a bare label hides. Same one-pass marker
+    * intersection; margin arithmetic is exact integers; docs with zero
+    * hits everywhere report margin −1 (und, unfilterable). */
+  private val q249LangConfidence: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", TextAnalysis.words($"text").as("ws"))
+    val scores = TextAnalysis.langMarkers.map { case (code, m) =>
+      code -> TextAnalysis.markerHits($"ws", m)
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en > 0 && en >= de && en >= fr && en >= es, "en")
+      .when(de > 0 && de >= fr && de >= es, "de")
+      .when(fr > 0 && fr >= es, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+    base
+      .withColumn("sorted", array_sort(array(en, de, fr, es)))
+      .withColumn("total", en + de + fr + es)
+      .select($"doc_id", pred.as("pred_lang"),
+        element_at($"sorted", 4).as("top_hits"),
+        element_at($"sorted", 3).as("second_hits"),
+        when($"total" > 0,
+          expr("((element_at(sorted, 4) - element_at(sorted, 3))" +
+            " * 1000000) div total"))
+          .otherwise(lit(-1L)).as("margin_ppm"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** VOCABULARY GROWTH CURVE (Heaps-law audit, log-free): cumulative
+    * distinct-token count after each decile of the corpus, in doc_id
+    * order — the new-token-rate signal that says when a tokenizer vocab
+    * has "seen enough". The curve needs NO sequential scan: each token's
+    * FIRST document (one min-aggregate) places it on the axis, and the
+    * decile curve is a 10-row fold over first-doc counts — two shuffles
+    * total at any corpus size, versus the naive running-distinct which
+    * is inherently serial. Also reports per-decile NEW tokens. */
+  private val q250VocabGrowth: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3-shingles, not words: the synthetic word vocab saturates in the
+    // first docs (a 1-row curve); the shingle space keeps growing, which
+    // is the regime the curve exists to measure
+    val firsts = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(Dedup.shingleSet($"text", 3)).as("w"))
+      .groupBy($"w").agg(min($"doc_id").as("first_doc"))
+    val nDocs = Tables.documents(s, d).agg(max($"doc_id").as("max_id"))
+    firsts.crossJoin(broadcast(nDocs))
+      // decile by position of first_doc on the doc_id axis, 1..10
+      .withColumn("decile",
+        least(lit(10L), expr("(first_doc * 10) div (max_id + 1) + 1")))
+      .groupBy($"decile").agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab_cum", sum($"new_tokens").over(
+        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"decile", $"new_tokens", $"vocab_cum")
+      .orderBy($"decile")
+  }
+
+
+  /** COLLISION DIVERSITY (Rényi-2 / Simpson index) — a LOG-FREE lexical
+    * diversity score: the probability two random tokens of a doc
+    * coincide, Σtf² ·10¹² div n², in exact integer ppb-of-ppm units
+    * (1e12 = certain repetition of one token; lower = more diverse).
+    * The transcendental-free stand-in for Shannon entropy that stays
+    * oracle-exact (q104 measures surface REPETITION of grams; this
+    * measures distributional concentration of the unigram mass). One
+    * (doc, token) count shuffle + per-doc fold; the corpus-level
+    * concentration folds from the same tf table. */
+  private val q252CollisionDiversity: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"doc_id")
+      .agg(sum($"tf").as("n"), sum($"tf" * $"tf").as("s2"),
+        count(lit(1)).as("n_types"))
+      .select($"doc_id", $"n", $"n_types",
+        expr("(s2 * 1000000000000) div (n * n)").as("collision_ppt"))
+      .orderBy($"doc_id")
+  }
+
+
+  /** FEDERATED MULTI-FORMAT UNION — one logical table served by three
+    * physical sources at once: the customer dimension split into a
+    * parquet slice, a CSV slice (written with header, read back with an
+    * explicit schema — no inference drift), and a JDBC slice (embedded
+    * Derby through the dialect-checked path), unioned and aggregated in
+    * a single plan. This is the lake reality the engine must not blink
+    * at: per-source scans keep their own pushdown capabilities and the
+    * union is logical only. The oracle reconstructs the same aggregate
+    * from the parquet table — a lost slice, a CSV type drift, or a JDBC
+    * truncation shows up as a count/sum mismatch. */
+  private val q253FederatedUnion: Q = (s, d) => {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment", dec($"c_acctbal").as("bal"))
+    val dir = graft.util.Scratch.dir("graft_q253_fed_")
+    cust.filter($"c_custkey" % 3 === 0)
+      .write.mode("overwrite").parquet(s"$dir/pq")
+    cust.filter($"c_custkey" % 3 === 1)
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val url = s"jdbc:derby:$dir/db;create=true"
+    cust.filter($"c_custkey" % 3 === 2)
+      .write.mode("overwrite").jdbc(url, "cust_slice", new java.util.Properties())
+    val pq = s.read.parquet(s"$dir/pq")
+    val csv = s.read.option("header", "true")
+      .schema("c_custkey long, c_mktsegment string, bal decimal(18,2)")
+      .csv(s"$dir/csv")
+    val jd = graft.io.Jdbc.readTable(s, url, "cust_slice")
+      .toDF("c_custkey", "c_mktsegment", "bal")
+      .select($"c_custkey".cast("long"), $"c_mktsegment",
+        $"bal".cast("decimal(18,2)"))
+    pq.unionByName(csv).unionByName(jd)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), money(sum($"bal")).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+
+  /** FORWARD-FILL IMPUTATION via IGNORE NULLS window semantics — the
+    * gap-filling pass for sensor/telemetry-shaped data: values nulled on
+    * a planted rule are re-filled with the user's LAST non-null reading
+    * (event-time order), `last(col, ignoreNulls).over(rows unbounded
+    * preceding)` — the one window mode (null-skipping frames) the window
+    * suites don't otherwise touch. Leading nulls (no prior reading) stay
+    * null and are counted. Row-wise output, no float summation. */
+  private val q254ForwardFill: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id",
+        when($"event_id" % 5 === 0, lit(null)).otherwise($"value")
+          .as("v"))
+      .withColumn("filled", last($"v", ignoreNulls = true).over(w))
+      .filter($"event_id" % 5 === 0)
+      .select($"user_id", $"event_id", $"filled",
+        $"filled".isNull.as("still_null"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+
+  /** DUPLICATE PROVENANCE — q40's clusters split by WHERE the copies
+    * live: same-source duplicates (re-crawls — fix the crawler) vs
+    * cross-source duplicates (syndication/mirrors — fix source
+    * weighting). One hash shuffle carrying (source) alongside; per
+    * cluster: size and distinct sources; then a 4-row summary by
+    * (multi_copy × multi_source). The diagnostic that tells you WHICH
+    * dedup investment pays before you make it. */
+  private val q255DupProvenance: Q = (s, d) => {
+    import s.implicits._
+    val cl = Tables.documents(s, d).repartition($"doc_id")
+      .select(sha2($"text", 256).as("h"), $"source")
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"source").as("n_sources"))
+    cl.groupBy(($"n_copies" > 1).as("is_dup"),
+        ($"n_sources" > 1).as("cross_source"))
+      .agg(count(lit(1)).as("n_clusters"), sum($"n_copies").as("n_docs"))
+      .orderBy($"is_dup", $"cross_source")
+  }
+
+
+  /** BINNED KENDALL CONCORDANCE (τ-a over decile bins) — does document
+    * LENGTH predict QUALITY? Rank correlation computed WITHOUT ranking
+    * rows: both variables bin by their bounded value histograms (q209's
+    * rule), pairs fold from the ≤10×10 CONTINGENCY table (concordant =
+    * cell-pairs strictly increasing in both, discordant = opposed;
+    * within-cell and tied-margin pairs drop, the τ-a-on-bins
+    * convention), published as (C−D)·10⁶ div C(n,2). Everything after
+    * the two histogram shuffles is a 100-row fold — the rank-statistics
+    * shape that survives 100 TB where a global double-sort cannot. */
+  private val q256Concordance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", $"n_chars".as("x"),
+        graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .select($"doc_id", $"x",
+        expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("y"))
+      .cache()
+    def bins(col: String) = {
+      val h = docs.groupBy(docs(col).as("v"))
+        .agg(count(lit(1)).as("n"))
+      val tot = h.agg(sum($"n").as("ntot"))
+      h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
+        .crossJoin(broadcast(tot))
+        .select($"v".as(col), expr("((cum - n) * 10) div ntot").as(s"${col}b"))
+    }
+    val binned = docs
+      .join(broadcast(bins("x")), "x")
+      .join(broadcast(bins("y")), "y")
+    val ct = binned.groupBy($"xb", $"yb").agg(count(lit(1)).as("n")).cache()
+    val tot = ct.agg(sum($"n").as("n"))
+    val pairs = ct.toDF("xa", "ya", "na")
+      .crossJoin(ct.toDF("xb2", "yb2", "nb"))
+    val cAgg = pairs.filter($"xa" < $"xb2" && $"ya" < $"yb2")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("c"))
+    val dAgg = pairs.filter($"xa" < $"xb2" && $"ya" > $"yb2")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("d"))
+    cAgg.crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
+      .select($"n", $"c", $"d",
+        expr("((c - d) * 1000000) div ((n * (n - 1)) div 2)")
+          .as("tau_ppm"))
+  }
+
+
+  /** MULTI-AGGREGATE PIVOT — q26 pivots one measure; the reporting
+    * reality is several per cell (count AND exact-decimal revenue per
+    * order status), which exercises Spark's `{value}_{alias}` pivot
+    * column synthesis and keeps the whole rotation in ONE aggregate
+    * (Expand-free: pivot compiles to conditional aggregates over the
+    * explicit value list — the at-scale form, since an unlisted pivot
+    * needs a distinct-scan first). */
+  private val q257MultiPivot: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(dec($"o_totalprice"))).as("total"))
+      .orderBy($"o_orderpriority")
+  }
+
+
+  /** CONDITIONAL-AGGREGATE SUITE — count_if / bool_and / bool_or /
+    * every / any_value-free determinism: the predicate-aggregate family
+    * in one map-side-combinable pass (the FILTER-clause equivalents),
+    * plus min_by/max_by witness selection with deterministic tie-breaks
+    * (arg-max by (price, key) — bare min_by/max_by on ties is
+    * shuffle-dependent, the same trap as unordered listagg). */
+  private val q258CondAggSuite: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        count_if($"o_orderstatus" === "F").as("n_f"),
+        bool_and($"o_totalprice" > 0).as("all_positive"),
+        bool_or($"o_totalprice" > 400000).as("any_huge"),
+        // (cents, key) packed into one BIGINT: a total order both engines
+        // share scalar-ly (bare min_by/max_by on ties is shuffle-dependent)
+        max_by($"o_orderkey",
+          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
+            + $"o_orderkey").as("richest_order"),
+        min_by($"o_orderkey",
+          (dec($"o_totalprice") * 100).cast("long") * lit(1000000000L)
+            + $"o_orderkey").as("poorest_order"))
+      .orderBy($"o_orderpriority")
+  }
+
+
+  /** POSTING-LIST COMPRESSIBILITY — the index-sizing pass before
+    * committing storage: per high-df lexeme, delta-encode the doc_id
+    * posting gaps and measure the exact bit cost (bits(gap) =
+    * length(bin(gap)) — log₂ without a log), against the naive 64-bit
+    * encoding. The gap computation is one lag window per lexeme
+    * partition (bounded by df, never corpus-global); compression ratio
+    * published in ppm. The classic IR result made measurable: dense
+    * terms compress to a few bits per posting, which is why the q37
+    * posting index stores doc_ids sorted. */
+  private val q259PostingGaps: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val post = Tables.documents(s, d).repartition($"doc_id")
+      .select($"doc_id", explode(graft.text.TextOps.tokenizeBasic($"text"))
+        .as("w"))
+      .distinct()
+    val gaps = post
+      .withColumn("gap", $"doc_id" - coalesce(lag($"doc_id", 1).over(
+        Window.partitionBy($"w").orderBy($"doc_id")), lit(-1L)))
+      .groupBy($"w")
+      .agg(count(lit(1)).as("df"),
+        sum(length(bin($"gap"))).cast("long").as("sum_gap_bits"))
+    gaps
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"df".desc, $"w")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"w", $"df", $"sum_gap_bits",
+        expr("(sum_gap_bits * 1000000) div (df * 64)")
+          .as("compression_ppm"))
+      .orderBy($"rk")
+  }
+
+
+  /** COLUMN PROFILER (the Deequ/dbt-docs data-quality sheet): per
+    * column — row count, nulls, distincts, lexicographic min/max as
+    * strings — for the whole declared column list in ONE scan: every
+    * column's aggregates ride the same pass (6 columns ⇒ 1 scan, not
+    * 6), then the wide row melts to the per-column layout with a
+    * stack-style explode. The profile every ingest diffs against
+    * yesterday's before promoting a snapshot. */
+  private val q260ColumnProfile: Q = (s, d) => {
+    import s.implicits._
+    // one narrow aggregate PER column, not one wide multi-distinct
+    // aggregate: N exact count-distincts in a single agg compile to an
+    // (N+1)-way Expand of every row (measured 8 s at sf0.1), while N
+    // pruned single-column scans cost ~the one full scan total — each
+    // branch reads exactly its column off parquet
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate", "l_linestatus")
+    val li = Tables.lineitem(s, d)
+    cols.map { c =>
+      li.select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col(c))).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column"), $"n_rows", $"n_null",
+          $"n_distinct", $"min_value", $"max_value")
+    }.reduce(_ unionByName _)
+      .orderBy($"column")
+  }
+
+
+  /** FREQUENT-ITEMSET MINING, A-PRIORI PRUNED (Agrawal & Srikant, VLDB
+    * 1994): frequent part-pairs across order baskets — but pair
+    * generation only ever runs over items that individually cleared the
+    * support threshold (the downward-closure property: an infrequent
+    * item cannot appear in a frequent pair), which is what keeps basket
+    * self-joins alive at 100 TB (the pruned item set shrinks the join
+    * input BEFORE the quadratic-per-basket step; per-basket fanout is
+    * C(items-in-basket, 2), bounded by basket width). Top-20 frequent
+    * pairs with both marginals. */
+  private val q261AprioriPairs: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val baskets = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct().cache()
+    val freq = baskets.groupBy($"l_partkey").agg(count(lit(1)).as("supp1"))
+      .filter($"supp1" >= AprioriItemSupport)
+      .cache()
+    val fb = baskets.join(broadcast(freq.select($"l_partkey")), "l_partkey")
+    fb.select($"l_orderkey", $"l_partkey".as("p1"))
+      .join(fb.select($"l_orderkey", $"l_partkey".as("p2")), Seq("l_orderkey"))
+      .filter($"p1" < $"p2")
+      .groupBy($"p1", $"p2").agg(count(lit(1)).as("supp2"))
+      .filter($"supp2" >= AprioriPairSupport)
+      .join(broadcast(freq.toDF("p1", "supp1a")), "p1")
+      .join(broadcast(freq.toDF("p2", "supp1b")), "p2")
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"supp2".desc, $"p1", $"p2")))
+      .filter($"rk" <= 20)
+      .select($"rk", $"p1", $"p2", $"supp2", $"supp1a", $"supp1b")
+      .orderBy($"rk")
+  }
+
+
+  /** k-ANONYMITY RISK AUDIT (Sweeney 2002) — the re-identification
+    * check a release runs AFTER q102's PII scrub: how many customers sit
+    * in quasi-identifier equivalence classes (nation × market segment ×
+    * account-balance sign) smaller than k? One QI group-by (map-side
+    * combinable), then a class-size histogram with per-k-threshold risk
+    * counts — the histogram is tiny (≤ classes), so the audit costs one
+    * shuffle at any scale. Reported per k ∈ {2, 5, 10}: classes below
+    * k, customers at risk, and the risk share in ppm. */
+  private val q262KAnonymity: Q = (s, d) => {
+    import s.implicits._
+    val classes = Tables.customer(s, d)
+      .groupBy($"c_nationkey", $"c_mktsegment",
+        ($"c_acctbal" >= 0).as("bal_pos"))
+      .agg(count(lit(1)).as("cls"))
+      .cache()
+    val tot = classes.agg(sum($"cls").as("n_total"))
+    val ks = Seq(2L, 5L, 10L).toDF("k")
+    classes.crossJoin(broadcast(ks))
+      .groupBy($"k")
+      .agg(sum(when($"cls" < $"k", 1L).otherwise(0L)).as("classes_below"),
+        sum(when($"cls" < $"k", $"cls").otherwise(0L)).as("at_risk"))
+      .crossJoin(broadcast(tot))
+      .select($"k", $"classes_below", $"at_risk",
+        expr("(at_risk * 1000000) div n_total").as("risk_ppm"))
+      .orderBy($"k")
+  }
+
+
+  /** l-DIVERSITY AUDIT (Machanavajjhala et al., ICDE 2006) — the attack
+    * q262's k-anonymity misses: a class can be large yet HOMOGENEOUS in
+    * the sensitive attribute (everyone in the class shares the secret,
+    * so membership alone leaks it). QI = (nation, balance sign),
+    * sensitive = market segment; a class of size ≥ 5 with fewer than l
+    * distinct segment values is the failure. Same one-shuffle histogram
+    * economics as q262. */
+  private val q263LDiversity: Q = (s, d) => {
+    import s.implicits._
+    val classes = Tables.customer(s, d)
+      .groupBy($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"))
+      .agg(count(lit(1)).as("cls"),
+        countDistinct($"c_mktsegment").as("l_div"))
+      .filter($"cls" >= 5)
+      .cache()
+    val ls = Seq(2L, 3L).toDF("l")
+    classes.crossJoin(broadcast(ls))
+      .groupBy($"l")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when($"l_div" < $"l", 1L).otherwise(0L))
+          .as("homogeneous_classes"),
+        sum(when($"l_div" < $"l", $"cls").otherwise(0L))
+          .as("members_exposed"))
+      .orderBy($"l")
+  }
+
+
+  /** LARGEST-REMAINDER APPORTIONMENT (Hamilton's method) — exact
+    * integer quota allocation: a 50-doc holdout apportioned across
+    * sources ∝ their counts, floor shares first, the leftover seats to
+    * the largest remainders (ties by source name — fully deterministic,
+    * Σ quota == H exactly, which proportional-rounding by division can't
+    * guarantee). The hash-based samplers (q117/q187) decide WHICH rows;
+    * this decides HOW MANY per stratum — the missing half of stratified
+    * holdout construction. All integer: remainders compare as
+    * cnt·H mod total. */
+  private val q264Apportionment: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val H = HoldoutQuota
+    val counts = Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .cache()
+    counts.crossJoin(broadcast(counts.agg(sum($"cnt").as("total"))))
+      .withColumn("floor_q", expr(s"(cnt * $H) div total"))
+      .withColumn("rem", expr(s"(cnt * $H) % total"))
+      .withColumn("rrank", row_number().over(
+        Window.orderBy($"rem".desc, $"source")))
+      .crossJoin(broadcast(
+        counts.crossJoin(counts.agg(sum($"cnt").as("t2")))
+          .agg((lit(H) - sum(expr(s"(cnt * $H) div t2"))).as("leftover"))))
+      .select($"source", $"cnt", $"floor_q", $"rem",
+        ($"floor_q" + when($"rrank" <= $"leftover", 1L).otherwise(0L))
+          .as("quota"))
+      .orderBy($"source")
+  }
+
+
+  /** SHUFFLE-QUALITY AUDIT — is the q118 training order actually
+    * DECORRELATED? A bad shuffle leaves same-source runs that become
+    * correlated gradient batches. Measured: the adjacent-pair
+    * same-source rate over the md5 global order vs the sampling-
+    * without-replacement EXPECTATION Σ nₛ(nₛ−1) / (n(n−1)), both in
+    * exact ppm, plus the longest same-source run. The order is the
+    * md5-derived (hash, doc_id) rank, so both engines see the identical
+    * permutation; lag comparisons run inside one window (documented
+    * single-axis sort — at corpus scale the audit samples the q118
+    * buckets independently, same rate). */
+  private val q265ShuffleQuality: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"h", $"doc_id")
+    val seq0 = Tables.documents(s, d)
+      .select($"doc_id", $"source", md5($"text").as("h"))
+      .withColumn("prev_src", lag($"source", 1).over(w))
+      .withColumn("same", when($"prev_src" === $"source", 1L).otherwise(0L))
+      .cache()
+    val runs = seq0
+      .withColumn("brk", sum(lit(1L) - $"same").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"brk").agg(count(lit(1)).as("run_len"))
+      .agg(max($"run_len").as("max_run"))
+    val perSrc = seq0.groupBy($"source").agg(count(lit(1)).as("ns"))
+      .agg(sum(expr("ns * (ns - 1)")).as("num"), sum($"ns").as("n"))
+    seq0.agg(sum($"same").as("n_same"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(perSrc))
+      .crossJoin(broadcast(runs))
+      .select($"n_rows", $"n_same",
+        expr("(n_same * 1000000) div (n_rows - 1)").as("observed_ppm"),
+        expr("(num * 1000000) div (n * (n - 1))").as("expected_ppm"),
+        $"max_run")
+  }
+
+
+  /** CHI-SQUARE INDEPENDENCE TEST (Pearson 1900) — are market segment
+    * and nation independent? The drift/bias audit a corpus release runs
+    * over (source × lang) style contingency tables. All-integer: per
+    * cell d = obs·N − rt·ct, cell statistic ((d² div rt·ct)·10⁶) div N
+    * micro-units — identical floor chain in both engines, no floats.
+    * Zero cells matter (d = −rt·ct), so the margins build the full r×c
+    * grid and LEFT-join the observed counts. Economics: three map-side
+    * combinable group-bys over a 2-column projection, then a ≤125-row
+    * driver-sized grid — one scan's worth of shuffle at any corpus
+    * size. Long-arithmetic bound: d² needs (obs·N)² < 2⁶³ → N < ~3·10⁹
+    * cells·rows product — comfortable at the gate scales; beyond,
+    * shrink the micro factor. */
+  private val q266ChiSquare: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+      .select($"c_mktsegment", $"c_nationkey").cache()
+    val rt = base.groupBy($"c_mktsegment").agg(count(lit(1)).as("rt"))
+    val ct = base.groupBy($"c_nationkey").agg(count(lit(1)).as("ct"))
+    val obs = base.groupBy($"c_mktsegment", $"c_nationkey")
+      .agg(count(lit(1)).as("obs"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    rt.crossJoin(broadcast(ct))
+      .join(obs, Seq("c_mktsegment", "c_nationkey"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(tot))
+      .select($"c_mktsegment", $"c_nationkey", $"rt", $"ct", $"obs", $"n",
+        expr("(((obs*n - rt*ct) * (obs*n - rt*ct)) div (rt*ct)) * 1000000 div n")
+          .as("cell_micro"))
+      .agg(max($"n").as("n"), count(lit(1)).as("n_cells"),
+        ((countDistinct($"c_mktsegment") - 1) *
+          (countDistinct($"c_nationkey") - 1)).as("df"),
+        sum($"cell_micro").as("chi2_micro"))
+  }
+
+
+  /** TWO-SAMPLE KOLMOGOROV-SMIRNOV — does the lexicographically-first
+    * source's length distribution match the rest of the corpus? The
+    * distribution-shift gate between a new crawl slice and the
+    * established corpus. D = max |F1 − F2| in exact ppm via the
+    * cross-multiplied cumulative counts |c1·n2 − c2·n1|·10⁶ div n1·n2 —
+    * no float CDFs. One (n_chars) group-by, then a window over the
+    * ≤distinct-lengths aggregated frame (bounded by the value domain,
+    * not the corpus). */
+  private val q267KsTest: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
+    val srcA = docs.agg(min($"source").as("src_a"))
+    val per = docs.crossJoin(broadcast(srcA))
+      .groupBy($"n_chars", $"src_a")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("c1"),
+        sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select($"n_chars", $"src_a",
+        sum($"c1").over(w).as("f1"), sum($"c2").over(w).as("f2"))
+      .crossJoin(broadcast(
+        docs.crossJoin(broadcast(srcA)).agg(
+          sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("n1"),
+          sum(when($"source" =!= $"src_a", 1L).otherwise(0L)).as("n2"))))
+      .select($"n_chars", $"src_a", $"n1", $"n2",
+        expr("(abs(f1*n2 - f2*n1) * 1000000) div (n1*n2)").as("d_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"d_ppm".desc, $"n_chars")))
+      .filter($"rk" === 1)
+      .select($"src_a", $"n1", $"n2", $"d_ppm", $"n_chars".as("at_n_chars"))
+  }
+
+
+  /** SPEARMAN RANK TREND (monotone drift test) — per event type, is the
+    * daily event count trending over the year? Rank days by time and by
+    * (count, day) — the day tiebreak makes both rankings strict
+    * permutations, so ρ = 1 − 6Σd²/(n(n²−1)) is exact in integers
+    * (ppm, one floor div shared with the oracle). The robust
+    * alternative to q177's OLS slope: outlier days can't dominate.
+    * One (type, day) group-by; windows run over ≤366 rows per type. */
+  private val q268SpearmanTrend: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val rx = row_number().over(
+      Window.partitionBy($"event_type").orderBy($"day"))
+    val ry = row_number().over(
+      Window.partitionBy($"event_type").orderBy($"cnt", $"day"))
+    daily.select($"event_type", (rx - ry).cast("long").as("dd"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_days"), sum($"dd" * $"dd").as("sum_d2"))
+      .filter($"n_days" >= 2)
+      .select($"event_type", $"n_days", $"sum_d2",
+        expr("1000000 - (6 * sum_d2 * 1000000) div (n_days * (n_days*n_days - 1))")
+          .as("rho_ppm"))
+      .orderBy($"event_type")
+  }
+
+
+  /** FUNCTIONAL-DEPENDENCY AUDIT (the Tane/Deequ profiling primitive):
+    * does A determine B? For each declared candidate FD, count the
+    * LHS classes, the classes with >1 distinct RHS (violations), and
+    * the rows trapped in violating classes. Each FD is one map-side-
+    * combinable group-by collapsed to a single row — k FDs cost k
+    * pruned scans, never a join. Drives schema inference and key
+    * discovery before a corpus is promoted to a feature table. */
+  private val q269FdAudit: Q = (s, d) => {
+    import s.implicits._
+    def fd(df: org.apache.spark.sql.DataFrame, lhs: String, rhs: String,
+           tag: String) =
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("ndv"), count(lit(1)).as("nrows"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum(when($"ndv" > 1, 1L).otherwise(0L)).as("violating_classes"),
+          sum(when($"ndv" > 1, $"nrows").otherwise(0L)).as("rows_in_violating"))
+        .select(lit(tag).as("fd"), $"n_classes", $"violating_classes",
+          $"rows_in_violating",
+          ($"violating_classes" === 0L).as("holds"))
+    fd(Tables.nation(s, d), "n_nationkey", "n_regionkey",
+        "nation.n_nationkey->n_regionkey")
+      .unionByName(fd(Tables.orders(s, d), "o_orderkey", "o_orderdate",
+        "orders.o_orderkey->o_orderdate"))
+      .unionByName(fd(Tables.orders(s, d), "o_custkey", "o_orderpriority",
+        "orders.o_custkey->o_orderpriority"))
+      .unionByName(fd(Tables.lineitem(s, d), "l_orderkey", "l_returnflag",
+        "lineitem.l_orderkey->l_returnflag"))
+      .unionByName(fd(Tables.lineitem(s, d), "l_partkey", "l_suppkey",
+        "lineitem.l_partkey->l_suppkey"))
+      .orderBy($"fd")
+  }
+
+
+  /** t-CLOSENESS AUDIT (Li et al., ICDE 2007) — the third leg of the
+    * privacy trio (q262 k-anonymity, q263 l-diversity): a class can be
+    * large AND diverse yet still leak if its sensitive-attribute
+    * DISTRIBUTION diverges from the global one. Distance = Earth
+    * Mover's over the alphabetically-ordered segment axis, exact in
+    * ppm: Σ|cumc·N − cumg·cls|·10⁶ div (cls·N·(m−1)). Zero cells
+    * restored by the class × segment grid; windows run over the
+    * ≤(classes×m) aggregated frame. Flagged at t = 0.2. */
+  private val q270TCloseness: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cust = Tables.customer(s, d)
+      .select($"c_nationkey", ($"c_acctbal" >= 0).as("bal_pos"),
+        $"c_mktsegment").cache()
+    val glob = cust.groupBy($"c_mktsegment").agg(count(lit(1)).as("g"))
+    val classes = cust.groupBy($"c_nationkey", $"bal_pos")
+      .agg(count(lit(1)).as("cls")).filter($"cls" >= 5)
+    val obs = cust.groupBy($"c_nationkey", $"bal_pos", $"c_mktsegment")
+      .agg(count(lit(1)).as("o"))
+    val tot = cust.agg(count(lit(1)).as("nn"))
+    val m = glob.agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy($"c_nationkey", $"bal_pos")
+      .orderBy($"c_mktsegment")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes.crossJoin(broadcast(glob))
+      .join(obs, Seq("c_nationkey", "bal_pos", "c_mktsegment"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(m))
+      .select($"c_nationkey", $"bal_pos", $"cls", $"nn", $"m",
+        sum($"o").over(w).as("cumc"), sum($"g").over(w).as("cumg"))
+      .groupBy($"c_nationkey", $"bal_pos")
+      .agg(max($"cls").as("cls"),
+        expr("(sum(abs(cumc*nn - cumg*cls)) * 1000000) div (max(cls)*max(nn)*(max(m)-1))")
+          .as("emd_ppm"))
+      .select($"c_nationkey", $"bal_pos", $"cls", $"emd_ppm",
+        ($"emd_ppm" > 200000L).as("fails_t02"))
+      .orderBy($"c_nationkey", $"bal_pos")
+  }
+
+
+  /** AUTOCORRELATION (lag-1 and lag-7) of the daily event series — the
+    * seasonality screen behind q217's anomaly monitor: a high lag-7 ACF
+    * says weekly periodicity, lag-1 says day-to-day momentum. Counts
+    * are integers, so every sufficient statistic (Σx, Σy, Σxy, Σx²,
+    * Σy²) is EXACT; only the final Pearson ratio divides, via the
+    * shared truncating div against floor(sqrt(den1·den2)) — sqrt is
+    * IEEE-correctly-rounded on identical doubles, so both engines floor
+    * the same value. Lag pairs come from one window over the ≤366-row
+    * daily aggregate (bounded by the calendar, not the corpus). */
+  private val q271Acf: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy($"day")
+    val lagged = daily.select($"cnt",
+      lag($"cnt", 1).over(w).as("y1"), lag($"cnt", 7).over(w).as("y7"))
+      .cache()
+    def branch(k: Int, y: String) =
+      lagged.filter(col(y).isNotNull)
+        .agg(count(lit(1)).as("n"), sum($"cnt").as("sx"),
+          sum(col(y)).as("sy"), sum($"cnt" * col(y)).as("sxy"),
+          sum($"cnt" * $"cnt").as("sxx"), sum(col(y) * col(y)).as("syy"))
+        .select(lit(k.toLong).as("lag"), $"n", $"sx", $"sy", $"sxy",
+          $"sxx", $"syy",
+          expr("""((n*sxy - sx*sy) * 1000000) div
+                 nullif(cast(floor(sqrt(cast(n*sxx - sx*sx as double)
+                   * cast(n*syy - sy*sy as double))) as bigint), 0)""")
+            .as("r_ppm"))
+    branch(1, "y1").unionByName(branch(7, "y7")).orderBy($"lag")
+  }
+
+
+  /** CUSUM CHANGEPOINT (Page 1954) — when did event volume drift above
+    * its run-rate? The classic recursion S_t = max(0, S_{t-1} + x_t − k)
+    * is NOT window-expressible — but its closed form IS: S_t = P_t −
+    * min(0, min_{j≤t} P_j) with P the prefix sum of (x − k). Two
+    * running windows over the daily aggregate replace the recursion, so
+    * the detector stays one shuffle at any scale. Target k = the mean
+    * day (integer floor), alarm h = 10% of a mean day of cumulative
+    * excess — sensitive enough that the alarm branch actually fires on
+    * stationary data (a detector whose alarm path never executes is
+    * untested); emits the first alarm date, alarm count, and peak
+    * statistic. */
+  private val q272Cusum: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("cnt"))
+    val kh = daily.agg(
+      expr("sum(cnt) div count(1)").as("k"),
+      expr("sum(cnt) div (10 * count(1))").as("h"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(kh))
+      .select($"day", $"k", $"h",
+        sum($"cnt" - $"k").over(w).as("p"))
+      .withColumn("sstat", $"p" - least(min($"p").over(w), lit(0L)))
+      .agg(count(lit(1)).as("n_days"), max($"k").as("k"), max($"h").as("h"),
+        sum(when($"sstat" >= $"h", 1L).otherwise(0L)).as("n_alarms"),
+        coalesce(min(when($"sstat" >= $"h", $"day")).cast("string"),
+          lit("none")).as("first_alarm_day"),
+        max($"sstat").as("max_s"))
+  }
+
+
+  /** CANDIDATE-KEY DISCOVERY — which column sets uniquely key the
+    * orders table? count vs count-distinct per declared combination,
+    * one map-side-combinable aggregate per candidate (multi-column
+    * combos compare concat_ws fingerprints so both engines share the
+    * exact null/format semantics). The uniqueness profile every CDC
+    * pipeline needs before it can pick a merge key. */
+  private val q273CandidateKeys: Q = (s, d) => {
+    import s.implicits._
+    val ord = Tables.orders(s, d).cache()
+    def cand(cols: Seq[String]) = {
+      val tag = cols.mkString(",")
+      val fp = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      ord.agg(count(lit(1)).as("n_rows"), countDistinct(fp).as("n_distinct"))
+        .select(lit(tag).as("key_cols"), $"n_rows", $"n_distinct",
+          ($"n_rows" - $"n_distinct").as("dup_rows"),
+          ($"n_rows" === $"n_distinct").as("is_key"))
+    }
+    Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+      Seq("o_custkey", "o_orderdate"),
+      Seq("o_orderstatus", "o_orderpriority"))
+      .map(cand).reduce(_ unionByName _)
+      .orderBy($"key_cols")
+  }
+
+
+  /** USER-ACCRETION CURVE — per day: active users, first-seen (new)
+    * users, returning = active − new, and the cumulative registered
+    * base. The growth-accounting decomposition behind every DAU chart.
+    * Two shuffles total — one (day,user) distinct, one user-grain min —
+    * then the calendar-bounded running sum; never a per-user window
+    * over raw events. */
+  private val q274UserAccretion: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(to_date($"ts").as("day"), $"user_id")
+    val dau = ev.distinct().groupBy($"day").agg(count(lit(1)).as("dau"))
+    val firstSeen = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    dau.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .select($"day", $"dau", $"new_users",
+        ($"dau" - $"new_users").as("returning"),
+        sum($"new_users").over(Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+      .orderBy($"day")
+  }
+
+
+  /** GENERATOR SUITE (SQL lateral-view surface): posexplode with
+    * ordinal positions, stack row-pivoting, and map explode — the three
+    * Spark generator shapes a migration off LATERAL VIEW needs, in one
+    * unioned frame over region. Oracle mirrors via generate_subscripts
+    * / UNION ALL / length() — same rows, same 0-based positions. */
+  private val q275GeneratorSuite: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).filter($"doc_id" < 5)
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", lit("word").as("kind"),
+        $"pos".cast("long").as("pos"), $"col".as("val"))
+    val stacked = docs
+      .selectExpr("doc_id",
+        "stack(2, 'lang', lang, 'source', source) AS (kind, val)")
+      .select($"doc_id", $"kind", lit(-1L).as("pos"), $"val")
+    val mapped = docs
+      .select($"doc_id", explode(map(
+        lit("n_chars"), $"n_chars",
+        lit("n_words"), size(split($"text", " ")).cast("long"))))
+      .select($"doc_id", $"key".as("kind"), lit(-2L).as("pos"),
+        $"value".cast("string").as("val"))
+    words.unionByName(stacked).unionByName(mapped)
+      .orderBy($"doc_id", $"kind", $"pos", $"val")
+  }
+
+
+  /** MANN-WHITNEY U (Wilcoxon rank-sum) — do the two
+    * alphabetically-first sources draw document lengths from the same
+    * distribution? The rank-based companion to q267's KS: U is location-
+    * sensitive where KS is shape-sensitive. All-integer via DOUBLED
+    * midranks (2·midrank = 2·rank_min + ties − 1 stays integral under
+    * ties), computed from cumulative counts over the per-length
+    * aggregate — no per-row ranking, the window runs over distinct
+    * lengths only. Emits U in 2× units beside its null expectation
+    * n1·n2 (also 2×), so the drift direction reads off directly. */
+  private val q276MannWhitney: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select($"source", $"n_chars").cache()
+    // smallest and second-smallest source names
+    val srcs = docs.select($"source").distinct().orderBy($"source").limit(2)
+      .agg(min($"source").as("src_a"), max($"source").as("src_b"))
+    val per = docs.crossJoin(broadcast(srcs))
+      .filter($"source" === $"src_a" || $"source" === $"src_b")
+      .groupBy($"n_chars", $"src_a", $"src_b")
+      .agg(sum(when($"source" === $"src_a", 1L).otherwise(0L)).as("ca"),
+        sum(when($"source" === $"src_b", 1L).otherwise(0L)).as("cb"))
+    val w = Window.orderBy($"n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.select($"src_a", $"src_b", $"ca", $"cb",
+        sum($"ca" + $"cb").over(w).as("cum"), ($"ca" + $"cb").as("cnt"))
+      .groupBy($"src_a", $"src_b")
+      .agg(sum($"ca").as("n1"), sum($"cb").as("n2"),
+        sum($"ca" * (lit(2L) * $"cum" - $"cnt" + 1L)).as("r1_2x"))
+      .select($"src_a", $"src_b", $"n1", $"n2",
+        ($"r1_2x" - $"n1" * ($"n1" + 1L)).as("u_2x"),
+        ($"n1" * $"n2").as("e_u_2x"),
+        (($"r1_2x" - $"n1" * ($"n1" + 1L)) > $"n1" * $"n2").as("a_greater"))
+  }
+
+
+  /** LINEAR GAP INTERPOLATION over the hourly purchase series — q254's
+    * forward-fill upgraded to two-sided linear fill: the feature-store
+    * imputation for sparse counters. The hour grid comes from one
+    * sequence() explode between min and max (calendar-bounded); missing
+    * hours take prev + (next−prev)·offset/gap in exact micro units (one
+    * truncating div, negative-safe — both engines truncate). Four
+    * IGNORE-NULLS windows over the grid replace any self-join against
+    * neighbors. */
+  private val q277GapInterpolation: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).filter($"event_type" === "purchase")
+      .groupBy(date_trunc("hour", $"ts").as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select(explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hr"))
+    val j = grid.join(ev, Seq("hr"), "left")
+      .withColumn("idx", row_number().over(Window.orderBy($"hr")).cast("long"))
+    val wp = Window.orderBy($"idx").rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.orderBy($"idx").rowsBetween(1, Window.unboundedFollowing)
+    j.select($"hr", $"cnt", $"idx",
+        last(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wp).as("pidx"),
+        last($"cnt", ignoreNulls = true).over(wp).as("pcnt"),
+        first(when($"cnt".isNotNull, $"idx"), ignoreNulls = true).over(wn).as("nidx"),
+        first($"cnt", ignoreNulls = true).over(wn).as("ncnt"))
+      .select($"hr", $"cnt", $"cnt".isNull.as("was_gap"),
+        when($"cnt".isNotNull, $"cnt" * 1000000L)
+          .when($"pidx".isNull || $"nidx".isNull, lit(null).cast("long"))
+          .otherwise($"pcnt" * 1000000L +
+            expr("((ncnt - pcnt) * 1000000 * (idx - pidx)) div (nidx - pidx)"))
+          .as("filled_micro"))
+      .orderBy($"hr")
+  }
+
+
+  /** WEIGHTED MEDIAN — the revenue-weighted "typical" order quantity
+    * per return flag: smallest quantity whose cumulative extended-price
+    * weight reaches half the total. Weights sum as decimal(18,2) (the
+    * dec() exactness bridge), so the 2·cum ≥ total threshold is an
+    * exact comparison with no float accumulation drift. Pre-aggregated
+    * per (flag, quantity) before the window — the cumsum runs over the
+    * value domain, not the fact table. */
+  private val q278WeightedMedian: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(sum(dec($"l_extendedprice")).as("w"))
+    val wq = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy($"l_returnflag")
+    per.select($"l_returnflag", $"l_quantity",
+        sum($"w").over(wq).as("cw"), sum($"w").over(wt).as("tw"))
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("w_median_qty"),
+        money(max($"tw")).as("total_weight"))
+      .orderBy($"l_returnflag")
+  }
+
+
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM (Dwork 2006, ε = 1) — per-source
+    * release counts with Laplace(1/ε) noise via inverse-CDF transform of
+    * an md5-derived uniform (the q176 hash-RNG convention: seeded,
+    * engine-independent, reproducible). The noise term is quantized
+    * round(noise·10⁶) BEFORE adding — the lnMicro argument: a 1-ulp ln()
+    * disagreement cannot move a round() at the 10⁻⁶ grid — so both
+    * engines release the identical integers. Map-only after one
+    * map-side-combinable count. */
+  private val q279DpHistogram: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source").agg(count(lit(1)).as("cnt"))
+      .withColumn("u",
+        (conv(substring(md5(concat($"source", lit(":dp1"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d))
+      .withColumn("v", $"u" - 0.5)
+      .withColumn("lap_micro",
+        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d, lit(1e-300)))
+          * 1e6).cast("long"))
+      .select($"source", ($"cnt" * 1000000L + $"lap_micro").as("noisy_micro"),
+        abs($"lap_micro").as("abs_err_micro"))
+      .orderBy($"source")
+  }
+
+
+  /** FACT-vs-ROLLUP RECONCILIATION — does orders.o_totalprice equal the
+    * sum of its lineitem extended prices? The warehouse closing audit
+    * (and the TPC-H generator makes them independent, so mismatches are
+    * the EXPECTED finding — the audit proves it detects them). All
+    * money flows through dec(18,2), so diffs are exact; one
+    * orderkey-grain aggregate then one join with orders, collapsed to a
+    * single audit row: matched orders, mismatched, childless, worst and
+    * total absolute drift. */
+  private val q280OrderValueAudit: Q = (s, d) => {
+    import s.implicits._
+    val lineSum = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(sum(dec($"l_extendedprice")).as("gross"))
+    Tables.orders(s, d)
+      .join(lineSum, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", dec($"o_totalprice").as("head"), $"gross")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when($"gross".isNull, 1L).otherwise(0L)).as("n_childless"),
+        sum(when($"gross" === $"head", 1L).otherwise(0L)).as("n_matched"),
+        sum(when($"gross".isNotNull && $"gross" =!= $"head", 1L).otherwise(0L))
+          .as("n_mismatched"),
+        money(max(abs($"gross" - $"head"))).as("max_abs_diff"),
+        money(sum(abs($"gross" - $"head"))).as("sum_abs_diff"))
+  }
+
+
+  /** DP SUM WITH CONTRIBUTION CLIPPING — q279's histogram mechanism
+    * upgraded to the sum query every DP release actually ships: each
+    * record's n_chars is clipped at C = 5000 FIRST (bounding per-record
+    * sensitivity, the half of DP that's about the data not the noise),
+    * then Laplace(C/ε) noise (ε = 1) rides the seeded md5 inverse-CDF.
+    * Noise quantized round(·10⁶) before adding — same lnMicro-grid
+    * argument — so both engines release identical integers. Map-only
+    * clip + one combinable sum. */
+  private val q281DpSumClipped: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", least($"n_chars", lit(5000L)).as("x"),
+        ($"n_chars" > 5000L).cast("long").as("clipped"))
+      .groupBy($"source").agg(sum($"x").as("clipped_sum"),
+        sum($"clipped").as("n_clipped"))
+      .withColumn("v",
+        (conv(substring(md5(concat($"source", lit(":dps"))), 1, 13), 16, 10)
+          .cast("long").cast("double") + lit(1d)) / lit(4503599627370496d)
+          - 0.5)
+      .withColumn("lap_micro",
+        round(-signum($"v") * log(greatest(lit(1d) - abs($"v") * 2d,
+          lit(1e-300))) * 5000d * 1e6).cast("long"))
+      .select($"source", $"clipped_sum", $"n_clipped",
+        ($"clipped_sum" * 1000000L + $"lap_micro").as("noisy_micro"))
+      .orderBy($"source")
+  }
+
+
+  /** JACKKNIFE (leave-one-source-out) on mean document length — the
+    * group-aware uncertainty estimate for corpus statistics where docs
+    * within a source are correlated and the iid bootstrap lies. NO
+    * resampling pass: every LOO mean folds from broadcast totals
+    * ((Σx − Σxᵢ)/(n − nᵢ)), so g replicates cost one aggregate, not g
+    * scans. Milli-quantized means keep every pseudo-value and the
+    * jackknife variance exact integers with headroom for the squared
+    * deviations. */
+  private val q282Jackknife: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(sum($"n_chars").as("sx_i"), count(lit(1)).as("n_i"))
+      .cache()
+    val tot = per.agg(sum($"sx_i").as("sx"), sum($"n_i").as("n"),
+      count(lit(1)).as("g"))
+    val loo = per.crossJoin(broadcast(tot))
+      .select($"source", $"n_i", $"g",
+        expr("(sx * 1000) div n").as("mean_milli"),
+        expr("((sx - sx_i) * 1000) div (n - n_i)").as("loo_mean_milli"))
+      .withColumn("pseudo_milli",
+        $"g" * $"mean_milli" - ($"g" - 1L) * $"loo_mean_milli")
+      .cache()
+    // milli (not micro) quantization bounds the squared deviations:
+    // diff ≤ ~1e6 milli-chars ⇒ Σdiff² ≤ g·1e12, far from long overflow
+    val varr = loo
+      .crossJoin(broadcast(loo.agg(
+        expr("sum(loo_mean_milli) div count(1)").as("mbar"))))
+      .agg(expr(
+        """((count(1) - 1) * sum((loo_mean_milli - mbar)
+           * (loo_mean_milli - mbar))) div count(1)""").as("jack_var_scaled"))
+    loo.crossJoin(broadcast(varr))
+      .select($"source", $"n_i", $"g", $"mean_milli", $"loo_mean_milli",
+        $"pseudo_milli", $"jack_var_scaled")
+      .orderBy($"source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q281_dp_sum_clipped" -> q281DpSumClipped,
+    "q282_jackknife" -> q282Jackknife,
+    "q276_mann_whitney" -> q276MannWhitney,
+    "q277_gap_interpolation" -> q277GapInterpolation,
+    "q278_weighted_median" -> q278WeightedMedian,
+    "q279_dp_histogram" -> q279DpHistogram,
+    "q280_order_value_audit" -> q280OrderValueAudit,
+    "q271_acf" -> q271Acf,
+    "q272_cusum" -> q272Cusum,
+    "q273_candidate_keys" -> q273CandidateKeys,
+    "q274_user_accretion" -> q274UserAccretion,
+    "q275_generator_suite" -> q275GeneratorSuite,
+    "q266_chi_square" -> q266ChiSquare,
+    "q267_ks_test" -> q267KsTest,
+    "q268_spearman_trend" -> q268SpearmanTrend,
+    "q269_fd_audit" -> q269FdAudit,
+    "q270_t_closeness" -> q270TCloseness,
+    "q265_shuffle_quality" -> q265ShuffleQuality,
+    "q263_l_diversity" -> q263LDiversity,
+    "q264_apportionment" -> q264Apportionment,
+    "q262_k_anonymity" -> q262KAnonymity,
+    "q261_apriori_pairs" -> q261AprioriPairs,
+    "q260_column_profile" -> q260ColumnProfile,
+    "q259_posting_gaps" -> q259PostingGaps,
+    "q257_multi_pivot" -> q257MultiPivot,
+    "q258_cond_agg_suite" -> q258CondAggSuite,
+    "q255_dup_provenance" -> q255DupProvenance,
+    "q256_concordance" -> q256Concordance,
+    "q253_federated_union" -> q253FederatedUnion,
+    "q254_forward_fill" -> q254ForwardFill,
+    "q252_collision_diversity" -> q252CollisionDiversity,
+    "q250_vocab_growth" -> q250VocabGrowth,
+    "q249_lang_confidence" -> q249LangConfidence,
+    "q248_bag_setops" -> q248BagSetOps,
+    "q245_keywords" -> q245Keywords,
+    "q246_dataset_card" -> q246DatasetCard,
+    "q244_code_switching" -> q244CodeSwitching,
+    "q241_interval_union" -> q241IntervalUnion,
+    "q242_oov_rate" -> q242OovRate,
+    "q243_ordered_listagg" -> q243OrderedListagg,
+    "q239_gini" -> q239Gini,
+    "q240_burstiness" -> q240Burstiness,
+    "q237_join_cardinality" -> q237JoinCardinality,
+    "q238_robust_stats" -> q238RobustStats,
+    "q236_weighted_simhash" -> q236WeightedSimhash
+  )
+
+  lazy val oracle: Map[String, String] = Map(
+    // same clip, same seeded Laplace, same micro rounding
+    "q281_dp_sum_clipped" ->
+      """WITH per AS (SELECT source,
+                  CAST(sum(least(n_chars, 5000)) AS BIGINT) AS clipped_sum,
+                  CAST(sum(CASE WHEN n_chars > 5000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+                FROM documents GROUP BY 1),
+          u AS (SELECT source, clipped_sum, n_clipped,
+                  (CAST(CAST('0x' || substring(md5(source || ':dps'), 1, 13)
+                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
+                    AS v
+                FROM per)
+          SELECT source, clipped_sum, n_clipped,
+                 clipped_sum * 1000000 +
+                   CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
+                     1e-300)) * 5000.0 * 1000000.0) AS BIGINT)
+                   AS noisy_micro
+          FROM u ORDER BY source""",
+    // same broadcast-total LOO folds, same milli floors
+    "q282_jackknife" ->
+      """WITH per AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS sx_i,
+                  CAST(count(*) AS BIGINT) AS n_i
+                FROM documents GROUP BY 1),
+          t AS (SELECT CAST(sum(sx_i) AS BIGINT) AS sx,
+                  CAST(sum(n_i) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS g FROM per),
+          loo AS (SELECT source, n_i, g,
+                    (sx * 1000) // n AS mean_milli,
+                    ((sx - sx_i) * 1000) // (n - n_i) AS loo_mean_milli
+                  FROM per, t),
+          l2 AS (SELECT *, g * mean_milli - (g - 1) * loo_mean_milli
+                   AS pseudo_milli FROM loo),
+          mb AS (SELECT sum(loo_mean_milli) // count(*) AS mbar FROM l2),
+          v AS (SELECT ((count(*) - 1) * sum((loo_mean_milli - mbar)
+                    * (loo_mean_milli - mbar))) // count(*)
+                    AS jack_var_scaled
+                FROM l2, mb)
+          SELECT source, n_i, g, mean_milli, loo_mean_milli, pseudo_milli,
+                 (SELECT jack_var_scaled FROM v) AS jack_var_scaled
+          FROM l2 ORDER BY source""",
+    // same doubled midranks from cumulative counts over distinct lengths
+    "q276_mann_whitney" ->
+      """WITH srcs AS (SELECT min(source) AS src_a, max(source) AS src_b
+                FROM (SELECT DISTINCT source FROM documents
+                      ORDER BY source LIMIT 2)),
+          per AS (SELECT n_chars, s.src_a, s.src_b,
+                    CAST(sum(CASE WHEN source = s.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ca,
+                    CAST(sum(CASE WHEN source = s.src_b THEN 1 ELSE 0 END)
+                      AS BIGINT) AS cb
+                  FROM documents, srcs s
+                  WHERE source = s.src_a OR source = s.src_b
+                  GROUP BY 1, 2, 3),
+          c AS (SELECT src_a, src_b, ca, cb, ca + cb AS cnt,
+                  CAST(sum(ca + cb) OVER (ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM per),
+          ag AS (SELECT src_a, src_b, CAST(sum(ca) AS BIGINT) AS n1,
+                   CAST(sum(cb) AS BIGINT) AS n2,
+                   CAST(sum(ca * (2*cum - cnt + 1)) AS BIGINT) AS r1_2x
+                 FROM c GROUP BY 1, 2)
+          SELECT src_a, src_b, n1, n2,
+                 r1_2x - n1*(n1+1) AS u_2x, n1*n2 AS e_u_2x,
+                 (r1_2x - n1*(n1+1)) > n1*n2 AS a_greater
+          FROM ag""",
+    // same hour grid, same IGNORE-NULLS neighbors, same truncating
+    // micro-unit interpolation
+    "q277_gap_interpolation" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events WHERE event_type = 'purchase' GROUP BY 1),
+          mm AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+          grid AS (SELECT unnest(generate_series(h0, h1,
+                     INTERVAL 1 HOUR)) AS hr FROM mm),
+          j AS (SELECT g.hr, ev.cnt FROM grid g LEFT JOIN ev USING (hr)),
+          ix AS (SELECT hr, cnt, CAST(row_number() OVER (ORDER BY hr)
+                   AS BIGINT) AS idx FROM j),
+          p AS (SELECT hr, cnt, idx,
+                  last_value(CASE WHEN cnt IS NOT NULL THEN idx END
+                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
+                    UNBOUNDED PRECEDING AND 1 PRECEDING) AS pidx,
+                  last_value(cnt IGNORE NULLS) OVER (ORDER BY idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pcnt,
+                  first_value(CASE WHEN cnt IS NOT NULL THEN idx END
+                    IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN
+                    1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nidx,
+                  first_value(cnt IGNORE NULLS) OVER (ORDER BY idx
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                    AS ncnt
+                FROM ix)
+          SELECT hr, cnt, cnt IS NULL AS was_gap,
+                 CASE WHEN cnt IS NOT NULL THEN cnt * 1000000
+                      WHEN pidx IS NULL OR nidx IS NULL THEN NULL
+                      ELSE pcnt * 1000000 +
+                        ((ncnt - pcnt) * 1000000 * (idx - pidx))
+                          // (nidx - pidx) END AS filled_micro
+          FROM p ORDER BY hr""",
+    // same decimal weight sums, same 2·cum ≥ total threshold
+    "q278_weighted_median" ->
+      """WITH per AS (SELECT l_returnflag, l_quantity,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS w
+                FROM lineitem GROUP BY 1, 2),
+          c AS (SELECT l_returnflag, l_quantity,
+                  sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                    ROWS UNBOUNDED PRECEDING) AS cw,
+                  sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM per)
+          SELECT l_returnflag, min(l_quantity) AS w_median_qty,
+                 CAST(max(tw) AS DOUBLE) AS total_weight
+          FROM c WHERE cw * 2 >= tw GROUP BY l_returnflag
+          ORDER BY l_returnflag""",
+    // same md5 uniform, same inverse-CDF Laplace, same micro rounding
+    // (both engines round half away from zero)
+    "q279_dp_histogram" ->
+      """WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1),
+          u AS (SELECT source, cnt,
+                  (CAST(CAST('0x' || substring(md5(source || ':dp1'), 1, 13)
+                    AS BIGINT) AS DOUBLE) + 1) / 4503599627370496.0 - 0.5
+                    AS v
+                FROM per),
+          n AS (SELECT source, cnt,
+                  CAST(round(-sign(v) * ln(greatest(1.0 - abs(v) * 2.0,
+                    1e-300)) * 1000000.0) AS BIGINT) AS lap
+                FROM u)
+          SELECT source, cnt * 1000000 + lap AS noisy_micro,
+                 abs(lap) AS abs_err_micro
+          FROM n ORDER BY source""",
+    // same decimal(18,2) money bridge on both sides of the join
+    "q280_order_value_audit" ->
+      """WITH ls AS (SELECT l_orderkey,
+                  sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS gross
+                FROM lineitem GROUP BY 1),
+          j AS (SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2)) AS head, ls.gross
+                FROM orders LEFT JOIN ls ON o_orderkey = ls.l_orderkey)
+          SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(sum(CASE WHEN gross IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_childless,
+                 CAST(sum(CASE WHEN gross = head THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_matched,
+                 CAST(sum(CASE WHEN gross IS NOT NULL AND gross <> head
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+                 CAST(max(abs(gross - head)) AS DOUBLE) AS max_abs_diff,
+                 CAST(sum(abs(gross - head)) AS DOUBLE) AS sum_abs_diff
+          FROM j""",
+    // same exact sufficient statistics; same truncating div against the
+    // identically-rounded floor(sqrt(double product))
+    "q271_acf" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          lagged AS (SELECT cnt,
+                  lag(cnt, 1) OVER (ORDER BY day) AS y1,
+                  lag(cnt, 7) OVER (ORDER BY day) AS y7 FROM daily),
+          b1 AS (SELECT CAST(1 AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cnt) AS BIGINT) AS sx,
+                   CAST(sum(y1) AS BIGINT) AS sy,
+                   CAST(sum(cnt*y1) AS BIGINT) AS sxy,
+                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
+                   CAST(sum(y1*y1) AS BIGINT) AS syy
+                 FROM lagged WHERE y1 IS NOT NULL),
+          b7 AS (SELECT CAST(7 AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cnt) AS BIGINT) AS sx,
+                   CAST(sum(y7) AS BIGINT) AS sy,
+                   CAST(sum(cnt*y7) AS BIGINT) AS sxy,
+                   CAST(sum(cnt*cnt) AS BIGINT) AS sxx,
+                   CAST(sum(y7*y7) AS BIGINT) AS syy
+                 FROM lagged WHERE y7 IS NOT NULL),
+          u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b7)
+          SELECT lag, n, sx, sy, sxy, sxx, syy,
+                 ((n*sxy - sx*sy) * 1000000) //
+                   nullif(CAST(floor(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                     * CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT), 0)
+                   AS r_ppm
+          FROM u ORDER BY lag""",
+    // same closed-form prefix-minus-min-prefix statistic, same integer
+    // allowance/threshold floors
+    "q272_cusum" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+          kh AS (SELECT sum(cnt) // count(*) AS k,
+                   sum(cnt) // (10 * count(*)) AS h FROM daily),
+          p AS (SELECT day, k, h,
+                  CAST(sum(cnt - k) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+                FROM daily, kh),
+          s AS (SELECT day, k, h,
+                  p - least(min(p) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING), 0) AS sstat
+                FROM p)
+          SELECT CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(max(k) AS BIGINT) AS k, CAST(max(h) AS BIGINT) AS h,
+                 CAST(sum(CASE WHEN sstat >= h THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_alarms,
+                 coalesce(CAST(min(CASE WHEN sstat >= h THEN day END)
+                   AS VARCHAR), 'none') AS first_alarm_day,
+                 CAST(max(sstat) AS BIGINT) AS max_s
+          FROM s""",
+    // same concat_ws fingerprints, same count-distinct uniqueness folds
+    "q273_candidate_keys" -> {
+      val branches = Seq(Seq("o_orderkey"), Seq("o_custkey"),
+        Seq("o_orderdate"), Seq("o_custkey", "o_orderdate"),
+        Seq("o_orderstatus", "o_orderpriority")).map { cols =>
+        val tag = cols.mkString(",")
+        val fp = cols.map(c => s"CAST($c AS VARCHAR)")
+          .mkString("concat_ws('|', ", ", ", ")")
+        s"""SELECT '$tag' AS key_cols, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT $fp) AS BIGINT) AS n_distinct,
+               CAST(count(*) - count(DISTINCT $fp) AS BIGINT) AS dup_rows,
+               count(*) = count(DISTINCT $fp) AS is_key
+            FROM orders"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($branches) ORDER BY key_cols"
+    },
+    // same (day,user) distinct / first-seen decomposition and running sum
+    "q274_user_accretion" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+                FROM events),
+          dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                  FROM ev GROUP BY 1),
+          fs AS (SELECT min(day) AS day, user_id FROM ev GROUP BY user_id),
+          nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                 FROM fs GROUP BY 1)
+          SELECT dau.day, dau.dau,
+                 CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+                 dau.dau - CAST(coalesce(nu.new_users, 0) AS BIGINT)
+                   AS returning,
+                 CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+          FROM dau LEFT JOIN nu ON dau.day = nu.day
+          ORDER BY dau.day""",
+    // generate_subscripts gives 1-based positions → −1 matches
+    // posexplode's 0-based; stack/map branches are literal UNION ALL rows
+    "q275_generator_suite" ->
+      """WITH d5 AS (SELECT * FROM documents WHERE doc_id < 5),
+          words AS (SELECT doc_id, 'word' AS kind,
+                  CAST(generate_subscripts(string_split(text, ' '), 1)
+                    - 1 AS BIGINT) AS pos,
+                  unnest(string_split(text, ' ')) AS val
+                FROM d5),
+          stacked AS (SELECT doc_id, 'lang' AS kind,
+                  CAST(-1 AS BIGINT) AS pos, lang AS val FROM d5
+                UNION ALL
+                SELECT doc_id, 'source', CAST(-1 AS BIGINT), source
+                FROM d5),
+          mapped AS (SELECT doc_id, 'n_chars' AS kind,
+                  CAST(-2 AS BIGINT) AS pos,
+                  CAST(n_chars AS VARCHAR) AS val FROM d5
+                UNION ALL
+                SELECT doc_id, 'n_words', CAST(-2 AS BIGINT),
+                  CAST(length(string_split(text, ' ')) AS VARCHAR) FROM d5)
+          SELECT * FROM (SELECT * FROM words UNION ALL
+                         SELECT * FROM stacked UNION ALL
+                         SELECT * FROM mapped)
+          ORDER BY doc_id, kind, pos, val""",
+    // same full r×c grid (zero cells restored), same integer floor chain
+    "q266_chi_square" ->
+      """WITH base AS (SELECT c_mktsegment, c_nationkey FROM customer),
+          rt AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS rt
+                 FROM base GROUP BY 1),
+          ct AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS ct
+                 FROM base GROUP BY 1),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+          obs AS (SELECT c_mktsegment, c_nationkey,
+                    CAST(count(*) AS BIGINT) AS obs
+                  FROM base GROUP BY 1, 2),
+          grid AS (SELECT rt.c_mktsegment, ct.c_nationkey, rt.rt, ct.ct,
+                     CAST(coalesce(obs.obs, 0) AS BIGINT) AS obs, t.n
+                   FROM rt CROSS JOIN ct CROSS JOIN t
+                   LEFT JOIN obs USING (c_mktsegment, c_nationkey)),
+          cells AS (SELECT c_mktsegment, c_nationkey, n,
+                      (((obs*n - rt*ct) * (obs*n - rt*ct)) // (rt*ct))
+                        * 1000000 // n AS cell_micro
+                    FROM grid)
+          SELECT max(n) AS n, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST((count(DISTINCT c_mktsegment) - 1)
+                   * (count(DISTINCT c_nationkey) - 1) AS BIGINT) AS df,
+                 CAST(sum(cell_micro) AS BIGINT) AS chi2_micro
+          FROM cells""",
+    // same cross-multiplied cumulative counts, same (d_ppm desc, value)
+    // argmax tiebreak
+    "q267_ks_test" ->
+      """WITH a AS (SELECT min(source) AS src_a FROM documents),
+          per AS (SELECT n_chars, a.src_a,
+                    CAST(sum(CASE WHEN source = a.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c1,
+                    CAST(sum(CASE WHEN source <> a.src_a THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c2
+                  FROM documents, a GROUP BY 1, 2),
+          cum AS (SELECT n_chars, src_a,
+                    CAST(sum(c1) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f1,
+                    CAST(sum(c2) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS f2
+                  FROM per),
+          tt AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                   CAST(sum(c2) AS BIGINT) AS n2 FROM per),
+          dd AS (SELECT n_chars, src_a, n1, n2,
+                   (abs(f1*n2 - f2*n1) * 1000000) // (n1*n2) AS d_ppm,
+                   row_number() OVER (ORDER BY (abs(f1*n2 - f2*n1) * 1000000)
+                     // (n1*n2) DESC, n_chars) AS rk
+                 FROM cum, tt)
+          SELECT src_a, n1, n2, d_ppm, n_chars AS at_n_chars
+          FROM dd WHERE rk = 1""",
+    // same strict-permutation ranks (day tiebreak), same single floor div
+    "q268_spearman_trend" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+          rk AS (SELECT event_type,
+                   CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY day) AS BIGINT)
+                   - CAST(row_number() OVER (PARTITION BY event_type
+                     ORDER BY cnt, day) AS BIGINT) AS dd
+                 FROM daily),
+          ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(dd*dd) AS BIGINT) AS sum_d2
+                 FROM rk GROUP BY 1 HAVING count(*) >= 2)
+          SELECT event_type, n_days, sum_d2,
+                 1000000 - (6 * sum_d2 * 1000000)
+                   // (n_days * (n_days*n_days - 1)) AS rho_ppm
+          FROM ag ORDER BY event_type""",
+    // same per-FD single-row folds
+    "q269_fd_audit" -> {
+      val branches = Seq(
+        ("nation", "n_nationkey", "n_regionkey"),
+        ("orders", "o_orderkey", "o_orderdate"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("lineitem", "l_orderkey", "l_returnflag"),
+        ("lineitem", "l_partkey", "l_suppkey")).map { case (t, l, r) =>
+        s"""SELECT '$t.$l->$r' AS fd,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS violating_classes,
+               CAST(sum(CASE WHEN ndv > 1 THEN nrows ELSE 0 END) AS BIGINT)
+                 AS rows_in_violating,
+               sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM (SELECT $l, count(DISTINCT $r) AS ndv,
+                    CAST(count(*) AS BIGINT) AS nrows
+                  FROM $t GROUP BY $l)"""
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM ($branches) ORDER BY fd"
+    },
+    // same class×segment grid, same cumulative EMD cross-multiplication
+    "q270_t_closeness" ->
+      """WITH cust AS (SELECT c_nationkey, c_acctbal >= 0 AS bal_pos,
+                  c_mktsegment FROM customer),
+          gl AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS g
+                   FROM cust GROUP BY 1),
+          cls AS (SELECT c_nationkey, bal_pos, CAST(count(*) AS BIGINT) AS cls
+                  FROM cust GROUP BY 1, 2 HAVING count(*) >= 5),
+          obs AS (SELECT c_nationkey, bal_pos, c_mktsegment,
+                    CAST(count(*) AS BIGINT) AS o
+                  FROM cust GROUP BY 1, 2, 3),
+          t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM cust),
+          mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM gl),
+          grid AS (SELECT cls.c_nationkey, cls.bal_pos, cls.cls,
+                     gl.c_mktsegment, gl.g,
+                     CAST(coalesce(obs.o, 0) AS BIGINT) AS o, t.nn, mm.m
+                   FROM cls CROSS JOIN gl CROSS JOIN t CROSS JOIN mm
+                   LEFT JOIN obs USING (c_nationkey, bal_pos, c_mktsegment)),
+          cum AS (SELECT c_nationkey, bal_pos, cls, nn, m,
+                    CAST(sum(o) OVER (PARTITION BY c_nationkey, bal_pos
+                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cumc,
+                    CAST(sum(g) OVER (PARTITION BY c_nationkey, bal_pos
+                      ORDER BY c_mktsegment ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cumg
+                  FROM grid),
+          emd AS (SELECT c_nationkey, bal_pos, max(cls) AS cls,
+                    (sum(abs(cumc*nn - cumg*cls)) * 1000000)
+                      // (max(cls)*max(nn)*(max(m)-1)) AS emd_ppm
+                  FROM cum GROUP BY 1, 2)
+          SELECT c_nationkey, bal_pos, cls, emd_ppm,
+                 emd_ppm > 200000 AS fails_t02
+          FROM emd ORDER BY c_nationkey, bal_pos""",
+    // identical md5 permutation, adjacency fold, run segmentation, and
+    // without-replacement expectation
+    "q265_shuffle_quality" ->
+      """WITH s0 AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+          q AS (SELECT source, h, doc_id,
+                  CASE WHEN lag(source) OVER (ORDER BY h, doc_id) = source
+                       THEN 1 ELSE 0 END AS same
+                FROM s0),
+          q2 AS (SELECT source, same,
+                  CAST(sum(1 - same) OVER (ORDER BY h, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS brk
+                 FROM q),
+          mr AS (SELECT CAST(max(run_len) AS BIGINT) AS max_run FROM (
+                   SELECT brk, count(*) AS run_len FROM q2 GROUP BY brk)),
+          ps AS (SELECT CAST(sum(ns * (ns - 1)) AS BIGINT) AS num,
+                   CAST(sum(ns) AS BIGINT) AS n
+                 FROM (SELECT source, CAST(count(*) AS BIGINT) AS ns
+                       FROM s0 GROUP BY source)),
+          ob AS (SELECT CAST(sum(same) AS BIGINT) AS n_same,
+                   CAST(count(*) AS BIGINT) AS n_rows FROM q)
+          SELECT n_rows, n_same,
+                 (n_same * 1000000) // (n_rows - 1) AS observed_ppm,
+                 (num * 1000000) // (n * (n - 1)) AS expected_ppm,
+                 max_run
+          FROM ob, ps, mr""",
+    // same size-≥5 classes, same distinct-sensitive fold
+    "q263_l_diversity" ->
+      """WITH c AS (SELECT c_nationkey, c_acctbal >= 0 AS bp,
+                  CAST(count(*) AS BIGINT) AS cls,
+                  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+                FROM customer GROUP BY 1, 2
+                HAVING count(*) >= 5),
+          l AS (SELECT unnest([2, 3]) AS l)
+          SELECT CAST(l.l AS BIGINT) AS l,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 CAST(sum(CASE WHEN l_div < l.l THEN 1 ELSE 0 END)
+                   AS BIGINT) AS homogeneous_classes,
+                 CAST(sum(CASE WHEN l_div < l.l THEN cls ELSE 0 END)
+                   AS BIGINT) AS members_exposed
+          FROM c CROSS JOIN l GROUP BY l.l ORDER BY l""",
+    // same floors, same mod-total remainders, same largest-remainder
+    // seat distribution with the (rem desc, source) tiebreak
+    "q264_apportionment" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+          q AS (SELECT source, cnt,
+                  (cnt * $HoldoutQuota) // total AS floor_q,
+                  (cnt * $HoldoutQuota) % total AS rem
+                FROM c, t),
+          lo AS (SELECT $HoldoutQuota - CAST(sum(floor_q) AS BIGINT)
+                   AS leftover FROM q),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY rem DESC, source) AS BIGINT) AS rrank FROM q)
+          SELECT source, cnt, floor_q, rem,
+                 floor_q + CASE WHEN rrank <= (SELECT leftover FROM lo)
+                            THEN 1 ELSE 0 END AS quota
+          FROM r ORDER BY source""",
+    // same QI classes and per-k risk folds
+    "q262_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, c_acctbal >= 0 AS bp,
+                  CAST(count(*) AS BIGINT) AS cls
+                FROM customer GROUP BY 1, 2, 3),
+          t AS (SELECT CAST(sum(cls) AS BIGINT) AS n_total FROM c),
+          k AS (SELECT unnest([2, 5, 10]) AS k)
+          SELECT CAST(k.k AS BIGINT) AS k,
+                 CAST(sum(CASE WHEN cls < k.k THEN 1 ELSE 0 END) AS BIGINT)
+                   AS classes_below,
+                 CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END) AS BIGINT)
+                   AS at_risk,
+                 (CAST(sum(CASE WHEN cls < k.k THEN cls ELSE 0 END)
+                   AS BIGINT) * 1000000) // (SELECT n_total FROM t)
+                   AS risk_ppm
+          FROM c CROSS JOIN k GROUP BY k.k ORDER BY k""",
+    // same thresholds, same downward-closure pruning before pairs
+    "q261_apriori_pairs" ->
+      s"""WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          f AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS supp1
+                FROM b GROUP BY 1
+                HAVING count(*) >= $AprioriItemSupport),
+          fb AS (SELECT b.l_orderkey, b.l_partkey
+                 FROM b JOIN f USING (l_partkey)),
+          p AS (SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+                  CAST(count(*) AS BIGINT) AS supp2
+                FROM fb a JOIN fb c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2
+                HAVING count(*) >= $AprioriPairSupport),
+          r AS (SELECT p.p1, p.p2, p.supp2,
+                  f1.supp1 AS supp1a, f2.supp1 AS supp1b,
+                  CAST(row_number() OVER (ORDER BY supp2 DESC, p1, p2)
+                    AS INT) AS rk
+                FROM p JOIN f f1 ON f1.l_partkey = p.p1
+                JOIN f f2 ON f2.l_partkey = p.p2)
+          SELECT rk, p1, p2, supp2, supp1a, supp1b
+          FROM r WHERE rk <= 20 ORDER BY rk""",
+    // one UNION ALL branch per column, same min/max string casts
+    "q260_column_profile" -> {
+      val branches = Seq("l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_shipdate", "l_linestatus").map { c =>
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count($c) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+               CAST(min($c) AS VARCHAR) AS min_value,
+               CAST(max($c) AS VARCHAR) AS max_value
+            FROM lineitem"""
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($branches) ORDER BY "column""""
+    },
+    // same delta gaps, same binary-length bit cost
+    "q259_posting_gaps" ->
+      s"""WITH post AS (SELECT DISTINCT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          g AS (SELECT w, doc_id,
+                  doc_id - coalesce(lag(doc_id) OVER (PARTITION BY w
+                    ORDER BY doc_id), -1) AS gap
+                FROM post),
+          a AS (SELECT w, CAST(count(*) AS BIGINT) AS df,
+                  CAST(sum(length(bin(gap))) AS BIGINT) AS sum_gap_bits
+                FROM g GROUP BY w),
+          r AS (SELECT *, CAST(row_number() OVER (ORDER BY df DESC, w)
+                  AS INT) AS rk FROM a)
+          SELECT rk, w, df, sum_gap_bits,
+                 (sum_gap_bits * 1000000) // (df * 64) AS compression_ppm
+          FROM r WHERE rk <= 20 ORDER BY rk""",
+    // conditional aggregates per pivot cell, Spark's {value}_{alias} names
+    "q257_multi_pivot" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS "F_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'F') AS DOUBLE) AS "F_total",
+                CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS "O_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'O') AS DOUBLE) AS "O_total",
+                CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS "P_n",
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FILTER (o_orderstatus = 'P') AS DOUBLE) AS "P_total"
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // FILTER-clause equivalents + (price, key)-struct witness argmax
+    "q258_cond_agg_suite" ->
+      """SELECT o_orderpriority,
+                CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_f,
+                bool_and(o_totalprice > 0) AS all_positive,
+                bool_or(o_totalprice > 400000) AS any_huge,
+                arg_max(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 1000000000 + o_orderkey) AS richest_order,
+                arg_min(o_orderkey,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                    * 1000000000 + o_orderkey) AS poorest_order
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same hash clusters, same 2×2 provenance split
+    "q255_dup_provenance" ->
+      """WITH cl AS (SELECT sha256(text) AS h,
+                  CAST(count(*) AS BIGINT) AS n_copies,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+                FROM documents GROUP BY 1)
+         SELECT n_copies > 1 AS is_dup, n_sources > 1 AS cross_source,
+                CAST(count(*) AS BIGINT) AS n_clusters,
+                CAST(sum(n_copies) AS BIGINT) AS n_docs
+         FROM cl GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same decile binning and contingency pair folds
+    "q256_concordance" ->
+      s"""WITH sc AS (SELECT doc_id, n_chars AS x,
+                  CAST(len(list_distinct(ws)) AS BIGINT) * 1000
+                    // CAST(len(ws) AS BIGINT) AS y
+                FROM (SELECT doc_id, n_chars, $wordsSql AS ws
+                      FROM documents)
+                WHERE len(ws) > 0),
+          hx AS (SELECT x AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM sc GROUP BY 1),
+          cx AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM hx) AS ntot
+                 FROM hx),
+          bx AS (SELECT v, ((cum - n) * 10) // ntot AS xb FROM cx),
+          hy AS (SELECT y AS v, CAST(count(*) AS BIGINT) AS n
+                 FROM sc GROUP BY 1),
+          cy AS (SELECT v, n,
+                   CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS cum,
+                   (SELECT CAST(sum(n) AS BIGINT) FROM hy) AS ntot
+                 FROM hy),
+          by2 AS (SELECT v, ((cum - n) * 10) // ntot AS yb FROM cy),
+          ct AS (SELECT bx.xb, by2.yb, CAST(count(*) AS BIGINT) AS n
+                 FROM sc JOIN bx ON bx.v = sc.x
+                 JOIN by2 ON by2.v = sc.y
+                 GROUP BY 1, 2),
+          t AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM ct),
+          cd AS (SELECT
+                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb < b.yb
+                        THEN a.n * b.n END), 0) AS BIGINT) AS c,
+                   CAST(coalesce(sum(CASE WHEN a.xb < b.xb AND a.yb > b.yb
+                        THEN a.n * b.n END), 0) AS BIGINT) AS d
+                 FROM ct a, ct b)
+          SELECT t.n, cd.c, cd.d,
+                 ((cd.c - cd.d) * 1000000) // ((t.n * (t.n - 1)) // 2)
+                   AS tau_ppm
+          FROM cd, t""",
+    // the reassembled aggregate straight from the parquet dimension
+    "q253_federated_union" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                  AS total_bal
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // same planted nulls, same IGNORE NULLS last-value frame
+    "q254_forward_fill" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+                FROM events),
+          f AS (SELECT user_id, ts, event_id,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS filled
+                FROM e)
+          SELECT user_id, event_id, filled, filled IS NULL AS still_null
+          FROM f WHERE event_id % 5 = 0
+          ORDER BY user_id, event_id""",
+    // same Σtf² fixed-point fold
+    "q252_collision_diversity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+          a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n,
+                  CAST(sum(tf * tf) AS BIGINT) AS s2,
+                  CAST(count(*) AS BIGINT) AS n_types
+                FROM tf GROUP BY doc_id)
+          SELECT doc_id, n, n_types,
+                 (s2 * 1000000000000) // (n * n) AS collision_ppt
+          FROM a ORDER BY doc_id""",
+    // same first-doc placement and decile fold over the same shingles
+    "q250_vocab_growth" ->
+      s"""WITH tt AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          tok AS (SELECT doc_id,
+                    unnest(list_distinct([array_to_string(ws[i:i+2], ' ')
+                      for i in range(1, len(ws) - 1)])) AS w
+                  FROM tt WHERE len(ws) >= 3),
+          f AS (SELECT w, min(doc_id) AS first_doc FROM tok GROUP BY w),
+          m AS (SELECT max(doc_id) AS max_id FROM documents),
+          d AS (SELECT least(10, (first_doc * 10) // (max_id + 1) + 1)
+                  AS decile
+                FROM f, m),
+          g AS (SELECT decile, CAST(count(*) AS BIGINT) AS new_tokens
+                FROM d GROUP BY decile)
+          SELECT decile, new_tokens,
+                 CAST(sum(new_tokens) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+          FROM g ORDER BY decile""",
+    // same marker hits, same sorted-array top-2 margin in ppm
+    "q249_lang_confidence" -> {
+      val hits = TextAnalysis.langMarkers.map { case (code, m) =>
+        code -> s"CAST(len(list_intersect(list_distinct(ws), ${sqlList(m)})) AS BIGINT)"
+      }.toMap
+      val (en, de, fr, es) = (hits("en"), hits("de"), hits("fr"), hits("es"))
+      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          h AS (SELECT doc_id, $en AS en, $de AS de, $fr AS fr, $es AS es
+                FROM t),
+          x AS (SELECT doc_id, en, de, fr, es,
+                  list_sort([en, de, fr, es]) AS sorted,
+                  en + de + fr + es AS total
+                FROM h)
+          SELECT doc_id,
+                 CASE
+                   WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de > 0 AND de >= fr AND de >= es THEN 'de'
+                   WHEN fr > 0 AND fr >= es THEN 'fr'
+                   WHEN es > 0 THEN 'es'
+                   ELSE 'und' END AS pred_lang,
+                 sorted[4] AS top_hits, sorted[3] AS second_hits,
+                 CASE WHEN total > 0
+                      THEN ((sorted[4] - sorted[3]) * 1000000) // total
+                      ELSE -1 END AS margin_ppm
+          FROM x ORDER BY doc_id"""
+    },
+    // identical multiset algebra in DuckDB's EXCEPT ALL / INTERSECT ALL
+    "q248_bag_setops" ->
+      """WITH a AS (SELECT o_orderpriority AS p FROM orders),
+          b AS (SELECT o_orderpriority AS p FROM orders
+                WHERE o_orderkey % 2 = 0),
+          ex AS (SELECT 'except_all' AS op, p,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+                 GROUP BY 2),
+          iy AS (SELECT 'intersect_all' AS op, p,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+                 GROUP BY 2)
+          SELECT op, p, n FROM ex
+          UNION ALL SELECT op, p, n FROM iy
+          ORDER BY op, p""",
+    // same integer fixed-point idf reciprocal and (weight desc, term)
+    // tiebreak
+    "q245_keywords" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+          df AS (SELECT w, CAST(count(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+          j AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+                  tf.tf * (1000000 // df.df) AS weight
+                FROM tf JOIN df USING (w)),
+          r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY weight DESC, w) AS INT) AS rk FROM j)
+          SELECT doc_id, rk, w AS term, tf, df, weight
+          FROM r WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // same two-scan fold and ppm dup rate
+    "q246_dataset_card" ->
+      s"""WITH rs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                  CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique,
+                  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+                FROM documents),
+          ts AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+                 FROM (SELECT unnest($wordsSql) AS w FROM documents))
+          SELECT n_docs, n_langs, n_sources,
+                 ((n_docs - n_unique) * 1000000) // n_docs AS dup_ppm,
+                 total_chars, min_chars, max_chars,
+                 total_chars * 1000000 // n_docs AS mean_chars_ppm,
+                 n_tokens, vocab_size
+          FROM rs, ts""",
+    // q50's marker argmax per 20-word slice, same switch fold
+    "q244_code_switching" ->
+      s"""WITH t AS (SELECT doc_id, $wordsAposSql AS ws FROM documents),
+          x AS (SELECT doc_id, ws FROM t WHERE len(ws) > 0),
+          w AS (SELECT doc_id, CAST(i AS INT) AS widx,
+                  ws[i * 20 + 1 : i * 20 + 20] AS wsw
+                FROM x, unnest(range(0, (len(ws) - 1) // 20 + 1)) AS u(i)),
+          l AS (SELECT doc_id, widx, $langCaseSql AS lang
+                FROM (SELECT doc_id, widx, wsw AS ws FROM w)),
+          p AS (SELECT doc_id, widx, lang,
+                  lag(lang) OVER (PARTITION BY doc_id ORDER BY widx) AS prev
+                FROM l)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+          FROM p GROUP BY doc_id ORDER BY doc_id""",
+    // same day-clamped intervals, boundary merge, and lead-gap coverage
+    "q241_interval_union" ->
+      """WITH iv AS (SELECT CAST(ts AS TIMESTAMP) AS s,
+                  least(CAST(ts AS TIMESTAMP)
+                          + to_minutes(CAST(user_id % 30 + 1 AS BIGINT)),
+                        CAST(CAST(ts AS DATE) + 1 AS TIMESTAMP)) AS e
+                FROM events),
+          b AS (SELECT CAST(s AS DATE) AS day, s AS t,
+                  CAST(1 AS BIGINT) AS delta FROM iv
+                UNION ALL
+                SELECT CAST(s AS DATE), e, -1 FROM iv),
+          g AS (SELECT day, t, CAST(sum(delta) AS BIGINT) AS delta
+                FROM b GROUP BY 1, 2),
+          r AS (SELECT day, t, delta,
+                  sum(delta) OVER (PARTITION BY day ORDER BY t
+                    ROWS UNBOUNDED PRECEDING) AS conc,
+                  lead(t) OVER (PARTITION BY day ORDER BY t) AS next_t
+                FROM g)
+          SELECT day,
+                 CAST(sum(CASE WHEN conc > 0
+                      THEN epoch_us(next_t) - epoch_us(t)
+                      ELSE 0 END) AS BIGINT) AS covered_us,
+                 CAST(sum(CASE WHEN conc = 0
+                           AND epoch_us(next_t) > epoch_us(t)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+          FROM r WHERE next_t IS NOT NULL
+          GROUP BY day ORDER BY day""",
+    // same df≥3 vocabulary and broadcast probe
+    "q242_oov_rate" ->
+      s"""WITH tok AS (SELECT source, doc_id, unnest($wordsSql) AS w
+                 FROM documents),
+          vocab AS (SELECT w FROM (
+                  SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                  FROM tok GROUP BY w) WHERE df >= 3),
+          j AS (SELECT t.source, t.w,
+                  CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+                FROM tok t LEFT JOIN vocab v ON v.w = t.w)
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+                 CAST(sum(oov) AS BIGINT) AS n_oov,
+                 CAST(count(DISTINCT CASE WHEN oov = 1 THEN w END)
+                   AS BIGINT) AS n_oov_types,
+                 (CAST(sum(oov) AS BIGINT) * 1000000)
+                   // CAST(count(*) AS BIGINT) AS oov_ppm
+          FROM j GROUP BY source ORDER BY source""",
+    // list_sort over (key, name) structs fixes the same order
+    "q243_ordered_listagg" ->
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n,
+                array_to_string(list_transform(
+                  list_sort(list({'k': n_nationkey, 'v': n_name})),
+                  s -> s.v), '|') AS nations
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // same rank-weighted fold off the value histogram, same ppm formula
+    "q239_gini" ->
+      """WITH h AS (SELECT source, n_chars AS v,
+                  CAST(count(*) AS BIGINT) AS k
+                FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, v, k,
+                  CAST(sum(k) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum
+                FROM h),
+          a AS (SELECT source, max(cum) AS n,
+                  CAST(sum(v * k) AS BIGINT) AS sx,
+                  CAST(sum(v * (cum * 2 - k + 1) * k) AS BIGINT) AS s1x2
+                FROM c GROUP BY source)
+          SELECT source, n, sx,
+                 (s1x2 * 1000000) // (n * sx)
+                   - ((n + 1) * 1000000) // n AS gini_ppm
+          FROM a ORDER BY source""",
+    // same sparse-histogram span fold and overflow-safe variance
+    "q240_burstiness" ->
+      """WITH hr AS (SELECT user_id,
+                  CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+                    // 3600 AS BIGINT) AS h,
+                  CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+          a AS (SELECT user_id, max(h) - min(h) + 1 AS span,
+                  CAST(sum(c) AS BIGINT) AS total,
+                  CAST(sum(c * c) AS BIGINT) AS sc2,
+                  CAST(count(*) AS BIGINT) AS active_hours
+                FROM hr GROUP BY user_id),
+          b AS (SELECT user_id, span, total, active_hours,
+                  (sc2 * 1000000) // span
+                    - (total * 1000 // span) * (total * 1000 // span)
+                    AS var_ppm,
+                  (total * 1000000) // span AS mean_ppm
+                FROM a WHERE span >= 2)
+          SELECT user_id, span, total, active_hours, var_ppm, mean_ppm,
+                 (var_ppm * 1000000) // mean_ppm AS fano_ppm
+          FROM b ORDER BY user_id""",
+    // one parent-key multiplicity table per relation, same audit columns
+    "q237_join_cardinality" ->
+      """WITH pc1 AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS m
+                 FROM customer GROUP BY 1),
+          a1 AS (SELECT 'orders->customer' AS relation,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT) AS n_joined,
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_fanout_rows,
+                  CAST(max(COALESCE(m, 0)) AS BIGINT) AS max_mult
+                FROM orders LEFT JOIN pc1 ON o_custkey = k),
+          pc2 AS (SELECT p_partkey AS k, CAST(count(*) AS BIGINT) AS m
+                  FROM part GROUP BY 1),
+          a2 AS (SELECT 'lineitem->part',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(max(COALESCE(m, 0)) AS BIGINT)
+                FROM lineitem LEFT JOIN pc2 ON l_partkey = k),
+          ch AS (SELECT o_orderkey, c_nationkey
+                 FROM orders JOIN customer ON o_custkey = c_custkey),
+          pc3 AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS m
+                  FROM customer GROUP BY 1),
+          a3 AS (SELECT 'orders->customer_by_nation',
+                  CAST(count(*) AS BIGINT),
+                  CAST(sum(COALESCE(m, 0)) AS BIGINT),
+                  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(max(COALESCE(m, 0)) AS BIGINT)
+                FROM ch LEFT JOIN pc3 ON c_nationkey = k)
+          SELECT * FROM a1 UNION ALL SELECT * FROM a2
+          UNION ALL SELECT * FROM a3 ORDER BY relation""",
+    // same histogram rank cutoffs, tail clamping, and integer ppm means
+    "q238_robust_stats" ->
+      """WITH h AS (SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY 1, 2),
+          c AS (SELECT source, v, n,
+                  CAST(sum(n) OVER (PARTITION BY source ORDER BY v)
+                    AS BIGINT) AS cum,
+                  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS ntot
+                FROM h),
+          cc AS (SELECT *, (ntot + 9) // 10 AS t,
+                   ntot - (ntot + 9) // 10 AS hi FROM c),
+          lo AS (SELECT source, min(v) AS p10 FROM cc
+                 WHERE cum >= t GROUP BY source),
+          hv AS (SELECT source, min(v) AS p90 FROM cc
+                 WHERE cum >= hi GROUP BY source),
+          mid AS (SELECT source,
+                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
+                     0) * v) AS BIGINT) AS mid_sum,
+                   CAST(sum(greatest(least(cum, hi) - greatest(cum - n, t),
+                     0)) AS BIGINT) AS mid_n,
+                   max(ntot) AS n, max(t) AS t
+                  FROM cc GROUP BY source)
+          SELECT source, n, p10, p90,
+                 (mid_sum * 1000000) // mid_n AS trimmed_mean_ppm,
+                 ((mid_sum + t * p10 + t * p90) * 1000000) // n
+                   AS winsorized_mean_ppm
+          FROM mid JOIN lo USING (source) JOIN hv USING (source)
+          ORDER BY source""",
+    // full replay of BOTH fingerprints: the weighted one votes ±tf per
+    // bit over distinct tokens, the unweighted one is q44's; drift =
+    // bit_count of the xor
+    "q236_weighted_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          g AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY 1, 2),
+          hh AS (SELECT doc_id,
+                   list(CAST('0x' || substring(md5(w), 1, 15) AS BIGINT))
+                     AS hs,
+                   list(tf) AS tfs
+                 FROM g GROUP BY doc_id),
+          w AS (SELECT doc_id,
+                  CAST(coalesce(list_sum(
+                    [CASE WHEN list_sum([CASE WHEN (hs[i] >> j) & 1 = 1
+                                         THEN tfs[i] ELSE -tfs[i] END
+                                         FOR i IN range(1, len(hs) + 1)]) > 0
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS wsimhash
+                FROM hh),
+          u AS (SELECT doc_id,
+                  CAST(coalesce(list_sum(
+                    [CASE WHEN list_sum([CASE WHEN (h >> j) & 1 = 1
+                                         THEN 1 ELSE -1 END FOR h IN hs2]) > 0
+                          THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                     FOR j IN range(0, 60)]), 0) AS BIGINT) AS usimhash
+                FROM (SELECT doc_id,
+                        list_transform(list_sort(list_distinct(ws)),
+                          x -> CAST('0x' || substring(md5(x), 1, 15)
+                               AS BIGINT)) AS hs2
+                      FROM t))
+          SELECT d.doc_id, coalesce(w.wsimhash, 0) AS wsimhash,
+                 CAST(bit_count(xor(coalesce(w.wsimhash, 0),
+                                    coalesce(u.usimhash, 0))) AS INT)
+                   AS weight_drift_bits
+          FROM (SELECT doc_id FROM documents) d
+          LEFT JOIN w ON w.doc_id = d.doc_id
+          LEFT JOIN u ON u.doc_id = d.doc_id
+          ORDER BY d.doc_id"""
+  )
+}

@@ -315,7 +315,7 @@ object StreamQueries {
   private val q182StreamReservoir: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val keyed = ExtQueries.weightedKeyedDocs(s, d)
+    val keyed = ExtQueriesShared.weightedKeyedDocs(s, d)
     val src = graft.util.Scratch.dir("graft_swrs_src_")
     keyed.filter($"doc_id" % 2 === 0).write.parquet(s"$src/f1")
     keyed.filter($"doc_id" % 2 === 1).write.parquet(s"$src/f2")
@@ -624,7 +624,7 @@ object StreamQueries {
     // hash mod P, the embedded affine family, comma-joined signature
     // slices as band keys, bucket-min keepers, bool_or dup flags
     "q203_stream_lsh_dedup" ->
-      s"""${ExtQueries.shingleCte("")},
+      s"""${ExtQueriesShared.shingleCte("")},
           e AS (SELECT doc_id, unnest(sh) AS g FROM s),
           vh AS (SELECT g,
                    CAST('0x' || substring(md5(g), 1, 15) AS BIGINT)
@@ -648,7 +648,7 @@ object StreamQueries {
           ORDER BY d.doc_id""",
     // the streaming reservoir is DEFINED to equal q176's batch sample —
     // both gate against the one shared SQL string
-    "q182_stream_reservoir" -> ExtQueries.wrsOracleSql,
+    "q182_stream_reservoir" -> ExtQueriesShared.wrsOracleSql,
     // final table = base with streamed updates applied plus streamed
     // inserts — any dropped upsert, phantom re-apply, or missed insert
     // breaks the equality

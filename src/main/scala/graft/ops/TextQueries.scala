@@ -1021,7 +1021,7 @@ object TextQueries {
             FROM bm QUALIFY rank <= 20),
           tk AS (
             SELECT doc_id,
-                   CAST(coalesce(list_sum(list_transform(${ExtQueries.wordsAposSql},
+                   CAST(coalesce(list_sum(list_transform(${ExtQueriesShared.wordsAposSql},
                      w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)
                      AS n_tokens
             FROM documents),

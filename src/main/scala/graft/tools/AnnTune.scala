@@ -43,7 +43,7 @@ object AnnTune {
     for (d <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
       if (on("lsh")) {
         val slice = graft.io.Tables.embeddings(spark, d)
-          .filter($"vec_id" < graft.ops.ExtQueries.CosineSlice)
+          .filter($"vec_id" < graft.ops.ExtQueriesShared.CosineSlice)
           .repartition($"vec_id").cache()
         val truth = Similarity.cosineNearDupPairs(slice, 0.45)
           .select("vec_a", "vec_b").cache()

@@ -55,7 +55,7 @@ class AhoCorasickSpec extends AnyFunSuite {
     // all-occurrence count iff no pattern can overlap itself, i.e. iff
     // every pattern is borderless. Guard the keyword list here so a
     // future edit can't silently break the oracle equivalence.
-    graft.ops.ExtQueries.AcKeywords.foreach { k =>
+    graft.ops.ExtQueriesShared.AcKeywords.foreach { k =>
       assert(!AhoCorasick.hasProperBorder(k),
         s"keyword '$k' has a proper border — oracle trick would undercount")
     }
