@@ -118,11 +118,28 @@ object Trigram {
     * prefix equi-join → verify join with integer cross-multiplied
     * Jaccard (float-free). Prefix length uses integer ceil
     * (sz − (num·sz + den−1) div den + 1) — a float ⌈t·sz⌉ rounds up on
-    * ulp dust and silently breaks the lossless bound. */
+    * ulp dust and silently breaks the lossless bound.
+    *
+    * Hub-gram skew: even in df order, a dense-vocabulary corpus (TPC-H
+    * part names: ~92 words) leaves prefix grams shared by thousands of
+    * records, and the candidate equi-join then computes one C(w,2) block
+    * on a single task (the ×10 stress run measured max/median task skew
+    * of ~1700 on exactly this). Grams whose PREFIX df exceeds `hubCap`
+    * are therefore pair-preservingly salted: each record takes bucket
+    * b = xxhash64(id) mod `saltB`, the x-side replicates to bucket combos
+    * (b, j≥b), the y-side to (i≤b, b), and the join key (gram, i, j)
+    * spreads the block over saltB·(saltB+1)/2 tasks. Same-bucket combos
+    * keep the id< guard; cross-bucket pairs land exactly once (the pair
+    * with buckets bₐ<b_b matches only combo (bₐ,b_b), with the roles
+    * fixed by bucket) and are re-oriented via least/greatest — so the
+    * candidate SET is identical to the unsalted plan, task width is not.
+    * Sub-cap grams take bucket 0 with 1 combo: the unsalted plan. */
   def similarSelfJoin(recs: DataFrame, idCol: String, textCol: String,
-                      simNum: Int, simDen: Int): DataFrame = {
+                      simNum: Int, simDen: Int,
+                      hubCap: Int = 2048, saltB: Int = 8): DataFrame = {
     require(simNum > 0 && simNum < simDen,
       s"threshold must be in (0,1): $simNum/$simDen")
+    require(hubCap > 0 && saltB > 1, s"hubCap=$hubCap saltB=$saltB")
     // grams PACKED into 24-bit ints (3 ascii chars — pg_trgm's alphabet is
     // [a-z0-9␣], a bijection): candidate pairs carry two gram arrays each
     // through the verify shuffle, and int arrays are ~4× narrower than
@@ -147,9 +164,24 @@ object Trigram {
       .select(col("rid"),
         explode(expr(s"transform(slice(ord, 1, $prefixLen), x -> x.tok)"))
           .as("tok"))
-    val cand = pt.as("x").join(pt.as("y"),
-        col("x.tok") === col("y.tok") && col("x.rid") < col("y.rid"))
-      .select(col("x.rid").as("r1"), col("y.rid").as("r2")).distinct()
+    // hub-gram salt (see Scaladoc): prefix-df over hubCap → bucket combos
+    val hubs = pt.groupBy(col("tok")).agg(count(lit(1)).as("ptdf"))
+      .filter(col("ptdf") > hubCap).select(col("tok"), lit(true).as("hub"))
+    val ptb = pt.join(broadcast(hubs), Seq("tok"), "left")
+      .withColumn("b", when(col("hub").isNull, lit(0))
+        .otherwise(pmod(xxhash64(col("rid")), lit(saltB))).cast("int"))
+      .withColumn("nb", when(col("hub").isNull, lit(1)).otherwise(lit(saltB)))
+    val xs = ptb.select(col("rid"), col("tok"), col("b").as("i"),
+      explode(expr("sequence(b, nb - 1)")).as("j"))
+    val ys = ptb.select(col("rid"), col("tok"),
+      explode(expr("sequence(0, b)")).as("i"), col("b").as("j"))
+    val cand = xs.as("x").join(ys.as("y"),
+        col("x.tok") === col("y.tok") && col("x.i") === col("y.i") &&
+          col("x.j") === col("y.j") &&
+          (col("x.i") =!= col("x.j") || col("x.rid") < col("y.rid")) &&
+          col("x.rid") =!= col("y.rid"))
+      .select(least(col("x.rid"), col("y.rid")).as("r1"),
+        greatest(col("x.rid"), col("y.rid")).as("r2")).distinct()
     val out = cand
       .join(grams.select(col("rid").as("r1"), col("g").as("g1"),
         col("sz").as("s1")), "r1")

@@ -378,6 +378,29 @@ class PlanSpec extends AnyFunSuite {
       s"the scalar-total crossJoins must broadcast, never CartesianProduct:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"no sort-merge expected at this scale (AQE owns the web-scale flip):\n$plan")
+    // the broadcasts above must be AQE-CHOSEN, not hint-forced: a forced
+    // broadcast of a vocabulary-sized frame (10^8-10^9 word types at web
+    // scale) OOMs; the only legitimate hints in q180 are the two 1-row
+    // corpus-total frames on the crossJoins
+    val hints = "ResolvedHint".r
+      .findAllIn(df.queryExecution.analyzed.toString).size
+    assert(hints == 2,
+      s"q180 must hint ONLY the two 1-row totals (nu, nb); found $hints hints")
+  }
+
+  test("OOV rate (q242) and tf-idf keywords (q245): vocab join side is AQE-chosen, never hint-forced") {
+    // same scale rule as q137/q180: the df>=3 vocabulary and the document-
+    // frequency table are vocabulary-sized — at this sf AQE broadcasts
+    // them, at web scale it must be free to shuffle instead, so the query
+    // may not carry any broadcast hint at all
+    for (name <- Seq("q242_oov_rate", "q245_keywords")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val plan = planOf(df)
+      assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+        s"$name must not hint-force any join side")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: AQE should still pick broadcast at sf0.001:\n$plan")
+    }
   }
 
   test("weighted reservoir (q176): key derivation below the single top-k window") {
