@@ -612,6 +612,47 @@ object TextQueries {
       .orderBy($"ra", $"rb")
   }
 
+  /** BLOCKING-QUALITY AUDIT (Christen, TKDE 2012 §7: reduction ratio +
+    * pairs completeness) — the evaluation harness that says whether a
+    * blocking scheme is safe to deploy: q251's sorted-neighborhood w=3
+    * window candidates are scored against the q181 trigram-Jaccard truth
+    * pairs. Reduction ratio (candidates avoided vs all C(n,2) pairs) is
+    * the cost axis; pairs completeness (truth pairs surviving blocking)
+    * is the recall axis — a scheme is production-ready only when BOTH
+    * are high, and this query measures them in exact ppm.
+    *
+    * 100 TB shape: the window candidate set is linear in n (each record
+    * emits 3 probes off one global sort); truth comes from the bounded
+    * prefix-filtered self-join; the audit itself folds three counts and
+    * one candidate∩truth equi-join — nothing quadratic anywhere. */
+  private val q327BlockingQuality: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val recs = entityRecords(s, d).cache()
+    val truth = partNameSimPairs(s, d)
+      .select(least($"r1", $"r2").as("ra"), greatest($"r1", $"r2").as("rb"))
+      .distinct().cache()
+    val sorted = recs.withColumn("key", lower($"name"))
+      .withColumn("rn", row_number().over(Window.orderBy($"key", $"rid")))
+      .select($"rid", $"rn")
+    val cand = sorted.select($"rid".as("r1"),
+        explode(expr("sequence(rn + 1, rn + 3)")).as("rn"))
+      .join(sorted.select($"rid".as("r2"), $"rn"), Seq("rn"))
+      .select(least($"r1", $"r2").as("ra"), greatest($"r1", $"r2").as("rb"))
+      .distinct().cache()
+    recs.agg(count(lit(1)).as("n_records"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+      .crossJoin(broadcast(cand.join(truth, Seq("ra", "rb"))
+        .agg(count(lit(1)).as("n_found"))))
+      .select($"n_records",
+        expr("(n_records * (n_records - 1)) div 2").as("n_possible_pairs"),
+        $"n_candidates", $"n_true", $"n_found",
+        expr("(((n_records * (n_records - 1)) div 2 - n_candidates) * 1000000)" +
+          " div ((n_records * (n_records - 1)) div 2)").as("reduction_ppm"),
+        expr("(n_found * 1000000) div n_true").as("completeness_ppm"))
+  }
+
   /** q207's oracle: the shared pair graph, then each synchronous LPA
     * round unrolled as (neighbor-label count → top-1 → relabel) CTEs. */
   private def labelPropOracleSql(iters: Int): String = {
@@ -765,6 +806,7 @@ object TextQueries {
     "q196_kcore"            -> q196KCore,
     "q207_label_prop"       -> q207LabelProp,
     "q251_sorted_neighborhood" -> q251SortedNeighborhood,
+    "q327_blocking_quality" -> q327BlockingQuality,
     "q127_plainto_phraseto" -> q127PlaintoPhraseto,
     "q133_ts_rewrite"       -> q133TsRewrite,
     "q144_bm25"             -> q144Bm25,
@@ -1101,6 +1143,31 @@ object TextQueries {
                            + CAST(len(b.gl) AS BIGINT)
                            - CAST(len(list_intersect(a.gl, b.gl)) AS BIGINT)))
           SELECT DISTINCT ra, rb FROM v ORDER BY ra, rb""",
+    // the same window candidates and brute-force truth pairs, folded to
+    // the same ppm reduction/completeness pair
+    "q327_blocking_quality" ->
+      s"""WITH $entityGraphCte,
+          r AS (SELECT rid, CAST(row_number() OVER (ORDER BY lower(name), rid)
+                  AS BIGINT) AS rn
+                FROM recs),
+          pr AS (SELECT DISTINCT least(a.rid, b.rid) AS ra,
+                   greatest(a.rid, b.rid) AS rb
+                 FROM r a JOIN r b ON b.rn BETWEEN a.rn + 1 AND a.rn + 3),
+          tp AS (SELECT DISTINCT least(r1, r2) AS ra, greatest(r1, r2) AS rb
+                 FROM p),
+          st AS (SELECT
+                  (SELECT CAST(count(*) AS BIGINT) FROM recs) AS n_records,
+                  (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_candidates,
+                  (SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_true,
+                  (SELECT CAST(count(*) AS BIGINT)
+                   FROM pr JOIN tp USING (ra, rb)) AS n_found)
+          SELECT n_records,
+                 (n_records * (n_records - 1)) // 2 AS n_possible_pairs,
+                 n_candidates, n_true, n_found,
+                 (((n_records * (n_records - 1)) // 2 - n_candidates) * 1000000)
+                   // ((n_records * (n_records - 1)) // 2) AS reduction_ppm,
+                 (n_found * 1000000) // n_true AS completeness_ppm
+          FROM st""",
     // the same brute-force pair graph, then the same two triangle joins
     "q184_triangles" ->
       s"""WITH $entityGraphCte,
