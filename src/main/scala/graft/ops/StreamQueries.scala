@@ -491,6 +491,57 @@ object StreamQueries {
     * per-key row IS the global aggregate and the DuckDB group-by is an
     * exact oracle; cross-batch accumulation semantics are the processor's
     * state-merge path, exercised by the multi-batch spec. */
+  /** STREAMING GROWTH ACCOUNTING — q320's four-way user-state flow as a
+    * live pipeline: events stream in as three day-contiguous micro-batches
+    * (maxFilesPerTrigger=1, the q94 scaffold), and a
+    * [[Streams.GrowthProcessor]] classifies each user-day as
+    * new/retained/resurrected against a per-user last-active-day
+    * ValueState on RocksDB. The batch oracle (the q320 lag construction)
+    * gates CROSS-BATCH state correctness: a user active in slice 1 and
+    * again in slice 3 classifies `resurrected` only if the store carried
+    * their last day across two micro-batch commits. */
+  private val q332StreamGrowth: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ud = Tables.events(s, d)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("epoch_day"))
+      .distinct()
+    val src = graft.util.Scratch.dir("graft_growth332_")
+    // 3 slices cut on DAY boundaries (a split day would hide the
+    // cross-batch transition this query exists to prove)
+    val days = ud.select($"epoch_day").distinct()
+      .withColumn("di",
+        row_number().over(Window.orderBy($"epoch_day")) - 1)
+    val nd = days.count()
+    val sliced = ud.join(broadcast(days), "epoch_day")
+      .withColumn("slice", expr(s"(di * 3) div $nd")).cache()
+    try {
+      (0 to 2).foreach { i =>
+        sliced.filter($"slice" === i).select($"user_id", $"epoch_day")
+          .repartition(1).write.parquet(s"$src/f$i")
+      }
+    } finally sliced.unpersist()
+    val stream = s.readStream
+      .schema(sliced.select($"user_id", $"epoch_day").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .as[Streams.UserDay]
+    val res = Streams.runToMemory(s,
+      stream.groupByKey(_.user_id)
+        .transformWithState(new Streams.GrowthProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF(),
+      mode = OutputMode.Update(), statePartitions = 8, rocksDb = true)
+    res.groupBy($"epoch_day", $"state")
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        expr("cast(date_add(DATE'1970-01-01', cast(epoch_day as int)) as string)")
+          .as("day"),
+        $"state", $"n_users")
+      .orderBy($"day", $"state")
+  }
+
   private val q214TransformState: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -609,6 +660,7 @@ object StreamQueries {
     "q210_session_window"   -> q210SessionWindow,
     "q211_dedup_watermark"  -> q211DedupWatermark,
     "q214_transform_state"  -> q214TransformState,
+    "q332_stream_growth"    -> q332StreamGrowth,
     "q247_dynamic_session"  -> q247DynamicSession)
 
   /** q203's affine coefficients as a literal VALUES table — the same
@@ -623,6 +675,20 @@ object StreamQueries {
     // full from-scratch replay of the streamed LSH construction: md5 base
     // hash mod P, the embedded affine family, comma-joined signature
     // slices as band keys, bucket-min keepers, bool_or dup flags
+    // the q320 lag construction restricted to the three arrival states —
+    // batch replay of exactly what the streaming state must reproduce
+    "q332_stream_growth" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                 FROM events),
+          st AS (SELECT user_id, day,
+                   lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+                 FROM ud)
+          SELECT CAST(day AS VARCHAR) AS day,
+                 CASE WHEN prev IS NULL THEN 'new'
+                      WHEN datediff('day', prev, day) = 1 THEN 'retained'
+                      ELSE 'resurrected' END AS state,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM st GROUP BY 1, 2 ORDER BY day, state""",
     "q203_stream_lsh_dedup" ->
       s"""${ExtQueriesShared.shingleCte("")},
           e AS (SELECT doc_id, unnest(sh) AS g FROM s),

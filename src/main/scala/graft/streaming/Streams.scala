@@ -454,6 +454,48 @@ object Streams {
   case class UserAggOut(user_id: Long, n_events: Long,
                         min_id: Long, max_id: Long)
 
+  case class UserDay(user_id: Long, epoch_day: Long)
+  case class DayState(epoch_day: Long, state: String)
+
+  /** Cross-batch growth-accounting state (q332): one ValueState[Long] per
+    * user holding the last-active epoch day. Each batch's days (sorted,
+    * de-duplicated locally — per-user per-batch day lists are tiny)
+    * classify against it: no prior state → `new`, gap of exactly one day →
+    * `retained`, anything longer → `resurrected` (the q320 states minus
+    * `churned`, which needs absence observation — a timer concern, not an
+    * arrival one). The state is ONE long per user: at 100 TB-scale user
+    * counts this is the minimal-footprint keyed state, and RocksDB holds
+    * it off-heap. Correctness across micro-batch boundaries is the whole
+    * point: a user's first day in batch 2 must classify against their
+    * last day from batch 1, which only works if the store persists. */
+  final class GrowthProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserDay, DayState] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var last: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      last = getHandle.getValueState[Long]("last_day",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserDay],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[DayState] = {
+      val days = rows.map(_.epoch_day).toArray.distinct.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[DayState]
+      var prev = if (last.exists()) Some(last.get()) else None
+      days.foreach { d =>
+        prev match {
+          case None                  => out += DayState(d, "new")
+          case Some(p) if d == p     => () // same day re-observed: no event
+          case Some(p) if d - p == 1 => out += DayState(d, "retained")
+          case Some(_)               => out += DayState(d, "resurrected")
+        }
+        if (!prev.exists(_ >= d)) prev = Some(d)
+      }
+      prev.foreach(last.update)
+      out.iterator
+    }
+  }
+
   /** `transformWithState` processor (the Spark 4 arbitrary-state API that
     * supersedes mapGroupsWithState): per-user running aggregate held in a
     * typed ValueState, merged with each batch's rows and re-emitted. The

@@ -388,6 +388,25 @@ class PlanSpec extends AnyFunSuite {
       s"q180 must hint ONLY the two 1-row totals (nu, nb); found $hints hints")
   }
 
+  test("Zipf slope (q324): top-R rank filter pushed map-side (WindowGroupLimit), no joins") {
+    val df = graft.SparkEntry.queries("q324_zipf_slope")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"the rk <= R filter must prune map-side before the per-source window:\n$plan")
+    assert(!plan.contains("Join"),
+      s"q324 is two aggregations and one window — no joins:\n$plan")
+  }
+
+  test("char entropy (q325) and symbol profile (q331): partial aggregation map-side, no window/join on the corpus") {
+    for (name <- Seq("q325_char_entropy", "q331_symbol_profile")) {
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val plan = planOf(df)
+      assert(plan.contains("partial_"),
+        s"$name must combine map-side before its shuffle:\n$plan")
+      assert(!plan.contains("Join"), s"$name has no joins:\n$plan")
+    }
+  }
+
   test("OOV rate (q242) and tf-idf keywords (q245): vocab join side is AQE-chosen, never hint-forced") {
     // same scale rule as q137/q180: the df>=3 vocabulary and the document-
     // frequency table are vocabulary-sized — at this sf AQE broadcasts
