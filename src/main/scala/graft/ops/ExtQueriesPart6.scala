@@ -1,0 +1,330 @@
+package graft.ops
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables
+
+import graft.ops.ExtQueriesShared._
+
+/** Catalog part 6 — the round-9 storage-layout & serving family: the
+  * physical-design audits behind 100 TB table maintenance (Z-order
+  * clustering quality, zone-map skipping effectiveness, encoding-gain
+  * estimation) and the SymSpell deletion-neighborhood spell corrector
+  * (the serving-side fuzzy-lookup primitive). All exact-integer, all
+  * DuckDB-oracle-gated. */
+private[ops] object ExtQueriesPart6 {
+
+  /** Bits per dimension for the Z-order interleave (16 → a 32-bit key). */
+  private val ZBits = 16
+  /** Coarse-cell shift: top 6 interleaved bits → 64 cells. */
+  private[ops] val ZCellShift = 2 * ZBits - 6
+
+  /** The Morton interleave, built at plan time from the same loop in two
+    * dialects (no UDF, no per-row loop — 32 shift-mask terms):
+    * z = Σ_i bit_i(x)·4^i + Σ_i bit_i(y)·2·4^i. */
+  private def zExprSql(x: String, y: String): String =
+    (0 until ZBits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", ") + (", ")")
+
+  private def zCol(x: Column, y: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ORDER CLUSTERING AUDIT — the Delta/Iceberg OPTIMIZE ZORDER
+    * question answered with numbers: bucket the (user, day) event keys
+    * into 64 coarse cells under (a) Morton-interleaved Z-order and (b)
+    * plain primary-key order, and measure each cell's min-max extent in
+    * BOTH dimensions. Z-order trades a little extent in the lead
+    * dimension for bounded extent in both — which is what makes min/max
+    * zone maps prune multi-dimensional predicates. The cell key is pure
+    * arithmetic on the top interleaved bits (NO global sort, NO ntile —
+    * a single-partition window would be the classic scale bug here).
+    *
+    * 100 TB shape: map-only key derivation, one 128-cell aggregate with
+    * map-side partials, 2-row fold. */
+  private val q333ZorderAudit: Q = (s, d) => {
+    import s.implicits._
+    // min-max normalize both dims onto the full 16-bit grid first — raw
+    // user ids and epoch days occupy a sliver of [0, 2^16), and Z-order
+    // over un-normalized keys collapses every row into one coarse cell
+    // (exactly the mistake a real OPTIMIZE ZORDER implementation must
+    // avoid: interleave RANKS or scaled values, not raw values)
+    val raw = Tables.events(s, d)
+      .select($"user_id".cast("long").as("xr"),
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("yr"))
+      .distinct()
+    val mm = raw.agg(min($"xr").as("mnx"), max($"xr").as("mxx"),
+      min($"yr").as("mny"), max($"yr").as("mxy"))
+    val top = (1L << ZBits) - 1
+    val keys = raw.crossJoin(broadcast(mm))
+      .select(
+        expr(s"((xr - mnx) * $top) div greatest(mxx - mnx, 1)").as("x"),
+        expr(s"((yr - mny) * $top) div greatest(mxy - mny, 1)").as("y"))
+    val cells = keys
+      .withColumn("zcell", shiftright(zCol($"x", $"y"), ZCellShift))
+      .withColumn("kcell", shiftright($"x", ZBits - 6))
+    def extents(cellCol: String, layout: String) = cells
+      .groupBy(col(cellCol).as("cell"))
+      .agg((max($"x") - min($"x")).as("xr"), (max($"y") - min($"y")).as("yr"),
+        count(lit(1)).as("n"))
+      .agg(lit(layout).as("layout"), count(lit(1)).as("n_cells"),
+        expr("sum(xr) div count(1)").as("mean_x_extent"),
+        expr("sum(yr) div count(1)").as("mean_y_extent"),
+        max($"n").as("max_cell_rows"))
+    extents("zcell", "zorder").unionByName(extents("kcell", "rowkey"))
+      .orderBy($"layout")
+  }
+
+  /** Simulated file width for the zone-map audits (rows per "file"). */
+  private[ops] val ZoneFileRows = 1000L
+
+  /** ZONE-MAP SKIPPING AUDIT — the parquet row-group pruning mechanism
+    * measured: documents split into doc_id-range "files", per-file
+    * min/max of n_chars recorded (the zone map), and a grid of
+    * `n_chars >= t` predicates evaluated purely against the maps. For
+    * each threshold: how many files a scan may skip (max < t), and the
+    * scan amplification — rows inside surviving files vs rows actually
+    * matching — in exact ppm. High amplification at high selectivity is
+    * the signal that the table needs re-clustering (q333's operation).
+    *
+    * 100 TB shape: one (file) aggregate builds the maps; the predicate
+    * grid is a broadcast crossJoin against the per-file map table (files
+    * × thresholds, never rows × thresholds). */
+  private val q334ZonemapSkipping: Q = (s, d) => {
+    import s.implicits._
+    val files = Tables.documents(s, d)
+      .select(expr(s"doc_id div $ZoneFileRows").as("file_id"), $"n_chars")
+      .groupBy($"file_id")
+      .agg(min($"n_chars").as("mn"), max($"n_chars").as("mx"),
+        count(lit(1)).as("rows"),
+        sum(when($"n_chars" >= 500, 1L).otherwise(0L)).as("m500"),
+        sum(when($"n_chars" >= 1000, 1L).otherwise(0L)).as("m1000"),
+        sum(when($"n_chars" >= 2000, 1L).otherwise(0L)).as("m2000"),
+        sum(when($"n_chars" >= 4000, 1L).otherwise(0L)).as("m4000"))
+    val grid = Seq(500L, 1000L, 2000L, 4000L).toDF("t")
+    files.crossJoin(broadcast(grid))
+      .select($"t", $"file_id", $"rows", $"mx",
+        when($"t" === 500, $"m500").when($"t" === 1000, $"m1000")
+          .when($"t" === 2000, $"m2000").otherwise($"m4000").as("matched"))
+      .groupBy($"t")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"mx" < $"t", 1L).otherwise(0L)).as("n_skipped"),
+        sum(when($"mx" >= $"t", $"rows").otherwise(0L)).as("rows_scanned"),
+        sum($"matched").as("rows_matched"))
+      .withColumn("scan_amp_ppm",
+        expr("(rows_scanned * 1000000) div greatest(rows_matched, 1)"))
+      .orderBy($"t")
+  }
+
+  /** Rows per simulated encoding block (parquet-page-ish). */
+  private[ops] val EncBlockRows = 1000L
+
+  /** ENCODING-GAIN ESTIMATOR — the storage-planning audit: for each
+    * candidate column, exact run counts (RLE potential) and distinct
+    * counts (dictionary width) measured in storage order WITHIN
+    * page-sized blocks, folded to dict_bits = ⌈log2(card)⌉ and
+    * rle_runs_ppm = runs/rows. Runs are counted per block via a local
+    * sort of ≤[[EncBlockRows]] collected (key, value) structs — the
+    * per-file shape of a real encoder, NOT a global window (a
+    * whole-table lag would single-partition the sort).
+    *
+    * 100 TB shape: one (block) aggregate per column with bounded
+    * collect_list width, then a value-domain fold; distincts are one
+    * (column, value) shuffle. */
+  private val q335EncodingGain: Q = (s, d) => {
+    import s.implicits._
+    val cols = Seq("o_orderstatus", "o_orderpriority")
+    val stackArgs = lit(cols.size) +:
+      cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    val base = Tables.orders(s, d)
+      .select($"o_orderkey", stack(stackArgs: _*).as(Seq("col", "v")))
+    val runs = base
+      .groupBy($"col", expr(s"o_orderkey div $EncBlockRows").as("blk"))
+      .agg(sort_array(collect_list(struct($"o_orderkey", $"v"))).as("arr"))
+      .select($"col",
+        size($"arr").cast("long").as("n"),
+        (size(filter(
+          zip_with(slice($"arr", lit(1), size($"arr") - 1),
+            slice($"arr", lit(2), size($"arr") - 1),
+            (a, b) => a.getField("v") =!= b.getField("v")),
+          x => x)) + 1).cast("long").as("n_runs"))
+      .groupBy($"col").agg(sum($"n").as("n_rows"), sum($"n_runs").as("n_runs"))
+    val card = base.select($"col", $"v").distinct()
+      .groupBy($"col").agg(count(lit(1)).as("n_distinct"))
+    runs.join(card, "col")
+      .select($"col", $"n_rows", $"n_runs", $"n_distinct",
+        expr("cast(ceil(ln(n_distinct) / ln(2)) as bigint)").as("dict_bits"),
+        expr("(n_runs * 1000000) div n_rows").as("rle_runs_ppm"))
+      .orderBy($"col")
+  }
+
+  /** SymSpell suggestion count per typo. */
+  private[ops] val SymSpellTopK = 3
+
+  /** SYMSPELL SPELL CORRECTION (Garbe's deletion-neighborhood method) —
+    * the serving-side fuzzy lookup: instead of an edit-distance join
+    * (quadratic) or per-query Levenshtein scan (linear per query),
+    * BOTH vocabulary and queries expand to their distance-1 DELETION
+    * variants, and candidates form by exact equi-join on the shared
+    * variant key — each word generates |w|+1 keys, so the index is
+    * linear in corpus vocabulary and lookup is a hash probe. Typos are
+    * derived deterministically in-query (3rd char dropped from the five
+    * most frequent ≥5-char words), candidates verify with
+    * levenshtein ≤ 1 and rank by corpus frequency.
+    *
+    * 100 TB shape: vocab deletion expansion is one explode (≈|w|×vocab
+    * rows); the typo side is broadcast-tiny; candidates are a broadcast
+    * hash join + one top-k window over ≤ typos×candidates rows. */
+  private val q336Symspell: Q = (s, d) => {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(graft.text.TextOps.words($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("freq"))
+      .cache()
+    val typos = vocab.filter(length($"w") >= 5)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"freq".desc, $"w")))
+      .filter($"rk" <= 5)
+      .select(concat(substring($"w", 1, 2), substring($"w", 4, 1000))
+        .as("typo"))
+      .distinct()
+    // deletion variants: the word itself + each single-char-dropped form
+    def dels(c: Column): Column = array_union(
+      array(c),
+      expr(s"transform(sequence(1, length(${c.toString()})), " +
+        s"i -> concat(substring(${c.toString()}, 1, i - 1), " +
+        s"substring(${c.toString()}, i + 1, 1000000)))"))
+    val vIdx = vocab.select($"w", $"freq", explode(dels($"w")).as("k"))
+    val tIdx = typos.select($"typo", explode(dels($"typo")).as("k"))
+    vIdx.join(broadcast(tIdx), "k")
+      .select($"typo", $"w", $"freq").distinct()
+      .filter(levenshtein($"typo", $"w") <= 1)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"typo").orderBy($"freq".desc, $"w")))
+      .filter($"rank" <= SymSpellTopK)
+      .select($"typo", $"rank", $"w".as("suggestion"), $"freq",
+        levenshtein($"typo", $"w").cast("long").as("dist"))
+      .orderBy($"typo", $"rank")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q333_zorder_audit" -> q333ZorderAudit,
+    "q334_zonemap_skipping" -> q334ZonemapSkipping,
+    "q335_encoding_gain" -> q335EncodingGain,
+    "q336_symspell" -> q336Symspell)
+
+  lazy val oracle: Map[String, String] = Map(
+    // the identical 32-term Morton expression, identical coarse cells
+    "q333_zorder_audit" ->
+      s"""WITH r0 AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS xr,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS yr
+                 FROM events),
+          mm AS (SELECT min(xr) AS mnx, max(xr) AS mxx,
+                   min(yr) AS mny, max(yr) AS mxy FROM r0),
+          k AS (SELECT ((xr - mnx) * ${(1L << ZBits) - 1})
+                    // greatest(mxx - mnx, 1) AS x,
+                  ((yr - mny) * ${(1L << ZBits) - 1})
+                    // greatest(mxy - mny, 1) AS y
+                FROM r0, mm),
+          c AS (SELECT x, y,
+                  (${zExprSql("x", "y")}) >> $ZCellShift AS zcell,
+                  x >> ${ZBits - 6} AS kcell
+                FROM k),
+          z AS (SELECT zcell AS cell, max(x) - min(x) AS xr,
+                  max(y) - min(y) AS yr, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY zcell),
+          r AS (SELECT kcell AS cell, max(x) - min(x) AS xr,
+                  max(y) - min(y) AS yr, CAST(count(*) AS BIGINT) AS n
+                FROM c GROUP BY kcell)
+          SELECT 'zorder' AS layout, CAST(count(*) AS BIGINT) AS n_cells,
+                 CAST(sum(xr) AS BIGINT) // count(*) AS mean_x_extent,
+                 CAST(sum(yr) AS BIGINT) // count(*) AS mean_y_extent,
+                 max(n) AS max_cell_rows
+          FROM z
+          UNION ALL
+          SELECT 'rowkey', CAST(count(*) AS BIGINT),
+                 CAST(sum(xr) AS BIGINT) // count(*),
+                 CAST(sum(yr) AS BIGINT) // count(*), max(n)
+          FROM r
+          ORDER BY layout""",
+    // same doc_id-range files, same map-only skip decision and ppm
+    "q334_zonemap_skipping" ->
+      s"""WITH f AS (SELECT doc_id // $ZoneFileRows AS file_id,
+                   min(n_chars) AS mn, max(n_chars) AS mx,
+                   CAST(count(*) AS BIGINT) AS rows,
+                   CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT) AS m500,
+                   CAST(sum(CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS m1000,
+                   CAST(sum(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) AS BIGINT) AS m2000,
+                   CAST(sum(CASE WHEN n_chars >= 4000 THEN 1 ELSE 0 END) AS BIGINT) AS m4000
+                 FROM documents GROUP BY 1),
+          g AS (SELECT unnest([CAST(500 AS BIGINT), 1000, 2000, 4000]) AS t),
+          j AS (SELECT t, file_id, rows, mx,
+                  CASE WHEN t = 500 THEN m500 WHEN t = 1000 THEN m1000
+                       WHEN t = 2000 THEN m2000 ELSE m4000 END AS matched
+                FROM f CROSS JOIN g)
+          SELECT t, CAST(count(*) AS BIGINT) AS n_files,
+                 CAST(sum(CASE WHEN mx < t THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+                 CAST(sum(CASE WHEN mx >= t THEN rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+                 CAST(sum(matched) AS BIGINT) AS rows_matched,
+                 (CAST(sum(CASE WHEN mx >= t THEN rows ELSE 0 END) AS BIGINT) * 1000000)
+                   // greatest(CAST(sum(matched) AS BIGINT), 1) AS scan_amp_ppm
+          FROM j GROUP BY t ORDER BY t""",
+    // same per-block run counting in key order, same dict-bit fold
+    "q335_encoding_gain" ->
+      s"""WITH b AS (
+            SELECT col, o_orderkey // $EncBlockRows AS blk, o_orderkey, v
+            FROM (SELECT o_orderkey, o_orderstatus AS v, 'o_orderstatus' AS col
+                  FROM orders
+                  UNION ALL
+                  SELECT o_orderkey, o_orderpriority, 'o_orderpriority'
+                  FROM orders)),
+          r AS (SELECT col, blk, CAST(count(*) AS BIGINT) AS n,
+                  CAST(1 + sum(CASE WHEN v <> prev THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_runs
+                FROM (SELECT col, blk, v,
+                        lag(v) OVER (PARTITION BY col, blk
+                          ORDER BY o_orderkey) AS prev
+                      FROM b)
+                GROUP BY col, blk),
+          rr AS (SELECT col, CAST(sum(n) AS BIGINT) AS n_rows,
+                   CAST(sum(n_runs) AS BIGINT) AS n_runs
+                 FROM r GROUP BY col),
+          c AS (SELECT col, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+                FROM b GROUP BY col)
+          SELECT col, n_rows, n_runs, n_distinct,
+                 CAST(ceil(ln(n_distinct) / ln(2)) AS BIGINT) AS dict_bits,
+                 (n_runs * 1000000) // n_rows AS rle_runs_ppm
+          FROM rr JOIN c USING (col) ORDER BY col""",
+    // same frequency-derived typos, same deletion keys, same verify+rank
+    "q336_symspell" ->
+      s"""WITH vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS freq
+                 FROM (SELECT unnest($wordsSql) AS w FROM documents)
+                 GROUP BY w),
+          ty AS (SELECT DISTINCT substring(w, 1, 2) || substring(w, 4) AS typo
+                 FROM (SELECT w, row_number() OVER (ORDER BY freq DESC, w) AS rk
+                       FROM vocab WHERE length(w) >= 5)
+                 WHERE rk <= 5),
+          vi AS (SELECT w, freq, unnest(list_append(
+                   [substring(w, 1, i - 1) || substring(w, i + 1)
+                    for i in range(1, length(w) + 1)], w)) AS k
+                 FROM vocab),
+          ti AS (SELECT typo, unnest(list_append(
+                   [substring(typo, 1, i - 1) || substring(typo, i + 1)
+                    for i in range(1, length(typo) + 1)], typo)) AS k
+                 FROM ty),
+          cand AS (SELECT DISTINCT typo, w, freq
+                   FROM vi JOIN ti USING (k)
+                   WHERE levenshtein(typo, w) <= 1),
+          rk AS (SELECT typo, w, freq,
+                   CAST(row_number() OVER (PARTITION BY typo
+                     ORDER BY freq DESC, w) AS BIGINT) AS rank
+                 FROM cand)
+          SELECT typo, rank, w AS suggestion, freq,
+                 CAST(levenshtein(typo, w) AS BIGINT) AS dist
+          FROM rk WHERE rank <= $SymSpellTopK
+          ORDER BY typo, rank""")
+}
