@@ -157,20 +157,27 @@ object Trigram {
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val prefixLen =
       s"cast(size(ord) - (($simNum * size(ord) + ${simDen - 1}) div $simDen) + 1 as int)"
+    // the gram's global df rides the prefix struct, so the hub decision
+    // below costs NOTHING extra (an earlier draft counted prefix-df with
+    // a third pass over pt — one more collect_list regroup, measured
+    // +50% on the whole family; global df ≥ prefix-df, so using it only
+    // ever salts MORE, never misses a hub)
     val pt = grams.select(col("rid"), explode(col("g")).as("tok"))
       .join(broadcast(dfreq), "tok")
       .groupBy(col("rid"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok")))).as("ord"))
-      .select(col("rid"),
-        explode(expr(s"transform(slice(ord, 1, $prefixLen), x -> x.tok)"))
-          .as("tok"))
-    // hub-gram salt (see Scaladoc): prefix-df over hubCap → bucket combos
-    val hubs = pt.groupBy(col("tok")).agg(count(lit(1)).as("ptdf"))
-      .filter(col("ptdf") > hubCap).select(col("tok"), lit(true).as("hub"))
-    val ptb = pt.join(broadcast(hubs), Seq("tok"), "left")
-      .withColumn("b", when(col("hub").isNull, lit(0))
+      .select(col("rid"), explode(expr(s"slice(ord, 1, $prefixLen)")).as("p"))
+      .select(col("rid"), col("p.tok").as("tok"), col("p.df").as("df"))
+    // hub-gram salt (see Scaladoc): df over hubCap → bucket combos.
+    // Kept as ONE unified path (sub-cap grams take b=0, nb=1 — their
+    // sequence explodes are single-element): a cold/hot branch split
+    // would re-execute the regroup's downstream stage once per branch
+    // side (4 consumers instead of 2 — measured +20% on the family),
+    // which costs more than the no-op explodes it avoids.
+    val ptb = pt
+      .withColumn("b", when(col("df") <= hubCap, lit(0))
         .otherwise(pmod(xxhash64(col("rid")), lit(saltB))).cast("int"))
-      .withColumn("nb", when(col("hub").isNull, lit(1)).otherwise(lit(saltB)))
+      .withColumn("nb", when(col("df") <= hubCap, lit(1)).otherwise(lit(saltB)))
     val xs = ptb.select(col("rid"), col("tok"), col("b").as("i"),
       explode(expr("sequence(b, nb - 1)")).as("j"))
     val ys = ptb.select(col("rid"), col("tok"),
