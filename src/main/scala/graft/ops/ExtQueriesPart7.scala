@@ -1,0 +1,472 @@
+package graft.ops
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.io.Tables
+
+import graft.ops.ExtQueriesShared._
+
+/** Catalog part 7 — the round-9 embedding-geometry & lexical-diversity
+  * diagnostics family: the "is this representation/corpus healthy?"
+  * audits an embedding-heavy training pipeline runs BEFORE it trusts
+  * ANN dedup or semantic filtering built on those vectors (a collapsed
+  * or anisotropic space silently breaks cosine-threshold dedup), plus
+  * the per-document lexical-diversity suite and the conditional
+  * character-entropy signal on the text side.
+  *
+  * Numerics follow the house exact-sufficient-statistics discipline:
+  * coordinates are quantized to integers ONCE per row (fixed-order
+  * per-row float folds, then `round` — see [[EmbQ]]), and everything
+  * after that is exact integer/decimal arithmetic, so every query
+  * hash-matches its DuckDB oracle bit-for-bit regardless of row order
+  * or partitioning. Reference behaviors: sec_dl stores embeddings as
+  * opaque vectors and runs similarity in SQL (ref
+  * `sec_dl/search/query.py:1` pattern); these are the scale-side
+  * diagnostics of that same column. */
+private[ops] object ExtQueriesPart7 {
+
+  /** Coordinate quantization scale: 4 decimal digits. Chosen so the
+    * exact integer moments stay far inside decimal(38,0)/HUGEINT at any
+    * realistic corpus (q·q ≈ 1e8 per term, ×64 dims ×n rows), while 1e-4
+    * resolution is far below any geometric signal in unit-scale float32
+    * embeddings. Shared by q337/q340 and their oracles. */
+  private val EmbQ = 10000L
+
+  /** Per-row quantized-coordinate array: round(1e4·x) as long. The cast
+    * to double happens BEFORE the multiply in both engines, and round is
+    * half-away-from-zero in both, so the longs are identical. */
+  private def qCoords(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * EmbQ).cast("long"))
+
+  /** EFFECTIVE RANK (participation ratio) of the embedding covariance —
+    * the representation-collapse alarm: PR = tr(C)²/tr(C²) ∈ [1, d] is
+    * the "how many dimensions actually carry variance" number
+    * (PR ≈ d: isotropic; PR ≈ 1: collapsed to a line — cosine dedup
+    * thresholds calibrated on a healthy space are garbage on a collapsed
+    * one). Both traces come from the exact integer moment matrix
+    * M = n·S − T·Tᵀ (S = Σ qqᵀ, T = Σ q over quantized coords), so
+    * tr, tr(C²)·n⁴ and the ppm/micro ratios are exact integers — no
+    * eigendecomposition, no float accumulation across rows.
+    *
+    * 100 TB shape: the d² outer products are generated IN-ROW and feed a
+    * hash aggregate on d² = 4096 keys with map-side partials — the
+    * shuffle is #partitions × 4096 rows regardless of corpus size (no
+    * long-form self-join, which would shuffle rows×d). T and n fold the
+    * same cached narrow projection. At web scale the decimal(38,0)
+    * moments hold to ~1e12 rows at this quantization; past that you
+    * shard the sum or drop a quantization digit. */
+  private val q337EffectiveRank: Q = (s, d) => {
+    import s.implicits._
+    val qv = Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .select($"vec_id", qCoords($"embedding").as("q"))
+      .cache() // narrow: 64 longs/row; feeds three folds below
+    // S_ij: in-row (i, j, q_i·q_j) triples → 4096-key hash agg
+    val sMat = qv.select(explode(expr(
+        """flatten(transform(sequence(0, size(q) - 1), i ->
+             transform(sequence(0, size(q) - 1), j ->
+               struct(i, j, cast(q[i] as decimal(38,0)) * q[j] as p))))"""))
+        .as("t"))
+      .select($"t.i".as("i"), $"t.j".as("j"), $"t.p".as("p"))
+      .groupBy($"i", $"j").agg(sum($"p").as("sij"))
+    val tVec = qv.select(posexplode($"q").as(Seq("i", "qi")))
+      .groupBy($"i").agg(sum($"qi".cast("decimal(38,0)")).as("ti"))
+    val n1 = qv.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+    val m = sMat
+      .join(broadcast(tVec.select($"i", $"ti".as("tia"))), "i")
+      .join(broadcast(tVec.select($"i".as("j"), $"ti".as("tib"))), "j")
+      .crossJoin(broadcast(n1))
+      .select($"i", $"j", $"n", ($"n" * $"sij" - $"tia" * $"tib").as("m"))
+    val agg = m.agg(
+      sum(when($"i" === $"j", $"m")).as("trace"),
+      sum(($"m" * $"m").cast("decimal(38,0)")).as("fro2"))
+    val top = m.filter($"i" === $"j")
+      .orderBy($"m".desc, $"i").limit(1)
+      .select($"i".as("top_var_dim"), $"m".as("mtop"))
+    agg.crossJoin(broadcast(top)).crossJoin(broadcast(n1))
+      .select(
+        $"n".cast("long").as("n"),
+        $"trace".cast("long").as("trace_q"),
+        $"top_var_dim",
+        expr("cast((mtop * 1000000) div trace as bigint)")
+          .as("top_var_share_ppm"),
+        expr("cast((trace * trace * 1000000) div fro2 as bigint)")
+          .as("eff_rank_micro"))
+  }
+
+  /** ISOTROPY / NORM-CONCENTRATION audit per label — the other half of
+    * the q337 health check: the mean-resultant-vector length of the
+    * UNIT-normalized embeddings (r_ppm → 0: directions spread over the
+    * sphere; → 1e6: all vectors point the same way, the classic
+    * anisotropy cone of LM embeddings that makes raw cosine thresholds
+    * meaningless) plus the exact-integer mean norm. Per-row float work
+    * (‖x‖, x/‖x‖) is a FIXED-ORDER left fold identically sequenced in
+    * both engines (Spark `aggregate` ≡ DuckDB `list_reduce`), quantized
+    * to micro-units per row; cross-row sums are exact longs/decimals.
+    *
+    * 100 TB shape: map-only normalize+quantize, one (label, dim) hash
+    * aggregate with map-side partials (|labels|·d keys), one |labels|
+    * fold. */
+  private val q338Isotropy: Q = (s, d) => {
+    import s.implicits._
+    val u = Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .withColumn("nrm", sqrt(expr(
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")))
+      .select($"label",
+        round($"nrm" * 1e6).cast("long").as("nq"),
+        posexplode(transform($"embedding",
+          x => round(x.cast("double") / $"nrm" * 1e6).cast("long")))
+          .as(Seq("i", "u")))
+    // per (label, dim): exact resultant component; cnt and snq replicate
+    // the per-LABEL row count / norm sum across every dim of that label,
+    // so max() at the label level recovers them without a second scan
+    val dims = u.groupBy($"label", $"i")
+      .agg(sum($"u".cast("decimal(38,0)")).as("ui"),
+        count(lit(1)).as("cnt"), sum($"nq".cast("decimal(38,0)")).as("snq"))
+    dims.groupBy($"label")
+      .agg(sum(($"ui" * $"ui").cast("decimal(38,0)")).as("r2"),
+        max($"cnt").as("nd"), max($"snq").as("snq"))
+      .select($"label", $"nd".as("n"),
+        expr("cast(snq div nd as bigint)").as("mean_norm_micro"),
+        floor(sqrt($"r2".cast("double")) / $"nd").cast("long")
+          .as("resultant_ppm"))
+      .orderBy($"label")
+  }
+
+  /** HUBNESS PROFILE — the k-occurrence distribution N₁₀(v) = how many
+    * other vectors count v among their 10 nearest neighbors (Radovanović
+    * et al., JMLR 2010). High-dimensional spaces grow "hubs" that appear
+    * in everyone's neighbor list and antihubs that appear in nobody's;
+    * heavy hubness means ANN-graph dedup keeps re-finding the same
+    * vectors and nearest-neighbor evidence is untrustworthy. Exact
+    * integer output over the bounded [[CosineSlice]] diagnostic slice
+    * (the q42/q48 house pattern: a fixed-size brute-force panel audits
+    * the corpus-scale path at ANY sf). Self is excluded AFTER ranking —
+    * self cos = 1.0 is always in the top-11, so every query contributes
+    * exactly its 10 nearest OTHERS, and the oracle replicates the same
+    * rank-then-drop rule.
+    *
+    * 100 TB shape: the panel is a broadcast (500 vectors) against 500
+    * rows — constant work at any corpus size; the production-scale
+    * variant feeds q47/q49's bucketed candidates through the same
+    * neighbor-count fold. */
+  private val q339Hubness: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .filter($"vec_id" < CosineSlice)
+      .repartition($"vec_id")
+      .cache()
+    val knn = graft.ext.Similarity.bruteForceKnn(emb, emb, k = 11)
+      .filter($"query_id" =!= $"neighbor_id")
+    val occ = knn.groupBy($"neighbor_id").agg(count(lit(1)).as("n10"))
+    emb.select($"vec_id")
+      .join(occ.withColumnRenamed("neighbor_id", "vec_id"), Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"n10", lit(0L)).as("n10"))
+      .orderBy($"vec_id")
+  }
+
+  /** CENTROID SEPARABILITY — the Davies-Bouldin-style audit of the
+    * label structure: for every label pair, the exact squared distance
+    * between centroids and the (√within_a + √within_b)/√between ratio
+    * (db_ppm > 1e6 means the clusters overlap more than they separate —
+    * label-conditioned sampling or per-label dedup thresholds are then
+    * fiction). Sufficient statistics per label are the exact integer
+    * (n, T = Σq, SS = Σ‖q‖²); within-variance and between-distance²
+    * come out as single exact integers (V = n·SS − ‖T‖²,
+    * D2 = ‖n_b·T_a − n_a·T_b‖²) with ONE double division at the end —
+    * deterministic on both engines.
+    *
+    * 100 TB shape: one (label, dim) aggregate with map-side partials,
+    * then a |labels|² broadcast self-join over a 10-row table. */
+  private val q340CentroidSeparability: Q = (s, d) => {
+    import s.implicits._
+    val lf = Tables.embeddings(s, d)
+      .repartition($"vec_id")
+      .select($"label", posexplode(qCoords($"embedding")).as(Seq("i", "q")))
+    val dims = lf.groupBy($"label", $"i")
+      .agg(sum($"q".cast("decimal(38,0)")).as("ti"),
+        sum(($"q" * $"q").cast("decimal(38,0)")).as("ssi"),
+        count(lit(1)).as("cnt"))
+    // per-label exact moments: n, Σ_i T_i² (for ‖T‖²), SS = Σ_i Σ q²
+    val lab = dims.groupBy($"label")
+      .agg(max($"cnt").cast("decimal(38,0)").as("n"),
+        sum(($"ti" * $"ti").cast("decimal(38,0)")).as("t2"),
+        sum($"ssi").as("ss"))
+      .withColumn("v", $"n" * $"ss" - $"t2") // n²·Var in q² units
+      .withColumn("wv_micro",
+        expr(s"cast((v * 1000000) div (n * n * ${EmbQ * EmbQ}) as bigint)"))
+    val a = dims.select($"label".as("la"), $"i", $"ti".as("ta"),
+      $"cnt".cast("decimal(38,0)").as("na"))
+    val b = dims.select($"label".as("lb"), $"i", $"ti".as("tb"),
+      $"cnt".cast("decimal(38,0)").as("nb"))
+    val d2 = a.join(b, Seq("i")).filter($"la" < $"lb")
+      .groupBy($"la", $"lb", $"na", $"nb")
+      .agg(sum((($"nb" * $"ta" - $"na" * $"tb") * ($"nb" * $"ta" - $"na" * $"tb"))
+        .cast("decimal(38,0)")).as("d2s"))
+      .withColumn("d2_micro",
+        expr(s"cast((d2s * 1000000) div (na * na * nb * nb * ${EmbQ * EmbQ}) as bigint)"))
+    d2.join(broadcast(lab.select($"label".as("la"), $"wv_micro".as("wa"))), "la")
+      .join(broadcast(lab.select($"label".as("lb"), $"wv_micro".as("wb"))), "lb")
+      .select($"la".as("label_a"), $"lb".as("label_b"),
+        $"na".cast("long").as("n_a"), $"nb".cast("long").as("n_b"),
+        $"wa".as("wv_micro_a"), $"wb".as("wv_micro_b"), $"d2_micro",
+        when($"d2_micro" > 0,
+          floor(lit(1e6) * (sqrt($"wa".cast("double")) + sqrt($"wb".cast("double")))
+            / sqrt($"d2_micro".cast("double") * 1e6)).cast("long"))
+          .as("db_ppm"))
+      .orderBy($"label_a", $"label_b")
+  }
+
+  /** LEXICAL-DIVERSITY SUITE per document — TTR, hapax share, Yule's K,
+    * and MATTR-25 (Covington & McFall's moving-average TTR, the
+    * length-robust one) in one map-only pass: the repetitiveness signals
+    * quality filters combine with q104's repetition gates (templated/
+    * spun text scores low diversity at normal length). Frequencies come
+    * from an IN-ROW fold over each doc's own token array (O(N·V) on
+    * ~100-word docs), so there is no vocabulary shuffle at all; all
+    * ratios are exact ppm / micro integer divisions.
+    *
+    * 100 TB shape: pure map over documents — embarrassingly parallel,
+    * nothing leaves the executor but the per-doc metric row. */
+  private val q341LexicalDiversity: Q = (s, d) => {
+    import s.implicits._
+    val W = 25
+    Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", graft.ext.Dedup.words($"text").as("ws"))
+      .filter(size($"ws") > 0)
+      .withColumn("f", expr(
+        "transform(array_distinct(ws), t -> size(filter(ws, w -> w = t)))"))
+      .select($"doc_id",
+        size($"ws").cast("long").as("n_words"),
+        size($"f").cast("long").as("n_types"),
+        expr("cast(size(filter(f, c -> c = 1)) as bigint)").as("hapax_cnt"),
+        expr("aggregate(f, cast(0 as bigint), (a, c) -> a + cast(c as bigint) * c)")
+          .as("sf2"),
+        when(size($"ws") >= W, expr(
+          s"""aggregate(transform(sequence(1, size(ws) - ${W - 1}),
+                p -> size(array_distinct(slice(ws, p, $W)))),
+              cast(0 as bigint), (a, c) -> a + c)"""))
+          .as("mattr_s"))
+      .select($"doc_id", $"n_words", $"n_types", $"hapax_cnt",
+        expr("(n_types * 1000000) div n_words").as("ttr_ppm"),
+        // Yule's K × 100 (K = 1e4·(Σf²−N)/N²): the 1e6 multiplier keeps
+        // the exact product inside BIGINT to ~3e6-word documents
+        expr("((sf2 - n_words) * 1000000) div (n_words * n_words)")
+          .as("yule_k_c100"),
+        expr(s"(mattr_s * 1000000) div ($W * (n_words - ${W - 1}))")
+          .as("mattr_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  /** CONDITIONAL CHARACTER ENTROPY H(c₂|c₁) per language — q325's
+    * unigram entropy measures symbol spread; the CONDITIONAL bigram
+    * entropy measures how predictable the next character is given the
+    * current one, i.e. the first-order compression bound (low = rigid
+    * templates/boilerplate, high = diverse prose; the gap to q325's H
+    * is the mutual information the bigram model captures). Terms are
+    * quantized per bigram TYPE with the q137/q194 lnM
+    * quantize-before-subtract rule — cnt₂·(lnM(cnt₁) − lnM(cnt₂)) is an
+    * exact long — then exactly summed and integer-divided by the bigram
+    * total.
+    *
+    * 100 TB shape: the bigram explode is linear in corpus bytes and
+    * partial-aggregates map-side into per-(lang, c₁, c₂) counts (the
+    * alphabet² value domain, NOT corpus-sized); everything after folds
+    * value-domain tables. */
+  private val q342CharEntropyRate: Q = (s, d) => {
+    import s.implicits._
+    val lnM: Column => Column = c => round(log(c.cast("double")) * 1e6).cast("long")
+    val bg = Tables.documents(s, d)
+      .select($"lang", lower($"text").as("t"))
+      // length >= 2 guard: Spark sequence(1, 0) DESCENDS instead of
+      // returning empty — a 1-char doc would fabricate a bogus bigram
+      .filter(length($"t") >= 2)
+      .select($"lang", explode(expr(
+        """transform(sequence(1, length(t) - 1),
+             i -> struct(substring(t, i, 1) as c1, substring(t, i + 1, 1) as c2))"""))
+        .as("b"))
+      .groupBy($"lang", $"b.c1".as("c1"), $"b.c2".as("c2"))
+      .agg(count(lit(1)).as("c2n"))
+    val pre = bg.groupBy($"lang", $"c1").agg(sum($"c2n").as("c1n"))
+    bg.join(pre, Seq("lang", "c1"))
+      .groupBy($"lang")
+      .agg(sum($"c2n").as("n_bigrams"),
+        count(lit(1)).as("n_types"),
+        sum($"c2n" * (lnM($"c1n") - lnM($"c2n"))).as("tsum"))
+      .select($"lang", $"n_bigrams", $"n_types",
+        expr("tsum div n_bigrams").as("h_cond_micro"))
+      .orderBy($"lang")
+  }
+
+  private[ops] val queries: Map[String, Q] = Map(
+    "q337_effective_rank" -> q337EffectiveRank,
+    "q338_isotropy" -> q338Isotropy,
+    "q339_hubness" -> q339Hubness,
+    "q340_centroid_separability" -> q340CentroidSeparability,
+    "q341_lexical_diversity" -> q341LexicalDiversity,
+    "q342_char_entropy_rate" -> q342CharEntropyRate
+  )
+
+  /** Long-form quantized embedding CTE shared by the q337/q340 oracles
+    * (1-based DuckDB lists → 0-based dims to match posexplode). */
+  private val lfCteSql =
+    s"""lf AS (
+          SELECT vec_id, label, s.i AS i,
+                 CAST(round(CAST(s.x AS DOUBLE) * $EmbQ) AS BIGINT) AS q
+          FROM (SELECT vec_id, label,
+                  unnest([{'i': i, 'x': embedding[i + 1]}
+                          FOR i IN range(0, len(embedding))]) AS s
+                FROM embeddings))"""
+
+  private[ops] val oracle: Map[String, String] = Map(
+    // same quantized moments M = n·S − T·Tᵀ, same exact ppm/micro folds
+    "q337_effective_rank" ->
+      s"""WITH $lfCteSql,
+          S AS (SELECT a.i AS i, b.i AS j,
+                       sum(CAST(a.q AS HUGEINT) * b.q) AS sij
+                FROM lf a JOIN lf b USING (vec_id) GROUP BY 1, 2),
+          T AS (SELECT i, sum(CAST(q AS HUGEINT)) AS ti FROM lf GROUP BY 1),
+          nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM lf),
+          M AS (SELECT s.i, s.j,
+                       nn.n * s.sij - ta.ti * tb.ti AS m
+                FROM S s CROSS JOIN nn
+                     JOIN T ta ON ta.i = s.i JOIN T tb ON tb.i = s.j),
+          agg AS (SELECT sum(CASE WHEN i = j THEN m END) AS trace,
+                         sum(m * m) AS fro2 FROM M),
+          top AS (SELECT i AS top_var_dim, m AS mtop FROM M WHERE i = j
+                  ORDER BY m DESC, i LIMIT 1)
+          SELECT CAST(nn.n AS BIGINT) AS n,
+                 CAST(agg.trace AS BIGINT) AS trace_q,
+                 CAST(top.top_var_dim AS INTEGER) AS top_var_dim,
+                 CAST((top.mtop * 1000000) // agg.trace AS BIGINT)
+                   AS top_var_share_ppm,
+                 CAST((agg.trace * agg.trace * 1000000) // agg.fro2 AS BIGINT)
+                   AS eff_rank_micro
+          FROM agg CROSS JOIN top CROSS JOIN nn""",
+    // same left-fold norm, same per-row micro quantization, exact sums
+    "q338_isotropy" ->
+      """WITH u AS (
+           SELECT label,
+                  CAST(round(nrm * 1000000) AS BIGINT) AS nq,
+                  [CAST(round(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)
+                   FOR x IN embedding] AS uv
+           FROM (SELECT label, embedding,
+                   sqrt(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]),
+                     (a, b) -> a + b)) AS nrm
+                 FROM embeddings)),
+         dims AS (
+           SELECT label, s.i AS i, sum(CAST(s.u AS HUGEINT)) AS ui,
+                  count(*) AS cnt, sum(CAST(nq AS HUGEINT)) AS snq
+           FROM (SELECT label, nq,
+                   unnest([{'i': i, 'u': uv[i + 1]}
+                           FOR i IN range(0, len(uv))]) AS s
+                 FROM u)
+           GROUP BY 1, 2)
+         SELECT label, CAST(max(cnt) AS BIGINT) AS n,
+                CAST(max(snq) // max(cnt) AS BIGINT) AS mean_norm_micro,
+                CAST(floor(sqrt(CAST(sum(ui * ui) AS DOUBLE)) / max(cnt))
+                  AS BIGINT) AS resultant_ppm
+         FROM dims GROUP BY label ORDER BY label""",
+    // q46's window machinery: rank INCLUDING self, drop self, count hits
+    "q339_hubness" ->
+      s"""WITH knn AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                                  list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                                c.vec_id) AS rank
+              FROM (SELECT * FROM embeddings WHERE vec_id < $CosineSlice) c
+              CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < $CosineSlice) q) t
+            WHERE rank <= 11 AND query_id <> neighbor_id),
+          occ AS (SELECT neighbor_id AS vec_id, count(*) AS n10
+                  FROM knn GROUP BY 1)
+          SELECT e.vec_id, CAST(coalesce(occ.n10, 0) AS BIGINT) AS n10
+          FROM (SELECT vec_id FROM embeddings WHERE vec_id < $CosineSlice) e
+          LEFT JOIN occ USING (vec_id) ORDER BY e.vec_id""",
+    // same exact label moments, same single-division micro outputs
+    "q340_centroid_separability" ->
+      s"""WITH $lfCteSql,
+          dims AS (SELECT label, i, sum(CAST(q AS HUGEINT)) AS ti,
+                          sum(CAST(q AS HUGEINT) * q) AS ssi,
+                          count(*) AS cnt
+                   FROM lf GROUP BY 1, 2),
+          lab AS (SELECT label, CAST(max(cnt) AS HUGEINT) AS n,
+                         sum(ti * ti) AS t2, sum(ssi) AS ss
+                  FROM dims GROUP BY 1),
+          labv AS (SELECT label,
+                          CAST(((n * ss - t2) * 1000000)
+                               // (n * n * ${EmbQ * EmbQ}) AS BIGINT) AS wv_micro
+                   FROM lab),
+          d2 AS (SELECT a.label AS la, b.label AS lb,
+                        CAST(max(a.cnt) AS HUGEINT) AS na,
+                        CAST(max(b.cnt) AS HUGEINT) AS nb,
+                        sum((CAST(b.cnt AS HUGEINT) * a.ti - CAST(a.cnt AS HUGEINT) * b.ti)
+                            * (CAST(b.cnt AS HUGEINT) * a.ti - CAST(a.cnt AS HUGEINT) * b.ti))
+                          AS d2s
+                 FROM dims a JOIN dims b ON a.i = b.i AND a.label < b.label
+                 GROUP BY 1, 2),
+          d2m AS (SELECT la, lb, na, nb,
+                         CAST((d2s * 1000000)
+                              // (na * na * nb * nb * ${EmbQ * EmbQ}) AS BIGINT)
+                           AS d2_micro
+                  FROM d2)
+          SELECT d2m.la AS label_a, d2m.lb AS label_b,
+                 CAST(d2m.na AS BIGINT) AS n_a, CAST(d2m.nb AS BIGINT) AS n_b,
+                 wa.wv_micro AS wv_micro_a, wb.wv_micro AS wv_micro_b,
+                 d2m.d2_micro,
+                 CASE WHEN d2m.d2_micro > 0 THEN
+                   CAST(floor(1000000.0 * (sqrt(CAST(wa.wv_micro AS DOUBLE))
+                                           + sqrt(CAST(wb.wv_micro AS DOUBLE)))
+                              / sqrt(CAST(d2m.d2_micro AS DOUBLE) * 1000000.0))
+                     AS BIGINT) END AS db_ppm
+          FROM d2m JOIN labv wa ON wa.label = d2m.la
+                   JOIN labv wb ON wb.label = d2m.lb
+          ORDER BY label_a, label_b""",
+    // same in-row frequency fold, same ppm/micro integer divisions
+    "q341_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+          m AS (SELECT doc_id, ws,
+                  CAST(len(ws) AS BIGINT) AS n_words,
+                  [len(list_filter(ws, w -> w = tt))
+                   FOR tt IN list_distinct(ws)] AS f
+                FROM t WHERE len(ws) > 0)
+          SELECT doc_id, n_words,
+                 CAST(len(f) AS BIGINT) AS n_types,
+                 CAST(len(list_filter(f, c -> c = 1)) AS BIGINT) AS hapax_cnt,
+                 (CAST(len(f) AS BIGINT) * 1000000) // n_words AS ttr_ppm,
+                 ((CAST(list_sum([CAST(c AS BIGINT) * c FOR c IN f]) AS BIGINT)
+                   - n_words) * 1000000) // (n_words * n_words)
+                   AS yule_k_c100,
+                 CASE WHEN n_words >= 25 THEN
+                   (CAST(list_sum([len(list_distinct(ws[p:p + 24]))
+                                   FOR p IN range(1, len(ws) - 23)]) AS BIGINT)
+                    * 1000000) // (25 * (n_words - 24)) END AS mattr_ppm
+          FROM m ORDER BY doc_id""",
+    // same bigram counts, same lnM quantize-before-subtract terms
+    "q342_char_entropy_rate" ->
+      """WITH bg AS (
+           SELECT lang, substring(t, i, 1) AS c1, substring(t, i + 1, 1) AS c2,
+                  CAST(count(*) AS BIGINT) AS c2n
+           FROM (SELECT lang, lower(text) AS t FROM documents),
+                unnest(range(1, len(t))) AS u(i)
+           GROUP BY 1, 2, 3),
+         pre AS (SELECT lang, c1, sum(c2n) AS c1n FROM bg GROUP BY 1, 2)
+         SELECT bg.lang,
+                CAST(sum(c2n) AS BIGINT) AS n_bigrams,
+                CAST(count(*) AS BIGINT) AS n_types,
+                CAST(CAST(sum(c2n * (CAST(round(ln(CAST(c1n AS DOUBLE)) * 1000000) AS BIGINT)
+                                     - CAST(round(ln(CAST(c2n AS DOUBLE)) * 1000000) AS BIGINT)))
+                       AS HUGEINT)
+                     // CAST(sum(c2n) AS HUGEINT) AS BIGINT) AS h_cond_micro
+         FROM bg JOIN pre USING (lang, c1)
+         GROUP BY bg.lang ORDER BY bg.lang"""
+  )
+}
