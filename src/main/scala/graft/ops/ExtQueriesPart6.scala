@@ -211,11 +211,123 @@ private[ops] object ExtQueriesPart6 {
       .orderBy($"typo", $"rank")
   }
 
+  /** Shard counts for the q343/q344 placement audits: the "add one
+    * shard to a 16-shard fleet" rebalance question. */
+  private val ShardsBefore = 16
+  private val ShardsAfter = 17
+  /** Virtual nodes per shard on the consistent-hash ring. */
+  private val RingVnodes = 16
+  /** The 60-bit hash space (15 md5 hex digits — the q44 house trick,
+    * bit-identical in Spark `conv` and DuckDB '0x' cast). */
+  private val Ring60 = 1152921504606846976L
+
+  /** 60-bit md5-derived key hash, identical in both engines. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** CONSISTENT-HASH RING REBALANCE AUDIT — the data-movement planning
+    * question behind every shard-count change at 100 TB: adding one
+    * shard to a 16-shard fleet moves ~16/17 of ALL keys under naive
+    * `hash mod S` placement but only ~1/17 under a vnode ring
+    * (Karger et al., STOC'97). Both schemes are computed EXACTLY over
+    * the order keys: `mod` reassigns h%16 → h%17; `ring` assigns each
+    * key to the clockwise-nearest of 17×16 md5-positioned vnodes
+    * (before-state = the shard<16 subset of the same ring, so adding a
+    * shard only inserts nodes — the property the scheme exists for).
+    * Output per scheme: exact moved count/ppm and the post-move max
+    * shard load (the balance cost vnodes pay for low movement).
+    *
+    * 100 TB shape: the ring is a ≤272-row broadcast; assignment is one
+    * map-side-combinable min-struct aggregate per key (the crossJoin
+    * collapses to per-key partials before any shuffle), then two
+    * value-domain folds over |shards| rows. No global sort, no
+    * repartition by ring position. */
+  private val q343RingRebalance: Q = (s, d) => {
+    import s.implicits._
+    val keys = Tables.orders(s, d)
+      .select($"o_orderkey", h60($"o_orderkey".cast("string")).as("h"))
+    // one ring, both states: shard < ShardsBefore is the before-subset
+    val ringRows = for (sh <- 0 until ShardsAfter; v <- 0 until RingVnodes)
+      yield (sh, v)
+    val ring = ringRows.toDF("shard", "v")
+      .select($"shard",
+        h60(concat($"shard".cast("string"), lit(":"), $"v".cast("string")))
+          .as("pos"))
+    val asg = keys.crossJoin(broadcast(ring))
+      .select($"o_orderkey", $"h", $"shard",
+        pmod($"pos" - $"h", lit(Ring60)).as("dist"))
+      .groupBy($"o_orderkey", $"h")
+      .agg(
+        min(when($"shard" < ShardsBefore, struct($"dist", $"shard"))).as("b"),
+        min(struct($"dist", $"shard")).as("a"))
+      .select($"h", $"b.shard".as("before"), $"a.shard".as("after"))
+    val ringStats = asg
+      .select(($"before" =!= $"after").cast("long").as("mv"), $"after")
+      .groupBy($"after").agg(count(lit(1)).as("n"), sum($"mv").as("mvd"))
+      .agg(sum($"n").as("n_keys"), sum($"mvd").as("n_moved"),
+        max($"n").as("max_load"))
+      .select(lit("ring").as("scheme"), $"n_keys", $"n_moved",
+        expr("(n_moved * 1000000) div n_keys").as("moved_ppm"),
+        expr("(max_load * 1000000) div n_keys").as("max_load_ppm"))
+    val modStats = keys
+      .select((pmod($"h", lit(ShardsBefore.toLong)) =!=
+        pmod($"h", lit(ShardsAfter.toLong))).cast("long").as("mv"),
+        pmod($"h", lit(ShardsAfter.toLong)).as("after"))
+      .groupBy($"after").agg(count(lit(1)).as("n"), sum($"mv").as("mvd"))
+      .agg(sum($"n").as("n_keys"), sum($"mvd").as("n_moved"),
+        max($"n").as("max_load"))
+      .select(lit("mod").as("scheme"), $"n_keys", $"n_moved",
+        expr("(n_moved * 1000000) div n_keys").as("moved_ppm"),
+        expr("(max_load * 1000000) div n_keys").as("max_load_ppm"))
+    modStats.unionByName(ringStats).orderBy($"scheme")
+  }
+
+  /** RENDEZVOUS (HRW) ROUTING AUDIT — the vnode-free alternative:
+    * shard = argmax md5(key#shard) (Thaler & Ravishankar, 1996) gives
+    * minimal movement AND near-perfect balance with zero ring state.
+    * Per-shard accounting of the same 16→17 transition: rows gained
+    * (exactly the keys whose shard-16 score beats their old max — the
+    * scheme's optimality made visible), rows lost (always 0 for
+    * surviving shards when ADDING capacity), and before/after loads.
+    *
+    * 100 TB shape: one |shards|-row broadcast crossJoin folding to
+    * per-key max-struct partials map-side, then a 17-row value-domain
+    * fold — movement accounting for a petabyte fleet with one pass. */
+  private val q344RendezvousRouting: Q = (s, d) => {
+    import s.implicits._
+    val shards = (0 until ShardsAfter).toDF("shard")
+    val asg = Tables.orders(s, d)
+      .select($"o_orderkey".cast("string").as("k"))
+      .crossJoin(broadcast(shards))
+      .select($"k", $"shard",
+        h60(concat($"k", lit("#"), $"shard".cast("string"))).as("score"))
+      .groupBy($"k")
+      .agg(
+        max(when($"shard" < ShardsBefore, struct($"score", $"shard"))).as("b"),
+        max(struct($"score", $"shard")).as("a"))
+      .select($"b.shard".as("before"), $"a.shard".as("after"))
+    val before = asg.groupBy($"before".as("shard"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = asg.groupBy($"after".as("shard"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(($"before" =!= $"after").cast("long")).as("gained"))
+    shards.join(before, Seq("shard"), "left").join(after, Seq("shard"), "left")
+      .select($"shard",
+        coalesce($"n_before", lit(0L)).as("n_before"),
+        coalesce($"n_after", lit(0L)).as("n_after"),
+        coalesce($"gained", lit(0L)).as("gained"),
+        (coalesce($"n_before", lit(0L)) - coalesce($"n_after", lit(0L))
+          + coalesce($"gained", lit(0L))).as("lost"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, Q] = Map(
     "q333_zorder_audit" -> q333ZorderAudit,
     "q334_zonemap_skipping" -> q334ZonemapSkipping,
     "q335_encoding_gain" -> q335EncodingGain,
-    "q336_symspell" -> q336Symspell)
+    "q336_symspell" -> q336Symspell,
+    "q343_ring_rebalance" -> q343RingRebalance,
+    "q344_rendezvous_routing" -> q344RendezvousRouting)
 
   lazy val oracle: Map[String, String] = Map(
     // the identical 32-term Morton expression, identical coarse cells
@@ -326,5 +438,82 @@ private[ops] object ExtQueriesPart6 {
           SELECT typo, rank, w AS suggestion, freq,
                  CAST(levenshtein(typo, w) AS BIGINT) AS dist
           FROM rk WHERE rank <= $SymSpellTopK
-          ORDER BY typo, rank""")
+          ORDER BY typo, rank""",
+    // same 60-bit md5 positions, same (dist, shard) tiebreak, same folds
+    "q343_ring_rebalance" ->
+      s"""WITH keys AS (
+            SELECT o_orderkey,
+                   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                     AS BIGINT) AS h
+            FROM orders),
+          ring AS (
+            SELECT CAST(s.shard AS INTEGER) AS shard,
+                   CAST('0x' || substring(md5(CAST(s.shard AS VARCHAR) || ':'
+                     || CAST(v.vn AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+            FROM range(0, $ShardsAfter) s(shard), range(0, $RingVnodes) v(vn)),
+          c AS (SELECT o_orderkey, h, shard,
+                       ((pos - h) % $Ring60 + $Ring60) % $Ring60 AS dist
+                FROM keys CROSS JOIN ring),
+          aft AS (SELECT o_orderkey, h, shard AS after FROM (
+                    SELECT o_orderkey, h, shard, row_number() OVER (
+                      PARTITION BY o_orderkey ORDER BY dist, shard) AS rn
+                    FROM c) WHERE rn = 1),
+          bef AS (SELECT o_orderkey, shard AS before FROM (
+                    SELECT o_orderkey, shard, row_number() OVER (
+                      PARTITION BY o_orderkey ORDER BY dist, shard) AS rn
+                    FROM c WHERE shard < $ShardsBefore) WHERE rn = 1),
+          rj AS (SELECT after, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN before <> after THEN 1 ELSE 0 END)
+                          AS BIGINT) AS mvd
+                 FROM bef JOIN aft USING (o_orderkey) GROUP BY 1),
+          ringrow AS (
+            SELECT 'ring' AS scheme, CAST(sum(n) AS BIGINT) AS n_keys,
+                   CAST(sum(mvd) AS BIGINT) AS n_moved,
+                   CAST((sum(mvd) * 1000000) // sum(n) AS BIGINT) AS moved_ppm,
+                   CAST((max(n) * 1000000) // sum(n) AS BIGINT) AS max_load_ppm
+            FROM rj),
+          mj AS (SELECT h % $ShardsAfter AS after, CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CASE WHEN h % $ShardsBefore <> h % $ShardsAfter
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS mvd
+                 FROM keys GROUP BY 1),
+          modrow AS (
+            SELECT 'mod' AS scheme, CAST(sum(n) AS BIGINT) AS n_keys,
+                   CAST(sum(mvd) AS BIGINT) AS n_moved,
+                   CAST((sum(mvd) * 1000000) // sum(n) AS BIGINT) AS moved_ppm,
+                   CAST((max(n) * 1000000) // sum(n) AS BIGINT) AS max_load_ppm
+            FROM mj)
+          SELECT * FROM modrow UNION ALL SELECT * FROM ringrow
+          ORDER BY scheme""",
+    // same key#shard scores, same (score desc, shard desc) argmax
+    "q344_rendezvous_routing" ->
+      s"""WITH k AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
+          sh AS (SELECT CAST(t.shard AS INTEGER) AS shard
+                 FROM range(0, $ShardsAfter) t(shard)),
+          sc AS (SELECT k.k, sh.shard,
+                   CAST('0x' || substring(md5(k.k || '#'
+                     || CAST(sh.shard AS VARCHAR)), 1, 15) AS BIGINT) AS score
+                 FROM k CROSS JOIN sh),
+          aft AS (SELECT k, shard AS after FROM (
+                    SELECT k, shard, row_number() OVER (
+                      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
+                    FROM sc) WHERE rn = 1),
+          bef AS (SELECT k, shard AS before FROM (
+                    SELECT k, shard, row_number() OVER (
+                      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
+                    FROM sc WHERE shard < $ShardsBefore) WHERE rn = 1),
+          j AS (SELECT before, after FROM bef JOIN aft USING (k)),
+          b AS (SELECT before AS shard, CAST(count(*) AS BIGINT) AS n_before
+                FROM j GROUP BY 1),
+          a AS (SELECT after AS shard, CAST(count(*) AS BIGINT) AS n_after,
+                       CAST(sum(CASE WHEN before <> after THEN 1 ELSE 0 END)
+                         AS BIGINT) AS gained
+                FROM j GROUP BY 1)
+          SELECT sh.shard,
+                 coalesce(n_before, 0) AS n_before,
+                 coalesce(n_after, 0) AS n_after,
+                 coalesce(gained, 0) AS gained,
+                 coalesce(n_before, 0) - coalesce(n_after, 0)
+                   + coalesce(gained, 0) AS lost
+          FROM sh LEFT JOIN b USING (shard) LEFT JOIN a USING (shard)
+          ORDER BY sh.shard""")
 }
