@@ -301,13 +301,89 @@ private[ops] object ExtQueriesPart7 {
       .orderBy($"lang")
   }
 
+  /** Dimension prefixes evaluated by the Matryoshka recall audit. */
+  private val MrlDims = Seq(8, 16, 32, 64)
+
+  /** MATRYOSHKA TRUNCATION RECALL — the "can we serve at a quarter of
+    * the dimensions?" audit (Kusupati et al., NeurIPS'22): exact recall
+    * of full-dimension cosine top-10 when ranking by only the first
+    * {8,16,32,64} coordinates, over the house 5-query panel. The 64-dim
+    * row is the built-in self-check (recall_ppm = 1e6 by construction).
+    * Truth and candidate rankings both use the q46 brute-force window
+    * with the (cos desc, vec_id) tiebreak; hits count by position-blind
+    * set intersection (left-semi), so the output is exact integers.
+    *
+    * 100 TB shape: like q46/q100 — the query panel broadcasts, the
+    * corpus side scans once per prefix (4 bounded panel scans); the
+    * production path would IVF/LSH-bucket the truncated vectors, which
+    * q49/q47 already cover. */
+  private val q345MatryoshkaRecall: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = graft.ext.Similarity.bruteForceKnn(q, emb, k = 10)
+      .select($"query_id", $"neighbor_id")
+    val perDim = MrlDims.map { dm =>
+      val sliced = emb.select($"vec_id", slice($"embedding", 1, dm).as("embedding"))
+      val ann = graft.ext.Similarity
+        .bruteForceKnn(sliced.filter($"vec_id" < 5), sliced, k = 10)
+        .select($"query_id", $"neighbor_id")
+      val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(lit(dm).as("dims"), $"n_truth", $"n_hit",
+          expr("(n_hit * 1000000) div n_truth").as("recall_ppm"))
+    }
+    perDim.reduce(_ unionByName _).orderBy($"dims")
+  }
+
+  /** BINARY (SIGN) EMBEDDING RECALL — the 32× compression question:
+    * rank by Hamming distance over the 1-bit sign quantization
+    * (b_i = x_i > 0) and measure exact recall of the float-cosine
+    * top-10, plus the mean Hamming distance of the true neighbors (the
+    * margin the binary index has to work with). Hamming distances are
+    * exact integers (per-pair sign-mismatch count); ranking ties break
+    * by vec_id, so the whole output is deterministic.
+    *
+    * 100 TB shape: sign bits pack to d/64 longs per vector (here the
+    * audit keeps the per-coordinate form for oracle parity); candidate
+    * generation at scale is q161's pigeonhole-banded Hamming join — this
+    * query is its quality gate. */
+  private val q346BinaryRecall: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).repartition($"vec_id").cache()
+    val q = emb.filter($"vec_id" < 5)
+    val truth = graft.ext.Similarity.bruteForceKnn(q, emb, k = 10)
+      .select($"query_id", $"neighbor_id")
+    val ham = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("cv"))
+      .crossJoin(broadcast(q.select($"vec_id".as("query_id"), $"embedding".as("qv"))))
+      .select($"query_id", $"neighbor_id",
+        expr("""aggregate(zip_with(qv, cv,
+                  (x, y) -> case when (x > 0) != (y > 0) then 1 else 0 end),
+                cast(0 as bigint), (a, v) -> a + v)""").as("hd"))
+    val w = Window.partitionBy($"query_id").orderBy($"hd", $"neighbor_id")
+    val ann = ham.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10).select($"query_id", $"neighbor_id")
+    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi")
+    val truthHam = truth.join(ham, Seq("query_id", "neighbor_id"))
+      .agg(sum($"hd").as("truth_ham_sum"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .crossJoin(broadcast(truthHam))
+      .select($"n_truth", $"n_hit",
+        expr("(n_hit * 1000000) div n_truth").as("recall_ppm"),
+        expr("truth_ham_sum div n_truth").as("mean_truth_hamming"))
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
     "q337_effective_rank" -> q337EffectiveRank,
     "q338_isotropy" -> q338Isotropy,
     "q339_hubness" -> q339Hubness,
     "q340_centroid_separability" -> q340CentroidSeparability,
     "q341_lexical_diversity" -> q341LexicalDiversity,
-    "q342_char_entropy_rate" -> q342CharEntropyRate
+    "q342_char_entropy_rate" -> q342CharEntropyRate,
+    "q345_matryoshka_recall" -> q345MatryoshkaRecall,
+    "q346_binary_recall" -> q346BinaryRecall
   )
 
   /** Long-form quantized embedding CTE shared by the q337/q340 oracles
@@ -450,6 +526,74 @@ private[ops] object ExtQueriesPart7 {
                                    FOR p IN range(1, len(ws) - 23)]) AS BIGINT)
                     * 1000000) // (25 * (n_words - 24)) END AS mattr_ppm
           FROM m ORDER BY doc_id""",
+    // same q46 ranking machinery per dimension prefix, same semi-join hits
+    "q345_matryoshka_recall" -> {
+      val perDim = MrlDims.map { dm =>
+        s"""SELECT $dm AS dims,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM truth t JOIN ann_$dm a
+                  ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id)
+                 AS n_hit"""
+      }.mkString("\nUNION ALL\n")
+      val annCtes = MrlDims.map { dm =>
+        s"""ann_$dm AS (SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.v[1:$dm], q.v[1:$dm]) DESC,
+                                c.vec_id) AS rank
+              FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q) t
+            WHERE rank <= 10)"""
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+          truth AS (SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(c.v, q.v) DESC,
+                              c.vec_id) AS rank
+            FROM e c CROSS JOIN (SELECT * FROM e WHERE vec_id < 5) q) t
+          WHERE rank <= 10),
+          $annCtes
+          SELECT dims, n_truth, n_hit,
+                 (n_hit * 1000000) // n_truth AS recall_ppm
+          FROM ($perDim) ORDER BY dims"""
+    },
+    // same sign bits, same exact Hamming ranking with vec_id tiebreak
+    "q346_binary_recall" ->
+      """WITH truth AS (SELECT query_id, neighbor_id FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(
+                               list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+                               list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+                             c.vec_id) AS rank
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q) t
+         WHERE rank <= 10),
+         ham AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  CAST(list_sum(
+                    [CASE WHEN (c.embedding[i + 1] > 0) <> (q.embedding[i + 1] > 0)
+                          THEN 1 ELSE 0 END
+                     FOR i IN range(0, len(c.embedding))]) AS BIGINT) AS hd
+           FROM embeddings c
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q),
+         ann AS (SELECT query_id, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY hd, neighbor_id) AS rank
+           FROM ham) t WHERE rank <= 10),
+         hits AS (SELECT count(*) AS n_hit FROM truth t JOIN ann a
+                    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+         th AS (SELECT CAST(sum(hd) AS BIGINT) AS truth_ham_sum
+                FROM truth t JOIN ham h
+                  ON t.query_id = h.query_id AND t.neighbor_id = h.neighbor_id)
+         SELECT (SELECT count(*) FROM truth) AS n_truth,
+                n_hit,
+                (n_hit * 1000000) // (SELECT count(*) FROM truth) AS recall_ppm,
+                truth_ham_sum // (SELECT count(*) FROM truth) AS mean_truth_hamming
+         FROM hits CROSS JOIN th""",
     // same bigram counts, same lnM quantize-before-subtract terms
     "q342_char_entropy_rate" ->
       """WITH bg AS (
