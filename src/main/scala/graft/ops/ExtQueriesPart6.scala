@@ -217,13 +217,33 @@ private[ops] object ExtQueriesPart6 {
   private val ShardsAfter = 17
   /** Virtual nodes per shard on the consistent-hash ring. */
   private val RingVnodes = 16
-  /** The 60-bit hash space (15 md5 hex digits — the q44 house trick,
-    * bit-identical in Spark `conv` and DuckDB '0x' cast). */
-  private val Ring60 = 1152921504606846976L
+  /** The 52-bit hash space (13 md5 hex digits — the q44 house trick,
+    * bit-identical in Spark `conv` and DuckDB '0x' cast). 52 bits, not
+    * 60, so that (value · 2048 + shard) packs into ONE long: the packed
+    * encoding keeps the per-key argmin/argmax inside codegen
+    * HashAggregate with primitive buffers — a min(struct(dist, shard))
+    * aggregate falls back to SortAggregate and SORTS the whole
+    * keys×ring product (measured 38 s vs ~3 s at sf0.1). */
+  private val Ring52 = 4503599627370496L
+  /** Shard-id packing radix: shard < 2048 rides the low bits, so
+    * min/max over packed longs IS the (value, shard) lexicographic
+    * tiebreak. */
+  private val PackRadix = 2048L
 
-  /** 60-bit md5-derived key hash, identical in both engines. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 52-bit md5-derived key hash, identical in both engines. */
+  private def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** The same 52-bit md5 prefix computed JVM-side — MessageDigest md5 ==
+    * Spark md5 == DuckDB md5, so ring-node positions built here are
+    * bit-identical to the oracle's SQL derivation. Used for the ring
+    * CONSTANT only (272 values); keys always hash engine-side. */
+  private def md5hex13(s: String): Long = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      dig.take(7).map(b => f"$b%02x").mkString.substring(0, 13), 16)
+  }
 
   /** CONSISTENT-HASH RING REBALANCE AUDIT — the data-movement planning
     * question behind every shard-count change at 100 TB: adding one
@@ -237,30 +257,35 @@ private[ops] object ExtQueriesPart6 {
     * Output per scheme: exact moved count/ppm and the post-move max
     * shard load (the balance cost vnodes pay for low movement).
     *
-    * 100 TB shape: the ring is a ≤272-row broadcast; assignment is one
-    * map-side-combinable min-struct aggregate per key (the crossJoin
-    * collapses to per-key partials before any shuffle), then two
-    * value-domain folds over |shards| rows. No global sort, no
-    * repartition by ring position. */
+    * 100 TB shape: the ring is a 272-value literal (a model constant,
+    * like q49's centroids); assignment is a map-only per-key successor
+    * probe over the sorted position array — no keys×ring join, no row
+    * amplification, nothing shuffles until the |shards|-row count
+    * folds. No global sort, no repartition by ring position. */
   private val q343RingRebalance: Q = (s, d) => {
     import s.implicits._
-    val keys = Tables.orders(s, d)
-      .select($"o_orderkey", h60($"o_orderkey".cast("string")).as("h"))
-    // one ring, both states: shard < ShardsBefore is the before-subset
-    val ringRows = for (sh <- 0 until ShardsAfter; v <- 0 until RingVnodes)
-      yield (sh, v)
-    val ring = ringRows.toDF("shard", "v")
-      .select($"shard",
-        h60(concat($"shard".cast("string"), lit(":"), $"v".cast("string")))
-          .as("pos"))
-    val asg = keys.crossJoin(broadcast(ring))
-      .select($"o_orderkey", $"h", $"shard",
-        pmod($"pos" - $"h", lit(Ring60)).as("dist"))
-      .groupBy($"o_orderkey", $"h")
-      .agg(
-        min(when($"shard" < ShardsBefore, struct($"dist", $"shard"))).as("b"),
-        min(struct($"dist", $"shard")).as("a"))
-      .select($"h", $"b.shard".as("before"), $"a.shard".as("after"))
+    // ring nodes are a 272-value MODEL CONSTANT (like q49's centroids):
+    // built JVM-side and embedded as SORTED literal arrays, so
+    // assignment is a per-key clockwise-SUCCESSOR probe — first ring
+    // position ≥ h, wrapping to the global minimum — which is exactly
+    // argmin of (pos − h) mod 2^52 with the (pos, shard) tiebreak. The
+    // probe replaces a keys×ring crossJoin: no 272× row amplification
+    // (measured 30 s → ~1 s at sf0.1; at 10¹² keys the join form would
+    // materialize 2.7·10¹⁴ rows), no shuffle until the |shards|-row
+    // count folds.
+    val ringAll = (for (sh <- 0 until ShardsAfter; v <- 0 until RingVnodes)
+      yield (md5hex13(s"$sh:$v"), sh)).sorted
+    val ringBef = ringAll.filter(_._2 < ShardsBefore)
+    def succ(ring: Seq[(Long, Int)], h: Column): Column = {
+      val pa = lit(ring.map(_._1).toArray)
+      val sa = lit(ring.map(_._2).toArray)
+      element_at(sa,
+        (size(filter(pa, p => p < h)) % ring.size + 1).cast("int"))
+    }
+    val asg = Tables.orders(s, d)
+      .select(h52($"o_orderkey".cast("string")).as("h"))
+      .select($"h",
+        succ(ringBef, $"h").as("before"), succ(ringAll, $"h").as("after"))
     val ringStats = asg
       .select(($"before" =!= $"after").cast("long").as("mv"), $"after")
       .groupBy($"after").agg(count(lit(1)).as("n"), sum($"mv").as("mvd"))
@@ -269,7 +294,8 @@ private[ops] object ExtQueriesPart6 {
       .select(lit("ring").as("scheme"), $"n_keys", $"n_moved",
         expr("(n_moved * 1000000) div n_keys").as("moved_ppm"),
         expr("(max_load * 1000000) div n_keys").as("max_load_ppm"))
-    val modStats = keys
+    val modStats = Tables.orders(s, d)
+      .select(h52($"o_orderkey".cast("string")).as("h"))
       .select((pmod($"h", lit(ShardsBefore.toLong)) =!=
         pmod($"h", lit(ShardsAfter.toLong))).cast("long").as("mv"),
         pmod($"h", lit(ShardsAfter.toLong)).as("after"))
@@ -296,16 +322,20 @@ private[ops] object ExtQueriesPart6 {
   private val q344RendezvousRouting: Q = (s, d) => {
     import s.implicits._
     val shards = (0 until ShardsAfter).toDF("shard")
+    // packed = score·2048 + shard: max(packed) IS argmax by
+    // (score desc, shard desc) — same codegen rationale as q343
     val asg = Tables.orders(s, d)
       .select($"o_orderkey".cast("string").as("k"))
       .crossJoin(broadcast(shards))
       .select($"k", $"shard",
-        h60(concat($"k", lit("#"), $"shard".cast("string"))).as("score"))
+        (h52(concat($"k", lit("#"), $"shard".cast("string"))) * PackRadix
+          + $"shard").as("packed"))
       .groupBy($"k")
       .agg(
-        max(when($"shard" < ShardsBefore, struct($"score", $"shard"))).as("b"),
-        max(struct($"score", $"shard")).as("a"))
-      .select($"b.shard".as("before"), $"a.shard".as("after"))
+        max(when($"shard" < ShardsBefore, $"packed")).as("pb"),
+        max($"packed").as("pa"))
+      .select(pmod($"pb", lit(PackRadix)).as("before"),
+        pmod($"pa", lit(PackRadix)).as("after"))
     val before = asg.groupBy($"before".as("shard"))
       .agg(count(lit(1)).as("n_before"))
     val after = asg.groupBy($"after".as("shard"))
@@ -439,33 +469,31 @@ private[ops] object ExtQueriesPart6 {
                  CAST(levenshtein(typo, w) AS BIGINT) AS dist
           FROM rk WHERE rank <= $SymSpellTopK
           ORDER BY typo, rank""",
-    // same 60-bit md5 positions, same (dist, shard) tiebreak, same folds
+    // same 52-bit md5 positions, same packed (dist·2048 + shard) argmin
     "q343_ring_rebalance" ->
       s"""WITH keys AS (
             SELECT o_orderkey,
-                   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)
+                   CAST('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)
                      AS BIGINT) AS h
             FROM orders),
           ring AS (
             SELECT CAST(s.shard AS INTEGER) AS shard,
                    CAST('0x' || substring(md5(CAST(s.shard AS VARCHAR) || ':'
-                     || CAST(v.vn AS VARCHAR)), 1, 15) AS BIGINT) AS pos
+                     || CAST(v.vn AS VARCHAR)), 1, 13) AS BIGINT) AS pos
             FROM range(0, $ShardsAfter) s(shard), range(0, $RingVnodes) v(vn)),
-          c AS (SELECT o_orderkey, h, shard,
-                       ((pos - h) % $Ring60 + $Ring60) % $Ring60 AS dist
-                FROM keys CROSS JOIN ring),
-          aft AS (SELECT o_orderkey, h, shard AS after FROM (
-                    SELECT o_orderkey, h, shard, row_number() OVER (
-                      PARTITION BY o_orderkey ORDER BY dist, shard) AS rn
-                    FROM c) WHERE rn = 1),
-          bef AS (SELECT o_orderkey, shard AS before FROM (
-                    SELECT o_orderkey, shard, row_number() OVER (
-                      PARTITION BY o_orderkey ORDER BY dist, shard) AS rn
-                    FROM c WHERE shard < $ShardsBefore) WHERE rn = 1),
+          asg AS (SELECT o_orderkey, h,
+                         min(CASE WHEN shard < $ShardsBefore THEN packed END)
+                           % $PackRadix AS before,
+                         min(packed) % $PackRadix AS after
+                  FROM (SELECT o_orderkey, h, shard,
+                               (((pos - h) % $Ring52 + $Ring52) % $Ring52)
+                                 * $PackRadix + shard AS packed
+                        FROM keys CROSS JOIN ring)
+                  GROUP BY 1, 2),
           rj AS (SELECT after, CAST(count(*) AS BIGINT) AS n,
                         CAST(sum(CASE WHEN before <> after THEN 1 ELSE 0 END)
                           AS BIGINT) AS mvd
-                 FROM bef JOIN aft USING (o_orderkey) GROUP BY 1),
+                 FROM asg GROUP BY 1),
           ringrow AS (
             SELECT 'ring' AS scheme, CAST(sum(n) AS BIGINT) AS n_keys,
                    CAST(sum(mvd) AS BIGINT) AS n_moved,
@@ -484,24 +512,20 @@ private[ops] object ExtQueriesPart6 {
             FROM mj)
           SELECT * FROM modrow UNION ALL SELECT * FROM ringrow
           ORDER BY scheme""",
-    // same key#shard scores, same (score desc, shard desc) argmax
+    // same key#shard scores, same packed (score·2048 + shard) argmax
     "q344_rendezvous_routing" ->
       s"""WITH k AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders),
           sh AS (SELECT CAST(t.shard AS INTEGER) AS shard
                  FROM range(0, $ShardsAfter) t(shard)),
           sc AS (SELECT k.k, sh.shard,
                    CAST('0x' || substring(md5(k.k || '#'
-                     || CAST(sh.shard AS VARCHAR)), 1, 15) AS BIGINT) AS score
+                     || CAST(sh.shard AS VARCHAR)), 1, 13) AS BIGINT)
+                     * $PackRadix + sh.shard AS packed
                  FROM k CROSS JOIN sh),
-          aft AS (SELECT k, shard AS after FROM (
-                    SELECT k, shard, row_number() OVER (
-                      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
-                    FROM sc) WHERE rn = 1),
-          bef AS (SELECT k, shard AS before FROM (
-                    SELECT k, shard, row_number() OVER (
-                      PARTITION BY k ORDER BY score DESC, shard DESC) AS rn
-                    FROM sc WHERE shard < $ShardsBefore) WHERE rn = 1),
-          j AS (SELECT before, after FROM bef JOIN aft USING (k)),
+          j AS (SELECT max(CASE WHEN shard < $ShardsBefore THEN packed END)
+                         % $PackRadix AS before,
+                       max(packed) % $PackRadix AS after
+                FROM sc GROUP BY k),
           b AS (SELECT before AS shard, CAST(count(*) AS BIGINT) AS n_before
                 FROM j GROUP BY 1),
           a AS (SELECT after AS shard, CAST(count(*) AS BIGINT) AS n_after,

@@ -280,13 +280,19 @@ private[ops] object ExtQueriesPart7 {
     import s.implicits._
     val lnM: Column => Column = c => round(log(c.cast("double")) * 1e6).cast("long")
     val bg = Tables.documents(s, d)
-      .select($"lang", lower($"text").as("t"))
-      // length >= 2 guard: Spark sequence(1, 0) DESCENDS instead of
+      // char-ARRAY sliding pairs, not substring(t, i, 1) per position:
+      // substring is O(len) per call so the substring form is O(len²)
+      // per document (measured 5.5 s vs ~1 s on the catalog corpus);
+      // split-to-array gives O(1) element access. The q325 oracle pair
+      // proved split("") chars ≡ DuckDB character substring semantics.
+      .select($"lang",
+        filter(split(lower($"text"), ""), c => length(c) === 1).as("cs"))
+      // size >= 2 guard: Spark sequence(1, 0) DESCENDS instead of
       // returning empty — a 1-char doc would fabricate a bogus bigram
-      .filter(length($"t") >= 2)
+      .filter(size($"cs") >= 2)
       .select($"lang", explode(expr(
-        """transform(sequence(1, length(t) - 1),
-             i -> struct(substring(t, i, 1) as c1, substring(t, i + 1, 1) as c2))"""))
+        """transform(sequence(1, size(cs) - 1),
+             i -> struct(cs[i - 1] as c1, cs[i] as c2))"""))
         .as("b"))
       .groupBy($"lang", $"b.c1".as("c1"), $"b.c2".as("c2"))
       .agg(count(lit(1)).as("c2n"))
@@ -375,7 +381,64 @@ private[ops] object ExtQueriesPart7 {
         expr("truth_ham_sum div n_truth").as("mean_truth_hamming"))
   }
 
+  /** SPRT hypotheses and boundaries, in exact integer micro-nats. The
+    * per-trial log-likelihood-ratio increments are COMPILE-TIME Scala
+    * constants injected into both the engine plan and the oracle SQL, so
+    * the two sides fold identical longs by construction (the lnM rule,
+    * taken to its limit: quantize ONCE, at authoring time).
+    * H0: p = 0.15, H1: p = 0.20 (bracketing the corpus's ~0.198 purchase
+    * share from below, so the test genuinely terminates); α = β = 0.05
+    * → boundaries ±ln(19). */
+  private val SprtIncSuccess = math.round(math.log(0.20 / 0.15) * 1e6) // +287682
+  private val SprtIncFailure = math.round(math.log(0.80 / 0.85) * 1e6) // −60625
+  private val SprtBoundary = math.round(math.log(19.0) * 1e6) // 2944439
+
+  /** WALD SPRT SEQUENTIAL A/B MONITOR (Wald, 1945) — the always-valid
+    * alternative to q317's fixed-horizon z-test: per arm, each event is
+    * a Bernoulli trial (success = purchase), the cumulative
+    * log-likelihood ratio LLR_n = A·successes + B·failures walks until
+    * it exits ±ln((1−β)/α), and the decision is made AT the first
+    * crossing — the property that makes peeking legal. Cumulation runs
+    * over DAILY checkpoints, not per-event order: the daily grid is the
+    * bounded value domain (≤ a few thousand rows at any corpus size), so
+    * the running sum is a legal tiny window, where a per-event ordered
+    * scan would be the classic single-partition-sort scale bug.
+    *
+    * 100 TB shape: one (arm, day) count shuffle with map-side partials,
+    * then windows and folds over the ≤ 2×|days| grid. */
+  private val q347SprtMonitor: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select(($"user_id" % 2 === 0).as("arm_a"), to_date($"ts").as("day"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("succ"))
+      .groupBy($"arm_a", $"day")
+      .agg(count(lit(1)).as("n"), sum($"succ").as("c"))
+    val w = Window.partitionBy($"arm_a").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily
+      .withColumn("cn", sum($"n").over(w))
+      .withColumn("cc", sum($"c").over(w))
+      .withColumn("llr",
+        lit(SprtIncSuccess) * $"cc" + lit(SprtIncFailure) * ($"cn" - $"cc"))
+    val crossed = cum.filter(abs($"llr") >= SprtBoundary)
+      .groupBy($"arm_a")
+      .agg(min(struct($"day", $"llr")).as("x"))
+      .select($"arm_a", $"x.day".as("cross_day"), $"x.llr".as("cross_llr"))
+    val fin = cum.groupBy($"arm_a")
+      .agg(max(struct($"day", $"cn", $"cc", $"llr")).as("f"))
+      .select($"arm_a", $"f.cn".as("n_trials"), $"f.cc".as("n_success"),
+        $"f.llr".as("llr_micro_final"))
+    fin.join(crossed, Seq("arm_a"), "left")
+      .select($"arm_a", $"n_trials", $"n_success", $"llr_micro_final",
+        $"cross_day",
+        when($"cross_llr".isNull, lit("continue"))
+          .when($"cross_llr" > 0, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+      .orderBy($"arm_a")
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
+    "q347_sprt_monitor" -> q347SprtMonitor,
     "q337_effective_rank" -> q337EffectiveRank,
     "q338_isotropy" -> q338Isotropy,
     "q339_hubness" -> q339Hubness,
@@ -526,6 +589,40 @@ private[ops] object ExtQueriesPart7 {
                                    FOR p IN range(1, len(ws) - 23)]) AS BIGINT)
                     * 1000000) // (25 * (n_words - 24)) END AS mattr_ppm
           FROM m ORDER BY doc_id""",
+    // identical compile-time LLR increments, same daily grid cumulation
+    "q347_sprt_monitor" ->
+      s"""WITH daily AS (
+            SELECT (user_id % 2 = 0) AS arm_a, CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+          cum AS (
+            SELECT arm_a, day,
+                   sum(n) OVER wd AS cn, sum(c) OVER wd AS cc,
+                   $SprtIncSuccess * sum(c) OVER wd
+                     + ($SprtIncFailure) * (sum(n) OVER wd - sum(c) OVER wd)
+                     AS llr
+            FROM daily
+            WINDOW wd AS (PARTITION BY arm_a ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          crossed AS (
+            SELECT arm_a, day AS cross_day, llr AS cross_llr FROM (
+              SELECT arm_a, day, llr, row_number() OVER (
+                PARTITION BY arm_a ORDER BY day) AS rn
+              FROM cum WHERE abs(llr) >= $SprtBoundary) WHERE rn = 1),
+          fin AS (
+            SELECT arm_a, cn AS n_trials, cc AS n_success,
+                   llr AS llr_micro_final FROM (
+              SELECT arm_a, cn, cc, llr, row_number() OVER (
+                PARTITION BY arm_a ORDER BY day DESC) AS rn
+              FROM cum) WHERE rn = 1)
+          SELECT fin.arm_a, n_trials, n_success, llr_micro_final, cross_day,
+                 CASE WHEN cross_llr IS NULL THEN 'continue'
+                      WHEN cross_llr > 0 THEN 'accept_h1'
+                      ELSE 'accept_h0' END AS decision
+          FROM fin LEFT JOIN crossed ON fin.arm_a = crossed.arm_a
+          ORDER BY fin.arm_a""",
     // same q46 ranking machinery per dimension prefix, same semi-join hits
     "q345_matryoshka_recall" -> {
       val perDim = MrlDims.map { dm =>
