@@ -351,7 +351,46 @@ private[ops] object ExtQueriesPart6 {
       .orderBy($"shard")
   }
 
+  /** KMV sketch size: 256 minima → ~1/√254 ≈ 6% relative error. */
+  private val KmvK = 256
+
+  /** KMV (K-MINIMUM-VALUES) DISTINCT SKETCH — the order-statistics
+    * cardinality estimator (Bar-Yossef et al., RANDOM'02) that HLL
+    * (q77/q140) superseded but that remains the textbook MERGEABLE
+    * sketch: keep the k smallest hash values; merging shards = k
+    * smallest of the union; estimate = (k−1)·H/h₍ₖ₎ over hash space H.
+    * Here the whole construction is EXACT and oracle-gated (the house
+    * md5→52-bit hash, deterministic kth minimum, integer estimate),
+    * alongside the measured error vs the true distinct count — the
+    * audit HLL can't have because its register hashes differ across
+    * engines.
+    *
+    * 100 TB shape: the k-minimum set is `orderBy(h).limit(k)` — Spark
+    * executes it as per-partition top-k + a k-row merge
+    * (TakeOrderedAndProject), i.e. the mergeable-sketch movement
+    * pattern itself: only k rows per partition ever move. The exact
+    * count (one distinct shuffle) exists only to measure the error. */
+  private val q349KmvSketch: Q = (s, d) => {
+    import s.implicits._
+    val h = Tables.lineitem(s, d)
+      .select(h52($"l_orderkey".cast("string")).as("h"))
+      .distinct()
+    val mins = h.orderBy($"h").limit(KmvK)
+      .agg(max($"h").as("hk"), count(lit(1)).as("kk"))
+    val exact = h.agg(count(lit(1)).as("n_exact"))
+    val rows = Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows"))
+    rows.crossJoin(broadcast(exact)).crossJoin(broadcast(mins))
+      .select($"n_rows", $"n_exact", lit(KmvK).as("k"),
+        // fewer than k distincts → the sketch IS the exact set
+        when($"kk" < KmvK, $"kk")
+          .otherwise(expr(s"((${KmvK - 1} * $Ring52) div hk)")).as("est"),
+        $"kk", $"hk")
+      .select($"n_rows", $"n_exact", $"k", $"est",
+        expr("(abs(est - n_exact) * 1000000) div n_exact").as("err_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q349_kmv_sketch" -> q349KmvSketch,
     "q333_zorder_audit" -> q333ZorderAudit,
     "q334_zonemap_skipping" -> q334ZonemapSkipping,
     "q335_encoding_gain" -> q335EncodingGain,
@@ -469,6 +508,24 @@ private[ops] object ExtQueriesPart6 {
                  CAST(levenshtein(typo, w) AS BIGINT) AS dist
           FROM rk WHERE rank <= $SymSpellTopK
           ORDER BY typo, rank""",
+    // same 52-bit hashes, same kth minimum, same integer estimate
+    "q349_kmv_sketch" ->
+      s"""WITH h AS (SELECT DISTINCT
+                 CAST('0x' || substring(md5(CAST(l_orderkey AS VARCHAR)), 1, 13)
+                   AS BIGINT) AS h
+               FROM lineitem),
+          mins AS (SELECT max(h) AS hk, CAST(count(*) AS BIGINT) AS kk
+                   FROM (SELECT h FROM h ORDER BY h LIMIT $KmvK)),
+          ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h),
+          r AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+          e AS (SELECT n_rows, n_exact, $KmvK AS k,
+                  CASE WHEN kk < $KmvK THEN kk
+                       ELSE (${KmvK - 1} * ${Ring52}) // hk END AS est
+                FROM r CROSS JOIN ex CROSS JOIN mins)
+          SELECT n_rows, n_exact, k, CAST(est AS BIGINT) AS est,
+                 CAST((abs(est - n_exact) * 1000000) // n_exact AS BIGINT)
+                   AS err_ppm
+          FROM e""",
     // same 52-bit md5 positions, same packed (dist·2048 + shard) argmin
     "q343_ring_rebalance" ->
       s"""WITH keys AS (

@@ -381,18 +381,6 @@ private[ops] object ExtQueriesPart7 {
         expr("truth_ham_sum div n_truth").as("mean_truth_hamming"))
   }
 
-  /** SPRT hypotheses and boundaries, in exact integer micro-nats. The
-    * per-trial log-likelihood-ratio increments are COMPILE-TIME Scala
-    * constants injected into both the engine plan and the oracle SQL, so
-    * the two sides fold identical longs by construction (the lnM rule,
-    * taken to its limit: quantize ONCE, at authoring time).
-    * H0: p = 0.15, H1: p = 0.20 (bracketing the corpus's ~0.198 purchase
-    * share from below, so the test genuinely terminates); α = β = 0.05
-    * → boundaries ±ln(19). */
-  private val SprtIncSuccess = math.round(math.log(0.20 / 0.15) * 1e6) // +287682
-  private val SprtIncFailure = math.round(math.log(0.80 / 0.85) * 1e6) // −60625
-  private val SprtBoundary = math.round(math.log(19.0) * 1e6) // 2944439
-
   /** WALD SPRT SEQUENTIAL A/B MONITOR (Wald, 1945) — the always-valid
     * alternative to q317's fixed-horizon z-test: per arm, each event is
     * a Bernoulli trial (success = purchase), the cumulative
@@ -437,8 +425,56 @@ private[ops] object ExtQueriesPart7 {
       .orderBy($"arm_a")
   }
 
+  /** Latin letters with standard Cyrillic confusables (the script-mixing
+    * attack alphabet): a e o p c y x i s → а е о р с у х і ѕ. One
+    * Unicode code point per column in BOTH strings, so `translate` maps
+    * 1:1 in Spark and DuckDB alike. */
+  private val HomoLatin = "aeopcyxis"
+  private val HomoCyrillic = "аеорсухіѕ"
+
+  /** HOMOGLYPH DEDUP-EVASION AUDIT — the adversarial side of exact
+    * dedup: swapping Latin letters for visually-identical Cyrillic code
+    * points defeats q40's sha256 content hash while leaving the text
+    * looking unchanged (the classic scraped-spam / benchmark-smuggling
+    * trick). The audit forges attacked twins of a deterministic
+    * document panel in-query (q105/q336's self-contained-adversary
+    * pattern), then shows per document that RAW hashing misses the pair
+    * (raw_dup = false) while confusable-folded hashing catches it
+    * (norm_dup = true) — the measured case for running q40 on
+    * `translate`-normalized text at ingest.
+    *
+    * 100 TB shape: normalization is one map-only `translate` (native
+    * codegen, no UDF); the dup checks are the same single content-hash
+    * shuffle as q40. */
+  private val q350HomoglyphEvasion: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).repartition($"doc_id").cache()
+    val panel = docs.filter($"lang" === "en" && $"doc_id" < 20)
+    val attacked = panel.select(($"doc_id" + 100000).as("doc_id"),
+      translate($"text", HomoLatin, HomoCyrillic).as("text"))
+    val corpus = docs.select($"doc_id", $"text")
+      .unionByName(attacked)
+      .select($"doc_id", $"text",
+        sha2($"text", 256).as("raw_h"),
+        sha2(translate($"text", HomoCyrillic, HomoLatin), 256).as("norm_h"))
+    val rawDups = corpus.groupBy($"raw_h")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1)
+      .select($"raw_h", lit(true).as("raw_dup"))
+    val normDups = corpus.groupBy($"norm_h")
+      .agg(count(lit(1)).as("n")).filter($"n" > 1)
+      .select($"norm_h", lit(true).as("norm_dup"))
+    corpus.filter($"doc_id" >= 100000)
+      .join(rawDups, Seq("raw_h"), "left")
+      .join(normDups, Seq("norm_h"), "left")
+      .select(($"doc_id" - 100000).as("orig_doc_id"),
+        coalesce($"raw_dup", lit(false)).as("raw_dup"),
+        coalesce($"norm_dup", lit(false)).as("norm_dup"))
+      .orderBy($"orig_doc_id")
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
     "q347_sprt_monitor" -> q347SprtMonitor,
+    "q350_homoglyph_evasion" -> q350HomoglyphEvasion,
     "q337_effective_rank" -> q337EffectiveRank,
     "q338_isotropy" -> q338Isotropy,
     "q339_hubness" -> q339Hubness,
@@ -590,39 +626,31 @@ private[ops] object ExtQueriesPart7 {
                     * 1000000) // (25 * (n_words - 24)) END AS mattr_ppm
           FROM m ORDER BY doc_id""",
     // identical compile-time LLR increments, same daily grid cumulation
-    "q347_sprt_monitor" ->
-      s"""WITH daily AS (
-            SELECT (user_id % 2 = 0) AS arm_a, CAST(ts AS DATE) AS day,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                     AS BIGINT) AS c
-            FROM events GROUP BY 1, 2),
-          cum AS (
-            SELECT arm_a, day,
-                   sum(n) OVER wd AS cn, sum(c) OVER wd AS cc,
-                   $SprtIncSuccess * sum(c) OVER wd
-                     + ($SprtIncFailure) * (sum(n) OVER wd - sum(c) OVER wd)
-                     AS llr
-            FROM daily
-            WINDOW wd AS (PARTITION BY arm_a ORDER BY day
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-          crossed AS (
-            SELECT arm_a, day AS cross_day, llr AS cross_llr FROM (
-              SELECT arm_a, day, llr, row_number() OVER (
-                PARTITION BY arm_a ORDER BY day) AS rn
-              FROM cum WHERE abs(llr) >= $SprtBoundary) WHERE rn = 1),
-          fin AS (
-            SELECT arm_a, cn AS n_trials, cc AS n_success,
-                   llr AS llr_micro_final FROM (
-              SELECT arm_a, cn, cc, llr, row_number() OVER (
-                PARTITION BY arm_a ORDER BY day DESC) AS rn
-              FROM cum) WHERE rn = 1)
-          SELECT fin.arm_a, n_trials, n_success, llr_micro_final, cross_day,
-                 CASE WHEN cross_llr IS NULL THEN 'continue'
-                      WHEN cross_llr > 0 THEN 'accept_h1'
-                      ELSE 'accept_h0' END AS decision
-          FROM fin LEFT JOIN crossed ON fin.arm_a = crossed.arm_a
-          ORDER BY fin.arm_a""",
+    "q347_sprt_monitor" -> sprtOracleSql,
+    // same forged twins, same raw/normalized sha256 group counts
+    "q350_homoglyph_evasion" ->
+      s"""WITH panel AS (SELECT doc_id, text FROM documents
+                 WHERE lang = 'en' AND doc_id < 20),
+          attacked AS (SELECT doc_id + 100000 AS doc_id,
+                              translate(text, '$HomoLatin', '$HomoCyrillic')
+                                AS text
+                       FROM panel),
+          corpus AS (SELECT doc_id, text,
+                            sha256(text) AS raw_h,
+                            sha256(translate(text, '$HomoCyrillic',
+                                             '$HomoLatin')) AS norm_h
+                     FROM (SELECT doc_id, text FROM documents
+                           UNION ALL SELECT doc_id, text FROM attacked)),
+          rd AS (SELECT raw_h FROM corpus GROUP BY raw_h HAVING count(*) > 1),
+          nd AS (SELECT norm_h FROM corpus GROUP BY norm_h HAVING count(*) > 1)
+          SELECT c.doc_id - 100000 AS orig_doc_id,
+                 (rd.raw_h IS NOT NULL) AS raw_dup,
+                 (nd.norm_h IS NOT NULL) AS norm_dup
+          FROM corpus c
+          LEFT JOIN rd ON c.raw_h = rd.raw_h
+          LEFT JOIN nd ON c.norm_h = nd.norm_h
+          WHERE c.doc_id >= 100000
+          ORDER BY orig_doc_id""",
     // same q46 ranking machinery per dimension prefix, same semi-join hits
     "q345_matryoshka_recall" -> {
       val perDim = MrlDims.map { dm =>

@@ -119,6 +119,55 @@ private[graft] object ExtQueriesShared {
   private[ops] val BloomFpBound = 5L
 
 
+  /** SPRT hypotheses and boundaries (q347 batch + q348 streaming), in
+    * exact integer micro-nats. The per-trial log-likelihood-ratio
+    * increments are COMPILE-TIME Scala constants injected into both the
+    * engine plans and the oracle SQL, so all sides fold identical longs
+    * by construction (the lnM rule, taken to its limit: quantize ONCE,
+    * at authoring time). H0: p = 0.15, H1: p = 0.20 (bracketing the
+    * corpus's ~0.198 purchase share from below, so the test genuinely
+    * terminates); α = β = 0.05 → boundaries ±ln(19). */
+  private[ops] val SprtIncSuccess = math.round(math.log(0.20 / 0.15) * 1e6) // +287682
+  private[ops] val SprtIncFailure = math.round(math.log(0.80 / 0.85) * 1e6) // −60625
+  private[ops] val SprtBoundary = math.round(math.log(19.0) * 1e6) // 2944439
+
+  /** The SPRT oracle (shared verbatim by q347 and its streaming twin
+    * q348 — the stream is gated against the SAME batch truth). */
+  private[ops] val sprtOracleSql: String =
+    s"""WITH daily AS (
+          SELECT (user_id % 2 = 0) AS arm_a, CAST(ts AS DATE) AS day,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS c
+          FROM events GROUP BY 1, 2),
+        cum AS (
+          SELECT arm_a, day,
+                 sum(n) OVER wd AS cn, sum(c) OVER wd AS cc,
+                 $SprtIncSuccess * sum(c) OVER wd
+                   + ($SprtIncFailure) * (sum(n) OVER wd - sum(c) OVER wd)
+                   AS llr
+          FROM daily
+          WINDOW wd AS (PARTITION BY arm_a ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        crossed AS (
+          SELECT arm_a, day AS cross_day, llr AS cross_llr FROM (
+            SELECT arm_a, day, llr, row_number() OVER (
+              PARTITION BY arm_a ORDER BY day) AS rn
+            FROM cum WHERE abs(llr) >= $SprtBoundary) WHERE rn = 1),
+        fin AS (
+          SELECT arm_a, cn AS n_trials, cc AS n_success,
+                 llr AS llr_micro_final FROM (
+            SELECT arm_a, cn, cc, llr, row_number() OVER (
+              PARTITION BY arm_a ORDER BY day DESC) AS rn
+            FROM cum) WHERE rn = 1)
+        SELECT fin.arm_a, n_trials, n_success, llr_micro_final, cross_day,
+               CASE WHEN cross_llr IS NULL THEN 'continue'
+                    WHEN cross_llr > 0 THEN 'accept_h1'
+                    ELSE 'accept_h0' END AS decision
+        FROM fin LEFT JOIN crossed ON fin.arm_a = crossed.arm_a
+        ORDER BY fin.arm_a"""
+
+
   /** Weighted reservoir sampling per group (Efraimidis–Spirakis A-ES,
     * IPL 2006): each row draws key = u^(1/w) and the k largest keys per
     * group are the sample — the one-pass, mergeable weighted sampler a

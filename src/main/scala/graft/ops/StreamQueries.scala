@@ -542,6 +542,77 @@ object StreamQueries {
       .orderBy($"day", $"state")
   }
 
+  /** STREAMING SPRT MONITOR — q347's always-valid A/B test running on
+    * arrival: daily (arm, day, n, c) counts stream in as 3 day-boundary
+    * micro-batches, `transformWithState` holds the per-arm cumulative
+    * (trials, successes) pair on RocksDB across batches, and the emitted
+    * daily grid folds into the SAME crossing/decision algebra as q347 —
+    * so the batch oracle ([[ExtQueriesShared.sprtOracleSql]]) gates the
+    * streaming state machine bit-for-bit: a lost batch, a double-applied
+    * batch, or a within-batch ordering bug each shift some day's
+    * cumulative LLR and hash-mismatch. Slices cut on DAY boundaries
+    * (q332's rule) because SPRT cumulation is order-defined.
+    *
+    * 100 TB shape: the streamed rows are the (arm, day) VALUE-DOMAIN
+    * grid (pre-aggregated per batch, map-side combinable), keyed state is
+    * two 16-byte pairs, and the decision fold runs over ≤ 2×|days|
+    * rows. */
+  private val q348StreamSprt: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.streaming.TimeMode
+    import ExtQueriesShared.{SprtIncSuccess, SprtIncFailure, SprtBoundary}
+    val daily = Tables.events(s, d)
+      .select(($"user_id" % 2 === 0).as("arm_a"),
+        datediff(to_date($"ts"), lit("1970-01-01")).cast("long").as("epoch_day"),
+        when($"event_type" === "purchase", 1L).otherwise(0L).as("succ"))
+      .groupBy($"arm_a", $"epoch_day")
+      .agg(count(lit(1)).as("n"), sum($"succ").as("c"))
+    val src = graft.util.Scratch.dir("graft_sprt348_")
+    val days = daily.select($"epoch_day").distinct()
+      .withColumn("di", row_number().over(Window.orderBy($"epoch_day")) - 1)
+    val nd = days.count()
+    val sliced = daily.join(broadcast(days), "epoch_day")
+      .withColumn("slice", expr(s"(di * 3) div $nd")).cache()
+    try {
+      (0 to 2).foreach { i =>
+        sliced.filter($"slice" === i)
+          .select($"arm_a", $"epoch_day", $"n", $"c")
+          .repartition(1).write.parquet(s"$src/f$i")
+      }
+    } finally sliced.unpersist()
+    val stream = s.readStream
+      .schema(sliced.select($"arm_a", $"epoch_day", $"n", $"c").schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
+      .as[Streams.ArmDayCount]
+    val cum = Streams.runToMemory(s,
+      stream.groupByKey(_.arm_a)
+        .transformWithState(new Streams.SprtProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDF(),
+      mode = OutputMode.Update(), statePartitions = 8, rocksDb = true)
+    // decision fold over the emitted grid — identical algebra to q347
+    val grid = cum.select($"arm_a",
+        expr("date_add(DATE'1970-01-01', cast(epoch_day as int))").as("day"),
+        $"cn", $"cc",
+        (lit(SprtIncSuccess) * $"cc"
+          + lit(SprtIncFailure) * ($"cn" - $"cc")).as("llr"))
+    // ONE aggregate for both the final row and the first crossing
+    // (min-over-when skips non-crossing days): two branches over the
+    // memory-sink view would self-join it, which its attribute dedup
+    // cannot resolve
+    grid.groupBy($"arm_a")
+      .agg(max(struct($"day", $"cn", $"cc", $"llr")).as("f"),
+        min(when(abs($"llr") >= SprtBoundary, struct($"day", $"llr"))).as("x"))
+      .select($"arm_a", $"f.cn".as("n_trials"), $"f.cc".as("n_success"),
+        $"f.llr".as("llr_micro_final"),
+        $"x.day".as("cross_day"),
+        when($"x".isNull, lit("continue"))
+          .when($"x.llr" > 0, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"))
+      .orderBy($"arm_a")
+  }
+
   private val q214TransformState: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -661,6 +732,7 @@ object StreamQueries {
     "q211_dedup_watermark"  -> q211DedupWatermark,
     "q214_transform_state"  -> q214TransformState,
     "q332_stream_growth"    -> q332StreamGrowth,
+    "q348_stream_sprt"      -> q348StreamSprt,
     "q247_dynamic_session"  -> q247DynamicSession)
 
   /** q203's affine coefficients as a literal VALUES table — the same
@@ -677,6 +749,9 @@ object StreamQueries {
     // slices as band keys, bucket-min keepers, bool_or dup flags
     // the q320 lag construction restricted to the three arrival states —
     // batch replay of exactly what the streaming state must reproduce
+    // the streaming state machine is gated against the IDENTICAL batch
+    // truth as q347 — same daily grid, same compile-time LLR constants
+    "q348_stream_sprt" -> ExtQueriesShared.sprtOracleSql,
     "q332_stream_growth" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
                  FROM events),

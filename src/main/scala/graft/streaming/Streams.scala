@@ -457,6 +457,40 @@ object Streams {
   case class UserDay(user_id: Long, epoch_day: Long)
   case class DayState(epoch_day: Long, state: String)
 
+  case class ArmDayCount(arm_a: Boolean, epoch_day: Long, n: Long, c: Long)
+  case class ArmDayCum(arm_a: Boolean, epoch_day: Long, cn: Long, cc: Long)
+  case class CumState(cn: Long, cc: Long)
+
+  /** Cross-batch SPRT cumulation state (q348): one (trials, successes)
+    * pair per experiment arm — the minimal always-valid-monitoring state;
+    * each batch's (day, n, c) rows fold in DAY ORDER (sorted locally —
+    * per-arm per-batch day lists are tiny) and every day emits its
+    * cumulative totals, so the downstream boundary-crossing fold sees the
+    * same daily grid the batch query computes. Two keys total: keyed
+    * state is degenerate here by design — the query proves the
+    * cross-batch arithmetic, not state volume (q332 covers per-user
+    * scale). */
+  final class SprtProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Boolean, ArmDayCount, ArmDayCum] {
+    import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, ValueState}
+    @transient private var st: ValueState[CumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CumState]("cum",
+        org.apache.spark.sql.Encoders.product[CumState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Boolean, rows: Iterator[ArmDayCount],
+        timer: org.apache.spark.sql.streaming.TimerValues): Iterator[ArmDayCum] = {
+      var cur = if (st.exists()) st.get() else CumState(0L, 0L)
+      val out = rows.toArray.sortBy(_.epoch_day).map { r =>
+        cur = CumState(cur.cn + r.n, cur.cc + r.c)
+        ArmDayCum(key, r.epoch_day, cur.cn, cur.cc)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
   /** Cross-batch growth-accounting state (q332): one ValueState[Long] per
     * user holding the last-active epoch day. Each batch's days (sorted,
     * de-duplicated locally — per-user per-batch day lists are tiny)
