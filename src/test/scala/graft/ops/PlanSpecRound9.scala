@@ -60,6 +60,25 @@ class PlanSpecRound9 extends AnyFunSuite {
       s"no aggregate below the SPRT window:\n$plan")
   }
 
+  // q343's successor probe must equal the naive argmin of the clockwise
+  // distance (pos − h) mod M with the (dist, shard) tiebreak — the
+  // equivalence the rewrite relies on, checked on random rings.
+  test("q343 successor probe equals naive clockwise argmin") {
+    val rnd = new scala.util.Random(20260815L)
+    val M = 1L << 20
+    for (_ <- 1 to 500) {
+      val ring = Vector.fill(1 + rnd.nextInt(40))(
+        (rnd.nextLong(M), rnd.nextInt(17))).distinct.sorted
+      val h = rnd.nextLong(M)
+      // naive: min by ((pos - h) mod M, shard)
+      val naive = ring.minBy { case (p, s) => (((p - h) % M + M) % M, s) }._2
+      // probe: first pos >= h in sorted order, wrapping to index 0
+      val cnt = ring.count(_._1 < h)
+      val probe = ring(cnt % ring.size)._2
+      assert(probe == naive, s"h=$h ring=$ring")
+    }
+  }
+
   test("q347 decisions are made at the first boundary crossing") {
     val rows = q("q347_sprt_monitor").collect()
     assert(rows.length == 2)
