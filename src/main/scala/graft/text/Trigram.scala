@@ -161,7 +161,12 @@ object Trigram {
     // below costs NOTHING extra (an earlier draft counted prefix-df with
     // a third pass over pt — one more collect_list regroup, measured
     // +50% on the whole family; global df ≥ prefix-df, so using it only
-    // ever salts MORE, never misses a hub)
+    // ever salts MORE, never misses a hub). The scale-side of that
+    // trade, measured at the ×10 stress run: over-salting tokens whose
+    // PREFIX buckets stayed small costs ~+24% wall there (each one
+    // replicates ~(saltB+1)/2× per side) while the dropped counting
+    // pass saves ~25% at base scale — both ends stay well inside the
+    // time ≤ work linear envelope, and a real hub is never missed.
     val pt = grams.select(col("rid"), explode(col("g")).as("tok"))
       .join(broadcast(dfreq), "tok")
       .groupBy(col("rid"))
