@@ -472,9 +472,112 @@ private[ops] object ExtQueriesPart7 {
       .orderBy($"orig_doc_id")
   }
 
+  /** Hill-estimator order statistics: top-k df values plus the (k+1)-th
+    * as the conditioning threshold. k must sit well inside the df value
+    * domain — the synthetic corpus draws from a 31-word vocabulary, so
+    * k = 16 here; a web corpus would use k in the thousands (k ∝ a
+    * tail fraction of the vocabulary, the standard Hill-plot choice). */
+  private val HillK = 16
+
+  /** HILL TAIL-INDEX ESTIMATOR (Hill, 1975) over the vocabulary's
+    * document-frequency distribution — the proper heavy-tail exponent
+    * behind q324's Zipf OLS slope: γ̂ = (1/k)·Σᵢ(ln dfᵢ − ln df₍ₖ₊₁₎)
+    * over the k largest df values, α̂ = 1/γ̂. The tail index is what
+    * vocabulary-table capacity planning actually needs (how fast do hub
+    * terms grow with corpus size); OLS on the rank curve is biased by
+    * the head. Logs are lnM-quantized per ORDER STATISTIC (a vocabulary
+    * value domain, not corpus rows), summed exactly, one integer
+    * division each for γ and α.
+    *
+    * 100 TB shape: one (doc, tok) distinct + df count shuffle (the q38
+    * machinery), then a 101-row top-k fold — per-partition top-k +
+    * single merge, never a global vocabulary sort. */
+  private val q351HillTail: Q = (s, d) => {
+    import s.implicits._
+    val lnM: Column => Column = c => round(log(c.cast("double")) * 1e6).cast("long")
+    val dfreq = Tables.documents(s, d)
+      .repartition($"doc_id")
+      .select($"doc_id", explode(array_distinct(graft.ext.Dedup.words($"text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+    val top = dfreq.orderBy($"df".desc, $"tok").limit(HillK + 1)
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"df".desc, $"tok")))
+    val tail = top.filter($"rk" === HillK + 1)
+      .select($"df".as("df_tail"), lnM($"df").as("ln_tail"))
+    top.filter($"rk" <= HillK)
+      .crossJoin(broadcast(tail))
+      .agg(max($"df_tail").as("df_tail"),
+        sum(lnM($"df") - $"ln_tail").as("lsum"))
+      .select(lit(HillK).as("k"), $"df_tail",
+        expr(s"lsum div $HillK").as("gamma_micro"),
+        // the 1e9·k literal is precomputed in Scala: written inline,
+        // 1000000000 * 100 is an INT literal product and would overflow
+        expr(s"${1000000000L * HillK} div nullif(lsum, 0)").as("alpha_milli"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds on the 52-bit hash space:
+    * w = #{thresholds < h} gives P(w = j) = e⁻¹/j! exactly (to hash
+    * resolution), capped at 7 events. COMPILE-TIME constants shared
+    * with the oracle — the q347 quantize-at-authoring-time rule. */
+  private val PoissonT: Seq[Long] = {
+    val H = 4503599627370496L // 2^52
+    var cdf = 0.0
+    (0 to 6).map { j =>
+      cdf += math.exp(-1.0) / (1 to j).product
+      math.round(cdf * H)
+    }
+  }
+
+  /** POISSON BOOTSTRAP CONFIDENCE INTERVAL (the map-reduce bootstrap,
+    * Chamandy et al., Google 2012): classic resampling needs n draws
+    * WITH replacement — impossible in one distributed pass — but
+    * per-row independent Poisson(1) weights give an asymptotically
+    * identical resample, and each of B=32 replicates folds in the same
+    * map-side aggregate. Weights are DETERMINISTIC: the md5-52-bit hash
+    * of key#replicate thresholded against the compile-time Poisson CDF
+    * grid, so both engines draw identical integers and the CI is exact.
+    * Output: the point mean of order value plus the ~5th/95th percentile
+    * replicate means (2nd/31st of 32 sorted).
+    *
+    * 100 TB shape: one |B|-row broadcast crossJoin folding to per-
+    * replicate exact-integer partials map-side (B·|partitions| rows
+    * shuffle), then a 32-row order-statistics fold. */
+  private val q352PoissonBootstrap: Q = (s, d) => {
+    import s.implicits._
+    val bs = (0 until 32).toDF("b")
+    val thresholds = PoissonT
+    val w: Column = {
+      val h = conv(substring(md5(concat($"o_orderkey".cast("string"),
+        lit("#"), $"b".cast("string"))), 1, 13), 16, 10).cast("long")
+      thresholds.map(t => when(h >= t, 1L).otherwise(0L)).reduce(_ + _)
+    }
+    // exact cents-long arithmetic throughout (dec() makes the ×100 exact)
+    val reps = Tables.orders(s, d)
+      .select($"o_orderkey", (dec($"o_totalprice") * 100).cast("long").as("x"))
+      .crossJoin(broadcast(bs))
+      .select($"b", w.as("w"), $"x")
+      .groupBy($"b")
+      .agg(sum($"w").as("sw"), sum($"w" * $"x").as("swx"))
+      .select($"b",
+        expr("(swx * 1000) div sw").as("mean_mc"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"mean_mc", $"b")))
+    val point = Tables.orders(s, d)
+      .agg(sum((dec($"o_totalprice") * 100).cast("long")).as("sx"),
+        count(lit(1)).as("n"))
+      .select(expr("(sx * 1000) div n").as("point_mc"))
+    point.crossJoin(broadcast(
+      reps.agg(
+        sum(when($"rk" === 2, $"mean_mc")).as("lo_mc"),
+        sum(when($"rk" === 31, $"mean_mc")).as("hi_mc"))))
+      .select(lit(32).as("n_replicates"), $"point_mc", $"lo_mc", $"hi_mc")
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
     "q347_sprt_monitor" -> q347SprtMonitor,
     "q350_homoglyph_evasion" -> q350HomoglyphEvasion,
+    "q351_hill_tail" -> q351HillTail,
+    "q352_poisson_bootstrap" -> q352PoissonBootstrap,
     "q337_effective_rank" -> q337EffectiveRank,
     "q338_isotropy" -> q338Isotropy,
     "q339_hubness" -> q339Hubness,
@@ -627,6 +730,52 @@ private[ops] object ExtQueriesPart7 {
           FROM m ORDER BY doc_id""",
     // identical compile-time LLR increments, same daily grid cumulation
     "q347_sprt_monitor" -> sprtOracleSql,
+    // same df order statistics, same lnM quantization, same divisions
+    "q351_hill_tail" ->
+      s"""WITH df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM (
+              SELECT DISTINCT doc_id, unnest($wordsSql) AS tok
+              FROM documents) GROUP BY tok),
+          top AS (SELECT df, rk FROM (
+              SELECT df, row_number() OVER (ORDER BY df DESC, tok) AS rk
+              FROM df) WHERE rk <= ${HillK + 1}),
+          tail AS (SELECT df AS df_tail,
+                     CAST(round(ln(CAST(df AS DOUBLE)) * 1000000) AS BIGINT)
+                       AS ln_tail
+                   FROM top WHERE rk = ${HillK + 1}),
+          agg AS (SELECT max(df_tail) AS df_tail,
+                    CAST(sum(CAST(round(ln(CAST(df AS DOUBLE)) * 1000000)
+                               AS BIGINT) - ln_tail) AS BIGINT) AS lsum
+                  FROM top CROSS JOIN tail WHERE rk <= $HillK)
+          SELECT $HillK AS k, df_tail,
+                 CAST(lsum // $HillK AS BIGINT) AS gamma_micro,
+                 CAST(${1000000000L * HillK} // nullif(lsum, 0) AS BIGINT)
+                   AS alpha_milli
+          FROM agg""",
+    // same compile-time Poisson CDF thresholds, same exact cent sums
+    "q352_poisson_bootstrap" -> {
+      val wSql = PoissonT.map(t =>
+        s"(CASE WHEN h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+               FROM orders),
+          wb AS (SELECT x, b, $wSql AS w FROM (
+              SELECT t.x, CAST(r.b AS INTEGER) AS b,
+                     CAST('0x' || substring(md5(CAST(t.o_orderkey AS VARCHAR)
+                       || '#' || CAST(r.b AS VARCHAR)), 1, 13) AS BIGINT) AS h
+              FROM t CROSS JOIN range(0, 32) r(b))),
+          reps AS (SELECT b, CAST(sum(w) AS BIGINT) AS sw,
+                     CAST(sum(w * x) AS BIGINT) AS swx
+                   FROM wb GROUP BY b),
+          m AS (SELECT b, (swx * 1000) // sw AS mean_mc,
+                  row_number() OVER (ORDER BY (swx * 1000) // sw, b) AS rk
+                FROM reps),
+          p AS (SELECT CAST((sum(x) * 1000) // count(*) AS BIGINT)
+                  AS point_mc FROM t)
+          SELECT 32 AS n_replicates, point_mc,
+                 CAST((SELECT mean_mc FROM m WHERE rk = 2) AS BIGINT) AS lo_mc,
+                 CAST((SELECT mean_mc FROM m WHERE rk = 31) AS BIGINT) AS hi_mc
+          FROM p"""
+    },
     // same forged twins, same raw/normalized sha256 group counts
     "q350_homoglyph_evasion" ->
       s"""WITH panel AS (SELECT doc_id, text FROM documents
