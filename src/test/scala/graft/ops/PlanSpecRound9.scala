@@ -79,6 +79,45 @@ class PlanSpecRound9 extends AnyFunSuite {
     }
   }
 
+  // q349's scale story rests on KMV mergeability: the k smallest of a
+  // union equal the k smallest of the per-shard k-minima — checked on
+  // random shardings, including shards smaller than k.
+  test("q349 KMV merge property: k-min of union == k-min of shard k-mins") {
+    val rnd = new scala.util.Random(20260816L)
+    for (_ <- 1 to 300) {
+      val k = 1 + rnd.nextInt(12)
+      val shards = Vector.fill(1 + rnd.nextInt(6))(
+        Vector.fill(rnd.nextInt(40))(rnd.nextLong(1000)).distinct)
+      val all = shards.flatten.distinct.sorted.take(k)
+      val merged = shards.flatMap(_.sorted.take(k)).distinct.sorted.take(k)
+      assert(all == merged, s"k=$k shards=$shards")
+    }
+  }
+
+  // q352's Poisson(1) threshold grid must reproduce the inverse CDF: the
+  // implied probability of weight j is e^-1/j! to hash resolution, and
+  // the implied mean is 1 (what makes the bootstrap unbiased).
+  test("q352 Poisson threshold grid implies e^-1/j! weights with mean 1") {
+    val H = 4503599627370496L // 2^52
+    var cdf = 0.0
+    val ts = (0 to 6).map { j =>
+      cdf += math.exp(-1.0) / (1 to j).product
+      math.round(cdf * H)
+    }
+    // P(w = j) in hash units: T_j - T_{j-1}
+    val probs = ts.zip(-1L +: ts.dropRight(1)).map {
+      case (t, p) => (t - math.max(p, 0L)).toDouble / H
+    }
+    probs.zipWithIndex.foreach { case (p, j) =>
+      val exact = math.exp(-1.0) / (1 to j).product
+      assert(math.abs(p - exact) < 1e-12, s"j=$j p=$p exact=$exact")
+    }
+    // mean of the capped distribution: Σ j·p_j + 7·(1 - CDF(6)) ≈ 1
+    val mean = probs.zipWithIndex.map { case (p, j) => j * p }.sum +
+      7.0 * (1.0 - ts.last.toDouble / H)
+    assert(math.abs(mean - 1.0) < 1e-4, s"mean=$mean")
+  }
+
   test("q347 decisions are made at the first boundary crossing") {
     val rows = q("q347_sprt_monitor").collect()
     assert(rows.length == 2)
