@@ -311,10 +311,11 @@ private[ops] object ExtQueriesPart6 {
   /** RENDEZVOUS (HRW) ROUTING AUDIT — the vnode-free alternative:
     * shard = argmax md5(key#shard) (Thaler & Ravishankar, 1996) gives
     * minimal movement AND near-perfect balance with zero ring state.
-    * Per-shard accounting of the same 16→17 transition: rows gained
-    * (exactly the keys whose shard-16 score beats their old max — the
-    * scheme's optimality made visible), rows lost (always 0 for
-    * surviving shards when ADDING capacity), and before/after loads.
+    * Per-shard accounting of the same 16→17 transition: the NEW shard
+    * gains exactly the keys whose shard-16 score beats their old max
+    * (the scheme's optimality made visible — surviving shards gain
+    * NOTHING), each surviving shard loses only its ~1/17 departures,
+    * and before/after loads show the balance.
     *
     * 100 TB shape: one |shards|-row broadcast crossJoin folding to
     * per-key max-struct partials map-side, then a 17-row value-domain

@@ -53,9 +53,13 @@ private[ops] object ExtQueriesPart7 {
     * hash aggregate on d² = 4096 keys with map-side partials — the
     * shuffle is #partitions × 4096 rows regardless of corpus size (no
     * long-form self-join, which would shuffle rows×d). T and n fold the
-    * same cached narrow projection. At web scale the decimal(38,0)
-    * moments hold to ~1e12 rows at this quantization; past that you
-    * shard the sum or drop a quantization digit. */
+    * same cached narrow projection. Overflow bound, honestly: the
+    * moments S/T hold to ~1e12 rows, but fro2 squares M ≈ n²·q² — at
+    * this quantization m·m crosses decimal(38,0) near n ≈ 3e5 vectors
+    * (Spark NULLs overflowed decimal terms and sum() would silently
+    * skip them), so past ~1e5 rows drop EmbQ a digit per 10× growth or
+    * compute the spectrum on a fixed-size sample panel (the q339
+    * pattern). The catalog corpus is 500 vectors at every sf. */
   private val q337EffectiveRank: Q = (s, d) => {
     import s.implicits._
     val qv = Tables.embeddings(s, d)
@@ -230,9 +234,14 @@ private[ops] object ExtQueriesPart7 {
     *
     * 100 TB shape: pure map over documents — embarrassingly parallel,
     * nothing leaves the executor but the per-doc metric row. */
+  /** MATTR window width (Covington & McFall's standard 25–100 range,
+    * low end for ~55-word documents). Interpolated into BOTH the engine
+    * plan and the oracle SQL — retuning it cannot drift the two. */
+  private val MattrW = 25
+
   private val q341LexicalDiversity: Q = (s, d) => {
     import s.implicits._
-    val W = 25
+    val W = MattrW
     Tables.documents(s, d)
       .repartition($"doc_id")
       .select($"doc_id", graft.ext.Dedup.words($"text").as("ws"))
@@ -449,9 +458,14 @@ private[ops] object ExtQueriesPart7 {
   private val q350HomoglyphEvasion: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).repartition($"doc_id").cache()
+    // twin ids offset by max(doc_id)+1, DERIVED not hardcoded: a fixed
+    // 100000 would collide with (and misclassify) genuine documents the
+    // moment the corpus grows past it — the offset must track the data
+    val off = docs.agg((max($"doc_id") + 1).as("off"))
     val panel = docs.filter($"lang" === "en" && $"doc_id" < 20)
-    val attacked = panel.select(($"doc_id" + 100000).as("doc_id"),
-      translate($"text", HomoLatin, HomoCyrillic).as("text"))
+    val attacked = panel.crossJoin(broadcast(off))
+      .select(($"doc_id" + $"off").as("doc_id"),
+        translate($"text", HomoLatin, HomoCyrillic).as("text"))
     val corpus = docs.select($"doc_id", $"text")
       .unionByName(attacked)
       .select($"doc_id", $"text",
@@ -463,10 +477,10 @@ private[ops] object ExtQueriesPart7 {
     val normDups = corpus.groupBy($"norm_h")
       .agg(count(lit(1)).as("n")).filter($"n" > 1)
       .select($"norm_h", lit(true).as("norm_dup"))
-    corpus.filter($"doc_id" >= 100000)
+    corpus.crossJoin(broadcast(off)).filter($"doc_id" >= $"off")
       .join(rawDups, Seq("raw_h"), "left")
       .join(normDups, Seq("norm_h"), "left")
-      .select(($"doc_id" - 100000).as("orig_doc_id"),
+      .select(($"doc_id" - $"off").as("orig_doc_id"),
         coalesce($"raw_dup", lit(false)).as("raw_dup"),
         coalesce($"norm_dup", lit(false)).as("norm_dup"))
       .orderBy($"orig_doc_id")
@@ -723,10 +737,12 @@ private[ops] object ExtQueriesPart7 {
                  ((CAST(list_sum([CAST(c AS BIGINT) * c FOR c IN f]) AS BIGINT)
                    - n_words) * 1000000) // (n_words * n_words)
                    AS yule_k_c100,
-                 CASE WHEN n_words >= 25 THEN
-                   (CAST(list_sum([len(list_distinct(ws[p:p + 24]))
-                                   FOR p IN range(1, len(ws) - 23)]) AS BIGINT)
-                    * 1000000) // (25 * (n_words - 24)) END AS mattr_ppm
+                 CASE WHEN n_words >= $MattrW THEN
+                   (CAST(list_sum([len(list_distinct(ws[p:p + ${MattrW - 1}]))
+                                   FOR p IN range(1, len(ws) - ${MattrW - 2})])
+                      AS BIGINT)
+                    * 1000000) // ($MattrW * (n_words - ${MattrW - 1}))
+                 END AS mattr_ppm
           FROM m ORDER BY doc_id""",
     // identical compile-time LLR increments, same daily grid cumulation
     "q347_sprt_monitor" -> sprtOracleSql,
@@ -778,12 +794,13 @@ private[ops] object ExtQueriesPart7 {
     },
     // same forged twins, same raw/normalized sha256 group counts
     "q350_homoglyph_evasion" ->
-      s"""WITH panel AS (SELECT doc_id, text FROM documents
+      s"""WITH off AS (SELECT max(doc_id) + 1 AS off FROM documents),
+          panel AS (SELECT doc_id, text FROM documents
                  WHERE lang = 'en' AND doc_id < 20),
-          attacked AS (SELECT doc_id + 100000 AS doc_id,
+          attacked AS (SELECT doc_id + off AS doc_id,
                               translate(text, '$HomoLatin', '$HomoCyrillic')
                                 AS text
-                       FROM panel),
+                       FROM panel CROSS JOIN off),
           corpus AS (SELECT doc_id, text,
                             sha256(text) AS raw_h,
                             sha256(translate(text, '$HomoCyrillic',
@@ -792,13 +809,13 @@ private[ops] object ExtQueriesPart7 {
                            UNION ALL SELECT doc_id, text FROM attacked)),
           rd AS (SELECT raw_h FROM corpus GROUP BY raw_h HAVING count(*) > 1),
           nd AS (SELECT norm_h FROM corpus GROUP BY norm_h HAVING count(*) > 1)
-          SELECT c.doc_id - 100000 AS orig_doc_id,
+          SELECT c.doc_id - off.off AS orig_doc_id,
                  (rd.raw_h IS NOT NULL) AS raw_dup,
                  (nd.norm_h IS NOT NULL) AS norm_dup
-          FROM corpus c
+          FROM corpus c CROSS JOIN off
           LEFT JOIN rd ON c.raw_h = rd.raw_h
           LEFT JOIN nd ON c.norm_h = nd.norm_h
-          WHERE c.doc_id >= 100000
+          WHERE c.doc_id >= off.off
           ORDER BY orig_doc_id""",
     // same q46 ranking machinery per dimension prefix, same semi-join hits
     "q345_matryoshka_recall" -> {

@@ -523,6 +523,7 @@ object StreamQueries {
           .repartition(1).write.parquet(s"$src/f$i")
       }
     } finally sliced.unpersist()
+    pinSliceMtimes(src, 3)
     val stream = s.readStream
       .schema(sliced.select($"user_id", $"epoch_day").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
@@ -541,6 +542,24 @@ object StreamQueries {
         $"state", $"n_users")
       .orderBy($"day", $"state")
   }
+
+  /** Pin strictly increasing modification times on slice dirs' files:
+    * FileStreamSource orders new files by mtime, and on a coarse-
+    * granularity filesystem (1 s ext3, 2 s FAT-backed mounts) three
+    * just-written tiny slices can TIE, which would reorder the
+    * micro-batches of order-DEFINED streams (q332's growth transitions,
+    * q348's SPRT cumulation) and hash-mismatch their batch oracles.
+    * Explicit mtimes make write order the processing order by
+    * construction; the absolute epoch is irrelevant, only the order. */
+  private def pinSliceMtimes(src: String, slices: Int): Unit =
+    (0 until slices).foreach { i =>
+      val t = java.nio.file.attribute.FileTime.fromMillis(
+        1700000000000L + i * 60000L)
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(src, s"f$i"))
+      try walk.forEach(p => java.nio.file.Files.setLastModifiedTime(p, t))
+      finally walk.close()
+    }
 
   /** STREAMING SPRT MONITOR — q347's always-valid A/B test running on
     * arrival: daily (arm, day, n, c) counts stream in as 3 day-boundary
@@ -581,6 +600,7 @@ object StreamQueries {
           .repartition(1).write.parquet(s"$src/f$i")
       }
     } finally sliced.unpersist()
+    pinSliceMtimes(src, 3)
     val stream = s.readStream
       .schema(sliced.select($"arm_a", $"epoch_day", $"n", $"c").schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$src/*")
