@@ -88,8 +88,19 @@ object Bench {
     // coverage stamp: a full-catalog artifact must cover EVERY catalog
     // query — n_catalog vs n_benched makes silent under-coverage (a
     // stale artifact, a forgotten BENCH_ONLY filter) machine-visible
+    // corpus fingerprint (untimed, after the measured region): makes
+    // round-over-round per-query deltas attributable — identical
+    // fingerprints mean a timing delta is code or host, never data
+    val fp =
+      try graft.io.Fingerprint.json(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH: fingerprint failed: ${e.getMessage}"); "{}" }
+    // partial: an unfiltered run that still under-covers the catalog is
+    // machine-flagged, not just stderr-warned (a consumer keying off the
+    // artifact alone must see it)
+    val partial = only.isEmpty && results.size != SparkEntry.queries.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
     if (only.isEmpty && results.size != SparkEntry.queries.size)
       System.err.println(s"BENCH WARNING: artifact covers ${results.size} of ${SparkEntry.queries.size} catalog queries")
     println(line)
@@ -107,5 +118,6 @@ object Bench {
     }
     spark.stop()
     if (failed.nonEmpty) sys.exit(2)
+    if (partial) sys.exit(3) // unfiltered run that under-covered the catalog
   }
 }

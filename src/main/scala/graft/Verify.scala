@@ -37,6 +37,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // corpus fingerprint (separate file — check.py only walks result
+    // DIRECTORIES, so a plain json file is invisible to the gate): lets a
+    // correctness artifact say which testdata generation it ran against
+    try Files.writeString(Paths.get(s"$outDir/fingerprint.json"),
+      io.Fingerprint.json(spark, sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] fingerprint failed: ${e.getMessage}") }
     spark.stop()
   }
 }

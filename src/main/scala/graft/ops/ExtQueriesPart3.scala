@@ -1475,8 +1475,8 @@ private[ops] object ExtQueriesPart3 {
           l2 AS (SELECT *, g * mean_milli - (g - 1) * loo_mean_milli
                    AS pseudo_milli FROM loo),
           mb AS (SELECT sum(loo_mean_milli) // count(*) AS mbar FROM l2),
-          v AS (SELECT ((count(*) - 1) * sum((loo_mean_milli - mbar)
-                    * (loo_mean_milli - mbar))) // count(*)
+          v AS (SELECT CAST(((count(*) - 1) * sum((loo_mean_milli - mbar)
+                    * (loo_mean_milli - mbar))) // count(*) AS BIGINT)
                     AS jack_var_scaled
                 FROM l2, mb)
           SELECT source, n_i, g, mean_milli, loo_mean_milli, pseudo_milli,
@@ -1815,8 +1815,8 @@ private[ops] object ExtQueriesPart3 {
                       AS BIGINT) AS cumg
                   FROM grid),
           emd AS (SELECT c_nationkey, bal_pos, max(cls) AS cls,
-                    (sum(abs(cumc*nn - cumg*cls)) * 1000000)
-                      // (max(cls)*max(nn)*(max(m)-1)) AS emd_ppm
+                    CAST((sum(abs(cumc*nn - cumg*cls)) * 1000000)
+                      // (max(cls)*max(nn)*(max(m)-1)) AS BIGINT) AS emd_ppm
                   FROM cum GROUP BY 1, 2)
           SELECT c_nationkey, bal_pos, cls, emd_ppm,
                  emd_ppm > 200000 AS fails_t02

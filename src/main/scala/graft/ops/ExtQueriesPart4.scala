@@ -1554,8 +1554,8 @@ private[ops] object ExtQueriesPart4 {
                  FROM r, t)
           SELECT decile, CAST(sum(users) AS BIGINT) AS n_users,
                  CAST(sum(c * users) AS BIGINT) AS events,
-                 (sum(c * users) * 1000000) // max(total_events)
-                   AS share_ppm
+                 CAST((sum(c * users) * 1000000) // max(total_events)
+                   AS BIGINT) AS share_ppm
           FROM dd GROUP BY decile ORDER BY decile""",
     // same per-arm folds, same cross-multiplied z numerator and
     // identically-rounded floor(sqrt(double)) denominator
@@ -1594,8 +1594,8 @@ private[ops] object ExtQueriesPart4 {
                   CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
           dd AS (SELECT day, cnt,
                    CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM daily),
-          prof AS (SELECT dow, (sum(cnt) * 1000) // count(*)
-                     AS dow_mean_milli FROM dd GROUP BY 1),
+          prof AS (SELECT dow, CAST((sum(cnt) * 1000) // count(*)
+                     AS BIGINT) AS dow_mean_milli FROM dd GROUP BY 1),
           j AS (SELECT CAST(day AS VARCHAR) AS day, dd.dow, cnt,
                   dow_mean_milli,
                   abs(cnt * 1000 - dow_mean_milli) AS abs_resid_milli
@@ -1723,8 +1723,8 @@ private[ops] object ExtQueriesPart4 {
                   FROM cum WHERE cum * 10 >= n * 9 GROUP BY 1),
           ag AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT)
                    AS n_lines,
-                   (sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END) * 1000000)
-                     // count(*) AS sla30_ppm
+                   CAST((sum(CASE WHEN dd <= 30 THEN 1 ELSE 0 END)
+                     * 1000000) // count(*) AS BIGINT) AS sla30_ppm
                  FROM dl GROUP BY 1)
           SELECT ag.o_orderpriority, n_lines, sla30_ppm, median_days,
                  p90_days
@@ -1808,8 +1808,8 @@ private[ops] object ExtQueriesPart4 {
                  CAST(sum(toks) AS BIGINT) AS total_tokens,
                  CAST(sum(CASE WHEN keep THEN toks ELSE 0 END) AS BIGINT)
                    AS kept_tokens,
-                 ((sum(toks) - sum(CASE WHEN keep THEN toks ELSE 0 END))
-                   * 1000000) // sum(toks) AS savings_ppm
+                 CAST(((sum(toks) - sum(CASE WHEN keep THEN toks ELSE 0 END))
+                   * 1000000) // sum(toks) AS BIGINT) AS savings_ppm
           FROM k""",
     // same value-domain rank folds, same percent_rank identity
     "q307_quantile_transform" ->
@@ -1839,8 +1839,8 @@ private[ops] object ExtQueriesPart4 {
                   WHERE d.doc_id < 200),
           jo AS (SELECT req.anchor, req.a_src, c.source AS c_src
                  FROM req JOIN docs c ON req.cand_id = c.doc_id),
-          dr AS (SELECT (sum(CASE WHEN a_src <> c_src THEN 0 ELSE 1 END)
-                   * 1000000) // count(*) AS drop_ppm FROM jo)
+          dr AS (SELECT CAST((sum(CASE WHEN a_src <> c_src THEN 0 ELSE 1 END)
+                   * 1000000) // count(*) AS BIGINT) AS drop_ppm FROM jo)
           SELECT anchor, CAST(count(*) AS BIGINT) AS n_candidates,
                  CAST(sum(CASE WHEN a_src <> c_src THEN 1 ELSE 0 END)
                    AS BIGINT) AS n_negatives,
@@ -1985,7 +1985,8 @@ private[ops] object ExtQueriesPart4 {
                 FROM sp)
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                  CAST(sum(ns) AS BIGINT) AS n_sentences,
-                 (sum(chars) * 1000) // sum(ns) AS mean_sent_len_milli,
+                 CAST((sum(chars) * 1000) // sum(ns) AS BIGINT)
+                   AS mean_sent_len_milli,
                  CAST(max(mx) AS BIGINT) AS max_sent_len
           FROM per GROUP BY source ORDER BY source""",
     // same microsecond gaps, same value-domain median fold

@@ -317,7 +317,8 @@ private[ops] object ExtQueriesPart5 {
           m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
                 FROM p GROUP BY lang, pred_lang)
           SELECT lang, pred_lang, n,
-                 (n * 1000000) // sum(n) OVER (PARTITION BY lang) AS share_ppm
+                 CAST((n * 1000000) // sum(n) OVER (PARTITION BY lang)
+                   AS BIGINT) AS share_ppm
           FROM m ORDER BY lang, pred_lang""",
     // q135's k-gram keys, occurrences of repeated keys, relative deciles
     "q328_dup_span_positions" ->
@@ -335,7 +336,8 @@ private[ops] object ExtQueriesPart5 {
                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
                 FROM i GROUP BY bin)
           SELECT bin, n_instances, n_docs,
-                 (n_instances * 1000000) // sum(n_instances) OVER () AS share_ppm
+                 CAST((n_instances * 1000000) // sum(n_instances) OVER ()
+                   AS BIGINT) AS share_ppm
           FROM b ORDER BY bin""",
     // same single (shingle -> first-doc, set-size) pass, same 10-point fit
     "q329_heaps_exponent" ->
@@ -412,9 +414,13 @@ private[ops] object ExtQueriesPart5 {
                        THEN 'codeish' ELSE 'prose' END AS cls
                 FROM p)
           SELECT source, cls, CAST(count(*) AS BIGINT) AS n_docs,
-                 (sum(n_alpha) * 1000000) // sum(n) AS alpha_ppm,
-                 (sum(n_digit) * 1000000) // sum(n) AS digit_ppm,
-                 (sum(n_space) * 1000000) // sum(n) AS space_ppm,
-                 (sum(n_other) * 1000000) // sum(n) AS other_ppm
+                 CAST((sum(n_alpha) * 1000000) // sum(n) AS BIGINT)
+                   AS alpha_ppm,
+                 CAST((sum(n_digit) * 1000000) // sum(n) AS BIGINT)
+                   AS digit_ppm,
+                 CAST((sum(n_space) * 1000000) // sum(n) AS BIGINT)
+                   AS space_ppm,
+                 CAST((sum(n_other) * 1000000) // sum(n) AS BIGINT)
+                   AS other_ppm
           FROM c GROUP BY source, cls ORDER BY source, cls""")
 }

@@ -89,6 +89,18 @@ private[ops] object ExtQueriesPart7 {
       .orderBy($"m".desc, $"i").limit(1)
       .select($"i".as("top_var_dim"), $"m".as("mtop"))
     agg.crossJoin(broadcast(top)).crossJoin(broadcast(n1))
+      // enforce the Scaladoc's overflow bound instead of trusting it:
+      // past ~1e5 vectors fro2's m·m terms cross decimal(38,0), Spark
+      // NULLs them in non-ANSI mode and sum() silently skips — a
+      // bench-only run (no oracle) would report a plausible wrong
+      // eff_rank_micro. assert_true evaluates on the single final row
+      // (zero per-row cost) and fails LOUD; returns NULL when the bound
+      // holds, so the filter is identically true.
+      .filter(expr(
+        "assert_true(n <= 100000, 'q337: corpus exceeds the documented " +
+          "~1e5-vector decimal(38,0) overflow bound for fro2 — drop EmbQ " +
+          "a digit per 10x growth or compute on a fixed sample panel " +
+          "(q339 pattern)') IS NULL"))
       .select(
         $"n".cast("long").as("n"),
         $"trace".cast("long").as("trace_q"),
@@ -572,8 +584,12 @@ private[ops] object ExtQueriesPart7 {
       .select($"b", w.as("w"), $"x")
       .groupBy($"b")
       .agg(sum($"w").as("sw"), sum($"w" * $"x").as("swx"))
+      // nullif: a replicate drawing all-zero Poisson weights (prob ~e^-n,
+      // nonzero on tiny dev slices) must degrade to NULL on BOTH engines —
+      // DuckDB's `//` raises on /0 while Spark's div yields NULL, so
+      // without the guard the failure modes diverge
       .select($"b",
-        expr("(swx * 1000) div sw").as("mean_mc"))
+        expr("(swx * 1000) div nullif(sw, 0)").as("mean_mc"))
       .withColumn("rk", row_number().over(
         Window.orderBy($"mean_mc", $"b")))
     val point = Tables.orders(s, d)
@@ -782,8 +798,9 @@ private[ops] object ExtQueriesPart7 {
           reps AS (SELECT b, CAST(sum(w) AS BIGINT) AS sw,
                      CAST(sum(w * x) AS BIGINT) AS swx
                    FROM wb GROUP BY b),
-          m AS (SELECT b, (swx * 1000) // sw AS mean_mc,
-                  row_number() OVER (ORDER BY (swx * 1000) // sw, b) AS rk
+          m AS (SELECT b, (swx * 1000) // nullif(sw, 0) AS mean_mc,
+                  row_number() OVER
+                    (ORDER BY (swx * 1000) // nullif(sw, 0), b) AS rk
                 FROM reps),
           p AS (SELECT CAST((sum(x) * 1000) // count(*) AS BIGINT)
                   AS point_mc FROM t)

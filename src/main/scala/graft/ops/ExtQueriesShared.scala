@@ -142,10 +142,11 @@ private[graft] object ExtQueriesShared {
           FROM events GROUP BY 1, 2),
         cum AS (
           SELECT arm_a, day,
-                 sum(n) OVER wd AS cn, sum(c) OVER wd AS cc,
-                 $SprtIncSuccess * sum(c) OVER wd
+                 CAST(sum(n) OVER wd AS BIGINT) AS cn,
+                 CAST(sum(c) OVER wd AS BIGINT) AS cc,
+                 CAST($SprtIncSuccess * sum(c) OVER wd
                    + ($SprtIncFailure) * (sum(n) OVER wd - sum(c) OVER wd)
-                   AS llr
+                   AS BIGINT) AS llr
           FROM daily
           WINDOW wd AS (PARTITION BY arm_a ORDER BY day
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),

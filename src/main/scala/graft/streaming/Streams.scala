@@ -520,6 +520,12 @@ object Streams {
         prev match {
           case None                  => out += DayState(d, "new")
           case Some(p) if d == p     => () // same day re-observed: no event
+          // out-of-order arrival EARLIER than the stored last-active day:
+          // without this branch it would fall through to `resurrected`,
+          // silently misclassifying late data if the processor is reused
+          // outside day-ordered streams (q332's slices are mtime-pinned in
+          // day order, so this never fires there — it's a library guard)
+          case Some(p) if d < p      => out += DayState(d, "late")
           case Some(p) if d - p == 1 => out += DayState(d, "retained")
           case Some(_)               => out += DayState(d, "resurrected")
         }

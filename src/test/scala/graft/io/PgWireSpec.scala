@@ -167,6 +167,45 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want)
   }
 
+  test("SCRAM-SHA-256: RFC 7677 exchange against PG's default password_encryption") {
+    assume(up, "no local postgres server")
+    val conn = DriverManager.getConnection(url) // superuser via trust
+    try {
+      val st = conn.createStatement()
+      // PG 15 default is already scram-sha-256; set it explicitly so the
+      // stored verifier shape is pinned regardless of initdb-era defaults
+      st.executeUpdate("SET password_encryption = 'scram-sha-256'")
+      st.executeUpdate("DROP ROLE IF EXISTS scram_probe")
+      st.executeUpdate("CREATE ROLE scram_probe LOGIN PASSWORD 'S3cret-probe'")
+      // confirm the server stored a SCRAM verifier, not md5 — otherwise
+      // this test would silently exercise the md5 path
+      val rs = st.executeQuery(
+        "SELECT rolpassword FROM pg_authid WHERE rolname = 'scram_probe'")
+      assert(rs.next() && rs.getString(1).startsWith("SCRAM-SHA-256$"),
+        "server must store a SCRAM-SHA-256 verifier")
+      st.close()
+    } finally conn.close()
+    // force the scram handshake for this role (prepended so it wins over
+    // the initdb trust rule), then reload
+    assert(sh(s"""su postgres -s /bin/bash -c "sed -i '1i host all scram_probe 127.0.0.1/32 scram-sha-256' $dir/data/pg_hba.conf && pg_ctl -D $dir/data reload" """)._1 == 0)
+    val scramUrl =
+      s"jdbc:postgresql://127.0.0.1:$port/postgres?user=scram_probe"
+    // wrong password must be REJECTED by the server (proof verification)
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(s"$scramUrl&password=wrong").close()
+    }
+    // missing password must fail loud, not hang
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(scramUrl).close()
+    }
+    val c2 = DriverManager.getConnection(s"$scramUrl&password=S3cret-probe")
+    try {
+      val rs = c2.createStatement().executeQuery(
+        "SELECT current_user, 41 + 1")
+      assert(rs.next() && rs.getString(1) == "scram_probe" && rs.getInt(2) == 42)
+    } finally c2.close()
+  }
+
   test("transactional batched writer: updateByKey per-row counts are real on PG") {
     assume(up, "no local postgres server")
     val spark = SparkTestSession.spark

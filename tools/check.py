@@ -26,6 +26,11 @@ def norm(df):
 def cells_equal(a, b):
     if a is None and b is None:
         return True
+    # Round-9 lesson: the driver hashes STRING renderings, so int 85700 vs
+    # float 85700.0 mismatches there and MUST mismatch here too.  Never let
+    # python's int==float leniency paper over a dtype divergence.
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     if isinstance(a, float) and isinstance(b, float):
         return (math.isnan(a) and math.isnan(b)) or a == b
     if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
@@ -67,6 +72,21 @@ def main():
         g, e = norm(got), norm(exp)
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA-MISMATCH spark={list(g.columns)} oracle={list(e.columns)}"
+            continue
+        # Driver-strict dtype gate (round-9 HUGEINT lesson): an oracle
+        # column that degrades to float64 while Spark writes int64 hashes
+        # red at the driver even when every value is numerically equal.
+        # Compare numpy dtype KINDS (i/u vs f vs O vs b vs M) so int32 vs
+        # int64 — which the driver's string hash treats as equal — stays
+        # green, while int-vs-float fails loudly.
+        gk = ["i" if d.kind == "u" else d.kind for d in g.dtypes]
+        ek = ["i" if d.kind == "u" else d.kind for d in e.dtypes]
+        if gk != ek:
+            pairs = [f"{c}: spark={dg} oracle={de}" for c, dg, de
+                     in zip(g.columns, g.dtypes, e.dtypes)
+                     if ("i" if dg.kind == "u" else dg.kind)
+                     != ("i" if de.kind == "u" else de.kind)]
+            results[name] = f"DTYPE-MISMATCH {'; '.join(pairs)}"
             continue
         if len(g) != len(e):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(g)} oracle={len(e)}"

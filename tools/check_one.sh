@@ -30,8 +30,17 @@ if list(o.columns) != list(e.columns):
     print("SCHEMA MISMATCH", list(o.columns), list(e.columns)); sys.exit(1)
 if len(o) != len(e):
     print("ROWCOUNT MISMATCH", len(o), len(e)); sys.exit(1)
+ok = [d.kind.replace("u", "i") for d in o.dtypes]
+ek = [d.kind.replace("u", "i") for d in e.dtypes]
+if ok != ek:
+    print("DTYPE MISMATCH (driver-strict)",
+          [f"{c}: oracle={a} engine={b}" for c, a, b
+           in zip(o.columns, o.dtypes, e.dtypes)
+           if a.kind.replace("u", "i") != b.kind.replace("u", "i")])
+    sys.exit(1)
 def eq(a, b):
     if a is None and b is None: return True
+    if isinstance(a, float) != isinstance(b, float): return False
     if isinstance(a, float) and isinstance(b, float):
         return (math.isnan(a) and math.isnan(b)) or a == b
     return a == b

@@ -10,5 +10,8 @@
 # Usage: tools/precommit.sh   (from the repo root, before EVERY commit)
 set -e
 cd "$(dirname "$0")/.."
-sbt -batch "compile; Test/compile; runMain graft.Smoke; testOnly graft.ops.CatalogSchemaSpec"
+sbt -batch "compile; Test/compile; runMain graft.Smoke; runMain graft.tools.DumpOracles /tmp/oracle_sql.json; testOnly graft.ops.CatalogSchemaSpec"
+# Round-9 lesson: plan every oracle in DuckDB and fail on HUGEINT/float
+# output columns BEFORE they can hash-mismatch at the driver's gate.
+python3 tools/lint_oracle_types.py /tmp/oracle_sql.json /root/testdata/sf0.001
 echo "precommit OK"
