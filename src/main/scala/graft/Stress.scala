@@ -172,12 +172,16 @@ object Stress {
     // sane while preserving the 10× base→scaled growth being measured
     def trigramAllPairs(s: SparkSession, d: String, mod: Int): DataFrame = {
       import s.implicits._
+      // skew-knob sweep hooks (round-9 advice: tune or bound the ×10
+      // max/med task skew): defaults are similarSelfJoin's own
+      val hubCap = sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_HUBCAP", "2048").toInt
+      val saltB = sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_SALTB", "8").toInt
       text.Trigram.similarSelfJoin(
         io.Tables.part(s, d).repartition($"p_partkey")
           .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
             .cast("long") % mod === 0)
           .select($"p_partkey", $"p_name"),
-        "p_partkey", "p_name", 11, 20)
+        "p_partkey", "p_name", 11, 20, hubCap = hubCap, saltB = saltB)
     }
     def trigramAllPairsFull(s: SparkSession, d: String): DataFrame =
       trigramAllPairs(s, d, 5)

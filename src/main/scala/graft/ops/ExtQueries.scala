@@ -10,10 +10,10 @@ object ExtQueries {
   val queries: Map[String, Q] =
     ExtQueriesPart1.queries ++ ExtQueriesPart2.queries ++ ExtQueriesPart3.queries ++
       ExtQueriesPart4.queries ++ ExtQueriesPart5.queries ++ ExtQueriesPart6.queries ++
-      ExtQueriesPart7.queries
+      ExtQueriesPart7.queries ++ ExtQueriesPart8.queries
 
   lazy val oracle: Map[String, String] =
     ExtQueriesPart1.oracle ++ ExtQueriesPart2.oracle ++ ExtQueriesPart3.oracle ++
       ExtQueriesPart4.oracle ++ ExtQueriesPart5.oracle ++ ExtQueriesPart6.oracle ++
-      ExtQueriesPart7.oracle
+      ExtQueriesPart7.oracle ++ ExtQueriesPart8.oracle
 }

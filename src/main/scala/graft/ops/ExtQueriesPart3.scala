@@ -572,33 +572,50 @@ private[ops] object ExtQueriesPart3 {
   private val q256Concordance: Q = (s, d) => {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).repartition($"doc_id")
-      .select($"doc_id", $"n_chars".as("x"),
-        graft.text.TextOps.words($"text").as("ws"))
+    // ONE row-level pass: the joint (x, y) histogram. Every later step —
+    // both marginal histograms, the decile maps, the contingency table,
+    // the pair fold — derives from this value-domain-sized frame, so the
+    // tokenize+aggregate touches each row exactly once and the rest of
+    // the DAG is bounded by |x-domain|·|y-domain| regardless of corpus
+    // size. (The previous shape re-joined the row-level frame against
+    // two broadcast bin maps and ran C and D as separate passes — same
+    // answer, but 3 row-level passes and 5 jobs of fixed overhead; the
+    // round-9→10 bench drift on this query was exactly that overhead.)
+    val xy = Tables.documents(s, d).repartition($"doc_id")
+      .select($"n_chars".as("x"), graft.text.TextOps.words($"text").as("ws"))
       .filter(size($"ws") > 0)
-      .select($"doc_id", $"x",
+      .select($"x",
         expr("(size(array_distinct(ws)) * 1000L) div size(ws)").as("y"))
+      .groupBy($"x", $"y").agg(count(lit(1)).as("nn"))
       .cache()
+    // marginal histogram → cumulative → decile bin, per axis, all on the
+    // value domain (q209's rule: ranks without ranking rows). The axis
+    // total rides the SAME single-partition window as the cumulative
+    // (full-frame sum) instead of a broadcast-scalar crossJoin — one
+    // exchange, two window ops, zero extra jobs per axis.
     def bins(col: String) = {
-      val h = docs.groupBy(docs(col).as("v"))
-        .agg(count(lit(1)).as("n"))
-      val tot = h.agg(sum($"n").as("ntot"))
-      h.withColumn("cum", sum($"n").over(Window.orderBy($"v")))
-        .crossJoin(broadcast(tot))
+      xy.groupBy(xy(col).as("v")).agg(sum($"nn").as("n"))
+        .withColumn("cum", sum($"n").over(Window.orderBy($"v")))
+        .withColumn("ntot", sum($"n").over(Window.partitionBy()))
         .select($"v".as(col), expr("((cum - n) * 10) div ntot").as(s"${col}b"))
     }
-    val binned = docs
+    val ct = xy
       .join(broadcast(bins("x")), "x")
       .join(broadcast(bins("y")), "y")
-    val ct = binned.groupBy($"xb", $"yb").agg(count(lit(1)).as("n")).cache()
-    val tot = ct.agg(sum($"n").as("n"))
-    val pairs = ct.toDF("xa", "ya", "na")
+      .groupBy($"xb", $"yb").agg(sum($"nn").as("n")).cache()
+    // concordant, discordant AND the grand total folded in ONE pass over
+    // the ≤10×10-cell pair grid (three separate aggregate jobs before):
+    // cells are unique in ct, so the diagonal pair (a == b) fires exactly
+    // once per cell and sum(na) over it recovers n without another job.
+    ct.toDF("xa", "ya", "na")
       .crossJoin(ct.toDF("xb2", "yb2", "nb"))
-    val cAgg = pairs.filter($"xa" < $"xb2" && $"ya" < $"yb2")
-      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("c"))
-    val dAgg = pairs.filter($"xa" < $"xb2" && $"ya" > $"yb2")
-      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("d"))
-    cAgg.crossJoin(broadcast(dAgg)).crossJoin(broadcast(tot))
+      .agg(
+        coalesce(sum(when($"xa" === $"xb2" && $"ya" === $"yb2", $"na")),
+          lit(0L)).as("n"),
+        coalesce(sum(when($"xa" < $"xb2" && $"ya" < $"yb2", $"na" * $"nb")),
+          lit(0L)).as("c"),
+        coalesce(sum(when($"xa" < $"xb2" && $"ya" > $"yb2", $"na" * $"nb")),
+          lit(0L)).as("d"))
       .select($"n", $"c", $"d",
         expr("((c - d) * 1000000) div ((n * (n - 1)) div 2)")
           .as("tau_ppm"))

@@ -133,10 +133,20 @@ object Trigram {
     * with buckets bₐ<b_b matches only combo (bₐ,b_b), with the roles
     * fixed by bucket) and are re-oriented via least/greatest — so the
     * candidate SET is identical to the unsalted plan, task width is not.
-    * Sub-cap grams take bucket 0 with 1 combo: the unsalted plan. */
+    * Sub-cap grams take bucket 0 with 1 combo: the unsalted plan.
+    *
+    * Knob guidance, measured at the ×10 stress scale (round-10 sweep; all
+    * configs produce the identical 9.76M-pair candidate set):
+    * (hubCap=2048, saltB=8) 46.6 s / max-task 22.8 s; (2048, 16) 28.9 s /
+    * 13.2 s — the default; (2048, 32) 31.2 s (combo replication outgrows
+    * the extra spread); (512, 16) ties at scale but costs +39% at BASE
+    * scale from over-salting sub-hub grams. Residual max/med task skew
+    * ~500 is the verify join on the densest hub grams — bounded per task
+    * by the hub block width / combo count and sub-linear in work (time
+    * ×10 for ×64 candidate rows at the default). */
   def similarSelfJoin(recs: DataFrame, idCol: String, textCol: String,
                       simNum: Int, simDen: Int,
-                      hubCap: Int = 2048, saltB: Int = 8): DataFrame = {
+                      hubCap: Int = 2048, saltB: Int = 16): DataFrame = {
     require(simNum > 0 && simNum < simDen,
       s"threshold must be in (0,1): $simNum/$simDen")
     require(hubCap > 0 && saltB > 1, s"hubCap=$hubCap saltB=$saltB")

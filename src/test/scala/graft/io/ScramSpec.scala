@@ -1,0 +1,44 @@
+package graft.io.pgwire
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SCRAM-SHA-256 math against the RFC 7677 §3 worked example — the
+  * published test vector, so the proof/signature path is verified
+  * independently of any live server (PgWireSpec covers the wire). */
+class ScramSpec extends AnyFunSuite {
+  private val clientFirstBare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+  private val serverFirst =
+    "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0," +
+      "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096"
+  private val clientFinalNoProof =
+    "c=biws,r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+
+  private def salted = Scram.saltedPassword("pencil",
+    java.util.Base64.getDecoder.decode("W22ZaJ0SNY7soEsUEjb6gQ=="), 4096)
+
+  test("client proof matches the RFC 7677 vector") {
+    val am = Scram.authMessage(clientFirstBare, serverFirst, clientFinalNoProof)
+    assert(Scram.clientProofB64(salted, am) ==
+      "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ=")
+  }
+
+  test("server signature matches the RFC 7677 vector") {
+    val am = Scram.authMessage(clientFirstBare, serverFirst, clientFinalNoProof)
+    assert(Scram.serverSignatureB64(salted, am) ==
+      "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4=")
+  }
+
+  test("mechanism list parses NUL-terminated cstrings, not whitespace") {
+    val payload = "SCRAM-SHA-256\u0000SCRAM-SHA-256-PLUS\u0000\u0000"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Scram.parseMechanisms(payload) ==
+      Seq("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS"))
+  }
+
+  test("attribute parsing keeps base64 '=' padding inside values") {
+    val attrs = Scram.parseAttrs(serverFirst)
+    assert(attrs('s') == "W22ZaJ0SNY7soEsUEjb6gQ==")
+    assert(attrs('i') == "4096")
+    assert(attrs('r') == "rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
+  }
+}
