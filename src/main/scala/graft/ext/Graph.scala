@@ -90,6 +90,12 @@ object Graph {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+    // per-round localCheckpoint is MEASURED, not cargo-culted: skipping
+    // alternate rounds (recompute a 2-round lineage segment instead of
+    // persisting) was tried at the ×10 stress scale and came out SLOWER
+    // (84.0 s vs 79.9 s) — the un-checkpointed keep subtree re-executes
+    // its degree aggregate through the longer lineage, costing more than
+    // the saved materialization. Eager per-round pinning stays.
     var e = sym.localCheckpoint()
     for (_ <- 1 to iters) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.io.Tables
-import graft.ops.ExtQueriesShared.wordsSql
+import graft.ops.ExtQueriesShared.{wordsAposSql, wordsSql}
 
 /** Catalog part 8 — TRAINING-RUN OPERATIONS: the decisions a pipeline
   * makes between "corpus is clean" (parts 1–7) and "tokens hit the
@@ -178,11 +178,159 @@ private[ops] object ExtQueriesPart8 {
         expr("(n_leaked_val * 1000000) div nullif(n_val_docs, 0L)").as("leak_ppm"))
   }
 
+  /** q359's (z_{α/2} + z_β)² for 95% confidence / 80% power, in micro
+    * units — quantized ONCE at authoring time (the SPRT rule): (1.959964
+    * + 0.841621)² = 7.848886... */
+  private val PowerZ2Micro = 7848886L
+
+  /** q360's decay half-life in days. */
+  private val DecayHalfLifeDays = 30L
+
+  /** TOKENIZER FERTILITY — tokens-per-word and chars-per-token by
+    * language: the compression audit that decides whether a tokenizer is
+    * fit for a corpus slice (fertility ≫ 1 on a language means its text
+    * costs disproportionate context window — the multilingual-tokenizer
+    * budget problem). Uses the engine's 4-chars-per-token estimator
+    * (q52's `ceil(len/4)` per word) against the apostrophe-aware word
+    * split, all as native codegen'd array folds — no UDF boundary.
+    *
+    * 100 TB shape: map-only per-row folds → one |langs|-key hash
+    * aggregate with map-side partials. */
+  private val q357TokenizerFertility: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .select($"lang",
+        expr("filter(split(lower(text), \"[^a-z0-9']+\"), w -> length(w) > 0)")
+          .as("ws"))
+      .select($"lang", size($"ws").cast("long").as("nw"),
+        expr("aggregate(ws, 0L, (a, w) -> a + (length(w) + 3) div 4)")
+          .as("est"),
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))").as("nch"))
+    per.groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nw").as("n_words"),
+        sum($"est").as("est_tokens"), sum($"nch").as("word_chars"))
+      .select($"lang", $"n_docs", $"n_words", $"est_tokens",
+        expr("(est_tokens * 1000) div nullif(n_words, 0L)")
+          .as("fertility_milli"),
+        expr("(word_chars * 1000) div nullif(est_tokens, 0L)")
+          .as("chars_per_token_milli"))
+      .orderBy($"lang")
+  }
+
+  /** CLASS-BALANCE DRIFT (Pearson χ² on the lang × source contingency) —
+    * is language mix independent of source, or does one source skew the
+    * label distribution the mixture weights assume? χ² folds exactly:
+    * Σ (o·n − r·c)²·10⁶ div (r·c·n) over the FULL grid (absent cells
+    * count — the grid is the |langs|×|sources| value-domain cross, tiny
+    * at any corpus size). Intermediates ride decimal(38,0): (o·n − r·c)²
+    * ≤ n⁴, exact to n ≈ 5·10⁹ rows — past that, run per corpus slice
+    * (the q337 panel rule; bound enforced nowhere because χ² on 5B+ rows
+    * is already a sliced audit in practice, documented here).
+    *
+    * 100 TB shape: ONE hash aggregate over documents (map-side partials,
+    * |langs|·|sources| keys); margins re-aggregate the value-domain
+    * frame; the grid join is broadcast. */
+  private val q358ClassBalanceChi2: Q = (s, d) => {
+    import s.implicits._
+    val ct = Tables.documents(s, d)
+      .groupBy($"lang", $"source").agg(count(lit(1)).as("o")).cache()
+    val r = ct.groupBy($"lang").agg(sum($"o").as("r"))
+    val c = ct.groupBy($"source").agg(sum($"o").as("c"))
+    val grid = r.crossJoin(c)
+      .join(ct, Seq("lang", "source"), "left_outer")
+      .select($"lang", $"source", $"r", $"c",
+        coalesce($"o", lit(0L)).as("o"))
+    grid
+      .withColumn("n", sum($"o").over(Window.partitionBy()))
+      .agg(
+        countDistinct($"lang").cast("long").as("n_langs"),
+        countDistinct($"source").cast("long").as("n_sources"),
+        max($"n").as("n_docs"),
+        sum(expr("""((cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                     * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+                     * 1000000)
+                    div (cast(r as decimal(38,0)) * c * n)"""))
+          .cast("long").as("chi2_micro"))
+      .select($"n_docs", $"n_langs", $"n_sources",
+        (($"n_langs" - 1) * ($"n_sources" - 1)).as("dof"), $"chi2_micro")
+  }
+
+  /** A/B POWER ANALYSIS — before q317/q347 read an experiment out, this
+    * says whether the experiment could ever read out: per source, the
+    * purchase base rate, the minimum detectable effect at 95%/80%
+    * (mde_ppm = √(Z²·2pq/n) with [[PowerZ2Micro]] quantized at authoring
+    * time and p, q in exact ppm), and the per-arm sample size a 10%
+    * relative lift would need. The sqrt is the one float op, floored
+    * immediately (IEEE-exact, the q317/q353 rule).
+    *
+    * 100 TB shape: one per-(source, user) dedup aggregate (the only
+    * row-scale shuffle, map-side combinable) → |sources| rows of closed
+    * -form integer math. */
+  private val q359PowerAnalysis: Q = (s, d) => {
+    import s.implicits._
+    val users = Tables.events(s, d)
+      .groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      // synthetic source assignment: the md5 ring (q308/q356 pattern)
+      .withColumn("grp",
+        conv(substring(md5(concat($"user_id".cast("string"), lit(":pw"))),
+          1, 13), 16, 10).cast("long") % 4)
+    users.groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+      .select($"grp", $"n", $"k",
+        expr("(k * 1000000) div n").as("p_ppm"))
+      .withColumn("mde_ppm", expr(
+        s"""cast(floor(sqrt(cast(($PowerZ2Micro * 2 * p_ppm
+             * (1000000 - p_ppm)) div (n * 1000000) as double))) as bigint)"""))
+      .withColumn("n_for_10pct_lift", expr(
+        s"""($PowerZ2Micro * 2 * p_ppm * (1000000 - p_ppm))
+            div nullif(1000000 * ((p_ppm div 10) * (p_ppm div 10)), 0L)"""))
+      .orderBy($"grp")
+  }
+
+  /** RECENCY-WEIGHTED CORPUS MASS — freshness decay with integer
+    * half-life halving: weight_ppm = 10⁶ >> (age_days div
+    * [[DecayHalfLifeDays]]), the shift-right decay that needs no pow()
+    * and is bit-identical on both engines. Per event type: raw count,
+    * decay-weighted mass, and mean retention ppm — the "how stale is
+    * this slice" number a freshness-weighted sampler feeds on.
+    *
+    * 100 TB shape: one (type, day) hash aggregate (bounded value
+    * domain) → per-day weights and the final |types| fold; the corpus
+    * max day rides a value-domain window, never a row scan. */
+  private val q360RecencyDecay: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"event_type", $"ts".cast("date").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("maxd", max($"day").over(Window.partitionBy()))
+      // cap the shift at 20 (10⁶ < 2²⁰ so the weight is already 0 there):
+      // Java's >> masks the shift amount mod 64, so an uncapped
+      // multi-year age would WRAP to a huge weight instead of decaying
+      .withColumn("w_ppm", expr(
+        s"shiftright(1000000L, least(cast(datediff(maxd, day)" +
+          s" div $DecayHalfLifeDays as int), 20))"))
+      .groupBy($"event_type")
+      .agg(sum($"cnt").as("n_events"),
+        sum($"cnt" * $"w_ppm").as("decayed_mass_ppm"),
+        max($"w_ppm").as("newest_weight_ppm"))
+      .select($"event_type", $"n_events", $"decayed_mass_ppm",
+        $"newest_weight_ppm",
+        expr("decayed_mass_ppm div n_events").as("mean_retention_ppm"))
+      .orderBy($"event_type")
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
     "q353_mixture_temperature" -> q353MixtureTemperature,
     "q354_packing_efficiency" -> q354PackingEfficiency,
     "q355_classifier_kappa" -> q355ClassifierKappa,
-    "q356_split_leakage" -> q356SplitLeakage
+    "q356_split_leakage" -> q356SplitLeakage,
+    "q357_tokenizer_fertility" -> q357TokenizerFertility,
+    "q358_class_balance_chi2" -> q358ClassBalanceChi2,
+    "q359_power_analysis" -> q359PowerAnalysis,
+    "q360_recency_decay" -> q360RecencyDecay
   )
 
   private[ops] val oracle: Map[String, String] = Map(
@@ -290,6 +438,91 @@ private[ops] object ExtQueriesPart8 {
                    AS BIGINT) AS n_leaked_val,
                  CAST((sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
                    * 1000000) // nullif(sum(n_val), 0) AS BIGINT) AS leak_ppm
-          FROM cl"""
+          FROM cl""",
+    // same apostrophe-aware split, same integer ceil-div token estimate
+    "q357_tokenizer_fertility" ->
+      s"""WITH per AS (SELECT lang,
+                  CAST(len(ws) AS BIGINT) AS nw,
+                  CAST(coalesce(list_sum(list_transform(ws,
+                    w -> (length(w) + 3) // 4)), 0) AS BIGINT) AS est,
+                  CAST(coalesce(list_sum(list_transform(ws,
+                    w -> length(w))), 0) AS BIGINT) AS nch
+                FROM (SELECT lang, $wordsAposSql AS ws FROM documents)),
+          agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(nw) AS BIGINT) AS n_words,
+                    CAST(sum(est) AS BIGINT) AS est_tokens,
+                    CAST(sum(nch) AS BIGINT) AS word_chars
+                  FROM per GROUP BY 1)
+          SELECT lang, n_docs, n_words, est_tokens,
+                 CAST((est_tokens * 1000) // nullif(n_words, 0) AS BIGINT)
+                   AS fertility_milli,
+                 CAST((word_chars * 1000) // nullif(est_tokens, 0) AS BIGINT)
+                   AS chars_per_token_milli
+          FROM agg ORDER BY lang""",
+    // same full-grid χ² fold over decimal(38,0) intermediates
+    "q358_class_balance_chi2" ->
+      """WITH ct AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+                FROM documents GROUP BY 1, 2),
+          r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM ct GROUP BY 1),
+          c AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM ct GROUP BY 1),
+          grid AS (SELECT r.lang, c.source, r.r, c.c,
+                     CAST(coalesce(ct.o, 0) AS BIGINT) AS o
+                   FROM r CROSS JOIN c
+                   LEFT JOIN ct ON ct.lang = r.lang AND ct.source = c.source),
+          t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM grid)
+          SELECT t.n AS n_docs,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+                 CAST((count(DISTINCT lang) - 1)
+                   * (count(DISTINCT source) - 1) AS BIGINT) AS dof,
+                 -- HUGEINT, not DECIMAL: DuckDB's DECIMAL // ROUNDS the
+                 -- quotient (measured +35 micro vs exact on this corpus)
+                 -- while HUGEINT // is true floor division, matching
+                 -- Spark's decimal div exactly
+                 CAST(sum(((CAST(o AS HUGEINT) * n
+                             - CAST(r AS HUGEINT) * c)
+                           * (CAST(o AS HUGEINT) * n
+                             - CAST(r AS HUGEINT) * c)
+                           * 1000000)
+                          // (CAST(r AS HUGEINT) * c * n)) AS BIGINT)
+                   AS chi2_micro
+          FROM grid, t GROUP BY t.n""",
+    // same md5 ring groups, same quantized Z², same floored IEEE sqrt
+    "q359_power_analysis" ->
+      s"""WITH users AS (SELECT user_id,
+                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS BIGINT) AS conv
+                FROM events GROUP BY 1),
+          g AS (SELECT CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)
+                    || ':pw'), 1, 13) AS BIGINT) % 4 AS grp, conv
+                FROM users),
+          agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(conv) AS BIGINT) AS k
+                  FROM g GROUP BY 1),
+          pp AS (SELECT grp, n, k, (k * 1000000) // n AS p_ppm FROM agg)
+          SELECT grp, n, k, p_ppm,
+                 CAST(floor(sqrt(CAST(($PowerZ2Micro * 2 * p_ppm
+                   * (1000000 - p_ppm)) // (n * 1000000) AS DOUBLE)))
+                   AS BIGINT) AS mde_ppm,
+                 CAST(($PowerZ2Micro * 2 * p_ppm * (1000000 - p_ppm))
+                   // nullif(1000000 * ((p_ppm // 10) * (p_ppm // 10)), 0)
+                   AS BIGINT) AS n_for_10pct_lift
+          FROM pp ORDER BY grp""",
+    // same (type, day) fold, same capped shift-right half-life decay
+    "q360_recency_decay" ->
+      s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2),
+          mx AS (SELECT max(day) AS maxd FROM daily),
+          w AS (SELECT event_type, cnt,
+                  1000000 >> least(CAST(maxd - day AS BIGINT)
+                    // $DecayHalfLifeDays, 20) AS w_ppm
+                FROM daily, mx)
+          SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_events,
+                 CAST(sum(cnt * w_ppm) AS BIGINT) AS decayed_mass_ppm,
+                 CAST(max(w_ppm) AS BIGINT) AS newest_weight_ppm,
+                 CAST(sum(cnt * w_ppm) // sum(cnt) AS BIGINT)
+                   AS mean_retention_ppm
+          FROM w GROUP BY 1 ORDER BY event_type"""
   )
 }

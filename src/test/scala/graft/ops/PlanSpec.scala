@@ -582,4 +582,33 @@ class PlanSpec extends AnyFunSuite {
       s"the per-source median rows must broadcast back:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
   }
+
+  test("packing efficiency (q354): the row-level cumulative window is PARTITIONED") {
+    val df = graft.SparkEntry.queries("q354_packing_efficiency")(spark, sf)
+    val plan = planOf(df)
+    // the concat-policy boundary test must never funnel document rows
+    // through a single-partition window — the window spec partitions by
+    // source, so the row-level exchange is a hash partitioning
+    assert(plan.contains("Window") &&
+      plan.contains("partitionBy=[source") ||
+      plan.contains("hashpartitioning(source"),
+      s"expected a source-partitioned window over the row-level frame:\n$plan")
+  }
+
+  test("mixture sweep (q353): one map-side-combinable aggregate over documents") {
+    val df = graft.SparkEntry.queries("q353_mixture_temperature")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_sum"),
+      s"per-source token mass must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian product:\n$plan")
+  }
+
+  test("split leakage (q356): exactly one row-level shuffle, on the content hash") {
+    val df = graft.SparkEntry.queries("q356_split_leakage")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"cluster counts must combine map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"no joins at all — dedup clustering is a single hash aggregate:\n$plan")
+  }
 }
