@@ -2240,15 +2240,25 @@ private[ops] object ExtQueriesPart1 {
          FROM j GROUP BY query_id ORDER BY query_id""",
     // closed-form bit replay: p(x+1,y) = p(x,y)+1 mod 256, so the dHash
     // bit at (x,y) is set iff (x+y+id) % 256 = 255
+    // bit 63 CAN fire (first eligible doc_id: 1969, so sf0.1+, never
+    // sf0.01) — DuckDB errors on BIGINT << 63, so the bit sum rides
+    // HUGEINT and wraps to the signed 64-bit value Spark's shiftleft
+    // produces natively
     "q159_image_dhash" ->
-      """SELECT doc_id AS media_id,
-                CAST(coalesce(sum(CASE WHEN (x + y + doc_id) % 256 = 255
-                  THEN (CAST(1 AS BIGINT) << CAST(y*8 + x AS INT)) END), 0)
-                  AS BIGINT) AS dhash
-         FROM documents,
-              unnest(range(8)) AS t(x), unnest(range(8)) AS u(y)
-         WHERE doc_id % 3 = 0
-         GROUP BY doc_id ORDER BY media_id""",
+      """WITH s AS (
+           SELECT doc_id,
+                  coalesce(sum(CASE WHEN (x + y + doc_id) % 256 = 255
+                    THEN (CAST(1 AS HUGEINT) << CAST(y*8 + x AS INT)) END),
+                    0) AS hsum
+           FROM documents,
+                unnest(range(8)) AS t(x), unnest(range(8)) AS u(y)
+           WHERE doc_id % 3 = 0
+           GROUP BY doc_id)
+         SELECT doc_id AS media_id,
+                CAST(CASE WHEN hsum >= 9223372036854775808
+                     THEN hsum - 18446744073709551616
+                     ELSE hsum END AS BIGINT) AS dhash
+         FROM s ORDER BY media_id""",
     // same derived v2 and the same hash-compare classification
     "q160_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),

@@ -322,7 +322,78 @@ private[ops] object ExtQueriesPart8 {
       .orderBy($"event_type")
   }
 
+  /** CROSS-SOURCE CONTENT OVERLAP (exact shingle Jaccard matrix) — which
+    * sources mirror each other: per source-pair, |distinct shared word
+    * 3-grams| over the union, ranked. The syndication/mirror detector
+    * that decides source-level dedup BEFORE doc-level MinHash spends
+    * anything (q255 tells you dup provenance after the fact; this is the
+    * source-granularity map). Published as the top-10 most-overlapping
+    * pairs with exact ppm Jaccard.
+    *
+    * 100 TB shape: one shuffle on the shingle key (distinct (source,
+    * shingle) — map-side combinable); per-shingle fanout is bounded by
+    * C(|sources|, 2) pairs regardless of how often a shingle repeats —
+    * the hub-safety that a doc-pair self-join lacks; the pair matrix is
+    * |sources|² rows. */
+  private val q361SourceOverlap: Q = (s, d) => {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"source", graft.text.TextOps.words($"text").as("ws"))
+      .filter(size($"ws") >= 3)
+      .select($"source", explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"))
+        .as("g"))
+      .distinct()
+      .cache()
+    val per = sh.groupBy($"source").agg(count(lit(1)).as("nsh"))
+    val inter = sh.toDF("s1", "g")
+      .join(sh.toDF("s2", "g2"), $"g" === $"g2" && $"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(per.toDF("s1", "n1")), "s1")
+      .join(broadcast(per.toDF("s2", "n2")), "s2")
+      .select($"s1", $"s2", $"inter", $"n1", $"n2",
+        expr("(inter * 1000000) div (n1 + n2 - inter)").as("jaccard_ppm"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy($"jaccard_ppm".desc, $"s1", $"s2")))
+      .filter($"rk" <= 10)
+      .select($"rk", $"s1", $"s2", $"inter", $"n1", $"n2", $"jaccard_ppm")
+  }
+
+  /** MERGEABLE-CHECKSUM DELTA AUDIT — the q169/Fingerprint property AS a
+    * query: the order-independent mod-2^60 checksum of (corpus minus
+    * slice) plus the checksum of (slice) must equal the checksum of the
+    * whole corpus — the identity that lets an incremental pipeline stamp
+    * a 100 TB table by folding ONLY the new batch into yesterday's
+    * stamp, never rescanning. All three checksums (and both counts) fold
+    * in ONE conditional aggregate over ONE scan; `merge_matches` is the
+    * audited identity.
+    *
+    * 100 TB shape: one map-side md5 pass, one 1-row aggregate — the
+    * incremental-reconciliation primitive. */
+  private val q362DeltaChecksum: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val Mod = 1152921504606846976L // 2^60
+    val h = conv(substring(md5(concat($"doc_id".cast("string"), lit("|"),
+      $"text")), 1, 15), 16, 10).cast(DecimalType(38, 0))
+    Tables.documents(s, d)
+      .select(($"doc_id" % 10 === 0).as("in_slice"), h.as("h"))
+      .agg(
+        sum(when(!$"in_slice", 1L).otherwise(0L)).as("n_base"),
+        sum(when($"in_slice", 1L).otherwise(0L)).as("n_slice"),
+        (sum(when(!$"in_slice", $"h")) % Mod).cast("long").as("ck_base"),
+        (sum(when($"in_slice", $"h")) % Mod).cast("long").as("ck_slice"),
+        (sum($"h") % Mod).cast("long").as("ck_all"))
+      .select($"n_base", $"n_slice", $"ck_base", $"ck_slice", $"ck_all",
+        expr(s"(ck_base + ck_slice) % ${Mod}L").as("ck_merged"),
+        expr(s"((ck_base + ck_slice) % ${Mod}L) = ck_all")
+          .as("merge_matches"))
+  }
+
   private[ops] val queries: Map[String, Q] = Map(
+    "q361_source_overlap" -> q361SourceOverlap,
+    "q362_delta_checksum" -> q362DeltaChecksum,
     "q353_mixture_temperature" -> q353MixtureTemperature,
     "q354_packing_efficiency" -> q354PackingEfficiency,
     "q355_classifier_kappa" -> q355ClassifierKappa,
@@ -523,6 +594,57 @@ private[ops] object ExtQueriesPart8 {
                  CAST(max(w_ppm) AS BIGINT) AS newest_weight_ppm,
                  CAST(sum(cnt * w_ppm) // sum(cnt) AS BIGINT)
                    AS mean_retention_ppm
-          FROM w GROUP BY 1 ORDER BY event_type"""
+          FROM w GROUP BY 1 ORDER BY event_type""",
+    // same distinct (source, 3-gram) set, same exact pair fold, same
+    // (jaccard desc, s1, s2) top-10 tiebreak
+    "q361_source_overlap" ->
+      s"""WITH t AS (SELECT source, ws
+                FROM (SELECT source, $wordsSql AS ws FROM documents)
+                WHERE len(ws) >= 3),
+          sh AS (SELECT DISTINCT source,
+                   array_to_string(ws[i:i+2], ' ') AS g
+                 FROM t, unnest(range(1, len(ws) - 1)) AS u(i)),
+          per AS (SELECT source, CAST(count(*) AS BIGINT) AS nsh
+                  FROM sh GROUP BY 1),
+          inter AS (SELECT a.source AS s1, b.source AS s2,
+                      CAST(count(*) AS BIGINT) AS inter
+                    FROM sh a JOIN sh b
+                      ON a.g = b.g AND a.source < b.source
+                    GROUP BY 1, 2),
+          j AS (SELECT s1, s2, inter, pa.nsh AS n1, pb.nsh AS n2,
+                  CAST((inter * 1000000) // (pa.nsh + pb.nsh - inter)
+                    AS BIGINT) AS jaccard_ppm
+                FROM inter
+                JOIN per pa ON pa.source = s1
+                JOIN per pb ON pb.source = s2),
+          r AS (SELECT *, CAST(row_number() OVER
+                  (ORDER BY jaccard_ppm DESC, s1, s2) AS INT) AS rk
+                FROM j)
+          SELECT rk, s1, s2, inter, n1, n2, jaccard_ppm
+          FROM r WHERE rk <= 10 ORDER BY rk""",
+    // same md5 60-bit row values, same one-scan conditional fold, same
+    // mod-2^60 merge identity
+    "q362_delta_checksum" ->
+      """WITH h AS (SELECT doc_id % 10 = 0 AS in_slice,
+                  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                    || '|' || text), 1, 15) AS BIGINT) AS h
+                FROM documents),
+          agg AS (SELECT
+                    CAST(sum(CASE WHEN in_slice THEN 0 ELSE 1 END) AS BIGINT)
+                      AS n_base,
+                    CAST(sum(CASE WHEN in_slice THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_slice,
+                    CAST(sum(CASE WHEN in_slice THEN 0 ELSE h END)
+                      % 1152921504606846976 AS BIGINT) AS ck_base,
+                    CAST(sum(CASE WHEN in_slice THEN h ELSE 0 END)
+                      % 1152921504606846976 AS BIGINT) AS ck_slice,
+                    CAST(sum(h) % 1152921504606846976 AS BIGINT) AS ck_all
+                  FROM h)
+          SELECT n_base, n_slice, ck_base, ck_slice, ck_all,
+                 CAST((ck_base + ck_slice) % 1152921504606846976 AS BIGINT)
+                   AS ck_merged,
+                 (ck_base + ck_slice) % 1152921504606846976 = ck_all
+                   AS merge_matches
+          FROM agg"""
   )
 }

@@ -356,7 +356,9 @@ object Relational {
     * `RANGE BETWEEN 6 DAYS PRECEDING AND CURRENT ROW` over epoch-day
     * ordering. The unpartitioned window is safe exactly because it runs on
     * the day-grain aggregate, never the fact table. Decimal sums
-    * throughout; the moving average divides two exact decimals. */
+    * throughout; the moving average is exact integer micro-units divided
+    * once as a double (two exactly-representable integers → IEEE-identical
+    * on both engines; decimal division rounded differently at sf0.1). */
   private val q154MovingWindow: Q = (s, d) => {
     import s.implicits._
     val daily = Tables.orders(s, d)
@@ -370,8 +372,13 @@ object Relational {
       .withColumn("n_7d", sum($"n_orders").over(w))
       .select($"day", money($"day_rev").as("day_rev"),
         money($"rev_7d").as("rev_7d"), $"n_7d",
-        money(($"rev_7d" / $"n_7d").cast(org.apache.spark.sql.types.DecimalType(28, 8)))
-          .as("avg_order_7d"))
+        // exact integer micro-units then ONE double division of two
+        // exactly-representable integers — bit-identical on both engines.
+        // (The old decimal-division-then-cast path diverged by 1 ulp at
+        // the 8th decimal at sf0.1: Spark and DuckDB round the quotient
+        // at different intermediate scales.)
+        expr("""cast((cast(rev_7d * 100 as bigint) * 1000000) div n_7d
+                 as double) / 1000000.0""").as("avg_order_7d"))
       .orderBy($"day")
   }
 
@@ -1429,8 +1436,9 @@ object Relational {
                 CAST(day_rev AS DOUBLE) AS day_rev,
                 CAST(sum(day_rev) OVER w AS DOUBLE) AS rev_7d,
                 CAST(sum(n_orders) OVER w AS BIGINT) AS n_7d,
-                CAST(CAST(sum(day_rev) OVER w / sum(n_orders) OVER w
-                     AS DECIMAL(28,8)) AS DOUBLE) AS avg_order_7d
+                CAST((CAST(sum(day_rev) OVER w * 100 AS BIGINT) * 1000000)
+                     // sum(n_orders) OVER w AS DOUBLE) / 1000000.0
+                  AS avg_order_7d
          FROM daily
          WINDOW w AS (ORDER BY date_diff('day', DATE '1970-01-01', day)
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
