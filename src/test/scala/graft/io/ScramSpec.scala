@@ -35,6 +35,16 @@ class ScramSpec extends AnyFunSuite {
       Seq("SCRAM-SHA-256", "SCRAM-SHA-256-PLUS"))
   }
 
+  test("a tampered server-first (MITM salt swap) yields a different server signature") {
+    // a man-in-the-middle that alters salt/iterations cannot produce a
+    // v= the client will accept: the signature binds the full AuthMessage
+    val tampered = serverFirst.replace("i=4096", "i=1024")
+    val amGood = Scram.authMessage(clientFirstBare, serverFirst, clientFinalNoProof)
+    val amBad = Scram.authMessage(clientFirstBare, tampered, clientFinalNoProof)
+    assert(Scram.serverSignatureB64(salted, amGood)
+      != Scram.serverSignatureB64(salted, amBad))
+  }
+
   test("attribute parsing keeps base64 '=' padding inside values") {
     val attrs = Scram.parseAttrs(serverFirst)
     assert(attrs('s') == "W22ZaJ0SNY7soEsUEjb6gQ==")
