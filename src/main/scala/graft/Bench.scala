@@ -99,8 +99,20 @@ object Bench {
     // machine-flagged, not just stderr-warned (a consumer keying off the
     // artifact alone must see it)
     val partial = only.isEmpty && results.size != SparkEntry.queries.size
+    // per-family rollup (round-10 VERDICT item 6): the comparison the
+    // BASELINE.md table used to carry by hand lives IN the artifact, so a
+    // consumer sees per-family s/q without re-deriving the query→module map
+    val famOf = SparkEntry.families
+    val famJson = results.toSeq
+      .groupBy { case (k, _) => famOf.getOrElse(k, "other") }
+      .toSeq
+      .map { case (f, rs) =>
+        val tot = rs.map(_._2._1).sum
+        (tot, s""""$f":{"n":${rs.size},"total_sec":$tot,"sec_per_q":${tot / rs.size}}""")
+      }
+      .sortBy(-_._1).map(_._2).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"families":$famJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
     if (only.isEmpty && results.size != SparkEntry.queries.size)
       System.err.println(s"BENCH WARNING: artifact covers ${results.size} of ${SparkEntry.queries.size} catalog queries")
     println(line)

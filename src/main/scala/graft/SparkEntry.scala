@@ -30,6 +30,22 @@ object SparkEntry {
       ops.ExtQueries.queries ++ ops.IoQueries.queries ++
       ops.StreamQueries.queries
 
+  /** query → family, for the per-family rollup Bench embeds in its JSON
+    * artifact (`families` key). The single s/q scalar under-represents the
+    * engine as the catalog mix shifts toward streaming/index-write work;
+    * grouping by defining module keeps the 2× baseline gate meaningful at
+    * any mix. Source of truth is the registry composition itself, so a new
+    * query is classified the moment it is registered. */
+  def families: Map[String, String] = {
+    def tag(m: Map[String, _], f: String): Iterable[(String, String)] =
+      m.keys.map(_ -> f)
+    (tag(ops.Relational.queries, "relational") ++
+      tag(ops.IoQueries.queries, "io_jdbc") ++
+      tag(ops.TextQueries.queries, "text_index") ++
+      tag(ops.StreamQueries.queries, "streaming")).toMap ++
+      ops.ExtQueries.families
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

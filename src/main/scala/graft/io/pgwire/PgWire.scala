@@ -78,6 +78,7 @@ final class PgWireSocket(host: String, port: Int, user: String,
 
   private def authLoop(): Unit = {
     // SCRAM state carried across the 10 → 11 → 12 message sequence
+    var scramClientNonce: String = null
     var scramClientFirstBare: String = null
     var scramServerFirst: String = null
     var scramClientFinalNoProof: String = null
@@ -111,8 +112,8 @@ final class PgWireSocket(host: String, port: Int, user: String,
               // the startup packet and ignores the SCRAM username field.
               val nonceBytes = new Array[Byte](18)
               new java.security.SecureRandom().nextBytes(nonceBytes)
-              val clientNonce = b64e.encodeToString(nonceBytes)
-              scramClientFirstBare = s"n=,r=$clientNonce"
+              scramClientNonce = b64e.encodeToString(nonceBytes)
+              scramClientFirstBare = s"n=,r=$scramClientNonce"
               val initial = ("n,," + scramClientFirstBare).getBytes(UTF_8)
               val body = new java.io.ByteArrayOutputStream()
               val bd = new DataOutputStream(body)
@@ -124,9 +125,16 @@ final class PgWireSocket(host: String, port: Int, user: String,
             case 11 => // AuthenticationSASLContinue: server-first-message
               scramServerFirst = new String(payload.drop(4), UTF_8)
               val attrs = Scram.parseAttrs(scramServerFirst)
-              val combinedNonce = attrs('r')
+              val combinedNonce = Scram.attr(attrs, 'r', scramServerFirst)
+              // RFC 5802 §5.1: the combined nonce MUST extend the client
+              // nonce — guards replay/reflection of an old server-first
+              if (!combinedNonce.startsWith(scramClientNonce))
+                throw new SQLException(
+                  "SCRAM server nonce does not extend the client nonce")
               scramSaltedPassword = Scram.saltedPassword(
-                requirePassword, b64d.decode(attrs('s')), attrs('i').toInt)
+                requirePassword,
+                b64d.decode(Scram.attr(attrs, 's', scramServerFirst)),
+                Scram.attr(attrs, 'i', scramServerFirst).toInt)
               // c=biws is base64("n,,") — the gs2 header echoed back
               scramClientFinalNoProof = s"c=biws,r=$combinedNonce"
               val authMessage = Scram.authMessage(scramClientFirstBare,

@@ -52,10 +52,17 @@ private[pgwire] object Scram {
     new String(payload, UTF_8).split('\u0000').filter(_.nonEmpty).toSeq
 
   /** "r=...,s=...,i=..." SCRAM attribute list → first-char-keyed map.
-    * Base64 values may embed ',' never '=' before position 2, and SCRAM
-    * attr values may contain '=' (base64 padding), so split only on ','
-    * and keep everything after "x=". */
+    * SCRAM attr values may contain '=' (base64 padding) but never ','
+    * (the base64 alphabet has no comma and SCRAM forbids it in nonces),
+    * so split only on ',' and keep everything after "x=". */
   def parseAttrs(msg: String): Map[Char, String] =
     msg.split(',').filter(_.length >= 2)
       .map(a => a.charAt(0) -> a.drop(2)).toMap
+
+  /** Required-attribute lookup: a malformed server message missing r=/s=/i=
+    * must surface as a diagnosable SQLException, not a bare
+    * NoSuchElementException from Map.apply. */
+  def attr(attrs: Map[Char, String], key: Char, msg: String): String =
+    attrs.getOrElse(key, throw new java.sql.SQLException(
+      s"malformed SCRAM server message (missing '$key=' attribute): $msg"))
 }

@@ -222,10 +222,12 @@ private[ops] object ExtQueriesPart8 {
     * label distribution the mixture weights assume? χ² folds exactly:
     * Σ (o·n − r·c)²·10⁶ div (r·c·n) over the FULL grid (absent cells
     * count — the grid is the |langs|×|sources| value-domain cross, tiny
-    * at any corpus size). Intermediates ride decimal(38,0): (o·n − r·c)²
-    * ≤ n⁴, exact to n ≈ 5·10⁹ rows — past that, run per corpus slice
-    * (the q337 panel rule; bound enforced nowhere because χ² on 5B+ rows
-    * is already a sliced audit in practice, documented here).
+    * at any corpus size). Intermediates ride decimal(38,0): the summed
+    * term (o·n − r·c)²·10⁶ is bounded by n⁴·10⁶ < 10³⁸ only while
+    * n ≲ 10⁸ rows — past that, run per corpus slice (the q337 panel
+    * rule), and the bound is ENFORCED below with the q337-style
+    * assert_true so a non-ANSI overflow NULLs loudly instead of sum()
+    * silently dropping terms into a plausible wrong chi2_micro.
     *
     * 100 TB shape: ONE hash aggregate over documents (map-side partials,
     * |langs|·|sources| keys); margins re-aggregate the value-domain
@@ -251,6 +253,12 @@ private[ops] object ExtQueriesPart8 {
                      * 1000000)
                     div (cast(r as decimal(38,0)) * c * n)"""))
           .cast("long").as("chi2_micro"))
+      // q337-style loud bound: evaluates once on the single final row
+      // (zero per-row cost), NULL (⇒ filter true) while the bound holds
+      .filter(expr(
+        "assert_true(n_docs <= 100000000, 'q358: corpus exceeds the " +
+          "~1e8-row decimal(38,0) overflow bound for (o*n - r*c)^2*1e6 " +
+          "— run chi-square per corpus slice (q337 panel rule)') IS NULL"))
       .select($"n_docs", $"n_langs", $"n_sources",
         (($"n_langs" - 1) * ($"n_sources" - 1)).as("dof"), $"chi2_micro")
   }

@@ -51,4 +51,26 @@ class ScramSpec extends AnyFunSuite {
     assert(attrs('i') == "4096")
     assert(attrs('r') == "rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
   }
+
+  test("missing required attribute raises a diagnosable SQLException") {
+    // a malformed server-first missing s= must not surface as a bare
+    // NoSuchElementException from Map.apply deep in the auth loop
+    val attrs = Scram.parseAttrs("r=abc,i=4096")
+    val e = intercept[java.sql.SQLException] {
+      Scram.attr(attrs, 's', "r=abc,i=4096")
+    }
+    assert(e.getMessage.contains("missing 's='"))
+    assert(Scram.attr(attrs, 'i', "r=abc,i=4096") == "4096")
+  }
+
+  test("RFC 5802 §5.1: combined nonce must extend the client nonce") {
+    // the check lives in the auth loop; verify the property it enforces —
+    // a replayed server-first carries a combined nonce that does NOT
+    // start with THIS session's fresh client nonce
+    val clientNonce = "rOprNGfwEbeRWgbNEkqO"
+    val genuine = Scram.parseAttrs(serverFirst)('r')
+    assert(genuine.startsWith(clientNonce))
+    val replayed = "XXXdifferentPrefix%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0"
+    assert(!replayed.startsWith(clientNonce))
+  }
 }

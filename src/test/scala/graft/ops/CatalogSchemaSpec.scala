@@ -49,4 +49,14 @@ class CatalogSchemaSpec extends AnyFunSuite {
     assert(graft.SparkEntry.queries.keySet == graft.SparkEntry.oracleSql.keySet,
       "queries/oracleSql key sets diverge")
   }
+
+  test("every catalog query is classified in SparkEntry.families") {
+    // the bench artifact's per-family rollup must never silently dump a
+    // new query into "other" — the map is composed from the same
+    // per-module registries as `queries`, so the sets must coincide
+    assert(graft.SparkEntry.families.keySet == graft.SparkEntry.queries.keySet,
+      "families/queries key sets diverge: " +
+        (graft.SparkEntry.queries.keySet -- graft.SparkEntry.families.keySet)
+          .mkString(","))
+  }
 }

@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage:  python3 tools/check.py [sfDir] [outDir]
+Usage:  python3 tools/check.py [sfDir] [outDir] [jsonOut]
+
+With a third argument, also writes a machine-readable artifact (per-query
+status + pass counts + the corpus fingerprint Verify dropped in outDir) —
+this is what tools/strict_gate.sh commits as CORRECTNESS_sf01_rN.json.
 
 Assumes `graft.Verify` was already run (sbt "runMain graft.Verify <sfDir>
 <outDir>").  Registers the testdata parquet as DuckDB views, runs each
@@ -106,6 +110,18 @@ def main():
         mark = "PASS" if (v == "OK" or v.startswith("rows-only")) else "FAIL"
         print(f"{mark}  {k}: {v}")
     print(f"\n{n_ok}/{len(results)} pass")
+    if len(sys.argv) > 3:
+        fp = {}
+        try:
+            fp = json.load(open(f"{out}/fingerprint.json"))
+        except Exception:
+            pass
+        artifact = {"sf": sf, "n_pass": n_ok, "n_total": len(results),
+                    "strict_dtype_gate": True, "fingerprint": fp,
+                    "queries": results}
+        with open(sys.argv[3], "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
+        print(f"artifact → {sys.argv[3]}")
     sys.exit(0 if n_ok == len(results) else 1)
 
 if __name__ == "__main__":

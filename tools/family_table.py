@@ -13,19 +13,35 @@ round-over-round comparison on the SHARED queries only.
 """
 import json, re, subprocess, sys
 
+# Short keys match graft.SparkEntry.families (the artifact's `families`
+# rollup); DESC is the human-readable gloss for the printed table.
 FAMILY = {
-    "Relational.scala":      "relational core (scan/filter/join/agg/window)",
-    "IoQueries.scala":       "io + jdbc + ddl (CSV/HTTP/JDBC/CTAS/upsert)",
-    "TextQueries.scala":     "text search + inverted index (tsvector/rank/index-write)",
-    "StreamQueries.scala":   "structured streaming (stateful/watermark/index-maint)",
-    "ExtQueriesPart1.scala": "ext: dedup/ANN/multimodal/pipeline",
-    "ExtQueriesPart2.scala": "ext: stats/privacy/reconciliation",
-    "ExtQueriesPart3.scala": "ext: distribution/rank statistics",
-    "ExtQueriesPart4.scala": "ext: sampling/product analytics",
-    "ExtQueriesPart5.scala": "ext: corpus QA (zipf/entropy/langid)",
-    "ExtQueriesPart6.scala": "ext: placement/sketches (ring/KMV)",
-    "ExtQueriesPart7.scala": "ext: embedding geometry/SPRT/bootstrap",
-    "ExtQueriesPart8.scala": "ext: training-run ops (mixture/packing/split)",
+    "Relational.scala":      "relational",
+    "IoQueries.scala":       "io_jdbc",
+    "TextQueries.scala":     "text_index",
+    "StreamQueries.scala":   "streaming",
+    "ExtQueriesPart1.scala": "ext_dedup_ann_mm",
+    "ExtQueriesPart2.scala": "ext_stats_privacy",
+    "ExtQueriesPart3.scala": "ext_distribution",
+    "ExtQueriesPart4.scala": "ext_sampling_product",
+    "ExtQueriesPart5.scala": "ext_corpus_qa",
+    "ExtQueriesPart6.scala": "ext_placement_sketch",
+    "ExtQueriesPart7.scala": "ext_geometry_sprt",
+    "ExtQueriesPart8.scala": "ext_training_ops",
+}
+DESC = {
+    "relational":           "scan/filter/join/agg/window",
+    "io_jdbc":              "CSV/HTTP/JDBC/CTAS/upsert",
+    "text_index":           "tsvector/rank/index-write",
+    "streaming":            "stateful/watermark/index-maint",
+    "ext_dedup_ann_mm":     "dedup/ANN/multimodal/pipeline",
+    "ext_stats_privacy":    "stats/privacy/reconciliation",
+    "ext_distribution":     "distribution/rank statistics",
+    "ext_sampling_product": "sampling/product analytics",
+    "ext_corpus_qa":        "corpus QA (zipf/entropy/langid)",
+    "ext_placement_sketch": "placement/sketches (ring/KMV)",
+    "ext_geometry_sprt":    "embedding geometry/SPRT/bootstrap",
+    "ext_training_ops":     "training-run ops (mixture/packing/split)",
 }
 
 
@@ -48,20 +64,33 @@ def main():
     old = json.load(open(sys.argv[2])) if len(sys.argv) > 2 else None
     qs, loc = art["queries"], query_files()
     oldqs = (old or {}).get("queries", {})
+    # per-query family: from the grep map (needed for the prior-s/q column
+    # on SHARED queries, which the artifact's rollup cannot carry)
     fams = {}
     for q, t in qs.items():
         fam = FAMILY.get(loc.get(q, "?"), "unclassified")
         fams.setdefault(fam, []).append(q)
+    # primary columns come straight from the artifact's `families` rollup
+    # when present (Bench embeds it since round 11); the grep rollup is the
+    # fallback for pre-r11 artifacts — and a consistency check
+    rollup = art.get("families")
     print("| Family | n | total s | s/q | prior s/q (shared) |")
     print("|---|---|---|---|---|")
     tot_n = tot_s = 0
-    for fam in sorted(fams, key=lambda f: -sum(qs[q] for q in fams[f])):
-        names = fams[fam]
-        n, s = len(names), sum(qs[q] for q in names)
+    order = (sorted(rollup, key=lambda f: -rollup[f]["total_sec"]) if rollup
+             else sorted(fams, key=lambda f: -sum(qs[q] for q in fams[f])))
+    for fam in order:
+        if rollup:
+            n, s = rollup[fam]["n"], rollup[fam]["total_sec"]
+        else:
+            n, s = len(fams.get(fam, [])), sum(qs[q] for q in fams.get(fam, []))
+        names = fams.get(fam, [])
         shared = [q for q in names if q in oldqs]
         prior = (f"{sum(oldqs[q] for q in shared)/len(shared):.2f} "
                  f"({len(shared)}q)") if shared else "—"
-        print(f"| {fam} | {n} | {s:.1f} | {s/n:.2f} | {prior} |")
+        gloss = DESC.get(fam, "")
+        label = f"{fam} ({gloss})" if gloss else fam
+        print(f"| {label} | {n} | {s:.1f} | {s/n:.2f} | {prior} |")
         tot_n += n; tot_s += s
     print(f"| **all** | {tot_n} | {tot_s:.1f} | {tot_s/tot_n:.2f} | "
           f"{(sum(oldqs[q] for q in qs if q in oldqs)/max(1,len([q for q in qs if q in oldqs]))):.2f} |"

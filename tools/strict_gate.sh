@@ -1,0 +1,28 @@
+#!/bin/bash
+# Standing sf0.1 strict correctness gate (round-10 VERDICT item 2).
+#
+# The official driver gate runs at sf0.01; round 10's one-off sf0.1 run
+# caught two REAL scale-only bugs (q154 decimal-quotient rounding, q159
+# oracle bit-63 shift) that sf0.01 could never surface. This script makes
+# that run a standing per-round artifact instead of an ad-hoc heroic:
+# full Verify at sf0.1, the driver-strict DuckDB compare, and a committed
+# CORRECTNESS_sf01_r<N>.json with per-query status + corpus fingerprint.
+#
+# Usage: tools/strict_gate.sh <roundN> [sfDir]
+#   tools/strict_gate.sh 11               → CORRECTNESS_sf01_r11.json
+#   tools/strict_gate.sh 11 /root/testdata/sf0.01   (dir override for dev)
+#
+# Takes ~20-30 min at sf0.1 on local[32]; run with nothing else on the CPU.
+set -e
+cd "$(dirname "$0")/.."
+N="${1:?usage: tools/strict_gate.sh <roundN> [sfDir]}"
+SF="${2:-/root/testdata/sf0.1}"
+OUT="/tmp/strict_gate_sf01"
+ART="CORRECTNESS_sf01_r${N}.json"
+rm -rf "$OUT"
+echo "strict gate: Verify at $SF → $OUT"
+sbt -batch "runMain graft.Verify $SF $OUT" > /tmp/strict_gate_verify.log 2>&1 \
+  || { tail -30 /tmp/strict_gate_verify.log; exit 1; }
+grep -E '\[verify\] .* failed:' /tmp/strict_gate_verify.log && exit 1
+python3 tools/check.py "$SF" "$OUT" "$ART"
+echo "strict gate OK → $ART"
