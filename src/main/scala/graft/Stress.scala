@@ -328,9 +328,21 @@ object Stress {
     }
     md ++= "\nGenerated by `sbt \"runMain graft.Stress\"` on " +
       java.time.LocalDate.now() + ".\n"
-    if (only.isEmpty)
-      java.nio.file.Files.writeString(java.nio.file.Paths.get("STRESS.md"), md.toString)
-    else println("STRESS_ONLY set: STRESS.md NOT overwritten (partial run)")
+    if (only.isEmpty) {
+      // preserve the index-maintenance section StressIndex owns (and
+      // vice-versa): this main regenerates only the pair-finder part
+      val p = java.nio.file.Paths.get("STRESS.md")
+      val tail =
+        if (java.nio.file.Files.exists(p)) {
+          val existing = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          existing.indexOf(StressIndex.SectionMarker) match {
+            case -1 => ""
+            case i  => "\n" + existing.substring(i)
+          }
+        } else ""
+      java.nio.file.Files.writeString(p, md.toString + tail)
+    } else println("STRESS_ONLY set: STRESS.md NOT overwritten (partial run)")
     println(s"wrote STRESS.md; scaled input in $scaledDir (Scratch-managed, deleted at exit)")
     spark.stop()
   }

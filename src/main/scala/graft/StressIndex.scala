@@ -1,0 +1,324 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness for the INDEX-MAINTENANCE / streaming-write family
+  * (round-10 VERDICT item 1): q90's copy-on-write bucketed MERGE, the
+  * q106/q107 posting-index append, the q120/q124 posting-index UPSERT, and
+  * q213 compaction sit at the top of the bench table, and their designs
+  * claim O(delta)-shaped maintenance — "a batch rewrites only the buckets
+  * it touches, cost independent of base size". PlanSpec asserts the plan
+  * shape; NOTHING measured the claim. This main does, at ×FACTOR data:
+  *
+  *  - **wall-time growth** of the bootstrap (inherently O(N) — the honest
+  *    baseline) vs the DELTA apply (the claim: ~flat when buckets are
+  *    sized ∝ N, the same sizing rule as the IVF quantizer);
+  *  - **bytes-rewritten-per-delta**: a filesystem snapshot before/after
+  *    each apply counts exactly which partition files were rewritten —
+  *    `amp = bytes_rewritten / delta_bytes` is the write amplification a
+  *    100 TB operator pays per maintenance batch;
+  *  - **touched/total partitions**: the pruning the O(delta) claim rests
+  *    on, measured, not asserted.
+  *
+  * Two delta regimes per operator, because the claim has a boundary:
+  * a SMALL delta (keys ≪ buckets — the scrape-loop steady state) must
+  * rewrite a bounded bucket set regardless of base size; a BROAD delta
+  * (keys ≫ buckets, e.g. 10% of the corpus) necessarily touches every
+  * bucket and degrades to a full rewrite — that row documents the
+  * boundary rather than hiding it (batch your deltas, or raise buckets).
+  *
+  * Scaled corpus: same replica construction as [[Stress]] — documents get
+  * token-suffix salting (vocabulary grows ×FACTOR, like a real corpus, so
+  * `buckets ∝ N` keeps expected lexemes-per-bucket constant), orders get
+  * replica-offset keys. Buckets scale 16 → 16×FACTOR across the two runs.
+  *
+  * Not part of the correctness or bench gates — rerunnable via
+  * `sbt "runMain graft.StressIndex"`; rewrites the index-family section
+  * of `STRESS.md` (the pair-finder section is preserved).
+  */
+object StressIndex {
+
+  /** One measured apply: wall seconds, the base's on-disk size when the
+    * apply started, the delta's input size, what got rewritten. */
+  case class Meas(op: String, scale: String, sec: Double, baseBytes: Long,
+                  deltaRows: Long, deltaBytes: Long, rewrittenBytes: Long,
+                  touchedParts: Int, totalParts: Int) {
+    def amp: Double =
+      if (deltaBytes <= 0) 0.0 else rewrittenBytes.toDouble / deltaBytes
+  }
+
+  // ---- filesystem accounting (local-FS walk; the harness runs local) ----
+
+  /** path → (size, mtime) for every data file under dir. */
+  private def snapshot(dir: String): Map[String, (Long, Long)] = {
+    val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val st = java.nio.file.Files.walk(root)
+    try st.forEach { p =>
+      val f = p.toFile
+      if (f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        out(p.toString) = (f.length, f.lastModified)
+    } finally st.close()
+    out.toMap
+  }
+
+  private def totalBytes(snap: Map[String, (Long, Long)]): Long =
+    snap.valuesIterator.map(_._1).sum
+
+  /** Distinct partition directories (every `col=value` path segment,
+    * sidecar layouts included) holding the given files. */
+  private def partsOf(dir: String, paths: Iterable[String]): Set[String] =
+    paths.flatMap { p =>
+      val segs = p.stripPrefix(dir).split('/')
+      val i = segs.lastIndexWhere(_.contains("="))
+      if (i < 0) None else Some(segs.take(i + 1).mkString("/"))
+    }.toSet
+
+  /** Files created or rewritten between the two snapshots, and the
+    * distinct partition directories they live in. */
+  private def rewritten(dir: String, before: Map[String, (Long, Long)],
+                        after: Map[String, (Long, Long)]): (Long, Set[String]) = {
+    val changed = after.filter { case (p, sm) => !before.get(p).contains(sm) }
+    (changed.valuesIterator.map(_._1).sum, partsOf(dir, changed.keySet))
+  }
+
+  /** Count of partition directories (sidecars included) currently in dir. */
+  private def partDirs(dir: String): Int =
+    partsOf(dir, snapshot(dir).keySet).size
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = GraftSession.local(cpus)
+    import spark.implicits._
+
+    // ---- ×k corpora (Stress.scala's replica construction). TWO decades
+    // (×FACTOR and ×FACTOR²), because one decade cannot distinguish
+    // O(delta) from a regime transition: at ×1 a 100-row delta SATURATES
+    // a 16-bucket layout (touches everything), so ×1→×10 growth mixes
+    // saturation relief with real scaling — the ×10→×100 leg, where both
+    // points are unsaturated, is the one the claim stands or falls on.
+    def scaleCorpus(k: Int): String = {
+      if (k == 1) return baseDir
+      val dir = util.Scratch.dir(s"graft_stressidx_x${k}_")
+      val reps = spark.range(k).toDF("rep")
+      io.Tables.documents(spark, baseDir)
+        .crossJoin(reps)
+        .select(($"doc_id" * k + $"rep").as("doc_id"),
+          array_join(
+            transform(split($"text", " "), w => concat(w, lit("qz"), $"rep")),
+            " ").as("text"),
+          $"lang", $"source", $"n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      io.Tables.orders(spark, baseDir)
+        .crossJoin(reps)
+        .select(($"o_orderkey" * k + $"rep").as("o_orderkey"),
+          ($"o_custkey" * k + $"rep").as("o_custkey"),
+          $"o_totalprice", $"o_orderdate")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+      dir
+    }
+    val scales: Seq[(String, String, Int, Int)] = // (label, dir, buckets, k)
+      Seq((s"x1", baseDir, 16, 1),
+        (s"x$factor", scaleCorpus(factor), 16 * factor, factor),
+        (s"x${factor * factor}", scaleCorpus(factor * factor),
+          16 * factor * factor, factor * factor))
+
+    val results = scala.collection.mutable.ArrayBuffer.empty[Meas]
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    /** Write the delta as parquet (its on-disk size IS the delta size a
+      * 100 TB operator sees land), snapshot the target, apply, diff. */
+    def applyDelta(op: String, scale: String, targetDir: String,
+                   delta: DataFrame, deltaLanding: String)
+                  (apply: String => Unit): Unit = {
+      delta.write.mode("overwrite").parquet(deltaLanding)
+      val dSnap = snapshot(deltaLanding)
+      val before = snapshot(targetDir)
+      val (_, sec) = timed(apply(deltaLanding))
+      val after = snapshot(targetDir)
+      val (rw, parts) = rewritten(targetDir, before, after)
+      results += Meas(op, scale, sec, totalBytes(before),
+        deltaRowsOf(deltaLanding, spark), totalBytes(dSnap), rw,
+        parts.size, partDirs(targetDir))
+      println(results.last)
+    }
+
+    // JVM/codegen warm-up outside every timed region (Bench rationale)
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    spark.range(1).select(
+      text.TextOps.tokenize(lit("warming the stemmer udf path"))).collect()
+
+    // ================= q90: copy-on-write bucketed MERGE =================
+    for ((scale, dir, buckets, k) <- scales) {
+      val orders = io.Tables.orders(spark, dir).select($"o_orderkey", $"o_custkey")
+      val src = util.Scratch.dir(s"graft_sidx_m90src_$scale")
+      val tgt = util.Scratch.dir(s"graft_sidx_m90tgt_$scale") + "/base"
+      val ck = util.Scratch.dir(s"graft_sidx_m90ck_$scale")
+      def merge(): Unit = streaming.Streams.incrementalMergeBucketed(
+        streaming.Streams.parquetStream(spark, s"$src/*", orders.schema),
+        tgt, "o_orderkey", ck, numBuckets = buckets)
+      orders.write.parquet(s"$src/f1")
+      val (_, bootSec) = timed(merge())
+      val bootSnap = snapshot(tgt)
+      results += Meas("q90_merge_bootstrap", scale, bootSec, 0L,
+        orders.count(), totalBytes(bootSnap), totalBytes(bootSnap),
+        partDirs(tgt), partDirs(tgt))
+      println(results.last)
+      // SMALL delta: 4 keys — the scrape-loop steady state (keys ≪ buckets)
+      val keys4 = (0 until 4).map(i => (i * 1000 + 7).toLong * k) // existing keys at either scale
+      applyDelta("q90_merge_delta4", scale, tgt,
+        orders.filter($"o_orderkey".isin(keys4: _*))
+          .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey")),
+        s"$src/f2")(_ => merge())
+      // BROAD delta: every 10th key — keys ≫ buckets, the claim's boundary
+      // (by construction a full rewrite; the largest decade adds only wall
+      // time to an already-documented O(N) row, so it stops at ×FACTOR)
+      if (k <= factor)
+        applyDelta("q90_merge_delta10pct", scale, tgt,
+          orders.filter($"o_orderkey" % 10 === 0)
+            .select($"o_orderkey", ($"o_custkey" + 2000000L).as("o_custkey")),
+          s"$src/f3")(_ => merge())
+    }
+
+    // ============ q106/q124: posting-index append and upsert =============
+    for ((scale, dir, buckets, k) <- scales) {
+      val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+      val idx = util.Scratch.dir(s"graft_sidx_pidx_$scale") + "/idx"
+      val (_, bootSec) = timed {
+        text.PostingIndex.write(
+          text.PostingIndex.build(docs, "doc_id", text.TextOps.tokenize($"text")),
+          idx, buckets)
+      }
+      val bootSnap = snapshot(idx)
+      results += Meas("q106_index_bootstrap", scale, bootSec, 0L,
+        docs.count(), totalBytes(bootSnap), totalBytes(bootSnap),
+        partDirs(idx), partDirs(idx))
+      println(results.last)
+      // append delta: 100 NEW docs drawn from ONE replica's vocabulary
+      // (a real landing batch shares the corpus vocab, not all of it)
+      val newDocs = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+      applyDelta("q106_index_append100", scale, idx, newDocs,
+        util.Scratch.dir(s"graft_sidx_pd1_$scale") + "/d") { landing =>
+        text.PostingIndex.appendToIndex(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), buckets)
+      }
+      // upsert path. First upsert bootstraps the doc→bucket sidecar — an
+      // O(index) scan paid ONCE per index lifetime; measured separately so
+      // the steady-state delta row isn't polluted by it.
+      val oneDoc = docs.filter($"doc_id" === 0).limit(1)
+      applyDelta("q120_docmap_bootstrap", scale, idx, oneDoc,
+        util.Scratch.dir(s"graft_sidx_pd2_$scale") + "/d") { landing =>
+        text.PostingIndex.upsertIndex(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), buckets)
+      }
+      // steady-state UPDATE delta: 100 existing docs re-scraped with
+      // changed text (old buckets swept via the sidecar, new appended)
+      val rescraped = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select($"doc_id", concat($"text", lit(" merges joining")).as("text"))
+      applyDelta("q124_index_upsert100", scale, idx, rescraped,
+        util.Scratch.dir(s"graft_sidx_pd3_$scale") + "/d") { landing =>
+        text.PostingIndex.upsertIndex(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), buckets)
+      }
+    }
+
+    // ===================== q213: compaction execute ======================
+    // inherently O(N) — one (source, bin) shuffle + full rewrite + audit
+    // re-read; the stress question is only whether growth stays ~linear
+    val q213 = ops.ExtQueries.queries("q213_compact_execute")
+    for ((scale, dir, _, k) <- scales if k <= factor) {
+      val (_, sec) = timed(q213(spark, dir).count())
+      results += Meas("q213_compact_execute", scale, sec, 0L, 0L, 0L, 0L, 0, 0)
+      println(results.last)
+    }
+
+    writeSection(results.toSeq, factor, cpus, baseDir)
+    spark.stop()
+  }
+
+  private def deltaRowsOf(landing: String, spark: SparkSession): Long =
+    spark.read.parquet(landing).count()
+
+  /** Marker heading: Stress.scala preserves everything from this line on
+    * when it regenerates the pair-finder section above it. */
+  val SectionMarker = "## Index-maintenance / streaming write family"
+
+  private def writeSection(results: Seq[Meas], factor: Int, cpus: Int,
+                           baseDir: String): Unit = {
+    def fmtB(b: Long): String =
+      if (b >= 1048576L) f"${b / 1048576.0}%.1f MB"
+      else f"${b / 1024.0}%.0f KB"
+    val md = new StringBuilder
+    md ++= s"$SectionMarker\n\n"
+    md ++= s"`sbt \"runMain graft.StressIndex\"` — ×$factor replica-scaled corpus\n"
+    md ++= s"(`$baseDir`), buckets sized ∝ N (16 at ×1 → ${16 * factor} at ×$factor,\n"
+    md ++= "the same sizing rule as the IVF quantizer). Each `delta` row lands a\n"
+    md ++= "parquet batch and applies it through the operator's own maintenance\n"
+    md ++= "path; `rewritten` is a before/after filesystem diff of the target,\n"
+    md ++= "`amp` = bytes rewritten per delta byte, `parts` = touched/total\n"
+    md ++= "partition dirs. The O(delta) claim = the delta rows' sec and\n"
+    md ++= "rewritten bytes stay ~flat from ×1 to ×" + factor + " while the bootstrap\n"
+    md ++= "rows (inherently O(N)) grow ~linearly.\n\n"
+    md ++= "| op | scale | sec | base bytes | delta rows | delta bytes | rewritten | amp | parts |\n"
+    md ++= "|---|---|---|---|---|---|---|---|---|\n"
+    results.foreach { m =>
+      val isBoot = m.op.contains("bootstrap") || m.op.contains("q213")
+      val ampS = if (isBoot) "—" else f"${m.amp}%.1f×"
+      val baseS = if (m.baseBytes == 0) "—" else fmtB(m.baseBytes)
+      val deltaS = if (m.deltaBytes == 0) "—" else fmtB(m.deltaBytes)
+      val rwS = if (m.rewrittenBytes == 0) "—" else fmtB(m.rewrittenBytes)
+      val partsS = if (m.totalParts == 0) "—" else s"${m.touchedParts}/${m.totalParts}"
+      md ++= f"| ${m.op} | ${m.scale} | ${m.sec}%.2f | $baseS | ${m.deltaRows} | $deltaS | $rwS | $ampS | $partsS |\n"
+    }
+    // verdict lines: the claim is judged on the LAST two scale points —
+    // the ×1 point is usually SATURATED (a 100-row delta touches all 16
+    // buckets), so the first leg mixes saturation relief with scaling;
+    // once both points are unsaturated, flat sec/bytes IS the claim.
+    md ++= "\n"
+    def scaleNum(s: String): Int = s.stripPrefix("x").toInt
+    val byOp = results.groupBy(_.op)
+    byOp.toSeq.sortBy(_._1).foreach { case (op, ms) =>
+      if (!op.contains("bootstrap") && !op.contains("q213") && ms.size >= 2) {
+        val pts = ms.sortBy(m => scaleNum(m.scale))
+        val (lo, hi) = (pts(pts.size - 2), pts.last)
+        val dataR = scaleNum(hi.scale) / scaleNum(lo.scale)
+        val secR = hi.sec / math.max(lo.sec, 1e-9)
+        val rwR = hi.rewrittenBytes.toDouble / math.max(lo.rewrittenBytes, 1).toDouble
+        md ++= f"- `$op` (×${scaleNum(lo.scale)}→×${scaleNum(hi.scale)}, ×$dataR data): time ${secR}%.1f×, rewritten-bytes ${rwR}%.1f×"
+        md ++= (if (op.contains("delta10pct"))
+          " — the documented boundary: keys ≫ buckets touches every bucket, a full rewrite (batch deltas or raise buckets).\n"
+        else if (secR <= 2.5 && rwR <= 2.5)
+          " — O(delta) holds: maintenance cost ~independent of base size.\n"
+        else
+          " — SUPERLINEAR in base size on the unsaturated leg; the touched-bucket pruning is not holding, investigate.\n")
+      }
+    }
+    md ++= "\nGenerated by `sbt \"runMain graft.StressIndex\"` on " +
+      java.time.LocalDate.now() + ".\n"
+
+    // splice into STRESS.md below the pair-finder section
+    val p = java.nio.file.Paths.get("STRESS.md")
+    val existing =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    val head = existing.indexOf(SectionMarker) match {
+      case -1 => if (existing.isEmpty) "" else existing.stripSuffix("\n") + "\n\n"
+      case i  => existing.substring(0, i)
+    }
+    java.nio.file.Files.writeString(p, head + md.toString)
+    println(s"wrote ${p.toAbsolutePath} (index-maintenance section)")
+  }
+}

@@ -19,23 +19,35 @@ import java.sql.SQLException
   * by the JDBC layer, so the extended (prepare/bind) protocol isn't needed.
   *
   * SCRAM-SHA-256 (RFC 5802/7677, PG 10+'s `password_encryption` default)
-  * uses the channel-binding-less `SCRAM-SHA-256` mechanism (the `-PLUS`
-  * variant needs TLS, out of scope in the sandbox) with the JDK's
-  * PBKDF2WithHmacSHA256 for the Hi() salted hash. Passwords are used
-  * verbatim (no SASLprep) — exact for ASCII passwords, which is all the
-  * sandbox provisions; non-ASCII would need RFC 4013 normalization.
+  * uses the JDK's PBKDF2WithHmacSHA256 for the Hi() salted hash. Over TLS
+  * (`ssl = true`: the protocol's SSLRequest dance, then a JSSE handshake
+  * on the same connection) the client prefers `SCRAM-SHA-256-PLUS` with
+  * RFC 5929 `tls-server-end-point` channel binding when the server offers
+  * it — the gs2 header is then `p=tls-server-end-point,,` and the
+  * client-final `c=` carries base64(gs2 ‖ cert-hash), so a TLS-terminating
+  * man-in-the-middle (whose cert hash necessarily differs) breaks the
+  * proof even though the client skips PKI validation of the self-signed
+  * sandbox cert. Over TLS without `-PLUS` the gs2 flag is `y` (downgrade
+  * detection: a MITM that strips the `-PLUS` offer from a server that
+  * supports it is caught server-side); plaintext keeps `n`. Passwords are
+  * used verbatim (no SASLprep) — exact for ASCII passwords, which is all
+  * the sandbox provisions; non-ASCII would need RFC 4013 normalization.
   *
   * Scope: enough JDBC for Spark's JDBC relation + the engine's
   * updateByKey/upsertByKey — not a general-purpose driver.
   */
 final class PgWireSocket(host: String, port: Int, user: String,
-                         database: String, password: Option[String]) {
+                         database: String, password: Option[String],
+                         ssl: Boolean = false) {
 
-  private val socket = new Socket(host, port)
-  socket.setTcpNoDelay(true)
+  private val (socket, sslCert) = PgWireSocket.open(host, port, ssl)
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   private var open = true
+
+  /** The SASL mechanism the handshake actually used (None = trust/md5/
+    * cleartext path) — exposed so tests can pin the `-PLUS` selection. */
+  @volatile var saslMechanism: Option[String] = None
 
   /** server_version etc, captured from ParameterStatus messages. */
   val serverParams = new scala.collection.mutable.HashMap[String, String]()
@@ -83,6 +95,8 @@ final class PgWireSocket(host: String, port: Int, user: String,
     var scramServerFirst: String = null
     var scramClientFinalNoProof: String = null
     var scramSaltedPassword: Array[Byte] = null
+    var scramGs2: String = null
+    var scramCbData: Array[Byte] = Array.emptyByteArray
     val b64e = java.util.Base64.getEncoder
     val b64d = java.util.Base64.getDecoder
     var ready = false
@@ -103,21 +117,34 @@ final class PgWireSocket(host: String, port: Int, user: String,
               out.flush()
             case 10 => // AuthenticationSASL: NUL-separated mechanism list
               val mechs = Scram.parseMechanisms(payload.drop(4))
-              if (!mechs.contains("SCRAM-SHA-256"))
+              val plus = sslCert.isDefined && mechs.contains("SCRAM-SHA-256-PLUS")
+              if (!plus && !mechs.contains("SCRAM-SHA-256"))
                 throw new SQLException(
                   s"no supported SASL mechanism (server offers ${mechs.mkString(",")}; " +
-                    "client supports SCRAM-SHA-256 — the -PLUS variant needs TLS)")
-              // client-first-message: gs2 header "n,," (no channel binding,
-              // no authzid) + bare. n= is empty — PG takes the user from
-              // the startup packet and ignores the SCRAM username field.
+                    "client supports SCRAM-SHA-256 and, over TLS, SCRAM-SHA-256-PLUS)")
+              val mech = if (plus) "SCRAM-SHA-256-PLUS" else "SCRAM-SHA-256"
+              saslMechanism = Some(mech)
+              // gs2 header (RFC 5802 §7): `p=` = actual channel binding;
+              // `y` = client supports binding but the server offered no
+              // -PLUS (downgrade detection — a genuine -PLUS-capable
+              // server rejects y, exposing a stripped offer); `n` = no
+              // TLS. n=/authzid empty — PG takes the user from the
+              // startup packet and ignores the SCRAM username field.
+              scramGs2 =
+                if (plus) "p=tls-server-end-point,,"
+                else if (sslCert.isDefined) "y,,"
+                else "n,,"
+              scramCbData =
+                if (plus) Scram.tlsServerEndPoint(sslCert.get)
+                else Array.emptyByteArray
               val nonceBytes = new Array[Byte](18)
               new java.security.SecureRandom().nextBytes(nonceBytes)
               scramClientNonce = b64e.encodeToString(nonceBytes)
               scramClientFirstBare = s"n=,r=$scramClientNonce"
-              val initial = ("n,," + scramClientFirstBare).getBytes(UTF_8)
+              val initial = (scramGs2 + scramClientFirstBare).getBytes(UTF_8)
               val body = new java.io.ByteArrayOutputStream()
               val bd = new DataOutputStream(body)
-              bd.write(cstr("SCRAM-SHA-256"))
+              bd.write(cstr(mech))
               bd.writeInt(initial.length)
               bd.write(initial)
               send('p', body.toByteArray) // SASLInitialResponse
@@ -135,8 +162,10 @@ final class PgWireSocket(host: String, port: Int, user: String,
                 requirePassword,
                 b64d.decode(Scram.attr(attrs, 's', scramServerFirst)),
                 Scram.attr(attrs, 'i', scramServerFirst).toInt)
-              // c=biws is base64("n,,") — the gs2 header echoed back
-              scramClientFinalNoProof = s"c=biws,r=$combinedNonce"
+              // c= is base64(gs2-header ‖ cb-data): "biws" = base64("n,,")
+              // in the plaintext case; over -PLUS it binds the cert hash
+              scramClientFinalNoProof =
+                s"c=${Scram.channelBindingB64(scramGs2, scramCbData)},r=$combinedNonce"
               val authMessage = Scram.authMessage(scramClientFirstBare,
                 scramServerFirst, scramClientFinalNoProof)
               send('p', (scramClientFinalNoProof + ",p=" +
@@ -268,6 +297,61 @@ final class PgWireSocket(host: String, port: Int, user: String,
       open = false
       try { send('X', Array.empty); out.flush() } catch { case _: Exception => }
       try socket.close() catch { case _: Exception => }
+    }
+  }
+}
+
+object PgWireSocket {
+  /** Plain TCP, or TLS via the protocol's SSLRequest dance (PG docs
+    * §55.2.10): an 8-byte SSLRequest (length 8, code 80877103), one byte
+    * back — 'S' means "proceed with a TLS handshake on this same
+    * connection", 'N' means the server won't. Returns the (possibly
+    * wrapped) socket plus, under TLS, the server's leaf certificate — the
+    * channel-binding input for SCRAM-SHA-256-PLUS.
+    *
+    * Certificate validation is deliberately trust-all (the sandbox server
+    * runs a self-signed cert): the MITM defense here is SCRAM-PLUS's
+    * channel binding, not PKI — a TLS-terminating interceptor necessarily
+    * presents a different certificate, so the client's
+    * tls-server-end-point hash diverges from the one the real server
+    * computes over ITS end of the TLS session and the proof verification
+    * fails on the server. Equivalent of libpq's `sslmode=require`;
+    * verify-ca/verify-full would need a truststore the sandbox doesn't
+    * provision. */
+  private[pgwire] def open(host: String, port: Int, ssl: Boolean)
+      : (Socket, Option[java.security.cert.X509Certificate]) = {
+    val plain = new Socket(host, port)
+    plain.setTcpNoDelay(true)
+    if (!ssl) (plain, None)
+    else {
+      val raw = new DataOutputStream(plain.getOutputStream)
+      raw.writeInt(8)
+      raw.writeInt(80877103) // SSLRequest code (1234 << 16 | 5679)
+      raw.flush()
+      val resp = plain.getInputStream.read()
+      if (resp != 'S'.toInt) {
+        try plain.close() catch { case _: Exception => }
+        throw new SQLException(
+          s"server refused SSL (got '${resp.toChar}') but ssl was requested " +
+            "— enable ssl=on server-side or drop ssl=true")
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array[javax.net.ssl.TrustManager](
+        new javax.net.ssl.X509TrustManager {
+          def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
+                                 a: String): Unit = ()
+          def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
+                                 a: String): Unit = ()
+          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+            Array.empty
+        }), new java.security.SecureRandom())
+      val s = ctx.getSocketFactory.createSocket(plain, host, port, true)
+        .asInstanceOf[javax.net.ssl.SSLSocket]
+      s.setUseClientMode(true)
+      s.startHandshake()
+      val cert = s.getSession.getPeerCertificates.head
+        .asInstanceOf[java.security.cert.X509Certificate]
+      (s, Some(cert))
     }
   }
 }

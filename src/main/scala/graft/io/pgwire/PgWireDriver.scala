@@ -84,7 +84,19 @@ private[pgwire] object PgWireJdbc {
       Option(if (info == null) null else info.getProperty(k)).orElse(urlParams.get(k))
     val user = opt("user").getOrElse("postgres")
     val database = if (db.nonEmpty) db else "postgres"
-    val sock = new PgWireSocket(host, port, user, database, opt("password"))
+    // ssl=true or sslmode=require → TLS (SSLRequest + JSSE + SCRAM-PLUS
+    // channel binding when offered). verify-ca/verify-full are refused
+    // loudly: this driver does trust-all TLS (see PgWireSocket.open) and
+    // silently downgrading a verify request would misrepresent it.
+    val sslMode = opt("sslmode")
+    sslMode.filter(m => m == "verify-ca" || m == "verify-full").foreach { m =>
+      throw new java.sql.SQLException(
+        s"sslmode=$m is not supported (no certificate validation in this " +
+          "driver) — use sslmode=require, whose MITM defense is SCRAM " +
+          "channel binding")
+    }
+    val ssl = opt("ssl").contains("true") || sslMode.contains("require")
+    val sock = new PgWireSocket(host, port, user, database, opt("password"), ssl)
     new PgConnection(sock, url, user).asJdbc
   }
 

@@ -65,4 +65,29 @@ private[pgwire] object Scram {
   def attr(attrs: Map[Char, String], key: Char, msg: String): String =
     attrs.getOrElse(key, throw new java.sql.SQLException(
       s"malformed SCRAM server message (missing '$key=' attribute): $msg"))
+
+  /** RFC 5929 §4.1 `tls-server-end-point` channel-binding data: the hash
+    * of the server certificate's DER encoding, using the hash of the
+    * cert's own signature algorithm — except MD5/SHA-1, which upgrade to
+    * SHA-256 (the RFC's explicit rule; also the sane default for
+    * algorithms that don't name a single hash, e.g. RSASSA-PSS). */
+  def tlsServerEndPoint(cert: java.security.cert.X509Certificate): Array[Byte] = {
+    val alg = cert.getSigAlgName.toUpperCase.split("WITH")(0) match {
+      case "MD5" | "SHA1" | "SHA-1" => "SHA-256"
+      case "SHA224"                 => "SHA-224"
+      case "SHA256"                 => "SHA-256"
+      case "SHA384"                 => "SHA-384"
+      case "SHA512"                 => "SHA-512"
+      case _                        => "SHA-256"
+    }
+    java.security.MessageDigest.getInstance(alg).digest(cert.getEncoded)
+  }
+
+  /** The client-final `c=` attribute: base64(gs2-header-bytes ‖ cb-data)
+    * (RFC 5802 §7 cbind-input). With no channel binding the data is empty
+    * and this reduces to the familiar constants — base64("n,,") = "biws",
+    * base64("y,,") = "eSws". */
+  def channelBindingB64(gs2Header: String, cbData: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(
+      gs2Header.getBytes(UTF_8) ++ cbData)
 }

@@ -206,6 +206,68 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c2.close()
   }
 
+  test("TLS + SCRAM-SHA-256-PLUS: channel-bound auth over an encrypted link") {
+    assume(up, "no local postgres server")
+    // self-signed server cert; ssl/ssl_cert_file/ssl_key_file are all
+    // SIGHUP-context, so a reload (no restart) turns TLS on
+    val certOk = sh(
+      s"""openssl req -new -x509 -days 2 -nodes -subj "/CN=127.0.0.1" """ +
+        s"-newkey rsa:2048 -keyout $dir/server.key -out $dir/server.crt " +
+        s"&& chown postgres:postgres $dir/server.key $dir/server.crt " +
+        s"&& chmod 600 $dir/server.key")._1 == 0
+    assume(certOk, "openssl unavailable")
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.executeUpdate("ALTER SYSTEM SET ssl = on")
+      st.executeUpdate(s"ALTER SYSTEM SET ssl_cert_file = '$dir/server.crt'")
+      st.executeUpdate(s"ALTER SYSTEM SET ssl_key_file = '$dir/server.key'")
+      st.executeUpdate("SET password_encryption = 'scram-sha-256'")
+      st.executeUpdate("DROP ROLE IF EXISTS tls_probe")
+      st.executeUpdate("CREATE ROLE tls_probe LOGIN PASSWORD 'Tls-probe-pw'")
+      st.close()
+    } finally conn0.close()
+    // hostssl: this role must arrive over TLS AND prove via SCRAM — the
+    // server then offers SCRAM-SHA-256-PLUS alongside SCRAM-SHA-256. The
+    // explicit plaintext reject matters: without it a non-SSL tls_probe
+    // connection would fall through to initdb's trust rule.
+    assert(sh(s"""su postgres -s /bin/bash -c "sed -i '1i hostssl all tls_probe 127.0.0.1/32 scram-sha-256' $dir/data/pg_hba.conf && sed -i '2i host all tls_probe 127.0.0.1/32 reject' $dir/data/pg_hba.conf && pg_ctl -D $dir/data reload" """)._1 == 0)
+    Thread.sleep(500)
+    // direct socket: pin that the -PLUS mechanism was actually selected
+    // (channel binding really negotiated, not silently downgraded to n/y)
+    val sock = new graft.io.pgwire.PgWireSocket("127.0.0.1", port, "tls_probe",
+      "postgres", Some("Tls-probe-pw"), ssl = true)
+    try {
+      assert(sock.saslMechanism.contains("SCRAM-SHA-256-PLUS"),
+        s"expected SCRAM-SHA-256-PLUS, handshake used ${sock.saslMechanism}")
+      val r = sock.simpleQuery("SELECT current_user").head
+      assert(r.rows.head.head == "tls_probe")
+    } finally sock.close()
+    // plaintext is rejected for this role (hostssl rule — encryption is
+    // actually enforced, not merely available)
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(
+        s"jdbc:postgresql://127.0.0.1:$port/postgres?user=tls_probe&password=Tls-probe-pw").close()
+    }
+    // wrong password over TLS must still fail the SCRAM proof
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(
+        s"jdbc:postgresql://127.0.0.1:$port/postgres?user=tls_probe&password=wrong&sslmode=require").close()
+    }
+    // the full JDBC layer end-to-end over sslmode=require
+    val c = DriverManager.getConnection(
+      s"jdbc:postgresql://127.0.0.1:$port/postgres?user=tls_probe&password=Tls-probe-pw&sslmode=require")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT 40 + 2")
+      assert(rs.next() && rs.getInt(1) == 42)
+    } finally c.close()
+    // verify-ca must be refused loudly, never silently downgraded
+    intercept[java.sql.SQLException] {
+      DriverManager.getConnection(
+        s"jdbc:postgresql://127.0.0.1:$port/postgres?user=tls_probe&password=Tls-probe-pw&sslmode=verify-ca").close()
+    }
+  }
+
   test("transactional batched writer: updateByKey per-row counts are real on PG") {
     assume(up, "no local postgres server")
     val spark = SparkTestSession.spark

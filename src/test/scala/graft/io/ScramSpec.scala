@@ -63,6 +63,53 @@ class ScramSpec extends AnyFunSuite {
     assert(Scram.attr(attrs, 'i', "r=abc,i=4096") == "4096")
   }
 
+  test("channel-binding c= constants: n,, → biws, y,, → eSws") {
+    assert(Scram.channelBindingB64("n,,", Array.emptyByteArray) == "biws")
+    assert(Scram.channelBindingB64("y,,", Array.emptyByteArray) == "eSws")
+  }
+
+  test("tls-server-end-point: SHA-256 of the DER cert for sha256WithRSA") {
+    // a fixed self-signed cert (CN=graft-test, sha256WithRSAEncryption);
+    // the expected binding data is sha256 over the DER bytes, computed
+    // independently with openssl: `openssl x509 -outform DER | sha256sum`
+    val certB64 =
+      "MIIDCzCCAfOgAwIBAgIUOHZejTXVeGwFnNbaiYklsRXsK0owDQYJKoZIhvcNAQELBQAwFTETMBEG" +
+      "A1UEAwwKZ3JhZnQtdGVzdDAeFw0yNjA4MTUxNjI2NDBaFw0zNjA4MTIxNjI2NDBaMBUxEzARBgNV" +
+      "BAMMCmdyYWZ0LXRlc3QwggEiMA0GCSqGSIb3DQEBAQUAA4IBDwAwggEKAoIBAQChYVQbG8PUyDLD" +
+      "oGQWk1HMCvca1ZSX+7r0L9ObhcxqHxiK+OBur4cxao7+AxNdZtrS0KDSwA0GEU66Cc5nDhgPnR3k" +
+      "cN5v297VEZKSJ6CRDbC3LOcCN0KraE1cJAwQoZCfjG4jAEDd/L28M3tJbMPNeTlbt2P8KxZUiRAN" +
+      "OELdeEq9NyVlu+kll4OEJc4t/wCqM+suj0zUfC4pI/1YD2iKaepGSORZE6W4zR29uvYQ5o0LvDzx" +
+      "6Vzp8+A8qQ6caHGzgWIy5NajHcpJJ3uuH0Le7pP6pjWGH1gPoydX4qgHa9cePrYYvNjGHBA2SCFT" +
+      "cn0Tvs780l/aFIuEHPuxMeoDAgMBAAGjUzBRMB0GA1UdDgQWBBTKU6sMZibq11wsuIcwJis7awXy" +
+      "WDAfBgNVHSMEGDAWgBTKU6sMZibq11wsuIcwJis7awXyWDAPBgNVHRMBAf8EBTADAQH/MA0GCSqG" +
+      "SIb3DQEBCwUAA4IBAQCR9V9MIo6wIXgUPq8XswTwVaC9EdsbLAsmM+cyXwtRO+caR8BQz7sAied1" +
+      "ifSMumOYJC3wP3JI4P+pZ/PcuPBuUFuefsqmBS9T0YuNb5ZVRziOb7w/phcbXGbLqd0LhZZIYd5G" +
+      "DvJB/uDKRHpYjEGOHeebZVIxvUYLUYDf2gJhHfDZdUSFy+FbOUA+Qv2uCuWWrB9k0Dh2I+VJXdon" +
+      "qg7leHe5GFmUwNUJv9A1gWEbEnltWH78woW+DlQgzFiKkW63o3Bet0y9Zsj2MBbTMk3JP8ETU4gW" +
+      "dcnrLk3zDzwG0UG5tgxFP+jDTBrvNjWZri5V/DbkuSBJ9x/CmZYKNu14"
+    val der = java.util.Base64.getDecoder.decode(certB64)
+    val cert = java.security.cert.CertificateFactory.getInstance("X.509")
+      .generateCertificate(new java.io.ByteArrayInputStream(der))
+      .asInstanceOf[java.security.cert.X509Certificate]
+    assert(cert.getSigAlgName.toUpperCase.startsWith("SHA256"))
+    val cb = Scram.tlsServerEndPoint(cert)
+    val expectHex =
+      "6efa59f025fa72ee667e8e9d0058986ad23ff910f8ee7dc9ae9f95c21fd2adb6"
+    assert(cb.map("%02x".format(_)).mkString == expectHex)
+    // and the full -PLUS c= attribute over this cert
+    assert(Scram.channelBindingB64("p=tls-server-end-point,,", cb) ==
+      "cD10bHMtc2VydmVyLWVuZC1wb2ludCwsbvpZ8CX6cu5mfo6dAFiYatI/+RD47n3Jrp+Vwh/SrbY=")
+  }
+
+  test("a MITM's different cert yields different channel-binding data") {
+    // the defense trust-all TLS leans on: two certs → two cb hashes →
+    // the server-side proof check fails for the interceptor
+    val a = "fake-cert-der-A".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = "fake-cert-der-B".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Scram.channelBindingB64("p=tls-server-end-point,,", a) !=
+      Scram.channelBindingB64("p=tls-server-end-point,,", b))
+  }
+
   test("RFC 5802 §5.1: combined nonce must extend the client nonce") {
     // the check lives in the auth loop; verify the property it enforces —
     // a replayed server-first carries a combined nonce that does NOT
