@@ -77,11 +77,24 @@ object Graph {
     * convergence loop: callers (and the SQL oracle, which unrolls the
     * same rounds as CTEs) pick `iters` ≥ the peeling depth of their
     * graph, and the output is bit-deterministic for any fixed `iters`
-    * even when convergence needs fewer rounds. Movement per round is one
-    * degree groupBy (map-side combinable) + two semi-joins, with
-    * `localCheckpoint` pinning lineage to O(1) like the PageRank loop;
-    * peeling only shrinks the edge set, so per-round cost is bounded by
-    * the first round's.
+    * even when convergence needs fewer rounds.
+    *
+    * Movement is DELTA-PEEL (round-10 stress follow-up): the naive round
+    * — recompute every degree (a full-edge shuffle) + two shuffle
+    * semi-joins against the keep set — re-paid O(E) shuffles per round
+    * and measured 14.2× time for 9.9× work at the ×10 stress scale. Only
+    * neighbors of peeled nodes can change degree, so the degree table is
+    * computed ONCE and then maintained: each round removes `deg < k`
+    * nodes, counts the edges survivors lose to them (an aggregate over
+    * peeled-incident edges only), and subtracts. When the peeled set is
+    * small (every round after the first, and how peeling behaves on a
+    * real near-dup graph) it broadcasts, making the edge-set update
+    * map-only — zero full-edge shuffles per round; a huge peeled set
+    * falls back to shuffle joins rather than an oversized broadcast.
+    * Early exit on an empty peel set is a fixpoint, so the output is
+    * unchanged by it. Per-round `localCheckpoint` pins lineage to O(1)
+    * like the PageRank loop (measured in round 10: skipping alternate
+    * rounds was slower, 84.0 s vs 79.9 s on the old shape).
     *
     * Output: (node, degree) for k-core survivors, degree measured on the
     * surviving subgraph. */
@@ -90,22 +103,39 @@ object Graph {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
-    // per-round localCheckpoint is MEASURED, not cargo-culted: skipping
-    // alternate rounds (recompute a 2-round lineage segment instead of
-    // persisting) was tried at the ×10 stress scale and came out SLOWER
-    // (84.0 s vs 79.9 s) — the un-checkpointed keep subtree re-executes
-    // its degree aggregate through the longer lineage, costing more than
-    // the saved materialization. Eager per-round pinning stays.
     var e = sym.localCheckpoint()
-    for (_ <- 1 to iters) {
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("src")
-      e = e.join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .localCheckpoint()
+    // the ONE full-edge degree shuffle; rounds maintain it incrementally
+    var deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    var round = 0
+    var fixpoint = false
+    while (round < iters && !fixpoint) {
+      val removed = deg.filter(col("deg") < k).select("src").localCheckpoint()
+      val nRemoved = removed.count()
+      if (nRemoved == 0) fixpoint = true
+      else {
+        // broadcast the peel set when it fits (node ids only); a
+        // degenerate graph where most nodes peel at once shuffles instead
+        val rem =
+          if (nRemoved <= 2000000L) broadcast(removed) else removed
+        val remAsDst = rem.withColumnRenamed("src", "dst")
+        // edges a SURVIVOR loses to the peeled set — the only degree delta
+        val lost = e.join(remAsDst, Seq("dst"), "left_semi")
+          .join(rem, Seq("src"), "left_anti")
+          .groupBy("src").agg(count(lit(1)).as("lost"))
+        deg = deg.join(rem, Seq("src"), "left_anti")
+          .join(lost, Seq("src"), "left_outer")
+          .select(col("src"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint()
+        e = e.join(rem, Seq("src"), "left_anti")
+          .join(remAsDst, Seq("dst"), "left_anti")
+          .localCheckpoint()
+      }
+      round += 1
     }
-    e.groupBy("src").agg(count(lit(1)).as("degree"))
-      .select(col("src").as("node"), col("degree"))
+    // deg > 0: a survivor whose neighbors all peeled has no edges left and
+    // must be absent, exactly like the recompute-from-e formulation
+    deg.filter(col("deg") > 0)
+      .select(col("src").as("node"), col("deg").as("degree"))
   }
 }

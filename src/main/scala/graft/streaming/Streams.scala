@@ -408,16 +408,35 @@ object Streams {
         val batch = latestPerKey(rawBatch, keyCol)
           .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
           .localCheckpoint()
-        val target = new java.io.File(targetDir)
-        val baseExists = target.exists() &&
-          target.listFiles().exists(_.getName.startsWith(s"$BucketCol="))
+        // Hadoop FS, not java.io.File (the maintainPostingIndex lesson):
+        // on hdfs://, s3a:// or a file: URI the local-File probe is ALWAYS
+        // false — every batch would "bootstrap" with mode(overwrite) and
+        // silently truncate the base to the latest batch
+        val targetPath = new org.apache.hadoop.fs.Path(targetDir)
+        val fs = targetPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val baseExists = fs.exists(targetPath) &&
+          fs.listStatus(targetPath)
+            .exists(_.getPath.getName.startsWith(s"$BucketCol="))
         if (!baseExists) {
           batch.write.partitionBy(BucketCol).mode("overwrite").parquet(targetDir)
         } else {
           val touched = batch.select(BucketCol).distinct()
             .collect().map(_.getInt(0)).toSeq
-          val base = spark.read.parquet(targetDir)
-            .filter(col(BucketCol).isin(touched: _*))
+          // read the touched buckets by EXPLICIT path (basePath keeps the
+          // partition column), not read-all + filter: a whole-table read
+          // lists every partition dir before pruning — O(total buckets)
+          // driver work per delta, measured as the dominant cost of
+          // small-delta merges at the ×100 stress scale (6.2 s for a
+          // 4-key batch against a 1600-bucket base, bytes already flat).
+          // Existence-probing only the ≤ k touched dirs is O(delta).
+          val touchedPaths = touched.map(b => s"$targetDir/$BucketCol=$b")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          val base =
+            if (touchedPaths.isEmpty)
+              batch.limit(0) // no existing bucket overlaps: nothing to carry
+            else spark.read.option("basePath", targetDir)
+              .parquet(touchedPaths: _*)
+              .select(batch.columns.map(col).toIndexedSeq: _*)
           val batchKeys = batch.select(col(keyCol).as("graft_mk"))
           val merged = base
             // null-safe (<=>): a plain equi-anti-join never matches NULL

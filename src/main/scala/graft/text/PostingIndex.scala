@@ -137,8 +137,8 @@ object PostingIndex {
     val idParts = ids
       .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val base = spark.read.parquet(docMapPath(indexPath))
-      .filter(col(DocMapPartCol).isin(idParts: _*))
+    val base = readPartDirs(spark, docMapPath(indexPath), DocMapPartCol,
+      idParts, withPart.columns)
     val kept =
       if (replaceIds) base.join(ids, Seq(idCol), "left_anti")
       else base.join(withPart,
@@ -147,6 +147,37 @@ object PostingIndex {
     writeDocMapSlice(snap, indexPath, overwriteAll = false)
     snap.unpersist()
   }
+
+  /** Read ONLY the named partition dirs of a partitioned layout, by
+    * explicit path with `basePath` (so the partition column survives) —
+    * never read-all + `isin` filter: a whole-table read LISTS every
+    * partition directory before pruning, O(total buckets) driver work per
+    * maintenance batch, measured as the dominant small-delta cost at the
+    * ×100 stress scale (the bytes were already flat; the listing wasn't).
+    * Probing existence of the ≤ |values| requested dirs is O(delta).
+    * Missing dirs (a bucket never yet written) are skipped; if none exist
+    * the result is an empty frame with `wantCols`' shape. */
+  private def readPartDirs(spark: org.apache.spark.sql.SparkSession,
+                           tablePath: String, partCol: String,
+                           values: Seq[Int], wantCols: Seq[String]): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(tablePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val paths = values.map(v => s"$tablePath/$partCol=$v")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    val df =
+      if (paths.isEmpty) spark.read.parquet(tablePath).limit(0)
+      else spark.read.option("basePath", tablePath).parquet(paths: _*)
+    // wantCols empty = the layout's NATIVE columns (callers that gate on
+    // schema, e.g. the positional/plain mixing guard, need them unshaped)
+    if (wantCols.isEmpty) df else df.select(wantCols.map(col): _*)
+  }
+
+  /** [[readPartDirs]] for the main lexeme-bucket layout, native columns —
+    * append/upsert compare them against the batch to reject plain-into-
+    * positional mixing before any rewrite happens. */
+  private def readBuckets(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, touched: Seq[Int]): DataFrame =
+    readPartDirs(spark, indexPath, "lexeme_bucket", touched, Nil)
 
   /** One-time migration for an index written before the sidecar existed:
     * derive the complete doc→bucket map from the index itself (the one
@@ -205,8 +236,7 @@ object PostingIndex {
     val touched = batch.select(col("lexeme_bucket")).distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val base = spark.read.parquet(indexPath)
-        .filter(col("lexeme_bucket").isin(touched: _*))
+      val base = readBuckets(spark, indexPath, touched)
       require(base.columns.toSet == batch.columns.toSet,
         s"index at $indexPath has columns ${base.columns.sorted.mkString(",")} but the " +
           s"batch built ${batch.columns.sorted.mkString(",")} — positional indexes " +
@@ -283,15 +313,14 @@ object PostingIndex {
     val idParts = ids
       .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val oldBuckets = spark.read.parquet(docMapPath(indexPath))
-      .filter(col(DocMapPartCol).isin(idParts: _*))
+    val oldBuckets = readPartDirs(spark, docMapPath(indexPath), DocMapPartCol,
+        idParts, Seq(idCol, "lexeme_bucket"))
       .join(ids, Seq(idCol), "left_semi")
       .select(col("lexeme_bucket"))
     val touched = batch.select(col("lexeme_bucket")).union(oldBuckets)
       .distinct().collect().map(_.getInt(0)).toSeq
     if (touched.nonEmpty) {
-      val base = spark.read.parquet(indexPath)
-        .filter(col("lexeme_bucket").isin(touched: _*))
+      val base = readBuckets(spark, indexPath, touched)
       require(base.columns.toSet == batch.columns.toSet,
         s"index at $indexPath has columns ${base.columns.sorted.mkString(",")} but the " +
           s"batch built ${batch.columns.sorted.mkString(",")} — positional indexes " +
