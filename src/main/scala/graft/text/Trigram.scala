@@ -140,10 +140,19 @@ object Trigram {
     * (hubCap=2048, saltB=8) 46.6 s / max-task 22.8 s; (2048, 16) 28.9 s /
     * 13.2 s — the default; (2048, 32) 31.2 s (combo replication outgrows
     * the extra spread); (512, 16) ties at scale but costs +39% at BASE
-    * scale from over-salting sub-hub grams. Residual max/med task skew
-    * ~500 is the verify join on the densest hub grams — bounded per task
-    * by the hub block width / combo count and sub-linear in work (time
-    * ×10 for ×64 candidate rows at the default). */
+    * scale from over-salting sub-hub grams.
+    *
+    * FINAL (round-11 closing sweep, same ×10 workload): (2048,16) 23.1 s /
+    * max-task 11.0 s, (2048,24) 24.2 s / 10.7 s, (1024,16) 23.9 s /
+    * 10.4 s — wall and max task are at a PLATEAU, insensitive to either
+    * knob, because the residual widest task is the VERIFY join on the
+    * densest hub grams (the per-rid candidate-pair groups), not the
+    * salted candidate join the knobs control. The defaults (2048, 16)
+    * are therefore final; the measured bound is max-task ≈ 10–11 s per
+    * ~10M candidate pairs at ×10, sub-linear in work (time ×9.3 for ×64
+    * candidate rows). A corpus where the verify join itself skews beyond
+    * that needs AQE skew-join splitting on the rid key, not more gram
+    * salting. */
   def similarSelfJoin(recs: DataFrame, idCol: String, textCol: String,
                       simNum: Int, simDen: Int,
                       hubCap: Int = 2048, saltB: Int = 16): DataFrame = {
