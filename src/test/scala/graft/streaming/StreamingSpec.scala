@@ -255,6 +255,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.size == 33 && fin(100L) == "new")
   }
 
+  test("incrementalMergeBucketed: a delta into a bucket ABSENT from the base creates it") {
+    // the explicit-path read (round 11) probes only touched dirs — a batch
+    // whose keys hash into buckets never yet written must find nothing to
+    // carry (not throw on a missing path) and land the new partition
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val src = Files.createTempDirectory("graft_imb2_src_").toString
+    val tgt = Files.createTempDirectory("graft_imb2_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imb2_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    val buckets = 64
+    def merge(): Unit = Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, buckets)
+    // tiny seed: most of the 64 bucket dirs don't exist afterwards
+    Seq.tabulate(4)(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(s"$src/f1")
+    merge()
+    def dirsNow(): Set[String] = new java.io.File(tgt).listFiles()
+      .filter(_.getName.startsWith(s"${Streams.BucketCol}=")).map(_.getName).toSet
+    val existing = dirsNow()
+    assert(existing.size <= 4, s"4 keys can fill at most 4 of 64 buckets: $existing")
+    // pick a key whose bucket dir is absent (same hash the merge uses)
+    val cand = spark.range(1000, 1200).toDF("id")
+      .select(col("id"), pmod(xxhash64(col("id")), lit(buckets.toLong)).cast("int").as("b"))
+      .as[(Long, Int)].collect()
+      .find { case (_, b) => !existing.contains(s"${Streams.BucketCol}=$b") }.get
+    Seq((cand._1, "fresh")).toDF("id", "v").write.parquet(s"$src/f2")
+    merge()
+    assert(dirsNow().contains(s"${Streams.BucketCol}=${cand._2}"),
+      "the new bucket partition must exist after the merge")
+    val rows = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
+    assert(rows.size == 5 && rows(cand._1) == "fresh" && rows(0L) == "v0",
+      s"merge into an absent bucket lost rows: ${rows.toSeq.sortBy(_._1)}")
+  }
+
   test("streaming dedup runs on the RocksDB state store (large keyed-state path)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)

@@ -59,6 +59,47 @@ class PostingIndexSpec extends AnyFunSuite {
     assert(viaIncr == viaMem && viaIncr.nonEmpty)
   }
 
+  test("append/upsert into a lexeme bucket ABSENT from the index creates it") {
+    // the explicit-path read (round 11) probes only touched dirs — a new
+    // lexeme hashing into a bucket never yet written must not throw on the
+    // missing path, and the posting must be searchable afterwards
+    val dir = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs, "doc_id", TextOps.tokenize($"text")), dir, buckets = 64)
+    def dirsNow(): Set[String] = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("lexeme_bucket=")).map(_.getName).toSet
+    val existing = dirsNow()
+    assert(existing.size < 20, "tiny vocab must leave most of 64 buckets absent")
+    // a stemmed lexeme whose bucket dir doesn't exist yet (writer's hash)
+    val cand = Seq("zebra", "quartz", "fjord", "kudzu", "waltz", "nymph")
+      .map(w => Porter.stem(w))
+      .map(w => w -> Seq(w).toDF("lexeme")
+        .select(pmod(hash($"lexeme"), lit(64)).cast("int")).as[Int].head())
+      .find { case (_, b) => !existing.contains(s"lexeme_bucket=$b") }.get
+    PostingIndex.appendToIndex(spark, dir,
+      Seq((9L, cand._1)).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 64)
+    assert(dirsNow().contains(s"lexeme_bucket=${cand._2}"),
+      "the new bucket partition must exist after the append")
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq(cand._1), buckets = 64)
+      .as[Long].collect().toSeq == Seq(9L))
+    // and the upsert path over the same absent-bucket shape: re-scrape doc 9
+    // into ANOTHER fresh lexeme's bucket; ghost postings must be swept
+    val cand2 = Seq("sphinx", "glyph", "crypt", "lynx", "myrrh")
+      .map(w => Porter.stem(w))
+      .map(w => w -> Seq(w).toDF("lexeme")
+        .select(pmod(hash($"lexeme"), lit(64)).cast("int")).as[Int].head())
+      .find { case (w, b) =>
+        !dirsNow().contains(s"lexeme_bucket=$b") && w != cand._1 }.get
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((9L, cand2._1)).toDF("doc_id", "text"), "doc_id",
+      TextOps.tokenize($"text"), buckets = 64)
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq(cand2._1), buckets = 64)
+      .as[Long].collect().toSeq == Seq(9L))
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq(cand._1), buckets = 64)
+      .count() == 0, "upsert must sweep the ghost posting from the old bucket")
+  }
+
   test("a bucket count disagreeing with the written layout is rejected") {
     val dir = freshDir()
     PostingIndex.write(
