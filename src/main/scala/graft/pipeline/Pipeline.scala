@@ -29,8 +29,12 @@ object Pipeline {
   def bootstrap(spark: SparkSession, storeDir: String,
                 companiesCsv: String, filingTypesCsv: String,
                 force: Boolean = false): (DataFrame, DataFrame) = {
-    val marker = new java.io.File(storeDir, "companies")
-    require(force || !marker.exists(),
+    // Hadoop FS, not java.io.File: on a cluster store (hdfs://, s3a://) a
+    // local-File probe is ALWAYS false — the destructive-init gate would
+    // silently pass and overwrite a non-empty store without force
+    val marker = new org.apache.hadoop.fs.Path(s"$storeDir/companies")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    require(force || !fs.exists(marker),
       s"bootstrap would overwrite existing store at $storeDir — pass force=true " +
         "(the reference's interactive Y/N gate, init_tables.py:13-22)")
     val (companies, filingTypes) = loadDims(spark, companiesCsv, filingTypesCsv)
@@ -98,8 +102,14 @@ object Pipeline {
     // on a previous first run) reads as an empty frame instead of failing
     // parquet schema inference
     def store = spark.read.schema(incoming.schema).parquet(filingsDir)
+    // Hadoop FS, not java.io.File: a local-File probe is always false on a
+    // cluster store, which would skip the anti-join and append duplicate
+    // filings on EVERY re-run — the exact idempotence this method promises
+    val filingsPath = new org.apache.hadoop.fs.Path(filingsDir)
+    val storeExists = filingsPath
+      .getFileSystem(spark.sessionState.newHadoopConf()).exists(filingsPath)
     val novel =
-      (if (new java.io.File(filingsDir).exists())
+      (if (storeExists)
         incoming.join(store.select("filing_id"), Seq("filing_id"), "left_anti")
       else incoming)
         .dropDuplicates("filing_id") // overlapping grid entries within one call
