@@ -9,8 +9,10 @@
 # CORRECTNESS_sf01_r<N>.json with per-query status + corpus fingerprint.
 #
 # Usage: tools/strict_gate.sh <roundN> [sfDir]
-#   tools/strict_gate.sh 11               → CORRECTNESS_sf01_r11.json
-#   tools/strict_gate.sh 11 /root/testdata/sf0.01   (dir override for dev)
+#   tools/strict_gate.sh 11                       → CORRECTNESS_sf01_r11.json
+#   tools/strict_gate.sh 11 /root/testdata/sf0.001 → CORRECTNESS_sf0001_r11.json
+#     (the sf0.001 sweep caught q112's contract-margin flake in round 11 —
+#      a second scale is where scale-only bugs live; sweep occasionally)
 #
 # Takes ~20-30 min at sf0.1 on local[32]; run with nothing else on the CPU.
 set -e
@@ -18,7 +20,8 @@ cd "$(dirname "$0")/.."
 N="${1:?usage: tools/strict_gate.sh <roundN> [sfDir]}"
 SF="${2:-/root/testdata/sf0.1}"
 OUT="/tmp/strict_gate_sf01"
-ART="CORRECTNESS_sf01_r${N}.json"
+TAG="$(basename "$SF" | tr -d '.')"   # sf0.1 → sf01, sf0.001 → sf0001
+ART="CORRECTNESS_${TAG}_r${N}.json"
 rm -rf "$OUT"
 echo "strict gate: Verify at $SF → $OUT"
 sbt -batch "runMain graft.Verify $SF $OUT" > /tmp/strict_gate_verify.log 2>&1 \
