@@ -99,7 +99,8 @@ object Graph {
     * Output: (node, degree) for k-core survivors, degree measured on the
     * surviving subgraph. */
   def kCore(edges: DataFrame, k: Int, iters: Int,
-            srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+            srcCol: String = "src", dstCol: String = "dst",
+            broadcastMaxIds: Long = 2000000L): DataFrame = {
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
@@ -114,9 +115,16 @@ object Graph {
       if (nRemoved == 0) fixpoint = true
       else {
         // broadcast the peel set when it fits (node ids only); a
-        // degenerate graph where most nodes peel at once shuffles instead
+        // degenerate graph where most nodes peel at once shuffles instead.
+        // The cutoff is a ROW count, not bytes: a broadcast hash relation
+        // costs ~48 B per long key (LongHashedRelation entry + key array),
+        // so the 2M default builds ≤ ~100 MB per round — sized for this
+        // repo's 128 GiB single-JVM harness, deliberately above the 10 MB
+        // autoBroadcastJoinThreshold (which gates UNKNOWN-size plans; here
+        // the side is known to be bare node ids). On a memory-tight
+        // cluster pass broadcastMaxIds ≈ executor-overhead-budget / 48.
         val rem =
-          if (nRemoved <= 2000000L) broadcast(removed) else removed
+          if (nRemoved <= broadcastMaxIds) broadcast(removed) else removed
         val remAsDst = rem.withColumnRenamed("src", "dst")
         // edges a SURVIVOR loses to the peeled set — the only degree delta
         val lost = e.join(remAsDst, Seq("dst"), "left_semi")

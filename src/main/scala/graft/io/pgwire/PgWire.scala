@@ -130,6 +130,16 @@ final class PgWireSocket(host: String, port: Int, user: String,
               // server rejects y, exposing a stripped offer); `n` = no
               // TLS. n=/authzid empty — PG takes the user from the
               // startup packet and ignores the SCRAM username field.
+              // Residual gap (documented, not defended): this client
+              // accepts any server certificate (sslmode=require, no
+              // truststore), so against a server that GENUINELY only
+              // offers plain SCRAM-SHA-256 the `y` flag detects nothing —
+              // an active MITM terminating TLS with its own cert and
+              // honestly offering no -PLUS is indistinguishable from that
+              // server. `y` only catches offer-stripping from a
+              // -PLUS-capable server; full MITM protection needs
+              // certificate validation (verify-ca/verify-full), which
+              // this driver does not implement.
               scramGs2 =
                 if (plus) "p=tls-server-end-point,,"
                 else if (sslCert.isDefined) "y,,"

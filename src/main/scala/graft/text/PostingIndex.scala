@@ -165,7 +165,24 @@ object PostingIndex {
     val paths = values.map(v => s"$tablePath/$partCol=$v")
       .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     val df =
-      if (paths.isEmpty) spark.read.parquet(tablePath).limit(0)
+      if (paths.isEmpty) {
+        // none of the requested dirs exist: the empty result frame still
+        // needs the layout's schema — derive it from ONE existing
+        // partition dir (a single root listStatus), never a full-table
+        // read, whose limit(0) would re-list every partition dir — the
+        // exact O(total buckets) cost this method exists to avoid
+        val one = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
+          .collectFirst {
+            case st if st.isDirectory &&
+              st.getPath.getName.startsWith(s"$partCol=") => st.getPath.toString
+          }
+        one match {
+          case Some(p) =>
+            spark.read.option("basePath", tablePath).parquet(p).limit(0)
+          case None => // unpartitioned/empty layout: full read is trivial
+            spark.read.parquet(tablePath).limit(0)
+        }
+      }
       else spark.read.option("basePath", tablePath).parquet(paths: _*)
     // wantCols empty = the layout's NATIVE columns (callers that gate on
     // schema, e.g. the positional/plain mixing guard, need them unshaped)

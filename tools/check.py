@@ -111,11 +111,15 @@ def main():
         print(f"{mark}  {k}: {v}")
     print(f"\n{n_ok}/{len(results)} pass")
     if len(sys.argv) > 3:
-        fp = {}
+        # the fingerprint pins WHICH corpus this artifact certifies — a
+        # silently-empty one loses the provenance the strict gate exists
+        # for, so a missing/unparseable file fails the artifact write
         try:
             fp = json.load(open(f"{out}/fingerprint.json"))
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"FATAL: cannot load {out}/fingerprint.json ({e}); "
+                  "refusing to write an artifact without corpus provenance")
+            sys.exit(2)
         artifact = {"sf": sf, "n_pass": n_ok, "n_total": len(results),
                     "strict_dtype_gate": True, "fingerprint": fp,
                     "queries": results}

@@ -72,8 +72,21 @@ def main():
         fams.setdefault(fam, []).append(q)
     # primary columns come straight from the artifact's `families` rollup
     # when present (Bench embeds it since round 11); the grep rollup is the
-    # fallback for pre-r11 artifacts — and a consistency check
+    # fallback for pre-r11 artifacts — and a consistency check: warn when
+    # the two disagree on a family's membership count (a drifted FAMILY
+    # map here, or a stale artifact, would otherwise pass silently)
     rollup = art.get("families")
+    if rollup:
+        for fam, r in rollup.items():
+            n_grep = len(fams.get(fam, []))
+            if n_grep and n_grep != r["n"]:
+                print(f"WARNING: family '{fam}': artifact rollup n={r['n']} "
+                      f"but grep-derived map has {n_grep} queries — "
+                      "FAMILY map or artifact is stale", file=sys.stderr)
+        for fam in fams:
+            if fam not in rollup:
+                print(f"WARNING: family '{fam}' ({len(fams[fam])} queries) "
+                      "absent from artifact rollup", file=sys.stderr)
     print("| Family | n | total s | s/q | prior s/q (shared) |")
     print("|---|---|---|---|---|")
     tot_n = tot_s = 0
