@@ -29,6 +29,24 @@ object Bench {
     // 1.4s), and median makes machine contention visible INSIDE the
     // artifact: a clean run has median ≈ min; a contaminated one doesn't.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // per-query shuffle attribution (round-11 VERDICT item 7): a
+    // min-AND-median timing move used to cost a judge session to
+    // adjudicate (plan change vs host drift); with shuffle-write bytes in
+    // the artifact the question is one diff — identical bytes + moved
+    // seconds = host, moved bytes = plan. Task-granular listener sum,
+    // drained through the listener bus before each snapshot so bytes
+    // can't bleed into the next query's cell.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      }
+    })
+    def shuffleSnapshot(): Long = {
+      org.apache.spark.graftmetrics.ListenerDrain.drain(spark.sparkContext)
+      shuffleBytes.get()
+    }
     // dev subset filter (comma-separated names); absent = the full catalog
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -39,6 +57,7 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
+        val sb0 = shuffleSnapshot()
         val t0 = System.nanoTime()
         // noop sink: materializes EVERY query column (count() would let the
         // optimizer prune computed projections and under-measure map-only
@@ -59,12 +78,18 @@ object Bench {
         // untimed (clearCache alone leaves checkpointed RDD blocks behind)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        (ok, dt)
+        (ok, dt, shuffleSnapshot() - sb0)
       }
       // a fast failure must not undercut a successful run's time: stats over
       // the successful runs when any exist, else over the failures
-      val good = times.collect { case (true, dt) => dt }
+      val good = times.collect { case (true, dt, _) => dt }
       val usable = if (good.nonEmpty) good else times.map(_._2)
+      // shuffle bytes of the FASTEST successful run — the same run the
+      // published min timing describes (bytes are ~identical across runs;
+      // pinning to min keeps sec and bytes describing one execution)
+      val goodRuns = times.filter(_._1)
+      val shuffleOfMin =
+        (if (goodRuns.nonEmpty) goodRuns else times).minBy(_._2)._3
       val sorted = usable.sorted
       // true median: mean of the middle two for even counts — the
       // lower-middle element would equal min at runs=2, hiding exactly the
@@ -73,11 +98,13 @@ object Bench {
       val median =
         if (n % 2 == 1) sorted(n / 2)
         else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
-      name -> (sorted.head, median)
+      name -> (sorted.head, median, shuffleOfMin)
     }
-    val qs = results.map { case (k, (mn, _)) => s"\"" + k + "\":" + mn }
+    val qs = results.map { case (k, (mn, _, _)) => s"\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, (_, md)) => s"\"" + k + "\":" + md }
+    val qsMed = results.map { case (k, (_, md, _)) => s"\"" + k + "\":" + md }
+      .mkString("{", ",", "}")
+    val qsShuffle = results.map { case (k, (_, _, sb)) => s"\"" + k + "\":" + sb }
       .mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     val totalMed = results.values.map(_._2).sum
@@ -112,7 +139,7 @@ object Bench {
       }
       .sortBy(-_._1).map(_._2).mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"families":$famJson,"queries":$qs,"queries_median":$qsMed,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"families":$famJson,"queries":$qs,"queries_median":$qsMed,"queries_shuffle_bytes":$qsShuffle,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
     if (only.isEmpty && results.size != SparkEntry.queries.size)
       System.err.println(s"BENCH WARNING: artifact covers ${results.size} of ${SparkEntry.queries.size} catalog queries")
     println(line)

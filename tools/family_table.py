@@ -76,6 +76,11 @@ def main():
     # the two disagree on a family's membership count (a drifted FAMILY
     # map here, or a stale artifact, would otherwise pass silently)
     rollup = art.get("families")
+    # per-query shuffle-write bytes (Bench embeds since round 12): lets a
+    # round-over-round timing move be attributed in one diff — identical
+    # bytes + moved seconds = host drift, moved bytes = plan change
+    shuf = art.get("queries_shuffle_bytes", {})
+    oldshuf = (old or {}).get("queries_shuffle_bytes", {})
     if rollup:
         for fam, r in rollup.items():
             n_grep = len(fams.get(fam, []))
@@ -87,8 +92,8 @@ def main():
             if fam not in rollup:
                 print(f"WARNING: family '{fam}' ({len(fams[fam])} queries) "
                       "absent from artifact rollup", file=sys.stderr)
-    print("| Family | n | total s | s/q | prior s/q (shared) |")
-    print("|---|---|---|---|---|")
+    print("| Family | n | total s | s/q | shuffle MB | prior s/q (shared) |")
+    print("|---|---|---|---|---|---|")
     tot_n = tot_s = 0
     order = (sorted(rollup, key=lambda f: -rollup[f]["total_sec"]) if rollup
              else sorted(fams, key=lambda f: -sum(qs[q] for q in fams[f])))
@@ -103,12 +108,30 @@ def main():
                  f"({len(shared)}q)") if shared else "—"
         gloss = DESC.get(fam, "")
         label = f"{fam} ({gloss})" if gloss else fam
-        print(f"| {label} | {n} | {s:.1f} | {s/n:.2f} | {prior} |")
+        smb = (f"{sum(shuf.get(q, 0) for q in names)/1048576:.1f}"
+               if shuf else "—")
+        print(f"| {label} | {n} | {s:.1f} | {s/n:.2f} | {smb} | {prior} |")
         tot_n += n; tot_s += s
-    print(f"| **all** | {tot_n} | {tot_s:.1f} | {tot_s/tot_n:.2f} | "
+    tot_smb = f"{sum(shuf.values())/1048576:.1f}" if shuf else "—"
+    print(f"| **all** | {tot_n} | {tot_s:.1f} | {tot_s/tot_n:.2f} | {tot_smb} | "
           f"{(sum(oldqs[q] for q in qs if q in oldqs)/max(1,len([q for q in qs if q in oldqs]))):.2f} |"
           if oldqs else
-          f"| **all** | {tot_n} | {tot_s:.1f} | {tot_s/tot_n:.2f} | — |")
+          f"| **all** | {tot_n} | {tot_s:.1f} | {tot_s/tot_n:.2f} | {tot_smb} | — |")
+    # the attribution diff itself: concentrated timing movers annotated
+    # with their shuffle-byte movement (needs both artifacts instrumented)
+    if oldqs and shuf and oldshuf:
+        movers = [(q, qs[q], oldqs[q]) for q in qs
+                  if q in oldqs and oldqs[q] > 0.5
+                  and abs(qs[q]/oldqs[q] - 1) > 0.2]
+        if movers:
+            print("\nConcentrated movers (>20% on >0.5s) — shuffle attribution:")
+            for q, new, prior in sorted(movers, key=lambda m: -abs(m[1]-m[2])):
+                sb_n, sb_o = shuf.get(q, 0), oldshuf.get(q, 0)
+                verdict = ("plan change (shuffle bytes moved)"
+                           if sb_o and abs(sb_n/max(sb_o, 1) - 1) > 0.1
+                           else "host/code-constant (shuffle bytes flat)")
+                print(f"  {q}: {prior:.2f}s → {new:.2f}s, "
+                      f"shuffle {sb_o/1048576:.1f} → {sb_n/1048576:.1f} MB — {verdict}")
 
 
 if __name__ == "__main__":
