@@ -361,6 +361,52 @@ object TextQueries {
       .orderBy($"doc_id")
   }
 
+  /** q120's WRITE-AMPLIFICATION-BOUNDED twin — document UPDATE through
+    * the pending list ([[PostingIndex.upsertIndexBuffered]], the GIN
+    * `fastupdate` design; reference trigger `init_tables.py:59-67`): the
+    * same corrupted-v1 index, but the re-scrape lands as BUFFERED batches
+    * (~delta-sized appends, zero base-bucket rewrites — PendingIndexSpec
+    * pins the bytes) instead of per-batch COW sweeps. Batch 0 is a ghost
+    * edit that still matches the search and batch 1 the real placeholder
+    * replacement, so latest-batch-wins is load-bearing; batch 1 also
+    * pure-deletes a disjoint slice (empty tokenization = DELETE). The
+    * result is the search evaluated through the pending OVERLAY read,
+    * INTERSECTED with the same search after [[PostingIndex
+    * .compactPending]] folds the area into the base — any divergence
+    * between the two read paths (a leaked ghost, a lost edit, a
+    * mis-folded compaction) breaks the intersection against the
+    * fresh-build oracle. */
+  private val q363BufferedUpsert: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("graft_q363_idx_") + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    def toks = TextOps.tokenize($"text")
+    val corrupted = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text", lit(" merges joining")))
+    PostingIndex.write(
+      PostingIndex.build(
+        corrupted.unionByName(docs.filter($"doc_id" % 5 =!= 0)), "doc_id", toks),
+      dir, buckets = 16)
+    PostingIndex.upsertIndexBuffered(s, dir,
+      docs.filter($"doc_id" % 5 === 0)
+        .withColumn("text", lit("still merges joining ghost")),
+      "doc_id", toks, buckets = 16)
+    val rescraped = docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", lit(UpsertPlaceholder))
+    val purged = docs.filter($"doc_id" % 5 === 1 && $"doc_id" % 3 === 0)
+      .withColumn("text", lit(""))
+    PostingIndex.upsertIndexBuffered(s, dir,
+      rescraped.unionByName(purged), "doc_id", toks, buckets = 16)
+    // materialize the overlay read BEFORE compaction deletes the pending
+    // files it lazily references (the hazard compactPending's doc calls out)
+    val pre = PostingIndex.searchAllIndexed(s, dir, "doc_id",
+      Seq("merges", "joining"), buckets = 16).localCheckpoint(true)
+    PostingIndex.compactPending(s, dir, "doc_id", buckets = 16)
+    val post = PostingIndex.searchAllIndexed(s, dir, "doc_id",
+      Seq("merges", "joining"), buckets = 16)
+    pre.intersect(post).orderBy($"doc_id")
+  }
+
   /** F3 weighted relevance — `setweight` + `ts_rank(weights, …,
     * normalization)` (the Postgres title-vs-body tuning knob, VERDICT r5
     * missing #3): the corpus's first four words act as the TITLE (class A,
@@ -797,6 +843,7 @@ object TextQueries {
     "q111_headline"         -> q111Headline,
     "q114_ts_rank_cd"       -> q114TsRankCd,
     "q120_upsert_index"     -> q120UpsertIndex,
+    "q363_upsert_buffered"  -> q363BufferedUpsert,
     "q121_weighted_rank"    -> q121WeightedRank,
     "q122_ts_stat"          -> q122TsStat,
     "q123_upsert_phrase"    -> q123UpsertPhrase,
@@ -974,6 +1021,20 @@ object TextQueries {
                    CASE WHEN doc_id % 5 = 0 THEN ${sqlQuote(UpsertPlaceholder)}
                         ELSE text END AS text
             FROM documents)
+          SELECT doc_id FROM (
+            SELECT doc_id, $tokenizeSql AS toks FROM corpus) t
+          WHERE list_contains(toks, '${Porter.stem("merges")}')
+            AND list_contains(toks, '${Porter.stem("joining")}')
+          ORDER BY doc_id""",
+    // q120's buffered twin answers over the same FINAL corpus, minus the
+    // pure-deleted slice; the intermediate ghost batch must leave no trace
+    "q363_upsert_buffered" ->
+      s"""WITH corpus AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN ${sqlQuote(UpsertPlaceholder)}
+                        ELSE text END AS text
+            FROM documents
+            WHERE NOT (doc_id % 5 = 1 AND doc_id % 3 = 0))
           SELECT doc_id FROM (
             SELECT doc_id, $tokenizeSql AS toks FROM corpus) t
           WHERE list_contains(toks, '${Porter.stem("merges")}')

@@ -244,6 +244,10 @@ object PostingIndex {
   private def appendBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           built: DataFrame, idCol: String, buckets: Int): Unit = {
     requireLayout(spark, indexPath, buckets)
+    require(!hasPending(spark, indexPath),
+      s"index at $indexPath has a buffered pending area — a direct append's " +
+        "(id, bucket) idempotence check cannot see buffered postings: " +
+        "compactPending first, or maintain through upsertIndexBuffered")
     // localCheckpoint: the batch feeds three consumers (touched-bucket
     // collect, anti-join probe, union side) — uncheckpointed, each would
     // re-run the tokenize+explode
@@ -318,8 +322,12 @@ object PostingIndex {
 
   private def upsertBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           built: DataFrame, docIds: DataFrame, idCol: String,
-                          buckets: Int): Unit = {
+                          buckets: Int, fromCompaction: Boolean = false): Unit = {
     requireLayout(spark, indexPath, buckets)
+    require(fromCompaction || !hasPending(spark, indexPath),
+      s"index at $indexPath has a buffered pending area — a direct COW upsert " +
+        "would not see (or supersede) its batches: compactPending first, or " +
+        "keep maintaining through upsertIndexBuffered")
     if (!hasDocMap(spark, indexPath)) bootstrapDocMap(spark, indexPath, idCol, buckets)
     val batch = built
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
@@ -372,6 +380,218 @@ object PostingIndex {
     }
     batch.unpersist()
     ids.unpersist()
+  }
+
+  // --------------------------------------- buffered upsert (pending list)
+  //
+  // The COW upsert above pays O(touched buckets × bucket size) per batch:
+  // a ~100 B posting change COW-rewrites every touched ~60 KB bucket, and
+  // because a doc's lexemes spray across buckets, measured amplification
+  // reached 452× at the ×100 stress scale (STRESS.md, q124). This is the
+  // exact problem Postgres GIN solves with `fastupdate`: inserts go to an
+  // unorganized PENDING LIST that every search also scans, and the list
+  // is merged into the main index structure only when it exceeds
+  // `gin_pending_list_limit` (or at VACUUM) — amortizing the expensive
+  // per-key structure maintenance over many batches. Same design here:
+  //
+  //  - [[upsertIndexBuffered]] appends the batch's postings — stamped
+  //    with a monotone batch number — to a root-level `_pending` area
+  //    partitioned by the SAME lexeme buckets (so term searches prune the
+  //    pending scan exactly like the main layout), and logs pure deletes
+  //    (docs that tokenize to nothing) to `_pending_deletes`. Bytes
+  //    written per batch ≈ the delta itself; NO base bucket is rewritten.
+  //  - every indexed read goes through [[indexRelation]], which overlays
+  //    the pending area: base rows of any pending-touched id are dropped,
+  //    and only each id's LATEST batch of pending postings is live — so
+  //    repeated edits of one doc resolve exactly like sequential COW
+  //    upserts would.
+  //  - [[compactPending]] folds the live pending rows through the normal
+  //    [[upsertIndex]] machinery (ONE touched-bucket COW rewrite for many
+  //    buffered batches) and clears the pending area; triggered
+  //    explicitly or when the area exceeds `compactAboveBytes`.
+  //
+  // Crash contract (documented, matching the retry-heals idempotence of
+  // the COW paths): postings land before the delete log, so a batch
+  // interrupted between the two writes leaves its upserts fully visible
+  // and only a PURE delete unapplied — re-running the batch heals it.
+  // Compaction is idempotent: re-applying a compacted pending area
+  // replaces ids with identical rows.
+
+  private val PendingDir = "_pending"
+  private val PendingDeletesDir = "_pending_deletes"
+  private val BatchCol = "pending_batch"
+
+  private def pendingPath(indexPath: String) = s"$indexPath/$PendingDir"
+  private def pendingDeletesPath(indexPath: String) = s"$indexPath/$PendingDeletesDir"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession,
+                   path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def hasPending(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Boolean = {
+    val fs = fsOf(spark, indexPath)
+    fs.exists(new org.apache.hadoop.fs.Path(pendingPath(indexPath))) ||
+      fs.exists(new org.apache.hadoop.fs.Path(pendingDeletesPath(indexPath)))
+  }
+
+  /** On-disk size of the pending area (the compaction trigger's measure —
+    * GIN's `gin_pending_list_limit` analog). */
+  def pendingBytes(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): Long = {
+    val fs = fsOf(spark, indexPath)
+    Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+  }
+
+  /** The index relation every indexed read path scans: the base layout
+    * alone when no pending area exists (one existence probe, plan
+    * unchanged), else base ⊳ pending overlay. The overlay joins are all
+    * pending-sized — broadcast by construction, bounded by the compaction
+    * threshold — and the `lexeme_bucket` partition filter the callers
+    * apply pushes through the union into BOTH scans, so term searches
+    * keep pruning to their buckets on the pending side too. */
+  private def indexRelation(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, idCol: String): DataFrame = {
+    val base = spark.read.parquet(indexPath)
+    if (!hasPending(spark, indexPath)) return base
+    val (live, superseded) = livePending(spark, indexPath, idCol)
+    base.join(broadcast(superseded), Seq(idCol), "left_anti")
+      .unionByName(live.select(base.columns.map(col).toIndexedSeq: _*))
+  }
+
+  /** (live pending postings, superseded doc ids): an id's live rows are
+    * its LATEST batch's postings; every id any pending batch touched —
+    * including pure deletes — is superseded in the base. */
+  private def livePending(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String,
+                          idCol: String): (DataFrame, DataFrame) = {
+    val fs = fsOf(spark, indexPath)
+    val pendP = new org.apache.hadoop.fs.Path(pendingPath(indexPath))
+    val delP = new org.apache.hadoop.fs.Path(pendingDeletesPath(indexPath))
+    val pend =
+      if (fs.exists(pendP)) spark.read.parquet(pendingPath(indexPath))
+      else return { // deletes-only pending area (every batch was a purge)
+        val dels = spark.read.parquet(pendingDeletesPath(indexPath))
+          .select(col(idCol)).distinct()
+        (spark.read.parquet(indexPath).limit(0), dels)
+      }
+    val touched = pend.select(col(idCol), col(BatchCol))
+    val all =
+      if (fs.exists(delP))
+        touched.unionByName(
+          spark.read.parquet(pendingDeletesPath(indexPath))
+            .select(col(idCol), col(BatchCol)))
+      else touched
+    val latest = all.groupBy(col(idCol)).agg(max(col(BatchCol)).as(BatchCol))
+    val live = pend.join(broadcast(latest), Seq(idCol, BatchCol), "left_semi")
+      .drop(BatchCol)
+    (live, latest.select(col(idCol)))
+  }
+
+  /** Next monotone batch number: max over the pending area + 1 (the area
+    * is compaction-bounded, so this scan is O(pending), not O(index)). */
+  private def nextBatch(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Long = {
+    if (!hasPending(spark, indexPath)) return 0L
+    val fs = fsOf(spark, indexPath)
+    val maxes = Seq(pendingPath(indexPath), pendingDeletesPath(indexPath))
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      .map { d =>
+        spark.read.parquet(d).agg(max(col(BatchCol))).head() match {
+          case r if r.isNullAt(0) => -1L
+          case r                  => r.getLong(0)
+        }
+      }
+    (maxes :+ -1L).max + 1L
+  }
+
+  /** Document UPDATE through the pending list — [[upsertIndex]] semantics
+    * (REPLACE each incoming doc's postings; empty tokenization = DELETE)
+    * at ~delta-sized write cost: the batch appends to `_pending` instead
+    * of COW-rewriting every touched bucket, and the expensive rewrite is
+    * deferred to [[compactPending]] — automatically once the area
+    * exceeds `compactAboveBytes` (GIN `fastupdate` / pending-list design;
+    * reference trigger semantics `sec_dl/utils/init_tables.py:59-67`).
+    * Searches see buffered edits immediately via [[indexRelation]]. */
+  def upsertIndexBuffered(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          docs: DataFrame, idCol: String, tokens: Column,
+                          buckets: Int = 64,
+                          compactAboveBytes: Long = 64L * 1024 * 1024): Unit =
+    upsertBuffered(spark, indexPath, build(docs, idCol, tokens),
+      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes)
+
+  /** [[upsertIndexBuffered]] for a POSITIONAL index — the pending rows
+    * carry (lexeme, pos) so phrase search stays correct over the overlay. */
+  def upsertIndexBufferedPositional(spark: org.apache.spark.sql.SparkSession,
+                                    indexPath: String, docs: DataFrame, idCol: String,
+                                    textCol: Column, buckets: Int = 64,
+                                    compactAboveBytes: Long = 64L * 1024 * 1024): Unit =
+    upsertBuffered(spark, indexPath, buildPositional(docs, idCol, textCol),
+      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes)
+
+  private def upsertBuffered(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                             built: DataFrame, docIds: DataFrame, idCol: String,
+                             buckets: Int, compactAboveBytes: Long): Unit = {
+    requireLayout(spark, indexPath, buckets)
+    val batchNo = nextBatch(spark, indexPath)
+    val batch = built
+      .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
+      .withColumn(BatchCol, lit(batchNo))
+      .localCheckpoint()
+    // schema guard BEFORE any write, as the COW paths do — a positional
+    // batch buffered onto a plain index would poison every later read
+    val baseCols = spark.read.parquet(indexPath).columns.toSet
+    val batchCols = batch.columns.toSet - BatchCol
+    require(baseCols == batchCols,
+      s"index at $indexPath has columns ${baseCols.toSeq.sorted.mkString(",")} but the " +
+        s"batch built ${batchCols.toSeq.sorted.mkString(",")} — positional indexes " +
+        "must be buffered with upsertIndexBufferedPositional, plain ones " +
+        "with upsertIndexBuffered")
+    // postings FIRST, delete log second (crash contract above)
+    batch.write.mode("append").partitionBy("lexeme_bucket")
+      .parquet(pendingPath(indexPath))
+    val pureDeletes = docIds
+      .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+      .withColumn(BatchCol, lit(batchNo))
+    if (!pureDeletes.isEmpty)
+      pureDeletes.write.mode("append").parquet(pendingDeletesPath(indexPath))
+    batch.unpersist()
+    if (pendingBytes(spark, indexPath) > compactAboveBytes)
+      compactPending(spark, indexPath, idCol, buckets)
+  }
+
+  /** Fold the pending area into the base layout — ONE touched-bucket COW
+    * rewrite (plus sidecar sweep) for every batch buffered since the last
+    * compaction — then clear it. The fold reuses [[upsertIndex]]'s exact
+    * machinery with the resolved live rows, so compacted and
+    * never-buffered indexes are byte-identical in semantics; idempotent
+    * on retry (replace-by-id converges). GIN analog: the pending-list
+    * merge at `gin_pending_list_limit` / VACUUM.
+    *
+    * Laziness hazard: compaction DELETES the pending files — any
+    * still-unexecuted DataFrame built from an indexed read before the
+    * compaction lazily references them and will fail (or worse, re-plan
+    * against the folded base). Materialize such reads first
+    * (`localCheckpoint(true)` / write) before compacting. */
+  def compactPending(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     idCol: String, buckets: Int = 64): Unit = {
+    if (!hasPending(spark, indexPath)) return
+    val (live, superseded) = livePending(spark, indexPath, idCol)
+    val liveSnap = live.drop("lexeme_bucket").localCheckpoint(true)
+    val idsSnap = superseded.localCheckpoint(true)
+    upsertBatch(spark, indexPath, liveSnap, idsSnap, idCol, buckets,
+      fromCompaction = true)
+    liveSnap.unpersist()
+    idsSnap.unpersist()
+    val fs = fsOf(spark, indexPath)
+    Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).
@@ -585,7 +805,7 @@ object PostingIndex {
                             normalization: Int = 0, buckets: Int = 64): DataFrame = {
     requireLayout(spark, indexPath, buckets)
     val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexRelation(spark, indexPath, idCol)
     val pruned =
       idx.filter(col("lexeme_bucket").isin(bucketIdsFor(spark, stemmed, buckets): _*))
     tsRankWeightedFrom(pruned, idx, idCol, terms, corpus, weights, normalization)
@@ -662,9 +882,11 @@ object PostingIndex {
     requireLayout(spark, indexPath, buckets)
     val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
     // bucket-prune the scan, then delegate — ONE implementation of the
-    // AND semantics, so indexed and in-memory search can't drift
+    // AND semantics, so indexed and in-memory search can't drift (the
+    // bucket filter pushes through indexRelation's overlay union into
+    // both the base and pending scans)
     searchAll(
-      spark.read.parquet(indexPath)
+      indexRelation(spark, indexPath, idCol)
         .filter(col("lexeme_bucket").isin(bucketIdsFor(spark, stemmed, buckets): _*)),
       idCol, terms)
   }
@@ -702,7 +924,7 @@ object PostingIndex {
                     idCol: String, lexemes: Seq[String] = Nil,
                     buckets: Int = 64): DataFrame = {
     requireLayout(spark, indexPath, buckets)
-    val idx = spark.read.parquet(indexPath)
+    val idx = indexRelation(spark, indexPath, idCol)
     val slice =
       if (lexemes.isEmpty) idx
       else {
@@ -796,11 +1018,11 @@ object PostingIndex {
     requireLayout(spark, indexPath, buckets)
     val ast = TsQuery.parseStemmed(query)
     val exact = TsQuery.exactLexemes(ast).distinct
-    // ONE parquet relation serves all three uses (pruned slice, prefix
-    // full scan, positional check) — re-reading per use triples the file
-    // listing / footer I/O, which is three object-store round-trips per
-    // query on s3a-like stores
-    val idx = spark.read.parquet(indexPath)
+    // ONE relation serves all three uses (pruned slice, prefix full scan,
+    // positional check) — re-reading per use triples the file listing /
+    // footer I/O, which is three object-store round-trips per query on
+    // s3a-like stores. indexRelation overlays any buffered pending edits.
+    val idx = indexRelation(spark, indexPath, idCol)
     lazy val pruned =
       idx.filter(col("lexeme_bucket").isin(bucketIdsFor(spark, exact, buckets): _*))
     lazy val positional = idx.schema.fieldNames.contains("pos")
