@@ -407,6 +407,35 @@ object TextQueries {
     pre.intersect(post).orderBy($"doc_id")
   }
 
+  /** F2 lifecycle closure — a GROWN index re-sized under a new bucket
+    * modulus ([[PostingIndex.rebucket]], round-11 VERDICT item 3): the
+    * index is born at 4 buckets on a third of the corpus, grows by
+    * incremental append, is rebucketed 4 → 16 (one O(index) rewrite +
+    * marker flip + atomic swap), then keeps growing THROUGH the new
+    * layout — the post-rebucket append and the search both run at
+    * buckets=16, so a mis-hashed rewrite (postings left under the old
+    * modulus, a stale marker, a lost partition in the swap) surfaces as
+    * missing/ghost rows against the same fresh-build oracle as q89/q106.
+    * RebucketSpec pins the equals-fresh-index invariant; this gates the
+    * values at corpus scale. */
+  private val q364IndexRebucket: Q = (s, d) => {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("graft_q364_idx_") + "/idx"
+    val docs = Tables.documents(s, d).repartition($"doc_id")
+    def toks = TextOps.tokenize($"text")
+    PostingIndex.write(
+      PostingIndex.build(docs.filter($"doc_id" % 3 === 0), "doc_id", toks),
+      dir, buckets = 4)
+    PostingIndex.appendToIndex(s, dir, docs.filter($"doc_id" % 3 === 1),
+      "doc_id", toks, buckets = 4)
+    PostingIndex.rebucket(s, dir, "doc_id", oldBuckets = 4, newBuckets = 16)
+    PostingIndex.appendToIndex(s, dir, docs.filter($"doc_id" % 3 === 2),
+      "doc_id", toks, buckets = 16)
+    PostingIndex.searchAllIndexed(s, dir, "doc_id", Seq("merges", "joining"),
+        buckets = 16)
+      .orderBy($"doc_id")
+  }
+
   /** F3 weighted relevance — `setweight` + `ts_rank(weights, …,
     * normalization)` (the Postgres title-vs-body tuning knob, VERDICT r5
     * missing #3): the corpus's first four words act as the TITLE (class A,
@@ -844,6 +873,7 @@ object TextQueries {
     "q114_ts_rank_cd"       -> q114TsRankCd,
     "q120_upsert_index"     -> q120UpsertIndex,
     "q363_upsert_buffered"  -> q363BufferedUpsert,
+    "q364_index_rebucket"   -> q364IndexRebucket,
     "q121_weighted_rank"    -> q121WeightedRank,
     "q122_ts_stat"          -> q122TsStat,
     "q123_upsert_phrase"    -> q123UpsertPhrase,
@@ -1011,6 +1041,9 @@ object TextQueries {
     // full-corpus build — by construction the SAME oracle string as q89
     // (q107, the streaming twin, shares it too)
     "q106_incr_index" -> mergesJoiningOracle,
+    // the rebucketed-and-further-grown index is DEFINED to answer like a
+    // fresh full-corpus build — the same one truth string as q89/q106
+    "q364_index_rebucket" -> mergesJoiningOracle,
     // the upserted index must answer exactly like a fresh build over the
     // FINAL corpus (the %5==0 slice carrying its re-scraped placeholder
     // text); the corrupted v1 suffix never appears here — a surviving

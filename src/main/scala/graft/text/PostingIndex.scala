@@ -594,6 +594,56 @@ object PostingIndex {
     }
   }
 
+  // ------------------------------------------------------------- rebucket
+
+  /** Re-partition a GROWN index under a new bucket modulus. Bucket count
+    * is sized ∝ N at bootstrap only; an index that grows 10× under
+    * maintenance keeps its birth bucket count, so bucket width — and with
+    * it per-batch rewrite cost (O(touched buckets × bucket size)) and
+    * search pruning granularity — degrades 10×. This reads the index ONCE
+    * (inherently O(index); the operation exists to amortize that scan
+    * over every later batch), rewrites it under `newBuckets` into a temp
+    * sibling directory — stamping the new layout marker, so the q109
+    * mismatch guard starts enforcing the new modulus immediately — and
+    * swaps it in. The doc→bucket sidecar, whose pairs are defined by the
+    * OLD modulus, is rebuilt under the new one when present.
+    *
+    * The swap is two directory renames (old layout aside, new layout in,
+    * then delete). Each rename is atomic on HDFS-like stores, but the
+    * pair is not one transaction: a reader racing the swap can observe a
+    * missing directory, and a crash between the renames leaves the index
+    * at `<path>.rebucket_old` (recover by renaming it back). Run it like
+    * the compaction it is — from the maintenance job, not concurrently
+    * with readers. Requires a compacted index: buffered pending batches
+    * hash by the old modulus and would be orphaned. */
+  def rebucket(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+               idCol: String, oldBuckets: Int, newBuckets: Int): Unit = {
+    requireLayout(spark, indexPath, oldBuckets)
+    require(!hasPending(spark, indexPath),
+      s"index at $indexPath has a buffered pending area hashed by the old " +
+        "modulus — compactPending before rebucket")
+    require(newBuckets > 0 && newBuckets != oldBuckets,
+      s"rebucket $oldBuckets → $newBuckets is not a layout change")
+    val fs = fsOf(spark, indexPath)
+    val tmp = s"$indexPath.rebucket_tmp"
+    val old = s"$indexPath.rebucket_old"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    // one full read, rewritten under the new modulus; write() stamps the
+    // new layout marker. The underscore-prefixed sidecar is invisible to
+    // the parquet read and rebuilt below instead.
+    write(spark.read.parquet(indexPath).drop("lexeme_bucket"), tmp, newBuckets)
+    if (hasDocMap(spark, indexPath))
+      bootstrapDocMap(spark, tmp, idCol, newBuckets)
+    val src = new org.apache.hadoop.fs.Path(indexPath)
+    require(fs.rename(src, new org.apache.hadoop.fs.Path(old)),
+      s"rebucket: could not move $indexPath aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), src),
+      s"rebucket: could not swap in $tmp — old layout is at $old")
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    ()
+  }
+
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).
     * Terms are stemmed with the same stemmer the index side used. */
   def searchAll(postings: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {

@@ -1,0 +1,117 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** [[PostingIndex.rebucket]] invariants: the rewritten layout holds the
+  * same postings under the new modulus, the layout marker flips (old
+  * bucket count rejected, new accepted), maintenance after the rebucket
+  * behaves like a fresh index born at the new count, and a sidecar /
+  * pending area is handled (rebuilt / rejected). */
+class RebucketSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_rebucket_spec_").toString + "/idx"
+
+  private val docs = Seq(
+    (1L, "merge join scan"),
+    (2L, "merge sort spill"),
+    (3L, "vector join probe"),
+    (4L, "merge join vector"),
+    (5L, "window frame scan"))
+    .toDF("doc_id", "text")
+
+  private def toks = TextOps.tokenize($"text")
+
+  private def pairs(dir: String): Set[(String, Long)] =
+    spark.read.parquet(dir).select($"lexeme", $"doc_id")
+      .as[(String, Long)].collect().toSet
+
+  test("rebucket preserves postings, flips the layout marker, and re-hashes consistently") {
+    val dir = freshDir()
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 2)
+    val before = pairs(dir)
+    PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 8)
+    assert(pairs(dir) == before, "postings must survive the rewrite")
+    // every row's bucket matches the NEW modulus (the searchable invariant)
+    val mismatched = spark.read.parquet(dir)
+      .filter(pmod(hash($"lexeme"), lit(8)) =!= $"lexeme_bucket").count()
+    assert(mismatched == 0, "rows must be re-hashed under the new modulus")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir.rebucket_tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir.rebucket_old")))
+    // marker: the old count is now rejected, the new one accepted
+    assertThrows[IllegalArgumentException] {
+      PostingIndex.searchAllIndexed(spark, dir, "doc_id", Seq("merge"), buckets = 2)
+    }
+    val hits = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 8).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 4L))
+  }
+
+  test("maintenance after rebucket equals a fresh index born at the new count") {
+    val grown = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(docs.filter($"doc_id" <= 3), "doc_id", toks),
+      grown, buckets = 2)
+    PostingIndex.rebucket(spark, grown, "doc_id", oldBuckets = 2, newBuckets = 8)
+    PostingIndex.appendToIndex(spark, grown, docs.filter($"doc_id" === 4),
+      "doc_id", toks, buckets = 8)
+    PostingIndex.upsertIndex(spark, grown,
+      Seq((2L, "redacted text")).toDF("doc_id", "text"), "doc_id", toks, buckets = 8)
+    val fresh = freshDir()
+    PostingIndex.write(
+      PostingIndex.build(
+        docs.filter($"doc_id" <= 4)
+          .withColumn("text", when($"doc_id" === 2, "redacted text").otherwise($"text")),
+        "doc_id", toks),
+      fresh, buckets = 8)
+    assert(pairs(grown) == pairs(fresh))
+    // bucket columns agree row-for-row too (same modulus, same hash)
+    val g = spark.read.parquet(grown).select($"lexeme", $"doc_id", $"lexeme_bucket")
+      .as[(String, Long, Int)].collect().toSet
+    val f = spark.read.parquet(fresh).select($"lexeme", $"doc_id", $"lexeme_bucket")
+      .as[(String, Long, Int)].collect().toSet
+    assert(g == f)
+  }
+
+  test("rebucket rebuilds an existing doc-map sidecar under the new modulus") {
+    val dir = freshDir()
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 2)
+    // first upsert bootstraps the sidecar (old modulus)
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((5L, "merge join appears")).toDF("doc_id", "text"), "doc_id", toks, buckets = 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_docmap")))
+    PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 8)
+    // the ghost-sweep must still work through the REBUILT sidecar: edit
+    // doc 5 away from 'merge join' — stale postings must vanish
+    PostingIndex.upsertIndex(spark, dir,
+      Seq((5L, "nothing here")).toDF("doc_id", "text"), "doc_id", toks, buckets = 8)
+    val hits = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 8).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 4L), "sidecar sweep after rebucket must remove old postings")
+  }
+
+  test("rebucket rejects a pending area and a no-op count") {
+    val dir = freshDir()
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 2)
+    PostingIndex.upsertIndexBuffered(spark, dir,
+      Seq((1L, "edited")).toDF("doc_id", "text"), "doc_id", toks, buckets = 2)
+    assertThrows[IllegalArgumentException] {
+      PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 8)
+    }
+    PostingIndex.compactPending(spark, dir, "doc_id", buckets = 2)
+    assertThrows[IllegalArgumentException] {
+      PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 2)
+    }
+    PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 4)
+    val hits = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 4).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(4L))
+  }
+}
