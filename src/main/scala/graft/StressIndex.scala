@@ -198,6 +198,37 @@ object StressIndex {
           orders.filter($"o_orderkey" % 10 === 0)
             .select($"o_orderkey", ($"o_custkey" + 2000000L).as("o_custkey")),
           s"$src/f3")(_ => merge())
+      // the SAME 10% of keys applied as 10 SEQUENTIAL 1% merges — the
+      // un-batched path the wide-delta guard warns about: each sub-merge
+      // still touches ~every bucket, so total rewrite ≈ 10× the one
+      // batched apply above. Per-step snapshot diffs SUMMED (an end-to-end
+      // diff would collapse repeated rewrites of one bucket into one).
+      if (k <= factor) {
+        var totRw = 0L
+        var totSec = 0.0
+        var totDelta = 0L
+        var totRows = 0L
+        val partsSeen = scala.collection.mutable.Set.empty[String]
+        var before = snapshot(tgt)
+        for (i <- 0 until 10) {
+          val landing = s"$src/f4_$i"
+          orders.filter($"o_orderkey" % 10 === 0 && ($"o_orderkey" / 10) % 10 === i)
+            .select($"o_orderkey", ($"o_custkey" + 3000000L).as("o_custkey"))
+            .write.mode("overwrite").parquet(landing)
+          val dSnap = snapshot(landing)
+          totDelta += totalBytes(dSnap)
+          totRows += deltaRowsOf(landing, spark)
+          val (_, sec) = timed(merge())
+          val after = snapshot(tgt)
+          val (rw, parts) = rewritten(tgt, before, after)
+          totRw += rw; totSec += sec; partsSeen ++= parts
+          before = after
+        }
+        results += Meas("q90_merge_delta10pct_split10", scale, totSec,
+          totalBytes(before), totRows, totDelta, totRw,
+          partsSeen.size, partDirs(tgt))
+        println(results.last)
+      }
     }
 
     // ============ q106/q124: posting-index append and upsert =============
@@ -241,6 +272,72 @@ object StressIndex {
       applyDelta("q124_index_upsert100", scale, idx, rescraped,
         util.Scratch.dir(s"graft_sidx_pd3_$scale") + "/d") { landing =>
         text.PostingIndex.upsertIndex(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), buckets)
+      }
+      // the SAME shape of 100-doc UPDATE through the PENDING LIST
+      // (round-11 VERDICT item 1): rewritten bytes should be ≈ the delta
+      // itself — no base bucket COW — and ~flat across decades where the
+      // COW row above grew 520 KB → 6.4 MB
+      val rescraped2 = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select($"doc_id", concat($"text", lit(" vectors probing")).as("text"))
+      applyDelta("q124_upsert100_buffered", scale, idx, rescraped2,
+        util.Scratch.dir(s"graft_sidx_pd4_$scale") + "/d") { landing =>
+        text.PostingIndex.upsertIndexBuffered(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), buckets)
+      }
+      // compaction folds the buffered batch back into the base — the ONE
+      // COW rewrite that amortizes every batch since the last fold
+      // (`delta bytes` here = the pending area being folded)
+      locally {
+        val pendBytes = text.PostingIndex.pendingBytes(spark, idx)
+        val before = snapshot(idx)
+        val (_, sec) = timed(
+          text.PostingIndex.compactPending(spark, idx, "doc_id", buckets))
+        val after = snapshot(idx)
+        val (rw, parts) = rewritten(idx, before, after)
+        results += Meas("q124_pending_compact", scale, sec, totalBytes(before),
+          0L, pendBytes, rw, parts.size, partDirs(idx))
+        println(results.last)
+      }
+    }
+
+    // ============ rebucket: a grown index re-sized ∝ N (round-11 item 3) =
+    // An index BORN at the ×1 sizing (16 buckets) but holding the ×k
+    // corpus — the "grew 10×/100× under maintenance, kept its birth bucket
+    // count" shape. Maintenance cost on it is degraded ∝ k (each bucket is
+    // k× too wide); after `rebucket` to the ∝N count the same append must
+    // return to the fresh-index line (the q106_index_append100 row above).
+    for ((scale, dir, buckets, k) <- scales if k > 1) {
+      val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
+      val idx = util.Scratch.dir(s"graft_sidx_rb_$scale") + "/idx"
+      text.PostingIndex.write(
+        text.PostingIndex.build(docs, "doc_id", text.TextOps.tokenize($"text")),
+        idx, 16) // birth sizing, NOT ∝ N
+      val newDocs = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
+      applyDelta("q106_append100_undersized", scale, idx, newDocs,
+        util.Scratch.dir(s"graft_sidx_rb1_$scale") + "/d") { landing =>
+        text.PostingIndex.appendToIndex(spark, idx,
+          spark.read.parquet(landing), "doc_id",
+          text.TextOps.tokenize($"text"), 16)
+      }
+      locally { // the O(index) rewrite itself — the honest amortized cost
+        val before = snapshot(idx)
+        val (_, sec) = timed(
+          text.PostingIndex.rebucket(spark, idx, "doc_id", 16, buckets))
+        val after = snapshot(idx)
+        val (rw, parts) = rewritten(idx, before, after)
+        results += Meas("rebucket_execute", scale, sec, totalBytes(before),
+          0L, 0L, rw, parts.size, partDirs(idx))
+        println(results.last)
+      }
+      val newDocs2 = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select(($"doc_id" + 30000000L).as("doc_id"), $"text")
+      applyDelta("q106_append100_rebucketed", scale, idx, newDocs2,
+        util.Scratch.dir(s"graft_sidx_rb2_$scale") + "/d") { landing =>
+        text.PostingIndex.appendToIndex(spark, idx,
           spark.read.parquet(landing), "doc_id",
           text.TextOps.tokenize($"text"), buckets)
       }
@@ -311,7 +408,8 @@ object StressIndex {
     md ++= "| op | scale | sec | base bytes | delta rows | delta bytes | rewritten | amp | parts |\n"
     md ++= "|---|---|---|---|---|---|---|---|---|\n"
     results.foreach { m =>
-      val isBoot = m.op.contains("bootstrap") || m.op.contains("q213")
+      val isBoot = m.op.contains("bootstrap") || m.op.contains("q213") ||
+        m.op.contains("rebucket_execute")
       val ampS = if (isBoot) "—" else f"${m.amp}%.1f×"
       val baseS = if (m.baseBytes == 0) "—" else fmtB(m.baseBytes)
       val deltaS = if (m.deltaBytes == 0) "—" else fmtB(m.deltaBytes)
@@ -327,7 +425,8 @@ object StressIndex {
     def scaleNum(s: String): Int = s.stripPrefix("x").toInt
     val byOp = results.groupBy(_.op)
     byOp.toSeq.sortBy(_._1).foreach { case (op, ms) =>
-      if (!op.contains("bootstrap") && !op.contains("q213") && ms.size >= 2) {
+      if (!op.contains("bootstrap") && !op.contains("q213") &&
+          !op.contains("rebucket_execute") && ms.size >= 2) {
         val pts = ms.sortBy(m => scaleNum(m.scale))
         val (lo, hi) = (pts(pts.size - 2), pts.last)
         val dataR = scaleNum(hi.scale) / scaleNum(lo.scale)
@@ -342,6 +441,22 @@ object StressIndex {
           " — SUPERLINEAR in base size on the unsaturated leg; the touched-bucket pruning is not holding, investigate.\n")
       }
     }
+    // cross-op verdicts the per-op loop cannot see
+    def at(op: String, scale: String): Option[Meas] =
+      results.find(m => m.op == op && m.scale == scale)
+    for {
+      m <- results if m.op == "q90_merge_delta10pct_split10"
+      b <- at("q90_merge_delta10pct", m.scale)
+    } md ++= f"- batching measured (${m.scale}): the same 10%% delta as 10 sequential merges rewrote ${m.rewrittenBytes / math.max(b.rewrittenBytes, 1).toDouble}%.1f× the bytes (${m.sec / math.max(b.sec, 1e-9)}%.1f× the time) of the ONE batched merge — the wide-delta guard's 'batch deltas' advice, quantified.\n"
+    for {
+      m <- results if m.op == "q124_upsert100_buffered"
+      c <- at("q124_index_upsert100", m.scale)
+    } md ++= f"- pending list (${m.scale}): the buffered 100-doc upsert rewrote ${fmtB(m.rewrittenBytes)} (amp ${m.amp}%.1f×) vs the COW path's ${fmtB(c.rewrittenBytes)} (amp ${c.amp}%.1f×) — ${c.rewrittenBytes / math.max(m.rewrittenBytes, 1).toDouble}%.0f× less per batch, amortized into one compaction.\n"
+    for {
+      u <- results if u.op == "q106_append100_undersized"
+      r <- at("q106_append100_rebucketed", u.scale)
+      f <- at("q106_index_append100", u.scale)
+    } md ++= f"- rebucket (${u.scale}): append to the birth-sized (16-bucket) grown index rewrote ${fmtB(u.rewrittenBytes)}; after `rebucket` to the ∝N count the same append rewrote ${fmtB(r.rewrittenBytes)} vs the fresh-index line's ${fmtB(f.rewrittenBytes)} — post-rebucket maintenance returns to the fresh line.\n"
     if (stateResults.nonEmpty) {
       md ++= "\n### Streaming state footprint (state = sketch/bucket rows, never raw docs)\n\n"
       md ++= "Catalog functions run with the session checkpoint root redirected;\n"

@@ -365,6 +365,36 @@ object Streams {
     * key). Part of the on-disk layout contract, hence public. */
   val BucketCol = "graft_bucket"
 
+  /** Touched-bucket fraction at which a merge batch stops being
+    * incremental: with distinct delta keys ≫ buckets, every bucket is
+    * touched and the COW merge degrades to a full base rewrite (the
+    * measured q90 delta10pct boundary, STRESS.md — 17.7× amplification at
+    * ×10 scale). The boundary is a property of the DELTA, not a bug the
+    * merge can route around (the rewrite really is the cost of applying
+    * that delta), so the guard MEASURES and warns rather than failing. */
+  val WideDeltaWarnFraction = 0.5
+
+  /** Most recent wide-delta warning, `None` after a healthy batch —
+    * the observability hook monitors (and the spec) read; the same text
+    * goes to stderr loudly at batch time. */
+  @volatile var lastWideDeltaWarning: Option[String] = None
+
+  /** The measured guard for the q90 delta10pct boundary: when one batch's
+    * distinct buckets cover ≥ [[WideDeltaWarnFraction]] of the layout,
+    * return the warning (with the measured ratio) that the merge is
+    * effectively a full rewrite — the caller should BATCH deltas
+    * (accumulate landing files / raise `maxFilesPerTrigger` so one merge
+    * absorbs many batches: k near-full rewrites collapse to one, the
+    * advice StressIndex's batched-path row measures) or raise
+    * `numBuckets` so steady-state keys ≪ buckets. */
+  private[streaming] def wideDeltaWarning(touched: Int, numBuckets: Int): Option[String] =
+    if (numBuckets > 1 && touched.toDouble / numBuckets >= WideDeltaWarnFraction)
+      Some(s"incrementalMergeBucketed: batch touches $touched/$numBuckets buckets " +
+        f"(${100.0 * touched / numBuckets}%.0f%%) — the copy-on-write merge has " +
+        "degraded to a near-full base rewrite. Batch deltas (let one merge absorb " +
+        "many landing files) or raise numBuckets so batch keys ≪ buckets.")
+    else None
+
   private def bucketOf(keyCol: String, numBuckets: Int) =
     pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)).cast("int")
 
@@ -422,6 +452,10 @@ object Streams {
         } else {
           val touched = batch.select(BucketCol).distinct()
             .collect().map(_.getInt(0)).toSeq
+          // the q90 delta10pct boundary, measured per batch instead of
+          // documented in prose: a wide delta IS a full rewrite — say so
+          lastWideDeltaWarning = wideDeltaWarning(touched.size, numBuckets)
+          lastWideDeltaWarning.foreach(System.err.println)
           // read the touched buckets by EXPLICIT path (basePath keeps the
           // partition column), not read-all + filter: a whole-table read
           // lists every partition dir before pruning — O(total buckets)

@@ -397,4 +397,40 @@ class StreamingSpec extends AnyFunSuite {
       } finally q.stop()
     } finally prev.fold(spark.conf.unset(provKey))(v => spark.conf.set(provKey, v))
   }
+
+  test("incrementalMergeBucketed: wide-delta boundary measured and warned, narrow batch quiet") {
+    // the guard's math: ≥ 50% of buckets touched warns with the ratio;
+    // below stays silent; a 1-bucket layout never warns (it is never
+    // incremental to begin with)
+    assert(Streams.wideDeltaWarning(4, 8).exists(_.contains("4/8")))
+    assert(Streams.wideDeltaWarning(8, 8).exists(_.contains("full")))
+    assert(Streams.wideDeltaWarning(3, 8).isEmpty)
+    assert(Streams.wideDeltaWarning(1, 1).isEmpty)
+
+    val src = Files.createTempDirectory("graft_imbw_src_").toString
+    val tgt = Files.createTempDirectory("graft_imbw_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imbw_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    def merge(): Unit = Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck, numBuckets = 8)
+
+    Seq.tabulate(64)(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(s"$src/f1")
+    merge() // bootstrap (no merge ran — no warning semantics yet)
+
+    // BROAD delta: every key — touches all 8 buckets, the measured boundary
+    Seq.tabulate(64)(i => (i.toLong, s"w$i")).toDF("id", "v").write.parquet(s"$src/f2")
+    merge()
+    assert(Streams.lastWideDeltaWarning.exists(_.contains("/8")),
+      "a delta touching every bucket must set the measured warning")
+
+    // NARROW delta: one key — the steady state, hook must clear
+    Seq((2L, "z")).toDF("id", "v").write.parquet(s"$src/f3")
+    merge()
+    assert(Streams.lastWideDeltaWarning.isEmpty,
+      "a healthy 1-key batch must clear the warning hook")
+
+    // and the merges themselves stayed correct throughout
+    val rows = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
+    assert(rows.size == 64 && rows(2L) == "z" && rows(3L) == "w3")
+  }
 }
