@@ -435,6 +435,8 @@ object StressIndex {
         md ++= f"- `$op` (×${scaleNum(lo.scale)}→×${scaleNum(hi.scale)}, ×$dataR data): time ${secR}%.1f×, rewritten-bytes ${rwR}%.1f×"
         md ++= (if (op.contains("delta10pct"))
           " — the documented boundary: keys ≫ buckets touches every bucket, a full rewrite (batch deltas or raise buckets).\n"
+        else if (op.contains("undersized"))
+          " — the DELIBERATE degraded case: birth-sized buckets on a ×k corpus, rewrite ∝ bucket width ∝ k; the rebucket bullet below is the measured fix.\n"
         else if (secR <= 2.5 && rwR <= 2.5)
           " — O(delta) holds: maintenance cost ~independent of base size.\n"
         else

@@ -492,6 +492,23 @@ object PostingIndex {
     (live, latest.select(col(idCol)))
   }
 
+  /** The base layout's column names (partition col included) from ONE
+    * existing bucket directory — one root listStatus, never a full
+    * partition discovery (O(total buckets) listing per call). */
+  private def baseLayoutCols(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String): Seq[String] = {
+    val fs = fsOf(spark, indexPath)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexPath))
+      .collectFirst {
+        case st if st.isDirectory &&
+          st.getPath.getName.startsWith("lexeme_bucket=") => st.getPath.toString
+      } match {
+      case Some(p) =>
+        spark.read.option("basePath", indexPath).parquet(p).columns.toSeq
+      case None => spark.read.parquet(indexPath).columns.toSeq // empty layout
+    }
+  }
+
   /** Next monotone batch number: max over the pending area + 1 (the area
     * is compaction-bounded, so this scan is O(pending), not O(index)). */
   private def nextBatch(spark: org.apache.spark.sql.SparkSession,
@@ -543,8 +560,12 @@ object PostingIndex {
       .withColumn(BatchCol, lit(batchNo))
       .localCheckpoint()
     // schema guard BEFORE any write, as the COW paths do — a positional
-    // batch buffered onto a plain index would poison every later read
-    val baseCols = spark.read.parquet(indexPath).columns.toSet
+    // batch buffered onto a plain index would poison every later read.
+    // Columns come from ONE partition dir (single root listing), not a
+    // whole-index read: full partition discovery is O(total buckets) of
+    // driver listing per batch — measured as 0.7 → 3.5 s across ×1→×100
+    // on an otherwise ~flat buffered apply before this probe existed.
+    val baseCols = baseLayoutCols(spark, indexPath).toSet
     val batchCols = batch.columns.toSet - BatchCol
     require(baseCols == batchCols,
       s"index at $indexPath has columns ${baseCols.toSeq.sorted.mkString(",")} but the " +
