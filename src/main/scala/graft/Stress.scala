@@ -228,6 +228,24 @@ object Stress {
     def kCoreFull(s: SparkSession, d: String): DataFrame =
       ext.Graph.kCore(trigramAllPairsFull(s, d), k = 2, iters = 4,
         srcCol = "r1", dstCol = "r2")
+    // the GRAPH operator alone at ×factor EDGE volume: the real base pair
+    // graph replicated as node-id-offset disjoint copies (work exactly
+    // ×factor). Exists because `q196_kcore_full`'s upstream verify join
+    // rides the artifact-dense part corpus whose candidate volume grows
+    // ~64× per decade — at ×100 its shuffle spill exceeds a single host's
+    // disk (measured: >70 GB on this 252 GB harness), which says nothing
+    // about k-core itself. Ids stay < 2^25 (trianglesFull's packing
+    // bound), so rep·2^25 offsets cannot collide.
+    def kCoreGraph(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val pairs = trigramAllPairsFull(s, baseDir).select($"r1", $"r2")
+      val g =
+        if (d == baseDir) pairs
+        else pairs.crossJoin(s.range(factor).toDF("rep"))
+          .select(($"r1" + $"rep" * 33554432L).as("r1"),
+            ($"r2" + $"rep" * 33554432L).as("r2"))
+      ext.Graph.kCore(g, k = 2, iters = 4, srcCol = "r1", dstCol = "r2")
+    }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q178_pagerank" -> ops.Relational.queries("q178_pagerank"),
       "q285_hits" -> ops.ExtQueries.queries("q285_hits"),
@@ -235,6 +253,7 @@ object Stress {
       "q181_trigram_allpairs_full" -> trigramAllPairsFull,
       "q184_triangles_full" -> trianglesFull,
       "q196_kcore_full" -> kCoreFull,
+      "q196_kcore_graph" -> kCoreGraph,
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
       "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),
