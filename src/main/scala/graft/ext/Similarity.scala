@@ -264,6 +264,11 @@ object Similarity {
       : Array[(Long, Array[Float])] = {
     val cent = collectCentroids(corpus, numCentroids, idCol, vecCol)
     assignCells(corpus, cent, "neighbor_id", "cvec", keep = 1, idCol, vecCol)
+      // cluster by cell before the partitioned write: map-side assignment
+      // leaves every scan task holding rows of ~all cells, so an
+      // unclustered write creates tasks × numCentroids files; one shuffle
+      // makes each cell dir ≈ one parquet file (splittable on read)
+      .repartition(col("cid"))
       .write.partitionBy("cid").mode("overwrite").parquet(dir)
     cent
   }

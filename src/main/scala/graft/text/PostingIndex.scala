@@ -32,6 +32,16 @@ object PostingIndex {
   def write(postings: DataFrame, path: String, buckets: Int = 64): Unit = {
     postings
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
+      // cluster by the partition dir BEFORE the partitioned write: without
+      // it every write task emits one file into every bucket dir its rows
+      // hash across — file count ∝ tasks × buckets (measured 173 s for a
+      // 190 MB ×100-stress bootstrap, dominated by ~50k file creates; at
+      // 100 TB that is millions of small files and a namenode problem).
+      // One shuffle of the same bytes makes each dir ≈ one file, and the
+      // secondary lexeme sort clusters a term's postings into contiguous
+      // row groups so term lookups skip by parquet min/max stats.
+      .repartition(col("lexeme_bucket"))
+      .sortWithinPartitions(col("lexeme_bucket"), col("lexeme"))
       .write.mode("overwrite")
       .partitionBy("lexeme_bucket")
       .parquet(path)
@@ -109,15 +119,22 @@ object PostingIndex {
   private def writeDocMapSlice(pairs: DataFrame, indexPath: String,
                                overwriteAll: Boolean): Unit = {
     val spark = pairs.sparkSession
+    // cluster by the partition dir first (same rationale as [[write]]):
+    // the bootstrap's upstream distinct() leaves rows shuffled by
+    // (id, bucket) hash, so an unclustered write sprays tasks × id-bucket
+    // files (the ×100 stress docmap bootstrap spent 167 s on a 133 MB map
+    // that way); the slice path likewise accretes ~touched-dirs files per
+    // maintenance batch for the life of the index.
+    val clustered = pairs.repartition(col(DocMapPartCol))
     if (overwriteAll)
-      pairs.write.mode("overwrite").partitionBy(DocMapPartCol)
+      clustered.write.mode("overwrite").partitionBy(DocMapPartCol)
         .parquet(docMapPath(indexPath))
     else {
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(conf)
       try {
         spark.conf.set(conf, "dynamic")
-        pairs.write.mode("overwrite").partitionBy(DocMapPartCol)
+        clustered.write.mode("overwrite").partitionBy(DocMapPartCol)
           .parquet(docMapPath(indexPath))
       } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
     }
@@ -266,8 +283,12 @@ object PostingIndex {
       val fresh = batch.join(base.select(col(idCol), col("lexeme_bucket")),
         Seq(idCol, "lexeme_bucket"), "left_anti")
       // materialize the merged slice off the files about to be replaced
-      // (also lifts Spark's overwrite-what-you-read guard)
+      // (also lifts Spark's overwrite-what-you-read guard); clustered by
+      // bucket so each rewritten dir stays ≈ one file — unclustered, the
+      // batch-side tasks add a file to every touched dir per append and
+      // the bucket's file count grows with its maintenance history
       val snap = base.unionByName(fresh.select(base.columns.map(col).toIndexedSeq: _*))
+        .repartition(col("lexeme_bucket"))
         .localCheckpoint(true)
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.getOption(conf)
@@ -354,7 +375,9 @@ object PostingIndex {
       // REPLACE semantics: drop every existing row of the incoming ids,
       // then add the recomputed postings
       val kept = base.join(ids, Seq(idCol), "left_anti")
+      // clustered by bucket before the checkpoint+write (see appendBatch)
       val snap = kept.unionByName(batch.select(base.columns.map(col).toIndexedSeq: _*))
+        .repartition(col("lexeme_bucket"))
         .localCheckpoint(true)
       // dynamic overwrite skips partitions ABSENT from the output — a
       // bucket whose last postings were just deleted must be removed by
@@ -572,8 +595,13 @@ object PostingIndex {
         s"batch built ${batchCols.toSeq.sorted.mkString(",")} — positional indexes " +
         "must be buffered with upsertIndexBufferedPositional, plain ones " +
         "with upsertIndexBuffered")
-    // postings FIRST, delete log second (crash contract above)
-    batch.write.mode("append").partitionBy("lexeme_bucket")
+    // postings FIRST, delete log second (crash contract above); clustered
+    // by bucket so each buffered batch adds ≤ 1 file per touched pending
+    // dir — the overlay read opens every pending file on every search, so
+    // unclustered batches would compound tasks × dirs files until the
+    // next compaction
+    batch.repartition(col("lexeme_bucket"))
+      .write.mode("append").partitionBy("lexeme_bucket")
       .parquet(pendingPath(indexPath))
     val pureDeletes = docIds
       .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
