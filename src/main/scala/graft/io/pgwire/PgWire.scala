@@ -26,10 +26,13 @@ import java.sql.SQLException
   * it — the gs2 header is then `p=tls-server-end-point,,` and the
   * client-final `c=` carries base64(gs2 ‖ cert-hash), so a TLS-terminating
   * man-in-the-middle (whose cert hash necessarily differs) breaks the
-  * proof even though the client skips PKI validation of the self-signed
-  * sandbox cert. Over TLS without `-PLUS` the gs2 flag is `y` (downgrade
-  * detection: a MITM that strips the `-PLUS` offer from a server that
-  * supports it is caught server-side); plaintext keeps `n`. Passwords are
+  * proof even when the client runs trust-all TLS (`sslmode=require`).
+  * `sslRootCert`/`sslVerifyHostname` switch the handshake to PKIX
+  * validation against the given PEM anchors (libpq's verify-ca /
+  * verify-full) for servers without `-PLUS`. Over TLS without `-PLUS`
+  * the gs2 flag is `y` (downgrade detection: a MITM that strips the
+  * `-PLUS` offer from a server that supports it is caught server-side);
+  * plaintext keeps `n`. Passwords are
   * used verbatim (no SASLprep) — exact for ASCII passwords, which is all
   * the sandbox provisions; non-ASCII would need RFC 4013 normalization.
   *
@@ -38,9 +41,12 @@ import java.sql.SQLException
   */
 final class PgWireSocket(host: String, port: Int, user: String,
                          database: String, password: Option[String],
-                         ssl: Boolean = false) {
+                         ssl: Boolean = false,
+                         sslRootCert: Option[String] = None,
+                         sslVerifyHostname: Boolean = false) {
 
-  private val (socket, sslCert) = PgWireSocket.open(host, port, ssl)
+  private val (socket, sslCert) =
+    PgWireSocket.open(host, port, ssl, sslRootCert, sslVerifyHostname)
   private val in = new DataInputStream(new BufferedInputStream(socket.getInputStream, 1 << 16))
   private val out = new DataOutputStream(new BufferedOutputStream(socket.getOutputStream, 1 << 16))
   private var open = true
@@ -130,16 +136,14 @@ final class PgWireSocket(host: String, port: Int, user: String,
               // server rejects y, exposing a stripped offer); `n` = no
               // TLS. n=/authzid empty — PG takes the user from the
               // startup packet and ignores the SCRAM username field.
-              // Residual gap (documented, not defended): this client
-              // accepts any server certificate (sslmode=require, no
-              // truststore), so against a server that GENUINELY only
-              // offers plain SCRAM-SHA-256 the `y` flag detects nothing —
-              // an active MITM terminating TLS with its own cert and
-              // honestly offering no -PLUS is indistinguishable from that
-              // server. `y` only catches offer-stripping from a
-              // -PLUS-capable server; full MITM protection needs
-              // certificate validation (verify-ca/verify-full), which
-              // this driver does not implement.
+              // Residual gap under sslmode=require (trust-all certs): a
+              // server that GENUINELY only offers plain SCRAM-SHA-256 is
+              // indistinguishable from an active MITM terminating TLS
+              // with its own cert and honestly offering no -PLUS — the
+              // `y` flag only catches offer-stripping from a
+              // -PLUS-capable server. Closing it needs certificate
+              // validation: sslmode=verify-ca / verify-full with
+              // sslrootcert (PgWireSocket.open's rootCertPem path).
               scramGs2 =
                 if (plus) "p=tls-server-end-point,,"
                 else if (sslCert.isDefined) "y,,"
@@ -319,16 +323,25 @@ object PgWireSocket {
     * wrapped) socket plus, under TLS, the server's leaf certificate — the
     * channel-binding input for SCRAM-SHA-256-PLUS.
     *
-    * Certificate validation is deliberately trust-all (the sandbox server
-    * runs a self-signed cert): the MITM defense here is SCRAM-PLUS's
-    * channel binding, not PKI — a TLS-terminating interceptor necessarily
-    * presents a different certificate, so the client's
-    * tls-server-end-point hash diverges from the one the real server
-    * computes over ITS end of the TLS session and the proof verification
-    * fails on the server. Equivalent of libpq's `sslmode=require`;
-    * verify-ca/verify-full would need a truststore the sandbox doesn't
-    * provision. */
-  private[pgwire] def open(host: String, port: Int, ssl: Boolean)
+    * With no `rootCertPem`, certificate validation is trust-all (libpq's
+    * `sslmode=require`): the MITM defense is SCRAM-PLUS's channel binding,
+    * not PKI — a TLS-terminating interceptor necessarily presents a
+    * different certificate, so the client's tls-server-end-point hash
+    * diverges from the one the real server computes over ITS end of the
+    * TLS session and the proof verification fails on the server. (That
+    * defense needs a `-PLUS`-capable server; against one that only offers
+    * plain SCRAM, require-mode TLS is encryption without authentication.)
+    *
+    * With `rootCertPem` (libpq's `sslrootcert`, one or more PEM
+    * certificates) the handshake PKIX-validates the server chain against
+    * exactly those anchors — `sslmode=verify-ca` — closing the
+    * plain-SCRAM gap above; `verifyHostname` additionally matches the
+    * server host/IP against the certificate's SAN (RFC 6125, JSSE's HTTPS
+    * endpoint-identification rules — note an IP target needs an IP SAN,
+    * the legacy CN fallback does not apply) — `sslmode=verify-full`. */
+  private[pgwire] def open(host: String, port: Int, ssl: Boolean,
+                           rootCertPem: Option[String] = None,
+                           verifyHostname: Boolean = false)
       : (Socket, Option[java.security.cert.X509Certificate]) = {
     val plain = new Socket(host, port)
     plain.setTcpNoDelay(true)
@@ -346,19 +359,68 @@ object PgWireSocket {
             "— enable ssl=on server-side or drop ssl=true")
       }
       val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
-      ctx.init(null, Array[javax.net.ssl.TrustManager](
-        new javax.net.ssl.X509TrustManager {
-          def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
-                                 a: String): Unit = ()
-          def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
-                                 a: String): Unit = ()
-          def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
-            Array.empty
-        }), new java.security.SecureRandom())
+      val trust = rootCertPem match {
+        case None => Array[javax.net.ssl.TrustManager](
+          new javax.net.ssl.X509TrustManager {
+            def checkClientTrusted(c: Array[java.security.cert.X509Certificate],
+                                   a: String): Unit = ()
+            def checkServerTrusted(c: Array[java.security.cert.X509Certificate],
+                                   a: String): Unit = ()
+            def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+              Array.empty
+          })
+        case Some(pem) =>
+          // PEM file → trust anchors: every certificate in the file becomes
+          // an anchor (a self-signed server cert is its own anchor — the
+          // standard sslrootcert=server.crt shape), validated by the
+          // default PKIX TrustManager
+          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+          val anchors =
+            try {
+              val fin = new java.io.FileInputStream(pem)
+              try cf.generateCertificates(fin).toArray(
+                Array.empty[java.security.cert.Certificate])
+              finally fin.close()
+            } catch {
+              case e @ (_: java.io.IOException |
+                        _: java.security.cert.CertificateException) =>
+                try plain.close() catch { case _: Exception => }
+                throw new SQLException(
+                  s"could not load sslrootcert $pem: ${e.getMessage}", e)
+            }
+          if (anchors.isEmpty)
+            throw new SQLException(s"sslrootcert $pem holds no certificates")
+          val ks = java.security.KeyStore.getInstance(
+            java.security.KeyStore.getDefaultType)
+          ks.load(null, null)
+          anchors.zipWithIndex.foreach { case (c, i) =>
+            ks.setCertificateEntry(s"root$i", c) }
+          val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+            javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+          tmf.init(ks)
+          tmf.getTrustManagers
+      }
+      ctx.init(null, trust, new java.security.SecureRandom())
       val s = ctx.getSocketFactory.createSocket(plain, host, port, true)
         .asInstanceOf[javax.net.ssl.SSLSocket]
       s.setUseClientMode(true)
-      s.startHandshake()
+      if (verifyHostname) {
+        val params = s.getSSLParameters
+        params.setEndpointIdentificationAlgorithm("HTTPS")
+        s.setSSLParameters(params)
+      }
+      // a failed handshake (untrusted chain, SAN mismatch) surfaces as the
+      // JDBC contract's SQLException, not a bare IOException from deep in
+      // JSSE — callers distinguish "certificate rejected" from "network"
+      try s.startHandshake()
+      catch {
+        case e: java.io.IOException =>
+          try plain.close() catch { case _: Exception => }
+          throw new SQLException(
+            s"TLS handshake with $host:$port failed" +
+              (if (rootCertPem.isDefined) s" (validating against ${rootCertPem.get})"
+               else "") + s": ${e.getMessage}", e)
+      }
       val cert = s.getSession.getPeerCertificates.head
         .asInstanceOf[java.security.cert.X509Certificate]
       (s, Some(cert))

@@ -85,18 +85,26 @@ private[pgwire] object PgWireJdbc {
     val user = opt("user").getOrElse("postgres")
     val database = if (db.nonEmpty) db else "postgres"
     // ssl=true or sslmode=require → TLS (SSLRequest + JSSE + SCRAM-PLUS
-    // channel binding when offered). verify-ca/verify-full are refused
-    // loudly: this driver does trust-all TLS (see PgWireSocket.open) and
-    // silently downgrading a verify request would misrepresent it.
+    // channel binding when offered; trust-all certs, like libpq require).
+    // verify-ca adds PKIX chain validation against the PEM roots named by
+    // sslrootcert (libpq's flag, no ~/.postgresql/root.crt default — an
+    // implicit file picking the trust anchors would be the kind of silent
+    // behavior a verify mode exists to rule out); verify-full additionally
+    // checks the server hostname/IP against the cert's SAN (RFC 6125 via
+    // JSSE endpoint identification). A verify request without sslrootcert
+    // is refused loudly, never downgraded to trust-all.
     val sslMode = opt("sslmode")
-    sslMode.filter(m => m == "verify-ca" || m == "verify-full").foreach { m =>
+    val verify = sslMode.exists(m => m == "verify-ca" || m == "verify-full")
+    val rootCert = opt("sslrootcert")
+    if (verify && rootCert.isEmpty)
       throw new java.sql.SQLException(
-        s"sslmode=$m is not supported (no certificate validation in this " +
-          "driver) — use sslmode=require, whose MITM defense is SCRAM " +
-          "channel binding")
-    }
-    val ssl = opt("ssl").contains("true") || sslMode.contains("require")
-    val sock = new PgWireSocket(host, port, user, database, opt("password"), ssl)
+        s"sslmode=${sslMode.get} needs sslrootcert=<PEM file of trusted " +
+          "roots> — without anchors certificate validation cannot run, and " +
+          "silently falling back to trust-all would misrepresent the mode")
+    val ssl = opt("ssl").contains("true") || sslMode.contains("require") || verify
+    val sock = new PgWireSocket(host, port, user, database, opt("password"), ssl,
+      sslRootCert = if (verify) rootCert else None,
+      sslVerifyHostname = sslMode.contains("verify-full"))
     new PgConnection(sock, url, user).asJdbc
   }
 

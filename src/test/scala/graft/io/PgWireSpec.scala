@@ -261,11 +261,72 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       val rs = c.createStatement().executeQuery("SELECT 40 + 2")
       assert(rs.next() && rs.getInt(1) == 42)
     } finally c.close()
-    // verify-ca must be refused loudly, never silently downgraded
+    // a verify mode without anchors must be refused loudly, never
+    // silently downgraded to trust-all
     intercept[java.sql.SQLException] {
       DriverManager.getConnection(
         s"jdbc:postgresql://127.0.0.1:$port/postgres?user=tls_probe&password=Tls-probe-pw&sslmode=verify-ca").close()
     }
+  }
+
+  test("sslmode=verify-ca / verify-full: PKIX validation against sslrootcert") {
+    assume(up, "no local postgres server")
+    // phase-1 server cert: CN only, NO SAN — the verify-ca/verify-full
+    // split hinges on it (chain validates; an IP target finds no IP SAN).
+    // other.crt is an unrelated self-signed root for the wrong-anchor case.
+    val certOk = sh(
+      s"""openssl req -new -x509 -days 2 -nodes -subj "/CN=127.0.0.1" """ +
+        s"-newkey rsa:2048 -keyout $dir/server.key -out $dir/server.crt " +
+        s"""&& openssl req -new -x509 -days 2 -nodes -subj "/CN=unrelated" """ +
+        s"-newkey rsa:2048 -keyout $dir/other.key -out $dir/other.crt " +
+        s"&& chown postgres:postgres $dir/server.key $dir/server.crt " +
+        s"&& chmod 600 $dir/server.key")._1 == 0
+    assume(certOk, "openssl unavailable")
+    val conn0 = DriverManager.getConnection(url)
+    try {
+      val st = conn0.createStatement()
+      st.executeUpdate("ALTER SYSTEM SET ssl = on")
+      st.executeUpdate(s"ALTER SYSTEM SET ssl_cert_file = '$dir/server.crt'")
+      st.executeUpdate(s"ALTER SYSTEM SET ssl_key_file = '$dir/server.key'")
+      st.close()
+    } finally conn0.close()
+    assert(sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)._1 == 0)
+    Thread.sleep(500)
+    def connect(mode: String, root: Option[String]): Unit = {
+      val extra = root.fold("")(r => s"&sslrootcert=$r")
+      DriverManager.getConnection(
+        s"jdbc:postgresql://127.0.0.1:$port/postgres?user=postgres" +
+          s"&sslmode=$mode$extra").close()
+    }
+    // verify-ca: the self-signed server cert is its own anchor
+    connect("verify-ca", Some(s"$dir/server.crt"))
+    // verify-ca against an unrelated root: handshake must be rejected
+    val wrongRoot = intercept[java.sql.SQLException] {
+      connect("verify-ca", Some(s"$dir/other.crt")) }
+    assert(wrongRoot.getMessage.contains("TLS handshake"), wrongRoot.getMessage)
+    // a bad anchors file fails loudly, before any handshake
+    assert(intercept[java.sql.SQLException] {
+      connect("verify-ca", Some(s"$dir/nonexistent.crt"))
+    }.getMessage.contains("sslrootcert"))
+    // verify-full on a SAN-less cert: chain trusts fine (verify-ca above),
+    // but JSSE's RFC 6125 rules find no IP SAN for the 127.0.0.1 target —
+    // hostname verification is genuinely ON, not a no-op atop verify-ca
+    intercept[java.sql.SQLException] {
+      connect("verify-full", Some(s"$dir/server.crt")) }
+    // phase 2: regenerate WITH the IP SAN, SIGHUP reloads the cert in
+    // place — verify-full must now pass end-to-end
+    assert(sh(
+      s"""openssl req -new -x509 -days 2 -nodes -subj "/CN=127.0.0.1" """ +
+        s"""-addext "subjectAltName=IP:127.0.0.1" """ +
+        s"-newkey rsa:2048 -keyout $dir/server.key -out $dir/server.crt " +
+        s"&& chown postgres:postgres $dir/server.key $dir/server.crt " +
+        s"&& chmod 600 $dir/server.key")._1 == 0)
+    assert(sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)._1 == 0)
+    Thread.sleep(500)
+    connect("verify-full", Some(s"$dir/server.crt"))
+    // and the wrong-anchor rejection still holds under verify-full
+    intercept[java.sql.SQLException] {
+      connect("verify-full", Some(s"$dir/other.crt")) }
   }
 
   test("transactional batched writer: updateByKey per-row counts are real on PG") {
