@@ -191,13 +191,15 @@ object StressIndex {
           .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey")),
         s"$src/f2")(_ => merge())
       // BROAD delta: every 10th key — keys ≫ buckets, the claim's boundary
-      // (by construction a full rewrite; the largest decade adds only wall
-      // time to an already-documented O(N) row, so it stops at ×FACTOR)
-      if (k <= factor)
-        applyDelta("q90_merge_delta10pct", scale, tgt,
-          orders.filter($"o_orderkey" % 10 === 0)
-            .select($"o_orderkey", ($"o_custkey" + 2000000L).as("o_custkey")),
-          s"$src/f3")(_ => merge())
+      // (by construction a full rewrite). Runs at EVERY scale since the
+      // clustered-write change made the O(N) rewrite affordable at ×100 —
+      // the row's point is that the boundary scales exactly like the
+      // bootstrap (O(N)), measured across two decades rather than asserted
+      // from one.
+      applyDelta("q90_merge_delta10pct", scale, tgt,
+        orders.filter($"o_orderkey" % 10 === 0)
+          .select($"o_orderkey", ($"o_custkey" + 2000000L).as("o_custkey")),
+        s"$src/f3")(_ => merge())
       // the SAME 10% of keys applied as 10 SEQUENTIAL 1% merges — the
       // un-batched path the wide-delta guard warns about: each sub-merge
       // still touches ~every bucket, so total rewrite ≈ 10× the one
