@@ -43,7 +43,8 @@ object StressIndex {
     * apply started, the delta's input size, what got rewritten. */
   case class Meas(op: String, scale: String, sec: Double, baseBytes: Long,
                   deltaRows: Long, deltaBytes: Long, rewrittenBytes: Long,
-                  touchedParts: Int, totalParts: Int) {
+                  touchedParts: Int, totalParts: Int,
+                  touchedFiles: Int = 0) {
     def amp: Double =
       if (deltaBytes <= 0) 0.0 else rewrittenBytes.toDouble / deltaBytes
   }
@@ -88,12 +89,16 @@ object StressIndex {
       if (i < 0) None else Some(segs.take(i + 1).mkString("/"))
     }.toSet
 
-  /** Files created or rewritten between the two snapshots, and the
-    * distinct partition directories they live in. */
+  /** Files created or rewritten between the two snapshots, the distinct
+    * partition directories they live in, and their count — files ≈ dirs is
+    * the clustered-write contract (one data file per partition dir), made
+    * visible per maintenance apply rather than only spec-pinned. */
   private def rewritten(dir: String, before: Map[String, (Long, Long)],
-                        after: Map[String, (Long, Long)]): (Long, Set[String]) = {
+                        after: Map[String, (Long, Long)])
+      : (Long, Set[String], Int) = {
     val changed = after.filter { case (p, sm) => !before.get(p).contains(sm) }
-    (changed.valuesIterator.map(_._1).sum, partsOf(dir, changed.keySet))
+    (changed.valuesIterator.map(_._1).sum, partsOf(dir, changed.keySet),
+      changed.size)
   }
 
   /** Count of partition directories (sidecars included) currently in dir. */
@@ -156,10 +161,10 @@ object StressIndex {
       val before = snapshot(targetDir)
       val (_, sec) = timed(apply(deltaLanding))
       val after = snapshot(targetDir)
-      val (rw, parts) = rewritten(targetDir, before, after)
+      val (rw, parts, files) = rewritten(targetDir, before, after)
       results += Meas(op, scale, sec, totalBytes(before),
         deltaRowsOf(deltaLanding, spark), totalBytes(dSnap), rw,
-        parts.size, partDirs(targetDir))
+        parts.size, partDirs(targetDir), files)
       println(results.last)
     }
 
@@ -182,7 +187,7 @@ object StressIndex {
       val bootSnap = snapshot(tgt)
       results += Meas("q90_merge_bootstrap", scale, bootSec, 0L,
         orders.count(), totalBytes(bootSnap), totalBytes(bootSnap),
-        partDirs(tgt), partDirs(tgt))
+        partDirs(tgt), partDirs(tgt), bootSnap.size)
       println(results.last)
       // SMALL delta: 4 keys — the scrape-loop steady state (keys ≪ buckets)
       val keys4 = (0 until 4).map(i => (i * 1000 + 7).toLong * k) // existing keys at either scale
@@ -210,6 +215,7 @@ object StressIndex {
         var totSec = 0.0
         var totDelta = 0L
         var totRows = 0L
+        var totFiles = 0
         val partsSeen = scala.collection.mutable.Set.empty[String]
         var before = snapshot(tgt)
         for (i <- 0 until 10) {
@@ -222,13 +228,13 @@ object StressIndex {
           totRows += deltaRowsOf(landing, spark)
           val (_, sec) = timed(merge())
           val after = snapshot(tgt)
-          val (rw, parts) = rewritten(tgt, before, after)
-          totRw += rw; totSec += sec; partsSeen ++= parts
+          val (rw, parts, files) = rewritten(tgt, before, after)
+          totRw += rw; totSec += sec; partsSeen ++= parts; totFiles += files
           before = after
         }
         results += Meas("q90_merge_delta10pct_split10", scale, totSec,
           totalBytes(before), totRows, totDelta, totRw,
-          partsSeen.size, partDirs(tgt))
+          partsSeen.size, partDirs(tgt), totFiles)
         println(results.last)
       }
     }
@@ -245,7 +251,7 @@ object StressIndex {
       val bootSnap = snapshot(idx)
       results += Meas("q106_index_bootstrap", scale, bootSec, 0L,
         docs.count(), totalBytes(bootSnap), totalBytes(bootSnap),
-        partDirs(idx), partDirs(idx))
+        partDirs(idx), partDirs(idx), bootSnap.size)
       println(results.last)
       // append delta: 100 NEW docs drawn from ONE replica's vocabulary
       // (a real landing batch shares the corpus vocab, not all of it)
@@ -298,9 +304,9 @@ object StressIndex {
         val (_, sec) = timed(
           text.PostingIndex.compactPending(spark, idx, "doc_id", buckets))
         val after = snapshot(idx)
-        val (rw, parts) = rewritten(idx, before, after)
+        val (rw, parts, files) = rewritten(idx, before, after)
         results += Meas("q124_pending_compact", scale, sec, totalBytes(before),
-          0L, pendBytes, rw, parts.size, partDirs(idx))
+          0L, pendBytes, rw, parts.size, partDirs(idx), files)
         println(results.last)
       }
     }
@@ -330,9 +336,9 @@ object StressIndex {
         val (_, sec) = timed(
           text.PostingIndex.rebucket(spark, idx, "doc_id", 16, buckets))
         val after = snapshot(idx)
-        val (rw, parts) = rewritten(idx, before, after)
+        val (rw, parts, files) = rewritten(idx, before, after)
         results += Meas("rebucket_execute", scale, sec, totalBytes(before),
-          0L, 0L, rw, parts.size, partDirs(idx))
+          0L, 0L, rw, parts.size, partDirs(idx), files)
         println(results.last)
       }
       val newDocs2 = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
@@ -407,8 +413,8 @@ object StressIndex {
     md ++= "partition dirs. The O(delta) claim = the delta rows' sec and\n"
     md ++= "rewritten bytes stay ~flat from ×1 to ×" + factor + " while the bootstrap\n"
     md ++= "rows (inherently O(N)) grow ~linearly.\n\n"
-    md ++= "| op | scale | sec | base bytes | delta rows | delta bytes | rewritten | amp | parts |\n"
-    md ++= "|---|---|---|---|---|---|---|---|---|\n"
+    md ++= "| op | scale | sec | base bytes | delta rows | delta bytes | rewritten | amp | parts | files |\n"
+    md ++= "|---|---|---|---|---|---|---|---|---|---|\n"
     results.foreach { m =>
       val isBoot = m.op.contains("bootstrap") || m.op.contains("q213") ||
         m.op.contains("rebucket_execute")
@@ -417,7 +423,8 @@ object StressIndex {
       val deltaS = if (m.deltaBytes == 0) "—" else fmtB(m.deltaBytes)
       val rwS = if (m.rewrittenBytes == 0) "—" else fmtB(m.rewrittenBytes)
       val partsS = if (m.totalParts == 0) "—" else s"${m.touchedParts}/${m.totalParts}"
-      md ++= f"| ${m.op} | ${m.scale} | ${m.sec}%.2f | $baseS | ${m.deltaRows} | $deltaS | $rwS | $ampS | $partsS |\n"
+      val filesS = if (m.touchedFiles == 0) "—" else m.touchedFiles.toString
+      md ++= f"| ${m.op} | ${m.scale} | ${m.sec}%.2f | $baseS | ${m.deltaRows} | $deltaS | $rwS | $ampS | $partsS | $filesS |\n"
     }
     // verdict lines: the claim is judged on the LAST two scale points —
     // the ×1 point is usually SATURATED (a 100-row delta touches all 16
@@ -461,6 +468,22 @@ object StressIndex {
       r <- at("q106_append100_rebucketed", u.scale)
       f <- at("q106_index_append100", u.scale)
     } md ++= f"- rebucket (${u.scale}): append to the birth-sized (16-bucket) grown index rewrote ${fmtB(u.rewrittenBytes)}; after `rebucket` to the ∝N count the same append rewrote ${fmtB(r.rewrittenBytes)} vs the fresh-index line's ${fmtB(f.rewrittenBytes)} — post-rebucket maintenance returns to the fresh line.\n"
+    // clustered-write contract (`files` column): every partitioned write
+    // holds each partition dir at ≈ one data file — the worst files-per-
+    // touched-dir ratio across all applies is the measured invariant
+    // (unclustered, each write task adds a file to every dir it touches:
+    // tasks × buckets files, the pre-round-12 failure mode).
+    locally {
+      // split10 is a SUM over 10 sequential applies of the same dirs (10
+      // applies × k dirs = 10 files/dir by construction) — rate only the
+      // single-apply rows the per-apply contract is about
+      val rated = results.filter(m => m.touchedFiles > 0 && m.touchedParts > 0 &&
+        !m.op.contains("split10"))
+      if (rated.nonEmpty) {
+        val worst = rated.maxBy(m => m.touchedFiles.toDouble / m.touchedParts)
+        md ++= f"- clustered-write contract: files-per-touched-dir ≤ ${worst.touchedFiles.toDouble / worst.touchedParts}%.2f across every single apply (worst: ${worst.op} ${worst.scale}, ${worst.touchedFiles} files / ${worst.touchedParts} dirs) — one same-bytes shuffle per write holds partition dirs at ≈ one splittable file for the index lifetime; unclustered this was tasks × buckets files per write.\n"
+      }
+    }
     if (stateResults.nonEmpty) {
       md ++= "\n### Streaming state footprint (state = sketch/bucket rows, never raw docs)\n\n"
       md ++= "Catalog functions run with the session checkpoint root redirected;\n"
