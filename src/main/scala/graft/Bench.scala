@@ -142,10 +142,42 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":$totalMed,"families":$famJson,"queries":$qs,"queries_median":$qsMed,"queries_shuffle_bytes":$qsShuffle,"failed":$failedJson,"sf":"$sfDir","fingerprint":$fp}"""
     if (only.isEmpty && results.size != SparkEntry.queries.size)
       System.err.println(s"BENCH WARNING: artifact covers ${results.size} of ${SparkEntry.queries.size} catalog queries")
-    println(line)
-    // the driver's artifact stores only a truncated tail of stdout, which
-    // can cut the totals off — always land the complete JSON in a file too
-    // (override with SPARK_GRAFT_BENCH_OUT; copy into the repo per round)
+    // The driver captures only the LAST ~2000 chars of stdout; the full
+    // per-query line (~34 KB at 362 queries) never fit, so the official
+    // BENCH_r{N}.json carried an unparseable mid-line fragment and the
+    // real evidence lived only in the local file (round-12 VERDICT item
+    // 6). Print ONE compact line — totals, per-family sec + shuffle
+    // bytes, the top-10 most expensive queries, and a fingerprint digest
+    // — sized under the tail window so the driver's artifact is
+    // self-adjudicating; the complete per-query JSON still lands in
+    // SPARK_GRAFT_BENCH_OUT below for drift diffs.
+    def r2(x: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
+    def r3(x: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+    val famBytes = results.toSeq
+      .groupBy { case (k, _) => famOf.getOrElse(k, "other") }
+    val famCompact = famBytes.toSeq
+      .map { case (f, rs) =>
+        val tot = rs.map(_._2._1).sum
+        val sb = rs.map(_._2._3).sum
+        (tot, s""""$f":{"n":${rs.size},"sec":${r2(tot)},"shuffle_mb":${r2(sb / 1e6)}}""")
+      }
+      .sortBy(-_._1).map(_._2).mkString("{", ",", "}")
+    val topQ = results.toSeq.sortBy(-_._2._1).take(10)
+      .map { case (k, (mn, _, _)) => s""""$k":${r3(mn)}""" }
+      .mkString("{", ",", "}")
+    val shuffleTotal = results.values.map(_._3).sum
+    val fpSha = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      md.digest(fp.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    }
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","runs":$runs,"n_failed":${failed.size},"n_benched":${results.size},"n_catalog":${SparkEntry.queries.size},"partial":$partial,"total_median":${r3(totalMed)},"shuffle_mb_total":${r2(shuffleTotal / 1e6)},"families":$famCompact,"top_queries":$topQ,"failed":$failedJson,"sf":"$sfDir","fingerprint_sha":"$fpSha","detail":"see SPARK_GRAFT_BENCH_OUT file"}"""
+    if (compact.length > 1900)
+      System.err.println(s"BENCH WARNING: compact line ${compact.length} chars may exceed the driver tail window")
+    println(compact)
+    // the complete per-query JSON (min+median+shuffle bytes per query,
+    // full fingerprint) — the drift-diff artifact; copy into the repo per
+    // round (override the path with SPARK_GRAFT_BENCH_OUT)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench_full.json")
     try {
       val p = java.nio.file.Paths.get(outPath)

@@ -373,32 +373,39 @@ object PgWireSocket {
           // PEM file → trust anchors: every certificate in the file becomes
           // an anchor (a self-signed server cert is its own anchor — the
           // standard sslrootcert=server.crt shape), validated by the
-          // default PKIX TrustManager
-          val cf = java.security.cert.CertificateFactory.getInstance("X.509")
-          val anchors =
-            try {
+          // default PKIX TrustManager. The WHOLE block closes the
+          // already-connected plain socket on any failure (empty PEM,
+          // KeyStore/TMF setup) — the load-failure and handshake-failure
+          // paths already did, and this path leaking a live socket per
+          // retry was the round-12 advice item.
+          try {
+            val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+            val anchors = {
               val fin = new java.io.FileInputStream(pem)
               try cf.generateCertificates(fin).toArray(
                 Array.empty[java.security.cert.Certificate])
               finally fin.close()
-            } catch {
-              case e @ (_: java.io.IOException |
-                        _: java.security.cert.CertificateException) =>
-                try plain.close() catch { case _: Exception => }
-                throw new SQLException(
-                  s"could not load sslrootcert $pem: ${e.getMessage}", e)
             }
-          if (anchors.isEmpty)
-            throw new SQLException(s"sslrootcert $pem holds no certificates")
-          val ks = java.security.KeyStore.getInstance(
-            java.security.KeyStore.getDefaultType)
-          ks.load(null, null)
-          anchors.zipWithIndex.foreach { case (c, i) =>
-            ks.setCertificateEntry(s"root$i", c) }
-          val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
-            javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
-          tmf.init(ks)
-          tmf.getTrustManagers
+            if (anchors.isEmpty)
+              throw new SQLException(s"sslrootcert $pem holds no certificates")
+            val ks = java.security.KeyStore.getInstance(
+              java.security.KeyStore.getDefaultType)
+            ks.load(null, null)
+            anchors.zipWithIndex.foreach { case (c, i) =>
+              ks.setCertificateEntry(s"root$i", c) }
+            val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+              javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+            tmf.init(ks)
+            tmf.getTrustManagers
+          } catch {
+            case e: Exception =>
+              try plain.close() catch { case _: Exception => }
+              e match {
+                case s: SQLException => throw s
+                case _ => throw new SQLException(
+                  s"could not load sslrootcert $pem: ${e.getMessage}", e)
+              }
+          }
       }
       ctx.init(null, trust, new java.security.SecureRandom())
       val s = ctx.getSocketFactory.createSocket(plain, host, port, true)

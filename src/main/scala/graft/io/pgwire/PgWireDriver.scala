@@ -102,8 +102,13 @@ private[pgwire] object PgWireJdbc {
           "roots> — without anchors certificate validation cannot run, and " +
           "silently falling back to trust-all would misrepresent the mode")
     val ssl = opt("ssl").contains("true") || sslMode.contains("require") || verify
+    // sslrootcert under require/ssl=true is HONORED, not ignored (libpq's
+    // documented rule: "if a root CA file is present, require behaves the
+    // same as verify-ca") — the user who named trust anchors asked for
+    // chain validation, and running trust-all anyway would silently
+    // misrepresent the request (round-12 advice item).
     val sock = new PgWireSocket(host, port, user, database, opt("password"), ssl,
-      sslRootCert = if (verify) rootCert else None,
+      sslRootCert = if (ssl) rootCert else None,
       sslVerifyHostname = sslMode.contains("verify-full"))
     new PgConnection(sock, url, user).asJdbc
   }

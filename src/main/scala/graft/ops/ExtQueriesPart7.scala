@@ -20,10 +20,12 @@ import graft.ops.ExtQueriesShared._
   * per-row float folds, then `round` — see [[EmbQ]]), and everything
   * after that is exact integer/decimal arithmetic, so every query
   * hash-matches its DuckDB oracle bit-for-bit regardless of row order
-  * or partitioning. Reference behaviors: sec_dl stores embeddings as
-  * opaque vectors and runs similarity in SQL (ref
-  * `sec_dl/search/query.py:1` pattern); these are the scale-side
-  * diagnostics of that same column. */
+  * or partitioning. The reference itself carries no embedding column —
+  * this family is the BASELINE.json "north_star" extension surface
+  * (similarity search over `embeddings.parquet`), and these queries are
+  * the scale-side diagnostics of that same column (geometry audits, FD
+  * estimates, hubness) that a production ANN deployment runs alongside
+  * the q46-q49 search operators. */
 private[ops] object ExtQueriesPart7 {
 
   /** Coordinate quantization scale: 4 decimal digits. Chosen so the

@@ -293,7 +293,7 @@ object Streams {
   }
 
   /** F2+F4 streaming — the reference's "near real time full text search"
-    * (`sec_dl/README.md:6-7`: filings land, the tsvector trigger keeps the
+    * (reference `README.md:6`: filings land, the tsvector trigger keeps the
     * GIN index current) as a Structured Streaming sink: each micro-batch of
     * (id, text) documents appends its postings to the on-disk index via
     * `PostingIndex.appendToIndex`, rewriting only the touched lexeme-bucket

@@ -290,43 +290,79 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
       st.executeUpdate(s"ALTER SYSTEM SET ssl_key_file = '$dir/server.key'")
       st.close()
     } finally conn0.close()
-    assert(sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)._1 == 0)
-    Thread.sleep(500)
     def connect(mode: String, root: Option[String]): Unit = {
       val extra = root.fold("")(r => s"&sslrootcert=$r")
       DriverManager.getConnection(
         s"jdbc:postgresql://127.0.0.1:$port/postgres?user=postgres" +
           s"&sslmode=$mode$extra").close()
     }
-    // verify-ca: the self-signed server cert is its own anchor
-    connect("verify-ca", Some(s"$dir/server.crt"))
-    // verify-ca against an unrelated root: handshake must be rejected
-    val wrongRoot = intercept[java.sql.SQLException] {
-      connect("verify-ca", Some(s"$dir/other.crt")) }
-    assert(wrongRoot.getMessage.contains("TLS handshake"), wrongRoot.getMessage)
-    // a bad anchors file fails loudly, before any handshake
-    assert(intercept[java.sql.SQLException] {
-      connect("verify-ca", Some(s"$dir/nonexistent.crt"))
-    }.getMessage.contains("sslrootcert"))
-    // verify-full on a SAN-less cert: chain trusts fine (verify-ca above),
-    // but JSSE's RFC 6125 rules find no IP SAN for the 127.0.0.1 target —
-    // hostname verification is genuinely ON, not a no-op atop verify-ca
-    intercept[java.sql.SQLException] {
-      connect("verify-full", Some(s"$dir/server.crt")) }
-    // phase 2: regenerate WITH the IP SAN, SIGHUP reloads the cert in
-    // place — verify-full must now pass end-to-end
-    assert(sh(
-      s"""openssl req -new -x509 -days 2 -nodes -subj "/CN=127.0.0.1" """ +
-        s"""-addext "subjectAltName=IP:127.0.0.1" """ +
-        s"-newkey rsa:2048 -keyout $dir/server.key -out $dir/server.crt " +
-        s"&& chown postgres:postgres $dir/server.key $dir/server.crt " +
-        s"&& chmod 600 $dir/server.key")._1 == 0)
-    assert(sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)._1 == 0)
-    Thread.sleep(500)
-    connect("verify-full", Some(s"$dir/server.crt"))
-    // and the wrong-anchor rejection still holds under verify-full
-    intercept[java.sql.SQLException] {
-      connect("verify-full", Some(s"$dir/other.crt")) }
+    // pg_ctl reload is asynchronous — poll for the reloaded cert by
+    // retrying the positive connect (the old cert fails the new anchor,
+    // so success == the new SSL context is live) instead of a fixed
+    // sleep, which was flaky on slow reloads (round-12 advice item)
+    def reloadUntil(probe: () => Unit, what: String): Unit = {
+      assert(sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)._1 == 0)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last: Throwable = null
+      while (true) {
+        try { probe(); return }
+        catch {
+          case e: java.sql.SQLException if System.nanoTime() < deadline =>
+            last = e; Thread.sleep(100)
+          case e: java.sql.SQLException =>
+            throw new AssertionError(s"$what not live after reload: ${e.getMessage}", e)
+        }
+      }
+    }
+    try {
+      // verify-ca: the self-signed server cert is its own anchor
+      reloadUntil(() => connect("verify-ca", Some(s"$dir/server.crt")),
+        "CN-only server cert")
+      // verify-ca against an unrelated root: handshake must be rejected
+      val wrongRoot = intercept[java.sql.SQLException] {
+        connect("verify-ca", Some(s"$dir/other.crt")) }
+      assert(wrongRoot.getMessage.contains("TLS handshake"), wrongRoot.getMessage)
+      // a bad anchors file fails loudly, before any handshake
+      assert(intercept[java.sql.SQLException] {
+        connect("verify-ca", Some(s"$dir/nonexistent.crt"))
+      }.getMessage.contains("sslrootcert"))
+      // sslrootcert under plain require is honored (libpq's "require with
+      // a root CA file behaves as verify-ca"), never silently ignored: a
+      // wrong anchor must fail the handshake even at sslmode=require
+      intercept[java.sql.SQLException] {
+        connect("require", Some(s"$dir/other.crt")) }
+      connect("require", Some(s"$dir/server.crt"))
+      // verify-full on a SAN-less cert: chain trusts fine (verify-ca above),
+      // but JSSE's RFC 6125 rules find no IP SAN for the 127.0.0.1 target —
+      // hostname verification is genuinely ON, not a no-op atop verify-ca
+      intercept[java.sql.SQLException] {
+        connect("verify-full", Some(s"$dir/server.crt")) }
+      // phase 2: regenerate WITH the IP SAN, SIGHUP reloads the cert in
+      // place — verify-full must now pass end-to-end
+      assert(sh(
+        s"""openssl req -new -x509 -days 2 -nodes -subj "/CN=127.0.0.1" """ +
+          s"""-addext "subjectAltName=IP:127.0.0.1" """ +
+          s"-newkey rsa:2048 -keyout $dir/server.key -out $dir/server.crt " +
+          s"&& chown postgres:postgres $dir/server.key $dir/server.crt " +
+          s"&& chmod 600 $dir/server.key")._1 == 0)
+      reloadUntil(() => connect("verify-full", Some(s"$dir/server.crt")),
+        "IP-SAN server cert")
+      // and the wrong-anchor rejection still holds under verify-full
+      intercept[java.sql.SQLException] {
+        connect("verify-full", Some(s"$dir/other.crt")) }
+    } finally {
+      // restore the cluster-wide cert GUCs this test pointed at its own
+      // throwaway files — later TLS tests must not inherit them silently
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.executeUpdate("ALTER SYSTEM RESET ssl_cert_file")
+        st.executeUpdate("ALTER SYSTEM RESET ssl_key_file")
+        st.close()
+      } finally c.close()
+      sh(s"""su postgres -s /bin/bash -c "pg_ctl -D $dir/data reload" """)
+      ()
+    }
   }
 
   test("transactional batched writer: updateByKey per-row counts are real on PG") {
