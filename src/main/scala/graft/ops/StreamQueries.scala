@@ -195,6 +195,50 @@ object StreamQueries {
       .orderBy($"doc_id")
   }
 
+  /** q124's PENDING-LIST twin (round-12 VERDICT item 1) — the reference's
+    * steady-state re-scrape (`scrape_all_filings.py:169-171` UPDATEs fire
+    * the tsvector trigger, `init_tables.py:59-67`) through
+    * `maintainPostingIndex(mode = "buffered")`: each micro-batch appends
+    * ~delta-sized postings to the GIN-fastupdate pending list instead of
+    * COW-rewriting every touched bucket (84× less per batch at the ×100
+    * stress scale, STRESS.md). Batch 1 bootstraps the corrupted corpus;
+    * batch 2 is a buffered GHOST edit that still matches the search;
+    * batch 3 the true re-scrape — so streamed latest-batch-wins is
+    * load-bearing; run 4 consumes nothing (checkpoint no-op). The result
+    * is the search through the pending OVERLAY read INTERSECTED with the
+    * same search after [[graft.text.PostingIndex.compactPending]] folds
+    * the streamed batches into the base — divergence between the two
+    * read paths, a leaked ghost, or a lost edit breaks the intersection
+    * against the same fresh-build oracle as q37/q89/q106/q124. */
+  private val q365StreamBuffered: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val src = graft.util.Scratch.dir("graft_sbidx_src_")
+    val idx = graft.util.Scratch.dir("graft_sbidx_idx_") + "/idx"
+    val ck = graft.util.Scratch.dir("graft_sbidx_ck_")
+    def run(): Unit = graft.streaming.Streams.maintainPostingIndex(
+      graft.streaming.Streams.parquetStream(s, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 16, mode = "buffered")
+    docs.filter($"doc_id" % 5 === 0)
+      .withColumn("text", concat($"text", lit(" merges joining")))
+      .unionByName(docs.filter($"doc_id" % 5 =!= 0))
+      .write.parquet(s"$src/f1")
+    run()
+    docs.filter($"doc_id" % 5 === 0) // buffered ghost edit — still a hit
+      .withColumn("text", lit("still merges joining ghost"))
+      .write.parquet(s"$src/f2")
+    run()
+    docs.filter($"doc_id" % 5 === 0).write.parquet(s"$src/f3") // re-scrape
+    run()
+    run() // no new files: exactly-once no-op
+    val pre = graft.text.PostingIndex.searchAllIndexed(s, idx, "doc_id",
+      Seq("merges", "joining"), buckets = 16).localCheckpoint(true)
+    graft.text.PostingIndex.compactPending(s, idx, "doc_id", buckets = 16)
+    val post = graft.text.PostingIndex.searchAllIndexed(s, idx, "doc_id",
+      Seq("merges", "joining"), buckets = 16)
+    pre.intersect(post).orderBy($"doc_id")
+  }
+
   /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated
     * against the same gaps-and-islands oracle as q72. Events land as three
     * time-sliced files consumed one per micro-batch (maxFilesPerTrigger=1),
@@ -747,6 +791,7 @@ object StreamQueries {
     "q107_stream_index"     -> q107StreamIndex,
     "q119_stream_phrase"    -> q119StreamPhrase,
     "q124_stream_upsert"    -> q124StreamUpsert,
+    "q365_stream_buffered"  -> q365StreamBuffered,
     "q138_stream_join"      -> q138StreamJoin,
     "q210_session_window"   -> q210SessionWindow,
     "q211_dedup_watermark"  -> q211DedupWatermark,
@@ -850,6 +895,10 @@ object StreamQueries {
     // corpus IS `documents` — the same shared fresh-build oracle; a ghost
     // posting the sweep missed shows up as an extra matching doc_id
     "q124_stream_upsert" -> TextQueries.mergesJoiningOracle,
+    // the buffered twin's final corpus is also exactly `documents`, and
+    // the overlay-read ∩ compacted-read construction means BOTH paths
+    // must independently equal the fresh-build truth
+    "q365_stream_buffered" -> TextQueries.mergesJoiningOracle,
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
          count(*) AS n

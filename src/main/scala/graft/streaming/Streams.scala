@@ -307,16 +307,27 @@ object Streams {
   def maintainPostingIndex(stream: DataFrame, indexPath: String, idCol: String,
                            textCol: String, checkpointDir: String,
                            buckets: Int = 64, positional: Boolean = false,
-                           mode: String = "append"): Unit = {
+                           mode: String = "append",
+                           compactAboveBytes: Long = 64L * 1024 * 1024): Unit = {
     import graft.text.{PostingIndex, TextOps}
     // append = new documents only (the reference's INSERT leg); upsert =
     // each batch's docs REPLACE their prior postings (the UPDATE leg —
     // the scrape loop re-writing a filing's text must not leave ghost
-    // postings behind, PostingIndex.upsertIndex's delete sweep). Both
-    // compose exactly-once with the checkpoint: append dedupes on
-    // (id, bucket), upsert converges by construction.
-    require(mode == "append" || mode == "upsert",
-      s"maintainPostingIndex mode must be append|upsert, got '$mode'")
+    // postings behind, PostingIndex.upsertIndex's delete sweep);
+    // buffered = the same REPLACE semantics through the GIN-fastupdate
+    // pending list (PostingIndex.upsertIndexBuffered) — each micro-batch
+    // appends ~delta-sized postings instead of COW-rewriting every
+    // touched bucket (measured 3.3× vs 274.7× write amplification per
+    // batch at the ×100 stress scale), with the fold deferred to the
+    // compactAboveBytes trigger riding inside the same foreachBatch.
+    // All three compose exactly-once with the checkpoint: append dedupes
+    // on (id, bucket); upsert converges by construction; buffered
+    // converges because a replayed epoch re-appends the same docs under
+    // a HIGHER pending-batch stamp and reads resolve latest-batch-wins —
+    // identical live rows, and compaction folds replace-by-id (so a
+    // crash at any point, including mid-compaction, heals on re-run).
+    require(mode == "append" || mode == "upsert" || mode == "buffered",
+      s"maintainPostingIndex mode must be append|upsert|buffered, got '$mode'")
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Hadoop FS, not java.io.File: on a cluster store (hdfs://, s3a://,
@@ -342,12 +353,18 @@ object Streams {
           case (true, "upsert") =>
             PostingIndex.upsertIndexPositional(batch.sparkSession, indexPath, batch,
               idCol, col(textCol), buckets)
+          case (true, "buffered") =>
+            PostingIndex.upsertIndexBufferedPositional(batch.sparkSession, indexPath,
+              batch, idCol, col(textCol), buckets, compactAboveBytes)
           case (true, _) =>
             PostingIndex.appendToIndexPositional(batch.sparkSession, indexPath, batch,
               idCol, col(textCol), buckets)
           case (false, "upsert") =>
             PostingIndex.upsertIndex(batch.sparkSession, indexPath, batch,
               idCol, TextOps.tokenize(col(textCol)), buckets)
+          case (false, "buffered") =>
+            PostingIndex.upsertIndexBuffered(batch.sparkSession, indexPath, batch,
+              idCol, TextOps.tokenize(col(textCol)), buckets, compactAboveBytes)
           case (false, _) =>
             PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
               idCol, TextOps.tokenize(col(textCol)), buckets)

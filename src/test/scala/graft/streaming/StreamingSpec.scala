@@ -433,4 +433,90 @@ class StreamingSpec extends AnyFunSuite {
     val rows = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
     assert(rows.size == 64 && rows(2L) == "z" && rows(3L) == "w3")
   }
+
+  private def searchIdx(idx: String, terms: Seq[String], buckets: Int): Seq[Long] =
+    graft.text.PostingIndex.searchAllIndexed(spark, idx, "doc_id", terms,
+      buckets = buckets).as[Long].collect().sorted.toSeq
+
+  test("maintainPostingIndex mode=buffered: streamed edits buffer in the pending list, replayed epoch converges") {
+    val src = Files.createTempDirectory("graft_mpb_src_").toString
+    val idx = Files.createTempDirectory("graft_mpb_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_mpb_ck_").toString
+    val docs = Seq(
+      (1L, "merge join scan"), (2L, "merge sort spill"),
+      (3L, "vector join probe"), (4L, "merge join vector"),
+      (5L, "window frame scan"), (6L, "hash hash probe"))
+      .toDF("doc_id", "text")
+    def run(): Unit = Streams.maintainPostingIndex(
+      Streams.parquetStream(spark, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 4, mode = "buffered")
+
+    docs.write.parquet(s"$src/f1")
+    run() // bootstrap
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 4L))
+    assert(graft.text.PostingIndex.pendingBytes(spark, idx) == 0L,
+      "bootstrap writes the base layout, not pending batches")
+
+    // UPDATE doc 2 into a hit + pure-DELETE doc 4 (empty tokenization),
+    // as one buffered micro-batch: must land in _pending, never a base
+    // bucket rewrite
+    val baseFiles = {
+      val d = new java.io.File(idx)
+      d.listFiles.filter(_.getName.startsWith("lexeme_bucket="))
+        .flatMap(_.listFiles).map(f => f.getPath -> f.lastModified).toMap
+    }
+    Seq((2L, "merge join found"), (4L, "")).toDF("doc_id", "text")
+      .write.parquet(s"$src/f2")
+    run()
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L))
+    assert(graft.text.PostingIndex.pendingBytes(spark, idx) > 0L,
+      "the streamed edit must buffer, not COW-rewrite")
+    baseFiles.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.lastModified == m, s"base file $p was rewritten")
+    }
+
+    // REPLAY: drop the newest commit marker so the engine re-executes the
+    // last epoch on restart — the buffered path must converge (same live
+    // rows under a higher pending-batch stamp), not duplicate or diverge
+    val commits = new java.io.File(s"$ck/commits")
+    val newest = commits.listFiles.filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // the local-FS checksum sidecar must go with it, or the replayed
+    // epoch's atomic re-create of the commit file fails on the stale crc
+    new java.io.File(commits, s".${newest.getName}.crc").delete()
+    run()
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L),
+      "replayed epoch must converge to the same search results")
+
+    run() // nothing new: checkpoint no-op
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L))
+
+    // and compaction folds the streamed batches to the same truth
+    graft.text.PostingIndex.compactPending(spark, idx, "doc_id", buckets = 4)
+    assert(graft.text.PostingIndex.pendingBytes(spark, idx) == 0L)
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L))
+  }
+
+  test("maintainPostingIndex mode=buffered: compaction rides compactAboveBytes under the checkpoint") {
+    val src = Files.createTempDirectory("graft_mpc_src_").toString
+    val idx = Files.createTempDirectory("graft_mpc_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_mpc_ck_").toString
+    val docs = Seq((1L, "merge join scan"), (2L, "merge sort spill"))
+      .toDF("doc_id", "text")
+    def run(): Unit = Streams.maintainPostingIndex(
+      Streams.parquetStream(spark, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 4, mode = "buffered",
+      compactAboveBytes = 1L)
+    docs.write.parquet(s"$src/f1")
+    run()
+    Seq((2L, "merge join found")).toDF("doc_id", "text").write.parquet(s"$src/f2")
+    run()
+    // the 1-byte threshold forces the fold inside the same foreachBatch —
+    // the index leaves the micro-batch already compacted and correct
+    assert(graft.text.PostingIndex.pendingBytes(spark, idx) == 0L,
+      "threshold crossing must compact inside the micro-batch")
+    assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L))
+  }
 }
