@@ -309,6 +309,62 @@ object StressIndex {
           0L, pendBytes, rw, parts.size, partDirs(idx), files)
         println(results.last)
       }
+      // the SAME 100-doc re-scrape through the STREAMING maintenance path
+      // (round-12 VERDICT item 1: maintainPostingIndex mode=buffered) —
+      // the reference's actual write pattern must run at pending-list
+      // amplification (~3×), not the COW path's ~275×
+      val rescraped3 = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+        .select($"doc_id", concat($"text", lit(" streams buffering")).as("text"))
+      applyDelta("q365_stream_buffered100", scale, idx, rescraped3,
+        util.Scratch.dir(s"graft_sidx_pd5_$scale") + "/d") { landing =>
+        val ck = util.Scratch.dir(s"graft_sidx_sbck_$scale")
+        streaming.Streams.maintainPostingIndex(
+          streaming.Streams.parquetStream(spark, landing,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("text",
+                org.apache.spark.sql.types.StringType)))),
+          idx, "doc_id", "text", ck, buckets = buckets, mode = "buffered")
+      }
+      text.PostingIndex.compactPending(spark, idx, "doc_id", buckets) // reset
+      // STEADY STATE across the pending-list lifecycle (round-12 VERDICT
+      // item 7): 10 sequential buffered batches, then the ONE compaction
+      // that folds them — per-step diffs summed, so the row's `amp` is
+      // the honest AMORTIZED bytes-per-batch including the fold (GIN's
+      // gin_pending_list_limit steady state)
+      locally {
+        var totRw = 0L; var totSec = 0.0; var totDelta = 0L
+        var totRows = 0L; var totFiles = 0
+        val partsSeen = scala.collection.mutable.Set.empty[String]
+        var before = snapshot(idx)
+        for (i <- 0 until 10) {
+          val landing = util.Scratch.dir(s"graft_sidx_sd${i}_$scale") + "/d"
+          docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
+            .select($"doc_id", concat($"text", lit(s" steady$i word$i")).as("text"))
+            .write.mode("overwrite").parquet(landing)
+          val dSnap = snapshot(landing)
+          totDelta += totalBytes(dSnap)
+          totRows += deltaRowsOf(landing, spark)
+          val (_, sec) = timed(text.PostingIndex.upsertIndexBuffered(spark, idx,
+            spark.read.parquet(landing), "doc_id",
+            text.TextOps.tokenize($"text"), buckets,
+            compactAboveBytes = Long.MaxValue))
+          val after = snapshot(idx)
+          val (rw, parts, files) = rewritten(idx, before, after)
+          totRw += rw; totSec += sec; partsSeen ++= parts; totFiles += files
+          before = after
+        }
+        val (_, csec) = timed(
+          text.PostingIndex.compactPending(spark, idx, "doc_id", buckets))
+        val after = snapshot(idx)
+        val (crw, cparts, cfiles) = rewritten(idx, before, after)
+        totRw += crw; totSec += csec; partsSeen ++= cparts; totFiles += cfiles
+        results += Meas("q124_buffered_steady10", scale, totSec,
+          totalBytes(before), totRows, totDelta, totRw,
+          partsSeen.size, partDirs(idx), totFiles)
+        println(results.last)
+      }
     }
 
     // ============ rebucket: a grown index re-sized ∝ N (round-11 item 3) =
@@ -320,9 +376,20 @@ object StressIndex {
     for ((scale, dir, buckets, k) <- scales if k > 1) {
       val docs = io.Tables.documents(spark, dir).select($"doc_id", $"text")
       val idx = util.Scratch.dir(s"graft_sidx_rb_$scale") + "/idx"
+      // REAL growth under maintenance (not a birth-sized full write): born
+      // on the 1/k slice — the birth width the layout marker stamps — then
+      // grown k× by append. This is the shape the round-12 rebucket
+      // TRIGGER watches for: the growth append and every later apply see
+      // mean touched-bucket width ≫ birth and must arm the warning.
       text.PostingIndex.write(
-        text.PostingIndex.build(docs, "doc_id", text.TextOps.tokenize($"text")),
-        idx, 16) // birth sizing, NOT ∝ N
+        text.PostingIndex.build(docs.filter($"doc_id" % k === 0), "doc_id",
+          text.TextOps.tokenize($"text")),
+        idx, 16) // ∝ N sizing for the slice; k× undersized once grown
+      text.PostingIndex.appendToIndex(spark, idx,
+        docs.filter($"doc_id" % k =!= 0), "doc_id",
+        text.TextOps.tokenize($"text"), 16)
+      println(s"[rebucket-trigger $scale after growth] " +
+        text.PostingIndex.lastRebucketWarning.getOrElse("NOT ARMED"))
       val newDocs = docs.filter($"doc_id" % k === 0 && $"doc_id" < 100 * k)
         .select(($"doc_id" + 20000000L).as("doc_id"), $"text")
       applyDelta("q106_append100_undersized", scale, idx, newDocs,
@@ -331,6 +398,8 @@ object StressIndex {
           spark.read.parquet(landing), "doc_id",
           text.TextOps.tokenize($"text"), 16)
       }
+      println(s"[rebucket-trigger $scale undersized append100] " +
+        text.PostingIndex.lastRebucketWarning.getOrElse("NOT ARMED"))
       locally { // the O(index) rewrite itself — the honest amortized cost
         val before = snapshot(idx)
         val (_, sec) = timed(
@@ -349,6 +418,8 @@ object StressIndex {
           spark.read.parquet(landing), "doc_id",
           text.TextOps.tokenize($"text"), buckets)
       }
+      println(s"[rebucket-trigger $scale rebucketed append100] " +
+        text.PostingIndex.lastRebucketWarning.getOrElse("CLEARED"))
     }
 
     // ========== streaming state: sketch/bucket rows, never raw docs ======

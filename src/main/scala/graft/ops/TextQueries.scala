@@ -556,6 +556,39 @@ object TextQueries {
                                d: String): org.apache.spark.sql.DataFrame =
     Trigram.similarSelfJoin(entityRecords(s, d), "rid", "name", 11, 20)
 
+  /** The stop-gram df cap q366 measures and the ER stress family runs
+    * with. At the catalog record set (≤ ~343 records) a gram shared by
+    * more than a third of all records separates boilerplate structure
+    * from entity-identifying content; the recall gate below is what makes
+    * the number honest rather than tuned. */
+  private[ops] val ErStopGramDf = 128L
+
+  /** ER df-cap recall contract (round-12 VERDICT item 2, q47's measured-
+    * contract pattern): [[Trigram.similarSelfJoin]]'s `stopGramDf` mode
+    * removes grams with document frequency > [[ErStopGramDf]] from every
+    * record's set — the hub-gram blocks whose C(df, 2) candidate fanout
+    * is what turned the ×100 ER stress run superlinear (STRESS.md: >70 GB
+    * spill) — making the metric "Jaccard over non-hub grams". This query
+    * pins BOTH pair sets against DuckDB (the capped semantics are exactly
+    * SQL-expressible) and gates measured recall vs the full-metric truth
+    * ≥ 0.9, so the scale path's cheaper candidate generation never
+    * silently costs matches. */
+  private val q366ErStopgram: Q = (s, d) => {
+    import s.implicits._
+    val recs = entityRecords(s, d)
+    val truth = partNameSimPairs(s, d).cache()
+    val capped = Trigram.similarSelfJoin(recs, "rid", "name", 11, 20,
+      stopGramDf = Some(ErStopGramDf)).cache()
+    val hit = truth.join(capped, Seq("r1", "r2"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(
+        when($"n_truth" === 0, lit(true))
+          .otherwise($"n_hit".cast("double") / $"n_truth" >= 0.9).as("recall_ok"),
+        $"n_truth", $"n_capped", $"n_hit")
+  }
+
   private val q181EntityClusters: Q = (s, d) => {
     import s.implicits._
     val recs = entityRecords(s, d)
@@ -879,6 +912,7 @@ object TextQueries {
     "q123_upsert_phrase"    -> q123UpsertPhrase,
     "q125_trigram_fuzzy"    -> q125TrigramFuzzy,
     "q181_entity_clusters"  -> q181EntityClusters,
+    "q366_er_stopgram"      -> q366ErStopgram,
     "q184_triangles"        -> q184Triangles,
     "q196_kcore"            -> q196KCore,
     "q207_label_prop"       -> q207LabelProp,
@@ -1215,6 +1249,25 @@ object TextQueries {
          SELECT node AS rid, node // 2 AS partkey, node % 2 AS is_variant,
                 min(label) AS component
          FROM reach GROUP BY node ORDER BY rid""",
+    // the stop-gram variant's pair set recomputed from scratch under the
+    // SAME df cap (grams with df > cap dropped before sizing, candidates
+    // and the Jaccard gate), plus the full-metric truth and the overlap —
+    // recall_ok is the engine's measured ≥ 0.9 gate, asserted literally
+    "q366_er_stopgram" ->
+      s"""WITH $entityGraphCte,
+          df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+          gk AS (SELECT g.rid, g.g FROM g JOIN df USING (g)
+                 WHERE df.df <= ${TextQueries.ErStopGramDf}),
+          nk AS (SELECT rid, CAST(count(*) AS BIGINT) AS sz FROM gk GROUP BY 1),
+          shrk AS (SELECT a.rid AS r1, b.rid AS r2, CAST(count(*) AS BIGINT) AS o
+                   FROM gk a JOIN gk b ON a.g = b.g AND a.rid < b.rid GROUP BY 1, 2),
+          pk AS (SELECT r1, r2 FROM shrk
+                 JOIN nk n1 ON n1.rid = r1 JOIN nk n2 ON n2.rid = r2
+                 WHERE 20 * o >= 11 * (n1.sz + n2.sz - o))
+          SELECT true AS recall_ok,
+                 (SELECT count(*) FROM p) AS n_truth,
+                 (SELECT count(*) FROM pk) AS n_capped,
+                 (SELECT count(*) FROM p JOIN pk USING (r1, r2)) AS n_hit""",
     "q196_kcore" -> kCoreOracleSql(2, 4),
     "q207_label_prop" -> labelPropOracleSql(3),
     // same sort key, same w=3 rank window, same trigram-jaccard gate

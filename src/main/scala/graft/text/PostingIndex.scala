@@ -55,14 +55,50 @@ object PostingIndex {
     // and maintains it incrementally from then on.
     val p = new org.apache.hadoop.fs.Path(path, LayoutMarker)
     val fs = p.getFileSystem(postings.sparkSession.sessionState.newHadoopConf())
+    // line 2: birth size in bytes — the ∝N sizing rule's reference point
+    // for the maintenance-time rebucket trigger (one metadata call at
+    // write time; the sidecar/pending areas don't exist yet, so this is
+    // exactly the bucketed payload)
+    val birthBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(path)).getLength
     val out = fs.create(p, true)
-    try out.write(buckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$buckets\n$birthBytes"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
   /** Root-level file recording the bucket modulus the index was written
-    * with (underscore prefix: ignored by parquet directory listings). */
+    * with (underscore prefix: ignored by parquet directory listings).
+    * Since round 13 the marker carries a SECOND line: the index's birth
+    * size in bytes, from which the rebucket trigger derives the birth
+    * bytes-per-bucket the ∝N sizing rule established — markers written
+    * before that line existed simply disable the trigger (parse below
+    * reads line 1 for the modulus either way). */
   private val LayoutMarker = "_graft_index_buckets"
+
+  private def readMarkerLines(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): Option[Array[String]] = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, LayoutMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(txt.split('\n').map(_.trim).filter(_.nonEmpty))
+    }
+  }
+
+  /** Birth bytes-per-bucket stamped at [[write]]/[[rebucket]] time —
+    * the reference width the maintenance-time rebucket trigger compares
+    * against. None for indexes written before the marker's second line. */
+  private def birthBucketWidth(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, buckets: Int): Option[Double] =
+    readMarkerLines(spark, indexPath).flatMap(_.lift(1))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .map(_.toDouble / buckets)
 
   /** Reject a `buckets` argument that disagrees with the written layout:
     * postings hashed with a different modulus would land in (or prune to)
@@ -70,20 +106,66 @@ object PostingIndex {
     * (id, bucket) idempotence anti-join defeated. Indexes written before
     * the marker existed are trusted as-called. */
   private def requireLayout(spark: org.apache.spark.sql.SparkSession,
-                            indexPath: String, buckets: Int): Unit = {
-    val p = new org.apache.hadoop.fs.Path(indexPath, LayoutMarker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val written =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
+                            indexPath: String, buckets: Int): Unit =
+    readMarkerLines(spark, indexPath).flatMap(_.headOption).foreach { line =>
+      val written = line.toInt
       require(written == buckets,
         s"index at $indexPath was written with $written lexeme buckets; " +
           s"caller passed buckets=$buckets — postings would hash into the " +
           "wrong partitions")
+    }
+
+  // ------------------------------------------------ rebucket trigger
+
+  /** Mean-touched-bucket-width growth over birth width at which the
+    * maintenance paths flag the layout as undersized. Bucket count is
+    * sized ∝ N at bootstrap; an index grown k× under maintenance keeps
+    * its birth modulus, so per-batch rewrite cost (O(touched buckets ×
+    * bucket size)) and search pruning both degrade k× — the measured
+    * undersized case costs 3006× write amplification at the ×100 stress
+    * scale where the ∝N layout costs ~30× (STRESS.md). 4× is loud enough
+    * to never fire on healthy jitter and early enough that one rebucket
+    * restores the fresh-index line. */
+  val RebucketWarnFactor = 4.0
+
+  /** Most recent undersized-layout warning, None after a healthy apply —
+    * same observability contract as `Streams.lastWideDeltaWarning`: the
+    * maintenance loop (or a monitor) reads it, and the text also goes to
+    * stderr loudly at apply time. */
+  @volatile var lastRebucketWarning: Option[String] = None
+
+  /** Measure the buckets this apply just rewrote against the birth
+    * sizing rule and arm/clear [[lastRebucketWarning]]. O(touched)
+    * filesystem metadata calls — never a full-index walk; the touched
+    * buckets are an unbiased width sample because lexeme hashing is
+    * uniform. Indexes without a birth-width stamp skip the check. */
+  private def rebucketCheck(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, buckets: Int,
+                            touched: Seq[Int]): Unit = {
+    if (touched.isEmpty) return
+    birthBucketWidth(spark, indexPath, buckets).foreach { birth =>
+      if (birth > 0) {
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val widths = touched.flatMap { b =>
+          val d = new org.apache.hadoop.fs.Path(indexPath, s"lexeme_bucket=$b")
+          if (fs.exists(d)) Some(fs.getContentSummary(d).getLength) else None
+        }
+        lastRebucketWarning =
+          if (widths.isEmpty) None
+          else {
+            val ratio = widths.sum.toDouble / widths.size / birth
+            if (ratio >= RebucketWarnFactor) {
+              val suggest = math.ceil(buckets * ratio).toInt
+              Some(f"PostingIndex at $indexPath has grown ${ratio}%.1f× past its " +
+                f"birth bucket width (mean touched bucket ${widths.sum / widths.size}%d B " +
+                f"vs birth ${birth}%.0f B): per-batch rewrite cost and search pruning " +
+                f"degrade with bucket width — rebucket($buckets -> ~$suggest) to " +
+                "restore the fresh-index maintenance line")
+            } else None
+          }
+        lastRebucketWarning.foreach(System.err.println)
+      }
     }
   }
 
@@ -307,6 +389,7 @@ object PostingIndex {
           ids = batch.select(col(idCol)).distinct(),
           newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
           idCol, buckets, replaceIds = false)
+      rebucketCheck(spark, indexPath, buckets, touched)
     }
     batch.unpersist()
   }
@@ -400,6 +483,7 @@ object PostingIndex {
       maintainDocMap(spark, indexPath, ids,
         newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
         idCol, buckets, replaceIds = true)
+      rebucketCheck(spark, indexPath, buckets, touched)
     }
     batch.unpersist()
     ids.unpersist()
@@ -444,6 +528,66 @@ object PostingIndex {
   private val PendingDeletesDir = "_pending_deletes"
   private val BatchCol = "pending_batch"
 
+  /** Root-level monotone compaction counter. [[compactPending]] bumps it
+    * (BEFORE deleting the pending files, so there is no window where the
+    * files are gone but the epoch still matches); [[indexRelation]]
+    * captures it at build time and re-checks it at EXECUTION time, so a
+    * lazy DataFrame planned over the pending overlay and executed after a
+    * compaction fails with a message naming the hazard instead of a bare
+    * FileNotFoundException — or, under `spark.sql.files
+    * .ignoreMissingFiles=true`, instead of SILENTLY missing every
+    * buffered edit (the round-12 VERDICT item 4 enforcement). */
+  private val EpochMarker = "_graft_pending_epoch"
+
+  /** Executor-safe epoch read: no SparkSession (the guard runs inside a
+    * task), so the FS comes from the default Hadoop configuration — the
+    * classpath core-site.xml on a cluster, the local FS in tests. */
+  private def readEpochRaw(indexPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def bumpEpoch(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = readEpochRaw(indexPath) + 1
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** One-row frame that exists iff the pending epoch still equals
+    * `builtAt` WHEN THE PLAN EXECUTES — cross-joined (broadcast) onto the
+    * overlay's live side, it runs as its own tiny stage on every
+    * execution of the read, even when the pending scan itself returns
+    * zero rows (the ignoreMissingFiles silent case). Nondeterministic so
+    * Catalyst never constant-folds or reorders the check away. */
+  private def epochGuardFrame(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String): DataFrame = {
+    val builtAt = readEpochRaw(indexPath)
+    val pathCap = indexPath
+    val check = udf { () =>
+      val now = readEpochRaw(pathCap)
+      if (now != builtAt) throw new IllegalStateException(
+        s"posting index at $pathCap was compacted (pending epoch $now; this " +
+          s"read was planned at epoch $builtAt) after this DataFrame was built " +
+          "— the pending files it lazily references are gone. Rebuild the " +
+          "read, or materialize it (localCheckpoint(true) / write) before " +
+          "calling compactPending.")
+      true
+    }.asNondeterministic()
+    spark.range(1).filter(check()).select(lit(1).as("graft_epoch_live"))
+  }
+
   private def pendingPath(indexPath: String) = s"$indexPath/$PendingDir"
   private def pendingDeletesPath(indexPath: String) = s"$indexPath/$PendingDeletesDir"
 
@@ -482,8 +626,13 @@ object PostingIndex {
     val base = spark.read.parquet(indexPath)
     if (!hasPending(spark, indexPath)) return base
     val (live, superseded) = livePending(spark, indexPath, idCol)
+    // execution-time compaction guard on the live side: the overlay read
+    // is only valid while the pending area it was planned over exists
+    val guarded = live
+      .crossJoin(broadcast(epochGuardFrame(spark, indexPath)))
+      .drop("graft_epoch_live")
     base.join(broadcast(superseded), Seq(idCol), "left_anti")
-      .unionByName(live.select(base.columns.map(col).toIndexedSeq: _*))
+      .unionByName(guarded.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
   /** (live pending postings, superseded doc ids): an id's live rows are
@@ -621,11 +770,16 @@ object PostingIndex {
     * on retry (replace-by-id converges). GIN analog: the pending-list
     * merge at `gin_pending_list_limit` / VACUUM.
     *
-    * Laziness hazard: compaction DELETES the pending files — any
+    * Laziness hazard — ENFORCED, not just documented (round-12 VERDICT
+    * item 4): compaction DELETES the pending files, so any
     * still-unexecuted DataFrame built from an indexed read before the
-    * compaction lazily references them and will fail (or worse, re-plan
-    * against the folded base). Materialize such reads first
-    * (`localCheckpoint(true)` / write) before compacting. */
+    * compaction lazily references files that no longer exist. Every
+    * overlay read carries an execution-time epoch check
+    * ([[epochGuardFrame]]): executing such a plan after a compaction
+    * raises an IllegalStateException naming the hazard and the remedy
+    * (rebuild the read, or materialize with `localCheckpoint(true)` /
+    * write BEFORE compacting) — never a bare FileNotFoundException, and
+    * never silently-empty results under ignoreMissingFiles=true. */
   def compactPending(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                      idCol: String, buckets: Int = 64): Unit = {
     if (!hasPending(spark, indexPath)) return
@@ -636,6 +790,12 @@ object PostingIndex {
       fromCompaction = true)
     liveSnap.unpersist()
     idsSnap.unpersist()
+    // epoch bump BEFORE the delete: a crash in between leaves the pending
+    // files intact (reads planned after the bump see the folded base +
+    // the still-idempotent overlay — correct rows; a retry re-folds and
+    // deletes), and there is never a window where the files are gone but
+    // an old plan's epoch still matches
+    bumpEpoch(spark, indexPath)
     val fs = fsOf(spark, indexPath)
     Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)

@@ -155,7 +155,8 @@ object Trigram {
     * salting. */
   def similarSelfJoin(recs: DataFrame, idCol: String, textCol: String,
                       simNum: Int, simDen: Int,
-                      hubCap: Int = 2048, saltB: Int = 16): DataFrame = {
+                      hubCap: Int = 2048, saltB: Int = 16,
+                      stopGramDf: Option[Long] = None): DataFrame = {
     require(simNum > 0 && simNum < simDen,
       s"threshold must be in (0,1): $simNum/$simDen")
     require(hubCap > 0 && saltB > 1, s"hubCap=$hubCap saltB=$saltB")
@@ -165,15 +166,43 @@ object Trigram {
     // string arrays — the difference between fitting and OOM at the
     // sf1.0 stress scale. Set semantics (df counts, intersections,
     // Jaccard) are untouched by the packing.
-    val grams = recs
+    val grams0 = recs
       .select(col(idCol).as("rid"),
         sort_array(transform(trigrams(col(textCol)), x =>
           ascii(substring(x, 1, 1)) * lit(65536) +
             ascii(substring(x, 2, 1)) * lit(256) +
             ascii(substring(x, 3, 1)))).as("g"))
       .withColumn("sz", size(col("g")).cast("long")).cache()
-    val dfreq = grams.select(explode(col("g")).as("tok"))
+    val dfreq0 = grams0.select(explode(col("g")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // STOP-GRAM mode (round-12 VERDICT item 2): grams whose document
+    // frequency exceeds `stopGramDf` are removed from every record's set
+    // BEFORE sizing, candidate generation AND verification — the metric
+    // becomes "Jaccard over non-hub grams", the record-linkage analog of
+    // stopword removal. A hub gram's candidate fanout is C(df, 2) for
+    // O(1) discriminative value (every record pair sharing ONLY hub
+    // grams is boilerplate, not an entity match), and on a corpus with
+    // shared boilerplate structure the hub blocks are what turn the
+    // candidate volume superlinear (the measured ×100 stress boundary:
+    // >70 GB of shuffle spill from rep-mark hub grams). Recall against
+    // the full-metric truth is MEASURED, not assumed — q366's oracle
+    // pins both pair sets and the ≥ 0.9 recall gate at catalog scale.
+    // Records whose every gram is a hub drop out entirely (an empty set
+    // matches nothing). The semantics are exactly SQL-expressible, so
+    // the capped pair set itself stays DuckDB-oracle-gated.
+    val (grams, dfreq) = stopGramDf match {
+      case None => (grams0, dfreq0)
+      case Some(cap) =>
+        require(cap > 0, s"stopGramDf must be positive: $cap")
+        val dfKept = dfreq0.filter(col("df") <= cap)
+        // gram vocabulary ≤ ~47k pg_trgm grams — broadcast by construction
+        val g2 = grams0.select(col("rid"), explode(col("g")).as("tok"))
+          .join(broadcast(dfKept.select(col("tok"))), "tok")
+          .groupBy(col("rid"))
+          .agg(sort_array(collect_list(col("tok"))).as("g"))
+          .withColumn("sz", size(col("g")).cast("long")).cache()
+        (g2, dfKept)
+    }
     val prefixLen =
       s"cast(size(ord) - (($simNum * size(ord) + ${simDen - 1}) div $simDen) + 1 as int)"
     // the gram's global df rides the prefix struct, so the hub decision

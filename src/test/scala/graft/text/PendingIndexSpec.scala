@@ -131,6 +131,52 @@ class PendingIndexSpec extends AnyFunSuite {
     assert(search(dir, Seq("merge", "join")) == Seq(4L, 5L))
   }
 
+  test("a lazy overlay read executed after compactPending fails with the epoch error, not silence") {
+    val dir = freshDir()
+    writeIdx(dir)
+    PostingIndex.upsertIndexBuffered(spark, dir,
+      Seq((6L, "merge join added")).toDF("doc_id", "text"), "doc_id", toks, buckets = 4)
+    // plan the overlay read but do NOT execute it yet
+    val lazyRead = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 4)
+    // sanity: the plan is live pre-compaction
+    assert(lazyRead.count() == 3)
+    PostingIndex.compactPending(spark, dir, "doc_id", buckets = 4)
+    // execution after the compaction must fail LOUDLY — the epoch guard's
+    // message (or, if a scan stage loses the race to it, the missing-file
+    // error), never silently-correct-looking rows
+    val e = intercept[Throwable] { lazyRead.collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => s"${t.getClass.getName}: ${t.getMessage}").mkString(" | ")
+    assert(msgs.contains("was compacted") || msgs.contains("FileNotFound") ||
+      msgs.toLowerCase.contains("does not exist"), s"unexpected failure: $msgs")
+    // and a read built AFTER the compaction is correct
+    assert(search(dir, Seq("merge", "join")) == Seq(1L, 4L, 6L))
+  }
+
+  test("epoch guard catches the ignoreMissingFiles silent-wrong-rows case") {
+    val dir = freshDir()
+    writeIdx(dir)
+    PostingIndex.upsertIndexBuffered(spark, dir,
+      Seq((6L, "merge join added")).toDF("doc_id", "text"), "doc_id", toks, buckets = 4)
+    val conf = "spark.sql.files.ignoreMissingFiles"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "true")
+      val lazyRead = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+        Seq("merge", "join"), buckets = 4)
+      assert(lazyRead.count() == 3)
+      PostingIndex.compactPending(spark, dir, "doc_id", buckets = 4)
+      // without the guard this returns ROWS (the deleted pending files are
+      // silently skipped and the buffered edit vanishes) — the exact
+      // silent re-plan the hazard doc warned about; with it, a loud error
+      val e = intercept[Throwable] { lazyRead.collect() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("was compacted"), s"unexpected failure: $msgs")
+    } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+  }
+
   test("positional buffered upsert keeps phrase search correct over the overlay") {
     val dir = freshDir()
     PostingIndex.write(

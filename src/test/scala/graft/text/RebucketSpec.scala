@@ -114,4 +114,40 @@ class RebucketSpec extends AnyFunSuite {
       Seq("merge", "join"), buckets = 4).as[Long].collect().sorted.toSeq
     assert(hits == Seq(4L))
   }
+
+  test("maintenance arms the rebucket warning once bucket width outgrows the birth sizing, rebucket clears it") {
+    val dir = freshDir()
+    // born tiny: 2 buckets over 5 docs — the birth width the marker stamps
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 2)
+    // healthy first append: width ~2× birth, below the 4× threshold
+    PostingIndex.appendToIndex(spark, dir,
+      docs.select(($"doc_id" + 100).as("doc_id"), $"text"),
+      "doc_id", toks, buckets = 2)
+    assert(PostingIndex.lastRebucketWarning.isEmpty,
+      "a healthy append must not warn")
+    // grow the index far past its birth BYTES under the birth modulus
+    // (distinct-lexeme-heavy docs, so payload dominates parquet footer
+    // overhead at spec scale): the undersized case — per-batch rewrite
+    // cost and pruning degrade with bucket width — must fire the trigger
+    (1 to 4).foreach { k =>
+      val heavy = spark.range(50).select(
+        ($"id" + k * 1000 + 100).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), (($"id" + k * 1000) * 12 + j).cast("string"))): _*)
+          .as("text"))
+      PostingIndex.appendToIndex(spark, dir, heavy, "doc_id", toks, buckets = 2)
+    }
+    val warn = PostingIndex.lastRebucketWarning
+    assert(warn.exists(_.contains("rebucket")),
+      s"a 10×-grown index must arm the warning, got $warn")
+    // acting on it returns maintenance to the fresh-index line: the
+    // rebucketed layout stamps a NEW birth width, so the next healthy
+    // append clears the hook
+    PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 2, newBuckets = 20)
+    PostingIndex.appendToIndex(spark, dir,
+      docs.select(($"doc_id" + 1100).as("doc_id"), $"text"),
+      "doc_id", toks, buckets = 20)
+    assert(PostingIndex.lastRebucketWarning.isEmpty,
+      "post-rebucket maintenance must clear the warning")
+  }
 }
