@@ -185,6 +185,30 @@ object Stress {
     }
     def trigramAllPairsFull(s: SparkSession, d: String): DataFrame =
       trigramAllPairs(s, d, 5)
+    // the ER pair stage under the measured df-cap (round-12 VERDICT item
+    // 2): grams with document frequency above the cap are dropped from
+    // sizing, candidates AND the Jaccard gate (`Trigram.similarSelfJoin
+    // stopGramDf` — the metric becomes "Jaccard over non-hub grams", whose
+    // recall vs the full metric is gated ≥ 0.9 by q366 at catalog scale).
+    // The cap is q366's ratio (df > ~37% of records is boilerplate, not
+    // identity) applied to this run's 20% record slice: sf0.1 part = 20k
+    // rows → ~4k records/replica → cap 1500. Hub grams are EXACTLY what
+    // made the uncapped ×100 run spill >70 GB: the rep-mark interleaving
+    // that keeps single-digit replicas gram-disjoint collides at two-digit
+    // replica ids ("ax1" occurs in rep 1 and rep 10+), and those collision
+    // grams' df grows ∝ replicas — C(df,2) candidate blocks went
+    // superlinear. A df cap removes them by construction at ANY density,
+    // so the capped operator's candidate volume is bounded per replica.
+    def trigramStopgram(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val stopDf = sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_STOPDF", "1500").toLong
+      text.Trigram.similarSelfJoin(
+        io.Tables.part(s, d).repartition($"p_partkey")
+          .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
+            .cast("long") % 5 === 0)
+          .select($"p_partkey", $"p_name"),
+        "p_partkey", "p_name", 11, 20, stopGramDf = Some(stopDf))
+    }
     // the round-8 iterative-graph legs at scale: each round is a bounded
     // (join + groupBy) pair over replica-disjoint graph copies, so edges —
     // and wall time — must grow linearly; localCheckpoint keeps lineage
@@ -251,6 +275,7 @@ object Stress {
       "q285_hits" -> ops.ExtQueries.queries("q285_hits"),
       "q296_bellman_ford" -> ops.ExtQueries.queries("q296_bellman_ford"),
       "q181_trigram_allpairs_full" -> trigramAllPairsFull,
+      "q181_trigram_stopgram" -> trigramStopgram,
       "q184_triangles_full" -> trianglesFull,
       "q196_kcore_full" -> kCoreFull,
       "q196_kcore_graph" -> kCoreGraph,
@@ -348,17 +373,20 @@ object Stress {
     md ++= "\nGenerated by `sbt \"runMain graft.Stress\"` on " +
       java.time.LocalDate.now() + ".\n"
     if (only.isEmpty) {
-      // preserve the index-maintenance section StressIndex owns (and
-      // vice-versa): this main regenerates only the pair-finder part
+      // preserve everything this main does NOT own: the hand-written
+      // `### ×100 spot-stress` / closing-notes subsections between the
+      // pair-finder table and the index-maintenance section (measured
+      // STRESS_ONLY evidence written up by hand — a full re-run must not
+      // silently drop second-decade rows), and the index-maintenance
+      // section StressIndex owns. Cut point = the first of either.
       val p = java.nio.file.Paths.get("STRESS.md")
       val tail =
         if (java.nio.file.Files.exists(p)) {
           val existing = new String(java.nio.file.Files.readAllBytes(p),
             java.nio.charset.StandardCharsets.UTF_8)
-          existing.indexOf(StressIndex.SectionMarker) match {
-            case -1 => ""
-            case i  => "\n" + existing.substring(i)
-          }
+          val cuts = Seq(existing.indexOf("### ×100 spot-stress"),
+            existing.indexOf(StressIndex.SectionMarker)).filter(_ >= 0)
+          if (cuts.isEmpty) "" else "\n" + existing.substring(cuts.min)
         } else ""
       java.nio.file.Files.writeString(p, md.toString + tail)
     } else println("STRESS_ONLY set: STRESS.md NOT overwritten (partial run)")

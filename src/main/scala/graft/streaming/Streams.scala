@@ -308,7 +308,8 @@ object Streams {
                            textCol: String, checkpointDir: String,
                            buckets: Int = 64, positional: Boolean = false,
                            mode: String = "append",
-                           compactAboveBytes: Long = 64L * 1024 * 1024): Unit = {
+                           compactAboveBytes: Long = 64L * 1024 * 1024,
+                           autoRebucket: Boolean = false): Unit = {
     import graft.text.{PostingIndex, TextOps}
     // append = new documents only (the reference's INSERT leg); upsert =
     // each batch's docs REPLACE their prior postings (the UPDATE leg —
@@ -326,6 +327,14 @@ object Streams {
     // a HIGHER pending-batch stamp and reads resolve latest-batch-wins —
     // identical live rows, and compaction folds replace-by-id (so a
     // crash at any point, including mid-compaction, heals on re-run).
+    // autoRebucket=true closes the trigger loop (round-12 VERDICT item 3,
+    // from "warn" to "act"): when an apply arms PostingIndex.
+    // lastRebucketAdvice — mean touched-bucket width ≥ 4× the birth
+    // sizing — the loop folds any pending area and rebuckets to the
+    // suggested ∝N modulus between micro-batches, the maintenance-window
+    // slot the rebucket contract prescribes. Off by default: the swap is
+    // an O(index) rewrite and not reader-concurrent, so batch callers opt
+    // in where a human would otherwise schedule it.
     require(mode == "append" || mode == "upsert" || mode == "buffered",
       s"maintainPostingIndex mode must be append|upsert|buffered, got '$mode'")
     val q = stream.writeStream
@@ -344,6 +353,16 @@ object Streams {
         // smaller boolean-search layout. One flag, same bootstrap/append
         // lifecycle, and appendBatch's layout guard catches a flag flip
         // against an existing index of the other kind.
+        // the CURRENT modulus: under autoRebucket a previous batch may
+        // have swapped the layout, so the constructor argument is only
+        // the bootstrap sizing — the layout marker is the truth from then
+        // on (one tiny root read per batch; requireLayout would reject a
+        // stale value loudly, this just removes the restart footgun).
+        val curBuckets =
+          if (bootstrapped && autoRebucket)
+            PostingIndex.layoutBuckets(batch.sparkSession, indexPath)
+              .getOrElse(buckets)
+          else buckets
         if (!bootstrapped) {
           val built =
             if (positional) PostingIndex.buildPositional(batch, idCol, col(textCol))
@@ -352,23 +371,49 @@ object Streams {
         } else (positional, mode) match {
           case (true, "upsert") =>
             PostingIndex.upsertIndexPositional(batch.sparkSession, indexPath, batch,
-              idCol, col(textCol), buckets)
+              idCol, col(textCol), curBuckets)
           case (true, "buffered") =>
             PostingIndex.upsertIndexBufferedPositional(batch.sparkSession, indexPath,
-              batch, idCol, col(textCol), buckets, compactAboveBytes)
+              batch, idCol, col(textCol), curBuckets, compactAboveBytes)
           case (true, _) =>
             PostingIndex.appendToIndexPositional(batch.sparkSession, indexPath, batch,
-              idCol, col(textCol), buckets)
+              idCol, col(textCol), curBuckets)
           case (false, "upsert") =>
             PostingIndex.upsertIndex(batch.sparkSession, indexPath, batch,
-              idCol, TextOps.tokenize(col(textCol)), buckets)
+              idCol, TextOps.tokenize(col(textCol)), curBuckets)
           case (false, "buffered") =>
             PostingIndex.upsertIndexBuffered(batch.sparkSession, indexPath, batch,
-              idCol, TextOps.tokenize(col(textCol)), buckets, compactAboveBytes)
+              idCol, TextOps.tokenize(col(textCol)), curBuckets, compactAboveBytes)
           case (false, _) =>
             PostingIndex.appendToIndex(batch.sparkSession, indexPath, batch,
-              idCol, TextOps.tokenize(col(textCol)), buckets)
+              idCol, TextOps.tokenize(col(textCol)), curBuckets)
         }
+        // ACT on the rebucket trigger (opt-in): the apply above armed the
+        // advice if its mean touched-bucket width outgrew the birth sizing
+        // rule 4×. Folding pending first is required (buffered batches
+        // hash by the old modulus); the swap itself is the documented
+        // two-rename compaction. Replay safety at any crash point: the
+        // rebucketed base holds exactly the rows the old layout held, so
+        // a replayed epoch converges the same way it would have without
+        // the swap (append anti-joins per (id, bucket) under the CURRENT
+        // marker's modulus; upsert replaces by id; buffered re-appends
+        // under a higher stamp) — and a crash BETWEEN the two renames
+        // leaves the index at <path>.rebucket_old per rebucket's contract.
+        if (autoRebucket)
+          PostingIndex.lastRebucketAdvice
+            .filter(_.indexPath == indexPath)
+            .foreach { a =>
+              if (PostingIndex.pendingBytes(batch.sparkSession, indexPath) > 0)
+                PostingIndex.compactPending(batch.sparkSession, indexPath, idCol,
+                  a.buckets)
+              PostingIndex.rebucket(batch.sparkSession, indexPath, idCol,
+                a.buckets, a.suggested)
+              System.err.println(s"maintainPostingIndex: auto-rebucketed " +
+                s"$indexPath ${a.buckets} -> ${a.suggested} " +
+                f"(mean touched width ${a.ratio}%.1f× birth)")
+              PostingIndex.lastRebucketAdvice = None
+              PostingIndex.lastRebucketWarning = None
+            }
         ()
       }
       .option("checkpointLocation", checkpointDir)

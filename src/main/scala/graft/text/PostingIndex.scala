@@ -91,6 +91,16 @@ object PostingIndex {
     }
   }
 
+  /** The bucket modulus the index on disk was actually written with
+    * (layout-marker line 1) — None for pre-marker indexes. Public because
+    * a maintenance loop that may [[rebucket]] between batches must
+    * re-read the CURRENT modulus rather than trust its constructor
+    * argument across the swap. */
+  def layoutBuckets(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String): Option[Int] =
+    readMarkerLines(spark, indexPath).flatMap(_.headOption)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+
   /** Birth bytes-per-bucket stamped at [[write]]/[[rebucket]] time —
     * the reference width the maintenance-time rebucket trigger compares
     * against. None for indexes written before the marker's second line. */
@@ -134,6 +144,14 @@ object PostingIndex {
     * stderr loudly at apply time. */
   @volatile var lastRebucketWarning: Option[String] = None
 
+  /** The machine-readable twin of [[lastRebucketWarning]] — armed and
+    * cleared in exact tandem with it. `Streams.maintainPostingIndex
+    * (autoRebucket=true)` acts on this between micro-batches instead of
+    * parsing the human text. */
+  case class RebucketAdvice(indexPath: String, buckets: Int, suggested: Int,
+                            ratio: Double)
+  @volatile var lastRebucketAdvice: Option[RebucketAdvice] = None
+
   /** Measure the buckets this apply just rewrote against the birth
     * sizing rule and arm/clear [[lastRebucketWarning]]. O(touched)
     * filesystem metadata calls — never a full-index walk; the touched
@@ -151,19 +169,24 @@ object PostingIndex {
           val d = new org.apache.hadoop.fs.Path(indexPath, s"lexeme_bucket=$b")
           if (fs.exists(d)) Some(fs.getContentSummary(d).getLength) else None
         }
-        lastRebucketWarning =
+        val armed =
           if (widths.isEmpty) None
           else {
             val ratio = widths.sum.toDouble / widths.size / birth
-            if (ratio >= RebucketWarnFactor) {
-              val suggest = math.ceil(buckets * ratio).toInt
-              Some(f"PostingIndex at $indexPath has grown ${ratio}%.1f× past its " +
-                f"birth bucket width (mean touched bucket ${widths.sum / widths.size}%d B " +
-                f"vs birth ${birth}%.0f B): per-batch rewrite cost and search pruning " +
-                f"degrade with bucket width — rebucket($buckets -> ~$suggest) to " +
-                "restore the fresh-index maintenance line")
-            } else None
+            if (ratio >= RebucketWarnFactor)
+              Some((ratio, math.ceil(buckets * ratio).toInt))
+            else None
           }
+        lastRebucketAdvice = armed.map { case (ratio, suggest) =>
+          RebucketAdvice(indexPath, buckets, suggest, ratio)
+        }
+        lastRebucketWarning = armed.map { case (ratio, suggest) =>
+          f"PostingIndex at $indexPath has grown ${ratio}%.1f× past its " +
+            f"birth bucket width (mean touched bucket ${widths.sum / widths.size}%d B " +
+            f"vs birth ${birth}%.0f B): per-batch rewrite cost and search pruning " +
+            f"degrade with bucket width — rebucket($buckets -> ~$suggest) to " +
+            "restore the fresh-index maintenance line"
+        }
         lastRebucketWarning.foreach(System.err.println)
       }
     }

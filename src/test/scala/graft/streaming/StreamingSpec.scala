@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{concat, concat_ws, lit}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -518,5 +519,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.text.PostingIndex.pendingBytes(spark, idx) == 0L,
       "threshold crossing must compact inside the micro-batch")
     assert(searchIdx(idx, Seq("merge", "join"), 4) == Seq(1L, 2L))
+  }
+
+  test("maintainPostingIndex autoRebucket: a grown index is rebucketed between micro-batches and later batches ride the new modulus") {
+    val src = Files.createTempDirectory("graft_mpr_src_").toString
+    val idx = Files.createTempDirectory("graft_mpr_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_mpr_ck_").toString
+    val docs = Seq(
+      (1L, "merge join scan"), (2L, "merge sort spill"),
+      (3L, "vector join probe"), (4L, "merge join vector"),
+      (5L, "window frame scan"))
+      .toDF("doc_id", "text")
+    def run(): Unit = Streams.maintainPostingIndex(
+      Streams.parquetStream(spark, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 2, mode = "append",
+      autoRebucket = true)
+    docs.write.parquet(s"$src/f1")
+    run() // bootstrap at the tiny birth sizing (2 buckets over 5 docs)
+    assert(graft.text.PostingIndex.layoutBuckets(spark, idx).contains(2))
+    // one growth batch far past 4× the birth bucket width (distinct-
+    // lexeme-heavy docs so payload dominates footer overhead): the apply
+    // arms the advice and the SAME micro-batch must act on it
+    spark.range(200).select(($"id" + 100).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), ($"id" * 12 + j).cast("string"))): _*).as("text"))
+      .write.parquet(s"$src/f2")
+    run()
+    val newBuckets = graft.text.PostingIndex.layoutBuckets(spark, idx).get
+    assert(newBuckets > 2,
+      s"the grown index must have been auto-rebucketed, still at $newBuckets")
+    assert(graft.text.PostingIndex.lastRebucketAdvice.isEmpty &&
+      graft.text.PostingIndex.lastRebucketWarning.isEmpty,
+      "acting on the advice must clear both hooks")
+    assert(searchIdx(idx, Seq("merge", "join"), newBuckets) == Seq(1L, 4L),
+      "postings must survive the swap")
+    // a later batch must ride the marker's CURRENT modulus, not the
+    // constructor argument (the restart footgun the marker read removes)
+    Seq((6L, "merge join late")).toDF("doc_id", "text").write.parquet(s"$src/f3")
+    run()
+    assert(searchIdx(idx, Seq("merge", "join"),
+      graft.text.PostingIndex.layoutBuckets(spark, idx).get) == Seq(1L, 4L, 6L))
+  }
+
+  test("maintainPostingIndex autoRebucket composes with mode=buffered: fold arms the trigger, the swap lands compacted") {
+    val src = Files.createTempDirectory("graft_mprb_src_").toString
+    val idx = Files.createTempDirectory("graft_mprb_idx_").toString + "/idx"
+    val ck = Files.createTempDirectory("graft_mprb_ck_").toString
+    val docs = Seq((1L, "merge join scan"), (2L, "merge sort spill"))
+      .toDF("doc_id", "text")
+    def run(): Unit = Streams.maintainPostingIndex(
+      Streams.parquetStream(spark, s"$src/*", docs.schema),
+      idx, "doc_id", "text", ck, buckets = 2, mode = "buffered",
+      compactAboveBytes = 1L, autoRebucket = true)
+    docs.write.parquet(s"$src/f1")
+    run()
+    // growth through the pending list; the 1-byte threshold folds it in
+    // the same micro-batch, the fold's COW apply arms the advice, and the
+    // act step rebuckets an already-compacted index (rebucket's pending
+    // refusal would throw loudly were the ordering ever wrong)
+    spark.range(200).select(($"id" + 100).as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit("w"), ($"id" * 12 + j).cast("string"))): _*).as("text"))
+      .write.parquet(s"$src/f2")
+    run()
+    val newBuckets = graft.text.PostingIndex.layoutBuckets(spark, idx).get
+    assert(newBuckets > 2, s"fold-driven growth must rebucket, still at $newBuckets")
+    assert(graft.text.PostingIndex.pendingBytes(spark, idx) == 0L)
+    assert(searchIdx(idx, Seq("merge", "join"), newBuckets) == Seq(1L))
   }
 }
