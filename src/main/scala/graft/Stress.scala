@@ -52,6 +52,23 @@ object Stress {
     }
   }
 
+  /** The ER stress family's record slice and df cap, shared VERBATIM with
+    * [[StressErRecall]] (the recall gate at this slice): one definition,
+    * so tuning the slice or the cap can never leave the gate certifying a
+    * configuration the stress row no longer runs. 20% md5-thinned part
+    * records; cap = q366's "df > ~37% of records is boilerplate" ratio
+    * applied to this slice's ~4k records → 1500. */
+  private[graft] def erStressSlice(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    io.Tables.part(s, d).repartition($"p_partkey")
+      .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
+        .cast("long") % 5 === 0)
+      .select($"p_partkey", $"p_name")
+  }
+
+  private[graft] def erStressStopDf: Long =
+    sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_STOPDF", "1500").toLong
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_FACTOR", "10").toInt
@@ -199,16 +216,9 @@ object Stress {
     // grams' df grows ∝ replicas — C(df,2) candidate blocks went
     // superlinear. A df cap removes them by construction at ANY density,
     // so the capped operator's candidate volume is bounded per replica.
-    def trigramStopgram(s: SparkSession, d: String): DataFrame = {
-      import s.implicits._
-      val stopDf = sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_STOPDF", "1500").toLong
-      text.Trigram.similarSelfJoin(
-        io.Tables.part(s, d).repartition($"p_partkey")
-          .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
-            .cast("long") % 5 === 0)
-          .select($"p_partkey", $"p_name"),
-        "p_partkey", "p_name", 11, 20, stopGramDf = Some(stopDf))
-    }
+    def trigramStopgram(s: SparkSession, d: String): DataFrame =
+      text.Trigram.similarSelfJoin(erStressSlice(s, d),
+        "p_partkey", "p_name", 11, 20, stopGramDf = Some(erStressStopDf))
     // the round-8 iterative-graph legs at scale: each round is a bounded
     // (join + groupBy) pair over replica-disjoint graph copies, so edges —
     // and wall time — must grow linearly; localCheckpoint keeps lineage

@@ -18,14 +18,13 @@ import org.apache.spark.sql.functions._
 object StressErRecall {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val stopDf = sys.env.getOrElse("SPARK_GRAFT_TRIGRAM_STOPDF", "1500").toLong
+    val stopDf = Stress.erStressStopDf
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     import spark.implicits._
-    val recs = io.Tables.part(spark, baseDir).repartition($"p_partkey")
-      .filter(conv(substring(md5($"p_partkey".cast("string")), 1, 4), 16, 10)
-        .cast("long") % 5 === 0)
-      .select($"p_partkey", $"p_name")
+    // the EXACT slice the stress family runs (shared definition — see
+    // Stress.erStressSlice: gate and row cannot drift apart)
+    val recs = Stress.erStressSlice(spark, baseDir)
     val truth = text.Trigram.similarSelfJoin(recs, "p_partkey", "p_name", 11, 20)
       .select($"r1", $"r2").cache()
     val capped = text.Trigram.similarSelfJoin(recs, "p_partkey", "p_name", 11, 20,

@@ -329,7 +329,7 @@ object Streams {
     // crash at any point, including mid-compaction, heals on re-run).
     // autoRebucket=true closes the trigger loop (round-12 VERDICT item 3,
     // from "warn" to "act"): when an apply arms PostingIndex.
-    // lastRebucketAdvice — mean touched-bucket width ≥ 4× the birth
+    // rebucketAdvice(indexPath) — mean touched-bucket width ≥ 4× the birth
     // sizing — the loop folds any pending area and rebuckets to the
     // suggested ∝N modulus between micro-batches, the maintenance-window
     // slot the rebucket contract prescribes. Off by default: the swap is
@@ -346,6 +346,13 @@ object Streams {
         val path = new org.apache.hadoop.fs.Path(indexPath)
         val fs = path.getFileSystem(
           batch.sparkSession.sessionState.newHadoopConf())
+        // BEFORE the bootstrap probe: heal a rebucket swap that crashed
+        // between its two renames — in that window indexPath does not
+        // exist, and treating the replayed batch as a bootstrap would
+        // silently re-create the index with only that batch's docs while
+        // the corpus sits stranded at <path>.rebucket_old
+        if (autoRebucket)
+          PostingIndex.recoverRebucketSwap(batch.sparkSession, indexPath)
         val bootstrapped = fs.exists(path) &&
           fs.listStatus(path).exists(_.getPath.getName.startsWith("lexeme_bucket="))
         // positional = phrase-searchable maintained index (positions carried
@@ -400,8 +407,7 @@ object Streams {
         // under a higher stamp) — and a crash BETWEEN the two renames
         // leaves the index at <path>.rebucket_old per rebucket's contract.
         if (autoRebucket)
-          PostingIndex.lastRebucketAdvice
-            .filter(_.indexPath == indexPath)
+          PostingIndex.rebucketAdvice(indexPath)
             .foreach { a =>
               if (PostingIndex.pendingBytes(batch.sparkSession, indexPath) > 0)
                 PostingIndex.compactPending(batch.sparkSession, indexPath, idCol,
@@ -411,7 +417,7 @@ object Streams {
               System.err.println(s"maintainPostingIndex: auto-rebucketed " +
                 s"$indexPath ${a.buckets} -> ${a.suggested} " +
                 f"(mean touched width ${a.ratio}%.1f× birth)")
-              PostingIndex.lastRebucketAdvice = None
+              PostingIndex.clearRebucketAdvice(indexPath)
               PostingIndex.lastRebucketWarning = None
             }
         ()

@@ -117,7 +117,15 @@ object PostingIndex {
     * the marker existed are trusted as-called. */
   private def requireLayout(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, buckets: Int): Unit =
-    readMarkerLines(spark, indexPath).flatMap(_.headOption).foreach { line =>
+    readMarkerLines(spark, indexPath).foreach { lines =>
+      // a marker that EXISTS but parses to nothing (zero-byte file from a
+      // crash between create-truncate and write) must fail loudly, not
+      // silently trust the caller's modulus — the silent path is exactly
+      // the wrong-partition hashing this guard exists to prevent
+      val line = lines.headOption.getOrElse(throw new IllegalArgumentException(
+        s"layout marker at $indexPath exists but is empty/corrupt — " +
+          s"refusing to trust buckets=$buckets; restore the marker " +
+          "(first line: bucket modulus) before maintaining this index"))
       val written = line.toInt
       require(written == buckets,
         s"index at $indexPath was written with $written lexeme buckets; " +
@@ -138,6 +146,11 @@ object PostingIndex {
     * restores the fresh-index line. */
   val RebucketWarnFactor = 4.0
 
+  /** Max touched-bucket dirs probed per apply by the rebucket trigger —
+    * the width sample is unbiased at any size (uniform hashing), so the
+    * cap trades nothing but sampling noise for a bounded metadata cost. */
+  val RebucketProbeBuckets = 16
+
   /** Most recent undersized-layout warning, None after a healthy apply —
     * same observability contract as `Streams.lastWideDeltaWarning`: the
     * maintenance loop (or a monitor) reads it, and the text also goes to
@@ -145,12 +158,28 @@ object PostingIndex {
   @volatile var lastRebucketWarning: Option[String] = None
 
   /** The machine-readable twin of [[lastRebucketWarning]] — armed and
-    * cleared in exact tandem with it. `Streams.maintainPostingIndex
-    * (autoRebucket=true)` acts on this between micro-batches instead of
-    * parsing the human text. */
+    * cleared in exact tandem with it, but keyed PER INDEX: unlike the
+    * read-only warning string, this slot drives an ACTION
+    * (`Streams.maintainPostingIndex(autoRebucket=true)` rebuckets on it),
+    * so two maintenance loops over different indexes in one JVM must not
+    * clobber each other's arm/clear. */
   case class RebucketAdvice(indexPath: String, buckets: Int, suggested: Int,
                             ratio: Double)
-  @volatile var lastRebucketAdvice: Option[RebucketAdvice] = None
+  private val rebucketAdviceByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, RebucketAdvice]()
+
+  /** The advice armed by the most recent apply against `indexPath`, if
+    * its mean touched-bucket width outgrew the birth sizing — None after
+    * a healthy apply on that same index. */
+  def rebucketAdvice(indexPath: String): Option[RebucketAdvice] =
+    Option(rebucketAdviceByPath.get(indexPath))
+
+  /** Clear `indexPath`'s armed advice — the act step calls this after the
+    * swap so the next healthy batch starts clean. */
+  def clearRebucketAdvice(indexPath: String): Unit = {
+    rebucketAdviceByPath.remove(indexPath)
+    ()
+  }
 
   /** Measure the buckets this apply just rewrote against the birth
     * sizing rule and arm/clear [[lastRebucketWarning]]. O(touched)
@@ -165,7 +194,20 @@ object PostingIndex {
       if (birth > 0) {
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(spark.sessionState.newHadoopConf())
-        val widths = touched.flatMap { b =>
+        // bound the metadata probe: a broad apply can touch every bucket,
+        // and getContentSummary is a recursive listing (a real per-batch
+        // tail on object stores). Lexeme hashing is uniform, so ANY
+        // bucket subset is an unbiased width sample — an evenly-strided
+        // 16 of the touched set measures the same mean the full walk
+        // would, at O(1) metadata calls per apply.
+        val sampled =
+          if (touched.size <= RebucketProbeBuckets) touched
+          else {
+            val s = touched.sorted
+            (0 until RebucketProbeBuckets)
+              .map(i => s(i * s.size / RebucketProbeBuckets))
+          }
+        val widths = sampled.flatMap { b =>
           val d = new org.apache.hadoop.fs.Path(indexPath, s"lexeme_bucket=$b")
           if (fs.exists(d)) Some(fs.getContentSummary(d).getLength) else None
         }
@@ -177,8 +219,10 @@ object PostingIndex {
               Some((ratio, math.ceil(buckets * ratio).toInt))
             else None
           }
-        lastRebucketAdvice = armed.map { case (ratio, suggest) =>
-          RebucketAdvice(indexPath, buckets, suggest, ratio)
+        armed match {
+          case Some((ratio, suggest)) => rebucketAdviceByPath.put(indexPath,
+            RebucketAdvice(indexPath, buckets, suggest, ratio))
+          case None => rebucketAdviceByPath.remove(indexPath)
         }
         lastRebucketWarning = armed.map { case (ratio, suggest) =>
           f"PostingIndex at $indexPath has grown ${ratio}%.1f× past its " +
@@ -565,9 +609,18 @@ object PostingIndex {
   /** Executor-safe epoch read: no SparkSession (the guard runs inside a
     * task), so the FS comes from the default Hadoop configuration — the
     * classpath core-site.xml on a cluster, the local FS in tests. */
-  private def readEpochRaw(indexPath: String): Long = {
+  /** Epoch read against an EXPLICIT Hadoop conf — never `new
+    * Configuration()`: a store configured only through `spark.hadoop.*`
+    * (fs.defaultFS, object-store credentials) is invisible to the default
+    * conf, which would make the guard read the wrong filesystem — inert
+    * (always 0) on a scheme-less path, or failing outright on s3a-style
+    * URIs. Driver-side callers pass the session conf; the execution-time
+    * guard udf ships the same conf to executors via the Writable
+    * contract (Configuration implements Writable). */
+  private def readEpochRaw(indexPath: String,
+                           conf: org.apache.hadoop.conf.Configuration): Long = {
     val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) 0L
     else {
       val in = fs.open(p)
@@ -580,11 +633,26 @@ object PostingIndex {
 
   private def bumpEpoch(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val next = readEpochRaw(indexPath) + 1
+    val fs = p.getFileSystem(conf)
+    val next = readEpochRaw(indexPath, conf) + 1
     val out = fs.create(p, true)
     try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Re-stamp a given epoch (rebucket carries the compaction epoch across
+    * the directory swap — a freshly-swapped layout that silently reset to
+    * epoch 0 would let a stale pre-compaction overlay plan pass the
+    * guard and then hit the deleted pending files). */
+  private def stampEpoch(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, epoch: Long): Unit = {
+    if (epoch <= 0) return
+    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
@@ -596,10 +664,16 @@ object PostingIndex {
     * Catalyst never constant-folds or reorders the check away. */
   private def epochGuardFrame(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String): DataFrame = {
-    val builtAt = readEpochRaw(indexPath)
+    val builtAt = readEpochRaw(indexPath, spark.sessionState.newHadoopConf())
     val pathCap = indexPath
+    // the udf body runs on executors: ship the session's Hadoop conf with
+    // the closure (Configuration is a Writable; SerializableWritable is
+    // the public Spark wrapper) so spark.hadoop.*-configured stores
+    // resolve there exactly as on the driver
+    val serConf = new org.apache.spark.SerializableWritable(
+      spark.sessionState.newHadoopConf())
     val check = udf { () =>
-      val now = readEpochRaw(pathCap)
+      val now = readEpochRaw(pathCap, serConf.value)
       if (now != builtAt) throw new IllegalStateException(
         s"posting index at $pathCap was compacted (pending epoch $now; this " +
           s"read was planned at epoch $builtAt) after this DataFrame was built " +
@@ -649,12 +723,17 @@ object PostingIndex {
     val base = spark.read.parquet(indexPath)
     if (!hasPending(spark, indexPath)) return base
     val (live, superseded) = livePending(spark, indexPath, idCol)
-    // execution-time compaction guard on the live side: the overlay read
-    // is only valid while the pending area it was planned over exists
-    val guarded = live
-      .crossJoin(broadcast(epochGuardFrame(spark, indexPath)))
-      .drop("graft_epoch_live")
+    // execution-time compaction guard on BOTH union sides. The live side
+    // alone is not enough: in the deletes-only pending case live is a
+    // limit(0) frame, which OptimizeLimitZero + PropagateEmptyRelation
+    // fold to an empty relation — taking the cross-joined guard with it —
+    // while the anti-join side still lazily scans the (deleted)
+    // _pending_deletes files. The base-minus-superseded side never folds
+    // empty, so the guard there always survives to execution.
+    val guard = broadcast(epochGuardFrame(spark, indexPath))
+    val guarded = live.crossJoin(guard).drop("graft_epoch_live")
     base.join(broadcast(superseded), Seq(idCol), "left_anti")
+      .crossJoin(guard).drop("graft_epoch_live")
       .unionByName(guarded.select(base.columns.map(col).toIndexedSeq: _*))
   }
 
@@ -771,10 +850,15 @@ object PostingIndex {
     // by bucket so each buffered batch adds ≤ 1 file per touched pending
     // dir — the overlay read opens every pending file on every search, so
     // unclustered batches would compound tasks × dirs files until the
-    // next compaction
-    batch.repartition(col("lexeme_bucket"))
-      .write.mode("append").partitionBy("lexeme_bucket")
-      .parquet(pendingPath(indexPath))
+    // next compaction. A PURE-delete batch (every doc tokenized empty)
+    // builds ZERO postings — writing it would create a schemaless
+    // `_pending` dir (only _SUCCESS) that every later overlay read dies
+    // on with UNABLE_TO_INFER_SCHEMA; such batches live in the delete log
+    // alone (livePending's deletes-only branch reads exactly that shape)
+    if (!batch.isEmpty)
+      batch.repartition(col("lexeme_bucket"))
+        .write.mode("append").partitionBy("lexeme_bucket")
+        .parquet(pendingPath(indexPath))
     val pureDeletes = docIds
       .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
       .withColumn(BatchCol, lit(batchNo))
@@ -850,6 +934,7 @@ object PostingIndex {
     * hash by the old modulus and would be orphaned. */
   def rebucket(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                idCol: String, oldBuckets: Int, newBuckets: Int): Unit = {
+    recoverRebucketSwap(spark, indexPath) // heal a previously crashed swap
     requireLayout(spark, indexPath, oldBuckets)
     require(!hasPending(spark, indexPath),
       s"index at $indexPath has a buffered pending area hashed by the old " +
@@ -867,6 +952,11 @@ object PostingIndex {
     write(spark.read.parquet(indexPath).drop("lexeme_bucket"), tmp, newBuckets)
     if (hasDocMap(spark, indexPath))
       bootstrapDocMap(spark, tmp, idCol, newBuckets)
+    // compaction epoch carries ACROSS the swap: the new directory starting
+    // back at epoch 0 would let a stale pre-compaction overlay plan pass
+    // the execution-time guard and then hit the deleted pending files
+    stampEpoch(spark, tmp,
+      readEpochRaw(indexPath, spark.sessionState.newHadoopConf()))
     val src = new org.apache.hadoop.fs.Path(indexPath)
     require(fs.rename(src, new org.apache.hadoop.fs.Path(old)),
       s"rebucket: could not move $indexPath aside")
@@ -874,6 +964,43 @@ object PostingIndex {
       s"rebucket: could not swap in $tmp — old layout is at $old")
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
     ()
+  }
+
+  /** Heal a crash between [[rebucket]]'s two renames. The hazard: with the
+    * index moved to `<path>.rebucket_old` and the new layout not yet
+    * swapped in, `<path>` does not exist — a maintenance loop's bootstrap
+    * probe would then treat the NEXT batch as a fresh index and silently
+    * re-create it with only that batch's docs, stranding the whole corpus
+    * at the `.rebucket_old` path. Called at the start of [[rebucket]] and
+    * by `Streams.maintainPostingIndex` before its bootstrap probe (one
+    * existence check when healthy). The tmp layout is always COMPLETE
+    * before the first rename starts, so completing the swap (tmp → path)
+    * is safe; rolling back (old → path) is the fallback. Single-maintainer
+    * contract as everywhere in this file: never run concurrently with a
+    * live rebucket. Returns true when it repaired something. */
+  def recoverRebucketSwap(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Boolean = {
+    val fs = fsOf(spark, indexPath)
+    val oldP = new org.apache.hadoop.fs.Path(s"$indexPath.rebucket_old")
+    if (!fs.exists(oldP)) return false
+    val srcP = new org.apache.hadoop.fs.Path(indexPath)
+    val tmpP = new org.apache.hadoop.fs.Path(s"$indexPath.rebucket_tmp")
+    if (!fs.exists(srcP)) {
+      // crashed between the renames: finish the swap (tmp is complete by
+      // construction), else roll the old layout back
+      if (fs.exists(tmpP))
+        require(fs.rename(tmpP, srcP),
+          s"recoverRebucketSwap: could not swap $tmpP into $indexPath")
+      else
+        require(fs.rename(oldP, srcP),
+          s"recoverRebucketSwap: could not restore $oldP to $indexPath")
+    }
+    // src exists (either it always did — crash after the second rename —
+    // or we just restored it): the old copy is superseded either way
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    System.err.println(s"recoverRebucketSwap: healed a crashed rebucket " +
+      s"swap at $indexPath")
+    true
   }
 
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).

@@ -548,7 +548,7 @@ class StreamingSpec extends AnyFunSuite {
     val newBuckets = graft.text.PostingIndex.layoutBuckets(spark, idx).get
     assert(newBuckets > 2,
       s"the grown index must have been auto-rebucketed, still at $newBuckets")
-    assert(graft.text.PostingIndex.lastRebucketAdvice.isEmpty &&
+    assert(graft.text.PostingIndex.rebucketAdvice(idx).isEmpty &&
       graft.text.PostingIndex.lastRebucketWarning.isEmpty,
       "acting on the advice must clear both hooks")
     assert(searchIdx(idx, Seq("merge", "join"), newBuckets) == Seq(1L, 4L),

@@ -177,6 +177,46 @@ class PendingIndexSpec extends AnyFunSuite {
     } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
   }
 
+  test("epoch guard survives the deletes-only pending case (limit-0 fold) and a rebucket") {
+    val dir = freshDir()
+    writeIdx(dir)
+    val conf = "spark.sql.files.ignoreMissingFiles"
+    val prev = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "true")
+      // deletes-ONLY pending area: the live side of the overlay is a
+      // limit(0) frame that Catalyst folds to an empty relation — the
+      // guard must survive on the anti-join side, or the purged doc
+      // silently REAPPEARS when the superseded scan's files vanish
+      PostingIndex.upsertIndexBuffered(spark, dir,
+        Seq((2L, "")).toDF("doc_id", "text"), "doc_id", toks, buckets = 4)
+      val lazyRead = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+        Seq("sort"), buckets = 4)
+      assert(lazyRead.count() == 0, "doc 2 is purged pre-compaction")
+      PostingIndex.compactPending(spark, dir, "doc_id", buckets = 4)
+      val e = intercept[Throwable] { lazyRead.collect() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("was compacted"),
+        s"deletes-only stale plan must fail on the guard, got: $msgs")
+      // and the epoch must CARRY across a rebucket: a stale overlay plan
+      // from before the compaction still fails loudly after the swap
+      // resets the directory (a fresh epoch-0 marker would let it pass)
+      PostingIndex.upsertIndexBuffered(spark, dir,
+        Seq((6L, "merge join added")).toDF("doc_id", "text"), "doc_id", toks, buckets = 4)
+      val lazyRead2 = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+        Seq("merge", "join"), buckets = 4)
+      assert(lazyRead2.count() == 3)
+      PostingIndex.compactPending(spark, dir, "doc_id", buckets = 4)
+      PostingIndex.rebucket(spark, dir, "doc_id", oldBuckets = 4, newBuckets = 8)
+      val e2 = intercept[Throwable] { lazyRead2.collect() }
+      val msgs2 = Iterator.iterate(e2)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs2.contains("was compacted"),
+        s"post-rebucket stale plan must still fail on the guard, got: $msgs2")
+    } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+  }
+
   test("positional buffered upsert keeps phrase search correct over the overlay") {
     val dir = freshDir()
     PostingIndex.write(

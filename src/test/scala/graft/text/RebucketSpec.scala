@@ -115,6 +115,41 @@ class RebucketSpec extends AnyFunSuite {
     assert(hits == Seq(4L))
   }
 
+  test("recoverRebucketSwap heals a crash between the two renames (and the stranded-corpus window)") {
+    val dir = freshDir()
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 2)
+    val before = pairs(dir)
+    // simulate the crash window: the new layout is fully written at
+    // .rebucket_tmp and the index was moved aside to .rebucket_old, but
+    // the swap-in rename never ran — indexPath does not exist, which is
+    // exactly the state where a maintenance loop's bootstrap probe would
+    // silently re-create the index from one batch
+    PostingIndex.write(
+      spark.read.parquet(dir).drop("lexeme_bucket"), s"$dir.rebucket_tmp", 8)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(s"$dir.rebucket_old")))
+    assert(PostingIndex.recoverRebucketSwap(spark, dir),
+      "recovery must report it repaired the swap")
+    assert(pairs(dir) == before, "the completed swap holds every posting")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebucket_old")) &&
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebucket_tmp")))
+    // the swapped-in layout is the NEW modulus and fully maintainable
+    val hits = PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 8).as[Long].collect().sorted.toSeq
+    assert(hits == Seq(1L, 4L))
+    // crash AFTER the second rename (old still present): recovery just
+    // clears the superseded copy and leaves the index untouched
+    PostingIndex.write(
+      spark.read.parquet(dir).drop("lexeme_bucket"), s"$dir.rebucket_old", 8)
+    assert(PostingIndex.recoverRebucketSwap(spark, dir))
+    assert(pairs(dir) == before)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir.rebucket_old")))
+    // healthy index: recovery is a no-op probe
+    assert(!PostingIndex.recoverRebucketSwap(spark, dir))
+  }
+
   test("maintenance arms the rebucket warning once bucket width outgrows the birth sizing, rebucket clears it") {
     val dir = freshDir()
     // born tiny: 2 buckets over 5 docs — the birth width the marker stamps
