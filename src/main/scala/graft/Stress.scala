@@ -280,6 +280,23 @@ object Stress {
             ($"r2" + $"rep" * 33554432L).as("r2"))
       ext.Graph.kCore(g, k = 2, iters = 4, srcCol = "r1", dstCol = "r2")
     }
+    // the ER pipeline's CLUSTERING stage (q181/q86/q207's transitive
+    // closure) at ×factor edge volume, same disjoint-copy construction as
+    // kCoreGraph: connectedComponents is one-hop min-label propagation —
+    // O(diameter) rounds of (edges ⋈ labels) + groupBy-min — so with
+    // diameter fixed by the base graph's cluster shapes, wall time must
+    // grow ~linearly in edges; replica offsets leave the per-copy
+    // diameter (and thus round count) EXACTLY the base's
+    def ccGraph(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val pairs = trigramAllPairsFull(s, baseDir).select($"r1", $"r2")
+      val g =
+        if (d == baseDir) pairs
+        else pairs.crossJoin(s.range(factor).toDF("rep"))
+          .select(($"r1" + $"rep" * 33554432L).as("r1"),
+            ($"r2" + $"rep" * 33554432L).as("r2"))
+      ext.Dedup.connectedComponents(g, "r1", "r2")
+    }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q178_pagerank" -> ops.Relational.queries("q178_pagerank"),
       "q285_hits" -> ops.ExtQueries.queries("q285_hits"),
@@ -289,6 +306,7 @@ object Stress {
       "q184_triangles_full" -> trianglesFull,
       "q196_kcore_full" -> kCoreFull,
       "q196_kcore_graph" -> kCoreGraph,
+      "q181_cc_graph" -> ccGraph,
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
       "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),
