@@ -30,7 +30,15 @@ object PostingIndex {
     * partitions (dynamic partition overwrite leaves root-level files
     * untouched, so the marker survives appends). */
   def write(postings: DataFrame, path: String, buckets: Int = 64): Unit = {
-    postings
+    // ZERO postings (every doc tokenized to stopwords — a plausible first
+    // micro-batch): partitionBy writes no files at all, leaving a layout
+    // whose every later read dies with UNABLE_TO_INFER_SCHEMA. Anchor the
+    // schema with one zero-row file in bucket 0 (partition value comes
+    // from the dir name, so reads and appends see the normal layout).
+    if (postings.isEmpty)
+      postings.limit(0).write.mode("overwrite")
+        .parquet(s"$path/lexeme_bucket=0")
+    else postings
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       // cluster by the partition dir BEFORE the partitioned write: without
       // it every write task emits one file into every bucket dir its rows
@@ -265,6 +273,17 @@ object PostingIndex {
   /** Write doc-map rows `(id, lexeme_bucket, id_bucket)`: the whole map on
     * bootstrap, or (dynamic partition overwrite) just the touched
     * `id_bucket` partitions on maintenance. */
+  /** Run `body` with `partitionOverwriteMode=dynamic`, restoring the
+    * previous session value after — the one place this conf juggling
+    * lives (it was copy-pasted at three write sites before). */
+  private def withDynamicPartitionOverwrite[A](
+      spark: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(conf)
+    try { spark.conf.set(conf, "dynamic"); body }
+    finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+  }
+
   private def writeDocMapSlice(pairs: DataFrame, indexPath: String,
                                overwriteAll: Boolean): Unit = {
     val spark = pairs.sparkSession
@@ -275,17 +294,19 @@ object PostingIndex {
     // that way); the slice path likewise accretes ~touched-dirs files per
     // maintenance batch for the life of the index.
     val clustered = pairs.repartition(col(DocMapPartCol))
-    if (overwriteAll)
-      clustered.write.mode("overwrite").partitionBy(DocMapPartCol)
-        .parquet(docMapPath(indexPath))
-    else {
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(conf)
-      try {
-        spark.conf.set(conf, "dynamic")
+    if (overwriteAll) {
+      // bootstrap over an EMPTY index: partitionBy of zero rows writes no
+      // files, and a schemaless sidecar dir breaks every later pruned
+      // read — anchor the schema like write() does for the main layout
+      if (pairs.isEmpty)
+        pairs.limit(0).drop(DocMapPartCol).write.mode("overwrite")
+          .parquet(s"${docMapPath(indexPath)}/$DocMapPartCol=0")
+      else
         clustered.write.mode("overwrite").partitionBy(DocMapPartCol)
           .parquet(docMapPath(indexPath))
-      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+    } else withDynamicPartitionOverwrite(spark) {
+      clustered.write.mode("overwrite").partitionBy(DocMapPartCol)
+        .parquet(docMapPath(indexPath))
     }
   }
 
@@ -436,26 +457,27 @@ object PostingIndex {
       // bucket so each rewritten dir stays ≈ one file — unclustered, the
       // batch-side tasks add a file to every touched dir per append and
       // the bucket's file count grows with its maintenance history
+      // keep write()'s secondary lexeme sort through every rewrite: the
+      // layout's term lookups skip row groups by parquet min/max stats,
+      // and a hash-shuffled unsorted rewrite would permanently widen each
+      // maintained bucket's min/max to the whole bucket
       val snap = base.unionByName(fresh.select(base.columns.map(col).toIndexedSeq: _*))
         .repartition(col("lexeme_bucket"))
+        .sortWithinPartitions(col("lexeme_bucket"), col("lexeme"))
         .localCheckpoint(true)
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(conf)
-      try {
-        spark.conf.set(conf, "dynamic")
-        snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
-      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
-      snap.unpersist()
-      // keep the doc→bucket sidecar current (append semantics: merge the
-      // batch's pairs in). An index from before the sidecar existed stays
-      // sidecar-less here — a partial map would silently HIDE old buckets
-      // from a later upsert's sweep; upsertBatch bootstraps the complete
-      // map instead when it first needs one.
+      // sidecar FIRST (merge semantics — an extra pair is a no-op sweep
+      // member by the over-approximation contract): written after the
+      // index, a crash in between would leave fresh rows in buckets a
+      // later upsert's sweep never visits — resurrected ghosts
       if (hasDocMap(spark, indexPath))
         maintainDocMap(spark, indexPath,
           ids = batch.select(col(idCol)).distinct(),
           newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
           idCol, buckets, replaceIds = false)
+      withDynamicPartitionOverwrite(spark) {
+        snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
+      }
+      snap.unpersist()
       rebucketCheck(spark, indexPath, buckets, touched)
     }
     batch.unpersist()
@@ -525,21 +547,30 @@ object PostingIndex {
       // REPLACE semantics: drop every existing row of the incoming ids,
       // then add the recomputed postings
       val kept = base.join(ids, Seq(idCol), "left_anti")
-      // clustered by bucket before the checkpoint+write (see appendBatch)
+      // clustered by bucket + lexeme-sorted before the checkpoint+write
+      // (see appendBatch: the sort preserves row-group min/max skipping)
       val snap = kept.unionByName(batch.select(base.columns.map(col).toIndexedSeq: _*))
         .repartition(col("lexeme_bucket"))
+        .sortWithinPartitions(col("lexeme_bucket"), col("lexeme"))
         .localCheckpoint(true)
       // dynamic overwrite skips partitions ABSENT from the output — a
       // bucket whose last postings were just deleted must be removed by
       // hand or its files survive as ghosts
       val remaining = snap.select(col("lexeme_bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(conf)
-      try {
-        spark.conf.set(conf, "dynamic")
+      // WAL-style sidecar ordering: MERGE the new pairs in BEFORE the
+      // index write (an extra pair is a no-op sweep member by the
+      // over-approximation contract), so a crash between the two writes
+      // can never leave fresh rows in a bucket the sidecar doesn't know —
+      // the under-approximate map that resurrects ghosts on the next
+      // sweep. The replaceIds pass below prunes the ids' old pairs once
+      // the rewrite is durable.
+      maintainDocMap(spark, indexPath, ids,
+        newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
+        idCol, buckets, replaceIds = false)
+      withDynamicPartitionOverwrite(spark) {
         snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
-      } finally prev.fold(spark.conf.unset(conf))(v => spark.conf.set(conf, v))
+      }
       snap.unpersist()
       val fs = new org.apache.hadoop.fs.Path(indexPath)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -624,11 +655,40 @@ object PostingIndex {
     if (!fs.exists(p)) 0L
     else {
       val in = fs.open(p)
-      try new String(
-        org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
+      val txt =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      // an EMPTY/corrupt marker means a (pre-atomic-write) bump crashed
+      // mid-write: fail with a remediation, not a bare NumberFormat —
+      // this state can only arise from external tampering now that the
+      // writers go through writeEpochAtomic (tmp + rename)
+      if (txt.isEmpty || !txt.forall(_.isDigit))
+        throw new IllegalStateException(
+          s"pending-epoch marker at $p is empty/corrupt ('$txt') — a marker " +
+            "write was interrupted. Restore it by writing a number ≥ the " +
+            "last compaction epoch (overestimating only makes stale lazy " +
+            "reads fail loudly, which is the safe direction).")
+      txt.toLong
     }
+  }
+
+  /** Epoch writes are tmp + rename: a crash can leave the OLD value, the
+    * NEW value, or (between the delete and the rename) NO marker — never a
+    * half-written file. The no-marker window reads as epoch 0: stale
+    * overlay plans built at epoch ≥ 1 then fail LOUDLY on the guard
+    * (0 ≠ builtAt), and the compaction retry re-bumps from 0 — safe,
+    * documented residue of the window. */
+  private def writeEpochAtomic(fs: org.apache.hadoop.fs.FileSystem,
+                               p: org.apache.hadoop.fs.Path,
+                               value: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
   }
 
   private def bumpEpoch(spark: org.apache.spark.sql.SparkSession,
@@ -636,10 +696,7 @@ object PostingIndex {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
     val fs = p.getFileSystem(conf)
-    val next = readEpochRaw(indexPath, conf) + 1
-    val out = fs.create(p, true)
-    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeEpochAtomic(fs, p, readEpochRaw(indexPath, conf) + 1)
   }
 
   /** Re-stamp a given epoch (rebucket carries the compaction epoch across
@@ -650,10 +707,7 @@ object PostingIndex {
                          indexPath: String, epoch: Long): Unit = {
     if (epoch <= 0) return
     val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(epoch.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeEpochAtomic(p.getFileSystem(spark.sessionState.newHadoopConf()), p, epoch)
   }
 
   /** One-row frame that exists iff the pending epoch still equals
@@ -859,11 +913,16 @@ object PostingIndex {
       batch.repartition(col("lexeme_bucket"))
         .write.mode("append").partitionBy("lexeme_bucket")
         .parquet(pendingPath(indexPath))
+    // materialize ONCE: the anti-join re-runs the caller's docs source
+    // scan + distinct, and isEmpty-then-write would pay it twice per
+    // buffered batch
     val pureDeletes = docIds
       .join(batch.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
       .withColumn(BatchCol, lit(batchNo))
+      .localCheckpoint(true)
     if (!pureDeletes.isEmpty)
       pureDeletes.write.mode("append").parquet(pendingDeletesPath(indexPath))
+    pureDeletes.unpersist()
     batch.unpersist()
     if (pendingBytes(spark, indexPath) > compactAboveBytes)
       compactPending(spark, indexPath, idCol, buckets)
@@ -1005,19 +1064,39 @@ object PostingIndex {
 
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).
     * Terms are stemmed with the same stemmer the index side used. */
+  /** Query terms → index lexemes: lowercase, DROP stopwords, stem,
+    * distinct. The stopword drop mirrors Postgres `to_tsquery` (a NOTICE
+    * and the term vanishes) and the index side's own tokenize(): no
+    * stopword lexeme ever exists in postings, so an AND that kept one
+    * would be silently unsatisfiable rather than ignoring it. */
+  private def queryLexemes(terms: Seq[String]): Seq[String] =
+    terms.map(_.toLowerCase)
+      .filterNot(TextOps.englishStopWords.contains)
+      .map(Porter.stem).distinct
+
   def searchAll(postings: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
-    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val stemmed = queryLexemes(terms)
+    // all-stopword query = empty tsquery = matches nothing (plainto_
+    // tsquery semantics); without this the n_hit === 0 gate would match
+    // every doc
+    if (stemmed.isEmpty) return postings.select(col(idCol)).limit(0)
     postings
       .filter(col("lexeme").isin(stemmed: _*))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_hit")) // postings unique per (lexeme, doc)
+      // count DISTINCT lexemes, not rows: build()'s postings are unique
+      // per (lexeme, doc) but a POSITIONAL index carries one row per
+      // occurrence — raw counts there both over-match (one term repeated
+      // n times ≥ n terms) and under-match (all terms present but
+      // repeats push the count past the target)
+      .agg(count_distinct(col("lexeme")).as("n_hit"))
       .filter(col("n_hit") === stemmed.length)
       .select(col(idCol))
   }
 
   /** F3 OR-of-terms (`to_tsquery('a | b')`). */
   def searchAny(postings: DataFrame, idCol: String, terms: Seq[String]): DataFrame = {
-    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    val stemmed = queryLexemes(terms)
+    if (stemmed.isEmpty) return postings.select(col(idCol)).limit(0)
     postings.filter(col("lexeme").isin(stemmed: _*))
       .select(col(idCol)).distinct()
   }
@@ -1289,7 +1368,11 @@ object PostingIndex {
   def searchAllIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                        idCol: String, terms: Seq[String], buckets: Int = 64): DataFrame = {
     requireLayout(spark, indexPath, buckets)
-    val stemmed = terms.map(t => Porter.stem(t.toLowerCase)).distinct
+    // the SAME term normalization searchAll applies (stopwords dropped),
+    // so the pruned bucket set matches the lexemes actually searched
+    val stemmed = queryLexemes(terms)
+    if (stemmed.isEmpty)
+      return spark.read.parquet(indexPath).select(col(idCol)).limit(0)
     // bucket-prune the scan, then delegate — ONE implementation of the
     // AND semantics, so indexed and in-memory search can't drift (the
     // bucket filter pushes through indexRelation's overlay union into

@@ -241,6 +241,31 @@ class PostingIndexSpec extends AnyFunSuite {
       "the first upsert should have bootstrapped the sidecar")
   }
 
+  test("term search is occurrence-blind on a positional index, drops stopword terms, and an all-stopword query matches nothing") {
+    val dir = freshDir()
+    // doc 6 repeats 'hash' 3 times and has no 'join': a raw row count
+    // would both false-positive it on ("hash","join") (2 rows ≥ 2 terms
+    // when filtered... with 'hash' alone 3 rows) and false-negative docs
+    // whose repeats overshoot the target — counts must be DISTINCT lexemes
+    PostingIndex.write(
+      PostingIndex.buildPositional(docs, "doc_id", $"text"), dir, buckets = 4)
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("hash"), buckets = 4).as[Long].collect().sorted.toSeq == Seq(6L))
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("hash", "join"), buckets = 4).as[Long].collect().isEmpty,
+      "repeated single term must not satisfy a two-term AND")
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("merge", "join"), buckets = 4).as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // stopword terms vanish from the query (to_tsquery semantics) instead
+    // of making the AND unsatisfiable — no stopword lexeme is ever indexed
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("the", "merge", "join"), buckets = 4)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // all-stopword query = empty tsquery = matches nothing, not everything
+    assert(PostingIndex.searchAllIndexed(spark, dir, "doc_id",
+      Seq("the", "of"), buckets = 4).as[Long].collect().isEmpty)
+  }
+
   test("positional upsert replaces (lexeme, pos) rows so phrase ghosts die") {
     val dir = freshDir()
     PostingIndex.write(
