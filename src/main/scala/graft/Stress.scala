@@ -297,6 +297,43 @@ object Stress {
             ($"r2" + $"rep" * 33554432L).as("r2"))
       ext.Dedup.connectedComponents(g, "r1", "r2")
     }
+    // the DIAMETER-scaling companion (round-13 VERDICT item 6): disjoint
+    // copies keep per-copy diameter == base, so q181_cc_graph proves
+    // throughput, not depth. Here consecutive copies are CHAINED with one
+    // bridge edge (copy k's max node ↔ copy k+1's min node), so the giant
+    // component's diameter grows ~×factor — the actual scale law of an ER
+    // corpus whose clusters merge as it grows. One-hop min-label
+    // propagation needs Θ(diameter) rounds on this graph; the pointer-
+    // jumping step makes rounds ~log(diameter) (printed per run, recorded
+    // in the STRESS notes).
+    def ccChain(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val pairs = trigramAllPairsFull(s, baseDir).select($"r1", $"r2").cache()
+      val g =
+        if (d == baseDir) pairs
+        else {
+          val mm = pairs.agg(
+            org.apache.spark.sql.functions.least(
+              org.apache.spark.sql.functions.min($"r1"),
+              org.apache.spark.sql.functions.min($"r2")).as("lo"),
+            org.apache.spark.sql.functions.greatest(
+              org.apache.spark.sql.functions.max($"r1"),
+              org.apache.spark.sql.functions.max($"r2")).as("hi")).head()
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          val copies = pairs.crossJoin(s.range(factor).toDF("rep"))
+            .select(($"r1" + $"rep" * 33554432L).as("r1"),
+              ($"r2" + $"rep" * 33554432L).as("r2"))
+          val bridges = s.range(factor - 1).toDF("rep")
+            .select(($"rep" * 33554432L + hi).as("r1"),
+              (($"rep" + 1) * 33554432L + lo).as("r2"))
+          copies.unionByName(bridges)
+        }
+      val cc = ext.Dedup.connectedComponents(g, "r1", "r2")
+      println(s"[cc-rounds] q181_cc_chain at $d: " +
+        s"${ext.Dedup.lastCcRounds} rounds to converge")
+      pairs.unpersist()
+      cc
+    }
     val families: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q178_pagerank" -> ops.Relational.queries("q178_pagerank"),
       "q285_hits" -> ops.ExtQueries.queries("q285_hits"),
@@ -307,6 +344,7 @@ object Stress {
       "q196_kcore_full" -> kCoreFull,
       "q196_kcore_graph" -> kCoreGraph,
       "q181_cc_graph" -> ccGraph,
+      "q181_cc_chain" -> ccChain,
       "q43_minhash_lsh" -> ops.ExtQueries.queries("q43_minhash_lsh"),
       "q150_allpairs_sim" -> ops.ExtQueries.queries("q150_allpairs_sim"),
       "q98_ivf_fixed8" -> ops.ExtQueries.queries("q98_ivf_near_dup"),

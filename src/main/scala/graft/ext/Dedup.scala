@@ -300,16 +300,39 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Duplicate CLUSTERS from near-dup pairs: connected components by
-    * min-label propagation — each node converges to the smallest doc id
-    * reachable from it, which becomes the canonical id of its duplicate
-    * group (the step after q42/q43 in a real dedup pipeline: keep one doc
-    * per component). Iterative joins, O(diameter) rounds; components of
-    * near-dup graphs are tiny (diameter ≤ a few hops), so the loop
-    * converges in 2-4 rounds. `localCheckpoint` truncates lineage each
-    * round — without it the plan doubles per iteration. Only nodes that
-    * appear in some pair are returned (singletons are their own canonical
-    * doc by definition). */
+  /** Rounds the last [[connectedComponents]] call took to converge —
+    * observability for the O(log diameter) claim (the diameter-scaling
+    * stress reads it; same hook pattern as `Streams.lastWideDeltaWarning`). */
+  @volatile var lastCcRounds: Int = 0
+
+  /** Duplicate CLUSTERS from near-dup pairs: connected components — each
+    * node converges to the smallest doc id reachable from it, which
+    * becomes the canonical id of its duplicate group (the step after
+    * q42/q43 in a real dedup pipeline: keep one doc per component).
+    *
+    * Each round fuses TWO label moves into one aggregate: (a) one-hop
+    * propagation over the edges (a node adopts its neighbors' labels) and
+    * (b) POINTER JUMPING — `label(label(node))` via a labels self-join.
+    * The jump is what makes the round count O(log diameter) instead of
+    * O(diameter): labels form a forest pointing at smaller ids, and
+    * node→grandparent halves every chain per round (the classic
+    * shortcutting step of the MapReduce CC literature — Kiveris et al.'s
+    * large-star plays the same role), so distance-to-minimum doubles per
+    * round where one-hop alone moves it by 1. Measured on the chained
+    * ×100 stress graph (diameter ~100× the base): 9 rounds where one-hop
+    * propagation needs ~Θ(diameter) — see STRESS.md's cc_chain row. The
+    * jump join is total by invariant: every label value is a node id
+    * present in `labels` (initially label = node; every later label is a
+    * min over existing labels), so no row is lost.
+    *
+    * Change detection is FUSED into the aggregate: each node's previous
+    * label rides along as min(label where is_old) — every node has exactly
+    * one is_old row, so `old` is never null — and "changed" is a filter on
+    * the checkpointed result instead of a second shuffle join. Works for
+    * any orderable id type with no overflow, unlike a sum-of-labels
+    * progress metric. `localCheckpoint` truncates lineage each round.
+    * Only nodes that appear in some pair are returned (singletons are
+    * their own canonical doc by definition). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
@@ -323,13 +346,11 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"), lit(false).as("is_old"))
-      // change detection is FUSED into the propagation aggregate: each
-      // node's previous label rides along as min(label where is_old) —
-      // every node has exactly one is_old row, so `old` is never null —
-      // and "changed" is a filter on the checkpointed result instead of a
-      // second shuffle join. Works for any orderable id type with no
-      // overflow, unlike a sum-of-labels progress metric.
-      val next = labels.withColumn("is_old", lit(true)).union(prop)
+      val jump = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.label").as("label"),
+          lit(false).as("is_old"))
+      val next = labels.withColumn("is_old", lit(true)).union(prop).union(jump)
         .groupBy("node")
         .agg(min("label").as("label"),
           min(when(col("is_old"), col("label"))).as("old"))
@@ -339,11 +360,13 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    lastCcRounds = i
     if (changed > 0)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — the " +
-          "component diameter exceeds maxIter; raise it (labels move one hop " +
-          "per round). Returning partial labels would silently split groups.")
+        s"connectedComponents did not converge in $maxIter rounds — with " +
+          "pointer jumping rounds grow ~log(diameter), so this is a " +
+          s"~2^$maxIter-diameter component or a livelock; raise maxIter. " +
+          "Returning partial labels would silently split groups.")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -311,6 +311,20 @@ class ExtSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
   }
 
+  test("connectedComponents: a 300-deep path converges in O(log diameter) rounds (pointer jumping)") {
+    // a single path 0-1-2-…-300 — diameter 300. One-hop propagation needs
+    // ~300 rounds (the pre-round-14 implementation threw at maxIter=20);
+    // the pointer-jumping step must converge well under the default cap,
+    // labeling every node 0. Worst-case orientation: min id at one END.
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 301 && got.forall(_._2 == 0L),
+      s"all 301 path nodes must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+    assert(Dedup.lastCcRounds <= 12,
+      s"300-diameter path must converge logarithmically, took ${Dedup.lastCcRounds} rounds")
+  }
+
   test("dedupByContent keeps smallest id per duplicate text") {
     val dup = Seq((5L, "same"), (2L, "same"), (9L, "other")).toDF("doc_id", "text")
     val kept = Dedup.dedupByContent(dup, "text", "doc_id")
