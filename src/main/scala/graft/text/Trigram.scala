@@ -203,6 +203,20 @@ object Trigram {
           .withColumn("sz", size(col("g")).cast("long")).cache()
         (g2, dfKept)
     }
+    // SURVIVING-hub salt threshold (round-13 VERDICT item 4): with a stop
+    // cap active, every gram's df is ≤ the cap — usually BELOW the default
+    // hubCap — yet a gram sitting just under the cap still lands its whole
+    // C(df, 2) candidate block on ONE task (the join key (gram, i, j) is a
+    // single value when nothing salts), the measured 98.5 s straggler of
+    // the ×100 capped ER run. Salting is pair-preserving and its cost is
+    // bounded (a salted gram replicates (saltB+1)/2× per side), so under a
+    // stop cap the salt threshold drops to cap/8: the densest surviving
+    // gram's block spreads over saltB·(saltB+1)/2 tasks while sub-cap/8
+    // grams keep the unsalted single-combo plan. Floored at saltB so
+    // salting never outnumbers the rows it spreads.
+    val effHubCap: Long = stopGramDf
+      .map(cap => math.min(hubCap.toLong, math.max(saltB.toLong, cap / 8)))
+      .getOrElse(hubCap.toLong)
     val prefixLen =
       s"cast(size(ord) - (($simNum * size(ord) + ${simDen - 1}) div $simDen) + 1 as int)"
     // the gram's global df rides the prefix struct, so the hub decision
@@ -228,9 +242,9 @@ object Trigram {
     // side (4 consumers instead of 2 — measured +20% on the family),
     // which costs more than the no-op explodes it avoids.
     val ptb = pt
-      .withColumn("b", when(col("df") <= hubCap, lit(0))
+      .withColumn("b", when(col("df") <= effHubCap, lit(0))
         .otherwise(pmod(xxhash64(col("rid")), lit(saltB))).cast("int"))
-      .withColumn("nb", when(col("df") <= hubCap, lit(1)).otherwise(lit(saltB)))
+      .withColumn("nb", when(col("df") <= effHubCap, lit(1)).otherwise(lit(saltB)))
     val xs = ptb.select(col("rid"), col("tok"), col("b").as("i"),
       explode(expr("sequence(b, nb - 1)")).as("j"))
     val ys = ptb.select(col("rid"), col("tok"),
