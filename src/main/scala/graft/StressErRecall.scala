@@ -36,5 +36,15 @@ object StressErRecall {
     val recall = if (nTruth == 0) 1.0 else nHit.toDouble / nTruth
     println(f"""{"stress_er_recall":{"sf":"$baseDir","stop_gram_df":$stopDf,"n_truth":$nTruth,"n_capped":$nCapped,"n_hit":$nHit,"recall":$recall%.4f}}""")
     spark.stop()
+    // an actual GATE, not a printout (round-13 ADVICE): a cap or slice
+    // change that drops recall below the bar must fail the run the same
+    // way q366 enforces it at catalog scale — not rely on a human
+    // reading the line
+    if (recall < 0.9) {
+      System.err.println(
+        f"stress ER recall $recall%.4f < 0.9 — the stop-gram cap ($stopDf) " +
+          "is dropping true pairs at this slice; raise the cap or shrink it")
+      sys.exit(1)
+    }
   }
 }

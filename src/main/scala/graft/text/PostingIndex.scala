@@ -29,16 +29,25 @@ object PostingIndex {
     * `buckets` argument instead of silently hashing into the wrong
     * partitions (dynamic partition overwrite leaves root-level files
     * untouched, so the marker survives appends). */
-  def write(postings: DataFrame, path: String, buckets: Int = 64): Unit = {
+  def write(postings: DataFrame, path: String, buckets: Int = 64): Unit =
+    withWriterLease(postings.sparkSession, path) {
     // ZERO postings (every doc tokenized to stopwords — a plausible first
     // micro-batch): partitionBy writes no files at all, leaving a layout
     // whose every later read dies with UNABLE_TO_INFER_SCHEMA. Anchor the
     // schema with one zero-row file in bucket 0 (partition value comes
     // from the dir name, so reads and appends see the normal layout).
-    if (postings.isEmpty)
+    // The WHOLE path is cleared first so this branch has the same
+    // mode(overwrite) semantics as the non-empty one — anchoring only
+    // bucket 0 over an existing populated layout would leave buckets
+    // 1..N-1 alive (stale postings still searchable) under a fresh marker.
+    if (postings.isEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val rfs = root.getFileSystem(
+        postings.sparkSession.sessionState.newHadoopConf())
+      if (rfs.exists(root)) rfs.delete(root, true)
       postings.limit(0).write.mode("overwrite")
         .parquet(s"$path/lexeme_bucket=0")
-    else postings
+    } else postings
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       // cluster by the partition dir BEFORE the partitioned write: without
       // it every write task emits one file into every bucket dir its rows
@@ -72,6 +81,148 @@ object PostingIndex {
     try out.write(s"$buckets\n$birthBytes"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    }
+
+  // ------------------------------------------------ single-writer lease
+  //
+  // Every maintenance path below (write/append/upsert/buffered/compact/
+  // rebucket and the streaming loop that drives them) ASSUMES one writer
+  // per index path: two loops interleaving COW rewrites, pending appends,
+  // epoch bumps and a rebucket swap would corrupt the index with no
+  // detection. Postgres gets this for free from heavyweight locks; the
+  // reference's 20-worker UPDATE pattern (`scrape_all_filings.py:177-183`)
+  // is exactly the workload that would double-drive one index here. The
+  // lease makes the contract OPERATIONAL: a sibling lock marker
+  // (`<indexPath>.writer_lock`, atomic create-no-overwrite) is taken at
+  // every public maintenance entry and released on exit; a contested
+  // acquisition fails with a named error instead of silently interleaving.
+  // Reentrant within one call stack (upsertBuffered → compactPending →
+  // upsertBatch is one writer), tracked per thread. A crashed holder's
+  // lock goes stale after [[WriterLeaseStaleAfterMs]] and is taken over;
+  // size that window above the longest single maintenance apply.
+
+  /** Age (ms of lock-file mtime) after which a writer lease is presumed
+    * crashed and taken over. Mutable for tests and for operators whose
+    * single apply legitimately exceeds the default. */
+  @volatile var WriterLeaseStaleAfterMs: Long = 15L * 60 * 1000
+
+  private def lockPathOf(indexPath: String) =
+    new org.apache.hadoop.fs.Path(s"$indexPath.writer_lock")
+
+  private val leaseDepths = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+    override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
+  }
+
+  private def leaseHolderId: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "/thread-" + Thread.currentThread().getId
+
+  /** Take the single-writer lease on `indexPath` (atomic
+    * create-no-overwrite of the sibling lock marker). Reentrant on the
+    * current thread; throws IllegalStateException naming the holder when
+    * another writer holds a live lease. A lease whose lock-file age
+    * exceeds [[WriterLeaseStaleAfterMs]] is presumed crashed and taken
+    * over (stderr-logged). Public so an orchestrator can fence a window
+    * spanning several maintenance calls. */
+  def acquireWriterLease(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Unit = {
+    val depths = leaseDepths.get()
+    depths.get(indexPath) match {
+      case Some(d) if d > 0 => depths(indexPath) = d + 1; return
+      case _                => ()
+    }
+    val p = lockPathOf(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    var attempts = 0
+    while (depths.getOrElse(indexPath, 0) == 0) {
+      attempts += 1
+      try {
+        // create(overwrite=false) is the atomic claim: exactly one of two
+        // racing writers gets the stream, the other an already-exists
+        val out = fs.create(p, false)
+        try out.write(s"$leaseHolderId\n${System.currentTimeMillis()}"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        depths(indexPath) = 1
+      } catch {
+        case _: java.io.IOException => // already-exists (or transient FS error)
+          if (fs.exists(p)) {
+            // held: live (fail loudly) or stale (take over)?
+            val age = System.currentTimeMillis() -
+              fs.getFileStatus(p).getModificationTime
+            if (age >= WriterLeaseStaleAfterMs) {
+              System.err.println(s"writer lease at $p is ${age} ms old " +
+                s"(stale after $WriterLeaseStaleAfterMs) — presuming the " +
+                "holder crashed; taking over")
+              // the atomic create above resolves a takeover race: of two
+              // takers clearing the same stale lock, exactly one claims
+              fs.delete(p, false)
+            } else {
+              val in = fs.open(p)
+              val holder =
+                try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+                  java.nio.charset.StandardCharsets.UTF_8).linesIterator
+                  .nextOption().getOrElse("<unknown>")
+                finally in.close()
+              throw new IllegalStateException(
+                s"index at $indexPath is being maintained by another writer " +
+                  s"($holder, lease age ${age} ms) — the index lifecycle has a " +
+                  "SINGLE-WRITER contract: two maintenance loops interleaving " +
+                  "COW rewrites/pending appends/rebuckets corrupt the layout. " +
+                  "Route all writes for one index through one loop; if the " +
+                  s"holder crashed, takeover happens after ${WriterLeaseStaleAfterMs} ms " +
+                  "(PostingIndex.WriterLeaseStaleAfterMs), or clear it with " +
+                  "breakWriterLease.")
+            }
+          }
+          // lock vanished between our create and the probe (released or
+          // taken over), or we just cleared a stale one: retry the claim
+          if (attempts > 10) throw new IllegalStateException(
+            s"could not acquire writer lease at $p after $attempts attempts")
+      }
+    }
+  }
+
+  /** Release the current thread's lease on `indexPath` (outermost release
+    * deletes the lock marker — unless a stale-takeover raced us and the
+    * marker now names someone else, in which case it is left alone). */
+  def releaseWriterLease(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Unit = {
+    val depths = leaseDepths.get()
+    depths.get(indexPath) match {
+      case Some(d) if d > 1 => depths(indexPath) = d - 1
+      case Some(_) =>
+        depths.remove(indexPath)
+        val p = lockPathOf(indexPath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (fs.exists(p)) {
+          val in = fs.open(p)
+          val holder =
+            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+              java.nio.charset.StandardCharsets.UTF_8).linesIterator
+              .nextOption().getOrElse("")
+            finally in.close()
+          if (holder == leaseHolderId) { fs.delete(p, false); () }
+          else System.err.println(s"writer lease at $p now names '$holder' " +
+            "(stale takeover while this writer ran?) — leaving it in place")
+        }
+      case None => () // releasing an unheld lease is a no-op
+    }
+  }
+
+  /** Manual repair: forcibly delete `indexPath`'s lock marker. Only for an
+    * operator who has verified the named holder is dead. */
+  def breakWriterLease(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Unit = {
+    val p = lockPathOf(indexPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
+  private def withWriterLease[A](spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String)(body: => A): A = {
+    acquireWriterLease(spark, indexPath)
+    try body finally releaseWriterLease(spark, indexPath)
   }
 
   /** Root-level file recording the bucket modulus the index was written
@@ -159,6 +310,19 @@ object PostingIndex {
     * cap trades nothing but sampling noise for a bounded metadata cost. */
   val RebucketProbeBuckets = 16
 
+  /** Floor on the birth bucket width used for SIZING the rebucket
+    * suggestion (the ARMING ratio keeps the real birth width — an index
+    * genuinely outgrown 4× should warn regardless of how small it was
+    * born). An index bootstrapped from a degenerate corpus — the
+    * empty-postings anchor, or one all-stopword micro-batch — stamps a
+    * birthBytes of little more than a parquet footer, and an UNFLOORED
+    * `ceil(buckets × meanWidth / birthWidth)` then extrapolates a
+    * pathological modulus (10⁵–10⁶ buckets: a partition-dir explosion,
+    * not a repair) the moment real data lands. 64 KB ≈ the smallest
+    * bucket worth its per-file overhead, so suggestions target at least
+    * that width. */
+  val MinSizingBucketWidth: Long = 64L * 1024
+
   /** Most recent undersized-layout warning, None after a healthy apply —
     * same observability contract as `Streams.lastWideDeltaWarning`: the
     * maintenance loop (or a monitor) reads it, and the text also goes to
@@ -222,10 +386,22 @@ object PostingIndex {
         val armed =
           if (widths.isEmpty) None
           else {
-            val ratio = widths.sum.toDouble / widths.size / birth
-            if (ratio >= RebucketWarnFactor)
-              Some((ratio, math.ceil(buckets * ratio).toInt))
-            else None
+            val meanWidth = widths.sum.toDouble / widths.size
+            val ratio = meanWidth / birth
+            if (ratio >= RebucketWarnFactor) {
+              // SIZING is decoupled from ARMING (round-13 ADVICE): the
+              // suggestion targets a post-rebucket bucket width of
+              // max(birth, MinSizingBucketWidth) — never the raw birth
+              // stamp, which a degenerate bootstrap (empty/all-stopword
+              // first batch) leaves at footer scale and which would
+              // extrapolate a small-file explosion instead of a repair.
+              // Clamped to ≥ buckets+1 so the suggestion is always an
+              // actable layout change.
+              val suggest = math.max(buckets + 1,
+                math.ceil(buckets * meanWidth /
+                  math.max(birth, MinSizingBucketWidth.toDouble)).toInt)
+              Some((ratio, suggest))
+            } else None
           }
         armed match {
           case Some((ratio, suggest)) => rebucketAdviceByPath.put(indexPath,
@@ -415,8 +591,9 @@ object PostingIndex {
     * this batch may not touch — that delete sweep is [[upsertIndex]]. */
   def appendToIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                     newDocs: DataFrame, idCol: String, tokens: Column,
-                    buckets: Int = 64): Unit =
-    appendBatch(spark, indexPath, build(newDocs, idCol, tokens), idCol, buckets)
+                    buckets: Int = 64, autoRebucket: Boolean = false): Unit =
+    appendBatch(spark, indexPath, build(newDocs, idCol, tokens), idCol, buckets,
+      autoRebucket)
 
   /** [[appendToIndex]] for a POSITIONAL index (one written from
     * [[buildPositional]], q109's layout): the batch carries (lexeme, pos)
@@ -425,11 +602,18 @@ object PostingIndex {
     * rows for a bucket ride together, positions included. */
   def appendToIndexPositional(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                               newDocs: DataFrame, idCol: String, textCol: Column,
-                              buckets: Int = 64): Unit =
-    appendBatch(spark, indexPath, buildPositional(newDocs, idCol, textCol), idCol, buckets)
+                              buckets: Int = 64, autoRebucket: Boolean = false): Unit =
+    appendBatch(spark, indexPath, buildPositional(newDocs, idCol, textCol), idCol,
+      buckets, autoRebucket)
 
   private def appendBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                          built: DataFrame, idCol: String, buckets: Int): Unit = {
+                          built: DataFrame, idCol: String, buckets: Int,
+                          autoRebucket: Boolean = false): Unit =
+    withWriterLease(spark, indexPath) {
+    // heal a crashed rebucket swap BEFORE the layout probe (one fs.exists
+    // when healthy): in the crash window indexPath does not exist and the
+    // corpus sits stranded at <path>.rebucket_old
+    recoverRebucketSwap(spark, indexPath)
     requireLayout(spark, indexPath, buckets)
     require(!hasPending(spark, indexPath),
       s"index at $indexPath has a buffered pending area — a direct append's " +
@@ -481,7 +665,8 @@ object PostingIndex {
       rebucketCheck(spark, indexPath, buckets, touched)
     }
     batch.unpersist()
-  }
+    if (autoRebucket) { actOnRebucketAdvice(spark, indexPath, idCol); () }
+    }
 
   /** Document UPDATE against a written index — the Spark-native analog of
     * the reference's `BEFORE UPDATE OR INSERT` tsvector trigger
@@ -500,22 +685,27 @@ object PostingIndex {
     * reference's UPDATE semantics require. */
   def upsertIndex(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                   docs: DataFrame, idCol: String, tokens: Column,
-                  buckets: Int = 64): Unit =
+                  buckets: Int = 64, autoRebucket: Boolean = false): Unit =
     upsertBatch(spark, indexPath, build(docs, idCol, tokens),
-      docs.select(col(idCol)).distinct(), idCol, buckets)
+      docs.select(col(idCol)).distinct(), idCol, buckets,
+      autoRebucket = autoRebucket)
 
   /** [[upsertIndex]] for a POSITIONAL index ([[buildPositional]]'s layout):
     * the replacement postings carry (lexeme, pos) so phrase search stays
     * correct after the edit. */
   def upsertIndexPositional(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                             docs: DataFrame, idCol: String, textCol: Column,
-                            buckets: Int = 64): Unit =
+                            buckets: Int = 64, autoRebucket: Boolean = false): Unit =
     upsertBatch(spark, indexPath, buildPositional(docs, idCol, textCol),
-      docs.select(col(idCol)).distinct(), idCol, buckets)
+      docs.select(col(idCol)).distinct(), idCol, buckets,
+      autoRebucket = autoRebucket)
 
   private def upsertBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           built: DataFrame, docIds: DataFrame, idCol: String,
-                          buckets: Int, fromCompaction: Boolean = false): Unit = {
+                          buckets: Int, fromCompaction: Boolean = false,
+                          autoRebucket: Boolean = false): Unit =
+    withWriterLease(spark, indexPath) {
+    recoverRebucketSwap(spark, indexPath) // see appendBatch
     requireLayout(spark, indexPath, buckets)
     require(fromCompaction || !hasPending(spark, indexPath),
       s"index at $indexPath has a buffered pending area — a direct COW upsert " +
@@ -585,7 +775,8 @@ object PostingIndex {
     }
     batch.unpersist()
     ids.unpersist()
-  }
+    if (autoRebucket) { actOnRebucketAdvice(spark, indexPath, idCol); () }
+    }
 
   // --------------------------------------- buffered upsert (pending list)
   //
@@ -637,107 +828,40 @@ object PostingIndex {
     * buffered edit (the round-12 VERDICT item 4 enforcement). */
   private val EpochMarker = "_graft_pending_epoch"
 
-  /** Executor-safe epoch read: no SparkSession (the guard runs inside a
-    * task), so the FS comes from the default Hadoop configuration — the
-    * classpath core-site.xml on a cluster, the local FS in tests. */
-  /** Epoch read against an EXPLICIT Hadoop conf — never `new
-    * Configuration()`: a store configured only through `spark.hadoop.*`
-    * (fs.defaultFS, object-store credentials) is invisible to the default
-    * conf, which would make the guard read the wrong filesystem — inert
-    * (always 0) on a scheme-less path, or failing outright on s3a-style
-    * URIs. Driver-side callers pass the session conf; the execution-time
-    * guard udf ships the same conf to executors via the Writable
-    * contract (Configuration implements Writable). */
+  // epoch read/write/bump/stamp and the execution-time guard are the
+  // SHARED pending-epoch implementation (graft.util.PendingEpoch) — the
+  // KV-merge base's batched-delta mode runs the identical protocol, so
+  // the subtle parts (atomic tmp+rename writes, executor-shipped Hadoop
+  // conf, nondeterministic guard) are audited once
   private def readEpochRaw(indexPath: String,
-                           conf: org.apache.hadoop.conf.Configuration): Long = {
-    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) 0L
-    else {
-      val in = fs.open(p)
-      val txt =
-        try new String(
-          org.apache.commons.io.IOUtils.toByteArray(in),
-          java.nio.charset.StandardCharsets.UTF_8).trim
-        finally in.close()
-      // an EMPTY/corrupt marker means a (pre-atomic-write) bump crashed
-      // mid-write: fail with a remediation, not a bare NumberFormat —
-      // this state can only arise from external tampering now that the
-      // writers go through writeEpochAtomic (tmp + rename)
-      if (txt.isEmpty || !txt.forall(_.isDigit))
-        throw new IllegalStateException(
-          s"pending-epoch marker at $p is empty/corrupt ('$txt') — a marker " +
-            "write was interrupted. Restore it by writing a number ≥ the " +
-            "last compaction epoch (overestimating only makes stale lazy " +
-            "reads fail loudly, which is the safe direction).")
-      txt.toLong
-    }
-  }
-
-  /** Epoch writes are tmp + rename: a crash can leave the OLD value, the
-    * NEW value, or (between the delete and the rename) NO marker — never a
-    * half-written file. The no-marker window reads as epoch 0: stale
-    * overlay plans built at epoch ≥ 1 then fail LOUDLY on the guard
-    * (0 ≠ builtAt), and the compaction retry re-bumps from 0 — safe,
-    * documented residue of the window. */
-  private def writeEpochAtomic(fs: org.apache.hadoop.fs.FileSystem,
-                               p: org.apache.hadoop.fs.Path,
-                               value: Long): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(value.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p), s"could not move $tmp into place at $p")
-  }
+                           conf: org.apache.hadoop.conf.Configuration): Long =
+    graft.util.PendingEpoch.read(indexPath, EpochMarker, conf)
 
   private def bumpEpoch(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    val fs = p.getFileSystem(conf)
-    writeEpochAtomic(fs, p, readEpochRaw(indexPath, conf) + 1)
-  }
+                        indexPath: String): Unit =
+    graft.util.PendingEpoch.bump(spark, indexPath, EpochMarker)
 
   /** Re-stamp a given epoch (rebucket carries the compaction epoch across
     * the directory swap — a freshly-swapped layout that silently reset to
     * epoch 0 would let a stale pre-compaction overlay plan pass the
     * guard and then hit the deleted pending files). */
   private def stampEpoch(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String, epoch: Long): Unit = {
-    if (epoch <= 0) return
-    val p = new org.apache.hadoop.fs.Path(indexPath, EpochMarker)
-    writeEpochAtomic(p.getFileSystem(spark.sessionState.newHadoopConf()), p, epoch)
-  }
+                         indexPath: String, epoch: Long): Unit =
+    graft.util.PendingEpoch.stamp(spark, indexPath, EpochMarker, epoch)
 
-  /** One-row frame that exists iff the pending epoch still equals
-    * `builtAt` WHEN THE PLAN EXECUTES — cross-joined (broadcast) onto the
-    * overlay's live side, it runs as its own tiny stage on every
-    * execution of the read, even when the pending scan itself returns
-    * zero rows (the ignoreMissingFiles silent case). Nondeterministic so
-    * Catalyst never constant-folds or reorders the check away. */
+  /** See [[graft.util.PendingEpoch.guardFrame]] — cross-joined onto BOTH
+    * overlay union sides so a read planned before a compaction fails
+    * loudly when executed after it. */
   private def epochGuardFrame(spark: org.apache.spark.sql.SparkSession,
-                              indexPath: String): DataFrame = {
-    val builtAt = readEpochRaw(indexPath, spark.sessionState.newHadoopConf())
-    val pathCap = indexPath
-    // the udf body runs on executors: ship the session's Hadoop conf with
-    // the closure (Configuration is a Writable; SerializableWritable is
-    // the public Spark wrapper) so spark.hadoop.*-configured stores
-    // resolve there exactly as on the driver
-    val serConf = new org.apache.spark.SerializableWritable(
-      spark.sessionState.newHadoopConf())
-    val check = udf { () =>
-      val now = readEpochRaw(pathCap, serConf.value)
-      if (now != builtAt) throw new IllegalStateException(
-        s"posting index at $pathCap was compacted (pending epoch $now; this " +
+                              indexPath: String): DataFrame =
+    graft.util.PendingEpoch.guardFrame(spark, indexPath, EpochMarker) {
+      (builtAt, now) =>
+        s"posting index at $indexPath was compacted (pending epoch $now; this " +
           s"read was planned at epoch $builtAt) after this DataFrame was built " +
           "— the pending files it lazily references are gone. Rebuild the " +
           "read, or materialize it (localCheckpoint(true) / write) before " +
-          "calling compactPending.")
-      true
-    }.asNondeterministic()
-    spark.range(1).filter(check()).select(lit(1).as("graft_epoch_live"))
-  }
+          "calling compactPending."
+    }
 
   private def pendingPath(indexPath: String) = s"$indexPath/$PendingDir"
   private def pendingDeletesPath(indexPath: String) = s"$indexPath/$PendingDeletesDir"
@@ -753,6 +877,24 @@ object PostingIndex {
     fs.exists(new org.apache.hadoop.fs.Path(pendingPath(indexPath))) ||
       fs.exists(new org.apache.hadoop.fs.Path(pendingDeletesPath(indexPath)))
   }
+
+  /** Default pending-batch-count compaction trigger. Bytes alone calibrate
+    * compaction to the WRITE side; the READ side degrades with BATCH COUNT
+    * — each overlay search opens every pending file and resolves
+    * latest-batch-wins across all buffered batches — and does so long
+    * before the byte threshold looks big (the GIN `gin_pending_list_limit`
+    * lesson: search latency is why the knob exists). Measured in
+    * STRESS.md's overlay-read rows: at the ×100 decade the overlay search
+    * crosses ~2× the compacted read's latency in the tens of batches, so
+    * 32 keeps steady-state reads inside the 2× envelope while still
+    * amortizing the fold across a useful batch count. */
+  val CompactAbovePendingBatchesDefault: Int = 32
+
+  /** Number of buffered batches currently in the pending area (0 after a
+    * compaction — batch stamps restart). The read-side compaction
+    * trigger's measure; O(pending) to compute. */
+  def pendingBatches(spark: org.apache.spark.sql.SparkSession,
+                     indexPath: String): Long = nextBatch(spark, indexPath)
 
   /** On-disk size of the pending area (the compaction trigger's measure —
     * GIN's `gin_pending_list_limit` analog). */
@@ -776,15 +918,20 @@ object PostingIndex {
                             indexPath: String, idCol: String): DataFrame = {
     val base = spark.read.parquet(indexPath)
     if (!hasPending(spark, indexPath)) return base
-    val (live, superseded) = livePending(spark, indexPath, idCol)
-    // execution-time compaction guard on BOTH union sides. The live side
-    // alone is not enough: in the deletes-only pending case live is a
-    // limit(0) frame, which OptimizeLimitZero + PropagateEmptyRelation
-    // fold to an empty relation — taking the cross-joined guard with it —
-    // while the anti-join side still lazily scans the (deleted)
-    // _pending_deletes files. The base-minus-superseded side never folds
-    // empty, so the guard there always survives to execution.
+    // execution-time compaction guard on BOTH union sides AND woven into
+    // the pending scans themselves (livePending's guard parameter). The
+    // live side alone is not enough: in the deletes-only pending case
+    // live is a limit(0) frame, which OptimizeLimitZero +
+    // PropagateEmptyRelation fold to an empty relation — taking the
+    // cross-joined guard with it — while the anti-join side still lazily
+    // scans the (deleted) _pending_deletes files. And output-side guards
+    // alone are not enough either: AQE materializes the pending scans'
+    // shuffle/broadcast stages in PARALLEL with the guard's, so an
+    // unguarded pending scan can surface a bare FAILED_READ_FILE before
+    // the guard stage runs — guarding the scans makes their stages
+    // DEPEND on the guard broadcast, which must throw first.
     val guard = broadcast(epochGuardFrame(spark, indexPath))
+    val (live, superseded) = livePending(spark, indexPath, idCol, Some(guard))
     val guarded = live.crossJoin(guard).drop("graft_epoch_live")
     base.join(broadcast(superseded), Seq(idCol), "left_anti")
       .crossJoin(guard).drop("graft_epoch_live")
@@ -793,17 +940,23 @@ object PostingIndex {
 
   /** (live pending postings, superseded doc ids): an id's live rows are
     * its LATEST batch's postings; every id any pending batch touched —
-    * including pure deletes — is superseded in the base. */
+    * including pure deletes — is superseded in the base. With `guard`
+    * given, every pending scan is cross-joined against it INSIDE its own
+    * stage (see [[indexRelation]]'s AQE rationale); the compaction fold
+    * passes None — it reads the area it is about to delete under the
+    * writer lease, no staleness possible. */
   private def livePending(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String,
-                          idCol: String): (DataFrame, DataFrame) = {
+                          indexPath: String, idCol: String,
+                          guard: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    def guarded(df: DataFrame): DataFrame =
+      guard.fold(df)(g => df.crossJoin(g).drop("graft_epoch_live"))
     val fs = fsOf(spark, indexPath)
     val pendP = new org.apache.hadoop.fs.Path(pendingPath(indexPath))
     val delP = new org.apache.hadoop.fs.Path(pendingDeletesPath(indexPath))
     val pend =
-      if (fs.exists(pendP)) spark.read.parquet(pendingPath(indexPath))
+      if (fs.exists(pendP)) guarded(spark.read.parquet(pendingPath(indexPath)))
       else return { // deletes-only pending area (every batch was a purge)
-        val dels = spark.read.parquet(pendingDeletesPath(indexPath))
+        val dels = guarded(spark.read.parquet(pendingDeletesPath(indexPath)))
           .select(col(idCol)).distinct()
         (spark.read.parquet(indexPath).limit(0), dels)
       }
@@ -811,7 +964,7 @@ object PostingIndex {
     val all =
       if (fs.exists(delP))
         touched.unionByName(
-          spark.read.parquet(pendingDeletesPath(indexPath))
+          guarded(spark.read.parquet(pendingDeletesPath(indexPath)))
             .select(col(idCol), col(BatchCol)))
       else touched
     val latest = all.groupBy(col(idCol)).agg(max(col(BatchCol)).as(BatchCol))
@@ -865,22 +1018,32 @@ object PostingIndex {
   def upsertIndexBuffered(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           docs: DataFrame, idCol: String, tokens: Column,
                           buckets: Int = 64,
-                          compactAboveBytes: Long = 64L * 1024 * 1024): Unit =
+                          compactAboveBytes: Long = 64L * 1024 * 1024,
+                          compactAbovePendingBatches: Int = CompactAbovePendingBatchesDefault,
+                          autoRebucket: Boolean = false): Unit =
     upsertBuffered(spark, indexPath, build(docs, idCol, tokens),
-      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes)
+      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes,
+      compactAbovePendingBatches, autoRebucket)
 
   /** [[upsertIndexBuffered]] for a POSITIONAL index — the pending rows
     * carry (lexeme, pos) so phrase search stays correct over the overlay. */
   def upsertIndexBufferedPositional(spark: org.apache.spark.sql.SparkSession,
                                     indexPath: String, docs: DataFrame, idCol: String,
                                     textCol: Column, buckets: Int = 64,
-                                    compactAboveBytes: Long = 64L * 1024 * 1024): Unit =
+                                    compactAboveBytes: Long = 64L * 1024 * 1024,
+                                    compactAbovePendingBatches: Int = CompactAbovePendingBatchesDefault,
+                                    autoRebucket: Boolean = false): Unit =
     upsertBuffered(spark, indexPath, buildPositional(docs, idCol, textCol),
-      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes)
+      docs.select(col(idCol)).distinct(), idCol, buckets, compactAboveBytes,
+      compactAbovePendingBatches, autoRebucket)
 
   private def upsertBuffered(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                              built: DataFrame, docIds: DataFrame, idCol: String,
-                             buckets: Int, compactAboveBytes: Long): Unit = {
+                             buckets: Int, compactAboveBytes: Long,
+                             compactAbovePendingBatches: Int = CompactAbovePendingBatchesDefault,
+                             autoRebucket: Boolean = false): Unit =
+    withWriterLease(spark, indexPath) {
+    recoverRebucketSwap(spark, indexPath) // see appendBatch
     requireLayout(spark, indexPath, buckets)
     val batchNo = nextBatch(spark, indexPath)
     val batch = built
@@ -924,9 +1087,17 @@ object PostingIndex {
       pureDeletes.write.mode("append").parquet(pendingDeletesPath(indexPath))
     pureDeletes.unpersist()
     batch.unpersist()
-    if (pendingBytes(spark, indexPath) > compactAboveBytes)
+    // compaction triggers on EITHER measure: bytes (the pending area's
+    // write-side footprint) or batch COUNT (the read side — every overlay
+    // search pays a per-batch latest-wins resolve and opens every pending
+    // file, so reads degrade with batch count long before bytes look big;
+    // GIN's gin_pending_list_limit lesson, measured in STRESS.md's
+    // overlay-read rows). batchNo is 0-based: batchNo+1 batches exist now.
+    if (pendingBytes(spark, indexPath) > compactAboveBytes ||
+        batchNo + 1 >= compactAbovePendingBatches)
       compactPending(spark, indexPath, idCol, buckets)
-  }
+    if (autoRebucket) { actOnRebucketAdvice(spark, indexPath, idCol); () }
+    }
 
   /** Fold the pending area into the base layout — ONE touched-bucket COW
     * rewrite (plus sidecar sweep) for every batch buffered since the last
@@ -947,27 +1118,29 @@ object PostingIndex {
     * write BEFORE compacting) — never a bare FileNotFoundException, and
     * never silently-empty results under ignoreMissingFiles=true. */
   def compactPending(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-                     idCol: String, buckets: Int = 64): Unit = {
-    if (!hasPending(spark, indexPath)) return
-    val (live, superseded) = livePending(spark, indexPath, idCol)
-    val liveSnap = live.drop("lexeme_bucket").localCheckpoint(true)
-    val idsSnap = superseded.localCheckpoint(true)
-    upsertBatch(spark, indexPath, liveSnap, idsSnap, idCol, buckets,
-      fromCompaction = true)
-    liveSnap.unpersist()
-    idsSnap.unpersist()
-    // epoch bump BEFORE the delete: a crash in between leaves the pending
-    // files intact (reads planned after the bump see the folded base +
-    // the still-idempotent overlay — correct rows; a retry re-folds and
-    // deletes), and there is never a window where the files are gone but
-    // an old plan's epoch still matches
-    bumpEpoch(spark, indexPath)
-    val fs = fsOf(spark, indexPath)
-    Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).foreach { d =>
-      val p = new org.apache.hadoop.fs.Path(d)
-      if (fs.exists(p)) { fs.delete(p, true); () }
+                     idCol: String, buckets: Int = 64): Unit =
+    withWriterLease(spark, indexPath) {
+      if (hasPending(spark, indexPath)) {
+        val (live, superseded) = livePending(spark, indexPath, idCol)
+        val liveSnap = live.drop("lexeme_bucket").localCheckpoint(true)
+        val idsSnap = superseded.localCheckpoint(true)
+        upsertBatch(spark, indexPath, liveSnap, idsSnap, idCol, buckets,
+          fromCompaction = true)
+        liveSnap.unpersist()
+        idsSnap.unpersist()
+        // epoch bump BEFORE the delete: a crash in between leaves the
+        // pending files intact (reads planned after the bump see the folded
+        // base + the still-idempotent overlay — correct rows; a retry
+        // re-folds and deletes), and there is never a window where the
+        // files are gone but an old plan's epoch still matches
+        bumpEpoch(spark, indexPath)
+        val fs = fsOf(spark, indexPath)
+        Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          if (fs.exists(p)) { fs.delete(p, true); () }
+        }
+      }
     }
-  }
 
   // ------------------------------------------------------------- rebucket
 
@@ -992,7 +1165,8 @@ object PostingIndex {
     * with readers. Requires a compacted index: buffered pending batches
     * hash by the old modulus and would be orphaned. */
   def rebucket(spark: org.apache.spark.sql.SparkSession, indexPath: String,
-               idCol: String, oldBuckets: Int, newBuckets: Int): Unit = {
+               idCol: String, oldBuckets: Int, newBuckets: Int): Unit =
+    withWriterLease(spark, indexPath) {
     recoverRebucketSwap(spark, indexPath) // heal a previously crashed swap
     requireLayout(spark, indexPath, oldBuckets)
     require(!hasPending(spark, indexPath),
@@ -1022,8 +1196,11 @@ object PostingIndex {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), src),
       s"rebucket: could not swap in $tmp — old layout is at $old")
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    // the tmp layout's own write() lease marker is released already; the
+    // swap renamed only the data directory, so indexPath's lease (ours,
+    // a sibling file) is untouched
     ()
-  }
+    }
 
   /** Heal a crash between [[rebucket]]'s two renames. The hazard: with the
     * index moved to `<path>.rebucket_old` and the new layout not yet
@@ -1041,7 +1218,8 @@ object PostingIndex {
                           indexPath: String): Boolean = {
     val fs = fsOf(spark, indexPath)
     val oldP = new org.apache.hadoop.fs.Path(s"$indexPath.rebucket_old")
-    if (!fs.exists(oldP)) return false
+    if (!fs.exists(oldP)) return false // healthy fast path: no lease taken
+    withWriterLease(spark, indexPath) {
     val srcP = new org.apache.hadoop.fs.Path(indexPath)
     val tmpP = new org.apache.hadoop.fs.Path(s"$indexPath.rebucket_tmp")
     if (!fs.exists(srcP)) {
@@ -1060,7 +1238,40 @@ object PostingIndex {
     System.err.println(s"recoverRebucketSwap: healed a crashed rebucket " +
       s"swap at $indexPath")
     true
+    }
   }
+
+  /** ACT on armed [[rebucketAdvice]] for `indexPath` — the shared
+    * warn→act closure both the streaming loop
+    * (`Streams.maintainPostingIndex(autoRebucket=true)`) and the batch
+    * maintenance paths (`appendToIndex`/`upsertIndex`/
+    * `upsertIndexBuffered` with `autoRebucket=true`) run after an apply:
+    * fold any pending area first (buffered batches hash by the old
+    * modulus and would be orphaned by the swap), RE-READ the advice —
+    * the fold's own COW apply re-measures widths and may arm a larger,
+    * fresher suggestion; swapping to the pre-fold number right after a
+    * large fold under-sizes the new modulus (round-13 ADVICE) — then
+    * [[rebucket]] and clear both observability hooks. No-op (None) when
+    * nothing is armed; returns (oldBuckets, newBuckets) when it swapped.
+    * Runs in the maintenance window by construction: callers invoke it
+    * between applies, exactly where a human would schedule the
+    * compaction-class rewrite. */
+  def actOnRebucketAdvice(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, idCol: String): Option[(Int, Int)] =
+    withWriterLease(spark, indexPath) {
+    rebucketAdvice(indexPath).map { a0 =>
+      if (pendingBytes(spark, indexPath) > 0)
+        compactPending(spark, indexPath, idCol, a0.buckets)
+      val a = rebucketAdvice(indexPath).getOrElse(a0)
+      rebucket(spark, indexPath, idCol, a.buckets, a.suggested)
+      System.err.println(s"actOnRebucketAdvice: auto-rebucketed " +
+        s"$indexPath ${a.buckets} -> ${a.suggested} " +
+        f"(mean touched width ${a.ratio}%.1f× birth)")
+      clearRebucketAdvice(indexPath)
+      lastRebucketWarning = None
+      (a.buckets, a.suggested)
+    }
+    }
 
   /** F3 AND-of-terms over the posting table (`token @@ to_tsquery('a & b')`).
     * Terms are stemmed with the same stemmer the index side used. */

@@ -256,6 +256,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.size == 33 && fin(100L) == "new")
   }
 
+  test("incrementalMergeBucketed batchDeltas: wide deltas park without bucket rewrites, overlay reads resolve latest-wins, one fold applies all; stale plans fail loudly") {
+    val src = Files.createTempDirectory("graft_imbd_src_").toString
+    val tgt = Files.createTempDirectory("graft_imbd_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imbd_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    def merge(): Unit = Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck,
+      numBuckets = 8, batchDeltas = true, foldAboveBytes = Long.MaxValue)
+    Seq.tabulate(32)(i => (i.toLong, s"v$i")).toDF("id", "v").write.parquet(s"$src/f1")
+    merge() // bootstrap writes the base itself
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(tgt).listFiles()
+        .filter(_.getName.startsWith(s"${Streams.BucketCol}="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filterNot(_.startsWith(".")).toSet).toMap
+    val before = bucketFiles()
+    // two WIDE parked batches with overlapping keys: id=2 is updated by
+    // both — the second must win everywhere
+    Seq((2L, "B2"), (5L, "B5"), (17L, "B17")).toDF("id", "v").write.parquet(s"$src/f2")
+    merge()
+    Seq((2L, "C2"), (9L, "C9")).toDF("id", "v").write.parquet(s"$src/f3")
+    merge()
+    assert(bucketFiles() == before,
+      "parked batches must not rewrite ANY base bucket")
+    assert(Streams.mergePendingBytes(spark, tgt) > 0L)
+    val overlay = Streams.readMergedBase(spark, tgt)
+      .as[(Long, String)].collect().toMap
+    assert(overlay.size == 32 && overlay(2L) == "C2" && overlay(5L) == "B5" &&
+      overlay(9L) == "C9" && overlay(17L) == "B17" && overlay(3L) == "v3",
+      s"overlay read wrong: ${overlay.toSeq.sortBy(_._1).take(6)}")
+    // a plan built over the overlay, executed after the fold, must fail
+    // with the named epoch error — not FileNotFound, not silently-stale
+    val stale = Streams.readMergedBase(spark, tgt)
+    Streams.foldMergePending(spark, tgt, "id", numBuckets = 8)
+    assert(Streams.mergePendingBytes(spark, tgt) == 0L)
+    val folded = Streams.readMergedBase(spark, tgt)
+      .as[(Long, String)].collect().toMap
+    assert(folded == overlay, "fold must preserve exactly the overlay rows")
+    val e = intercept[Exception](stale.count())
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    // aggregate stage-materialization errors EMBED sub-failure text in
+    // the message rather than the cause chain — search both
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("was folded")),
+      s"stale overlay plan must raise the epoch guard (never a bare " +
+        s"FileNotFound), got $e")
+    // a DIRECT (un-parked) merge against a pending-bearing base refuses
+    Seq((3L, "direct")).toDF("id", "v").write.parquet(s"$src/f4")
+    merge() // park again so pending exists
+    val ck2 = Files.createTempDirectory("graft_imbd_ck2_").toString
+    val e2 = intercept[Exception] {
+      Streams.incrementalMergeBucketed(
+        Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck2,
+        numBuckets = 8)
+    }
+    assert(causes(e2).exists(c => c.getMessage != null &&
+      c.getMessage.contains("batched-delta pending area")),
+      s"direct merge over pending must refuse, got $e2")
+  }
+
   test("incrementalMergeBucketed: a delta into a bucket ABSENT from the base creates it") {
     // the explicit-path read (round 11) probes only touched dirs — a batch
     // whose keys hash into buckets never yet written must find nothing to
