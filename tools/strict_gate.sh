@@ -29,3 +29,20 @@ sbt -batch "runMain graft.Verify $SF $OUT" > /tmp/strict_gate_verify.log 2>&1 \
 grep -E '\[verify\] .* failed:' /tmp/strict_gate_verify.log && exit 1
 python3 tools/check.py "$SF" "$OUT" "$ART"
 echo "strict gate OK → $ART"
+# Round-13 VERDICT item 1a: the full per-query bench artifact (min +
+# median + shuffle bytes per query) must be committed EVERY round —
+# target/bench_r<N>_full.json is what makes a contaminated driver run
+# provable after the fact. This gate makes forgetting it loud. Produce it
+# with:
+#   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+#   SPARK_GRAFT_BENCH_OUT=target/bench_r<N>_full.json \
+#   sbt -batch "runMain graft.Bench"   (3 runs; ~10 min)
+# Override with SKIP_BENCH_ARTIFACT=1 only for mid-round partial gates.
+BENCH_ART="target/bench_r${N}_full.json"
+if [ -z "$SKIP_BENCH_ARTIFACT" ] && [ ! -f "$BENCH_ART" ]; then
+  echo "strict gate FAIL: $BENCH_ART missing — run the full local bench and commit it (see comment above)" >&2
+  exit 1
+fi
+if [ -f "$BENCH_ART" ] && ! git ls-files --error-unmatch "$BENCH_ART" >/dev/null 2>&1; then
+  echo "strict gate WARNING: $BENCH_ART exists but is not tracked — git add it" >&2
+fi
