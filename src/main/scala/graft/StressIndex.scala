@@ -704,6 +704,15 @@ object StressIndex {
             val ok = if (t.sec <= 2.0 * base.sec) "within" else "ABOVE"
             md ++= f" At the default `compactAbovePendingBatches = ${text.PostingIndex.CompactAbovePendingBatchesDefault}` trigger the overlay read is ${t.sec / base.sec}%.1f× the compacted read — $ok the 2× calibration bar."
           }
+          // separate the CONSTANT overlay-machinery term (latest-wins
+          // joins + epoch guard + pending-scan stages — paid at ANY batch
+          // count, removed only by compaction) from the ACCUMULATION term
+          // the batch-count trigger actually controls: at toy decades the
+          // constant dominates (compacted scan ≈ 0.2 s), which is a
+          // fixed-stage-count artifact, not a scale law
+          pts.headOption.foreach { one =>
+            md ++= f" (@1-batch ratio ${one.sec / base.sec}%.1f× is the overlay machinery CONSTANT; the trigger bounds the growth beyond it — read the decade where scan work dominates the constants.)"
+          }
           md ++= "\n"
         }
       }
@@ -713,6 +722,11 @@ object StressIndex {
       r <- at("q106_append100_rebucketed", u.scale)
       f <- at("q106_index_append100", u.scale)
     } md ++= f"- rebucket (${u.scale}): append to the birth-sized (16-bucket) grown index rewrote ${fmtB(u.rewrittenBytes)}; after `rebucket` to the ∝N count the same append rewrote ${fmtB(r.rewrittenBytes)} vs the fresh-index line's ${fmtB(f.rewrittenBytes)} — post-rebucket maintenance returns to the fresh line.\n"
+    // the batch-auto act's cost is IN its row by design: sec/rewritten
+    // include the in-call fold+rebucket, so the number reads as the one
+    // apply that paid the repair, not a steady-state regression
+    for { m <- results if m.op == "q106_append100_batchauto" }
+      md ++= f"- batch-auto rebucket (${m.scale}): the same undersized append through `appendToIndex(autoRebucket=true)` measured ${m.sec}%.2f s / ${fmtB(m.rewrittenBytes)} rewritten — the row INCLUDES the in-call ∝N repair rewrite (the act's one-time cost; the trigger line shows it ACTED, and the post-rebucket row shows later maintenance back at the fresh line).\n"
     // the trigger policy's observed state at each undersized/recovered step
     triggerLines.foreach(l => md ++= s"- $l\n")
     // clustered-write contract (`files` column): every partitioned write
