@@ -11,6 +11,24 @@ private[graft] object ExtQueriesShared {
   private[ops] def sqlList(ws: Seq[String]): String =
     ws.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
+  /** Pre/post read-path agreement gate for the index-lifecycle queries
+    * (q363/q365/q367): `intersect` alone is a SET op, so an overlay read
+    * that leaks a stale row ALONGSIDE a key's live one still intersects
+    * to the correct set — only LOST rows break a bare intersection. The
+    * equal-count check first makes leaked/duplicated overlay rows fail
+    * loudly too; both counts are bounded by the query's own result. */
+  private[ops] def gatedIntersect(pre: org.apache.spark.sql.DataFrame,
+                                  post: org.apache.spark.sql.DataFrame,
+                                  what: String): org.apache.spark.sql.DataFrame = {
+    val preN = pre.count()
+    val postN = post.count()
+    require(preN == postN,
+      s"$what: overlay (pre-fold) read returned $preN rows but the folded " +
+        s"read $postN — a leaked stale / duplicated / lost overlay row " +
+        "that a bare intersect would hide")
+    pre.intersect(post)
+  }
+
 
   /** Shingled corpus with the compute spread across all cores: any doc_id
     * slice is pushed into the parquet scan FIRST, then rows are

@@ -235,7 +235,7 @@ object StreamQueries {
     graft.text.PostingIndex.compactPending(s, idx, "doc_id", buckets = 16)
     val post = graft.text.PostingIndex.searchAllIndexed(s, idx, "doc_id",
       Seq("merges", "joining"), buckets = 16)
-    pre.intersect(post).orderBy($"doc_id")
+    ExtQueriesShared.gatedIntersect(pre, post, "q365").orderBy($"doc_id")
   }
 
   /** q90's BATCHED-DELTA twin (round-13 VERDICT item 7 — the wide-delta
@@ -249,9 +249,11 @@ object StreamQueries {
     * COW merge. Batch 2 updates every 10th key; batch 3 updates every
     * 20th AGAIN (overlapping keys), so cross-batch latest-wins in both
     * the overlay read and the fold is load-bearing. The result is the
-    * overlay read INTERSECTED with the post-fold read — a leaked stale
-    * row, a lost parked update, or a mis-folded key breaks the
-    * intersection against the plain-SQL merge oracle. */
+    * overlay read INTERSECTED with the post-fold read under the
+    * equal-count gate ([[ExtQueriesShared.gatedIntersect]]) — a lost
+    * parked update or mis-folded key breaks the intersection against the
+    * plain-SQL merge oracle, and a LEAKED stale row (which a bare set
+    * intersect would silently drop) breaks the count gate. */
   private val q367MergeBatched: Q = (s, d) => {
     import s.implicits._
     val orders = Tables.orders(s, d).select($"o_orderkey", $"o_custkey")
@@ -278,7 +280,7 @@ object StreamQueries {
     val pre = Streams.readMergedBase(s, tgt).localCheckpoint(true)
     Streams.foldMergePending(s, tgt, "o_orderkey", numBuckets = 16)
     val post = Streams.readMergedBase(s, tgt)
-    pre.intersect(post).orderBy($"o_orderkey")
+    ExtQueriesShared.gatedIntersect(pre, post, "q367").orderBy($"o_orderkey")
   }
 
   /** F4/streaming at its hardest: CROSS-BATCH stateful sessionization gated

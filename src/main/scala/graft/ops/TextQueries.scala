@@ -432,7 +432,7 @@ object TextQueries {
     PostingIndex.compactPending(s, dir, "doc_id", buckets = 16)
     val post = PostingIndex.searchAllIndexed(s, dir, "doc_id",
       Seq("merges", "joining"), buckets = 16)
-    pre.intersect(post).orderBy($"doc_id")
+    ExtQueriesShared.gatedIntersect(pre, post, "q363").orderBy($"doc_id")
   }
 
   /** F2 lifecycle closure — a GROWN index re-sized under a new bucket

@@ -479,6 +479,7 @@ object Streams {
   private val MergePendingDir = "_pending"
   private val MergeBatchCol = "graft_pending_batch"
   private val MergeEpochMarker = "_graft_pending_epoch"
+  private val MergeSeqMarker = "_graft_pending_seq"
 
   private def mergePendingPath(targetDir: String) = s"$targetDir/$MergePendingDir"
 
@@ -497,15 +498,23 @@ object Streams {
 
   /** Live pending rows: each key's row from its LATEST batch (batches are
     * already one-row-per-key via latestPerKey). Null keys group like any
-    * other key under the window. */
-  private def liveMergePending(spark: SparkSession, targetDir: String): DataFrame = {
-    val pend = spark.read.parquet(mergePendingPath(targetDir))
-    val keyCols = pend.columns.filterNot(_ == MergeBatchCol)
+    * other key under the window. The ONE copy of the latest-wins window
+    * and the key-first layout contract — the fold uses it bare, the
+    * overlay read threads its epoch guard through `guard` so the two
+    * paths can never diverge on the pending layout. */
+  private def liveMergePending(spark: SparkSession, targetDir: String,
+                               guard: Option[DataFrame] = None): DataFrame = {
+    val pendRaw = spark.read.parquet(mergePendingPath(targetDir))
+    // the guard rides INSIDE the pending scan's own stage (crossJoin
+    // BEFORE the latest-wins window) — see readMergedBase for why
+    val pend = guard.map(g => pendRaw.crossJoin(g).drop("graft_epoch_live"))
+      .getOrElse(pendRaw)
+    val keyCols = pendRaw.columns.filterNot(_ == MergeBatchCol)
     // the key column is unknown here; latest-wins must resolve per KEY,
     // which the writer guarantees is the FIRST column of every appended
     // batch (appendMergePending reorders) — a layout contract like BucketCol
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(pend.columns.head))
+      .partitionBy(col(pendRaw.columns.head))
       .orderBy(col(MergeBatchCol).desc)
     pend.withColumn("graft_rn", row_number().over(w))
       .filter(col("graft_rn") === 1)
@@ -527,6 +536,10 @@ object Streams {
     applyMergeDelta(spark, live, targetDir, keyCol, numBuckets)
     live.unpersist()
     graft.util.PendingEpoch.bump(spark, targetDir, MergeEpochMarker)
+    // counter BEFORE the pending dir (see PendingEpoch.clearStamp): a
+    // crash in between falls back to the migration scan, never a stale
+    // counter over a cleared area
+    graft.util.PendingEpoch.clearStamp(spark, targetDir, MergeSeqMarker)
     val p = new org.apache.hadoop.fs.Path(mergePendingPath(targetDir))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) { fs.delete(p, true); () }
@@ -560,14 +573,8 @@ object Streams {
     // bare-FileNotFound failure mode the guard exists to replace. A
     // stage that needs the guard's broadcast cannot start until the
     // guard has executed (and thrown).
-    val pendRaw = spark.read.parquet(mergePendingPath(targetDir))
-    val pend = pendRaw.crossJoin(guard).drop("graft_epoch_live")
-    val keyName = pendRaw.columns.head // layout contract: key first
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyName)).orderBy(col(MergeBatchCol).desc)
-    val live = pend.withColumn("graft_rn", row_number().over(w))
-      .filter(col("graft_rn") === 1)
-      .select(pendRaw.columns.filterNot(_ == MergeBatchCol).map(col).toIndexedSeq: _*)
+    val live = liveMergePending(spark, targetDir, Some(guard))
+    val keyName = live.columns.head // layout contract: key first
     val liveKeys = live.select(col(keyName).as("graft_mk"))
     base.join(broadcast(liveKeys), base(keyName) <=> col("graft_mk"), "left_anti")
       .crossJoin(guard).drop("graft_epoch_live")
@@ -659,13 +666,20 @@ object Streams {
     * name) can resolve latest-wins per key. */
   private def appendMergePending(spark: SparkSession, batch: DataFrame,
                                  targetDir: String, keyCol: String): Unit = {
-    val next: Long =
-      if (!hasMergePending(spark, targetDir)) 0L
-      else spark.read.parquet(mergePendingPath(targetDir))
-        .agg(max(col(MergeBatchCol))).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r                  => r.getLong(0) + 1L
-        }
+    // O(1) counter claim (PendingEpoch.claimNextStamp — single writer:
+    // one streaming query drives one merge base), not a Spark agg(max)
+    // over every previously parked file: that scan grows with pending
+    // size, making a parking run's total stamp cost quadratic. The
+    // fallback scan migrates pre-counter pending areas once.
+    val next: Long = graft.util.PendingEpoch.claimNextStamp(
+      spark, targetDir, MergeSeqMarker,
+      fallbackMax =
+        if (!hasMergePending(spark, targetDir)) -1L
+        else spark.read.parquet(mergePendingPath(targetDir))
+          .agg(max(col(MergeBatchCol))).head() match {
+            case r if r.isNullAt(0) => -1L
+            case r                  => r.getLong(0)
+          })
     batch
       .select((keyCol +: batch.columns.filterNot(_ == keyCol).toSeq).map(col): _*)
       .withColumn(MergeBatchCol, lit(next))

@@ -98,12 +98,16 @@ object PostingIndex {
   // acquisition fails with a named error instead of silently interleaving.
   // Reentrant within one call stack (upsertBuffered → compactPending →
   // upsertBatch is one writer), tracked per thread. A crashed holder's
-  // lock goes stale after [[WriterLeaseStaleAfterMs]] and is taken over;
-  // size that window above the longest single maintenance apply.
+  // lock goes stale after [[WriterLeaseStaleAfterMs]] and is taken over
+  // (atomic-rename claim); a LIVE holder's lock mtime is heartbeat-
+  // refreshed every staleness/3, so the window needs no relation to
+  // apply length — only to how fast a crashed holder should be replaced.
 
   /** Age (ms of lock-file mtime) after which a writer lease is presumed
-    * crashed and taken over. Mutable for tests and for operators whose
-    * single apply legitimately exceeds the default. */
+    * crashed and taken over. The holder heartbeats at a third of this,
+    * so a live lease never goes stale regardless of apply length; size
+    * the window only for takeover latency after a real crash. Mutable
+    * for tests. */
   @volatile var WriterLeaseStaleAfterMs: Long = 15L * 60 * 1000
 
   private def lockPathOf(indexPath: String) =
@@ -116,6 +120,54 @@ object PostingIndex {
   private def leaseHolderId: String =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/thread-" + Thread.currentThread().getId
+
+  // Heartbeat: a held lease's lock mtime is refreshed every staleness/3 by
+  // a daemon thread, so a LIVE holder is never presumed crashed no matter
+  // how long one apply runs (a ×100-scale fold or rebucket can exceed any
+  // fixed window — without the refresh, a second loop would steal the
+  // lease MID-APPLY and double-write the layout). The tick re-reads the
+  // holder first and only touches a lock still naming this writer: after
+  // a legitimate stale takeover the usurper's lock must age on its own.
+  private lazy val leaseHeartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-writer-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+  private val leaseHeartbeatTasks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
+
+  private def readLockHolder(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).linesIterator
+      .nextOption().getOrElse("<unknown>")
+    finally in.close()
+  }
+
+  private def startLeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
+                                  indexPath: String, holder: String): Unit = {
+    val p = lockPathOf(indexPath)
+    val period = math.max(WriterLeaseStaleAfterMs / 3, 1000L)
+    val task = leaseHeartbeats.scheduleAtFixedRate(() => {
+      try if (readLockHolder(fs, p) == holder) {
+        fs.setTimes(p, System.currentTimeMillis(), -1)
+      } catch {
+        // released/stolen between ticks, or a transient FS error: the
+        // next tick (or the stale window) resolves it — never kill the
+        // shared heartbeat thread
+        case _: Exception => ()
+      }
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    Option(leaseHeartbeatTasks.put(indexPath, task))
+      .foreach(_.cancel(false)) // paranoia: no two hearts for one path
+  }
+
+  private def stopLeaseHeartbeat(indexPath: String): Unit =
+    Option(leaseHeartbeatTasks.remove(indexPath)).foreach { t =>
+      t.cancel(false); ()
+    }
 
   /** Take the single-writer lease on `indexPath` (atomic
     * create-no-overwrite of the sibling lock marker). Reentrant on the
@@ -140,43 +192,81 @@ object PostingIndex {
         // create(overwrite=false) is the atomic claim: exactly one of two
         // racing writers gets the stream, the other an already-exists
         val out = fs.create(p, false)
-        try out.write(s"$leaseHolderId\n${System.currentTimeMillis()}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
+        var bodyOk = false
+        try {
+          try out.write(s"$leaseHolderId\n${System.currentTimeMillis()}"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          bodyOk = true
+        } finally {
+          // the claim SUCCEEDED but the body write failed (disk full,
+          // transient FS error): without this cleanup the orphaned
+          // empty/partial lock reads as someone else's live lease and
+          // locks THIS writer out for the full stale window (the rethrown
+          // IOException re-enters the retry loop below, now over a clean
+          // slate; the holder==self branch is the second line of defense)
+          if (!bodyOk) { try fs.delete(p, false) catch { case _: Exception => () } }
+        }
         depths(indexPath) = 1
+        startLeaseHeartbeat(fs, indexPath, leaseHolderId)
       } catch {
         case _: java.io.IOException => // already-exists (or transient FS error)
-          if (fs.exists(p)) {
-            // held: live (fail loudly) or stale (take over)?
-            val age = System.currentTimeMillis() -
-              fs.getFileStatus(p).getModificationTime
-            if (age >= WriterLeaseStaleAfterMs) {
-              System.err.println(s"writer lease at $p is ${age} ms old " +
-                s"(stale after $WriterLeaseStaleAfterMs) — presuming the " +
-                "holder crashed; taking over")
-              // the atomic create above resolves a takeover race: of two
-              // takers clearing the same stale lock, exactly one claims
-              fs.delete(p, false)
-            } else {
-              val in = fs.open(p)
-              val holder =
-                try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-                  java.nio.charset.StandardCharsets.UTF_8).linesIterator
-                  .nextOption().getOrElse("<unknown>")
-                finally in.close()
-              throw new IllegalStateException(
-                s"index at $indexPath is being maintained by another writer " +
-                  s"($holder, lease age ${age} ms) — the index lifecycle has a " +
-                  "SINGLE-WRITER contract: two maintenance loops interleaving " +
-                  "COW rewrites/pending appends/rebuckets corrupt the layout. " +
-                  "Route all writes for one index through one loop; if the " +
-                  s"holder crashed, takeover happens after ${WriterLeaseStaleAfterMs} ms " +
-                  "(PostingIndex.WriterLeaseStaleAfterMs), or clear it with " +
-                  "breakWriterLease.")
+          // every probe below races the holder's release: the lock can
+          // vanish between any two calls, and a bare FileNotFound thrown
+          // from inside this catch would fail the acquire on a lock that
+          // is actually FREE — treat vanish-at-any-step as "retry"
+          try {
+            if (fs.exists(p)) {
+              // held: ours (reclaim), live (fail loudly) or stale (take over)?
+              val age = System.currentTimeMillis() -
+                fs.getFileStatus(p).getModificationTime
+              val holder = readLockHolder(fs, p)
+              if (holder == leaseHolderId) {
+                // an orphan from OUR OWN earlier failed claim (created,
+                // write crashed before the delete above landed) — reclaim
+                // rather than waiting out our own stale window
+                fs.delete(p, false)
+              } else if (age >= WriterLeaseStaleAfterMs) {
+                System.err.println(s"writer lease at $p is ${age} ms old " +
+                  s"(stale after $WriterLeaseStaleAfterMs) — presuming the " +
+                  s"holder ($holder) crashed; taking over")
+                // takeover claim = atomic RENAME of the stale lock to a
+                // tombstone: of two takers, exactly one's rename succeeds
+                // (the loser's source is gone) — delete+create would let
+                // BOTH takers proceed, the loser's delete removing the
+                // winner's fresh lock (double-writer, silently). The
+                // re-check under the tombstone closes the check-to-rename
+                // window against a release+reclaim landing in between: a
+                // freshly-written lock is renamed BACK and the claim
+                // retried instead of destroyed.
+                val tomb = new org.apache.hadoop.fs.Path(
+                  s"$indexPath.writer_lock.stale." +
+                    s"${System.currentTimeMillis()}.${Thread.currentThread().getId}")
+                val claimed = try fs.rename(p, tomb)
+                  catch { case _: java.io.IOException => false }
+                if (claimed) {
+                  val tombAge = System.currentTimeMillis() -
+                    fs.getFileStatus(tomb).getModificationTime
+                  if (tombAge >= WriterLeaseStaleAfterMs) fs.delete(tomb, false)
+                  else if (!fs.rename(tomb, p)) fs.delete(tomb, false)
+                }
+              } else {
+                throw new IllegalStateException(
+                  s"index at $indexPath is being maintained by another writer " +
+                    s"($holder, lease age ${age} ms) — the index lifecycle has a " +
+                    "SINGLE-WRITER contract: two maintenance loops interleaving " +
+                    "COW rewrites/pending appends/rebuckets corrupt the layout. " +
+                    "Route all writes for one index through one loop; if the " +
+                    s"holder crashed, takeover happens after ${WriterLeaseStaleAfterMs} ms " +
+                    "(PostingIndex.WriterLeaseStaleAfterMs), or clear it with " +
+                    "breakWriterLease.")
+              }
             }
+          } catch {
+            case _: java.io.FileNotFoundException => () // vanished: retry
           }
           // lock vanished between our create and the probe (released or
-          // taken over), or we just cleared a stale one: retry the claim
+          // taken over), or we just cleared a stale/orphaned one: retry
           if (attempts > 10) throw new IllegalStateException(
             s"could not acquire writer lease at $p after $attempts attempts")
       }
@@ -193,18 +283,22 @@ object PostingIndex {
       case Some(d) if d > 1 => depths(indexPath) = d - 1
       case Some(_) =>
         depths.remove(indexPath)
+        stopLeaseHeartbeat(indexPath) // BEFORE the delete: no tick may
+        // refresh (or race the read of) a lock this writer is releasing
         val p = lockPathOf(indexPath)
         val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        if (fs.exists(p)) {
-          val in = fs.open(p)
-          val holder =
-            try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-              java.nio.charset.StandardCharsets.UTF_8).linesIterator
-              .nextOption().getOrElse("")
-            finally in.close()
-          if (holder == leaseHolderId) { fs.delete(p, false); () }
-          else System.err.println(s"writer lease at $p now names '$holder' " +
-            "(stale takeover while this writer ran?) — leaving it in place")
+        try {
+          if (fs.exists(p)) {
+            if (readLockHolder(fs, p) == leaseHolderId) { fs.delete(p, false); () }
+            else System.err.println(s"writer lease at $p now names another " +
+              "holder (stale takeover while this writer ran?) — leaving it " +
+              "in place")
+          }
+        } catch {
+          // the lock vanishing mid-release (a stale takeover's rename
+          // landing between our exists and open) is the leave-it-alone
+          // case, not an error
+          case _: java.io.FileNotFoundException => ()
         }
       case None => () // releasing an unheld lease is a no-op
     }
@@ -894,7 +988,9 @@ object PostingIndex {
     * compaction — batch stamps restart). The read-side compaction
     * trigger's measure; O(pending) to compute. */
   def pendingBatches(spark: org.apache.spark.sql.SparkSession,
-                     indexPath: String): Long = nextBatch(spark, indexPath)
+                     indexPath: String): Long =
+    graft.util.PendingEpoch.readStamp(spark, indexPath, PendingSeqMarker)
+      .getOrElse(scanMaxBatch(spark, indexPath) + 1L)
 
   /** On-disk size of the pending area (the compaction trigger's measure —
     * GIN's `gin_pending_list_limit` analog). */
@@ -990,11 +1086,18 @@ object PostingIndex {
     }
   }
 
-  /** Next monotone batch number: max over the pending area + 1 (the area
-    * is compaction-bounded, so this scan is O(pending), not O(index)). */
-  private def nextBatch(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String): Long = {
-    if (!hasPending(spark, indexPath)) return 0L
+  /** Root counter marker holding the next pending batch stamp —
+    * underscore-prefixed (parquet listings ignore it), cleared by
+    * [[compactPending]] so stamps (and the batch-count trigger) restart
+    * at 0 with each fresh pending generation. */
+  private val PendingSeqMarker = "_graft_pending_seq"
+
+  /** Max batch stamp present across both pending areas, -1 when empty —
+    * the one-time migration fallback for pre-counter layouts (the area is
+    * compaction-bounded, so this scan is O(pending), not O(index)). */
+  private def scanMaxBatch(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String): Long = {
+    if (!hasPending(spark, indexPath)) return -1L
     val fs = fsOf(spark, indexPath)
     val maxes = Seq(pendingPath(indexPath), pendingDeletesPath(indexPath))
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
@@ -1004,8 +1107,18 @@ object PostingIndex {
           case r                  => r.getLong(0)
         }
       }
-    (maxes :+ -1L).max + 1L
+    (maxes :+ -1L).max
   }
+
+  /** Claim the next monotone batch stamp — O(1) counter-marker reads via
+    * the shared [[graft.util.PendingEpoch.claimNextStamp]] (safe under
+    * the writer lease), not a per-park Spark scan of the whole pending
+    * area: that scan's cost grows with batch count, which is exactly the
+    * dimension a parking run grows along. */
+  private def nextBatch(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String): Long =
+    graft.util.PendingEpoch.claimNextStamp(spark, indexPath, PendingSeqMarker,
+      scanMaxBatch(spark, indexPath))
 
   /** Document UPDATE through the pending list — [[upsertIndex]] semantics
     * (REPLACE each incoming doc's postings; empty tokenization = DELETE)
@@ -1134,6 +1247,10 @@ object PostingIndex {
         // re-folds and deletes), and there is never a window where the
         // files are gone but an old plan's epoch still matches
         bumpEpoch(spark, indexPath)
+        // counter BEFORE the pending dirs (see PendingEpoch.clearStamp):
+        // a crash in between falls back to the migration scan; the
+        // reverse order would strand a stale counter over an empty area
+        graft.util.PendingEpoch.clearStamp(spark, indexPath, PendingSeqMarker)
         val fs = fsOf(spark, indexPath)
         Seq(pendingPath(indexPath), pendingDeletesPath(indexPath)).foreach { d =>
           val p = new org.apache.hadoop.fs.Path(d)

@@ -83,6 +83,52 @@ private[graft] object PendingEpoch {
     writeAtomic(p.getFileSystem(spark.sessionState.newHadoopConf()), p, epoch)
   }
 
+  /** Claim the next monotone batch stamp from a root counter marker —
+    * O(1) filesystem reads instead of the Spark `agg(max(batch))` scan
+    * over the whole pending area that every park otherwise pays (per-park
+    * latency grows with pending size, total I/O quadratically across a
+    * parking run). Safe WITHOUT compare-and-swap because every pending
+    * area has a single-writer contract (the posting index's lease; one
+    * streaming query per merge base). Claim-before-write ordering: the
+    * counter is bumped before the caller writes the batch, so a crash in
+    * between skips a stamp (harmless) and a replay claims a fresh higher
+    * one — stamps stay unique and monotone, which is all latest-wins
+    * needs. `fallbackMax` (lazily evaluated) migrates pre-counter
+    * layouts: when the marker is missing, the caller's scan over the
+    * existing area supplies the running max (-1 when the area is empty).
+    */
+  def claimNextStamp(spark: SparkSession, dir: String, marker: String,
+                     fallbackMax: => Long): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir, marker)
+    val fs = p.getFileSystem(conf)
+    val next = if (fs.exists(p)) read(dir, marker, conf) else fallbackMax + 1
+    writeAtomic(fs, p, next + 1)
+    next
+  }
+
+  /** Stamps claimed so far (== pending batch count when the counter is
+    * cleared at each fold) — None when no counter marker exists. */
+  def readStamp(spark: SparkSession, dir: String,
+                marker: String): Option[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir, marker)
+    if (!p.getFileSystem(conf).exists(p)) None
+    else Some(read(dir, marker, conf))
+  }
+
+  /** Remove the counter marker (fold/compaction clears it BEFORE deleting
+    * the pending files: a crash in between leaves no counter + a live
+    * area, and the next claim's `fallbackMax` scan recovers the max — the
+    * reverse order would leave a stale counter over an empty area, which
+    * merely overstates the batch-count trigger until the next fold). */
+  def clearStamp(spark: SparkSession, dir: String, marker: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir, marker)
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) { fs.delete(p, false); () }
+  }
+
   /** One-row frame that exists iff the pending epoch still equals its
     * build-time value WHEN THE PLAN EXECUTES — cross-joined (broadcast)
     * onto both overlay union sides, it runs as its own tiny stage on

@@ -281,8 +281,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(bucketFiles() == before,
       "parked batches must not rewrite ANY base bucket")
     assert(Streams.mergePendingBytes(spark, tgt) > 0L)
-    val overlay = Streams.readMergedBase(spark, tgt)
-      .as[(Long, String)].collect().toMap
+    val overlayRows = Streams.readMergedBase(spark, tgt)
+      .as[(Long, String)].collect()
+    // row-count BEFORE toMap: a supersede leak (a parked key's base row
+    // surfacing beside its latest pending row) would be collapsed by the
+    // Map and pass the size-32 check silently
+    assert(overlayRows.length == 32,
+      s"overlay read must return exactly 32 rows, got ${overlayRows.length}")
+    val overlay = overlayRows.toMap
     assert(overlay.size == 32 && overlay(2L) == "C2" && overlay(5L) == "B5" &&
       overlay(9L) == "C9" && overlay(17L) == "B17" && overlay(3L) == "v3",
       s"overlay read wrong: ${overlay.toSeq.sortBy(_._1).take(6)}")

@@ -94,6 +94,44 @@ class LeaseSpec extends AnyFunSuite {
     assert(hits == Seq(1L, 2L, 4L, 11L))
     assert(!java.nio.file.Files.exists(lockFile(dir)),
       "the taking-over writer must release its own lease")
+    // the takeover claim is rename-to-tombstone (atomic: of two takers
+    // exactly one's rename succeeds — delete+create would let both in);
+    // the tombstone itself must not survive a completed takeover
+    val parent = lockFile(dir).getParent
+    val residue = java.nio.file.Files.list(parent).iterator()
+    val stale = Iterator.continually(residue)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString)
+      .filter(_.contains(".writer_lock.stale.")).toSeq
+    assert(stale.isEmpty, s"takeover left tombstone residue: $stale")
+  }
+
+  test("a live holder's heartbeat keeps the lease fresh past the stale window — a long apply is never stolen mid-run") {
+    val dir = freshDir()
+    PostingIndex.write(PostingIndex.build(docs, "doc_id", toks), dir, buckets = 4)
+    val prev = PostingIndex.WriterLeaseStaleAfterMs
+    // stale window 3 s → heartbeat every 1 s; the apply below 'runs' 3.5 s
+    // — WITHOUT the mtime refresh its lease would age past the window and
+    // the second loop would steal it MID-APPLY (the double-writer case
+    // the lease exists to prevent)
+    PostingIndex.WriterLeaseStaleAfterMs = 3000L
+    try {
+      PostingIndex.acquireWriterLease(spark, dir)
+      try {
+        Thread.sleep(3500L)
+        @volatile var err: Throwable = null
+        val t = new Thread(() => {
+          try PostingIndex.appendToIndex(spark, dir,
+            Seq((12L, "merge heartbeat probe")).toDF("doc_id", "text"),
+            "doc_id", TextOps.tokenize(col("text")), buckets = 4)
+          catch { case e: Throwable => err = e }
+        })
+        t.start(); t.join(60000)
+        assert(err != null && err.getMessage.contains("SINGLE-WRITER"),
+          s"a heartbeating lease must still contest after the window, got: $err")
+      } finally PostingIndex.releaseWriterLease(spark, dir)
+      assert(!java.nio.file.Files.exists(lockFile(dir)),
+        "release after heartbeats must still drop the lock")
+    } finally PostingIndex.WriterLeaseStaleAfterMs = prev
   }
 
   test("nested maintenance (buffered upsert tripping compaction) reenters its own lease; breakWriterLease clears a verified-dead one") {

@@ -79,6 +79,34 @@ class PendingIndexSpec extends AnyFunSuite {
       "buffered upserts must not rewrite any base bucket file")
   }
 
+  test("batch stamps come from the O(1) root counter: monotone across parks, reset by compaction, scan-migrated when the counter is absent") {
+    val dir = freshDir()
+    writeIdx(dir)
+    val seq = java.nio.file.Paths.get(dir, "_graft_pending_seq")
+    def park(id: Long, text: String): Unit =
+      PostingIndex.upsertIndexBuffered(spark, dir,
+        Seq((id, text)).toDF("doc_id", "text"), "doc_id", toks, buckets = 4)
+    park(5L, "merge one"); park(5L, "merge two"); park(6L, "merge three")
+    assert(java.nio.file.Files.exists(seq), "parks must maintain the counter")
+    assert(PostingIndex.pendingBatches(spark, dir) == 3L,
+      "counter == batches parked (the read-side compaction trigger's measure)")
+    // migration path: a pre-counter layout (counter file absent, batches
+    // present) must fall back to the max-stamp scan — the count is
+    // unchanged, and the NEXT park claims max+1, not a colliding stamp
+    java.nio.file.Files.delete(seq)
+    assert(PostingIndex.pendingBatches(spark, dir) == 3L,
+      "without the counter, the scan fallback must recover the batch count")
+    park(6L, "merge four") // would corrupt latest-wins if the stamp collided
+    assert(PostingIndex.pendingBatches(spark, dir) == 4L)
+    assert(search(dir, Seq("merge", "four")) == Seq(6L) &&
+      search(dir, Seq("merge", "three")) == Seq(),
+      "post-migration stamps must keep latest-batch-wins ordering")
+    PostingIndex.compactPending(spark, dir, "doc_id", buckets = 4)
+    assert(!java.nio.file.Files.exists(seq), "compaction clears the counter")
+    assert(PostingIndex.pendingBatches(spark, dir) == 0L,
+      "stamps (and the batch-count trigger) restart with each generation")
+  }
+
   test("compactPending folds to the exact sequential-COW-upsert layout and clears the area") {
     val cow = freshDir()
     val buf = freshDir()
