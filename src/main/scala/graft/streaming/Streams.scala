@@ -220,6 +220,10 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         val spark = rawBatch.sparkSession
+        // single-writer lease (shared WriterLease): the swap below is two
+        // renames — a second query driving the same base could interleave
+        // them (or re-bootstrap over a mid-swap window) with no detection
+        graft.util.WriterLease.withLease(spark, targetDir, "merge base") {
         val fs = new org.apache.hadoop.fs.Path(targetDir)
           .getFileSystem(spark.sessionState.newHadoopConf())
         // siblings built off the normalized Path, not string concat: with a
@@ -260,6 +264,7 @@ object Streams {
         }
         require(fs.rename(tmp, target), s"promote rename failed: $tmp -> $target")
         if (fs.exists(old)) fs.delete(old, true)
+        }
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -528,21 +533,27 @@ object Streams {
     * reads and a re-foldable area (PostingIndex.compactPending's exact
     * contract, via the shared PendingEpoch implementation). */
   def foldMergePending(spark: SparkSession, targetDir: String, keyCol: String,
-                       numBuckets: Int): Unit = {
-    if (!hasMergePending(spark, targetDir)) return
-    val live = liveMergePending(spark, targetDir)
-      .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
-      .localCheckpoint(true)
-    applyMergeDelta(spark, live, targetDir, keyCol, numBuckets)
-    live.unpersist()
-    graft.util.PendingEpoch.bump(spark, targetDir, MergeEpochMarker)
-    // counter BEFORE the pending dir (see PendingEpoch.clearStamp): a
-    // crash in between falls back to the migration scan, never a stale
-    // counter over a cleared area
-    graft.util.PendingEpoch.clearStamp(spark, targetDir, MergeSeqMarker)
-    val p = new org.apache.hadoop.fs.Path(mergePendingPath(targetDir))
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) { fs.delete(p, true); () }
+                       numBuckets: Int): Unit =
+    // leased in its own right (reentrant under the per-batch lease): the
+    // fold is also a PUBLIC entry an operator can call beside a running
+    // maintenance loop, and an unfenced fold racing a park would delete
+    // pending files the park just stamped
+    graft.util.WriterLease.withLease(spark, targetDir, "merge base") {
+    if (hasMergePending(spark, targetDir)) {
+      val live = liveMergePending(spark, targetDir)
+        .withColumn(BucketCol, bucketOf(keyCol, numBuckets))
+        .localCheckpoint(true)
+      applyMergeDelta(spark, live, targetDir, keyCol, numBuckets)
+      live.unpersist()
+      graft.util.PendingEpoch.bump(spark, targetDir, MergeEpochMarker)
+      // counter BEFORE the pending dir (see PendingEpoch.clearStamp): a
+      // crash in between falls back to the migration scan, never a stale
+      // counter over a cleared area
+      graft.util.PendingEpoch.clearStamp(spark, targetDir, MergeSeqMarker)
+      val p = new org.apache.hadoop.fs.Path(mergePendingPath(targetDir))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) { fs.delete(p, true); () }
+    }
   }
 
   private def mergeEpochGuard(spark: SparkSession, targetDir: String): DataFrame =
@@ -611,6 +622,11 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (rawBatch: DataFrame, _: Long) =>
         val spark = rawBatch.sparkSession
+        // same single-writer contract as the posting index, same shared
+        // lease: two streaming queries with DIFFERENT checkpoints driving
+        // one merge base would interleave bootstrap overwrites, parks and
+        // folds with no detection — the second query must fail loudly
+        graft.util.WriterLease.withLease(spark, targetDir, "merge base") {
         // localCheckpoint: the deduped batch feeds THREE consumers (the
         // touched-bucket collect, the anti-join key side, the union side) —
         // without it each re-reads the source files and re-runs the
@@ -651,6 +667,7 @@ object Streams {
             s"merge base at $targetDir has a batched-delta pending area — " +
               "foldMergePending first, or keep maintaining with batchDeltas=true")
           applyMergeDelta(spark, batch, targetDir, keyCol, numBuckets)
+        }
         }
         ()
       }

@@ -91,233 +91,43 @@ object PostingIndex {
   // epoch bumps and a rebucket swap would corrupt the index with no
   // detection. Postgres gets this for free from heavyweight locks; the
   // reference's 20-worker UPDATE pattern (`scrape_all_filings.py:177-183`)
-  // is exactly the workload that would double-drive one index here. The
-  // lease makes the contract OPERATIONAL: a sibling lock marker
-  // (`<indexPath>.writer_lock`, atomic create-no-overwrite) is taken at
-  // every public maintenance entry and released on exit; a contested
-  // acquisition fails with a named error instead of silently interleaving.
-  // Reentrant within one call stack (upsertBuffered → compactPending →
-  // upsertBatch is one writer), tracked per thread. A crashed holder's
-  // lock goes stale after [[WriterLeaseStaleAfterMs]] and is taken over
-  // (atomic-rename claim); a LIVE holder's lock mtime is heartbeat-
-  // refreshed every staleness/3, so the window needs no relation to
-  // apply length — only to how fast a crashed holder should be replaced.
+  // is exactly the workload that would double-drive one index here.
+  // The mechanics (atomic create-no-overwrite claim, per-thread
+  // reentrancy, mtime heartbeat, atomic-rename stale takeover) live in
+  // the shared [[graft.util.WriterLease]] — the KV-merge bases in
+  // `Streams` carry the same contract through the same implementation.
 
   /** Age (ms of lock-file mtime) after which a writer lease is presumed
-    * crashed and taken over. The holder heartbeats at a third of this,
-    * so a live lease never goes stale regardless of apply length; size
-    * the window only for takeover latency after a real crash. Mutable
-    * for tests. */
-  @volatile var WriterLeaseStaleAfterMs: Long = 15L * 60 * 1000
-
-  private def lockPathOf(indexPath: String) =
-    new org.apache.hadoop.fs.Path(s"$indexPath.writer_lock")
-
-  private val leaseDepths = new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
-    override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
+    * crashed and taken over — forwards to
+    * [[graft.util.WriterLease.staleAfterMs]] (one knob for every
+    * maintained layout). The holder heartbeats at a third of this, so a
+    * live lease never goes stale regardless of apply length. */
+  def WriterLeaseStaleAfterMs: Long = graft.util.WriterLease.staleAfterMs
+  def WriterLeaseStaleAfterMs_=(v: Long): Unit = {
+    graft.util.WriterLease.staleAfterMs = v
   }
 
-  private def leaseHolderId: String =
-    java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
-      "/thread-" + Thread.currentThread().getId
-
-  // Heartbeat: a held lease's lock mtime is refreshed every staleness/3 by
-  // a daemon thread, so a LIVE holder is never presumed crashed no matter
-  // how long one apply runs (a ×100-scale fold or rebucket can exceed any
-  // fixed window — without the refresh, a second loop would steal the
-  // lease MID-APPLY and double-write the layout). The tick re-reads the
-  // holder first and only touches a lock still naming this writer: after
-  // a legitimate stale takeover the usurper's lock must age on its own.
-  private lazy val leaseHeartbeats =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "graft-writer-lease-heartbeat")
-      t.setDaemon(true)
-      t
-    })
-  private val leaseHeartbeatTasks =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ScheduledFuture[_]]()
-
-  private def readLockHolder(fs: org.apache.hadoop.fs.FileSystem,
-                             p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-      java.nio.charset.StandardCharsets.UTF_8).linesIterator
-      .nextOption().getOrElse("<unknown>")
-    finally in.close()
-  }
-
-  private def startLeaseHeartbeat(fs: org.apache.hadoop.fs.FileSystem,
-                                  indexPath: String, holder: String): Unit = {
-    val p = lockPathOf(indexPath)
-    val period = math.max(WriterLeaseStaleAfterMs / 3, 1000L)
-    val task = leaseHeartbeats.scheduleAtFixedRate(() => {
-      try if (readLockHolder(fs, p) == holder) {
-        fs.setTimes(p, System.currentTimeMillis(), -1)
-      } catch {
-        // released/stolen between ticks, or a transient FS error: the
-        // next tick (or the stale window) resolves it — never kill the
-        // shared heartbeat thread
-        case _: Exception => ()
-      }
-    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    Option(leaseHeartbeatTasks.put(indexPath, task))
-      .foreach(_.cancel(false)) // paranoia: no two hearts for one path
-  }
-
-  private def stopLeaseHeartbeat(indexPath: String): Unit =
-    Option(leaseHeartbeatTasks.remove(indexPath)).foreach { t =>
-      t.cancel(false); ()
-    }
-
-  /** Take the single-writer lease on `indexPath` (atomic
-    * create-no-overwrite of the sibling lock marker). Reentrant on the
-    * current thread; throws IllegalStateException naming the holder when
-    * another writer holds a live lease. A lease whose lock-file age
-    * exceeds [[WriterLeaseStaleAfterMs]] is presumed crashed and taken
-    * over (stderr-logged). Public so an orchestrator can fence a window
-    * spanning several maintenance calls. */
+  /** Take the single-writer lease on `indexPath`. Public so an
+    * orchestrator can fence a window spanning several maintenance
+    * calls; see [[graft.util.WriterLease.acquire]]. */
   def acquireWriterLease(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String): Unit = {
-    val depths = leaseDepths.get()
-    depths.get(indexPath) match {
-      case Some(d) if d > 0 => depths(indexPath) = d + 1; return
-      case _                => ()
-    }
-    val p = lockPathOf(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    var attempts = 0
-    while (depths.getOrElse(indexPath, 0) == 0) {
-      attempts += 1
-      try {
-        // create(overwrite=false) is the atomic claim: exactly one of two
-        // racing writers gets the stream, the other an already-exists
-        val out = fs.create(p, false)
-        var bodyOk = false
-        try {
-          try out.write(s"$leaseHolderId\n${System.currentTimeMillis()}"
-            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          bodyOk = true
-        } finally {
-          // the claim SUCCEEDED but the body write failed (disk full,
-          // transient FS error): without this cleanup the orphaned
-          // empty/partial lock reads as someone else's live lease and
-          // locks THIS writer out for the full stale window (the rethrown
-          // IOException re-enters the retry loop below, now over a clean
-          // slate; the holder==self branch is the second line of defense)
-          if (!bodyOk) { try fs.delete(p, false) catch { case _: Exception => () } }
-        }
-        depths(indexPath) = 1
-        startLeaseHeartbeat(fs, indexPath, leaseHolderId)
-      } catch {
-        case _: java.io.IOException => // already-exists (or transient FS error)
-          // every probe below races the holder's release: the lock can
-          // vanish between any two calls, and a bare FileNotFound thrown
-          // from inside this catch would fail the acquire on a lock that
-          // is actually FREE — treat vanish-at-any-step as "retry"
-          try {
-            if (fs.exists(p)) {
-              // held: ours (reclaim), live (fail loudly) or stale (take over)?
-              val age = System.currentTimeMillis() -
-                fs.getFileStatus(p).getModificationTime
-              val holder = readLockHolder(fs, p)
-              if (holder == leaseHolderId) {
-                // an orphan from OUR OWN earlier failed claim (created,
-                // write crashed before the delete above landed) — reclaim
-                // rather than waiting out our own stale window
-                fs.delete(p, false)
-              } else if (age >= WriterLeaseStaleAfterMs) {
-                System.err.println(s"writer lease at $p is ${age} ms old " +
-                  s"(stale after $WriterLeaseStaleAfterMs) — presuming the " +
-                  s"holder ($holder) crashed; taking over")
-                // takeover claim = atomic RENAME of the stale lock to a
-                // tombstone: of two takers, exactly one's rename succeeds
-                // (the loser's source is gone) — delete+create would let
-                // BOTH takers proceed, the loser's delete removing the
-                // winner's fresh lock (double-writer, silently). The
-                // re-check under the tombstone closes the check-to-rename
-                // window against a release+reclaim landing in between: a
-                // freshly-written lock is renamed BACK and the claim
-                // retried instead of destroyed.
-                val tomb = new org.apache.hadoop.fs.Path(
-                  s"$indexPath.writer_lock.stale." +
-                    s"${System.currentTimeMillis()}.${Thread.currentThread().getId}")
-                val claimed = try fs.rename(p, tomb)
-                  catch { case _: java.io.IOException => false }
-                if (claimed) {
-                  val tombAge = System.currentTimeMillis() -
-                    fs.getFileStatus(tomb).getModificationTime
-                  if (tombAge >= WriterLeaseStaleAfterMs) fs.delete(tomb, false)
-                  else if (!fs.rename(tomb, p)) fs.delete(tomb, false)
-                }
-              } else {
-                throw new IllegalStateException(
-                  s"index at $indexPath is being maintained by another writer " +
-                    s"($holder, lease age ${age} ms) — the index lifecycle has a " +
-                    "SINGLE-WRITER contract: two maintenance loops interleaving " +
-                    "COW rewrites/pending appends/rebuckets corrupt the layout. " +
-                    "Route all writes for one index through one loop; if the " +
-                    s"holder crashed, takeover happens after ${WriterLeaseStaleAfterMs} ms " +
-                    "(PostingIndex.WriterLeaseStaleAfterMs), or clear it with " +
-                    "breakWriterLease.")
-              }
-            }
-          } catch {
-            case _: java.io.FileNotFoundException => () // vanished: retry
-          }
-          // lock vanished between our create and the probe (released or
-          // taken over), or we just cleared a stale/orphaned one: retry
-          if (attempts > 10) throw new IllegalStateException(
-            s"could not acquire writer lease at $p after $attempts attempts")
-      }
-    }
-  }
+                         indexPath: String): Unit =
+    graft.util.WriterLease.acquire(spark, indexPath, "index")
 
-  /** Release the current thread's lease on `indexPath` (outermost release
-    * deletes the lock marker — unless a stale-takeover raced us and the
-    * marker now names someone else, in which case it is left alone). */
+  /** Release the current thread's lease on `indexPath`. */
   def releaseWriterLease(spark: org.apache.spark.sql.SparkSession,
-                         indexPath: String): Unit = {
-    val depths = leaseDepths.get()
-    depths.get(indexPath) match {
-      case Some(d) if d > 1 => depths(indexPath) = d - 1
-      case Some(_) =>
-        depths.remove(indexPath)
-        stopLeaseHeartbeat(indexPath) // BEFORE the delete: no tick may
-        // refresh (or race the read of) a lock this writer is releasing
-        val p = lockPathOf(indexPath)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        try {
-          if (fs.exists(p)) {
-            if (readLockHolder(fs, p) == leaseHolderId) { fs.delete(p, false); () }
-            else System.err.println(s"writer lease at $p now names another " +
-              "holder (stale takeover while this writer ran?) — leaving it " +
-              "in place")
-          }
-        } catch {
-          // the lock vanishing mid-release (a stale takeover's rename
-          // landing between our exists and open) is the leave-it-alone
-          // case, not an error
-          case _: java.io.FileNotFoundException => ()
-        }
-      case None => () // releasing an unheld lease is a no-op
-    }
-  }
+                         indexPath: String): Unit =
+    graft.util.WriterLease.release(spark, indexPath)
 
   /** Manual repair: forcibly delete `indexPath`'s lock marker. Only for an
     * operator who has verified the named holder is dead. */
   def breakWriterLease(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String): Unit = {
-    val p = lockPathOf(indexPath)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) { fs.delete(p, false); () }
-  }
+                       indexPath: String): Unit =
+    graft.util.WriterLease.breakLease(spark, indexPath)
 
   private def withWriterLease[A](spark: org.apache.spark.sql.SparkSession,
-                                 indexPath: String)(body: => A): A = {
-    acquireWriterLease(spark, indexPath)
-    try body finally releaseWriterLease(spark, indexPath)
-  }
+                                 indexPath: String)(body: => A): A =
+    graft.util.WriterLease.withLease(spark, indexPath, "index")(body)
 
   /** Root-level file recording the bucket modulus the index was written
     * with (underscore prefix: ignored by parquet directory listings).

@@ -256,6 +256,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.size == 33 && fin(100L) == "new")
   }
 
+  test("a merge base carries the single-writer lease: a second maintenance loop fails loudly while the first holds it, and succeeds after release") {
+    val src = Files.createTempDirectory("graft_imlk_src_").toString
+    val tgt = Files.createTempDirectory("graft_imlk_tgt_").toString + "/base"
+    val ck = Files.createTempDirectory("graft_imlk_ck_").toString
+    val schema = Seq((0L, "x")).toDF("id", "v").schema
+    Seq((1L, "v1"), (2L, "v2")).toDF("id", "v").write.parquet(s"$src/f1")
+    // writer A (this thread) fences the base — the reference's multi-worker
+    // pattern pointed at ONE merge base; writer B's whole micro-batch must
+    // fail with the named error, not interleave a bootstrap/park/fold
+    graft.util.WriterLease.acquire(spark, tgt, "merge base")
+    try {
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try Streams.incrementalMergeBucketed(
+          Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck,
+          numBuckets = 4)
+        catch { case e: Throwable => err = e }
+      })
+      t.start(); t.join(120000)
+      assert(err != null, "the contested merge loop must fail, not proceed")
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(err).exists(c => c.getMessage != null &&
+        c.getMessage.contains("SINGLE-WRITER")),
+        s"contested merge must name the contract, got: $err")
+    } finally graft.util.WriterLease.release(spark, tgt)
+    // released: the same merge now runs (fresh checkpoint — the failed
+    // attempt consumed nothing) and the base is complete
+    val ck2 = Files.createTempDirectory("graft_imlk_ck2_").toString
+    Streams.incrementalMergeBucketed(
+      Streams.parquetStream(spark, s"$src/*", schema), tgt, "id", ck2,
+      numBuckets = 4)
+    val rows = Streams.readMergedBase(spark, tgt).as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "v1", 2L -> "v2"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$tgt.writer_lock")),
+      "a completed merge run must leave no lock behind")
+  }
+
   test("incrementalMergeBucketed batchDeltas: wide deltas park without bucket rewrites, overlay reads resolve latest-wins, one fold applies all; stale plans fail loudly") {
     val src = Files.createTempDirectory("graft_imbd_src_").toString
     val tgt = Files.createTempDirectory("graft_imbd_tgt_").toString + "/base"
