@@ -41,7 +41,12 @@ object Similarity {
     * oracle-comparable. The higher-order-function expression chain is
     * CodegenFallback — interpreted per row — which made it the dominant
     * cost of the kNN scan; the fused loop is ~100× cheaper. */
-  private val cosineF = udf((a: Seq[Float], b: Seq[Float]) => {
+  // Array[Float] (not Seq[Float]) parameters: the generic Seq interface
+  // boxes every element access (measured ~124 ns/element — the pair stage
+  // of q98 spent 1.9 s on 250k 64-dim pairs); catalyst converts an
+  // ArrayType(Float) argument to a primitive float[] with one arraycopy
+  // and the loop then runs unboxed.
+  private val cosineF = udf((a: Array[Float], b: Array[Float]) => {
     if (a == null || b == null) null
     else {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -168,7 +173,7 @@ object Similarity {
     * ordering via `java.lang.Double.compare` (NaN ranks above every
     * number, as Spark sorts it; a null vector scores null against every
     * centroid, which ranked all-ties-by-cid — the first `keep` cids). */
-  private[ext] def topCells(cs: Array[(Long, Array[Float])], v: Seq[Float],
+  private[ext] def topCells(cs: Array[(Long, Array[Float])], v: Array[Float],
                             keep: Int): Array[Long] = {
     val k = math.min(keep, cs.length)
     if (v == null) return cs.take(k).map(_._1)
@@ -212,7 +217,7 @@ object Similarity {
                           id: String, vec: String, keep: Int,
                           idCol: String, vecCol: String): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(cents)
-    val f = udf((v: Seq[Float]) => topCells(bc.value, v, keep))
+    val f = udf((v: Array[Float]) => topCells(bc.value, v, keep))
     df.select(col(idCol).as(id), col(vecCol).as(vec))
       .withColumn("cid", explode(f(col(vec))))
   }
@@ -416,7 +421,7 @@ object Similarity {
                               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = collectCentroids(corpus, numCentroids, idCol, vecCol)
     val assign = assignCells(corpus, cents, "vid", "v", keep = 1, idCol, vecCol)
-    val meanUdf = udf((vs: Seq[Seq[Float]]) => {
+    val meanUdf = udf((vs: Seq[Array[Float]]) => {
       val dim = vs.head.length
       val sums = new Array[Double](dim)
       vs.foreach { v =>
@@ -439,7 +444,7 @@ object Similarity {
     * the lowest cid because centroids are visited cid-ascending) — the
     * Euclidean twin of [[topCells]]'s cosine argmax, for PQ subspace
     * training where reconstruction error, not angle, is the objective. */
-  private[ext] def nearestL2(cs: Array[(Long, Array[Float])], v: Seq[Float]): Long = {
+  private[ext] def nearestL2(cs: Array[(Long, Array[Float])], v: Array[Float]): Long = {
     if (v == null) return cs(0)._1
     var best = 0L; var bestD = Double.MaxValue; var ci = 0
     while (ci < cs.length) {
@@ -460,7 +465,7 @@ object Similarity {
   def kmeansStepFromL2(corpus: DataFrame, cents: Array[(Long, Array[Float])],
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
-    val f = udf((v: Seq[Float]) => nearestL2(bc.value, v))
+    val f = udf((v: Array[Float]) => nearestL2(bc.value, v))
     cellMeans(corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .withColumn("cid", f(col("v"))))
   }
@@ -510,7 +515,7 @@ object Similarity {
     // identical to m independent kmeansTrainL2 runs (per-subspace seeds,
     // argmin-L2 assignment, mean update, empty-cell keep, max-movement
     // stop over ALL subspaces).
-    val splitUdf = udf((v: Seq[Float]) => {
+    val splitUdf = udf((v: Array[Float]) => {
       if (v == null) null
       else (0 until m).map(j => v.slice(j * sub, (j + 1) * sub))
     })
@@ -532,7 +537,7 @@ object Similarity {
     var moved = Double.MaxValue
     while (iter < maxIters && moved > tol) {
       val bc = spark.sparkContext.broadcast(books)
-      val nearestUdf = udf((j: Int, subv: Seq[Float]) => {
+      val nearestUdf = udf((j: Int, subv: Array[Float]) => {
         val cb = bc.value(j)
         var best = 0; var bestD = Double.MaxValue; var c = 0
         while (c < cb.length) {
@@ -587,7 +592,7 @@ object Similarity {
     * [[ivfPqKnn]] so the code assignment rule exists once. */
   private def pqEncodeUdf(df: DataFrame, codebooks: Array[Array[Array[Float]]]) = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
-    udf((v: Seq[Float]) => {
+    udf((v: Array[Float]) => {
       if (v == null) null
       else {
         val cbs = bc.value
@@ -618,7 +623,7 @@ object Similarity {
     * vector → null LUT (the caller filters — a null can't rank anything). */
   private def pqLutUdf(df: DataFrame, codebooks: Array[Array[Array[Float]]]) = {
     val bc = df.sparkSession.sparkContext.broadcast(codebooks)
-    udf((qv: Seq[Float]) => {
+    udf((qv: Array[Float]) => {
       if (qv == null) null
       else {
         val cbs = bc.value
@@ -780,7 +785,7 @@ object Similarity {
     * per-plane higher-order expressions are interpreted and were the
     * dominant cost of the bucketing scan). */
   private def bucketsUdf(planeArr: Array[Array[Array[Double]]]) =
-    udf((v: Seq[Float]) => {
+    udf((v: Array[Float]) => {
       if (v == null) null
       else {
         val out = new Array[Long](planeArr.length)

@@ -928,7 +928,14 @@ private[ops] object ExtQueriesPart1 {
   private val q98IvfNearDup: Q = (s, d) => {
     import s.implicits._
     val emb = Tables.embeddings(s, d).repartition($"vec_id")
+    // materialize the filtered pairs BEFORE the global sort: orderBy's
+    // range partitioner SAMPLES its child — executing the whole
+    // pair-join + cosine stage a second time (profiled: 2 × 1.9 s
+    // single-task jobs, the query's entire cost). The surviving pairs
+    // are threshold-filtered and tiny relative to the pair stream, so
+    // materializing them once is the right shape at any scale.
     Similarity.ivfNearDupPairs(emb, threshold = 0.45, numCentroids = 8)
+      .localCheckpoint(true)
       .orderBy($"vec_a", $"vec_b")
   }
 

@@ -1085,7 +1085,7 @@ private[ops] object ExtQueriesPart2 {
     val planeArr: Array[Array[Array[Double]]] = (0 until tables)
       .map(t => Similarity.hyperplanes(numPlanes, 64, seed = 42L + t)
         .map(_.toArray).toArray).toArray
-    val sigsUdf = udf((v: Seq[Float]) => planeArr.map { planes =>
+    val sigsUdf = udf((v: Array[Float]) => planeArr.map { planes =>
       var sig = 0
       var i = 0
       while (i < planes.length) {

@@ -275,7 +275,7 @@ class ExtSpec extends AnyFunSuite {
       (2L, Array.tabulate(8)(j => 2f * (j + 1))), // scaled copy of cid 0 -> tie
       (3L, Array.fill(8)(1f)),
       (4L, Array.tabulate(8)(j => (j + 1).toFloat))) // exact copy of cid 0 -> tie
-    val v = Seq.tabulate(8)(j => (j + 1).toFloat)
+    val v = Array.tabulate(8)(j => (j + 1).toFloat)
     def cos(c: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < 8) { val x = v(i).toDouble; val y = c(i).toDouble
