@@ -390,27 +390,23 @@ object PostingIndex {
     }
   }
 
-  /** Merge a batch's distinct `(id, lexeme_bucket)` pairs into the sidecar,
-    * rewriting only the batch ids' `id_bucket` partitions. Existing pairs
-    * for OTHER docs in those partitions are carried over; `replaceIds`
-    * drops the incoming ids' old pairs first (upsert) instead of unioning
-    * with them (append). */
+  /** Merge a batch's distinct `(id, lexeme_bucket)` pairs into the sidecar
+    * (append semantics — the upsert path fuses its merge+prune passes
+    * inline in [[upsertBatch]]), rewriting only the batch ids' `id_bucket`
+    * partitions. Existing pairs for OTHER docs in those partitions are
+    * carried over; since (A ∖ B) ∪ B ≡ A ∪ B the merge is a plain
+    * union+distinct, no anti-join. `idParts` is the batch ids' id_bucket
+    * set, collected by the caller (fused into the touched-bucket probe —
+    * it used to be a second job). */
   private def maintainDocMap(spark: org.apache.spark.sql.SparkSession,
-                             indexPath: String, ids: DataFrame,
+                             indexPath: String,
                              newPairs: DataFrame, idCol: String, buckets: Int,
-                             replaceIds: Boolean): Unit = {
+                             idParts: Seq[Int]): Unit = {
     val withPart = newPairs
       .withColumn(DocMapPartCol, pmod(hash(col(idCol)), lit(buckets)))
-    val idParts = ids
-      .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
-      .distinct().collect().map(_.getInt(0)).toSeq
     val base = readPartDirs(spark, docMapPath(indexPath), DocMapPartCol,
       idParts, withPart.columns)
-    val kept =
-      if (replaceIds) base.join(ids, Seq(idCol), "left_anti")
-      else base.join(withPart,
-        Seq(idCol, "lexeme_bucket", DocMapPartCol), "left_anti")
-    val snap = kept.unionByName(withPart).distinct().localCheckpoint(true)
+    val snap = base.unionByName(withPart).distinct().localCheckpoint(true)
     writeDocMapSlice(snap, indexPath, overwriteAll = false)
     snap.unpersist()
   }
@@ -529,8 +525,15 @@ object PostingIndex {
     val batch = built
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       .localCheckpoint()
-    val touched = batch.select(col("lexeme_bucket")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // ONE collect for both driver-side sets (was two sequential jobs):
+    // the touched lexeme buckets and — for the sidecar merge below — the
+    // batch ids' id_bucket partitions
+    val probe = batch.select(col("lexeme_bucket").as("v"), lit(0).as("k"))
+      .unionByName(batch.select(
+        pmod(hash(col(idCol)), lit(buckets)).cast("int").as("v"), lit(1).as("k")))
+      .distinct().collect()
+    val touched = probe.collect { case r if r.getInt(1) == 0 => r.getInt(0) }.toSeq
+    val idParts = probe.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSeq
     if (touched.nonEmpty) {
       val base = readBuckets(spark, indexPath, touched)
       require(base.columns.toSet == batch.columns.toSet,
@@ -559,9 +562,8 @@ object PostingIndex {
       // later upsert's sweep never visits — resurrected ghosts
       if (hasDocMap(spark, indexPath))
         maintainDocMap(spark, indexPath,
-          ids = batch.select(col(idCol)).distinct(),
           newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
-          idCol, buckets, replaceIds = false)
+          idCol, buckets, idParts)
       withDynamicPartitionOverwrite(spark) {
         snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
       }
@@ -620,17 +622,26 @@ object PostingIndex {
       .withColumn("lexeme_bucket", pmod(hash(col("lexeme")), lit(buckets)))
       .localCheckpoint()
     val ids = docIds.localCheckpoint()
+    // ONE collect serves both driver-side sets (they were two sequential
+    // jobs over the same checkpointed frames): the batch postings' lexeme
+    // buckets and the ids' id_bucket partitions (the sidecar dirs to
+    // prune the old-bucket sweep to).
+    val probe = batch.select(col("lexeme_bucket").as("v"), lit(0).as("k"))
+      .unionByName(ids.select(
+        pmod(hash(col(idCol)), lit(buckets)).cast("int").as("v"), lit(1).as("k")))
+      .distinct().collect()
+    val batchBuckets = probe.collect { case r if r.getInt(1) == 0 => r.getInt(0) }
+    val idParts = probe.collect { case r if r.getInt(1) == 1 => r.getInt(0) }.toSeq
     // the sweep set: buckets the ids' OLD postings live in (sidecar,
-    // pruned to the ids' id_bucket partitions) ∪ the NEW postings' buckets
-    val idParts = ids
-      .select(pmod(hash(col(idCol)), lit(buckets)).cast("int").as(DocMapPartCol))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val oldBuckets = readPartDirs(spark, docMapPath(indexPath), DocMapPartCol,
-        idParts, Seq(idCol, "lexeme_bucket"))
+    // pruned to the ids' id_bucket partitions) ∪ the NEW postings'
+    // buckets. This pruned sidecar read ALSO feeds both doc-map slices
+    // below — it used to be re-read once per slice.
+    val dmBase = readPartDirs(spark, docMapPath(indexPath), DocMapPartCol,
+      idParts, Seq(idCol, "lexeme_bucket", DocMapPartCol))
+    val oldBuckets = dmBase
       .join(ids, Seq(idCol), "left_semi")
-      .select(col("lexeme_bucket"))
-    val touched = batch.select(col("lexeme_bucket")).union(oldBuckets)
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .select(col("lexeme_bucket")).distinct().collect().map(_.getInt(0))
+    val touched = (batchBuckets ++ oldBuckets).distinct.toSeq
     if (touched.nonEmpty) {
       val base = readBuckets(spark, indexPath, touched)
       require(base.columns.toSet == batch.columns.toSet,
@@ -652,16 +663,28 @@ object PostingIndex {
       // hand or its files survive as ghosts
       val remaining = snap.select(col("lexeme_bucket")).distinct()
         .collect().map(_.getInt(0)).toSet
+      // Both doc-map slices derive from ONE checkpoint of the pruned
+      // sidecar read (dmBase) — the merge/prune passes used to re-collect
+      // the id partitions and re-read the sidecar dirs each (the prune
+      // even re-read the files the merge had just written). The flag
+      // column marks the ids' old pairs so the prune slice can drop them
+      // without a second read; (A ∖ B) ∪ B ≡ A ∪ B, so the merge slice
+      // needs no anti-join at all.
+      val newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct()
+        .withColumn(DocMapPartCol, pmod(hash(col(idCol)), lit(buckets)))
+      val dmSnap = dmBase
+        .join(ids.withColumn("graft_of_ids", lit(true)), Seq(idCol), "left")
+        .localCheckpoint(true)
       // WAL-style sidecar ordering: MERGE the new pairs in BEFORE the
       // index write (an extra pair is a no-op sweep member by the
       // over-approximation contract), so a crash between the two writes
       // can never leave fresh rows in a bucket the sidecar doesn't know —
       // the under-approximate map that resurrects ghosts on the next
-      // sweep. The replaceIds pass below prunes the ids' old pairs once
-      // the rewrite is durable.
-      maintainDocMap(spark, indexPath, ids,
-        newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
-        idCol, buckets, replaceIds = false)
+      // sweep. The prune pass below drops the ids' old pairs once the
+      // rewrite is durable.
+      writeDocMapSlice(
+        dmSnap.drop("graft_of_ids").unionByName(newPairs).distinct(),
+        indexPath, overwriteAll = false)
       withDynamicPartitionOverwrite(spark) {
         snap.write.partitionBy("lexeme_bucket").mode("overwrite").parquet(indexPath)
       }
@@ -672,9 +695,14 @@ object PostingIndex {
         val dir = new org.apache.hadoop.fs.Path(indexPath, s"lexeme_bucket=$b")
         if (fs.exists(dir)) { fs.delete(dir, true); () }
       }
-      maintainDocMap(spark, indexPath, ids,
-        newPairs = batch.select(col(idCol), col("lexeme_bucket")).distinct(),
-        idCol, buckets, replaceIds = true)
+      // prune pass: (pairs of OTHER ids) ∪ (the ids' new pairs) — exactly
+      // what re-reading the merged slice and anti-joining `ids` produced,
+      // but from the same pre-write snapshot, no second sidecar read
+      writeDocMapSlice(
+        dmSnap.filter(col("graft_of_ids").isNull).drop("graft_of_ids")
+          .unionByName(newPairs).distinct(),
+        indexPath, overwriteAll = false)
+      dmSnap.unpersist()
       rebucketCheck(spark, indexPath, buckets, touched)
     }
     batch.unpersist()
@@ -1521,14 +1549,21 @@ object PostingIndex {
       idCol, terms)
   }
 
-  /** The lexemes' bucket ids under the SAME hash the [[write]]r used,
-    * computed with a one-row Spark job so writer and reader can't drift. */
+  /** The lexemes' bucket ids under the SAME hash the [[write]]r used:
+    * driver-side eval of the writer's own catalyst expression classes
+    * (`pmod(hash(...))` is `Pmod(Murmur3Hash(_, 42), _)`), so writer and
+    * reader can't drift — and, unlike the one-row Spark job this used to
+    * launch, it costs zero jobs per search (every indexed search/rank
+    * path calls it). */
   private def bucketIdsFor(spark: org.apache.spark.sql.SparkSession,
                            lexemes: Seq[String], buckets: Int): Seq[Int] = {
-    import spark.implicits._
-    lexemes.toDF("lexeme")
-      .select(pmod(hash(col("lexeme")), lit(buckets)).cast("int").as("b"))
-      .as[Int].collect().toSeq.distinct
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+    lexemes.map { lex =>
+      Pmod(Murmur3Hash(Seq(Literal.create(lex,
+          org.apache.spark.sql.types.StringType)), 42), Literal(buckets))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int]
+    }.distinct
   }
 
   // ----------------------------------------------------------------- ts_stat
