@@ -35,6 +35,16 @@ object GraftSession {
     SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // AQE coalescing (parallelismFirst, the default) floors post-shuffle
+      // partitions at minPartitionSize=1m, which serializes CPU-DENSE
+      // stages whose bytes are small relative to their compute (stemming /
+      // tokenize / trigram / marker scans: profiled single-task at 32
+      // cores — byte-based coalescing cannot see compute density, guide
+      // §2.2/§2.5). 16k keeps such stages parallel at max(total/cores,
+      // 16k) while leaving large-data coalescing (total/cores ≫ 1m)
+      // completely unchanged — the knob only binds when a stage's bytes
+      // are tiny, at ANY cluster size.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

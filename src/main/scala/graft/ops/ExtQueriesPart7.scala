@@ -68,14 +68,20 @@ private[ops] object ExtQueriesPart7 {
       .repartition($"vec_id")
       .select($"vec_id", qCoords($"embedding").as("q"))
       .cache() // narrow: 64 longs/row; feeds three folds below
-    // S_ij: in-row (i, j, q_i·q_j) triples → 4096-key hash agg
+    // S_ij: in-row (i, j, q_i·q_j) triples → 4096-key hash agg. The
+    // per-term product stays a LONG (|q| ≈ 1e4 for unit-scale embeddings,
+    // so q_i·q_j ≈ 1e8 — overflow needs |x| > 3e5, far outside any
+    // embedding space) and is cast to decimal only at the sum: the
+    // decimal-typed product used to allocate a Decimal per d² term inside
+    // the interpreted higher-order chain — profiled as 23 s of task time
+    // at 500×64² — for bit-identical sums.
     val sMat = qv.select(explode(expr(
         """flatten(transform(sequence(0, size(q) - 1), i ->
              transform(sequence(0, size(q) - 1), j ->
-               struct(i, j, cast(q[i] as decimal(38,0)) * q[j] as p))))"""))
+               struct(i, j, q[i] * q[j] as p))))"""))
         .as("t"))
       .select($"t.i".as("i"), $"t.j".as("j"), $"t.p".as("p"))
-      .groupBy($"i", $"j").agg(sum($"p").as("sij"))
+      .groupBy($"i", $"j").agg(sum($"p".cast("decimal(38,0)")).as("sij"))
     val tVec = qv.select(posexplode($"q").as(Seq("i", "qi")))
       .groupBy($"i").agg(sum($"qi".cast("decimal(38,0)")).as("ti"))
     val n1 = qv.agg(count(lit(1)).cast("decimal(38,0)").as("n"))
@@ -84,13 +90,17 @@ private[ops] object ExtQueriesPart7 {
       .join(broadcast(tVec.select($"i".as("j"), $"ti".as("tib"))), "j")
       .crossJoin(broadcast(n1))
       .select($"i", $"j", $"n", ($"n" * $"sij" - $"tia" * $"tib").as("m"))
+    // ONE aggregation pass over m carries trace, fro2 AND the top
+    // diagonal cell: the separate orderBy(m desc, i).limit(1) branch
+    // re-executed the whole d²-explode + 4096-key agg a second time
+    // (profiled as twin 12-17 s-taskSum jobs). max of struct(m, -i) IS
+    // argmax by (m desc, i asc) — struct comparison is field-ordered.
     val agg = m.agg(
       sum(when($"i" === $"j", $"m")).as("trace"),
-      sum(($"m" * $"m").cast("decimal(38,0)")).as("fro2"))
-    val top = m.filter($"i" === $"j")
-      .orderBy($"m".desc, $"i").limit(1)
-      .select($"i".as("top_var_dim"), $"m".as("mtop"))
-    agg.crossJoin(broadcast(top)).crossJoin(broadcast(n1))
+      sum(($"m" * $"m").cast("decimal(38,0)")).as("fro2"),
+      max(when($"i" === $"j", struct($"m".as("mtop"), (-$"i").as("ni"))))
+        .as("topc"))
+    agg.crossJoin(broadcast(n1))
       // enforce the Scaladoc's overflow bound instead of trusting it:
       // past ~1e5 vectors fro2's m·m terms cross decimal(38,0), Spark
       // NULLs them in non-ANSI mode and sum() silently skips — a
@@ -106,8 +116,8 @@ private[ops] object ExtQueriesPart7 {
       .select(
         $"n".cast("long").as("n"),
         $"trace".cast("long").as("trace_q"),
-        $"top_var_dim",
-        expr("cast((mtop * 1000000) div trace as bigint)")
+        (-$"topc.ni").as("top_var_dim"),
+        expr("cast((topc.mtop * 1000000) div trace as bigint)")
           .as("top_var_share_ppm"),
         expr("cast((trace * trace * 1000000) div fro2 as bigint)")
           .as("eff_rank_micro"))

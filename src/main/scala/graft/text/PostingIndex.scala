@@ -1427,15 +1427,26 @@ object PostingIndex {
       .groupBy(col(idCol))
       .agg(sum(col("wtf") *
         log(col("n_docs").cast("double") / col("df").cast("double"))).as("raw"))
-    val needsStats = (normalization & (1 | 2 | 8 | 16)) != 0
+    val needsLen = (normalization & (1 | 2)) != 0
+    val needsUniq = (normalization & (8 | 16)) != 0
     val scored =
-      if (!needsStats) raw
-      else raw.join(
-        statsPostings.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
-          .groupBy(col(idCol))
-          .agg(count(lit(1)).as("doc_len"),
-            count_distinct(col("lexeme")).as("n_uniq")),
-        Seq(idCol))
+      if (!needsLen && !needsUniq) raw
+      else {
+        // aggregate ONLY what the flags ask for: doc_len is a plain row
+        // count whose projection prunes the `lexeme` column — and with it
+        // the per-word stem evaluation — out of the stats scan entirely
+        // (flags 1|2 alone, q121's case, used to pay a second full
+        // stemming pass just to discard it); n_uniq (flags 8|16) is the
+        // one that genuinely needs lexemes.
+        val aggs =
+          (if (needsLen) Seq(count(lit(1)).as("doc_len")) else Nil) ++
+            (if (needsUniq) Seq(count_distinct(col("lexeme")).as("n_uniq")) else Nil)
+        raw.join(
+          statsPostings.join(raw.select(col(idCol)), Seq(idCol), "left_semi")
+            .groupBy(col(idCol))
+            .agg(aggs.head, aggs.tail: _*),
+          Seq(idCol))
+      }
     var s: Column = col("raw")
     if ((normalization & 1) != 0) s = s / (lit(1.0) + log(col("doc_len").cast("double")))
     if ((normalization & 2) != 0) s = s / col("doc_len").cast("double")
