@@ -728,7 +728,8 @@ private[ops] object ExtQueriesPart1 {
       .as[Long]
     val media = ids.mapPartitions(_.map(id =>
       Multimodal.MediaRow(id, "image", Multimodal.syntheticPngSized(id, 9, 8))))
-    Multimodal.dHash(media).toDF().orderBy($"media_id")
+    // pre-sort materialization: see q146 note (sampling re-ran the codec)
+    Multimodal.dHash(media).toDF().localCheckpoint(true).orderBy($"media_id")
   }
 
 
@@ -1289,6 +1290,8 @@ private[ops] object ExtQueriesPart1 {
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d).repartition($"doc_id")),
         everyN = 5)
       .toDF()
+      // pre-sort materialization: see q146 note (sampling re-ran the codec)
+      .localCheckpoint(true)
       .orderBy($"media_id", $"frame_idx")
   }
 
@@ -1300,6 +1303,8 @@ private[ops] object ExtQueriesPart1 {
     Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(s, Tables.documents(s, d)))
       .toDF()
+      // pre-sort materialization: see q146 note (sampling re-ran the codec)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -1322,6 +1327,12 @@ private[ops] object ExtQueriesPart1 {
       Multimodal.MediaRow(id, "image", Multimodal.syntheticPng(id))))
     Multimodal.decodeImageStats(media)
       .toDF()
+      // materialize the decoded stats once before the global sort: the
+      // range partitioner's sampling pass re-executes the sort's child —
+      // for these queries that child is the whole codec stage (profiled
+      // as twin single-task jobs). The stats rows are tiny; the codec
+      // work is the query.
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
@@ -1347,6 +1358,8 @@ private[ops] object ExtQueriesPart1 {
         Multimodal.syntheticGif(id, w = 24, h = 16, nFrames = (id % 4 + 2).toInt))))
     Multimodal.decodeGifFrames(media, everyN = 2)
       .toDF()
+      // pre-sort materialization: see q146 note (sampling re-ran the codec)
+      .localCheckpoint(true)
       .orderBy($"media_id", $"frame_idx")
   }
 
@@ -1370,6 +1383,8 @@ private[ops] object ExtQueriesPart1 {
         Multimodal.syntheticWav(id, nFrames = (1000 + id % 7 * 100).toInt))))
     Multimodal.decodeWavStats(media)
       .toDF()
+      // pre-sort materialization: see q146 note (sampling re-ran the codec)
+      .localCheckpoint(true)
       .orderBy($"media_id")
   }
 
